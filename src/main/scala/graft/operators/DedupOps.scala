@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryDef, Tables}
+
+/** Near-duplicate detection pack over `documents` — SURVEY.md §2.5 [X]
+  * (LLM: near-dup dedup). Three independent detectors, each with the
+  * standard scale story:
+  *
+  *  - exact n-gram Jaccard (q23): ground truth; quadratic in bucket size —
+  *    only run on bounded slices / as the verify stage behind a candidate
+  *    generator.
+  *  - MinHash + LSH banding (q24): the 100 TB path. Signatures are
+  *    per-document (one narrow projection), banding shuffles
+  *    (band-id, band-hash) keys, candidate pairs are verified with exact
+  *    Jaccard — so false positives are filtered and the band/row trade-off
+  *    only affects recall, tuned here to ~1-6e-7 miss probability at the
+  *    0.6 threshold (32 bands × 2 rows).
+  *  - SimHash (q25/q26): 60-bit signature from md5-derived token hashes;
+  *    near-dups = pairs within Hamming distance 4, found by exact xor +
+  *    bit_count on the (tiny) signature table.
+  *
+  * The md5-derived hash (`conv(substr(md5(x),1,15),16,10)`) is used instead
+  * of Spark's murmur3 `hash()` everywhere a DuckDB oracle needs to
+  * reproduce the value exactly; md5 is bit-identical across engines.
+  */
+object DedupOps {
+
+  /** Character 5-gram shingles of a doc, distinct, as (doc_id, shingle)
+    * rows. Bounded to doc_id < 500 so the quadratic verify stays cheap at
+    * every scale factor (sf0.01 has exactly doc_ids 0..499). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 500 && length(col("text")) >= 5)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), length(col("text")) - 4),
+          i => col("text").substr(i, lit(5)))).as("sh"))
+      .distinct()
+
+  /** 60-bit deterministic hash of a string, reproducible in DuckDB. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** q23: exact n-gram Jaccard near-dup pairs (j >= 0.4, integer
+    * cross-multiplied so no floating point at all). Self-join on the
+    * shingle value; at scale this is exactly the verify stage of q24. */
+  val q23JaccardPairs = QueryDef(
+    "q23_jaccard_pairs",
+    (s, d) => {
+      val sh = shingles(s, d).cache()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val a = sh.select(col("doc_id").as("d1"), col("sh"))
+      val b = sh.select(col("doc_id").as("d2"), col("sh"))
+      val inter = a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
+      inter
+        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
+        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
+        .withColumn("uc", col("sz1") + col("sz2") - col("ic"))
+        .filter(col("ic") * 10 >= col("uc") * 4)
+        .select("d1", "d2", "ic", "uc")
+        .orderBy("d1", "d2")
+    },
+    Some("""WITH sh AS (
+           |  SELECT DISTINCT doc_id, sh FROM (
+           |    SELECT doc_id, unnest(list_transform(range(1, length(text) - 3),
+           |                          i -> substr(text, CAST(i AS INTEGER), 5))) AS sh
+           |    FROM documents WHERE doc_id < 500 AND length(text) >= 5) raw),
+           |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ic
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT d1, d2, ic, (s1.sz + s2.sz - ic) AS uc
+           |FROM inter
+           |JOIN sizes s1 ON s1.doc_id = d1
+           |JOIN sizes s2 ON s2.doc_id = d2
+           |WHERE ic * 10 >= (s1.sz + s2.sz - ic) * 4
+           |ORDER BY d1, d2""".stripMargin)
+  )
+
+  private val NumPerm = 64 // 32 bands × 2 rows
+  private val Bands = 32
+
+  /** MinHash signature per doc: for each permutation k, min over shingles
+    * of h60(shingle ++ ":k"). One groupBy over the shingle table — the
+    * signature is 64 longs/doc regardless of corpus size. */
+  private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val aggs = (0 until NumPerm).map(k => min(h60(concat(col("sh"), lit(":" + k)))).as(s"m$k"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** q24: MinHash + LSH banding near-dup pairs, verified with exact
+    * Jaccard (j >= 0.6). Oracle: the exact-Jaccard SQL — valid because at
+    * 32 bands × 2 rows the probability of LSH missing a j>=0.6 pair is
+    * (1-0.36)^32 < 1e-6, and all false candidates are removed by the exact
+    * verify, so the output equals the exact answer. */
+  val q24MinhashLsh = QueryDef(
+    "q24_minhash_lsh",
+    (s, d) => {
+      val sig = minhashSignatures(s, d).cache()
+      // bands: hash the 2-row slice of the signature per band
+      val banded = sig.select(
+        col("doc_id"),
+        posexplode(array((0 until Bands).map(b =>
+          concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)).as(Seq("band", "bhash")))
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      // exact verify on candidates only
+      val sh = shingles(s, d)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val a = sh.select(col("doc_id").as("d1"), col("sh"))
+      val b = sh.select(col("doc_id").as("d2"), col("sh"))
+      val inter = a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
+      cand.join(inter, Seq("d1", "d2"))
+        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
+        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
+        .withColumn("uc", col("sz1") + col("sz2") - col("ic"))
+        .filter(col("ic") * 10 >= col("uc") * 6)
+        .select("d1", "d2", "ic", "uc")
+        .orderBy("d1", "d2")
+    },
+    Some("""WITH sh AS (
+           |  SELECT DISTINCT doc_id, sh FROM (
+           |    SELECT doc_id, unnest(list_transform(range(1, length(text) - 3),
+           |                          i -> substr(text, CAST(i AS INTEGER), 5))) AS sh
+           |    FROM documents WHERE doc_id < 500 AND length(text) >= 5) raw),
+           |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ic
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT d1, d2, ic, (s1.sz + s2.sz - ic) AS uc
+           |FROM inter
+           |JOIN sizes s1 ON s1.doc_id = d1
+           |JOIN sizes s2 ON s2.doc_id = d2
+           |WHERE ic * 10 >= (s1.sz + s2.sz - ic) * 6
+           |ORDER BY d1, d2""".stripMargin)
+  )
+
+  /** q25: 60-bit SimHash signature per document from whitespace tokens.
+    * sign-sum per bit over md5-derived token hashes; fully integer. */
+  val q25Simhash = QueryDef(
+    "q25_simhash",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+        .select(col("doc_id"), h60(col("tok")).as("h"))
+      val bitCols = (0 until 60).map(b =>
+        sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b"))
+      val sums = toks.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+      val sig = (0 until 60).map(b =>
+        when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))).reduce(_ + _)
+      sums.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
+    },
+    Some("""WITH th AS (
+           |  SELECT doc_id,
+           |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+           |  FROM (SELECT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS tok
+           |        FROM documents) t),
+           |bits AS (
+           |  SELECT doc_id, b.b AS b,
+           |    SUM(((h >> CAST(b.b AS INTEGER)) & 1) * 2 - 1) AS s
+           |  FROM th, range(0, 60) b(b) GROUP BY 1, 2)
+           |SELECT doc_id,
+           |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+           |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  )
+
+  /** q26: SimHash near-dup pairs — Hamming distance <= 4 over the q25
+    * signatures. The signature table is tiny (8 bytes/doc), so the
+    * all-pairs xor+bit_count is a bounded self-join; at larger corpora the
+    * standard trick is banding the 60 bits into 4×15-bit prefixes
+    * (pigeonhole: any pair at distance <= 3 shares a band) — same plan
+    * shape as q24. */
+  val q26SimhashPairs = QueryDef(
+    "q26_simhash_pairs",
+    (s, d) => {
+      val sig = q25Simhash.run(s, d)
+      val a = sig.select(col("doc_id").as("d1"), col("simhash").as("h1"))
+      val b = sig.select(col("doc_id").as("d2"), col("simhash").as("h2"))
+      a.join(b, col("d1") < col("d2"))
+        .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))).cast(LongType))
+        .filter(col("hamming") <= 4)
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")
+    },
+    Some("""WITH th AS (
+           |  SELECT doc_id,
+           |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+           |  FROM (SELECT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS tok
+           |        FROM documents) t),
+           |bits AS (
+           |  SELECT doc_id, b.b AS b,
+           |    SUM(((h >> CAST(b.b AS INTEGER)) & 1) * 2 - 1) AS s
+           |  FROM th, range(0, 60) b(b) GROUP BY 1, 2),
+           |sig AS (
+           |  SELECT doc_id,
+           |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+           |  FROM bits GROUP BY doc_id)
+           |SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+           |ORDER BY d1, d2""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q23JaccardPairs, q24MinhashLsh, q25Simhash, q26SimhashPairs)
+}

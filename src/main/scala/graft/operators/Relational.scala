@@ -1,0 +1,415 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.{QueryDef, Tables}
+
+/** Relational operator pack: the scan/filter/project, aggregation, join,
+  * window, grouping-set and set-operation surface of the engine
+  * (SURVEY.md §2.4/§2.5 — the reference reaches these through its
+  * `use_bag_attrs` gateway, /root/reference/src/dask_obj/core.py:62-66).
+  *
+  * All plans are declarative DataFrame programs: Catalyst supplies predicate
+  * pushdown, column pruning, partial aggregation and join selection. Scale
+  * notes per query are inline; the recurring rules are
+  *   - broadcast genuinely-small dimension tables (region, nation, part)
+  *     so the fact-side scan never shuffles for the join;
+  *   - aggregate before joining where semantics allow, shrinking shuffle
+  *     input;
+  *   - exact decimal aggregation (see [[graft.QueryDef]]) keeps results
+  *     identical no matter how many partitions the sum is split across —
+  *     required both for the oracle hash-match and for run-to-run
+  *     determinism on a 1000-executor cluster.
+  */
+object Relational {
+
+  /** Exact, order-independent aggregation dtype for money-ish doubles.
+    * The final double is produced via DECIMAL(18,4): with the unscaled
+    * value < 2^53 the decimal→double conversion is correctly rounded in
+    * BOTH Spark (BigDecimal.doubleValue) and DuckDB (int128/10^scale IEEE
+    * division) — at higher scales DuckDB's division path drifts by an ulp.
+    * Inputs carry at most 4 decimal digits, so the scale cut is exact. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+  private def toDouble(c: Column): Column = c.cast(DecimalType(18, 4)).cast(DoubleType)
+  private def dsum(c: Column): Column = toDouble(sum(dec(c)))
+
+  /** q01: scan + filter + project (bag.filter/pluck analog,
+    * reference core.py:62-69 via gateway). The filter and 4-column project
+    * must reach the parquet scan (PushedFilters / ReadSchema) — verified in
+    * PlanSpec. */
+  val q01FilterProject = QueryDef(
+    "q01_filter_project",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") <  lit("1997-01-01").cast(TimestampType) &&
+          col("l_discount").between(0.02, 0.06) &&
+          col("l_quantity") < 24)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+           |  AND l_discount BETWEEN 0.02 AND 0.06
+           |  AND l_quantity < 24
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+  )
+
+  /** q02: TPC-H Q1-style hash aggregation (the scalable `foldby`/`counts`
+    * analog, reference core.py:104-108). Catalyst emits partial (map-side)
+    * + final HashAggregate — the shuffle moves only 4×|groups| rows. */
+  val q02GroupAgg = QueryDef(
+    "q02_group_agg",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          toDouble(sum(dec(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(DecimalType(18, 6)) - dec(col("l_discount")))))
+            .as("sum_disc_price"),
+          (toDouble(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+           |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_base_price,
+           |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+           |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) / COUNT(*) AS avg_qty,
+           |  COUNT(*) AS count_order
+           |FROM lineitem
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  )
+
+  /** q03: value frequencies — the direct analog of the reference's eager
+    * driver-side Counter merge (`counts`, core.py:107-108), re-expressed as
+    * a distributed hash agg that only ever collects the final small map. */
+  val q03Frequencies = QueryDef(
+    "q03_frequencies",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, COUNT(*) AS cnt
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+  )
+
+  /** q04: broadcast inner equi-join (the `bag.join` analog — the reference
+    * materializes + broadcasts the small side; Spark's BroadcastHashJoin is
+    * the same strategy executor-side). `part` is filtered BEFORE the
+    * broadcast so only matching brands ship to executors. */
+  val q04BroadcastJoin = QueryDef(
+    "q04_broadcast_join",
+    (s, d) => {
+      val p = Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"))
+        .select("p_partkey", "p_brand")
+      Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p_brand,
+           |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+           |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_price,
+           |  COUNT(*) AS cnt
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE p_brand IN ('Brand#11','Brand#22','Brand#33')
+           |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+  )
+
+  /** q05: multi-way join region⋈nation⋈customer⋈orders. region/nation are
+    * tiny at any scale factor → broadcast; customer⋈orders is the only
+    * shuffle pair, and orders is pre-aggregated per customer first so the
+    * join input is |customers| rows, not |orders|. */
+  val q05MultiJoin = QueryDef(
+    "q05_multi_join",
+    (s, d) => {
+      val perCust = Tables.orders(s, d)
+        .groupBy("o_custkey").agg(sum(dec(col("o_totalprice"))).as("cust_total"))
+      Tables.customer(s, d)
+        .join(perCust, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(toDouble(sum(col("cust_total"))).as("total_price"), count(lit(1)).as("n_customers"))
+        .orderBy("r_name")
+    },
+    Some("""SELECT r_name,
+           |  CAST(CAST(SUM(cust_total) AS DECIMAL(18,4)) AS DOUBLE) AS total_price,
+           |  COUNT(*) AS n_customers
+           |FROM (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS cust_total
+           |      FROM orders GROUP BY o_custkey) o
+           |JOIN customer ON c_custkey = o_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY r_name ORDER BY r_name""".stripMargin)
+  )
+
+  /** q06: left outer join + null handling — order count per customer
+    * including zero-order customers. count(o_orderkey) skips nulls in both
+    * engines. */
+  val q06LeftOuter = QueryDef(
+    "q06_left_outer",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("num_orders"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, COUNT(o_orderkey) AS num_orders
+           |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+           |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)
+  )
+
+  /** q07: left-semi — customers with at least one 'F' order. The semi join
+    * shuffles only distinct keys of the build side. */
+  val q07SemiJoin = QueryDef(
+    "q07_semi_join",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(
+          Tables.orders(s, d).filter(col("o_orderstatus") === "F").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+           |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+           |ORDER BY c_custkey""".stripMargin)
+  )
+
+  /** q08: left-anti — customers with no 'F' order (NOT EXISTS form keeps
+    * the oracle null-safe). */
+  val q08AntiJoin = QueryDef(
+    "q08_anti_join",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(
+          Tables.orders(s, d).filter(col("o_orderstatus") === "F").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer c
+           |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderstatus = 'F' AND o_custkey = c.c_custkey)
+           |ORDER BY c_custkey""".stripMargin)
+  )
+
+  /** q09: theta/range self-join on events — pairs within a 5-minute window
+    * per user. Equi-part (user_id) drives the shuffle; the range predicate
+    * is evaluated post-match, so this stays a hash join, not a nested-loop
+    * cross product. At 100 TB the same shape holds because the join key is
+    * still the equi user_id. */
+  val q09RangeJoin = QueryDef(
+    "q09_range_join",
+    (s, d) => {
+      val e  = Tables.events(s, d)
+      val e1 = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("u1"), col("ts_ns").as("ts1"))
+      val e2 = e.select(col("user_id").as("u2"), col("ts_ns").as("ts2"))
+      e1.join(e2,
+          col("u1") === col("u2") &&
+          col("ts2") > col("ts1") &&
+          col("ts2") <= col("ts1") + lit(300L * 1000 * 1000 * 1000))
+        .groupBy(col("u1").as("user_id"))
+        .agg(count(lit(1)).as("follow_events"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT e1.user_id AS user_id, COUNT(*) AS follow_events
+           |FROM events e1 JOIN events e2
+           |  ON e1.user_id = e2.user_id
+           | AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+           |WHERE e1.event_type = 'signup'
+           |GROUP BY e1.user_id ORDER BY user_id""".stripMargin)
+  )
+
+  /** q10: distinct + count-distinct per group (bag.distinct analog).
+    * Catalyst plans count(distinct) as a two-phase expand+agg — no
+    * driver-side set. */
+  val q10CountDistinct = QueryDef(
+    "q10_count_distinct",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_suppkey")
+        .agg(countDistinct(col("l_partkey")).as("distinct_parts"), count(lit(1)).as("cnt"))
+        .orderBy("l_suppkey"),
+    Some("""SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS distinct_parts, COUNT(*) AS cnt
+           |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)
+  )
+
+  /** q11: top-k (bag.topk analog): Spark plans orderBy+limit as
+    * TakeOrderedAndProject — each partition keeps only its local top-10,
+    * the driver merges k×partitions rows, never a global sort. */
+  val q11TopK = QueryDef(
+    "q11_topk",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(dsum(col("o_totalprice")).as("total_spend"))
+        .orderBy(col("total_spend").desc, col("o_custkey").asc)
+        .limit(10),
+    Some("""SELECT o_custkey, CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS total_spend
+           |FROM orders GROUP BY o_custkey
+           |ORDER BY total_spend DESC, o_custkey LIMIT 10""".stripMargin)
+  )
+
+  /** q12: window ranking — first order per customer via row_number. */
+  val q12WindowRank = QueryDef(
+    "q12_window_rank",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate").cast(DateType).as("first_date"))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS first_date
+           |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+           |      FROM orders) t
+           |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)
+  )
+
+  /** q13: window frame running sum — the ordered prefix-scan
+    * (`bag.accumulate`) analog, distributed per user_id partition. */
+  val q13RunningSum = QueryDef(
+    "q13_running_sum",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_ns").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          toDouble(sum(dec(col("value"))).over(w)).as("cum_value"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT event_id, user_id,
+           |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+           |    PARTITION BY user_id ORDER BY ts, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS DOUBLE) AS cum_value
+           |FROM events ORDER BY user_id, event_id""".stripMargin)
+  )
+
+  /** q14: grouping sets (rollup) over a 3-table dim join. */
+  val q14Rollup = QueryDef(
+    "q14_rollup",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name").as("rn"), col("n_name").as("nn"))
+        .agg(dsum(col("c_acctbal")).as("sum_bal"), count(lit(1)).as("cnt"))
+        .select(col("rn").as("r_name"), col("nn").as("n_name"), col("sum_bal"), col("cnt"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first),
+    Some("""SELECT r_name, n_name,
+           |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_bal,
+           |  COUNT(*) AS cnt
+           |FROM customer
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY ROLLUP (r_name, n_name)
+           |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  )
+
+  /** q15: set operations — union / intersect / except of two customer-key
+    * predicates, tagged and stacked. */
+  val q15SetOps = QueryDef(
+    "q15_set_ops",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val a = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+      val b = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val u = a.union(b).distinct().withColumn("op", lit("union"))
+      val i = a.intersect(b).withColumn("op", lit("intersect"))
+      val e = a.except(b).withColumn("op", lit("except"))
+      u.unionByName(i).unionByName(e)
+        .select("op", "c_custkey")
+        .orderBy("op", "c_custkey")
+    },
+    Some("""WITH a AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+           |     b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+           |SELECT 'union' AS op, c_custkey FROM (SELECT c_custkey FROM a UNION SELECT c_custkey FROM b) u
+           |UNION ALL
+           |SELECT 'intersect' AS op, c_custkey FROM (SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b) i
+           |UNION ALL
+           |SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b) e
+           |ORDER BY op, c_custkey""".stripMargin)
+  )
+
+  /** q16: scalar-function gauntlet — string/date/math built-ins in one
+    * projection (the reference's elementwise method-call surface,
+    * core.py:74-76, realized as codegen'd Catalyst expressions instead of
+    * per-row Python calls). */
+  val q16ScalarFns = QueryDef(
+    "q16_scalar_fns",
+    (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 1000)
+        .select(
+          col("o_orderkey"),
+          lower(col("o_orderpriority")).as("pri_lower"),
+          substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+          regexp_extract(col("o_orderpriority"), "([A-Z]+)", 1).as("pri_word"),
+          date_trunc("month", col("o_orderdate")).cast(DateType).as("order_month"),
+          abs(col("o_totalprice") - 100000.0).as("abs_diff"),
+          floor(col("o_totalprice") / 1000.0).as("price_k"),
+          length(col("o_orderstatus")).cast(LongType).as("status_len"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+           |  lower(o_orderpriority) AS pri_lower,
+           |  substr(o_orderpriority, 1, 1) AS pri_code,
+           |  regexp_extract(o_orderpriority, '([A-Z]+)', 1) AS pri_word,
+           |  CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           |  abs(o_totalprice - 100000.0) AS abs_diff,
+           |  CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_k,
+           |  CAST(length(o_orderstatus) AS BIGINT) AS status_len
+           |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin)
+  )
+
+  /** q17: elementwise operator semantics — the reference's 35-dunder table
+    * (core.py:187-220) as Column operators: arithmetic, comparison,
+    * modulo, bitwise and/or/xor, shifts, abs, unary minus. All integer /
+    * IEEE-exact so the oracle matches bitwise. */
+  val q17Elementwise = QueryDef(
+    "q17_elementwise",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("l_extendedprice") * (lit(1) - col("l_discount")) > 2000, 1L).otherwise(0L)).as("n_expensive"),
+          sum(when(col("l_quantity") >= 25 && col("l_quantity") <= 30, 1L).otherwise(0L)).as("n_mid_qty"),
+          sum(col("l_linenumber") % 2).cast(LongType).as("sum_odd"),
+          sum(col("l_linenumber").bitwiseAND(lit(3))).cast(LongType).as("sum_and3"),
+          sum(col("l_linenumber").bitwiseOR(lit(8))).cast(LongType).as("sum_or8"),
+          sum(col("l_suppkey").bitwiseXOR(col("l_partkey"))).cast(LongType).as("sum_xor"),
+          sum(shiftleft(col("l_linenumber"), 2)).cast(LongType).as("sum_shl"),
+          sum(shiftright(col("l_partkey"), 1)).cast(LongType).as("sum_shr"),
+          sum(abs(negate(col("l_linenumber")))).cast(LongType).as("sum_abs_neg")),
+    Some("""SELECT
+           |  COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN l_extendedprice * (1 - l_discount) > 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_expensive,
+           |  CAST(SUM(CASE WHEN l_quantity >= 25 AND l_quantity <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_mid_qty,
+           |  CAST(SUM(l_linenumber % 2) AS BIGINT) AS sum_odd,
+           |  CAST(SUM(l_linenumber & 3) AS BIGINT) AS sum_and3,
+           |  CAST(SUM(l_linenumber | 8) AS BIGINT) AS sum_or8,
+           |  CAST(SUM(xor(l_suppkey, l_partkey)) AS BIGINT) AS sum_xor,
+           |  CAST(SUM(l_linenumber << 2) AS BIGINT) AS sum_shl,
+           |  CAST(SUM(l_partkey >> 1) AS BIGINT) AS sum_shr,
+           |  CAST(SUM(abs(-l_linenumber)) AS BIGINT) AS sum_abs_neg
+           |FROM lineitem""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(
+    q01FilterProject, q02GroupAgg, q03Frequencies, q04BroadcastJoin,
+    q05MultiJoin, q06LeftOuter, q07SemiJoin, q08AntiJoin, q09RangeJoin,
+    q10CountDistinct, q11TopK, q12WindowRank, q13RunningSum, q14Rollup,
+    q15SetOps, q16ScalarFns, q17Elementwise)
+}

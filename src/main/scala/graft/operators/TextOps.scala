@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryDef, Tables}
+
+/** Text-analysis + exact-dedup operator pack over the `documents` table —
+  * the LLM-training-pipeline extension tier (SURVEY.md §2.5 [X]). The
+  * reference's closest primitives are flatten+counts
+  * (/root/reference/src/dask_obj/core.py:93-96,107-108); everything here is
+  * their distributed, codegen'd realization plus the pipeline operators a
+  * 100 TB corpus needs (quality scoring, language ID, fingerprinting).
+  *
+  * Scale notes: every operator is a narrow projection or a hash agg over
+  * `documents` — no driver-side state, no UDFs (all
+  * `org.apache.spark.sql.functions` higher-order/regexp expressions, fully
+  * whole-stage-codegen'd). Token explosion (q19) shuffles only
+  * (token, partial-count) pairs thanks to partial aggregation.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties dropped — identical semantics in DuckDB via
+    * string_split + list_filter. */
+  private def tokens(c: Column): Column = filter(split(c, " "), t => t =!= "")
+
+  /** q18: exact deduplication — group identical texts, keep the smallest
+    * doc_id (deterministic survivor rule). At scale this is a single hash
+    * shuffle on the text (Spark hashes group keys — long texts cost hash
+    * time, not comparison count); for very long docs pre-hash with
+    * sha2(text,256) and group on the digest instead. */
+  val q18DedupExact = QueryDef(
+    "q18_dedup_exact",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id"),
+    Some("""SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
+           |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)
+  )
+
+  /** q19: token frequency top-50 — the counts-over-flatten analog
+    * (core.py:93-96 + 107-108): split → explode → hash agg → top-k.
+    * TakeOrderedAndProject keeps per-partition top-50 only. */
+  val q19TokenTopK = QueryDef(
+    "q19_token_topk",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .select(lower(col("tok")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc)
+        .limit(50),
+    Some("""SELECT token, COUNT(*) AS cnt
+           |FROM (SELECT lower(unnest(list_filter(string_split(text, ' '), t -> t <> ''))) AS token
+           |      FROM documents) t
+           |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin)
+  )
+
+  /** q20: per-document quality stats — token count, regex word count
+    * (BPE-ish segmentation), punctuation count, stopword count, char
+    * length. All integer-exact; all single-pass projections. */
+  val q20TextStats = QueryDef(
+    "q20_text_stats",
+    (s, d) => {
+      val stop = Seq("the", "a", "of", "to", "and", "in", "is")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast(LongType).as("n_chars_m"),
+          size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast(LongType).as("n_words_re"),
+          length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast(LongType).as("n_punct"),
+          size(filter(tokens(lower(col("text"))), t => t.isin(stop: _*))).cast(LongType).as("n_stop"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  CAST(length(text) AS BIGINT) AS n_chars_m,
+           |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+           |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_words_re,
+           |  CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+           |  CAST(len(list_filter(list_filter(string_split(lower(text), ' '), t -> t <> ''), t -> t IN ('the','a','of','to','and','in','is'))) AS BIGINT) AS n_stop
+           |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+
+  /** q21: language ID — n-gram/stopword-hit heuristic scored per language,
+    * argmax with a fixed precedence order on ties. Integer scoring keeps
+    * Spark and DuckDB bit-identical. (Accuracy is bounded by the heuristic;
+    * determinism is the contract here.) */
+  val q21LangId = QueryDef(
+    "q21_lang_id",
+    (s, d) => {
+      val markers: Map[String, Seq[String]] = Map(
+        "en" -> Seq("the", "and", "of", "is"),
+        "es" -> Seq("el", "la", "de", "que"),
+        "de" -> Seq("der", "die", "und", "ist"),
+        "fr" -> Seq("le", "la", "et", "est"),
+        "zh" -> Seq("de", "shi", "le", "he"))
+      def score(lang: String): Column =
+        size(filter(tokens(lower(col("text"))), t => t.isin(markers(lang): _*))).cast(LongType)
+      val scored = Tables.documents(s, d).select(
+        col("doc_id"), col("lang").as("lang_true"),
+        score("en").as("s_en"), score("es").as("s_es"), score("de").as("s_de"),
+        score("fr").as("s_fr"), score("zh").as("s_zh"))
+      scored.select(
+          col("doc_id"), col("lang_true"),
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
+            .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+            .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
+            .when(col("s_fr") >= col("s_zh"), "fr")
+            .otherwise("zh").as("lang_pred"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH sc AS (
+           |  SELECT doc_id, lang AS lang_true,
+           |    CAST(len(list_filter(list_filter(string_split(lower(text),' '), t -> t <> ''), t -> t IN ('the','and','of','is'))) AS BIGINT) AS s_en,
+           |    CAST(len(list_filter(list_filter(string_split(lower(text),' '), t -> t <> ''), t -> t IN ('el','la','de','que'))) AS BIGINT) AS s_es,
+           |    CAST(len(list_filter(list_filter(string_split(lower(text),' '), t -> t <> ''), t -> t IN ('der','die','und','ist'))) AS BIGINT) AS s_de,
+           |    CAST(len(list_filter(list_filter(string_split(lower(text),' '), t -> t <> ''), t -> t IN ('le','la','et','est'))) AS BIGINT) AS s_fr,
+           |    CAST(len(list_filter(list_filter(string_split(lower(text),' '), t -> t <> ''), t -> t IN ('de','shi','le','he'))) AS BIGINT) AS s_zh
+           |  FROM documents)
+           |SELECT doc_id, lang_true,
+           |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           |       WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           |       WHEN s_fr >= s_zh THEN 'fr'
+           |       ELSE 'zh' END AS lang_pred
+           |FROM sc ORDER BY doc_id""".stripMargin)
+  )
+
+  /** q22: document fingerprint — polynomial rolling hash over the character
+    * stream (mod 1e9+7, base 31), computed with `aggregate` over
+    * `split(text,'')`: a pure codegen'd fold, no UDF. The md5 column is the
+    * content-addressable fingerprint (bit-identical across engines). */
+  val q22Fingerprint = QueryDef(
+    "q22_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          aggregate(
+            split(col("text"), ""),
+            lit(0L),
+            (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L).as("poly_hash"),
+          md5(col("text")).as("md5_hash"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), ch -> CAST(ord(ch) AS BIGINT))),
+           |              (acc, x) -> (acc * 31 + x) % 1000000007) AS poly_hash,
+           |  md5(text) AS md5_hash
+           |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId, q22Fingerprint)
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryDef, Tables}
+
+/** Similarity search over the `embeddings` table (64-dim float vectors) —
+  * SURVEY.md §2.5 [X] (LLM: similarity search).
+  *
+  * All arithmetic is double (arrays cast element-wise before any math) and
+  * sums are sequential left-folds (`aggregate` over the array), so results
+  * are deterministic and engine-portable; similarities are rounded to 6
+  * decimals before ranking with a vec_id tiebreak, making the top-k stable.
+  *
+  * Scale story:
+  *  - brute force (q27): one broadcast of the query vector + a single
+  *    narrow pass with TakeOrderedAndProject — optimal for one query at
+  *    any corpus size; cost is a full scan.
+  *  - LSH-bucketed (q28): random-hyperplane signatures (deterministic
+  *    md5-seeded planes) give each vector a bucket; a query probes only
+  *    its bucket (and neighbors at the next distance). The rows-only check
+  *    applies; recall vs q27 is asserted in ScalaTest.
+  *  - batch all-pairs near-dup by cosine (q29): pairs above a cosine
+  *    threshold — the embedding-cosine near-dup dedup path; bucketed by
+  *    LSH signature at scale, exact within buckets here.
+  */
+object VectorOps {
+
+  /** Element-wise float→double cast. */
+  private def toD(c: Column): Column = transform(c, x => x.cast(DoubleType))
+
+  /** Sequential-fold dot product of two double arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** q27: brute-force cosine top-10 against the vec_id=0 query vector.
+    * The query vector is a 1-row broadcast crossJoin (a scalar at plan
+    * level); ranking uses round(cos,6) + vec_id so ties are stable. */
+  val q27CosineTopK = QueryDef(
+    "q27_cosine_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select(toD(col("embedding")).as("qv"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label").cast(LongType).as("label"),
+          round(cosine(toD(col("embedding")), col("qv")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(10)
+    },
+    Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+           |SELECT vec_id, CAST(label AS BIGINT) AS label,
+           |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS sim
+           |FROM embeddings WHERE vec_id <> 0
+           |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
+  )
+
+  private val NumPlanes = 4
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
+    * md5-derived value in [-0.5, 0.5). Reproducible anywhere. */
+  private def planeComponent(p: Int, i: Column): Column =
+    (conv(substring(md5(concat(lit(s"plane$p:"), i)), 1, 8), 16, 10).cast(LongType)
+      .cast(DoubleType) / lit(4294967296.0)) - 0.5
+
+  /** Random-hyperplane LSH bucket id (NumPlanes sign bits). */
+  private def lshBucket(vec: Column): Column =
+    (0 until NumPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** q28: LSH-bucketed ANN — assign every vector a hyperplane-sign bucket,
+    * then answer the vec_id=0 query by exact cosine *within its bucket
+    * only*. No SQL oracle (rows-only check); recall vs q27 asserted in
+    * tests. At 100 TB the bucket assignment is a narrow projection and the
+    * probe touches 1/2^planes of the data. */
+  val q28AnnLsh = QueryDef(
+    "q28_ann_lsh",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), toD(col("embedding")).as("v"))
+        .withColumn("bucket", lshBucket(col("v")))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("bucket").as("qbucket"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .filter(col("bucket") === col("qbucket"))
+        .select(col("vec_id"), col("label").cast(LongType).as("label"),
+          round(cosine(col("v"), col("qv")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(10)
+    },
+    None
+  )
+
+  /** q29: embedding-cosine near-duplicate pairs (cosine >= 0.45 here so the
+    * answer set stays tiny) — all-pairs exact within the bounded corpus;
+    * the LSH bucket (q28) is the candidate generator at scale. */
+  val q29CosinePairs = QueryDef(
+    "q29_cosine_pairs",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 500)
+        .select(col("vec_id"), toD(col("embedding")).as("v"))
+      val a = emb.select(col("vec_id").as("v1"), col("v").as("va"))
+      val b = emb.select(col("vec_id").as("v2"), col("v").as("vb"))
+      a.join(b, col("v1") < col("v2"))
+        .select(col("v1"), col("v2"), round(cosine(col("va"), col("vb")), 6).as("sim"))
+        .filter(col("sim") >= 0.45)
+        .orderBy("v1", "v2")
+    },
+    Some("""SELECT a.vec_id AS v1, b.vec_id AS v2,
+           |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |WHERE a.vec_id < 500 AND b.vec_id < 500
+           |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+           |ORDER BY v1, v2""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q27CosineTopK, q28AnnLsh, q29CosinePairs)
+}
