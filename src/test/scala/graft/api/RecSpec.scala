@@ -1,0 +1,83 @@
+package graft.api
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** FIXTURES.md §B.1 + §B.8: Expr record/replay semantics (golden strings
+  * from the reference doctest, expr.py:265-282), eval round-trips, rebind,
+  * and lowering to Catalyst Columns. */
+class RecSpec extends SparkSpec {
+  import graft.TestSession.spark.implicits._
+
+  test("golden recording strings (expr.py:265-282 doctest)") {
+    val e = Rec("e")
+    assert(e.attr("foo").toString == "e.foo")
+    assert(e.method("foo", 1, 2, 3).toString == "e.foo(1, 2, 3)")
+    assert(e.method("foo", 1, 2, 3).attr("bar").toString == "e.foo(1, 2, 3).bar")
+    assert(e.method("foo", 1, 2, 3).method("bar", 4, 5, 6).toString == "e.foo(1, 2, 3).bar(4, 5, 6)")
+    assert(e.method("foo", 1, 2, 3).attr("bar").attr("baz").toString == "e.foo(1, 2, 3).bar.baz")
+    assert(e.fn("str.upper", v => v.toString.toUpperCase).toString == "str.upper(e)")
+    val chain = e.fn("str.upper", v => v.toString.toUpperCase)
+      .method("toLowerCase")
+      .fn("str.title", v => v.toString.capitalize)
+    assert(chain.toString == "str.title(str.upper(e).toLowerCase())")
+  }
+
+  test("eval replays the chain against a bound value (expr.py:393-435)") {
+    val e = Rec("e")
+    // upper → lower → title on "hello" (reference doctest round-trip)
+    val chain = e.fn("str.upper", v => v.toString.toUpperCase)
+      .method("toLowerCase")
+      .fn("str.title", v => v.toString.capitalize)
+    assert(chain.eval("hELLo") == "Hello")
+    // method with args + operators
+    assert((e.method("length") * 2).eval("abcd") == 8L)
+    assert((e + 5).eval(1) == 6L)
+    assert((e * 2 + 1).eval(10) == 21L)
+    assert((e < 3).eval(2) == true)
+    assert((e.floorDiv(2)).eval(7) == 3L)
+    assert((e ** 2).eval(3.0) == 9.0)
+  }
+
+  test("attr/item eval over maps, seqs, case classes") {
+    val e = Rec("e")
+    assert(e.item("k").eval(Map("k" -> 7)) == 7)
+    assert(e.item(1).eval(Seq(4, 5, 6)) == 5)
+    assert(e.attr("name").eval(P("ada", 36)) == "ada")
+    assert(e.attr("name").method("length").eval(P("ada", 36)) == 3)
+  }
+
+  test("rebind replaces the root (replace_root_value, expr.py:465-468)") {
+    val e = Rec("e")
+    val chain = e.method("toUpperCase")
+    val rebound = chain.rebind(Rec("x"))
+    assert(rebound.toString == "x.toUpperCase()")
+    assert(rebound.eval("hi") == chain.eval("hi"))
+    // frames linearize root-first (reduce_expr — reference's deque bug fixed)
+    assert(chain.frames.size == 1)
+  }
+
+  test("lowering to Column matches eval semantics on a DataFrame (EP3)") {
+    val df = Seq(("ab", 3), ("cdef", 7)).toDF("s", "n")
+    val e = Rec("row")
+    // (row.n * 2 + 1) — arithmetic chain
+    val got = df.select(((e.attr("n") * 2) + 1).lower(col).as("r")).collect().map(_.getInt(0)).sorted
+    assert(got.sameElements(Array(7, 15)))
+    // row.s.upper() — method lowering
+    val ups = df.select(e.attr("s").method("upper").lower(col).as("u"))
+      .collect().map(_.getString(0)).sorted
+    assert(ups.sameElements(Array("AB", "CDEF")))
+    // comparison lowers to a Boolean column (dunder ≡ Column semantics)
+    val cnt = df.filter((e.attr("n") > 4).lower(col)).count()
+    assert(cnt == 1)
+  }
+
+  test("same Rec chain binds to a different source (Dataset.transform reuse)") {
+    val e = Rec("row")
+    val expr = (e.attr("n") % 2) === 0
+    val dfA = Seq(1, 2, 3, 4).toDF("n")
+    val dfB = Seq(10, 11).toDF("n")
+    assert(dfA.filter(expr.lower(col)).count() == 2)
+    assert(dfB.filter(expr.lower(col)).count() == 1)
+  }
+}
