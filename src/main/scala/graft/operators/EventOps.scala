@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.{QueryDef, Tables}
+
+/** Time-window operators over `events` — the batch half of the streaming
+  * surface (SURVEY.md §2.8). Each windowing shape is declared once and
+  * verified against the DuckDB oracle here; `graft.streaming.EventStreams`
+  * applies the same shapes to unbounded input with watermarks
+  * (MemoryStream-tested, no SQL oracle possible for streaming output).
+  *
+  * All bucket arithmetic uses the exact ns BIGINT (`ts_ns`,
+  * [[graft.Tables.events]]) so Spark and DuckDB agree bit-for-bit even at
+  * bucket boundaries; Spark's built-in `window()`/`session_window` over the
+  * µs-truncated `ts` column would differ only within 1 µs of a boundary,
+  * but exact is exact. The µs-based built-ins are exercised in the
+  * streaming package where the oracle is a recomputation, not DuckDB.
+  */
+object EventOps {
+
+  private val HourNs = 3600L * 1000 * 1000 * 1000
+  private val HalfHourNs = HourNs / 2
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+  private def toDouble(c: Column): Column = c.cast(DecimalType(18, 4)).cast(DoubleType)
+
+  /** q30: tumbling 1-hour windows — count + sum(value) per (window, type).
+    * Maps to `groupBy(window($"ts", "1 hour"))` on the streaming side. */
+  val q30Tumbling = QueryDef(
+    "q30_tumbling_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("w_start", col("ts_ns") - (col("ts_ns") % HourNs))
+        .groupBy("w_start", "event_type")
+        .agg(count(lit(1)).as("cnt"), toDouble(sum(dec(col("value")))).as("sum_value"))
+        .orderBy("w_start", "event_type"),
+    Some(s"""SELECT (epoch_ns(ts) - (epoch_ns(ts) % ${HourNs})) AS w_start, event_type,
+            |  COUNT(*) AS cnt,
+            |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+            |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)
+  )
+
+  /** q31: sliding windows (1 hour every 30 min) — each event lands in two
+    * windows; `window($"ts", "1h", "30m")` streaming-side. The two window
+    * starts are generated per event and exploded. */
+  val q31Sliding = QueryDef(
+    "q31_sliding_window",
+    (s, d) => {
+      val tb = col("ts_ns") - (col("ts_ns") % HalfHourNs)
+      Tables.events(s, d)
+        .withColumn("w_start", explode(array(tb - HalfHourNs, tb)))
+        .groupBy("w_start")
+        .agg(count(lit(1)).as("cnt"), toDouble(sum(dec(col("value")))).as("sum_value"))
+        .orderBy("w_start")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT unnest([tb - ${HalfHourNs}, tb]) AS w_start, value FROM (
+            |    SELECT (epoch_ns(ts) - (epoch_ns(ts) % ${HalfHourNs})) AS tb, value FROM events) t)
+            |SELECT w_start, COUNT(*) AS cnt,
+            |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+            |FROM e GROUP BY 1 ORDER BY w_start""".stripMargin)
+  )
+
+  /** q32: session windows (30-min inactivity gap) per user — the
+    * gaps-and-islands composition: lag → new-session marker → running sum
+    * as session id → aggregate. Semantically identical to
+    * `session_window($"ts", "30 minutes")` (end-exclusive: a gap of
+    * exactly 30 min starts a new session), which the streaming package
+    * uses. Two window functions + one agg = two shuffles on user_id, all
+    * partition-local after that — scales with users, not events. */
+  val q32Session = QueryDef(
+    "q32_session_window",
+    (s, d) => {
+      // µs granularity on both sides: DuckDB's parquet reader surfaces ns
+      // timestamps at µs precision, so the oracle can only see µs
+      val HalfHourUs = HalfHourNs / 1000
+      val byUser = Window.partitionBy("user_id").orderBy("ts_us")
+      Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns DIV 1000"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") >= HalfHourUs, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_id")
+        .agg(min(col("ts_us")).as("sess_start"), count(lit(1)).as("n_events"),
+          toDouble(sum(dec(col("value")))).as("sum_value"))
+        .select("user_id", "sess_id", "sess_start", "n_events", "sum_value")
+        .orderBy("user_id", "sess_id")
+    },
+    Some(s"""WITH marked AS (
+            |  SELECT user_id, epoch_us(ts) AS ts_us, value,
+            |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+            |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= ${HalfHourNs / 1000}
+            |         THEN 1 ELSE 0 END AS new_sess
+            |  FROM events
+            |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+            |sess AS (
+            |  SELECT user_id, ts_us, value,
+            |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+            |  FROM marked)
+            |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, MIN(ts_us) AS sess_start,
+            |  COUNT(*) AS n_events,
+            |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+            |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin)
+  )
+
+  /** q33: JSON property extraction from the `props` column —
+    * `get_json_object` per event, aggregated per event_type. Exercises the
+    * semi-structured path (events.props is a JSON-ish string). */
+  val q33JsonProps = QueryDef(
+    "q33_json_props",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_with_k"), sum(col("k")).cast(LongType).as("sum_k"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+           |  COUNT(json_extract_string(props, '$.k')) AS n_with_k,
+           |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps)
+}

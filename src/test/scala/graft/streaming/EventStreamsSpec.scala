@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Structured Streaming behavior over MemoryStream: windowed aggregation,
+  * watermark late-data drop, session windows, dedup, stateful running
+  * totals. Each test runs micro-batches with processAllAvailable() and
+  * asserts on the in-memory sink. */
+class EventStreamsSpec extends SparkSpec {
+  import graft.TestSession.spark.implicits._
+  import EventStreams.Ev
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("tumbling window counts with watermark drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = EventStreams.tumblingCounts(input.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("tumbling").outputMode(OutputMode.Update()).start()
+
+    input.addData(Ev(ts(5), 1, "click", 1.0), Ev(ts(75), 1, "click", 2.0))
+    query.processAllAvailable()
+    // watermark is now 75-10=65min — PAST the hour-0 window end (60), so
+    // that window is closed and a late minute-20 event must be dropped
+    input.addData(Ev(ts(20), 2, "click", 100.0))
+    query.processAllAvailable()
+    input.addData(Ev(ts(80), 2, "click", 4.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("tumbling")
+      .groupBy("w_start").sum("cnt").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    // hour-0 window: only the first event (late one dropped); latest state of hour-1: 2 events
+    assert(rows.keys.exists(_.startsWith("2024-01-01 00:00")))
+    val h0 = spark.table("tumbling").where("w_start = timestamp'2024-01-01 00:00:00'")
+      .orderBy($"cnt".desc).select("cnt").as[Long].head()
+    assert(h0 == 1L, "late event leaked into closed window")
+  }
+
+  test("session window merges events within gap, splits at >= gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // session windows only support Append (emit on finalization) for
+    // streaming aggregations
+    val query = EventStreams.sessionAgg(input.toDF())
+      .writeStream.format("memory").queryName("sessions").outputMode(OutputMode.Append()).start()
+    // user 1: events at 0, 10, 50 min → gap 40 ≥ 30 splits: sessions {0,10}, {50}
+    input.addData(Ev(ts(0), 1, "click", 1.0), Ev(ts(10), 1, "click", 1.0), Ev(ts(50), 1, "click", 1.0))
+    query.processAllAvailable()
+    // push the watermark far past both session ends so they finalize
+    input.addData(Ev(ts(200), 99, "click", 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val sess = spark.table("sessions").where("user_id = 1")
+      .select("sess_start", "n_events").collect()
+      .map(r => r.getTimestamp(0).toString.take(19) -> r.getLong(1)).toMap
+    assert(sess == Map("2024-01-01 00:00:00" -> 2L, "2024-01-01 00:50:00" -> 1L))
+  }
+
+  test("dropDuplicatesWithinWatermark removes repeated event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "event_id")
+    val query = EventStreams.dedupEvents(df)
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append()).start()
+    input.addData((ts(1), 100L), (ts(2), 100L), (ts(3), 101L))
+    query.processAllAvailable()
+    query.stop()
+    assert(spark.table("dedup").select("event_id").as[Long].collect().sorted.toSeq == Seq(100L, 101L))
+  }
+
+  test("stream-static broadcast enrich") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val query = EventStreams.enrich(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched").outputMode(OutputMode.Append()).start()
+    input.addData(Ev(ts(1), 1, "click", 1.0), Ev(ts(2), 3, "view", 2.0))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("enriched").select("user_id", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(1L -> Some("gold"), 3L -> None))
+  }
+
+  test("mapGroupsWithState accumulates per-user running totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val input = MemoryStream[Ev]
+    val query = EventStreams.runningTotals(input.toDS())
+      .writeStream.format("memory").queryName("running").outputMode(OutputMode.Update()).start()
+    input.addData(Ev(ts(1), 7, "click", 1.5))
+    query.processAllAvailable()
+    input.addData(Ev(ts(2), 7, "click", 2.5))
+    query.processAllAvailable()
+    query.stop()
+    // latest state for user 7: 2 events, 4.0 total
+    val last = spark.table("running").where("user_id = 7").orderBy($"n".desc).as[EventStreams.UserRunning].head()
+    assert(last.n == 2L && last.total == 4.0)
+  }
+}
