@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration for graft's native Catalyst expressions.
+  *
+  * Two paths:
+  *  - [[GraftFunctions.register]]: imperative, per-session (used by the
+  *    query pack and tests);
+  *  - [[GraftExtensions]]: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    injects the same functions at session build, making them available
+  *    to pure-SQL users (`SELECT cosine_sim(a, b)`).
+  */
+object GraftFunctions {
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (children => CosineSimilarity(children(0), children(1)))
+  )
+
+  /** Idempotently register all graft functions on a session. */
+  def register(spark: SparkSession): Unit = synchronized {
+    val reg = spark.sessionState.functionRegistry
+    fns.foreach { case (name, builder) =>
+      val id = FunctionIdentifier(name)
+      if (!reg.functionExists(id))
+        reg.registerFunction(id,
+          new ExpressionInfo(classOf[CosineSimilarity].getName, name), builder)
+    }
+  }
+
+  /** Column-API sugar (requires the function registered on the session). */
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+}
+
+/** For `spark.sql.extensions` (SparkSessionExtensions injection point). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+}

@@ -85,12 +85,19 @@ object DedupOps {
   private val NumPerm = 64 // 32 bands × 2 rows
   private val Bands = 32
 
-  /** MinHash signature per doc: for each permutation k, min over shingles
-    * of h60(shingle ++ ":k"). One groupBy over the shingle table — the
-    * signature is 64 longs/doc regardless of corpus size. */
+  /** MinHash signature per doc: ONE base hash per shingle (xxhash64) and
+    * 64 linear permutations h_k = a_k·h0 + b_k (2-universal family, the
+    * same construction ml.feature.MinHashLSH uses) — 64 integer ops per
+    * shingle instead of 64 digest computations. One groupBy over the
+    * shingle table; the signature is 64 longs/doc regardless of corpus
+    * size. */
   private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
-    val aggs = (0 until NumPerm).map(k => min(h60(concat(col("sh"), lit(":" + k)))).as(s"m$k"))
+    val sh = shingles(s, d).withColumn("h0", xxhash64(col("sh")))
+    val aggs = (0 until NumPerm).map { k =>
+      val a = (0x9E3779B97F4A7C15L * (2 * k + 1)) | 1L // odd multiplier
+      val b = 0xBF58476D1CE4E5B9L * (k + 1)
+      min(col("h0") * lit(a) + lit(b)).as(s"m$k")
+    }
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -113,14 +120,16 @@ object DedupOps {
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
-      // exact verify on candidates only
+      // exact verify on candidates ONLY: intersect shingle sets per
+      // candidate pair (broadcast the small candidate list), never the
+      // full quadratic shingle self-join q23 uses as ground truth
       val sh = shingles(s, d)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val a = sh.select(col("doc_id").as("d1"), col("sh"))
       val b = sh.select(col("doc_id").as("d2"), col("sh"))
-      val inter = a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
+      val inter = broadcast(cand).join(a, Seq("d1")).join(b, Seq("d2", "sh"))
         .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
-      cand.join(inter, Seq("d1", "d2"))
+      inter
         .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
         .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
         .withColumn("uc", col("sz1") + col("sz2") - col("ic"))

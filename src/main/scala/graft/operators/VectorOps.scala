@@ -30,13 +30,16 @@ object VectorOps {
   /** Element-wise float→double cast. */
   private def toD(c: Column): Column = transform(c, x => x.cast(DoubleType))
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product of two double arrays (kept for the LSH
+    * projection, where one side is a per-plane virtual vector). */
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  private def norm(a: Column): Column = sqrt(dot(a, a))
-
-  private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via the native codegen'd expression
+    * [[graft.functions.CosineSimilarity]] — one fused pass, no
+    * intermediate arrays, bit-identical to the sequential fold. */
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosineSim(a, b)
 
   /** q27: brute-force cosine top-10 against the vec_id=0 query vector.
     * The query vector is a 1-row broadcast crossJoin (a scalar at plan
@@ -44,6 +47,7 @@ object VectorOps {
   val q27CosineTopK = QueryDef(
     "q27_cosine_topk",
     (s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       val q = emb.filter(col("vec_id") === 0).select(toD(col("embedding")).as("qv"))
       emb.filter(col("vec_id") =!= 0)
@@ -85,6 +89,7 @@ object VectorOps {
   val q28AnnLsh = QueryDef(
     "q28_ann_lsh",
     (s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), toD(col("embedding")).as("v"))
         .withColumn("bucket", lshBucket(col("v")))
@@ -107,6 +112,7 @@ object VectorOps {
   val q29CosinePairs = QueryDef(
     "q29_cosine_pairs",
     (s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, d)
         .filter(col("vec_id") < 500)
         .select(col("vec_id"), toD(col("embedding")).as("v"))
