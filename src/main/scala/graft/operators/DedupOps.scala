@@ -92,10 +92,12 @@ object DedupOps {
     * shingle table; the signature is 64 longs/doc regardless of corpus
     * size. */
   private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).withColumn("h0", xxhash64(col("sh")))
+    // 31-bit base hash and multipliers: a·h0 + b < 2^62 + 2^61 < 2^63, so
+    // the permutations can never hit ANSI-mode long overflow
+    val sh = shingles(s, d).withColumn("h0", xxhash64(col("sh")).bitwiseAND(lit(0x7FFFFFFFL)))
     val aggs = (0 until NumPerm).map { k =>
-      val a = (0x9E3779B97F4A7C15L * (2 * k + 1)) | 1L // odd multiplier
-      val b = 0xBF58476D1CE4E5B9L * (k + 1)
+      val a = ((0x9E3779B9L * (2 * k + 1)) & 0x7FFFFFFFL) | 1L // odd 31-bit
+      val b = (0xBF58476D1CE4E5B9L * (k + 1)) >>> 3            // < 2^61
       min(col("h0") * lit(a) + lit(b)).as(s"m$k")
     }
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
