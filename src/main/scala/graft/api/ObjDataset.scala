@@ -103,6 +103,91 @@ final class ObjDataset[T](val ds: Dataset[T]) {
     * collections of Booleans, not a Boolean (Column semantics). */
   def lift[U: Encoder](op: T => U): ObjDataset[U] = map(op)
 
+  // ---- gateway tier [G] (dask.bag public API via core.py:62-66) ----
+
+  /** `bag.remove(pred)` — complement of filter. */
+  def remove(p: T => Boolean): ObjDataset[T] = filter(x => !p(x))
+
+  /** `db.concat` — append another collection. */
+  def union(other: ObjDataset[T]): ObjDataset[T] = wrap(ds.union(other.ds))
+
+  /** `bag.product(other)` — cross product. Broadcast nested-loop when one
+    * side is small; bound the small side or this is quadratic by nature. */
+  def product[U](other: ObjDataset[U])(implicit enc: Encoder[(T, U)]): ObjDataset[(T, U)] =
+    wrap(ds.joinWith(other.ds, org.apache.spark.sql.functions.lit(true), "cross")
+      .as[(T, U)])
+
+  /** `bag.join(other, on_self, on_other)` — equi-join via key extraction.
+    * The reference materializes + broadcasts `other` (core.py gateway /
+    * dask bag.join); Spark's planner broadcasts automatically when the
+    * side is small, and falls back to a shuffled hash/sort-merge join when
+    * it isn't — strictly more scalable than the reference's
+    * always-broadcast. */
+  def join[U, K](other: ObjDataset[U])(thisKey: T => K, otherKey: U => K)(
+      implicit e1: Encoder[(K, T)], e2: Encoder[(K, U)], e3: Encoder[(T, U)]): ObjDataset[(T, U)] = {
+    val a = ds.map(t => (thisKey(t), t))
+    val b = other.ds.map(u => (otherKey(u), u))
+    wrap(a.joinWith(b, a("_1") === b("_1"), "inner").map { case ((_, t), (_, u)) => (t, u) })
+  }
+
+  /** `bag.groupby(key)` — (key, all values) groups. Full shuffle of every
+    * element; prefer [[foldby]] (partial aggregation) wherever the
+    * downstream is a reduction — same guidance as the dask docs. */
+  def groupby[K](key: T => K)(implicit ek: Encoder[K], ekl: Encoder[(K, Seq[T])]): ObjDataset[(K, Seq[T])] =
+    wrap(ds.groupByKey(key).mapGroups((k, it) => (k, it.toSeq)))
+
+  /** `bag.foldby(key, binop, initial, combine)` — per-partition fold +
+    * combine (map-side partial aggregation, the scalable groupby). */
+  def foldby[K: ClassTag, B: ClassTag](key: T => K, zero: B)(seqOp: (B, T) => B, combOp: (B, B) => B)(
+      implicit enc: Encoder[(K, B)], ctT: ClassTag[T]): ObjDataset[(K, B)] =
+    wrap(ds.sparkSession.createDataset(
+      ds.rdd.map(t => (key(t), t)).aggregateByKey(zero)(seqOp, combOp)))
+
+  /** `bag.random_sample(prob, random_state)`. */
+  def randomSample(fraction: Double, seed: Long = 42L): ObjDataset[T] =
+    wrap(ds.sample(withReplacement = false, fraction, seed))
+
+  /** `bag.accumulate(binop)` — ordered prefix scan across partitions:
+    * pass 1 computes per-partition totals (tiny driver exchange, one value
+    * per partition), pass 2 scans each partition locally with its offset.
+    * Two narrow passes, no shuffle. */
+  def accumulate(zero: T)(op: (T, T) => T)(implicit enc: Encoder[T], ct: ClassTag[T]): ObjDataset[T] = {
+    val rdd = ds.rdd
+    val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator.single(i -> it.foldLeft(zero)(op))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(zero)(op) // offsets(i) = fold of partitions < i
+    val scanned = rdd.mapPartitionsWithIndex { (i, it) =>
+      it.scanLeft(offsets(i))(op).drop(1)
+    }
+    wrap(ds.sparkSession.createDataset(scanned))
+  }
+
+  // ---- scalar aggregations (bag.sum/count/min/max/mean/var/std) ----
+
+  def sum(implicit num: Numeric[T], ct: ClassTag[T]): T =
+    reduction[T](it => it.foldLeft(num.zero)(num.plus), num.plus, num.zero)
+
+  def min()(implicit ord: Ordering[T]): T = ds.rdd.min()
+  def max()(implicit ord: Ordering[T]): T = ds.rdd.max()
+
+  /** One-pass (n, Σx, Σx²) moments → mean/variance/stddev. */
+  private def moments(implicit num: Numeric[T]): (Long, Double, Double) =
+    ds.rdd.mapPartitions { it =>
+      var n = 0L; var s = 0.0; var s2 = 0.0
+      it.foreach { t => val x = num.toDouble(t); n += 1; s += x; s2 += x * x }
+      Iterator.single((n, s, s2))
+    }.reduce { case ((n1, s1, q1), (n2, s2, q2)) => (n1 + n2, s1 + s2, q1 + q2) }
+
+  def mean(implicit num: Numeric[T]): Double = { val (n, s, _) = moments; s / n }
+  def variance(implicit num: Numeric[T]): Double = {
+    val (n, s, s2) = moments; (s2 - s * s / n) / n // population var, as dask
+  }
+  def stddev(implicit num: Numeric[T]): Double = math.sqrt(variance)
+
+  /** `bag.to_dataframe` — drop to the relational surface. */
+  def toDF: org.apache.spark.sql.DataFrame = ds.toDF()
+
   override def toString: String = s"ObjDataset(${ds.schema.simpleString})"
 }
 

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.{QueryDef, Tables}
+
+/** As-of join — the one operator in the extension tier (SURVEY.md §2.5)
+  * Spark has no built-in for. Semantics: for each left row, attach the
+  * right row with the greatest `rightTs <= leftTs` within the same key
+  * (DuckDB's `ASOF JOIN`, kdb's `aj`).
+  *
+  * Implementation choice (SURVEY §7 preference order: compose existing
+  * ops before custom plans): tag both sides, UNION, and run ONE window
+  * pass per key ordered by (ts, side) taking `last(right, ignoreNulls)`
+  * — right rows sort before left rows at equal ts so `<=` is inclusive.
+  *
+  * Scale story: this is a single hash shuffle on the key plus a
+  * partition-local sort — O(n log n) per key group, no range-predicate
+  * join (which would nested-loop) and no per-left-row probe. The same
+  * shape AQE-balances under key skew. A custom SparkStrategy could fuse
+  * the final filter, but the dominant costs (shuffle + sort) are already
+  * minimal.
+  */
+object AsofJoin {
+
+  /** Generic as-of join on one equi-key and a long ordering column.
+    * Returns the left rows plus `matched` struct of the right row's
+    * payload (null when no right row precedes). */
+  def asofJoin(left: DataFrame, right: DataFrame, leftKey: String,
+               leftTs: String, rightKey: String, rightTs: String): DataFrame = {
+    val lCols = left.columns
+    val l = left.select(col(leftKey).as("_k"), col(leftTs).as("_ts"), lit(1).as("_side"),
+      struct(lCols.map(col): _*).as("_lrow"), lit(null).cast(rowType(right)).as("_rrow"))
+    val r = right.select(col(rightKey).as("_k"), col(rightTs).as("_ts"), lit(0).as("_side"),
+      lit(null).cast(rowType(left)).as("_lrow"), struct(right.columns.map(col): _*).as("_rrow"))
+    val w = Window.partitionBy("_k").orderBy(col("_ts").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("matched", last(col("_rrow"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(col("_lrow.*"), col("matched"))
+  }
+
+  private def rowType(df: DataFrame): StructType = StructType(df.schema.fields)
+
+  /** q35: for every click, the most recent signup at-or-before it, per
+    * user — aggregated to (user, n_clicks, n_matched, sum of lag µs); the
+    * lag sum is a per-row-exact signature of every match. */
+  val q35AsofJoin = QueryDef(
+    "q35_asof_join",
+    (s, d) => {
+      val e = Tables.events(s, d).withColumn("ts_us", expr("ts_ns DIV 1000"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("ts_us").as("s_ts"))
+      asofJoin(clicks, signups, leftKey = "user_id", leftTs = "ts_us",
+          rightKey = "s_user", rightTs = "s_ts")
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_clicks"),
+          count(col("matched.s_ts")).as("n_matched"),
+          sum(col("ts_us") - col("matched.s_ts")).cast(LongType).as("sum_lag_us"))
+        .orderBy("user_id")
+    },
+    Some("""WITH clicks AS (
+           |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events WHERE event_type = 'click'),
+           |signups AS (
+           |  SELECT user_id AS s_user, epoch_us(ts) AS s_ts FROM events WHERE event_type = 'signup')
+           |SELECT c.user_id, COUNT(*) AS n_clicks, COUNT(s.s_ts) AS n_matched,
+           |  CAST(SUM(c.ts_us - s.s_ts) AS BIGINT) AS sum_lag_us
+           |FROM clicks c ASOF LEFT JOIN signups s
+           |  ON c.user_id = s.s_user AND s.s_ts <= c.ts_us
+           |GROUP BY c.user_id ORDER BY user_id""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q35AsofJoin)
+}

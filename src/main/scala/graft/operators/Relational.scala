@@ -407,9 +407,39 @@ object Relational {
            |FROM lineitem""".stripMargin)
   )
 
+  /** q36: cube grouping sets over customer segment × order priority. */
+  val q36Cube = QueryDef(
+    "q36_cube",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .cube(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .select(col("seg"), col("pri"), col("cnt"), col("total"))
+        .orderBy(col("seg").asc_nulls_first, col("pri").asc_nulls_first),
+    Some("""SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+           |  COUNT(*) AS cnt,
+           |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS total
+           |FROM customer JOIN orders ON c_custkey = o_custkey
+           |GROUP BY CUBE (c_mktsegment, o_orderpriority)
+           |ORDER BY seg ASC NULLS FIRST, pri ASC NULLS FIRST""".stripMargin)
+  )
+
+  /** q37: cross product (`bag.product` analog) — tiny dims only; Spark
+    * plans BroadcastNestedLoopJoin. */
+  val q37Product = QueryDef(
+    "q37_product",
+    (s, d) =>
+      Tables.region(s, d).select("r_name")
+        .crossJoin(Tables.nation(s, d).select("n_name"))
+        .orderBy("r_name", "n_name"),
+    Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+           |ORDER BY r_name, n_name""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q01FilterProject, q02GroupAgg, q03Frequencies, q04BroadcastJoin,
     q05MultiJoin, q06LeftOuter, q07SemiJoin, q08AntiJoin, q09RangeJoin,
     q10CountDistinct, q11TopK, q12WindowRank, q13RunningSum, q14Rollup,
-    q15SetOps, q16ScalarFns, q17Elementwise)
+    q15SetOps, q16ScalarFns, q17Elementwise, q36Cube, q37Product)
 }
