@@ -111,12 +111,21 @@ object DedupOps {
   val q24MinhashLsh = QueryDef(
     "q24_minhash_lsh",
     (s, d) => {
-      val sig = minhashSignatures(s, d).cache()
+      // one cached shingle table feeds both the signatures and the verify
+      val sh = shingles(s, d).cache()
+      val aggs = (0 until NumPerm).map { k =>
+        val a = ((0x9E3779B9L * (2 * k + 1)) & 0x7FFFFFFFL) | 1L
+        val b = (0xBF58476D1CE4E5B9L * (k + 1)) >>> 3
+        min(col("h0") * lit(a) + lit(b)).as(s"m$k")
+      }
+      val sig = sh.withColumn("h0", xxhash64(col("sh")).bitwiseAND(lit(0x7FFFFFFFL)))
+        .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       // bands: hash the 2-row slice of the signature per band
       val banded = sig.select(
         col("doc_id"),
         posexplode(array((0 until Bands).map(b =>
           concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)).as(Seq("band", "bhash")))
+        .cache()
       val cand = banded.as("x").join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -125,7 +134,6 @@ object DedupOps {
       // exact verify on candidates ONLY: intersect shingle sets per
       // candidate pair (broadcast the small candidate list), never the
       // full quadratic shingle self-join q23 uses as ground truth
-      val sh = shingles(s, d)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val a = sh.select(col("doc_id").as("d1"), col("sh"))
       val b = sh.select(col("doc_id").as("d2"), col("sh"))
@@ -195,7 +203,7 @@ object DedupOps {
   val q26SimhashPairs = QueryDef(
     "q26_simhash_pairs",
     (s, d) => {
-      val sig = q25Simhash.run(s, d)
+      val sig = q25Simhash.run(s, d).cache()
       val a = sig.select(col("doc_id").as("d1"), col("simhash").as("h1"))
       val b = sig.select(col("doc_id").as("d2"), col("simhash").as("h2"))
       a.join(b, col("d1") < col("d2"))

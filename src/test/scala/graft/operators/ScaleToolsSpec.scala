@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scale-shape checks for the partitioning utilities. */
+class ScaleToolsSpec extends SparkSpec {
+
+  test("bucketed tables sort-merge join with NO exchange (co-located join)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      ScaleTools.writeBucketed(Tables.orders(spark, sfDir), "orders_b", "o_custkey", 4)
+      ScaleTools.writeBucketed(
+        Tables.customer(spark, sfDir).withColumnRenamed("c_custkey", "cust_key"),
+        "customer_b", "cust_key", 4)
+      val j = spark.table("orders_b")
+        .join(spark.table("customer_b"), col("o_custkey") === col("cust_key"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketing must eliminate shuffles:\n$plan")
+      assert(j.count() == Tables.orders(spark, sfDir)
+        .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
+  test("salted join matches plain join results under skew") {
+    // skew: all lineitems of a few orders; dim = orders
+    val fact = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val dim = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderstatus")
+    val plain = fact.join(dim, col("l_orderkey") === col("o_orderkey")).count()
+    val salted = ScaleTools.saltedJoin(fact, dim, "l_orderkey", "o_orderkey", salt = 4).count()
+    assert(salted == plain)
+  }
+
+  test("keySkew surfaces the heaviest keys") {
+    val skew = ScaleTools.keySkew(Tables.lineitem(spark, sfDir), "l_returnflag", 3)
+    assert(skew.length == 3 && skew.head._2 >= skew.last._2)
+  }
+
+  test("coPartition pre-shuffles both sides to the same partitioning") {
+    val (a, b) = ScaleTools.coPartition(
+      Tables.orders(spark, sfDir), Tables.customer(spark, sfDir),
+      "o_custkey", "c_custkey", 8)
+    assert(a.rdd.getNumPartitions == 8 && b.rdd.getNumPartitions == 8)
+  }
+}
