@@ -437,9 +437,31 @@ object Relational {
            |ORDER BY r_name, n_name""".stripMargin)
   )
 
+  /** q40: SQL-API parity — the ONE SQL text below runs verbatim in BOTH
+    * Spark (`spark.sql` over a temp view) and DuckDB (the oracle), proving
+    * the `spark.sql(...)` entry point yields byte-identical results to the
+    * DataFrame programs. */
+  private val parityText =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_base_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val q40SqlApi = QueryDef(
+    "q40_sql_api",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(parityText)
+    },
+    Some(parityText)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q01FilterProject, q02GroupAgg, q03Frequencies, q04BroadcastJoin,
     q05MultiJoin, q06LeftOuter, q07SemiJoin, q08AntiJoin, q09RangeJoin,
     q10CountDistinct, q11TopK, q12WindowRank, q13RunningSum, q14Rollup,
-    q15SetOps, q16ScalarFns, q17Elementwise, q36Cube, q37Product)
+    q15SetOps, q16ScalarFns, q17Elementwise, q36Cube, q37Product, q40SqlApi)
 }

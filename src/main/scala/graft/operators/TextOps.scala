@@ -154,5 +154,30 @@ object TextOps {
            |FROM documents ORDER BY doc_id""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId, q22Fingerprint)
+  /** q39: top-20 word bigrams — n-gram analysis via array expressions
+    * (1-indexed element_at in both engines), then the usual explode +
+    * partial hash agg + TakeOrderedAndProject. */
+  val q39Bigrams = QueryDef(
+    "q39_bigrams",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(tokens(lower(col("text"))).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram").asc)
+        .limit(20),
+    Some("""SELECT bigram, COUNT(*) AS cnt FROM (
+           |  SELECT unnest(list_transform(range(1, len(t)),
+           |                i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1])) AS bigram
+           |  FROM (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+           |        FROM documents) d
+           |  WHERE len(t) >= 2) b
+           |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId,
+    q22Fingerprint, q39Bigrams)
 }

@@ -131,5 +131,38 @@ object VectorOps {
            |ORDER BY v1, v2""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q27CosineTopK, q28AnnLsh, q29CosinePairs)
+  /** q38: batch ANN — top-3 neighbors for each of 5 query vectors in ONE
+    * pass: broadcast the query set, score all (query, candidate) pairs,
+    * per-query window top-k. The per-query rank replaces 5 separate scans;
+    * at scale the candidate side is scanned once regardless of |queries|. */
+  val q38BatchAnn = QueryDef(
+    "q38_batch_ann",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), toD(col("embedding")).as("qv"))
+      val cands = emb.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), toD(col("embedding")).as("v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+      cands.crossJoin(broadcast(queries))
+        .select(col("qid"), col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("qid", "rank", "vec_id", "sim")
+        .orderBy("qid", "rank")
+    },
+    Some("""SELECT qid, rank, vec_id, sim FROM (
+           |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+           |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) DESC,
+           |               c.vec_id) AS rank
+           |  FROM embeddings q CROSS JOIN embeddings c
+           |  WHERE q.vec_id < 5 AND c.vec_id >= 5) t
+           |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q27CosineTopK, q28AnnLsh, q29CosinePairs, q38BatchAnn)
 }

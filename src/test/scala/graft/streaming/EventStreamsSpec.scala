@@ -87,6 +87,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(out == Map(1L -> Some("gold"), 3L -> None))
   }
 
+  test("file-source stream over the real events parquet matches the batch result") {
+    // the unbounded twin of a batch read: same parquet, readStream + schema
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file source wants a directory — stage the table file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val stream = spark.readStream.schema(batch.schema)
+      .parquet(dir.toString)
+      .groupBy("event_type").count()
+    val q = stream.writeStream.format("memory").queryName("filestream")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("filestream").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = batch.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == expected)
+  }
+
   test("mapGroupsWithState accumulates per-user running totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     implicit val sp = spark
