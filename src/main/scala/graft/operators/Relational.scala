@@ -459,9 +459,93 @@ object Relational {
     Some(parityText)
   )
 
+  /** q41: window-function zoo — rank, dense_rank, ntile, lag, lead and a
+    * RANGE frame, one pass per customer ordered by price. All integer /
+    * exact outputs. */
+  val q41WindowZoo = QueryDef(
+    "q41_window_zoo",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      // RANGE frames order by a single numeric key
+      val wRange = Window.partitionBy("o_custkey").orderBy(col("o_orderkey").asc)
+        .rangeBetween(-100L, 0L)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 100)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
+          lead(col("o_orderkey"), 1).over(w).as("next_ok"),
+          count(lit(1)).over(wRange).cast(LongType).as("near_orders"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           |  rank() OVER w AS rnk,
+           |  dense_rank() OVER w AS drnk,
+           |  ntile(4) OVER w AS quartile,
+           |  lag(o_orderkey, 1) OVER w AS prev_ok,
+           |  lead(o_orderkey, 1) OVER w AS next_ok,
+           |  CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+           |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_orders
+           |FROM orders WHERE o_custkey < 100
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+           |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  )
+
+  /** q42: string/date function pack — levenshtein, concat_ws, repeat,
+    * reverse, date arithmetic (datediff, day extraction), all
+    * engine-portable exact functions. */
+  val q42StringDate = QueryDef(
+    "q42_string_date",
+    (s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_custkey") < 200)
+        .select(
+          col("c_custkey"),
+          levenshtein(col("c_name"), col("c_mktsegment")).cast(LongType).as("lev"),
+          concat_ws("|", col("c_name"), col("c_mktsegment")).as("joined"),
+          reverse(col("c_name")).as("rev_name"),
+          substring(col("c_name"), 1, 8).as("name8"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_tr"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey,
+           |  CAST(levenshtein(c_name, c_mktsegment) AS BIGINT) AS lev,
+           |  concat_ws('|', c_name, c_mktsegment) AS joined,
+           |  reverse(c_name) AS rev_name,
+           |  substr(c_name, 1, 8) AS name8,
+           |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr
+           |FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin)
+  )
+
+  /** q43: date arithmetic over orders — month extraction, day-of-week-free
+    * exact deltas vs a fixed date. */
+  val q43DateArith = QueryDef(
+    "q43_date_arith",
+    (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 500)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast(LongType).as("yr"),
+          month(col("o_orderdate")).cast(LongType).as("mo"),
+          dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+          datediff(col("o_orderdate").cast(DateType), lit("1995-01-01").cast(DateType))
+            .cast(LongType).as("days_since"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+           |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+           |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+           |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+           |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+           |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q01FilterProject, q02GroupAgg, q03Frequencies, q04BroadcastJoin,
     q05MultiJoin, q06LeftOuter, q07SemiJoin, q08AntiJoin, q09RangeJoin,
     q10CountDistinct, q11TopK, q12WindowRank, q13RunningSum, q14Rollup,
-    q15SetOps, q16ScalarFns, q17Elementwise, q36Cube, q37Product, q40SqlApi)
+    q15SetOps, q16ScalarFns, q17Elementwise, q36Cube, q37Product, q40SqlApi,
+    q41WindowZoo, q42StringDate, q43DateArith)
 }
