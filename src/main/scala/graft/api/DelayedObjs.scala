@@ -62,10 +62,25 @@ final class DelayedObjs[T](val futures: Seq[Future[T]])(implicit ec: ExecutionCo
   def +(k: T)(implicit n: Numeric[T]): DelayedObjs[T] = map(n.plus(_, k))
   def -(k: T)(implicit n: Numeric[T]): DelayedObjs[T] = map(n.minus(_, k))
   def *(k: T)(implicit n: Numeric[T]): DelayedObjs[T] = map(n.times(_, k))
+  def /(k: T)(implicit f: Fractional[T]): DelayedObjs[T] = map(f.div(_, k))
+  def %(k: T)(implicit i: Integral[T]): DelayedObjs[T] = map(i.rem(_, k))
+  def floorDiv(k: T)(implicit i: Integral[T]): DelayedObjs[T] = map(i.quot(_, k))
+  def **(e: Double)(implicit n: Numeric[T]): DelayedObjs[Double] = map(x => math.pow(n.toDouble(x), e))
   def unary_-(implicit n: Numeric[T]): DelayedObjs[T] = map(n.negate)
+  def abs(implicit n: Numeric[T]): DelayedObjs[T] = map(n.abs)
   def <(k: T)(implicit o: Ordering[T]): DelayedObjs[Boolean] = map(o.lt(_, k))
+  def <=(k: T)(implicit o: Ordering[T]): DelayedObjs[Boolean] = map(o.lteq(_, k))
   def >(k: T)(implicit o: Ordering[T]): DelayedObjs[Boolean] = map(o.gt(_, k))
+  def >=(k: T)(implicit o: Ordering[T]): DelayedObjs[Boolean] = map(o.gteq(_, k))
   def ===(k: T): DelayedObjs[Boolean] = map(_ == k)
+  def =!=(k: T): DelayedObjs[Boolean] = map(_ != k)
+  // bitwise/shift family for Long collections (the reference's int dunders)
+  def &(k: Long)(implicit ev: T =:= Long): DelayedObjs[Long] = map(ev(_) & k)
+  def |(k: Long)(implicit ev: T =:= Long): DelayedObjs[Long] = map(ev(_) | k)
+  def ^(k: Long)(implicit ev: T =:= Long): DelayedObjs[Long] = map(ev(_) ^ k)
+  def <<(k: Int)(implicit ev: T =:= Long): DelayedObjs[Long] = map(ev(_) << k)
+  def >>(k: Int)(implicit ev: T =:= Long): DelayedObjs[Long] = map(ev(_) >> k)
+  def unary_~(implicit ev: T =:= Long): DelayedObjs[Long] = map(x => ~ev(x))
 }
 
 object DelayedObjs {

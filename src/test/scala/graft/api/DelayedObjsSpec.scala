@@ -21,6 +21,19 @@ class DelayedObjsSpec extends SparkSpec {
     assert((-objs).compute() == Seq(-1, -2, -3))
     assert((objs > 1).compute() == Seq(false, true, true))
     assert((objs === 2).compute() == Seq(false, true, false))
+    assert((objs =!= 2).compute() == Seq(true, false, true))
+    assert((objs % 2).compute() == Seq(1, 0, 1))
+    assert((objs <= 2).compute() == Seq(true, true, false))
+    assert((objs ** 2).compute() == Seq(1.0, 4.0, 9.0))
+    assert(DelayedObjs(Seq(-3, 4)).abs.compute() == Seq(3, 4))
+    assert((DelayedObjs(Seq(1.0, 4.0)) / 2.0).compute() == Seq(0.5, 2.0))
+    val longs = DelayedObjs(Seq(5L, 12L))
+    assert((longs & 3L).compute() == Seq(1L, 0L))
+    assert((longs | 1L).compute() == Seq(5L, 13L))
+    assert((longs ^ 1L).compute() == Seq(4L, 13L))
+    assert((longs << 1).compute() == Seq(10L, 24L))
+    assert((longs >> 1).compute() == Seq(2L, 6L))
+    assert((~longs).compute() == Seq(-6L, -13L))
   }
 
   test("completion-order iteration does not block on slowest-first (core.py:167-169)") {

@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** As-of join semantics + plan shape. */
+class AsofJoinSpec extends SparkSpec {
+  import graft.TestSession.spark.implicits._
+
+  test("as-of picks the greatest right ts <= left ts, inclusive; null when none") {
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 100L, "r100"), (1L, 150L, "r150"), (1L, 300L, "r300"))
+      .toDF("rk", "rts", "rv")
+    val out = AsofJoin.asofJoin(left, right, "k", "ts", "rk", "rts")
+      .select(col("tag"), col("matched.rv"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(
+      "a" -> Some("r100"), // equal ts is inclusive
+      "b" -> Some("r150"), // greatest preceding
+      "c" -> None))        // key with no right rows
+  }
+
+  test("as-of join plans ONE shuffle (hash partition on key), no nested loop") {
+    val e = graft.Tables.events(spark, sfDir).withColumn("ts_us", expr("ts_ns DIV 1000"))
+    val clicks = e.filter(col("event_type") === "click").select(col("user_id"), col("ts_us"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("su"), col("ts_us").as("sts"))
+    val plan = AsofJoin.asofJoin(clicks, signups, "user_id", "ts_us", "su", "sts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+    // exactly one exchange feeding the window (union happens before it)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+  }
+}
