@@ -204,9 +204,22 @@ object DedupOps {
     "q26_simhash_pairs",
     (s, d) => {
       val sig = q25Simhash.run(s, d).cache()
-      val a = sig.select(col("doc_id").as("d1"), col("simhash").as("h1"))
-      val b = sig.select(col("doc_id").as("d2"), col("simhash").as("h2"))
-      a.join(b, col("d1") < col("d2"))
+      // pigeonhole banding: 5 bands × 12 bits. A pair at hamming <= 4
+      // differs in at most 4 bands, so it MATCHES exactly in at least one
+      // band — the per-band equi-join finds every qualifying pair without
+      // the all-pairs product, then the exact xor+bit_count verify filters
+      // false candidates. Output is provably identical to the quadratic
+      // form; cost scales with band-bucket sizes, not n^2.
+      val banded = sig.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 5).map(b =>
+          shiftright(col("simhash"), 12 * b).bitwiseAND(lit(0xFFFL))): _*)).as(Seq("band", "bval")))
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("x.simhash").as("h1"),
+          col("y.doc_id").as("d2"), col("y.simhash").as("h2"))
+        .distinct()
+      cand
         .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))).cast(LongType))
         .filter(col("hamming") <= 4)
         .select("d1", "d2", "hamming")

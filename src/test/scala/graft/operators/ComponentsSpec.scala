@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Connected components: distributed min-label loop vs driver union-find
+  * must agree on arbitrary graphs. */
+class ComponentsSpec extends SparkSpec {
+  import graft.TestSession.spark.implicits._
+
+  private val rng = new scala.util.Random(7)
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("distributed loop == local union-find on random graphs") {
+    for (_ <- 1 to 3) {
+      val n = 30 + rng.nextInt(40)
+      val verts = (0L until n).toDF("id")
+      val edges = Seq.fill(n / 2)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("src", "dst")
+      val dist = labelsOf(Components.connectedComponents(verts, edges))
+      val local = labelsOf(Components.connectedComponentsAuto(verts, edges)) // small → local union-find
+      val distViaAuto = labelsOf(Components.connectedComponentsAuto(verts, edges, localThreshold = 0)) // force loop
+      assert(dist == local && dist == distViaAuto)
+    }
+  }
+
+  test("chain graph: long diameter converges (distributed path)") {
+    val n = 12L
+    val verts = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = labelsOf(Components.connectedComponents(verts, edges))
+    assert(out.values.toSet == Set(0L)) // single component labeled by min id
+  }
+
+  test("singletons label themselves") {
+    val verts = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val out = labelsOf(Components.connectedComponentsAuto(verts, edges))
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+}
