@@ -14,7 +14,8 @@ object SparkEntry {
   /** All declared queries, grouped by operator pack. */
   def registry: Seq[QueryDef] =
     Relational.all ++ TextOps.all ++ DedupOps.all ++ VectorOps.all ++
-      EventOps.all ++ Multimodal.all ++ AsofJoin.all ++ Components.all
+      EventOps.all ++ Multimodal.all ++ AsofJoin.all ++ Components.all ++
+      CleanCorpus.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

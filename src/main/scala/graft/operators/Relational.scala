@@ -542,10 +542,31 @@ object Relational {
            |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)
   )
 
+  /** q45: explicit GROUPING SETS — one dual-dialect SQL text (like q40)
+    * covering the grouping-set shape cube/rollup can't express (disjoint
+    * sets without the full lattice). */
+  private val groupingSetsText =
+    """SELECT c_mktsegment AS seg, o_orderstatus AS st,
+      |  COUNT(*) AS cnt,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS total
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+      |ORDER BY seg ASC NULLS FIRST, st ASC NULLS FIRST""".stripMargin
+
+  val q45GroupingSets = QueryDef(
+    "q45_grouping_sets",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(groupingSetsText)
+    },
+    Some(groupingSetsText)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q01FilterProject, q02GroupAgg, q03Frequencies, q04BroadcastJoin,
     q05MultiJoin, q06LeftOuter, q07SemiJoin, q08AntiJoin, q09RangeJoin,
     q10CountDistinct, q11TopK, q12WindowRank, q13RunningSum, q14Rollup,
     q15SetOps, q16ScalarFns, q17Elementwise, q36Cube, q37Product, q40SqlApi,
-    q41WindowZoo, q42StringDate, q43DateArith)
+    q41WindowZoo, q42StringDate, q43DateArith, q45GroupingSets)
 }
