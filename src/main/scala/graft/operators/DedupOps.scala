@@ -118,14 +118,16 @@ object DedupOps {
         val b = (0xBF58476D1CE4E5B9L * (k + 1)) >>> 3
         min(col("h0") * lit(a) + lit(b)).as(s"m$k")
       }
+      // fold the shingle-set size into the same aggregation pass — the
+      // verify stage needs it and this saves a separate groupBy + shuffle
       val sig = sh.withColumn("h0", xxhash64(col("sh")).bitwiseAND(lit(0x7FFFFFFFL)))
-        .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        .groupBy("doc_id").agg(aggs.head, aggs.tail :+ count(lit(1)).as("sz"): _*)
+        .cache()
       // bands: hash the 2-row slice of the signature per band
       val banded = sig.select(
         col("doc_id"),
         posexplode(array((0 until Bands).map(b =>
           concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)).as(Seq("band", "bhash")))
-        .cache()
       val cand = banded.as("x").join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -134,7 +136,7 @@ object DedupOps {
       // exact verify on candidates ONLY: intersect shingle sets per
       // candidate pair (broadcast the small candidate list), never the
       // full quadratic shingle self-join q23 uses as ground truth
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val sizes = sig.select(col("doc_id"), col("sz"))
       val a = sh.select(col("doc_id").as("d1"), col("sh"))
       val b = sh.select(col("doc_id").as("d2"), col("sh"))
       val inter = broadcast(cand).join(a, Seq("d1")).join(b, Seq("d2", "sh"))
