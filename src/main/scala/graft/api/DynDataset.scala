@@ -44,6 +44,29 @@ final class DynDataset(val df: DataFrame, val focus: Option[Column]) extends Dyn
   def mapCol(f: Column => Column): DynDataset =
     new DynDataset(df, Some(f(column)))
 
+  // the 35-dunder table directly on the focused column (core.py:187-220);
+  // a DynDataset rhs must share this frame (its focused column composes)
+  private def rhs(o: Any): Column = o match {
+    case d: DynDataset => d.column
+    case c: Column     => c
+    case x             => lit(x)
+  }
+  def +(o: Any): DynDataset  = mapCol(_ + rhs(o))
+  def -(o: Any): DynDataset  = mapCol(_ - rhs(o))
+  def *(o: Any): DynDataset  = mapCol(_ * rhs(o))
+  def /(o: Any): DynDataset  = mapCol(_ / rhs(o))
+  def %(o: Any): DynDataset  = mapCol(_ % rhs(o))
+  def <(o: Any): DynDataset  = mapCol(_ < rhs(o))
+  def <=(o: Any): DynDataset = mapCol(_ <= rhs(o))
+  def >(o: Any): DynDataset  = mapCol(_ > rhs(o))
+  def >=(o: Any): DynDataset = mapCol(_ >= rhs(o))
+  def ===(o: Any): DynDataset = mapCol(_ === rhs(o))
+  def =!=(o: Any): DynDataset = mapCol(_ =!= rhs(o))
+  def &&(o: Any): DynDataset = mapCol(_ && rhs(o))
+  def ||(o: Any): DynDataset = mapCol(_ || rhs(o))
+  def unary_- : DynDataset   = mapCol(c => negate(c))
+  def unary_! : DynDataset   = mapCol(c => !c)
+
   def compute(): Seq[Any] = toDF.collect().toSeq.map(r => if (r.size == 1) r.get(0) else r)
 
   override def toString: String = s"DynDataset(${df.schema.simpleString}, focus=$focus)"

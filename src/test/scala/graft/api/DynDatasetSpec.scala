@@ -27,6 +27,13 @@ class DynDatasetSpec extends SparkSpec {
     val d = DynDataset(df)
     assert(d.age.mapCol(_ * 2).compute().toSet == Set(72, 90))
     assert(d.age.mapCol(_ > 40).compute().toSet == Set(false, true))
+    // direct operator sugar, incl. DynDataset rhs
+    assert((d.age + 1).compute().toSet == Set(37, 46))
+    assert((d.age % 2).compute().toSet == Set(0, 1))
+    assert((d.age > 40).compute().toSet == Set(false, true))
+    assert((d.age === d.age).compute().toSet == Set(true))
+    assert((-d.age).compute().toSet == Set(-36, -45))
+    assert((!(d.age > 40)).compute().toSet == Set(true, false))
   }
 
   test("struct field chaining") {
