@@ -563,10 +563,60 @@ object Relational {
     Some(groupingSetsText)
   )
 
+  /** q47: pivot — event-type counts as columns per user decile. Spark's
+    * `groupBy.pivot` with explicit values (never value-discovery at scale:
+    * that is an extra pass); oracle spells the same shape with FILTER. */
+  val q47Pivot = QueryDef(
+    "q47_pivot",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("bucket", (col("user_id") % 10).cast(LongType))
+        .groupBy("bucket")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("bucket"),
+    Some("""SELECT user_id % 10 AS bucket,
+           |  COUNT(*) FILTER (event_type = 'click') AS click,
+           |  COUNT(*) FILTER (event_type = 'error') AS error,
+           |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+           |  COUNT(*) FILTER (event_type = 'view') AS view
+           |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin)
+  )
+
+  /** q48: array-function pack over tokenized text — distinct/sort/
+    * contains/slice, 1-indexed like DuckDB lists. */
+  val q48ArrayOps = QueryDef(
+    "q48_array_ops",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          filter(split(lower(col("text")), " "), t => t =!= "").as("t"))
+        .select(
+          col("doc_id"),
+          size(col("t")).cast(LongType).as("n"),
+          size(array_distinct(col("t"))).cast(LongType).as("n_distinct"),
+          element_at(sort_array(col("t")), 1).as("first_sorted"),
+          array_contains(col("t"), "the").as("has_the"),
+          concat_ws(",", slice(col("t"), 1, 3)).as("first3"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  CAST(len(t) AS BIGINT) AS n,
+           |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+           |  list_sort(t)[1] AS first_sorted,
+           |  list_contains(t, 'the') AS has_the,
+           |  array_to_string(t[1:3], ',') AS first3
+           |FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+           |      FROM documents) d
+           |ORDER BY doc_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q01FilterProject, q02GroupAgg, q03Frequencies, q04BroadcastJoin,
     q05MultiJoin, q06LeftOuter, q07SemiJoin, q08AntiJoin, q09RangeJoin,
     q10CountDistinct, q11TopK, q12WindowRank, q13RunningSum, q14Rollup,
     q15SetOps, q16ScalarFns, q17Elementwise, q36Cube, q37Product, q40SqlApi,
-    q41WindowZoo, q42StringDate, q43DateArith, q45GroupingSets)
+    q41WindowZoo, q42StringDate, q43DateArith, q45GroupingSets, q47Pivot,
+    q48ArrayOps)
 }

@@ -47,6 +47,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("sortWithinPartitions is partition-local: no exchange, non-global sort") {
+    val df = Tables.lineitem(spark, sfDir).sortWithinPartitions("l_orderkey")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Sort") && p.contains("false, 0"), s"expected local sort:\n$p")
+    assert(!p.contains("Exchange"), s"local sort must not shuffle:\n$p")
+  }
+
   test("q27: single-query ANN broadcasts the query vector") {
     val p = plan(VectorOps.q27CosineTopK)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
