@@ -89,14 +89,19 @@ object Components {
       .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
   }
 
-  /** q44: near-dup clusters over the exact-Jaccard pairs (q23 edges,
-    * j >= 0.4) for doc_id < 500 — every doc labeled with its component
+  /** q44: near-dup clusters over the verified near-dup pairs (q24 edges,
+    * j >= 0.6) for doc_id < 500 — every doc labeled with its component
     * (= min doc_id reachable), singletons labeling themselves. The DuckDB
     * oracle computes the same transitive closure with a recursive CTE. */
   val q44DedupClusters = QueryDef(
     "q44_dedup_clusters",
     (s, d) => {
-      val edges = DedupOps.q23JaccardPairs.run(s, d)
+      // edges come from the SCALABLE candidate path (MinHash+LSH banding
+      // with exact verify at j >= 0.6, q24) — the verify makes its output
+      // equal the exact-Jaccard pairs at the same threshold, so the
+      // recursive-CTE oracle over exact j >= 0.6 pairs is valid while the
+      // engine-side cost is the 100 TB shape.
+      val edges = DedupOps.q24MinhashLsh.run(s, d)
         .select(col("d1").as("src"), col("d2").as("dst"))
       val verts = Tables.documents(s, d)
         .filter(col("doc_id") < 500).select(col("doc_id").as("id"))
@@ -118,7 +123,7 @@ object Components {
            |  SELECT d1, d2 FROM inter
            |  JOIN sizes s1 ON s1.doc_id = d1
            |  JOIN sizes s2 ON s2.doc_id = d2
-           |  WHERE ic * 10 >= (s1.sz + s2.sz - ic) * 4),
+           |  WHERE ic * 10 >= (s1.sz + s2.sz - ic) * 6),
            |bidir AS (
            |  SELECT d1 AS src, d2 AS dst FROM edges
            |  UNION SELECT d2 AS src, d1 AS dst FROM edges),
