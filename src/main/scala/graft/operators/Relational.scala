@@ -612,11 +612,33 @@ object Relational {
            |ORDER BY doc_id""".stripMargin)
   )
 
+  /** q49: unpivot (melt) — wide measure columns to long (key, value)
+    * rows; the oracle uses the portable UNION ALL spelling. */
+  val q49Unpivot = QueryDef(
+    "q49_unpivot",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure"),
+    Some("""SELECT l_orderkey, l_linenumber, measure, value FROM (
+           |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem WHERE l_orderkey < 200
+           |  UNION ALL
+           |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem WHERE l_orderkey < 200
+           |  UNION ALL
+           |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem WHERE l_orderkey < 200) u
+           |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q01FilterProject, q02GroupAgg, q03Frequencies, q04BroadcastJoin,
     q05MultiJoin, q06LeftOuter, q07SemiJoin, q08AntiJoin, q09RangeJoin,
     q10CountDistinct, q11TopK, q12WindowRank, q13RunningSum, q14Rollup,
     q15SetOps, q16ScalarFns, q17Elementwise, q36Cube, q37Product, q40SqlApi,
     q41WindowZoo, q42StringDate, q43DateArith, q45GroupingSets, q47Pivot,
-    q48ArrayOps)
+    q48ArrayOps, q49Unpivot)
 }

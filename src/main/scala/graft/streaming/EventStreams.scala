@@ -65,6 +65,29 @@ object EventStreams {
   final case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 
+  final case class SessionEvent(user_id: Long, kind: String, at: Timestamp)
+
+  /** flatMapGroupsWithState — the generator-shaped stateful op: emits ZERO
+    * OR MORE rows per group per batch (here: a "milestone" row every 3rd
+    * event per user, none otherwise), state carries the running count. */
+  def milestones(events: Dataset[Ev])(implicit spark: SparkSession): Dataset[SessionEvent] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, SessionEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer[SessionEvent]()
+          rows.foreach { ev =>
+            n += 1
+            if (n % 3 == 0) out += SessionEvent(uid, s"milestone_$n", ev.ts)
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
+
   /** Custom per-user running state via mapGroupsWithState — the
     * `KeyValueGroupedDataset` stateful escape hatch (arbitrary state the
     * built-in windows can't express). At scale, pair a timeout policy

@@ -110,6 +110,21 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == expected)
   }
 
+  test("flatMapGroupsWithState emits zero-or-more rows per group with running state") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val input = MemoryStream[Ev]
+    val query = EventStreams.milestones(input.toDS())
+      .writeStream.format("memory").queryName("milestones").outputMode(OutputMode.Append()).start()
+    input.addData(Ev(ts(1), 5, "click", 1.0), Ev(ts(2), 5, "click", 1.0))
+    query.processAllAvailable() // 2 events: no milestone yet
+    input.addData(Ev(ts(3), 5, "click", 1.0), Ev(ts(4), 5, "click", 1.0))
+    query.processAllAvailable() // 4 events: milestone_3 fired
+    query.stop()
+    val kinds = spark.table("milestones").select("kind").as[String].collect().sorted.toSeq
+    assert(kinds == Seq("milestone_3"))
+  }
+
   test("mapGroupsWithState accumulates per-user running totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     implicit val sp = spark
