@@ -81,28 +81,34 @@ object VectorOps {
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** q28: LSH-bucketed ANN — assign every vector a hyperplane-sign bucket,
-    * then answer the vec_id=0 query by exact cosine *within its bucket
-    * only*. No SQL oracle (rows-only check); recall vs q27 asserted in
-    * tests. At 100 TB the bucket assignment is a narrow projection and the
-    * probe touches 1/2^planes of the data. */
+  /** Multi-probe LSH ANN query: probe every bucket within Hamming distance
+    * `radius` of the query's bucket, exact-rank inside the probed set.
+    * radius trades recall for scan fraction: sum_{i<=r} C(planes,i)/2^planes
+    * of the corpus. Random uncorrelated embeddings (this synthetic set)
+    * need a bigger radius than real clustered embeddings would. */
+  def annLshQuery(s: SparkSession, d: String, radius: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toD(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v")))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .filter(bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= radius)
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        round(cosine(col("v"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** q28: LSH-bucketed ANN — hyperplane-sign buckets, multi-probe radius 1
+    * (query bucket + its `planes` neighbors → (1+planes)/2^planes of the
+    * corpus scanned). No SQL oracle (rows-only check); recall behavior is
+    * asserted in VectorOpsSpec. */
   val q28AnnLsh = QueryDef(
     "q28_ann_lsh",
-    (s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), toD(col("embedding")).as("v"))
-        .withColumn("bucket", lshBucket(col("v")))
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("v").as("qv"), col("bucket").as("qbucket"))
-      emb.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .filter(col("bucket") === col("qbucket"))
-        .select(col("vec_id"), col("label").cast(LongType).as("label"),
-          round(cosine(col("v"), col("qv")), 6).as("sim"))
-        .orderBy(col("sim").desc, col("vec_id").asc)
-        .limit(10)
-    },
+    (s, d) => annLshQuery(s, d, radius = 1),
     None
   )
 
