@@ -26,9 +26,12 @@ object Bench {
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
 
-    // discarded warm-up at the smallest scale factor
+    // one discarded warm-up pass AT THE MEASURED SCALE (BASELINE.md
+    // protocol): JIT-compiles the exact generated code paths the timed
+    // pass will run — AQE picks different plan shapes per data size, so a
+    // small-sf warm-up leaves the real plans cold
     queries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
+      try fn(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
 
