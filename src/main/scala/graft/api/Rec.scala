@@ -179,7 +179,13 @@ object Rec {
 
   // ---- driver-side reflective replay helpers ----
 
-  private[api] def reflectGet(obj: Any, name: String): Any = {
+  private[api] def reflectGet(obj: Any, name: String): Any = obj match {
+    // a Map binds like a dynamic attribute bag (Python-object analog)
+    case m: collection.Map[String, Any] @unchecked if m.contains(name) => m(name)
+    case _ => reflectGetJvm(obj, name)
+  }
+
+  private def reflectGetJvm(obj: Any, name: String): Any = {
     val cls = obj.getClass
     val m = cls.getMethods.find(m => m.getName == name && m.getParameterCount == 0)
     m.map(_.invoke(obj)).getOrElse {

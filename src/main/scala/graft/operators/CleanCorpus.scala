@@ -31,8 +31,9 @@ object CleanCorpus {
       // 1. exact dedup survivors
       val exactKeep = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
         .select("doc_id")
-      // 2. near-dup cluster survivors (cluster = min reachable doc_id)
-      val edges = DedupOps.q23JaccardPairs.run(s, d)
+      // 2. near-dup cluster survivors (cluster = min reachable doc_id);
+      // edges via the scalable MinHash+LSH+verify path (j >= 0.6, q24)
+      val edges = DedupOps.q24MinhashLsh.run(s, d)
         .select(col("d1").as("src"), col("d2").as("dst"))
       val verts = docs.select(col("doc_id").as("id"))
       val nearKeep = Components.connectedComponentsAuto(verts, edges)
@@ -71,7 +72,7 @@ object CleanCorpus {
            |  SELECT d1, d2 FROM inter
            |  JOIN sizes s1 ON s1.doc_id = d1
            |  JOIN sizes s2 ON s2.doc_id = d2
-           |  WHERE ic * 10 >= (s1.sz + s2.sz - ic) * 4),
+           |  WHERE ic * 10 >= (s1.sz + s2.sz - ic) * 6),
            |bidir AS (
            |  SELECT d1 AS src, d2 AS dst FROM edges
            |  UNION SELECT d2 AS src, d1 AS dst FROM edges),

@@ -72,6 +72,33 @@ class RecSpec extends SparkSpec {
     assert(cnt == 1)
   }
 
+  test("randomized: driver eval ≡ Catalyst lowering for arithmetic/comparison chains") {
+    val rng = new scala.util.Random(11)
+    val values = Seq(-7L, -1L, 0L, 3L, 12L, 100L)
+    val df = values.toDF("n")
+    for (_ <- 1 to 25) {
+      // random chain of +,-,*,%,<<,&,| with small positive constants
+      var rec: Rec = Rec("row").attr("n")
+      val depth = 1 + rng.nextInt(4)
+      for (_ <- 1 to depth) {
+        val k = 1L + rng.nextInt(9)
+        rec = rng.nextInt(7) match {
+          case 0 => rec + k
+          case 1 => rec - k
+          case 2 => rec * k
+          case 3 => rec % k
+          case 4 => rec << 1
+          case 5 => rec & k
+          case 6 => rec | k
+        }
+      }
+      val viaCatalyst = df.select(rec.lower(col).cast("long").as("r"))
+        .collect().map(_.getLong(0)).toSeq
+      val viaEval = values.map(v => rec.eval(Map("n" -> v)).asInstanceOf[Long])
+      assert(viaCatalyst == viaEval, s"chain $rec diverged: $viaCatalyst vs $viaEval")
+    }
+  }
+
   test("same Rec chain binds to a different source (Dataset.transform reuse)") {
     val e = Rec("row")
     val expr = (e.attr("n") % 2) === 0
