@@ -634,11 +634,51 @@ object Relational {
            |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)
   )
 
+  /** q50: correlated scalar subquery — Catalyst decorrelates it into a
+    * left outer aggregate join (no per-row probing); same SQL text runs in
+    * both engines. */
+  private val correlatedText =
+    """SELECT c_custkey,
+      |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+      |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F') AS n_f
+      |FROM customer
+      |WHERE c_custkey < 300
+      |ORDER BY c_custkey""".stripMargin
+
+  val q50Correlated = QueryDef(
+    "q50_correlated_subquery",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(correlatedText)
+    },
+    Some(correlatedText)
+  )
+
+  /** q51: exact percentiles (linear interpolation — same definition in
+    * Spark `percentile` and DuckDB `quantile_cont`), rounded to 6. */
+  val q51Percentiles = QueryDef(
+    "q51_percentiles",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+          round(expr("percentile(l_quantity, 0.99)"), 6).as("p99"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+           |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+           |  round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+           |  round(quantile_cont(l_quantity, 0.99), 6) AS p99
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q01FilterProject, q02GroupAgg, q03Frequencies, q04BroadcastJoin,
     q05MultiJoin, q06LeftOuter, q07SemiJoin, q08AntiJoin, q09RangeJoin,
     q10CountDistinct, q11TopK, q12WindowRank, q13RunningSum, q14Rollup,
     q15SetOps, q16ScalarFns, q17Elementwise, q36Cube, q37Product, q40SqlApi,
     q41WindowZoo, q42StringDate, q43DateArith, q45GroupingSets, q47Pivot,
-    q48ArrayOps, q49Unpivot)
+    q48ArrayOps, q49Unpivot, q50Correlated, q51Percentiles)
 }
