@@ -65,18 +65,28 @@ object VectorOps {
   )
 
   private val NumPlanes = 4
+  private val Dim = 64 // embeddings table vector width
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
-    * md5-derived value in [-0.5, 0.5). Reproducible anywhere. */
-  private def planeComponent(p: Int, i: Column): Column =
-    (conv(substring(md5(concat(lit(s"plane$p:"), i)), 1, 8), 16, 10).cast(LongType)
-      .cast(DoubleType) / lit(4294967296.0)) - 0.5
+  /** Deterministic pseudo-random hyperplane, md5-derived per (plane, dim),
+    * in [-0.5, 0.5). Computed ONCE on the driver and embedded as an array
+    * literal — the previous in-plan form recomputed planes×dim md5 digests
+    * per row. */
+  private def planeVec(p: Int): Array[Double] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(Dim) { i =>
+      val hex = digest.digest(s"plane$p:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
+    }
+  }
 
-  /** Random-hyperplane LSH bucket id (NumPlanes sign bits). */
+  /** Random-hyperplane LSH bucket id (NumPlanes sign bits); the projection
+    * is the native fused kernel against the constant plane (cosine sign ==
+    * dot sign, norms are positive). */
   private def lshBucket(vec: Column): Column =
     (0 until NumPlanes).map { p =>
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => x * planeComponent(p, i)),
+        zip_with(vec, typedLit(planeVec(p)), (x, w) => x * w),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
