@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.{QueryDef, Tables}
 
 /** Connected components over near-duplicate candidate pairs — the final
@@ -9,47 +10,78 @@ import graft.{QueryDef, Tables}
   * of candidate pairs … bounded iterative join", implemented without a
   * GraphX dependency): pairs → clusters → one survivor per cluster.
   *
-  * Algorithm: iterative min-label propagation. labels start as the node
-  * id; each round every node takes the min of its own label and its
-  * neighbors' labels; converges in O(component diameter) rounds — for
-  * near-dup clusters (tiny, dense) that is 2–3 rounds. Each round is one
-  * join + one aggregation, both on the (small) edge list, with the label
-  * frame persisted between rounds and a hard iteration bound.
+  * Algorithm: min-label propagation WITH pointer jumping. Each round every
+  * node takes the min of (its label, its neighbors' labels, its label's
+  * label) — the third term halves label-chain lengths every round, so
+  * convergence is O(log diameter) instead of O(diameter): a 1000-node path
+  * graph converges in ~10 rounds, not 1000.
+  *
+  * Per-round cost is ONE Spark job: the round's result is materialized by
+  * an eager checkpoint whose tasks also feed a `changed` accumulator, so
+  * convergence detection rides the materialization instead of a second
+  * join+count action. (Task retries can only over-count the accumulator —
+  * an over-count costs one extra no-op round, never a wrong answer.)
+  *
+  * Checkpointing: `localCheckpoint` by default (fast, executor-local) — an
+  * executor loss during the loop fails the job and the caller retries. For
+  * long chains on a real cluster pass `checkpointDir` to use reliable
+  * `checkpoint()` into shared storage instead.
   *
   * At 100 TB the edge list after LSH+verify is orders of magnitude
   * smaller than the corpus (only near-dup members appear), so the loop
-  * runs on a fraction of the data; the large-diameter worst case does not
-  * occur for similarity graphs (dup clusters are cliques-ish).
+  * runs on a fraction of the data.
   */
 object Components {
 
   /** Min-label connected components: `edges` (src,dst), `vertices` (id) →
-    * (id, component) where component = min reachable id. */
+    * (id, component) where component = min reachable id. Ids are cast to
+    * long (the accumulator-carrying convergence check is typed). */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
-    // undirected: both directions. localCheckpoint between rounds keeps
-    // the plan bounded AND gives each round fresh attribute ids — joining
-    // `e` against a frame derived from `e` would otherwise hit Spark's
-    // cross-lineage column-resolution ambiguity and silently mis-join.
-    val e = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
-    var labels = vertices.select(col("id"), col("id").as("component")).localCheckpoint()
-    var changed = 1L
+                          maxIter: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val spark = vertices.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // eager materialization between rounds keeps the plan bounded AND gives
+    // each round fresh attribute ids — joining `e` against a frame derived
+    // from it would otherwise hit Spark's cross-lineage column-resolution
+    // ambiguity and silently mis-join.
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+
+    // undirected: both directions
+    val e = ckpt(edges
+      .select(col("src").cast(LongType), col("dst").cast(LongType))
+      .union(edges.select(col("dst").cast(LongType).as("src"), col("src").cast(LongType).as("dst")))
+      .distinct())
+    var labels = ckpt(vertices.select(col("id").cast(LongType),
+      col("id").cast(LongType).as("component")))
+
+    val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
+    val track = udf((oldC: Long, newC: Long) => { if (newC != oldC) acc.add(1L); newC })
+
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (!converged && iter < maxIter) {
       // neighbor minimum per node, all joins on freshly-named columns
       val viaNeighbor = e.select(col("src").as("n_id"), col("dst").as("n_nbr"))
         .join(labels.select(col("id").as("n_nbr"), col("component").as("n_comp")), Seq("n_nbr"))
         .groupBy(col("n_id").as("id")).agg(min(col("n_comp")).as("nmin"))
-      val next = labels.join(viaNeighbor, Seq("id"), "left_outer")
+      // pointer jumping: component(component(x)); labels is checkpointed so
+      // the self-join resolves on fresh attributes
+      val viaParent = labels.select(col("id").as("p_id"), col("component").as("p_comp"))
+        .join(labels.select(col("id").as("p_comp"), col("component").as("p_comp2")), Seq("p_comp"))
+        .select(col("p_id").as("id"), col("p_comp2").as("pmin"))
+      acc.reset()
+      val next = labels
+        .join(viaNeighbor, Seq("id"), "left_outer")
+        .join(viaParent, Seq("id"), "left_outer")
         .select(col("id"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-        .localCheckpoint()
-      changed = next.select(col("id"), col("component").as("new"))
-        .join(labels.select(col("id"), col("component").as("old")), Seq("id"))
-        .filter(col("new") =!= col("old")).count()
-      labels = next
+          track(col("component"),
+            least(col("component"),
+              coalesce(col("nmin"), col("component")),
+              coalesce(col("pmin"), col("component")))).as("component"))
+      labels = ckpt(next) // the round's single action; fills `acc`
+      converged = acc.value == 0L
       iter += 1
     }
     labels
@@ -61,9 +93,11 @@ object Components {
     * to union-find on the driver (milliseconds, zero jobs per round) and
     * join the labels back; above it, run the distributed loop. */
   def connectedComponentsAuto(vertices: DataFrame, edges: DataFrame,
-                              localThreshold: Long = 1000000L): DataFrame = {
+                              localThreshold: Long = 1000000L,
+                              checkpointDir: Option[String] = None): DataFrame = {
     val n = edges.count()
-    if (n > localThreshold) return connectedComponents(vertices, edges)
+    if (n > localThreshold)
+      return connectedComponents(vertices, edges, checkpointDir = checkpointDir)
     val pairs = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map[Long, Long]()
@@ -89,52 +123,75 @@ object Components {
       .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
   }
 
+  /** Recursive-CTE oracle fragment: clusters over the exact j>=0.6 pairs
+    * (valid for the LSH edges by the verify + miss-probability argument in
+    * [[DedupOps.verifiedPairs]]). Appends to [[DedupOps.pairsCtes]]. */
+  private def clustersCtes(capped: Boolean): String = {
+    val vertWhere = if (capped) " WHERE doc_id < 500" else ""
+    s"""${DedupOps.pairsCtes(capped, tenths = 6)},
+       |bidir AS (
+       |  SELECT d1 AS src, d2 AS dst FROM pairs
+       |  UNION SELECT d2 AS src, d1 AS dst FROM pairs),
+       |verts AS (SELECT doc_id AS id FROM documents$vertWhere),
+       |reach(node, lab) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN bidir e ON e.src = r.node),
+       |clusters AS (
+       |  SELECT node AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY node)""".stripMargin
+  }
+
   /** q44: near-dup clusters over the verified near-dup pairs (q24 edges,
-    * j >= 0.6) for doc_id < 500 — every doc labeled with its component
-    * (= min doc_id reachable), singletons labeling themselves. The DuckDB
-    * oracle computes the same transitive closure with a recursive CTE. */
+    * j >= 0.6) for the oracle slice — every doc labeled with its component
+    * (= min doc_id reachable), singletons labeling themselves. Consumes
+    * the SAME cached pair frame as q24/q46 (no pipeline re-run). The
+    * DuckDB oracle computes the transitive closure with a recursive CTE. */
   val q44DedupClusters = QueryDef(
     "q44_dedup_clusters",
     (s, d) => {
-      // edges come from the SCALABLE candidate path (MinHash+LSH banding
-      // with exact verify at j >= 0.6, q24) — the verify makes its output
-      // equal the exact-Jaccard pairs at the same threshold, so the
-      // recursive-CTE oracle over exact j >= 0.6 pairs is valid while the
-      // engine-side cost is the 100 TB shape.
-      val edges = DedupOps.q24MinhashLsh.run(s, d)
+      val edges = DedupOps.verifiedPairs(s, d, DedupOps.OracleCap)
         .select(col("d1").as("src"), col("d2").as("dst"))
       val verts = Tables.documents(s, d)
-        .filter(col("doc_id") < 500).select(col("doc_id").as("id"))
+        .filter(col("doc_id") < DedupOps.OracleCap).select(col("doc_id").as("id"))
       connectedComponentsAuto(verts, edges)
         .select(col("id").as("doc_id"), col("component").as("cluster"))
         .orderBy("doc_id")
     },
-    Some("""WITH RECURSIVE sh AS (
-           |  SELECT DISTINCT doc_id, sh FROM (
-           |    SELECT doc_id, unnest(list_transform(range(1, length(text) - 3),
-           |                          i -> substr(text, CAST(i AS INTEGER), 5))) AS sh
-           |    FROM documents WHERE doc_id < 500 AND length(text) >= 5) raw),
-           |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-           |inter AS (
-           |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ic
-           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           |  GROUP BY 1, 2),
-           |edges AS (
-           |  SELECT d1, d2 FROM inter
-           |  JOIN sizes s1 ON s1.doc_id = d1
-           |  JOIN sizes s2 ON s2.doc_id = d2
-           |  WHERE ic * 10 >= (s1.sz + s2.sz - ic) * 6),
-           |bidir AS (
-           |  SELECT d1 AS src, d2 AS dst FROM edges
-           |  UNION SELECT d2 AS src, d1 AS dst FROM edges),
-           |verts AS (SELECT doc_id AS id FROM documents WHERE doc_id < 500),
-           |reach(node, lab) AS (
-           |  SELECT id, id FROM verts
-           |  UNION
-           |  SELECT e.dst, r.lab FROM reach r JOIN bidir e ON e.src = r.node)
-           |SELECT node AS doc_id, MIN(lab) AS cluster
-           |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)
+    Some(s"""WITH RECURSIVE ${clustersCtes(capped = true)}
+           |SELECT doc_id, cluster FROM clusters ORDER BY doc_id""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q44DedupClusters)
+  /** q53: FULL-CORPUS near-dup cluster summary — the scalable complement
+    * of q44: edges from the unbounded LSH pass (q52), vertices restricted
+    * to edge endpoints (docs in no pair are singletons by definition, so
+    * the clustering never touches the full corpus — it runs on near-dup
+    * METADATA only, the property that makes this viable at 100 TB).
+    * Output: (cluster, sz) per multi-doc cluster; grows with scale factor. */
+  val q53DedupClustersFull = QueryDef(
+    "q53_dedup_clusters_full",
+    (s, d) => {
+      val edges = DedupOps.verifiedPairs(s, d, DedupOps.FullCorpus)
+        .select(col("d1").as("src"), col("d2").as("dst"))
+      val verts = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      connectedComponentsAuto(verts, edges)
+        .groupBy(col("component").as("cluster"))
+        .agg(count(lit(1)).as("sz"))
+        .orderBy("cluster")
+    },
+    Some(s"""WITH RECURSIVE ${DedupOps.pairsCtes(capped = false, tenths = 6)},
+           |bidir AS (
+           |  SELECT d1 AS src, d2 AS dst FROM pairs
+           |  UNION SELECT d2 AS src, d1 AS dst FROM pairs),
+           |reach(node, lab) AS (
+           |  SELECT DISTINCT src, src FROM bidir
+           |  UNION
+           |  SELECT e.dst, r.lab FROM reach r JOIN bidir e ON e.src = r.node),
+           |clusters AS (
+           |  SELECT node AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY node)
+           |SELECT cluster, COUNT(*) AS sz FROM clusters
+           |GROUP BY cluster ORDER BY cluster""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q44DedupClusters, q53DedupClustersFull)
 }
