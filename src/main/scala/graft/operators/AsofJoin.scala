@@ -35,7 +35,14 @@ object AsofJoin {
       struct(lCols.map(col): _*).as("_lrow"), lit(null).cast(rowType(right)).as("_rrow"))
     val r = right.select(col(rightKey).as("_k"), col(rightTs).as("_ts"), lit(0).as("_side"),
       lit(null).cast(rowType(left)).as("_lrow"), struct(right.columns.map(col): _*).as("_rrow"))
-    val w = Window.partitionBy("_k").orderBy(col("_ts").asc, col("_side").asc)
+    // third sort key: content hash of the right payload — multiple right
+    // rows at the SAME (key, ts) would otherwise make `last(right)`
+    // partition-order-dependent; with the hash the winner is the row with
+    // the greatest xxhash64, deterministic across runs and partitionings
+    // (left rows all hash the null payload to the same constant, and their
+    // relative order never affects their own `last` value).
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_ts").asc, col("_side").asc, xxhash64(col("_rrow")).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("matched", last(col("_rrow"), ignoreNulls = true).over(w))

@@ -77,7 +77,9 @@ object EventOps {
       // µs granularity on both sides: DuckDB's parquet reader surfaces ns
       // timestamps at µs precision, so the oracle can only see µs
       val HalfHourUs = HalfHourNs / 1000
-      val byUser = Window.partitionBy("user_id").orderBy("ts_us")
+      // event_id tiebreak: two events for the same user at the same µs
+      // would otherwise make lag()/sess_id partition-order-dependent
+      val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       Tables.events(s, d)
         .withColumn("ts_us", expr("ts_ns DIV 1000"))
         .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
@@ -91,15 +93,15 @@ object EventOps {
         .orderBy("user_id", "sess_id")
     },
     Some(s"""WITH marked AS (
-            |  SELECT user_id, epoch_us(ts) AS ts_us, value,
+            |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= ${HalfHourNs / 1000}
             |         THEN 1 ELSE 0 END AS new_sess
             |  FROM events
-            |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+            |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
             |sess AS (
             |  SELECT user_id, ts_us, value,
-            |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+            |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
             |  FROM marked)
             |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, MIN(ts_us) AS sess_start,

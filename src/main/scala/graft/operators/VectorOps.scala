@@ -112,14 +112,37 @@ object VectorOps {
       .limit(10)
   }
 
+  /** The DuckDB-side bucket expression: the SAME hyperplane literals
+    * rendered into SQL (Double.toString is shortest-roundtrip, so DuckDB
+    * parses back the identical doubles), the projection as an explicit
+    * left-associated sum — bit-identical to Spark's sequential
+    * `aggregate` fold (the fold's extra leading `0.0 + x` term can only
+    * turn -0.0 into +0.0, which cannot change the `>= 0` sign test). */
+  private def bucketSqlExpr: String =
+    (0 until NumPlanes).map { p =>
+      val proj = planeVec(p).zipWithIndex
+        .map { case (w, i) => s"v[${i + 1}]*($w)" }.mkString(" + ")
+      s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
   /** q28: LSH-bucketed ANN — hyperplane-sign buckets, multi-probe radius 1
     * (query bucket + its `planes` neighbors → (1+planes)/2^planes of the
-    * corpus scanned). No SQL oracle (rows-only check); recall behavior is
-    * asserted in VectorOpsSpec. */
+    * corpus scanned). The oracle reproduces bucket assignment, multi-probe
+    * filter and exact rank in DuckDB from the same plane literals; recall
+    * behavior vs brute force is additionally asserted in VectorOpsSpec. */
   val q28AnnLsh = QueryDef(
     "q28_ann_lsh",
     (s, d) => annLshQuery(s, d, radius = 1),
-    None
+    Some(s"""WITH e AS (
+           |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |b AS (
+           |  SELECT vec_id, label, v, CAST($bucketSqlExpr AS BIGINT) AS bucket FROM e),
+           |q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+           |SELECT b.vec_id, CAST(b.label AS BIGINT) AS label,
+           |  round(list_cosine_similarity(b.v, q.qv), 6) AS sim
+           |FROM b, q
+           |WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket, q.qbucket)) <= 1
+           |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
   )
 
   /** q29: embedding-cosine near-duplicate pairs (cosine >= 0.45 here so the
