@@ -37,6 +37,11 @@ final class DelayedObjs[T](val futures: Seq[Future[T]])(implicit ec: ExecutionCo
   def compute(timeout: Duration = Duration.Inf): Seq[T] =
     Await.result(Future.sequence(futures), timeout)
 
+  /** Parity with the reference's `.persist()` (core.py:151-153). Futures
+    * here are already eagerly submitted at construction — persist is the
+    * identity, exactly like the reference on an eager cluster client. */
+  def persist(): DelayedObjs[T] = this
+
   /** Number of tasks — known without blocking (`__len__`, core.py:177-178;
     * note the semantic difference from Dataset.count(), which is an
     * action). */

@@ -79,10 +79,18 @@ final class ObjDataset[T](val ds: Dataset[T]) {
   // ---- reductions (core.py:104-108) ----
 
   /** Tree reduction: per-partition fold + combine — `reduction(perpartition,
-    * aggregate)` (core.py:104-105 → bag.reduction). Uses treeAggregate so
-    * the combine is O(log n) depth, not a driver fan-in. */
-  def reduction[U: ClassTag](perPartition: Iterator[T] => U, combine: (U, U) => U, zero: U): U =
-    ds.rdd.mapPartitions(it => Iterator.single(perPartition(it))).treeReduce(combine)
+    * aggregate)` (core.py:104-105 → bag.reduction). Uses treeReduce so
+    * the combine is O(log n) depth, not a driver fan-in. `splitEvery`
+    * mirrors the reference's fan-in kwarg (core.py:104-105, dask default
+    * 8): combine depth = ceil(log_splitEvery(npartitions)). */
+  def reduction[U: ClassTag](perPartition: Iterator[T] => U, combine: (U, U) => U, zero: U,
+                             splitEvery: Int = 8): U = {
+    val parts = ds.rdd.mapPartitions(it => Iterator.single(perPartition(it)))
+    val depth = math.max(1,
+      math.ceil(math.log(math.max(parts.getNumPartitions, 2).toDouble) /
+        math.log(math.max(splitEvery, 2).toDouble)).toInt)
+    parts.treeReduce(combine, depth)
+  }
 
   /** Distributed frequency count — `counts`/`frequencies` (core.py:107-108).
     * groupBy(value).count() executor-side; only the final small map is

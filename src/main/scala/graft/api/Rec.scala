@@ -225,34 +225,52 @@ object Rec {
   private[api] def numOp(op: String, a: Any, b: Any): Any = (a, b) match {
     case (x: String, y) if op == "+" => x + y.toString
     case (x: String, y: Int) if op == "*" => x * y
+    // integral operands stay in Long arithmetic end-to-end: routing them
+    // through Double would lose precision above 2^53 (e.g. 64-bit hash
+    // values) and diverge from the Catalyst lower() path for the bit ops
+    case (x0: Int, y0: Int)   => longOp(op, x0.toLong, y0.toLong, a, b)
+    case (x0: Long, y0: Long) => longOp(op, x0, y0, a, b)
+    case (x0: Int, y0: Long)  => longOp(op, x0.toLong, y0, a, b)
+    case (x0: Long, y0: Int)  => longOp(op, x0, y0.toLong, a, b)
     case _ =>
-      val (isInt, x, y) = (a, b) match {
-        case (i: Int, j: Int)   => (true, i.toDouble, j.toDouble)
-        case (i: Long, j: Long) => (true, i.toDouble, j.toDouble)
-        case (i: Int, j: Long)  => (true, i.toDouble, j.toDouble)
-        case (i: Long, j: Int)  => (true, i.toDouble, j.toDouble)
-        case _ => (false, toD(a), toD(b))
-      }
+      val (x, y) = (toD(a), toD(b))
       op match {
-        case "+"  => wrapNum(x + y, isInt)
-        case "-"  => wrapNum(x - y, isInt)
-        case "*"  => wrapNum(x * y, isInt)
+        case "+"  => x + y
+        case "-"  => x - y
+        case "*"  => x * y
         case "/"  => x / y
         case "//" => math.floor(x / y).toLong
-        case "%"  => wrapNum(x % y, isInt)
+        case "%"  => x % y
         case "**" => math.pow(x, y)
-        case "<<" => (x.toLong << y.toLong)
-        case ">>" => (x.toLong >> y.toLong)
-        case "&"  => (x.toLong & y.toLong)
-        case "|"  => (x.toLong | y.toLong)
-        case "^"  => (x.toLong ^ y.toLong)
         case "<"  => x < y
         case "<=" => x <= y
         case "==" => a == b
         case "!=" => a != b
         case ">"  => x > y
         case ">=" => x >= y
+        case o => throw new IllegalArgumentException(s"$o not defined on doubles")
       }
+  }
+
+  private def longOp(op: String, x: Long, y: Long, a: Any, b: Any): Any = op match {
+    case "+"  => x + y
+    case "-"  => x - y
+    case "*"  => x * y
+    case "/"  => x.toDouble / y.toDouble // true division, like the F.Column path
+    case "//" => Math.floorDiv(x, y)     // floor semantics, exact for all longs
+    case "%"  => x % y
+    case "**" => math.pow(x.toDouble, y.toDouble)
+    case "<<" => x << y
+    case ">>" => x >> y
+    case "&"  => x & y
+    case "|"  => x | y
+    case "^"  => x ^ y
+    case "<"  => x < y
+    case "<=" => x <= y
+    case "==" => a == b
+    case "!=" => a != b
+    case ">"  => x > y
+    case ">=" => x >= y
   }
 
   private def toD(a: Any): Double = a match {
@@ -260,9 +278,6 @@ object Rec {
     case f: Float => f.toDouble; case d: Double => d
     case other => throw new IllegalArgumentException(s"not numeric: $other")
   }
-
-  private def wrapNum(d: Double, isInt: Boolean): Any =
-    if (isInt && d.isWhole) d.toLong else d
 
   private[api] def unOp(op: String, a: Any): Any = op match {
     case "neg"    => numOp("*", a, -1)

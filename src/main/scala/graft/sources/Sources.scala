@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
 
 /** Source/sink surface — SURVEY.md §2.4 scan/sink tier (`db.read_text`,
   * `bag.to_textfiles`, `bag.to_dataframe`, `db.from_sequence` …) mapped to
@@ -57,4 +57,135 @@ object Sources {
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
+
+  // ---- avro (`db.read_avro` / `bag.to_avro`, reference core.py:64-65) ----
+  //
+  // The spark-avro DataSource connector is not in this container's
+  // /opt/spark/jars, but the core avro + avro-mapred libraries are — so
+  // the gateway op is implemented directly on the splittable Hadoop
+  // AvroKeyInputFormat/AvroKeyOutputFormat (the same container format and
+  // parallelism the connector uses; one task per file split). Scope is the
+  // classic flat-record profile: primitive fields, each optionally
+  // nullable via the standard union(null, T) — nested records should land
+  // in parquet anyway at scale (avro is a row-ingest format; nothing
+  // pushes down).
+
+  import scala.jdk.CollectionConverters._
+
+  private def avroToSpark(f: org.apache.avro.Schema): (DataType, Boolean) = {
+    import org.apache.avro.Schema.Type._
+    f.getType match {
+      case UNION =>
+        val nonNull = f.getTypes.asScala.filter(_.getType != NULL)
+        require(nonNull.size == 1, s"only union(null, T) avro unions supported, got $f")
+        (avroToSpark(nonNull.head)._1, true)
+      case BOOLEAN => (BooleanType, false)
+      case INT     => (IntegerType, false)
+      case LONG    => (LongType, false)
+      case FLOAT   => (FloatType, false)
+      case DOUBLE  => (DoubleType, false)
+      case STRING  => (StringType, false)
+      case BYTES   => (BinaryType, false)
+      case t => throw new UnsupportedOperationException(
+        s"avro type $t not supported by the minimal reader (flat primitive records only)")
+    }
+  }
+
+  private def sparkToAvroJson(schema: StructType, name: String): String = {
+    def prim(dt: DataType): String = dt match {
+      case BooleanType => "\"boolean\""
+      case IntegerType => "\"int\""
+      case LongType    => "\"long\""
+      case FloatType   => "\"float\""
+      case DoubleType  => "\"double\""
+      case StringType  => "\"string\""
+      case BinaryType  => "\"bytes\""
+      case t => throw new UnsupportedOperationException(
+        s"spark type $t not supported by the minimal avro writer (flat primitive rows only)")
+    }
+    val fields = schema.fields.map { f =>
+      val t = if (f.nullable) s"""["null", ${prim(f.dataType)}]""" else prim(f.dataType)
+      s"""{"name": "${f.name}", "type": $t}"""
+    }.mkString(",")
+    s"""{"type": "record", "name": "$name", "fields": [$fields]}"""
+  }
+
+  /** `db.read_avro` analog: schema inferred from the first file's header
+    * (avro is self-describing), then a splittable parallel read. */
+  def readAvro(s: SparkSession, path: String): DataFrame = {
+    import org.apache.avro.generic.GenericRecord
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.AvroKeyInputFormat
+    import org.apache.hadoop.io.NullWritable
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+    // driver-side: sniff the writer schema from one container header
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new HPath(path).toUri, conf)
+    val first = fs.listStatus(new HPath(path)).iterator
+      .map(_.getPath).filter(_.getName.endsWith(".avro")).toSeq.sortBy(_.getName)
+      .headOption.getOrElse(throw new java.io.FileNotFoundException(s"no .avro files under $path"))
+    val in = fs.open(first)
+    val avroSchema = try {
+      new org.apache.avro.file.DataFileStream(in,
+        new org.apache.avro.generic.GenericDatumReader[GenericRecord]()).getSchema
+    } finally in.close()
+    val sparkSchema = StructType(avroSchema.getFields.asScala.map { f =>
+      val (dt, nullable) = avroToSpark(f.schema())
+      StructField(f.name(), dt, nullable)
+    }.toArray)
+    val names = sparkSchema.fields.map(_.name)
+
+    val rows = s.sparkContext.newAPIHadoopFile(
+        path, classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable], conf)
+      .map { case (k, _) =>
+        val rec = k.datum()
+        Row.fromSeq(names.map { n =>
+          rec.get(n) match {
+            case null => null
+            case u: org.apache.avro.util.Utf8 => u.toString
+            case b: java.nio.ByteBuffer =>
+              val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+            case v => v
+          }
+        }.toSeq)
+      }
+    s.createDataFrame(rows, sparkSchema)
+  }
+
+  /** `bag.to_avro` analog: one avro container file per partition. */
+  def writeAvro(df: DataFrame, path: String): Unit = {
+    import org.apache.avro.generic.{GenericData, GenericRecord}
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.{AvroJob, AvroKeyOutputFormat}
+    import org.apache.hadoop.io.NullWritable
+
+    val schemaJson = sparkToAvroJson(df.schema, "graft_record")
+    val names = df.schema.fields.map(_.name)
+    val spark = df.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri, spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true) // SaveMode.Overwrite parity
+
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputKeySchema(job, new org.apache.avro.Schema.Parser().parse(schemaJson))
+    df.rdd.mapPartitions { it =>
+        // avro Schema is not serializable across all versions: parse per task
+        val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+        it.map { row =>
+          val rec = new GenericData.Record(schema)
+          names.zipWithIndex.foreach { case (n, i) =>
+            rec.put(n, row.get(i) match {
+              case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+              case v => v
+            })
+          }
+          (new AvroKey[GenericRecord](rec), NullWritable.get())
+        }
+      }
+      .saveAsNewAPIHadoopFile(path, classOf[AvroKey[GenericRecord]],
+        classOf[NullWritable], classOf[AvroKeyOutputFormat[GenericRecord]],
+        job.getConfiguration)
+  }
 }

@@ -58,4 +58,36 @@ class PlanSpec extends SparkSpec {
     val p = plan(VectorOps.q27CosineTopK)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  /** Whole-registry scale-invariant sweep (PlanAudit promoted to a test):
+    * a regression that turns an equi-join into a cartesian, or sneaks a
+    * nested-loop join onto a non-broadcast path, or adds an unexpected
+    * shuffle stage, fails `sbt test` — not just a dev tool run. */
+  test("registry sweep: no cartesians; BNLJ only on intended broadcast paths; bounded exchanges") {
+    // tiny-broadcast-side nested loops that are BY DESIGN: scalar query
+    // vector / query set (q27/q28/q29/q38) and the intentional cross
+    // product (q37)
+    val bnljAllowed = Set("q27_cosine_topk", "q28_ann_lsh", "q29_cosine_pairs",
+      "q37_product", "q38_batch_ann")
+    // plan-text exchange budgets: the LSH pipeline legitimately has ~18
+    // (sig agg + banding self-join + verify joins); queries consuming the
+    // CACHED pair/cluster frames repeat that lineage inside
+    // InMemoryRelation blocks (text double-counting, not runtime
+    // shuffles) — everything else must stay single-digit.
+    val exchangeBudget: String => Int = {
+      case n if n.startsWith("q46") || n.startsWith("q53") || n.startsWith("q54") => 160
+      case n if n.startsWith("q23") || n.startsWith("q24") || n.startsWith("q52") => 24
+      case _ => 8
+    }
+    SparkEntry.registry.foreach { q =>
+      val p = q.run(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian product")
+      if (!bnljAllowed(q.name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} plans an unintended nested-loop join")
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= exchangeBudget(q.name),
+        s"${q.name}: $exchanges exchanges exceeds budget ${exchangeBudget(q.name)}")
+    }
+  }
 }

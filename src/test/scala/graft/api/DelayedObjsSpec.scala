@@ -12,6 +12,9 @@ class DelayedObjsSpec extends SparkSpec {
     val objs = DelayedObjs(Seq(1, 2, 3))
     assert(objs.map(_ * 10).compute() == Seq(10, 20, 30))
     assert(objs.length == 3) // known without blocking
+    // persist parity (core.py:151-153): futures are eagerly submitted at
+    // construction, so persist is the identity
+    assert(objs.persist().compute() == objs.compute())
   }
 
   test("operator dunders map elementwise (core.py:180-220)") {

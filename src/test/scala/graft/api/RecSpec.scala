@@ -39,6 +39,27 @@ class RecSpec extends SparkSpec {
     assert((e ** 2).eval(3.0) == 9.0)
   }
 
+  test("eval keeps integral arithmetic in 64-bit (no double round-trip)") {
+    val e = Rec("e")
+    // values above 2^53 are not representable in double — a Double route
+    // would silently round these
+    val big = (1L << 60) + 12345L
+    assert((e + 1).eval(big) == big + 1)
+    assert((e - 1).eval(big) == big - 1)
+    assert((e * 1).eval(big) == big)
+    assert((e % 1000003L).eval(big) == big % 1000003L)
+    // bit ops on 64-bit hash-like values must be exact
+    val h = 0x9E3779B97F4A7C15L
+    assert((e ^ 0x123456789ABCDEF0L).eval(h) == (h ^ 0x123456789ABCDEF0L))
+    assert((e & 0xFFFFFFFFL).eval(h) == (h & 0xFFFFFFFFL))
+    assert((e | 1L).eval(h) == (h | 1L))
+    assert((e >> 7).eval(h) == (h >> 7))
+    assert((e << 3).eval(big) == (big << 3))
+    // floor division stays exact and floor-semantics on negatives
+    assert((e.floorDiv(10)).eval(-7L) == -1L)
+    assert((e.floorDiv(3)).eval(big) == Math.floorDiv(big, 3L))
+  }
+
   test("attr/item eval over maps, seqs, case classes") {
     val e = Rec("e")
     assert(e.item("k").eval(Map("k" -> 7)) == 7)

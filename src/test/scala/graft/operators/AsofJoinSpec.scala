@@ -21,6 +21,23 @@ class AsofJoinSpec extends SparkSpec {
       "c" -> None))        // key with no right rows
   }
 
+  test("duplicate right timestamps: tie broken deterministically across partitionings") {
+    // three right rows at the SAME (key, ts) — without the payload-hash
+    // tiebreak, `last(right)` would depend on partition order
+    val left = Seq((1L, 100L, "a"), (1L, 250L, "b")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 100L, "x"), (1L, 100L, "y"), (1L, 100L, "z"))
+      .toDF("rk", "rts", "rv")
+    val runs = (1 to 4).map { i =>
+      AsofJoin.asofJoin(left.repartition(i), right.repartition(5 - i), "k", "ts", "rk", "rts")
+        .select(col("tag"), col("matched.rv"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+    assert(runs.distinct.size == 1, s"nondeterministic tie-break: $runs")
+    // both left rows see the same winning right row
+    assert(runs.head("a") == runs.head("b"))
+    assert(Set("x", "y", "z").contains(runs.head("a")))
+  }
+
   test("as-of join plans ONE shuffle (hash partition on key), no nested loop") {
     val e = graft.Tables.events(spark, sfDir).withColumn("ts_us", expr("ts_ns DIV 1000"))
     val clicks = e.filter(col("event_type") === "click").select(col("user_id"), col("ts_us"))

@@ -34,6 +34,27 @@ class ComponentsSpec extends SparkSpec {
     assert(out.values.toSet == Set(0L)) // single component labeled by min id
   }
 
+  test("pointer jumping: 300-node path converges within the iteration cap") {
+    // pure neighbor min-propagation needs O(diameter)=300 rounds — far
+    // over maxIter; pointer jumping halves chain lengths every round, so
+    // convergence is O(log n) (~10 rounds). Wrong labels here would mean
+    // the loop hit maxIter unconverged.
+    val n = 300L
+    val verts = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = labelsOf(Components.connectedComponents(verts, edges, maxIter = 15))
+    assert(out.values.toSet == Set(0L), "path graph must collapse to component 0")
+  }
+
+  test("reliable checkpoint path produces the same labels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val verts = (0L until 20L).toDF("id")
+    val edges = (0L until 19L by 2).map(i => (i, i + 1)).toDF("src", "dst")
+    val reliable = labelsOf(Components.connectedComponents(verts, edges, checkpointDir = Some(dir)))
+    val local = labelsOf(Components.connectedComponentsAuto(verts, edges))
+    assert(reliable == local)
+  }
+
   test("singletons label themselves") {
     val verts = Seq(1L, 2L, 3L).toDF("id")
     val edges = Seq((1L, 2L)).toDF("src", "dst")

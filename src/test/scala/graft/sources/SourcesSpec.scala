@@ -47,6 +47,44 @@ class SourcesSpec extends SparkSpec {
       df.orderBy("c_custkey").collect().toSeq)
   }
 
+  test("avro round-trip preserves values (nation table) and splits per partition") {
+    val path = tmp("avro")
+    val df = Tables.nation(spark, sfDir).repartition(3)
+    Sources.writeAvro(df, path)
+    val back = Sources.readAvro(spark, path)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      df.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("avro round-trip: nullable + binary + double columns") {
+    val path = tmp("avro2")
+    val df = Seq(
+      (1L, Some("alpha"), 1.5, Array[Byte](1, 2, 3)),
+      (2L, None, -0.25, Array[Byte]()),
+      (3L, Some("gamma"), 0.0, Array[Byte](9))
+    ).toDF("id", "name", "score", "payload")
+    Sources.writeAvro(df, path)
+    val back = Sources.readAvro(spark, path).orderBy("id").collect()
+    val orig = df.orderBy("id").collect()
+    assert(back.length == orig.length)
+    back.zip(orig).foreach { case (b, o) =>
+      assert(b.getLong(0) == o.getLong(0))
+      assert(Option(b.getString(1)) == Option(o.getString(1)))
+      assert(b.getDouble(2) == o.getDouble(2))
+      assert(b.getAs[Array[Byte]](3).toSeq == o.getAs[Array[Byte]](3).toSeq)
+    }
+  }
+
+  test("avro writer rejects unsupported nested types with a clear error") {
+    val df = Tables.embeddings(spark, sfDir) // array<float> column
+    val e = intercept[UnsupportedOperationException] {
+      Sources.writeAvro(df, tmp("avro_bad"))
+    }
+    assert(e.getMessage.contains("not supported"))
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val path = tmp("part_parquet")
     val df = Tables.orders(spark, sfDir)
