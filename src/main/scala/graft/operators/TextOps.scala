@@ -178,6 +178,39 @@ object TextOps {
            |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin)
   )
 
+  /** q55: token counting, whitespace AND BPE-ish — the two token budgets a
+    * training pipeline tracks. The "BPE-ish" tokenizer is the classic
+    * pre-tokenization regex shape (letter runs | single digits | single
+    * non-alnum marks — digits split one-per-token and punctuation isolated,
+    * as GPT-2-style BPE pre-tokenizers do before merges). Pure
+    * `regexp_extract_all`, codegen'd, one narrow pass; the ratio column is
+    * integer-scaled so no floating point crosses the oracle. */
+  val q55TokenCounts = QueryDef(
+    "q55_token_counts",
+    (s, d) => {
+      val BpePat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast(LongType).as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"), lit(BpePat), lit(0))).cast(LongType).as("n_bpe_tokens"),
+          length(col("text")).cast(LongType).as("n_chars"))
+        // integer-scaled chars-per-BPE-token (×100, floor) — the budget
+        // metric, exact in both engines
+        .withColumn("chars_per_bpe_x100",
+          when(col("n_bpe_tokens") > 0, floor(col("n_chars") * 100 / col("n_bpe_tokens")).cast(LongType))
+            .otherwise(lit(0L)))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+           |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+           |  CAST(length(text) AS BIGINT) AS n_chars,
+           |  CAST(CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) > 0
+           |    THEN floor(length(text) * 100 / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')))
+           |    ELSE 0 END AS BIGINT) AS chars_per_bpe_x100
+           |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId,
-    q22Fingerprint, q39Bigrams)
+    q22Fingerprint, q39Bigrams, q55TokenCounts)
 }

@@ -145,6 +145,62 @@ object VectorOps {
            |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
   )
 
+  /** q56: IVF-style ANN — the inverted-file complement to q28's
+    * hyperplane LSH (SURVEY similarity-search scale path: "IVF or
+    * LSH-bucketed"). Coarse quantizer: 8 deterministic centroids (the
+    * vectors with vec_id 1..8 — a fixed, data-independent choice that both
+    * engines can reproduce; a production build would k-means them).
+    * Every vector is assigned to its nearest centroid (one broadcast +
+    * one narrow pass + per-vector top-1 window); the query probes its
+    * `nprobe`=2 nearest lists and exact-ranks only those lists' members —
+    * at scale the assignment is a write-time partitioning (cluster BY
+    * list id), so a probe scans nprobe/nlists of the corpus.
+    * All ranking on round(cos,6) with id tiebreaks → deterministic. */
+  val q56AnnIvf = QueryDef(
+    "q56_ann_ivf",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), toD(col("embedding")).as("v"))
+      val cents = emb.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+      val assign = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("label"), col("v"), col("cid"),
+          round(cosine(col("v"), col("cv")), 6).as("csim"))
+        .withColumn("rn", row_number().over(w))
+      val lists = assign.filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("v"), col("cid"))
+      val qprobe = assign.filter(col("vec_id") === 0 && col("rn") <= 2)
+        .select(col("cid"))
+      val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      lists.join(broadcast(qprobe), Seq("cid"), "left_semi")
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("label").cast(LongType).as("label"),
+          round(cosine(col("v"), col("qv")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(10)
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+           |a AS (
+           |  SELECT e.vec_id, cid,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, cid) AS rn
+           |  FROM e CROSS JOIN c),
+           |lists AS (SELECT vec_id, cid FROM a WHERE rn = 1),
+           |qp AS (SELECT cid FROM a WHERE vec_id = 0 AND rn <= 2)
+           |SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+           |  round(list_cosine_similarity(e.v, (SELECT v FROM e WHERE vec_id = 0)), 6) AS sim
+           |FROM e
+           |JOIN lists l ON l.vec_id = e.vec_id
+           |WHERE l.cid IN (SELECT cid FROM qp) AND e.vec_id <> 0
+           |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)
+  )
+
   /** q29: embedding-cosine near-duplicate pairs (cosine >= 0.45 here so the
     * answer set stays tiny) — all-pairs exact within the bounded corpus;
     * the LSH bucket (q28) is the candidate generator at scale. */
@@ -203,5 +259,6 @@ object VectorOps {
            |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q27CosineTopK, q28AnnLsh, q29CosinePairs, q38BatchAnn)
+  val all: Seq[QueryDef] =
+    Seq(q27CosineTopK, q28AnnLsh, q29CosinePairs, q38BatchAnn, q56AnnIvf)
 }

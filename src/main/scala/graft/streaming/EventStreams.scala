@@ -62,6 +62,27 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left_outer")
 
+  /** Stream-STREAM interval join: match each left event with right events
+    * for the same user within [0, maxGap] after it. Both sides carry
+    * watermarks and the join has an explicit time-range condition, so
+    * Spark can bound the buffered state on both sides and evict rows as
+    * the watermarks pass — without the range bound, stream-stream joins
+    * must buffer forever (the planner rejects them in Append mode). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   watermark: String = "10 minutes",
+                   maxGap: String = "30 minutes"): DataFrame = {
+    val l = left.select(col("user_id"), col("ts").as("l_ts"), col("value").as("l_value"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxGap"))
+      .select(col("user_id"), col("l_ts"), col("r_ts"), col("l_value"), col("r_value"))
+  }
+
   final case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 

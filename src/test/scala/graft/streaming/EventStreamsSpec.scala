@@ -73,6 +73,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.table("dedup").select("event_id").as[Long].collect().sorted.toSeq == Seq(100L, 101L))
   }
 
+  test("stream-stream interval join matches within the gap, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val query = EventStreams.intervalJoin(clicks.toDF(), buys.toDF(),
+        watermark = "10 minutes", maxGap = "30 minutes")
+      .writeStream.format("memory").queryName("sjoin").outputMode(OutputMode.Append()).start()
+
+    // user 1: click at :05, buy at :20 (within 30m → match) and buy at
+    // :50 (45m later → no match); user 2: buy BEFORE the click → no match
+    clicks.addData(Ev(ts(5), 1, "click", 1.0), Ev(ts(10), 2, "click", 2.0))
+    buys.addData(Ev(ts(20), 1, "buy", 10.0), Ev(ts(50), 1, "buy", 20.0),
+      Ev(ts(5), 2, "buy", 30.0))
+    query.processAllAvailable()
+    // advance both watermarks far past the interval so matched rows emit
+    clicks.addData(Ev(ts(300), 9, "click", 0.0))
+    buys.addData(Ev(ts(300), 9, "buy", 0.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("sjoin")
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4))).toSet
+    assert(rows.contains((1L, 1.0, 10.0)), s"in-gap match missing: $rows")
+    assert(!rows.exists { case (u, _, rv) => u == 1L && rv == 20.0 },
+      "out-of-gap right row must not match")
+    assert(!rows.exists(_._1 == 2L), "right row before left must not match")
+  }
+
   test("stream-static broadcast enrich") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
