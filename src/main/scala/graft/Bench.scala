@@ -47,10 +47,17 @@ object Bench {
           false
       }
 
-    // discarded warm-up pass. NOTE: caches persisted by one query (e.g.
-    // the shared dedup frames) are deliberately left for later queries —
-    // same-session reuse, exactly what a warm production cluster would see
-    queries.foreach { case (name, fn) => runOnce(name, fn) }
+    // warm-up pass, recorded as COLD timings (first execution: JIT, scan,
+    // cache materialization) but excluded from the medians. NOTE: caches
+    // persisted by one query (e.g. the shared dedup frames) are
+    // deliberately left for later queries — same-session reuse, exactly
+    // what a warm production cluster would see; the cold column is what a
+    // cache-less first pass costs.
+    val cold = queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok = runOnce(name, fn)
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
 
     val results = queries.map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
@@ -68,9 +75,11 @@ object Bench {
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
+    val coldJson = cold.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"errors":$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"cold_queries":$coldJson,"errors":$errJson}"""
     Files.writeString(Paths.get("BENCH.json"), json + "\n")
     println(json)
     spark.stop()

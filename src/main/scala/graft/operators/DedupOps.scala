@@ -256,7 +256,9 @@ object DedupOps {
   val q26SimhashPairs = QueryDef(
     "q26_simhash_pairs",
     (s, d) => {
-      val sig = q25Simhash.run(s, d).cache()
+      // simhash signature shared through the frame cache (one build +
+      // cache per session, no duplicate-cache warnings)
+      val sig = cachedFrame(s, d, FullCorpus, "simhash")(q25Simhash.run(s, d))
       val banded = sig.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 5).map(b =>
           shiftright(col("simhash"), 12 * b).bitwiseAND(lit(0xFFFL))): _*)).as(Seq("band", "bval")))

@@ -25,15 +25,18 @@ object TextOps {
   private def tokens(c: Column): Column = filter(split(c, " "), t => t =!= "")
 
   /** q18: exact deduplication — group identical texts, keep the smallest
-    * doc_id (deterministic survivor rule). At scale this is a single hash
-    * shuffle on the text (Spark hashes group keys — long texts cost hash
-    * time, not comparison count); for very long docs pre-hash with
-    * sha2(text,256) and group on the digest instead. */
+    * doc_id (deterministic survivor rule). The group key is the 256-bit
+    * sha2 digest, not the text itself: the document body never enters the
+    * shuffle (32 bytes/row instead of the full text — THE difference
+    * between shuffling 100 TB and shuffling 3 GB per 100M docs), and
+    * grouping by digest equals grouping by text up to sha-256 collisions
+    * (none exist publicly). The oracle groups by the raw text — identical
+    * groups, so identical output. */
   val q18DedupExact = QueryDef(
     "q18_dedup_exact",
     (s, d) =>
       Tables.documents(s, d)
-        .groupBy("text")
+        .groupBy(sha2(col("text"), 256).as("digest"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select("keep_id", "n_copies")
         .orderBy("keep_id"),
