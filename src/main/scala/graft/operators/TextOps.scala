@@ -214,6 +214,57 @@ object TextOps {
            |FROM documents ORDER BY doc_id""".stripMargin)
   )
 
+  /** q57: winnowing fingerprints (the MOSS scheme) — k-gram rolling hashes
+    * (k=5, the md5-derived 60-bit hash both engines reproduce), then the
+    * minimum of every w=8 consecutive hashes, distinct per doc. Winnowing
+    * guarantees any shared substring of length >= w+k-1 yields at least one
+    * SHARED fingerprint between two documents, at density 2/(w+1) — the
+    * index-friendly overlap detector: at 100 TB you invert (fingerprint →
+    * doc list) and candidate pairs fall out of bucket joins, same plan
+    * shape as the MinHash bands. Output is the per-doc fingerprint-set
+    * summary (count/min/max/xor — xor instead of sum so no overflow and no
+    * INT128 divergence). Docs shorter than k+w-1 chars have no full window
+    * and are filtered on both sides. */
+  val q57Winnowing = QueryDef(
+    "q57_winnowing",
+    (s, d) => {
+      val (k, w) = (5, 8)
+      val h = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+      val grams = Tables.documents(s, d)
+        .filter(length(col("text")) >= k + w - 1)
+        .select(col("doc_id"), (length(col("text")) - (k - 1)).as("ng"),
+          posexplode(transform(
+            sequence(lit(1), length(col("text")) - (k - 1)),
+            i => col("text").substr(i, lit(k)))).as(Seq("pos0", "g")))
+        .select(col("doc_id"), col("ng"), (col("pos0") + 1).as("pos"), h(col("g")).as("h"))
+      val byPos = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+      val fps = grams
+        .withColumn("fp", min(col("h")).over(byPos))
+        .filter(col("pos") <= col("ng") - (w - 1)) // full windows only
+        .select(col("doc_id"), col("fp")).distinct()
+      fps.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("min_fp"),
+          max(col("fp")).as("max_fp"), expr("bit_xor(fp)").as("xor_fp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH g AS (
+           |  SELECT doc_id, length(text) - 4 AS ng, pos,
+           |    CAST(('0x' || substr(md5(substr(text, CAST(pos AS INTEGER), 5)), 1, 15)) AS BIGINT) AS h
+           |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS pos
+           |        FROM documents WHERE length(text) >= 12) t),
+           |wmin AS (
+           |  SELECT doc_id, pos, ng,
+           |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+           |  FROM g),
+           |fps AS (
+           |  SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= ng - 7)
+           |SELECT doc_id, COUNT(*) AS n_fp, MIN(fp) AS min_fp, MAX(fp) AS max_fp,
+           |  bit_xor(fp) AS xor_fp
+           |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId,
-    q22Fingerprint, q39Bigrams, q55TokenCounts)
+    q22Fingerprint, q39Bigrams, q55TokenCounts, q57Winnowing)
 }
