@@ -79,12 +79,20 @@ object DedupOps {
   private val NumPerm = 64 // 32 bands × 2 rows
   private val Bands = 32
 
-  /** Linear-permutation constants for MinHash perm k (2-universal family):
-    * 31-bit base hash × odd 31-bit multiplier + <2^61 offset stays under
-    * 2^63, so ANSI-mode long arithmetic can never overflow. */
+  /** MinHash permutations are h_k = (a_k·h0 + b_k) mod p, p = 2^31-1
+    * (Mersenne prime) — the ml.feature.MinHashLSH construction. The mod is
+    * LOAD-BEARING: without it a·h0+b is strictly monotone in h0, so every
+    * "permutation" selects the same minimum shingle, all 64 signature
+    * values collapse to a function of one hash, banding recall degrades
+    * from 1-(1-j²)^32 to j, and every doc sharing the corpus's most common
+    * min-shingle lands in one mega-bucket in all 32 bands (a quadratic
+    * collision blow-up measured at 253M rows for 5k docs).
+    * Overflow-safety: a < p, h0 < 2^31 → a·h0 + b < 2^62 < 2^63 (ANSI
+    * mode can never throw). */
+  private val HashPrime = 2147483647L // 2^31 - 1
   private def permConsts(k: Int): (Long, Long) = (
-    ((0x9E3779B9L * (2 * k + 1)) & 0x7FFFFFFFL) | 1L,
-    (0xBF58476D1CE4E5B9L * (k + 1)) >>> 3)
+    (((0x9E3779B9L * (2 * k + 1)) & 0x7FFFFFFFL) % (HashPrime - 1)) + 1, // a ∈ [1, p-1]
+    ((0xBF58476D1CE4E5B9L * (k + 1)) >>> 3) % HashPrime)                 // b ∈ [0, p-1]
 
   /** MinHash signature per doc (64 permutation minima m0..m63 + shingle-set
     * size `sz` folded into the same aggregation pass): ONE base xxhash64
@@ -97,10 +105,18 @@ object DedupOps {
         .withColumn("h0", xxhash64(col("sh")).bitwiseAND(lit(0x7FFFFFFFL)))
       val aggs = (0 until NumPerm).map { k =>
         val (a, b) = permConsts(k)
-        min(col("h0") * lit(a) + lit(b)).as(s"m$k")
+        min((col("h0") * lit(a) + lit(b)) % lit(HashPrime)).as(s"m$k")
       }
       sh.groupBy("doc_id").agg(aggs.head, aggs.tail :+ count(lit(1)).as("sz"): _*)
     }
+
+  /** Minimum minhash-agreement (of [[NumPerm]]) a banded candidate needs
+    * to reach the exact verify. 20/64 = 0.3125: a j>=0.6 pair agrees on
+    * E=38.4 of 64 perms (σ≈3.9), so pruning at 20 is a 4.7σ one-in-a-
+    * million miss — the same order as the banding miss probability the
+    * oracle argument already accepts — while a background j≈0.1 pair
+    * (E=6.4) passes with probability ~1e-5. */
+  private val EstPruneMin = 20
 
   /** LSH-banded, exactly-verified near-dup pairs at Jaccard >= 0.6:
     * (d1, d2, ic, uc) with d1 < d2, unordered. The 100 TB shape:
@@ -109,13 +125,22 @@ object DedupOps {
     *     key per (doc, band), band index folded into the hash (no string
     *     concat, no cross-band collisions);
     *  2. candidates come from the band equi-join (bucketed, never n²);
-    *  3. exact Jaccard verify runs on candidates ONLY — the candidate list
-    *     is broadcast at the realistic densities near-dup corpora have
-    *     (pairs ≪ docs), so the verify is two broadcast joins + one agg.
+    *  3. a signature-space prune drops the banding's false positives
+    *     CHEAPLY: 2-row bands collide for background pairs at rate
+    *     1-(1-j²)^32 (~25% at the j≈0.1 a natural-language 5-gram corpus
+    *     has — millions of false candidates at 5k docs, all of which
+    *     previously hit the shingle join). Comparing the two 64-long
+    *     signatures costs 64 integer ops per candidate against a
+    *     broadcast of the narrow signature table (1 row/doc; beyond
+    *     broadcast size this becomes an ordinary shuffle join, still
+    *     linear) and passes only pairs with >= [[EstPruneMin]/[[NumPerm]]
+    *     estimated Jaccard;
+    *  4. exact Jaccard verify runs on the pruned survivors ONLY — a
+    *     small broadcast at realistic near-dup densities.
     *
-    * False positives are eliminated by the verify; at 32 bands × 2 rows
-    * the per-pair probability of LSH missing a j>=0.6 pair is
-    * (1-0.36)^32 < 1e-6, so the output equals the exact answer. */
+    * False positives are eliminated by the verify; misses are bounded by
+    * banding (1-0.36)^32 < 1e-6 plus the prune's ~1e-6 — the output
+    * equals the exact answer. */
   def verifiedPairs(s: SparkSession, d: String, cap: Long): DataFrame =
     cachedFrame(s, d, cap, "pairs") {
       val sig = signatures(s, d, cap)
@@ -123,9 +148,26 @@ object DedupOps {
         col("doc_id"),
         explode(array((0 until Bands).map(b =>
           xxhash64(lit(b), col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)).as("bhash"))
-      val cand = banded.as("x").join(banded.as("y"),
+      // NOTE prune ordering: band buckets are heavy-tailed (the minimum
+      // for a permutation is often attained by a globally common shingle,
+      // so one bucket can hold a large doc fraction → quadratic collision
+      // rows). The prune therefore runs BEFORE the distinct, row by row
+      // against the broadcast signatures (map-side, no shuffle), so the
+      // only wide shuffle (distinct) carries prune survivors — collision
+      // multiplicity never hits an exchange.
+      val candRaw = banded.as("x").join(banded.as("y"),
           col("x.bhash") === col("y.bhash") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      val s1 = sig.select(col("doc_id").as("d1") +: (0 until NumPerm).map(k => col(s"m$k").as(s"x$k")): _*)
+      val s2 = sig.select(col("doc_id").as("d2") +: (0 until NumPerm).map(k => col(s"m$k").as(s"y$k")): _*)
+      val estMatches = (0 until NumPerm)
+        .map(k => when(col(s"x$k") === col(s"y$k"), 1).otherwise(0))
+        .reduce(_ + _)
+      val cand = candRaw
+        .join(broadcast(s1), Seq("d1"))
+        .join(broadcast(s2), Seq("d2"))
+        .filter(estMatches >= EstPruneMin)
+        .select("d1", "d2")
         .distinct()
       val sh = shingles(s, d, cap)
       val sizes = sig.select(col("doc_id"), col("sz"))

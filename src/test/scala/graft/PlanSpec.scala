@@ -75,7 +75,7 @@ class PlanSpec extends SparkSpec {
     // InMemoryRelation blocks (text double-counting, not runtime
     // shuffles) — everything else must stay single-digit.
     val exchangeBudget: String => Int = {
-      case n if n.startsWith("q46") || n.startsWith("q53") || n.startsWith("q54") => 160
+      case n if n.startsWith("q46") || n.startsWith("q53") || n.startsWith("q54") => 220
       case n if n.startsWith("q23") || n.startsWith("q24") || n.startsWith("q52") => 24
       case _ => 8
     }

@@ -115,6 +115,27 @@ class EventStreamsSpec extends SparkSpec {
     assert(out == Map(1L -> Some("gold"), 3L -> None))
   }
 
+  test("file-sink: stream writes partitioned parquet exactly-once via checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt").toString
+    val query = input.toDF()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    input.addData(Ev(ts(1), 1, "click", 1.0), Ev(ts(2), 2, "view", 2.0))
+    query.processAllAvailable()
+    input.addData(Ev(ts(3), 1, "buy", 3.0))
+    query.processAllAvailable()
+    query.stop()
+    // the sink's _spark_metadata commit log makes the directory readable as
+    // a consistent batch table (files from uncommitted batches are ignored)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3)
+    assert(back.select("user_id").as[Long].collect().sorted.toSeq == Seq(1L, 1L, 2L))
+  }
+
   test("file-source stream over the real events parquet matches the batch result") {
     // the unbounded twin of a batch read: same parquet, readStream + schema
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
