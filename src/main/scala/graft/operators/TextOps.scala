@@ -214,43 +214,65 @@ object TextOps {
            |FROM documents ORDER BY doc_id""".stripMargin)
   )
 
-  /** q57: winnowing fingerprints (the MOSS scheme) — k-gram rolling hashes
-    * (k=5, the md5-derived 60-bit hash both engines reproduce), then the
-    * minimum of every w=8 consecutive hashes, distinct per doc. Winnowing
-    * guarantees any shared substring of length >= w+k-1 yields at least one
-    * SHARED fingerprint between two documents, at density 2/(w+1) — the
-    * index-friendly overlap detector: at 100 TB you invert (fingerprint →
-    * doc list) and candidate pairs fall out of bucket joins, same plan
-    * shape as the MinHash bands. Output is the per-doc fingerprint-set
-    * summary (count/min/max/xor — xor instead of sum so no overflow and no
-    * INT128 divergence). Docs shorter than k+w-1 chars have no full window
-    * and are filtered on both sides. */
+  /** q57: winnowing fingerprints (the MOSS scheme) — k-gram hashes (k=5),
+    * then the minimum of every w=8 consecutive hashes, distinct per doc.
+    * Winnowing guarantees any shared substring of length >= w+k-1 yields at
+    * least one SHARED fingerprint between two documents, at density
+    * 2/(w+1) — the index-friendly overlap detector: at 100 TB you invert
+    * (fingerprint → doc list) and candidate pairs fall out of bucket
+    * joins, same plan shape as the MinHash bands.
+    *
+    * Gram hash: base-257 polynomial over the char codes (injective for
+    * byte strings, max 255·Σ257^j ≈ 1.1e12 < 2^63 — ANSI-safe), then one
+    * LCG scramble mod 2^31-1 so minima aren't biased toward grams starting
+    * with low code points (space). Pure integer arithmetic — bit-identical
+    * in DuckDB, unlike float paths, and ~10× cheaper than the previous
+    * md5-hex-conv chain.
+    *
+    * Plan shape: the whole computation is PER-ROW array algebra (char
+    * codes → gram hashes → slice minima → distinct), so the query is a
+    * single narrow projection over the scan — no explode, no window
+    * shuffle, no groupBy; the only exchange is the final tiny orderBy.
+    * That is the 100 TB shape: winnowing is embarrassingly parallel per
+    * document and nothing here ever leaves the partition. Output is the
+    * per-doc fingerprint-set summary (count/min/max/xor — xor instead of
+    * sum so no overflow and no INT128 divergence). Docs shorter than
+    * k+w-1 chars have no full window and are filtered on both sides. */
   val q57Winnowing = QueryDef(
     "q57_winnowing",
     (s, d) => {
       val (k, w) = (5, 8)
-      val h = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
-      val grams = Tables.documents(s, d)
+      val P = 2147483647L // 2^31-1; (h mod P)·A + B < 2^62: ANSI-safe
+      val (lcgA, lcgB) = (1103515245L, 12345L)
+      // codes: 1-based char codes; gram hash at i: poly over codes[i..i+4]
+      val codes = transform(split(col("text"), ""), c => ascii(c).cast(LongType))
+      val poly = (cs: Column, i: Column) => (0 until k)
+        .map(j => element_at(cs, i + j) * lit(math.pow(257.0, k - 1 - j).toLong))
+        .reduce(_ + _)
+      val hs = transform(sequence(lit(1), col("ng")),
+        i => (poly(col("cs"), i) % P * lcgA + lcgB) % P)
+      val fps = array_distinct(transform(sequence(lit(1), col("ng") - (w - 1)),
+        j => array_min(slice(col("hs"), j, lit(w)))))
+      Tables.documents(s, d)
         .filter(length(col("text")) >= k + w - 1)
-        .select(col("doc_id"), (length(col("text")) - (k - 1)).as("ng"),
-          posexplode(transform(
-            sequence(lit(1), length(col("text")) - (k - 1)),
-            i => col("text").substr(i, lit(k)))).as(Seq("pos0", "g")))
-        .select(col("doc_id"), col("ng"), (col("pos0") + 1).as("pos"), h(col("g")).as("h"))
-      val byPos = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-      val fps = grams
-        .withColumn("fp", min(col("h")).over(byPos))
-        .filter(col("pos") <= col("ng") - (w - 1)) // full windows only
-        .select(col("doc_id"), col("fp")).distinct()
-      fps.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("min_fp"),
-          max(col("fp")).as("max_fp"), expr("bit_xor(fp)").as("xor_fp"))
+        .select(col("doc_id"), (length(col("text")) - (k - 1)).as("ng"), codes.as("cs"))
+        .select(col("doc_id"), col("ng"), hs.as("hs"))
+        .select(col("doc_id"), fps.as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast(LongType).as("n_fp"),
+          array_min(col("fps")).as("min_fp"),
+          array_max(col("fps")).as("max_fp"),
+          aggregate(col("fps"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("xor_fp"))
         .orderBy("doc_id")
     },
     Some("""WITH g AS (
            |  SELECT doc_id, length(text) - 4 AS ng, pos,
-           |    CAST(('0x' || substr(md5(substr(text, CAST(pos AS INTEGER), 5)), 1, 15)) AS BIGINT) AS h
+           |    ((CAST(ascii(substr(text, CAST(pos AS INTEGER), 1)) AS BIGINT) * 4362470401
+           |      + CAST(ascii(substr(text, CAST(pos + 1 AS INTEGER), 1)) AS BIGINT) * 16974593
+           |      + CAST(ascii(substr(text, CAST(pos + 2 AS INTEGER), 1)) AS BIGINT) * 66049
+           |      + CAST(ascii(substr(text, CAST(pos + 3 AS INTEGER), 1)) AS BIGINT) * 257
+           |      + CAST(ascii(substr(text, CAST(pos + 4 AS INTEGER), 1)) AS BIGINT))
+           |     % 2147483647 * 1103515245 + 12345) % 2147483647 AS h
            |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS pos
            |        FROM documents WHERE length(text) >= 12) t),
            |wmin AS (
@@ -260,8 +282,8 @@ object TextOps {
            |  FROM g),
            |fps AS (
            |  SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= ng - 7)
-           |SELECT doc_id, COUNT(*) AS n_fp, MIN(fp) AS min_fp, MAX(fp) AS max_fp,
-           |  bit_xor(fp) AS xor_fp
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp, MIN(fp) AS min_fp,
+           |  MAX(fp) AS max_fp, bit_xor(fp) AS xor_fp
            |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
