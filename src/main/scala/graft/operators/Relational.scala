@@ -674,11 +674,39 @@ object Relational {
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   )
 
+  /** q58: deterministic hash-bucket sampling — the reproducible sampling
+    * primitive for the 100 TB regime. `rand()`-based sampling is not
+    * stable under task retries, partition re-splits, or engine changes;
+    * hashing a stable business key into buckets IS: the sample is a pure
+    * filter (evaluated in the scan stage — no RNG state, no shuffle, no
+    * sort), the same rows are selected by any engine reproducing the hash
+    * (the DuckDB oracle does, via the md5 bridge), and re-running over
+    * appended data keeps previously-sampled rows sampled. 5 of 100
+    * buckets ≈ a 5% Bernoulli sample; aggregating the sample per group
+    * gives the stratified estimator in the same pass. */
+  val q58HashSample = QueryDef(
+    "q58_hash_sample",
+    (s, d) => {
+      val bucket = pmod(conv(substring(md5(concat_ws(":",
+        col("l_orderkey"), col("l_linenumber"))), 1, 15), 16, 10).cast(LongType), lit(100L))
+      Tables.lineitem(s, d)
+        .filter(bucket < 5)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_sampled"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n_sampled,
+           |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty
+           |FROM lineitem
+           |WHERE CAST(('0x' || substr(md5(l_orderkey || ':' || l_linenumber), 1, 15)) AS BIGINT) % 100 < 5
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q01FilterProject, q02GroupAgg, q03Frequencies, q04BroadcastJoin,
     q05MultiJoin, q06LeftOuter, q07SemiJoin, q08AntiJoin, q09RangeJoin,
     q10CountDistinct, q11TopK, q12WindowRank, q13RunningSum, q14Rollup,
     q15SetOps, q16ScalarFns, q17Elementwise, q36Cube, q37Product, q40SqlApi,
     q41WindowZoo, q42StringDate, q43DateArith, q45GroupingSets, q47Pivot,
-    q48ArrayOps, q49Unpivot, q50Correlated, q51Percentiles)
+    q48ArrayOps, q49Unpivot, q50Correlated, q51Percentiles, q58HashSample)
 }

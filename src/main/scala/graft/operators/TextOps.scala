@@ -287,6 +287,48 @@ object TextOps {
            |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
+  /** q59: TF-IDF top-5 terms per document, integer-exact. For a fixed
+    * corpus size N, any monotone idf(df) ranks identically to 1/df — so
+    * the score is floor(tf·1e6 / df) in pure integer arithmetic
+    * (bit-identical cross-engine, where float log() is not).
+    *
+    * Plan shape at 100 TB: two hash aggs, both with map-side partial
+    * aggregation (tf keyed by (doc, token); df is an agg OVER tf — one
+    * row per (doc, token), so df counts documents without a distinct);
+    * the df table is vocabulary-sized (≪ corpus) and BROADCAST onto tf;
+    * the top-5 window partitions by doc_id. Nothing wide except the two
+    * aggs the semantics require. */
+  val q59Tfidf = QueryDef(
+    "q59_tfidf",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), lower(col("tok")).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score_x1m").desc, col("token").asc)
+      tf.join(broadcast(df), Seq("token"))
+        .withColumn("score_x1m", expr("tf * 1000000 DIV df"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("doc_id", "rank", "token", "tf", "df", "score_x1m")
+        .orderBy("doc_id", "rank")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, lower(unnest(list_filter(string_split(text, ' '), t -> t <> ''))) AS token
+           |  FROM documents),
+           |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+           |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+           |r AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           |        tf.tf * 1000000 // df.df AS score_x1m,
+           |        row_number() OVER (PARTITION BY tf.doc_id
+           |          ORDER BY tf.tf * 1000000 // df.df DESC, tf.token) AS rank
+           |      FROM tf JOIN df USING (token))
+           |SELECT doc_id, rank, token, tf, df, score_x1m
+           |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId,
-    q22Fingerprint, q39Bigrams, q55TokenCounts, q57Winnowing)
+    q22Fingerprint, q39Bigrams, q55TokenCounts, q57Winnowing, q59Tfidf)
 }
