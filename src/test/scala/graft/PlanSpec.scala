@@ -59,6 +59,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("q57: winnowing is per-row array algebra — only the final orderBy shuffles") {
+    val p = plan(TextOps.q57Winnowing)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"winnowing must not shuffle grams (got $exchanges exchanges):\n$p")
+    assert(!p.contains("Window"), s"no window operator expected:\n$p")
+    assert(!p.contains("Generate"), s"no explode expected:\n$p")
+  }
+
+  test("q59: vocabulary-sized df table is broadcast onto tf") {
+    val p = plan(TextOps.q59Tfidf)
+    assert(p.contains("BroadcastHashJoin"), s"df join must broadcast:\n$p")
+    assert(p.contains("partial_"), "tf/df aggs must partial-aggregate")
+  }
+
   /** Whole-registry scale-invariant sweep (PlanAudit promoted to a test):
     * a regression that turns an equi-join into a cartesian, or sneaks a
     * nested-loop join onto a non-broadcast path, or adds an unexpected
