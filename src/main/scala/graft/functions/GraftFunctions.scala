@@ -17,7 +17,15 @@ import org.apache.spark.sql.functions.call_function
 object GraftFunctions {
 
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim" -> (children => CosineSimilarity(children(0), children(1)))
+    "cosine_sim" -> (children => CosineSimilarity(children(0), children(1))),
+    // Spark ships BloomFilterMightContain for its internal runtime-filter
+    // rewrite but does not register it for users; exposing it makes the
+    // bloom-pruned join (ScaleTools.bloomPrunedJoin) fully declarative and
+    // codegen'd — no scala UDF on the fact-scan hot path. The bloom
+    // argument must be a constant (literal or scalar subquery) per the
+    // expression's own type check.
+    "might_contain" -> (children =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(children(0), children(1)))
   )
 
   /** Idempotently register all graft functions on a session. */
@@ -31,15 +39,26 @@ object GraftFunctions {
     }
   }
 
+  /** Bloom membership test against a constant serialized filter (see
+    * [[graft.operators.ScaleTools.bloomPrunedJoin]]). */
+  def mightContain(bloom: Column, value: Column): Column =
+    call_function("might_contain", bloom, value)
+
   /** Column-API sugar (requires the function registered on the session). */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 }
 
 /** For `spark.sql.extensions` (SparkSessionExtensions injection point). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(children(0), children(1))))
+  }
 }

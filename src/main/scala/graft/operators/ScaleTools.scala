@@ -44,6 +44,37 @@ object ScaleTools {
       .drop("_salt")
   }
 
+  /** Bloom-pruned join: build a Bloom filter over the (already-filtered)
+    * dimension's join keys, test fact rows against it IN THE SCAN STAGE,
+    * then run the exact join on survivors. Results are identical to the
+    * plain join — bloom false positives are eliminated by the join
+    * itself — but at 100 TB the fact-side shuffle shrinks by roughly the
+    * dimension filter's selectivity. This is the manual form of Spark's
+    * own runtime row-level filtering (which rewrites joins to an internal
+    * `might_contain`); the manual form applies where the planner's
+    * heuristics decline — e.g. pruning before a sort-merge join whose dim
+    * side is just over the broadcast threshold, or reusing one filter
+    * across several downstream joins.
+    *
+    * The filter itself is materialized on the driver (`stat.bloomFilter`,
+    * ~`numBits/8` bytes — the same single-row materialization Spark's
+    * runtime filters do via scalar subquery) and embedded as a constant
+    * binary literal, so the membership test is a codegen'd expression
+    * (`BloomFilterMightContain`), not a scala UDF. */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+                      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    graft.functions.GraftFunctions.register(fact.sparkSession)
+    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val pruned = fact.filter(
+      graft.functions.GraftFunctions.mightContain(lit(bytes), col(factKey).cast("long")))
+    pruned.join(dim, pruned(factKey) === dim(dimKey))
+  }
+
   /** Top-N key frequencies — the skew detector to decide salting. One
     * cheap partial-agg pass. */
   def keySkew(df: DataFrame, key: String, topN: Int = 10): Array[(String, Long)] =

@@ -36,6 +36,27 @@ class ScaleToolsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("bloom-pruned join: identical results, fact pruned in the scan, no UDF") {
+    val dim = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 10 === 0)
+      .select("o_orderkey", "o_orderstatus")
+    val fact = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val joined = ScaleTools.bloomPrunedJoin(fact, dim, "l_orderkey", "o_orderkey",
+      expectedItems = 10000)
+    val plain = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+    assert(joined.count() == plain.count())
+    // the bloom test runs as a codegen'd catalyst expression, not a UDF
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), s"bloom filter missing from plan:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), "must not be a UDF")
+    // and it actually prunes: far fewer fact rows survive than exist
+    val survivors = fact.filter(graft.functions.GraftFunctions.mightContain(
+      lit({ val b = new java.io.ByteArrayOutputStream()
+            dim.stat.bloomFilter("o_orderkey", 10000, 0.01).writeTo(b); b.toByteArray }),
+      col("l_orderkey").cast("long"))).count()
+    assert(survivors < fact.count() / 2, s"bloom pruned nothing: $survivors")
+  }
+
   test("keySkew surfaces the heaviest keys") {
     val skew = ScaleTools.keySkew(Tables.lineitem(spark, sfDir), "l_returnflag", 3)
     assert(skew.length == 3 && skew.head._2 >= skew.last._2)
