@@ -83,6 +83,34 @@ object EventStreams {
       .select(col("user_id"), col("l_ts"), col("r_ts"), col("l_value"), col("r_value"))
   }
 
+  /** foreachBatch sink with IDEMPOTENT batch-id partitioning — the
+    * arbitrary-sink escape hatch done exactly-once: Spark replays a failed
+    * micro-batch under the SAME batchId, and `mode(Overwrite)` into a
+    * per-batch directory makes the replay a no-op rewrite instead of a
+    * duplicate append. This is the standard recipe for sinks with no
+    * native transactional writer (JDBC upserts, external indexes): key
+    * the write on (checkpoint, batchId). */
+  def foreachBatchParquet(events: DataFrame, path: String,
+                          checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch=$id")
+      }
+      .start()
+
+  /** In-flight data-quality metrics via `observe()`: row counts and
+    * violation counters computed inside the SAME pass that processes the
+    * data (accumulator-backed, no second scan — at 100 TB a separate
+    * quality-check job doubles the read). Metrics surface per micro-batch
+    * in `StreamingQueryProgress.observedMetrics` (streaming) or via
+    * `QueryExecutionListener` (batch). */
+  def observed(events: DataFrame): DataFrame =
+    events.observe("graft_metrics",
+      count(lit(1)).as("n_rows"),
+      sum(when(col("value") < 0, 1L).otherwise(0L)).as("n_neg_value"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("n_null_user"))
+
   final case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 

@@ -136,6 +136,42 @@ class EventStreamsSpec extends SparkSpec {
     assert(back.select("user_id").as[Long].collect().sorted.toSeq == Seq(1L, 1L, 2L))
   }
 
+  test("foreachBatch sink: batch-id partitioned writes are idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = java.nio.file.Files.createTempDirectory("graft_feb").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_feb_ckpt").toString
+    val query = EventStreams.foreachBatchParquet(input.toDF(), out, ckpt)
+    input.addData(Ev(ts(1), 1, "click", 1.0), Ev(ts(2), 2, "view", 2.0))
+    query.processAllAvailable()
+    input.addData(Ev(ts(3), 3, "buy", 3.0))
+    query.processAllAvailable()
+    query.stop()
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3)
+    // simulate a replay of batch 0: same batchId -> overwrite, not duplicate
+    val replay = Seq(Ev(ts(1), 1, "click", 1.0), Ev(ts(2), 2, "view", 2.0)).toDF()
+    replay.write.mode("overwrite").parquet(s"$out/batch=0")
+    assert(spark.read.parquet(out).count() == 3, "replayed batch must not duplicate")
+  }
+
+  test("observe(): quality metrics ride along with the micro-batch, no second scan") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = EventStreams.observed(input.toDF())
+      .writeStream.format("memory").queryName("obs_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(Ev(ts(1), 1, "click", 1.0), Ev(ts(2), 2, "view", -2.0),
+      Ev(ts(3), 3, "buy", 3.0))
+    query.processAllAvailable()
+    val metrics = query.lastProgress.observedMetrics.get("graft_metrics")
+    query.stop()
+    assert(metrics != null, "observed metrics missing from progress")
+    assert(metrics.getAs[Long]("n_rows") == 3)
+    assert(metrics.getAs[Long]("n_neg_value") == 1)
+    assert(metrics.getAs[Long]("n_null_user") == 0)
+  }
+
   test("file-source stream over the real events parquet matches the batch result") {
     // the unbounded twin of a batch read: same parquet, readStream + schema
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
