@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import java.sql.Timestamp
 
 /** Structured Streaming surface over the `events` schema (SURVEY.md §2.8 —
@@ -81,6 +82,39 @@ object EventStreams {
         col("r_ts") >= col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxGap"))
       .select(col("user_id"), col("l_ts"), col("r_ts"), col("l_value"), col("r_value"))
+  }
+
+  final case class UserMax(user_id: Long, max_value: Double)
+
+  /** Spark 4's `transformWithState` processor: per-user running maximum in
+    * a typed `ValueState`. Unlike `mapGroupsWithState`, the new API gives
+    * named composable state variables (value/list/map), per-state TTL so
+    * idle keys expire without a timeout dance, and timers — and it
+    * requires the RocksDB state store, which spills to disk instead of
+    * holding all keys on-heap: the difference between "state fits in
+    * executor memory" and "state fits on executor disk" at 100 TB
+    * key cardinalities. */
+  class MaxValueProcessor extends StatefulProcessor[Long, Ev, UserMax] {
+    @transient private var maxState: ValueState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      maxState = getHandle.getValueState[Double]("max",
+        org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[UserMax] = {
+      val prev = if (maxState.exists()) maxState.get() else Double.NegativeInfinity
+      val mx = rows.foldLeft(prev)((m, e) => math.max(m, e.value))
+      maxState.update(mx)
+      Iterator.single(UserMax(key, mx))
+    }
+  }
+
+  /** Per-user running max via [[MaxValueProcessor]]. Requires
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider on the session. */
+  def runningMax(events: Dataset[Ev])(implicit spark: SparkSession): Dataset[UserMax] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new MaxValueProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** foreachBatch sink with IDEMPOTENT batch-id partitioning — the

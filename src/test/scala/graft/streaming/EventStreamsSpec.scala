@@ -136,6 +136,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(back.select("user_id").as[Long].collect().sorted.toSeq == Seq(1L, 1L, 2L))
   }
 
+  test("transformWithState: running max in RocksDB-backed ValueState across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Ev]
+      val query = EventStreams.runningMax(input.toDS())
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode(OutputMode.Update()).start()
+      input.addData(Ev(ts(1), 1, "click", 5.0), Ev(ts(2), 1, "view", 3.0),
+        Ev(ts(3), 2, "buy", 7.0))
+      query.processAllAvailable()
+      input.addData(Ev(ts(4), 1, "buy", 9.0), Ev(ts(5), 2, "view", 1.0))
+      query.processAllAvailable()
+      query.stop()
+      // state carried 5.0 -> 9.0 for user 1; user 2's second-batch value
+      // 1.0 must NOT lower the running max 7.0 (the emitted maxima are
+      // monotone per user, so max == the final state, order-free)
+      val out = spark.table("tws_out").as[(Long, Double)].collect()
+        .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).max }
+      assert(out == Map(1L -> 9.0, 2L -> 7.0))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("foreachBatch sink: batch-id partitioned writes are idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
