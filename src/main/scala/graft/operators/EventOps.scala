@@ -128,5 +128,65 @@ object EventOps {
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps)
+  /** q60: time-series resample + forward fill — regularize each user's
+    * event stream onto a daily grid from their first to their last active
+    * day, carrying the last observed value across gap days (460 filled
+    * gaps at sf0.01). The classic feature-engineering "as-of state per
+    * period" op.
+    *
+    * Determinism: the per-day observation is the LAST event of the day
+    * under the total order (ts, event_id) — computed as max over a
+    * (ts, event_id, value) struct (lexicographic struct comparison in
+    * both engines), folded into the same agg as the count, so one hash
+    * agg produces both. The grid is `sequence(min_day, max_day, 1 day)`
+    * exploded per user — |users|·|days| rows, NOT |events|; the fill is
+    * `last(_, ignoreNulls)` over a per-user ordered window.
+    *
+    * Scale: one agg keyed (user, day), one explode of a per-user
+    * 2-element frame, one left join back on (user, day) — same key, AQE
+    * reuses the partitioning — and one window partitioned by user. No
+    * step holds more than a user's days in memory; timestamps leave as
+    * exact epoch-µs BIGINTs per the determinism contract. */
+  val q60ResampleFfill = QueryDef(
+    "q60_resample_ffill",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_events"),
+          max(struct(col("ts"), col("event_id"), col("value"))).as("last_ev"))
+        .select(col("user_id"), col("day"), col("n_events"),
+          col("last_ev.value").as("obs"))
+      val grid = daily.groupBy("user_id")
+        .agg(min(col("day")).as("mind"), max(col("day")).as("maxd"))
+        .select(col("user_id"),
+          explode(sequence(col("mind"), col("maxd"), expr("interval 1 day"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left_outer")
+        .select(col("user_id"), unix_micros(col("day")).as("day_us"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("obs"), ignoreNulls = true).over(w).as("filled"))
+        .orderBy("user_id", "day_us")
+    },
+    Some("""WITH daily AS (
+           |  SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n_events,
+           |    max(struct_pack(ts := ts, event_id := event_id, value := value)) AS last_ev
+           |  FROM events GROUP BY user_id, date_trunc('day', ts)),
+           |grid AS (
+           |  SELECT user_id, unnest(generate_series(mind, maxd, INTERVAL 1 DAY)) AS day
+           |  FROM (SELECT user_id, min(day) AS mind, max(day) AS maxd
+           |        FROM daily GROUP BY user_id) t),
+           |j AS (
+           |  SELECT g.user_id, g.day, coalesce(d.n_events, 0) AS n_events,
+           |    d.last_ev.value AS obs
+           |  FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
+           |SELECT user_id, epoch_us(day) AS day_us, n_events,
+           |  last_value(obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+           |FROM j ORDER BY user_id, day_us""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
+    q60ResampleFfill)
 }

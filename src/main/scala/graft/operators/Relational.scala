@@ -702,11 +702,35 @@ object Relational {
            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   )
 
+  /** q61: fixed-width histogram — binned aggregation, the scalable way to
+    * see a distribution (exact percentiles q51 need a sort/merge of all
+    * values; a histogram is ONE partial-agg'd hash agg whose key count is
+    * the bin count, independent of data size). Bin = floor(x / width):
+    * double division + floor is IEEE-identical cross-engine, and bin
+    * sums follow the decimal discipline. */
+  val q61Histogram = QueryDef(
+    "q61_histogram",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(floor(col("l_extendedprice") / 5000).cast(LongType).as("bin"))
+        .agg(count(lit(1)).as("n"),
+          toDouble(min(col("l_extendedprice"))).as("lo"),
+          toDouble(max(col("l_extendedprice"))).as("hi"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("bin"),
+    Some("""SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin, COUNT(*) AS n,
+           |  CAST(CAST(MIN(l_extendedprice) AS DECIMAL(18,4)) AS DOUBLE) AS lo,
+           |  CAST(CAST(MAX(l_extendedprice) AS DECIMAL(18,4)) AS DOUBLE) AS hi,
+           |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_price
+           |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q01FilterProject, q02GroupAgg, q03Frequencies, q04BroadcastJoin,
     q05MultiJoin, q06LeftOuter, q07SemiJoin, q08AntiJoin, q09RangeJoin,
     q10CountDistinct, q11TopK, q12WindowRank, q13RunningSum, q14Rollup,
     q15SetOps, q16ScalarFns, q17Elementwise, q36Cube, q37Product, q40SqlApi,
     q41WindowZoo, q42StringDate, q43DateArith, q45GroupingSets, q47Pivot,
-    q48ArrayOps, q49Unpivot, q50Correlated, q51Percentiles, q58HashSample)
+    q48ArrayOps, q49Unpivot, q50Correlated, q51Percentiles, q58HashSample,
+    q61Histogram)
 }

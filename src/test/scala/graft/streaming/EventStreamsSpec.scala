@@ -199,6 +199,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(metrics.getAs[Long]("n_null_user") == 0)
   }
 
+  test("Trigger.AvailableNow: rate-limited backfill processes everything, then stops") {
+    // the batch-backfill idiom: catch up on all files present at start in
+    // bounded micro-batches (maxFilesPerTrigger caps per-batch input so a
+    // 100 TB backlog doesn't become one giant batch), then terminate —
+    // no always-on cluster for a catch-up job
+    val dir = java.nio.file.Files.createTempDirectory("graft_avnow")
+    val src = Seq(Ev(ts(1), 1, "click", 1.0), Ev(ts(2), 2, "view", 2.0),
+      Ev(ts(3), 3, "buy", 3.0)).toDF()
+    (0 until 3).foreach(i => src.limit(1).write.parquet(s"$dir/f$i"))
+    // stage the three single-row tables as one source directory
+    val stage = java.nio.file.Files.createTempDirectory("graft_avnow_src")
+    (0 until 3).foreach { i =>
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/f$i"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(f, stage.resolve(s"part-$i.parquet"))
+    }
+    val q = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+      .writeStream.format("memory").queryName("avnow_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode(OutputMode.Append()).start()
+    assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+    assert(spark.table("avnow_out").count() == 3)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "maxFilesPerTrigger=1 must split the backfill into multiple batches")
+  }
+
   test("file-source stream over the real events parquet matches the batch result") {
     // the unbounded twin of a batch read: same parquet, readStream + schema
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
