@@ -725,6 +725,38 @@ object Relational {
            |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin)
   )
 
+  /** q63: stratified FIXED-SIZE sampling — exactly k rows per stratum,
+    * deterministically. Where q58's hash-bucket filter gives a fixed
+    * RATE, eval-set construction wants a fixed COUNT per group ("3 events
+    * of every type"): rank rows within each stratum by a hash of their
+    * stable key and keep the top k. The hash rank is a uniform random
+    * order that every engine/retry reproduces — no rand(), no
+    * driver-side reservoir; one window per stratum, map-side evaluable
+    * hash. At scale the window's partition is the stratum — salt a
+    * pathological mega-stratum or pre-filter with q58's rate sampler
+    * before the exact-count pass. */
+  val q63StratifiedSample = QueryDef(
+    "q63_stratified_sample",
+    (s, d) => {
+      val rankHash = conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast(LongType)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(rankHash.asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("user_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("event_type", "rn", "event_id", "user_id")
+        .orderBy("event_type", "rn")
+    },
+    Some("""SELECT event_type, rn, event_id, user_id FROM (
+           |  SELECT event_type, event_id, user_id,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT), event_id) AS rn
+           |  FROM events) t
+           |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q01FilterProject, q02GroupAgg, q03Frequencies, q04BroadcastJoin,
     q05MultiJoin, q06LeftOuter, q07SemiJoin, q08AntiJoin, q09RangeJoin,
@@ -732,5 +764,5 @@ object Relational {
     q15SetOps, q16ScalarFns, q17Elementwise, q36Cube, q37Product, q40SqlApi,
     q41WindowZoo, q42StringDate, q43DateArith, q45GroupingSets, q47Pivot,
     q48ArrayOps, q49Unpivot, q50Correlated, q51Percentiles, q58HashSample,
-    q61Histogram)
+    q61Histogram, q63StratifiedSample)
 }

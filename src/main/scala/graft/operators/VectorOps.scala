@@ -259,6 +259,56 @@ object VectorOps {
            |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
   )
 
+  /** q62: int8-quantized similarity search — the memory-bound-regime
+    * variant: per-vector symmetric quantization q_i = floor(127·x_i/amax
+    * + 0.5) (int8 range, 4× smaller than float32, 8× smaller than the
+    * doubles Spark would box), then ranking by the INTEGER dot product of
+    * quantized vectors. At 100 TB of embeddings, quantization is what
+    * makes the candidate set fit executor memory/page cache — and the
+    * integer score is exactly reproducible in any engine (|q|≤127, 64
+    * dims → |dot| ≤ 64·127² < 2^21, no overflow anywhere), unlike float
+    * ranking which needs rounding discipline.
+    *
+    * floor(x+0.5) is used instead of round() because round-half-up on
+    * negative values differs between engines' HALF_UP/HALF_EVEN variants;
+    * floor is IEEE-identical. amax=0 vectors (all-zero) quantize to zero.
+    * Tiebreak by vec_id keeps equal integer scores stable. */
+  val q62QuantizedAnn = QueryDef(
+    "q62_quantized_ann",
+    (s, d) => {
+      val amax = (v: Column) => array_max(transform(v, x => abs(x)))
+      val quant = (v: Column) => {
+        val m = amax(v)
+        transform(v, x =>
+          when(m === 0.0, lit(0L))
+            .otherwise(floor(x * 127.0 / m + 0.5).cast(LongType)))
+      }
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), quant(toD(col("embedding"))).as("q"))
+      val query = emb.filter(col("vec_id") === 0).select(col("q").as("qq"))
+      val idot = aggregate(zip_with(col("q"), col("qq"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(query))
+        .select(col("vec_id"), idot.as("iscore"))
+        .orderBy(col("iscore").desc, col("vec_id").asc)
+        .limit(10)
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id,
+           |    list_transform(CAST(embedding AS DOUBLE[]), x -> CASE
+           |      WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) = 0 THEN 0
+           |      ELSE CAST(floor(x * 127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) + 0.5) AS BIGINT)
+           |    END) AS qv
+           |  FROM embeddings),
+           |qq AS (SELECT qv AS query_v FROM q WHERE vec_id = 0)
+           |SELECT c.vec_id,
+           |  list_sum(list_transform(range(1, 65), i -> c.qv[i] * qq.query_v[i])) AS iscore
+           |FROM q c, qq WHERE c.vec_id <> 0
+           |ORDER BY iscore DESC, vec_id LIMIT 10""".stripMargin)
+  )
+
   val all: Seq[QueryDef] =
-    Seq(q27CosineTopK, q28AnnLsh, q29CosinePairs, q38BatchAnn, q56AnnIvf)
+    Seq(q27CosineTopK, q28AnnLsh, q29CosinePairs, q38BatchAnn, q56AnnIvf,
+      q62QuantizedAnn)
 }

@@ -82,7 +82,7 @@ class PlanSpec extends SparkSpec {
     // vector / query set (q27/q28/q29/q38) and the intentional cross
     // product (q37)
     val bnljAllowed = Set("q27_cosine_topk", "q28_ann_lsh", "q29_cosine_pairs",
-      "q37_product", "q38_batch_ann", "q56_ann_ivf")
+      "q37_product", "q38_batch_ann", "q56_ann_ivf", "q62_quantized_ann")
     // plan-text exchange budgets: the LSH pipeline legitimately has ~18
     // (sig agg + banding self-join + verify joins); queries consuming the
     // CACHED pair/cluster frames repeat that lineage inside
