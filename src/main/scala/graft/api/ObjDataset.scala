@@ -89,7 +89,12 @@ final class ObjDataset[T](val ds: Dataset[T]) {
     val depth = math.max(1,
       math.ceil(math.log(math.max(parts.getNumPartitions, 2).toDouble) /
         math.log(math.max(splitEvery, 2).toDouble)).toInt)
-    parts.treeReduce(combine, depth)
+    // `zero` is the empty-collection fallback ONLY (dask returns the
+    // default on an empty bag); it is deliberately NOT folded into every
+    // partition (treeAggregate-style), which would change results for
+    // non-identity zeros.
+    try parts.treeReduce(combine, depth)
+    catch { case _: UnsupportedOperationException => zero }
   }
 
   /** Distributed frequency count — `counts`/`frequencies` (core.py:107-108).

@@ -16,28 +16,37 @@ import org.apache.spark.sql.functions.call_function
   */
 object GraftFunctions {
 
-  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim" -> (children => CosineSimilarity(children(0), children(1))),
+  private val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", classOf[CosineSimilarity].getName,
+      children => CosineSimilarity(children(0), children(1))),
     // Spark ships BloomFilterMightContain for its internal runtime-filter
     // rewrite but does not register it for users; exposing it makes the
     // bloom-pruned join (ScaleTools.bloomPrunedJoin) fully declarative and
     // codegen'd — no scala UDF on the fact-scan hot path. The bloom
     // argument must be a constant (literal or scalar subquery) per the
     // expression's own type check.
-    "might_contain" -> (children =>
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(children(0), children(1)))
+    ("might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      children =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(children(0), children(1)))
   )
 
   /** Idempotently register all graft functions on a session. */
   def register(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
-    fns.foreach { case (name, builder) =>
+    fns.foreach { case (name, className, builder) =>
       val id = FunctionIdentifier(name)
       if (!reg.functionExists(id))
-        reg.registerFunction(id,
-          new ExpressionInfo(classOf[CosineSimilarity].getName, name), builder)
+        reg.registerFunction(id, new ExpressionInfo(className, name), builder)
     }
   }
+
+  /** Inject the same functions at session build (see [[GraftExtensions]]). */
+  def injectAll(ext: SparkSessionExtensions): Unit =
+    fns.foreach { case (name, className, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(className, name), builder))
+    }
 
   /** Bloom membership test against a constant serialized filter (see
     * [[graft.operators.ScaleTools.bloomPrunedJoin]]). */
@@ -50,15 +59,6 @@ object GraftFunctions {
 
 /** For `spark.sql.extensions` (SparkSessionExtensions injection point). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("might_contain"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "might_contain"),
-      (children: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(children(0), children(1))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.injectAll(ext)
 }

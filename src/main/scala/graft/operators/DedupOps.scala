@@ -48,13 +48,27 @@ object DedupOps {
 
   /** Shared-frame cache, keyed by (session, dir, cap, stage): the shingle
     * table, signatures and verified pairs are each built + `.cache()`d at
-    * most once per session, however many queries consume them. */
+    * most once per session, however many queries consume them. The owning
+    * session is stored alongside and compared by reference — identity
+    * hash codes can recur after a session is GC'd, and a long-lived JVM
+    * (notebook, test harness) must neither resurrect frames bound to a
+    * stopped session nor retain them forever; entries of stopped sessions
+    * are evicted on access. */
   private val frameCache =
-    scala.collection.concurrent.TrieMap[(Int, String, Long, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(Int, String, Long, String), (SparkSession, DataFrame)]()
 
   private def cachedFrame(s: SparkSession, d: String, cap: Long, stage: String)(
-      build: => DataFrame): DataFrame =
-    frameCache.getOrElseUpdate((System.identityHashCode(s), d, cap, stage), build.cache())
+      build: => DataFrame): DataFrame = {
+    frameCache.filterInPlace { case (_, (owner, _)) => !owner.sparkContext.isStopped }
+    val key = (System.identityHashCode(s), d, cap, stage)
+    frameCache.get(key) match {
+      case Some((owner, df)) if owner eq s => df
+      case _ =>
+        val df = build.cache()
+        frameCache.put(key, (s, df))
+        df
+    }
+  }
 
   private def capFilter(cap: Long): Column =
     if (cap == FullCorpus) lit(true) else col("doc_id") < cap
@@ -163,9 +177,17 @@ object DedupOps {
       val estMatches = (0 until NumPerm)
         .map(k => when(col(s"x$k") === col(s"y$k"), 1).otherwise(0))
         .reduce(_ + _)
+      // Broadcast hints only on the provably-bounded oracle path (cap'd
+      // corpus → signature/candidate tables are small by construction).
+      // The full-corpus path leaves the join strategy to AQE, which
+      // broadcasts while the tables fit and DEGRADES TO A SHUFFLE JOIN
+      // when they don't — an unconditional broadcast() hint would instead
+      // OOM past the 8 GB broadcast limit at real corpus sizes.
+      val maybeBc: DataFrame => DataFrame =
+        if (cap == FullCorpus) identity else broadcast(_)
       val cand = candRaw
-        .join(broadcast(s1), Seq("d1"))
-        .join(broadcast(s2), Seq("d2"))
+        .join(maybeBc(s1), Seq("d1"))
+        .join(maybeBc(s2), Seq("d2"))
         .filter(estMatches >= EstPruneMin)
         .select("d1", "d2")
         .distinct()
@@ -173,7 +195,7 @@ object DedupOps {
       val sizes = sig.select(col("doc_id"), col("sz"))
       val a = sh.select(col("doc_id").as("d1"), col("sh"))
       val b = sh.select(col("doc_id").as("d2"), col("sh"))
-      val inter = broadcast(cand).join(a, Seq("d1")).join(b, Seq("d2", "sh"))
+      val inter = maybeBc(cand).join(a, Seq("d1")).join(b, Seq("d2", "sh"))
         .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
       inter
         .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))

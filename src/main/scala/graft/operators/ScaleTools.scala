@@ -64,14 +64,20 @@ object ScaleTools {
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
                       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     graft.functions.GraftFunctions.register(fact.sparkSession)
-    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    // Both sides go through xxhash64 so the technique is key-type-agnostic
+    // (strings, dates, structs): the bloom holds hashes and the probe
+    // hashes the fact key with the same function — the construction
+    // Spark's internal runtime-filter rewrite uses. Probing with a raw
+    // cast instead would silently prune EVERYTHING for non-long keys.
+    val bf = dim.select(xxhash64(col(dimKey)).as("h")).stat
+      .bloomFilter("h", expectedItems, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
       bos.toByteArray
     }
     val pruned = fact.filter(
-      graft.functions.GraftFunctions.mightContain(lit(bytes), col(factKey).cast("long")))
+      graft.functions.GraftFunctions.mightContain(lit(bytes), xxhash64(col(factKey))))
     pruned.join(dim, pruned(factKey) === dim(dimKey))
   }
 

@@ -276,15 +276,16 @@ object VectorOps {
   val q62QuantizedAnn = QueryDef(
     "q62_quantized_ann",
     (s, d) => {
-      val amax = (v: Column) => array_max(transform(v, x => abs(x)))
-      val quant = (v: Column) => {
-        val m = amax(v)
-        transform(v, x =>
-          when(m === 0.0, lit(0L))
-            .otherwise(floor(x * 127.0 / m + 0.5).cast(LongType)))
-      }
+      // amax is hoisted to its own column: referenced from inside the
+      // transform lambda it would be re-evaluated per ELEMENT (64× per
+      // row — Spark does not CSE across lambda boundaries)
       val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), quant(toD(col("embedding"))).as("q"))
+        .select(col("vec_id"), toD(col("embedding")).as("v"))
+        .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+        .select(col("vec_id"),
+          transform(col("v"), x =>
+            when(col("amax") === 0.0, lit(0L))
+              .otherwise(floor(x * 127.0 / col("amax") + 0.5).cast(LongType))).as("q"))
       val query = emb.filter(col("vec_id") === 0).select(col("q").as("qq"))
       val idot = aggregate(zip_with(col("q"), col("qq"), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x)
@@ -303,7 +304,7 @@ object VectorOps {
            |  FROM embeddings),
            |qq AS (SELECT qv AS query_v FROM q WHERE vec_id = 0)
            |SELECT c.vec_id,
-           |  list_sum(list_transform(range(1, 65), i -> c.qv[i] * qq.query_v[i])) AS iscore
+           |  CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * qq.query_v[i])) AS BIGINT) AS iscore
            |FROM q c, qq WHERE c.vec_id <> 0
            |ORDER BY iscore DESC, vec_id LIMIT 10""".stripMargin)
   )

@@ -52,9 +52,20 @@ class ScaleToolsSpec extends SparkSpec {
     // and it actually prunes: far fewer fact rows survive than exist
     val survivors = fact.filter(graft.functions.GraftFunctions.mightContain(
       lit({ val b = new java.io.ByteArrayOutputStream()
-            dim.stat.bloomFilter("o_orderkey", 10000, 0.01).writeTo(b); b.toByteArray }),
-      col("l_orderkey").cast("long"))).count()
+            dim.select(xxhash64(col("o_orderkey")).as("h"))
+              .stat.bloomFilter("h", 10000, 0.01).writeTo(b); b.toByteArray }),
+      xxhash64(col("l_orderkey")))).count()
     assert(survivors < fact.count() / 2, s"bloom pruned nothing: $survivors")
+  }
+
+  test("bloom-pruned join works on STRING keys (hash-based, not cast-based)") {
+    val dim = Tables.nation(spark, sfDir)
+      .filter(col("n_regionkey") === 0).select(col("n_name"))
+    val fact = Tables.nation(spark, sfDir).select(col("n_name").as("f_name"), col("n_nationkey"))
+    val joined = ScaleTools.bloomPrunedJoin(fact, dim, "f_name", "n_name", expectedItems = 100)
+    val plain = fact.join(dim, col("f_name") === col("n_name"))
+    assert(joined.count() == plain.count() && plain.count() > 0,
+      "string-keyed bloom join must match the plain join")
   }
 
   test("keySkew surfaces the heaviest keys") {
