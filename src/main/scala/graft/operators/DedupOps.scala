@@ -143,14 +143,23 @@ object DedupOps {
     *     CHEAPLY: 2-row bands collide for background pairs at rate
     *     1-(1-j²)^32 (~25% at the j≈0.1 a natural-language 5-gram corpus
     *     has — millions of false candidates at 5k docs, all of which
-    *     previously hit the shingle join). Comparing the two 64-long
-    *     signatures costs 64 integer ops per candidate against a
-    *     broadcast of the narrow signature table (1 row/doc; beyond
-    *     broadcast size this becomes an ordinary shuffle join, still
-    *     linear) and passes only pairs with >= [[EstPruneMin]/[[NumPerm]]
-    *     estimated Jaccard;
+    *     previously hit the shingle join). Each banded row CARRIES its
+    *     doc's 64-long signature array through the band shuffle (a linear
+    *     ~512 B/row cost), so the prune is an inline filter on the band
+    *     join's output — 64 integer ops per collision row, evaluated
+    *     BEFORE any further exchange. Band buckets are heavy-tailed (a
+    *     globally common min-shingle can put a large corpus fraction in
+    *     one bucket: measured 47M collision rows for 10k synthetic docs,
+    *     ScaleSmoke), so collision multiplicity must never be shuffled or
+    *     joined: no broadcast (scale-capped), no signature re-join
+    *     (shuffles the collision rows) — the payload-carrying join is the
+    *     construction ml's approxSimilarityJoin uses, and the only wide
+    *     exchange after banding carries prune survivors;
     *  4. exact Jaccard verify runs on the pruned survivors ONLY — a
-    *     small broadcast at realistic near-dup densities.
+    *     small broadcast at realistic near-dup densities (the bounded
+    *     oracle path hints it; the full-corpus path lets AQE decide, so
+    *     it degrades to a shuffle join rather than OOM past the
+    *     broadcast limit).
     *
     * False positives are eliminated by the verify; misses are bounded by
     * banding (1-0.36)^32 < 1e-6 plus the prune's ~1e-6 — the output
@@ -160,37 +169,22 @@ object DedupOps {
       val sig = signatures(s, d, cap)
       val banded = sig.select(
         col("doc_id"),
+        array((0 until NumPerm).map(k => col(s"m$k")): _*).as("sigv"),
         explode(array((0 until Bands).map(b =>
           xxhash64(lit(b), col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)).as("bhash"))
-      // NOTE prune ordering: band buckets are heavy-tailed (the minimum
-      // for a permutation is often attained by a globally common shingle,
-      // so one bucket can hold a large doc fraction → quadratic collision
-      // rows). The prune therefore runs BEFORE the distinct, row by row
-      // against the broadcast signatures (map-side, no shuffle), so the
-      // only wide shuffle (distinct) carries prune survivors — collision
-      // multiplicity never hits an exchange.
-      val candRaw = banded.as("x").join(banded.as("y"),
+      val estMatches = aggregate(
+        zip_with(col("x.sigv"), col("y.sigv"), (a, b) => when(a === b, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v)
+      val cand = banded.as("x").join(banded.as("y"),
           col("x.bhash") === col("y.bhash") && col("x.doc_id") < col("y.doc_id"))
+        .filter(estMatches >= EstPruneMin)
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      val s1 = sig.select(col("doc_id").as("d1") +: (0 until NumPerm).map(k => col(s"m$k").as(s"x$k")): _*)
-      val s2 = sig.select(col("doc_id").as("d2") +: (0 until NumPerm).map(k => col(s"m$k").as(s"y$k")): _*)
-      val estMatches = (0 until NumPerm)
-        .map(k => when(col(s"x$k") === col(s"y$k"), 1).otherwise(0))
-        .reduce(_ + _)
-      // Broadcast hints only on the provably-bounded oracle path (cap'd
-      // corpus → signature/candidate tables are small by construction).
-      // The full-corpus path leaves the join strategy to AQE, which
-      // broadcasts while the tables fit and DEGRADES TO A SHUFFLE JOIN
-      // when they don't — an unconditional broadcast() hint would instead
-      // OOM past the 8 GB broadcast limit at real corpus sizes.
+        .distinct()
+      // Exact-verify broadcast only on the provably-bounded oracle path;
+      // full corpus trusts AQE (broadcast while small, shuffle join past
+      // the limit).
       val maybeBc: DataFrame => DataFrame =
         if (cap == FullCorpus) identity else broadcast(_)
-      val cand = candRaw
-        .join(maybeBc(s1), Seq("d1"))
-        .join(maybeBc(s2), Seq("d2"))
-        .filter(estMatches >= EstPruneMin)
-        .select("d1", "d2")
-        .distinct()
       val sh = shingles(s, d, cap)
       val sizes = sig.select(col("doc_id"), col("sz"))
       val a = sh.select(col("doc_id").as("d1"), col("sh"))
