@@ -75,6 +75,83 @@ object ScaleSmoke {
     assert(intra == expIntra, s"recall miss: $intra of $expIntra intra-group pairs")
     assert(found == intra, s"precision miss: ${found - intra} spurious pairs at j>=0.6")
     println("[smoke] OK — exact recall and precision at " + n + " docs")
+
+    // ---- phase 2: similarity search at scale ----
+    // nVec synthetic 64-dim vectors (xxhash64-derived, uniform in [-1,1]);
+    // ids 1..20 are PLANTED near-neighbors of the query (id 0): the same
+    // base vector plus 5% noise (cos ≈ 0.99+), everything else is random
+    // (cos ≈ 0 ± 0.125). Brute force must rank exactly the planted set in
+    // its top-20; IVF (64 sampled centroids, nprobe 4 → ~6% of the corpus
+    // scanned) is measured for recall@20 against it.
+    val nVec = sys.env.getOrElse("SPARK_GRAFT_SMOKE_VECS", "500000").toLong
+    graft.functions.GraftFunctions.register(spark)
+    val dims = 64
+    val unit = (seed: org.apache.spark.sql.Column) =>
+      transform(sequence(lit(0), lit(dims - 1)),
+        j => (pmod(xxhash64(seed, j), lit(1000000L)).cast("double") / 500000.0) - 1.0)
+    val planted = col("vec_id").between(1, 20)
+    val vecs = spark.range(nVec).toDF("vec_id")
+      .select(col("vec_id"),
+        when(planted,
+          zip_with(unit(lit(0L)), unit(col("vec_id")), (b, e) => b + e * 0.05))
+          .otherwise(unit(col("vec_id"))).as("v"))
+      .cache()
+    vecs.count()
+    val qv = vecs.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val sim = graft.functions.GraftFunctions.cosineSim(col("v"), col("qv"))
+
+    val tb = System.nanoTime()
+    val bf = vecs.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+      .select(col("vec_id"), sim.as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(20)
+      .collect().map(_.getLong(0)).toSet
+    val bfSecs = (System.nanoTime() - tb) / 1e9
+    assert(bf == (1L to 20L).toSet, s"brute force missed planted neighbors: $bf")
+    println(f"[smoke] brute-force top-20 over $nVec vecs: $bfSecs%.1f s, planted recall 20/20")
+
+    // index BUILD (once, amortized over all queries): assign every vector
+    // to its nearest of 64 sampled centroids
+    val tBuild = System.nanoTime()
+    val cents = vecs.filter(col("vec_id").between(100, 163))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val csim = graft.functions.GraftFunctions.cosineSim(col("v"), col("cv"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+    val assign = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"), csim.as("csim"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(wAssign))
+    // the index IS a partition layout: lists written partitionBy(cid), so
+    // a probe becomes PARTITION PRUNING — the query reads 4 of 64
+    // directories (~6% of the bytes), which is where IVF beats the full
+    // scan once the corpus is disk/object-store resident (at 100 TB the
+    // full scan is the cost; in-memory local[32] a scan is nearly free,
+    // so the win here shows up as bytes read, not seconds)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_smoke_ivf").toString
+    assign.filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(idxDir)
+    val buildSecs = (System.nanoTime() - tBuild) / 1e9
+    // per-QUERY cost: prune to the 4 probed partitions
+    val tq = System.nanoTime()
+    val probed = assign.filter(col("vec_id") === 0 && col("rn") <= 4)
+      .select("cid").collect().map(_.getLong(0))
+    val ivfQ = spark.read.parquet(idxDir)
+      .filter(col("cid").isin(probed: _*) && col("vec_id") =!= 0)
+    val ivf = ivfQ.crossJoin(broadcast(qv))
+      .select(col("vec_id"), sim.as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(20)
+      .collect().map(_.getLong(0)).toSet
+    val ivfSecs = (System.nanoTime() - tq) / 1e9
+    val scanned = ivfQ.count()
+    val recall = ivf.intersect(bf).size
+    println(f"[smoke] IVF(64 cents, nprobe 4): build $buildSecs%.1f s (once), " +
+      f"query $ivfSecs%.1f s scanning $scanned of $nVec vecs (partition-pruned), " +
+      f"recall $recall/20 vs brute force")
+    // planted neighbors are near-copies of the query, so they land in the
+    // query's own probed centroids — IVF recall on REAL near-neighbors
+    // should be perfect even while scanning ~6% of the corpus
+    assert(recall >= 19, s"IVF recall degraded: $recall/20")
+    println("[smoke] OK — ANN at " + nVec + " vectors")
     spark.stop()
   }
 }
