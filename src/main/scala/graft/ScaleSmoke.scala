@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
   * average Jaccard 0.16 (measured; a quarter of ALL pairs are ≥ 0.2) —
   * at that density the candidate volume of any recall-guaranteeing LSH is
   * inherently quadratic, which measures the data, not the plan. Here each
-  * doc is 300 chars of md5-derived gibberish (background j ≈ 0, like a
+  * doc is 320 chars of md5-derived hex (background j ≈ 0, like a
   * real deduplicated web corpus), and each doc's REPLICAS copies append a
-  * 2-char suffix (intra-group j ≈ 0.97) — so the expected answer is
+  * 3-char suffix (intra-group j ≈ 0.97) — so the expected answer is
   * exactly the intra-group pairs and recall/precision are both checkable:
   *
   *  - every one of nBase·C(replicas,2) intra-group pairs must be found;
@@ -38,7 +38,7 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // doc i: 300 chars of md5-derived hex seeded by i (fully distributed
+    // doc i: 320 chars of md5-derived hex seeded by i (fully distributed
     // generation — no driver-side text); copy k appends "~k"
     val n = nBase * replicas
     val body = concat_ws("", (0 until 10).map(c =>
@@ -51,23 +51,21 @@ object ScaleSmoke {
     corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     println(s"[smoke] generated corpus: $n docs ($nBase × $replicas) at $dir")
 
-    // band-bucket health: sum c·(c-1)/2 over buckets = collision rows the
-    // inline prune must absorb — the quantity that explodes if bucketing
-    // degenerates
-    val sig = operators.DedupOps.signatures(spark, dir, operators.DedupOps.FullCorpus)
-    val banded = sig.select(col("doc_id"),
-      explode(array((0 until 32).map(b =>
-        xxhash64(lit(b), col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)).as("bhash"))
-    val buckets = banded.groupBy("bhash").agg(count(lit(1)).as("c"))
+    // Timed run is END-TO-END: verifiedPairs builds shingles, signatures,
+    // banding, prune and verify itself (nothing pre-materialized here)
+    val t0 = System.nanoTime()
+    val pairs = operators.DedupOps.verifiedPairs(spark, dir, operators.DedupOps.FullCorpus)
+    val found = pairs.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    // band-bucket health (from the now-cached signature frame): sum of
+    // c·(c-1)/2 over buckets = collision rows the inline prune absorbed —
+    // the quantity that explodes if bucketing degenerates
+    val buckets = operators.DedupOps.banded(spark, dir, operators.DedupOps.FullCorpus)
+      .groupBy("bhash").agg(count(lit(1)).as("c"))
     val stats = buckets.agg(count(lit(1)), sum(col("c") * (col("c") - 1)) / 2, max(col("c"))).head()
     println(s"[smoke] ${stats.get(0)} band buckets, max size ${stats.get(2)}, " +
       s"~${stats.get(1)} collision pairs pre-prune")
-
-    val t0 = System.nanoTime()
-    val pairs = operators.DedupOps.verifiedPairs(spark, dir, operators.DedupOps.FullCorpus)
-      .cache()
-    val found = pairs.count()
-    val secs = (System.nanoTime() - t0) / 1e9
     val intra = pairs.filter(col("d1").divide(replicas).cast("long") ===
       col("d2").divide(replicas).cast("long")).count()
     val expIntra = nBase * replicas * (replicas - 1) / 2
@@ -131,10 +129,14 @@ object ScaleSmoke {
       .select(col("vec_id"), col("v"), col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(idxDir)
     val buildSecs = (System.nanoTime() - tBuild) / 1e9
-    // per-QUERY cost: prune to the 4 probed partitions
+    // per-QUERY cost: rank the 64 centroids against qv directly (the
+    // shape a real probe uses — 64 cosines, independent of the index
+    // build's lineage), then prune to the 4 probed partitions
     val tq = System.nanoTime()
-    val probed = assign.filter(col("vec_id") === 0 && col("rn") <= 4)
-      .select("cid").collect().map(_.getLong(0))
+    val probed = cents.crossJoin(broadcast(qv))
+      .select(col("cid"), graft.functions.GraftFunctions.cosineSim(col("cv"), col("qv")).as("csim"))
+      .orderBy(col("csim").desc, col("cid").asc).limit(4)
+      .collect().map(_.getLong(0))
     val ivfQ = spark.read.parquet(idxDir)
       .filter(col("cid").isin(probed: _*) && col("vec_id") =!= 0)
     val ivf = ivfQ.crossJoin(broadcast(qv))
@@ -153,5 +155,11 @@ object ScaleSmoke {
     assert(recall >= 19, s"IVF recall degraded: $recall/20")
     println("[smoke] OK — ANN at " + nVec + " vectors")
     spark.stop()
+    Seq(dir, idxDir).foreach { root =>
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 }

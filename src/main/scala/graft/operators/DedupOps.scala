@@ -164,18 +164,25 @@ object DedupOps {
     * False positives are eliminated by the verify; misses are bounded by
     * banding (1-0.36)^32 < 1e-6 plus the prune's ~1e-6 — the output
     * equals the exact answer. */
+  /** Banded rows (doc_id, sigv, bhash): one row per (doc, band), carrying
+    * the full signature array — the band join's input. Shared by
+    * [[verifiedPairs]] and the ScaleSmoke bucket-health probe so a band
+    * retuning cannot silently diverge the two. */
+  def banded(s: SparkSession, d: String, cap: Long): DataFrame =
+    signatures(s, d, cap).select(
+      col("doc_id"),
+      array((0 until NumPerm).map(k => col(s"m$k")): _*).as("sigv"),
+      explode(array((0 until Bands).map(b =>
+        xxhash64(lit(b), col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)).as("bhash"))
+
   def verifiedPairs(s: SparkSession, d: String, cap: Long): DataFrame =
     cachedFrame(s, d, cap, "pairs") {
       val sig = signatures(s, d, cap)
-      val banded = sig.select(
-        col("doc_id"),
-        array((0 until NumPerm).map(k => col(s"m$k")): _*).as("sigv"),
-        explode(array((0 until Bands).map(b =>
-          xxhash64(lit(b), col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)).as("bhash"))
+      val bnd = banded(s, d, cap)
       val estMatches = aggregate(
         zip_with(col("x.sigv"), col("y.sigv"), (a, b) => when(a === b, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v)
-      val cand = banded.as("x").join(banded.as("y"),
+      val cand = bnd.as("x").join(bnd.as("y"),
           col("x.bhash") === col("y.bhash") && col("x.doc_id") < col("y.doc_id"))
         .filter(estMatches >= EstPruneMin)
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
