@@ -74,6 +74,25 @@ object ScaleSmoke {
     assert(found == intra, s"precision miss: ${found - intra} spurious pairs at j>=0.6")
     println("[smoke] OK — exact recall and precision at " + n + " docs")
 
+    // clustering over the verified pair graph through the DISTRIBUTED
+    // min-label path (the pair count is far past the driver union-find
+    // threshold at full smoke size): the construction makes the expected
+    // answer exact — one component of `replicas` docs per base doc, each
+    // labeled by its smallest member
+    val tc = System.nanoTime()
+    val verts = spark.range(n).toDF("id")
+    val comps = operators.Components.connectedComponents(
+      verts, pairs.select(col("d1").as("src"), col("d2").as("dst")))
+    val compSizes = comps.groupBy("component").agg(count(lit(1)).as("sz"))
+    val Array(nComps, badComps) = compSizes
+      .agg(count(lit(1)), sum(when(col("sz") =!= replicas, 1L).otherwise(0L)))
+      .head().toSeq.map(_.toString.toLong).toArray
+    val ccSecs = (System.nanoTime() - tc) / 1e9
+    println(f"[smoke] clustering: $nComps components in $ccSecs%.1f s ($badComps wrong-sized)")
+    assert(nComps == nBase && badComps == 0,
+      s"expected $nBase components of size $replicas, got $nComps with $badComps wrong-sized")
+    println("[smoke] OK — clustering at " + found + " edges")
+
     // ---- phase 2: similarity search at scale ----
     // nVec synthetic 64-dim vectors (xxhash64-derived, uniform in [-1,1]);
     // ids 1..20 are PLANTED near-neighbors of the query (id 0): the same
