@@ -13,15 +13,55 @@ import java.nio.file.{Files, Paths}
   * then `SPARK_GRAFT_BENCH_RUNS` (default 5) timed runs per query; the
   * reported figure is the per-query MEDIAN.
   *
-  * Output robustness: sbt's logger prefixes forked stdout with `[info]`
-  * unless the output strategy passes it through (build.sbt sets
-  * StdoutOutput), which broke machine parsing in round 1 — so the JSON
-  * line is ALSO written to `BENCH.json` in the working directory.
+  * The timed action is a `noop`-format write, not `count()`: under a bare
+  * count, Catalyst's `EliminateSorts` removes any final global ORDER BY
+  * from the executed plan (nothing observes the order), so the timing
+  * would exclude every query's final sort. The noop sink consumes rows
+  * exactly as a real writer would — the measured plan is the plan
+  * `Verify` ships to parquet, minus only the encoder.
+  *
+  * Output protocol: the FULL result (medians + cold map + errors) goes to
+  * `BENCH.json` in the working directory; stdout gets a single COMPACT
+  * final line — the driver machine-parses a bounded tail window of stdout
+  * (2,000 chars), so the line shrinks its per-query precision (3 → 2 → 1
+  * decimals, then totals-only) until it fits with margin. It is printed
+  * after `spark.stop()` so nothing can follow it. (sbt's logger would
+  * prefix forked stdout with `[info]` and break parsing — build.sbt sets
+  * StdoutOutput.)
   *
   * Failures are never silent: a query that throws in any run is reported
-  * as -1 with its error in the `errors` map, and excluded from the total.
+  * as -1 with its error in the `errors` map (BENCH.json), and excluded
+  * from the totals.
   */
 object Bench {
+
+  /** Largest stdout line the driver's tail window is guaranteed to hold. */
+  val MaxLineChars = 1900
+
+  /** Compact JSON number: `dp` decimals, trailing zeros stripped. */
+  private def fmt(v: Double, dp: Int): String =
+    if (v < 0) "-1"
+    else BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.stripTrailingZeros.toPlainString
+
+  /** The compact final stdout line: total + per-query medians, with
+    * per-query precision reduced (then the map dropped entirely) until the
+    * line fits [[MaxLineChars]]. Full-precision figures live in
+    * BENCH.json; this line exists to be machine-parseable from a bounded
+    * tail of stdout. */
+  def compactLine(total: Double, coldTotal: Double,
+                  results: Seq[(String, Double)], sf: String, runs: Int): String = {
+    def line(qs: Option[String]): String = {
+      val queries = qs.map(q => s""","queries":$q""").getOrElse("")
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec"$queries,"sf":"$sf","runs":$runs,"cold_total":${fmt(coldTotal, 3)},"detail":"BENCH.json"}"""
+    }
+    val candidates = Seq(3, 2, 1).iterator.map { dp =>
+      line(Some(results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
+        .mkString("{", ",", "}")))
+    } ++ Iterator.single(line(None))
+    candidates.find(_.length <= MaxLineChars).getOrElse(line(None))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -39,8 +79,10 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
+    // noop write: rows are fully produced and consumed, nothing is kept —
+    // the full plan (final sorts included) executes, unlike `count()`
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
-      try { fn(spark, sfDir).count(); true }
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
       catch {
         case e: Throwable =>
           errors.getOrElseUpdate(name, e.toString.replaceAll("\\s+", " ").take(300))
@@ -78,10 +120,12 @@ object Bench {
     val coldJson = cold.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"cold_queries":$coldJson,"errors":$errJson}"""
-    Files.writeString(Paths.get("BENCH.json"), json + "\n")
-    println(json)
+    val coldTotal = cold.map(_._2).filter(_ >= 0).sum
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"cold_total":$coldTotal,"cold_queries":$coldJson,"errors":$errJson}"""
+    Files.writeString(Paths.get("BENCH.json"), full + "\n")
     spark.stop()
+    // the one stdout line, printed last so the driver's tail window sees it
+    println(compactLine(total, coldTotal, results, sfDir, runs))
   }
 }

@@ -22,11 +22,22 @@ import org.apache.spark.sql.functions._
   *
   * This is a TOOL, not a test (it drives tens of millions of shingle rows
   * through the real shuffles — too heavy for `sbt test`): run per round,
-  * record the figures in COVERAGE.md.
+  * record the figures in COVERAGE.md. Every figure is ALSO written to
+  * `SCALE_SMOKE.json` in the working directory, so the scale claims in
+  * README/COVERAGE are machine-checkable artifacts, not prose.
   * `SPARK_GRAFT_SMOKE_DOCS=5000 SPARK_GRAFT_SMOKE_REPLICAS=8 sbt "runMain graft.ScaleSmoke"`
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
+    val report = scala.collection.mutable.LinkedHashMap[String, Any]()
+    def jsonOf(m: collection.Map[String, Any]): String = m.map { case (k, v) =>
+      val jv = v match {
+        case s: String => "\"" + s + "\""
+        case d: Double => f"$d%.3f"
+        case other => other.toString
+      }
+      "\"" + k + "\":" + jv
+    }.mkString("{", ",", "}")
     val nBase = sys.env.getOrElse("SPARK_GRAFT_SMOKE_DOCS", "5000").toLong
     val replicas = sys.env.getOrElse("SPARK_GRAFT_SMOKE_REPLICAS", "8").toInt
     val spark = SparkSession.builder()
@@ -70,6 +81,13 @@ object ScaleSmoke {
       col("d2").divide(replicas).cast("long")).count()
     val expIntra = nBase * replicas * (replicas - 1) / 2
     println(f"[smoke] $found pairs in $secs%.1f s — intra $intra (expected $expIntra), spurious ${found - intra}")
+    report ++= Seq(
+      "docs" -> n, "base_docs" -> nBase, "replicas" -> replicas,
+      "lsh_pairs_found" -> found, "lsh_pairs_expected" -> expIntra,
+      "lsh_spurious" -> (found - intra), "lsh_secs" -> secs,
+      "lsh_recall" -> (intra.toDouble / expIntra), "lsh_precision" -> (intra.toDouble / found),
+      "band_buckets" -> stats.get(0), "band_max_bucket" -> stats.get(2),
+      "band_collision_pairs_pre_prune" -> stats.get(1))
     assert(intra == expIntra, s"recall miss: $intra of $expIntra intra-group pairs")
     assert(found == intra, s"precision miss: ${found - intra} spurious pairs at j>=0.6")
     println("[smoke] OK — exact recall and precision at " + n + " docs")
@@ -89,6 +107,8 @@ object ScaleSmoke {
       .head().toSeq.map(_.toString.toLong).toArray
     val ccSecs = (System.nanoTime() - tc) / 1e9
     println(f"[smoke] clustering: $nComps components in $ccSecs%.1f s ($badComps wrong-sized)")
+    report ++= Seq("cc_edges" -> found, "cc_components" -> nComps,
+      "cc_wrong_sized" -> badComps, "cc_secs" -> ccSecs)
     assert(nComps == nBase && badComps == 0,
       s"expected $nBase components of size $replicas, got $nComps with $badComps wrong-sized")
     println("[smoke] OK — clustering at " + found + " edges")
@@ -125,6 +145,7 @@ object ScaleSmoke {
     val bfSecs = (System.nanoTime() - tb) / 1e9
     assert(bf == (1L to 20L).toSet, s"brute force missed planted neighbors: $bf")
     println(f"[smoke] brute-force top-20 over $nVec vecs: $bfSecs%.1f s, planted recall 20/20")
+    report ++= Seq("vectors" -> nVec, "bf_secs" -> bfSecs, "bf_planted_recall" -> 1.0)
 
     // index BUILD (once, amortized over all queries): assign every vector
     // to its nearest of 64 sampled centroids
@@ -173,6 +194,12 @@ object ScaleSmoke {
     // should be perfect even while scanning ~6% of the corpus
     assert(recall >= 19, s"IVF recall degraded: $recall/20")
     println("[smoke] OK — ANN at " + nVec + " vectors")
+    report ++= Seq("ivf_build_secs" -> buildSecs, "ivf_query_secs" -> ivfSecs,
+      "ivf_rows_scanned" -> scanned, "ivf_scan_fraction" -> (scanned.toDouble / nVec),
+      "ivf_recall_at_20" -> (recall.toDouble / 20))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_SMOKE.json"),
+      jsonOf(report) + "\n")
+    println("[smoke] wrote SCALE_SMOKE.json")
     spark.stop()
     Seq(dir, idxDir).foreach { root =>
       import scala.jdk.CollectionConverters._

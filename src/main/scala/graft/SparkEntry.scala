@@ -15,7 +15,7 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     Relational.all ++ TextOps.all ++ DedupOps.all ++ VectorOps.all ++
       EventOps.all ++ Multimodal.all ++ AsofJoin.all ++ Components.all ++
-      CleanCorpus.all
+      CleanCorpus.all ++ graft.streaming.EventStreams.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -84,6 +84,13 @@ object Components {
       converged = acc.value == 0L
       iter += 1
     }
+    // Never return silently-wrong labels: pointer jumping converges in
+    // O(log diameter) rounds (maxIter = 50 covers diameter ~2^50), so
+    // hitting the bound means the input or the loop is broken — fail loud.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"(${acc.value} labels still changing) — labels would be wrong")
     labels
   }
 

@@ -73,17 +73,32 @@ object DedupOps {
   private def capFilter(cap: Long): Column =
     if (cap == FullCorpus) lit(true) else col("doc_id") < cap
 
-  /** Character 5-gram shingles of a doc, distinct, as (doc_id, shingle)
-    * rows — the base relation of the Jaccard detectors. */
+  /** Character 5-gram shingles of a doc, distinct, as (doc_id, sh) rows —
+    * the base relation of the Jaccard detectors.
+    *
+    * On the FULL-CORPUS path each shingle is hashed to an 8-byte long
+    * (`xxhash64`) BEFORE the distinct, so the two widest exchanges of the
+    * whole pipeline — the shingle distinct and the verify join — shuffle
+    * fixed 8-byte keys instead of 5-char strings (string rows carry UTF-8
+    * bytes + offset/length overhead; the long roughly halves both
+    * shuffles). Set semantics are preserved up to xxhash64 collisions
+    * (~n²/2^64 per document — the same negligible-collision class the
+    * banding argument already accepts), so `ic`/`uc` counts — and hence
+    * the DuckDB oracle match, which only sees the counts — are unchanged.
+    * The bounded ORACLE slice keeps raw strings: q23 is the ground-truth
+    * query and stays collision-free by construction. */
   def shingles(s: SparkSession, d: String, cap: Long): DataFrame =
     cachedFrame(s, d, cap, "shingles") {
-      Tables.documents(s, d)
+      val raw = Tables.documents(s, d)
         .filter(capFilter(cap) && length(col("text")) >= 5)
         .select(col("doc_id"),
           explode(transform(
             sequence(lit(1), length(col("text")) - 4),
             i => col("text").substr(i, lit(5)))).as("sh"))
-        .distinct()
+      val keyed =
+        if (cap == FullCorpus) raw.select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+        else raw
+      keyed.distinct()
     }
 
   /** 60-bit deterministic hash of a string, reproducible in DuckDB. */

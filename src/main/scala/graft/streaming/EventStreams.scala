@@ -3,8 +3,10 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 /** Structured Streaming surface over the `events` schema (SURVEY.md §2.8 —
   * all [X]: the reference has no streams; its only asynchronous feature is
@@ -26,14 +28,19 @@ import java.sql.Timestamp
 object EventStreams {
 
   /** Tumbling-window counts with a watermark: late events beyond 10 min
-    * are dropped, window state is purged as the watermark passes. */
+    * are dropped, window state is purged as the watermark passes. The sum
+    * runs in decimal(18,6) (exact, order-independent — micro-batch
+    * arrival order must not change the emitted doubles) and is cast back
+    * to double on output. */
   def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
                      watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
-      .select(col("window.start").as("w_start"), col("event_type"), col("cnt"), col("sum_value"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 6))).as("sum_dec"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("cnt"),
+        col("sum_dec").cast(DecimalType(18, 4)).cast(DoubleType).as("sum_value"))
 
   /** Sliding windows (1h every 30m). */
   def slidingCounts(events: DataFrame): DataFrame =
@@ -170,6 +177,98 @@ object EventStreams {
           out.iterator
       }
   }
+
+  /** q64: the streaming ENGINE under the DuckDB oracle. q30 oracle-checks
+    * the tumbling-window SEMANTICS via a batch twin; this query runs the
+    * actual streaming path — a file-source stream (`readStream.parquet`)
+    * over the events table, `Trigger.AvailableNow`, [[tumblingCounts]]
+    * (watermark + windowed state), Append mode into a real parquet sink
+    * with a checkpoint — and returns the sink contents, which must
+    * hash-match the SAME oracle SQL as q30.
+    *
+    * Append mode only emits a window once the watermark passes its end,
+    * and emission happens in the batch AFTER the one that advanced the
+    * watermark — so a bare replay of a bounded file would never flush the
+    * final window(s) (measured: exactly the last hour's rows missing).
+    * The stream therefore reads a staged copy of the events file followed
+    * by TWO sentinel rows (2 h and 4 h past the corpus max) in separate
+    * files, with `maxFilesPerTrigger = 1` and explicit modification-time
+    * ordering forcing one batch each: the data batch sets the watermark,
+    * sentinel-1's batch flushes every window up to (max − delay),
+    * sentinel-2's batch flushes the rest — every REAL window's end is ≤
+    * sentinel-1 − delay. The sentinels' own windows stay unemitted (ends
+    * beyond the final watermark) and are filtered by event_type anyway —
+    * exactly how a production bounded-backfill drain works.
+    *
+    * Every invocation stages into fresh temp dirs (source, sink,
+    * checkpoint), so Verify and repeated Bench runs are independent. */
+  val q64StreamingTumbling = graft.QueryDef(
+    "q64_streaming_tumbling",
+    (s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val srcFile = s"$d/events.parquet"
+      val schema = s.read.parquet(srcFile).schema // ts is ns BIGINT under the legacy conf
+      val maxNs = s.read.parquet(srcFile).agg(max(col("ts"))).head().getLong(0)
+
+      val stage = java.nio.file.Files.createTempDirectory("graft_q64_src")
+      val dataCopy = stage.resolve("a-data.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(srcFile), dataCopy)
+      // explicit PAST mtimes (never future — the file source must consider
+      // every staged file already-arrived at start): data ≺ s1 ≺ s2
+      val t0 = System.currentTimeMillis() - 600000L
+      java.nio.file.Files.setLastModifiedTime(dataCopy,
+        java.nio.file.attribute.FileTime.fromMillis(t0))
+      import s.implicits._
+      val HourNs = 3600L * 1000 * 1000 * 1000
+      Seq(1, 2).foreach { i =>
+        // written outside `stage` so the source dir holds exactly three
+        // plain parquet files (no stray subdirs in the stream's listing)
+        val sub = java.nio.file.Files.createTempDirectory(s"graft_q64_sent$i")
+        Seq((-i.toLong, maxNs + 2 * i * HourNs, -1L, "__sentinel__", 0.0, null: String))
+          .toDF(schema.fieldNames: _*)
+          .write.mode("overwrite").parquet(sub.toString)
+        // one visible parquet per sentinel, mtime-ordered AFTER the data
+        // file so maxFilesPerTrigger=1 batches them last, in order
+        val part = java.nio.file.Files.list(sub).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).next()
+        val dst = stage.resolve(s"z-sentinel-$i.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + 60000L * i))
+      }
+
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q64_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q64_ckpt").toString
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString)
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      // NOTE: the sentinel must NOT be filtered inside the streaming plan —
+      // event_type is a grouping column, so Catalyst would push the filter
+      // below the aggregation into the parquet scan, and the sentinel's
+      // event time would never reach the watermark tracker (measured: the
+      // watermark then never advances and the final windows never flush).
+      // Sentinel groups are dropped from the SINK read below instead.
+      val q = tumblingCounts(stream)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      s.read.parquet(outDir)
+        .filter(col("event_type") =!= "__sentinel__")
+        .select((unix_micros(col("w_start")) * 1000).cast(LongType).as("w_start"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("w_start", "event_type")
+    },
+    // the batch twin's oracle, verbatim: the streaming path must agree
+    graft.operators.EventOps.q30Tumbling.oracle
+  )
+
+  val all: Seq[graft.QueryDef] = Seq(q64StreamingTumbling)
 
   /** Custom per-user running state via mapGroupsWithState — the
     * `KeyValueGroupedDataset` stateful escape hatch (arbitrary state the

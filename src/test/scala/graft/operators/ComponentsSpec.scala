@@ -46,6 +46,17 @@ class ComponentsSpec extends SparkSpec {
     assert(out.values.toSet == Set(0L), "path graph must collapse to component 0")
   }
 
+  test("non-convergence throws instead of returning wrong labels") {
+    // a 6-node path cannot converge in one round — the guard must fire
+    // rather than silently returning half-propagated labels
+    val verts = (0L until 6L).toDF("id")
+    val edges = (0L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      Components.connectedComponents(verts, edges, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("reliable checkpoint path produces the same labels") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
     val verts = (0L until 20L).toDF("id")

@@ -4,8 +4,8 @@ import graft.SparkSpec
 import graft.operators.Multimodal._
 import java.nio.file.Files
 
-/** Multimodal plumbing: binary+struct schema, parquet round-trip,
-  * partition-preserving batch ops, deterministic stub codec. */
+/** Multimodal plumbing + REAL imageio codec: binary+struct schema, parquet
+  * round-trip, partition-preserving batch ops, actual PNG decode. */
 class MultimodalSpec extends SparkSpec {
   import graft.TestSession.spark.implicits._
 
@@ -17,6 +17,32 @@ class MultimodalSpec extends SparkSpec {
     assert(schema("meta").dataType.typeName == "struct")
     val first = media.orderBy("media_id").head()
     assert(first.payload.nonEmpty && first.meta.kind == "image")
+  }
+
+  test("payloads are genuine PNGs the JDK can decode") {
+    val first = media.orderBy("media_id").head()
+    // real container: PNG magic bytes, and the probe's dimensions come
+    // from an actual decode, matching the construction (8+id%8, 8+id%5)
+    assert(first.payload.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    assert(first.meta.format == "image/png")
+    val img = ImageCodec.decode(first.payload)
+    assert(img.getWidth == first.meta.width && img.getHeight == first.meta.height)
+    assert(first.meta.width == 8 + (first.media_id % 8).toInt)
+    assert(first.meta.height == 8 + (first.media_id % 5).toInt)
+  }
+
+  test("decoded channel means match the gradient construction in closed form") {
+    // encode → decode round trip must reproduce base + (W-1)/2 + (H-1)/2
+    // exactly — the q65 oracle's prediction
+    media.orderBy("media_id").take(5).foreach { m =>
+      val (r, g, b) = ImageCodec.channelMeans(m.payload)
+      val (w, h) = (m.meta.width, m.meta.height)
+      val expectedOffsetR = (w - 1) / 2.0 + (h - 1) / 2.0
+      // base levels are whole ints; subtracting the offset must land on one
+      val r0 = r - expectedOffsetR
+      assert(r0 == r0.floor && r0 >= 0 && r0 <= 127, s"mean_r $r not on the gradient grid")
+      assert((g - (w - 1) / 2.0).isWhole && (b - (h - 1) / 2.0).isWhole)
+    }
   }
 
   test("binary + struct columns survive a parquet round-trip") {
@@ -33,6 +59,8 @@ class MultimodalSpec extends SparkSpec {
     val feats = extractFeatures(media, dim = 8)
     val rows = feats.orderBy("media_id").take(3)
     assert(rows.forall(_.features.length == 8))
+    // histogram is mass-normalized over real decoded pixels
+    assert(rows.forall(r => math.abs(r.features.sum - 1.0f) < 1e-4))
     // deterministic: same input → same features
     val again = extractFeatures(media, dim = 8).orderBy("media_id").take(3)
     assert(rows.zip(again).forall { case (x, y) => x.features.sameElements(y.features) && x.checksum == y.checksum })
@@ -41,12 +69,20 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"feature extraction must not shuffle:\n$plan")
   }
 
-  test("resize updates metadata and payload; frame sampling explodes rows") {
+  test("resize re-encodes a real image at the target dimensions") {
     val resized = resizeAll(media, 4, 4).orderBy("media_id").head()
-    assert(resized.meta.width == 4 && resized.meta.height == 4 && resized.payload.length <= 16)
+    assert(resized.meta.width == 4 && resized.meta.height == 4)
+    val img = ImageCodec.decode(resized.payload)
+    assert(img.getWidth == 4 && img.getHeight == 4)
+  }
+
+  test("frame sampling crops real filmstrip frames") {
     val frames = sampleFrames(media, everyN = 2)
     assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame"))
     assert(frames.count() > media.count()) // more frames than items
+    val f = frames.orderBy("media_id", "frame_idx").head()
+    val img = ImageCodec.decode(f.getAs[Array[Byte]]("frame"))
+    assert(img.getHeight == 4, "frame crop height")
   }
 
   test("extracted features feed the vector ops (array<float> contract)") {
