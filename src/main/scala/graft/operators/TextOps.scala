@@ -24,6 +24,19 @@ object TextOps {
     * string_split + list_filter. */
   private def tokens(c: Column): Column = filter(split(c, " "), t => t =!= "")
 
+  /** Let-binding for per-row array pipelines: evaluate `value` ONCE and
+    * bind it as a higher-order-function lambda variable for `body`.
+    * Without this, Catalyst's CollapseProject inlines a `.select`'d array
+    * expression into EVERY downstream reference — a slice-per-window
+    * consumer then re-evaluates the whole array transform per element,
+    * turning O(n) per-row algebra into O(n²)/O(n³) (measured: q57 went
+    * from sub-second to a 13-minute single task at sf0.1 once the bench's
+    * noop write stopped letting column pruning skip the projection).
+    * `transform` on a 1-element array evaluates its input exactly once;
+    * lambda-variable references are O(1). */
+  private def bind(value: Column, body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** q18: exact deduplication — group identical texts, keep the smallest
     * doc_id (deterministic survivor rule). The group key is the 256-bit
     * sha2 digest, not the text itself: the document body never enters the
@@ -244,25 +257,27 @@ object TextOps {
       val (k, w) = (5, 8)
       val P = 2147483647L // 2^31-1; (h mod P)·A + B < 2^62: ANSI-safe
       val (lcgA, lcgB) = (1103515245L, 12345L)
-      // codes: 1-based char codes; gram hash at i: poly over codes[i..i+4]
+      // codes: 1-based char codes; gram hash at i: poly over codes[i..i+4].
+      // Every intermediate array is `bind`-bound (evaluated once per row),
+      // never a `.select` column CollapseProject would inline per use.
       val codes = transform(split(col("text"), ""), c => ascii(c).cast(LongType))
       val poly = (cs: Column, i: Column) => (0 until k)
         .map(j => element_at(cs, i + j) * lit(math.pow(257.0, k - 1 - j).toLong))
         .reduce(_ + _)
-      val hs = transform(sequence(lit(1), col("ng")),
-        i => (poly(col("cs"), i) % P * lcgA + lcgB) % P)
-      val fps = array_distinct(transform(sequence(lit(1), col("ng") - (w - 1)),
-        j => array_min(slice(col("hs"), j, lit(w)))))
+      val ng = length(col("text")) - (k - 1)
+      val summary = bind(codes, cs =>
+        bind(transform(sequence(lit(1), ng), i => (poly(cs, i) % P * lcgA + lcgB) % P), hs =>
+          bind(array_distinct(transform(sequence(lit(1), ng - (w - 1)),
+              j => array_min(slice(hs, j, lit(w))))), fps =>
+            struct(
+              size(fps).cast(LongType).as("n_fp"),
+              array_min(fps).as("min_fp"),
+              array_max(fps).as("max_fp"),
+              aggregate(fps, lit(0L), (a, x) => a.bitwiseXOR(x)).as("xor_fp")))))
       Tables.documents(s, d)
         .filter(length(col("text")) >= k + w - 1)
-        .select(col("doc_id"), (length(col("text")) - (k - 1)).as("ng"), codes.as("cs"))
-        .select(col("doc_id"), col("ng"), hs.as("hs"))
-        .select(col("doc_id"), fps.as("fps"))
-        .select(col("doc_id"),
-          size(col("fps")).cast(LongType).as("n_fp"),
-          array_min(col("fps")).as("min_fp"),
-          array_max(col("fps")).as("max_fp"),
-          aggregate(col("fps"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("xor_fp"))
+        .select(col("doc_id"), summary.as("r"))
+        .select(col("doc_id"), col("r.n_fp"), col("r.min_fp"), col("r.max_fp"), col("r.xor_fp"))
         .orderBy("doc_id")
     },
     Some("""WITH g AS (
@@ -329,6 +344,116 @@ object TextOps {
            |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)
   )
 
+  /** q66: PII redaction — the scrub pass every training corpus runs before
+    * the tokenizer. The driver's synthetic documents contain no natural
+    * PII, so the query INJECTS deterministic emails/phones (varying by
+    * doc_id so redaction counts differ per row) and then redacts them with
+    * the real regex pass; the oracle builds the identical input and the
+    * full redacted text is string-compared. Patterns are codegen'd
+    * `regexp_replace`/`regexp_extract_all` — a narrow projection, nothing
+    * shuffles but the final sort. */
+  val q66PiiRedact = QueryDef(
+    "q66_pii_redact",
+    (s, d) => {
+      val email = "[a-z0-9.]+@[a-z0-9.-]+\\.[a-z]{2,4}"
+      val phone = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val withPii = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 =!= 0,
+            concat(lit(" reach user"), col("doc_id"), lit("@mail.example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" call +1-555-"),
+              lpad((col("doc_id") % 1000).cast(StringType), 3, "0"), lit("-0199")))
+            .otherwise(lit(""))).as("text"))
+      withPii.select(col("doc_id"),
+          regexp_replace(regexp_replace(col("text"), phone, "<PHONE>"), email, "<EMAIL>")
+            .as("clean"),
+          size(regexp_extract_all(col("text"), lit(email), lit(0))).cast(LongType).as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(phone), lit(0))).cast(LongType).as("n_phones"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH withpii AS (
+           |  SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 3 <> 0
+           |         THEN ' reach user' || doc_id || '@mail.example.com' ELSE '' END ||
+           |    CASE WHEN doc_id % 2 = 0
+           |         THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+           |         ELSE '' END AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  regexp_replace(regexp_replace(text, '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+           |                 '[a-z0-9.]+@[a-z0-9.-]+\.[a-z]{2,4}', '<EMAIL>', 'g') AS clean,
+           |  CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.-]+\.[a-z]{2,4}')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(text, '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
+           |FROM withpii ORDER BY doc_id""".stripMargin)
+  )
+
+  /** q67: repetition metrics — the Gopher-style quality filters that catch
+    * degenerate/boilerplate documents: duplicate-token fraction,
+    * most-frequent-token share, duplicate-bigram fraction. All three are
+    * per-row ARRAY algebra (no explode, no shuffle — the same
+    * shuffle-free shape as q57 winnowing), with integer ×1e6 DIV scores so
+    * both engines agree bit-for-bit. The top-share scan is O(distinct·n)
+    * per row — bounded by document length, embarrassingly parallel. */
+  val q67Repetition = QueryDef(
+    "q67_repetition",
+    (s, d) => {
+      // exact integer DIV for nonnegative longs without needing named
+      // columns: a - a%b is an exact multiple, its double division by b is
+      // a correctly-rounded integer ≤ 2^53 — bit-exact vs DuckDB's `//`
+      def idiv(a: Column, b: Column): Column = ((a - a % b) / b).cast(LongType)
+      // token array bound ONCE per row (see [[bind]]) — referencing a
+      // `.select`'d column instead would re-split the text per consumer
+      val metrics = bind(tokens(col("text")), t => {
+        val n = size(t).cast(LongType)
+        val nd = size(array_distinct(t)).cast(LongType)
+        val topc = aggregate(array_distinct(t), lit(0L),
+          (acc, x) => greatest(acc, size(filter(t, e => e === x)).cast(LongType)))
+        // guard: sequence(1, n-1) REVERSES direction when n < 2 (Spark
+        // auto-steps -1) and would index element 0 — short docs get []
+        val bigrams = when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1),
+            i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+          .otherwise(array().cast(ArrayType(StringType)))
+        bind(bigrams, b => {
+          val nb = size(b).cast(LongType)
+          val nbd = size(array_distinct(b)).cast(LongType)
+          struct(n.as("n_tokens"), nd.as("distinct_tokens"),
+            when(n > 0, idiv((n - nd) * 1000000L, n)).otherwise(0L).as("dup_token_x1m"),
+            when(n > 0, idiv(topc * 1000000L, n)).otherwise(0L).as("top_share_x1m"),
+            when(nb > 0, idiv((nb - nbd) * 1000000L, nb)).otherwise(0L).as("dup_bigram_x1m"))
+        })
+      })
+      Tables.documents(s, d)
+        .select(col("doc_id"), metrics.as("m"))
+        .select(col("doc_id"), col("m.n_tokens").as("n_tokens"),
+          col("m.distinct_tokens").as("distinct_tokens"),
+          col("m.dup_token_x1m").as("dup_token_x1m"),
+          col("m.top_share_x1m").as("top_share_x1m"),
+          col("m.dup_bigram_x1m").as("dup_bigram_x1m"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id, t,
+           |    CAST(len(t) AS BIGINT) AS n,
+           |    CAST(len(list_distinct(t)) AS BIGINT) AS nd,
+           |    CAST(list_max(list_transform(list_distinct(t),
+           |           x -> len(list_filter(t, e -> e = x)))) AS BIGINT) AS topc,
+           |    list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS b
+           |  FROM base)
+           |SELECT doc_id, n AS n_tokens, nd AS distinct_tokens,
+           |  CASE WHEN n > 0 THEN (n - nd) * 1000000 // n ELSE 0 END AS dup_token_x1m,
+           |  CASE WHEN n > 0 THEN topc * 1000000 // n ELSE 0 END AS top_share_x1m,
+           |  CASE WHEN len(b) > 0
+           |       THEN (len(b) - len(list_distinct(b))) * 1000000 // len(b) ELSE 0 END AS dup_bigram_x1m
+           |FROM m ORDER BY doc_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId,
-    q22Fingerprint, q39Bigrams, q55TokenCounts, q57Winnowing, q59Tfidf)
+    q22Fingerprint, q39Bigrams, q55TokenCounts, q57Winnowing, q59Tfidf,
+    q66PiiRedact, q67Repetition)
 }

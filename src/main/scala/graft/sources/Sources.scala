@@ -64,11 +64,13 @@ object Sources {
   // /opt/spark/jars, but the core avro + avro-mapred libraries are — so
   // the gateway op is implemented directly on the splittable Hadoop
   // AvroKeyInputFormat/AvroKeyOutputFormat (the same container format and
-  // parallelism the connector uses; one task per file split). Scope is the
-  // classic flat-record profile: primitive fields, each optionally
-  // nullable via the standard union(null, T) — nested records should land
-  // in parquet anyway at scale (avro is a row-ingest format; nothing
-  // pushes down).
+  // parallelism the connector uses; one task per file split). Supported
+  // profile: primitive fields, nullability via the standard
+  // union(null, T), and NESTED records / arrays / string-keyed maps /
+  // enums / fixed — the full generic-record shapes spark-avro handles.
+  // Non-null multi-branch unions (rare in practice) stay unsupported with
+  // a clear error. Nested data should still land in parquet at scale
+  // (avro is a row-ingest format; nothing pushes down).
 
   import scala.jdk.CollectionConverters._
 
@@ -86,13 +88,44 @@ object Sources {
       case DOUBLE  => (DoubleType, false)
       case STRING  => (StringType, false)
       case BYTES   => (BinaryType, false)
+      case ENUM    => (StringType, false)
+      case FIXED   => (BinaryType, false)
+      case RECORD =>
+        (StructType(f.getFields.asScala.map { sub =>
+          val (dt, nullable) = avroToSpark(sub.schema())
+          StructField(sub.name(), dt, nullable)
+        }.toArray), false)
+      case ARRAY =>
+        val (dt, nullable) = avroToSpark(f.getElementType)
+        (ArrayType(dt, containsNull = nullable), false)
+      case MAP =>
+        val (dt, nullable) = avroToSpark(f.getValueType)
+        (MapType(StringType, dt, valueContainsNull = nullable), false)
       case t => throw new UnsupportedOperationException(
-        s"avro type $t not supported by the minimal reader (flat primitive records only)")
+        s"avro type $t not supported by the reader")
     }
   }
 
+  /** Recursive avro value → Spark external value (Row/Seq/Map/primitive). */
+  private def fromAvro(v: Any): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case b: java.nio.ByteBuffer =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case r: org.apache.avro.generic.GenericRecord =>
+      Row.fromSeq(r.getSchema.getFields.asScala.map(f => fromAvro(r.get(f.pos()))).toSeq)
+    case e: org.apache.avro.generic.GenericEnumSymbol[_] => e.toString
+    case fx: org.apache.avro.generic.GenericFixed => fx.bytes().clone()
+    case a: java.util.Collection[_] => a.asScala.map(fromAvro).toSeq
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, mv) => (fromAvro(k), fromAvro(mv)) }.toMap
+    case other => other
+  }
+
   private def sparkToAvroJson(schema: StructType, name: String): String = {
-    def prim(dt: DataType): String = dt match {
+    // nested record names must be unique within an avro schema — derive
+    // them from the field path
+    def typ(dt: DataType, path: String): String = dt match {
       case BooleanType => "\"boolean\""
       case IntegerType => "\"int\""
       case LongType    => "\"long\""
@@ -100,14 +133,57 @@ object Sources {
       case DoubleType  => "\"double\""
       case StringType  => "\"string\""
       case BinaryType  => "\"bytes\""
+      case st: StructType => record(st, path)
+      case ArrayType(et, containsNull) =>
+        val item = if (containsNull) s"""["null", ${typ(et, path + "_item")}]"""
+                   else typ(et, path + "_item")
+        s"""{"type": "array", "items": $item}"""
+      case MapType(StringType, vt, valueNull) =>
+        val value = if (valueNull) s"""["null", ${typ(vt, path + "_value")}]"""
+                    else typ(vt, path + "_value")
+        s"""{"type": "map", "values": $value}"""
       case t => throw new UnsupportedOperationException(
-        s"spark type $t not supported by the minimal avro writer (flat primitive rows only)")
+        s"spark type $t not supported by the avro writer")
     }
-    val fields = schema.fields.map { f =>
-      val t = if (f.nullable) s"""["null", ${prim(f.dataType)}]""" else prim(f.dataType)
-      s"""{"name": "${f.name}", "type": $t}"""
-    }.mkString(",")
-    s"""{"type": "record", "name": "$name", "fields": [$fields]}"""
+    def record(st: StructType, recName: String): String = {
+      val fields = st.fields.map { f =>
+        val t0 = typ(f.dataType, recName + "_" + f.name)
+        val t = if (f.nullable) s"""["null", $t0]""" else t0
+        s"""{"name": "${f.name}", "type": $t}"""
+      }.mkString(",")
+      s"""{"type": "record", "name": "$recName", "fields": [$fields]}"""
+    }
+    record(schema, name)
+  }
+
+  /** Recursive Spark external value → avro generic value for `schema`
+    * (union-resolved). */
+  private def toAvro(v: Any, schema: org.apache.avro.Schema): Any = {
+    import org.apache.avro.Schema.Type._
+    if (v == null) return null
+    val s = if (schema.getType == UNION)
+      schema.getTypes.asScala.find(_.getType != NULL).get else schema
+    s.getType match {
+      case RECORD =>
+        val row = v.asInstanceOf[Row]
+        val rec = new org.apache.avro.generic.GenericData.Record(s)
+        s.getFields.asScala.foreach { f =>
+          rec.put(f.pos(), toAvro(row.get(f.pos()), f.schema()))
+        }
+        rec
+      case ARRAY =>
+        val out = new java.util.ArrayList[Any]()
+        v.asInstanceOf[scala.collection.Seq[Any]]
+          .foreach(e => out.add(toAvro(e, s.getElementType)))
+        out
+      case MAP =>
+        val out = new java.util.HashMap[String, Any]()
+        v.asInstanceOf[scala.collection.Map[String, Any]]
+          .foreach { case (k, mv) => out.put(k, toAvro(mv, s.getValueType)) }
+        out
+      case BYTES => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case _ => v
+    }
   }
 
   /** `db.read_avro` analog: schema inferred from the first file's header
@@ -136,33 +212,29 @@ object Sources {
     }.toArray)
     val names = sparkSchema.fields.map(_.name)
 
+    // pin the reader to the generic data model too — the default
+    // ReflectData tries to Class.forName nested record names and NPEs
+    val readConf = new org.apache.hadoop.conf.Configuration(conf)
+    org.apache.avro.hadoop.io.AvroSerialization.setDataModelClass(
+      readConf, classOf[org.apache.avro.generic.GenericData])
     val rows = s.sparkContext.newAPIHadoopFile(
         path, classOf[AvroKeyInputFormat[GenericRecord]],
-        classOf[AvroKey[GenericRecord]], classOf[NullWritable], conf)
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable], readConf)
       .map { case (k, _) =>
         val rec = k.datum()
-        Row.fromSeq(names.map { n =>
-          rec.get(n) match {
-            case null => null
-            case u: org.apache.avro.util.Utf8 => u.toString
-            case b: java.nio.ByteBuffer =>
-              val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
-            case v => v
-          }
-        }.toSeq)
+        Row.fromSeq(names.map(n => fromAvro(rec.get(n))).toSeq)
       }
     s.createDataFrame(rows, sparkSchema)
   }
 
   /** `bag.to_avro` analog: one avro container file per partition. */
   def writeAvro(df: DataFrame, path: String): Unit = {
-    import org.apache.avro.generic.{GenericData, GenericRecord}
+    import org.apache.avro.generic.GenericRecord
     import org.apache.avro.mapred.AvroKey
     import org.apache.avro.mapreduce.{AvroJob, AvroKeyOutputFormat}
     import org.apache.hadoop.io.NullWritable
 
     val schemaJson = sparkToAvroJson(df.schema, "graft_record")
-    val names = df.schema.fields.map(_.name)
     val spark = df.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new org.apache.hadoop.fs.Path(path).toUri, spark.sparkContext.hadoopConfiguration)
@@ -170,18 +242,16 @@ object Sources {
 
     val job = org.apache.hadoop.mapreduce.Job.getInstance(spark.sparkContext.hadoopConfiguration)
     AvroJob.setOutputKeySchema(job, new org.apache.avro.Schema.Parser().parse(schemaJson))
+    // the default data model is ReflectData, which tries to Class.forName
+    // nested record names (none exist for generic rows) and NPEs — pin the
+    // writer to the generic model
+    AvroJob.setDataModelClass(job, classOf[org.apache.avro.generic.GenericData])
     df.rdd.mapPartitions { it =>
         // avro Schema is not serializable across all versions: parse per task
         val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
         it.map { row =>
-          val rec = new GenericData.Record(schema)
-          names.zipWithIndex.foreach { case (n, i) =>
-            rec.put(n, row.get(i) match {
-              case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-              case v => v
-            })
-          }
-          (new AvroKey[GenericRecord](rec), NullWritable.get())
+          (new AvroKey[GenericRecord](
+            toAvro(row, schema).asInstanceOf[GenericRecord]), NullWritable.get())
         }
       }
       .saveAsNewAPIHadoopFile(path, classOf[AvroKey[GenericRecord]],

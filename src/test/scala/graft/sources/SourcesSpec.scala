@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -77,12 +78,55 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
-  test("avro writer rejects unsupported nested types with a clear error") {
+  test("avro round-trip: array column (embeddings table)") {
+    val path = tmp("avro_arr")
     val df = Tables.embeddings(spark, sfDir) // array<float> column
-    val e = intercept[UnsupportedOperationException] {
-      Sources.writeAvro(df, tmp("avro_bad"))
+    Sources.writeAvro(df, path)
+    val back = Sources.readAvro(spark, path)
+    assert(back.schema("embedding").dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    val a = df.orderBy("vec_id").head().getAs[scala.collection.Seq[Float]]("embedding").toList
+    val b = back.orderBy("vec_id").head().getAs[scala.collection.Seq[Float]]("embedding").toList
+    assert(a == b && back.count() == df.count())
+  }
+
+  test("avro round-trip: nested struct + map + array-of-struct") {
+    val path = tmp("avro_nested")
+    val df = Seq(
+      (1L, ("alpha", 10), Map("k1" -> 1.5, "k2" -> -0.5), Seq((1, "x"), (2, "y"))),
+      (2L, ("beta", -3), Map.empty[String, Double], Seq.empty[(Int, String)]),
+      (3L, (null: String, 0), Map("z" -> 0.0), Seq((9, null: String)))
+    ).toDF("id", "rec", "props", "items")
+    Sources.writeAvro(df, path)
+    val back = Sources.readAvro(spark, path)
+    assert(back.schema("rec").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    assert(back.schema("props").dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+    val o = df.orderBy("id").collect()
+    val b = back.orderBy("id").collect()
+    o.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(0) == y.getLong(0))
+      assert(x.getStruct(1).toSeq == y.getStruct(1).toSeq)
+      assert(x.getMap[String, Double](2) == y.getMap[String, Double](2))
+      assert(x.getSeq[Row](3).map(_.toSeq) == y.getSeq[Row](3).map(_.toSeq))
     }
-    assert(e.getMessage.contains("not supported"))
+  }
+
+  test("avro reader rejects multi-branch unions with a clear error") {
+    // non-null multi-branch unions stay out of scope: build one directly
+    val dir = tmp("avro_union")
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"u","fields":
+        |[{"name":"v","type":["int","string"]}]}""".stripMargin)
+    val f = new java.io.File(dir); f.mkdirs()
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, new java.io.File(f, "part-0.avro"))
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("v", 42)
+    w.append(rec); w.close()
+    val e = intercept[IllegalArgumentException] {
+      Sources.readAvro(spark, dir)
+    }
+    assert(e.getMessage.contains("union"))
   }
 
   test("partitioned parquet write enables partition pruning") {
