@@ -67,6 +67,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate"), s"no explode expected:\n$p")
   }
 
+  test("q66/q67: PII redaction and repetition metrics are narrow projections") {
+    // both are per-row text/array algebra: nothing may shuffle but the
+    // final total orderBy (1 exchange), and nothing may explode
+    Seq(TextOps.q66PiiRedact, TextOps.q67Repetition).foreach { q =>
+      val p = plan(q)
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 2, s"${q.name}: per-row op must not shuffle (got $exchanges):\n$p")
+      assert(!p.contains("Generate"), s"${q.name}: no explode expected:\n$p")
+      assert(!p.contains("Window"), s"${q.name}: no window operator expected:\n$p")
+    }
+  }
+
   test("q59: vocabulary-sized df table is broadcast onto tf") {
     val p = plan(TextOps.q59Tfidf)
     assert(p.contains("BroadcastHashJoin"), s"df join must broadcast:\n$p")
