@@ -309,7 +309,81 @@ object VectorOps {
            |ORDER BY iscore DESC, vec_id LIMIT 10""".stripMargin)
   )
 
+  private val PairBands = 16
+  private val PairBits = 16
+
+  /** 384 deterministic gaussian hyperplanes for the pair-banding signature
+    * (engine-side only — q68's oracle is the EXACT answer, so the planes
+    * never need SQL rendering). `java.util.Random.nextGaussian` is a
+    * specified algorithm, so the literals are identical on every JVM. */
+  private lazy val pairPlanes: IndexedSeq[Array[Double]] = {
+    val r = new java.util.Random(20257)
+    IndexedSeq.fill(PairBands * PairBits)(Array.fill(Dim)(r.nextGaussian()))
+  }
+
+  /** q68: embedding near-dup PAIRS at scale — the LSH candidate generator
+    * for q29's brute-force all-pairs cosine. The driver's embeddings are
+    * near-orthogonal (max background cosine ≈ 0.5 at sf0.01, ≈ 0.7
+    * expected at 13M pairs), so the query PLANTS near-duplicates the way
+    * q66 injects PII: every 20th vector gets a copy with per-dimension
+    * scaling 1 + ((j mod 7) − 3)·0.02 — cos(v, copy) ≥ 2√(0.94·1.06)/2 ≈
+    * 0.998 PROVABLY (worst-case mass split between extreme factors),
+    * while scaled background pairs stay under ~0.75. The 0.9 verify
+    * threshold therefore has a hard margin on BOTH sides at every scale
+    * factor — no float-tie risk in the hash compare.
+    *
+    * Shape (the 100 TB path, mirroring q52): per-row signature = 16 bands
+    * × 16 hyperplane sign bits, each bit a CODEGEN'd [[cosine]] against a
+    * constant plane (sign(cos) = sign(dot)); band keys are 8-byte
+    * xxhash64 with the band index folded in; vectors ride the band
+    * shuffle so the exact-cosine verify filters the band join's output
+    * INLINE, before the distinct. Banding miss for a ≥0.998 pair is
+    * (1 − 0.98^16)^16 ≈ 1e-9; a random pair collides somewhere with
+    * probability 16/2^16 ≈ 0.02%, all killed by the verify — the output
+    * equals the exact quadratic answer, which IS the oracle. */
+  val q68EmbeddingLshPairs = QueryDef(
+    "q68_embedding_lsh_pairs",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), toD(col("embedding")).as("v"))
+      val planted = base.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(sequence(lit(1), size(col("v"))),
+            j => element_at(col("v"), j) *
+              (lit(1.0) + (j % 7 - 3).cast(DoubleType) * lit(0.02))).as("v"))
+      val allv = base.unionByName(planted).repartition(32)
+      val bandHashes = (0 until PairBands).map { b =>
+        val bits = (0 until PairBits).map { r =>
+          when(cosine(col("v"), typedLit(pairPlanes(b * PairBits + r))) >= 0,
+            lit(1L << r)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        xxhash64(lit(b), bits)
+      }
+      val banded = allv.select(col("vec_id"), col("v"),
+        explode(array(bandHashes: _*)).as("bhash"))
+      banded.as("x").join(banded.as("y"),
+          col("x.bhash") === col("y.bhash") && col("x.vec_id") < col("y.vec_id"))
+        .filter(cosine(col("x.v"), col("y.v")) >= 0.9) // inline exact verify
+        .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"))
+        .distinct()
+        .orderBy("d1", "d2")
+    },
+    Some("""WITH base AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |planted AS (
+           |  SELECT vec_id + 1000000 AS vec_id,
+           |    list_transform(range(1, 1 + len(v)),
+           |      j -> v[j] * (1 + ((j % 7) - 3) * 0.02)) AS v
+           |  FROM base WHERE vec_id % 20 = 0),
+           |allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+           |SELECT a.vec_id AS d1, b.vec_id AS d2
+           |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+           |WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+           |ORDER BY d1, d2""".stripMargin)
+  )
+
   val all: Seq[QueryDef] =
     Seq(q27CosineTopK, q28AnnLsh, q29CosinePairs, q38BatchAnn, q56AnnIvf,
-      q62QuantizedAnn)
+      q62QuantizedAnn, q68EmbeddingLshPairs)
 }
