@@ -197,6 +197,34 @@ object ScaleSmoke {
     report ++= Seq("ivf_build_secs" -> buildSecs, "ivf_query_secs" -> ivfSecs,
       "ivf_rows_scanned" -> scanned, "ivf_scan_fraction" -> (scanned.toDouble / nVec),
       "ivf_recall_at_20" -> (recall.toDouble / 20))
+
+    // ---- phase 3: embedding near-dup PAIRS at scale (the q68 engine) ----
+    // ndVec base vectors + ndVec/20 perturbed copies (cos ≥ 0.998
+    // provably); the banded hyperplane pipeline at exact-verify 0.95 must
+    // find exactly the planted pairs: background max cosine over ~2e10
+    // random 64-dim pairs concentrates near 0.86 — below the threshold —
+    // and the planted-pair banding miss probability is ≤ 1e-9 each.
+    val ndVec = sys.env.getOrElse("SPARK_GRAFT_SMOKE_NDVECS", "200000").toLong
+    val ndDup = ndVec / 20
+    val ndBase = spark.range(ndVec).toDF("vec_id")
+      .select(col("vec_id"), unit(col("vec_id") + 7777777L).as("v"))
+    val ndPlanted = ndBase.filter(col("vec_id") < ndDup)
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        graft.operators.VectorOps.perturb(col("v")).as("v"))
+    val ndAll = ndBase.unionByName(ndPlanted).repartition(32).cache()
+    ndAll.count()
+    val tnd = System.nanoTime()
+    val ndPairs = graft.operators.VectorOps.lshNearDupPairs(ndAll, 0.95).cache()
+    val ndFound = ndPairs.count()
+    val ndSecs = (System.nanoTime() - tnd) / 1e9
+    val ndIntra = ndPairs.filter(col("d2") === col("d1") + 10000000L).count()
+    println(f"[smoke] vector near-dup: $ndFound pairs in $ndSecs%.1f s over ${ndVec + ndDup} vecs " +
+      f"— planted $ndIntra/$ndDup, spurious ${ndFound - ndIntra}")
+    assert(ndIntra == ndDup, s"vector near-dup recall miss: $ndIntra of $ndDup")
+    assert(ndFound == ndIntra, s"vector near-dup precision miss: ${ndFound - ndIntra} spurious")
+    println("[smoke] OK — vector near-dup pairs at " + (ndVec + ndDup) + " vectors")
+    report ++= Seq("vnd_vectors" -> (ndVec + ndDup), "vnd_planted" -> ndDup,
+      "vnd_found" -> ndFound, "vnd_spurious" -> (ndFound - ndIntra), "vnd_secs" -> ndSecs)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_SMOKE.json"),
       jsonOf(report) + "\n")
     println("[smoke] wrote SCALE_SMOKE.json")

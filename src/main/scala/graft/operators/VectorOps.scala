@@ -341,6 +341,32 @@ object VectorOps {
     * (1 − 0.98^16)^16 ≈ 1e-9; a random pair collides somewhere with
     * probability 16/2^16 ≈ 0.02%, all killed by the verify — the output
     * equals the exact quadratic answer, which IS the oracle. */
+  /** q68's engine, reusable at any scale (ScaleSmoke phase 3 drives it at
+    * 200k+ vectors): banded LSH near-dup pairs over (vec_id, v) rows with
+    * an inline exact-cosine verify at `threshold`. */
+  def lshNearDupPairs(allv: DataFrame, threshold: Double): DataFrame = {
+    val bandHashes = (0 until PairBands).map { b =>
+      val bits = (0 until PairBits).map { r =>
+        when(cosine(col("v"), typedLit(pairPlanes(b * PairBits + r))) >= 0,
+          lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      xxhash64(lit(b), bits)
+    }
+    val banded = allv.select(col("vec_id"), col("v"),
+      explode(array(bandHashes: _*)).as("bhash"))
+    banded.as("x").join(banded.as("y"),
+        col("x.bhash") === col("y.bhash") && col("x.vec_id") < col("y.vec_id"))
+      .filter(cosine(col("x.v"), col("y.v")) >= threshold) // inline exact verify
+      .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"))
+      .distinct()
+  }
+
+  /** The q68 planted-copy perturbation: per-dimension scale
+    * 1 + ((j mod 7) − 3)·0.02 — cos(v, copy) ≥ 0.998 provably. */
+  def perturb(v: Column): Column =
+    transform(sequence(lit(1), size(v)),
+      j => element_at(v, j) * (lit(1.0) + (j % 7 - 3).cast(DoubleType) * lit(0.02)))
+
   val q68EmbeddingLshPairs = QueryDef(
     "q68_embedding_lsh_pairs",
     (s, d) => {
@@ -348,26 +374,9 @@ object VectorOps {
       val base = Tables.embeddings(s, d)
         .select(col("vec_id"), toD(col("embedding")).as("v"))
       val planted = base.filter(col("vec_id") % 20 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          transform(sequence(lit(1), size(col("v"))),
-            j => element_at(col("v"), j) *
-              (lit(1.0) + (j % 7 - 3).cast(DoubleType) * lit(0.02))).as("v"))
+        .select((col("vec_id") + 1000000L).as("vec_id"), perturb(col("v")).as("v"))
       val allv = base.unionByName(planted).repartition(32)
-      val bandHashes = (0 until PairBands).map { b =>
-        val bits = (0 until PairBits).map { r =>
-          when(cosine(col("v"), typedLit(pairPlanes(b * PairBits + r))) >= 0,
-            lit(1L << r)).otherwise(lit(0L))
-        }.reduce(_ + _)
-        xxhash64(lit(b), bits)
-      }
-      val banded = allv.select(col("vec_id"), col("v"),
-        explode(array(bandHashes: _*)).as("bhash"))
-      banded.as("x").join(banded.as("y"),
-          col("x.bhash") === col("y.bhash") && col("x.vec_id") < col("y.vec_id"))
-        .filter(cosine(col("x.v"), col("y.v")) >= 0.9) // inline exact verify
-        .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"))
-        .distinct()
-        .orderBy("d1", "d2")
+      lshNearDupPairs(allv, 0.9).orderBy("d1", "d2")
     },
     Some("""WITH base AS (
            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

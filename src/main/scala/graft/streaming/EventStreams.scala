@@ -257,6 +257,12 @@ object EventStreams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // the staged source and checkpoint are per-invocation scratch; only
+      // the sink must outlive the call (the returned frame reads it lazily)
+      Seq(stage, java.nio.file.Paths.get(ckpt)).foreach { root =>
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
 
       s.read.parquet(outDir)
         .filter(col("event_type") =!= "__sentinel__")
