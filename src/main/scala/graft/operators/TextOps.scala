@@ -453,7 +453,63 @@ object TextOps {
            |FROM m ORDER BY doc_id""".stripMargin)
   )
 
+  /** q69: benchmark decontamination — the eval-leakage audit every training
+    * run needs: treat one source slice (`src0`) as the held-out benchmark
+    * and report, per benchmark document, how many of its word 5-grams also
+    * appear anywhere in the training pool (every other source). The
+    * driver's synthetic corpus has real signal here (at sf0.01: 108 of
+    * 1335 benchmark grams collide with the pool, touching all 25 docs).
+    *
+    * Plan shape at 100 TB: the benchmark is MB-scale next to the corpus,
+    * so its distinct gram set is BROADCAST and the 100 TB training side is
+    * reduced by a broadcast LEFT-SEMI join *at the scan* — corpus grams
+    * never shuffle; only the (benchmark-bounded) surviving hit grams are
+    * distinct'd. The per-doc report then joins benchmark grams to the tiny
+    * hit set. Contamination is integer ×1e6 DIV — exact cross-engine. */
+  val q69Decontamination = QueryDef(
+    "q69_decontamination",
+    (s, d) => {
+      // word 5-grams as one per-row array expression ([[bind]]: the token
+      // array is evaluated once, not re-split per sequence element); docs
+      // shorter than 5 tokens contribute no grams in either engine
+      val grams5 = bind(tokens(col("text")), t =>
+        when(size(t) >= 5,
+          transform(sequence(lit(1), size(t) - 4),
+            i => concat_ws(" ", slice(t, i, lit(5)))))
+          .otherwise(array().cast(ArrayType(StringType))))
+      def grams(src: Column => Column) =
+        Tables.documents(s, d).filter(src(col("source")))
+          .select(col("doc_id"), explode(grams5).as("g"))
+      val benchGrams = grams(_ === "src0").distinct()
+      val hitGrams = grams(_ =!= "src0").select("g")
+        .join(broadcast(benchGrams.select("g").distinct()), Seq("g"), "left_semi")
+        .distinct()
+        .withColumn("hit", lit(1))
+      benchGrams.join(hitGrams, Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+        .withColumn("contamination_x1m", expr("n_hit * 1000000 DIV n_grams"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+           |  FROM documents),
+           |grams AS (
+           |  SELECT doc_id, source,
+           |    unnest(list_transform(range(1, len(t) - 3),
+           |                          i -> array_to_string(t[i:i+4], ' '))) AS g
+           |  FROM toks WHERE len(t) >= 5),
+           |bg AS (SELECT DISTINCT doc_id, g FROM grams WHERE source = 'src0'),
+           |tg AS (SELECT DISTINCT g FROM grams
+           |       WHERE source <> 'src0' AND g IN (SELECT g FROM bg))
+           |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           |  CAST(COUNT(t.g) AS BIGINT) AS n_hit,
+           |  COUNT(t.g) * 1000000 // COUNT(*) AS contamination_x1m
+           |FROM bg b LEFT JOIN tg t ON b.g = t.g
+           |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId,
     q22Fingerprint, q39Bigrams, q55TokenCounts, q57Winnowing, q59Tfidf,
-    q66PiiRedact, q67Repetition)
+    q66PiiRedact, q67Repetition, q69Decontamination)
 }
