@@ -466,20 +466,24 @@ object TextOps {
     * never shuffle; only the (benchmark-bounded) surviving hit grams are
     * distinct'd. The per-doc report then joins benchmark grams to the tiny
     * hit set. Contamination is integer ×1e6 DIV — exact cross-engine. */
+  /** Word 5-grams as ONE per-row array expression ([[bind]]: the token
+    * array is evaluated once, not re-split per sequence element); docs
+    * shorter than 5 tokens contribute no grams in either engine. Shared by
+    * the decontamination pair q69 (audit) / q70 (action). */
+  private val grams5: Column = bind(tokens(col("text")), t =>
+    when(size(t) >= 5,
+      transform(sequence(lit(1), size(t) - 4),
+        i => concat_ws(" ", slice(t, i, lit(5)))))
+      .otherwise(array().cast(ArrayType(StringType))))
+
+  private def sourceGrams(s: SparkSession, d: String)(src: Column => Column): DataFrame =
+    Tables.documents(s, d).filter(src(col("source")))
+      .select(col("doc_id"), explode(grams5).as("g"))
+
   val q69Decontamination = QueryDef(
     "q69_decontamination",
     (s, d) => {
-      // word 5-grams as one per-row array expression ([[bind]]: the token
-      // array is evaluated once, not re-split per sequence element); docs
-      // shorter than 5 tokens contribute no grams in either engine
-      val grams5 = bind(tokens(col("text")), t =>
-        when(size(t) >= 5,
-          transform(sequence(lit(1), size(t) - 4),
-            i => concat_ws(" ", slice(t, i, lit(5)))))
-          .otherwise(array().cast(ArrayType(StringType))))
-      def grams(src: Column => Column) =
-        Tables.documents(s, d).filter(src(col("source")))
-          .select(col("doc_id"), explode(grams5).as("g"))
+      def grams(src: Column => Column) = sourceGrams(s, d)(src)
       val benchGrams = grams(_ === "src0").distinct()
       val hitGrams = grams(_ =!= "src0").select("g")
         .join(broadcast(benchGrams.select("g").distinct()), Seq("g"), "left_semi")
@@ -509,7 +513,54 @@ object TextOps {
            |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)
   )
 
+  /** q70: decontamination as an ACTION — q69 audits the benchmark; q70
+    * scrubs the pool: any training document sharing even one word 5-gram
+    * with the benchmark is dropped, reported per source (total / dropped /
+    * kept). This is the filter a training run applies before tokenizing.
+    *
+    * Plan shape at 100 TB: same broadcast LEFT-SEMI prune as q69 — corpus
+    * grams are filtered against the broadcast benchmark gram set at the
+    * scan and never shuffle; only contaminated doc_ids (benchmark-bounded)
+    * reach the distinct. The per-source rollup then LEFT-joins the corpus
+    * against that tiny doc_id set (AQE broadcasts it) — the corpus itself
+    * shuffles nothing but the final per-source partial-agg'd counts. */
+  val q70DecontamPool = QueryDef(
+    "q70_decontam_pool",
+    (s, d) => {
+      val benchSet = broadcast(
+        sourceGrams(s, d)(_ === "src0").select("g").distinct())
+      val contaminated = sourceGrams(s, d)(_ =!= "src0")
+        .join(benchSet, Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("bad", lit(1))
+      Tables.documents(s, d).filter(col("source") =!= "src0")
+        .select("doc_id", "source")
+        .join(contaminated, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), count(col("bad")).as("n_dropped"))
+        .withColumn("n_kept", col("n_docs") - col("n_dropped"))
+        .orderBy("source")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+           |  FROM documents),
+           |grams AS (
+           |  SELECT doc_id, source,
+           |    unnest(list_transform(range(1, len(t) - 3),
+           |                          i -> array_to_string(t[i:i+4], ' '))) AS g
+           |  FROM toks WHERE len(t) >= 5),
+           |bset AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+           |bad AS (SELECT DISTINCT doc_id FROM grams
+           |        WHERE source <> 'src0' AND g IN (SELECT g FROM bset))
+           |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(COUNT(bad.doc_id) AS BIGINT) AS n_dropped,
+           |  CAST(COUNT(*) - COUNT(bad.doc_id) AS BIGINT) AS n_kept
+           |FROM documents d LEFT JOIN bad ON d.doc_id = bad.doc_id
+           |WHERE d.source <> 'src0'
+           |GROUP BY d.source ORDER BY d.source""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId,
     q22Fingerprint, q39Bigrams, q55TokenCounts, q57Winnowing, q59Tfidf,
-    q66PiiRedact, q67Repetition, q69Decontamination)
+    q66PiiRedact, q67Repetition, q69Decontamination, q70DecontamPool)
 }

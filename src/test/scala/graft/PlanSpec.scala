@@ -79,15 +79,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q69: benchmark gram set broadcasts; corpus grams are semi-joined at the scan") {
-    val p = plan(TextOps.q69Decontamination)
-    // the 100 TB invariant: the training-pool side is reduced by a
-    // broadcast LEFT-SEMI join — corpus grams must never shuffle
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
-      s"training grams must be pruned by a broadcast semi join:\n$p")
-    // both source slices are pruned at the parquet scan
-    assert(p.contains("PushedFilters: [IsNotNull(source)"),
-      s"source filter not pushed to the scan:\n$p")
+  test("q69/q70: benchmark gram set broadcasts; corpus grams are semi-joined at the scan") {
+    Seq(TextOps.q69Decontamination, TextOps.q70DecontamPool).foreach { q =>
+      val p = plan(q)
+      // the 100 TB invariant: the training-pool side is reduced by a
+      // broadcast LEFT-SEMI join — corpus grams must never shuffle
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+        s"${q.name}: training grams must be pruned by a broadcast semi join:\n$p")
+      // both source slices are pruned at the parquet scan
+      assert(p.contains("PushedFilters: [IsNotNull(source)"),
+        s"${q.name}: source filter not pushed to the scan:\n$p")
+    }
   }
 
   test("q59: vocabulary-sized df table is broadcast onto tf") {
