@@ -200,5 +200,59 @@ object Components {
            |GROUP BY cluster ORDER BY cluster""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q44DedupClusters, q53DedupClustersFull)
+  /** q71: quality-canonical survivor selection — production near-dup
+    * dedup keeps the BEST document of each cluster, not the lowest id
+    * (FineWeb/RefinedWeb keep-longest rule): survivor = max `n_chars`,
+    * ties to the smaller doc_id. Consumes the same cached pair frame and
+    * the same pair-members-only clustering as q53 — the corpus is touched
+    * once, by a metadata-sized join that attaches `n_chars` (already a
+    * stored column, never recomputed from text).
+    *
+    * The argmax is a single struct-`max` hash agg — (n_chars, -doc_id)
+    * compares lexicographically, so partial aggregation does the tiebreak
+    * map-side; no window shuffle, no row_number. */
+  val q71ClusterCanonical = QueryDef(
+    "q71_cluster_canonical",
+    (s, d) => {
+      val edges = DedupOps.verifiedPairs(s, d, DedupOps.OracleCap)
+        .select(col("d1").as("src"), col("d2").as("dst"))
+      val verts = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      val clusters = connectedComponentsAuto(verts, edges)
+        .select(col("id").as("doc_id"), col("component").as("cluster"))
+      val quality = Tables.documents(s, d)
+        .filter(col("doc_id") < DedupOps.OracleCap)
+        .select(col("doc_id"), col("n_chars"))
+      clusters.join(quality, Seq("doc_id"))
+        .groupBy("cluster")
+        .agg(
+          max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("m"),
+          count(lit(1)).as("n_members"))
+        .select(col("cluster"), (-col("m.neg_id")).as("keep_id"),
+          col("m.n_chars").as("kept_chars"), col("n_members"))
+        .orderBy("cluster")
+    },
+    Some(s"""WITH RECURSIVE ${DedupOps.pairsCtes(capped = true, tenths = 6)},
+           |bidir AS (
+           |  SELECT d1 AS src, d2 AS dst FROM pairs
+           |  UNION SELECT d2 AS src, d1 AS dst FROM pairs),
+           |reach(node, lab) AS (
+           |  SELECT DISTINCT src, src FROM bidir
+           |  UNION
+           |  SELECT e.dst, r.lab FROM reach r JOIN bidir e ON e.src = r.node),
+           |clusters AS (
+           |  SELECT node AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY node),
+           |ranked AS (
+           |  SELECT c.cluster, c.doc_id, d.n_chars,
+           |    row_number() OVER (PARTITION BY c.cluster
+           |      ORDER BY d.n_chars DESC, c.doc_id) AS rk,
+           |    COUNT(*) OVER (PARTITION BY c.cluster) AS n_members
+           |  FROM clusters c JOIN documents d USING (doc_id))
+           |SELECT cluster, doc_id AS keep_id, CAST(n_chars AS BIGINT) AS kept_chars,
+           |  CAST(n_members AS BIGINT) AS n_members
+           |FROM ranked WHERE rk = 1 ORDER BY cluster""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q44DedupClusters, q53DedupClustersFull,
+    q71ClusterCanonical)
 }
