@@ -560,7 +560,51 @@ object TextOps {
            |GROUP BY d.source ORDER BY d.source""".stripMargin)
   )
 
+  /** q72: data-mixture report — the token-budget table a training run
+    * samples from: per (source, lang) domain, document count, whitespace
+    * token budget, its ×1e6 share of the corpus, and the cumulative share
+    * in descending-budget order (the "top-p domains" selection curve).
+    *
+    * Plan shape at 100 TB: token counting is a narrow per-row projection;
+    * the rollup is one partially-aggregated hash agg whose key space is
+    * domains (tiny, data-size independent); both windows then run on that
+    * metadata-sized aggregate — the corpus is read once and never
+    * shuffled. Shares are integer ×1e6 DIV — exact cross-engine. */
+  val q72MixtureReport = QueryDef(
+    "q72_mixture_report",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val agg = Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          size(tokens(col("text"))).cast(LongType).as("n_tok"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      val order = Seq(col("n_tokens").desc, col("source").asc, col("lang").asc)
+      agg
+        .withColumn("tot", sum("n_tokens").over(Window.partitionBy()))
+        .withColumn("cum", sum("n_tokens").over(Window.orderBy(order: _*)))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          expr("n_tokens * 1000000 DIV tot").as("share_x1m"),
+          expr("cum * 1000000 DIV tot").as("cum_share_x1m"))
+        .orderBy(order: _*)
+    },
+    Some("""WITH per AS (
+           |  SELECT source, lang,
+           |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tok
+           |  FROM documents),
+           |agg AS (
+           |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+           |  FROM per GROUP BY source, lang)
+           |SELECT source, lang, n_docs, n_tokens,
+           |  CAST(n_tokens * 1000000 // SUM(n_tokens) OVER () AS BIGINT) AS share_x1m,
+           |  CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source, lang) * 1000000
+           |       // SUM(n_tokens) OVER () AS BIGINT) AS cum_share_x1m
+           |FROM agg ORDER BY n_tokens DESC, source, lang""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId,
     q22Fingerprint, q39Bigrams, q55TokenCounts, q57Winnowing, q59Tfidf,
-    q66PiiRedact, q67Repetition, q69Decontamination, q70DecontamPool)
+    q66PiiRedact, q67Repetition, q69Decontamination, q70DecontamPool,
+    q72MixtureReport)
 }
