@@ -114,7 +114,11 @@ class PlanSpec extends SparkSpec {
     // InMemoryRelation blocks (text double-counting, not runtime
     // shuffles) — everything else must stay single-digit.
     val exchangeBudget: String => Int = {
-      case n if n.startsWith("q46") || n.startsWith("q53") || n.startsWith("q54") => 220
+      // q71's vertex set derives FROM the cached pair frame (union of both
+      // endpoints), so unlike q44 (vertices from the documents scan) its
+      // plan text repeats the pair lineage several times over
+      case n if n.startsWith("q46") || n.startsWith("q53") ||
+        n.startsWith("q54") || n.startsWith("q71") => 220
       case n if n.startsWith("q23") || n.startsWith("q24") || n.startsWith("q52") => 24
       case _ => 8
     }
