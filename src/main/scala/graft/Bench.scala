@@ -44,19 +44,24 @@ object Bench {
     else BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
       .bigDecimal.stripTrailingZeros.toPlainString
 
-  /** The compact final stdout line: total + per-query medians, with
-    * per-query precision reduced (then the map dropped entirely) until the
-    * line fits [[MaxLineChars]]. Full-precision figures live in
-    * BENCH.json; this line exists to be machine-parseable from a bounded
-    * tail of stdout. */
+  /** The compact final stdout line: total + per-query medians keyed by
+    * the query's unique `qNN` prefix (the full names — ~20 chars each ×
+    * 80+ queries — are what blew past the window in rounds 1–2; they live
+    * in BENCH.json), with per-query precision reduced (then the map
+    * dropped entirely) until the line fits [[MaxLineChars]]. */
   def compactLine(total: Double, coldTotal: Double,
                   results: Seq[(String, Double)], sf: String, runs: Int): String = {
     def line(qs: Option[String]): String = {
       val queries = qs.map(q => s""","queries":$q""").getOrElse("")
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec"$queries,"sf":"$sf","runs":$runs,"cold_total":${fmt(coldTotal, 3)},"detail":"BENCH.json"}"""
     }
+    def shortKey(k: String): String = k.takeWhile(_ != '_')
+    val keys =
+      if (results.map(r => shortKey(r._1)).distinct.size == results.size)
+        results.map { case (k, v) => shortKey(k) -> v }
+      else results // prefix collision (never with qNN names): keep full keys
     val candidates = Seq(3, 2, 1).iterator.map { dp =>
-      line(Some(results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
+      line(Some(keys.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
         .mkString("{", ",", "}")))
     } ++ Iterator.single(line(None))
     candidates.find(_.length <= MaxLineChars).getOrElse(line(None))

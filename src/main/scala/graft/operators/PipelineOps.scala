@@ -1,0 +1,260 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables}
+
+/** Corpus-assembly operators — the stage between "cleaned documents" and
+  * "training batches" that every large-scale LLM data pipeline runs after
+  * dedup/filtering (no analog in the reference, which stops at
+  * collection-level transforms, core.py:34-220; extension tier §2.5):
+  * sequence packing, span-level dedup, quality-rule filtering, and
+  * incremental (new-batch-vs-corpus) near-dup ingestion.
+  *
+  * Scale notes: everything here is either a per-row projection (codegen'd
+  * higher-order array functions, no UDFs), a window partitioned by a
+  * bounded key (source shard / chunk digest), or a hash agg — no global
+  * single-partition windows, no driver-side state. The only shuffled
+  * payloads are token-span strings (bounded at 8 tokens) and per-doc
+  * counters, never full documents.
+  */
+object PipelineOps {
+
+  import TextOps.tokens
+
+  /** Tokens-per-sequence budget for q73. Real pipelines use the model's
+    * context length (2k/8k/...); 512 keeps ~10 synthetic docs per sequence
+    * at every sf so the output exercises multi-doc packing. */
+  val PackBudget = 512
+
+  /** q73: sequence packing — GPT-style contiguous packing of documents
+    * into fixed token-budget training sequences, sharded by `source`:
+    * within each source shard, docs are concatenated in doc_id order and
+    * a document belongs to the sequence its first token lands in
+    * (`(running - n_tokens) div budget`). Per (source, seq) the report
+    * gives doc count, packed tokens and the id span.
+    *
+    * Plan shape at 100 TB: ONE window partitioned by the shard key — the
+    * prefix sum parallelizes across shards (the WindowExec partition is
+    * `source`, never a single global partition), and packing within a
+    * shard is what production pipelines do anyway (domain-stratified
+    * batches). The follow-up agg reuses the same `source` partitioning. */
+  val q73SequencePacking = QueryDef(
+    "q73_sequence_packing",
+    (s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+        .withColumn("running", sum(col("n_tokens")).over(w))
+        .withColumn("seq_id", expr(s"(running - n_tokens) div $PackBudget"))
+        .groupBy("source", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens_packed"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "seq_id")
+    },
+    Some(s"""WITH t AS (
+           |  SELECT source, doc_id,
+           |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |r AS (
+           |  SELECT source, doc_id, n_tokens,
+           |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+           |  FROM t)
+           |SELECT source, (running - n_tokens) // $PackBudget AS seq_id,
+           |  COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens_packed,
+           |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+           |FROM r GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin)
+  )
+
+  /** Span width (tokens) for q74's span-level dedup. */
+  val SpanTokens = 8
+
+  /** q74: span-level exact dedup (the C4 rule, token-span form — this
+    * corpus has no sentence boundaries, so the unit is a fixed 8-token
+    * span): every document is cut into consecutive 8-token spans, each
+    * span is kept only at its FIRST corpus occurrence (lowest (doc_id,
+    * pos)), and documents are reassembled from their surviving spans.
+    *
+    * Plan shape at 100 TB: spans explode to ~n_tokens/8 rows per doc; the
+    * keep-first rule is one window partitioned by the span's 128-bit md5
+    * (bounded ~40-byte shuffle rows — the digest/pos/ids, never the
+    * document), and reassembly is one hash agg back on doc_id. Two
+    * shuffles total, both on keys that grow linearly with the corpus. */
+  val q74SpanDedup = QueryDef(
+    "q74_span_dedup",
+    (s, d) => {
+      val spans = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.bind(tokens(col("text")), t =>
+          transform(sequence(lit(0), floor((size(t) - lit(1)) / lit(SpanTokens)).cast(IntegerType)),
+            i => array_join(slice(t, i * SpanTokens + 1, lit(SpanTokens)), " "))).as("spans"))
+        .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+      val w = Window.partitionBy(md5(col("span"))).orderBy("doc_id", "pos")
+      spans.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(when(col("rn") === 1, struct(col("pos"), col("span"))))),
+            x => x.getField("span")), " ").as("retained_text"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (
+           |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           |  FROM documents),
+           |ix AS (
+           |  SELECT doc_id, toks,
+           |    unnest(range(0, ((len(toks) - 1) // $SpanTokens) + 1)) AS pos
+           |  FROM t),
+           |sp AS (
+           |  SELECT doc_id, pos,
+           |    array_to_string(toks[(pos * $SpanTokens + 1):(pos * $SpanTokens + $SpanTokens)], ' ') AS span
+           |  FROM ix),
+           |rk AS (
+           |  SELECT doc_id, pos, span,
+           |    row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, pos) AS rn
+           |  FROM sp)
+           |SELECT doc_id, COUNT(*) AS n_spans,
+           |  SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           |  COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY pos), '') AS retained_text
+           |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  )
+
+  /** q75: quality-rule filtering (the Gopher/FineWeb rule battery,
+    * integer-exact): per document five keep/drop rules —
+    *   r_len      ≥ 20 tokens,
+    *   r_wordlen  mean token length in [4.0, 5.0] (10·Σlen vs 40n..50n),
+    *   r_repeat   most-common token ≤ 20% of tokens (5·maxrep ≤ n),
+    *   r_distinct distinct-token ratio ≥ 40% (5·ndist ≥ 2n),
+    *   r_stop     ≥ 1 stopword —
+    * aggregated per source: docs, kept, and a failure count per rule (the
+    * per-rule drop-reason report data curators actually read). All rules
+    * are integer cross-multiplications — no doubles, so Spark and DuckDB
+    * agree bit-for-bit.
+    *
+    * Plan shape at 100 TB: one codegen'd projection (the per-row rule
+    * evaluation — `maxrep` is O(distinct·n) per row on arrays already in
+    * memory, no shuffle) and one partial-agg'd hash agg on `source`. */
+  val q75QualityRules = QueryDef(
+    "q75_quality_rules",
+    (s, d) => {
+      val stops = Seq("the", "a", "of", "and", "in", "to", "is")
+      val scored = Tables.documents(s, d).select(col("source"),
+        TextOps.bind(tokens(col("text")), { t =>
+          val n = size(t).cast(LongType)
+          val sumLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+          val ndist = size(array_distinct(t)).cast(LongType)
+          val maxrep = array_max(transform(array_distinct(t),
+            u => size(filter(t, x => x === u)))).cast(LongType)
+          val nstop = size(filter(t, x => x.isin(stops: _*))).cast(LongType)
+          struct(
+            (n >= 20).as("r_len"),
+            (sumLen * 10 >= n * 40 && sumLen * 10 <= n * 50).as("r_wordlen"),
+            (maxrep * 5 <= n).as("r_repeat"),
+            (ndist * 5 >= n * 2).as("r_distinct"),
+            (nstop >= 1).as("r_stop"))
+        }).as("r"))
+      def fails(rule: String) = sum(when(col(s"r.$rule"), 0L).otherwise(1L)).as(s"fail_$rule")
+      scored.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("r.r_len") && col("r.r_wordlen") && col("r.r_repeat") &&
+            col("r.r_distinct") && col("r.r_stop"), 1L).otherwise(0L)).as("n_kept"),
+          fails("r_len"), fails("r_wordlen"), fails("r_repeat"),
+          fails("r_distinct"), fails("r_stop"))
+        .orderBy("source")
+    },
+    Some("""WITH t AS (
+           |  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           |  FROM documents),
+           |s AS (
+           |  SELECT source,
+           |    CAST(len(toks) AS BIGINT) AS n,
+           |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sumlen,
+           |    CAST(len(list_distinct(toks)) AS BIGINT) AS ndist,
+           |    CAST(list_max(list_transform(list_distinct(toks),
+           |      u -> len(list_filter(toks, x -> x = u)))) AS BIGINT) AS maxrep,
+           |    CAST(len(list_filter(toks,
+           |      x -> x IN ('the','a','of','and','in','to','is'))) AS BIGINT) AS nstop
+           |  FROM t),
+           |r AS (
+           |  SELECT source,
+           |    n >= 20 AS r_len,
+           |    sumlen * 10 >= n * 40 AND sumlen * 10 <= n * 50 AS r_wordlen,
+           |    maxrep * 5 <= n AS r_repeat,
+           |    ndist * 5 >= n * 2 AS r_distinct,
+           |    nstop >= 1 AS r_stop
+           |  FROM s)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  SUM(CASE WHEN r_len AND r_wordlen AND r_repeat AND r_distinct AND r_stop
+           |    THEN 1 ELSE 0 END) AS n_kept,
+           |  SUM(CASE WHEN r_len THEN 0 ELSE 1 END) AS fail_r_len,
+           |  SUM(CASE WHEN r_wordlen THEN 0 ELSE 1 END) AS fail_r_wordlen,
+           |  SUM(CASE WHEN r_repeat THEN 0 ELSE 1 END) AS fail_r_repeat,
+           |  SUM(CASE WHEN r_distinct THEN 0 ELSE 1 END) AS fail_r_distinct,
+           |  SUM(CASE WHEN r_stop THEN 0 ELSE 1 END) AS fail_r_stop
+           |FROM r GROUP BY source ORDER BY source""".stripMargin)
+  )
+
+  /** q76: incremental near-dup ingestion — the production "new crawl
+    * arrives" operator: treat `source = 'src0'` documents as the incoming
+    * batch and everything else as the standing corpus, and decide per
+    * batch doc whether it survives ingestion against the verified near-dup
+    * pair set (Jaccard ≥ 0.6, the q24 edges): a batch doc is dropped if it
+    * near-dups ANY corpus doc, or an EARLIER (lower doc_id) batch doc.
+    *
+    * Consumes the same session-cached pair frame as q24/q44/q46 — the
+    * incremental decision is metadata-sized joins over the pair list, the
+    * corpus is never rescanned. At 100 TB the batch's signatures are
+    * banded against the standing corpus' stored band index (append-only),
+    * which is exactly the cached-frame shape this query reuses. */
+  val q76IncrementalDedup = QueryDef(
+    "q76_incremental_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < DedupOps.OracleCap)
+        .select(col("doc_id"), col("source"))
+      val pairs = DedupOps.verifiedPairs(s, d, DedupOps.OracleCap)
+      // near-dup adjacency in both directions, labeled by each side's source
+      val adj = pairs.select(col("d1").as("doc_id"), col("d2").as("peer"))
+        .union(pairs.select(col("d2").as("doc_id"), col("d1").as("peer")))
+      val peerSrc = docs.select(col("doc_id").as("peer"), col("source").as("peer_source"))
+      val batch = docs.filter(col("source") === "src0")
+      batch.join(adj, Seq("doc_id"), "left_outer")
+        .join(peerSrc, Seq("peer"), "left_outer")
+        .groupBy("doc_id")
+        .agg(
+          sum(when(col("peer_source").isNotNull && col("peer_source") =!= "src0", 1L)
+            .otherwise(0L)).as("n_corpus_dups"),
+          sum(when(col("peer_source") === "src0" && col("peer") < col("doc_id"), 1L)
+            .otherwise(0L)).as("n_earlier_batch_dups"))
+        .withColumn("ingest",
+          (col("n_corpus_dups") === 0 && col("n_earlier_batch_dups") === 0).cast(BooleanType))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE ${DedupOps.pairsCtes(capped = true, tenths = 6)},
+           |docs AS (SELECT doc_id, source FROM documents WHERE doc_id < 500),
+           |adj AS (
+           |  SELECT d1 AS doc_id, d2 AS peer FROM pairs
+           |  UNION ALL SELECT d2 AS doc_id, d1 AS peer FROM pairs),
+           |lab AS (
+           |  SELECT b.doc_id,
+           |    SUM(CASE WHEN p.source IS NOT NULL AND p.source <> 'src0'
+           |      THEN 1 ELSE 0 END) AS n_corpus_dups,
+           |    SUM(CASE WHEN p.source = 'src0' AND a.peer < b.doc_id
+           |      THEN 1 ELSE 0 END) AS n_earlier_batch_dups
+           |  FROM docs b
+           |  LEFT JOIN adj a ON a.doc_id = b.doc_id
+           |  LEFT JOIN docs p ON p.doc_id = a.peer
+           |  WHERE b.source = 'src0'
+           |  GROUP BY b.doc_id)
+           |SELECT doc_id, n_corpus_dups, n_earlier_batch_dups,
+           |  n_corpus_dups = 0 AND n_earlier_batch_dups = 0 AS ingest
+           |FROM lab ORDER BY doc_id""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q73SequencePacking, q74SpanDedup,
+    q75QualityRules, q76IncrementalDedup)
+}

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryDef, Tables}
+
+/** Write-side data-management operators — the table-maintenance tier a
+  * 100 TB lakehouse pipeline runs around its queries (extension tier
+  * §2.5; no reference analog — the reference stops at `to_*` sinks,
+  * core.py:62-66): CDC upsert (MERGE), multi-dimensional z-order
+  * clustering, and deterministic output sharding.
+  *
+  * All three are declarative DataFrame programs — the merge is one
+  * shuffle-on-key outer join, the z-order key is a codegen'd integer
+  * expression (usable directly as a `repartitionByRange` /
+  * `sortWithinPartitions` write key), and shard assignment is the q58
+  * md5-bucket hash — so Catalyst handles pushdown/pruning and every
+  * operator scales by partitioning on the very key it computes.
+  */
+object StorageOps {
+
+  /** q79: CDC merge (MERGE INTO semantics) — base = `orders`; the change
+    * batch UPDATEs every 7th order (status → 'U', price + 1) and INSERTs
+    * a synthetic new order per 1000th key. Full-outer join on the key,
+    * change side wins; `action` labels each output row
+    * update/insert/carry.
+    *
+    * Plan shape at 100 TB: ONE shuffle-on-key full-outer join (the Delta/
+    * Iceberg MERGE core). The change batch is typically ≪ base, so AQE
+    * picks a broadcast right side and the base never shuffles — and with
+    * both sides bucketed by the merge key (ScaleTools.bucketedJoin) the
+    * merge is exchange-free. Partition-pruning on the base's touched
+    * partitions is the standard first step; here the whole base is the
+    * touched set. */
+  val q79MergeUpsert = QueryDef(
+    "q79_merge_upsert",
+    (s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").cast(LongType).as("okey"),
+          col("o_orderstatus").as("b_status"),
+          col("o_totalprice").cast(DecimalType(18, 6)).as("b_price"))
+      val orders = Tables.orders(s, d)
+      val changes = orders
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").cast(LongType).as("okey"),
+          lit("U").as("c_status"),
+          (col("o_totalprice").cast(DecimalType(18, 6)) + lit(1)).as("c_price"))
+        .unionByName(orders
+          .filter(col("o_orderkey") % 1000 === 0)
+          .select((col("o_orderkey").cast(LongType) + 20000000L).as("okey"),
+            lit("N").as("c_status"),
+            col("o_totalprice").cast(DecimalType(18, 6)).as("c_price")))
+      base.join(changes, Seq("okey"), "full_outer")
+        .select(col("okey"),
+          coalesce(col("c_status"), col("b_status")).as("status"),
+          coalesce(col("c_price"), col("b_price")).cast(DecimalType(18, 6))
+            .cast(StringType).as("price"),
+          when(col("b_status").isNull, "insert")
+            .when(col("c_status").isNull, "carry")
+            .otherwise("update").as("action"))
+        .orderBy("okey")
+    },
+    Some("""WITH base AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS okey, o_orderstatus AS b_status,
+           |    CAST(o_totalprice AS DECIMAL(18,6)) AS b_price
+           |  FROM orders),
+           |changes AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS okey, 'U' AS c_status,
+           |    CAST(o_totalprice AS DECIMAL(18,6)) + 1 AS c_price
+           |  FROM orders WHERE o_orderkey % 7 = 0
+           |  UNION ALL
+           |  SELECT CAST(o_orderkey AS BIGINT) + 20000000 AS okey, 'N' AS c_status,
+           |    CAST(o_totalprice AS DECIMAL(18,6)) AS c_price
+           |  FROM orders WHERE o_orderkey % 1000 = 0)
+           |SELECT COALESCE(b.okey, c.okey) AS okey,
+           |  COALESCE(c_status, b_status) AS status,
+           |  CAST(CAST(COALESCE(c_price, b_price) AS DECIMAL(18,6)) AS VARCHAR) AS price,
+           |  CASE WHEN b_status IS NULL THEN 'insert'
+           |       WHEN c_status IS NULL THEN 'carry'
+           |       ELSE 'update' END AS action
+           |FROM base b FULL OUTER JOIN changes c USING (okey)
+           |ORDER BY okey""".stripMargin)
+  )
+
+  /** Bit widths of the two z-ordered dimensions (l_partkey < 2^11,
+    * l_suppkey < 2^7 in the generated data; headroom asserted in spec). */
+  val PartBits = 11
+  val SuppBits = 7
+
+  /** Bucket = z >> BucketShift. 10 keeps part bits 5..10 AND supp bits
+    * 5..6 in the bucket id — both dimensions constrained (a larger shift
+    * would drop every supp bit and collapse to a 1-D part sort). */
+  val BucketShift = 10
+
+  /** The interleaved z-value — part bits at even positions, supp bits at
+    * odd — as a codegen'd integer expression. */
+  def zValue(part: Column, supp: Column): Column = {
+    val p = (0 until PartBits).map(i =>
+      shiftleft(shiftrightunsigned(part, i).bitwiseAND(lit(1L)), 2 * i))
+    val sb = (0 until SuppBits).map(i =>
+      shiftleft(shiftrightunsigned(supp, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    (p ++ sb).reduce(_ + _)
+  }
+
+  /** The identical z-value in DuckDB SQL (same unrolled bit algebra). */
+  def zValueSql(part: String, supp: String): String = {
+    val p = (0 until PartBits).map(i => s"((($part >> $i) & 1) << ${2 * i})")
+    val sb = (0 until SuppBits).map(i => s"((($supp >> $i) & 1) << ${2 * i + 1})")
+    (p ++ sb).mkString(" + ")
+  }
+
+  /** q80: z-order clustering report — interleave l_partkey/l_suppkey bits
+    * into a z-value, bucket by its high bits (= the file a
+    * `repartitionByRange(zval)` write would land each row in), and report
+    * each bucket's row count and min/max span in BOTH dimensions. The
+    * point of z-order is those spans: every bucket covers a small
+    * rectangle of (part, supp) space, so a filter on EITHER dimension
+    * prunes most buckets at the scan — one-dimensional sort gives that
+    * for one dimension only. The spec asserts the spans quantitatively;
+    * at 100 TB the same z-value feeds `repartitionByRange` +
+    * `sortWithinPartitions` and min/max file statistics do the pruning. */
+  val q80ZorderLayout = QueryDef(
+    "q80_zorder_layout",
+    (s, d) => {
+      val z = zValue(col("l_partkey").cast(LongType), col("l_suppkey").cast(LongType))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey").cast(LongType).as("pk"),
+          col("l_suppkey").cast(LongType).as("sk"),
+          shiftrightunsigned(z, BucketShift).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("pk")).as("p_min"), max(col("pk")).as("p_max"),
+          min(col("sk")).as("s_min"), max(col("sk")).as("s_max"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH z AS (
+           |  SELECT CAST(l_partkey AS BIGINT) AS pk, CAST(l_suppkey AS BIGINT) AS sk,
+           |    (${zValueSql("CAST(l_partkey AS BIGINT)", "CAST(l_suppkey AS BIGINT)")})
+           |      >> $BucketShift AS bucket
+           |  FROM lineitem)
+           |SELECT bucket, COUNT(*) AS n_rows,
+           |  MIN(pk) AS p_min, MAX(pk) AS p_max,
+           |  MIN(sk) AS s_min, MAX(sk) AS s_max
+           |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin)
+  )
+
+  /** Output shard count for q81. */
+  val NumShards = 8
+
+  /** q81: deterministic output sharding — assign every document to one of
+    * [[NumShards]] shards by the q58 md5-bucket hash of its stable key
+    * and report the balance sheet (docs / tokens / bytes per shard) that
+    * decides whether the layout is write-ready. Hash sharding is the
+    * 100 TB default precisely because of what this report shows: ~equal
+    * byte counts per shard regardless of key skew, reproducible across
+    * engines and retries (no rand(), no round-robin). The same expression
+    * is the `repartition(NumShards, shard)` write key. */
+  val q81ShardLayout = QueryDef(
+    "q81_shard_layout",
+    (s, d) => {
+      val shard = pmod(conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+        .cast(LongType), lit(NumShards.toLong))
+      Tables.documents(s, d)
+        .select(shard.as("shard"), col("doc_id"), col("n_chars"),
+          size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"),
+          sum(col("n_chars")).as("chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("shard")
+    },
+    Some(s"""WITH t AS (
+           |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           |      % $NumShards AS shard,
+           |    doc_id, n_chars,
+           |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+           |  FROM documents)
+           |SELECT shard, COUNT(*) AS n_docs, SUM(n_tokens) AS tokens,
+           |  SUM(n_chars) AS chars, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+           |FROM t GROUP BY shard ORDER BY shard""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q79MergeUpsert, q80ZorderLayout, q81ShardLayout)
+}

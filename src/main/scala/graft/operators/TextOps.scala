@@ -22,7 +22,7 @@ object TextOps {
 
   /** Whitespace tokens, empties dropped — identical semantics in DuckDB via
     * string_split + list_filter. */
-  private def tokens(c: Column): Column = filter(split(c, " "), t => t =!= "")
+  private[operators] def tokens(c: Column): Column = filter(split(c, " "), t => t =!= "")
 
   /** Let-binding for per-row array pipelines: evaluate `value` ONCE and
     * bind it as a higher-order-function lambda variable for `body`.
@@ -34,7 +34,7 @@ object TextOps {
     * noop write stopped letting column pruning skip the projection).
     * `transform` on a 1-element array evaluates its input exactly once;
     * lambda-variable references are O(1). */
-  private def bind(value: Column, body: Column => Column): Column =
+  private[operators] def bind(value: Column, body: Column => Column): Column =
     element_at(transform(array(value), body), 1)
 
   /** q18: exact deduplication — group identical texts, keep the smallest

@@ -392,7 +392,76 @@ object VectorOps {
            |ORDER BY d1, d2""".stripMargin)
   )
 
+  /** q78: semantic dedup (the SemDeDup shape) — cluster the embedding
+    * space with a coarse quantizer, then drop near-identical pairs WITHIN
+    * each cluster only: assignment reuses q56's deterministic 8-centroid
+    * quantizer (vec_id 1..8; production would k-means them), within-
+    * cluster pairs at round(cos,6) ≥ 0.45 mark the HIGHER vec_id as
+    * dropped (the greedy SemDeDup rule). Output: per-cluster members /
+    * duplicate pairs / drops / survivors.
+    *
+    * The point vs q29 (exact all-pairs at the same threshold): the
+    * pairwise pass runs per-cluster — at scale the self-join's key is the
+    * cluster id, so cost is Σ|cluster|² not N², and the cluster layout is
+    * the same write-time partitioning as q56's IVF lists. The recall
+    * trade is real and measurable (5 of q29's 14 pairs land intra-cluster
+    * here) — that is the SemDeDup bargain, documented, not hidden. */
+  val q78SemanticDedup = QueryDef(
+    "q78_semantic_dedup",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), toD(col("embedding")).as("v"))
+      val cents = emb.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+      val lists = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cid"),
+          round(cosine(col("v"), col("cv")), 6).as("csim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cid"))
+      val dup = lists.as("a").join(lists.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .filter(round(cosine(col("a.v"), col("b.v")), 6) >= 0.45)
+        .select(col("a.cid").as("cid"), col("a.vec_id").as("keep"),
+          col("b.vec_id").as("drp"))
+      lists.groupBy("cid").agg(count(lit(1)).as("n_members"))
+        .join(dup.groupBy("cid").agg(count(lit(1)).as("n_dup_pairs"),
+          countDistinct(col("drp")).as("n_dropped")), Seq("cid"), "left_outer")
+        .select(col("cid"), col("n_members"),
+          coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+        .orderBy("cid")
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+           |a AS (
+           |  SELECT e.vec_id, e.v, cid,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, cid) AS rn
+           |  FROM e CROSS JOIN c),
+           |lists AS (SELECT vec_id, v, cid FROM a WHERE rn = 1),
+           |dup AS (
+           |  SELECT la.cid, la.vec_id AS keep, lb.vec_id AS drp
+           |  FROM lists la JOIN lists lb
+           |    ON la.cid = lb.cid AND la.vec_id < lb.vec_id
+           |  WHERE round(list_cosine_similarity(la.v, lb.v), 6) >= 0.45),
+           |agg AS (
+           |  SELECT cid, COUNT(*) AS n_dup_pairs, COUNT(DISTINCT drp) AS n_dropped
+           |  FROM dup GROUP BY cid)
+           |SELECT l.cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+           |  CAST(COALESCE(MAX(agg.n_dup_pairs), 0) AS BIGINT) AS n_dup_pairs,
+           |  CAST(COALESCE(MAX(agg.n_dropped), 0) AS BIGINT) AS n_dropped,
+           |  CAST(COUNT(*) - COALESCE(MAX(agg.n_dropped), 0) AS BIGINT) AS n_kept
+           |FROM lists l LEFT JOIN agg ON agg.cid = l.cid
+           |GROUP BY l.cid ORDER BY l.cid""".stripMargin)
+  )
+
   val all: Seq[QueryDef] =
     Seq(q27CosineTopK, q28AnnLsh, q29CosinePairs, q38BatchAnn, q56AnnIvf,
-      q62QuantizedAnn, q68EmbeddingLshPairs)
+      q62QuantizedAnn, q68EmbeddingLshPairs, q78SemanticDedup)
 }

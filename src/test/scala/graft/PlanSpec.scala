@@ -98,6 +98,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "tf/df aggs must partial-aggregate")
   }
 
+  test("q73: the packing prefix sum is windowed BY THE SHARD KEY, never one global partition") {
+    val p = plan(PipelineOps.q73SequencePacking)
+    assert(p.contains("windowspecdefinition(source"),
+      s"packing window must partition by source:\n$p")
+  }
+
+  test("q80: the z-value is a pure projection — no shuffle before the bucket agg") {
+    val p = plan(StorageOps.q80ZorderLayout)
+    assert(p.contains("partial_"), "bucket agg must partial-aggregate map-side")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"z-order report needs only the agg + sort exchanges:\n$p")
+  }
+
   /** Whole-registry scale-invariant sweep (PlanAudit promoted to a test):
     * a regression that turns an equi-join into a cartesian, or sneaks a
     * nested-loop join onto a non-broadcast path, or adds an unexpected
@@ -107,7 +120,8 @@ class PlanSpec extends SparkSpec {
     // vector / query set (q27/q28/q29/q38) and the intentional cross
     // product (q37)
     val bnljAllowed = Set("q27_cosine_topk", "q28_ann_lsh", "q29_cosine_pairs",
-      "q37_product", "q38_batch_ann", "q56_ann_ivf", "q62_quantized_ann")
+      "q37_product", "q38_batch_ann", "q56_ann_ivf", "q62_quantized_ann",
+      "q78_semantic_dedup") // q78: q56's broadcast 8-centroid assignment
     // plan-text exchange budgets: the LSH pipeline legitimately has ~18
     // (sig agg + banding self-join + verify joins); queries consuming the
     // CACHED pair/cluster frames repeat that lineage inside
@@ -118,8 +132,11 @@ class PlanSpec extends SparkSpec {
       // endpoints), so unlike q44 (vertices from the documents scan) its
       // plan text repeats the pair lineage several times over
       case n if n.startsWith("q46") || n.startsWith("q53") ||
-        n.startsWith("q54") || n.startsWith("q71") => 220
+        n.startsWith("q54") || n.startsWith("q71") || n.startsWith("q76") => 220
       case n if n.startsWith("q23") || n.startsWith("q24") || n.startsWith("q52") => 24
+      // q77: 4 unrolled pagerank rounds, join+agg each; q78: assignment
+      // window + per-cluster self join + two aggs — both by design
+      case n if n.startsWith("q77") || n.startsWith("q78") => 16
       case _ => 8
     }
     SparkEntry.registry.foreach { q =>

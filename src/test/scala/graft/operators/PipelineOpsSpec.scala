@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Functional invariants for the corpus-assembly / storage packs (the
+  * oracle checks exact values at sf0.01; these pin the properties that
+  * must survive any refactor, at sf0.001). */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("q73: packing conserves tokens and docs; budget respected at sequence starts") {
+    val docs = Tables.documents(spark, sfDir)
+    val totalTokens = docs
+      .select(sum(size(filter(split(col("text"), " "), t => t =!= ""))).cast("long"))
+      .head.getLong(0)
+    val out = PipelineOps.q73SequencePacking.run(spark, sfDir)
+    val agg = out.select(sum("n_tokens_packed").cast("long"), sum("n_docs").cast("long")).head
+    assert(agg.getLong(0) == totalTokens, "every token lands in exactly one sequence")
+    assert(agg.getLong(1) == docs.count(), "every doc lands in exactly one sequence")
+    // a doc starts in seq k only if the tokens before it are < (k+1)*budget,
+    // so each (source, seq) holds at least one doc and seq ids are dense
+    val bad = out.groupBy("source").agg(max("seq_id").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n") - 1).count()
+    assert(bad == 0, "sequence ids are dense per source")
+  }
+
+  test("q74: span dedup keeps every first occurrence; doc 0 fully retained") {
+    val out = PipelineOps.q74SpanDedup.run(spark, sfDir).cache()
+    val first = out.filter(col("doc_id") === 0).head
+    assert(first.getAs[Long]("n_spans") == first.getAs[Long]("n_kept"),
+      "the corpus-first doc loses nothing")
+    assert(out.filter(col("n_kept") > col("n_spans")).count() == 0)
+    // total kept spans == number of DISTINCT spans in the corpus
+    val distinctSpans = out.select(sum("n_kept").cast("long")).head.getLong(0)
+    val docs = Tables.documents(spark, sfDir)
+    val spans = docs.select(explode(TextOps.bind(TextOps.tokens(col("text")), t =>
+      transform(sequence(lit(0), floor((size(t) - lit(1)) / lit(PipelineOps.SpanTokens)).cast("int")),
+        i => array_join(slice(t, i * PipelineOps.SpanTokens + 1, lit(PipelineOps.SpanTokens)), " "))))
+      .as("sp")).distinct().count()
+    assert(distinctSpans == spans)
+    out.unpersist()
+  }
+
+  test("q75: every rule discriminates at sf0.01 and kept <= docs") {
+    val out = PipelineOps.q75QualityRules.run(spark, "/root/testdata/sf0.01").cache()
+    assert(out.filter(col("n_kept") > col("n_docs")).count() == 0)
+    val t = out.select(
+      sum("fail_r_len"), sum("fail_r_wordlen"), sum("fail_r_repeat"),
+      sum("fail_r_distinct"), sum("fail_r_stop"), sum("n_kept")).head
+    (0 until 5).foreach(i => assert(t.getLong(i) > 0, s"rule $i never fires — dead rule"))
+    assert(t.getLong(5) > 0, "rules must not drop everything")
+    out.unpersist()
+  }
+
+  test("q77: pagerank conserves mass up to floor loss and ranks suppliers above customers") {
+    val out = PageRank.q77PageRank.run(spark, sfDir).cache()
+    assert(out.count() == 20)
+    // hub structure: 100 suppliers absorb 1500 customers' mass, so the
+    // top of the ranking is all-supplier
+    assert(out.limit(10).filter(col("node_type") === "customer").count() == 0)
+    out.unpersist()
+    // mass conservation: sum(rank) <= N*Unit, and the floor-division loss
+    // is bounded by (#edges + N) per round
+    val edges = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("cust"),
+        (col("l_suppkey").cast("long") + 1000000L).as("supp"))
+      .distinct()
+    val e2 = edges.select(col("cust").as("src"), col("supp").as("dst"))
+      .union(edges.select(col("supp").as("src"), col("cust").as("dst")))
+    val r = PageRank.ranks(e2)
+    val n = r.count()
+    val total = r.select(sum("rank").cast("long")).head.getLong(0)
+    val cap = n * PageRank.Unit
+    assert(total <= cap)
+    assert(total > cap - (e2.count() + n + 100) * PageRank.Iterations * 2,
+      s"mass $total too far below $cap — a sink is leaking rank")
+  }
+
+  test("q80: every z-order bucket is a 32x32 rectangle of (part, supp) space") {
+    val out = StorageOps.q80ZorderLayout.run(spark, "/root/testdata/sf0.01").cache()
+    assert(out.filter(col("p_max") - col("p_min") > 31).count() == 0)
+    assert(out.filter(col("s_max") - col("s_min") > 31).count() == 0)
+    // key-width headroom the bit interleave depends on
+    val mx = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(max("l_partkey").cast("long"), max("l_suppkey").cast("long")).head
+    assert(mx.getLong(0) < (1L << StorageOps.PartBits))
+    assert(mx.getLong(1) < (1L << StorageOps.SuppBits))
+    out.unpersist()
+  }
+
+  test("q81: shards are balanced within 3x and cover all docs") {
+    val out = StorageOps.q81ShardLayout.run(spark, "/root/testdata/sf0.01").cache()
+    assert(out.count() == StorageOps.NumShards)
+    val docs = out.select(sum("n_docs").cast("long")).head.getLong(0)
+    assert(docs == Tables.documents(spark, "/root/testdata/sf0.01").count())
+    val mm = out.select(min("chars").cast("long"), max("chars").cast("long")).head
+    assert(mm.getLong(1) <= 3 * mm.getLong(0),
+      s"hash sharding should balance bytes: ${mm.getLong(0)}..${mm.getLong(1)}")
+    out.unpersist()
+  }
+
+  test("q79: merge emits every base key once, updates every 7th, inserts every 1000th") {
+    val out = StorageOps.q79MergeUpsert.run(spark, sfDir).cache()
+    val orders = Tables.orders(spark, sfDir)
+    val nOrders = orders.count()
+    val nUpd = orders.filter(col("o_orderkey") % 7 === 0).count()
+    val nIns = orders.filter(col("o_orderkey") % 1000 === 0).count()
+    assert(out.count() == nOrders + nIns)
+    assert(out.filter(col("action") === "update").count() == nUpd)
+    assert(out.filter(col("action") === "insert").count() == nIns)
+    assert(out.filter(col("action") === "update").filter(col("status") =!= "U").count() == 0)
+    out.unpersist()
+  }
+}
