@@ -265,15 +265,24 @@ object TextOps {
         .map(j => element_at(cs, i + j) * lit(math.pow(257.0, k - 1 - j).toLong))
         .reduce(_ + _)
       val ng = length(col("text")) - (k - 1)
+      // Sliding w=8 minima by doubling (sparse table): m2[i]=min(h[i..i+1]),
+      // m4[i]=min(h[i..i+3]), m8[i]=min(h[i..i+7]) — 3 `least` ops per
+      // position instead of w element reads AND an 8-element slice
+      // allocation per position (the slice version allocated ~325M tiny
+      // arrays at sf0.1; this was the whole-bench hot spot).
+      def halfMin(arr: Column, len: Column, stride: Int): Column =
+        transform(sequence(lit(1), len),
+          i => least(element_at(arr, i), element_at(arr, i + stride)))
       val summary = bind(codes, cs =>
         bind(transform(sequence(lit(1), ng), i => (poly(cs, i) % P * lcgA + lcgB) % P), hs =>
-          bind(array_distinct(transform(sequence(lit(1), ng - (w - 1)),
-              j => array_min(slice(hs, j, lit(w))))), fps =>
-            struct(
-              size(fps).cast(LongType).as("n_fp"),
-              array_min(fps).as("min_fp"),
-              array_max(fps).as("max_fp"),
-              aggregate(fps, lit(0L), (a, x) => a.bitwiseXOR(x)).as("xor_fp")))))
+          bind(halfMin(hs, ng - 1, 1), m2 =>
+            bind(halfMin(m2, ng - 3, 2), m4 =>
+              bind(array_distinct(halfMin(m4, ng - (w - 1), 4)), fps =>
+                struct(
+                  size(fps).cast(LongType).as("n_fp"),
+                  array_min(fps).as("min_fp"),
+                  array_max(fps).as("max_fp"),
+                  aggregate(fps, lit(0L), (a, x) => a.bitwiseXOR(x)).as("xor_fp")))))))
       Tables.documents(s, d)
         .filter(length(col("text")) >= k + w - 1)
         .select(col("doc_id"), summary.as("r"))
