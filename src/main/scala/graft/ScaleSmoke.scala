@@ -225,6 +225,77 @@ object ScaleSmoke {
     println("[smoke] OK — vector near-dup pairs at " + (ndVec + ndDup) + " vectors")
     report ++= Seq("vnd_vectors" -> (ndVec + ndDup), "vnd_planted" -> ndDup,
       "vnd_found" -> ndFound, "vnd_spurious" -> (ndFound - ndIntra), "vnd_secs" -> ndSecs)
+    // ---- phase 4: span-level dedup at scale (the q74 engine) ----
+    // nSpanDocs gibberish docs of 40 md5-hex words (5 spans of 8 each) +
+    // an exact COPY of every 10th doc under a higher id: every copy's
+    // spans are corpus-duplicates of its original's, so the expected
+    // answer is exact — originals keep all 5 spans, copies keep 0, and
+    // total surviving spans == distinct spans == 5 × nSpanDocs.
+    val nSpanDocs = sys.env.getOrElse("SPARK_GRAFT_SMOKE_SPANDOCS", "1000000").toLong
+    val words = concat_ws(" ", (0 until 10).map(c =>
+      // each md5 hex string is split into 4 8-char words
+      concat_ws(" ", (0 until 4).map(w => substring(
+        md5(concat(lit("sp"), col("base"), lit(s":$c"))), w * 8 + 1, 8)): _*)): _*)
+    val spanCorpus = spark.range(nSpanDocs).toDF("base")
+      .select(col("base").as("doc_id"), words.as("text"))
+      .unionByName(spark.range(0, nSpanDocs, 10).toDF("base")
+        .select((col("base") + 100000000L).as("doc_id"), words.as("text")))
+      .repartition(32)
+    val tsp = System.nanoTime()
+    val spanOut = graft.operators.PipelineOps.spanDedup(spanCorpus)
+      .agg(count(lit(1)).as("docs"), sum("n_spans").as("spans"),
+        sum("n_kept").as("kept"),
+        sum(when(col("n_kept") === 0, 1L).otherwise(0L)).as("fully_dropped")).head()
+    val spSecs = (System.nanoTime() - tsp) / 1e9
+    val (spDocs, spSpans, spKept, spDropped) =
+      (spanOut.getLong(0), spanOut.getLong(1), spanOut.getLong(2), spanOut.getLong(3))
+    val nCopies = (nSpanDocs + 9) / 10
+    println(f"[smoke] span dedup: $spDocs docs / $spSpans spans → $spKept kept, " +
+      f"$spDropped fully-deduped docs in $spSecs%.1f s")
+    report ++= Seq("span_docs" -> spDocs, "span_total" -> spSpans,
+      "span_kept" -> spKept, "span_docs_fully_dropped" -> spDropped,
+      "span_secs" -> spSecs)
+    assert(spKept == 5 * nSpanDocs, s"surviving spans $spKept != ${5 * nSpanDocs}")
+    assert(spDropped == nCopies, s"fully-deduped docs $spDropped != $nCopies copies")
+    println("[smoke] OK — span dedup at " + spDocs + " docs")
+
+    // ---- phase 5: PageRank at scale (the q77 engine) ----
+    // nPrNodes nodes, 4 pseudo-random out-edges each (xxhash64-derived,
+    // made undirected → ~8·n directed edges) plus a planted HUB that every
+    // 100th node links to. Checks: the planted hub ranks #1, and total
+    // rank mass is conserved up to the documented floor-division loss.
+    val nPrNodes = sys.env.getOrElse("SPARK_GRAFT_SMOKE_PRNODES", "1000000").toLong
+    val prBase = spark.range(nPrNodes).toDF("src")
+    val outTo = (k: Int) => pmod(xxhash64(col("src"), lit(k)), lit(nPrNodes)).as("dst")
+    val rawEdges = (0 until 4).map(k => prBase.select(col("src"), outTo(k)))
+      .reduce(_ unionByName _)
+      .unionByName(prBase.filter(col("src") % 100 === 0)
+        .select(col("src"), lit(0L).as("dst"))) // the planted hub
+      .filter(col("src") =!= col("dst")).distinct()
+    val prEdges = rawEdges
+      .unionByName(rawEdges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(32)
+    val nDirEdges = prEdges.count()
+    val tpr = System.nanoTime()
+    val pr = graft.operators.PageRank.ranks(prEdges).cache()
+    val prTop = pr.orderBy(col("rank").desc, col("id").asc).limit(1).head()
+    val prMass = pr.agg(sum("rank")).head().getLong(0)
+    val prN = pr.count()
+    val prSecs = (System.nanoTime() - tpr) / 1e9
+    val massCap = prN * graft.operators.PageRank.Unit
+    val lossBound = (nDirEdges + prN) * graft.operators.PageRank.Iterations * 2
+    println(f"[smoke] pagerank: $prN nodes / $nDirEdges directed edges, 4 rounds in $prSecs%.1f s — " +
+      f"top node ${prTop.getLong(0)} rank ${prTop.getLong(1)}, mass $prMass of $massCap")
+    report ++= Seq("pr_nodes" -> prN, "pr_edges_directed" -> nDirEdges,
+      "pr_secs" -> prSecs, "pr_top_node" -> prTop.getLong(0),
+      "pr_top_rank" -> prTop.getLong(1), "pr_mass" -> prMass,
+      "pr_mass_cap" -> massCap)
+    assert(prTop.getLong(0) == 0L, s"planted hub is not top-ranked: ${prTop.getLong(0)}")
+    assert(prMass <= massCap && prMass > massCap - lossBound,
+      s"rank mass $prMass outside [${massCap - lossBound}, $massCap] — a sink is leaking")
+    pr.unpersist()
+    println("[smoke] OK — pagerank at " + prN + " nodes")
+
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_SMOKE.json"),
       jsonOf(report) + "\n")
     println("[smoke] wrote SCALE_SMOKE.json")

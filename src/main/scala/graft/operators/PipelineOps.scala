@@ -84,25 +84,30 @@ object PipelineOps {
     * (bounded ~40-byte shuffle rows — the digest/pos/ids, never the
     * document), and reassembly is one hash agg back on doc_id. Two
     * shuffles total, both on keys that grow linearly with the corpus. */
+  /** The q74 engine on any (doc_id, text) frame: per doc — total spans,
+    * surviving (corpus-first-occurrence) spans, and the reassembled text.
+    * Exposed for [[graft.ScaleSmoke]]'s million-doc phase. */
+  def spanDedup(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spans = docs
+      .select(col("doc_id"), TextOps.bind(tokens(col("text")), t =>
+        transform(sequence(lit(0), floor((size(t) - lit(1)) / lit(SpanTokens)).cast(IntegerType)),
+          i => array_join(slice(t, i * SpanTokens + 1, lit(SpanTokens)), " "))).as("spans"))
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+    val w = Window.partitionBy(md5(col("span"))).orderBy("doc_id", "pos")
+    spans.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("rn") === 1, struct(col("pos"), col("span"))))),
+          x => x.getField("span")), " ").as("retained_text"))
+      .orderBy("doc_id")
+  }
+
   val q74SpanDedup = QueryDef(
     "q74_span_dedup",
-    (s, d) => {
-      val spans = Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.bind(tokens(col("text")), t =>
-          transform(sequence(lit(0), floor((size(t) - lit(1)) / lit(SpanTokens)).cast(IntegerType)),
-            i => array_join(slice(t, i * SpanTokens + 1, lit(SpanTokens)), " "))).as("spans"))
-        .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
-      val w = Window.partitionBy(md5(col("span"))).orderBy("doc_id", "pos")
-      spans.withColumn("rn", row_number().over(w))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_spans"),
-          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
-          array_join(transform(
-            array_sort(collect_list(when(col("rn") === 1, struct(col("pos"), col("span"))))),
-            x => x.getField("span")), " ").as("retained_text"))
-        .orderBy("doc_id")
-    },
+    (s, d) => spanDedup(Tables.documents(s, d)),
     Some(s"""WITH t AS (
            |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
            |  FROM documents),

@@ -202,79 +202,135 @@ object EventStreams {
     *
     * Every invocation stages into fresh temp dirs (source, sink,
     * checkpoint), so Verify and repeated Bench runs are independent. */
+  /** The q64/q82 drain harness: stage the events parquet plus two
+    * watermark-advancing sentinel files into a fresh source dir, run
+    * `plan(stream)` through a REAL parquet sink (`Trigger.AvailableNow`,
+    * Append mode, checkpoint), await, clean the scratch, and return the
+    * sink frame — sentinel groups still present (the sentinel must reach
+    * the watermark tracker inside the streaming plan; callers filter
+    * their own group keys on the bounded sink read instead).
+    *
+    * Sentinels: data ≺ s1 ≺ s2 by explicit PAST mtimes with
+    * `maxFilesPerTrigger = 1` forcing one batch each — the data batch
+    * sets the watermark, s1's batch (max + 2 h) flushes every real
+    * window/session, s2's batch (max + 4 h) flushes s1's own groups; s2's
+    * never emit and are filtered by the caller anyway. Exactly how a
+    * production bounded-backfill drain works. */
+  private def drainAvailableNow(s: SparkSession, d: String)
+                               (plan: DataFrame => DataFrame): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcFile = s"$d/events.parquet"
+    val schema = s.read.parquet(srcFile).schema // ts is ns BIGINT under the legacy conf
+    val maxNs = s.read.parquet(srcFile).agg(max(col("ts"))).head().getLong(0)
+
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    val dataCopy = stage.resolve("a-data.parquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(srcFile), dataCopy)
+    // explicit PAST mtimes (never future — the file source must consider
+    // every staged file already-arrived at start)
+    val t0 = System.currentTimeMillis() - 600000L
+    java.nio.file.Files.setLastModifiedTime(dataCopy,
+      java.nio.file.attribute.FileTime.fromMillis(t0))
+    import s.implicits._
+    val HourNs = 3600L * 1000 * 1000 * 1000
+    Seq(1, 2).foreach { i =>
+      // written outside `stage` so the source dir holds exactly three
+      // plain parquet files (no stray subdirs in the stream's listing)
+      val sub = java.nio.file.Files.createTempDirectory(s"graft_stream_sent$i")
+      Seq((-i.toLong, maxNs + 2 * i * HourNs, -1L, "__sentinel__", 0.0, null: String))
+        .toDF(schema.fieldNames: _*)
+        .write.mode("overwrite").parquet(sub.toString)
+      // one visible parquet per sentinel, mtime-ordered AFTER the data
+      // file so maxFilesPerTrigger=1 batches them last, in order
+      val part = java.nio.file.Files.list(sub).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      val dst = stage.resolve(s"z-sentinel-$i.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + 60000L * i))
+    }
+
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    // NOTE: the sentinel must NOT be filtered inside the streaming plan —
+    // its keys are grouping columns, so Catalyst would push the filter
+    // below the aggregation into the parquet scan, and the sentinel's
+    // event time would never reach the watermark tracker (measured: the
+    // watermark then never advances and the final windows never flush).
+    val q = plan(stream)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the staged source and checkpoint are per-invocation scratch; only
+    // the sink must outlive the call (the returned frame reads it lazily)
+    Seq(stage, java.nio.file.Paths.get(ckpt)).foreach { root =>
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    s.read.parquet(outDir)
+  }
+
+  /** q64: the streaming ENGINE under the DuckDB oracle. q30 oracle-checks
+    * the tumbling-window SEMANTICS via a batch twin; this query runs the
+    * actual streaming path — file-source stream, watermark + windowed
+    * state, Append-mode parquet sink — through [[drainAvailableNow]] and
+    * returns the sink contents, which must hash-match the SAME oracle SQL
+    * as q30. */
   val q64StreamingTumbling = graft.QueryDef(
     "q64_streaming_tumbling",
-    (s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val srcFile = s"$d/events.parquet"
-      val schema = s.read.parquet(srcFile).schema // ts is ns BIGINT under the legacy conf
-      val maxNs = s.read.parquet(srcFile).agg(max(col("ts"))).head().getLong(0)
-
-      val stage = java.nio.file.Files.createTempDirectory("graft_q64_src")
-      val dataCopy = stage.resolve("a-data.parquet")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(srcFile), dataCopy)
-      // explicit PAST mtimes (never future — the file source must consider
-      // every staged file already-arrived at start): data ≺ s1 ≺ s2
-      val t0 = System.currentTimeMillis() - 600000L
-      java.nio.file.Files.setLastModifiedTime(dataCopy,
-        java.nio.file.attribute.FileTime.fromMillis(t0))
-      import s.implicits._
-      val HourNs = 3600L * 1000 * 1000 * 1000
-      Seq(1, 2).foreach { i =>
-        // written outside `stage` so the source dir holds exactly three
-        // plain parquet files (no stray subdirs in the stream's listing)
-        val sub = java.nio.file.Files.createTempDirectory(s"graft_q64_sent$i")
-        Seq((-i.toLong, maxNs + 2 * i * HourNs, -1L, "__sentinel__", 0.0, null: String))
-          .toDF(schema.fieldNames: _*)
-          .write.mode("overwrite").parquet(sub.toString)
-        // one visible parquet per sentinel, mtime-ordered AFTER the data
-        // file so maxFilesPerTrigger=1 batches them last, in order
-        val part = java.nio.file.Files.list(sub).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).next()
-        val dst = stage.resolve(s"z-sentinel-$i.parquet")
-        java.nio.file.Files.move(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(t0 + 60000L * i))
-      }
-
-      val outDir = java.nio.file.Files.createTempDirectory("graft_q64_out").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_q64_ckpt").toString
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage.toString)
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
-      // NOTE: the sentinel must NOT be filtered inside the streaming plan —
-      // event_type is a grouping column, so Catalyst would push the filter
-      // below the aggregation into the parquet scan, and the sentinel's
-      // event time would never reach the watermark tracker (measured: the
-      // watermark then never advances and the final windows never flush).
-      // Sentinel groups are dropped from the SINK read below instead.
-      val q = tumblingCounts(stream)
-        .writeStream.format("parquet")
-        .option("path", outDir).option("checkpointLocation", ckpt)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      // the staged source and checkpoint are per-invocation scratch; only
-      // the sink must outlive the call (the returned frame reads it lazily)
-      Seq(stage, java.nio.file.Paths.get(ckpt)).foreach { root =>
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-
-      s.read.parquet(outDir)
+    (s, d) =>
+      drainAvailableNow(s, d)(tumblingCounts(_))
         .filter(col("event_type") =!= "__sentinel__")
         .select((unix_micros(col("w_start")) * 1000).cast(LongType).as("w_start"),
           col("event_type"), col("cnt"), col("sum_value"))
-        .orderBy("w_start", "event_type")
-    },
+        .orderBy("w_start", "event_type"),
     // the batch twin's oracle, verbatim: the streaming path must agree
     graft.operators.EventOps.q30Tumbling.oracle
   )
 
-  val all: Seq[graft.QueryDef] = Seq(q64StreamingTumbling)
+  /** q82: SESSION windows as streaming, under q32's oracle — the stateful
+    * shape tumbling can't exercise: `session_window` state MERGES
+    * adjacent windows as events arrive instead of bucketing into fixed
+    * frames, and Append mode may only emit a session once the watermark
+    * proves no future event can extend it. The drained sink is relabeled
+    * (per-user ordinal `sess_id` over the bounded sink read — q32's
+    * presentation) and must hash-match the batch gaps-and-islands
+    * oracle: streaming merge ≡ batch lag/running-sum islands, including
+    * the end-exclusive 30-min gap rule. Sum in decimal(18,6) exactly as
+    * the batch twin (micro-batch arrival order must not change doubles). */
+  val q82StreamingSession = graft.QueryDef(
+    "q82_streaming_session",
+    (s, d) => {
+      val sunk = drainAvailableNow(s, d)(st => st
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).as("sum_dec"))
+        .select(col("session_window.start").as("sess_ts"), col("user_id"),
+          col("n_events"),
+          col("sum_dec").cast(DecimalType(18, 4)).cast(DoubleType).as("sum_value")))
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("sess_start")
+      sunk.filter(col("user_id") >= 0) // drop sentinel sessions
+        .select(col("user_id"), unix_micros(col("sess_ts")).as("sess_start"),
+          col("n_events"), col("sum_value"))
+        .withColumn("sess_id", row_number().over(byUser).cast(LongType))
+        .select("user_id", "sess_id", "sess_start", "n_events", "sum_value")
+        .orderBy("user_id", "sess_id")
+    },
+    // the batch twin's oracle, verbatim: the streaming path must agree
+    graft.operators.EventOps.q32Session.oracle
+  )
+
+  val all: Seq[graft.QueryDef] = Seq(q64StreamingTumbling, q82StreamingSession)
 
   /** Custom per-user running state via mapGroupsWithState — the
     * `KeyValueGroupedDataset` stateful escape hatch (arbitrary state the
