@@ -260,6 +260,69 @@ object PipelineOps {
            |FROM lab ORDER BY doc_id""".stripMargin)
   )
 
+  /** q85: temperature-flattened mixture SAMPLING — the action for q72's
+    * mixture report: per (source, lang) domain, downsample toward the
+    * sqrt-flattened distribution (quota_d = ⌈√(n_d · min_n)⌉, the
+    * geometric mean of the domain's count and the smallest domain's — the
+    * T=2 temperature rule: head domains shrink, the tail is kept whole)
+    * and select each domain's quota by the q63 hash-rank (engine- and
+    * retry-stable, no rand()). Output: per-domain docs/quota/kept-token
+    * budget — the sampled corpus manifest.
+    *
+    * Determinism note: the one non-integer step, ⌈√(n·min)⌉, is safe
+    * cross-engine — IEEE sqrt is correctly rounded in both JVM and
+    * DuckDB, and at these magnitudes the true root is never within an
+    * ulp of an integer unless the product is a perfect square (where
+    * sqrt is exact). Plan shape at 100 TB: domain quotas are a
+    * metadata-sized broadcast; the per-domain selection is one window
+    * partitioned by domain. */
+  val q85MixtureSample = QueryDef(
+    "q85_mixture_sample",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("lang"), col("doc_id"),
+          size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      val dom = docs.groupBy("source", "lang").agg(count(lit(1)).as("n_docs"))
+      val minN = dom.agg(min(col("n_docs")).as("min_n"))
+      val quotas = dom.crossJoin(broadcast(minN))
+        .select(col("source"), col("lang"), col("n_docs"),
+          least(col("n_docs"),
+            ceil(sqrt(col("n_docs").cast(DoubleType) * col("min_n"))).cast(LongType))
+            .as("quota"))
+      val rankHash = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+        .cast(LongType)
+      val w = Window.partitionBy("source", "lang").orderBy(rankHash.asc, col("doc_id").asc)
+      docs.withColumn("rn", row_number().over(w))
+        .join(broadcast(quotas), Seq("source", "lang"))
+        .groupBy("source", "lang")
+        .agg(max(col("n_docs")).as("n_docs"), max(col("quota")).as("quota"),
+          sum(when(col("rn") <= col("quota"), col("n_tokens")).otherwise(0L))
+            .as("tokens_kept"))
+        .orderBy("source", "lang")
+    },
+    Some("""WITH t AS (
+           |  SELECT source, lang, doc_id,
+           |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |dom AS (SELECT source, lang, COUNT(*) AS n_docs FROM t GROUP BY source, lang),
+           |q AS (
+           |  SELECT source, lang, n_docs,
+           |    LEAST(n_docs, CAST(ceil(sqrt(CAST(n_docs AS DOUBLE)
+           |      * (SELECT MIN(n_docs) FROM dom))) AS BIGINT)) AS quota
+           |  FROM dom),
+           |r AS (
+           |  SELECT source, lang, doc_id, n_tokens,
+           |    row_number() OVER (PARTITION BY source, lang
+           |      ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+           |        doc_id) AS rn
+           |  FROM t)
+           |SELECT q.source, q.lang, q.n_docs, q.quota,
+           |  SUM(CASE WHEN r.rn <= q.quota THEN r.n_tokens ELSE 0 END) AS tokens_kept
+           |FROM r JOIN q USING (source, lang)
+           |GROUP BY q.source, q.lang, q.n_docs, q.quota
+           |ORDER BY q.source, q.lang""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q73SequencePacking, q74SpanDedup,
-    q75QualityRules, q76IncrementalDedup)
+    q75QualityRules, q76IncrementalDedup, q85MixtureSample)
 }

@@ -87,4 +87,61 @@ object ScaleTools {
     df.groupBy(col(key).cast("string").as("k")).count()
       .orderBy(desc("count")).limit(topN)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  import org.apache.spark.sql.types.{DecimalType, DoubleType}
+  import graft.{QueryDef, Tables}
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+  private def dsum(c: Column): Column =
+    sum(dec(c)).cast(DecimalType(18, 4)).cast(DoubleType)
+
+  /** q83: bloom-pruned join UNDER THE ORACLE. Bloom pruning is
+    * semantically transparent — false positives die in the exact join —
+    * so the DuckDB oracle is the PLAIN join: any divergence (a false
+    * NEGATIVE dropping rows, a key-type hash mismatch) is a correctness
+    * failure, which is exactly what this entry guards. The Spark side
+    * prunes lineitem against a bloom over the URGENT orders' keys in the
+    * scan stage before the join — at 100 TB the fact shuffle shrinks by
+    * the dimension filter's selectivity (~1/3 here; ScaleToolsSpec
+    * measures the pruning on a tighter filter). */
+  val q83BloomJoin = QueryDef(
+    "q83_bloom_join",
+    (s, d) => {
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      bloomPrunedJoin(Tables.lineitem(s, d), dim, "l_orderkey", "o_orderkey",
+        expectedItems = 100000L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n_lines,
+           |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_price
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE o_orderpriority = '1-URGENT'
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  )
+
+  /** q84: salted skew join UNDER THE ORACLE. The salt is pure partition
+    * scatter — `rand(42)` picks WHICH of the 8 dimension replicas a fact
+    * row meets, never WHETHER it joins — so the oracle is again the plain
+    * join, and the entry proves result-invariance of the rewrite (the
+    * failure mode it guards: a salt-column collision or a replica range
+    * mismatch silently dropping or duplicating matches). */
+  val q84SaltedJoin = QueryDef(
+    "q84_salted_join",
+    (s, d) => {
+      val dim = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      saltedJoin(Tables.lineitem(s, d), dim, "l_suppkey", "s_suppkey", salt = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("s_nationkey")
+    },
+    Some("""SELECT s_nationkey, COUNT(*) AS n_lines,
+           |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty
+           |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q83BloomJoin, q84SaltedJoin)
 }
