@@ -53,7 +53,7 @@ object PageRank {
     val deg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("outdeg")).localCheckpoint()
     var r = deg.select(col("id"), lit(Unit).as("rank"))
-    (1 to Iterations).foreach { _ =>
+    (1 to Iterations).foreach { i =>
       val contrib = e
         .join(r.join(deg, Seq("id")).select(col("id").as("src"),
           expr("rank div outdeg").as("share")), Seq("src"))
@@ -63,7 +63,10 @@ object PageRank {
         .join(contrib, Seq("id"), "left_outer")
         .select(col("id"),
           expr(s"(15 * ${Unit}L + $Damping * coalesce(inflow, 0L)) div 100").as("rank"))
-        .localCheckpoint()
+      // checkpoint every OTHER round: two rounds of lineage stay bounded
+      // and half the eager materializations disappear from the critical
+      // path (on a real cluster: same cadence trade as Components)
+      if (i % 2 == 0 && i < Iterations) r = r.localCheckpoint()
     }
     r
   }
