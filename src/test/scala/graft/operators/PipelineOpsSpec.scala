@@ -41,6 +41,30 @@ class PipelineOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("span dedup is idempotent: re-running on the retained corpus drops nothing") {
+    val once = PipelineOps.spanDedup(
+      graft.Tables.documents(spark, sfDir)).cache()
+    val again = PipelineOps.spanDedup(
+      once.filter(col("retained_text") =!= "")
+        .select(col("doc_id"), col("retained_text").as("text"))).cache()
+    assert(again.filter(col("n_kept") =!= col("n_spans")).count() == 0,
+      "surviving spans are unique corpus-wide, so a second pass must keep everything")
+    once.unpersist(); again.unpersist()
+  }
+
+  test("q85: quotas are the sqrt rule, never exceed the domain, and the tail is kept whole") {
+    val out = PipelineOps.q85MixtureSample.run(spark, "/root/testdata/sf0.01").cache()
+    assert(out.filter(col("quota") > col("n_docs")).count() == 0)
+    val minN = out.select(min("n_docs").cast("long")).head.getLong(0)
+    // smallest domain: quota == n_docs (geometric mean of n and n)
+    assert(out.filter(col("n_docs") === minN)
+      .filter(col("quota") =!= col("n_docs")).count() == 0)
+    // head domains genuinely shrink at sf0.01 (langs are non-uniform)
+    assert(out.filter(col("quota") < col("n_docs")).count() > 0,
+      "no domain downsampled — mixture sampling is a no-op on this data")
+    out.unpersist()
+  }
+
   test("q75: every rule discriminates at sf0.01 and kept <= docs") {
     val out = PipelineOps.q75QualityRules.run(spark, "/root/testdata/sf0.01").cache()
     assert(out.filter(col("n_kept") > col("n_docs")).count() == 0)
