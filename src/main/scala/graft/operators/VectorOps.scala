@@ -461,7 +461,110 @@ object VectorOps {
            |GROUP BY l.cid ORDER BY l.cid""".stripMargin)
   )
 
+  /** q86: distributed k-means (Lloyd's), k=8, 2 fixed iterations — the
+    * "production would k-means the centroids" upgrade q56/q78 point at,
+    * as a pure DataFrame program under the oracle.
+    *
+    * Exactness across engines (the hard part of distributed k-means is
+    * usually that float centroid means depend on summation order):
+    * vectors are quantized ONCE to integer micro-units
+    * (`⌊x·1e6 + 0.5⌋` — explicit floor-rounding, no engine round-half
+    * semantics involved), centroid updates are INTEGER mean with an
+    * offset trick for portable truncation (`(Σ + n·1e6) div n − 1e6`:
+    * the shifted numerator is non-negative, where DuckDB's floor-`//`
+    * and Spark's trunc-`div` agree), and assignment ranks
+    * `round(cos, 6)` with a cid tiebreak. Empty clusters carry their
+    * previous centroid. Output per cluster: member count + integer
+    * centroid checksums (sum and L1) — all BIGINT, hash-exact.
+    *
+    * Plan shape at 100 TB: per iteration ONE broadcast of k centroids +
+    * a narrow assignment pass (top-1 window per vector) + one hash agg
+    * over (cid, dim) — k·dims cells, metadata-sized regardless of
+    * corpus; centroids localCheckpoint'ed between rounds exactly like
+    * [[graft.operators.PageRank]]. */
+  val q86KMeans = QueryDef(
+    "q86_kmeans",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val toDi = (c: Column) => transform(c, x => x.cast(DoubleType))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(toD(col("embedding")),
+          x => floor(x * lit(1000000.0) + lit(0.5)).cast(LongType)).as("iv"))
+        .localCheckpoint()
+      var cents = e.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cid"), col("iv").as("cv"))
+      def assign(cs: org.apache.spark.sql.DataFrame) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+        e.crossJoin(broadcast(cs))
+          .select(col("vec_id"), col("iv"), col("cid"),
+            round(cosine(toDi(col("iv")), toDi(col("cv"))), 6).as("csim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("iv"), col("cid"))
+      }
+      (1 to 2).foreach { _ =>
+        val upd = assign(cents)
+          .select(col("cid"), posexplode(col("iv")).as(Seq("i", "v")))
+          .groupBy("cid", "i")
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .select(col("cid"), col("i"),
+            expr("((s + n * 1000000L) div n) - 1000000L").as("cvi"))
+          .groupBy("cid")
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("cvi")))),
+            x => x.getField("cvi")).as("ncv"))
+        cents = cents.join(upd, Seq("cid"), "left_outer")
+          .select(col("cid"), coalesce(col("ncv"), col("cv")).as("cv"))
+          .localCheckpoint()
+      }
+      val members = assign(cents).groupBy("cid").agg(count(lit(1)).as("n_members"))
+      cents.join(members, Seq("cid"), "left_outer")
+        .select(col("cid"),
+          coalesce(col("n_members"), lit(0L)).as("n_members"),
+          aggregate(col("cv"), lit(0L), (a, x) => a + x).as("c_sum"),
+          aggregate(col("cv"), lit(0L), (a, x) => a + abs(x)).as("c_l1"))
+        .orderBy("cid")
+    },
+    Some {
+      def iter(k: Int) =
+        s"""a$k AS (
+           |  SELECT e.vec_id, e.iv, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY round(list_cosine_similarity(
+           |        CAST(e.iv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), 6) DESC, c.cid) AS rn
+           |  FROM e CROSS JOIN c${k - 1} c),
+           |m$k AS (
+           |  SELECT cid, i, SUM(iv[i]) AS s, COUNT(*) AS n
+           |  FROM (SELECT * FROM a$k WHERE rn = 1) a CROSS JOIN range(1, 65) t(i)
+           |  GROUP BY cid, i),
+           |c${k}n AS (
+           |  SELECT cid, list((s + n * 1000000) // n - 1000000 ORDER BY i) AS cv
+           |  FROM m$k GROUP BY cid),
+           |c$k AS (
+           |  SELECT c${k - 1}.cid, COALESCE(c${k}n.cv, c${k - 1}.cv) AS cv
+           |  FROM c${k - 1} LEFT JOIN c${k}n USING (cid))""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS iv
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, iv AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+         |${iter(1)},
+         |${iter(2)},
+         |af AS (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(list_cosine_similarity(
+         |        CAST(e.iv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), 6) DESC, c.cid) AS rn
+         |  FROM e CROSS JOIN c2 c),
+         |members AS (SELECT cid, COUNT(*) AS n FROM af WHERE rn = 1 GROUP BY cid)
+         |SELECT c2.cid, CAST(COALESCE(members.n, 0) AS BIGINT) AS n_members,
+         |  CAST(list_sum(c2.cv) AS BIGINT) AS c_sum,
+         |  CAST(list_sum(list_transform(c2.cv, x -> abs(x))) AS BIGINT) AS c_l1
+         |FROM c2 LEFT JOIN members USING (cid) ORDER BY c2.cid""".stripMargin
+    }
+  )
+
   val all: Seq[QueryDef] =
     Seq(q27CosineTopK, q28AnnLsh, q29CosinePairs, q38BatchAnn, q56AnnIvf,
-      q62QuantizedAnn, q68EmbeddingLshPairs, q78SemanticDedup)
+      q62QuantizedAnn, q68EmbeddingLshPairs, q78SemanticDedup, q86KMeans)
 }

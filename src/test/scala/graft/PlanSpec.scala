@@ -122,7 +122,8 @@ class PlanSpec extends SparkSpec {
     val bnljAllowed = Set("q27_cosine_topk", "q28_ann_lsh", "q29_cosine_pairs",
       "q37_product", "q38_batch_ann", "q56_ann_ivf", "q62_quantized_ann",
       "q78_semantic_dedup", // q78: q56's broadcast 8-centroid assignment
-      "q85_mixture_sample") // q85: 1-row min-domain scalar broadcast
+      "q85_mixture_sample", // q85: 1-row min-domain scalar broadcast
+      "q86_kmeans") // q86: k=8 centroid broadcast per assignment pass
     // plan-text exchange budgets: the LSH pipeline legitimately has ~18
     // (sig agg + banding self-join + verify joins); queries consuming the
     // CACHED pair/cluster frames repeat that lineage inside
