@@ -374,6 +374,68 @@ object DedupOps {
            |ORDER BY d1, d2""".stripMargin)
   )
 
+  /** Prefix-filter candidate pairs (the AllPairs/PPJoin scheme) for
+    * Jaccard ≥ 0.6 over the shingle sets: order every doc's shingles by
+    * GLOBAL rarity (frequency, then shingle — a total order), keep only
+    * the prefix of length sz − ⌈0.6·sz⌉ + 1, and join prefix-to-prefix.
+    * The prefix-filter lemma makes this EXACT-recall: J(x,y) ≥ t implies
+    * |x∩y| ≥ ⌈t·|x|⌉, and an intersection that large cannot avoid both
+    * rarity-ordered prefixes — so unlike MinHash banding (q24, miss
+    * probability ~1e-7) the candidate set provably contains every true
+    * pair. Selectivity is DATA-dependent: rarity ordering keeps the
+    * candidate volume far under n²/2 on low-overlap corpora (measured in
+    * the spec on a gibberish corpus: <1% of pairs), but a corpus with
+    * heavy vocabulary sharing — like the oracle tables, background
+    * Jaccard 0.16 — degrades it toward quadratic while recall stays
+    * exact. That trade is the point of having BOTH this and MinHash. */
+  private[operators] def prefixCandidates(s: SparkSession, d: String, cap: Long): DataFrame = {
+    val sh = shingles(s, d, cap)
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("f"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("f").asc, col("sh").asc)
+    val prefix = sh.join(freq, Seq("sh")).join(sizes, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      // ⌈3·sz/5⌉ = (3·sz + 4) div 5 — integer form of ⌈0.6·sz⌉
+      .filter(col("rk") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
+      .select(col("doc_id"), col("sh"))
+    prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** q87: prefix-filter similarity join — candidates from
+    * [[prefixCandidates]], verified with exact Jaccard; the output must
+    * EQUAL the exact quadratic answer (the oracle is the same `pairs`
+    * CTE as q23/q24), which is precisely the claim prefix filtering
+    * makes and banding cannot. Third candidate-generation scheme in the
+    * pack: MinHash (probabilistic, full-corpus scale path), SimHash
+    * (Hamming space), prefix filter (exact recall, rarity-skew-bounded —
+    * the right tool when a guaranteed-complete pair list is required,
+    * e.g. legal/compliance dedup). Bounded to the oracle slice like q23:
+    * worst-case candidate volume is frequency-skew-dependent. */
+  val q87PrefixJoin = QueryDef(
+    "q87_prefix_join",
+    (s, d) => {
+      val sh = shingles(s, d, OracleCap)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val cand = prefixCandidates(s, d, OracleCap)
+      val ic = cand
+        .join(sh.select(col("doc_id").as("d1"), col("sh")), Seq("d1"))
+        .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
+      ic.join(sizes.select(col("doc_id").as("d1"), col("sz").as("s1")), Seq("d1"))
+        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("s2")), Seq("d2"))
+        .filter(col("ic") * 10 >= (col("s1") + col("s2") - col("ic")) * 6)
+        .select("d1", "d2")
+        .orderBy("d1", "d2")
+    },
+    Some(s"""WITH ${pairsCtes(capped = true, tenths = 6)}
+           |SELECT d1, d2 FROM pairs ORDER BY d1, d2""".stripMargin)
+  )
+
   val all: Seq[QueryDef] =
-    Seq(q23JaccardPairs, q24MinhashLsh, q25Simhash, q26SimhashPairs, q52MinhashLshFull)
+    Seq(q23JaccardPairs, q24MinhashLsh, q25Simhash, q26SimhashPairs,
+      q52MinhashLshFull, q87PrefixJoin)
 }

@@ -134,7 +134,8 @@ class PlanSpec extends SparkSpec {
       // endpoints), so unlike q44 (vertices from the documents scan) its
       // plan text repeats the pair lineage several times over
       case n if n.startsWith("q46") || n.startsWith("q53") ||
-        n.startsWith("q54") || n.startsWith("q71") || n.startsWith("q76") => 220
+        n.startsWith("q54") || n.startsWith("q71") || n.startsWith("q76") ||
+        n.startsWith("q87") => 220
       case n if n.startsWith("q23") || n.startsWith("q24") || n.startsWith("q52") => 24
       // q77: 4 unrolled pagerank rounds, join+agg each; q78: assignment
       // window + per-cluster self join + two aggs — both by design

@@ -65,6 +65,34 @@ class PipelineOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q87: prefix filter is selective on a low-overlap corpus and recall-complete") {
+    // Selectivity is DATA-dependent (the oracle corpus shares vocabulary so
+    // heavily — background Jaccard 0.16 — that ~86% of pairs survive the
+    // prefix there; exactness still holds, which is q87's oracle claim).
+    // Measure selectivity where the technique operates: a gibberish corpus
+    // with background Jaccard ~0 and planted near-dup copies — the same
+    // experimental design as ScaleSmoke.
+    import org.apache.spark.sql.functions._
+    val n = 1000L
+    val body = concat_ws("", (0 until 5).map(c =>
+      md5(concat(lit("pf"), col("base"), lit(s":$c")))): _*) // 160 hex chars
+    val base = spark.range(n).toDF("base")
+      .select(col("base").as("doc_id"), body.as("text"))
+    val copies = spark.range(0, n, 10).toDF("base")
+      .select((col("base") + 1000000L).as("doc_id"),
+        concat(body, lit("~x")).as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pf").toString
+    base.unionByName(copies).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cands = DedupOps.prefixCandidates(spark, dir, DedupOps.FullCorpus).cache()
+    val total = cands.count()
+    val planted = cands.filter(col("d2") === col("d1") + 1000000L).count()
+    val quad = (n + n / 10) * (n + n / 10 - 1) / 2
+    assert(planted == n / 10, s"prefix filter missed planted pairs: $planted of ${n / 10}")
+    assert(total * 100 < quad,
+      s"prefix filtering generated $total of $quad pairs on a low-overlap corpus")
+    cands.unpersist()
+  }
+
   test("q75: every rule discriminates at sf0.01 and kept <= docs") {
     val out = PipelineOps.q75QualityRules.run(spark, "/root/testdata/sf0.01").cache()
     assert(out.filter(col("n_kept") > col("n_docs")).count() == 0)
