@@ -420,14 +420,23 @@ object DedupOps {
     (s, d) => {
       val sh = shingles(s, d, OracleCap)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val cand = prefixCandidates(s, d, OracleCap)
-      val ic = cand
-        .join(sh.select(col("doc_id").as("d1"), col("sh")), Seq("d1"))
-        .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
+      // exact intersection counts over colliding pairs (the q23 shape —
+      // per-candidate shingle-list expansion would shuffle |cand|·|doc|
+      // rows, ~9s at this corpus's 86% candidate density; this is ~1s),
+      // then LEFT SEMI against the prefix candidates: the output is the
+      // true pairs THAT WERE GENERATED — if the prefix filter ever missed
+      // a true pair, the semi join would drop it and the oracle's
+      // hash-match against the full exact answer would fail. The oracle
+      // is literally also the recall check.
+      val inter = sh.select(col("doc_id").as("d1"), col("sh"))
+        .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
+        .filter(col("d1") < col("d2"))
         .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
-      ic.join(sizes.select(col("doc_id").as("d1"), col("sz").as("s1")), Seq("d1"))
+      inter
+        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("s1")), Seq("d1"))
         .join(sizes.select(col("doc_id").as("d2"), col("sz").as("s2")), Seq("d2"))
         .filter(col("ic") * 10 >= (col("s1") + col("s2") - col("ic")) * 6)
+        .join(prefixCandidates(s, d, OracleCap), Seq("d1", "d2"), "left_semi")
         .select("d1", "d2")
         .orderBy("d1", "d2")
     },

@@ -187,6 +187,106 @@ object EventOps {
            |FROM j ORDER BY user_id, day_us""".stripMargin)
   )
 
+  /** q88: funnel analysis — per user, purchases completing the
+    * view → click → purchase funnel with each hop within 1 hour. The
+    * sequence-matching shape (SQL MATCH_RECOGNIZE territory) done with
+    * running windows instead of a per-user sort-and-scan UDF: one window
+    * per user carries (a) the latest view time and (b) the latest click
+    * AS A STRUCT holding the view time that click saw — struct-max is
+    * lexicographic on (ts, event_id), so "latest, ties by event_id" is
+    * exact and engine-portable. A purchase completes the funnel iff its
+    * latest-click is within 1 h AND that click's latest-view was within
+    * 1 h of the click.
+    *
+    * Plan shape at 100 TB: ONE shuffle (user_id window partition), two
+    * window functions in the same pass, one hash agg — sequence matching
+    * with no self-joins (a join-based funnel is k-way quadratic in
+    * events-per-user). */
+  val q88Funnel = QueryDef(
+    "q88_funnel",
+    (s, d) => {
+      val HourUs = HourNs / 1000
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns DIV 1000"))
+        .withColumn("last_view",
+          max(when(col("event_type") === "view", col("ts_us"))).over(w))
+        .withColumn("last_click",
+          max(when(col("event_type") === "click",
+            struct(col("ts_us").as("c_us"), col("event_id").as("c_id"),
+              col("last_view").as("v_us")))).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("complete",
+          col("last_click").isNotNull &&
+            col("ts_us") - col("last_click.c_us") <= HourUs &&
+            col("last_click.v_us").isNotNull &&
+            col("last_click.c_us") - col("last_click.v_us") <= HourUs)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("complete"), 1L).otherwise(0L)).as("n_funnels"))
+        .orderBy("user_id")
+    },
+    Some(s"""WITH base AS (
+           |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+           |v AS (
+           |  SELECT *,
+           |    MAX(CASE WHEN event_type = 'view' THEN ts_us END)
+           |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view
+           |  FROM base),
+           |c AS (
+           |  SELECT *,
+           |    MAX(CASE WHEN event_type = 'click'
+           |          THEN struct_pack(c_us := ts_us, c_id := event_id, v_us := last_view) END)
+           |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+           |  FROM v)
+           |SELECT user_id, COUNT(*) AS n_purchases,
+           |  SUM(CASE WHEN last_click IS NOT NULL
+           |        AND ts_us - last_click.c_us <= ${HourNs / 1000}
+           |        AND last_click.v_us IS NOT NULL
+           |        AND last_click.c_us - last_click.v_us <= ${HourNs / 1000}
+           |      THEN 1 ELSE 0 END) AS n_funnels
+           |FROM c WHERE event_type = 'purchase'
+           |GROUP BY user_id ORDER BY user_id""".stripMargin)
+  )
+
+  /** q89: cohort retention — users grouped by first-seen day ("cohort"),
+    * counted by how many distinct whole weeks after that day they came
+    * back. Two metadata-sized aggs around one distinct: (user → first
+    * day) is a user-keyed agg, (cohort, week) is bounded by
+    * cohorts × horizon. All integer µs day/week arithmetic. */
+  val q89Retention = QueryDef(
+    "q89_retention",
+    (s, d) => {
+      val DayUs = 86400L * 1000000L
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns DIV 1000"))
+      val first = ev.groupBy("user_id")
+        .agg(min(col("ts_us")).as("first_us"))
+        .withColumn("cohort_day", expr(s"first_us div ${DayUs}"))
+      ev.join(first, Seq("user_id"))
+        .withColumn("week_idx", expr(s"(ts_us - first_us) div ${7 * DayUs}"))
+        .select("user_id", "cohort_day", "week_idx").distinct()
+        .groupBy("cohort_day", "week_idx")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "week_idx")
+    },
+    Some(s"""WITH ev AS (
+           |  SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+           |f AS (
+           |  SELECT user_id, MIN(ts_us) AS first_us,
+           |    MIN(ts_us) // ${86400L * 1000000L} AS cohort_day
+           |  FROM ev GROUP BY user_id)
+           |SELECT cohort_day,
+           |  (ts_us - first_us) // ${7 * 86400L * 1000000L} AS week_idx,
+           |  COUNT(DISTINCT ev.user_id) AS n_users
+           |FROM ev JOIN f USING (user_id)
+           |GROUP BY cohort_day, week_idx
+           |ORDER BY cohort_day, week_idx""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
-    q60ResampleFfill)
+    q60ResampleFfill, q88Funnel, q89Retention)
 }
