@@ -262,12 +262,21 @@ object EventStreams {
     // below the aggregation into the parquet scan, and the sentinel's
     // event time would never reach the watermark tracker (measured: the
     // watermark then never advances and the final windows never flush).
-    val q = plan(stream)
-      .writeStream.format("parquet")
-      .option("path", outDir).option("checkpointLocation", ckpt)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // the stateful agg creates one state-store partition per shuffle
+    // partition PER BATCH — at this drain's 3 tiny batches the commit
+    // overhead dominates, so run the stream at 8 partitions (the setting
+    // is pinned into the checkpoint at query start; batch queries are
+    // unaffected — the session conf is restored right after start())
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try plan(stream)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     // the staged source and checkpoint are per-invocation scratch; only
     // the sink must outlive the call (the returned frame reads it lazily)
