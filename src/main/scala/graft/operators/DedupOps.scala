@@ -444,7 +444,57 @@ object DedupOps {
            |SELECT d1, d2 FROM pairs ORDER BY d1, d2""".stripMargin)
   )
 
+  /** q90: edit-distance similarity join with LOSSLESS length blocking —
+    * the fourth pair-finding scheme, for the character-level-noise regime
+    * (OCR corpora, typo'd duplicates) where token/shingle sets miss:
+    * `levenshtein(a, b) ≥ |len(a) − len(b)|`, so for a threshold of 30
+    * only pairs within 30 chars of each other can qualify — blocking on
+    * `n_chars div 30` buckets (each left row probes its own + both
+    * neighbor buckets via a 3-key explode, an EQUI-join — no theta join,
+    * no cartesian) is exact by the triangle bound, not probabilistic.
+    * The expensive O(len²) DP runs only on length-compatible survivors.
+    * Bounded to the oracle slice like q23/q87: the DP verify is the cost
+    * center, and the oracle must run the same quadratic check. */
+  val q90EditDistJoin = QueryDef(
+    "q90_editdist_join",
+    (s, d) => {
+      val MaxDist = 30
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") < OracleCap)
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          expr(s"n_chars div $MaxDist").as("b"))
+      val probes = docs.select(col("doc_id").as("d1"), col("text").as("t1"),
+        col("n_chars").as("n1"),
+        explode(array(col("b") - 1, col("b"), col("b") + 1)).as("bk"))
+      val build = docs.select(col("doc_id").as("d2"), col("text").as("t2"),
+        col("n_chars").as("n2"), col("b").as("bk"))
+      probes.join(build, Seq("bk"))
+        .filter(col("d1") < col("d2") &&
+          abs(col("n1") - col("n2")) <= MaxDist)
+        // spread the DP: the bucket join key has only ~len_range/30
+        // distinct values, so without this the quadratic verify runs on
+        // a handful of tasks
+        .repartition(col("d1"), col("d2"))
+        // 3-arg levenshtein = BANDED DP (|i−j| ≤ 30 diagonal), O(len·30)
+        // instead of O(len²) per pair — returns −1 past the threshold,
+        // identical distances within it
+        .select(col("d1"), col("d2"),
+          levenshtein(col("t1"), col("t2"), MaxDist).as("dist"))
+        .filter(col("dist") >= 0)
+        .distinct() // a pair can meet in two buckets via the neighbor probes
+        .orderBy("d1", "d2")
+    },
+    Some("""SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |  CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+           |FROM documents a JOIN documents b
+           |  ON a.doc_id < b.doc_id
+           |  AND abs(a.n_chars - b.n_chars) <= 30
+           |WHERE a.doc_id < 500 AND b.doc_id < 500
+           |  AND levenshtein(a.text, b.text) <= 30
+           |ORDER BY d1, d2""".stripMargin)
+  )
+
   val all: Seq[QueryDef] =
     Seq(q23JaccardPairs, q24MinhashLsh, q25Simhash, q26SimhashPairs,
-      q52MinhashLshFull, q87PrefixJoin)
+      q52MinhashLshFull, q87PrefixJoin, q90EditDistJoin)
 }
