@@ -57,8 +57,11 @@ object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 }
 
-/** For `spark.sql.extensions` (SparkSessionExtensions injection point). */
+/** For `spark.sql.extensions` (SparkSessionExtensions injection point):
+  * the native functions plus the banded-levenshtein optimizer rule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injectAll(ext)
+    ext.injectOptimizerRule(_ => graft.plans.BandedLevenshtein)
+  }
 }

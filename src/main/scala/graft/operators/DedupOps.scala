@@ -494,7 +494,42 @@ object DedupOps {
            |ORDER BY d1, d2""".stripMargin)
   )
 
+  /** q91: q90's join written as the SQL a user would type — the unbanded
+    * `levenshtein(a.text, b.text) <= 30` predicate — made cheap by the
+    * [[graft.plans.BandedLevenshtein]] optimizer rule, which rewrites the
+    * comparison into the O(len·k) banded form inside the join condition
+    * (plan-asserted in BandedLevenshteinSpec; oracle = DuckDB running the
+    * very same SQL). Blocking here is the declarative |Δn_chars| ≤ 30
+    * bound (lossless, same triangle inequality as q90): at the oracle
+    * slice the planner picks a broadcast nested-loop join whose
+    * length+banded-DP condition kills pairs before any are materialized;
+    * the bucketed-equi-join shape (q90) is the path that scales past
+    * broadcast size. */
+  val q91EditDistSql = QueryDef(
+    "q91_editdist_sql",
+    (s, d) => {
+      graft.plans.BandedLevenshtein.install(s)
+      Tables.documents(s, d)
+        .filter(col("doc_id") < OracleCap)
+        .select("doc_id", "text", "n_chars")
+        .createOrReplaceTempView("docs_editdist")
+      s.sql("""SELECT a.doc_id AS d1, b.doc_id AS d2
+              |FROM docs_editdist a JOIN docs_editdist b
+              |  ON a.doc_id < b.doc_id
+              |  AND abs(a.n_chars - b.n_chars) <= 30
+              |  AND levenshtein(a.text, b.text) <= 30
+              |ORDER BY d1, d2""".stripMargin)
+    },
+    Some("""SELECT a.doc_id AS d1, b.doc_id AS d2
+           |FROM documents a JOIN documents b
+           |  ON a.doc_id < b.doc_id
+           |  AND abs(a.n_chars - b.n_chars) <= 30
+           |  AND levenshtein(a.text, b.text) <= 30
+           |WHERE a.doc_id < 500 AND b.doc_id < 500
+           |ORDER BY d1, d2""".stripMargin)
+  )
+
   val all: Seq[QueryDef] =
     Seq(q23JaccardPairs, q24MinhashLsh, q25Simhash, q26SimhashPairs,
-      q52MinhashLshFull, q87PrefixJoin, q90EditDistJoin)
+      q52MinhashLshFull, q87PrefixJoin, q90EditDistJoin, q91EditDistSql)
 }

@@ -323,6 +323,62 @@ object PipelineOps {
            |ORDER BY q.source, q.lang""".stripMargin)
   )
 
+  /** q92: WEIGHTED sampling without replacement (Efraimidis–Spirakis
+    * A-ES), completing the sampling family — uniform hash (q58),
+    * stratified (q63), temperature-flattened mixture (q85), and now
+    * per-item importance weights: each doc gets key `−ln(u)/w` with `u`
+    * a deterministic md5-derived uniform and `w` its token count; the
+    * k smallest keys are EXACTLY a without-replacement sample where
+    * inclusion probability tracks weight (token-uniform document
+    * sampling — a 100-token doc is 100× a 1-token doc). One pass, no
+    * rand(): retry/engine-stable like q58/q63/q85.
+    *
+    * Plan shape at 100 TB: key is a per-row projection; selection is
+    * TakeOrderedAndProject (per-partition top-k, k-sized merge at the
+    * driver) — no global sort, no shuffle of the corpus.
+    *
+    * Determinism note (mirrors q85's sqrt): `ln` may differ by an ulp
+    * between JVM and DuckDB libm, which can only matter if the k-th and
+    * (k+1)-th keys coincide to ~1e-15 relative — probability ~k·2⁻⁵²
+    * on a continuous key distribution. The md5→uniform mapping itself is
+    * exact in both engines: the 60-bit hash → double rounding is IEEE
+    * round-to-nearest in both, `+1` absorbs identically. Output columns
+    * are integers only; the float key never reaches the hash compare. */
+  val q92WeightedSample = QueryDef(
+    "q92_weighted_sample",
+    (s, d) => {
+      val k = 100
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          greatest(size(tokens(col("text"))).cast(LongType), lit(1L)).as("w"))
+      // +1 in INTEGER space, then one int→double rounding — the same
+      // order DuckDB evaluates `(ubigint + 1) / double`, so u is
+      // bit-identical cross-engine (a double `+1.0` after the cast would
+      // be absorbed above 2^53 and diverge on ~0.4% of rows)
+      val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+        .cast(LongType)
+      val u = (h + lit(1L)).cast(DoubleType) / lit(1152921504606846976.0d) // 16^15 = 2^60
+      docs.select(col("doc_id"), col("source"), col("w"),
+          (-log(u) / col("w").cast(DoubleType)).as("key"))
+        .orderBy(col("key").asc, col("doc_id").asc)
+        .limit(k)
+        .select("doc_id", "source", "w")
+        .orderBy("doc_id")
+    },
+    Some("""WITH keyed AS (
+           |  SELECT doc_id, source,
+           |    GREATEST(CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT), 1) AS w
+           |  FROM documents),
+           |sampled AS (
+           |  SELECT doc_id, source, w
+           |  FROM keyed
+           |  ORDER BY -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) + 1)
+           |      / 1152921504606846976.0) / CAST(w AS DOUBLE) ASC,
+           |    doc_id ASC
+           |  LIMIT 100)
+           |SELECT doc_id, source, w FROM sampled ORDER BY doc_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q73SequencePacking, q74SpanDedup,
-    q75QualityRules, q76IncrementalDedup, q85MixtureSample)
+    q75QualityRules, q76IncrementalDedup, q85MixtureSample, q92WeightedSample)
 }

@@ -59,6 +59,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("q91: the optimizer rule bands the natural-SQL levenshtein predicate") {
+    val p = plan(graft.operators.DedupOps.q91EditDistSql)
+    assert(p.contains("levenshtein") && p.contains("Some(30)"),
+      s"expected banded 3-arg levenshtein in the join condition:\n$p")
+  }
+
   test("q57: winnowing is per-row array algebra — only the final orderBy shuffles") {
     val p = plan(TextOps.q57Winnowing)
     val exchanges = "Exchange".r.findAllIn(p).size
@@ -123,7 +129,10 @@ class PlanSpec extends SparkSpec {
       "q37_product", "q38_batch_ann", "q56_ann_ivf", "q62_quantized_ann",
       "q78_semantic_dedup", // q78: q56's broadcast 8-centroid assignment
       "q85_mixture_sample", // q85: 1-row min-domain scalar broadcast
-      "q86_kmeans") // q86: k=8 centroid broadcast per assignment pass
+      "q86_kmeans", // q86: k=8 centroid broadcast per assignment pass
+      // q91: oracle-slice theta join (|Δlen| band + banded levenshtein);
+      // the equi-bucketed shape for past-broadcast scale is q90
+      "q91_editdist_sql")
     // plan-text exchange budgets: the LSH pipeline legitimately has ~18
     // (sig agg + banding self-join + verify joins); queries consuming the
     // CACHED pair/cluster frames repeat that lineage inside
