@@ -113,6 +113,12 @@ object ScaleSmoke {
       s"expected $nBase components of size $replicas, got $nComps with $badComps wrong-sized")
     println("[smoke] OK — clustering at " + found + " edges")
 
+    // phases are independent: drop phase 1's cached shingle/signature/
+    // pair frames (tens of GB at 1M docs) so they don't squeeze later
+    // phases' execution memory into spills — each phase's figures should
+    // measure the phase, not its predecessor's residue
+    spark.catalog.clearCache()
+
     // ---- phase 2: similarity search at scale ----
     // nVec synthetic 64-dim vectors (xxhash64-derived, uniform in [-1,1]);
     // ids 1..20 are PLANTED near-neighbors of the query (id 0): the same
@@ -198,6 +204,8 @@ object ScaleSmoke {
       "ivf_rows_scanned" -> scanned, "ivf_scan_fraction" -> (scanned.toDouble / nVec),
       "ivf_recall_at_20" -> (recall.toDouble / 20))
 
+    spark.catalog.clearCache()
+
     // ---- phase 3: embedding near-dup PAIRS at scale (the q68 engine) ----
     // ndVec base vectors + ndVec/20 perturbed copies (cos ≥ 0.998
     // provably); the banded hyperplane pipeline at exact-verify 0.95 must
@@ -225,6 +233,8 @@ object ScaleSmoke {
     println("[smoke] OK — vector near-dup pairs at " + (ndVec + ndDup) + " vectors")
     report ++= Seq("vnd_vectors" -> (ndVec + ndDup), "vnd_planted" -> ndDup,
       "vnd_found" -> ndFound, "vnd_spurious" -> (ndFound - ndIntra), "vnd_secs" -> ndSecs)
+    spark.catalog.clearCache()
+
     // ---- phase 4: span-level dedup at scale (the q74 engine) ----
     // nSpanDocs gibberish docs of 40 md5-hex words (5 spans of 8 each) +
     // an exact COPY of every 10th doc under a higher id: every copy's
@@ -258,6 +268,8 @@ object ScaleSmoke {
     assert(spKept == 5 * nSpanDocs, s"surviving spans $spKept != ${5 * nSpanDocs}")
     assert(spDropped == nCopies, s"fully-deduped docs $spDropped != $nCopies copies")
     println("[smoke] OK — span dedup at " + spDocs + " docs")
+
+    spark.catalog.clearCache()
 
     // ---- phase 5: PageRank at scale (the q77 engine) ----
     // nPrNodes nodes, 4 pseudo-random out-edges each (xxhash64-derived,
@@ -295,6 +307,63 @@ object ScaleSmoke {
       s"rank mass $prMass outside [${massCap - lossBound}, $massCap] — a sink is leaking")
     pr.unpersist()
     println("[smoke] OK — pagerank at " + prN + " nodes")
+
+    spark.catalog.clearCache()
+
+    // ---- phase 6: edit-distance join at scale (the q93 engine) ----
+    // nEd docs, 26 distinct lengths in [192, 392] (length-DENSE: ~n/26
+    // docs per length, so q90's pure length blocking would yield the
+    // reported ~1e9-class candidate count — the blow-up PassJoin's
+    // content blocking avoids); every 20th doc gets a copy under a higher
+    // id with its first 16 chars substituted (lev ≤ 16 ≤ k=30). Random
+    // hex never shares a ≥6-char segment, so the expected answer is
+    // exactly the planted copies: recall AND precision are checkable.
+    val nEd = sys.env.getOrElse("SPARK_GRAFT_SMOKE_EDDOCS", "200000").toLong
+    val edBody = concat_ws("", (0 until 13).map(c =>
+      md5(concat(lit("ed"), col("base"), lit(s":$c")))): _*) // 416 hex chars
+    val edLen = (lit(192) + (col("base") % 26) * 8).cast("int")
+    val edAll = spark.range(nEd).toDF("base")
+      .select(col("base").as("doc_id"), edBody.substr(lit(1), edLen).as("text"))
+      .unionByName(spark.range(0, nEd, 20).toDF("base")
+        .select((col("base") + 100000000L).as("doc_id"),
+          concat(substring(md5(concat(lit("edx"), col("base"))), 1, 16),
+            edBody.substr(lit(17), edLen - 16)).as("text")))
+      .repartition(32).cache()
+    edAll.count()
+    // the explosion a pure length-block would have to verify (metadata-
+    // only formula: sum over length-compatible count products)
+    val lc = edAll.groupBy(length(col("text")).as("len")).count()
+    val lenBlockPairs = (lc.as("a").join(lc.as("b"),
+        abs(col("a.len") - col("b.len")) <= 30)
+      .agg(sum(col("a.count") * col("b.count"))).head().getLong(0)
+      - edAll.count()) / 2
+    val ted = System.nanoTime()
+    val edCands = operators.DedupOps.editDistCandidates(edAll, 30).cache()
+    val nCands = edCands.count()
+    val edTexts1 = edAll.select(col("doc_id").as("d1"), col("text").as("t1"))
+    val edTexts2 = edAll.select(col("doc_id").as("d2"), col("text").as("t2"))
+    val edPairs = edCands
+      .join(edTexts1, Seq("d1")).join(edTexts2, Seq("d2"))
+      .repartition(col("d1"), col("d2"))
+      .select(col("d1"), col("d2"),
+        levenshtein(col("t1"), col("t2"), 30).as("dist"))
+      .filter(col("dist") >= 0).cache()
+    val edFound = edPairs.count()
+    val edSecs = (System.nanoTime() - ted) / 1e9
+    val edPlanted = edPairs.filter(col("d2") === col("d1") + 100000000L &&
+      col("d1") % 20 === 0).count()
+    val edExpected = nEd / 20
+    println(f"[smoke] editdist join: $edFound pairs in $edSecs%.1f s over ${nEd + edExpected} docs " +
+      f"— planted $edPlanted/$edExpected, spurious ${edFound - edPlanted}; " +
+      f"$nCands passjoin candidates vs ~$lenBlockPairs length-block candidates")
+    report ++= Seq("ed_docs" -> (nEd + edExpected), "ed_planted" -> edExpected,
+      "ed_found" -> edFound, "ed_spurious" -> (edFound - edPlanted),
+      "ed_candidates" -> nCands, "ed_lenblock_candidates" -> lenBlockPairs,
+      "ed_secs" -> edSecs)
+    assert(edPlanted == edExpected, s"editdist recall miss: $edPlanted of $edExpected")
+    assert(edFound == edPlanted, s"editdist precision miss: ${edFound - edPlanted} spurious")
+    edCands.unpersist(); edPairs.unpersist(); edAll.unpersist()
+    println("[smoke] OK — editdist join at " + (nEd + edExpected) + " docs")
 
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_SMOKE.json"),
       jsonOf(report) + "\n")

@@ -529,7 +529,128 @@ object DedupOps {
            |ORDER BY d1, d2""".stripMargin)
   )
 
+  /** PassJoin-style pigeonhole candidates for `levenshtein ≤ k` over a
+    * `(doc_id, text)` frame — the SUBQUADRATIC scale path of the
+    * edit-distance family (Li/Deng/Feng's partition scheme, re-expressed
+    * as two narrow equi-joins). Where q90's length blocking keeps recall
+    * exact but degenerates on length-DENSE corpora (every same-length doc
+    * shares a bucket — candidate volume is quadratic in bucket size),
+    * this blocks on CONTENT with the same exactness guarantee:
+    *
+    *  - INDEX side: each doc longer than 2k is partitioned into k+1
+    *    contiguous segments (even split, the canonical ⌊L/(k+1)⌋ /
+    *    +1-for-the-first-L%(k+1) lengths). If `lev(a,b) ≤ k`, at most k
+    *    edits touch b, so ≥ 1 of its k+1 segments is UNTOUCHED and
+    *    appears verbatim in a, shifted by at most the k preceding edits
+    *    (pigeonhole — recall is provable, not probabilistic).
+    *  - PROBE side: every doc emits its substrings of each length a
+    *    length-compatible index segment can have — `⌊Lb/(k+1)⌋` or +1
+    *    for Lb within ±k of the probe's own length, ≤ 4 distinct lengths
+    *    — keyed by xxhash64(gram, len). A hash collision can only ADD a
+    *    candidate (the banded-DP verify kills it); equal grams always
+    *    hash equal, so exactness survives hashing and no string shuffles.
+    *  - pairs ≤ 2k chars on BOTH sides take q90's neighbor-bucket
+    *    length join instead (segments there would be 1–2 chars; for
+    *    short strings the DP verify is already trivial).
+    *
+    * Candidate volume: random text virtually never shares an exact
+    * ≥6-char segment, so candidates ≈ true pairs + O(birthday) hash
+    * noise — linear-ish where q90 is quadratic. The probe emits ~4·L
+    * rows per doc (classic PassJoin's multi-match-aware enumeration
+    * would tighten this to O(k²); noted, not needed at current scale —
+    * probes are 16-byte (hash, pos) rows, never text). */
+  def editDistCandidates(docs: DataFrame, k: Int): DataFrame = {
+    val segs = lit(k + 1)
+    val shortMax = 2 * k
+    val base = docs.select(col("doc_id"), col("text"),
+      length(col("text")).as("len"))
+
+    // -- short × short: q90's lossless length buckets (width k) --
+    val short = base.filter(col("len") <= shortMax)
+      .select(col("doc_id"), col("len"), floor(col("len") / k).as("b"))
+    val shortPairs = short
+      .select(col("doc_id").as("da"), col("len").as("la"),
+        explode(array(col("b") - 1, col("b"), col("b") + 1)).as("bk"))
+      .join(short.select(col("doc_id").as("db"), col("len").as("lb"),
+        col("b").as("bk")), Seq("bk"))
+      .filter(col("da") =!= col("db") && abs(col("la") - col("lb")) <= k)
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"))
+
+    // -- index: the k+1 segments of every long doc --
+    val q = floor(col("len") / segs).cast(IntegerType)
+    val r = (col("len") % segs).cast(IntegerType)
+    val segRows = base.filter(col("len") > shortMax)
+      .select(col("doc_id").as("di"), col("len").as("li"),
+        explode(transform(sequence(lit(0), lit(k)), i => {
+          val start = (i * q + least(i, r)).cast(IntegerType)
+          val slen = (q + when(i < r, 1).otherwise(0)).cast(IntegerType)
+          struct(start.as("pos"),
+            xxhash64(col("text").substr(start + 1, slen), slen).as("gh"))
+        })).as("sg"))
+      .select(col("di"), col("li"), col("sg.pos").as("pi"), col("sg.gh").as("gh"))
+
+    // -- probe: substrings of every possible compatible segment length --
+    val glens = array_distinct(filter(
+      flatten(transform(
+        sequence(greatest(col("len") - k, lit(shortMax + 1)), col("len") + k),
+        lb => {
+          val qq = floor(lb / segs).cast(IntegerType)
+          array(qq, qq + 1)
+        })),
+      g => g <= col("len") && g >= 1))
+    val probeRows = base.filter(col("len") + k > shortMax)
+      .select(col("doc_id").as("dp"), col("len").as("lp"), col("text"),
+        explode(glens).as("gl"))
+      .select(col("dp"), col("lp"),
+        posexplode(transform(sequence(lit(0), col("lp") - col("gl")),
+          p => xxhash64(col("text").substr(p + 1, col("gl")), col("gl")))))
+      .select(col("dp"), col("lp"), col("pos").as("pp"), col("col").as("gh"))
+
+    val longPairs = segRows.join(probeRows, Seq("gh"))
+      .filter(col("di") =!= col("dp") &&
+        abs(col("li") - col("lp")) <= k &&
+        abs(col("pi") - col("pp")) <= k)
+      .select(least(col("di"), col("dp")).as("d1"),
+        greatest(col("di"), col("dp")).as("d2"))
+
+    shortPairs.unionByName(longPairs).distinct()
+  }
+
+  /** [[editDistCandidates]] + the banded-DP verify: all pairs within
+    * `levenshtein ≤ k` over a `(doc_id, text)` frame, exactly. */
+  def editDistPairs(docs: DataFrame, k: Int): DataFrame = {
+    val texts1 = docs.select(col("doc_id").as("d1"), col("text").as("t1"))
+    val texts2 = docs.select(col("doc_id").as("d2"), col("text").as("t2"))
+    editDistCandidates(docs, k)
+      .join(texts1, Seq("d1")).join(texts2, Seq("d2"))
+      .repartition(col("d1"), col("d2"))
+      .select(col("d1"), col("d2"),
+        levenshtein(col("t1"), col("t2"), k).as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
+  /** q93: the edit-distance join again, candidates from
+    * [[editDistCandidates]] instead of length buckets — same banded
+    * verify, same oracle SQL as q90 (the scheme claims EXACT recall, so
+    * the hash compare against the full quadratic answer is literally the
+    * recall check, the q87-vs-q23 pattern). Unlike q90/q23/q87 this one
+    * is NOT inherently capped: on a deduplicated corpus candidates track
+    * true pairs, and the smoke runs it at 200k docs (capped here only so
+    * the DuckDB oracle's quadratic check stays runnable). */
+  val q93PassJoin = QueryDef(
+    "q93_passjoin",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") < OracleCap)
+        .select(col("doc_id"), col("text"))
+      editDistPairs(docs, 30).orderBy("d1", "d2")
+    },
+    q90EditDistJoin.oracle
+  )
+
   val all: Seq[QueryDef] =
     Seq(q23JaccardPairs, q24MinhashLsh, q25Simhash, q26SimhashPairs,
-      q52MinhashLshFull, q87PrefixJoin, q90EditDistJoin, q91EditDistSql)
+      q52MinhashLshFull, q87PrefixJoin, q90EditDistJoin, q91EditDistSql,
+      q93PassJoin)
 }

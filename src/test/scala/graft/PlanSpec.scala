@@ -146,6 +146,10 @@ class PlanSpec extends SparkSpec {
         n.startsWith("q54") || n.startsWith("q71") || n.startsWith("q76") ||
         n.startsWith("q87") => 220
       case n if n.startsWith("q23") || n.startsWith("q24") || n.startsWith("q52") => 24
+      // q93: short-bucket union + segment/probe join + distinct + two
+      // text re-joins + DP repartition — candidate generation is wide by
+      // design, every shuffled row is metadata-narrow
+      case n if n.startsWith("q93") => 24
       // q77: 4 unrolled pagerank rounds, join+agg each; q78: assignment
       // window + per-cluster self join + two aggs — both by design
       case n if n.startsWith("q77") || n.startsWith("q78") => 16

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** PassJoin edit-distance join (q93's engine): output must EQUAL the
+  * brute-force banded answer on a corpus planted to cross every path —
+  * short×short (both ≤ 2k chars, the length-bucket branch), long×long
+  * (segment pigeonhole), and the short/long boundary, plus pairs just
+  * past the threshold and length-incompatible pairs. */
+class DedupOpsSpec extends SparkSpec {
+
+  private val K = 30
+
+  // deterministic letter soup, seeded — no shared substrings across seeds
+  private def rand(seed: Int, n: Int): String = {
+    val r = new scala.util.Random(seed)
+    (1 to n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+  }
+  // substitute `m` scattered positions (distinct chars), keeping length
+  private def sub(s: String, m: Int, seed: Int): String = {
+    val r = new scala.util.Random(seed)
+    val cs = s.toCharArray
+    r.shuffle(cs.indices.toList).take(m).foreach { i =>
+      cs(i) = if (cs(i) == 'z') 'a' else (cs(i) + 1).toChar
+    }
+    new String(cs)
+  }
+
+  private lazy val corpus: Seq[(Long, String)] = {
+    val a = rand(1, 300)
+    val b = rand(2, 50)
+    val c = rand(3, 55)
+    Seq(
+      0L -> a,                       // long
+      1L -> sub(a, 10, 11),          // lev ≤ 10 from 0
+      2L -> a.drop(25),              // 25 deletions from 0: len 275, long
+      3L -> sub(a, 120, 13),         // far from 0/1/2 (≥ ~90 edits)
+      4L -> rand(4, 300),            // unrelated long
+      5L -> b,                       // short
+      6L -> (b + rand(6, 5)),        // short, lev 5 from 5
+      7L -> c,                       // short (55)
+      8L -> (c + rand(8, 20)),       // len 75: LONG — boundary pair with 7
+      9L -> rand(9, 40),             // short, unrelated
+      10L -> (a + rand(10, 40))      // len 340: |Δlen| 40 vs 0 — excluded
+    )
+  }
+
+  test("passjoin pairs equal the brute-force banded answer on every path") {
+    import spark.implicits._
+    val docs = corpus.toDF("doc_id", "text").cache()
+    val got = DedupOps.editDistPairs(docs, K)
+      .orderBy("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+
+    val l = docs.select(col("doc_id").as("d1"), col("text").as("t1"))
+    val r2 = docs.select(col("doc_id").as("d2"), col("text").as("t2"))
+    val brute = l.crossJoin(r2).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), levenshtein(col("t1"), col("t2"), K).as("dist"))
+      .filter(col("dist") >= 0)
+      .orderBy("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+
+    assert(got.toSeq == brute.toSeq)
+    // the planted structure actually exercised what it claims
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)), "long×long missed")
+    assert(pairs.contains((5L, 6L)), "short×short missed")
+    assert(pairs.contains((7L, 8L)), "short/long boundary missed")
+    assert(!pairs.contains((0L, 10L)), "length-incompatible pair leaked")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "past-threshold pair leaked")
+  }
+}
