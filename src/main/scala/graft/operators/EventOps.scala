@@ -243,11 +243,11 @@ object EventOps {
            |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
            |  FROM v)
            |SELECT user_id, COUNT(*) AS n_purchases,
-           |  SUM(CASE WHEN last_click IS NOT NULL
+           |  CAST(SUM(CASE WHEN last_click IS NOT NULL
            |        AND ts_us - last_click.c_us <= ${HourNs / 1000}
            |        AND last_click.v_us IS NOT NULL
            |        AND last_click.c_us - last_click.v_us <= ${HourNs / 1000}
-           |      THEN 1 ELSE 0 END) AS n_funnels
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_funnels
            |FROM c WHERE event_type = 'purchase'
            |GROUP BY user_id ORDER BY user_id""".stripMargin)
   )

@@ -113,7 +113,8 @@ object PageRank {
                 |  FROM deg LEFT JOIN c$i ON c$i.id = deg.id)""".stripMargin)
              .mkString(",\n")}
            |SELECT CASE WHEN id >= 1000000 THEN 'supplier' ELSE 'customer' END AS node_type,
-           |  CASE WHEN id >= 1000000 THEN id - 1000000 ELSE id END AS key, rank
+           |  CASE WHEN id >= 1000000 THEN id - 1000000 ELSE id END AS key,
+           |  CAST(rank AS BIGINT) AS rank
            |FROM r$Iterations
            |ORDER BY rank DESC, node_type, key LIMIT 20""".stripMargin)
   )

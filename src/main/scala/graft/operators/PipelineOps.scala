@@ -64,8 +64,8 @@ object PipelineOps {
            |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
            |  FROM t)
-           |SELECT source, (running - n_tokens) // $PackBudget AS seq_id,
-           |  COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens_packed,
+           |SELECT source, CAST((running - n_tokens) // $PackBudget AS BIGINT) AS seq_id,
+           |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_packed,
            |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
            |FROM r GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin)
   )
@@ -124,7 +124,7 @@ object PipelineOps {
            |    row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, pos) AS rn
            |  FROM sp)
            |SELECT doc_id, COUNT(*) AS n_spans,
-           |  SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            |  COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY pos), '') AS retained_text
            |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
@@ -194,13 +194,13 @@ object PipelineOps {
            |    nstop >= 1 AS r_stop
            |  FROM s)
            |SELECT source, COUNT(*) AS n_docs,
-           |  SUM(CASE WHEN r_len AND r_wordlen AND r_repeat AND r_distinct AND r_stop
-           |    THEN 1 ELSE 0 END) AS n_kept,
-           |  SUM(CASE WHEN r_len THEN 0 ELSE 1 END) AS fail_r_len,
-           |  SUM(CASE WHEN r_wordlen THEN 0 ELSE 1 END) AS fail_r_wordlen,
-           |  SUM(CASE WHEN r_repeat THEN 0 ELSE 1 END) AS fail_r_repeat,
-           |  SUM(CASE WHEN r_distinct THEN 0 ELSE 1 END) AS fail_r_distinct,
-           |  SUM(CASE WHEN r_stop THEN 0 ELSE 1 END) AS fail_r_stop
+           |  CAST(SUM(CASE WHEN r_len AND r_wordlen AND r_repeat AND r_distinct AND r_stop
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(SUM(CASE WHEN r_len THEN 0 ELSE 1 END) AS BIGINT) AS fail_r_len,
+           |  CAST(SUM(CASE WHEN r_wordlen THEN 0 ELSE 1 END) AS BIGINT) AS fail_r_wordlen,
+           |  CAST(SUM(CASE WHEN r_repeat THEN 0 ELSE 1 END) AS BIGINT) AS fail_r_repeat,
+           |  CAST(SUM(CASE WHEN r_distinct THEN 0 ELSE 1 END) AS BIGINT) AS fail_r_distinct,
+           |  CAST(SUM(CASE WHEN r_stop THEN 0 ELSE 1 END) AS BIGINT) AS fail_r_stop
            |FROM r GROUP BY source ORDER BY source""".stripMargin)
   )
 
@@ -246,10 +246,10 @@ object PipelineOps {
            |  UNION ALL SELECT d2 AS doc_id, d1 AS peer FROM pairs),
            |lab AS (
            |  SELECT b.doc_id,
-           |    SUM(CASE WHEN p.source IS NOT NULL AND p.source <> 'src0'
-           |      THEN 1 ELSE 0 END) AS n_corpus_dups,
-           |    SUM(CASE WHEN p.source = 'src0' AND a.peer < b.doc_id
-           |      THEN 1 ELSE 0 END) AS n_earlier_batch_dups
+           |    CAST(SUM(CASE WHEN p.source IS NOT NULL AND p.source <> 'src0'
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus_dups,
+           |    CAST(SUM(CASE WHEN p.source = 'src0' AND a.peer < b.doc_id
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_earlier_batch_dups
            |  FROM docs b
            |  LEFT JOIN adj a ON a.doc_id = b.doc_id
            |  LEFT JOIN docs p ON p.doc_id = a.peer
@@ -317,7 +317,7 @@ object PipelineOps {
            |        doc_id) AS rn
            |  FROM t)
            |SELECT q.source, q.lang, q.n_docs, q.quota,
-           |  SUM(CASE WHEN r.rn <= q.quota THEN r.n_tokens ELSE 0 END) AS tokens_kept
+           |  CAST(SUM(CASE WHEN r.rn <= q.quota THEN r.n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
            |FROM r JOIN q USING (source, lang)
            |GROUP BY q.source, q.lang, q.n_docs, q.quota
            |ORDER BY q.source, q.lang""".stripMargin)

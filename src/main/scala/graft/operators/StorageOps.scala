@@ -176,8 +176,8 @@ object StorageOps {
            |    doc_id, n_chars,
            |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
            |  FROM documents)
-           |SELECT shard, COUNT(*) AS n_docs, SUM(n_tokens) AS tokens,
-           |  SUM(n_chars) AS chars, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+           |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
            |FROM t GROUP BY shard ORDER BY shard""".stripMargin)
   )
 

@@ -2,17 +2,52 @@
 """Local dev harness mimicking the driver's DuckDB oracle compare.
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+       python3 tools/check_oracle.py --types <sfDir> <oracle_sql.json | verifyOutDir>
 
-Reads each <verifyOutDir>/<query>/ parquet (Spark output) and runs the
-matching SQL from oracle_sql.json in DuckDB against <sfDir>/*.parquet,
-then compares row count, schema (column names) and values (columns sorted
-by name, exact equality after canonicalization).
+--types mode: binds every oracle SQL in DuckDB (no execution) and FAILS if
+any output column is typed HUGEINT/UHUGEINT. The driver's canonicalizer
+renders int128 differently from Spark's BIGINT, so a HUGEINT column
+hash-mismatches even when every value is numerically equal — and the
+value-compare path below (fetchall -> python int -> str) can NOT see it
+(round 3 lost 8 queries this way: local PASS, driver FAIL). Run this after
+any oracle SQL change. The mode self-tests first: a deliberately uncast
+SUM(BIGINT) fixture must be flagged, else the guard itself is broken.
 """
 import json, sys, glob, os
 import duckdb
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
+
+BAD_TYPES = ("HUGEINT", "UHUGEINT")
+
+def check_types(sfdir, oracle_path):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # self-test: the guard must flag an uncast integer aggregate
+    fixture = con.sql("SELECT SUM(x) AS s FROM (VALUES (CAST(1 AS BIGINT))) t(x)")
+    if not any(b in str(ty).upper() for ty in fixture.types for b in BAD_TYPES):
+        print("SELF-TEST FAILED: uncast SUM(BIGINT) not typed HUGEINT — guard broken")
+        sys.exit(2)
+    if os.path.isdir(oracle_path):
+        oracle_path = os.path.join(oracle_path, "oracle_sql.json")
+    oracles = json.load(open(oracle_path))
+    n_bad = 0
+    for name in sorted(oracles):
+        try:
+            rel = con.sql(oracles[name])
+        except Exception as e:
+            print(f"  {name}: ORACLE SQL ERROR: {e}")
+            n_bad += 1
+            continue
+        bad = [(c, str(ty)) for c, ty in zip(rel.columns, rel.types)
+               if any(b in str(ty).upper() for b in BAD_TYPES)]
+        if bad:
+            print(f"  {name}: BAD ORACLE TYPES {bad} — wrap in CAST(... AS BIGINT)")
+            n_bad += 1
+    print(f"TYPES {'FAIL ' + str(n_bad) if n_bad else 'OK'} ({len(oracles)} oracles)")
+    sys.exit(1 if n_bad else 0)
 
 def canon(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
@@ -28,6 +63,9 @@ def canon(rows, colnames):
     return out
 
 def main():
+    if sys.argv[1] == "--types":
+        check_types(sys.argv[2], sys.argv[3])
+        return
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
