@@ -81,7 +81,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // dev-only: comma-separated query-name filter for isolated timings;
+    // the driver never sets it, so official runs always time everything
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.forall(_.contains(n)) }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
     // noop write: rows are fully produced and consumed, nothing is kept —

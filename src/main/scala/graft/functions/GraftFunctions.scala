@@ -19,6 +19,8 @@ object GraftFunctions {
   private val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", classOf[CosineSimilarity].getName,
       children => CosineSimilarity(children(0), children(1))),
+    ("array_agree_count", classOf[ArrayAgreeCount].getName,
+      children => ArrayAgreeCount(children(0), children(1))),
     // Spark ships BloomFilterMightContain for its internal runtime-filter
     // rewrite but does not register it for users; exposing it makes the
     // bloom-pruned join (ScaleTools.bloomPrunedJoin) fully declarative and
@@ -55,6 +57,10 @@ object GraftFunctions {
 
   /** Column-API sugar (requires the function registered on the session). */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** Position-wise agreement count of two long arrays (MinHash prune). */
+  def agreeCount(a: Column, b: Column): Column =
+    call_function("array_agree_count", a, b)
 }
 
 /** For `spark.sql.extensions` (SparkSessionExtensions injection point):

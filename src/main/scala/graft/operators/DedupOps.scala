@@ -73,32 +73,39 @@ object DedupOps {
   private def capFilter(cap: Long): Column =
     if (cap == FullCorpus) lit(true) else col("doc_id") < cap
 
-  /** Character 5-gram shingles of a doc, distinct, as (doc_id, sh) rows —
-    * the base relation of the Jaccard detectors.
+  /** Character 5-gram shingle STREAM of a doc (multiset — duplicates kept)
+    * as (doc_id, sh) rows: a pure scan+explode projection, no shuffle.
     *
     * On the FULL-CORPUS path each shingle is hashed to an 8-byte long
-    * (`xxhash64`) BEFORE the distinct, so the two widest exchanges of the
-    * whole pipeline — the shingle distinct and the verify join — shuffle
+    * (`xxhash64`) at the source, so every downstream exchange shuffles
     * fixed 8-byte keys instead of 5-char strings (string rows carry UTF-8
-    * bytes + offset/length overhead; the long roughly halves both
+    * bytes + offset/length overhead; the long roughly halves the wide
     * shuffles). Set semantics are preserved up to xxhash64 collisions
     * (~n²/2^64 per document — the same negligible-collision class the
     * banding argument already accepts), so `ic`/`uc` counts — and hence
     * the DuckDB oracle match, which only sees the counts — are unchanged.
     * The bounded ORACLE slice keeps raw strings: q23 is the ground-truth
     * query and stays collision-free by construction. */
+  private[graft] def rawShingles(s: SparkSession, d: String, cap: Long): DataFrame = {
+    val raw = Tables.documents(s, d)
+      .filter(capFilter(cap) && length(col("text")) >= 5)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), length(col("text")) - 4),
+          i => col("text").substr(i, lit(5)))).as("sh"))
+    if (cap == FullCorpus) raw.select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+    else raw
+  }
+
+  /** Distinct (doc_id, sh) shingle SET — the base relation of the exact
+    * Jaccard counts. Only consumers that count set cardinalities (q23's
+    * ground truth, the verify stage's ic/uc) need this; the signature
+    * path deliberately skips the distinct (min over a multiset equals min
+    * over its set), which removes the single widest exchange of the
+    * full-corpus MinHash pipeline. */
   def shingles(s: SparkSession, d: String, cap: Long): DataFrame =
     cachedFrame(s, d, cap, "shingles") {
-      val raw = Tables.documents(s, d)
-        .filter(capFilter(cap) && length(col("text")) >= 5)
-        .select(col("doc_id"),
-          explode(transform(
-            sequence(lit(1), length(col("text")) - 4),
-            i => col("text").substr(i, lit(5)))).as("sh"))
-      val keyed =
-        if (cap == FullCorpus) raw.select(col("doc_id"), xxhash64(col("sh")).as("sh"))
-        else raw
-      keyed.distinct()
+      rawShingles(s, d, cap).distinct()
     }
 
   /** 60-bit deterministic hash of a string, reproducible in DuckDB. */
@@ -123,20 +130,24 @@ object DedupOps {
     (((0x9E3779B9L * (2 * k + 1)) & 0x7FFFFFFFL) % (HashPrime - 1)) + 1, // a ∈ [1, p-1]
     ((0xBF58476D1CE4E5B9L * (k + 1)) >>> 3) % HashPrime)                 // b ∈ [0, p-1]
 
-  /** MinHash signature per doc (64 permutation minima m0..m63 + shingle-set
-    * size `sz` folded into the same aggregation pass): ONE base xxhash64
-    * per shingle and 64 integer linear perms — the construction
+  /** MinHash signature per doc (64 permutation minima m0..m63): ONE base
+    * xxhash64 per shingle and 64 integer linear perms — the construction
     * ml.feature.MinHashLSH uses — so the signature pass is a single
-    * groupBy over the shingle table regardless of corpus size. */
+    * partially-aggregated groupBy over the RAW shingle stream regardless
+    * of corpus size. No shingle distinct: min over a multiset equals min
+    * over its set, so the signatures are identical to the set-based ones
+    * while the map-side combine collapses duplicate shingles for free —
+    * the pre-r4 `.distinct()` here was a second full-width shuffle of the
+    * shingle table that bought nothing. */
   def signatures(s: SparkSession, d: String, cap: Long): DataFrame =
     cachedFrame(s, d, cap, "signatures") {
-      val sh = shingles(s, d, cap)
+      val sh = rawShingles(s, d, cap)
         .withColumn("h0", xxhash64(col("sh")).bitwiseAND(lit(0x7FFFFFFFL)))
       val aggs = (0 until NumPerm).map { k =>
         val (a, b) = permConsts(k)
         min((col("h0") * lit(a) + lit(b)) % lit(HashPrime)).as(s"m$k")
       }
-      sh.groupBy("doc_id").agg(aggs.head, aggs.tail :+ count(lit(1)).as("sz"): _*)
+      sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     }
 
   /** Minimum minhash-agreement (of [[NumPerm]]) a banded candidate needs
@@ -145,7 +156,7 @@ object DedupOps {
     * million miss — the same order as the banding miss probability the
     * oracle argument already accepts — while a background j≈0.1 pair
     * (E=6.4) passes with probability ~1e-5. */
-  private val EstPruneMin = 20
+  private[graft] val EstPruneMin = 20
 
   /** LSH-banded, exactly-verified near-dup pairs at Jaccard >= 0.6:
     * (d1, d2, ic, uc) with d1 < d2, unordered. The 100 TB shape:
@@ -192,30 +203,61 @@ object DedupOps {
 
   def verifiedPairs(s: SparkSession, d: String, cap: Long): DataFrame =
     cachedFrame(s, d, cap, "pairs") {
-      val sig = signatures(s, d, cap)
+      graft.functions.GraftFunctions.register(s)
       val bnd = banded(s, d, cap)
-      val estMatches = aggregate(
-        zip_with(col("x.sigv"), col("y.sigv"), (a, b) => when(a === b, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v)
+      // Agreement count via the codegen'd [[graft.functions.ArrayAgreeCount]]
+      // primitive — one fused loop per collision row. See that class for
+      // the measured comparison against the HOF and unrolled forms.
+      val estMatches = graft.functions.GraftFunctions.agreeCount(
+        col("x.sigv"), col("y.sigv"))
+      // cached: consumed twice below (candidate-doc semi-join + the ic
+      // join) — without the cache the band self-join would run twice.
       val cand = bnd.as("x").join(bnd.as("y"),
           col("x.bhash") === col("y.bhash") && col("x.doc_id") < col("y.doc_id"))
         .filter(estMatches >= EstPruneMin)
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
+        .cache()
+      // Materialize the candidate cache NOW (one metadata-sized action):
+      // downstream planning then sees the cached relation's true size, so
+      // the candidate semi-join below broadcasts the (small) id list
+      // instead of shuffling the full shingle stream by doc_id while AQE
+      // is still blind to cand's stats.
+      cand.count()
+      // Set semantics are needed ONLY for docs that appear in a candidate
+      // pair — at realistic near-dup densities a small fraction of the
+      // corpus — so the shingle sets are built after a semi-join on the
+      // candidate ids, never over the full shingle table (the signature
+      // path upstream never distincts at all). collect_set gives each
+      // candidate doc's distinct shingle SET as one array row (~8 B per
+      // shingle on the hashed full-corpus path) in a single partial-agg'd
+      // shuffle — replacing the exploded row-per-shingle verify join,
+      // which shuffled |pairs| x |doc shingles| rows (37M at sf0.1). The
+      // per-pair exact Jaccard is then an in-row array_intersect over the
+      // two set arrays: interpreted, but on ~hundreds of elements per
+      // pair it is orders of magnitude cheaper than the exchange it
+      // replaces, and the array join below ships each doc's array once
+      // per pair — the same asymptotics as the exploded join with a ~10x
+      // smaller constant. ic/uc are unchanged: a candidate doc's shingle
+      // set is the same set whether or not non-candidates were
+      // distinct'd alongside.
+      val candDocs = cand.select(col("d1").as("doc_id"))
+        .union(cand.select(col("d2").as("doc_id"))).distinct()
+      val arrays = rawShingles(s, d, cap)
+        .join(candDocs, Seq("doc_id"), "left_semi")
+        .groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
       // Exact-verify broadcast only on the provably-bounded oracle path;
       // full corpus trusts AQE (broadcast while small, shuffle join past
       // the limit).
       val maybeBc: DataFrame => DataFrame =
         if (cap == FullCorpus) identity else broadcast(_)
-      val sh = shingles(s, d, cap)
-      val sizes = sig.select(col("doc_id"), col("sz"))
-      val a = sh.select(col("doc_id").as("d1"), col("sh"))
-      val b = sh.select(col("doc_id").as("d2"), col("sh"))
-      val inter = maybeBc(cand).join(a, Seq("d1")).join(b, Seq("d2", "sh"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
-      inter
-        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
-        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
+      maybeBc(cand)
+        .join(arrays.select(col("doc_id").as("d1"), col("shs").as("shs1")), Seq("d1"))
+        .join(arrays.select(col("doc_id").as("d2"), col("shs").as("shs2")), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          size(array_intersect(col("shs1"), col("shs2"))).cast(LongType).as("ic"),
+          size(col("shs1")).cast(LongType).as("sz1"),
+          size(col("shs2")).cast(LongType).as("sz2"))
         .withColumn("uc", col("sz1") + col("sz2") - col("ic"))
         .filter(col("ic") * 10 >= col("uc") * 6)
         .select("d1", "d2", "ic", "uc")

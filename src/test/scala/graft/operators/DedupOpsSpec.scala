@@ -70,4 +70,31 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.contains((0L, 10L)), "length-incompatible pair leaked")
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "past-threshold pair leaked")
   }
+
+  test("array_agree_count equals the zip_with formulation (randomized) and handles nulls") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val r = new scala.util.Random(7)
+    // small value domain forces plenty of positional agreements
+    val rows = Seq.fill(500)((
+      Seq.fill(64)(r.nextInt(8).toLong),
+      Seq.fill(64)(r.nextInt(8).toLong)))
+    val df = rows.toDF("a", "b")
+    val viaHof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val mismatched = df.select(
+      graft.functions.GraftFunctions.agreeCount(col("a"), col("b")).as("fast"),
+      viaHof.as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mismatched == 0L)
+    // null input -> null out (BinaryExpression null-intolerance), and the
+    // shorter array bounds the comparison
+    val edge = Seq(
+      (Some(Seq(1L, 2L, 3L)), Some(Seq(1L, 9L))),
+      (None, Some(Seq(1L, 2L)))).toDF("a", "b")
+      .select(graft.functions.GraftFunctions.agreeCount(col("a"), col("b")).as("c"))
+      .collect()
+    assert(edge(0).getInt(0) == 1 && edge(1).isNullAt(0))
+  }
 }
