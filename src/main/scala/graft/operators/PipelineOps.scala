@@ -28,6 +28,21 @@ object PipelineOps {
     * at every sf so the output exercises multi-doc packing. */
   val PackBudget = 512
 
+  /** Docs per prefix-sum chunk for q73's two-level running sum. The
+    * doc-level WindowExec partitions on `(source, doc_id div this)`, so
+    * the number of window partitions grows linearly with the corpus while
+    * each stays a bounded ~4k rows — a `source` key with billions of docs
+    * never becomes one mega-partition. Small enough to exercise multiple
+    * chunks per source even at sf0.001 (~1000 docs). */
+  val PackChunkDocs = 256L
+
+  /** Rank-hash buckets per domain for q85's two-level rank — the fanout
+    * that divides each `(source, lang)` domain's ranking window. 256 (top
+    * 8 hash bits) caps a domain's largest window partition at ~n/256; at
+    * genuinely 100 TB scale raise to 2^16 — the construction is
+    * bit-width-agnostic because the bucket is a PREFIX of the sort key. */
+  val MixtureRankBuckets = 256L
+
   /** q73: sequence packing — GPT-style contiguous packing of documents
     * into fixed token-budget training sequences, sharded by `source`:
     * within each source shard, docs are concatenated in doc_id order and
@@ -35,20 +50,37 @@ object PipelineOps {
     * (`(running - n_tokens) div budget`). Per (source, seq) the report
     * gives doc count, packed tokens and the id span.
     *
-    * Plan shape at 100 TB: ONE window partitioned by the shard key — the
-    * prefix sum parallelizes across shards (the WindowExec partition is
-    * `source`, never a single global partition), and packing within a
-    * shard is what production pipelines do anyway (domain-stratified
-    * batches). The follow-up agg reuses the same `source` partitioning. */
+    * Plan shape at 100 TB — the classic TWO-LEVEL prefix sum: the
+    * doc-level window partitions by `(source, chunk)` where
+    * `chunk = doc_id div [[PackChunkDocs]]`, so window-partition count
+    * scales with the DATA, not with `source` cardinality (a handful of
+    * mega-sources would otherwise each funnel through one WindowExec
+    * partition). Chunk token totals are one hash agg; the cumulative
+    * chunk offset is a window over that metadata-sized frame (one row
+    * per chunk) broadcast-joined back onto the docs. `local running +
+    * chunk offset` equals the single-window running sum EXACTLY (integer
+    * sums) — same results, same oracle, scale-safe plan. */
   val q73SequencePacking = QueryDef(
     "q73_sequence_packing",
     (s, d) => {
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
+      val base = Tables.documents(s, d)
         .select(col("source"), col("doc_id"),
           size(tokens(col("text"))).cast(LongType).as("n_tokens"))
-        .withColumn("running", sum(col("n_tokens")).over(w))
+        .withColumn("chunk", expr(s"doc_id div $PackChunkDocs"))
+      val wChunk = Window.partitionBy("source", "chunk").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // per-chunk totals → exclusive cumulative offset per (source, chunk);
+      // one row per chunk, so this window runs over metadata, not docs
+      val wOff = Window.partitionBy("source").orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy("source", "chunk")
+        .agg(sum(col("n_tokens")).as("chunk_total"))
+        .withColumn("offset", coalesce(sum(col("chunk_total")).over(wOff), lit(0L)))
+        .select("source", "chunk", "offset")
+      base
+        .withColumn("local_run", sum(col("n_tokens")).over(wChunk))
+        .join(broadcast(offsets), Seq("source", "chunk"))
+        .withColumn("running", col("local_run") + col("offset"))
         .withColumn("seq_id", expr(s"(running - n_tokens) div $PackBudget"))
         .groupBy("source", "seq_id")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens_packed"),
@@ -88,10 +120,15 @@ object PipelineOps {
     * surviving (corpus-first-occurrence) spans, and the reassembled text.
     * Exposed for [[graft.ScaleSmoke]]'s million-doc phase. */
   def spanDedup(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // zero-token guard: sequence(0, floor(-1/8)) would yield a DESCENDING
+    // [0,-1] — two phantom empty spans — where the oracle's range(0,0) is
+    // empty; emit an empty array so posexplode drops the doc on both sides
     val spans = docs
       .select(col("doc_id"), TextOps.bind(tokens(col("text")), t =>
-        transform(sequence(lit(0), floor((size(t) - lit(1)) / lit(SpanTokens)).cast(IntegerType)),
-          i => array_join(slice(t, i * SpanTokens + 1, lit(SpanTokens)), " "))).as("spans"))
+        when(size(t) > 0,
+          transform(sequence(lit(0), floor((size(t) - lit(1)) / lit(SpanTokens)).cast(IntegerType)),
+            i => array_join(slice(t, i * SpanTokens + 1, lit(SpanTokens)), " ")))
+          .otherwise(array().cast(ArrayType(StringType)))).as("spans"))
       .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
     val w = Window.partitionBy(md5(col("span"))).orderBy("doc_id", "pos")
     spans.withColumn("rn", row_number().over(w))
@@ -273,9 +310,20 @@ object PipelineOps {
     * cross-engine — IEEE sqrt is correctly rounded in both JVM and
     * DuckDB, and at these magnitudes the true root is never within an
     * ulp of an integer unless the product is a perfect square (where
-    * sqrt is exact). Plan shape at 100 TB: domain quotas are a
-    * metadata-sized broadcast; the per-domain selection is one window
-    * partitioned by domain. */
+    * sqrt is exact).
+    *
+    * Plan shape at 100 TB — TWO-LEVEL rank (the q73 prefix-sum trick in
+    * rank space): the per-domain hash-rank `rn` is NOT one window per
+    * `(source, lang)` domain (single-digit domain cardinality → mega
+    * partitions at 100×). Instead docs bucket by the top
+    * log2([[MixtureRankBuckets]]) bits of the 60-bit rank hash — a
+    * prefix of the sort key, so bucket order IS rank order — the
+    * row_number window partitions by `(domain, bucket)` (partition count
+    * and size now scale with the data; raise the bucket-bit knob as the
+    * corpus grows), and the global rank is `within-bucket rank +
+    * exclusive cumulative count of earlier buckets` (a window over the
+    * metadata-sized bucket-count frame, broadcast-joined back). Equal to
+    * the one-window rank EXACTLY, so the oracle is unchanged. */
   val q85MixtureSample = QueryDef(
     "q85_mixture_sample",
     (s, d) => {
@@ -291,8 +339,22 @@ object PipelineOps {
             .as("quota"))
       val rankHash = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
         .cast(LongType)
-      val w = Window.partitionBy("source", "lang").orderBy(rankHash.asc, col("doc_id").asc)
-      docs.withColumn("rn", row_number().over(w))
+      // top bits of the 60-bit hash: a PREFIX of the (rank_hash, doc_id)
+      // sort key, so ranking within buckets then offsetting by earlier
+      // buckets' counts reproduces the global per-domain rank exactly
+      val keyed = docs.withColumn("rank_hash", rankHash)
+        .withColumn("bucket", expr(s"rank_hash div ${(1L << 60) / MixtureRankBuckets}"))
+      val wB = Window.partitionBy("source", "lang", "bucket")
+        .orderBy(col("rank_hash").asc, col("doc_id").asc)
+      val wOff = Window.partitionBy("source", "lang").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = keyed.groupBy("source", "lang", "bucket")
+        .agg(count(lit(1)).as("bucket_n"))
+        .withColumn("offset", coalesce(sum(col("bucket_n")).over(wOff), lit(0L)))
+        .select("source", "lang", "bucket", "offset")
+      keyed.withColumn("rn_bucket", row_number().over(wB))
+        .join(broadcast(offsets), Seq("source", "lang", "bucket"))
+        .withColumn("rn", col("offset") + col("rn_bucket"))
         .join(broadcast(quotas), Seq("source", "lang"))
         .groupBy("source", "lang")
         .agg(max(col("n_docs")).as("n_docs"), max(col("quota")).as("quota"),

@@ -20,6 +20,15 @@ import graft.{QueryDef, Tables}
   */
 object StorageOps {
 
+  /** Synthetic insert keys for q79 are `o_orderkey + this`. Sound only
+    * while every base orderkey stays below it (TPC-H orderkeys reach
+    * ~6M·sf, so the bound holds to sf≈3; beyond that an insert key could
+    * collide with a real base key and duplicate change rows through the
+    * full-outer join). The headroom is asserted in PipelineOpsSpec (the
+    * q80 z-order bit-width pattern); a production merge would take the
+    * offset from `max(key)` of the base snapshot. */
+  val InsertKeyOffset = 20000000L
+
   /** q79: CDC merge (MERGE INTO semantics) — base = `orders`; the change
     * batch UPDATEs every 7th order (status → 'U', price + 1) and INSERTs
     * a synthetic new order per 1000th key. Full-outer join on the key,
@@ -48,7 +57,7 @@ object StorageOps {
           (col("o_totalprice").cast(DecimalType(18, 6)) + lit(1)).as("c_price"))
         .unionByName(orders
           .filter(col("o_orderkey") % 1000 === 0)
-          .select((col("o_orderkey").cast(LongType) + 20000000L).as("okey"),
+          .select((col("o_orderkey").cast(LongType) + InsertKeyOffset).as("okey"),
             lit("N").as("c_status"),
             col("o_totalprice").cast(DecimalType(18, 6)).as("c_price")))
       base.join(changes, Seq("okey"), "full_outer")

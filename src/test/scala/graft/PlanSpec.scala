@@ -104,10 +104,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "tf/df aggs must partial-aggregate")
   }
 
-  test("q73: the packing prefix sum is windowed BY THE SHARD KEY, never one global partition") {
+  test("q73/q85: packing + mixture windows are chunk/bucket-partitioned (two-level), never per-shard-key only") {
+    // the doc-level window must partition by (source, chunk): partition
+    // count then scales with the DATA (doc_id div PackChunkDocs), not
+    // with `source` cardinality — the 100× mega-partition guard
     val p = plan(PipelineOps.q73SequencePacking)
-    assert(p.contains("windowspecdefinition(source"),
-      s"packing window must partition by source:\n$p")
+    assert("windowspecdefinition\\(source#\\d+, chunk#\\d+".r.findFirstIn(p).isDefined,
+      s"packing window must partition by (source, chunk):\n$p")
+    // ...and the only source-partitioned window is the metadata-sized
+    // cumulative-offset one (input: one row per chunk)
+    assert(!"windowspecdefinition\\(source#\\d+, doc_id#\\d+".r.findFirstIn(p).isDefined,
+      s"doc-level window must not partition by source alone:\n$p")
+    // q85: same two-level shape in rank space — row_number windows by
+    // (source, lang, bucket), bucket = top hash bits (a sort-key prefix)
+    val p85 = plan(PipelineOps.q85MixtureSample)
+    assert("windowspecdefinition\\(source#\\d+, lang#\\d+, bucket#\\d+".r.findFirstIn(p85).isDefined,
+      s"mixture rank window must partition by (source, lang, bucket):\n$p85")
   }
 
   test("q80: the z-value is a pure projection — no shuffle before the bucket agg") {
@@ -159,6 +171,10 @@ class PlanSpec extends SparkSpec {
       // q77: 4 unrolled pagerank rounds, join+agg each; q78: assignment
       // window + per-cluster self join + two aggs — both by design
       case n if n.startsWith("q77") || n.startsWith("q78") => 16
+      // q85: the two-level rank adds the bucket-count agg + cumulative-
+      // offset window exchanges — all over the metadata-sized bucket
+      // frame (one row per (domain, bucket)), never the corpus
+      case n if n.startsWith("q85") => 12
       case _ => 8
     }
     SparkEntry.registry.foreach { q =>

@@ -17,11 +17,65 @@ class PipelineOpsSpec extends SparkSpec {
     val agg = out.select(sum("n_tokens_packed").cast("long"), sum("n_docs").cast("long")).head
     assert(agg.getLong(0) == totalTokens, "every token lands in exactly one sequence")
     assert(agg.getLong(1) == docs.count(), "every doc lands in exactly one sequence")
-    // a doc starts in seq k only if the tokens before it are < (k+1)*budget,
-    // so each (source, seq) holds at least one doc and seq ids are dense
-    val bad = out.groupBy("source").agg(max("seq_id").as("mx"), count(lit(1)).as("n"))
-      .filter(col("mx") =!= col("n") - 1).count()
-    assert(bad == 0, "sequence ids are dense per source")
+    // density (max(seq_id) == n_sequences - 1) holds ONLY while no single
+    // doc exceeds the budget (an over-budget doc spans sequences but is
+    // assigned to its first, leaving gaps) — check the precondition, and
+    // only then assert
+    val maxDocTokens = docs
+      .select(max(size(filter(split(col("text"), " "), t => t =!= ""))).cast("long"))
+      .head.getLong(0)
+    if (maxDocTokens <= PipelineOps.PackBudget) {
+      val bad = out.groupBy("source").agg(max("seq_id").as("mx"), count(lit(1)).as("n"))
+        .filter(col("mx") =!= col("n") - 1).count()
+      assert(bad == 0, "sequence ids are dense per source")
+    }
+  }
+
+  test("q73/q85: two-level prefix structures reproduce the single-window reference exactly") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.TextOps.tokens
+    val d = "/root/testdata/sf0.01"
+    // the two-level path must actually engage: multiple chunks per source
+    val nChunks = Tables.documents(spark, d)
+      .select(expr(s"doc_id div ${PipelineOps.PackChunkDocs}").as("chunk"), col("source"))
+      .distinct().count()
+    val nSources = Tables.documents(spark, d).select("source").distinct().count()
+    assert(nChunks > nSources, s"only $nChunks (source, chunk) groups for $nSources sources")
+    // q73 reference: ONE window per source (the pre-two-level formulation)
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref73 = Tables.documents(spark, d)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("running", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id", expr(s"(running - n_tokens) div ${PipelineOps.PackBudget}"))
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens_packed"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    val out73 = PipelineOps.q73SequencePacking.run(spark, d)
+    assert(out73.exceptAll(ref73).isEmpty && ref73.exceptAll(out73).isEmpty,
+      "two-level packing diverged from the single-window reference")
+    // q85 reference: one rank window per (source, lang) domain
+    val rankHash = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val wr = Window.partitionBy("source", "lang").orderBy(rankHash.asc, col("doc_id").asc)
+    val docs85 = Tables.documents(spark, d)
+      .select(col("source"), col("lang"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val dom = docs85.groupBy("source", "lang").agg(count(lit(1)).as("n_docs"))
+    val minN = dom.agg(min(col("n_docs")).as("min_n"))
+    val quotas = dom.crossJoin(broadcast(minN))
+      .select(col("source"), col("lang"), col("n_docs"),
+        least(col("n_docs"),
+          ceil(sqrt(col("n_docs").cast("double") * col("min_n"))).cast("long")).as("quota"))
+    val ref85 = docs85.withColumn("rn", row_number().over(wr))
+      .join(broadcast(quotas), Seq("source", "lang"))
+      .groupBy("source", "lang")
+      .agg(max(col("n_docs")).as("n_docs"), max(col("quota")).as("quota"),
+        sum(when(col("rn") <= col("quota"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+    val out85 = PipelineOps.q85MixtureSample.run(spark, d)
+    assert(out85.exceptAll(ref85).isEmpty && ref85.exceptAll(out85).isEmpty,
+      "two-level mixture rank diverged from the single-window reference")
   }
 
   test("q74: span dedup keeps every first occurrence; doc 0 fully retained") {
@@ -156,6 +210,10 @@ class PipelineOpsSpec extends SparkSpec {
   test("q79: merge emits every base key once, updates every 7th, inserts every 1000th") {
     val out = StorageOps.q79MergeUpsert.run(spark, sfDir).cache()
     val orders = Tables.orders(spark, sfDir)
+    // insert-key headroom: synthetic keys must not collide with base keys
+    // (the q80 bit-width-assert pattern; holds to sf≈3, see the constant)
+    assert(orders.select(max("o_orderkey").cast("long")).head.getLong(0)
+      < StorageOps.InsertKeyOffset, "insert-key offset collides with base orderkeys")
     val nOrders = orders.count()
     val nUpd = orders.filter(col("o_orderkey") % 7 === 0).count()
     val nIns = orders.filter(col("o_orderkey") % 1000 === 0).count()
