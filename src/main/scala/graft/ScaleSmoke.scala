@@ -289,7 +289,10 @@ object ScaleSmoke {
       .repartition(32)
     val nDirEdges = prEdges.count()
     val tpr = System.nanoTime()
-    val pr = graft.operators.PageRank.ranks(prEdges).cache()
+    // reliable checkpointing (the cluster mode): lost partitions recompute
+    // from durable files, exercising the non-localCheckpoint path at scale
+    val prCkptDir = java.nio.file.Files.createTempDirectory("graft_pr_ckpt").toString
+    val pr = graft.operators.PageRank.ranks(prEdges, Some(prCkptDir)).cache()
     val prTop = pr.orderBy(col("rank").desc, col("id").asc).limit(1).head()
     val prMass = pr.agg(sum("rank")).head().getLong(0)
     val prN = pr.count()

@@ -41,17 +41,28 @@ object PageRank {
   /** (id, rank) after [[Iterations]] rounds over `edges` (src, dst —
     * already directed both ways), starting every node at [[Unit]].
     *
-    * The graph frames are eagerly `localCheckpoint`ed ONCE (the
-    * [[Components]] pattern): without it every unrolled round re-derives
-    * edges + degrees from the base tables (4× the scan/distinct work) and
-    * the lineage quadruples; with it each round is exactly one
-    * share-join + one hash agg + one outer join over materialized
-    * metadata-sized frames, and the per-round labels checkpoint keeps the
-    * final plan bounded at one round's depth. */
-  def ranks(edges: DataFrame): DataFrame = {
-    val e = edges.localCheckpoint()
-    val deg = e.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    * The graph frames are eagerly checkpointed ONCE (the [[Components]]
+    * pattern): without it every unrolled round re-derives edges + degrees
+    * from the base tables (4× the scan/distinct work) and the lineage
+    * quadruples; with it each round is exactly one share-join + one hash
+    * agg + one outer join over materialized metadata-sized frames, and
+    * the per-round labels checkpoint keeps the final plan bounded at one
+    * round's depth.
+    *
+    * `localCheckpoint` by default (fast, executor-local) — an executor
+    * loss mid-computation fails the job and the caller retries. On a real
+    * cluster pass `checkpointDir` (shared storage) for reliable
+    * `checkpoint()`: lost partitions then recompute from durable files
+    * instead of silently restarting from nothing — same knob and
+    * trade-off as [[Components.connectedComponents]]. */
+  def ranks(edges: DataFrame, checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val e = ckpt(edges)
+    val deg = ckpt(e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg")))
     var r = deg.select(col("id"), lit(Unit).as("rank"))
     (1 to Iterations).foreach { i =>
       val contrib = e
@@ -66,7 +77,7 @@ object PageRank {
       // checkpoint every OTHER round: two rounds of lineage stay bounded
       // and half the eager materializations disappear from the critical
       // path (on a real cluster: same cadence trade as Components)
-      if (i % 2 == 0 && i < Iterations) r = r.localCheckpoint()
+      if (i % 2 == 0 && i < Iterations) r = ckpt(r)
     }
     r
   }

@@ -184,6 +184,26 @@ class PipelineOpsSpec extends SparkSpec {
       s"mass $total too far below $cap — a sink is leaking rank")
   }
 
+  test("pagerank: reliable-checkpoint mode produces bit-identical ranks to localCheckpoint mode") {
+    // same tiny planted-hub graph in both modes; integer arithmetic means
+    // the results must agree exactly, and the reliable run must actually
+    // write checkpoint files into the supplied directory
+    val n = 200L
+    val base = spark.range(n).toDF("src")
+    val raw = (0 until 3).map(k =>
+      base.select(col("src"), pmod(xxhash64(col("src"), lit(k)), lit(n)).as("dst")))
+      .reduce(_ unionByName _)
+      .filter(col("src") =!= col("dst")).distinct()
+    val edges = raw.unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
+    val local = PageRank.ranks(edges).orderBy("id").collect()
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr_ckpt").toString
+    val reliable = PageRank.ranks(edges, Some(dir)).orderBy("id").collect()
+    assert(local.toSeq == reliable.toSeq, "checkpoint modes diverged")
+    def countFiles(p: java.io.File): Int =
+      if (p.isDirectory) p.listFiles.map(countFiles).sum else 1
+    assert(countFiles(new java.io.File(dir)) > 0, "no reliable checkpoint files written")
+  }
+
   test("q80: every z-order bucket is a 32x32 rectangle of (part, supp) space") {
     val out = StorageOps.q80ZorderLayout.run(spark, "/root/testdata/sf0.01").cache()
     assert(out.filter(col("p_max") - col("p_min") > 31).count() == 0)
