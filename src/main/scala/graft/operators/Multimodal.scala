@@ -42,12 +42,24 @@ object Multimodal {
   final case class MediaStats(doc_id: Long, width: Long, height: Long,
                               mean_r: Double, mean_g: Double, mean_b: Double)
 
-  /** Real PNG codec over `javax.imageio` — pure JDK. */
+  /** Real PNG + JPEG codec over `javax.imageio` — pure JDK. */
   object ImageCodec {
     ImageIO.setUseCache(false) // no disk-backed stream cache inside executors
 
-    /** Encode a W×H RGB image, pixel colors from `rgb(x, y)`. */
-    def encodePng(width: Int, height: Int)(rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    /** JPEG encode quality: high enough that the decoded channel means of
+      * the synthetic gradient images stay within [[JpegMeanTolerance]] of
+      * the lossless prediction (measured, with margin, in MultimodalSpec),
+      * low enough to exercise a genuinely lossy round-trip. */
+    val JpegQuality = 0.95f
+
+    /** Bound on |empirical − predicted| per channel mean after a JPEG
+      * round-trip of the gradient fixtures (PNG decodes exactly; JPEG DC
+      * coefficients preserve block averages, so means move by quantization
+      * noise only — measured max ~0.73 at quality 0.95; MultimodalSpec
+      * asserts 2× margin under this bound). */
+    val JpegMeanTolerance = 2.0
+
+    private def render(width: Int, height: Int)(rgb: (Int, Int) => (Int, Int, Int)): BufferedImage = {
       val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
       var y = 0
       while (y < height) {
@@ -59,8 +71,29 @@ object Multimodal {
         }
         y += 1
       }
+      img
+    }
+
+    /** Encode a W×H RGB image as PNG, pixel colors from `rgb(x, y)`. */
+    def encodePng(width: Int, height: Int)(rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
       val out = new ByteArrayOutputStream()
-      ImageIO.write(img, "png", out)
+      ImageIO.write(render(width, height)(rgb), "png", out)
+      out.toByteArray
+    }
+
+    /** Encode a W×H RGB image as JPEG at [[JpegQuality]] (explicit writer
+      * params — `ImageIO.write(_, "jpg", _)` would use default 0.75). */
+    def encodeJpeg(width: Int, height: Int)(rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(JpegQuality)
+      val out = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(render(width, height)(rgb), null, null), params)
+      } finally { ios.close(); writer.dispose() }
       out.toByteArray
     }
 
@@ -70,10 +103,21 @@ object Multimodal {
       img
     }
 
-    /** Parse the real container: dimensions from the decoded image. */
+    /** Container detection from the real magic bytes (PNG `\x89PNG`,
+      * JPEG `\xFF\xD8\xFF`) — the header sniff a binaryFile ingest does
+      * before routing to a decoder. */
+    def sniffFormat(payload: Array[Byte]): String =
+      if (payload.length >= 4 && (payload(0) & 0xff) == 0x89 && payload(1) == 'P' &&
+        payload(2) == 'N' && payload(3) == 'G') "image/png"
+      else if (payload.length >= 3 && (payload(0) & 0xff) == 0xff &&
+        (payload(1) & 0xff) == 0xd8 && (payload(2) & 0xff) == 0xff) "image/jpeg"
+      else "application/octet-stream"
+
+    /** Parse the real container: format from the magic bytes, dimensions
+      * from the decoded image. */
     def probe(payload: Array[Byte], kind: String): MediaMeta = {
       val img = decode(payload)
-      MediaMeta(kind, "image/png", img.getWidth, img.getHeight, durationMs = 0L)
+      MediaMeta(kind, sniffFormat(payload), img.getWidth, img.getHeight, durationMs = 0L)
     }
 
     /** Empirical per-channel means over the decoded pixels. */
@@ -161,17 +205,22 @@ object Multimodal {
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
 
-  /** Build a media table of REAL PNGs from `documents`: doc i becomes a
+  /** Build a MIXED-CODEC media table from `documents`: doc i becomes a
     * (8+i%8)×(8+i%5) image whose channel gradients are seeded by
-    * md5(text). Real pipelines read binary files via
-    * `spark.read.format("binaryFile")`; the generated corpus exists so
-    * decode correctness is oracle-checkable (q65). */
+    * md5(text) — PNG for even ids, JPEG (lossy, [[ImageCodec.JpegQuality]])
+    * for odd, the composition of a real crawled corpus. Real pipelines
+    * read binary files via `spark.read.format("binaryFile")`; the
+    * generated corpus exists so decode correctness is oracle-checkable
+    * (q65 exact on the lossless half, q94 on every row). */
   def mediaFromDocuments(s: SparkSession, d: String): Dataset[MediaItem] = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val (w, h, r0, g0, b0) = imageParams(id, md5hex(text.getBytes("UTF-8")))
-        val payload = ImageCodec.encodePng(w, h)((x, y) => (r0 + x + y, g0 + x, b0 + y))
+        val grad = (x: Int, y: Int) => (r0 + x + y, g0 + x, b0 + y)
+        val payload =
+          if (id % 2 == 0) ImageCodec.encodePng(w, h)(grad)
+          else ImageCodec.encodeJpeg(w, h)(grad)
         MediaItem(id, payload, ImageCodec.probe(payload, "image"))
       }
   }
@@ -226,19 +275,22 @@ object Multimodal {
            |FROM documents ORDER BY doc_id""".stripMargin)
   )
 
-  /** q65: the REAL decode path under the oracle. Spark encodes a PNG per
-    * document, then DECODES it with `javax.imageio` and measures the
-    * empirical per-channel pixel means; DuckDB predicts those means in
-    * closed form from md5(text) and the gradient construction
-    * (mean over x,y of base+x+y = base + (W-1)/2 + (H-1)/2 — all dyadic
-    * rationals, so both engines' doubles are exact and the hash compare is
-    * bit-for-bit). A wrong decode — channel order, row stride, color
-    * model — shifts the empirical means and fails the match. */
+  /** q65: the REAL decode path under the oracle, on the LOSSLESS half of
+    * the mixed corpus. Spark encodes a PNG per even-id document, then
+    * DECODES it with `javax.imageio` and measures the empirical
+    * per-channel pixel means; DuckDB predicts those means in closed form
+    * from md5(text) and the gradient construction (mean over x,y of
+    * base+x+y = base + (W-1)/2 + (H-1)/2 — all dyadic rationals, so both
+    * engines' doubles are exact and the hash compare is bit-for-bit). A
+    * wrong decode — channel order, row stride, color model — shifts the
+    * empirical means and fails the match. The lossy (JPEG) half goes
+    * through q94's tolerance oracle instead. */
   val q65ImageDecode = QueryDef(
     "q65_image_decode",
     (s, d) => {
       import s.implicits._
       mediaFromDocuments(s, d)
+        .filter(_.meta.format == "image/png")
         .mapPartitions(_.map { m =>
           val (r, g, b) = ImageCodec.channelMeans(m.payload)
           MediaStats(m.media_id, m.meta.width.toLong, m.meta.height.toLong, r, g, b)
@@ -255,8 +307,51 @@ object Multimodal {
            |    + (8 + doc_id % 8 - 1) / 2.0 AS mean_g,
            |  (CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT) & 127)
            |    + (8 + doc_id % 5 - 1) / 2.0 AS mean_b
+           |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin)
+  )
+
+  /** q94: the MIXED-codec decode path — every row of the PNG+JPEG corpus.
+    * The oracle-exact claims are container format (sniffed from real
+    * magic bytes) and decoded dimensions (JPEG preserves them exactly);
+    * decode FIDELITY is a boolean — every channel mean within
+    * [[ImageCodec.JpegMeanTolerance]] of the lossless closed form (PNG
+    * decodes exactly; JPEG moves means by DC-quantization noise only,
+    * measured ~0.73 max at quality 0.95 in MultimodalSpec). A channel
+    * swap or stride bug shifts means by the inter-channel base gap
+    * (~tens of levels on most docs) and flips the boolean. */
+  val q94MixedCodec = QueryDef(
+    "q94_mixed_codec",
+    (s, d) => {
+      import s.implicits._
+      val tol = ImageCodec.JpegMeanTolerance
+      val stats = mediaFromDocuments(s, d)
+        .mapPartitions(_.map { m =>
+          val (r, g, b) = ImageCodec.channelMeans(m.payload)
+          (m.media_id, m.meta.format, m.meta.width.toLong, m.meta.height.toLong, r, g, b)
+        })
+        .toDF("doc_id", "format", "width", "height", "er", "eg", "eb")
+      def baseLevel(i: Int) =
+        conv(substring(md5(col("text")), 2 * i + 1, 2), 16, 10).cast(LongType)
+          .bitwiseAND(lit(127L)).cast(DoubleType)
+      val pred = Tables.documents(s, d).select(col("doc_id"),
+        (baseLevel(0) + (lit(8) + col("doc_id") % 8 - 1) / 2.0
+          + (lit(8) + col("doc_id") % 5 - 1) / 2.0).as("pr"),
+        (baseLevel(1) + (lit(8) + col("doc_id") % 8 - 1) / 2.0).as("pg"),
+        (baseLevel(2) + (lit(8) + col("doc_id") % 5 - 1) / 2.0).as("pb"))
+      stats.join(pred, Seq("doc_id"))
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          (abs(col("er") - col("pr")) <= tol &&
+            abs(col("eg") - col("pg")) <= tol &&
+            abs(col("eb") - col("pb")) <= tol).as("within_tol"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS format,
+           |  CAST(8 + doc_id % 8 AS BIGINT) AS width,
+           |  CAST(8 + doc_id % 5 AS BIGINT) AS height,
+           |  TRUE AS within_tol
            |FROM documents ORDER BY doc_id""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q34BinaryPayload, q65ImageDecode)
+  val all: Seq[QueryDef] = Seq(q34BinaryPayload, q65ImageDecode, q94MixedCodec)
 }

@@ -19,22 +19,28 @@ class MultimodalSpec extends SparkSpec {
     assert(first.payload.nonEmpty && first.meta.kind == "image")
   }
 
-  test("payloads are genuine PNGs the JDK can decode") {
-    val first = media.orderBy("media_id").head()
-    // real container: PNG magic bytes, and the probe's dimensions come
-    // from an actual decode, matching the construction (8+id%8, 8+id%5)
-    assert(first.payload.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
-    assert(first.meta.format == "image/png")
-    val img = ImageCodec.decode(first.payload)
-    assert(img.getWidth == first.meta.width && img.getHeight == first.meta.height)
-    assert(first.meta.width == 8 + (first.media_id % 8).toInt)
-    assert(first.meta.height == 8 + (first.media_id % 5).toInt)
+  test("payloads are genuine PNGs/JPEGs the JDK can decode, routed by real magic bytes") {
+    val items = media.orderBy("media_id").take(2)
+    val (png, jpg) = (items(0), items(1)) // even id → PNG, odd → JPEG
+    assert(png.payload.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    assert(png.meta.format == "image/png")
+    assert((jpg.payload(0) & 0xff) == 0xff && (jpg.payload(1) & 0xff) == 0xd8,
+      "odd-id payload is not a JPEG container")
+    assert(jpg.meta.format == "image/jpeg")
+    // probe dimensions come from an actual decode of BOTH containers,
+    // matching the construction (8+id%8, 8+id%5)
+    items.foreach { m =>
+      val img = ImageCodec.decode(m.payload)
+      assert(img.getWidth == m.meta.width && img.getHeight == m.meta.height)
+      assert(m.meta.width == 8 + (m.media_id % 8).toInt)
+      assert(m.meta.height == 8 + (m.media_id % 5).toInt)
+    }
   }
 
-  test("decoded channel means match the gradient construction in closed form") {
-    // encode → decode round trip must reproduce base + (W-1)/2 + (H-1)/2
-    // exactly — the q65 oracle's prediction
-    media.orderBy("media_id").take(5).foreach { m =>
+  test("decoded channel means match the gradient construction in closed form (lossless half)") {
+    // PNG encode → decode round trip must reproduce base + (W-1)/2 +
+    // (H-1)/2 exactly — the q65 oracle's prediction
+    media.filter(_.media_id % 2 == 0).orderBy("media_id").take(5).foreach { m =>
       val (r, g, b) = ImageCodec.channelMeans(m.payload)
       val (w, h) = (m.meta.width, m.meta.height)
       val expectedOffsetR = (w - 1) / 2.0 + (h - 1) / 2.0
@@ -43,6 +49,31 @@ class MultimodalSpec extends SparkSpec {
       assert(r0 == r0.floor && r0 >= 0 && r0 <= 127, s"mean_r $r not on the gradient grid")
       assert((g - (w - 1) / 2.0).isWhole && (b - (h - 1) / 2.0).isWhole)
     }
+  }
+
+  test("JPEG round-trip moves channel means by less than the q94 tolerance, with margin") {
+    // measure the ACTUAL worst-case mean deviation across the lossy half
+    // against the TRUE md5-derived predictions (same closed form as the
+    // q94 oracle); q94's within_tol = TRUE claim holds only while this
+    // stays under JpegMeanTolerance — assert 2x margin so codec drift
+    // fails here before it fails the driver hash-match
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .as[(Long, String)].collect().toMap
+    val worst = media.filter(_.media_id % 2 == 1).collect().map { m =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(texts(m.media_id).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val (w, h, r0, g0, b0) = Multimodal.imageParams(m.media_id, md5)
+      val (r, g, b) = ImageCodec.channelMeans(m.payload)
+      val pr = r0 + (w - 1) / 2.0 + (h - 1) / 2.0
+      val pg = g0 + (w - 1) / 2.0
+      val pb = b0 + (h - 1) / 2.0
+      math.max(math.abs(r - pr), math.max(math.abs(g - pg), math.abs(b - pb)))
+    }.max
+    info(f"true worst-case JPEG channel-mean deviation: $worst%.4f")
+    assert(worst * 2 <= ImageCodec.JpegMeanTolerance,
+      f"JPEG mean deviation $worst%.3f too close to tolerance ${ImageCodec.JpegMeanTolerance}")
   }
 
   test("binary + struct columns survive a parquet round-trip") {
