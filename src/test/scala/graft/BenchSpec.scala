@@ -19,6 +19,19 @@ class BenchSpec extends AnyFunSuite {
     assert(!line.contains("\n"))
   }
 
+  test("current registry still fits at full 3-decimal per-query precision") {
+    // pins the round-4 registry size: if the registry grows enough that
+    // the 3-decimal map overflows into the 2-decimal fallback, this fails
+    // and the guard comment in Bench.scala should be revisited (the
+    // fallback is functional, but precision loss should be a decision,
+    // not an accident)
+    assert(names.size >= 94, s"registry shrank to ${names.size} queries")
+    val results = names.map(_ -> 1.234567)
+    val line = Bench.compactLine(12.3456, 98.7654, results, "/root/testdata/sf0.1", 5)
+    assert(line.contains("\":1.235"),
+      s"3-decimal precision degraded at ${names.size} queries (line would be ${line.length} chars at 3dp)")
+  }
+
   test("compact bench line degrades but still fits at adversarial timings") {
     val results = names.map(_ -> 3599.999999) // hour-long queries
     val line = Bench.compactLine(99999.9, 99999.9, results, "/root/testdata/sf0.1", 5)
