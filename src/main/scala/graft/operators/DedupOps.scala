@@ -486,6 +486,77 @@ object DedupOps {
            |SELECT d1, d2 FROM pairs ORDER BY d1, d2""".stripMargin)
   )
 
+  /** Containment threshold (tenths): C(A→B) = |A∩B| / |A| ≥ 8/10. */
+  val ContainTenths = 8
+
+  /** q95: CONTAINMENT similarity join — the asymmetric cousin of the
+    * Jaccard family: C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|
+    * ≥ 0.8 finds docs (near-)CONTAINED in another (quote inclusion,
+    * page-in-site duplication, excerpt detection) that symmetric Jaccard
+    * structurally misses: a 100-shingle quote inside a 10,000-shingle page
+    * has J ≈ 0.01 — invisible to q24/q52/q87 — but C = 1.0.
+    *
+    * Candidates via the prefix filter adapted to containment: if B holds
+    * ≥ ⌈t·|A|⌉ of A's shingles, A misses at most ⌊(1−t)·|A|⌋ of them, so
+    * B must share at least one of A's ⌊(1−t)·|A|⌋+1 rarest — join A's
+    * rarity prefix against the full shingle table (not prefix-to-prefix:
+    * the containee's shingles can sit ANYWHERE in the container's rarity
+    * order). EXACT recall by the same lemma as q87; candidates are then
+    * verified with exact set intersection (the q52 collect_set array
+    * shape). Ordered pairs — both directions tested, both can hold.
+    *
+    * 100 TB shape: the prefix side carries ~(1−t)·|A| shingles per doc
+    * (20% here) and the probe side is an equi-join on the shingle key —
+    * same bucketed-join class as q87, with the verify bounded by
+    * candidate count. Bounded to the oracle slice like q23/q87: the
+    * oracle must run the quadratic ground truth. */
+  val q95ContainmentJoin = QueryDef(
+    "q95_containment_join",
+    (s, d) => {
+      val sh = shingles(s, d, OracleCap)
+      val freq = sh.groupBy("sh").agg(count(lit(1)).as("f"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("f").asc, col("sh").asc)
+      // rk ≤ ⌊(1−t)·sz⌋+1  ⟺  10·rk ≤ (10−t₁₀)·sz + 10, integer-exact
+      val prefix = sh.join(freq, Seq("sh")).join(sizes, Seq("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") * 10 <= col("sz") * (10 - ContainTenths) + 10)
+        .select(col("doc_id").as("d1"), col("sh"))
+      val cand = prefix
+        .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
+        .filter(col("d1") =!= col("d2"))
+        .select("d1", "d2").distinct()
+      val arrays = sh.groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
+      broadcast(cand)
+        .join(arrays.select(col("doc_id").as("d1"), col("shs").as("shs1")), Seq("d1"))
+        .join(arrays.select(col("doc_id").as("d2"), col("shs").as("shs2")), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          size(array_intersect(col("shs1"), col("shs2"))).cast(LongType).as("ic"),
+          size(col("shs1")).cast(LongType).as("sz1"),
+          size(col("shs2")).cast(LongType).as("sz2"))
+        .filter(col("ic") * 10 >= col("sz1") * ContainTenths)
+        .orderBy("d1", "d2")
+    },
+    Some(s"""WITH sh AS (
+           |  SELECT DISTINCT doc_id, sh FROM (
+           |    SELECT doc_id, unnest(list_transform(range(1, length(text) - 3),
+           |                          i -> substr(text, CAST(i AS INTEGER), 5))) AS sh
+           |    FROM documents WHERE doc_id < 500 AND length(text) >= 5) raw),
+           |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ic
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT d1, d2, CAST(ic AS BIGINT) AS ic,
+           |  CAST(s1.sz AS BIGINT) AS sz1, CAST(s2.sz AS BIGINT) AS sz2
+           |FROM inter
+           |JOIN sizes s1 ON s1.doc_id = d1
+           |JOIN sizes s2 ON s2.doc_id = d2
+           |WHERE ic * 10 >= s1.sz * $ContainTenths
+           |ORDER BY d1, d2""".stripMargin)
+  )
+
   /** q90: edit-distance similarity join with LOSSLESS length blocking —
     * the fourth pair-finding scheme, for the character-level-noise regime
     * (OCR corpora, typo'd duplicates) where token/shingle sets miss:
@@ -694,5 +765,5 @@ object DedupOps {
   val all: Seq[QueryDef] =
     Seq(q23JaccardPairs, q24MinhashLsh, q25Simhash, q26SimhashPairs,
       q52MinhashLshFull, q87PrefixJoin, q90EditDistJoin, q91EditDistSql,
-      q93PassJoin)
+      q93PassJoin, q95ContainmentJoin)
 }

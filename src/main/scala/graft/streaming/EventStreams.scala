@@ -339,7 +339,63 @@ object EventStreams {
     graft.operators.EventOps.q32Session.oracle
   )
 
-  val all: Seq[graft.QueryDef] = Seq(q64StreamingTumbling, q82StreamingSession)
+  /** q96: stream-STREAM interval join executed AS streaming, under a
+    * batch DuckDB oracle — the join shape q64/q82's aggregations can't
+    * exercise: BOTH inputs are unbounded (views and clicks split from the
+    * same file-source stream — a streaming self-join), each carries its
+    * own watermark, and the explicit time-range condition
+    * (`click ∈ [view, view + 30 min]`) is what lets Spark bound the
+    * buffered state on both sides and evict as the watermarks pass —
+    * without it, Append-mode stream-stream joins must buffer forever and
+    * the planner rejects them. Inner joins emit matches eagerly (no
+    * watermark gate on output, unlike Append aggregations), so the
+    * sentinel drain rows only exercise state eviction; they carry the
+    * `__sentinel__` type and never match.
+    *
+    * The drained sink must hash-match DuckDB running the equivalent batch
+    * interval join — streaming buffered-state matching ≡ batch theta
+    * join, at µs precision on both sides (the documented DuckDB parquet
+    * ns→µs surface; condition and output identical in µs). Raw `value`
+    * doubles pass through both engines untouched from the same parquet,
+    * so no decimal reduction is needed. */
+  val q96StreamingIntervalJoin = graft.QueryDef(
+    "q96_streaming_interval_join",
+    (s, d) => {
+      val sunk = drainAvailableNow(s, d) { st =>
+        val v = st.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("v_ts"),
+            col("event_id").as("view_id"), col("value").as("view_value"))
+          .withWatermark("v_ts", "10 minutes")
+        val c = st.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("event_id").as("click_id"), col("value").as("click_value"))
+          .withWatermark("c_ts", "10 minutes")
+        v.join(c,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("v_ts") &&
+            col("c_ts") <= col("v_ts") + expr("INTERVAL 30 minutes"))
+          .select(col("user_id"), col("v_ts"), col("view_id"),
+            col("c_ts"), col("click_id"), col("view_value"), col("click_value"))
+      }
+      sunk.select(col("user_id"),
+          unix_micros(col("v_ts")).as("view_us"), col("view_id"),
+          unix_micros(col("c_ts")).as("click_us"), col("click_id"),
+          col("view_value"), col("click_value"))
+        .orderBy("user_id", "view_us", "view_id", "click_us", "click_id")
+    },
+    Some("""SELECT v.user_id,
+           |  epoch_us(v.ts) AS view_us, v.event_id AS view_id,
+           |  epoch_us(c.ts) AS click_us, c.event_id AS click_id,
+           |  v.value AS view_value, c.value AS click_value
+           |FROM events v JOIN events c ON c.user_id = v.user_id
+           | AND v.event_type = 'view' AND c.event_type = 'click'
+           | AND epoch_us(c.ts) >= epoch_us(v.ts)
+           | AND epoch_us(c.ts) <= epoch_us(v.ts) + 1800000000
+           |ORDER BY v.user_id, view_us, view_id, click_us, click_id""".stripMargin)
+  )
+
+  val all: Seq[graft.QueryDef] =
+    Seq(q64StreamingTumbling, q82StreamingSession, q96StreamingIntervalJoin)
 
   /** Custom per-user running state via mapGroupsWithState — the
     * `KeyValueGroupedDataset` stateful escape hatch (arbitrary state the

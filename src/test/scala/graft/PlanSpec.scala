@@ -157,7 +157,9 @@ class PlanSpec extends SparkSpec {
       case n if n.startsWith("q46") || n.startsWith("q53") ||
         n.startsWith("q54") || n.startsWith("q71") || n.startsWith("q76") ||
         n.startsWith("q87") => 300
-      case n if n.startsWith("q23") => 24
+      // q95 adds the rarity-prefix window + freq agg + two collect_set
+      // sides over the same cached shingle lineage
+      case n if n.startsWith("q23") || n.startsWith("q95") => 24
       // q24/q52: the verify stage references the materialized candidate
       // cache three times (candDocs union x2 + the pair join) and the
       // shingle-set array subtree twice, so the candidate lineage repeats

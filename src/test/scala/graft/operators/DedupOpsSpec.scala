@@ -71,6 +71,34 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "past-threshold pair leaked")
   }
 
+  test("q95: containment join finds Jaccard-invisible quote inclusion, equal to brute force") {
+    import spark.implicits._
+    val big = rand(21, 2000)
+    val quote = big.substring(500, 700)  // a 200-char excerpt of big
+    val near = sub(quote, 4, 22)         // lightly mutated excerpt
+    val other = rand(23, 2000)
+    val docs = Seq(0L -> big, 1L -> quote, 2L -> other, 3L -> near)
+    val dir = java.nio.file.Files.createTempDirectory("graft_contain").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = DedupOps.q95ContainmentJoin.run(spark, dir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same definition: distinct 5-gram sets, ordered
+    // pairs, 10·|A∩B| ≥ t₁₀·|A|
+    def shingleSet(t: String) = (0 to t.length - 5).map(i => t.substring(i, i + 5)).toSet
+    val sets = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val expected = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a != b
+      if (sa & sb).size * 10 >= sa.size * DedupOps.ContainTenths
+    } yield (a, b)).toSet
+    assert(out == expected, s"containment pairs $out != brute force $expected")
+    // the asymmetry this operator exists for: the quote IS contained in
+    // the page, the page is NOT contained in the quote — and the pair is
+    // invisible to symmetric Jaccard at the q24 threshold
+    assert(out.contains((1L, 0L)) && !out.contains((0L, 1L)))
+    val j = (sets(1L) & sets(0L)).size.toDouble / (sets(1L) | sets(0L)).size
+    assert(j < 0.6, s"test corpus defect: quote/page Jaccard $j not below LSH threshold")
+  }
+
   test("array_agree_count equals the zip_with formulation (randomized) and handles nulls") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
