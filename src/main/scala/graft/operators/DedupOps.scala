@@ -502,8 +502,9 @@ object DedupOps {
     * rarity prefix against the full shingle table (not prefix-to-prefix:
     * the containee's shingles can sit ANYWHERE in the container's rarity
     * order). EXACT recall by the same lemma as q87; candidates are then
-    * verified with exact set intersection (the q52 collect_set array
-    * shape). Ordered pairs — both directions tested, both can hold.
+    * verified with exact intersection COUNTS (the q87 equi-join + hash-agg
+    * shape — bounded ~16-byte rows, never shingle arrays). Ordered pairs —
+    * both directions tested, both can hold.
     *
     * 100 TB shape: the prefix side carries ~(1−t)·|A| shingles per doc
     * (20% here) and the probe side is an equi-join on the shingle key —
@@ -527,15 +528,23 @@ object DedupOps {
         .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
         .filter(col("d1") =!= col("d2"))
         .select("d1", "d2").distinct()
-      val arrays = sh.groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
-      broadcast(cand)
-        .join(arrays.select(col("doc_id").as("d1"), col("shs").as("shs1")), Seq("d1"))
-        .join(arrays.select(col("doc_id").as("d2"), col("shs").as("shs2")), Seq("d2"))
-        .select(col("d1"), col("d2"),
-          size(array_intersect(col("shs1"), col("shs2"))).cast(LongType).as("ic"),
-          size(col("shs1")).cast(LongType).as("sz1"),
-          size(col("shs2")).cast(LongType).as("sz2"))
+      // exact intersection counts via the q87 shape (shingle equi-join +
+      // hash agg — per-candidate array expansion measured ~7× slower at
+      // this corpus's candidate density), then LEFT SEMI against the
+      // prefix candidates: output = true pairs THAT WERE GENERATED, so a
+      // recall miss fails the oracle hash-match. Both directions kept
+      // (containment is asymmetric).
+      val inter = sh.select(col("doc_id").as("d1"), col("sh"))
+        .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
+        .filter(col("d1") =!= col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
+      inter
+        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
+        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
         .filter(col("ic") * 10 >= col("sz1") * ContainTenths)
+        .join(cand, Seq("d1", "d2"), "left_semi")
+        .select(col("d1"), col("d2"), col("ic").cast(LongType).as("ic"),
+          col("sz1").cast(LongType).as("sz1"), col("sz2").cast(LongType).as("sz2"))
         .orderBy("d1", "d2")
     },
     Some(s"""WITH sh AS (

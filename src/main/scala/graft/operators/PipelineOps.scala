@@ -441,6 +441,73 @@ object PipelineOps {
            |SELECT doc_id, source, w FROM sampled ORDER BY doc_id""".stripMargin)
   )
 
+  /** Chunk geometry for q99: context-window size and stride in tokens.
+    * Stride < size ⇒ consecutive chunks overlap by `ChunkSize −
+    * ChunkStride` tokens — the standard sliding-context preparation for
+    * long documents (every token appears in ≥1 chunk; boundary tokens
+    * appear in 2). Sized so the synthetic docs produce a mix of 1- and
+    * multi-chunk outputs at every sf. */
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /** q99: overlapping context-window CHUNKING — the other half of corpus
+    * assembly next to q73: packing joins SHORT docs into full sequences;
+    * chunking splits LONG docs into overlapping context windows (the
+    * sliding-window preparation used when a document exceeds the model
+    * context). Chunk count per doc is `1 + ⌈(n − size)/stride⌉` (clamped
+    * at 1), so the final chunk always covers the tail and every token is
+    * seen.
+    *
+    * Exactness across engines: chunk counts are guarded integer
+    * arithmetic — the `n > size` CASE keeps the ceil-div numerator
+    * positive, where DuckDB's floor-`//` and Spark's trunc-`div` agree
+    * (the q86 discipline) — and chunk content is compared by md5 digest
+    * of the space-rejoined token slice, not by raw text. Zero-token docs
+    * produce NO rows on both sides (explicit `size > 0` filter mirroring
+    * DuckDB's empty `range` — the q74 empty-doc lesson).
+    *
+    * Plan shape at 100 TB: one narrow projection per doc (tokenize,
+    * count, chunk-count), one generator (posexplode of the chunk index
+    * sequence), one narrow digest projection — NO shuffle before the
+    * presentation sort; chunks inherit the scan's partitioning. */
+  val q99ChunkOverlap = QueryDef(
+    "q99_chunk_overlap",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") > 0)
+        .withColumn("n_chunks", // n > size keeps the numerator positive ⇒ DIV ≡ floor
+          expr(s"1 + (CASE WHEN n > $ChunkSize" +
+            s" THEN (n - $ChunkSize + ${ChunkStride - 1}) DIV $ChunkStride" +
+            " ELSE 0 END)"))
+      t.select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), col("n_chunks") - 1)).as("k"))
+        .select(col("doc_id"), col("k").cast(LongType).as("chunk_id"),
+          slice(col("toks"), col("k") * ChunkStride + 1, lit(ChunkSize)).as("chunk"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).cast(LongType).as("n_tok"),
+          md5(concat_ws(" ", col("chunk"))).as("digest"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some(s"""WITH t AS (
+           |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           |  FROM documents),
+           |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+           |c AS (SELECT doc_id, toks,
+           |  1 + CASE WHEN n > $ChunkSize
+           |        THEN (n - $ChunkSize + ${ChunkStride - 1}) // $ChunkStride
+           |        ELSE 0 END AS n_chunks FROM n),
+           |x AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS k FROM c)
+           |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+           |  CAST(len(list_slice(toks, k * $ChunkStride + 1,
+           |    k * $ChunkStride + $ChunkSize)) AS BIGINT) AS n_tok,
+           |  md5(array_to_string(list_slice(toks, k * $ChunkStride + 1,
+           |    k * $ChunkStride + $ChunkSize), ' ')) AS digest
+           |FROM x ORDER BY doc_id, chunk_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q73SequencePacking, q74SpanDedup,
-    q75QualityRules, q76IncrementalDedup, q85MixtureSample, q92WeightedSample)
+    q75QualityRules, q76IncrementalDedup, q85MixtureSample, q92WeightedSample,
+    q99ChunkOverlap)
 }

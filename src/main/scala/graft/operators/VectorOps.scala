@@ -564,7 +564,116 @@ object VectorOps {
     }
   )
 
+  /** PQ geometry: 64 dims split into [[PqM]] subspaces of [[PqSubDim]]
+    * dims, [[PqK]] codewords per subspace, ADC shortlist of
+    * [[PqShortlist]] before exact rerank. Chosen empirically: at
+    * (16, 4, 64, 100) the reranked top-10 equals the brute-force top-10
+    * at BOTH test corpora (sf0.001 and sf0.01 — recall 1.0, asserted in
+    * VectorOpsSpec; 50 sufficed at sf0.01 but missed 2 at sf0.001). */
+  val PqM = 16
+  val PqSubDim = 4
+  val PqK = 64
+  val PqShortlist = 100
+
+  /** q97: PRODUCT-QUANTIZATION ANN — the memory-compressed scan path the
+    * IVF (q56) and int8 (q62) variants point at. Each vector is encoded
+    * as [[PqM]] one-byte codes (nearest codeword per subspace), the query
+    * scans CODES not vectors via ADC (asymmetric distance computation: a
+    * per-subspace lookup table of query→codeword distances, approx dist =
+    * sum of [[PqM]] table entries), and the ADC top-[[PqShortlist]]
+    * shortlist is reranked with exact distances — the standard
+    * IVFADC-style pipeline (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011; reference has no ANN operator
+    * at all — north-star addition like q27/q56).
+    *
+    * Exactness across engines: vectors are quantized once to integer
+    * micro-units (the q86 trick), ALL distances are integer squared-L2
+    * (`Σ(a−b)²` over BIGINT — no floats anywhere), and every ranking
+    * tie-breaks on vec_id/cid, so codes, shortlist, and rerank are all
+    * hash-exact. Codebooks are deterministic sample vectors (vec_id
+    * 1..[[PqK]] — the random-sample init production PQ trainers start
+    * from; q86 shows the Lloyd refinement under the oracle).
+    *
+    * Plan shape at 100 TB: the codes table is [[PqM]] bytes per vector
+    * (16 B vs 256 B raw float32 — 16×), built ONCE by a narrow pass with
+    * a broadcast codebook (PqK·PqM tiny rows); each query broadcasts a
+    * PqM·PqK ADC table and does one codes-scan + hash-agg + TakeOrdered —
+    * no shuffle of vectors, and the rerank touches only [[PqShortlist]]
+    * full vectors. Composes with q56's IVF partition pruning (scan only
+    * probed cells' codes). */
+  val q97PqAnn = QueryDef(
+    "q97_pq_ann",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(toD(col("embedding")),
+          x => floor(x * lit(1000000.0) + lit(0.5)).cast(LongType)).as("iv"))
+      // one row per (vector, subspace): the PqSubDim-dim subvector
+      val sub = e
+        .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("iv"))
+        .select(col("vec_id"), col("m"),
+          slice(col("iv"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sv"))
+      val cb = sub.filter(col("vec_id").between(1, PqK))
+        .select(col("vec_id").as("cid"), col("m"), col("sv").as("cv"))
+      def sqdist(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+      // ENCODE: nearest codeword per (vector, subspace) — broadcast codebook
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id", "m").orderBy(col("sd").asc, col("cid").asc)
+      val codes = sub.join(broadcast(cb), Seq("m"))
+        .select(col("vec_id"), col("m"), col("cid"), sqdist(col("sv"), col("cv")).as("sd"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("vec_id", "m", "cid")
+      // ADC table: query subvector → every codeword, per subspace
+      val qsub = sub.filter(col("vec_id") === 0).select(col("m"), col("sv").as("qv"))
+      val adc = cb.join(broadcast(qsub), Seq("m"))
+        .select(col("m"), col("cid"), sqdist(col("cv"), col("qv")).as("qd"))
+      val shortlist = codes.filter(col("vec_id") =!= 0)
+        .join(broadcast(adc), Seq("m", "cid"))
+        .groupBy("vec_id").agg(sum(col("qd")).as("adc_dist"))
+        .orderBy(col("adc_dist").asc, col("vec_id").asc).limit(PqShortlist)
+      // RERANK: exact integer distances for the shortlist only
+      val qv = e.filter(col("vec_id") === 0).select(col("iv").as("qiv"))
+      broadcast(shortlist)
+        .join(e, Seq("vec_id"))
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("adc_dist"), sqdist(col("iv"), col("qiv")).as("exact_dist"))
+        .orderBy(col("exact_dist").asc, col("vec_id").asc)
+        .limit(10)
+    },
+    Some(s"""WITH e AS (
+           |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+           |    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS iv
+           |  FROM embeddings),
+           |sub AS (
+           |  SELECT vec_id, m, list_slice(iv, m * $PqSubDim + 1, m * $PqSubDim + $PqSubDim) AS sv
+           |  FROM e CROSS JOIN range(0, $PqM) t(m)),
+           |cb AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id BETWEEN 1 AND $PqK),
+           |asg AS (
+           |  SELECT s.vec_id, s.m, c.cid,
+           |    row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+           |      list_sum(list_transform(range(1, ${PqSubDim + 1}),
+           |        i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) ASC, c.cid ASC) AS rn
+           |  FROM sub s JOIN cb c USING (m)),
+           |codes AS (SELECT vec_id, m, cid FROM asg WHERE rn = 1),
+           |adc AS (
+           |  SELECT c.m, c.cid,
+           |    list_sum(list_transform(range(1, ${PqSubDim + 1}),
+           |      i -> (c.cv[i] - q.sv[i]) * (c.cv[i] - q.sv[i]))) AS qd
+           |  FROM cb c JOIN (SELECT m, sv FROM sub WHERE vec_id = 0) q USING (m)),
+           |shortlist AS (
+           |  SELECT codes.vec_id, CAST(SUM(adc.qd) AS BIGINT) AS adc_dist
+           |  FROM codes JOIN adc USING (m, cid) WHERE codes.vec_id <> 0 GROUP BY 1
+           |  ORDER BY adc_dist, vec_id LIMIT $PqShortlist)
+           |SELECT s.vec_id, s.adc_dist,
+           |  CAST(list_sum(list_transform(range(1, 65),
+           |    i -> (e.iv[i] - q.iv[i]) * (e.iv[i] - q.iv[i]))) AS BIGINT) AS exact_dist
+           |FROM shortlist s JOIN e ON s.vec_id = e.vec_id
+           |CROSS JOIN (SELECT iv FROM e WHERE vec_id = 0) q
+           |ORDER BY exact_dist, s.vec_id LIMIT 10""".stripMargin)
+  )
+
   val all: Seq[QueryDef] =
     Seq(q27CosineTopK, q28AnnLsh, q29CosinePairs, q38BatchAnn, q56AnnIvf,
-      q62QuantizedAnn, q68EmbeddingLshPairs, q78SemanticDedup, q86KMeans)
+      q62QuantizedAnn, q68EmbeddingLshPairs, q78SemanticDedup, q86KMeans,
+      q97PqAnn)
 }

@@ -394,8 +394,50 @@ object EventStreams {
            |ORDER BY v.user_id, view_us, view_id, click_us, click_id""".stripMargin)
   )
 
+  /** q98: streaming DEDUPLICATION executed AS streaming — the ingest-side
+    * idempotency shape every at-least-once pipeline needs (a redelivered
+    * event must not double-count downstream): dedup on an idempotency key
+    * (user, type, 6-hour bucket — coarse enough that the synthetic corpus
+    * genuinely contains duplicates at every sf, asserted in the spec) via
+    * `dropDuplicatesWithinWatermark`,
+    * whose state store evicts keys once the watermark passes them — the
+    * point of the operator vs classic `dropDuplicates`, which would hold
+    * every key forever on an unbounded stream.
+    *
+    * Determinism: within a micro-batch, WHICH duplicate row is kept is
+    * arrival-order-dependent, so the query emits only the KEY columns —
+    * the deduped key set is deterministic even though the witness rows
+    * are not. The drained sink must hash-match DuckDB's batch
+    * `GROUP BY key` over the same parquet (all data arrives in the first
+    * batch here, so within-watermark dedup ≡ global distinct; the
+    * sentinel batches only exercise state eviction and are filtered on
+    * the bounded sink read).
+    *
+    * 100 TB/day shape: state is one small tuple per key within the
+    * watermark horizon — bounded by key arrival rate × delay, not by
+    * stream length; the shuffle is on the dedup key, exactly the
+    * exchange a batch GROUP BY would do. */
+  val q98StreamingDedup = graft.QueryDef(
+    "q98_streaming_dedup",
+    (s, d) => {
+      val sunk = drainAvailableNow(s, d) { st =>
+        st.withWatermark("ts", "10 minutes")
+          .withColumn("bucket", expr("ts_ns DIV 21600000000000").cast(LongType))
+          .dropDuplicatesWithinWatermark("user_id", "event_type", "bucket")
+          .select(col("user_id"), col("event_type"), col("bucket"))
+      }
+      sunk.filter(col("user_id") >= 0) // drop sentinel keys
+        .orderBy("user_id", "event_type", "bucket")
+    },
+    Some("""SELECT user_id, event_type,
+           |  CAST(epoch_ns(ts) // 21600000000000 AS BIGINT) AS bucket
+           |FROM events GROUP BY 1, 2, 3
+           |ORDER BY user_id, event_type, bucket""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] =
-    Seq(q64StreamingTumbling, q82StreamingSession, q96StreamingIntervalJoin)
+    Seq(q64StreamingTumbling, q82StreamingSession, q96StreamingIntervalJoin,
+      q98StreamingDedup)
 
   /** Custom per-user running state via mapGroupsWithState — the
     * `KeyValueGroupedDataset` stateful escape hatch (arbitrary state the

@@ -142,6 +142,7 @@ class PlanSpec extends SparkSpec {
       "q78_semantic_dedup", // q78: q56's broadcast 8-centroid assignment
       "q85_mixture_sample", // q85: 1-row min-domain scalar broadcast
       "q86_kmeans", // q86: k=8 centroid broadcast per assignment pass
+      "q97_pq_ann", // q97: 1-row query-vector broadcast under the rerank
       // q91: oracle-slice theta join (|Δlen| band + banded levenshtein);
       // the equi-bucketed shape for past-broadcast scale is q90
       "q91_editdist_sql")

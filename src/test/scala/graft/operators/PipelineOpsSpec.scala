@@ -243,4 +243,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.filter(col("action") === "update").filter(col("status") =!= "U").count() == 0)
     out.unpersist()
   }
+
+  test("q99: chunking covers every token exactly; stride/size invariants hold") {
+    val C = PipelineOps.ChunkSize
+    val S = PipelineOps.ChunkStride
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n"))
+      .filter(col("n") > 0)
+    val out = PipelineOps.q99ChunkOverlap.run(spark, sfDir).cache()
+    val perDoc = out.groupBy("doc_id").agg(
+      count(lit(1)).as("c"), max("chunk_id").as("maxk"),
+      min("n_tok").as("mn"), max("n_tok").as("mx"))
+    val joined = perDoc.join(docs, Seq("doc_id")).cache()
+    // every non-empty doc chunked; chunk ids dense 0..c-1
+    assert(joined.count() == docs.count())
+    assert(joined.filter(col("maxk") =!= col("c") - 1).count() == 0)
+    // expected chunk count: 1 + ceil(max(0, n - C) / S)
+    assert(joined.filter(col("c") =!=
+      lit(1) + when(col("n") > C, expr(s"(n - $C + ${S - 1}) DIV $S")).otherwise(0L)
+    ).count() == 0, "chunk-count formula")
+    // the last chunk ends exactly at token n: S*(c-1) + n_tok_last == n
+    val last = out.join(perDoc, Seq("doc_id"))
+      .filter(col("chunk_id") === col("maxk"))
+      .join(docs, Seq("doc_id"))
+    assert(last.filter(col("chunk_id") * S + col("n_tok") =!= col("n")).count() == 0,
+      "tail coverage: final chunk reaches the last token")
+    // every non-final chunk is a FULL window
+    assert(out.join(perDoc, Seq("doc_id"))
+      .filter(col("chunk_id") < col("maxk")).filter(col("n_tok") =!= C)
+      .count() == 0, "non-final chunks are full windows")
+    // multi-chunk docs exist at this sf (the overlap path is exercised)
+    assert(joined.filter(col("c") > 1).count() > 0)
+    out.unpersist(); joined.unpersist()
+  }
 }

@@ -48,4 +48,31 @@ class VectorOpsSpec extends SparkSpec {
     // every reported pair clears the threshold
     assert(pairs.forall(_.getDouble(2) >= 0.45))
   }
+
+  test("q97 PQ-ADC shortlist + rerank equals the exact integer-L2 top-10") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val res = VectorOps.q97PqAnn.run(spark, sfDir).collect()
+    assert(res.length == 10)
+    // independent brute-force reference over the same integer micro-units
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * lit(1000000.0) + lit(0.5)).cast(LongType)).as("iv"))
+    val q = e.filter(col("vec_id") === 0).select(col("iv").as("qiv"))
+    val exact = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("iv"), col("qiv"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, x) => a + x).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10).collect()
+    // recall 1.0 on this corpus: ids AND exact distances match, in order
+    assert(res.map(_.getLong(0)).toSeq == exact.map(_.getLong(0)).toSeq)
+    assert(res.map(_.getLong(2)).toSeq == exact.map(_.getLong(1)).toSeq)
+    // ADC is an approximation: positive, and EXACT for codeword vectors
+    // (a codeword quantizes to itself, so its table lookups sum to the
+    // true distance)
+    assert(res.forall(_.getLong(1) > 0))
+    res.filter(r => r.getLong(0) >= 1 && r.getLong(0) <= VectorOps.PqK)
+      .foreach(r => assert(r.getLong(1) == r.getLong(2),
+        s"codeword vec ${r.getLong(0)}: adc ${r.getLong(1)} != exact ${r.getLong(2)}"))
+  }
 }
