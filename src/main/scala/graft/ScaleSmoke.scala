@@ -204,6 +204,57 @@ object ScaleSmoke {
       "ivf_rows_scanned" -> scanned, "ivf_scan_fraction" -> (scanned.toDouble / nVec),
       "ivf_recall_at_20" -> (recall.toDouble / 20))
 
+    // ---- phase 2b: product-quantization ADC at the same scale (q97) ----
+    // the RAM-resident representation: 16 one-byte codewords per vector
+    // (16 B vs 256 B raw float32). Encoding is ONE pass over the corpus —
+    // broadcast 16×64 codebook, argmin via partial-agg struct-min (map-
+    // side combine collapses the 64-way candidate expansion before any
+    // exchange; no window). A query is a broadcast 1,024-entry ADC table
+    // + one hash agg over the codes + an exact rerank of the top-100.
+    // The planted near-copies quantize to (near-)identical codes as the
+    // query, so ADC must rank them at the top: recall@20 vs brute force.
+    val tPq = System.nanoTime()
+    val ivs = vecs.select(col("vec_id"),
+      transform(col("v"), x => floor(x * lit(1000000.0) + lit(0.5)).cast("long")).as("iv"))
+    val subs = ivs
+      .select(col("vec_id"), explode(sequence(lit(0), lit(15))).as("m"), col("iv"))
+      .select(col("vec_id"), col("m"), slice(col("iv"), col("m") * 4 + 1, lit(4)).as("sv"))
+    val pqCb = subs.filter(col("vec_id").between(100, 163))
+      .select(col("vec_id").as("cid"), col("m"), col("sv").as("cv"))
+    def isq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    val pqCodes = subs.join(broadcast(pqCb), Seq("m"))
+      .select(col("vec_id"), col("m"),
+        struct(isq(col("sv"), col("cv")).as("sd"), col("cid")).as("sc"))
+      .groupBy("vec_id", "m").agg(min(col("sc")).getField("cid").as("cid"))
+      .cache()
+    val nCodes = pqCodes.count()
+    val pqEncodeSecs = (System.nanoTime() - tPq) / 1e9
+    assert(nCodes == nVec * 16, s"code table incomplete: $nCodes")
+    val tPqQ = System.nanoTime()
+    val qsub = subs.filter(col("vec_id") === 0).select(col("m").as("qm"), col("sv").as("qsv"))
+    val adcTab = pqCb.join(broadcast(qsub), col("m") === col("qm"))
+      .select(col("m"), col("cid"), isq(col("cv"), col("qsv")).as("qd"))
+    val pqShort = pqCodes.filter(col("vec_id") =!= 0)
+      .join(broadcast(adcTab), Seq("m", "cid"))
+      .groupBy("vec_id").agg(sum(col("qd")).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc).limit(100)
+    val qiv = ivs.filter(col("vec_id") === 0).select(col("iv").as("qiv"))
+    val pqTop = broadcast(pqShort).join(ivs, Seq("vec_id")).crossJoin(broadcast(qiv))
+      .select(col("vec_id"), isq(col("iv"), col("qiv")).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(20)
+      .collect().map(_.getLong(0)).toSet
+    val pqQuerySecs = (System.nanoTime() - tPqQ) / 1e9
+    val pqRecall = pqTop.intersect(bf).size
+    println(f"[smoke] PQ-ADC(16×64): encode $pqEncodeSecs%.1f s (once, " +
+      f"${nVec * 16} B codes vs ${nVec * 256} B raw), query $pqQuerySecs%.1f s " +
+      f"(ADC over codes + top-100 exact rerank), recall $pqRecall/20 vs brute force")
+    assert(pqRecall >= 19, s"PQ recall degraded: $pqRecall/20")
+    println("[smoke] OK — PQ-ADC at " + nVec + " vectors")
+    report ++= Seq("pq_encode_secs" -> pqEncodeSecs, "pq_query_secs" -> pqQuerySecs,
+      "pq_recall_at_20" -> (pqRecall.toDouble / 20))
+    pqCodes.unpersist()
+
     spark.catalog.clearCache()
 
     // ---- phase 3: embedding near-dup PAIRS at scale (the q68 engine) ----
