@@ -287,6 +287,118 @@ object EventOps {
            |ORDER BY cohort_day, week_idx""".stripMargin)
   )
 
+  /** q100: EWMA anomaly detection — the streaming-metrics primitive
+    * (forecast each point from its own history, flag large deviations)
+    * as a batch window op. The prediction is an 8-tap exponentially
+    * weighted average of the PREVIOUS values (α = 1/2 ⇒ weights
+    * 128,64,…,1 / 255 — dyadic, so the whole score is integer-exact
+    * cross-engine: `value` is scaled to µ-units BEFORE any arithmetic,
+    * per the decimal-discipline rule). A point is anomalous when it
+    * deviates from its forecast by more than 50%.
+    *
+    * Plan shape at 100 TB: one window partitioned by `user_id` — the
+    * same entity-keyed shape as sessionization (q32), so parallelism
+    * scales with users, not events; the eight `lag`s share one frame
+    * scan. Nothing else shuffles but the final sort. */
+  val q100EwmaAnomaly = QueryDef(
+    "q100_ewma_anomaly",
+    (s, d) => {
+      // µs, not ns: DuckDB's TIMESTAMP is µs-precision, so the shared
+      // timestamp column must be the µs truncation on BOTH sides (the
+      // ns tail would differ; event_id already breaks same-µs ties)
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val base = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), expr("ts_ns DIV 1000").as("ts_us"),
+          floor(col("value") * 1000000.0 + 0.5).cast(LongType).as("v"))
+      val lagged = (1 to 8).foldLeft(base) { (df, j) =>
+        df.withColumn(s"l$j", lag(col("v"), j).over(w))
+      }
+      lagged
+        .filter(col("l8").isNotNull)
+        .withColumn("pred_num",
+          col("l1") * 128 + col("l2") * 64 + col("l3") * 32 + col("l4") * 16 +
+            col("l5") * 8 + col("l6") * 4 + col("l7") * 2 + col("l8"))
+        .withColumn("dev_num", col("v") * 255 - col("pred_num"))
+        .withColumn("is_anom", abs(col("dev_num")) * 2 > col("pred_num"))
+        .select("user_id", "event_id", "ts_us", "v", "pred_num", "dev_num", "is_anom")
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+    Some("""WITH base AS (
+           |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+           |  FROM events),
+           |lagged AS (
+           |  SELECT user_id, event_id, ts_us, v,
+           |    lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+           |    lag(v, 3) OVER w AS l3, lag(v, 4) OVER w AS l4,
+           |    lag(v, 5) OVER w AS l5, lag(v, 6) OVER w AS l6,
+           |    lag(v, 7) OVER w AS l7, lag(v, 8) OVER w AS l8
+           |  FROM base
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+           |SELECT user_id, event_id, ts_us, v,
+           |  l1*128 + l2*64 + l3*32 + l4*16 + l5*8 + l6*4 + l7*2 + l8 AS pred_num,
+           |  v*255 - (l1*128 + l2*64 + l3*32 + l4*16 + l5*8 + l6*4 + l7*2 + l8) AS dev_num,
+           |  abs(v*255 - (l1*128 + l2*64 + l3*32 + l4*16 + l5*8 + l6*4 + l7*2 + l8)) * 2
+           |    > (l1*128 + l2*64 + l3*32 + l4*16 + l5*8 + l6*4 + l7*2 + l8) AS is_anom
+           |FROM lagged WHERE l8 IS NOT NULL
+           |ORDER BY user_id, ts_us, event_id""".stripMargin)
+  )
+
+  /** q103: χ² contingency analysis — is event type independent of
+    * hour-of-day? The classic data-exploration / drift-detection stat,
+    * computed per cell: observed count, expected count under
+    * independence (row·col/total), and the cell's χ² contribution
+    * ((obs·N − rt·ct)² / (N·rt·ct)), all in ×1e6 fixed-point integer
+    * arithmetic (bit-identical cross-engine; no float division). The
+    * ×1e6 scaling is applied by pre-dividing the DENOMINATOR — the
+    * naive `d²·1e6` numerator overflows int64 already at sf0.1
+    * (d ≈ 1e8 ⇒ d²·1e6 ≈ 1e22), and DuckDB throws on BIGINT overflow
+    * while Spark silently wraps: the one formula shape that is safe in
+    * both engines is `d² DIV greatest(N·rt·ct DIV 1e6, 1)`.
+    *
+    * Plan shape at 100 TB: the event table is scanned ONCE into one
+    * hash agg over (type, hour) — the cell grid is bounded (types × 24)
+    * regardless of event volume, so the row/column/grand margins are
+    * window sums over that metadata-sized grid, not re-aggregations of
+    * the corpus (the join formulation re-derived the scan 4×). */
+  val q103Contingency = QueryDef(
+    "q103_contingency",
+    (s, d) => {
+      val HourNs = 3600L * 1000000000L
+      val wr = Window.partitionBy("event_type")
+      val wc = Window.partitionBy("hr")
+      val wt = Window.partitionBy()
+      Tables.events(s, d)
+        .withColumn("hr", expr(s"(ts_ns DIV ${HourNs}) % 24"))
+        .groupBy("event_type", "hr")
+        .agg(count(lit(1)).as("obs"))
+        .withColumn("rt", sum("obs").over(wr).cast(LongType))
+        .withColumn("ct", sum("obs").over(wc).cast(LongType))
+        .withColumn("total", sum("obs").over(wt).cast(LongType))
+        .withColumn("expected_x1m", expr("rt * ct * 1000000 DIV total"))
+        .withColumn("chi2_x1m",
+          expr("(obs * total - rt * ct) * (obs * total - rt * ct) " +
+            "DIV greatest(total * rt * ct DIV 1000000, 1)"))
+        .select("event_type", "hr", "obs", "rt", "ct", "total", "expected_x1m", "chi2_x1m")
+        .orderBy("event_type", "hr")
+    },
+    Some(s"""WITH cells AS (
+           |  SELECT event_type, (epoch_ns(ts) // ${3600L * 1000000000L}) % 24 AS hr,
+           |    CAST(COUNT(*) AS BIGINT) AS obs
+           |  FROM events GROUP BY 1, 2),
+           |m AS (
+           |  SELECT event_type, hr, obs,
+           |    CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+           |    CAST(SUM(obs) OVER (PARTITION BY hr) AS BIGINT) AS ct,
+           |    CAST(SUM(obs) OVER () AS BIGINT) AS total
+           |  FROM cells)
+           |SELECT event_type, hr, obs, rt, ct, total,
+           |  rt * ct * 1000000 // total AS expected_x1m,
+           |  (obs * total - rt * ct) * (obs * total - rt * ct)
+           |    // greatest(total * rt * ct // 1000000, 1) AS chi2_x1m
+           |FROM m ORDER BY event_type, hr""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
-    q60ResampleFfill, q88Funnel, q89Retention)
+    q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency)
 }

@@ -130,5 +130,56 @@ object PageRank {
            |ORDER BY rank DESC, node_type, key LIMIT 20""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q77PageRank)
+  /** q102: triangle counting — the second graph-analytics operator
+    * (clustering-coefficient numerator, community-density signal,
+    * link-spam detector next to q77's centrality). The trade graph is
+    * bipartite (triangle-free by construction), so the query builds a
+    * deterministic synthetic friendship graph over the document-id
+    * slice — 6 md5-derived out-edges per node (the md5-bridge both
+    * engines share), canonicalized undirected (a < b, distinct).
+    *
+    * The enumeration is the ORIENTED wedge join: every edge is stored
+    * only as (lo, hi), wedges (a<b, b<c) are generated by an equi-join
+    * on the shared middle vertex and closed by a second equi-join on
+    * (a, c) — each triangle found exactly once, no direction explosion.
+    * At 100 TB scale the orientation would be by DEGREE rather than id
+    * (hub vertices become wedge middles at most O(deg²/4) times, the
+    * standard skew bound); id-orientation keeps the oracle SQL exactly
+    * mirrorable, and the degree variant is a one-line re-keying of the
+    * same plan. Both joins are shuffle-partitioned by vertex key —
+    * parallelism scales with vertices, and the wedge stream never
+    * materializes (it flows straight into the closing hash join). */
+  val q102Triangles = QueryDef(
+    "q102_triangles",
+    (s, d) => {
+      val h = conv(substring(md5(concat(lit("tri#"), col("src"), lit("#"), col("k"))),
+        1, 15), 16, 10).cast(LongType)
+      val e = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id").as("src"), explode(sequence(lit(1), lit(6))).as("k"))
+        .withColumn("dst", pmod(h, lit(500L)))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") < col("b")).distinct()
+      val bc = e.select(col("a").as("b"), col("b").as("c"))
+      val ac = e.select(col("a"), col("b").as("c"))
+      e.join(bc, Seq("b")).join(ac, Seq("a", "c"))
+        .select("a", "b", "c").orderBy("a", "b", "c")
+    },
+    Some("""WITH raw AS (
+           |  SELECT doc_id AS src,
+           |    CAST(('0x' || substr(md5('tri#' || doc_id || '#' || k), 1, 15)) AS BIGINT)
+           |      % 500 AS dst
+           |  FROM documents, range(1, 7) AS t(k)
+           |  WHERE doc_id < 500),
+           |e AS (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM raw WHERE least(src, dst) < greatest(src, dst))
+           |SELECT e1.a AS a, e1.b AS b, e2.b AS c
+           |FROM e e1
+           |JOIN e e2 ON e2.a = e1.b
+           |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+           |ORDER BY 1, 2, 3""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q77PageRank, q102Triangles)
 }

@@ -612,8 +612,112 @@ object TextOps {
            |FROM agg ORDER BY n_tokens DESC, source, lang""".stripMargin)
   )
 
+  /** q101: bigram-LM fluency scoring — the n-gram-model quality filter
+    * (rank documents by how predictable their text is under a language
+    * model trained on the corpus itself). The model is the corpus bigram
+    * table; a document's score is the mean conditional probability
+    * P(w₂|w₁) = count(w₁w₂)/count(w₁·) over its bigram instances, in
+    * ×1e6 fixed-point (integer-exact cross-engine — same discipline as
+    * q59's idf: any monotone transform ranks identically, so no float
+    * log is needed). Low scores ⇒ disfluent/boilerplate/garbled text —
+    * the perplexity filter of a training-data pipeline.
+    *
+    * Plan shape at 100 TB: the bigram explode is a pure projection; the
+    * model tables (cb keyed by bigram, cu by unigram) are
+    * vocabulary-sized aggs with map-side partial aggregation, far
+    * smaller than the corpus — AQE broadcasts them back onto the bigram
+    * stream (at trillion-token scale they'd be bucketed equi-joins on
+    * the same keys); the per-doc mean is one more hash agg keyed by
+    * doc_id. Nothing is ever keyed by anything wider than a bigram. */
+  val q101LmFluency = QueryDef(
+    "q101_lm_fluency",
+    (s, d) => {
+      val big = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(lower(col("text"))).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("w1"),
+              element_at(col("t"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val cu = big.groupBy("w1").agg(count(lit(1)).as("cu"))
+      big.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+        .withColumn("p_x1m", expr("cb * 1000000 DIV cu"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(p_x1m) DIV count(1)").cast(LongType).as("fluency_x1m"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+           |  FROM documents),
+           |big AS (
+           |  SELECT doc_id, t[CAST(i AS INTEGER)] AS w1, t[CAST(i AS INTEGER) + 1] AS w2
+           |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+           |        FROM toks WHERE len(t) >= 2) x),
+           |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+           |cu AS (SELECT w1, COUNT(*) AS cu FROM big GROUP BY 1)
+           |SELECT doc_id, COUNT(*) AS n_bigrams,
+           |  CAST(CAST(SUM(cb.cb * 1000000 // cu.cu) AS BIGINT) // COUNT(*) AS BIGINT)
+           |    AS fluency_x1m
+           |FROM big JOIN cb USING (w1, w2) JOIN cu USING (w1)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  )
+
+  /** q104: inverted-index build — phrase → sorted posting list, the IR /
+    * search-engine primitive (and the lookup structure behind q69-style
+    * decontamination at interactive latency). The index key is the word
+    * TRIGRAM, not the single token: the synthetic corpus draws from a
+    * ~31-word vocabulary, so every unigram is a stopword (min df 25 of
+    * 500 docs) — trigrams recover a ~30k-term vocabulary with a real
+    * rarity tail, which is also why phrase-level indexes are what
+    * decontamination and exact-quote search actually build. Postings
+    * are emitted for DISCRIMINATIVE terms only (2 ≤ df ≤ 8): df = 1
+    * indexes nothing useful and high-df terms are the classic
+    * index-build skew — real systems shard or elide them, and the df
+    * cap IS that policy, stated. The list is serialized as a
+    * comma-joined sorted string (deterministic; raw array columns don't
+    * round-trip the driver's canonicalizer).
+    *
+    * Plan shape at 100 TB: distinct (term, doc) pairs — one exchange
+    * keyed by term — then a single hash agg whose collect is bounded
+    * by the df cap (≤ 8 doc ids per group by construction, so no group
+    * can blow up); partitioning by term is exactly how a sharded index
+    * is laid out on disk. */
+  val q104InvertedIndex = QueryDef(
+    "q104_inverted_index",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(lower(col("text"))).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")) - 2),
+            i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2)))).as("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
+        .filter(col("df").between(2, 8))
+        .orderBy("term")
+    },
+    Some("""WITH pairs AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest(list_transform(range(1, len(t) - 1),
+           |      i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1]
+           |           || ' ' || t[CAST(i AS INTEGER) + 2])) AS term
+           |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+           |        FROM documents) d
+           |  WHERE len(t) >= 3)
+           |SELECT term, COUNT(*) AS df,
+           |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+           |FROM pairs GROUP BY term HAVING COUNT(*) BETWEEN 2 AND 8
+           |ORDER BY term""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId,
     q22Fingerprint, q39Bigrams, q55TokenCounts, q57Winnowing, q59Tfidf,
     q66PiiRedact, q67Repetition, q69Decontamination, q70DecontamPool,
-    q72MixtureReport)
+    q72MixtureReport, q101LmFluency, q104InvertedIndex)
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Functional invariants for the r4 analytics additions (q100–q104);
+  * exact values are oracle-checked at sf0.01, these pin the algebraic
+  * properties at sf0.001. */
+class AnalyticsOpsSpec extends SparkSpec {
+
+  test("q100: one row per event past the 8-lag warmup; forecast matches a driver-side EWMA") {
+    val out = EventOps.q100EwmaAnomaly.run(spark, sfDir).cache()
+    val perUser = Tables.events(spark, sfDir).groupBy("user_id").count()
+      .select(sum(greatest(col("count") - 8, lit(0L)))).head.getLong(0)
+    assert(out.count() == perUser, "every event past its user's first 8 is scored")
+    // recompute one user's EWMA chain on the driver
+    val uid = out.select("user_id").head.getLong(0)
+    val vs = Tables.events(spark, sfDir).filter(col("user_id") === uid)
+      .orderBy(expr("ts_ns DIV 1000"), col("event_id"))
+      .select(floor(col("value") * 1000000.0 + 0.5).cast("long"))
+      .collect().map(_.getLong(0))
+    val expected = (8 until vs.length).map { i =>
+      (1 to 8).map(j => vs(i - j) * (256L >> j)).sum
+    }
+    val got = out.filter(col("user_id") === uid).orderBy("ts_us", "event_id")
+      .select("pred_num").collect().map(_.getLong(0)).toSeq
+    assert(got == expected, "window EWMA equals the sequential reference")
+    out.unpersist()
+  }
+
+  test("q101: fluency is a probability in fixed-point; every multi-token doc is scored") {
+    val out = TextOps.q101LmFluency.run(spark, sfDir).cache()
+    val eligible = Tables.documents(spark, sfDir)
+      .filter(size(filter(split(lower(col("text")), " "), t => t =!= "")) >= 2).count()
+    assert(out.count() == eligible)
+    val bad = out.filter(col("fluency_x1m") < 1 || col("fluency_x1m") > 1000000).count()
+    assert(bad == 0, "mean conditional probability stays in (0, 1] ×1e6")
+    out.unpersist()
+  }
+
+  test("q102: output equals a driver-side brute-force triangle enumeration") {
+    val tri = PageRank.q102Triangles.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // rebuild the same graph on the driver (≤3000 edges) and enumerate
+    val h = conv(substring(md5(concat(lit("tri#"), col("src"), lit("#"), col("k"))),
+      1, 15), 16, 10).cast("long")
+    val edges = Tables.documents(spark, sfDir).filter(col("doc_id") < 500)
+      .select(col("doc_id").as("src"), explode(sequence(lit(1), lit(6))).as("k"))
+      .withColumn("dst", pmod(h, lit(500L)))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val brute = for {
+      (a, b) <- edges
+      c <- adj.getOrElse(b, Set.empty[Long])
+      if edges.contains((a, c))
+    } yield (a, b, c)
+    assert(tri == brute, s"${tri.size} plan triangles vs ${brute.size} brute-force")
+    assert(tri.forall { case (a, b, c) => a < b && b < c }, "oriented output")
+  }
+
+  test("q103: margins are consistent — row/col totals and N agree with the cell grid") {
+    val out = EventOps.q103Contingency.run(spark, sfDir).cache()
+    val n = Tables.events(spark, sfDir).count()
+    assert(out.filter(col("total") =!= n).count() == 0, "N is the event count")
+    val badRow = out.groupBy("event_type").agg(sum("obs").as("s"), max("rt").as("rt"))
+      .filter(col("s") =!= col("rt")).count()
+    val badCol = out.groupBy("hr").agg(sum("obs").as("s"), max("ct").as("ct"))
+      .filter(col("s") =!= col("ct")).count()
+    assert(badRow == 0 && badCol == 0, "margins equal cell sums")
+    out.unpersist()
+  }
+
+  test("q104: postings are sorted, df-consistent, and bounded by the df cap") {
+    val out = TextOps.q104InvertedIndex.run(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val df = r.getLong(1)
+      val ids = r.getString(2).split(",").map(_.toLong)
+      assert(df >= 2 && df <= 8, s"df cap violated for ${r.getString(0)}")
+      assert(ids.length == df, "df equals posting length")
+      assert(ids.sameElements(ids.sorted), "postings sorted")
+      assert(ids.distinct.length == ids.length, "postings distinct")
+    }
+  }
+}
