@@ -206,13 +206,18 @@ object ScaleSmoke {
 
     // ---- phase 2b: product-quantization ADC at the same scale (q97) ----
     // the RAM-resident representation: 16 one-byte codewords per vector
-    // (16 B vs 256 B raw float32). Encoding is ONE pass over the corpus —
-    // broadcast 16×64 codebook, argmin via partial-agg struct-min (map-
-    // side combine collapses the 64-way candidate expansion before any
-    // exchange; no window). A query is a broadcast 1,024-entry ADC table
-    // + one hash agg over the codes + an exact rerank of the top-100.
-    // The planted near-copies quantize to (near-)identical codes as the
-    // query, so ADC must rank them at the top: recall@20 vs brute force.
+    // (16 B vs 256 B raw float32). Encoding is ONE pass over the corpus:
+    // the 16-row codebook (one 64-candidate array per subspace) is
+    // broadcast and the argmin is a codegen'd ARRAY FOLD inside the
+    // projection — zero row expansion (the join+partial-agg formulation
+    // materialized 64 candidate rows per subvector: measured 333 s at
+    // 500k vecs vs seconds for the fold; same argmin, tie to the lowest
+    // cid, because the fold scans candidates in ascending-cid order and
+    // only replaces on strictly smaller distance). A query is a
+    // broadcast 1,024-entry ADC table + one hash agg over the codes +
+    // an exact rerank of the top-100. The planted near-copies quantize
+    // to (near-)identical codes as the query, so ADC must rank them at
+    // the top: recall@20 vs brute force.
     val tPq = System.nanoTime()
     val ivs = vecs.select(col("vec_id"),
       transform(col("v"), x => floor(x * lit(1000000.0) + lit(0.5)).cast("long")).as("iv"))
@@ -223,10 +228,17 @@ object ScaleSmoke {
       .select(col("vec_id").as("cid"), col("m"), col("sv").as("cv"))
     def isq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
-    val pqCodes = subs.join(broadcast(pqCb), Seq("m"))
+    val cbArr = pqCb.groupBy("m")
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cands"))
+    val pqCodes = subs.join(broadcast(cbArr), Seq("m"))
       .select(col("vec_id"), col("m"),
-        struct(isq(col("sv"), col("cv")).as("sd"), col("cid")).as("sc"))
-      .groupBy("vec_id", "m").agg(min(col("sc")).getField("cid").as("cid"))
+        aggregate(col("cands"),
+          struct(lit(Long.MaxValue).as("sd"), lit(-1L).as("cid")),
+          (acc, c) => when(isq(col("sv"), c.getField("cv")) < acc.getField("sd"),
+            struct(isq(col("sv"), c.getField("cv")).as("sd"),
+              c.getField("cid").cast("long").as("cid")))
+            .otherwise(acc))
+          .getField("cid").as("cid"))
       .cache()
     val nCodes = pqCodes.count()
     val pqEncodeSecs = (System.nanoTime() - tPq) / 1e9

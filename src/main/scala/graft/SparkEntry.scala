@@ -16,7 +16,8 @@ object SparkEntry {
     Relational.all ++ TextOps.all ++ DedupOps.all ++ VectorOps.all ++
       EventOps.all ++ Multimodal.all ++ AsofJoin.all ++ Components.all ++
       CleanCorpus.all ++ graft.streaming.EventStreams.all ++
-      PipelineOps.all ++ PageRank.all ++ StorageOps.all ++ ScaleTools.all
+      PipelineOps.all ++ PageRank.all ++ StorageOps.all ++ ScaleTools.all ++
+      MiningOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.{QueryDef, Tables}
+
+/** Data-mining / data-profiling operators: association rules over order
+  * baskets, robust (median/MAD) outlier detection, and single-pass table
+  * profiling — the exploratory layer a warehouse runs before any model
+  * sees the data. All scores use the repo's fixed-point integer
+  * discipline (no float log/division reaches the oracle hash). */
+object MiningOps {
+
+  /** q105: market-basket association rules — frequent part PAIRS within
+    * an order plus confidence and lift, the classic co-occurrence mining
+    * op (and the same shape as word co-occurrence / PMI over token
+    * windows). Pair generation is a self-join WITHIN the orderkey — the
+    * candidate space is Σ basket² (baskets average ~7 lines), never
+    * catalog², which is the a-priori observation that makes basket
+    * mining tractable. Confidence = sup(ab)/sup(a) and lift =
+    * sup(ab)·N/(sup(a)·sup(b)) in ×1e6 fixed-point with the denominator
+    * pre-divided (the q103 overflow-safe shape).
+    *
+    * Plan shape at 100 TB: distinct (order, part) is one exchange keyed
+    * by order; the pair self-join reuses that partitioning (equi-join on
+    * orderkey — co-located, no second shuffle of the big side under
+    * bucketing); per-part supports are a part-keyed agg far smaller than
+    * the pair stream, AQE-broadcast onto it. Heavy-hitter parts (the
+    * retail "bestseller skew") fatten baskets multiplicatively — the
+    * stated mitigation is the same df-cap policy as q104: cap basket
+    * width or drop ubiquitous items before pairing. */
+  val q105BasketRules = QueryDef(
+    "q105_basket_rules",
+    (s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .distinct()
+      val n = items.select(countDistinct(col("okey")).as("n_orders"))
+      val sup = items.groupBy("part").agg(count(lit(1)).as("sup"))
+      val pairs = items.select(col("okey"), col("part").as("p1"))
+        .join(items.select(col("okey"), col("part").as("p2")), Seq("okey"))
+        .filter(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("sup_ab"))
+        .filter(col("sup_ab") >= 2)
+      pairs
+        .join(sup.select(col("part").as("p1"), col("sup").as("sup_a")), Seq("p1"))
+        .join(sup.select(col("part").as("p2"), col("sup").as("sup_b")), Seq("p2"))
+        .crossJoin(broadcast(n))
+        .withColumn("conf_x1m", expr("sup_ab * 1000000 DIV sup_a"))
+        .withColumn("lift_x1m",
+          expr("sup_ab * 1000000 DIV greatest(sup_a * sup_b DIV n_orders, 1)"))
+        .select("p1", "p2", "sup_ab", "sup_a", "sup_b", "n_orders",
+          "conf_x1m", "lift_x1m")
+        .orderBy(col("sup_ab").desc, col("p1").asc, col("p2").asc)
+        .limit(50)
+    },
+    Some("""WITH items AS (
+           |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+           |n AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM items),
+           |sup AS (SELECT part, COUNT(*) AS sup FROM items GROUP BY part),
+           |pairs AS (
+           |  SELECT a.part AS p1, b.part AS p2, COUNT(*) AS sup_ab
+           |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+           |SELECT p1, p2, sup_ab, sa.sup AS sup_a, sb.sup AS sup_b, n_orders,
+           |  sup_ab * 1000000 // sa.sup AS conf_x1m,
+           |  sup_ab * 1000000 // greatest(sa.sup * sb.sup // n_orders, 1) AS lift_x1m
+           |FROM pairs
+           |JOIN sup sa ON sa.part = p1
+           |JOIN sup sb ON sb.part = p2
+           |CROSS JOIN n
+           |ORDER BY sup_ab DESC, p1, p2 LIMIT 50""".stripMargin)
+  )
+
+  /** q106: robust outlier detection — per event type, the median/MAD
+    * fence (the robust alternative to mean±3σ: one wild value cannot
+    * drag the fence, unlike q100's moving average). Both medians are
+    * EXACT percentiles kept integer-exact by scale-doubling: the median
+    * of 2v is a+b for even counts (an integer, so the engines' float
+    * interpolation is exactly representable and casts back losslessly —
+    * `med2` is the median in 2× units, `mad8` the MAD in 8× units), and
+    * the 4.5×MAD fence becomes the pure-integer comparison
+    * 4·dev4 > 9·mad8.
+    *
+    * Plan shape at 100 TB: exact medians are sort-based aggs — two
+    * passes over events by construction (median, then deviation
+    * median); each pass is one type-keyed agg, and the per-type medians
+    * rejoin as metadata-sized broadcasts. The approximate single-pass
+    * alternative (percentile_approx) is the documented trade when two
+    * passes are too dear. */
+  val q106MadOutliers = QueryDef(
+    "q106_mad_outliers",
+    (s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 1000000.0 + 0.5).cast(LongType).as("v"))
+      val med = base.groupBy("event_type")
+        .agg(expr("CAST(percentile(v * 2, 0.5) AS BIGINT)").as("med2"))
+      val dev = base.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev4", abs(col("v") * 4 - col("med2") * 2))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("CAST(percentile(dev4 * 2, 0.5) AS BIGINT)").as("mad8"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          max(col("med2")).as("med2"), max(col("mad8")).as("mad8"),
+          sum(when(col("dev4") * 4 > col("mad8") * 9, 1L).otherwise(0L))
+            .cast(LongType).as("n_outliers"))
+        .withColumn("outlier_ppm", expr("n_outliers * 1000000 DIV n"))
+        .orderBy("event_type")
+    },
+    Some("""WITH base AS (
+           |  SELECT event_type, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+           |  FROM events),
+           |med AS (
+           |  SELECT event_type, CAST(quantile_cont(v * 2, 0.5) AS BIGINT) AS med2
+           |  FROM base GROUP BY event_type),
+           |dev AS (
+           |  SELECT base.event_type, abs(v * 4 - med2 * 2) AS dev4, med2
+           |  FROM base JOIN med USING (event_type)),
+           |mad AS (
+           |  SELECT event_type, CAST(quantile_cont(dev4 * 2, 0.5) AS BIGINT) AS mad8
+           |  FROM dev GROUP BY event_type)
+           |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(MAX(med2) AS BIGINT) AS med2, CAST(MAX(mad8) AS BIGINT) AS mad8,
+           |  CAST(SUM(CASE WHEN dev4 * 4 > mad8 * 9 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_outliers,
+           |  CAST(SUM(CASE WHEN dev4 * 4 > mad8 * 9 THEN 1 ELSE 0 END) AS BIGINT)
+           |    * 1000000 // COUNT(*) AS outlier_ppm
+           |FROM dev JOIN mad USING (event_type)
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  )
+
+  /** q107: single-pass table profiler — per-column row/null/distinct
+    * counts and min/max, the schema-drift / data-quality report every
+    * ingestion pipeline emits before accepting a batch. Doubles are
+    * profiled through DECIMAL(18,2) and timestamps through DATE so the
+    * stringified extrema render identically in both engines (raw
+    * double→string formatting differs: Java "1.0E7" vs DuckDB "10000000.0").
+    *
+    * Plan shape at 100 TB: ONE scan — all 24 metrics are a single
+    * multi-distinct hash agg (Catalyst Expand handles the distincts),
+    * and the pivot to one-row-per-column is a 1-row `stack`, not a
+    * second pass. */
+  val q107TableProfile = QueryDef(
+    "q107_table_profile",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("o_price2", col("o_totalprice").cast(DecimalType(18, 2)))
+        .withColumn("o_date", col("o_orderdate").cast(DateType))
+      def prof(c: String, src: String) = Seq(
+        count(col(src)).as(s"nn_$c"),
+        countDistinct(col(src)).as(s"nd_$c"),
+        min(col(src)).cast(StringType).as(s"mn_$c"),
+        max(col(src)).cast(StringType).as(s"mx_$c"))
+      val cols = Seq(
+        "o_orderkey" -> "o_orderkey", "o_custkey" -> "o_custkey",
+        "o_orderstatus" -> "o_orderstatus", "o_totalprice" -> "o_price2",
+        "o_orderdate" -> "o_date", "o_orderpriority" -> "o_orderpriority")
+      val aggs = cols.flatMap { case (c, src) => prof(c, src) }
+      o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .select(expr("stack(" + cols.size + ", " +
+          cols.map { case (c, _) =>
+            s"'$c', n_rows, nn_$c, nd_$c, mn_$c, mx_$c"
+          }.mkString(", ") +
+          ") as (column_name, n_rows, n_nonnull, n_distinct, min_str, max_str)"))
+        .orderBy("column_name")
+    },
+    Some {
+      val cols = Seq(
+        "o_orderkey" -> "o_orderkey", "o_custkey" -> "o_custkey",
+        "o_orderstatus" -> "o_orderstatus",
+        "o_totalprice" -> "CAST(o_totalprice AS DECIMAL(18,2))",
+        "o_orderdate" -> "CAST(o_orderdate AS DATE)",
+        "o_orderpriority" -> "o_orderpriority")
+      val aggSel = cols.map { case (c, src) =>
+        s"""COUNT($src) AS nn_$c, COUNT(DISTINCT $src) AS nd_$c,
+           |    CAST(MIN($src) AS VARCHAR) AS mn_$c, CAST(MAX($src) AS VARCHAR) AS mx_$c"""
+          .stripMargin
+      }.mkString(",\n  ")
+      val branches = cols.map { case (c, _) =>
+        s"SELECT '$c' AS column_name, n_rows, nn_$c AS n_nonnull, nd_$c AS n_distinct, " +
+          s"mn_$c AS min_str, mx_$c AS max_str FROM a"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH a AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  $aggSel
+         |  FROM orders)
+         |$branches
+         |ORDER BY column_name""".stripMargin
+    }
+  )
+
+  val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile)
+}

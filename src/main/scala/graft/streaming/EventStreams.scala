@@ -435,9 +435,56 @@ object EventStreams {
            |ORDER BY user_id, event_type, bucket""".stripMargin)
   )
 
+  /** q108: stream–STATIC enrichment join executed AS streaming — the
+    * fourth streaming join/agg shape: an unbounded stream joined to a
+    * bounded dimension table (user → nation, the classic "enrich events
+    * with the user profile" topology), then windowed-aggregated per
+    * dimension value. The dim side is a BROADCAST — no state, no
+    * watermark on the static side; only the post-join aggregation holds
+    * state, exactly the production layout where the profile table rides
+    * along as a map-side hash table re-read per micro-batch.
+    *
+    * The join is LEFT OUTER with the stream on the left — load-bearing
+    * for the drain: an inner join would drop the sentinel rows (no
+    * matching dim key) BEFORE the aggregation, the watermark would never
+    * advance past the real windows, and Append mode would never flush
+    * them (the same trap as filtering the sentinel in-plan, see
+    * [[drainAvailableNow]]); the sentinels' null nation groups are
+    * dropped on the bounded sink read instead. Decimal(18,6) sum as in
+    * q30/q82 so micro-batch arrival order cannot reorder double adds.
+    *
+    * The drained sink must hash-match DuckDB's batch events⋈customer
+    * GROUP BY — streaming broadcast enrichment ≡ batch equi-join. */
+  val q108StreamingEnrich = graft.QueryDef(
+    "q108_streaming_enrich",
+    (s, d) => {
+      val dim = graft.Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"),
+          col("c_nationkey").cast(LongType).as("nationkey"))
+      val sunk = drainAvailableNow(s, d) { st =>
+        st.withWatermark("ts", "10 minutes")
+          .join(broadcast(dim), Seq("user_id"), "left_outer")
+          .groupBy(window(col("ts"), "1 hour"), col("nationkey"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast(DecimalType(18, 6))).as("sum_dec"))
+          .select(col("window.start").as("w_ts"), col("nationkey"), col("cnt"),
+            col("sum_dec").cast(DecimalType(18, 4)).cast(DoubleType).as("sum_value"))
+      }
+      sunk.filter(col("nationkey").isNotNull) // drop sentinel (dim-miss) groups
+        .select((unix_micros(col("w_ts")) * 1000).cast(LongType).as("w_start"),
+          col("nationkey"), col("cnt"), col("sum_value"))
+        .orderBy("w_start", "nationkey")
+    },
+    Some(s"""SELECT (epoch_ns(ts) - (epoch_ns(ts) % ${3600L * 1000000000L})) AS w_start,
+           |  CAST(c_nationkey AS BIGINT) AS nationkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+           |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+           |FROM events JOIN customer ON user_id = c_custkey
+           |GROUP BY 1, 2 ORDER BY w_start, nationkey""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] =
     Seq(q64StreamingTumbling, q82StreamingSession, q96StreamingIntervalJoin,
-      q98StreamingDedup)
+      q98StreamingDedup, q108StreamingEnrich)
 
   /** Custom per-user running state via mapGroupsWithState — the
     * `KeyValueGroupedDataset` stateful escape hatch (arbitrary state the

@@ -143,6 +143,7 @@ class PlanSpec extends SparkSpec {
       "q85_mixture_sample", // q85: 1-row min-domain scalar broadcast
       "q86_kmeans", // q86: k=8 centroid broadcast per assignment pass
       "q97_pq_ann", // q97: 1-row query-vector broadcast under the rerank
+      "q105_basket_rules", // q105: 1-row order-count scalar broadcast
       // q91: oracle-slice theta join (|Δlen| band + banded levenshtein);
       // the equi-bucketed shape for past-broadcast scale is q90
       "q91_editdist_sql")
@@ -178,6 +179,11 @@ class PlanSpec extends SparkSpec {
       // offset window exchanges — all over the metadata-sized bucket
       // frame (one row per (domain, bucket)), never the corpus
       case n if n.startsWith("q85") => 12
+      // q105: the distinct (order, part) lineage appears on both self-
+      // join sides and under the support agg — plan TEXT repeats it
+      // (ReusedExchange collapses the identical subtrees at runtime);
+      // every shuffled row is a ~16-byte (key, key) pair
+      case n if n.startsWith("q105") => 16
       case _ => 8
     }
     SparkEntry.registry.foreach { q =>
