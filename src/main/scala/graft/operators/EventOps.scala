@@ -399,6 +399,73 @@ object EventOps {
            |FROM m ORDER BY event_type, hr""".stripMargin)
   )
 
+  /** q109: clickstream path mining — the top session-opening paths
+    * (first three event types per 30-min session), the navigation-flow /
+    * drop-off report next to q88's fixed funnel: q88 asks "how often
+    * does THIS sequence happen", q109 asks "WHICH sequences happen".
+    * Sessions are q32's gaps-and-islands; the first-3 extraction is the
+    * deterministic conditional-max pivot (`max(case rn=k)`) rather than
+    * an ordered collect — list aggregation order is engine- and
+    * partition-dependent, the pivot is not. `concat_ws` skips NULLs in
+    * both engines, so shorter sessions render as their actual prefix.
+    *
+    * Plan shape at 100 TB: the session window and the per-session pivot
+    * ride ONE user-keyed exchange (both windows and the first groupBy
+    * share the user partitioning); the path table is bounded by
+    * |event_types|³ — metadata-sized, like q103's grid. */
+  val q109SessionPaths = QueryDef(
+    "q109_session_paths",
+    (s, d) => {
+      val HalfHourUs = HalfHourNs / 1000
+      val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val bySess = Window.partitionBy("user_id", "sess_id").orderBy("ts_us", "event_id")
+      Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns DIV 1000"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") >= HalfHourUs, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(bySess))
+        .filter(col("rn") <= 3)
+        .groupBy("user_id", "sess_id")
+        .agg(
+          max(when(col("rn") === 1, col("event_type"))).as("e1"),
+          max(when(col("rn") === 2, col("event_type"))).as("e2"),
+          max(when(col("rn") === 3, col("event_type"))).as("e3"))
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path").asc)
+    },
+    Some(s"""WITH marked AS (
+           |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+           |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= ${HalfHourNs / 1000}
+           |         THEN 1 ELSE 0 END AS new_sess
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+           |sess AS (
+           |  SELECT user_id, event_id, event_type, ts_us,
+           |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           |  FROM marked),
+           |r AS (
+           |  SELECT user_id, sess_id, event_type,
+           |    row_number() OVER (PARTITION BY user_id, sess_id
+           |      ORDER BY ts_us, event_id) AS rn
+           |  FROM sess),
+           |p AS (
+           |  SELECT user_id, sess_id,
+           |    concat_ws('>', MAX(CASE WHEN rn = 1 THEN event_type END),
+           |                   MAX(CASE WHEN rn = 2 THEN event_type END),
+           |                   MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+           |  FROM r WHERE rn <= 3 GROUP BY 1, 2)
+           |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+           |FROM p GROUP BY path ORDER BY n_sessions DESC, path""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
-    q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency)
+    q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency,
+    q109SessionPaths)
 }

@@ -192,5 +192,42 @@ object MiningOps {
     }
   )
 
-  val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile)
+  /** q110: rank-based feature normalization — each document's length
+    * mapped to its PER-DOMAIN percentile rank ×1e6 (the quantile
+    * transform: scale-free, outlier-immune, the feature encoding that
+    * feeds curriculum samplers and quality thresholds that must mean
+    * the same thing in a domain of tweets and a domain of books).
+    * rank/(n−1) in pure integers; doc_id tiebreak makes equal lengths
+    * deterministic.
+    *
+    * Plan shape at 100 TB: one window partitioned by source (the same
+    * domain-sharded shape as q85's selection) plus a count over the
+    * same partitioning — no global sort, no second scan; parallelism
+    * scales with domains × AQE's partition splitting. */
+  val q110PercentileNorm = QueryDef(
+    "q110_percentile_norm",
+    (s, d) => {
+      val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+      val wn = Window.partitionBy("source")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .withColumn("n", count(lit(1)).over(wn).cast(LongType))
+        .withColumn("pct_x1m", expr("(rk - 1) * 1000000 DIV greatest(n - 1, 1)"))
+        .select("doc_id", "source", "n_chars", "rk", "n", "pct_x1m")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, source, n_chars,
+           |  CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+           |    AS BIGINT) AS rk,
+           |  CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n,
+           |  (CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+           |    AS BIGINT) - 1) * 1000000
+           |    // greatest(CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) - 1, 1)
+           |    AS pct_x1m
+           |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile,
+    q110PercentileNorm)
 }

@@ -40,6 +40,27 @@ class MiningOpsSpec extends SparkSpec {
     }
   }
 
+  test("q109: session totals conserve — path counts sum to the session count") {
+    val paths = EventOps.q109SessionPaths.run(spark, sfDir)
+    val total = paths.agg(sum("n_sessions")).head.getLong(0)
+    val sessions = EventOps.q32Session.run(spark, sfDir).count()
+    assert(total == sessions, s"$total path sessions vs $sessions q32 sessions")
+    assert(paths.filter(col("path") === "").count() == 0, "no empty paths")
+  }
+
+  test("q110: percentile rank is a bijection onto [0, 1e6] per source") {
+    val out = MiningOps.q110PercentileNorm.run(spark, sfDir).cache()
+    val bad = out.filter(col("pct_x1m") < 0 || col("pct_x1m") > 1000000).count()
+    assert(bad == 0)
+    // ranks are dense 1..n within each source; extremes hit exactly 0 and 1e6
+    val perSource = out.groupBy("source").agg(
+      min("pct_x1m").as("mn"), max("pct_x1m").as("mx"),
+      countDistinct("rk").as("nd"), max("n").as("n"))
+    assert(perSource.filter(col("mn") =!= 0 || col("mx") =!= 1000000 ||
+      col("nd") =!= col("n")).count() == 0)
+    out.unpersist()
+  }
+
   test("q107: profile agrees with direct per-column queries") {
     val out = MiningOps.q107TableProfile.run(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap
