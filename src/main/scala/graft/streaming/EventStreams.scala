@@ -482,9 +482,75 @@ object EventStreams {
            |GROUP BY 1, 2 ORDER BY w_start, nationkey""".stripMargin)
   )
 
+  /** Typed row for [[q111StreamingHighs]] — value pre-scaled to µ-units
+    * so the state comparison and the oracle are pure integers. */
+  final case class RecEv(user_id: Long, ts_us: Long, event_id: Long, v: Long)
+
+  /** q111: ARBITRARY stateful processing executed as streaming, under the
+    * oracle — the fifth streaming shape (after windowed agg q64/q82,
+    * stream-stream join q96, dedup q98, stream-static enrich q108):
+    * `flatMapGroupsWithState` with hand-rolled per-key state that no
+    * built-in operator expresses — emit an event iff it sets a new
+    * personal high-water mark for its user (the "record alert" /
+    * threshold-crossing shape). State is ONE long per user (the running
+    * max), the smallest possible footprint; the high-water comparison
+    * and emission decision are user code, exactly what the escape hatch
+    * exists for.
+    *
+    * Determinism: a group's batch iterator is ARRIVAL-ordered, not
+    * time-ordered, so the handler sorts each batch's rows by
+    * (ts_us, event_id) before folding — with the drain's single data
+    * file every real event is in batch 1 and the fold order is total,
+    * making the emitted set identical to the batch window formulation
+    * the oracle runs (MAX OVER preceding rows). The sentinel batches
+    * only touch their own negative keys, filtered on the sink read.
+    *
+    * 100 TB/day shape: state scales with live keys (8 bytes each), the
+    * shuffle is the same user-keyed exchange as q32's sessions, and the
+    * per-batch sort is bounded by a key's per-batch arrival count. */
+  val q111StreamingHighs = graft.QueryDef(
+    "q111_streaming_highs",
+    (s, d) => {
+      val sunk = drainAvailableNow(s, d) { st =>
+        import st.sparkSession.implicits._
+        st.select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"),
+            col("event_id"), floor(col("value") * 1000000.0 + 0.5).cast(LongType).as("v"))
+          .as[RecEv]
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState[Long, RecEv](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+            (_: Long, rows: Iterator[RecEv], state: GroupState[Long]) =>
+              val sorted = rows.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+              var mx = state.getOption.getOrElse(Long.MinValue)
+              val out = sorted.flatMap { e =>
+                if (e.v > mx) { mx = e.v; Some(e) } else None
+              }
+              if (mx != Long.MinValue) state.update(mx)
+              out.iterator
+          }
+          .toDF()
+      }
+      sunk.filter(col("user_id") >= 0) // drop sentinel keys
+        .select("user_id", "ts_us", "event_id", "v")
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+    Some("""WITH base AS (
+           |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+           |  FROM events),
+           |m AS (
+           |  SELECT user_id, ts_us, event_id, v,
+           |    MAX(v) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+           |  FROM base)
+           |SELECT user_id, ts_us, event_id, v FROM m
+           |WHERE prev_max IS NULL OR v > prev_max
+           |ORDER BY user_id, ts_us, event_id""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] =
     Seq(q64StreamingTumbling, q82StreamingSession, q96StreamingIntervalJoin,
-      q98StreamingDedup, q108StreamingEnrich)
+      q98StreamingDedup, q108StreamingEnrich, q111StreamingHighs)
 
   /** Custom per-user running state via mapGroupsWithState — the
     * `KeyValueGroupedDataset` stateful escape hatch (arbitrary state the
