@@ -55,4 +55,30 @@ object Aggregators {
     override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
+
+  /** Bounded top-k as a mergeable aggregate: keeps the k largest
+    * (value, id) pairs (value DESC, id ASC tiebreak) in a size-k buffer.
+    *
+    * This is the SCALE-correct per-group top-k: Catalyst plans it with a
+    * map-side partial, so at most k rows per group per partition reach
+    * the exchange — versus the window-function formulation
+    * (`row_number() OVER (PARTITION BY g ORDER BY v)`) which shuffles and
+    * sorts EVERY row of every group before discarding all but k. For a
+    * 100 TB corpus with bounded k the reduction is the ratio of corpus
+    * size to (groups × k × partitions): typically orders of magnitude
+    * less exchange traffic, and no per-group sort spill. */
+  class TopK(k: Int)
+      extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+    private val ord = Ordering.by[(Long, Long), (Long, Long)] { case (v, id) => (-v, id) }
+    override def zero: Seq[(Long, Long)] = Vector.empty
+    override def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] =
+      if (b.length < k || ord.lt(a, b.last)) ((b :+ a).sorted(ord)).take(k) else b
+    override def merge(x: Seq[(Long, Long)], y: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      (x ++ y).sorted(ord).take(k)
+    override def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r
+    override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
 }

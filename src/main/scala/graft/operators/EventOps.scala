@@ -465,7 +465,52 @@ object EventOps {
            |FROM p GROUP BY path ORDER BY n_sessions DESC, path""".stripMargin)
   )
 
+  /** q115: last-touch revenue attribution — every purchase credits the
+    * user's most recent preceding click; output is revenue per attributed
+    * click event (the marketing-attribution primitive; first-touch is the
+    * same plan with `first` over the mirrored frame). The carry is
+    * `last(..., ignoreNulls)` over an unbounded-preceding row frame
+    * ordered by the exact ns timestamp (+event_id tiebreak), the q60
+    * forward-fill machinery pointed at attribution. Revenue sums in
+    * decimal(18,6) (order-independent, the repo's determinism
+    * discipline) and renders as string.
+    *
+    * Plan shape at 100 TB: ONE user-keyed exchange for the window, then a
+    * click_id-keyed hash agg whose cardinality is bounded by clicks, not
+    * events. The window frame is running (no re-scan per row), and the
+    * user partitioning is the natural even key for clickstream data —
+    * skew only if one user dominates the stream, which the q84 salting
+    * path would absorb. */
+  val q115Attribution = QueryDef(
+    "q115_attribution",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("click_id",
+          last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase" && col("click_id").isNotNull)
+        .groupBy("click_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(18, 6))
+            .cast(StringType).as("revenue"))
+        .orderBy("click_id")
+    },
+    Some("""WITH tagged AS (
+           |  SELECT user_id, event_id, event_type, value,
+           |    LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           |      OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id
+           |  FROM events)
+           |SELECT click_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS VARCHAR)
+           |    AS revenue
+           |FROM tagged WHERE event_type = 'purchase' AND click_id IS NOT NULL
+           |GROUP BY click_id ORDER BY click_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
     q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency,
-    q109SessionPaths)
+    q109SessionPaths, q115Attribution)
 }

@@ -228,6 +228,39 @@ object MiningOps {
            |FROM documents ORDER BY doc_id""".stripMargin)
   )
 
+  /** q114: per-group top-k via the mergeable [[graft.api.Aggregators.TopK]]
+    * aggregate — top-3 longest documents per (source, lang). The oracle is
+    * the window formulation (`row_number() <= 3`), which is the
+    * equivalence worth proving: same answer, different physical plan.
+    *
+    * Plan shape at 100 TB: the aggregator runs as partial+final hash agg —
+    * at most k rows per group per input partition cross the exchange,
+    * versus the window plan shuffling and sorting the ENTIRE corpus by
+    * (source, lang). `posexplode` recovers the rank from the buffer's
+    * sorted order; no sort anywhere except the final presentation
+    * orderBy. */
+  val q114TopkPerGroup = QueryDef(
+    "q114_topk_per_group",
+    (s, d) => {
+      val topk = udaf(new graft.api.Aggregators.TopK(3))
+      Tables.documents(s, d)
+        .groupBy("source", "lang")
+        .agg(topk(col("n_chars"), col("doc_id")).as("top"))
+        .select(col("source"), col("lang"), posexplode(col("top")))
+        .select(col("source"), col("lang"),
+          col("col._2").as("doc_id"), col("col._1").as("n_chars"),
+          (col("pos") + 1).cast(LongType).as("rn"))
+        .orderBy("source", "lang", "rn")
+    },
+    Some("""WITH ranked AS (
+           |  SELECT source, lang, doc_id, n_chars,
+           |    ROW_NUMBER() OVER (PARTITION BY source, lang
+           |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+           |  FROM documents)
+           |SELECT source, lang, doc_id, n_chars, CAST(rn AS BIGINT) AS rn
+           |FROM ranked WHERE rn <= 3 ORDER BY source, lang, rn""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile,
-    q110PercentileNorm)
+    q110PercentileNorm, q114TopkPerGroup)
 }

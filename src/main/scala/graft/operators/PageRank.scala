@@ -181,5 +181,79 @@ object PageRank {
            |ORDER BY 1, 2, 3""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q77PageRank, q102Triangles)
+  /** Multi-source BFS: minimum hop distance from `seeds` to every node
+    * reachable within `maxHops` over `edges` (src, dst — directed; pass
+    * both directions for undirected). Frontier expansion: each hop is ONE
+    * equi-join frontier⋈edges plus an anti-join against the visited set —
+    * the textbook iterative-join BFS, every step a bounded shuffle keyed
+    * by vertex. `localCheckpoint` per hop severs the growing lineage
+    * (same rationale as [[ranks]]); `checkpointDir` upgrades to reliable
+    * checkpoints for cluster fault-tolerance.
+    *
+    * Plan shape at 100 TB: the frontier is never larger than the vertex
+    * set, the visited set grows monotonically and joins as the SMALL side
+    * (broadcast-able for most real frontier profiles), and each hop's
+    * exchange is keyed by vertex id — parallelism scales with graph size,
+    * hop count bounds the number of shuffles. */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+          checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val e = ckpt(edges.select(col("src"), col("dst")))
+    var visited = ckpt(seeds.select(col("id")).distinct()
+      .withColumn("hops", lit(0L)))
+    var frontier = visited.select("id")
+    var h = 1
+    while (h <= maxHops) {
+      val next = ckpt(frontier.join(e, frontier("id") === e("src"))
+        .select(e("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .withColumn("hops", lit(h.toLong)))
+      visited = ckpt(visited.union(next))
+      frontier = next.select("id")
+      h += 1
+    }
+    visited
+  }
+
+  /** q113: 3-hop reachability from seed customers over the (undirected)
+    * trade graph — the graph-traversal operator next to q77's centrality
+    * and q102's triangles (blast-radius / influence-sphere analysis; the
+    * same frontier machinery runs shortest-path labeling and graph
+    * sampling). Seeds are customers with key ≡ 0 (mod 500); the DuckDB
+    * oracle is a recursive CTE with UNION (set) semantics, min-hop by
+    * GROUP BY. */
+  val q113BfsHops = QueryDef(
+    "q113_bfs_hops",
+    (s, d) => {
+      val rel = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast(LongType).as("cust"),
+          (col("l_suppkey").cast(LongType) + 1000000L).as("supp"))
+        .distinct()
+      val edges = rel.select(col("cust").as("src"), col("supp").as("dst"))
+        .union(rel.select(col("supp").as("src"), col("cust").as("dst")))
+      val seeds = rel.filter(col("cust") % 500 === 0).select(col("cust").as("id"))
+      bfs(edges, seeds, maxHops = 3).orderBy("id")
+    },
+    Some("""WITH RECURSIVE rel AS (
+           |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
+           |    CAST(l_suppkey AS BIGINT) + 1000000 AS supp
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |edges AS (
+           |  SELECT cust AS src, supp AS dst FROM rel
+           |  UNION ALL SELECT supp AS src, cust AS dst FROM rel),
+           |walk AS (
+           |  SELECT cust AS id, CAST(0 AS BIGINT) AS hops FROM rel WHERE cust % 500 = 0
+           |  UNION
+           |  SELECT e.dst AS id, w.hops + 1 AS hops
+           |  FROM walk w JOIN edges e ON e.src = w.id WHERE w.hops < 3)
+           |SELECT id, CAST(MIN(hops) AS BIGINT) AS hops
+           |FROM walk GROUP BY id ORDER BY id""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q77PageRank, q102Triangles, q113BfsHops)
 }

@@ -84,4 +84,47 @@ class AnalyticsOpsSpec extends SparkSpec {
       assert(ids.distinct.length == ids.length, "postings distinct")
     }
   }
+
+  test("q113: hop labels match a driver-side BFS over the same trade graph") {
+    val out = PageRank.q113BfsHops.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force BFS on the driver
+    val rel = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long"), col("l_suppkey").cast("long") + 1000000L)
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (rel ++ rel.map(_.swap)).groupMap(_._1)(_._2)
+    val seeds = rel.map(_._1).filter(_ % 500 == 0).distinct.toSet
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    for (h <- 1 to 3) {
+      val next = frontier.flatMap(adj.getOrElse(_, Array.empty[Long]).toSet) -- dist.keySet
+      dist ++= next.map(_ -> h.toLong)
+      frontier = next
+    }
+    assert(out == dist, "distributed BFS equals driver BFS")
+    assert(out.valuesIterator.min == 0L && out.valuesIterator.max <= 3L)
+  }
+
+  test("q115: attribution conserves purchases and matches the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val out = EventOps.q115Attribution.run(spark, sfDir).cache()
+    // every attributed purchase credits an actual click event of the SAME user
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"))
+    assert(out.join(clicks, Seq("click_id"), "left_anti").count() == 0,
+      "every credited id is a click event")
+    // purchases with at least one prior same-user click are all attributed
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = ev
+      .withColumn("had_click",
+        max(when(col("event_type") === "click", 1).otherwise(0)).over(w))
+      .filter(col("event_type") === "purchase" && col("had_click") === 1)
+      .count()
+    assert(out.agg(sum("n_purchases")).head.getLong(0) == expected,
+      "attributed purchase count conserves")
+  }
 }

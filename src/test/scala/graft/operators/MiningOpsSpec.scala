@@ -74,4 +74,22 @@ class MiningOpsSpec extends SparkSpec {
     assert(ck.getString(4) == o.agg(min("o_custkey")).head.get(0).toString)
     assert(ck.getString(5) == o.agg(max("o_custkey")).head.get(0).toString)
   }
+
+  test("q114: aggregator top-k equals the window formulation; partial agg in the plan") {
+    import org.apache.spark.sql.expressions.Window
+    val out = MiningOps.q114TopkPerGroup.run(spark, sfDir)
+    val expected = Tables.documents(spark, sfDir)
+      .withColumn("rn", row_number().over(Window.partitionBy("source", "lang")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("source", "lang", "doc_id", "n_chars", "rn")
+      .orderBy("source", "lang", "rn")
+    assert(out.collect().toSeq == expected.collect().toSeq,
+      "TopK aggregator ≡ window row_number")
+    // the scale claim: the aggregate plans with a map-side partial
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk") || plan.contains("ObjectHashAggregate")
+      || plan.contains("SortAggregate"),
+      s"expected a two-phase aggregate in:\n$plan")
+  }
 }
