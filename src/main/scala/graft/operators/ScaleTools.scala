@@ -143,5 +143,52 @@ object ScaleTools {
            |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q83BloomJoin, q84SaltedJoin)
+  /** q118: key-skew report UNDER THE ORACLE — the top-20 hottest join/agg
+    * keys with their absolute and cumulative load share (×1e6 fixed
+    * point). This is [[keySkew]]'s driver-side diagnostic promoted to a
+    * verified query: the report that decides WHETHER q84's salting is
+    * needed (a top key above ~1/partitions of the load ⇒ a straggler) and
+    * how many replicas to use.
+    *
+    * Plan shape at 100 TB: the per-key count is one partial+final hash
+    * agg over the corpus; the ranking window then runs over the KEY
+    * TABLE (|distinct keys| rows — metadata-sized next to the corpus),
+    * never the raw data, and the top-20 limit bounds the output. The
+    * total is a broadcast scalar. */
+  val q118SkewReport = QueryDef(
+    "q118_skew_report",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.LongType
+      val c = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey").cast(LongType).as("key"))
+        .agg(count(lit(1)).as("cnt"))
+      val total = c.agg(sum(col("cnt")).as("total"))
+      val w = Window.orderBy(col("cnt").desc, col("key").asc)
+      c.withColumn("rk", row_number().over(w).cast(LongType))
+        .withColumn("cum",
+          sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rk") <= 20)
+        .crossJoin(broadcast(total))
+        .select(col("rk"), col("key"), col("cnt"),
+          expr("cnt * 1000000 DIV total").as("share_x1m"),
+          expr("cum * 1000000 DIV total").as("cum_share_x1m"))
+        .orderBy("rk")
+    },
+    Some("""WITH c AS (
+           |  SELECT CAST(l_suppkey AS BIGINT) AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM lineitem GROUP BY 1),
+           |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+           |r AS (
+           |  SELECT key, cnt,
+           |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS BIGINT) AS rk,
+           |    CAST(SUM(cnt) OVER (ORDER BY cnt DESC, key ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           |  FROM c)
+           |SELECT rk, key, cnt, cnt * 1000000 // total AS share_x1m,
+           |  cum * 1000000 // total AS cum_share_x1m
+           |FROM r, t WHERE rk <= 20 ORDER BY rk""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q83BloomJoin, q84SaltedJoin, q118SkewReport)
 }

@@ -190,5 +190,144 @@ object StorageOps {
            |FROM t GROUP BY shard ORDER BY shard""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q79MergeUpsert, q80ZorderLayout, q81ShardLayout)
+  /** q116: snapshot diff — the INVERSE of q79's merge: given two table
+    * versions, emit the change set (added / removed / changed rows with
+    * old+new values). The simulated next snapshot applies price updates
+    * to keys ≡0 (mod 7), deletes keys ≡0 (mod 13) (minus the update
+    * overlap), and inserts offset keys ≡0 (mod 1000) — then the diff must
+    * recover exactly those changes. This is the CDC-extraction / audit /
+    * incremental-view primitive a lakehouse runs between snapshots.
+    *
+    * Plan shape at 100 TB: ONE full-outer join keyed by the primary key —
+    * with both snapshots bucketed on the key (ScaleTools.writeBucketed)
+    * it is exchange-free. For wide rows, production diffs shuffle only
+    * (key, row-digest) per side and re-fetch values for the (small)
+    * changed set; the columns here are already narrow so the digest
+    * projection is skipped. Unchanged rows (the overwhelming majority)
+    * die in the post-join filter, never reaching the output. */
+  val q116SnapshotDiff = QueryDef(
+    "q116_snapshot_diff",
+    (s, d) => {
+      def snap(df: org.apache.spark.sql.DataFrame, p: String) = df.select(
+        col("okey").as(s"${p}_okey"), col("status").as(s"${p}_status"),
+        col("price").as(s"${p}_price"))
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").cast(LongType).as("okey"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").cast(DecimalType(18, 6)).as("price"))
+      val next = base
+        .filter(!(col("okey") % 13 === 0 && col("okey") % 7 =!= 0))
+        .withColumn("price",
+          when(col("okey") % 7 === 0, col("price") + 1).otherwise(col("price")))
+        .unionByName(base.filter(col("okey") % 1000 === 0)
+          .select((col("okey") + InsertKeyOffset).as("okey"),
+            lit("N").as("status"), col("price")))
+      val b = snap(base, "b")
+      val n = snap(next, "n")
+      b.join(n, b("b_okey") === n("n_okey"), "full_outer")
+        .filter(col("b_okey").isNull || col("n_okey").isNull ||
+          col("b_status") =!= col("n_status") || col("b_price") =!= col("n_price"))
+        .select(coalesce(col("b_okey"), col("n_okey")).as("okey"),
+          when(col("b_okey").isNull, "added")
+            .when(col("n_okey").isNull, "removed")
+            .otherwise("changed").as("action"),
+          col("b_price").cast(StringType).as("old_price"),
+          col("n_price").cast(StringType).as("new_price"))
+        .orderBy("okey")
+    },
+    Some(s"""WITH base AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS okey, o_orderstatus AS status,
+           |    CAST(o_totalprice AS DECIMAL(18,6)) AS price
+           |  FROM orders),
+           |nxt AS (
+           |  SELECT okey, status,
+           |    CASE WHEN okey % 7 = 0 THEN price + 1 ELSE price END AS price
+           |  FROM base WHERE NOT (okey % 13 = 0 AND okey % 7 <> 0)
+           |  UNION ALL
+           |  SELECT okey + $InsertKeyOffset, 'N', price FROM base WHERE okey % 1000 = 0)
+           |SELECT COALESCE(b.okey, n.okey) AS okey,
+           |  CASE WHEN b.okey IS NULL THEN 'added'
+           |       WHEN n.okey IS NULL THEN 'removed'
+           |       ELSE 'changed' END AS action,
+           |  CAST(b.price AS VARCHAR) AS old_price,
+           |  CAST(n.price AS VARCHAR) AS new_price
+           |FROM base b FULL OUTER JOIN nxt n ON b.okey = n.okey
+           |WHERE b.okey IS NULL OR n.okey IS NULL
+           |   OR b.status <> n.status OR b.price <> n.price
+           |ORDER BY okey""".stripMargin)
+  )
+
+  /** File size (rows) for q117's simulated layouts. */
+  val ZoneFileRows = 4096
+  /** q117's pruning predicate: shipdate within calendar 1996, as epoch-µs
+    * bounds (closed-open). */
+  val ZoneLoUs = 820454400000000L  // 1996-01-01T00:00:00Z
+  val ZoneHiUs = 852076800000000L  // 1997-01-01T00:00:00Z
+
+  /** q117: zone-map data skipping — the quantitative case for clustered
+    * layouts. Both simulated layouts of lineitem get per-file min/max
+    * statistics on l_shipdate (the zone map every parquet footer / Delta
+    * add-file carries), and the query reports how many files and rows a
+    * 1996-only predicate can SKIP: the natural (ingest-order) layout
+    * skips ~nothing — every file spans the full date range — while the
+    * shipdate-sorted layout skips all files outside the year. This is
+    * q80's z-order argument completed with the consumer side: clustering
+    * exists to make min/max pruning effective.
+    *
+    * The sorted layout's file assignment uses a global row_number so the
+    * oracle can reproduce file boundaries bit-exactly; a production
+    * sort-write gets the same statistics distribution from
+    * `repartitionByRange(sortCol)` + `sortWithinPartitions` without any
+    * global sort (file boundaries shift, the skip RATIO does not). The
+    * zone-map aggregation itself is one hash agg keyed by file — at
+    * 100 TB this query is a metadata scan over the file manifest, not a
+    * data scan. */
+  val q117ZoneMapSkip = QueryDef(
+    "q117_zone_map_skip",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.lineitem(s, d)
+        .select(col("l_orderkey").cast(LongType).as("okey"),
+          // l_shipdate arrives TIMESTAMP_NTZ; the cast to TIMESTAMP is
+          // exact under the session's pinned UTC zone (all three mains)
+          unix_micros(col("l_shipdate").cast(TimestampType)).as("sd"), col("l_linenumber"))
+        .withColumn("rn",
+          (row_number().over(Window.orderBy(col("sd"), col("okey"), col("l_linenumber")))
+            - 1).cast(LongType))
+      val layouts = t.select(lit("natural").as("layout"),
+          (col("okey") / 1024).cast(LongType).as("file_id"), col("sd"))
+        .unionByName(t.select(lit("sorted").as("layout"),
+          (col("rn") / ZoneFileRows).cast(LongType).as("file_id"), col("sd")))
+      val skipped = (col("mx") < ZoneLoUs) || (col("mn") >= ZoneHiUs)
+      layouts.groupBy("layout", "file_id")
+        .agg(count(lit(1)).as("n_rows"), min(col("sd")).as("mn"), max(col("sd")).as("mx"))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(skipped, 1L).otherwise(0L)).as("files_skipped"),
+          sum(col("n_rows")).as("rows_total"),
+          sum(when(skipped, col("n_rows")).otherwise(0L)).as("rows_skipped"))
+        .orderBy("layout")
+    },
+    Some(s"""WITH t AS (
+           |  SELECT CAST(l_orderkey AS BIGINT) AS okey, epoch_us(l_shipdate) AS sd,
+           |    row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1 AS rn
+           |  FROM lineitem),
+           |layouts AS (
+           |  SELECT 'natural' AS layout, okey // 1024 AS file_id, sd FROM t
+           |  UNION ALL
+           |  SELECT 'sorted', rn // $ZoneFileRows, sd FROM t),
+           |zones AS (
+           |  SELECT layout, file_id, COUNT(*) AS n_rows, MIN(sd) AS mn, MAX(sd) AS mx
+           |  FROM layouts GROUP BY 1, 2)
+           |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+           |  CAST(SUM(CASE WHEN mx < $ZoneLoUs OR mn >= $ZoneHiUs THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS files_skipped,
+           |  CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+           |  CAST(SUM(CASE WHEN mx < $ZoneLoUs OR mn >= $ZoneHiUs THEN n_rows ELSE 0 END)
+           |    AS BIGINT) AS rows_skipped
+           |FROM zones GROUP BY layout ORDER BY layout""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q79MergeUpsert, q80ZorderLayout, q81ShardLayout,
+    q116SnapshotDiff, q117ZoneMapSkip)
 }

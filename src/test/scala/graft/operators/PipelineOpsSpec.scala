@@ -277,4 +277,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(joined.filter(col("c") > 1).count() > 0)
     out.unpersist(); joined.unpersist()
   }
+
+  test("q116: diff recovers exactly the simulated changes; no unchanged rows leak") {
+    val out = StorageOps.q116SnapshotDiff.run(spark, sfDir).cache()
+    val ok = Tables.orders(spark, sfDir).select(col("o_orderkey").cast("long").as("k"))
+    val nUpd = ok.filter(col("k") % 7 === 0).count()
+    val nDel = ok.filter(col("k") % 13 === 0 && col("k") % 7 =!= 0).count()
+    val nIns = ok.filter(col("k") % 1000 === 0).count()
+    assert(out.filter(col("action") === "changed").count() == nUpd)
+    assert(out.filter(col("action") === "removed").count() == nDel)
+    assert(out.filter(col("action") === "added").count() == nIns)
+    assert(out.count() == nUpd + nDel + nIns, "diff is exactly the change set")
+    // changed rows carry both values, one cent... one unit apart
+    assert(out.filter(col("action") === "changed")
+      .filter(col("old_price").isNull || col("new_price").isNull).count() == 0)
+    out.unpersist()
+  }
+
+  test("q117: sorted layout skips most files for the year predicate; natural skips none") {
+    // sf0.01: sf0.001's 6k rows make only 2 sorted files (q80 pattern)
+    val rows = StorageOps.q117ZoneMapSkip.run(spark, "/root/testdata/sf0.01").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val nat = rows("natural"); val srt = rows("sorted")
+    assert(nat.getAs[Long]("files_skipped") == 0, "ingest-order files span all dates")
+    assert(srt.getAs[Long]("files_skipped") * 2 > srt.getAs[Long]("n_files"),
+      "clustered layout must skip the majority of files")
+    assert(nat.getAs[Long]("rows_total") == srt.getAs[Long]("rows_total"))
+  }
+
+  test("q118: shares are consistent — monotone cumulative, bounded by 1e6") {
+    // sf0.01: sf0.001 has only 10 distinct suppkeys, fewer than the top-20
+    val rows = ScaleTools.q118SkewReport.run(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 20)
+    val cums = rows.map(_.getAs[Long]("cum_share_x1m"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b }, "cumulative share monotone")
+    assert(cums.last <= 1000000L)
+    val shares = rows.map(_.getAs[Long]("share_x1m"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a >= b }, "ranked by share")
+  }
 }
