@@ -431,6 +431,52 @@ object ScaleSmoke {
     edCands.unpersist(); edPairs.unpersist(); edAll.unpersist()
     println("[smoke] OK — editdist join at " + (nEd + edExpected) + " docs")
 
+    spark.catalog.clearCache()
+
+    // ---- phase 7: multi-source BFS at scale (the q113 engine) ----
+    // Same 1M-node pseudo-random graph family as phase 5 (4 xxhash64
+    // out-edges per node, undirected), PLUS a planted 3-link chain on ids
+    // OUTSIDE the random range (nBfs..nBfs+3) — random dsts are always
+    // < nBfs, so the chain's only path is sequential and its hop labels
+    // have exactly one correct answer. Seeds: node 0 (inside the giant
+    // component) and the chain head. Checks: every chain node gets its
+    // geodesic hop exactly; frontier counts grow monotonically (the
+    // supercritical regime a degree-8 random graph must show).
+    val nBfs = sys.env.getOrElse("SPARK_GRAFT_SMOKE_BFSNODES", "1000000").toLong
+    val bfsBase = spark.range(nBfs).toDF("src")
+    val bOut = (k: Int) => pmod(xxhash64(col("src"), lit(100 + k)), lit(nBfs)).as("dst")
+    val bRaw = (0 until 4).map(k => bfsBase.select(col("src"), bOut(k)))
+      .reduce(_ unionByName _)
+      .unionByName(spark.range(3).select((col("id") + nBfs).as("src"),
+        (col("id") + nBfs + 1).as("dst"))) // the planted chain
+      .filter(col("src") =!= col("dst")).distinct()
+    val bEdges = bRaw
+      .unionByName(bRaw.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(32)
+    val bSeeds = spark.createDataFrame(Seq(Tuple1(0L), Tuple1(nBfs))).toDF("id")
+    val tbfs = System.nanoTime()
+    val bHops = graft.operators.PageRank.bfs(bEdges, bSeeds, 3).cache()
+    val bByHop = bHops.groupBy("hops").count().orderBy("hops").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bVisited = bHops.count()
+    val bfsSecs = (System.nanoTime() - tbfs) / 1e9
+    val chainHops = bHops.filter(col("id") >= nBfs).orderBy("id").collect()
+      .map(r => r.getLong(0) - nBfs -> r.getLong(1)).toMap
+    println(f"[smoke] bfs: $bVisited nodes labeled in $bfsSecs%.1f s — per-hop " +
+      bByHop.toSeq.sorted.map { case (h, c) => s"$h:$c" }.mkString(", "))
+    report ++= Seq("bfs_nodes" -> nBfs, "bfs_visited" -> bVisited,
+      "bfs_secs" -> bfsSecs,
+      "bfs_hop1" -> bByHop.getOrElse(1L, 0L), "bfs_hop2" -> bByHop.getOrElse(2L, 0L),
+      "bfs_hop3" -> bByHop.getOrElse(3L, 0L))
+    (0L to 3L).foreach { k =>
+      assert(chainHops.get(k).contains(k),
+        s"planted chain node $k labeled ${chainHops.get(k)}, expected hop $k")
+    }
+    assert(bByHop(1L) < bByHop(2L) && bByHop(2L) < bByHop(3L),
+      s"frontier not supercritical: $bByHop")
+    bHops.unpersist()
+    println("[smoke] OK — bfs at " + nBfs + " nodes")
+
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_SMOKE.json"),
       jsonOf(report) + "\n")
     println("[smoke] wrote SCALE_SMOKE.json")

@@ -144,6 +144,7 @@ class PlanSpec extends SparkSpec {
       "q86_kmeans", // q86: k=8 centroid broadcast per assignment pass
       "q97_pq_ann", // q97: 1-row query-vector broadcast under the rerank
       "q105_basket_rules", // q105: 1-row order-count scalar broadcast
+      "q118_skew_report", // q118: 1-row total-count scalar broadcast
       // q91: oracle-slice theta join (|Δlen| band + banded levenshtein);
       // the equi-bucketed shape for past-broadcast scale is q90
       "q91_editdist_sql")
