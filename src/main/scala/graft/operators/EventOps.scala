@@ -484,9 +484,12 @@ object EventOps {
   val q115Attribution = QueryDef(
     "q115_attribution",
     (s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      // order by µs (+event_id): DuckDB sees only µs of the ns parquet
+      // timestamp, so ns-ordering could disagree on same-µs neighbors
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns DIV 1000"))
         .withColumn("click_id",
           last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true)
             .over(w))
@@ -500,7 +503,7 @@ object EventOps {
     Some("""WITH tagged AS (
            |  SELECT user_id, event_id, event_type, value,
            |    LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
-           |      OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+           |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
            |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id
            |  FROM events)
            |SELECT click_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
@@ -510,7 +513,45 @@ object EventOps {
            |GROUP BY click_id ORDER BY click_id""".stripMargin)
   )
 
+  /** q119: upsert-log compaction — the latest event per user (the
+    * "current state" materialization every CDC consumer runs over a
+    * change log). Implemented as ONE struct-max aggregation: `max` over
+    * (ts_ns, event_id, payload…) picks the lexicographically-latest row
+    * per key with map-side partial aggregation — each input partition
+    * contributes at most one candidate per key to the exchange. The
+    * window formulation (`row_number() = 1`, the oracle) shuffles and
+    * sorts EVERY log row; at 100 TB of change log vs millions of keys
+    * the struct-max agg moves orders of magnitude less. The q114
+    * argument, for argmax. */
+  val q119LatestState = QueryDef(
+    "q119_latest_state",
+    (s, d) => {
+      // µs granularity: DuckDB truncates the ns parquet timestamp to µs,
+      // so the comparable instant is ts_ns DIV 1000 ≡ epoch_us(ts); the
+      // event_id tiebreak keeps same-µs collisions deterministic
+      Tables.events(s, d)
+        .select(col("user_id"), struct(expr("ts_ns DIV 1000").as("ts_us"),
+          col("event_id"), col("event_type"),
+          col("value").cast(DecimalType(18, 6)).cast(StringType).as("value_str")).as("r"))
+        .groupBy("user_id")
+        .agg(max(col("r")).as("m"))
+        .select(col("user_id"), col("m.ts_us").as("last_ts_us"),
+          col("m.event_id").as("last_event_id"), col("m.event_type").as("last_type"),
+          col("m.value_str").as("last_value"))
+        .orderBy("user_id")
+    },
+    Some("""WITH r AS (
+           |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+           |    CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) AS value_str,
+           |    ROW_NUMBER() OVER (PARTITION BY user_id
+           |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           |  FROM events)
+           |SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+           |  event_type AS last_type, value_str AS last_value
+           |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
     q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency,
-    q109SessionPaths, q115Attribution)
+    q109SessionPaths, q115Attribution, q119LatestState)
 }

@@ -127,4 +127,27 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out.agg(sum("n_purchases")).head.getLong(0) == expected,
       "attributed purchase count conserves")
   }
+
+  test("q119: one row per user; struct-max agg equals the window formulation; partial agg plans") {
+    import org.apache.spark.sql.expressions.Window
+    val out = EventOps.q119LatestState.run(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+    assert(out.count() == ev.select("user_id").distinct().count())
+    val expected = ev
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+      .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts_us").as("last_ts_us"),
+        col("event_id").as("last_event_id"), col("event_type").as("last_type"),
+        col("value").cast("decimal(18,6)").cast("string").as("last_value"))
+      .orderBy("user_id")
+    assert(out.collect().toSeq == expected.collect().toSeq,
+      "struct-max compaction ≡ window row_number")
+    // the scale claim: partial (map-side) aggregation, not a window sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "compaction must not plan a window")
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate")
+      || plan.contains("SortAggregate"), s"expected a two-phase aggregate in:\n$plan")
+  }
 }
