@@ -551,7 +551,50 @@ object EventOps {
            |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)
   )
 
+  /** q122: event-type transition matrix (first-order Markov chain over
+    * each user's event sequence) — the sequence-mining summary behind
+    * next-action prediction and anomalous-flow detection. One `lead`
+    * over the user-keyed window pairs every event with its successor;
+    * the (from, to) counts then aggregate to a grid bounded by
+    * |event_types|², so the conditional probability P(to|from) ×1e6 is
+    * a window sum over METADATA (25 rows here), never the corpus. The
+    * q109/q88 user-partitioned exchange is the only data-sized shuffle,
+    * and parallelism scales with users.
+    *
+    * Ordering is µs+event_id on both engines (the q115 rule: DuckDB
+    * only sees µs of the ns parquet timestamp); the ×1e6 integer
+    * probability keeps the grid exact cross-engine — the DuckDB window
+    * SUM types HUGEINT, so the division result is CAST back to BIGINT. */
+  val q122Transitions = QueryDef(
+    "q122_transitions",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns DIV 1000"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("from_total", sum(col("n")).over(Window.partitionBy("from_type")))
+        .withColumn("p_micro", expr("(n * 1000000) div from_total"))
+        .select("from_type", "to_type", "n", "p_micro")
+        .orderBy("from_type", "to_type")
+    },
+    Some("""WITH p AS (
+           |  SELECT event_type,
+           |    LEAD(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY epoch_us(ts), event_id) AS next_type
+           |  FROM events),
+           |c AS (
+           |  SELECT event_type AS from_type, next_type AS to_type,
+           |    CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2)
+           |SELECT from_type, to_type, n,
+           |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_micro
+           |FROM c ORDER BY from_type, to_type""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
     q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency,
-    q109SessionPaths, q115Attribution, q119LatestState)
+    q109SessionPaths, q115Attribution, q119LatestState, q122Transitions)
 }

@@ -328,6 +328,48 @@ object StorageOps {
            |FROM zones GROUP BY layout ORDER BY layout""".stripMargin)
   )
 
+  /** Microseconds per day, for q120's integer day index. */
+  private val DayUs = 86400000000L
+
+  /** q120: incremental rollup maintenance (materialized-view merge) — the
+    * pattern that lets a 100 TB warehouse serve daily rollups without ever
+    * rescanning history. The standing STATE is the materialized partial
+    * aggregate (per (day, event_type): count + exact decimal sum) over
+    * everything already ingested; a late-arriving DELTA batch (simulated
+    * here as every 10th-ish event id, so it touches old days — the
+    * hard case, not an append) is aggregated alone, unioned with the
+    * state rows, and re-aggregated. Count and decimal-sum are mergeable
+    * (associative+commutative), so the merged rollup is hash-identical
+    * to a full recompute — which is exactly what the oracle runs.
+    *
+    * Plan shape at 100 TB: the update scans ONLY the delta batch; the
+    * merge's input is two metadata-sized rollups (days × types rows),
+    * never the corpus. The decimal discipline (exact partials, double
+    * only at the very end) is what makes merged ≡ recomputed bit-true —
+    * float partials would drift with partition count. */
+  val q120IncrementalRollup = QueryDef(
+    "q120_incremental_rollup",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("day", expr(s"(ts_ns DIV 1000) DIV $DayUs"))
+        .withColumn("v", col("value").cast(DecimalType(18, 6)))
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("day", "event_type")
+          .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sv"))
+      val state = partial(ev.filter(col("event_id") % 10 < 8))
+      val delta = partial(ev.filter(col("event_id") % 10 >= 8))
+      state.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(sum(col("cnt")).cast(LongType).as("cnt"),
+          sum(col("sv")).cast(DecimalType(18, 4)).cast(DoubleType).as("sum_value"))
+        .orderBy("day", "event_type")
+    },
+    Some(s"""SELECT epoch_us(ts) // $DayUs AS day, event_type,
+           |  CAST(COUNT(*) AS BIGINT) AS cnt,
+           |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q79MergeUpsert, q80ZorderLayout, q81ShardLayout,
-    q116SnapshotDiff, q117ZoneMapSkip)
+    q116SnapshotDiff, q117ZoneMapSkip, q120IncrementalRollup)
 }

@@ -394,6 +394,76 @@ object EventStreams {
            |ORDER BY v.user_id, view_us, view_id, click_us, click_id""".stripMargin)
   )
 
+  /** q121: stream-stream LEFT OUTER interval join executed AS streaming —
+    * the unmatched-row shape q96's inner join can't exercise: "every view,
+    * with its follow-up clicks OR proof there were none within 30 min"
+    * (the abandoned-impression / no-conversion feed). Unlike the inner
+    * join, null-padded rows are WATERMARK-GATED: an unmatched left row may
+    * only be emitted once the watermark proves no future right row can
+    * still match (wm > v_ts + 30 min + delay), and the emission happens in
+    * the micro-batch AFTER the one that advanced the watermark — the same
+    * one-batch lag as Append aggregations.
+    *
+    * That gate is why, unlike q96, the sentinel rows MUST flow through
+    * BOTH join inputs (the per-side `isin` filters admit them): the global
+    * watermark is the MIN across both sides' trackers, so a sentinel seen
+    * by only one side would stall it and the last ~40 min of views would
+    * never emit their null rows (q108's left-outer-for-the-sentinel trap,
+    * in join form). Sentinel keys are negative and filtered on the
+    * bounded sink read; the s1 sentinel's own left row never emits (its
+    * eviction horizon lies beyond the final watermark) — drained exactly
+    * like q64's unflushed sentinel windows.
+    *
+    * Null-free presentation: the nullable match keys are COALESCEd to -1
+    * on BOTH engines so the final ORDER BY is total without relying on
+    * engine null-ordering (Spark sorts nulls first, DuckDB last — a
+    * hash-compare trap). The drained sink must hash-match DuckDB's batch
+    * LEFT JOIN with the identical µs time bound.
+    *
+    * 100 TB/day shape: state is bounded by arrival-rate × (gap + delay)
+    * on both sides — the range condition is what lets Spark evict; the
+    * shuffle is the same user-keyed exchange as the batch join. */
+  val q121StreamingOuterJoin = graft.QueryDef(
+    "q121_streaming_outer_join",
+    (s, d) => {
+      val sunk = drainAvailableNow(s, d) { st =>
+        val v = st.filter(col("event_type").isin("view", "__sentinel__"))
+          .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("view_id"),
+            col("value").as("view_value"))
+          .withWatermark("v_ts", "10 minutes")
+        val c = st.filter(col("event_type").isin("click", "__sentinel__"))
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("event_id").as("click_id"), col("value").as("click_value"))
+          .withWatermark("c_ts", "10 minutes")
+        v.join(c,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("v_ts") &&
+            col("c_ts") <= col("v_ts") + expr("INTERVAL 30 minutes"),
+          "left_outer")
+          .select(col("user_id"), col("v_ts"), col("view_id"), col("view_value"),
+            col("c_ts"), col("click_id"), col("click_value"))
+      }
+      sunk.filter(col("user_id") >= 0) // drop sentinel rows
+        .select(col("user_id"),
+          unix_micros(col("v_ts")).as("view_us"), col("view_id"), col("view_value"),
+          coalesce(unix_micros(col("c_ts")), lit(-1L)).as("click_us"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          col("click_value"))
+        .orderBy("user_id", "view_us", "view_id", "click_us", "click_id")
+    },
+    Some("""SELECT v.user_id,
+           |  epoch_us(v.ts) AS view_us, v.event_id AS view_id, v.value AS view_value,
+           |  COALESCE(epoch_us(c.ts), -1) AS click_us,
+           |  COALESCE(c.event_id, -1) AS click_id,
+           |  c.value AS click_value
+           |FROM (SELECT * FROM events WHERE event_type = 'view') v
+           |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           |  ON c.user_id = v.user_id
+           | AND epoch_us(c.ts) >= epoch_us(v.ts)
+           | AND epoch_us(c.ts) <= epoch_us(v.ts) + 1800000000
+           |ORDER BY v.user_id, view_us, view_id, click_us, click_id""".stripMargin)
+  )
+
   /** q98: streaming DEDUPLICATION executed AS streaming — the ingest-side
     * idempotency shape every at-least-once pipeline needs (a redelivered
     * event must not double-count downstream): dedup on an idempotency key
@@ -550,7 +620,8 @@ object EventStreams {
 
   val all: Seq[graft.QueryDef] =
     Seq(q64StreamingTumbling, q82StreamingSession, q96StreamingIntervalJoin,
-      q98StreamingDedup, q108StreamingEnrich, q111StreamingHighs)
+      q98StreamingDedup, q108StreamingEnrich, q111StreamingHighs,
+      q121StreamingOuterJoin)
 
   /** Custom per-user running state via mapGroupsWithState — the
     * `KeyValueGroupedDataset` stateful escape hatch (arbitrary state the

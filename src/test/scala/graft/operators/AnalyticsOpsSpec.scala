@@ -150,4 +150,23 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(plan.contains("partial_max") || plan.contains("HashAggregate")
       || plan.contains("SortAggregate"), s"expected a two-phase aggregate in:\n$plan")
   }
+
+  test("q122: transition counts ≡ driver-side sequential enumeration; probabilities exact") {
+    val out = EventOps.q122Transitions.run(spark, sfDir).collect()
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+      .select("user_id", "ts_us", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = ev.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (r._2, r._3)).map(_._4).sliding(2)
+        .filter(_.size == 2).map(p => (p(0), p(1)))
+    }.toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected, "transition counts match sequential enumeration")
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val tot = rows.map(_.getLong(2)).sum
+      rows.foreach(r => assert(r.getLong(3) == r.getLong(2) * 1000000L / tot,
+        "p_micro is the exact integer conditional probability"))
+    }
+  }
 }

@@ -315,4 +315,21 @@ class PipelineOpsSpec extends SparkSpec {
     val shares = rows.map(_.getAs[Long]("share_x1m"))
     assert(shares.zip(shares.tail).forall { case (a, b) => a >= b }, "ranked by share")
   }
+
+  test("q120: merged state+delta rollup ≡ full recompute; both split branches non-empty") {
+    val out = StorageOps.q120IncrementalRollup.run(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", expr("(ts_ns DIV 1000) DIV 86400000000"))
+    val full = ev
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("value").cast("decimal(18,6)"))
+          .cast("decimal(18,4)").cast("double").as("sum_value"))
+      .orderBy("day", "event_type")
+    assert(out.collect().toSeq == full.collect().toSeq,
+      "merging materialized partials is indistinguishable from a full recompute")
+    // the merge is only meaningful if BOTH sides of the split carry rows
+    assert(ev.filter(col("event_id") % 10 < 8).limit(1).count() == 1)
+    assert(ev.filter(col("event_id") % 10 >= 8).limit(1).count() == 1)
+  }
 }

@@ -296,4 +296,29 @@ class EventStreamsSpec extends SparkSpec {
     val raw = graft.Tables.events(spark, sfDir).count()
     assert(res.size < raw, s"no duplicates collapsed: ${res.size} of $raw")
   }
+
+  test("q121: streaming left-outer interval join ≡ batch twin; unmatched views null-padded") {
+    import org.apache.spark.sql.functions._
+    val got = EventStreams.q121StreamingOuterJoin.run(spark, graft.TestSession.sfDir).collect()
+    assert(got.exists(_.getLong(4) == -1L),
+      "at least one view with no click within 30 min must appear null-padded")
+    val ev = graft.Tables.events(spark, graft.TestSession.sfDir)
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us").as("view_us"),
+        col("event_id").as("view_id"), col("value").as("view_value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts_us").as("cus"),
+        col("event_id").as("cid"), col("value").as("click_value"))
+    val batch = v.join(c,
+        col("user_id") === col("cu") &&
+          col("cus") >= col("view_us") && col("cus") <= col("view_us") + 1800000000L,
+        "left_outer")
+      .select(col("user_id"), col("view_us"), col("view_id"), col("view_value"),
+        coalesce(col("cus"), lit(-1L)).as("click_us"),
+        coalesce(col("cid"), lit(-1L)).as("click_id"), col("click_value"))
+      .orderBy("user_id", "view_us", "view_id", "click_us", "click_id")
+    assert(got.toSeq == batch.collect().toSeq,
+      "streaming buffered-state outer matching ≡ batch left-outer theta join")
+  }
 }
