@@ -69,5 +69,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injectAll(ext)
     ext.injectOptimizerRule(_ => graft.plans.BandedLevenshtein)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

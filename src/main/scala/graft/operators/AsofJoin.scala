@@ -52,6 +52,59 @@ object AsofJoin {
 
   private def rowType(df: DataFrame): StructType = StructType(df.schema.fields)
 
+  /** The same semantics as ONE custom physical operator — see
+    * [[graft.plans.AsofJoinPlan]] for the full design and the 100 TB
+    * argument (each side shuffles in its own schema, two small sorts, a
+    * one-row-of-state merge-sweep instead of window group buffering).
+    * Installs [[graft.plans.AsofJoinStrategy]] idempotently through the
+    * PUBLIC `experimental.extraStrategies` hook so it works on any
+    * session; `GraftExtensions` also injects it at session build. */
+  def asofJoinNative(left: DataFrame, right: DataFrame, leftKey: String,
+                     leftTs: String, rightKey: String, rightTs: String): DataFrame = {
+    val spark = left.sparkSession
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.AsofJoinStrategy
+    org.apache.spark.sql.graftext.Bridge.ofRows(spark,
+      graft.plans.AsofJoinPlan.resolve(
+        left.queryExecution.analyzed, right.queryExecution.analyzed,
+        leftKey, leftTs, rightKey, rightTs))
+  }
+
+  /** q123: the NATIVE as-of join under the oracle — for every purchase,
+    * the most recent view at-or-before it, per user (the "what impression
+    * led to this purchase" feed), aggregated like q35 so the lag sum is a
+    * per-row-exact signature of every match. Runs [[asofJoinNative]] —
+    * custom logical node, planner strategy, merge-sweep physical operator
+    * — and must hash-match DuckDB's built-in ASOF LEFT JOIN. */
+  val q123AsofNative = QueryDef(
+    "q123_asof_native",
+    (s, d) => {
+      val e = Tables.events(s, d).withColumn("ts_us", expr("ts_ns DIV 1000"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts_us").as("v_ts"))
+      asofJoinNative(purchases, views, leftKey = "user_id", leftTs = "ts_us",
+          rightKey = "v_user", rightTs = "v_ts")
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          count(col("matched.v_ts")).as("n_matched"),
+          sum(col("ts_us") - col("matched.v_ts")).cast(LongType).as("sum_lag_us"))
+        .orderBy("user_id")
+    },
+    Some("""WITH purchases AS (
+           |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events WHERE event_type = 'purchase'),
+           |views AS (
+           |  SELECT user_id AS v_user, epoch_us(ts) AS v_ts FROM events WHERE event_type = 'view')
+           |SELECT p.user_id, COUNT(*) AS n_purchases, COUNT(v.v_ts) AS n_matched,
+           |  CAST(SUM(p.ts_us - v.v_ts) AS BIGINT) AS sum_lag_us
+           |FROM purchases p ASOF LEFT JOIN views v
+           |  ON p.user_id = v.v_user AND v.v_ts <= p.ts_us
+           |GROUP BY p.user_id ORDER BY user_id""".stripMargin)
+  )
+
   /** q35: for every click, the most recent signup at-or-before it, per
     * user — aggregated to (user, n_clicks, n_matched, sum of lag µs); the
     * lag sum is a per-row-exact signature of every match. */
@@ -83,5 +136,5 @@ object AsofJoin {
            |GROUP BY c.user_id ORDER BY user_id""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q35AsofJoin)
+  val all: Seq[QueryDef] = Seq(q35AsofJoin, q123AsofNative)
 }

@@ -50,4 +50,57 @@ class AsofJoinSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
   }
+
+  test("native as-of operator ≡ composed formulation, row for row, across partitionings") {
+    val e = graft.Tables.events(spark, sfDir).withColumn("ts_us", expr("ts_ns DIV 1000"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("su"), col("ts_us").as("sts"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("matched.su").as("msu"), col("matched.sts").as("msts"))
+      .orderBy("user_id", "ts_us", "event_id")
+      .collect().toSeq
+    val composed = canon(AsofJoin.asofJoin(clicks, signups, "user_id", "ts_us", "su", "sts"))
+    (1 to 3).foreach { i =>
+      val native = canon(AsofJoin.asofJoinNative(
+        clicks.repartition(i), signups.repartition(4 - i), "user_id", "ts_us", "su", "sts"))
+      assert(native == composed, s"native diverges from composed at repartition($i)")
+    }
+  }
+
+  test("native as-of: equal-(key,ts) right ties resolve identically to the composed hash rule") {
+    val left = Seq((1L, 100L, "a"), (1L, 250L, "b")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 100L, "x"), (1L, 100L, "y"), (1L, 100L, "z"))
+      .toDF("rk", "rts", "rv")
+    val composed = AsofJoin.asofJoin(left, right, "k", "ts", "rk", "rts")
+      .select(col("tag"), col("matched.rv")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    (1 to 4).foreach { i =>
+      val native = AsofJoin.asofJoinNative(
+          left.repartition(i), right.repartition(5 - i), "k", "ts", "rk", "rts")
+        .select(col("tag"), col("matched.rv")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(native == composed, s"tie winner differs from composed at repartition($i)")
+    }
+  }
+
+  test("native as-of plans AsofJoinExec: two own-schema shuffles, partition-local sorts") {
+    val e = graft.Tables.events(spark, sfDir).withColumn("ts_us", expr("ts_ns DIV 1000"))
+    val clicks = e.filter(col("event_type") === "click").select(col("user_id"), col("ts_us"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("su"), col("ts_us").as("sts"))
+    val qe = AsofJoin.asofJoinNative(clicks, signups, "user_id", "ts_us", "su", "sts")
+      .queryExecution
+    val plan = qe.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix: the node renders "AsofJoin"
+    assert(plan.contains("AsofJoin "), s"custom operator missing from plan:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("Union"),
+      s"native path must not fall back to the composed union+window shape:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected one hash exchange per side, got $exchanges:\n$plan")
+    assert(!plan.contains("Sort [") || !plan.contains("global=true"),
+      s"sorts must be partition-local:\n$plan")
+  }
 }
