@@ -594,7 +594,73 @@ object EventOps {
            |FROM c ORDER BY from_type, to_type""".stripMargin)
   )
 
+  /** q125: peak concurrency by sweep-line — each event opens a 15-minute
+    * active interval `[ts, ts+15min)`; the answer is, per day, the maximum
+    * number of simultaneously-active intervals (peak concurrent sessions —
+    * the capacity-planning number). The classic algorithm: emit +1 at each
+    * interval start and −1 at each end, order by time, take the max prefix
+    * sum — expressed as a window cumulative sum, NOT an O(n²) self-join of
+    * intervals against instants.
+    *
+    * Scale shape at 100 TB: the sweep is PARTITIONED BY DAY — each
+    * interval is exploded into the (≤2) day-segments it overlaps, clamped
+    * to the day boundary, so a segment spanning midnight carries into the
+    * next day's sweep as a +1 at 00:00 (the day-boundary carry-in of the
+    * two-level prefix-sum pattern, materialized instead of joined).
+    * Parallelism scales with days × AQE partition splitting; no global
+    * ordering anywhere. Ordering ties are exact: −1 sorts before +1 at
+    * the same µs (half-open intervals — an interval ending at t is not
+    * concurrent with one starting at t), and equal (t, delta) peers are
+    * RANGE-frame peers in both engines, so the running sum is identical
+    * regardless of physical row order. */
+  val q125PeakConcurrency = QueryDef(
+    "q125_peak_concurrency",
+    (s, d) => {
+      val dayUs = 86400000000L
+      val iv = Tables.events(s, d)
+        .select(expr("ts_ns DIV 1000").as("s0"))
+        .withColumn("e0", col("s0") + 900000000L)
+      val seg = iv
+        .select(col("s0"), col("e0"),
+          explode(sequence(expr(s"s0 DIV $dayUs"), expr(s"(e0 - 1) DIV $dayUs"))).as("day"))
+        .select(col("day"),
+          greatest(col("s0"), col("day") * dayUs).as("t0"),
+          least(col("e0"), (col("day") + 1) * dayUs).as("t1"))
+      val sweep = seg.select(col("day"), col("t0").as("t"), lit(1L).as("delta"))
+        .unionAll(seg.select(col("day"), col("t1").as("t"), lit(-1L).as("delta")))
+      sweep
+        .withColumn("running",
+          sum("delta").over(Window.partitionBy("day").orderBy("t", "delta")))
+        .groupBy("day")
+        .agg(
+          sum(when(col("delta") === 1L, 1L).otherwise(0L)).cast(LongType).as("n_active"),
+          max("running").cast(LongType).as("peak"))
+        .orderBy("day")
+    },
+    Some("""WITH iv AS (
+           |  SELECT epoch_us(ts) AS s0, epoch_us(ts) + 900000000 AS e0 FROM events),
+           |seg AS (
+           |  SELECT unnest(generate_series(s0 // 86400000000, (e0 - 1) // 86400000000)) AS day,
+           |         s0, e0
+           |  FROM iv),
+           |clamped AS (
+           |  SELECT day, greatest(s0, day * 86400000000) AS t0,
+           |         least(e0, (day + 1) * 86400000000) AS t1
+           |  FROM seg),
+           |sweep AS (
+           |  SELECT day, t0 AS t, 1 AS delta FROM clamped
+           |  UNION ALL SELECT day, t1, -1 FROM clamped),
+           |run AS (
+           |  SELECT day, delta,
+           |    SUM(delta) OVER (PARTITION BY day ORDER BY t, delta) AS running
+           |  FROM sweep)
+           |SELECT day, CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+           |  CAST(MAX(running) AS BIGINT) AS peak
+           |FROM run GROUP BY day ORDER BY day""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
     q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency,
-    q109SessionPaths, q115Attribution, q119LatestState, q122Transitions)
+    q109SessionPaths, q115Attribution, q119LatestState, q122Transitions,
+    q125PeakConcurrency)
 }

@@ -261,6 +261,122 @@ object MiningOps {
            |FROM ranked WHERE rn <= 3 ORDER BY source, lang, rn""".stripMargin)
   )
 
+  /** q126: per-group ordinary least squares — each customer's spending
+    * trend (slope of order total over time) from the closed-form normal
+    * equations, computed ENTIRELY from five mergeable sums (n, Σx, Σy,
+    * Σx², Σxy): slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²). Grouped
+    * regression as ONE hash aggregate — no per-group iteration, no ML
+    * library, map-side partials merge associatively, so a million groups
+    * cost the same shuffle as a count.
+    *
+    * Exactness discipline: x = days since the customer's first order
+    * (window min, small integers — centering also keeps nΣxy·1000 far
+    * inside int64); y = exact cents via DECIMAL(18,2)·100; the slope is
+    * emitted ×1000 under integer division (Spark `DIV` ≡ DuckDB `//`,
+    * both truncate toward zero). Groups need ≥2 distinct days or the
+    * denominator is 0 (degenerate fit) — filtered on COUNT(DISTINCT x). */
+  val q126GroupOls = QueryDef(
+    "q126_group_ols",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(
+        col("o_custkey"),
+        datediff(col("o_orderdate").cast(DateType), lit("1992-01-01").cast(DateType))
+          .cast(LongType).as("day"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+      val c = o.withColumn("x",
+        col("day") - min("day").over(Window.partitionBy("o_custkey")))
+      c.groupBy("o_custkey")
+        .agg(
+          count(lit(1)).cast(LongType).as("n"),
+          countDistinct(col("x")).cast(LongType).as("nx"),
+          sum("x").cast(LongType).as("sx"),
+          sum("cents").cast(LongType).as("sy"),
+          sum(col("x") * col("x")).cast(LongType).as("sxx"),
+          sum(col("x") * col("cents")).cast(LongType).as("sxy"),
+          max("x").cast(LongType).as("span_days"))
+        .filter(col("nx") >= 2)
+        .select(col("o_custkey"), col("n").as("n_orders"), col("span_days"),
+          expr("(n * sxy - sx * sy) * 1000 DIV (n * sxx - sx * sx)").as("slope_x1k"),
+          expr("sy DIV n").as("mean_cents"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH o AS (
+           |  SELECT o_custkey,
+           |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+           |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           |  FROM orders),
+           |c AS (
+           |  SELECT o_custkey, day - MIN(day) OVER (PARTITION BY o_custkey) AS x, cents
+           |  FROM o),
+           |agg AS (
+           |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(COUNT(DISTINCT x) AS BIGINT) AS nx,
+           |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(cents) AS BIGINT) AS sy,
+           |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * cents) AS BIGINT) AS sxy,
+           |    CAST(MAX(x) AS BIGINT) AS span_days
+           |  FROM c GROUP BY o_custkey)
+           |SELECT o_custkey, n AS n_orders, span_days,
+           |  (n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx) AS slope_x1k,
+           |  sy // n AS mean_cents
+           |FROM agg WHERE nx >= 2 ORDER BY o_custkey""".stripMargin)
+  )
+
+  /** q127: offline change-point detection — for each active user, the day
+    * where their event-rate shifted most, by the max-CUSUM statistic:
+    * with P_t the prefix sum of daily counts, T the total and N the number
+    * of active days, G_t = |N·P_t − t·T| is (N× scaled) the gap between
+    * the observed prefix and a perfectly uniform rate; the argmax day is
+    * the binary-segmentation split point. Pure integers — no mean, no
+    * variance, no float — so the oracle hash is exact.
+    *
+    * Scale shape: one hash agg to daily counts (the corpus shrinks to
+    * user×day), then two user-partitioned window passes (prefix sum +
+    * argmax) over that reduced frame. Everything is keyed by user_id;
+    * parallelism scales with users, and the window state per user is the
+    * day count, not the event count. Ties (equal G) resolve to the
+    * earliest day in both engines. */
+  val q127ChangePoint = QueryDef(
+    "q127_change_point",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("user_id"), expr("ts_ns DIV 86400000000000").as("day"))
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).cast(LongType).as("c"))
+      val wSeq = Window.partitionBy("user_id").orderBy("day")
+      val wAll = Window.partitionBy("user_id")
+      val g = daily
+        .withColumn("p", sum("c").over(wSeq).cast(LongType))
+        .withColumn("t", row_number().over(wSeq).cast(LongType))
+        .withColumn("total", sum("c").over(wAll).cast(LongType))
+        .withColumn("n_days", count(lit(1)).over(wAll).cast(LongType))
+        .withColumn("g", abs(col("n_days") * col("p") - col("t") * col("total")))
+      g.filter(col("n_days") >= 5)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("g").desc, col("day").asc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("n_days"), col("day").as("cp_day"), col("g").as("g_max"))
+        .orderBy("user_id")
+    },
+    Some("""WITH daily AS (
+           |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+           |    CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM events GROUP BY 1, 2),
+           |g AS (
+           |  SELECT user_id, day,
+           |    CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS p,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS t,
+           |    CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS total,
+           |    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_days
+           |  FROM daily),
+           |scored AS (
+           |  SELECT user_id, n_days, day, abs(n_days * p - t * total) AS g,
+           |    ROW_NUMBER() OVER (PARTITION BY user_id
+           |      ORDER BY abs(n_days * p - t * total) DESC, day ASC) AS rn
+           |  FROM g WHERE n_days >= 5)
+           |SELECT user_id, n_days, day AS cp_day, g AS g_max
+           |FROM scored WHERE rn = 1 ORDER BY user_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile,
-    q110PercentileNorm, q114TopkPerGroup)
+    q110PercentileNorm, q114TopkPerGroup, q126GroupOls, q127ChangePoint)
 }

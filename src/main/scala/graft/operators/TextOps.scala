@@ -716,8 +716,126 @@ object TextOps {
            |ORDER BY term""".stripMargin)
   )
 
+  /** q124: a TRAINED text classifier, end to end in aggregations — the
+    * supervised counterpart to q21's fixed-marker heuristic (and the
+    * fastText-quality-classifier slot of a training-data pipeline:
+    * train on labeled docs, score the rest, report the confusion
+    * matrix). Naive-Bayes-shaped with integer fixed-point weights:
+    *
+    *   train (even doc_ids): vocab = top-256 tokens by train count;
+    *     w(t,c) = (count(t,c)+1)·1e6 DIV (total(c)+256)   (add-1 smoothed)
+    *     prior(c) = ndocs(c)·1e6 DIV ndocs
+    *   score (odd doc_ids): score(d,c) = prior(c) + Σ_t n_dt · w(t,c),
+    *     argmax over classes (ties → lexicographically first class).
+    *
+    * The linear integer scoring replaces log-probabilities — a monotone
+    * surrogate chosen, like q21/q59/q101, so no transcendental float ever
+    * reaches the oracle hash; accuracy is the model's business, exactness
+    * is the contract.
+    *
+    * Scale shape at 100 TB: the MODEL is metadata — vocab (256) × classes
+    * (|langs|) weights plus priors — built by hash aggs over (token, lang)
+    * pairs (map-side partials; documents never shuffle) and broadcast back
+    * onto the test token stream; scoring is explode → broadcast-join →
+    * per-(doc, class) hash agg; the confusion matrix is |langs|² rows. The
+    * only single-partition moment is ranking the 256-row vocab table. */
+  val q124NbClassifier = QueryDef(
+    "q124_nb_classifier",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val V = 256
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"), (col("doc_id") % 2 === 0).as("is_train"))
+      val tok = docs.select(col("doc_id"), col("lang"), col("is_train"),
+        explode(tokens(lower(col("text")))).as("token"))
+      val trainTok = tok.filter(col("is_train"))
+      val vocab = trainTok.groupBy("token")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("cnt").desc, col("token").asc)))
+        .filter(col("rn") <= V).select("token")
+      val classes = docs.filter(col("is_train")).select(col("lang").as("lang_c")).distinct()
+      val cnt = trainTok.join(broadcast(vocab), "token")
+        .groupBy(col("lang").as("lang_c"), col("token"))
+        .agg(count(lit(1)).cast(LongType).as("c"))
+      val tot = cnt.groupBy("lang_c").agg(sum("c").cast(LongType).as("tot"))
+      val w = classes.crossJoin(broadcast(vocab))
+        .join(broadcast(tot), "lang_c")
+        .join(broadcast(cnt), Seq("lang_c", "token"), "left")
+        .select(col("lang_c"), col("token"),
+          expr(s"(coalesce(c, 0L) + 1) * 1000000 DIV (tot + $V)").as("w"))
+      val nTrain = docs.filter(col("is_train"))
+        .agg(count(lit(1)).cast(LongType).as("n_train"))
+      val prior = docs.filter(col("is_train"))
+        .groupBy(col("lang").as("lang_c"))
+        .agg(count(lit(1)).cast(LongType).as("nc"))
+        .crossJoin(broadcast(nTrain))
+        .select(col("lang_c"), expr("nc * 1000000 DIV n_train").as("pr"))
+      val hits = tok.filter(!col("is_train"))
+        .join(broadcast(w), "token")
+        .groupBy("doc_id", "lang_c")
+        .agg(sum("w").cast(LongType).as("hit"))
+      val scored = docs.filter(!col("is_train"))
+        .select(col("doc_id"), col("lang").as("lang_true"))
+        .crossJoin(broadcast(classes))
+        .join(broadcast(prior), "lang_c")
+        .join(hits, Seq("doc_id", "lang_c"), "left")
+        .withColumn("score", col("pr") + coalesce(col("hit"), lit(0L)))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang_c").asc)))
+        .filter(col("rn") === 1)
+        .groupBy(col("lang_true"), col("lang_c").as("lang_pred"))
+        .agg(count(lit(1)).cast(LongType).as("n_docs"))
+        .orderBy("lang_true", "lang_pred")
+    },
+    Some("""WITH docs AS (
+           |  SELECT doc_id, lang, text, doc_id % 2 = 0 AS is_train FROM documents),
+           |tok AS (
+           |  SELECT doc_id, lang, is_train,
+           |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS token
+           |  FROM docs),
+           |vocab AS (
+           |  SELECT token FROM (
+           |    SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rn
+           |    FROM tok WHERE is_train GROUP BY token)
+           |  WHERE rn <= 256),
+           |classes AS (SELECT DISTINCT lang AS lang_c FROM docs WHERE is_train),
+           |cnt AS (
+           |  SELECT lang AS lang_c, token, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM tok WHERE is_train AND token IN (SELECT token FROM vocab)
+           |  GROUP BY 1, 2),
+           |tot AS (SELECT lang_c, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+           |w AS (
+           |  SELECT cl.lang_c, v.token,
+           |    (coalesce(cnt.c, 0) + 1) * 1000000 // (tot.tot + 256) AS w
+           |  FROM classes cl CROSS JOIN vocab v
+           |  JOIN tot ON tot.lang_c = cl.lang_c
+           |  LEFT JOIN cnt ON cnt.lang_c = cl.lang_c AND cnt.token = v.token),
+           |prior AS (
+           |  SELECT lang AS lang_c, CAST(COUNT(*) AS BIGINT) * 1000000
+           |    // (SELECT CAST(COUNT(*) AS BIGINT) FROM docs WHERE is_train) AS pr
+           |  FROM docs WHERE is_train GROUP BY 1),
+           |hits AS (
+           |  SELECT t.doc_id, w.lang_c, CAST(SUM(w.w) AS BIGINT) AS hit
+           |  FROM tok t JOIN w ON w.token = t.token
+           |  WHERE NOT t.is_train GROUP BY 1, 2),
+           |scored AS (
+           |  SELECT dd.doc_id, dd.lang AS lang_true, c.lang_c,
+           |    p.pr + coalesce(h.hit, 0) AS score
+           |  FROM docs dd CROSS JOIN classes c
+           |  JOIN prior p ON p.lang_c = c.lang_c
+           |  LEFT JOIN hits h ON h.doc_id = dd.doc_id AND h.lang_c = c.lang_c
+           |  WHERE NOT dd.is_train),
+           |pred AS (
+           |  SELECT doc_id, lang_true, lang_c,
+           |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_c ASC) AS rn
+           |  FROM scored)
+           |SELECT lang_true, lang_c AS lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+           |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId,
     q22Fingerprint, q39Bigrams, q55TokenCounts, q57Winnowing, q59Tfidf,
     q66PiiRedact, q67Repetition, q69Decontamination, q70DecontamPool,
-    q72MixtureReport, q101LmFluency, q104InvertedIndex)
+    q72MixtureReport, q101LmFluency, q104InvertedIndex, q124NbClassifier)
 }

@@ -147,7 +147,10 @@ class PlanSpec extends SparkSpec {
       "q118_skew_report", // q118: 1-row total-count scalar broadcast
       // q91: oracle-slice theta join (|Δlen| band + banded levenshtein);
       // the equi-bucketed shape for past-broadcast scale is q90
-      "q91_editdist_sql")
+      "q91_editdist_sql",
+      // q124: the model grid (256-token vocab × |langs| classes) and the
+      // per-test-doc class fan-out are deliberate tiny-side broadcasts
+      "q124_nb_classifier")
     // plan-text exchange budgets: the LSH pipeline legitimately has ~18
     // (sig agg + banding self-join + verify joins); queries consuming the
     // CACHED pair/cluster frames repeat that lineage inside
@@ -185,6 +188,11 @@ class PlanSpec extends SparkSpec {
       // (ReusedExchange collapses the identical subtrees at runtime);
       // every shuffled row is a ~16-byte (key, key) pair
       case n if n.startsWith("q105") => 16
+      // q124: train/score are separate lineages over the same token
+      // explode (vocab rank, per-class counts, totals, priors, hits,
+      // per-doc argmax, confusion) — every exchange past the explode is
+      // model-metadata-sized (≤ vocab × classes rows) or test-doc-keyed
+      case n if n.startsWith("q124") => 24
       case _ => 8
     }
     SparkEntry.registry.foreach { q =>

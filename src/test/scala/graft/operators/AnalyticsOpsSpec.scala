@@ -151,6 +151,53 @@ class AnalyticsOpsSpec extends SparkSpec {
       || plan.contains("SortAggregate"), s"expected a two-phase aggregate in:\n$plan")
   }
 
+  test("q125: per-day peak ≡ driver-side sequential sweep; midnight carry-in exercised") {
+    val out = EventOps.q125PeakConcurrency.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val dayUs = 86400000000L
+    val starts = Tables.events(spark, sfDir)
+      .select(expr("ts_ns DIV 1000")).collect().map(_.getLong(0))
+    val segs = starts.flatMap { s0 =>
+      val e0 = s0 + 900000000L
+      (s0 / dayUs to (e0 - 1) / dayUs).map { day =>
+        (day, math.max(s0, day * dayUs), math.min(e0, (day + 1) * dayUs))
+      }
+    }
+    assert(segs.length > starts.length, "some interval crosses midnight (carry-in live)")
+    val expected = segs.groupBy(_._1).map { case (day, ss) =>
+      val sweep = (ss.map(s => (s._2, 1L)) ++ ss.map(s => (s._3, -1L))).sorted
+      var run = 0L
+      var peak = Long.MinValue
+      sweep.foreach { case (_, d) => run += d; if (run > peak) peak = run }
+      day -> ((ss.length.toLong, peak))
+    }
+    assert(out == expected, "sweep-line windows ≡ sequential sweep per day")
+  }
+
+  test("q127: change-point ≡ driver-side argmax of the CUSUM statistic") {
+    val out = MiningOps.q127ChangePoint.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts_ns DIV 86400000000000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = ev.groupBy(_._1).flatMap { case (uid, rows) =>
+      val daily = rows.groupBy(_._2).map { case (d, v) => (d, v.size.toLong) }
+        .toSeq.sortBy(_._1)
+      val n = daily.size.toLong
+      if (n < 5) None
+      else {
+        val total = daily.map(_._2).sum
+        var p = 0L
+        val scored = daily.zipWithIndex.map { case ((day, c), i) =>
+          p += c; (day, (n * p - (i + 1) * total).abs)
+        }
+        val (cpDay, gMax) = scored.sortBy { case (day, g) => (-g, day) }.head
+        Some(uid -> ((n, cpDay, gMax)))
+      }
+    }.toMap
+    assert(out == expected, "window argmax ≡ sequential CUSUM")
+  }
+
   test("q122: transition counts ≡ driver-side sequential enumeration; probabilities exact") {
     val out = EventOps.q122Transitions.run(spark, sfDir).collect()
     val ev = Tables.events(spark, sfDir)

@@ -92,4 +92,33 @@ class MiningOpsSpec extends SparkSpec {
       || plan.contains("SortAggregate"),
       s"expected a two-phase aggregate in:\n$plan")
   }
+
+  test("q126: slope ≡ driver-side closed-form normal equations; negative slopes live") {
+    val out = MiningOps.q126GroupOls.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date")).cast("long"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = o.groupBy(_._1).flatMap { case (ck, rows) =>
+      val x0 = rows.map(_._2).min
+      val xs = rows.map(r => (r._2 - x0, r._3)).toSeq
+      if (xs.map(_._1).distinct.size < 2) None
+      else {
+        val n = xs.size.toLong
+        val sx = xs.map(_._1).sum
+        val sy = xs.map(_._2).sum
+        val sxx = xs.map(p => p._1 * p._1).sum
+        val sxy = xs.map(p => p._1 * p._2).sum
+        // Scala Long `/` truncates toward zero — the same rule as Spark DIV
+        // and DuckDB `//`, which is what the negative-slope assert pins
+        Some(ck -> ((n, xs.map(_._1).max,
+          (n * sxy - sx * sy) * 1000 / (n * sxx - sx * sx), sy / n)))
+      }
+    }.toMap
+    assert(out == expected, "one-agg OLS ≡ sequential closed form")
+    assert(expected.values.exists(_._3 < 0),
+      "negative slopes present (division-rounding parity actually exercised)")
+  }
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Functional invariants for the trained-classifier query (q124); exact
+  * values are oracle-checked at sf0.01, this recomputes the whole model —
+  * vocab ranking, smoothed weights, priors, scoring, argmax — sequentially
+  * on the driver as an independent third implementation. */
+class TextOpsSpec extends SparkSpec {
+
+  test("q124: confusion matrix ≡ driver-side end-to-end NB train+score") {
+    val out = TextOps.q124NbClassifier.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), lower(col("text")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").filter(_.nonEmpty).toSeq))
+    val train = docs.filter(_._1 % 2 == 0)
+    val tests = docs.filter(_._1 % 2 != 0)
+    assert(train.nonEmpty && tests.nonEmpty, "both halves of the split populated")
+
+    val V = 256
+    val vocab = train.flatMap(_._3).groupBy(identity)
+      .map { case (t, v) => (t, v.size.toLong) }.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(V).map(_._1).toSet
+    val classes = train.map(_._2).distinct.sorted
+    val cnt = train.flatMap(d => d._3.filter(vocab).map(t => (d._2, t)))
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val tot = classes.map(c =>
+      c -> cnt.collect { case ((`c`, _), n) => n }.sum).toMap
+    val w = (for (c <- classes; t <- vocab)
+      yield (c, t) -> (cnt.getOrElse((c, t), 0L) + 1) * 1000000L / (tot(c) + V)).toMap
+    val prior = classes.map(c =>
+      c -> train.count(_._2 == c).toLong * 1000000L / train.length).toMap
+
+    val expected = tests.map { case (_, langTrue, toks) =>
+      val pred = classes.map { c =>
+        (c, prior(c) + toks.collect { case t if vocab(t) => w((c, t)) }.sum)
+      }.sortBy { case (c, score) => (-score, c) }.head._1
+      (langTrue, pred)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(out == expected, "aggregation-built model ≡ sequential train+score")
+    assert(out.values.sum == tests.length.toLong,
+      "every test doc predicted exactly once; training docs never scored")
+  }
+}
