@@ -22,17 +22,38 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
 
-  /** `events.ts` is nanosecond-precision in parquet, which Spark's
-    * TimestampType (µs) cannot hold — so we read it as a nanos BIGINT
-    * (`ts_ns`, exact) and derive a µs-truncated `ts` TimestampType column
-    * for window/date functions. All range/order logic in the engine uses
-    * the exact `ts_ns`. */
+  /** Schema-adaptive read of `events` — the driver has shipped `ts` as
+    * BOTH physical types across rounds (nanosecond INT64 in r1–r4 data,
+    * `timestamp[us]` since 2026-08-13), so the reader branches on what the
+    * parquet footer actually says instead of assuming either. Both
+    * branches present the same logical schema to every consumer:
+    *   - `ts_ns`  BIGINT — exact epoch nanoseconds (range/order logic)
+    *   - `ts`     TimestampType (µs) — for window/date functions
+    *
+    * ns INT64 path: needs `spark.sql.legacy.parquet.nanosAsLong` (Spark's
+    * TimestampType is µs and cannot hold nanos); the flag must stay set
+    * until the scan executes, so it is only restored on the µs branch
+    * (where the scan never consults it).
+    *
+    * µs path: Spark 4 infers parquet `isAdjustedToUTC=false` timestamps as
+    * TIMESTAMP_NTZ; the session timezone is pinned to UTC everywhere
+    * (Verify/Bench/specs), so the cast to TimestampType is value-preserving
+    * and `unix_micros` matches DuckDB's `epoch_us(ts)` exactly. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts_ns DIV 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+    val flag = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(flag)
+    s.conf.set(flag, "true")
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      case _ =>
+        prev.fold(s.conf.unset(flag))(s.conf.set(flag, _))
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -430,22 +430,23 @@ object DedupOps {
     * heavy vocabulary sharing — like the oracle tables, background
     * Jaccard 0.16 — degrades it toward quadratic while recall stays
     * exact. That trade is the point of having BOTH this and MinHash. */
-  private[operators] def prefixCandidates(s: SparkSession, d: String, cap: Long): DataFrame = {
-    val sh = shingles(s, d, cap)
-    val freq = sh.groupBy("sh").agg(count(lit(1)).as("f"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("f").asc, col("sh").asc)
-    val prefix = sh.join(freq, Seq("sh")).join(sizes, Seq("doc_id"))
-      .withColumn("rk", row_number().over(w))
-      // ⌈3·sz/5⌉ = (3·sz + 4) div 5 — integer form of ⌈0.6·sz⌉
-      .filter(col("rk") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
-      .select(col("doc_id"), col("sh"))
-    prefix.as("a").join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-  }
+  private[operators] def prefixCandidates(s: SparkSession, d: String, cap: Long): DataFrame =
+    cachedFrame(s, d, cap, "prefixCand") {
+      val sh = shingles(s, d, cap)
+      val freq = sh.groupBy("sh").agg(count(lit(1)).as("f"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("f").asc, col("sh").asc)
+      val prefix = sh.join(freq, Seq("sh")).join(sizes, Seq("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        // ⌈3·sz/5⌉ = (3·sz + 4) div 5 — integer form of ⌈0.6·sz⌉
+        .filter(col("rk") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
+        .select(col("doc_id"), col("sh"))
+      prefix.as("a").join(prefix.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+    }
 
   /** q87: prefix-filter similarity join — candidates from
     * [[prefixCandidates]], verified with exact Jaccard; the output must
@@ -462,25 +463,33 @@ object DedupOps {
     (s, d) => {
       val sh = shingles(s, d, OracleCap)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      // exact intersection counts over colliding pairs (the q23 shape —
-      // per-candidate shingle-list expansion would shuffle |cand|·|doc|
-      // rows, ~9s at this corpus's 86% candidate density; this is ~1s),
-      // then LEFT SEMI against the prefix candidates: the output is the
-      // true pairs THAT WERE GENERATED — if the prefix filter ever missed
-      // a true pair, the semi join would drop it and the oracle's
-      // hash-match against the full exact answer would fail. The oracle
-      // is literally also the recall check.
-      val inter = sh.select(col("doc_id").as("d1"), col("sh"))
-        .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
-        .filter(col("d1") < col("d2"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
-      inter
-        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("s1")), Seq("d1"))
-        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("s2")), Seq("d2"))
-        .filter(col("ic") * 10 >= (col("s1") + col("s2") - col("ic")) * 6)
-        .join(prefixCandidates(s, d, OracleCap), Seq("d1", "d2"), "left_semi")
-        .select("d1", "d2")
-        .orderBy("d1", "d2")
+      // CANDIDATE-FIRST verify: prune the shingle table to docs appearing
+      // in some candidate pair BEFORE the intersection self-join, and
+      // semi-join the candidate PAIRS before the count aggregation — the
+      // join volume and agg shuffle are then bounded by candidate volume,
+      // never by the corpus-wide Σ f(sh)² of hot shingles (the r4 shape's
+      // scale-killer). Output unchanged: the result is the true pairs
+      // THAT WERE GENERATED — if the prefix filter ever missed a true
+      // pair it would be absent here, and the oracle's hash-match against
+      // the full exact answer would fail. The oracle is literally also
+      // the recall check.
+      val verified = cachedFrame(s, d, OracleCap, "prefixVerified") {
+        val cand = prefixCandidates(s, d, OracleCap)
+        val candDocs = cand.select(col("d1").as("doc_id"))
+          .union(cand.select(col("d2").as("doc_id"))).distinct()
+        val shC = sh.join(candDocs, Seq("doc_id"), "left_semi")
+        val inter = shC.select(col("doc_id").as("d1"), col("sh"))
+          .join(shC.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
+          .filter(col("d1") < col("d2"))
+          .join(cand, Seq("d1", "d2"), "left_semi")
+          .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
+        inter
+          .join(sizes.select(col("doc_id").as("d1"), col("sz").as("s1")), Seq("d1"))
+          .join(sizes.select(col("doc_id").as("d2"), col("sz").as("s2")), Seq("d2"))
+          .filter(col("ic") * 10 >= (col("s1") + col("s2") - col("ic")) * 6)
+          .select("d1", "d2")
+      }
+      verified.orderBy("d1", "d2")
     },
     Some(s"""WITH ${pairsCtes(capped = true, tenths = 6)}
            |SELECT d1, d2 FROM pairs ORDER BY d1, d2""".stripMargin)
@@ -488,6 +497,30 @@ object DedupOps {
 
   /** Containment threshold (tenths): C(A→B) = |A∩B| / |A| ≥ 8/10. */
   val ContainTenths = 8
+
+  /** Containment candidates (cached like [[prefixCandidates]]): if B holds
+    * ≥ ⌈t·|A|⌉ of A's shingles, A misses at most ⌊(1−t)·|A|⌋ of them, so B
+    * must share at least one of A's ⌊(1−t)·|A|⌋+1 rarest — join A's rarity
+    * prefix against the FULL shingle table (not prefix-to-prefix: the
+    * containee's shingles can sit anywhere in the container's rarity
+    * order). Exact recall by the same lemma as q87. */
+  private[operators] def containCandidates(s: SparkSession, d: String, cap: Long): DataFrame =
+    cachedFrame(s, d, cap, "containCand") {
+      val sh = shingles(s, d, cap)
+      val freq = sh.groupBy("sh").agg(count(lit(1)).as("f"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("f").asc, col("sh").asc)
+      // rk ≤ ⌊(1−t)·sz⌋+1  ⟺  10·rk ≤ (10−t₁₀)·sz + 10, integer-exact
+      val prefix = sh.join(freq, Seq("sh")).join(sizes, Seq("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") * 10 <= col("sz") * (10 - ContainTenths) + 10)
+        .select(col("doc_id").as("d1"), col("sh"))
+      prefix
+        .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
+        .filter(col("d1") =!= col("d2"))
+        .select("d1", "d2").distinct()
+    }
 
   /** q95: CONTAINMENT similarity join — the asymmetric cousin of the
     * Jaccard family: C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|
@@ -515,37 +548,31 @@ object DedupOps {
     "q95_containment_join",
     (s, d) => {
       val sh = shingles(s, d, OracleCap)
-      val freq = sh.groupBy("sh").agg(count(lit(1)).as("f"))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("f").asc, col("sh").asc)
-      // rk ≤ ⌊(1−t)·sz⌋+1  ⟺  10·rk ≤ (10−t₁₀)·sz + 10, integer-exact
-      val prefix = sh.join(freq, Seq("sh")).join(sizes, Seq("doc_id"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") * 10 <= col("sz") * (10 - ContainTenths) + 10)
-        .select(col("doc_id").as("d1"), col("sh"))
-      val cand = prefix
-        .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
-        .filter(col("d1") =!= col("d2"))
-        .select("d1", "d2").distinct()
-      // exact intersection counts via the q87 shape (shingle equi-join +
-      // hash agg — per-candidate array expansion measured ~7× slower at
-      // this corpus's candidate density), then LEFT SEMI against the
-      // prefix candidates: output = true pairs THAT WERE GENERATED, so a
-      // recall miss fails the oracle hash-match. Both directions kept
+      // CANDIDATE-FIRST verify (the q87 shape): shingles pruned to
+      // candidate docs before the self-join, candidate pairs semi-joined
+      // before the count aggregation — verify cost bounded by candidate
+      // volume, not Σ f(sh)². Output = true pairs THAT WERE GENERATED, so
+      // a recall miss fails the oracle hash-match. Both directions kept
       // (containment is asymmetric).
-      val inter = sh.select(col("doc_id").as("d1"), col("sh"))
-        .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
-        .filter(col("d1") =!= col("d2"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
-      inter
-        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
-        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
-        .filter(col("ic") * 10 >= col("sz1") * ContainTenths)
-        .join(cand, Seq("d1", "d2"), "left_semi")
-        .select(col("d1"), col("d2"), col("ic").cast(LongType).as("ic"),
-          col("sz1").cast(LongType).as("sz1"), col("sz2").cast(LongType).as("sz2"))
-        .orderBy("d1", "d2")
+      val verified = cachedFrame(s, d, OracleCap, "containVerified") {
+        val cand = containCandidates(s, d, OracleCap)
+        val candDocs = cand.select(col("d1").as("doc_id"))
+          .union(cand.select(col("d2").as("doc_id"))).distinct()
+        val shC = sh.join(candDocs, Seq("doc_id"), "left_semi")
+        val inter = shC.select(col("doc_id").as("d1"), col("sh"))
+          .join(shC.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
+          .filter(col("d1") =!= col("d2"))
+          .join(cand, Seq("d1", "d2"), "left_semi")
+          .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
+        inter
+          .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
+          .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
+          .filter(col("ic") * 10 >= col("sz1") * ContainTenths)
+          .select(col("d1"), col("d2"), col("ic").cast(LongType).as("ic"),
+            col("sz1").cast(LongType).as("sz1"), col("sz2").cast(LongType).as("sz2"))
+      }
+      verified.orderBy("d1", "d2")
     },
     Some(s"""WITH sh AS (
            |  SELECT DISTINCT doc_id, sh FROM (

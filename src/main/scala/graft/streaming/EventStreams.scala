@@ -218,10 +218,22 @@ object EventStreams {
     * production bounded-backfill drain works. */
   private def drainAvailableNow(s: SparkSession, d: String)
                                (plan: DataFrame => DataFrame): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Schema-adaptive, mirroring [[graft.Tables.events]]: the driver has
+    // shipped events.ts as both ns INT64 (legacy flag required) and
+    // timestamp[us] (flag irrelevant; restored immediately on that branch).
+    val flag = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevFlag = s.conf.getOption(flag)
+    s.conf.set(flag, "true")
     val srcFile = s"$d/events.parquet"
-    val schema = s.read.parquet(srcFile).schema // ts is ns BIGINT under the legacy conf
-    val maxNs = s.read.parquet(srcFile).agg(max(col("ts"))).head().getLong(0)
+    val raw = s.read.parquet(srcFile)
+    val tsType = raw.schema("ts").dataType
+    val tsIsNs = tsType == LongType
+    if (!tsIsNs) prevFlag.fold(s.conf.unset(flag))(s.conf.set(flag, _))
+    val schema = raw.schema
+    val maxNs =
+      if (tsIsNs) raw.agg(max(col("ts"))).head().getLong(0)
+      else raw.agg(max(unix_micros(col("ts")
+        .cast(org.apache.spark.sql.types.TimestampType)))).head().getLong(0) * 1000L
 
     val stage = java.nio.file.Files.createTempDirectory("graft_stream_src")
     val dataCopy = stage.resolve("a-data.parquet")
@@ -237,9 +249,14 @@ object EventStreams {
       // written outside `stage` so the source dir holds exactly three
       // plain parquet files (no stray subdirs in the stream's listing)
       val sub = java.nio.file.Files.createTempDirectory(s"graft_stream_sent$i")
-      Seq((-i.toLong, maxNs + 2 * i * HourNs, -1L, "__sentinel__", 0.0, null: String))
+      val sentinel0 = Seq((-i.toLong, maxNs + 2 * i * HourNs, -1L, "__sentinel__", 0.0, null: String))
         .toDF(schema.fieldNames: _*)
-        .write.mode("overwrite").parquet(sub.toString)
+      // the staged sentinel file's physical ts type must match the data
+      // file's (the stream reads both under one user-supplied schema)
+      val sentinel = if (tsIsNs) sentinel0
+        else sentinel0.withColumn("ts",
+          timestamp_micros(expr("ts DIV 1000")).cast(tsType))
+      sentinel.write.mode("overwrite").parquet(sub.toString)
       // one visible parquet per sentinel, mtime-ordered AFTER the data
       // file so maxFilesPerTrigger=1 batches them last, in order
       val part = java.nio.file.Files.list(sub).iterator().asScala
@@ -252,11 +269,17 @@ object EventStreams {
 
     val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
-    val stream = s.readStream.schema(schema)
+    val stream0 = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    val stream =
+      if (tsIsNs)
+        stream0.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      else
+        stream0.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
     // NOTE: the sentinel must NOT be filtered inside the streaming plan —
     // its keys are grouping columns, so Catalyst would push the filter
     // below the aggregation into the parquet scan, and the sentinel's

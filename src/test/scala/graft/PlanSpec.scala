@@ -160,12 +160,13 @@ class PlanSpec extends SparkSpec {
       // q71's vertex set derives FROM the cached pair frame (union of both
       // endpoints), so unlike q44 (vertices from the documents scan) its
       // plan text repeats the pair lineage several times over
+      // q87/q95: candidate AND verified-pair frames are cached (r5), so
+      // the plan TEXT repeats the candidate lineage inside nested
+      // InMemoryRelation blocks — runtime reads the cached frames
       case n if n.startsWith("q46") || n.startsWith("q53") ||
         n.startsWith("q54") || n.startsWith("q71") || n.startsWith("q76") ||
-        n.startsWith("q87") => 300
-      // q95 adds the rarity-prefix window + freq agg + two collect_set
-      // sides over the same cached shingle lineage
-      case n if n.startsWith("q23") || n.startsWith("q95") => 24
+        n.startsWith("q87") || n.startsWith("q95") => 300
+      case n if n.startsWith("q23") => 24
       // q24/q52: the verify stage references the materialized candidate
       // cache three times (candDocs union x2 + the pair join) and the
       // shingle-set array subtree twice, so the candidate lineage repeats
