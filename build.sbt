@@ -29,5 +29,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the machine has ~125 GiB; 8g left ~2.8 GB of Spark storage memory,
+  // and the r4 registry's cached frames (shared dedup/signature/pair
+  // frames + per-query caches across 127 queries) evicted each other —
+  // the uniform ~2x warm regression of the dedup family in BENCH_r04.
+  // 48g keeps every shared frame resident at sf0.1 with headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

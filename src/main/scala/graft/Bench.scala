@@ -51,9 +51,13 @@ object Bench {
     * dropped entirely) until the line fits [[MaxLineChars]]. */
   def compactLine(total: Double, coldTotal: Double,
                   results: Seq[(String, Double)], sf: String, runs: Int): String = {
+    // n_ok/n_failed make the totals self-describing: a total over 96
+    // succeeded queries must not be compared against one over 127
+    val nOk = results.count(_._2 >= 0)
+    val nFailed = results.size - nOk
     def line(qs: Option[String]): String = {
       val queries = qs.map(q => s""","queries":$q""").getOrElse("")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec"$queries,"sf":"$sf","runs":$runs,"cold_total":${fmt(coldTotal, 3)},"detail":"BENCH.json"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec"$queries,"sf":"$sf","runs":$runs,"n_ok":$nOk,"n_failed":$nFailed,"cold_total":${fmt(coldTotal, 3)},"detail":"BENCH.json"}"""
     }
     def shortKey(k: String): String = k.takeWhile(_ != '_')
     val keys =
@@ -131,8 +135,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
+    val nOk = results.count(_._2 >= 0)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"cold_total":$coldTotal,"cold_queries":$coldJson,"errors":$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"n_ok":$nOk,"n_failed":${results.size - nOk},"cold_total":$coldTotal,"cold_queries":$coldJson,"errors":$errJson}"""
     Files.writeString(Paths.get("BENCH.json"), full + "\n")
     spark.stop()
     // the one stdout line, printed last so the driver's tail window sees it

@@ -477,6 +477,76 @@ object ScaleSmoke {
     bHops.unpersist()
     println("[smoke] OK — bfs at " + nBfs + " nodes")
 
+    spark.catalog.clearCache()
+
+    // ---- phase 8: prefix-filter + containment joins at scale (q87/q95) ----
+    // nPf base docs of 40 unique-ish 8-char md5-hex units (shingle space
+    // 16^8 ≈ 4.3e9, so background unit sharing is ~n²·sz²/space ≈ tens of
+    // accidental collisions — verified away); every 20th doc gets a
+    // CONTAINER copy: the full base text + 20 extra units (sz 60). By
+    // construction, for each planted (containee A, container B):
+    //   containment C(A→B) = 40/40 = 1.0 ≥ 0.8  (and C(B→A) = 40/60 =
+    //   0.67 < 0.8 — direction matters and only one direction qualifies);
+    //   Jaccard J(A,B) = 40/60 = 0.667 ≥ 0.6 — the same corpus also
+    //   exercises the q87 family at its threshold.
+    // Expected answers are exact: recall AND precision both checkable.
+    val nPf = sys.env.getOrElse("SPARK_GRAFT_SMOKE_PFDOCS", "200000").toLong
+    val pfUnit = (k: Int) => substring(
+      md5(concat(lit(s"pf$k:"), col("base"))), 1, 8)
+    val pfBody = concat_ws(" ", (0 until 40).map(pfUnit): _*)
+    val pfExtra = concat_ws(" ", (40 until 60).map(pfUnit): _*)
+    val pfDocs = spark.range(nPf).toDF("base")
+      .select(col("base").as("doc_id"), pfBody.as("text"))
+      .unionByName(spark.range(0, nPf, 20).toDF("base")
+        .select((col("base") + 100000000L).as("doc_id"),
+          concat_ws(" ", pfBody, pfExtra).as("text")))
+    // the engines consume any distinct (doc_id, sh) frame — here the
+    // shingle is a whitespace token (8-char unit), not a char 5-gram
+    val pfSh = pfDocs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("sh")).distinct()
+      .repartition(32).cache()
+    val pfShRows = pfSh.count()
+    val pfPlanted = nPf / 20
+
+    val tpf = System.nanoTime()
+    val pfCand = operators.DedupOps.prefixCandidatesOf(pfSh, 6).cache()
+    val pfCands = pfCand.count()
+    val pfPairs = operators.DedupOps.prefixVerify(pfSh, pfCand, 6).cache()
+    val pfFound = pfPairs.count()
+    val pfSecs = (System.nanoTime() - tpf) / 1e9
+    val pfIntra = pfPairs.filter(col("d2") === col("d1") + 100000000L &&
+      col("d1") % 20 === 0).count()
+    println(f"[smoke] prefix join: $pfFound pairs in $pfSecs%.1f s over " +
+      f"${nPf + pfPlanted} docs ($pfShRows shingle rows) — planted " +
+      f"$pfIntra/$pfPlanted, spurious ${pfFound - pfIntra}, $pfCands candidates")
+    report ++= Seq("pf_docs" -> (nPf + pfPlanted), "pf_shingle_rows" -> pfShRows,
+      "pf_planted" -> pfPlanted, "pf_candidates" -> pfCands,
+      "pf_found" -> pfFound, "pf_spurious" -> (pfFound - pfIntra),
+      "pf_secs" -> pfSecs)
+    assert(pfIntra == pfPlanted, s"prefix-join recall miss: $pfIntra of $pfPlanted")
+    assert(pfFound == pfIntra, s"prefix-join precision miss: ${pfFound - pfIntra} spurious")
+    pfCand.unpersist(); pfPairs.unpersist()
+    println("[smoke] OK — prefix-filter join at " + (nPf + pfPlanted) + " docs")
+
+    val tct = System.nanoTime()
+    val ctCand = operators.DedupOps.containCandidatesOf(pfSh, 8).cache()
+    val ctCands = ctCand.count()
+    val ctPairs = operators.DedupOps.containVerify(pfSh, ctCand, 8).cache()
+    val ctFound = ctPairs.count()
+    val ctSecs = (System.nanoTime() - tct) / 1e9
+    // the ONLY qualifying direction is containee → container
+    val ctIntra = ctPairs.filter(col("d2") === col("d1") + 100000000L &&
+      col("d1") % 20 === 0).count()
+    println(f"[smoke] containment join: $ctFound pairs in $ctSecs%.1f s — " +
+      f"planted $ctIntra/$pfPlanted, spurious ${ctFound - ctIntra}, $ctCands candidates")
+    report ++= Seq("ct_candidates" -> ctCands, "ct_found" -> ctFound,
+      "ct_spurious" -> (ctFound - ctIntra), "ct_secs" -> ctSecs)
+    assert(ctIntra == pfPlanted, s"containment recall miss: $ctIntra of $pfPlanted")
+    assert(ctFound == ctIntra,
+      s"containment precision/direction miss: ${ctFound - ctIntra} spurious")
+    pfSh.unpersist()
+    println("[smoke] OK — containment join at " + (nPf + pfPlanted) + " docs")
+
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_SMOKE.json"),
       jsonOf(report) + "\n")
     println("[smoke] wrote SCALE_SMOKE.json")

@@ -106,6 +106,14 @@ final class ObjDataset[T](val ds: Dataset[T]) {
   /** Distinct values (`bag.distinct`). */
   def distinct(): ObjDataset[T] = wrap(ds.distinct())
 
+  /** `bag.distinct(key=…)` — one representative per key. dask keeps an
+    * ARBITRARY element per key (dict-insert order per partition, then
+    * merge); here the representative is deterministic per partition
+    * (first by partition iteration order) via reduceGroups — one shuffle
+    * on the key, map-side pre-reduction, no value-list materialization. */
+  def distinct[K: Encoder](key: T => K)(implicit et: Encoder[T], ekt: Encoder[(K, T)]): ObjDataset[T] =
+    wrap(ds.groupByKey(key).reduceGroups((a: T, _: T) => a).map(_._2))
+
   /** Top-k by an ordering (`bag.topk`) — per-partition top-k then merge,
     * never a global sort. */
   def topk(k: Int)(implicit ord: Ordering[T]): Seq[T] =
@@ -155,6 +163,20 @@ final class ObjDataset[T](val ds: Dataset[T]) {
       implicit enc: Encoder[(K, B)], ctT: ClassTag[T]): ObjDataset[(K, B)] =
     wrap(ds.sparkSession.createDataset(
       ds.rdd.map(t => (key(t), t)).aggregateByKey(zero)(seqOp, combOp)))
+
+  /** `bag.starmap(f)` — apply f to each element UNPACKED as its
+    * arguments: the Scala form takes T as a Product-shaped element and a
+    * function over it (tuple unpacking is the caller's `case` lambda;
+    * Scala has no runtime splat). */
+  def starmap[U: Encoder](f: T => U): ObjDataset[U] = map(f)
+
+  /** `db.zip(b1, b2)` — elementwise pairing of equal-length collections.
+    * dask zips PARTITION-wise (requires aligned partitioning, core dask
+    * bag semantics); Spark's zip has the same same-partitioning
+    * same-cardinality contract, surfaced via RDD.zip. */
+  def zip[U](other: ObjDataset[U])(implicit enc: Encoder[(T, U)],
+      ctT: ClassTag[T], ctU: ClassTag[U]): ObjDataset[(T, U)] =
+    wrap(ds.sparkSession.createDataset(ds.rdd.zip(other.ds.rdd)))
 
   /** `bag.random_sample(prob, random_state)`. */
   def randomSample(fraction: Double, seed: Long = 42L): ObjDataset[T] =

@@ -430,22 +430,50 @@ object DedupOps {
     * heavy vocabulary sharing — like the oracle tables, background
     * Jaccard 0.16 — degrades it toward quadratic while recall stays
     * exact. That trade is the point of having BOTH this and MinHash. */
+  /** The candidate ENGINE on any distinct (doc_id, sh) frame — exposed so
+    * ScaleSmoke can drive the same plan at 200k+ docs with its own
+    * (large-space) shingle definition. `tenths` is the Jaccard threshold
+    * ×10; prefix length is sz − ⌈t·sz⌉ + 1 (⌈t₁₀·sz/10⌉ = (t₁₀·sz+9) div
+    * 10, integer-exact). */
+  private[graft] def prefixCandidatesOf(sh: DataFrame, tenths: Int): DataFrame = {
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("f"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("f").asc, col("sh").asc)
+    val prefix = sh.join(freq, Seq("sh")).join(sizes, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("sz") - expr(s"($tenths * sz + 9) div 10") + 1)
+      .select(col("doc_id"), col("sh"))
+    prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Candidate-first exact-Jaccard verify (symmetric, unordered pairs):
+    * shingles pruned to candidate docs before the intersection self-join,
+    * candidate pairs semi-joined before the count aggregation — verify
+    * cost bounded by candidate volume, not corpus-wide Σ f(sh)². */
+  private[graft] def prefixVerify(sh: DataFrame, cand: DataFrame, tenths: Int): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val candDocs = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    val shC = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    val inter = shC.select(col("doc_id").as("d1"), col("sh"))
+      .join(shC.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
+      .filter(col("d1") < col("d2"))
+      .join(cand, Seq("d1", "d2"), "left_semi")
+      .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("s1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("s2")), Seq("d2"))
+      .filter(col("ic") * 10 >= (col("s1") + col("s2") - col("ic")) * tenths)
+      .select("d1", "d2")
+  }
+
   private[operators] def prefixCandidates(s: SparkSession, d: String, cap: Long): DataFrame =
     cachedFrame(s, d, cap, "prefixCand") {
-      val sh = shingles(s, d, cap)
-      val freq = sh.groupBy("sh").agg(count(lit(1)).as("f"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("f").asc, col("sh").asc)
-      val prefix = sh.join(freq, Seq("sh")).join(sizes, Seq("doc_id"))
-        .withColumn("rk", row_number().over(w))
-        // ⌈3·sz/5⌉ = (3·sz + 4) div 5 — integer form of ⌈0.6·sz⌉
-        .filter(col("rk") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
-        .select(col("doc_id"), col("sh"))
-      prefix.as("a").join(prefix.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
+      prefixCandidatesOf(shingles(s, d, cap), 6)
     }
 
   /** q87: prefix-filter similarity join — candidates from
@@ -461,33 +489,14 @@ object DedupOps {
   val q87PrefixJoin = QueryDef(
     "q87_prefix_join",
     (s, d) => {
-      val sh = shingles(s, d, OracleCap)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      // CANDIDATE-FIRST verify: prune the shingle table to docs appearing
-      // in some candidate pair BEFORE the intersection self-join, and
-      // semi-join the candidate PAIRS before the count aggregation — the
-      // join volume and agg shuffle are then bounded by candidate volume,
-      // never by the corpus-wide Σ f(sh)² of hot shingles (the r4 shape's
-      // scale-killer). Output unchanged: the result is the true pairs
-      // THAT WERE GENERATED — if the prefix filter ever missed a true
-      // pair it would be absent here, and the oracle's hash-match against
-      // the full exact answer would fail. The oracle is literally also
-      // the recall check.
+      // CANDIDATE-FIRST verify ([[prefixVerify]]), cached like the
+      // MinHash family's verifiedPairs. Output = the true pairs THAT WERE
+      // GENERATED — if the prefix filter ever missed a true pair it would
+      // be absent here, and the oracle's hash-match against the full
+      // exact answer would fail. The oracle is literally also the recall
+      // check.
       val verified = cachedFrame(s, d, OracleCap, "prefixVerified") {
-        val cand = prefixCandidates(s, d, OracleCap)
-        val candDocs = cand.select(col("d1").as("doc_id"))
-          .union(cand.select(col("d2").as("doc_id"))).distinct()
-        val shC = sh.join(candDocs, Seq("doc_id"), "left_semi")
-        val inter = shC.select(col("doc_id").as("d1"), col("sh"))
-          .join(shC.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
-          .filter(col("d1") < col("d2"))
-          .join(cand, Seq("d1", "d2"), "left_semi")
-          .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
-        inter
-          .join(sizes.select(col("doc_id").as("d1"), col("sz").as("s1")), Seq("d1"))
-          .join(sizes.select(col("doc_id").as("d2"), col("sz").as("s2")), Seq("d2"))
-          .filter(col("ic") * 10 >= (col("s1") + col("s2") - col("ic")) * 6)
-          .select("d1", "d2")
+        prefixVerify(shingles(s, d, OracleCap), prefixCandidates(s, d, OracleCap), 6)
       }
       verified.orderBy("d1", "d2")
     },
@@ -504,22 +513,48 @@ object DedupOps {
     * prefix against the FULL shingle table (not prefix-to-prefix: the
     * containee's shingles can sit anywhere in the container's rarity
     * order). Exact recall by the same lemma as q87. */
+  /** The containment candidate ENGINE on any distinct (doc_id, sh) frame
+    * (exposed for ScaleSmoke, like [[prefixCandidatesOf]]). */
+  private[graft] def containCandidatesOf(sh: DataFrame, tenths: Int): DataFrame = {
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("f"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("f").asc, col("sh").asc)
+    // rk ≤ ⌊(1−t)·sz⌋+1  ⟺  10·rk ≤ (10−t₁₀)·sz + 10, integer-exact
+    val prefix = sh.join(freq, Seq("sh")).join(sizes, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") * 10 <= col("sz") * (10 - tenths) + 10)
+      .select(col("doc_id").as("d1"), col("sh"))
+    prefix
+      .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
+      .filter(col("d1") =!= col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** Candidate-first exact containment verify (ordered pairs, both
+    * directions): C(d1→d2) = ic/sz1 ≥ t. Same bounded shape as
+    * [[prefixVerify]]. */
+  private[graft] def containVerify(sh: DataFrame, cand: DataFrame, tenths: Int): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val candDocs = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    val shC = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    val inter = shC.select(col("doc_id").as("d1"), col("sh"))
+      .join(shC.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
+      .filter(col("d1") =!= col("d2"))
+      .join(cand, Seq("d1", "d2"), "left_semi")
+      .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
+      .filter(col("ic") * 10 >= col("sz1") * tenths)
+      .select(col("d1"), col("d2"), col("ic").cast(LongType).as("ic"),
+        col("sz1").cast(LongType).as("sz1"), col("sz2").cast(LongType).as("sz2"))
+  }
+
   private[operators] def containCandidates(s: SparkSession, d: String, cap: Long): DataFrame =
     cachedFrame(s, d, cap, "containCand") {
-      val sh = shingles(s, d, cap)
-      val freq = sh.groupBy("sh").agg(count(lit(1)).as("f"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("f").asc, col("sh").asc)
-      // rk ≤ ⌊(1−t)·sz⌋+1  ⟺  10·rk ≤ (10−t₁₀)·sz + 10, integer-exact
-      val prefix = sh.join(freq, Seq("sh")).join(sizes, Seq("doc_id"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") * 10 <= col("sz") * (10 - ContainTenths) + 10)
-        .select(col("doc_id").as("d1"), col("sh"))
-      prefix
-        .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
-        .filter(col("d1") =!= col("d2"))
-        .select("d1", "d2").distinct()
+      containCandidatesOf(shingles(s, d, cap), ContainTenths)
     }
 
   /** q95: CONTAINMENT similarity join — the asymmetric cousin of the
@@ -547,30 +582,13 @@ object DedupOps {
   val q95ContainmentJoin = QueryDef(
     "q95_containment_join",
     (s, d) => {
-      val sh = shingles(s, d, OracleCap)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      // CANDIDATE-FIRST verify (the q87 shape): shingles pruned to
-      // candidate docs before the self-join, candidate pairs semi-joined
-      // before the count aggregation — verify cost bounded by candidate
-      // volume, not Σ f(sh)². Output = true pairs THAT WERE GENERATED, so
-      // a recall miss fails the oracle hash-match. Both directions kept
-      // (containment is asymmetric).
+      // CANDIDATE-FIRST verify ([[containVerify]]), cached like q87's.
+      // Output = true pairs THAT WERE GENERATED, so a recall miss fails
+      // the oracle hash-match. Both directions kept (containment is
+      // asymmetric).
       val verified = cachedFrame(s, d, OracleCap, "containVerified") {
-        val cand = containCandidates(s, d, OracleCap)
-        val candDocs = cand.select(col("d1").as("doc_id"))
-          .union(cand.select(col("d2").as("doc_id"))).distinct()
-        val shC = sh.join(candDocs, Seq("doc_id"), "left_semi")
-        val inter = shC.select(col("doc_id").as("d1"), col("sh"))
-          .join(shC.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
-          .filter(col("d1") =!= col("d2"))
-          .join(cand, Seq("d1", "d2"), "left_semi")
-          .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
-        inter
-          .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
-          .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
-          .filter(col("ic") * 10 >= col("sz1") * ContainTenths)
-          .select(col("d1"), col("d2"), col("ic").cast(LongType).as("ic"),
-            col("sz1").cast(LongType).as("sz1"), col("sz2").cast(LongType).as("sz2"))
+        containVerify(shingles(s, d, OracleCap),
+          containCandidates(s, d, OracleCap), ContainTenths)
       }
       verified.orderBy("d1", "d2")
     },

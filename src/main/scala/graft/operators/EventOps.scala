@@ -367,7 +367,9 @@ object EventOps {
       val HourNs = 3600L * 1000000000L
       val wr = Window.partitionBy("event_type")
       val wc = Window.partitionBy("hr")
-      val wt = Window.partitionBy()
+      // constant key ≡ the global margin over the metadata-sized grid,
+      // without WindowExec's single-partition warning
+      val wt = Window.partitionBy(lit(0))
       Tables.events(s, d)
         .withColumn("hr", expr(s"(ts_ns DIV ${HourNs}) % 24"))
         .groupBy("event_type", "hr")

@@ -377,6 +377,53 @@ object MiningOps {
            |FROM scored WHERE rn = 1 ORDER BY user_id""".stripMargin)
   )
 
+  /** q131: equi-depth (quantile-bucket) histogram of l_extendedprice —
+    * the statistic a range partitioner / sort-merge planner computes to
+    * pick split boundaries (Spark's RangePartitioner samples it;
+    * `repartitionByRange` consumes it). 10 buckets with equal row counts
+    * ±1; per bucket: row count, min and max value — the exact form, via a
+    * global ordinal: bucket = (rn−1)·10 div n. Total order (value, okey,
+    * linenumber) makes the assignment deterministic in both engines, and
+    * all values flow through DECIMAL(18,2)→DOUBLE so the rendered
+    * extrema agree bit-for-bit.
+    *
+    * The global row_number is inherent to the exact statistic (same class
+    * as q117's sorted-layout ordinal — constant-partitioned, documented);
+    * the production path at 100 TB is RangePartitioner's SAMPLED
+    * boundaries — this query is the exact ground truth that validates
+    * such a sampler. */
+  val q131EquidepthHist = QueryDef(
+    "q131_equidepth_hist",
+    (s, d) => {
+      val t = Tables.lineitem(s, d)
+        .select(col("l_orderkey").cast(LongType).as("okey"), col("l_linenumber"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("v"))
+      val w = Window.partitionBy(lit(0))
+        .orderBy(col("v").asc, col("okey").asc, col("l_linenumber").asc)
+      t.withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(0))))
+        .withColumn("bucket", expr("(rn - 1) * 10 DIV n"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("v")).cast(DoubleType).as("lo"),
+          max(col("v")).cast(DoubleType).as("hi"))
+        .orderBy("bucket")
+    },
+    Some("""WITH t AS (
+           |  SELECT CAST(l_orderkey AS BIGINT) AS okey, l_linenumber,
+           |    CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+           |  FROM lineitem),
+           |r AS (
+           |  SELECT v,
+           |    ROW_NUMBER() OVER (ORDER BY v, okey, l_linenumber) AS rn,
+           |    COUNT(*) OVER () AS n
+           |  FROM t)
+           |SELECT (rn - 1) * 10 // n AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(MIN(v) AS DOUBLE) AS lo, CAST(MAX(v) AS DOUBLE) AS hi
+           |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile,
-    q110PercentileNorm, q114TopkPerGroup, q126GroupOls, q127ChangePoint)
+    q110PercentileNorm, q114TopkPerGroup, q126GroupOls, q127ChangePoint,
+    q131EquidepthHist)
 }

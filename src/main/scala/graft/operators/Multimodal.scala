@@ -353,5 +353,89 @@ object Multimodal {
            |FROM documents ORDER BY doc_id""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q34BinaryPayload, q65ImageDecode, q94MixedCodec)
+  /** q128: the REAL resize path under the oracle. Each even-id (PNG,
+    * lossless) document's image is resized 2× through the actual
+    * Graphics2D render + PNG re-encode ([[ImageCodec.resize]]) and then
+    * RE-DECODED; the oracle predicts the resized dimensions AND decoded
+    * channel means in closed form: Java2D's default nearest-neighbor
+    * interpolation at an exact 2× upscale replicates each source pixel
+    * 2×2 (dst x' samples src ⌊x'/2⌋), so every pixel value appears
+    * exactly 4× and the channel means are UNCHANGED from q65's closed
+    * form while both dimensions double. A wrong sampling kernel, offset,
+    * or stride in the resize render shifts the means and fails the hash
+    * compare — this is decode-correctness logic applied to the resize
+    * stage. Scale shape: narrow mapPartitions (decode → render → encode →
+    * decode), payloads never shuffle; only (id, dims, 3 doubles) move. */
+  val q128ImageResize = QueryDef(
+    "q128_image_resize",
+    (s, d) => {
+      import s.implicits._
+      mediaFromDocuments(s, d)
+        .filter(_.meta.format == "image/png")
+        .mapPartitions(_.map { m =>
+          val resized = ImageCodec.resize(m.payload, m.meta.width * 2, m.meta.height * 2)
+          val meta = ImageCodec.probe(resized, "image")
+          val (r, g, b) = ImageCodec.channelMeans(resized)
+          MediaStats(m.media_id, meta.width.toLong, meta.height.toLong, r, g, b)
+        })
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  CAST(2 * (8 + doc_id % 8) AS BIGINT) AS width,
+           |  CAST(2 * (8 + doc_id % 5) AS BIGINT) AS height,
+           |  (CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) & 127)
+           |    + (8 + doc_id % 8 - 1) / 2.0 + (8 + doc_id % 5 - 1) / 2.0 AS mean_r,
+           |  (CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) & 127)
+           |    + (8 + doc_id % 8 - 1) / 2.0 AS mean_g,
+           |  (CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT) & 127)
+           |    + (8 + doc_id % 5 - 1) / 2.0 AS mean_b
+           |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin)
+  )
+
+  /** q129: the REAL frame-sampling path under the oracle (the video
+    * frame-extraction shape: decode container → crop every Nth frame →
+    * re-encode each frame). The filmstrip interpretation cuts each PNG
+    * into height-4 frames and keeps every 2nd; each sampled frame is a
+    * real `getSubimage` crop re-encoded as its own PNG and RE-DECODED for
+    * its channel means. Closed form per (doc, frame i): the crop covers
+    * rows y ∈ [4i, 4i+4), so mean_r = r0 + (w−1)/2 + (4i + 1.5),
+    * mean_g = r0g + (w−1)/2-free row term … every term dyadic, hash-exact.
+    * A frame-offset or stride bug shifts the row term by whole rows and
+    * fails the compare. Generator (flatMap/UDTF) shape: one output row
+    * per sampled frame. */
+  val q129FrameSample = QueryDef(
+    "q129_frame_sample",
+    (s, d) => {
+      import s.implicits._
+      mediaFromDocuments(s, d)
+        .filter(_.meta.format == "image/png")
+        .flatMap { m =>
+          ImageCodec.frameSample(m.payload, everyN = 2).zipWithIndex.map {
+            case (frame, k) =>
+              val meta = ImageCodec.probe(frame, "frame")
+              val (r, g, b) = ImageCodec.channelMeans(frame)
+              (m.media_id, k.toLong * 2, meta.width.toLong, meta.height.toLong, r, g, b)
+          }
+        }
+        .toDF("doc_id", "frame", "width", "height", "mean_r", "mean_g", "mean_b")
+        .orderBy("doc_id", "frame")
+    },
+    Some("""WITH f AS (
+           |  SELECT doc_id, text, unnest(range(0, (8 + doc_id % 5) // 4)) AS frame
+           |  FROM documents WHERE doc_id % 2 = 0)
+           |SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+           |  CAST(8 + doc_id % 8 AS BIGINT) AS width,
+           |  CAST(4 AS BIGINT) AS height,
+           |  (CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) & 127)
+           |    + (8 + doc_id % 8 - 1) / 2.0 + (4 * frame + 1.5) AS mean_r,
+           |  (CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) & 127)
+           |    + (8 + doc_id % 8 - 1) / 2.0 AS mean_g,
+           |  (CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT) & 127)
+           |    + (4 * frame + 1.5) AS mean_b
+           |FROM f WHERE frame % 2 = 0 ORDER BY doc_id, frame""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q34BinaryPayload, q65ImageDecode, q94MixedCodec,
+    q128ImageResize, q129FrameSample)
 }

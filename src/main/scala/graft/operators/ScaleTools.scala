@@ -164,7 +164,9 @@ object ScaleTools {
         .groupBy(col("l_suppkey").cast(LongType).as("key"))
         .agg(count(lit(1)).as("cnt"))
       val total = c.agg(sum(col("cnt")).as("total"))
-      val w = Window.orderBy(col("cnt").desc, col("key").asc)
+      // constant partition key: the frame is the metadata-sized key table
+      // (see scaladoc); silences WindowExec's single-partition warning
+      val w = Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("key").asc)
       c.withColumn("rk", row_number().over(w).cast(LongType))
         .withColumn("cum",
           sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

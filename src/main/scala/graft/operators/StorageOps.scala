@@ -292,8 +292,11 @@ object StorageOps {
           // exact under the session's pinned UTC zone (all three mains)
           unix_micros(col("l_shipdate").cast(TimestampType)).as("sd"), col("l_linenumber"))
         .withColumn("rn",
-          (row_number().over(Window.orderBy(col("sd"), col("okey"), col("l_linenumber")))
-            - 1).cast(LongType))
+          // constant partition key ≡ the same single global partition the
+          // ordinal requires (see scaladoc for the production alternative)
+          // without WindowExec's warning in every bench tail
+          (row_number().over(Window.partitionBy(lit(0))
+            .orderBy(col("sd"), col("okey"), col("l_linenumber"))) - 1).cast(LongType))
       val layouts = t.select(lit("natural").as("layout"),
           (col("okey") / 1024).cast(LongType).as("file_id"), col("sd"))
         .unionByName(t.select(lit("sorted").as("layout"),

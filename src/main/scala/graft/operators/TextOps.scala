@@ -589,9 +589,12 @@ object TextOps {
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
       val order = Seq(col("n_tokens").desc, col("source").asc, col("lang").asc)
+      // constant partition key: the frame is the (source × lang) grid —
+      // metadata-sized — and lit(0) avoids WindowExec's warning
       agg
-        .withColumn("tot", sum("n_tokens").over(Window.partitionBy()))
-        .withColumn("cum", sum("n_tokens").over(Window.orderBy(order: _*)))
+        .withColumn("tot", sum("n_tokens").over(Window.partitionBy(lit(0))))
+        .withColumn("cum",
+          sum("n_tokens").over(Window.partitionBy(lit(0)).orderBy(order: _*)))
         .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
           expr("n_tokens * 1000000 DIV tot").as("share_x1m"),
           expr("cum * 1000000 DIV tot").as("cum_share_x1m"))
@@ -751,7 +754,8 @@ object TextOps {
       val trainTok = tok.filter(col("is_train"))
       val vocab = trainTok.groupBy("token")
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(Window.orderBy(col("cnt").desc, col("token").asc)))
+        .withColumn("rn", row_number().over( // vocab table is model-sized
+          Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("token").asc)))
         .filter(col("rn") <= V).select("token")
       val classes = docs.filter(col("is_train")).select(col("lang").as("lang_c")).distinct()
       val cnt = trainTok.join(broadcast(vocab), "token")
@@ -834,8 +838,80 @@ object TextOps {
            |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 
+  /** q130: PMI collocation mining — the statistically-bound token pairs
+    * ("new york"-style multiword expressions) a tokenizer/vocab builder
+    * wants ranked before merging. PMI ∝ p(ab)/(p(a)·p(b)) =
+    * f(ab)·N²/(B·f(a)·f(b)); ranking needs no log, and floats are avoided
+    * entirely by a FIXED-EVALUATION-ORDER integer score
+    *   score_x1m = ((f(ab)·1e6 div f(a)) · N div B) div f(b)
+    * — the same bracketed integer DIVs run on both engines, so the score
+    * is a deterministic rational approximation (documented, not claimed
+    * exact PMI) and overflow-free: f(ab) ≤ f(a) bounds the first factor
+    * by 1e6, so ×N stays far under BIGINT at any scale factor. Support
+    * floors (f(ab) ≥ 5, f ≥ 10) cut hapax noise exactly as a real
+    * collocation pass does.
+    *
+    * Plan shape at 100 TB: token explode → one hash agg per arity
+    * (unigrams, bigrams) + two broadcast-joined count lookups; the
+    * unigram/bigram tables shuffle once each on the token key, the two
+    * scalar totals broadcast. Top-20 via TakeOrderedAndProject. */
+  val q130PmiCollocations = QueryDef(
+    "q130_pmi_collocations",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      val uni = t.select(explode(col("toks")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("f"))
+      // adjacent pairs from the token ARRAY — a narrow per-row transform
+      // (no exploded self-join: that would shuffle the token table twice)
+      val big = t.filter(size(col("toks")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("t1"),
+            element_at(col("toks"), i + 1).as("t2")))).as("bg"))
+        .select(col("bg.t1"), col("bg.t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("fab"))
+      val n = uni.agg(sum(col("f")).as("n_tok"))
+      val bTot = big.agg(sum(col("fab")).as("n_big"))
+      big.filter(col("fab") >= 5)
+        .join(uni.select(col("t").as("t1"), col("f").as("f1")), Seq("t1"))
+        .join(uni.select(col("t").as("t2"), col("f").as("f2")), Seq("t2"))
+        .filter(col("f1") >= 10 && col("f2") >= 10)
+        .crossJoin(broadcast(n)).crossJoin(broadcast(bTot))
+        // (fab·1e6 div f1) ≤ 1e6 since fab ≤ f1, so ×n_tok is overflow-safe
+        // at any scale factor
+        .withColumn("score_x1m",
+          expr("((fab * 1000000 DIV f1) * n_tok DIV n_big) DIV f2"))
+        .filter(col("score_x1m") > 0)
+        .select("t1", "t2", "fab", "f1", "f2", "score_x1m")
+        .orderBy(col("score_x1m").desc, col("t1").asc, col("t2").asc)
+        .limit(20)
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           |  FROM documents),
+           |uni AS (
+           |  SELECT t, CAST(COUNT(*) AS BIGINT) AS f
+           |  FROM (SELECT unnest(toks) AS t FROM t) GROUP BY t),
+           |big AS (
+           |  SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS fab FROM (
+           |    SELECT toks[CAST(i AS INTEGER)] AS t1, toks[CAST(i AS INTEGER) + 1] AS t2
+           |    FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t))
+           |  GROUP BY 1, 2),
+           |tots AS (
+           |  SELECT (SELECT SUM(f) FROM uni) AS n_tok, (SELECT SUM(fab) FROM big) AS n_big)
+           |SELECT t1, t2, fab, u1.f AS f1, u2.f AS f2,
+           |  ((fab * 1000000 // u1.f) * n_tok // n_big) // u2.f AS score_x1m
+           |FROM big
+           |JOIN uni u1 ON u1.t = t1 JOIN uni u2 ON u2.t = t2
+           |CROSS JOIN tots
+           |WHERE fab >= 5 AND u1.f >= 10 AND u2.f >= 10
+           |  AND ((fab * 1000000 // u1.f) * n_tok // n_big) // u2.f > 0
+           |ORDER BY score_x1m DESC, t1 ASC, t2 ASC LIMIT 20""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId,
     q22Fingerprint, q39Bigrams, q55TokenCounts, q57Winnowing, q59Tfidf,
     q66PiiRedact, q67Repetition, q69Decontamination, q70DecontamPool,
-    q72MixtureReport, q101LmFluency, q104InvertedIndex, q124NbClassifier)
+    q72MixtureReport, q101LmFluency, q104InvertedIndex, q124NbClassifier,
+    q130PmiCollocations)
 }

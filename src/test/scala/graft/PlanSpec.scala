@@ -145,6 +145,7 @@ class PlanSpec extends SparkSpec {
       "q97_pq_ann", // q97: 1-row query-vector broadcast under the rerank
       "q105_basket_rules", // q105: 1-row order-count scalar broadcast
       "q118_skew_report", // q118: 1-row total-count scalar broadcast
+      "q130_pmi_collocations", // q130: two 1-row totals (N tokens, B bigrams)
       // q91: oracle-slice theta join (|Δlen| band + banded levenshtein);
       // the equi-bucketed shape for past-broadcast scale is q90
       "q91_editdist_sql",
@@ -194,6 +195,11 @@ class PlanSpec extends SparkSpec {
       // per-doc argmax, confusion) — every exchange past the explode is
       // model-metadata-sized (≤ vocab × classes rows) or test-doc-keyed
       case n if n.startsWith("q124") => 24
+      // q130: the unigram lineage feeds both the f1 and f2 joins and the
+      // bigram lineage both big and its total — plan TEXT repeats the agg
+      // subtrees (ReusedExchange collapses them at runtime); every
+      // exchange is a token-keyed count table
+      case n if n.startsWith("q130") => 16
       case _ => 8
     }
     SparkEntry.registry.foreach { q =>

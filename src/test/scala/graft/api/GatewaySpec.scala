@@ -57,6 +57,24 @@ class GatewaySpec extends SparkSpec {
     assert(direct == xs.scanLeft(0)(_ + _).drop(1))
   }
 
+  test("distinct(key) keeps exactly one representative per key (bag.distinct(key=))") {
+    val xs = Seq("apple", "avocado", "banana", "blueberry", "cherry")
+    val got = objs(xs).distinct((s: String) => s.substring(0, 1)).compute()
+    // one element per key, each a member of the key's class
+    assert(got.map(_.substring(0, 1)).sorted == Seq("a", "b", "c"))
+    assert(got.forall(xs.contains))
+    // keyless overload untouched
+    assert(objs(Seq(1, 1, 2)).distinct().compute().sorted == Seq(1, 2))
+  }
+
+  test("starmap unpacks tuple elements; zip pairs aligned collections") {
+    val pairs = objs(Seq((1, 10), (2, 20)))
+    assert(pairs.starmap { case (a, b) => a * b }.compute().sorted == Seq(10, 40))
+    val l = objs(Seq(1, 2, 3)).coalesce(1)
+    val r = objs(Seq("a", "b", "c")).coalesce(1)
+    assert(l.zip(r).compute() == Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
   test("random_sample is deterministic under a fixed seed") {
     val o = objs(1 to 1000)
     val a = o.randomSample(0.1, seed = 7).compute().sorted

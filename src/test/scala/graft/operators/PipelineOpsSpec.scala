@@ -95,6 +95,30 @@ class PipelineOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("span dedup handles empty / whitespace-only / sub-span docs (zero-token guard)") {
+    import graft.TestSession.spark.implicits._
+    val fixture = Seq(
+      (0L, "a b c d e f g h i j"),       // 10 tokens → 2 spans
+      (1L, ""),                           // empty: zero tokens, zero spans
+      (2L, "   "),                        // whitespace-only: zero tokens
+      (3L, "a b c"),                      // sub-span doc: 1 partial span
+      (4L, "a b c d e f g h i j")         // exact copy of doc 0: loses all
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.spanDedup(fixture).cache()
+    val byId = out.collect().map(r =>
+      r.getLong(0) -> (r.getAs[Long]("n_spans"), r.getAs[Long]("n_kept"))).toMap
+    // without the size(t) > 0 guard, sequence(0, -1) would fabricate two
+    // phantom DESCENDING spans per zero-token doc where the oracle's
+    // range(0,0) is empty; with it, zero-token docs vanish from the output
+    // on BOTH sides (posexplode of an empty array ≡ DuckDB's empty unnest)
+    assert(!byId.contains(1L) && !byId.contains(2L),
+      s"zero-token docs must be dropped, not span-fabricated: $byId")
+    assert(byId(0L) == (2L, 2L), "first occurrence keeps both spans")
+    assert(byId(3L) == (1L, 1L), "partial span kept")
+    assert(byId(4L) == (2L, 0L), "exact copy fully deduped")
+    out.unpersist()
+  }
+
   test("span dedup is idempotent: re-running on the retained corpus drops nothing") {
     val once = PipelineOps.spanDedup(
       graft.Tables.documents(spark, sfDir)).cache()
