@@ -909,9 +909,68 @@ object TextOps {
            |ORDER BY score_x1m DESC, t1 ASC, t2 ASC LIMIT 20""".stripMargin)
   )
 
+  /** Misra–Gries counter budget per partition for q132. */
+  val HHCounters = 64
+
+  /** q132: heavy hitters (tokens with global frequency > N/k, k = 64) via
+    * the Misra–Gries sketch + bounded exact rescan — the canonical
+    * single-pass-then-verify shape for frequency mining at 100 TB, where
+    * a full `groupBy(token)` would shuffle the whole vocabulary just to
+    * find the handful of hot keys:
+    *
+    *   1. per-partition MG sketch, k counters: increment if present or
+    *      room, else decrement-all (amortized O(1)/token, ≤ k entries
+    *      alive). The MG guarantee per partition — any token with local
+    *      f_p > N_p/k survives — lifts to the union: a GLOBAL heavy
+    *      hitter (f > N/k = Σ N_p/k) must be partition-heavy somewhere,
+    *      so the union of sketches is a PROVABLE superset.
+    *   2. candidates (≤ k·partitions rows — sketch-sized, broadcast) are
+    *      exactly re-counted in a second pass semi-joined at the scan,
+    *      and filtered by f·k > N. Sketch error never reaches the
+    *      output: MG only proposes, the rescan disposes — which is why
+    *      the result is hash-exact against the oracle's full GROUP BY.
+    *
+    * The shuffle carries only candidate tokens (≲ k·P rows) + one scalar
+    * total, vs the full vocabulary for the naive plan. */
+  val q132HeavyHitters = QueryDef(
+    "q132_heavy_hitters",
+    (s, d) => {
+      import s.implicits._
+      val tok = Tables.documents(s, d)
+        .select(explode(tokens(lower(col("text")))).as("t"))
+      val candidates = tok.as[String].mapPartitions { it =>
+        val counts = scala.collection.mutable.HashMap[String, Long]()
+        it.foreach { t =>
+          if (counts.contains(t)) counts(t) += 1L
+          else if (counts.size < HHCounters) counts(t) = 1L
+          else {
+            counts.mapValuesInPlace((_, v) => v - 1L)
+            counts.filterInPlace((_, v) => v > 0L)
+          }
+        }
+        counts.keysIterator
+      }.toDF("t").distinct()
+      val total = tok.agg(count(lit(1)).as("n"))
+      tok.join(broadcast(candidates), Seq("t"), "left_semi")
+        .groupBy("t").agg(count(lit(1)).as("f"))
+        .crossJoin(broadcast(total))
+        .filter(col("f") * HHCounters > col("n"))
+        .select(col("t"), col("f"))
+        .orderBy(col("f").desc, col("t").asc)
+    },
+    Some(s"""WITH tok AS (
+           |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+           |  FROM documents),
+           |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok)
+           |SELECT t, CAST(COUNT(*) AS BIGINT) AS f
+           |FROM tok CROSS JOIN tot
+           |GROUP BY t, n HAVING COUNT(*) * $HHCounters > n
+           |ORDER BY f DESC, t ASC""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId,
     q22Fingerprint, q39Bigrams, q55TokenCounts, q57Winnowing, q59Tfidf,
     q66PiiRedact, q67Repetition, q69Decontamination, q70DecontamPool,
     q72MixtureReport, q101LmFluency, q104InvertedIndex, q124NbClassifier,
-    q130PmiCollocations)
+    q130PmiCollocations, q132HeavyHitters)
 }

@@ -146,6 +146,7 @@ class PlanSpec extends SparkSpec {
       "q105_basket_rules", // q105: 1-row order-count scalar broadcast
       "q118_skew_report", // q118: 1-row total-count scalar broadcast
       "q130_pmi_collocations", // q130: two 1-row totals (N tokens, B bigrams)
+      "q132_heavy_hitters", // q132: 1-row token-total scalar broadcast
       // q91: oracle-slice theta join (|Δlen| band + banded levenshtein);
       // the equi-bucketed shape for past-broadcast scale is q90
       "q91_editdist_sql",

@@ -68,6 +68,33 @@ class TablesSpec extends SparkSpec {
     assert(first.getLong(1) == BaseUs, "ts truncated to µs, not rounded")
   }
 
+  test("schema-drift sentinel: driver tables carry the expected columns") {
+    // The testdata generator has changed a column's physical type under us
+    // once (events.ts, r4 → 31 broken queries). This sentinel makes the
+    // NEXT drift a single failing test naming the table. Column NAMES only
+    // for most tables (benign type evolution is handled downstream);
+    // events' logical contract is pinned exactly by the tests above.
+    val expected = Map(
+      "region" -> Seq("r_regionkey", "r_name"),
+      "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+      "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+      "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate"),
+      "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+      "embeddings" -> Seq("vec_id", "embedding", "label"))
+    expected.foreach { case (table, cols) =>
+      val got = spark.read.parquet(s"${TestSession.sfDir}/$table.parquet")
+        .schema.fieldNames.toSeq
+      assert(got == cols, s"$table schema drifted: got $got, expected $cols")
+    }
+  }
+
   test("events read does not leave the session nanosAsLong flag flipped on µs data") {
     val flag = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(flag)

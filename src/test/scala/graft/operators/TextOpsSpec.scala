@@ -9,6 +9,39 @@ import org.apache.spark.sql.functions._
   * on the driver as an independent third implementation. */
 class TextOpsSpec extends SparkSpec {
 
+  test("q132: heavy hitters ≡ brute-force on an adversarially skewed fixture") {
+    import graft.TestSession.spark.implicits._
+    // 3 genuinely heavy tokens buried in a long tail of k-1 distinct
+    // fillers per burst — the decrement pressure that makes naive
+    // "top counters" sketches (space-saving without rescan, lossy
+    // counting with wrong thresholds) drop true heavy hitters. 8
+    // partitions so the union-of-sketches lift is actually exercised.
+    val k = TextOps.HHCounters
+    val words = (0 until 20000).flatMap { i =>
+      Seq("alpha", "beta") ++ (if (i % 3 == 0) Seq("gamma") else Seq.empty) ++
+        Seq(s"noise${i % 9973}", s"tail$i")
+    }
+    val docs = words.grouped(200).zipWithIndex
+      .map { case (w, i) => (i.toLong, w.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text").repartition(8)
+    val n = words.size.toLong
+    val brute = words.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, f) => f * k > n }.toSeq
+      .sortBy { case (t, f) => (-f, t) }
+    // run the ENGINE shape on the fixture (same code path as q132, via a
+    // temp view of the fixture written through the documents schema)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.q132HeavyHitters.run(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == brute, s"sketch+rescan diverged: got ${got.take(5)}…, expected ${brute.take(5)}…")
+    assert(got.map(_._1).toSet == Set("alpha", "beta", "gamma"),
+      "exactly the planted heavy tokens qualify")
+  }
+
   test("q124: confusion matrix ≡ driver-side end-to-end NB train+score") {
     val out = TextOps.q124NbClassifier.run(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
