@@ -661,8 +661,63 @@ object EventOps {
            |FROM run GROUP BY day ORDER BY day""".stripMargin)
   )
 
+  /** q133: per-user TIME-WEIGHTED average value — the statistic a plain
+    * `avg` gets wrong on irregularly-sampled series (a sensor reporting
+    * 1.0 for an hour then 100.0 for a second is ≈1.0, not 50.5): each
+    * event's value holds until the next event, so the mean is
+    * Σ vᵢ·Δtᵢ / Σ Δtᵢ over consecutive gaps. Everything integer-exact:
+    * value in ×1e6 fixed point (the q106 convention), gaps at second
+    * resolution (`ts_ns DIV 1e9` diffs — deterministic in both engines),
+    * ties broken by event_id. Σ(v_x1m·Δt_s) ≤ 1e13 per gap — BIGINT-safe
+    * far past the tested scale factors. Last event carries no forward
+    * interval; single-event and zero-span users are excluded on both
+    * sides (HAVING Σ Δt > 0). `value` is non-negative in this corpus, so
+    * Spark's truncating DIV and DuckDB's flooring // agree on the final
+    * division.
+    *
+    * Plan shape at 100 TB: ONE user-partitioned window (lead) + one hash
+    * agg — parallelism scales with users, no global ordering anywhere. */
+  val q133TimeWeightedAvg = QueryDef(
+    "q133_time_weighted_avg",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_ns").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_ns"),
+          expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("v_x1m"),
+          expr("ts_ns DIV 1000000000").as("ts_s"))
+        .withColumn("next_s", lead(col("ts_s"), 1).over(w))
+        .filter(col("next_s").isNotNull)
+        .withColumn("dt", col("next_s") - col("ts_s"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("dt")).as("span_s"),
+          sum(col("v_x1m") * col("dt")).as("wsum"))
+        .filter(col("span_s") > 0)
+        .withColumn("twavg_x1m", expr("wsum DIV span_s"))
+        .select("user_id", "n_gaps", "span_s", "twavg_x1m")
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id,
+           |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_x1m,
+           |    epoch_ns(ts) // 1000000000 AS ts_s,
+           |    epoch_ns(ts) AS tsn
+           |  FROM events),
+           |g AS (
+           |  SELECT user_id, v_x1m, ts_s,
+           |    LEAD(ts_s) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS next_s
+           |  FROM e)
+           |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           |  CAST(SUM(next_s - ts_s) AS BIGINT) AS span_s,
+           |  CAST(SUM(v_x1m * (next_s - ts_s)) AS BIGINT)
+           |    // CAST(SUM(next_s - ts_s) AS BIGINT) AS twavg_x1m
+           |FROM g WHERE next_s IS NOT NULL
+           |GROUP BY user_id HAVING SUM(next_s - ts_s) > 0
+           |ORDER BY user_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
     q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency,
     q109SessionPaths, q115Attribution, q119LatestState, q122Transitions,
-    q125PeakConcurrency)
+    q125PeakConcurrency, q133TimeWeightedAvg)
 }

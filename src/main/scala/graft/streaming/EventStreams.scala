@@ -124,6 +124,57 @@ object EventStreams {
       .transformWithState(new MaxValueProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  final case class SessionClose(user_id: Long, n_events: Long, closed_at_ms: Long)
+
+  /** EVENT-TIME TIMERS — the `transformWithState` feature the other
+    * stateful ops don't exercise: emit a row when something does NOT
+    * happen. Each user's state carries (event count, max event time); on
+    * input the processor re-arms a timer at maxTs + gap, and when the
+    * WATERMARK passes the armed expiry, [[SessionCloseProcessor
+    * .handleExpiredTimer]] fires — emitting the closed session and
+    * clearing the state — with no input row for that key in the batch.
+    * This is how production pipelines detect abandoned sessions /
+    * missed heartbeats; a `mapGroupsWithState` timeout can approximate
+    * it, but timers are per-key re-armable and coexist with TTL state.
+    * State and timers are both watermark-bounded: nothing lives past
+    * (watermark − gap), which is what makes the operator runnable on an
+    * unbounded stream with bounded memory at any key cardinality. */
+  class SessionCloseProcessor(gapMs: Long) extends StatefulProcessor[Long, Ev, SessionClose] {
+    @transient private var st: ValueState[(Long, Long)] = _ // (n_events, max ts ms)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[SessionClose] = {
+      val (n0, mx0) = if (st.exists()) st.get() else (0L, Long.MinValue)
+      var n = n0; var mx = mx0
+      rows.foreach { e => n += 1; mx = math.max(mx, e.ts.getTime) }
+      // re-arm: one live timer per key (delete any stale ones first)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(mx + gapMs)
+      st.update((n, mx))
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionClose] = {
+      val (n, _) = if (st.exists()) st.get() else (0L, 0L)
+      st.clear()
+      Iterator.single(SessionClose(key, n, info.getExpiryTimeInMs))
+    }
+  }
+
+  /** Close a user's session when no event arrives for `gapMs` of EVENT
+    * time (watermark-driven). Requires the RocksDB state store like
+    * [[runningMax]]. */
+  def sessionCloses(events: Dataset[Ev], gapMs: Long = 30000L)
+                   (implicit spark: SparkSession): Dataset[SessionClose] = {
+    import spark.implicits._
+    events.withWatermark("ts", "10 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionCloseProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** foreachBatch sink with IDEMPOTENT batch-id partitioning — the
     * arbitrary-sink escape hatch done exactly-once: Spark replays a failed
     * micro-batch under the SAME batchId, and `mode(Overwrite)` into a

@@ -163,6 +163,39 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState event-time TIMERS close idle sessions as the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Ev]
+      val query = EventStreams.sessionCloses(input.toDS(), gapMs = 30000L)
+        .writeStream.format("memory").queryName("timer_out")
+        .outputMode(OutputMode.Append()).start()
+      // user 1: two events ending at t=3s → timer armed at 33s
+      input.addData(Ev(ts(1), 1, "click", 1.0), Ev(ts(3), 1, "view", 2.0))
+      query.processAllAvailable()
+      // user 7 at t=100s advances the watermark to 90s ≫ 33s; the timer
+      // fires with NO further input for user 1 — that's the point
+      input.addData(Ev(ts(100), 7, "click", 1.0))
+      query.processAllAvailable()
+      // one more batch so the expired-timer pass definitely ran
+      input.addData(Ev(ts(200), 7, "view", 1.0))
+      query.processAllAvailable()
+      query.stop()
+      val rows = spark.table("timer_out").as[EventStreams.SessionClose].collect()
+      val u1 = rows.filter(_.user_id == 1L)
+      assert(u1.length == 1, s"exactly one close for user 1, got ${rows.toSeq}")
+      assert(u1.head.n_events == 2L, "close carries the session's event count")
+      assert(u1.head.closed_at_ms == ts(3).getTime + 30000L, "timer fired at maxTs + gap")
+      // user 7 kept producing inside its gap's watermark horizon — still open
+      assert(!rows.exists(_.user_id == 7L), "live session must not close")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("foreachBatch sink: batch-id partitioned writes are idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
