@@ -38,6 +38,19 @@ object Sources {
   def readParquet(s: SparkSession, path: String): DataFrame = s.read.parquet(path)
   def readOrc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
 
+  /** Binary-file ingest — the entry point for media corpora (the
+    * [[graft.operators.Multimodal]]/[[graft.operators.AudioOps]] decode
+    * operators consume the `content` column this produces). Built-in
+    * `binaryFile` format: one row per file with (path, modificationTime,
+    * length, content), splittable LISTING (one task per file, files never
+    * concatenated), `pathGlobFilter` for container routing by extension.
+    * At 100 TB of media the files are the parallelism unit; decode stays
+    * a narrow per-partition transform downstream. */
+  def readBinary(s: SparkSession, path: String, glob: Option[String] = None): DataFrame = {
+    val r = s.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
+
   // ---- sinks ----
 
   /** `bag.to_textfiles` analog. */

@@ -12,6 +12,30 @@ class SourcesSpec extends SparkSpec {
   private def tmp(name: String): String =
     Files.createTempDirectory("graft_src").toString + "/" + name
 
+  test("binaryFile ingest: real PNGs read back byte-identical, glob routes by extension") {
+    import graft.operators.Multimodal.ImageCodec
+    val dir = Files.createTempDirectory("graft_bin")
+    val payloads = (0 until 4).map { i =>
+      val p = ImageCodec.encodePng(8 + i, 8)((x, y) => (x, y, i))
+      Files.write(dir.resolve(s"img$i.png"), p)
+      s"img$i.png" -> p
+    }.toMap
+    Files.write(dir.resolve("notes.txt"), "not an image".getBytes("UTF-8"))
+    // glob filter routes only the media files into the decode path
+    val rows = Sources.readBinary(spark, dir.toString, Some("*.png"))
+      .select(col("path"), col("length"), col("content")).collect()
+    assert(rows.length == 4, "pathGlobFilter must exclude the stray text file")
+    rows.foreach { r =>
+      val name = r.getString(0).split("/").last
+      val content = r.getAs[Array[Byte]]("content")
+      assert(content.sameElements(payloads(name)), s"$name bytes must round-trip")
+      assert(r.getLong(1) == payloads(name).length)
+      // the ingested bytes decode through the REAL codec path
+      assert(ImageCodec.sniffFormat(content) == "image/png")
+      assert(ImageCodec.decode(content).getHeight == 8)
+    }
+  }
+
   test("text write/read round-trip (to_textfiles/read_text analog)") {
     val path = tmp("txt")
     val lines = Tables.documents(spark, sfDir).select("text").as[String]
