@@ -343,7 +343,8 @@ object EventStreams {
     Staged(schema, tsIsNs, stage.toString)
   }
 
-  private def drainAvailableNow(s: SparkSession, d: String)
+  private def drainAvailableNow(s: SparkSession, d: String,
+                                rocksDb: Boolean = false)
                                (plan: DataFrame => DataFrame): DataFrame = {
     val Staged(schema, tsIsNs, stageDir) = stagedSource(s, d)
     val stage = java.nio.file.Paths.get(stageDir)
@@ -372,6 +373,13 @@ object EventStreams {
     // unaffected — the session conf is restored right after start())
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // transformWithState requires the RocksDB store; the provider (like
+    // the partition count) is pinned into the checkpoint at query start,
+    // so the session conf can be restored right after start()
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    if (rocksDb) s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val q =
       try plan(stream)
         .writeStream.format("parquet")
@@ -379,7 +387,10 @@ object EventStreams {
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow())
         .start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        if (rocksDb) prevProvider.fold(s.conf.unset(providerKey))(s.conf.set(providerKey, _))
+      }
     q.awaitTermination()
     // the checkpoint is per-invocation scratch; the staged source is
     // session-cached (stagedSource) and the sink must outlive the call
@@ -722,10 +733,42 @@ object EventStreams {
            |ORDER BY user_id, ts_us, event_id""".stripMargin)
   )
 
+  /** q134: EVENT-TIME TIMERS under the DuckDB oracle — the sixth
+    * streaming shape: [[sessionCloses]] (transformWithState +
+    * per-key re-armed timers, RocksDB state store) run through the drain.
+    * Every real event arrives in batch 1, so each user's timer is armed
+    * once at (last event + 30 s); the two sentinel batches then advance
+    * the watermark hours past every armed expiry, and the CLOSES ARE
+    * EMITTED BY TIMER CALLBACKS — no input row for any real user in
+    * those batches. The oracle is the batch truth the timer protocol
+    * must reproduce: per user, its event count and (max event-time ms +
+    * 30 000). A timer that fires early/late/twice, drops state, or
+    * mis-reads the watermark produces a different row set and fails the
+    * hash. Sentinel keys arm timers whose expiries stay beyond the final
+    * watermark — never emitted, and filtered by key sign regardless. */
+  val q134StreamingTimers = graft.QueryDef(
+    "q134_streaming_timers",
+    (s, d) => {
+      val sunk = drainAvailableNow(s, d, rocksDb = true) { st =>
+        implicit val sess: SparkSession = st.sparkSession
+        import sess.implicits._
+        sessionCloses(
+          st.select(col("ts"), col("user_id"), col("event_type"), col("value")).as[Ev],
+          gapMs = 30000L).toDF()
+      }
+      sunk.filter(col("user_id") >= 0) // sentinel keys never close anyway
+        .select("user_id", "n_events", "closed_at_ms")
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           |  CAST(max(epoch_us(ts)) // 1000 + 30000 AS BIGINT) AS closed_at_ms
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] =
     Seq(q64StreamingTumbling, q82StreamingSession, q96StreamingIntervalJoin,
       q98StreamingDedup, q108StreamingEnrich, q111StreamingHighs,
-      q121StreamingOuterJoin)
+      q121StreamingOuterJoin, q134StreamingTimers)
 
   /** Custom per-user running state via mapGroupsWithState — the
     * `KeyValueGroupedDataset` stateful escape hatch (arbitrary state the
