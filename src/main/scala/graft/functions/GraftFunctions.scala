@@ -21,6 +21,10 @@ object GraftFunctions {
       children => CosineSimilarity(children(0), children(1))),
     ("array_agree_count", classOf[ArrayAgreeCount].getName,
       children => ArrayAgreeCount(children(0), children(1))),
+    ("jaro_winkler", classOf[JaroWinkler].getName,
+      children => JaroWinkler(children(0), children(1))),
+    ("damerau_levenshtein", classOf[DamerauLevenshtein].getName,
+      children => DamerauLevenshtein(children(0), children(1))),
     // Spark ships BloomFilterMightContain for its internal runtime-filter
     // rewrite but does not register it for users; exposing it makes the
     // bloom-pruned join (ScaleTools.bloomPrunedJoin) fully declarative and
@@ -61,6 +65,14 @@ object GraftFunctions {
   /** Position-wise agreement count of two long arrays (MinHash prune). */
   def agreeCount(a: Column, b: Column): Column =
     call_function("array_agree_count", a, b)
+
+  /** Jaro-Winkler similarity (DuckDB-compatible; see [[StringSim]]). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function("jaro_winkler", a, b)
+
+  /** Unrestricted Damerau-Levenshtein distance (see [[StringSim]]). */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    call_function("damerau_levenshtein", a, b)
 }
 
 /** For `spark.sql.extensions` (SparkSessionExtensions injection point):
