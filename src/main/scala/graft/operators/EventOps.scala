@@ -716,8 +716,45 @@ object EventOps {
            |ORDER BY user_id""".stripMargin)
   )
 
+  /** q137: trailing 7-day distinct users per day (the DAU/WAU rolling-
+    * uniques dashboard metric). COUNT(DISTINCT) does not compose over
+    * sliding windows — a window-frame count would rescan, and sketches
+    * (HLL) trade exactness — so the scale shape is CONTRIBUTION EXPLODE:
+    * reduce to distinct (user, day) first (the only big shuffle, keyed by
+    * user+day), then fan each pair out to the ≤7 report days it serves
+    * and count distinct users per report day. The expansion factor is the
+    * window length over the ALREADY-deduplicated pairs, not over raw
+    * events; report days are clamped to observed days via a broadcast
+    * semi-join (the calendar frame is metadata-sized at any scale).
+    * Same-day uniques (u1) ride along as a conditional distinct. */
+  val q137TrailingDistinct = QueryDef(
+    "q137_trailing_distinct",
+    (s, d) => {
+      val userDays = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val observed = userDays.select(col("day").as("rday")).distinct()
+      userDays
+        .withColumn("rday", explode(expr("sequence(day, date_add(day, 6))")))
+        .join(broadcast(observed), Seq("rday"), "left_semi")
+        .groupBy("rday")
+        .agg(
+          countDistinct(when(col("day") === col("rday"), col("user_id"))).as("u1"),
+          countDistinct(col("user_id")).as("u7"))
+        .select(col("rday").as("day"), col("u1"), col("u7"))
+        .orderBy("day")
+    },
+    Some("""WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+           |days AS (SELECT DISTINCT day FROM ud)
+           |SELECT d.day AS day,
+           |  COUNT(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END) AS u1,
+           |  COUNT(DISTINCT u.user_id) AS u7
+           |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+           |GROUP BY d.day ORDER BY d.day""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
     q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency,
     q109SessionPaths, q115Attribution, q119LatestState, q122Transitions,
-    q125PeakConcurrency, q133TimeWeightedAvg)
+    q125PeakConcurrency, q133TimeWeightedAvg, q137TrailingDistinct)
 }

@@ -423,7 +423,74 @@ object MiningOps {
            |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin)
   )
 
+  /** q141: k-anonymity generalization ladder (k=5) over the customer
+    * quasi-identifiers (mktsegment, nation, account-balance bucket) — the
+    * privacy-release audit a pipeline runs before publishing per-user
+    * aggregates. Each record is assigned the FIRST rung of the
+    * generalization ladder at which its equivalence class reaches k
+    * members: L0 = (segment, nation, balance-bucket), L1 = (segment,
+    * nation), L2 = (segment,), L3 = fully suppressed. The report counts
+    * records and distinct classes per rung.
+    *
+    * Balance buckets use the repo's fixed-point discipline: cents are
+    * SHIFTED positive before the integer divide because Spark's DIV
+    * truncates toward zero while DuckDB's // floors — they agree only on
+    * non-negative operands (same trap as the q103 fixed-point notes).
+    *
+    * Plan shape at 100 TB: the three class-size frames are aggregates
+    * (bounded by the QI cardinality, tiny vs the record stream) broadcast
+    * back onto one record scan; no record-keyed shuffle at all. */
+  val q141KAnonymity = QueryDef(
+    "q141_k_anonymity",
+    (s, d) => {
+      val K = 5
+      val c = Tables.customer(s, d).select(
+        col("c_mktsegment").as("seg"),
+        col("c_nationkey").cast(LongType).as("nat"),
+        expr("(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 10000000) DIV 100000").as("bb"))
+      val g0 = c.groupBy("seg", "nat", "bb").agg(count(lit(1)).as("n0"))
+      val g1 = c.groupBy("seg", "nat").agg(count(lit(1)).as("n1"))
+      val g2 = c.groupBy("seg").agg(count(lit(1)).as("n2"))
+      c.join(broadcast(g0), Seq("seg", "nat", "bb"))
+        .join(broadcast(g1), Seq("seg", "nat"))
+        .join(broadcast(g2), Seq("seg"))
+        .withColumn("level",
+          when(col("n0") >= K, 0L).when(col("n1") >= K, 1L)
+            .when(col("n2") >= K, 2L).otherwise(3L))
+        .withColumn("gkey",
+          when(col("level") === 0, concat_ws("|", col("seg"), col("nat"), col("bb")))
+            .when(col("level") === 1, concat_ws("|", col("seg"), col("nat")))
+            .when(col("level") === 2, col("seg"))
+            .otherwise(lit("*")))
+        .groupBy("level")
+        .agg(count(lit(1)).as("n_records"), countDistinct(col("gkey")).as("n_classes"))
+        .orderBy("level")
+    },
+    Some("""WITH c AS (
+           |  SELECT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nat,
+           |    (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 10000000) // 100000 AS bb
+           |  FROM customer),
+           |g0 AS (SELECT seg, nat, bb, count(*) AS n0 FROM c GROUP BY 1, 2, 3),
+           |g1 AS (SELECT seg, nat, count(*) AS n1 FROM c GROUP BY 1, 2),
+           |g2 AS (SELECT seg, count(*) AS n2 FROM c GROUP BY 1),
+           |lv AS (
+           |  SELECT c.seg, c.nat, c.bb,
+           |    CASE WHEN n0 >= 5 THEN 0 WHEN n1 >= 5 THEN 1
+           |         WHEN n2 >= 5 THEN 2 ELSE 3 END AS level
+           |  FROM c JOIN g0 USING (seg, nat, bb) JOIN g1 USING (seg, nat)
+           |    JOIN g2 USING (seg)),
+           |keyed AS (
+           |  SELECT CAST(level AS BIGINT) AS level,
+           |    CASE level WHEN 0 THEN seg || '|' || nat || '|' || bb
+           |               WHEN 1 THEN seg || '|' || nat
+           |               WHEN 2 THEN seg ELSE '*' END AS gkey
+           |  FROM lv)
+           |SELECT level, count(*) AS n_records,
+           |  count(DISTINCT gkey) AS n_classes
+           |FROM keyed GROUP BY level ORDER BY level""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile,
     q110PercentileNorm, q114TopkPerGroup, q126GroupOls, q127ChangePoint,
-    q131EquidepthHist)
+    q131EquidepthHist, q141KAnonymity)
 }

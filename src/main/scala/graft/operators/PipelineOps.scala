@@ -507,7 +507,87 @@ object PipelineOps {
            |FROM x ORDER BY doc_id, chunk_id""".stripMargin)
   )
 
+  /** Character k-gram width for q138's exact substring dedup. */
+  val SubstrK = 40
+
+  /** q138: exact duplicated-substring report — the character-level
+    * complement of q74's span dedup, after Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * PAPERS.md): find every maximal substring of length ≥ K that occurs
+    * more than once in the corpus, and report per document how many such
+    * spans it carries and how many characters they cover.
+    *
+    * The suffix-array construction of the paper is replaced by the
+    * Spark-native equivalent: every position's K-char gram is exploded,
+    * grams occurring >1× corpus-wide flag their positions (one hash agg
+    * keyed by gram — the dedup shuffle), and runs of consecutive flagged
+    * positions merge into maximal spans with the islands-and-gaps window
+    * per doc (a position run i..j of K-grams covers exactly j-i+K chars).
+    * A length-K+ duplicated substring flags ALL its K-gram positions, so
+    * merged islands are precisely the maximal duplicated regions.
+    *
+    * Plan shape at 100 TB: the gram explode is a ×(len-K) row blowup but
+    * each row is ~50 bytes and the heavy agg is map-side-combinable; at
+    * scale the gram key would be xxhash64(gram) (8-byte shuffle rows,
+    * collision-negligible proposal + optional exact rescan, the q132
+    * sketch-proposes/rescan-disposes discipline). Islands re-shuffle only
+    * FLAGGED positions, keyed by doc. */
+  val q138SubstringDedup = QueryDef(
+    "q138_substring_dedup",
+    (s, d) => {
+      val K = SubstrK
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      val grams = docs.filter(col("len") >= K)
+        .withColumn("i", explode(sequence(lit(1), col("len") - K + 1)))
+        .select(col("doc_id"), col("i"),
+          expr(s"substring(text, i, $K)").as("gram"))
+      val dup = grams.groupBy("gram").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select("gram")
+      val flagged = grams.join(dup, Seq("gram"), "left_semi")
+      val spans = flagged
+        .withColumn("grp",
+          col("i") - row_number().over(Window.partitionBy("doc_id").orderBy("i")))
+        .groupBy("doc_id", "grp")
+        .agg((max(col("i")) - min(col("i")) + K).as("span_chars"))
+      val perDoc = spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_spans"),
+          sum(col("span_chars")).cast(LongType).as("dup_chars"))
+      docs.select("doc_id").join(perDoc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+           |ix AS (
+           |  SELECT doc_id, text, unnest(range(1, len - $SubstrK + 2)) AS i
+           |  FROM d WHERE len >= $SubstrK),
+           |grams AS (
+           |  SELECT doc_id, i, substr(text, CAST(i AS INTEGER), $SubstrK) AS gram
+           |  FROM ix),
+           |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1),
+           |flagged AS (
+           |  SELECT doc_id, i FROM grams WHERE gram IN (SELECT gram FROM dup)),
+           |isl AS (
+           |  SELECT doc_id, i,
+           |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+           |  FROM flagged),
+           |spans AS (
+           |  SELECT doc_id, max(i) - min(i) + $SubstrK AS span_chars
+           |  FROM isl GROUP BY doc_id, grp),
+           |per_doc AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+           |    CAST(sum(span_chars) AS BIGINT) AS dup_chars
+           |  FROM spans GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+           |  COALESCE(p.dup_chars, 0) AS dup_chars
+           |FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+           |ORDER BY d.doc_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q73SequencePacking, q74SpanDedup,
     q75QualityRules, q76IncrementalDedup, q85MixtureSample, q92WeightedSample,
-    q99ChunkOverlap)
+    q99ChunkOverlap, q138SubstringDedup)
 }

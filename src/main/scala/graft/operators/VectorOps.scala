@@ -672,8 +672,72 @@ object VectorOps {
            |ORDER BY exact_dist, s.vec_id LIMIT 10""".stripMargin)
   )
 
+  private val MatryoshkaDim = 16 // truncation prefix for q140
+  private val MatryoshkaQueries = 20
+  private val MatryoshkaK = 10
+
+  /** q140: Matryoshka truncation-recall report — for each of the first 20
+    * vectors as queries, compare exact cosine top-10 under the FULL 64-dim
+    * embedding vs the first-16-dims truncation (the Matryoshka
+    * representation-learning deployment trick: serve a prefix of the
+    * embedding at 4× less memory/bandwidth and re-rank the shortlist at
+    * full width). recall10 = |top10_full ∩ top10_prefix| per query — the
+    * measurement that decides whether the cheap prefix index is usable.
+    * Cosine renormalizes per-slice, so no explicit renormalization step.
+    *
+    * Plan shape at 100 TB: the query set is a broadcast (bounded); the
+    * corpus scans ONCE and both similarities come out of the same fused
+    * codegen'd kernel pass. The per-query ranking here is a window per
+    * qid (exact, fine for a report over bounded queries); a serving-path
+    * variant would use the q114 partial-agg top-k shape per query and the
+    * q56 IVF route to avoid ranking the full corpus at all. */
+  val q140MatryoshkaRecall = QueryDef(
+    "q140_matryoshka_recall",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), toD(col("embedding")).as("v"))
+      val q = emb.filter(col("vec_id") < MatryoshkaQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val scored = emb.filter(col("vec_id") >= MatryoshkaQueries)
+        .crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id"),
+          round(cosine(col("v"), col("qv")), 6).as("sim_full"),
+          round(cosine(slice(col("v"), 1, MatryoshkaDim),
+            slice(col("qv"), 1, MatryoshkaDim)), 6).as("sim_pre"))
+      val wf = Window.partitionBy("qid").orderBy(col("sim_full").desc, col("vec_id").asc)
+      val wp = Window.partitionBy("qid").orderBy(col("sim_pre").desc, col("vec_id").asc)
+      scored
+        .withColumn("rf", row_number().over(wf))
+        .withColumn("rp", row_number().over(wp))
+        .filter(col("rf") <= MatryoshkaK || col("rp") <= MatryoshkaK)
+        .groupBy("qid")
+        .agg(sum(when(col("rf") <= MatryoshkaK && col("rp") <= MatryoshkaK, 1L)
+          .otherwise(0L)).as("recall10"))
+        .orderBy("qid")
+    },
+    Some(s"""WITH e AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $MatryoshkaQueries),
+           |scored AS (
+           |  SELECT q.qid, e.vec_id,
+           |    round(list_cosine_similarity(e.v, q.qv), 6) AS sim_full,
+           |    round(list_cosine_similarity(e.v[1:$MatryoshkaDim], q.qv[1:$MatryoshkaDim]), 6) AS sim_pre
+           |  FROM e CROSS JOIN q WHERE e.vec_id >= $MatryoshkaQueries),
+           |ranked AS (
+           |  SELECT qid, vec_id,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim_full DESC, vec_id) AS rf,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim_pre DESC, vec_id) AS rp
+           |  FROM scored)
+           |SELECT qid, CAST(SUM(CASE WHEN rf <= $MatryoshkaK AND rp <= $MatryoshkaK
+           |  THEN 1 ELSE 0 END) AS BIGINT) AS recall10
+           |FROM ranked WHERE rf <= $MatryoshkaK OR rp <= $MatryoshkaK
+           |GROUP BY qid ORDER BY qid""".stripMargin)
+  )
+
   val all: Seq[QueryDef] =
     Seq(q27CosineTopK, q28AnnLsh, q29CosinePairs, q38BatchAnn, q56AnnIvf,
       q62QuantizedAnn, q68EmbeddingLshPairs, q78SemanticDedup, q86KMeans,
-      q97PqAnn)
+      q97PqAnn, q140MatryoshkaRecall)
 }

@@ -147,6 +147,7 @@ class PlanSpec extends SparkSpec {
       "q118_skew_report", // q118: 1-row total-count scalar broadcast
       "q130_pmi_collocations", // q130: two 1-row totals (N tokens, B bigrams)
       "q132_heavy_hitters", // q132: 1-row token-total scalar broadcast
+      "q140_matryoshka_recall", // q140: bounded 20-row query-set broadcast (q38 shape)
       // q91: oracle-slice theta join (|Δlen| band + banded levenshtein);
       // the equi-bucketed shape for past-broadcast scale is q90
       "q91_editdist_sql",
@@ -201,6 +202,12 @@ class PlanSpec extends SparkSpec {
       // subtrees (ReusedExchange collapses them at runtime); every
       // exchange is a token-keyed count table
       case n if n.startsWith("q130") => 16
+      // q141: the QI record lineage feeds three class-size aggs plus the
+      // record stream itself (plan TEXT repeats it; ReusedExchange
+      // collapses at runtime) and the rung report ends in a two-phase
+      // count-distinct — every exchange is class-metadata-sized or the
+      // single record scan
+      case n if n.startsWith("q141") => 10
       case _ => 8
     }
     SparkEntry.registry.foreach { q =>

@@ -216,4 +216,23 @@ class AnalyticsOpsSpec extends SparkSpec {
         "p_micro is the exact integer conditional probability"))
     }
   }
+
+  test("q137: trailing 7-day uniques dominate same-day; day-1 window equals its own day") {
+    val out = EventOps.q137TrailingDistinct.run(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(2) >= r.getLong(1), "u7 >= u1 every day"))
+    val first = out.minBy(_.getDate(0).toLocalDate.toEpochDay)
+    assert(first.getLong(1) == first.getLong(2),
+      "the first observed day's trailing window contains only itself")
+    // u7 for a day == driver-side union of that day's trailing week
+    val ud = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    out.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      val want = ud.filter(p => !p._1.isAfter(d) && !p._1.isBefore(d.minusDays(6)))
+        .map(_._2).distinct.size.toLong
+      assert(r.getLong(2) == want, s"u7($d)")
+    }
+  }
 }

@@ -121,4 +121,17 @@ class MiningOpsSpec extends SparkSpec {
     assert(expected.values.exists(_._3 < 0),
       "negative slopes present (division-rounding parity actually exercised)")
   }
+  test("q141: generalization ladder partitions every record exactly once; classes hold k") {
+    val out = MiningOps.q141KAnonymity.run(spark, sfDir).collect()
+    val total = Tables.customer(spark, sfDir).count()
+    assert(out.map(_.getLong(1)).sum == total, "every record assigned exactly one rung")
+    // every class used at a non-suppressed rung must actually contain >= 5
+    // records among the records ASSIGNED there or deeper -- pinned
+    // indirectly: rung 0 classes are >= 5 by construction, so n_records at
+    // level 0 must be >= 5 * n_classes at level 0
+    out.filter(_.getLong(0) == 0L).foreach(r =>
+      assert(r.getLong(1) >= 5 * r.getLong(2), "L0 classes each hold >= k records"))
+    out.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) <= 3))
+  }
+
 }

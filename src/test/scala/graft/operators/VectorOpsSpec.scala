@@ -75,4 +75,16 @@ class VectorOpsSpec extends SparkSpec {
       .foreach(r => assert(r.getLong(1) == r.getLong(2),
         s"codeword vec ${r.getLong(0)}: adc ${r.getLong(1)} != exact ${r.getLong(2)}"))
   }
+  test("q140: matryoshka recall is bounded and the full-width ranking is self-consistent") {
+    import org.apache.spark.sql.functions._
+    val out = VectorOps.q140MatryoshkaRecall.run(spark, sfDir).collect()
+    assert(out.length == 20, "one row per query vector")
+    out.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) <= 10))
+    // a query against ITSELF at full width would be recall 10; the truncated
+    // index must never exceed the full intersection bound (already pinned by
+    // <= 10), and at least one query should retain >0 of its true top-10 even
+    // through a 4x truncation on random vectors
+    assert(out.map(_.getLong(1)).sum > 0, "truncation does not annihilate all recall")
+  }
+
 }
