@@ -139,32 +139,34 @@ object MiningOps {
     * stringified extrema render identically in both engines (raw
     * double→string formatting differs: Java "1.0E7" vs DuckDB "10000000.0").
     *
-    * Plan shape at 100 TB: ONE scan — all 24 metrics are a single
-    * multi-distinct hash agg (Catalyst Expand handles the distincts),
-    * and the pivot to one-row-per-column is a 1-row `stack`, not a
-    * second pass. */
+    * Plan shape at 100 TB: one UNION branch per column, each a scan
+    * PRUNED to that single column feeding a two-phase (partial-distinct,
+    * merge) hash agg. The branches together read the same bytes as one
+    * full-width scan — columnar parquet prices scans per column — but
+    * dodge the alternative's killer: 6 count-distincts in ONE agg make
+    * Catalyst Expand every row 7×, turning a 100 TB scan into 700 TB of
+    * agg input (the r4 shape; measured 3.9 s vs 0.7 s warm at sf0.1). Each
+    * branch's shuffle carries only that column's distinct values. */
   val q107TableProfile = QueryDef(
     "q107_table_profile",
     (s, d) => {
       val o = Tables.orders(s, d)
         .withColumn("o_price2", col("o_totalprice").cast(DecimalType(18, 2)))
         .withColumn("o_date", col("o_orderdate").cast(DateType))
-      def prof(c: String, src: String) = Seq(
-        count(col(src)).as(s"nn_$c"),
-        countDistinct(col(src)).as(s"nd_$c"),
-        min(col(src)).cast(StringType).as(s"mn_$c"),
-        max(col(src)).cast(StringType).as(s"mx_$c"))
       val cols = Seq(
         "o_orderkey" -> "o_orderkey", "o_custkey" -> "o_custkey",
         "o_orderstatus" -> "o_orderstatus", "o_totalprice" -> "o_price2",
         "o_orderdate" -> "o_date", "o_orderpriority" -> "o_orderpriority")
-      val aggs = cols.flatMap { case (c, src) => prof(c, src) }
-      o.agg(count(lit(1)).as("n_rows"), aggs: _*)
-        .select(expr("stack(" + cols.size + ", " +
-          cols.map { case (c, _) =>
-            s"'$c', n_rows, nn_$c, nd_$c, mn_$c, mx_$c"
-          }.mkString(", ") +
-          ") as (column_name, n_rows, n_nonnull, n_distinct, min_str, max_str)"))
+      cols.map { case (c, src) =>
+        o.select(col(src))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col(src)).as("n_nonnull"),
+            countDistinct(col(src)).as("n_distinct"),
+            min(col(src)).cast(StringType).as("min_str"),
+            max(col(src)).cast(StringType).as("max_str"))
+          .select(lit(c).as("column_name"), col("n_rows"), col("n_nonnull"),
+            col("n_distinct"), col("min_str"), col("max_str"))
+      }.reduce(_ unionByName _)
         .orderBy("column_name")
     },
     Some {

@@ -202,6 +202,11 @@ class PlanSpec extends SparkSpec {
       // subtrees (ReusedExchange collapses them at runtime); every
       // exchange is a token-keyed count table
       case n if n.startsWith("q130") => 16
+      // q107: six union branches (one per profiled column), each a
+      // single-column scan under a two-phase distinct agg — every
+      // exchange carries one column's distinct values; the one-agg
+      // alternative is a 7× Expand of the full-width scan
+      case n if n.startsWith("q107") => 14
       // q141: the QI record lineage feeds three class-size aggs plus the
       // record stream itself (plan TEXT repeats it; ReusedExchange
       // collapses at runtime) and the rung report ends in a two-phase
