@@ -547,6 +547,52 @@ object ScaleSmoke {
     pfSh.unpersist()
     println("[smoke] OK — containment join at " + (nPf + pfPlanted) + " docs")
 
+    spark.catalog.clearCache()
+
+    // ---- phase 9: exact substring dedup at scale (the q138 engine) ----
+    // nSubDocs docs of 320 unique md5-hex chars; every 20th doc gets a
+    // fixed SLOGAN spliced in at char 160. The only duplicated ≥40-char
+    // substrings in the corpus are therefore the slogan's occurrences
+    // (boundary grams mix in doc-specific hex and stay unique), so the
+    // exact expected answer is: each planted doc reports EXACTLY ONE
+    // maximal duplicated span of EXACTLY slogan-length chars; every
+    // other doc reports zero.
+    val nSubDocs = sys.env.getOrElse("SPARK_GRAFT_SMOKE_SUBDOCS", "200000").toLong
+    val slogan = "call me ishmael some years ago never mind how long precisely " +
+      "having little or no money in my purse" // 98 chars, no repeated 40-gram
+    val sloganLen = slogan.length.toLong
+    require(sloganLen >= graft.operators.PipelineOps.SubstrK)
+    val subBody = concat((0 until 10).map(c =>
+      md5(concat(lit("sub"), col("id"), lit(s":$c")))): _*)
+    val subCorpus = spark.range(nSubDocs).toDF("id")
+      .select(col("id").as("doc_id"),
+        when(col("id") % 20 === 0,
+          concat(substring(subBody, 1, 160), lit(slogan), substring(subBody, 161, 160)))
+          .otherwise(subBody).as("text"))
+      .repartition(32)
+    val tsub = System.nanoTime()
+    val subOut = graft.operators.PipelineOps.substringDedup(subCorpus)
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("n_dup_spans") > 0, 1L).otherwise(0L)).as("docs_with_dups"),
+        sum("dup_chars").as("dup_chars"),
+        max("n_dup_spans").as("max_spans"),
+        max("dup_chars").as("max_chars")).head()
+    val subSecs = (System.nanoTime() - tsub) / 1e9
+    val nPlanted = (nSubDocs + 19) / 20
+    val (sdDocs, sdWith, sdChars, sdMaxSpans, sdMaxChars) =
+      (subOut.getLong(0), subOut.getLong(1), subOut.getLong(2),
+        subOut.getLong(3), subOut.getLong(4))
+    println(f"[smoke] substring dedup: $sdDocs docs (~${sdDocs * 320 / 1000000} MB text) → " +
+      f"$sdWith docs with dup spans, $sdChars dup chars in $subSecs%.1f s")
+    report ++= Seq("sub_docs" -> sdDocs, "sub_docs_with_dups" -> sdWith,
+      "sub_dup_chars" -> sdChars, "sub_secs" -> subSecs)
+    assert(sdWith == nPlanted, s"substring dedup: $sdWith flagged docs != $nPlanted planted")
+    assert(sdChars == sloganLen * nPlanted,
+      s"substring dedup: $sdChars dup chars != ${sloganLen * nPlanted}")
+    assert(sdMaxSpans == 1L && sdMaxChars == sloganLen,
+      s"substring dedup: spans must be single maximal slogan-length regions, got $sdMaxSpans/$sdMaxChars")
+    println("[smoke] OK — substring dedup at " + sdDocs + " docs")
+
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_SMOKE.json"),
       jsonOf(report) + "\n")
     println("[smoke] wrote SCALE_SMOKE.json")

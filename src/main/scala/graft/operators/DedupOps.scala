@@ -339,6 +339,51 @@ object DedupOps {
            |SELECT d1, d2, ic, uc FROM pairs ORDER BY d1, d2""".stripMargin)
   )
 
+  /** q142: split-hygiene audit — assign every document a deterministic
+    * 80/10/10 train/val/test split (the q58 md5-bucket idiom: retryable,
+    * engine-stable, no rand()) and label every verified near-duplicate
+    * pair with its endpoints' splits. Pairs whose endpoints land in
+    * DIFFERENT splits are leakage: a test document with a near-twin in
+    * train inflates eval scores exactly like benchmark contamination
+    * (the q69/q70 decontamination concern, turned inward on the corpus's
+    * own split boundary). Dedup-BEFORE-split (cluster, then split by
+    * canonical id, q71) is the fix this audit motivates.
+    *
+    * Plan shape at 100 TB: the split label is a per-row projection on the
+    * pair frame — the heavy lifting is [[verifiedPairs]], shared through
+    * the pack's cachedFrame tier with q52, so the audit itself adds zero
+    * shuffles. */
+  val q142SplitLeakage = QueryDef(
+    "q142_split_leakage",
+    (s, d) => {
+      def bucket(id: Column): Column =
+        pmod(conv(substring(md5(id.cast(StringType)), 1, 15), 16, 10)
+          .cast(LongType), lit(10L))
+      def splitOf(id: Column): Column =
+        when(bucket(id) < 8, "train").when(bucket(id) === 8, "val")
+          .otherwise("test")
+      verifiedPairs(s, d, FullCorpus)
+        .select(col("d1"), col("d2"),
+          splitOf(col("d1")).as("split1"), splitOf(col("d2")).as("split2"))
+        .withColumn("leaks",
+          (col("split1") =!= col("split2")).cast(LongType))
+        .orderBy("d1", "d2")
+    },
+    Some(s"""WITH ${pairsCtes(capped = false, tenths = 6)},
+           |labeled AS (
+           |  SELECT d1, d2,
+           |    CASE WHEN CAST(('0x' || substr(md5(CAST(d1 AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8 THEN 'train'
+           |         WHEN CAST(('0x' || substr(md5(CAST(d1 AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 8 THEN 'val'
+           |         ELSE 'test' END AS split1,
+           |    CASE WHEN CAST(('0x' || substr(md5(CAST(d2 AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8 THEN 'train'
+           |         WHEN CAST(('0x' || substr(md5(CAST(d2 AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 8 THEN 'val'
+           |         ELSE 'test' END AS split2
+           |  FROM pairs)
+           |SELECT d1, d2, split1, split2,
+           |  CAST(CASE WHEN split1 <> split2 THEN 1 ELSE 0 END AS BIGINT) AS leaks
+           |FROM labeled ORDER BY d1, d2""".stripMargin)
+  )
+
   /** q25: 60-bit SimHash signature per document from whitespace tokens.
     * sign-sum per bit over md5-derived token hashes; fully integer. */
   val q25Simhash = QueryDef(
@@ -819,5 +864,5 @@ object DedupOps {
   val all: Seq[QueryDef] =
     Seq(q23JaccardPairs, q24MinhashLsh, q25Simhash, q26SimhashPairs,
       q52MinhashLshFull, q87PrefixJoin, q90EditDistJoin, q91EditDistSql,
-      q93PassJoin, q95ContainmentJoin)
+      q93PassJoin, q95ContainmentJoin, q142SplitLeakage)
 }

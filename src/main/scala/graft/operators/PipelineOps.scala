@@ -536,33 +536,37 @@ object PipelineOps {
     * + exact rescan of flagged grams only, the q132 sketch-proposes/
     * rescan-disposes discipline). Islands re-shuffle only FLAGGED
     * positions, keyed by doc. */
+  /** The q138 engine on any (doc_id, text) frame — exposed for
+    * [[graft.ScaleSmoke]]'s planted-slogan phase. */
+  def substringDedup(docsIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val K = SubstrK
+    val docs = docsIn
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val grams = docs.filter(col("len") >= K)
+      .withColumn("i", explode(sequence(lit(1), col("len") - K + 1)))
+      .select(col("doc_id"), col("i"),
+        expr(s"substring(text, i, $K)").as("gram"))
+    val flagged = grams
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("c") > 1)
+    val spans = flagged
+      .withColumn("grp",
+        col("i") - row_number().over(Window.partitionBy("doc_id").orderBy("i")))
+      .groupBy("doc_id", "grp")
+      .agg((max(col("i")) - min(col("i")) + K).as("span_chars"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("span_chars")).cast(LongType).as("dup_chars"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+      .orderBy("doc_id")
+  }
+
   val q138SubstringDedup = QueryDef(
     "q138_substring_dedup",
-    (s, d) => {
-      val K = SubstrK
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-      val grams = docs.filter(col("len") >= K)
-        .withColumn("i", explode(sequence(lit(1), col("len") - K + 1)))
-        .select(col("doc_id"), col("i"),
-          expr(s"substring(text, i, $K)").as("gram"))
-      val flagged = grams
-        .withColumn("c", count(lit(1)).over(Window.partitionBy("gram")))
-        .filter(col("c") > 1)
-      val spans = flagged
-        .withColumn("grp",
-          col("i") - row_number().over(Window.partitionBy("doc_id").orderBy("i")))
-        .groupBy("doc_id", "grp")
-        .agg((max(col("i")) - min(col("i")) + K).as("span_chars"))
-      val perDoc = spans.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_dup_spans"),
-          sum(col("span_chars")).cast(LongType).as("dup_chars"))
-      docs.select("doc_id").join(perDoc, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
-          coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
-        .orderBy("doc_id")
-    },
+    (s, d) => substringDedup(Tables.documents(s, d)),
     Some(s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
            |ix AS (
            |  SELECT doc_id, text, unnest(range(1, len - $SubstrK + 2)) AS i

@@ -125,4 +125,25 @@ class DedupOpsSpec extends SparkSpec {
       .collect()
     assert(edge(0).getInt(0) == 1 && edge(1).isNullAt(0))
   }
+  test("q142: split assignment is the exact md5 bucket; leak flag is consistent") {
+    val out = DedupOps.q142SplitLeakage.run(spark, "/root/testdata/sf0.01").collect()
+    assert(out.nonEmpty)
+    // recompute one endpoint's split on the driver with the same md5 rule
+    def splitOf(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val b = java.lang.Long.parseLong(md.substring(0, 15), 16) % 10
+      if (b < 8) "train" else if (b == 8) "val" else "test"
+    }
+    out.foreach { r =>
+      assert(r.getString(2) == splitOf(r.getLong(0)), s"split1 of ${r.getLong(0)}")
+      assert(r.getString(3) == splitOf(r.getLong(1)), s"split2 of ${r.getLong(1)}")
+      assert((r.getLong(4) == 1L) == (r.getString(2) != r.getString(3)))
+    }
+    // the pair set must be exactly q52's verified near-dup pairs
+    val q52 = DedupOps.q52MinhashLshFull.run(spark, "/root/testdata/sf0.01")
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == q52)
+  }
+
 }
