@@ -48,6 +48,17 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The registry's single-partition windows all run on metadata-sized
+    // frames (presentation ranks, 1-row stacks — the r4 audit; a lit(0)
+    // partition key does NOT silence this: constant folding strips it
+    // back out). WindowExec's per-execution warning would otherwise
+    // dominate the log tail the driver parses, so scope that one logger
+    // down; real unpartitioned-window regressions are caught by
+    // PlanSpec's exchange budgets, not by log noise.
+    org.apache.log4j.Logger
+      .getLogger("org.apache.spark.sql.execution.window.WindowExec")
+      .setLevel(org.apache.log4j.Level.ERROR)
+
 
     // doc i: 320 chars of md5-derived hex seeded by i (fully distributed
     // generation — no driver-side text); copy k appends "~k"
@@ -551,12 +562,15 @@ object ScaleSmoke {
 
     // ---- phase 9: exact substring dedup at scale (the q138 engine) ----
     // nSubDocs docs of 320 unique md5-hex chars; every 20th doc gets a
-    // fixed SLOGAN spliced in at char 160. The only duplicated ≥40-char
-    // substrings in the corpus are therefore the slogan's occurrences
-    // (boundary grams mix in doc-specific hex and stay unique), so the
-    // exact expected answer is: each planted doc reports EXACTLY ONE
-    // maximal duplicated span of EXACTLY slogan-length chars; every
-    // other doc reports zero.
+    // fixed SLOGAN spliced in at char 160. Every planted doc must report
+    // EXACTLY ONE maximal duplicated region containing the slogan and no
+    // other doc may report anything (a spurious 40-char pure-hex match
+    // needs a 16^-40 collision). The region's exact width is NOT
+    // deterministic: a boundary window carrying j doc-specific hex chars
+    // plus 40-j slogan chars collides with some other planted doc at
+    // ~16^-j, so across 10k sharers islands bleed a few chars past the
+    // slogan (measured ~+6 avg) — but never ≥K chars per side, giving
+    // the hard per-doc bound [sloganLen, sloganLen + 2(K-1)].
     val nSubDocs = sys.env.getOrElse("SPARK_GRAFT_SMOKE_SUBDOCS", "200000").toLong
     val slogan = "call me ishmael some years ago never mind how long precisely " +
       "having little or no money in my purse" // 98 chars, no repeated 40-gram
@@ -586,11 +600,12 @@ object ScaleSmoke {
       f"$sdWith docs with dup spans, $sdChars dup chars in $subSecs%.1f s")
     report ++= Seq("sub_docs" -> sdDocs, "sub_docs_with_dups" -> sdWith,
       "sub_dup_chars" -> sdChars, "sub_secs" -> subSecs)
+    val K = graft.operators.PipelineOps.SubstrK
     assert(sdWith == nPlanted, s"substring dedup: $sdWith flagged docs != $nPlanted planted")
-    assert(sdChars == sloganLen * nPlanted,
-      s"substring dedup: $sdChars dup chars != ${sloganLen * nPlanted}")
-    assert(sdMaxSpans == 1L && sdMaxChars == sloganLen,
-      s"substring dedup: spans must be single maximal slogan-length regions, got $sdMaxSpans/$sdMaxChars")
+    assert(sdChars >= sloganLen * nPlanted && sdChars <= (sloganLen + 2L * (K - 1)) * nPlanted,
+      s"substring dedup: $sdChars dup chars outside [${sloganLen * nPlanted}, ${(sloganLen + 2L * (K - 1)) * nPlanted}]")
+    assert(sdMaxSpans == 1L && sdMaxChars <= sloganLen + 2L * (K - 1),
+      s"substring dedup: each planted doc must carry ONE bounded maximal region, got $sdMaxSpans/$sdMaxChars")
     println("[smoke] OK — substring dedup at " + sdDocs + " docs")
 
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_SMOKE.json"),

@@ -20,6 +20,17 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The registry's single-partition windows all run on metadata-sized
+    // frames (presentation ranks, 1-row stacks — the r4 audit; a lit(0)
+    // partition key does NOT silence this: constant folding strips it
+    // back out). WindowExec's per-execution warning would otherwise
+    // dominate the log tail the driver parses, so scope that one logger
+    // down; real unpartitioned-window regressions are caught by
+    // PlanSpec's exchange budgets, not by log noise.
+    org.apache.log4j.Logger
+      .getLogger("org.apache.spark.sql.execution.window.WindowExec")
+      .setLevel(org.apache.log4j.Level.ERROR)
+
     new java.io.File(outDir).mkdirs()
 
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
