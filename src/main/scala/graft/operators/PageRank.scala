@@ -255,5 +255,102 @@ object PageRank {
            |FROM walk GROUP BY id ORDER BY id""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q77PageRank, q102Triangles, q113BfsHops)
+  /** Degree threshold and round bound for q143's k-core. */
+  val CoreK = 8
+  val CoreMaxRounds = 8
+
+  /** k-core of an undirected edge list (a < b, distinct): repeatedly
+    * remove nodes whose degree IN THE INDUCED SUBGRAPH is < k until
+    * fixpoint — the standard graph-density peel (community cores, spam
+    * farms, the "delete the long tail" step before expensive per-node
+    * analytics). Each round is one induced-edge double semi-join + one
+    * degree agg, `localCheckpoint`ed to sever lineage ([[ranks]]'s
+    * rationale); the loop is driver-bounded with one metadata count per
+    * round, and the result is the surviving nodes with their final
+    * induced degree.
+    *
+    * Plan shape at 100 TB: every round's exchanges are keyed by node id
+    * (degree agg) or edge endpoint (induced filter) — the peel deletes
+    * monotonically, so round cost only shrinks; round COUNT is the
+    * degeneracy-ordering depth, bounded here and asserted, with the
+    * per-round checkpoint keeping lineage flat exactly like
+    * [[Components]]. */
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int): (DataFrame, Int) = {
+    def ckpt(df: DataFrame): DataFrame = df.localCheckpoint()
+    val e = ckpt(edges.select(col("a"), col("b")))
+    def degrees(nodes: DataFrame): DataFrame = {
+      val induced = e
+        .join(nodes.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(nodes.select(col("id").as("b")), Seq("b"), "left_semi")
+      induced.select(col("a").as("id"))
+        .unionAll(induced.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+    }
+    var nodes = ckpt(e.select(col("a").as("id"))
+      .union(e.select(col("b").as("id"))).distinct())
+    var nNodes = nodes.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = ckpt(degrees(nodes).filter(col("deg") >= k).select("id"))
+      val nNext = next.count()
+      converged = nNext == nNodes
+      nodes = next; nNodes = nNext; rounds += 1
+    }
+    require(converged, s"k-core did not converge within $maxRounds rounds")
+    (degrees(nodes).filter(col("deg") >= k), rounds)
+  }
+
+  /** q143: 8-core of the skewed-degree md5 graph (out-degree 1+id%12, so
+    * the peel genuinely cascades — 5 rounds to fixpoint at the oracle
+    * slice, vs 1 on the regular q102 graph). The oracle unrolls
+    * [[CoreMaxRounds]] peel rounds as chained CTEs: peeling is idempotent
+    * past the fixpoint, and the Spark side ASSERTS convergence within the
+    * same bound, so the unrolled depth provably reaches the same set. */
+  val q143KCore = QueryDef(
+    "q143_kcore",
+    (s, d) => {
+      val h = conv(substring(md5(concat(lit("core#"), col("src"), lit("#"), col("k"))),
+        1, 15), 16, 10).cast(LongType)
+      val e = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id").as("src"), explode(sequence(lit(1), lit(12))).as("k"))
+        .filter(col("k") <= lit(1) + col("src") % 12)
+        .withColumn("dst", pmod(h, lit(500L)))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") < col("b")).distinct()
+      val (core, _) = kcore(e, CoreK, CoreMaxRounds)
+      core.orderBy("id")
+    },
+    Some {
+      val base = s"""WITH raw AS MATERIALIZED (
+        |  SELECT doc_id AS src, k,
+        |    CAST(('0x' || substr(md5('core#' || doc_id || '#' || k), 1, 15)) AS BIGINT)
+        |      % 500 AS dst
+        |  FROM documents, range(1, 13) AS t(k)
+        |  WHERE doc_id < 500 AND k <= 1 + doc_id % 12),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM raw WHERE least(src, dst) < greatest(src, dst)),
+        |n0 AS (SELECT a AS id FROM e UNION SELECT b FROM e)""".stripMargin
+      val rounds = (1 to CoreMaxRounds).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT id, count(*) AS deg FROM (
+           |    SELECT e.a AS id FROM e
+           |      JOIN n${i - 1} x ON x.id = e.a JOIN n${i - 1} y ON y.id = e.b
+           |    UNION ALL
+           |    SELECT e.b FROM e
+           |      JOIN n${i - 1} x ON x.id = e.a JOIN n${i - 1} y ON y.id = e.b) u
+           |  GROUP BY id),
+           |n$i AS MATERIALIZED (SELECT id FROM d$i WHERE deg >= $CoreK)""".stripMargin
+      }.mkString(",\n")
+      s"""$base,
+         |$rounds
+         |SELECT id, deg FROM d$CoreMaxRounds WHERE deg >= $CoreK
+         |  AND id IN (SELECT id FROM n$CoreMaxRounds)
+         |ORDER BY id""".stripMargin
+    }
+  )
+
+  val all: Seq[QueryDef] = Seq(q77PageRank, q102Triangles, q113BfsHops, q143KCore)
 }

@@ -235,4 +235,27 @@ class AnalyticsOpsSpec extends SparkSpec {
       assert(r.getLong(2) == want, s"u7($d)")
     }
   }
+  test("q143: k-core is a fixpoint — every survivor holds k induced neighbors; peel removed nodes") {
+    val out = PageRank.q143KCore.run(spark, sfDir).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length < 500, "the peel must actually remove nodes")
+    assert(rows.forall(_.getLong(1) >= PageRank.CoreK), "core degrees are >= k by definition")
+    // fixpoint: running the peel AGAIN on the surviving induced subgraph
+    // must keep every node (otherwise the first run stopped early)
+    import graft.TestSession.spark.implicits._
+    val ids = rows.map(_.getLong(0)).toSet
+    val h = conv(substring(md5(concat(lit("core#"), col("src"), lit("#"), col("k"))), 1, 15), 16, 10).cast("long")
+    val e = graft.Tables.documents(spark, sfDir).filter(col("doc_id") < 500)
+      .select(col("doc_id").as("src"), explode(sequence(lit(1), lit(12))).as("k"))
+      .filter(col("k") <= lit(1) + col("src") % 12)
+      .withColumn("dst", pmod(h, lit(500L)))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .filter(col("a").isin(ids.toSeq: _*) && col("b").isin(ids.toSeq: _*))
+    val (again, rounds) = PageRank.kcore(e, PageRank.CoreK, PageRank.CoreMaxRounds)
+    assert(rounds == 1, "induced core must be stable in one pass")
+    assert(again.count() == rows.length, "re-peeling the core removes nothing")
+    out.unpersist()
+  }
+
 }
