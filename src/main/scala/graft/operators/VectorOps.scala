@@ -736,8 +736,62 @@ object VectorOps {
            |GROUP BY qid ORDER BY qid""".stripMargin)
   )
 
+  /** q144: embedding drift monitor — per label, the cosine between the
+    * even-vec_id half's centroid and the odd half's (the production
+    * check that a re-embedding run / new data slice still points the
+    * same way per class; a drifting encoder shows up as cos ≪ 1 before
+    * any downstream metric moves). Cosine is scale-invariant, so the
+    * SUMS stand in for the centroids and no count division ever happens.
+    *
+    * Determinism: elements quantized to 1e-5 units via the repo's
+    * `floor(x·1e5 + 0.5)` BIGINT idiom, so sums/dots are exact integer
+    * arithmetic in BOTH engines (max |dot| ≈ 4e14 < 2^53 — the
+    * decimal→double gotcha in the verify skill never applies) and the
+    * final cosine is one identical double op sequence, rounded to 6dp.
+    *
+    * Plan shape at 100 TB: one corpus scan exploding to (label, dim)
+    * keys — bounded by labels × 64, a metadata-sized agg with full
+    * map-side combine; the second agg runs over that metadata. */
+  val q144EmbeddingDrift = QueryDef(
+    "q144_embedding_drift",
+    (s, d) => {
+      val x = Tables.embeddings(s, d)
+        .select(col("label").cast(LongType).as("label"),
+          (col("vec_id") % 2).as("half"),
+          posexplode(toD(col("embedding"))).as(Seq("dim", "xv")))
+        .withColumn("v", floor(col("xv") * 100000.0 + 0.5).cast(LongType))
+      x.groupBy("label", "dim")
+        .agg(sum(when(col("half") === 0, col("v")).otherwise(0L)).as("sa"),
+          sum(when(col("half") === 1, col("v")).otherwise(0L)).as("sb"))
+        .groupBy("label")
+        .agg(sum(col("sa") * col("sb")).as("dot"),
+          sum(col("sa") * col("sa")).as("na"),
+          sum(col("sb") * col("sb")).as("nb"))
+        .select(col("label"),
+          round(col("dot").cast(DoubleType) /
+            (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))),
+            6).as("drift_cos"))
+        .orderBy("label")
+    },
+    Some("""WITH x AS (
+           |  SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS half, i AS dim,
+           |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 100000.0 + 0.5)
+           |      AS BIGINT) AS v
+           |  FROM embeddings, range(1, 65) t(i)),
+           |s AS (
+           |  SELECT label, dim,
+           |    SUM(CASE WHEN half = 0 THEN v ELSE 0 END) AS sa,
+           |    SUM(CASE WHEN half = 1 THEN v ELSE 0 END) AS sb
+           |  FROM x GROUP BY 1, 2)
+           |SELECT label,
+           |  round(CAST(SUM(sa * sb) AS DOUBLE) /
+           |    (sqrt(CAST(SUM(sa * sa) AS DOUBLE)) * sqrt(CAST(SUM(sb * sb) AS DOUBLE))),
+           |    6) AS drift_cos
+           |FROM s GROUP BY label ORDER BY label""".stripMargin)
+  )
+
   val all: Seq[QueryDef] =
     Seq(q27CosineTopK, q28AnnLsh, q29CosinePairs, q38BatchAnn, q56AnnIvf,
       q62QuantizedAnn, q68EmbeddingLshPairs, q78SemanticDedup, q86KMeans,
-      q97PqAnn, q140MatryoshkaRecall)
+      q97PqAnn, q140MatryoshkaRecall, q144EmbeddingDrift)
 }

@@ -87,4 +87,26 @@ class VectorOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).sum > 0, "truncation does not annihilate all recall")
   }
 
+  test("q144: drift cosine is bounded; identical halves give exactly 1.0") {
+    import org.apache.spark.sql.functions._
+    val out = VectorOps.q144EmbeddingDrift.run(spark, sfDir).collect()
+    assert(out.length == 10, "one row per label")
+    out.foreach(r => assert(math.abs(r.getDouble(1)) <= 1.0))
+    // fixture: odd ids replicate even ids exactly -> per-label halves are
+    // identical multisets, so every drift cosine must be exactly 1.0
+    import graft.TestSession.spark.implicits._
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 37 + j * 11) % 100 - 50) / 97.0f), i % 4)
+    }
+    val fixture = base.map { case (id, v, l) => (id * 2, v, l) } ++
+      base.map { case (id, v, l) => (id * 2 + 1, v, l) }
+    val dir = "/tmp/graft_q144_fixture"
+    fixture.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val f = VectorOps.q144EmbeddingDrift.run(spark, dir).collect()
+    assert(f.length == 4)
+    f.foreach(r => assert(r.getDouble(1) == 1.0,
+      s"label ${r.getLong(0)}: identical halves must cos to exactly 1.0, got ${r.getDouble(1)}"))
+  }
+
 }
