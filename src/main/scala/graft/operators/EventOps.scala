@@ -753,8 +753,75 @@ object EventOps {
            |GROUP BY d.day ORDER BY d.day""".stripMargin)
   )
 
+  /** q145: A/B experiment readout — users deterministically 50/50
+    * split by the md5-bucket idiom (no rand(): assignment is stable
+    * across retries, engines, and reruns — the property experiment
+    * platforms actually require), then per event_type the two arms'
+    * n / mean / Welch z-statistic. This synthetic split is an A/A test,
+    * so |z| should hover near 0 — exactly the calibration check a real
+    * experimentation pipeline runs before trusting its instrument.
+    *
+    * Determinism: values quantized to 0.1 units (`floor(v·10 + 0.5)`),
+    * so n, Σv, Σv² are exact BIGINTs BELOW 2^53 at any realistic arm
+    * size here (max Σv² ≈ 3e12 at sf0.1) — each converts to double
+    * exactly, and Welch's z is then one identical double op sequence in
+    * both engines, rounded to 4dp.
+    *
+    * Plan shape at 100 TB: one scan, one hash agg keyed by
+    * (event_type, variant) with full map-side combine, then a
+    * metadata-sized self-join of the two arms. Nothing user-keyed ever
+    * shuffles — assignment is a projection. */
+  val q145AbTest = QueryDef(
+    "q145_ab_test",
+    (s, d) => {
+      val bucket = pmod(conv(substring(md5(concat(lit("ab#"),
+        col("user_id").cast(StringType))), 1, 15), 16, 10).cast(LongType), lit(2L))
+      val arms = Tables.events(s, d)
+        .select(col("event_type"), bucket.as("variant"),
+          floor(col("value") * 10.0 + 0.5).cast(LongType).as("v"))
+        .groupBy("event_type", "variant")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          sum(col("v") * col("v")).as("svv"))
+      val a = arms.filter(col("variant") === 0)
+        .select(col("event_type"), col("n").as("n_a"), col("sv").as("sv_a"),
+          col("svv").as("svv_a"))
+      val b = arms.filter(col("variant") === 1)
+        .select(col("event_type"), col("n").as("n_b"), col("sv").as("sv_b"),
+          col("svv").as("svv_b"))
+      def meanD(sv: Column, n: Column) = sv.cast(DoubleType) / n.cast(DoubleType)
+      def varD(svv: Column, sv: Column, n: Column) =
+        (svv.cast(DoubleType) - sv.cast(DoubleType) * sv.cast(DoubleType) / n.cast(DoubleType)) /
+          (n.cast(DoubleType) - 1.0)
+      a.join(b, Seq("event_type"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          expr("sv_a DIV n_a").as("mean_a_x10"),
+          expr("sv_b DIV n_b").as("mean_b_x10"),
+          round((meanD(col("sv_a"), col("n_a")) - meanD(col("sv_b"), col("n_b"))) /
+            sqrt(varD(col("svv_a"), col("sv_a"), col("n_a")) / col("n_a").cast(DoubleType) +
+              varD(col("svv_b"), col("sv_b"), col("n_b")) / col("n_b").cast(DoubleType)),
+            4).as("welch_z"))
+        .orderBy("event_type")
+    },
+    Some("""WITH arms AS (
+           |  SELECT event_type,
+           |    CAST(('0x' || substr(md5('ab#' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS variant,
+           |    COUNT(*) AS n,
+           |    SUM(CAST(floor(value * 10.0 + 0.5) AS BIGINT)) AS sv,
+           |    SUM(CAST(floor(value * 10.0 + 0.5) AS BIGINT) * CAST(floor(value * 10.0 + 0.5) AS BIGINT)) AS svv
+           |  FROM events GROUP BY 1, 2)
+           |SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+           |  a.sv // a.n AS mean_a_x10, b.sv // b.n AS mean_b_x10,
+           |  round((CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE) - CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE)) /
+           |    sqrt(((CAST(a.svv AS DOUBLE) - CAST(a.sv AS DOUBLE) * CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1.0)) / CAST(a.n AS DOUBLE)
+           |       + ((CAST(b.svv AS DOUBLE) - CAST(b.sv AS DOUBLE) * CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1.0)) / CAST(b.n AS DOUBLE)),
+           |    4) AS welch_z
+           |FROM arms a JOIN arms b ON a.event_type = b.event_type
+           |WHERE a.variant = 0 AND b.variant = 1
+           |ORDER BY a.event_type""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
     q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency,
     q109SessionPaths, q115Attribution, q119LatestState, q122Transitions,
-    q125PeakConcurrency, q133TimeWeightedAvg, q137TrailingDistinct)
+    q125PeakConcurrency, q133TimeWeightedAvg, q137TrailingDistinct, q145AbTest)
 }

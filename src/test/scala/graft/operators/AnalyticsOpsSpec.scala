@@ -258,4 +258,17 @@ class AnalyticsOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q145: arms partition each event type; A/A calibration keeps |z| small") {
+    val out = EventOps.q145AbTest.run(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val counts = Tables.events(spark, sfDir).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == counts(r.getString(0)),
+        s"arms of ${r.getString(0)} must partition its events")
+      assert(math.abs(r.getDouble(5)) < 5.0,
+        s"A/A split should not produce |z| >= 5 (got ${r.getDouble(5)})")
+    }
+  }
+
 }
