@@ -820,8 +820,53 @@ object EventOps {
            |ORDER BY a.event_type""".stripMargin)
   )
 
+  /** q146: SCD2 history construction — turn a change LOG (each event
+    * sets its user's current `value`) into the versioned dimension table
+    * a warehouse joins facts against: one row per version with
+    * [valid_from, valid_to) microsecond bounds, open-ended tail encoded
+    * as -1 (both engines NULL-order differently; a sentinel keeps the
+    * final ORDER BY total). This is the build side of the as-of join
+    * family (q35/q123 consume such tables) and the historical complement
+    * of q119's latest-state compaction.
+    *
+    * Plan shape at 100 TB: ONE window partitioned by the dimension key
+    * (lead for the closing bound + row_number for the version ordinal in
+    * the same frame — one sort, two functions); parallelism scales with
+    * keys, the same shape q32/q109 already prove out. Bounded to
+    * user_id < 30 here only to keep the oracle diff readable. */
+  val q146Scd2History = QueryDef(
+    "q146_scd2_history",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .filter(col("user_id") < 30)
+        .select(col("user_id"), col("event_id"),
+          expr("ts_ns DIV 1000").as("ts_us"),
+          floor(col("value") * 1000.0 + 0.5).cast(LongType).as("v_x1k"))
+        .withColumn("version", row_number().over(w).cast(LongType))
+        .withColumn("valid_to",
+          coalesce(lead(col("ts_us"), 1).over(w), lit(-1L)))
+        .select(col("user_id"), col("version"),
+          col("ts_us").as("valid_from"), col("valid_to"), col("v_x1k"))
+        .orderBy("user_id", "version")
+    },
+    Some("""WITH log AS (
+           |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS v_x1k
+           |  FROM events WHERE user_id < 30)
+           |SELECT user_id,
+           |  CAST(row_number() OVER w AS BIGINT) AS version,
+           |  ts_us AS valid_from,
+           |  COALESCE(lead(ts_us) OVER w, -1) AS valid_to,
+           |  v_x1k
+           |FROM log
+           |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+           |ORDER BY user_id, version""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
     q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency,
     q109SessionPaths, q115Attribution, q119LatestState, q122Transitions,
-    q125PeakConcurrency, q133TimeWeightedAvg, q137TrailingDistinct, q145AbTest)
+    q125PeakConcurrency, q133TimeWeightedAvg, q137TrailingDistinct, q145AbTest,
+    q146Scd2History)
 }

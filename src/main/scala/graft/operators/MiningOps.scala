@@ -492,7 +492,66 @@ object MiningOps {
            |FROM keyed GROUP BY level ORDER BY level""".stripMargin)
   )
 
+  /** Histogram bin width (in 1e-6 value units) for q147's narrowing. */
+  val MedianBinWidth = 1000000L
+
+  /** q147: EXACT median per event type WITHOUT a global sort — the
+    * histogram-narrowing two-pass that replaces `percentile`'s
+    * sort-based aggregation at scale (q106 documents that trade; this
+    * is the scale path made concrete). Pass 1: one hash agg builds a
+    * fixed-width histogram per type (bin count independent of data
+    * size) and a metadata window locates the bin holding the k-th
+    * smallest (k = (n+1) div 2, the lower median — pure integer) plus
+    * how many values precede that bin. Pass 2 rescans ONLY the target
+    * bin's values (a broadcast semi-filter at the scan) and picks the
+    * (k - preceding)-th smallest inside it with a per-type window over
+    * that small residual stream (rank ties on equal v are harmless: only
+    * the value is emitted). The answer is bit-exact the naive order-by
+    * median; the full stream is never sorted.
+    *
+    * Skew note at 100 TB: a pathological distribution can pile the
+    * median bin high; the production form recurses the same narrowing
+    * inside the bin (binary search by value) — one extra pass per 1000×
+    * concentration, never a global sort. */
+  val q147ExactMedian = QueryDef(
+    "q147_exact_median",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 1000000.0 + 0.5).cast(LongType).as("v"))
+      val hist = ev.withColumn("bin", expr(s"v DIV $MedianBinWidth"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy("event_type").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val totals = hist.groupBy("event_type").agg(sum(col("c")).as("n"))
+        .withColumn("k", expr("(n + 1) DIV 2"))
+      val target = hist
+        .withColumn("below", coalesce(sum(col("c")).over(wcum), lit(0L)))
+        .join(broadcast(totals), Seq("event_type"))
+        .filter(col("below") < col("k") && col("k") <= col("below") + col("c"))
+        .select(col("event_type"), col("bin"), col("below"), col("n"), col("k"))
+      val wv = Window.partitionBy("event_type").orderBy("v")
+      ev.join(broadcast(target), Seq("event_type"))
+        .filter(expr(s"v DIV $MedianBinWidth") === col("bin"))
+        .withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === col("k") - col("below"))
+        .select(col("event_type"), col("n"), col("v").as("median_x1m"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (
+           |  SELECT event_type, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+           |  FROM events),
+           |r AS (
+           |  SELECT event_type, v,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+           |    COUNT(*) OVER (PARTITION BY event_type) AS n
+           |  FROM e)
+           |SELECT event_type, n, v AS median_x1m
+           |FROM r WHERE rn = (n + 1) // 2
+           |ORDER BY event_type""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile,
     q110PercentileNorm, q114TopkPerGroup, q126GroupOls, q127ChangePoint,
-    q131EquidepthHist, q141KAnonymity)
+    q131EquidepthHist, q141KAnonymity, q147ExactMedian)
 }

@@ -271,4 +271,21 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q146: SCD2 versions are dense and intervals chain exactly") {
+    val out = EventOps.q146Scd2History.run(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (uid, vs) =>
+      val sorted = vs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq,
+        s"user $uid: version ordinals must be dense from 1")
+      sorted.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a.getLong(3) == b.getLong(2),
+          s"user $uid: version ${a.getLong(1)} must close exactly where the next opens")
+      }
+      assert(sorted.last.getLong(3) == -1L, s"user $uid: the tail version stays open")
+      sorted.init.foreach(r => assert(r.getLong(2) <= r.getLong(3),
+        s"user $uid: valid_from <= valid_to"))
+    }
+  }
+
 }

@@ -134,4 +134,25 @@ class MiningOpsSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) <= 3))
   }
 
+  test("q147: histogram-narrowed median equals the sort-based median; full stream never sorts") {
+    val out = MiningOps.q147ExactMedian.run(spark, sfDir)
+    val rows = out.collect()
+    import org.apache.spark.sql.expressions.Window
+    val naive = Tables.events(spark, sfDir)
+      .select(col("event_type"), floor(col("value") * 1000000.0 + 0.5).cast("long").as("v"))
+      .withColumn("rn", row_number().over(Window.partitionBy("event_type").orderBy("v")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rn") === expr("(n + 1) DIV 2"))
+      .select("event_type", "n", "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      assert(naive(r.getString(0)) == ((r.getLong(1), r.getLong(2))),
+        s"median of ${r.getString(0)} diverges from the sort-based answer")
+    }
+    // the rescan pass must reach the scan via a broadcast of the target bin
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "bin targets must broadcast onto the rescan, not shuffle it")
+  }
+
 }
