@@ -19,17 +19,19 @@ class BenchSpec extends AnyFunSuite {
     assert(!line.contains("\n"))
   }
 
-  test("current registry still fits at full 3-decimal per-query precision") {
-    // pins the round-4 registry size: if the registry grows enough that
-    // the 3-decimal map overflows into the 2-decimal fallback, this fails
-    // and the guard comment in Bench.scala should be revisited (the
-    // fallback is functional, but precision loss should be a decision,
-    // not an accident)
+  test("per-query medians keep at least 2-decimal precision in the tail line") {
+    // r5 decision: past ~135 queries the 3-decimal map cannot fit the
+    // 1,900-char tail window, so the tail line carries 2 decimals (10 ms
+    // resolution — enough for the driver's cross-round comparisons) and
+    // full precision lives in BENCH.json. What must NEVER happen silently
+    // is dropping to 1 decimal or losing the per-query map entirely.
     assert(names.size >= 94, s"registry shrank to ${names.size} queries")
     val results = names.map(_ -> 1.234567)
     val line = Bench.compactLine(12.3456, 98.7654, results, "/root/testdata/sf0.1", 5)
-    assert(line.contains("\":1.235"),
-      s"3-decimal precision degraded at ${names.size} queries (line would be ${line.length} chars at 3dp)")
+    assert(line.length <= Bench.MaxLineChars, s"line is ${line.length} chars")
+    assert(line.contains("\":1.23"),
+      s"per-query precision fell below 2 decimals at ${names.size} queries " +
+        s"(line is ${line.length} chars)")
   }
 
   test("compact bench line degrades but still fits at adversarial timings") {

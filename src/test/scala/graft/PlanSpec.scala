@@ -175,7 +175,10 @@ class PlanSpec extends SparkSpec {
       // shingle-set array subtree twice, so the candidate lineage repeats
       // inside InMemoryRelation blocks — text duplication, the runtime
       // reads the cached frame
-      case n if n.startsWith("q24") || n.startsWith("q52") => 90
+      // q142 is the q52 pairs frame + a per-row split projection, so its
+      // plan text repeats the same cached candidate lineage
+      case n if n.startsWith("q24") || n.startsWith("q52") ||
+        n.startsWith("q142") => 90
       // q93: short-bucket union + segment/probe join + distinct + two
       // text re-joins + DP repartition — candidate generation is wide by
       // design, every shuffled row is metadata-narrow
