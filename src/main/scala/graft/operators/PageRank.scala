@@ -352,5 +352,94 @@ object PageRank {
     }
   )
 
-  val all: Seq[QueryDef] = Seq(q77PageRank, q102Triangles, q113BfsHops, q143KCore)
+  /** Rounds for q148's HITS power iteration. */
+  val HitsIterations = 3
+
+  /** HITS hubs/authorities (Kleinberg) over a directed edge list —
+    * UNNORMALIZED integer power iteration: `h_t(u) = Σ_{u→v} a_{t-1}(v)`,
+    * `a_t(v) = Σ_{u→v} h_t(u)`, every score starting at 1. Skipping the
+    * usual L2 normalization keeps every intermediate an exact BIGINT
+    * (scores only feed RANKING, and ranking is normalization-invariant),
+    * so the fixed-round result agrees bit-for-bit with the oracle's
+    * chained CTEs — the [[ranks]] determinism idea without the division.
+    * Growth is bounded by (max_in·max_out)^rounds ≈ 200³ here — far
+    * inside Long for any bounded-degree graph.
+    *
+    * Plan shape at 100 TB: per round, two (node, score) shuffles — the
+    * contribution agg keyed by src then by dst — each 16 bytes/row, plus
+    * a left join back to the node set; edges and nodes are checkpointed
+    * once and reused, and per-round checkpoints keep lineage at one
+    * round's depth (the [[kcore]] pattern). */
+  def hits(edges: DataFrame, iters: Int): (DataFrame, DataFrame, DataFrame) = {
+    def ckpt(df: DataFrame): DataFrame = df.localCheckpoint()
+    val e = ckpt(edges.select(col("src"), col("dst")))
+    val nodes = ckpt(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    var a = nodes.select(col("id"), lit(1L).as("a"))
+    var h = nodes.select(col("id"), lit(1L).as("h"))
+    (1 to iters).foreach { i =>
+      val hAgg = e.join(a.select(col("id").as("dst"), col("a")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("hsum"))
+      h = nodes.join(hAgg, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("hsum"), lit(0L)).as("h"))
+      val aAgg = e.join(h.select(col("id").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("asum"))
+      a = nodes.join(aAgg, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("asum"), lit(0L)).as("a"))
+      if (i < iters) { h = ckpt(h); a = ckpt(a) }
+    }
+    (nodes, h, a)
+  }
+
+  /** q148: HITS over a skewed md5 link graph (out-degree 1 + id%8) —
+    * every node with its hub and authority score after
+    * [[HitsIterations]] rounds. The link-farm / directory-page split
+    * PageRank's single score conflates: a crawl-corpus quality prior
+    * needs BOTH (directory hubs are low-authority, cited sources are
+    * low-hub). */
+  val q148Hits = QueryDef(
+    "q148_hits",
+    (s, d) => {
+      val hfn = conv(substring(md5(concat(lit("hits#"), col("src"), lit("#"), col("k"))),
+        1, 15), 16, 10).cast(LongType)
+      val e = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id").as("src"), explode(sequence(lit(1), lit(8))).as("k"))
+        .filter(col("k") <= lit(1) + col("src") % 8)
+        .withColumn("dst", pmod(hfn, lit(500L)))
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      val (nodes, h, a) = hits(e, HitsIterations)
+      nodes.join(h, Seq("id")).join(a, Seq("id")).orderBy("id")
+    },
+    Some {
+      val base = s"""WITH raw AS MATERIALIZED (
+        |  SELECT doc_id AS src,
+        |    CAST(('0x' || substr(md5('hits#' || doc_id || '#' || k), 1, 15)) AS BIGINT)
+        |      % 500 AS dst
+        |  FROM documents, range(1, 9) AS t(k)
+        |  WHERE doc_id < 500 AND k <= 1 + doc_id % 8),
+        |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |n AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |a0 AS (SELECT id, CAST(1 AS BIGINT) AS a FROM n)""".stripMargin
+      val rounds = (1 to HitsIterations).map { i =>
+        s"""h$i AS MATERIALIZED (
+           |  SELECT n.id, CAST(COALESCE(SUM(p.a), 0) AS BIGINT) AS h
+           |  FROM n LEFT JOIN e ON e.src = n.id LEFT JOIN a${i - 1} p ON p.id = e.dst
+           |  GROUP BY n.id),
+           |a$i AS MATERIALIZED (
+           |  SELECT n.id, CAST(COALESCE(SUM(q.h), 0) AS BIGINT) AS a
+           |  FROM n LEFT JOIN e ON e.dst = n.id LEFT JOIN h$i q ON q.id = e.src
+           |  GROUP BY n.id)""".stripMargin
+      }.mkString(",\n")
+      s"""$base,
+         |$rounds
+         |SELECT n.id, h$HitsIterations.h, a$HitsIterations.a
+         |FROM n JOIN h$HitsIterations ON h$HitsIterations.id = n.id
+         |  JOIN a$HitsIterations ON a$HitsIterations.id = n.id
+         |ORDER BY n.id""".stripMargin
+    }
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(q77PageRank, q102Triangles, q113BfsHops, q143KCore, q148Hits)
 }

@@ -968,9 +968,81 @@ object TextOps {
            |ORDER BY f DESC, t ASC""".stripMargin)
   )
 
+  /** q139's fixed retrieval query: one rare term (df≈25 — carries the
+    * score) and two common ones (df≈390 — near-zero idf ballast). */
+  val Bm25QueryTerms = Seq("dup", "window", "stream")
+
+  /** q139: BM25 top-15 retrieval (k1 = 1.2, b = 0.75) — the ranking
+    * function behind retrieval-augmented data curation (finding the
+    * corpus documents most relevant to a probe query, e.g. benchmark
+    * decontamination by retrieval rather than q69's exact-overlap).
+    *
+    * Determinism: ALL-INTEGER arithmetic. With k1 = 6/5 and b = 3/4 and
+    * avgdl = total/N, the per-term BM25 factor
+    * `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` multiplies through to the
+    * integer ratio `44·tf·total / (20·tf·total + 6·total + 18·dl·N)`,
+    * floor-scaled ×1000; the Robertson idf's log is replaced by its
+    * argument `(2N−2df+1)/(2df+1)` floor-scaled ×1000 (a monotone
+    * surrogate — the q21/q59/q101 idea; the ratio spread here, df 25 vs
+    * 390, dwarfs the log compression so the blend still ranks rare terms
+    * first). Each term score is one identical floor-division sequence in
+    * both engines and the doc score an exact BIGINT sum. Magnitude:
+    * 44000·tf·total ≲ 7e14 at sf0.1 — far inside Long.
+    *
+    * Plan shape at 100 TB: the posting filter `token IN (query)` lands
+    * directly after the explode, so only the query terms' postings — a
+    * vanishing fraction of the token stream — reach the tf shuffle; df
+    * and the (N, total) stats frame are metadata-sized broadcasts, and
+    * the final top-15 is TakeOrderedAndProject (no global sort). The
+    * length-normalization aggregates (dl per doc) reuse the same single
+    * explode. */
+  val q139Bm25 = QueryDef(
+    "q139_bm25",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), lower(col("tok")).as("token"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("dl")).cast(LongType).as("total"))
+      val tf = toks.filter(col("token").isin(Bm25QueryTerms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).cast(LongType).as("df"))
+      tf.join(broadcast(df), Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("term_score",
+          expr("((1000 * (2 * n_docs - 2 * df + 1)) DIV (2 * df + 1)) * " +
+            "((44000 * tf * total) DIV (20 * tf * total + 6 * total + 18 * dl * n_docs))"))
+        .groupBy("doc_id").agg(sum(col("term_score")).cast(LongType).as("score_x"))
+        .orderBy(col("score_x").desc, col("doc_id").asc)
+        .limit(15)
+    },
+    Some(s"""WITH toks AS (
+           |  SELECT doc_id, lower(unnest(list_filter(string_split(text, ' '), t -> t <> ''))) AS token
+           |  FROM documents),
+           |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+           |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |                 CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+           |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+           |       WHERE token IN (${Bm25QueryTerms.map("'" + _ + "'").mkString(", ")})
+           |       GROUP BY doc_id, token),
+           |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+           |scored AS (
+           |  SELECT tf.doc_id,
+           |    ((1000 * (2 * s.n_docs - 2 * df.df + 1)) // (2 * df.df + 1)) *
+           |    ((44000 * tf.tf * s.total) // (20 * tf.tf * s.total + 6 * s.total + 18 * dl.dl * s.n_docs))
+           |      AS term_score
+           |  FROM tf JOIN df USING (token) JOIN dl ON dl.doc_id = tf.doc_id
+           |  CROSS JOIN stats s)
+           |SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score_x
+           |FROM scored GROUP BY doc_id
+           |ORDER BY score_x DESC, doc_id LIMIT 15""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId,
     q22Fingerprint, q39Bigrams, q55TokenCounts, q57Winnowing, q59Tfidf,
     q66PiiRedact, q67Repetition, q69Decontamination, q70DecontamPool,
     q72MixtureReport, q101LmFluency, q104InvertedIndex, q124NbClassifier,
-    q130PmiCollocations, q132HeavyHitters)
+    q130PmiCollocations, q132HeavyHitters, q139Bm25)
 }

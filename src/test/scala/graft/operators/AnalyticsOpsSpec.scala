@@ -288,4 +288,36 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q148: scores equal a driver-side sequential HITS power iteration") {
+    val out = PageRank.q148Hits.run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // rebuild the same directed graph on the driver (≤4000 edges)
+    val hfn = conv(substring(md5(concat(lit("hits#"), col("src"), lit("#"), col("k"))),
+      1, 15), 16, 10).cast("long")
+    val edges = Tables.documents(spark, sfDir).filter(col("doc_id") < 500)
+      .select(col("doc_id").as("src"), explode(sequence(lit(1), lit(8))).as("k"))
+      .filter(col("k") <= lit(1) + col("src") % 8)
+      .withColumn("dst", pmod(hfn, lit(500L)))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    var a = nodes.map(_ -> 1L).toMap
+    var h = nodes.map(_ -> 1L).toMap
+    (1 to PageRank.HitsIterations).foreach { _ =>
+      h = nodes.map(u => u -> edges.filter(_._1 == u).toSeq.map(e => a(e._2)).sum).toMap
+      a = nodes.map(v => v -> edges.filter(_._2 == v).toSeq.map(e => h(e._1)).sum).toMap
+    }
+    assert(out.keySet == nodes, "one output row per graph node")
+    nodes.foreach { n =>
+      assert(out(n) == (h(n), a(n)), s"node $n: plan ${out(n)} vs brute (${h(n)}, ${a(n)})")
+    }
+    // sanity: unnormalized scores must have genuinely iterated (round 3
+    // magnitudes) and hubs/authorities must NOT be a single ranking
+    assert(out.values.exists(_._1 > 1000L), "hub scores reached round-3 magnitude")
+    val topHub = out.maxBy(_._2._1)._1
+    val topAuth = out.maxBy(_._2._2)._1
+    assert(topHub != topAuth || out.size < 3, "hub and authority rankings differ on a skewed graph")
+  }
+
 }
