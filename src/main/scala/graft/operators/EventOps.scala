@@ -864,9 +864,60 @@ object EventOps {
            |ORDER BY user_id, version""".stripMargin)
   )
 
+  /** q152 decay: one half-life per 6-hour bucket, floored at 20 buckets
+    * (5 days — older events contribute exactly 0). */
+  val DecayBucketUs = 21600000000L
+  val DecayMaxBuckets = 20
+
+  /** q152: time-decayed engagement — per user, Σ value·2^(−age) where
+    * age is in [[DecayBucketUs]] half-life buckets behind the corpus
+    * watermark. The freshness-weighted activity score feature stores
+    * keep per entity (recent actions dominate, stale history fades);
+    * PINNING decay to powers of two over bucketed ages keeps every
+    * weight an exact BIGINT (`1048576 >> age`), so the whole score is
+    * integer arithmetic — the q77/q148 exactness idea applied to
+    * exponential decay, where a float `exp()` would drift cross-engine.
+    *
+    * Plan shape at 100 TB: one scan; the watermark is a 1-row scalar
+    * broadcast; weighting is a projection; ONE hash agg keyed by user
+    * with full map-side combine. Nothing shuffles but (user, partial)
+    * rows. An incremental refresh halves all scores once per bucket and
+    * adds the new window — the same algebra, kept exact by the
+    * power-of-two choice. */
+  val q152DecayedEngagement = QueryDef(
+    "q152_decayed_engagement",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"),
+          floor(col("value") * 10.0 + 0.5).cast(LongType).as("v_x10"))
+      val mx = ev.agg(max(col("ts_us")).as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("w", expr(
+          s"shiftright(cast(1048576 as bigint), " +
+            s"cast(least((mx - ts_us) DIV $DecayBucketUs, $DecayMaxBuckets) as int))"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("w") * col("v_x10")).cast(LongType).as("score_x"))
+        .orderBy("user_id")
+    },
+    Some(s"""WITH ev AS (
+           |  SELECT user_id, epoch_us(ts) AS ts_us,
+           |    CAST(floor(value * 10.0 + 0.5) AS BIGINT) AS v_x10
+           |  FROM events),
+           |mx AS (SELECT MAX(ts_us) AS mx FROM ev),
+           |wt AS (
+           |  SELECT user_id, v_x10,
+           |    (CAST(1048576 AS BIGINT) >> CAST(LEAST((mx - ts_us) // $DecayBucketUs,
+           |      $DecayMaxBuckets) AS INTEGER)) AS w
+           |  FROM ev CROSS JOIN mx)
+           |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           |  CAST(SUM(w * v_x10) AS BIGINT) AS score_x
+           |FROM wt GROUP BY user_id ORDER BY user_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
     q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency,
     q109SessionPaths, q115Attribution, q119LatestState, q122Transitions,
     q125PeakConcurrency, q133TimeWeightedAvg, q137TrailingDistinct, q145AbTest,
-    q146Scd2History)
+    q146Scd2History, q152DecayedEngagement)
 }

@@ -373,6 +373,66 @@ object StorageOps {
            |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)
   )
 
+  /** q149 target compacted size: ~4 manifest files per output bin here. */
+  val CompactTargetBytes = 524288L
+
+  /** q149: small-file compaction planning — the maintenance pass every
+    * lakehouse runs when streaming ingest leaves thousands of KB-sized
+    * files: scan the manifest in layout order, accumulate sizes, and cut
+    * an output bin every [[CompactTargetBytes]] (Iceberg/Delta binPack:
+    * each bin becomes one rewrite task). Deterministic greedy-by-scan —
+    * `bin = floor(bytes_before / target)` over the running total — so
+    * the plan is a pure function of the manifest.
+    *
+    * File sizes are simulated from lineitem (file = orderkey range,
+    * bytes = integer per-row encoding cost) because the engine plans
+    * over MANIFEST rows, not data: at 100 TB the manifest is ~100k rows
+    * (1 row/file), so the one sequential step — the running-total window
+    * over layout order — is a metadata-sized single partition by design
+    * (same argument as q80's z-order presentation), while the underlying
+    * rewrite each bin describes shuffles nothing at plan time. */
+  val q149CompactionPlan = QueryDef(
+    "q149_compaction_plan",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val files = Tables.lineitem(s, d)
+        .select(expr("l_orderkey DIV 400").cast(LongType).as("file_id"),
+          (lit(64L) + col("l_orderkey") % 37L +
+            col("l_linenumber").cast(LongType)).as("bytes"))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"), sum(col("bytes")).as("size_bytes"))
+      // constant partition key: the manifest running total is single-
+      // partition by design (metadata-sized — see scaladoc)
+      val w = Window.partitionBy(lit(0)).orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("cum_before",
+          coalesce(sum(col("size_bytes")).over(w), lit(0L)))
+        .select(col("file_id"), col("n_rows"), col("size_bytes"),
+          col("cum_before"),
+          expr(s"cum_before DIV $CompactTargetBytes").as("bin"))
+        .orderBy("file_id")
+    },
+    Some(s"""WITH raw AS (
+           |  SELECT l_orderkey // 400 AS file_id,
+           |    64 + (l_orderkey % 37) + l_linenumber AS bytes
+           |  FROM lineitem),
+           |files AS (
+           |  SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |    CAST(SUM(bytes) AS BIGINT) AS size_bytes
+           |  FROM raw GROUP BY file_id),
+           |packed AS (
+           |  SELECT file_id, n_rows, size_bytes,
+           |    CAST(COALESCE(SUM(size_bytes) OVER (ORDER BY file_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           |      AS cum_before
+           |  FROM files)
+           |SELECT file_id, n_rows, size_bytes, cum_before,
+           |  cum_before // $CompactTargetBytes AS bin
+           |FROM packed ORDER BY file_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q79MergeUpsert, q80ZorderLayout, q81ShardLayout,
-    q116SnapshotDiff, q117ZoneMapSkip, q120IncrementalRollup)
+    q116SnapshotDiff, q117ZoneMapSkip, q120IncrementalRollup,
+    q149CompactionPlan)
 }

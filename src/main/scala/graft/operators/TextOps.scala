@@ -1040,9 +1040,53 @@ object TextOps {
            |ORDER BY score_x DESC, doc_id LIMIT 15""".stripMargin)
   )
 
+  /** q151: n-gram novelty — per document, the fraction of its DISTINCT
+    * word 5-grams that occur in NO other document. The memorization-risk
+    * / contribution score between exact dedup (q18: whole-doc) and
+    * near-dup (q24: whole-doc similarity): a doc can be globally unique
+    * yet contribute almost nothing new at the phrase level (novelty → 0),
+    * and that's the doc a curation pass downweights. q69 turned this
+    * lens on a benchmark; q151 turns it on the corpus itself.
+    *
+    * Plan shape at 100 TB: the distinct (doc, gram) stream shuffles by
+    * gram for the document-frequency agg and back by doc for the score —
+    * the canonical two-agg shingle shape (q59's tf/df), partial aggs on
+    * both, no joins wider than the gram stream itself. */
+  val q151NgramNovelty = QueryDef(
+    "q151_ngram_novelty",
+    (s, d) => {
+      val dg = Tables.documents(s, d)
+        .select(col("doc_id"), explode(grams5).as("g")).distinct()
+      val gdf = dg.groupBy("g").agg(count(lit(1)).as("gdf"))
+      dg.join(gdf, Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("gdf") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .withColumn("novelty_x1m",
+          expr("(n_grams - n_shared) * 1000000 DIV n_grams"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+           |  FROM documents),
+           |grams AS (
+           |  SELECT doc_id,
+           |    unnest(list_transform(range(1, len(t) - 3),
+           |                          i -> array_to_string(t[i:i+4], ' '))) AS g
+           |  FROM toks WHERE len(t) >= 5),
+           |dg AS (SELECT DISTINCT doc_id, g FROM grams),
+           |gdf AS (SELECT g, COUNT(*) AS gdf FROM dg GROUP BY g)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           |  CAST(SUM(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           |  CAST((COUNT(*) - SUM(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END))
+           |    * 1000000 // COUNT(*) AS BIGINT) AS novelty_x1m
+           |FROM dg JOIN gdf USING (g)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId,
     q22Fingerprint, q39Bigrams, q55TokenCounts, q57Winnowing, q59Tfidf,
     q66PiiRedact, q67Repetition, q69Decontamination, q70DecontamPool,
     q72MixtureReport, q101LmFluency, q104InvertedIndex, q124NbClassifier,
-    q130PmiCollocations, q132HeavyHitters, q139Bm25)
+    q130PmiCollocations, q132HeavyHitters, q139Bm25, q151NgramNovelty)
 }

@@ -790,8 +790,82 @@ object VectorOps {
            |FROM s GROUP BY label ORDER BY label""".stripMargin)
   )
 
+  /** q150 density parameters: a neighbor is cosine ≥ eps; core needs
+    * MinPts of them (DBSCAN's ε/minPts on the q29 similarity scale). */
+  val DensityEps = 0.45
+  val DensityMinPts = 3
+
+  /** q150: density labels (the DBSCAN core/border/noise trichotomy) over
+    * the embedding corpus — the curation signal SemDeDup-style pipelines
+    * use BESIDES pairwise dedup: core points sit in dense semantic
+    * regions (downsample candidates), noise points are isolated
+    * (outlier/quality review), border points hang off a dense region
+    * without anchoring one. Exactly DBSCAN's labeling pass; the full
+    * cluster expansion is q78's within-cluster machinery.
+    *
+    * Neighbor counting here is the exact all-pairs product on the
+    * 500-vector oracle slice (the q29 brute-force baseline — BNLJ by
+    * design, same cap). The 100 TB path swaps the pair source for the
+    * LSH-bucketed candidates of q68 verified by the same exact cosine:
+    * counts only need pairs ABOVE the threshold, which is precisely what
+    * the bucketed generator emits — labeling stays one agg + two
+    * metadata joins regardless of the pair source. */
+  val q150DensityLabels = QueryDef(
+    "q150_density_labels",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 500)
+        .select(col("vec_id"), toD(col("embedding")).as("v"))
+      val a = emb.select(col("vec_id").as("v1"), col("v").as("va"))
+      val b = emb.select(col("vec_id").as("v2"), col("v").as("vb"))
+      val nbrs = a.join(b, col("v1") =!= col("v2"))
+        .select(col("v1"), col("v2"),
+          round(cosine(col("va"), col("vb")), 6).as("sim"))
+        .filter(col("sim") >= DensityEps)
+      val counts = emb.select(col("vec_id"))
+        .join(nbrs.groupBy(col("v1").as("vec_id"))
+          .agg(count(lit(1)).as("c")), Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), coalesce(col("c"), lit(0L)).as("n_nbrs"))
+      val core = counts.filter(col("n_nbrs") >= DensityMinPts)
+        .select(col("vec_id"))
+      val border = nbrs
+        .join(core.withColumnRenamed("vec_id", "v2"), Seq("v2"))
+        .select(col("v1").as("vec_id")).distinct()
+      counts
+        .join(core.withColumn("is_core", lit(1L)), Seq("vec_id"), "left_outer")
+        .join(border.withColumn("near_core", lit(1L)), Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("n_nbrs"),
+          when(col("is_core") === 1L, "core")
+            .when(col("near_core") === 1L, "border")
+            .otherwise("noise").as("label"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH emb AS MATERIALIZED (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings WHERE vec_id < 500),
+           |nbrs AS MATERIALIZED (
+           |  SELECT a.vec_id AS v1, b.vec_id AS v2
+           |  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+           |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= $DensityEps),
+           |counts AS MATERIALIZED (
+           |  SELECT e.vec_id, CAST(COALESCE(n.c, 0) AS BIGINT) AS n_nbrs
+           |  FROM emb e LEFT JOIN
+           |    (SELECT v1, COUNT(*) AS c FROM nbrs GROUP BY v1) n
+           |    ON n.v1 = e.vec_id),
+           |core AS (SELECT vec_id FROM counts WHERE n_nbrs >= $DensityMinPts),
+           |border AS (
+           |  SELECT DISTINCT v1 AS vec_id FROM nbrs
+           |  JOIN core ON core.vec_id = nbrs.v2)
+           |SELECT c.vec_id, c.n_nbrs,
+           |  CASE WHEN c.vec_id IN (SELECT vec_id FROM core) THEN 'core'
+           |       WHEN c.vec_id IN (SELECT vec_id FROM border) THEN 'border'
+           |       ELSE 'noise' END AS label
+           |FROM counts c ORDER BY c.vec_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] =
     Seq(q27CosineTopK, q28AnnLsh, q29CosinePairs, q38BatchAnn, q56AnnIvf,
       q62QuantizedAnn, q68EmbeddingLshPairs, q78SemanticDedup, q86KMeans,
-      q97PqAnn, q140MatryoshkaRecall, q144EmbeddingDrift)
+      q97PqAnn, q140MatryoshkaRecall, q144EmbeddingDrift, q150DensityLabels)
 }

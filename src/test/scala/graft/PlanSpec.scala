@@ -153,7 +153,14 @@ class PlanSpec extends SparkSpec {
       "q91_editdist_sql",
       // q124: the model grid (256-token vocab × |langs| classes) and the
       // per-test-doc class fan-out are deliberate tiny-side broadcasts
-      "q124_nb_classifier")
+      "q124_nb_classifier",
+      // q150: the q29 oracle-slice all-pairs baseline feeding the density
+      // counts (scale path = q68's bucketed pair source, see scaladoc)
+      "q150_density_labels",
+      // q152: 1-row corpus-watermark scalar broadcast
+      "q152_decayed_engagement",
+      // q139: 1-row (N docs, total tokens) stats broadcast
+      "q139_bm25")
     // plan-text exchange budgets: the LSH pipeline legitimately has ~18
     // (sig agg + banding self-join + verify joins); queries consuming the
     // CACHED pair/cluster frames repeat that lineage inside
@@ -184,8 +191,10 @@ class PlanSpec extends SparkSpec {
       // design, every shuffled row is metadata-narrow
       case n if n.startsWith("q93") => 24
       // q77: 4 unrolled pagerank rounds, join+agg each; q78: assignment
-      // window + per-cluster self join + two aggs — both by design
-      case n if n.startsWith("q77") || n.startsWith("q78") => 16
+      // window + per-cluster self join + two aggs; q148: 3 HITS rounds,
+      // two join+agg passes each over checkpointed frames — all by design
+      case n if n.startsWith("q77") || n.startsWith("q78") ||
+        n.startsWith("q148") => 16
       // q85: the two-level rank adds the bucket-count agg + cumulative-
       // offset window exchanges — all over the metadata-sized bucket
       // frame (one row per (domain, bucket)), never the corpus
@@ -210,6 +219,15 @@ class PlanSpec extends SparkSpec {
       // exchange carries one column's distinct values; the one-agg
       // alternative is a 7× Expand of the full-width scan
       case n if n.startsWith("q107") => 14
+      // q150: the all-pairs neighbor relation feeds the count agg, the
+      // core filter, and the border distinct — the pair lineage repeats
+      // in plan text across those three consumers (metadata-sized rows;
+      // the oracle-slice cap bounds the pair source itself)
+      case n if n.startsWith("q150") => 16
+      // q139: the single token explode feeds dl (2-phase agg), the stats
+      // reduction, and the query-term tf/df chain — 10 exchanges of
+      // token- or doc-keyed counts, none wider than the posting stream
+      case n if n.startsWith("q139") => 10
       // q141: the QI record lineage feeds three class-size aggs plus the
       // record stream itself (plan TEXT repeats it; ReusedExchange
       // collapses at runtime) and the rung report ends in a two-phase

@@ -320,4 +320,25 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(topHub != topAuth || out.size < 3, "hub and authority rankings differ on a skewed graph")
   }
 
+  test("q152: decayed scores equal a driver-side power-of-two recompute") {
+    val out = EventOps.q152DecayedEngagement.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"),
+        floor(col("value") * 10.0 + 0.5).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mx = ev.map(_._2).max
+    val expect = ev.groupBy(_._1).map { case (uid, rows) =>
+      uid -> (rows.length.toLong, rows.map { case (_, ts, v) =>
+        val age = math.min((mx - ts) / EventOps.DecayBucketUs,
+          EventOps.DecayMaxBuckets.toLong)
+        (1048576L >> age) * v
+      }.sum)
+    }
+    assert(out == expect, "per-user (n, score) must match the sequential recompute")
+    // decay is genuinely active: the newest-bucket weight dominates
+    assert(ev.exists { case (_, ts, _) => (mx - ts) / EventOps.DecayBucketUs >= 1 },
+      "fixture spans multiple decay buckets")
+  }
+
 }

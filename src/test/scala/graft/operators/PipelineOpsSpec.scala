@@ -386,4 +386,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(f(3L) == (0L, 0L), "the unique doc carries no duplicated span")
   }
 
+  test("q149: bins are contiguous in layout order and sized to the target") {
+    val rows = StorageOps.q149CompactionPlan.run(spark, sfDir).collect()
+    val target = StorageOps.CompactTargetBytes
+    // cumulative chain: each cum_before is the running sum of prior sizes
+    var cum = 0L
+    rows.foreach { r =>
+      assert(r.getLong(3) == cum, s"file ${r.getLong(0)}: cum_before must chain")
+      assert(r.getLong(3) / target == r.getLong(4), "bin = cum_before DIV target")
+      cum += r.getLong(2)
+    }
+    val bins = rows.map(_.getLong(4))
+    assert(bins.head == 0L && bins.zip(bins.tail).forall { case (a, b) => a <= b },
+      "bins start at 0 and never decrease in layout order")
+    // every bin except the last closes within one file of the target
+    val maxFile = rows.map(_.getLong(2)).max
+    rows.groupBy(_.getLong(4)).toSeq.sortBy(_._1).init.foreach { case (bin, fs) =>
+      val bytes = fs.map(_.getLong(2)).sum
+      assert(bytes > target - maxFile,
+        s"bin $bin: $bytes bytes must reach within one file of the $target target")
+    }
+  }
+
 }

@@ -79,4 +79,53 @@ class TextOpsSpec extends SparkSpec {
     assert(out.values.sum == tests.length.toLong,
       "every test doc predicted exactly once; training docs never scored")
   }
+
+  test("q151: novelty equals a driver-side distinct-5-gram cross-count") {
+    val out = TextOps.q151NgramNovelty.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").filter(_.nonEmpty).sliding(5)
+          .filter(_.length == 5).map(_.mkString(" ")).toSet)
+      .filter(_._2.nonEmpty).toMap
+    val gdf = docs.toSeq.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, v) => g -> v.size }
+    assert(out.keySet == docs.keySet, "every doc with >=5 tokens is scored")
+    docs.foreach { case (id, gs) =>
+      val shared = gs.count(g => gdf(g) >= 2)
+      val expect = (gs.size.toLong, shared.toLong,
+        (gs.size - shared).toLong * 1000000L / gs.size)
+      assert(out(id) == expect, s"doc $id: ${out(id)} vs driver $expect")
+    }
+  }
+
+  test("q139: BM25 ranks the rare query term's docs first; scores match a driver recompute") {
+    val out = TextOps.q139Bm25.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 15)
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq, "descending scores")
+    // driver-side recompute of the integer BM25 for the top doc
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).map(_.toLowerCase))
+    val n = docs.count(_._2.nonEmpty).toLong
+    val total = docs.map(_._2.length.toLong).sum
+    val dfm = TextOps.Bm25QueryTerms.map(t =>
+      t -> docs.count(_._2.contains(t)).toLong).toMap
+    def score(toks: Array[String]): Long = {
+      val dl = toks.length.toLong
+      TextOps.Bm25QueryTerms.map { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0) 0L
+        else ((1000L * (2 * n - 2 * dfm(t) + 1)) / (2 * dfm(t) + 1)) *
+          ((44000L * tf * total) / (20 * tf * total + 6 * total + 18 * dl * n))
+      }.sum
+    }
+    val (topId, topScore) = out.head
+    assert(score(docs.toMap.apply(topId)) == topScore,
+      "top doc's score matches the sequential integer BM25")
+    val bruteTop = docs.map { case (id, t) => (score(t), id) }
+      .sortBy { case (sc, id) => (-sc, id) }.take(15).map(_._2).toSeq
+    assert(out.map(_._1).toSeq == bruteTop, "top-15 ids match the brute-force ranking")
+  }
 }

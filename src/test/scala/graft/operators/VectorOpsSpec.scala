@@ -109,4 +109,28 @@ class VectorOpsSpec extends SparkSpec {
       s"label ${r.getLong(0)}: identical halves must cos to exactly 1.0, got ${r.getDouble(1)}"))
   }
 
+  test("q150: density labels are consistent with q29's pair relation at the same eps") {
+    val labels = VectorOps.q150DensityLabels.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // q29 emits the v1<v2 half of the SAME >=0.45 pair relation
+    val half = VectorOps.q29CosinePairs.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (half ++ half.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val core = labels.filter(_._2._2 == "core").keySet
+    labels.foreach { case (id, (n, label)) =>
+      assert(n == nbrs.get(id).map(_.size).getOrElse(0),
+        s"vec $id: neighbor count must match the q29 relation")
+      label match {
+        case "core" => assert(n >= VectorOps.DensityMinPts)
+        case "border" =>
+          assert(n < VectorOps.DensityMinPts)
+          assert(nbrs(id).exists(core), s"vec $id: border needs a core neighbor")
+        case "noise" =>
+          assert(n < VectorOps.DensityMinPts)
+          assert(nbrs.get(id).forall(!_.exists(core)), s"vec $id: noise has no core neighbor")
+      }
+    }
+  }
+
 }
