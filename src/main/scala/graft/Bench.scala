@@ -35,8 +35,10 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
 
-  /** Largest stdout line the driver's tail window is guaranteed to hold. */
-  val MaxLineChars = 1900
+  /** Largest stdout line the driver's tail window is guaranteed to hold
+    * (window is 2,000 chars; 50 spare covers a trailing newline plus any
+    * truncated partial line ahead of ours). */
+  val MaxLineChars = 1950
 
   /** Compact JSON number: `dp` decimals, trailing zeros stripped. */
   private def fmt(v: Double, dp: Int): String =
@@ -55,9 +57,13 @@ object Bench {
     // succeeded queries must not be compared against one over 127
     val nOk = results.count(_._2 >= 0)
     val nFailed = results.size - nOk
+    // fixed overhead is budget too: sf reduced to its basename and the
+    // BENCH.json pointer dropped (it is stated in the scaladoc and README)
+    // so per-query entries keep 2-decimal precision as the registry grows
+    val sfShort = sf.reverse.takeWhile(_ != '/').reverse
     def line(qs: Option[String]): String = {
       val queries = qs.map(q => s""","queries":$q""").getOrElse("")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec"$queries,"sf":"$sf","runs":$runs,"n_ok":$nOk,"n_failed":$nFailed,"cold_total":${fmt(coldTotal, 3)},"detail":"BENCH.json"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec"$queries,"sf":"$sfShort","runs":$runs,"n_ok":$nOk,"n_failed":$nFailed,"cold_total":${fmt(coldTotal, 3)}}"""
     }
     def shortKey(k: String): String = k.takeWhile(_ != '_')
     val keys =

@@ -757,6 +757,93 @@ object Relational {
            |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin)
   )
 
+  /** q154: referential-integrity audit — orphan detection across the
+    * star schema's FK spine, the structural data-quality complement of
+    * q75's value rules and q107's column profile. To make the audit
+    * DEMONSTRABLE on the driver's (clean) data, each parent table is
+    * damaged deterministically first — keys ≡ 0 (mod 97) deleted — which
+    * models the post-incident state the audit exists to catch; the
+    * relation stream then reports child rows, orphan rows and the orphan
+    * rate for every FK edge.
+    *
+    * Plan shape at 100 TB: one LEFT ANTI join per FK edge — parent sides
+    * reduced to DISTINCT key columns first, so customer/supplier/nation
+    * broadcast and even the orders side is a key-only shuffle (8 bytes a
+    * row), never the fact payload. The per-edge aggregate is a 1-row
+    * reduction; branches run independently (no barrier between edges). */
+  val q154FkOrphans = QueryDef(
+    "q154_fk_orphans",
+    (s, d) => {
+      def damaged(t: DataFrame, key: String): DataFrame =
+        t.select(col(key).cast(LongType).as("pk"))
+          .filter(col("pk") % 97 =!= 0).distinct()
+      def audit(rel: String, child: DataFrame, fk: String,
+                parent: DataFrame, pkey: String): DataFrame = {
+        val c = child.select(col(fk).cast(LongType).as("pk"))
+        val orphans = c.join(damaged(parent, pkey), Seq("pk"), "left_anti")
+        c.agg(count(lit(1)).as("child_rows"))
+          .crossJoin(orphans.agg(count(lit(1)).as("orphan_rows"),
+            countDistinct(col("pk")).as("orphan_keys")))
+          .select(lit(rel).as("relation"), col("child_rows"),
+            col("orphan_rows"), col("orphan_keys"),
+            expr("orphan_rows * 1000000 DIV child_rows").as("orphan_rate_x1m"))
+      }
+      val li = Tables.lineitem(s, d)
+      audit("lineitem->orders", li, "l_orderkey", Tables.orders(s, d), "o_orderkey")
+        .unionByName(audit("lineitem->part", li, "l_partkey", Tables.part(s, d), "p_partkey"))
+        .unionByName(audit("lineitem->supplier", li, "l_suppkey", Tables.supplier(s, d), "s_suppkey"))
+        .unionByName(audit("orders->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .unionByName(audit("customer->nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey"))
+        .unionByName(audit("supplier->nation", Tables.supplier(s, d), "s_nationkey",
+          Tables.nation(s, d), "n_nationkey"))
+        .orderBy("relation")
+    },
+    Some("""WITH audit AS (
+           |  SELECT 'lineitem->orders' AS relation,
+           |    (SELECT COUNT(*) FROM lineitem) AS child_rows,
+           |    (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+           |      (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0)) AS orphan_rows,
+           |    (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem WHERE l_orderkey NOT IN
+           |      (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0)) AS orphan_keys
+           |  UNION ALL SELECT 'lineitem->part',
+           |    (SELECT COUNT(*) FROM lineitem),
+           |    (SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN
+           |      (SELECT p_partkey FROM part WHERE p_partkey % 97 <> 0)),
+           |    (SELECT COUNT(DISTINCT l_partkey) FROM lineitem WHERE l_partkey NOT IN
+           |      (SELECT p_partkey FROM part WHERE p_partkey % 97 <> 0))
+           |  UNION ALL SELECT 'lineitem->supplier',
+           |    (SELECT COUNT(*) FROM lineitem),
+           |    (SELECT COUNT(*) FROM lineitem WHERE l_suppkey NOT IN
+           |      (SELECT s_suppkey FROM supplier WHERE s_suppkey % 97 <> 0)),
+           |    (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem WHERE l_suppkey NOT IN
+           |      (SELECT s_suppkey FROM supplier WHERE s_suppkey % 97 <> 0))
+           |  UNION ALL SELECT 'orders->customer',
+           |    (SELECT COUNT(*) FROM orders),
+           |    (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+           |      (SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0)),
+           |    (SELECT COUNT(DISTINCT o_custkey) FROM orders WHERE o_custkey NOT IN
+           |      (SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0))
+           |  UNION ALL SELECT 'customer->nation',
+           |    (SELECT COUNT(*) FROM customer),
+           |    (SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN
+           |      (SELECT n_nationkey FROM nation WHERE n_nationkey % 97 <> 0)),
+           |    (SELECT COUNT(DISTINCT c_nationkey) FROM customer WHERE c_nationkey NOT IN
+           |      (SELECT n_nationkey FROM nation WHERE n_nationkey % 97 <> 0))
+           |  UNION ALL SELECT 'supplier->nation',
+           |    (SELECT COUNT(*) FROM supplier),
+           |    (SELECT COUNT(*) FROM supplier WHERE s_nationkey NOT IN
+           |      (SELECT n_nationkey FROM nation WHERE n_nationkey % 97 <> 0)),
+           |    (SELECT COUNT(DISTINCT s_nationkey) FROM supplier WHERE s_nationkey NOT IN
+           |      (SELECT n_nationkey FROM nation WHERE n_nationkey % 97 <> 0)))
+           |SELECT relation, CAST(child_rows AS BIGINT) AS child_rows,
+           |  CAST(orphan_rows AS BIGINT) AS orphan_rows,
+           |  CAST(orphan_keys AS BIGINT) AS orphan_keys,
+           |  CAST(orphan_rows * 1000000 // child_rows AS BIGINT) AS orphan_rate_x1m
+           |FROM audit ORDER BY relation""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q01FilterProject, q02GroupAgg, q03Frequencies, q04BroadcastJoin,
     q05MultiJoin, q06LeftOuter, q07SemiJoin, q08AntiJoin, q09RangeJoin,
@@ -764,5 +851,5 @@ object Relational {
     q15SetOps, q16ScalarFns, q17Elementwise, q36Cube, q37Product, q40SqlApi,
     q41WindowZoo, q42StringDate, q43DateArith, q45GroupingSets, q47Pivot,
     q48ArrayOps, q49Unpivot, q50Correlated, q51Percentiles, q58HashSample,
-    q61Histogram, q63StratifiedSample)
+    q61Histogram, q63StratifiedSample, q154FkOrphans)
 }

@@ -996,28 +996,33 @@ object TextOps {
     * the final top-15 is TakeOrderedAndProject (no global sort). The
     * length-normalization aggregates (dl per doc) reuse the same single
     * explode. */
+  /** (doc_id, score_x) for every document matching ≥1 query term — the
+    * q139 scorer, shared with q153's rank fusion. */
+  private[operators] def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), lower(col("tok")).as("token"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast(LongType).as("n_docs"),
+      sum(col("dl")).cast(LongType).as("total"))
+    val tf = toks.filter(col("token").isin(Bm25QueryTerms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).cast(LongType).as("df"))
+    tf.join(broadcast(df), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score",
+        expr("((1000 * (2 * n_docs - 2 * df + 1)) DIV (2 * df + 1)) * " +
+          "((44000 * tf * total) DIV (20 * tf * total + 6 * total + 18 * dl * n_docs))"))
+      .groupBy("doc_id").agg(sum(col("term_score")).cast(LongType).as("score_x"))
+  }
+
   val q139Bm25 = QueryDef(
     "q139_bm25",
-    (s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), lower(col("tok")).as("token"))
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).cast(LongType).as("n_docs"),
-        sum(col("dl")).cast(LongType).as("total"))
-      val tf = toks.filter(col("token").isin(Bm25QueryTerms: _*))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("token").agg(count(lit(1)).cast(LongType).as("df"))
-      tf.join(broadcast(df), Seq("token"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-        .withColumn("term_score",
-          expr("((1000 * (2 * n_docs - 2 * df + 1)) DIV (2 * df + 1)) * " +
-            "((44000 * tf * total) DIV (20 * tf * total + 6 * total + 18 * dl * n_docs))"))
-        .groupBy("doc_id").agg(sum(col("term_score")).cast(LongType).as("score_x"))
+    (s, d) =>
+      bm25Scores(s, d)
         .orderBy(col("score_x").desc, col("doc_id").asc)
-        .limit(15)
-    },
+        .limit(15),
     Some(s"""WITH toks AS (
            |  SELECT doc_id, lower(unnest(list_filter(string_split(text, ' '), t -> t <> ''))) AS token
            |  FROM documents),
@@ -1084,9 +1089,51 @@ object TextOps {
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
+  /** q155: BPE pair statistics — the first iteration of byte-pair-
+    * encoding tokenizer training: count every adjacent character pair
+    * inside every word, weighted by corpus word frequency, and emit the
+    * top-30 merge candidates (argmax = the first BPE merge). Training a
+    * tokenizer IS a corpus aggregation job, and this is its inner loop:
+    * iterating = re-running this agg over the re-segmented symbol
+    * stream.
+    *
+    * Plan shape at 100 TB: the word-frequency agg collapses the token
+    * stream to the VOCABULARY (zipf: orders of magnitude smaller), so
+    * the pair explode — the widening step — runs over vocab rows, not
+    * corpus rows; the pair agg then reduces ~word-length × vocab rows
+    * with full map-side combine and the top-30 is TakeOrdered. */
+  val q155BpePairs = QueryDef(
+    "q155_bpe_pairs",
+    (s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .select(lower(col("w")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      wc.filter(length(col("w")) >= 2)
+        .select(col("w"), col("cnt"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(expr("substring(w, i, 2)").as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum(col("cnt")).cast(LongType).as("freq"))
+        .orderBy(col("freq").desc, col("pair").asc)
+        .limit(30)
+    },
+    Some("""WITH words AS (
+           |  SELECT lower(unnest(list_filter(string_split(text, ' '), t -> t <> ''))) AS w
+           |  FROM documents),
+           |wc AS (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w),
+           |pairs AS (
+           |  SELECT unnest(list_transform(range(1, len(w)),
+           |    i -> substr(w, CAST(i AS INTEGER), 2))) AS pair, cnt
+           |  FROM wc WHERE len(w) >= 2)
+           |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS freq
+           |FROM pairs GROUP BY pair
+           |ORDER BY freq DESC, pair LIMIT 30""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId,
     q22Fingerprint, q39Bigrams, q55TokenCounts, q57Winnowing, q59Tfidf,
     q66PiiRedact, q67Repetition, q69Decontamination, q70DecontamPool,
     q72MixtureReport, q101LmFluency, q104InvertedIndex, q124NbClassifier,
-    q130PmiCollocations, q132HeavyHitters, q139Bm25, q151NgramNovelty)
+    q130PmiCollocations, q132HeavyHitters, q139Bm25, q151NgramNovelty,
+    q155BpePairs)
 }

@@ -864,8 +864,99 @@ object VectorOps {
            |FROM counts c ORDER BY c.vec_id""".stripMargin)
   )
 
+  /** q153 fusion constants: the standard RRF k and per-list depth. */
+  val RrfK = 60
+  val RrfListLen = 100
+
+  /** q153: hybrid retrieval by reciprocal-rank fusion — fuse the LEXICAL
+    * ranking (q139's integer BM25 over the query terms) with the
+    * SEMANTIC ranking (cosine to a probe embedding) via
+    * `Σ 1/(k + rank)`, the standard score-free way to combine retrievers
+    * whose scores aren't commensurable. Per-list reciprocals are
+    * floor-scaled ×1e6 so the fused score is an exact BIGINT; documents
+    * missing from a list contribute 0 (rank reported as the −1
+    * sentinel — both engines NULL-order differently, the q146 idea).
+    *
+    * Plan shape at 100 TB: each retriever is its own bounded top-N
+    * (rank windows over a 1-row-broadcast probe / the BM25 posting
+    * prune), so the fusion join touches 2·N metadata rows no matter the
+    * corpus size — the heavy lifting stays inside the retrievers, which
+    * scale as q27/q139 already argue. */
+  val q153RrfFusion = QueryDef(
+    "q153_rrf_fusion",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), toD(col("embedding")).as("v"))
+      val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val wSem = Window.partitionBy(lit(0))
+        .orderBy(col("sim").desc, col("id").asc)
+      val sem = emb.filter(col("vec_id") >= 1).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("id"),
+          round(cosine(col("v"), col("qv")), 6).as("sim"))
+        .withColumn("rank_sem", row_number().over(wSem).cast(LongType))
+        .filter(col("rank_sem") <= RrfListLen)
+        .select("id", "rank_sem")
+      val wLex = Window.partitionBy(lit(0))
+        .orderBy(col("score_x").desc, col("id").asc)
+      val lex = TextOps.bm25Scores(s, d)
+        .select(col("doc_id").as("id"), col("score_x"))
+        .withColumn("rank_lex", row_number().over(wLex).cast(LongType))
+        .filter(col("rank_lex") <= RrfListLen)
+        .select("id", "rank_lex")
+      lex.join(sem, Seq("id"), "full_outer")
+        .withColumn("rrf_x1m",
+          coalesce(expr(s"1000000 DIV ($RrfK + rank_lex)"), lit(0L)) +
+            coalesce(expr(s"1000000 DIV ($RrfK + rank_sem)"), lit(0L)))
+        .select(col("id"), coalesce(col("rank_lex"), lit(-1L)).as("rank_lex"),
+          coalesce(col("rank_sem"), lit(-1L)).as("rank_sem"), col("rrf_x1m"))
+        .orderBy(col("rrf_x1m").desc, col("id").asc)
+        .limit(20)
+    },
+    Some(s"""WITH emb AS MATERIALIZED (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |qv AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+           |sem AS (
+           |  SELECT vec_id AS id, row_number() OVER (
+           |    ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id) AS rank_sem
+           |  FROM emb CROSS JOIN qv WHERE vec_id >= 1
+           |  QUALIFY rank_sem <= $RrfListLen),
+           |toks AS (
+           |  SELECT doc_id, lower(unnest(list_filter(string_split(text, ' '), t -> t <> ''))) AS token
+           |  FROM documents),
+           |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+           |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |                 CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+           |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+           |       WHERE token IN (${TextOps.Bm25QueryTerms.map("'" + _ + "'").mkString(", ")})
+           |       GROUP BY doc_id, token),
+           |dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+           |scored AS (
+           |  SELECT tf.doc_id,
+           |    ((1000 * (2 * s.n_docs - 2 * dfq.df + 1)) // (2 * dfq.df + 1)) *
+           |    ((44000 * tf.tf * s.total) // (20 * tf.tf * s.total + 6 * s.total + 18 * dl.dl * s.n_docs))
+           |      AS term_score
+           |  FROM tf JOIN dfq USING (token) JOIN dl ON dl.doc_id = tf.doc_id
+           |  CROSS JOIN stats s),
+           |bm AS (SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score_x
+           |       FROM scored GROUP BY doc_id),
+           |lex AS (
+           |  SELECT doc_id AS id, row_number() OVER (
+           |    ORDER BY score_x DESC, doc_id) AS rank_lex
+           |  FROM bm QUALIFY rank_lex <= $RrfListLen)
+           |SELECT COALESCE(l.id, s.id) AS id,
+           |  CAST(COALESCE(l.rank_lex, -1) AS BIGINT) AS rank_lex,
+           |  CAST(COALESCE(s.rank_sem, -1) AS BIGINT) AS rank_sem,
+           |  CAST(COALESCE(1000000 // ($RrfK + l.rank_lex), 0)
+           |     + COALESCE(1000000 // ($RrfK + s.rank_sem), 0) AS BIGINT) AS rrf_x1m
+           |FROM lex l FULL OUTER JOIN sem s ON l.id = s.id
+           |ORDER BY rrf_x1m DESC, id LIMIT 20""".stripMargin)
+  )
+
   val all: Seq[QueryDef] =
     Seq(q27CosineTopK, q28AnnLsh, q29CosinePairs, q38BatchAnn, q56AnnIvf,
       q62QuantizedAnn, q68EmbeddingLshPairs, q78SemanticDedup, q86KMeans,
-      q97PqAnn, q140MatryoshkaRecall, q144EmbeddingDrift, q150DensityLabels)
+      q97PqAnn, q140MatryoshkaRecall, q144EmbeddingDrift, q150DensityLabels,
+      q153RrfFusion)
 }

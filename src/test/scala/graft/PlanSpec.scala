@@ -160,7 +160,11 @@ class PlanSpec extends SparkSpec {
       // q152: 1-row corpus-watermark scalar broadcast
       "q152_decayed_engagement",
       // q139: 1-row (N docs, total tokens) stats broadcast
-      "q139_bm25")
+      "q139_bm25",
+      // q153: 1-row probe-vector broadcast + the q139 stats broadcast
+      "q153_rrf_fusion",
+      // q154: per-FK-edge 1-row count × 1-row orphan-stats cross joins
+      "q154_fk_orphans")
     // plan-text exchange budgets: the LSH pipeline legitimately has ~18
     // (sig agg + banding self-join + verify joins); queries consuming the
     // CACHED pair/cluster frames repeat that lineage inside
@@ -228,6 +232,14 @@ class PlanSpec extends SparkSpec {
       // reduction, and the query-term tf/df chain — 10 exchanges of
       // token- or doc-keyed counts, none wider than the posting stream
       case n if n.startsWith("q139") => 10
+      // q153: the full q139 lexical retriever plus the semantic rank
+      // window and the 2·N-row fusion join — every exchange either one
+      // of q139's or metadata-sized (rank lists)
+      case n if n.startsWith("q153") => 16
+      // q154: six independent FK-edge branches, each an anti join + two
+      // 1-row aggregates — per-branch cost is key-only rows; branches
+      // union without a barrier
+      case n if n.startsWith("q154") => 40
       // q141: the QI record lineage feeds three class-size aggs plus the
       // record stream itself (plan TEXT repeats it; ReusedExchange
       // collapses at runtime) and the rung report ends in a two-phase

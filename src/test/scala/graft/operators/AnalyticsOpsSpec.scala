@@ -320,6 +320,30 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(topHub != topAuth || out.size < 3, "hub and authority rankings differ on a skewed graph")
   }
 
+  test("q154: audit covers every FK edge; orphan counts match driver-side set math") {
+    val out = Relational.q154FkOrphans.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == Set("lineitem->orders", "lineitem->part", "lineitem->supplier",
+      "orders->customer", "customer->nation", "supplier->nation"))
+    // driver-side check on the smallest edge: customer -> (damaged) nation
+    val custNations = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("long"))
+      .collect().map(_.getLong(0))
+    val keptNations = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long"))
+      .collect().map(_.getLong(0)).filter(_ % 97 != 0).toSet
+    val orphans = custNations.filterNot(keptNations)
+    val (rows, orows, okeys, rate) = out("customer->nation")
+    assert(rows == custNations.length.toLong)
+    assert(orows == orphans.length.toLong)
+    assert(okeys == orphans.distinct.length.toLong)
+    assert(rate == orows * 1000000L / rows)
+    assert(orows > 0, "the damaged nation table must produce visible orphans")
+    out.values.foreach { case (c, o, k, rt) =>
+      assert(o <= c && k <= o && rt == o * 1000000L / c)
+    }
+  }
+
   test("q152: decayed scores equal a driver-side power-of-two recompute") {
     val out = EventOps.q152DecayedEngagement.run(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

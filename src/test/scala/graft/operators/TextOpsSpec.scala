@@ -100,6 +100,19 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q155: pair frequencies equal a driver-side BPE first-iteration count") {
+    val out = TextOps.q155BpePairs.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val words = Tables.documents(spark, sfDir).select("text").collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty).map(_.toLowerCase)
+    val freq = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    words.foreach { w =>
+      (0 until w.length - 1).foreach(i => freq(w.substring(i, i + 2)) += 1L)
+    }
+    val brute = freq.toSeq.sortBy { case (p, f) => (-f, p) }.take(30)
+    assert(out.toSeq == brute, "top-30 merge candidates match the sequential count")
+  }
+
   test("q139: BM25 ranks the rare query term's docs first; scores match a driver recompute") {
     val out = TextOps.q139Bm25.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -109,6 +109,24 @@ class VectorOpsSpec extends SparkSpec {
       s"label ${r.getLong(0)}: identical halves must cos to exactly 1.0, got ${r.getDouble(1)}"))
   }
 
+  test("q153: fused scores recompute from the reported ranks; both retrievers contribute") {
+    val rows = VectorOps.q153RrfFusion.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 20)
+    rows.foreach { case (id, rl, rs, rrf) =>
+      assert(rl == -1L || (rl >= 1 && rl <= VectorOps.RrfListLen), s"doc $id rank_lex $rl")
+      assert(rs == -1L || (rs >= 1 && rs <= VectorOps.RrfListLen), s"doc $id rank_sem $rs")
+      assert(rl != -1L || rs != -1L, s"doc $id must appear in at least one list")
+      val expect = (if (rl == -1L) 0L else 1000000L / (VectorOps.RrfK + rl)) +
+        (if (rs == -1L) 0L else 1000000L / (VectorOps.RrfK + rs))
+      assert(rrf == expect, s"doc $id: rrf $rrf != recomputed $expect")
+    }
+    val scores = rows.map(_._4)
+    assert(scores.toSeq == scores.sortBy(-_).toSeq, "descending fused scores")
+    assert(rows.exists(r => r._2 != -1L && r._3 != -1L),
+      "some doc is found by BOTH retrievers (fusion is non-trivial)")
+  }
+
   test("q150: density labels are consistent with q29's pair relation at the same eps") {
     val labels = VectorOps.q150DensityLabels.run(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
