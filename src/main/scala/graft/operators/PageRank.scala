@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.{QueryDef, Tables}
@@ -211,7 +211,12 @@ object PageRank {
         .select(e("dst").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
         .withColumn("hops", lit(h.toLong)))
-      visited = ckpt(visited.union(next))
+      // visited is a UNION of already-materialized frontiers — lineage is
+      // flat by construction, so re-checkpointing it would re-materialize
+      // the largest frame every hop for nothing; the saving grows with
+      // block-manager pressure (in the 150-query bench session those
+      // redundant materializations spill to disk)
+      visited = visited.union(next)
       frontier = next.select("id")
       h += 1
     }
@@ -440,6 +445,91 @@ object PageRank {
     }
   )
 
+  /** q156: personalized (topic-sensitive) PageRank — q77's integer power
+    * iteration with the teleport mass restarting at a SEED SET (every
+    * 500th customer) instead of spreading uniformly: rank becomes
+    * proximity-to-the-seeds, the graph prior behind "quality flows
+    * outward from a trusted whitelist" (TrustRank) and seed-anchored
+    * crawl frontier scoring — q113's reachability with decay replacing
+    * the hop cutoff. Same determinism argument as [[ranks]]: integer
+    * 1e-12 units, floor division, four unrolled rounds ≡ the oracle's
+    * chained CTEs bit-for-bit; non-seed nodes get rank ONLY through
+    * inflow, so mass concentrates near seeds instead of equalizing.
+    *
+    * Plan shape at 100 TB: identical to q77 — per round one share join +
+    * one (node, contrib) hash agg; the seed indicator is a PROJECTION on
+    * the degree frame (id predicate), never a join. */
+  def pprRanks(edges: DataFrame, isSeed: Column): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame = df.localCheckpoint()
+    val e = ckpt(edges)
+    val deg = ckpt(e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg"))
+      .withColumn("s", when(isSeed, 1L).otherwise(0L)))
+    var r = deg.select(col("id"), (col("s") * Unit).as("rank"))
+    (1 to Iterations).foreach { i =>
+      val contrib = e
+        .join(r.join(deg, Seq("id")).select(col("id").as("src"),
+          expr("rank div outdeg").as("share")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("share")).as("inflow"))
+      r = deg.select(col("id"), col("s"))
+        .join(contrib, Seq("id"), "left_outer")
+        .select(col("id"),
+          expr(s"(15 * ${Unit}L * s + $Damping * coalesce(inflow, 0L)) div 100").as("rank"))
+      if (i % 2 == 0 && i < Iterations) r = ckpt(r)
+    }
+    r
+  }
+
+  val q156Ppr = QueryDef(
+    "q156_ppr",
+    (s, d) => {
+      val rel = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast(LongType).as("cust"),
+          (col("l_suppkey").cast(LongType) + 1000000L).as("supp"))
+        .distinct()
+      val edges = rel.select(col("cust").as("src"), col("supp").as("dst"))
+        .union(rel.select(col("supp").as("src"), col("cust").as("dst")))
+      pprRanks(edges, col("id") < 1000000L && col("id") % 500 === 0)
+        .filter(col("rank") > 0)
+        .select(
+          when(col("id") >= 1000000L, "supplier").otherwise("customer").as("node_type"),
+          when(col("id") >= 1000000L, col("id") - 1000000L).otherwise(col("id")).as("key"),
+          col("rank"))
+        .orderBy(col("rank").desc, col("node_type").asc, col("key").asc)
+        .limit(20)
+    },
+    Some(s"""WITH rel AS (
+           |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
+           |    CAST(l_suppkey AS BIGINT) + 1000000 AS supp
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |edges AS (
+           |  SELECT cust AS src, supp AS dst FROM rel
+           |  UNION ALL SELECT supp AS src, cust AS dst FROM rel),
+           |deg AS (
+           |  SELECT src AS id, COUNT(*) AS outdeg,
+           |    CASE WHEN src < 1000000 AND src % 500 = 0 THEN 1 ELSE 0 END AS s
+           |  FROM edges GROUP BY src),
+           |r0 AS (SELECT id, CAST(s * $Unit AS BIGINT) AS rank FROM deg),
+           |${(1 to Iterations).map(i =>
+             s"""c$i AS (
+                |  SELECT e.dst AS id, SUM(r.rank // d.outdeg) AS inflow
+                |  FROM edges e JOIN r${i - 1} r ON r.id = e.src
+                |  JOIN deg d ON d.id = e.src GROUP BY e.dst),
+                |r$i AS (
+                |  SELECT deg.id,
+                |    CAST((15 * $Unit * deg.s + $Damping * COALESCE(c$i.inflow, 0)) // 100 AS BIGINT) AS rank
+                |  FROM deg LEFT JOIN c$i ON c$i.id = deg.id)""".stripMargin)
+             .mkString(",\n")}
+           |SELECT CASE WHEN id >= 1000000 THEN 'supplier' ELSE 'customer' END AS node_type,
+           |  CASE WHEN id >= 1000000 THEN id - 1000000 ELSE id END AS key,
+           |  CAST(rank AS BIGINT) AS rank
+           |FROM r$Iterations WHERE rank > 0
+           |ORDER BY rank DESC, node_type, key LIMIT 20""".stripMargin)
+  )
+
   val all: Seq[QueryDef] =
-    Seq(q77PageRank, q102Triangles, q113BfsHops, q143KCore, q148Hits)
+    Seq(q77PageRank, q102Triangles, q113BfsHops, q143KCore, q148Hits, q156Ppr)
 }

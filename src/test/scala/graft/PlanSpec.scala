@@ -198,7 +198,7 @@ class PlanSpec extends SparkSpec {
       // window + per-cluster self join + two aggs; q148: 3 HITS rounds,
       // two join+agg passes each over checkpointed frames — all by design
       case n if n.startsWith("q77") || n.startsWith("q78") ||
-        n.startsWith("q148") => 16
+        n.startsWith("q148") || n.startsWith("q156") => 16
       // q85: the two-level rank adds the bucket-count agg + cumulative-
       // offset window exchanges — all over the metadata-sized bucket
       // frame (one row per (domain, bucket)), never the corpus

@@ -344,6 +344,33 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q156: personalized rank stays inside the seeds' decay horizon") {
+    val out = PageRank.q156Ppr.run(spark, sfDir).collect()
+    assert(out.length == 20)
+    // rebuild the graph; every positively-ranked node must be reachable
+    // from a seed within Iterations hops (teleport mass only enters at
+    // seeds and each round propagates it one edge)
+    val rel = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("cust"),
+        (col("l_suppkey").cast("long") + 1000000L).as("supp"))
+      .distinct()
+    val edges = rel.select(col("cust").as("src"), col("supp").as("dst"))
+      .union(rel.select(col("supp").as("src"), col("cust").as("dst")))
+    val seeds = rel.filter(col("cust") % 500 === 0).select(col("cust").as("id"))
+    val reach = PageRank.bfs(edges, seeds, maxHops = PageRank.Iterations)
+      .select("id").collect().map(_.getLong(0)).toSet
+    out.foreach { r =>
+      val id = if (r.getString(0) == "supplier") r.getLong(1) + 1000000L else r.getLong(1)
+      assert(reach(id), s"ranked node $id is outside the seeds' ${PageRank.Iterations}-hop horizon")
+      assert(r.getLong(2) > 0L)
+    }
+    // seeds themselves keep teleport mass: at least one customer seed ranks
+    assert(out.exists(r => r.getString(0) == "customer" && r.getLong(1) % 500 == 0),
+      "some seed customer must hold visible rank")
+  }
+
   test("q152: decayed scores equal a driver-side power-of-two recompute") {
     val out = EventOps.q152DecayedEngagement.run(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
