@@ -810,7 +810,8 @@ object EventOps {
            |    SUM(CAST(floor(value * 10.0 + 0.5) AS BIGINT) * CAST(floor(value * 10.0 + 0.5) AS BIGINT)) AS svv
            |  FROM events GROUP BY 1, 2)
            |SELECT a.event_type, a.n AS n_a, b.n AS n_b,
-           |  a.sv // a.n AS mean_a_x10, b.sv // b.n AS mean_b_x10,
+           |  CAST(a.sv // a.n AS BIGINT) AS mean_a_x10,
+           |  CAST(b.sv // b.n AS BIGINT) AS mean_b_x10,
            |  round((CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE) - CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE)) /
            |    sqrt(((CAST(a.svv AS DOUBLE) - CAST(a.sv AS DOUBLE) * CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1.0)) / CAST(a.n AS DOUBLE)
            |       + ((CAST(b.svv AS DOUBLE) - CAST(b.sv AS DOUBLE) * CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1.0)) / CAST(b.n AS DOUBLE)),

@@ -900,7 +900,7 @@ object TextOps {
            |tots AS (
            |  SELECT (SELECT SUM(f) FROM uni) AS n_tok, (SELECT SUM(fab) FROM big) AS n_big)
            |SELECT t1, t2, fab, u1.f AS f1, u2.f AS f2,
-           |  ((fab * 1000000 // u1.f) * n_tok // n_big) // u2.f AS score_x1m
+           |  CAST(((fab * 1000000 // u1.f) * n_tok // n_big) // u2.f AS BIGINT) AS score_x1m
            |FROM big
            |JOIN uni u1 ON u1.t = t1 JOIN uni u2 ON u2.t = t2
            |CROSS JOIN tots
@@ -1130,10 +1130,66 @@ object TextOps {
            |ORDER BY freq DESC, pair LIMIT 30""".stripMargin)
   )
 
+  /** Max context offset for q158's skip-gram window. */
+  val SkipWindow = 3
+
+  /** q158: skip-gram training-pair extraction — (center, context) pairs
+    * within a ±[[SkipWindow]] token window, the corpus aggregation that
+    * feeds word2vec/GloVe-style embedding training (Mikolov et al. 2013).
+    * q130 scores ADJACENT bigrams for collocation strength; q158 widens
+    * to the full context window and reports the distance-weighted
+    * co-occurrence mass (weight 1/d in exact sixths — 6, 3, 2 for d = 1,
+    * 2, 3 — the linear-decay context weighting GloVe uses), which is the
+    * actual training-pair frequency table.
+    *
+    * Plan shape at 100 TB: pairs come from a NARROW per-row generator
+    * over the token array (never an exploded positional self-join — that
+    * would shuffle the token table twice and explode on long docs); the
+    * pair stream is ≤ [[SkipWindow]]× the token stream with ~50-byte
+    * rows and full map-side combine on (t1, t2); the zipf-shaped pair
+    * vocabulary is the only thing that crosses the exchange, and top-30
+    * is TakeOrderedAndProject. Ubiquitous-token skew follows q104/q130's
+    * documented df-cap policy. */
+  val q158SkipgramPairs = QueryDef(
+    "q158_skipgram_pairs",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      val pairs = t.filter(size(col("toks")) >= 2)
+        .select(explode(flatten(transform(sequence(lit(1), lit(SkipWindow)), o =>
+          transform(
+            when(size(col("toks")) > o, sequence(lit(1), size(col("toks")) - o))
+              .otherwise(array().cast(ArrayType(IntegerType))),
+            i => struct(element_at(col("toks"), i).as("t1"),
+              element_at(col("toks"), i + o).as("t2"),
+              o.cast(LongType).as("dist")))))).as("p"))
+        .select(col("p.t1"), col("p.t2"), col("p.dist"))
+      pairs.groupBy("t1", "t2")
+        .agg(count(lit(1)).as("pair_n"), sum(expr("6 DIV dist")).as("w_x6"))
+        .filter(col("pair_n") >= 5)
+        .orderBy(col("w_x6").desc, col("t1").asc, col("t2").asc)
+        .limit(30)
+    },
+    Some(s"""WITH t AS (
+           |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           |  FROM documents),
+           |p AS (
+           |  SELECT toks[CAST(i AS INTEGER)] AS t1,
+           |         toks[CAST(i AS INTEGER) + CAST(o AS INTEGER)] AS t2,
+           |         CAST(o AS BIGINT) AS dist
+           |  FROM (SELECT toks, o, unnest(range(1, len(toks) - o + 1)) AS i
+           |        FROM (SELECT toks, unnest(range(1, ${SkipWindow + 1})) AS o FROM t
+           |              WHERE len(toks) >= 2)))
+           |SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS pair_n,
+           |       CAST(SUM(6 // dist) AS BIGINT) AS w_x6
+           |FROM p GROUP BY t1, t2 HAVING COUNT(*) >= 5
+           |ORDER BY w_x6 DESC, t1 ASC, t2 ASC LIMIT 30""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId,
     q22Fingerprint, q39Bigrams, q55TokenCounts, q57Winnowing, q59Tfidf,
     q66PiiRedact, q67Repetition, q69Decontamination, q70DecontamPool,
     q72MixtureReport, q101LmFluency, q104InvertedIndex, q124NbClassifier,
     q130PmiCollocations, q132HeavyHitters, q139Bm25, q151NgramNovelty,
-    q155BpePairs)
+    q155BpePairs, q158SkipgramPairs)
 }

@@ -954,9 +954,93 @@ object VectorOps {
            |ORDER BY rrf_x1m DESC, id LIMIT 20""".stripMargin)
   )
 
+  /** Greedy picks q157 makes after the seed (total centers = 1 + this). */
+  val KCenterPicks = 4
+
+  /** q157: k-center diversity coreset — greedy farthest-point selection
+    * (Gonzalez 1985, the 2-approximation for the k-center objective):
+    * seed with the lowest vec_id, then repeatedly pick the vector whose
+    * distance to the CHOSEN SET is maximal. This is the diversity half of
+    * data pruning — where SemDeDup (q78) REMOVES redundant points and
+    * q150 labels dense regions, k-center SELECTS a maximally-spread
+    * subset (coreset seeds, eval-set anchors, annotation budgets).
+    *
+    * Exactness across engines: vectors quantized once to 1e-5 integer
+    * units (the q86/q97 idiom), all distances integer squared-L2 (max
+    * 64·(2e5)² ≈ 2.6e12 ≪ 2^63), argmax tie-breaks on vec_id — every
+    * round is hash-exact, so four unrolled rounds match DuckDB's chained
+    * CTEs bit-for-bit.
+    *
+    * Plan shape at 100 TB: each round is ONE narrow corpus scan — the
+    * ≤ k chosen centers ride in as a single collect_list row
+    * crossJoin(broadcast(…)), the per-row min-distance is a bounded
+    * array fold (no corpus-keyed groupBy — the min over centers happens
+    * INSIDE the row), and the argmax is TakeOrderedAndProject(1). The
+    * corpus never shuffles; total cost is k scans, the textbook greedy
+    * k-center schedule. Centers are localCheckpoint'ed per round (the
+    * q86 lineage discipline). k-center++ sampling is the documented
+    * scale-out when k itself grows large. */
+  val q157KCenterCoreset = QueryDef(
+    "q157_kcenter_coreset",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(toD(col("embedding")),
+          x => floor(x * 100000.0 + 0.5).cast(LongType)).as("iv"))
+      def sqdist(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+      val seed = e.orderBy(col("vec_id").asc).limit(1)
+      var chosen: DataFrame = seed.select(lit(0L).as("pick_ord"),
+        col("vec_id"), lit(-1L).as("min_sqdist"))
+      var centers: DataFrame = seed
+        .select(col("vec_id").as("cid"), col("iv").as("cv")).localCheckpoint()
+      for (r <- 1 to KCenterPicks) {
+        val cs = centers.agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
+        val pick = e.crossJoin(broadcast(cs))
+          .filter(!array_contains(transform(col("cs"), c => c.getField("cid")), col("vec_id")))
+          .select(col("vec_id"), col("iv"),
+            array_min(transform(col("cs"), c => sqdist(col("iv"), c.getField("cv"))))
+              .as("min_sqdist"))
+          .orderBy(col("min_sqdist").desc, col("vec_id").asc).limit(1)
+          .localCheckpoint()
+        chosen = chosen.unionByName(pick.select(lit(r.toLong).as("pick_ord"),
+          col("vec_id"), col("min_sqdist")))
+        centers = centers.unionByName(
+          pick.select(col("vec_id").as("cid"), col("iv").as("cv"))).localCheckpoint()
+      }
+      chosen.orderBy(col("pick_ord").asc)
+    },
+    Some {
+      val sq = (a: String, b: String) =>
+        s"list_sum(list_transform(range(1, 65), i -> ($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]) * ($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)])))"
+      val rounds = (1 to KCenterPicks).map { k =>
+        s"""d$k AS (
+           |  SELECT e.vec_id, e.iv,
+           |    CAST(min(${sq("e.iv", "c.cv")}) AS BIGINT) AS min_sqdist
+           |  FROM e, c${k - 1} c
+           |  WHERE e.vec_id NOT IN (SELECT cid FROM c${k - 1})
+           |  GROUP BY e.vec_id, e.iv),
+           |p$k AS (SELECT CAST($k AS BIGINT) AS pick_ord, vec_id, iv, min_sqdist
+           |        FROM d$k ORDER BY min_sqdist DESC, vec_id ASC LIMIT 1),
+           |c$k AS (SELECT cid, cv FROM c${k - 1} UNION ALL
+           |        SELECT vec_id, iv FROM p$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> CAST(floor(x * 100000.0 + 0.5) AS BIGINT)) AS iv
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, iv AS cv FROM e
+         |       WHERE vec_id = (SELECT min(vec_id) FROM e)),
+         |$rounds
+         |SELECT CAST(0 AS BIGINT) AS pick_ord, cid AS vec_id,
+         |       CAST(-1 AS BIGINT) AS min_sqdist FROM c0
+         |${(1 to KCenterPicks).map(k => s"UNION ALL SELECT pick_ord, vec_id, min_sqdist FROM p$k").mkString("\n")}
+         |ORDER BY pick_ord ASC""".stripMargin
+    }
+  )
+
   val all: Seq[QueryDef] =
     Seq(q27CosineTopK, q28AnnLsh, q29CosinePairs, q38BatchAnn, q56AnnIvf,
       q62QuantizedAnn, q68EmbeddingLshPairs, q78SemanticDedup, q86KMeans,
       q97PqAnn, q140MatryoshkaRecall, q144EmbeddingDrift, q150DensityLabels,
-      q153RrfFusion)
+      q153RrfFusion, q157KCenterCoreset)
 }

@@ -141,4 +141,26 @@ class TextOpsSpec extends SparkSpec {
       .sortBy { case (sc, id) => (-sc, id) }.take(15).map(_._2).toSeq
     assert(out.map(_._1).toSeq == bruteTop, "top-15 ids match the brute-force ranking")
   }
+
+  test("q158: skip-gram pairs match the sequential windowed enumeration") {
+    val out = TextOps.q158SkipgramPairs.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty && out.length <= 30)
+    // driver-side brute force over the same tokenization
+    val docs = Tables.documents(spark, sfDir).select("text").collect()
+      .map(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))
+    val counts = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    for (toks <- docs if toks.length >= 2; o <- 1 to TextOps.SkipWindow;
+         i <- 0 until toks.length - o) {
+      val k = (toks(i), toks(i + o))
+      val (n, w) = counts.getOrElse(k, (0L, 0L))
+      counts(k) = (n + 1, w + 6 / o)
+    }
+    val brute = counts.toSeq.collect { case ((t1, t2), (n, w)) if n >= 5 => (t1, t2, n, w) }
+      .sortBy { case (t1, t2, _, w) => (-w, t1, t2) }.take(30)
+    assert(out.toSeq == brute, "top-30 ≡ brute force with identical tie-break")
+    // distance weighting is live: some pair's weight is not 6×count
+    assert(out.exists { case (_, _, n, w) => w != 6 * n },
+      "non-adjacent contexts contribute (otherwise this is just q130's bigrams)")
+  }
 }

@@ -151,4 +151,32 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("q157: greedy k-center picks match the sequential driver-side greedy") {
+    val out = VectorOps.q157KCenterCoreset.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == VectorOps.KCenterPicks + 1)
+    assert(out.map(_._1).toSeq == (0L to VectorOps.KCenterPicks.toLong))
+    // driver-side replica: same quantization, same greedy, same tie-break
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(floor(cast(x as double) * 100000.0 + 0.5) as bigint)) iv")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    def sq(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    var chosen = Vector(vecs.head._1)
+    var expect = Vector((0L, vecs.head._1, -1L))
+    val byId = vecs.toMap
+    for (r <- 1 to VectorOps.KCenterPicks) {
+      val cand = vecs.filterNot(v => chosen.contains(v._1))
+        .map { case (id, iv) => (id, chosen.map(c => sq(iv, byId(c))).min) }
+      val (pid, pd) = cand.maxBy { case (id, d) => (d, -id) }
+      chosen :+= pid
+      expect :+= ((r.toLong, pid, pd))
+    }
+    assert(out.toSeq == expect, "unrolled rounds ≡ sequential greedy")
+    // farthest distance is non-increasing as the chosen set grows
+    val ds = out.drop(1).map(_._3)
+    assert(ds.toSeq == ds.sortBy(-_).toSeq)
+  }
+
 }
