@@ -916,9 +916,108 @@ object EventOps {
            |FROM wt GROUP BY user_id ORDER BY user_id""".stripMargin)
   )
 
+  /** q159: CUPED variance-reduced experiment readout — the adjustment
+    * production A/B platforms layer on q145's raw Welch readout (Deng et
+    * al., WSDM 2013): regress each user's POST-period outcome on their
+    * PRE-period covariate and report arm means with the predictable
+    * component removed. Covariate x = pre-period event count, outcome
+    * y = post-period purchase deciunits, split at the corpus time
+    * midpoint; θ = Sxy/Sxx over ALL users (pooled, the standard
+    * estimator) and adjusted mean_A = ȳ_A − θ·(x̄_A − x̄).
+    *
+    * Exactness across engines: per-user (x, y) are small integers, the
+    * five moment sums stay far below 2^53 at the tested SFs (documented:
+    * x ≤ events/user ≈ 70, y ≤ 70·5 603 deciunits, U ≈ 1 500 at sf0.1 →
+    * Sxy·10⁴ ≈ 10^17 ≪ 2^63), θ is ×1e4 fixed-point with q141's
+    * POSITIVE-SHIFT divide (Spark DIV truncates, DuckDB // floors — the
+    * shift makes both operate on positives), the adjusted means multiply
+    * every denominator through before ONE shifted integer divide, and
+    * the variance-reduction factor ρ² is two divisions from exact
+    * BIGINTs — one identical double op sequence, rounded to 6dp.
+    *
+    * Plan shape at 100 TB: one 1-row bounds agg broadcast onto one
+    * events scan → user-keyed conditional agg with full map-side
+    * combine; moments and arms are metadata-sized aggs over the user
+    * frame; everything after the per-user reduction touches ≤ U rows.
+    * The user-keyed exchange is the only corpus-sized shuffle — same
+    * budget as q145. */
+  val q159Cuped = QueryDef(
+    "q159_cuped",
+    (s, d) => {
+      val bounds = Tables.events(s, d)
+        .agg(expr("(min(ts_ns DIV 1000) + max(ts_ns DIV 1000) + 1) DIV 2").as("mid"))
+      val u = Tables.events(s, d)
+        .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"), col("event_type"),
+          floor(col("value") * 10.0 + 0.5).cast(LongType).as("v_x10"))
+        .crossJoin(broadcast(bounds))
+        .groupBy("user_id")
+        .agg(sum(when(col("ts_us") < col("mid"), 1L).otherwise(0L)).as("x"),
+          sum(when(col("ts_us") >= col("mid") && col("event_type") === "purchase",
+            col("v_x10")).otherwise(0L)).as("y"))
+      val m = u.agg(count(lit(1)).as("un"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("y") * col("y")).as("syy"))
+        .select(col("un"), col("sx"), col("sy"),
+          (col("un") * col("sxy") - col("sx") * col("sy")).as("cxy"),
+          (col("un") * col("sxx") - col("sx") * col("sx")).as("cxx"),
+          (col("un") * col("syy") - col("sy") * col("sy")).as("cyy"))
+        .withColumn("theta_x1w",
+          expr("(cxy * 10000 + 100000 * cxx) DIV cxx - 100000"))
+        .withColumn("rho2",
+          round((col("cxy").cast(DoubleType) / col("cxx").cast(DoubleType)) *
+            (col("cxy").cast(DoubleType) / col("cyy").cast(DoubleType)), 6))
+      val bucket = pmod(conv(substring(md5(concat(lit("ab#"),
+        col("user_id").cast(StringType))), 1, 15), 16, 10).cast(LongType), lit(2L))
+      val arms = u.groupBy(bucket.as("variant"))
+        .agg(count(lit(1)).as("n_users"), sum(col("x")).as("sxa"), sum(col("y")).as("sya"))
+      arms.crossJoin(broadcast(m))
+        .withColumn("mean_y_x10", expr("sya DIV n_users"))
+        .withColumn("adj_mean_y_x10",
+          expr("(10000 * un * sya - theta_x1w * (un * sxa - n_users * sx)" +
+            " + 1000 * (10000 * n_users * un)) DIV (10000 * n_users * un) - 1000"))
+        .select("variant", "n_users", "mean_y_x10", "adj_mean_y_x10",
+          "theta_x1w", "rho2")
+        .orderBy("variant")
+    },
+    Some("""WITH b AS (
+           |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts)) + 1) // 2 AS mid FROM events),
+           |u AS (
+           |  SELECT user_id,
+           |    CAST(SUM(CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           |    CAST(SUM(CASE WHEN epoch_us(ts) >= mid AND event_type = 'purchase'
+           |      THEN CAST(floor(value * 10.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+           |  FROM events CROSS JOIN b GROUP BY user_id),
+           |m AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS un, CAST(SUM(x) AS BIGINT) AS sx,
+           |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+           |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(y * y) AS BIGINT) AS syy
+           |  FROM u),
+           |t AS (
+           |  SELECT un, sx, sy,
+           |    un * sxy - sx * sy AS cxy, un * sxx - sx * sx AS cxx,
+           |    un * syy - sy * sy AS cyy,
+           |    ((un * sxy - sx * sy) * 10000 + 100000 * (un * sxx - sx * sx))
+           |      // (un * sxx - sx * sx) - 100000 AS theta_x1w FROM m),
+           |arms AS (
+           |  SELECT CAST(('0x' || substr(md5('ab#' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS variant,
+           |    CAST(COUNT(*) AS BIGINT) AS n_users,
+           |    CAST(SUM(x) AS BIGINT) AS sxa, CAST(SUM(y) AS BIGINT) AS sya
+           |  FROM u GROUP BY 1)
+           |SELECT variant, n_users,
+           |  CAST(sya // n_users AS BIGINT) AS mean_y_x10,
+           |  CAST((10000 * un * sya - theta_x1w * (un * sxa - n_users * sx)
+           |    + 1000 * (10000 * n_users * un)) // (10000 * n_users * un) - 1000 AS BIGINT)
+           |    AS adj_mean_y_x10,
+           |  CAST(theta_x1w AS BIGINT) AS theta_x1w,
+           |  round((CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE)) *
+           |        (CAST(cxy AS DOUBLE) / CAST(cyy AS DOUBLE)), 6) AS rho2
+           |FROM arms CROSS JOIN t
+           |ORDER BY variant""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
     q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency,
     q109SessionPaths, q115Attribution, q119LatestState, q122Transitions,
     q125PeakConcurrency, q133TimeWeightedAvg, q137TrailingDistinct, q145AbTest,
-    q146Scd2History, q152DecayedEngagement)
+    q146Scd2History, q152DecayedEngagement, q159Cuped)
 }

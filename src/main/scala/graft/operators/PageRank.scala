@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
 import graft.{QueryDef, Tables}
 
@@ -530,6 +531,79 @@ object PageRank {
            |ORDER BY rank DESC, node_type, key LIMIT 20""".stripMargin)
   )
 
+  /** Synchronous label-propagation rounds q160 runs. */
+  val LpaRounds = 3
+
+  /** q160: label-propagation community detection (Raghavan et al. 2007)
+    * over q102's deterministic md5-bridge friendship graph — the
+    * near-linear community finder pipelines run where modularity
+    * methods (Louvain) don't scale: labels start as vertex ids, each
+    * SYNCHRONOUS round every vertex adopts the most frequent label among
+    * its neighbors (tie → smallest label), [[LpaRounds]] fixed rounds
+    * unrolled so both engines walk the identical deterministic sequence.
+    * Complements q44/q71 (connected components = structure-only
+    * clusters) and q143 (k-core density): LPA finds DENSITY-coherent
+    * groups inside one component.
+    *
+    * Plan shape at 100 TB: each round is one vertex-keyed equi-join
+    * (neighbor lists ⋈ labels) + one (v, lbl) hash agg + one
+    * row_number window PARTITIONED BY VERTEX — every step keyed by
+    * vertex id, parallelism scales with the vertex set, no global
+    * ordering anywhere; per-round localCheckpoint severs the growing
+    * lineage (the q77 discipline). The community roll-up at the end is
+    * label-keyed and community-sized. */
+  val q160LabelProp = QueryDef(
+    "q160_label_prop",
+    (s, d) => {
+      val h = conv(substring(md5(concat(lit("tri#"), col("src"), lit("#"), col("k"))),
+        1, 15), 16, 10).cast(LongType)
+      val e = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id").as("src"), explode(sequence(lit(1), lit(6))).as("k"))
+        .withColumn("dst", pmod(h, lit(500L)))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") < col("b")).distinct()
+      val nbr = e.select(col("a").as("v"), col("b").as("u"))
+        .unionByName(e.select(col("b").as("v"), col("a").as("u"))).localCheckpoint()
+      var labels = nbr.select(col("v")).distinct()
+        .withColumn("lbl", col("v")).localCheckpoint()
+      val w = Window.partitionBy("v").orderBy(col("cnt").desc, col("lbl").asc)
+      for (_ <- 1 to LpaRounds) {
+        labels = nbr.join(labels.withColumnRenamed("v", "u"), Seq("u"))
+          .groupBy("v", "lbl").agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select("v", "lbl").localCheckpoint()
+      }
+      labels.groupBy("lbl")
+        .agg(count(lit(1)).as("csize"), min(col("v")).as("min_member"))
+        .orderBy(col("csize").desc, col("lbl").asc)
+    },
+    Some(s"""WITH raw AS (
+           |  SELECT doc_id AS src,
+           |    CAST(('0x' || substr(md5('tri#' || doc_id || '#' || k), 1, 15)) AS BIGINT)
+           |      % 500 AS dst
+           |  FROM documents, range(1, 7) AS t(k)
+           |  WHERE doc_id < 500),
+           |e AS (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM raw WHERE least(src, dst) < greatest(src, dst)),
+           |nbr AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e),
+           |l0 AS (SELECT DISTINCT v, v AS lbl FROM nbr),
+           |${(1 to LpaRounds).map(i =>
+             s"""g$i AS (
+                |  SELECT n.v, l.lbl, COUNT(*) AS cnt
+                |  FROM nbr n JOIN l${i - 1} l ON l.v = n.u GROUP BY n.v, l.lbl),
+                |l$i AS (
+                |  SELECT v, lbl FROM (
+                |    SELECT v, lbl, row_number() OVER (
+                |      PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rn FROM g$i)
+                |  WHERE rn = 1)""".stripMargin).mkString(",\n")}
+           |SELECT lbl, CAST(COUNT(*) AS BIGINT) AS csize, MIN(v) AS min_member
+           |FROM l$LpaRounds GROUP BY lbl
+           |ORDER BY csize DESC, lbl ASC""".stripMargin)
+  )
+
   val all: Seq[QueryDef] =
-    Seq(q77PageRank, q102Triangles, q113BfsHops, q143KCore, q148Hits, q156Ppr)
+    Seq(q77PageRank, q102Triangles, q113BfsHops, q143KCore, q148Hits, q156Ppr,
+      q160LabelProp)
 }

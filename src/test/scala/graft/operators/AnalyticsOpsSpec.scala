@@ -392,4 +392,74 @@ class AnalyticsOpsSpec extends SparkSpec {
       "fixture spans multiple decay buckets")
   }
 
+  test("q159: CUPED adjustment matches the sequential recompute and reduces spread") {
+    val out = EventOps.q159Cuped.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.length == 2 && out.map(_._1).toSeq == Seq(0L, 1L))
+    // driver-side replica over the same (x, y) per-user reduction
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"), col("event_type"),
+        floor(col("value") * 10.0 + 0.5).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max + 1) / 2
+    val users = ev.groupBy(_._1).map { case (uid, rows) =>
+      (uid, rows.count(_._2 < mid).toLong,
+        rows.collect { case (_, ts, "purchase", v) if ts >= mid => v }.sum)
+    }.toSeq
+    val un = users.length.toLong
+    val (sx, sy) = (users.map(_._2).sum, users.map(_._3).sum)
+    val cxy = un * users.map(u => u._2 * u._3).sum - sx * sy
+    val cxx = un * users.map(u => u._2 * u._2).sum - sx * sx
+    val theta = (cxy * 10000 + 100000 * cxx) / cxx - 100000
+    def bucket(uid: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab#$uid".getBytes).take(8)
+      val v = java.lang.Long.parseLong(h.map("%02x".format(_)).mkString.take(15), 16)
+      v % 2
+    }
+    for ((variant, nUsers, meanY, adjY, thetaOut, _) <- out) {
+      val arm = users.filter(u => bucket(u._1) == variant)
+      assert(nUsers == arm.length.toLong)
+      assert(thetaOut == theta, "pooled theta reported identically in both rows")
+      val (sxa, sya) = (arm.map(_._2).sum, arm.map(_._3).sum)
+      assert(meanY == sya / nUsers)
+      val den = 10000L * nUsers * un
+      assert(adjY == (10000L * un * sya - theta * (un * sxa - nUsers * sx)
+        + 1000L * den) / den - 1000L, s"variant $variant adjusted mean")
+    }
+    // the covariate genuinely explains variance (rho2 > 0) on this corpus
+    assert(out.head._6 > 0.0 && out.head._6 <= 1.0)
+  }
+
+  test("q160: synchronous LPA rounds match the sequential recompute") {
+    val out = PageRank.q160LabelProp.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // rebuild the same md5-bridge graph driver-side
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 500)
+      .select("doc_id").collect().map(_.getLong(0))
+    def h(src: Long, k: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"tri#$src#$k".getBytes).map("%02x".format(_)).mkString.take(15)
+      ((java.lang.Long.parseLong(hex, 16) % 500) + 500) % 500
+    }
+    val edges = (for (s <- docs; k <- 1 to 6; d = h(s, k) if s != d)
+      yield (math.min(s, d), math.max(s, d))).distinct
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2) }
+    var lbl: Map[Long, Long] = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 1 to PageRank.LpaRounds)
+      lbl = nbrs.map { case (v, us) =>
+        val counts = us.map(lbl).groupBy(identity).map { case (l, o) => (l, o.size) }
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    val expect = lbl.groupBy(_._2)
+      .map { case (l, m) => (l, m.size.toLong, m.keys.min) }.toSeq
+      .sortBy { case (l, sz, _) => (-sz, l) }
+    assert(out.toSeq == expect, "communities ≡ sequential synchronous LPA")
+    // LPA genuinely coarsens: fewer communities than vertices
+    assert(out.length < nbrs.size)
+    assert(out.map(_._2).sum == nbrs.size.toLong, "every vertex labeled exactly once")
+  }
+
 }
