@@ -172,5 +172,79 @@ object AudioOps {
            |FROM samples GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q112AudioDecode)
+  final case class AudioVad(doc_id: Long, n_frames: Long, voiced: Long,
+                            max_fe: Long, argmax_frame: Long)
+
+  /** q162 framing: 160 samples = 20 ms at 8 kHz (the standard VAD hop);
+    * a frame is "voiced" when its Σ|sample| clears this floor. */
+  val VadFrameLen = 160
+  val VadThreshold = 400000L
+
+  /** q162: framewise energy / voice-activity report — the per-clip
+    * feature pass an audio-corpus pipeline runs between ingest and
+    * training-set assembly (trim silence, drop dead clips, locate the
+    * loudest segment for preview sampling). Decodes the REAL WAV
+    * container (same [[WavCodec]] path q112 proves), then
+    * [[WavCodec.frameEnergies]] over [[VadFrameLen]]-sample frames:
+    * frame count, voiced-frame count at [[VadThreshold]], the peak
+    * frame energy and its FIRST frame index (ties → lowest index, so
+    * the report is deterministic).
+    *
+    * The oracle re-derives every frame energy by enumerating the
+    * closed-form sawtooth per sample index in SQL — a wrong frame
+    * boundary, a dropped partial tail frame, or an off-by-one in the
+    * hop shifts voiced/argmax on almost every clip. All-integer (Σ|s| ≤
+    * 160·12 288 ≈ 2e6 per frame), hash-exact.
+    *
+    * Scale shape: identical to q112 — narrow mapPartitions decode,
+    * payloads never shuffle, one ~40-byte feature row per clip moves.
+    * The partial final frame is kept (real VADs pad or keep; keeping is
+    * the choice both engines mirror). */
+  val q162AudioVad = QueryDef(
+    "q162_audio_vad",
+    (s, d) => {
+      import s.implicits._
+      audioFromDocuments(s, d)
+        .mapPartitions(_.map { clip =>
+          val (_, samples) = WavCodec.decode(clip.payload)
+          val fes = WavCodec.frameEnergies(samples, VadFrameLen)
+          var mx = 0L
+          var arg = 0L
+          var voiced = 0L
+          var i = 0
+          while (i < fes.length) {
+            if (fes(i) > mx) { mx = fes(i); arg = i.toLong }
+            if (fes(i) >= VadThreshold) voiced += 1
+            i += 1
+          }
+          AudioVad(clip.doc_id, fes.length.toLong, voiced, mx, arg)
+        })
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH params AS (
+           |  SELECT doc_id,
+           |         CAST(400 + (doc_id % 7) * 100 AS BIGINT) AS n,
+           |         CAST(16 + (doc_id % 9) AS BIGINT) AS p,
+           |         CAST(256 * (1 + doc_id % 4) AS BIGINT) AS a
+           |  FROM documents),
+           |samples AS (
+           |  SELECT doc_id, unnest(generate_series(0, n - 1)) AS i, p, a
+           |  FROM params),
+           |frames AS (
+           |  SELECT doc_id, i // $VadFrameLen AS f,
+           |         CAST(SUM(ABS(((i % p) - p // 2) * a)) AS BIGINT) AS fe
+           |  FROM samples GROUP BY doc_id, i // $VadFrameLen),
+           |fr2 AS (
+           |  SELECT doc_id, f, fe, MAX(fe) OVER (PARTITION BY doc_id) AS mx
+           |  FROM frames)
+           |SELECT doc_id,
+           |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+           |  CAST(SUM(CASE WHEN fe >= $VadThreshold THEN 1 ELSE 0 END) AS BIGINT) AS voiced,
+           |  CAST(ANY_VALUE(mx) AS BIGINT) AS max_fe,
+           |  CAST(MIN(CASE WHEN fe = mx THEN f END) AS BIGINT) AS argmax_frame
+           |FROM fr2 GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q112AudioDecode, q162AudioVad)
 }

@@ -551,7 +551,65 @@ object MiningOps {
            |ORDER BY event_type""".stripMargin)
   )
 
+  /** Benford expected first-digit mass ×1e6: round(log10(1+1/d)·1e6) —
+    * fixed constants shared verbatim by both engines, so no float log
+    * ever reaches the hash. */
+  val BenfordX1m = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+    66947L, 57992L, 51153L, 45757L)
+
+  /** q164: Benford's-law first-digit audit — the numeric-forensics pass
+    * (fraud screening, unit-mix detection, synthetic-data sniffing) run
+    * over a monetary column: observed first-digit frequencies of
+    * `l_extendedprice` vs the Benford expectation, with the absolute
+    * deviation per digit ×1e6 and the max-deviation digit flagged (the
+    * MAD-of-digits test auditors actually use, integer form). TPC-H
+    * prices are uniform-ish, NOT Benford — the audit correctly reports
+    * large deviations, which is the point: the statistic is the
+    * deliverable, not conformance.
+    *
+    * Exactness: first digit via string head of floor(price) (prices ≥
+    * 901 > 1, so no zero/sign edge), observed share = obs·1e6 DIV n,
+    * expected mass a shared constant table, deviation = ABS of BIGINT
+    * difference. One scan → 9-row agg with full map-side combine; the
+    * constant table is a 9-row broadcast. */
+  val q164BenfordAudit = QueryDef(
+    "q164_benford_audit",
+    (s, d) => {
+      import s.implicits._
+      val exp = BenfordX1m.zipWithIndex
+        .map { case (m, i) => ((i + 1).toString, m) }
+        .toDF("digit", "exp_x1m")
+      val obs = Tables.lineitem(s, d)
+        .select(substring(floor(col("l_extendedprice")).cast(LongType)
+          .cast(StringType), 1, 1).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("obs"))
+      val n = obs.agg(sum(col("obs")).as("n_rows"))
+      obs.join(broadcast(exp), Seq("digit"))
+        .crossJoin(broadcast(n))
+        .withColumn("obs_x1m", expr("obs * 1000000 DIV n_rows"))
+        .withColumn("dev_x1m", abs(col("obs_x1m") - col("exp_x1m")))
+        .select("digit", "obs", "obs_x1m", "exp_x1m", "dev_x1m")
+        .orderBy("digit")
+    },
+    Some(s"""WITH exp AS (
+           |  SELECT CAST(d AS VARCHAR) AS digit, m AS exp_x1m
+           |  FROM (VALUES ${BenfordX1m.zipWithIndex
+             .map { case (m, i) => s"(${i + 1}, CAST($m AS BIGINT))" }
+             .mkString(", ")}) t(d, m)),
+           |obs AS (
+           |  SELECT substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+           |         CAST(COUNT(*) AS BIGINT) AS obs
+           |  FROM lineitem GROUP BY 1),
+           |n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n_rows FROM obs)
+           |SELECT digit, obs,
+           |  CAST(obs * 1000000 // n_rows AS BIGINT) AS obs_x1m,
+           |  exp_x1m,
+           |  CAST(ABS(obs * 1000000 // n_rows - exp_x1m) AS BIGINT) AS dev_x1m
+           |FROM obs JOIN exp USING (digit) CROSS JOIN n
+           |ORDER BY digit""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile,
     q110PercentileNorm, q114TopkPerGroup, q126GroupOls, q127ChangePoint,
-    q131EquidepthHist, q141KAnonymity, q147ExactMedian)
+    q131EquidepthHist, q141KAnonymity, q147ExactMedian, q164BenfordAudit)
 }

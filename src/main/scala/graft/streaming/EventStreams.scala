@@ -343,24 +343,30 @@ object EventStreams {
     Staged(schema, tsIsNs, stage.toString)
   }
 
+  /** File-source stream over a staged dir, normalized to the same
+    * logical schema as [[graft.Tables.events]] (`ts` TimestampType +
+    * `ts_ns` BIGINT) whichever physical ts type the staged parquet
+    * carries — shared by every drain variant. */
+  private def stagedEventStream(s: SparkSession, staged: Staged): DataFrame = {
+    val stream0 = s.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.stageDir)
+    if (staged.tsIsNs)
+      stream0.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    else
+      stream0.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+  }
+
   private def drainAvailableNow(s: SparkSession, d: String,
                                 rocksDb: Boolean = false)
                                (plan: DataFrame => DataFrame): DataFrame = {
-    val Staged(schema, tsIsNs, stageDir) = stagedSource(s, d)
-    val stage = java.nio.file.Paths.get(stageDir)
+    val staged = stagedSource(s, d)
     val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
-    val stream0 = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stage.toString)
-    val stream =
-      if (tsIsNs)
-        stream0.withColumnRenamed("ts", "ts_ns")
-          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
-      else
-        stream0.withColumn("ts",
-            col("ts").cast(org.apache.spark.sql.types.TimestampType))
-          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    val stream = stagedEventStream(s, staged)
     // NOTE: the sentinel must NOT be filtered inside the streaming plan —
     // its keys are grouping columns, so Catalyst would push the filter
     // below the aggregation into the parquet scan, and the sentinel's
@@ -765,10 +771,136 @@ object EventStreams {
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
   )
 
+  /** q161's drain: Update-mode per-user aggregates through a
+    * `foreachBatch` MERGE into a versioned parquet "serving table" —
+    * the exactly-once upsert recipe for sinks with no transactional
+    * writer ([[foreachBatchParquet]] shows the idempotent-write half;
+    * this runs the full read-previous → anti-join → union → write-next
+    * merge). Each batch directory `v<batchId>` is built from the latest
+    * COMPLETE predecessor (checked via _SUCCESS), so a replayed batch
+    * overwrites its own version deterministically instead of
+    * double-applying — state lives in the serving table itself, exactly
+    * how a JDBC/Delta MERGE sink behaves. */
+  private def drainForeachBatchMerge(s: SparkSession, d: String): DataFrame = {
+    val staged = stagedSource(s, d)
+    val serve = java.nio.file.Files.createTempDirectory("graft_serve").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_serve_ckpt").toString
+    val agg = stagedEventStream(s, staged)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 10.0 + 0.5).cast(LongType)).as("sv_x10"))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try agg.writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val sp = batch.sparkSession
+          val prev = (id - 1 to 0L by -1)
+            .map(v => new java.io.File(s"$serve/v$v"))
+            .find(f => new java.io.File(f, "_SUCCESS").exists())
+          val merged = prev match {
+            case Some(p) =>
+              sp.read.parquet(p.toString)
+                .join(batch.select("user_id"), Seq("user_id"), "left_anti")
+                .unionByName(batch)
+            case None => batch
+          }
+          merged.write.mode("overwrite").parquet(s"$serve/v$id")
+          ()
+        }
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    val last = Iterator.from(0).map(v => new java.io.File(s"$serve/v$v"))
+      .takeWhile(_.exists()).toSeq
+      .filter(f => new java.io.File(f, "_SUCCESS").exists()).last
+    Seq(java.nio.file.Paths.get(ckpt)).foreach { root =>
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    s.read.parquet(last.toString)
+  }
+
+  /** q161: the foreachBatch MERGE serving table under the DuckDB oracle.
+    * The spec proves the idempotent-replay mechanics; this proves the
+    * MERGED STATE is right end-to-end — after the drain, the latest
+    * serving-table version must hash-match the batch GROUP BY over all
+    * events. Update mode emits each user's FULL new aggregate, so the
+    * upsert is last-write-wins per key — the serving-table contract. */
+  val q161ForeachBatchMerge = graft.QueryDef(
+    "q161_foreachbatch_merge",
+    (s, d) =>
+      drainForeachBatchMerge(s, d)
+        .filter(col("user_id") >= 0) // drop the sentinel key
+        .orderBy("user_id"),
+    Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           |  CAST(SUM(CAST(floor(value * 10.0 + 0.5) AS BIGINT)) AS BIGINT) AS sv_x10
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+  )
+
+  /** q163: stream-stream FULL OUTER interval join executed AS streaming —
+    * completes the streaming join matrix (q96 inner, q121 left outer):
+    * views with no click in the 30-min horizon null-pad on the right
+    * (q121's case) AND clicks preceded by no view null-pad on the left —
+    * the "orphaned conversion" rows an attribution audit needs. Both
+    * unmatched directions are watermark-GATED (a row is emitted only
+    * once the global watermark proves no future partner can arrive), so
+    * the drain sentinels must flow through BOTH inputs or the min
+    * watermark stalls. Nullable keys COALESCE to −1 on both engines,
+    * keeping the final ORDER BY total without engine null-ordering. */
+  val q163StreamingFullOuterJoin = graft.QueryDef(
+    "q163_streaming_full_outer_join",
+    (s, d) => {
+      val sunk = drainAvailableNow(s, d) { st =>
+        val v = st.filter(col("event_type").isin("view", "__sentinel__"))
+          .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("view_id"),
+            col("value").as("view_value"))
+          .withWatermark("v_ts", "10 minutes")
+        val c = st.filter(col("event_type").isin("click", "__sentinel__"))
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("event_id").as("click_id"), col("value").as("click_value"))
+          .withWatermark("c_ts", "10 minutes")
+        v.join(c,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("v_ts") &&
+            col("c_ts") <= col("v_ts") + expr("INTERVAL 30 minutes"),
+          "full_outer")
+          .select(col("user_id"), col("c_user"), col("v_ts"), col("view_id"),
+            col("view_value"), col("c_ts"), col("click_id"), col("click_value"))
+      }
+      sunk.filter(coalesce(col("user_id"), col("c_user")) >= 0) // drop sentinels
+        .select(coalesce(col("user_id"), col("c_user")).as("uid"),
+          coalesce(unix_micros(col("v_ts")), lit(-1L)).as("view_us"),
+          coalesce(col("view_id"), lit(-1L)).as("view_id"),
+          col("view_value"),
+          coalesce(unix_micros(col("c_ts")), lit(-1L)).as("click_us"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          col("click_value"))
+        .orderBy("uid", "view_us", "view_id", "click_us", "click_id")
+    },
+    Some("""SELECT COALESCE(v.user_id, c.user_id) AS uid,
+           |  COALESCE(epoch_us(v.ts), -1) AS view_us,
+           |  COALESCE(v.event_id, -1) AS view_id,
+           |  v.value AS view_value,
+           |  COALESCE(epoch_us(c.ts), -1) AS click_us,
+           |  COALESCE(c.event_id, -1) AS click_id,
+           |  c.value AS click_value
+           |FROM (SELECT * FROM events WHERE event_type = 'view') v
+           |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           |  ON c.user_id = v.user_id
+           | AND epoch_us(c.ts) >= epoch_us(v.ts)
+           | AND epoch_us(c.ts) <= epoch_us(v.ts) + 1800000000
+           |ORDER BY uid, view_us, view_id, click_us, click_id""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] =
     Seq(q64StreamingTumbling, q82StreamingSession, q96StreamingIntervalJoin,
       q98StreamingDedup, q108StreamingEnrich, q111StreamingHighs,
-      q121StreamingOuterJoin, q134StreamingTimers)
+      q121StreamingOuterJoin, q134StreamingTimers, q161ForeachBatchMerge,
+      q163StreamingFullOuterJoin)
 
   /** Custom per-user running state via mapGroupsWithState — the
     * `KeyValueGroupedDataset` stateful escape hatch (arbitrary state the

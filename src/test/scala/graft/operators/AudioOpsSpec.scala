@@ -48,4 +48,22 @@ class AudioOpsSpec extends SparkSpec {
     // amplitude bound: 16-bit PCM never clips by construction
     assert(rows.forall(_.getAs[Long]("peak") < 32768L))
   }
+
+  test("q162: VAD frame report ≡ sequential recompute, partial tail frame kept") {
+    val rows = q162AudioVad.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    for ((id, nf, voiced, mx, arg) <- rows) {
+      val fes = AudioOps.WavCodec.frameEnergies(AudioOps.synthSamples(id), AudioOps.VadFrameLen)
+      assert(nf == fes.length.toLong, s"clip $id frame count")
+      assert(voiced == fes.count(_ >= AudioOps.VadThreshold).toLong, s"clip $id voiced")
+      assert(mx == fes.max, s"clip $id max energy")
+      assert(arg == fes.indexOf(fes.max).toLong, s"clip $id argmax is FIRST max frame")
+      val (n, _, _) = AudioOps.clipParams(id)
+      assert(nf == (n + AudioOps.VadFrameLen - 1) / AudioOps.VadFrameLen,
+        s"clip $id: ceil framing keeps the partial tail")
+    }
+    // the corpus genuinely exercises both voiced and quiet frames
+    assert(rows.exists(r => r._3 < r._2), "some clip has sub-threshold frames")
+    assert(rows.exists(r => r._3 > 0), "some clip has voiced frames")
+  }
 }

@@ -155,4 +155,23 @@ class MiningOpsSpec extends SparkSpec {
       "bin targets must broadcast onto the rescan, not shuffle it")
   }
 
+  test("q164: Benford audit partitions the table and matches the recompute") {
+    val rows = MiningOps.q164BenfordAudit.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (1 to 9).map(_.toString), "all nine digits present")
+    val prices = Tables.lineitem(spark, sfDir).select("l_extendedprice")
+      .collect().map(_.getDouble(0))
+    assert(rows.map(_._2).sum == prices.length.toLong, "observed counts partition the scan")
+    val n = prices.length.toLong
+    val byDigit = prices.groupBy(p => math.floor(p).toLong.toString.head.toString)
+      .map { case (dg, ps) => dg -> ps.length.toLong }
+    for ((dg, obs, obsX, expX, dev) <- rows) {
+      assert(obs == byDigit(dg), s"digit $dg count")
+      assert(obsX == obs * 1000000L / n)
+      assert(dev == math.abs(obsX - expX))
+    }
+    // Benford constants sum to ~1e6 (sanity on the shared table)
+    assert(math.abs(MiningOps.BenfordX1m.sum - 1000000L) <= 5)
+  }
+
 }

@@ -354,4 +354,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.toSeq == batch.collect().toSeq,
       "streaming buffered-state outer matching ≡ batch left-outer theta join")
   }
+
+  test("q163: streaming FULL outer interval join null-pads BOTH directions") {
+    import org.apache.spark.sql.functions._
+    val got = EventStreams.q163StreamingFullOuterJoin
+      .run(spark, graft.TestSession.sfDir).collect()
+    assert(got.exists(_.getLong(4) == -1L), "views without clicks null-pad right")
+    assert(got.exists(_.getLong(1) == -1L), "clicks without views null-pad left")
+    // row count = left-outer rows + orphaned clicks
+    val ev = graft.Tables.events(spark, graft.TestSession.sfDir)
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us").as("vus"), col("event_id").as("vid"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts_us").as("cus"), col("event_id").as("cid"))
+    val cond = col("user_id") === col("cu") &&
+      col("cus") >= col("vus") && col("cus") <= col("vus") + 1800000000L
+    val expectRows = v.join(c, cond, "full_outer").count()
+    assert(got.length.toLong == expectRows, "≡ batch full-outer cardinality")
+  }
+
+  test("q161: foreachBatch serving-table merge ≡ batch per-user aggregates") {
+    import org.apache.spark.sql.functions._
+    val got = EventStreams.q161ForeachBatchMerge
+      .run(spark, graft.TestSession.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = graft.Tables.events(spark, graft.TestSession.sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 10.0 + 0.5).cast("long")).as("sv"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expect.toSeq,
+      "merged serving table carries every user's cumulative aggregate")
+    assert(got.map(_._1).distinct.length == got.length, "one row per key after upsert")
+  }
 }
