@@ -192,5 +192,96 @@ object ScaleTools {
            |FROM r, t WHERE rk <= 20 ORDER BY rk""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q83BloomJoin, q84SaltedJoin, q118SkewReport)
+  /** q167 sampling/bucketing parameters: a 1-in-64 deterministic hash
+    * sample proposes 8 range-bucket boundaries. */
+  val RangeBuckets = 8
+  val RangeSampleMod = 64L
+
+  /** q167: sampled range-partition boundaries + exact balance audit —
+    * the statistic behind Spark's own RangePartitioner (and every
+    * distributed ORDER BY / repartitionByRange): boundaries are
+    * estimated from a SAMPLE, then the whole table is assigned and the
+    * realized bucket shares are measured against the ideal 1/8. q131
+    * computes the exact equi-depth ground truth; this is the production
+    * path — sample, cut, audit — with the deviation ×1e6 as the
+    * deliverable (the number that tells an operator whether the sampled
+    * boundaries would have balanced the shuffle).
+    *
+    * Determinism: the sample is the md5-bucket idiom (q58), boundary
+    * ranks use q131's `(rn−1)·B div m` bucketing with (cents, orderkey,
+    * linenumber) total order, assignment counts strictly-smaller
+    * boundaries — every step integer and engine-identical.
+    *
+    * Plan shape at 100 TB: the single-partition ranking window runs
+    * over the SAMPLE only — production RangePartitioner bounds its
+    * sample at ~20·partitions rows for exactly this reason, and the
+    * boundary frame here is that sample (the 1/64 hash rate stands in
+    * for reservoir capping so the oracle stays expressible); the
+    * corpus-side work is one narrow scan against a broadcast 7-element
+    * boundary array plus a bucket-count hash agg with map-side
+    * partials. Nothing corpus-sized sorts or shuffles by value. */
+  val q167RangeBoundaryAudit = QueryDef(
+    "q167_range_boundary_audit",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.LongType
+      val li = graft.Tables.lineitem(s, d)
+        .select(floor(col("l_extendedprice") * 100.0 + 0.5).cast(LongType).as("cents"),
+          col("l_orderkey"), col("l_linenumber"))
+      val h = pmod(conv(substring(md5(concat_ws(":",
+        col("l_orderkey"), col("l_linenumber"))), 1, 15), 16, 10).cast(LongType),
+        lit(RangeSampleMod))
+      val samp = li.filter(h === 0)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("cents").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc)))
+      val m = samp.agg(count(lit(1)).as("m"))
+      val bounds = samp.crossJoin(broadcast(m))
+        .withColumn("sb", expr(s"(rn - 1) * $RangeBuckets DIV m"))
+        .filter(col("sb") < RangeBuckets - 1)
+        .groupBy("sb").agg(max(col("cents")).as("bval"))
+      val barr = bounds.agg(sort_array(collect_list(col("bval"))).as("bs"))
+      val tot = li.agg(count(lit(1)).as("n"))
+      li.crossJoin(broadcast(barr))
+        .withColumn("bucket",
+          size(filter(col("bs"), b => col("cents") > b)).cast(LongType))
+        .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share_x1m", expr("n_rows * 1000000 DIV n"))
+        .withColumn("dev_x1m",
+          abs(col("share_x1m") - lit(1000000L / RangeBuckets)))
+        .select("bucket", "n_rows", "share_x1m", "dev_x1m")
+        .orderBy("bucket")
+    },
+    Some(s"""WITH li AS (
+           |  SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+           |         l_orderkey, l_linenumber
+           |  FROM lineitem),
+           |samp AS (
+           |  SELECT cents, row_number() OVER (
+           |    ORDER BY cents, l_orderkey, l_linenumber) AS rn
+           |  FROM li
+           |  WHERE CAST(('0x' || substr(md5(l_orderkey || ':' || l_linenumber), 1, 15)) AS BIGINT)
+           |    % $RangeSampleMod = 0),
+           |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM samp),
+           |bounds AS (
+           |  SELECT sb, CAST(MAX(cents) AS BIGINT) AS bval
+           |  FROM (SELECT (rn - 1) * $RangeBuckets // m AS sb, cents
+           |        FROM samp CROSS JOIN mm)
+           |  WHERE sb < ${RangeBuckets - 1} GROUP BY sb),
+           |asg AS (
+           |  SELECT cents,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM bounds b WHERE li.cents > b.bval)
+           |      AS bucket
+           |  FROM li),
+           |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM li)
+           |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) * 1000000 // n AS BIGINT) AS share_x1m,
+           |  CAST(ABS(COUNT(*) * 1000000 // n - ${1000000 / RangeBuckets}) AS BIGINT)
+           |    AS dev_x1m
+           |FROM asg CROSS JOIN tot GROUP BY bucket, n ORDER BY bucket""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q83BloomJoin, q84SaltedJoin, q118SkewReport,
+    q167RangeBoundaryAudit)
 }

@@ -373,6 +373,51 @@ object StorageOps {
            |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)
   )
 
+  /** q166: incremental JOIN-view maintenance — the delta-join algebra
+    * (Blakeley et al. 1986) behind every materialized-view engine: with
+    * base relations A (orders) and B (customer) split into standing
+    * state and late-arriving deltas, the view update is
+    * ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, and V₀ ∪ ΔV must equal the full
+    * recompute (A∪ΔA)⋈(B∪ΔB). The oracle IS the full recompute — a
+    * missed term, a doubled term, or a wrong delta scope breaks the
+    * hash. Completes the IVM story q120 opened for aggregates: this is
+    * the JOIN case, where the cross term ΔA⋈ΔB is the classic bug.
+    *
+    * Plan shape at 100 TB: the standing V₀ is stored, not recomputed —
+    * only here does it rebuild so the identity is checkable. Deltas are
+    * small by definition, so both mixed terms BROADCAST the delta side
+    * onto one base scan each (explicit `broadcast()` below), and the
+    * cross term joins two broadcast-sized frames; nothing base-sized
+    * shuffles in the update path. The final nation rollup is
+    * metadata-sized with map-side partials. */
+  val q166JoinViewIvm = QueryDef(
+    "q166_join_view_ivm",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast(LongType).as("cents"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val oBase = o.filter(col("o_orderkey") % 10 =!= 0)
+      val oDelta = o.filter(col("o_orderkey") % 10 === 0)
+      val cBase = c.filter(col("c_custkey") % 7 =!= 0)
+      val cDelta = c.filter(col("c_custkey") % 7 === 0)
+      def j(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        a.join(b, col("o_custkey") === col("c_custkey"))
+      val v0 = j(oBase, cBase)
+      val dv = j(broadcast(oDelta), cBase)
+        .unionByName(j(oBase, broadcast(cDelta)))
+        .unionByName(j(broadcast(oDelta), cDelta))
+      v0.unionByName(dv)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy("c_nationkey")
+    },
+    Some("""SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           |  CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           |    AS sum_cents
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  )
+
   /** q149 target compacted size: ~4 manifest files per output bin here. */
   val CompactTargetBytes = 524288L
 
@@ -434,5 +479,5 @@ object StorageOps {
 
   val all: Seq[QueryDef] = Seq(q79MergeUpsert, q80ZorderLayout, q81ShardLayout,
     q116SnapshotDiff, q117ZoneMapSkip, q120IncrementalRollup,
-    q149CompactionPlan)
+    q149CompactionPlan, q166JoinViewIvm)
 }

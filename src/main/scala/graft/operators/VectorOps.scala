@@ -1038,9 +1038,75 @@ object VectorOps {
     }
   )
 
+  /** q165's anchor slice and semi-hard band (similarity ranks, self
+    * excluded): positive = rank 1, negatives = ranks 51-53. */
+  val TripletAnchors = 20
+  val TripletNegBand = Seq(51, 52, 53)
+
+  /** q165: contrastive triplet mining — the training-pair assembly step
+    * for embedding-model fine-tuning (Schroff et al., FaceNet 2015):
+    * for each anchor, the POSITIVE is its nearest neighbor and the
+    * NEGATIVES come from the semi-hard band of the similarity ranking
+    * (close enough to produce gradient, far enough to be confidently
+    * non-matching — ranks [[TripletNegBand]] here; rank-banded is the
+    * deterministic stand-in for FaceNet's margin condition). Four rows
+    * per anchor: (anchor, rank, role, vec_id, dot).
+    *
+    * Exactness: 1e-5 integer quantization, BIGINT dot products (|dot| ≤
+    * 64·1e10 ≪ 2^63), rank ties broken on vec_id — the band is
+    * hash-exact in both engines.
+    *
+    * Plan shape at 100 TB: the anchor slice is a bounded broadcast onto
+    * ONE corpus scan (20·N dot products, narrow); the ranking window
+    * partitions by anchor. The full ranking exists to make the oracle
+    * total — production swaps the scan for q97's PQ-ADC (or q56's IVF)
+    * shortlist per anchor and keeps the same banding, as documented
+    * there; the window then runs over shortlists, not the corpus. */
+  val q165TripletMining = QueryDef(
+    "q165_triplet_mining",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(toD(col("embedding")),
+          x => floor(x * 100000.0 + 0.5).cast(LongType)).as("iv"))
+      def dotL(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      val anchors = e.filter(col("vec_id") < TripletAnchors)
+        .select(col("vec_id").as("anchor"), col("iv").as("av"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("anchor").orderBy(col("dot").desc, col("vec_id").asc)
+      e.crossJoin(broadcast(anchors))
+        .filter(col("vec_id") =!= col("anchor"))
+        .select(col("anchor"), col("vec_id"), dotL(col("iv"), col("av")).as("dot"))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") === 1 || col("rank").isin(TripletNegBand.map(_.toLong): _*))
+        .withColumn("role", when(col("rank") === 1, "positive").otherwise("semi_hard_neg"))
+        .select("anchor", "rank", "role", "vec_id", "dot")
+        .orderBy("anchor", "rank")
+    },
+    Some(s"""WITH e AS (
+           |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+           |    x -> CAST(floor(x * 100000.0 + 0.5) AS BIGINT)) AS iv
+           |  FROM embeddings),
+           |a AS (SELECT vec_id AS anchor, iv AS av FROM e WHERE vec_id < $TripletAnchors),
+           |scored AS (
+           |  SELECT a.anchor, e.vec_id,
+           |    CAST(list_sum(list_transform(range(1, 65),
+           |      i -> e.iv[CAST(i AS INTEGER)] * a.av[CAST(i AS INTEGER)])) AS BIGINT) AS dot
+           |  FROM e, a WHERE e.vec_id <> a.anchor),
+           |ranked AS (
+           |  SELECT anchor, vec_id, dot, CAST(row_number() OVER (
+           |    PARTITION BY anchor ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rank
+           |  FROM scored)
+           |SELECT anchor, rank,
+           |  CASE WHEN rank = 1 THEN 'positive' ELSE 'semi_hard_neg' END AS role,
+           |  vec_id, dot
+           |FROM ranked WHERE rank IN (1, ${TripletNegBand.mkString(", ")})
+           |ORDER BY anchor, rank""".stripMargin)
+  )
+
   val all: Seq[QueryDef] =
     Seq(q27CosineTopK, q28AnnLsh, q29CosinePairs, q38BatchAnn, q56AnnIvf,
       q62QuantizedAnn, q68EmbeddingLshPairs, q78SemanticDedup, q86KMeans,
       q97PqAnn, q140MatryoshkaRecall, q144EmbeddingDrift, q150DensityLabels,
-      q153RrfFusion, q157KCenterCoreset)
+      q153RrfFusion, q157KCenterCoreset, q165TripletMining)
 }

@@ -408,4 +408,25 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q166: delta-join IVM ≡ direct full join; both splits and the cross term are live") {
+    val got = StorageOps.q166JoinViewIvm.run(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey"))
+    val direct = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .orderBy("c_nationkey")
+    assert(got.collect().toSeq == direct.collect().toSeq,
+      "V0 ∪ (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) ≡ (A∪ΔA)⋈(B∪ΔB)")
+    // the fixture genuinely exercises every term, incl. the ΔA⋈ΔB corner
+    val dAdB = o.filter(col("o_orderkey") % 10 === 0)
+      .join(c.filter(col("c_custkey") % 7 === 0),
+        col("o_custkey") === col("c_custkey")).count()
+    assert(dAdB > 0, "the cross term must be non-empty or the test proves nothing")
+    // the delta sides broadcast in the registered plan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "delta joins broadcast the delta side")
+  }
+
 }

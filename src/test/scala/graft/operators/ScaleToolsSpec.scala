@@ -79,4 +79,23 @@ class ScaleToolsSpec extends SparkSpec {
       "o_custkey", "c_custkey", 8)
     assert(a.rdd.getNumPartitions == 8 && b.rdd.getNumPartitions == 8)
   }
+
+  test("q167: sampled boundaries partition the table and balance within sampling error") {
+    val rows = ScaleTools.q167RangeBoundaryAudit.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = Tables.lineitem(spark, sfDir).count()
+    assert(rows.map(_._2).sum == total, "bucket counts partition the scan")
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    assert(rows.map(_._1).forall(b => b >= 0 && b < ScaleTools.RangeBuckets.toLong))
+    // every realized bucket is populated and no bucket grossly dominates —
+    // the property RangePartitioner's sample exists to deliver (loose
+    // bound: a small sample at sf0.001 carries real sampling error)
+    assert(rows.forall(_._2 > 0))
+    assert(rows.forall(_._4 < 150000L), s"deviation within 15pp: $rows")
+    // share arithmetic is internally consistent
+    rows.foreach { case (_, n, share, dev) =>
+      assert(share == n * 1000000L / total)
+      assert(dev == math.abs(share - 125000L))
+    }
+  }
 }

@@ -179,4 +179,29 @@ class VectorOpsSpec extends SparkSpec {
     assert(ds.toSeq == ds.sortBy(-_).toSeq)
   }
 
+  test("q165: triplet roles sit at the exact similarity ranks") {
+    val out = VectorOps.q165TripletMining.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == VectorOps.TripletAnchors * (1 + VectorOps.TripletNegBand.size))
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(floor(cast(x as double) * 100000.0 + 0.5) as bigint)) iv")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    for (anchor <- 0L until VectorOps.TripletAnchors.toLong) {
+      val ranked = vecs.toSeq.filter(_._1 != anchor)
+        .map { case (id, iv) => (id, dot(iv, vecs(anchor))) }
+        .sortBy { case (id, d) => (-d, id) }
+      val rows = out.filter(_._1 == anchor).sortBy(_._2)
+      assert(rows.head._3 == "positive" && rows.head._4 == ranked.head._1,
+        s"anchor $anchor positive = true nearest neighbor")
+      for ((band, row) <- VectorOps.TripletNegBand.zip(rows.tail)) {
+        assert(row._3 == "semi_hard_neg" && row._2 == band.toLong)
+        assert(row._4 == ranked(band - 1)._1, s"anchor $anchor rank-$band negative")
+        assert(row._5 < rows.head._5, "negatives are strictly less similar than the positive")
+      }
+    }
+  }
+
 }
