@@ -1015,9 +1015,79 @@ object EventOps {
            |ORDER BY variant""".stripMargin)
   )
 
+  /** q168: SCD2 interval enrichment — the CONSUMER side of q146's
+    * versioned-dimension build: every purchase fact joins the profile
+    * version (signup-event value log) valid AT ITS EVENT TIME —
+    * `valid_from ≤ ts < valid_to`, open tail as −1 — the canonical
+    * dimensional-modeling lookup (Kimball type-2), and the batch
+    * formulation of what q35/q123 do as as-of joins. Purchases before a
+    * user's first profile version LEFT-join to −1 sentinels (both
+    * engines, no null ordering).
+    *
+    * Exactness: versions partition each user's timeline (intervals are
+    * [ts, next-ts) over a total (ts_us, event_id) order), so every fact
+    * matches AT MOST one version — cardinality is exactly the purchase
+    * count and the ORDER BY event stays total.
+    *
+    * Plan shape at 100 TB: dimension and facts both key by user — ONE
+    * user-keyed equi-join with the interval predicate as a residual
+    * filter (per-user version lists are small, the SMJ buffers bound);
+    * the dimension build is q146's single key-partitioned window. For
+    * dimension tables too big to buffer per key, q123's native merge-
+    * sweep as-of operator is the drop-in (same sort order). */
+  val q168Scd2Enrich = QueryDef(
+    "q168_scd2_enrich",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+      val dim = Tables.events(s, d)
+        .filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"),
+          expr("ts_ns DIV 1000").as("ts_us"),
+          floor(col("value") * 1000.0 + 0.5).cast(LongType).as("v_x1k"))
+        .withColumn("version", row_number().over(w).cast(LongType))
+        .withColumn("valid_to", coalesce(lead(col("ts_us"), 1).over(w), lit(-1L)))
+        .select(col("user_id").as("d_user"), col("version"),
+          col("ts_us").as("valid_from"), col("valid_to"), col("v_x1k"))
+      val facts = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("ts_ns DIV 1000").as("ts_us"),
+          floor(col("value") * 10.0 + 0.5).cast(LongType).as("cents_x10"))
+      facts.join(dim,
+          col("user_id") === col("d_user") &&
+            col("ts_us") >= col("valid_from") &&
+            (col("valid_to") === -1L || col("ts_us") < col("valid_to")),
+          "left_outer")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("cents_x10"),
+          coalesce(col("version"), lit(-1L)).as("version"),
+          coalesce(col("v_x1k"), lit(-1L)).as("profile_v_x1k"))
+        .orderBy("event_id")
+    },
+    Some("""WITH dim AS (
+           |  SELECT user_id AS d_user,
+           |    CAST(row_number() OVER w AS BIGINT) AS version,
+           |    epoch_us(ts) AS valid_from,
+           |    COALESCE(lead(epoch_us(ts), 1) OVER w, -1) AS valid_to,
+           |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS v_x1k
+           |  FROM events WHERE event_type = 'signup'
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+           |facts AS (
+           |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           |    CAST(floor(value * 10.0 + 0.5) AS BIGINT) AS cents_x10
+           |  FROM events WHERE event_type = 'purchase')
+           |SELECT f.event_id, f.user_id, f.ts_us, f.cents_x10,
+           |  COALESCE(d.version, -1) AS version,
+           |  COALESCE(d.v_x1k, -1) AS profile_v_x1k
+           |FROM facts f LEFT JOIN dim d
+           |  ON f.user_id = d.d_user
+           | AND f.ts_us >= d.valid_from
+           | AND (d.valid_to = -1 OR f.ts_us < d.valid_to)
+           |ORDER BY f.event_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
     q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency,
     q109SessionPaths, q115Attribution, q119LatestState, q122Transitions,
     q125PeakConcurrency, q133TimeWeightedAvg, q137TrailingDistinct, q145AbTest,
-    q146Scd2History, q152DecayedEngagement, q159Cuped)
+    q146Scd2History, q152DecayedEngagement, q159Cuped, q168Scd2Enrich)
 }

@@ -609,7 +609,72 @@ object MiningOps {
            |ORDER BY digit""".stripMargin)
   )
 
+  /** q169: winsorized robust statistics — clamp each event's value into
+    * its type's [P1, P99] band and report raw vs winsorized mass plus
+    * the clip count: the outlier-taming transform metric pipelines
+    * apply before any mean-based statistic (q106 FLAGS outliers with a
+    * MAD fence; winsorization is the complementary REPAIR, bounded
+    * influence instead of deletion). Percentile ranks are exact:
+    * r_lo = ⌈n/100⌉ over the total (value, event_id) order, hi at the
+    * mirrored rank n+1−r_lo — integer rank selection, no interpolation,
+    * so both engines pick identical band edges.
+    *
+    * Plan shape at 100 TB: one type-partitioned ranking window (the
+    * q110 shape — parallelism scales with groups), the two band-edge
+    * rows per type are metadata-sized and broadcast back onto the typed
+    * stream, and the final report is a |types|-row agg with map-side
+    * partials. For few huge groups, q147's histogram-narrowing replaces
+    * the full rank (locate the P1/P99 bins, rescan only those). */
+  val q169Winsorize = QueryDef(
+    "q169_winsorize",
+    (s, d) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("v_x10").asc, col("event_id").asc)
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 10.0 + 0.5).cast(LongType).as("v_x10"))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("r_lo", expr("(n + 99) DIV 100"))
+      val lo = ev.filter(col("rn") === col("r_lo"))
+        .select(col("event_type"), col("v_x10").as("lo_x10"))
+      val hi = ev.filter(col("rn") === col("n") + 1 - col("r_lo"))
+        .select(col("event_type"), col("v_x10").as("hi_x10"))
+      ev.join(broadcast(lo), Seq("event_type"))
+        .join(broadcast(hi), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          first(col("lo_x10")).as("lo_x10"), first(col("hi_x10")).as("hi_x10"),
+          sum(col("v_x10")).as("raw_sum_x10"),
+          sum(greatest(least(col("v_x10"), col("hi_x10")), col("lo_x10")))
+            .as("wins_sum_x10"),
+          sum(when(col("v_x10") < col("lo_x10") || col("v_x10") > col("hi_x10"), 1L)
+            .otherwise(0L)).as("n_clipped"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_type, event_id,
+           |    CAST(floor(value * 10.0 + 0.5) AS BIGINT) AS v_x10,
+           |    CAST(row_number() OVER (PARTITION BY event_type
+           |      ORDER BY CAST(floor(value * 10.0 + 0.5) AS BIGINT), event_id) AS BIGINT) AS rn,
+           |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           |  FROM events),
+           |ev2 AS (SELECT *, (n + 99) // 100 AS r_lo FROM ev),
+           |lo AS (SELECT event_type, v_x10 AS lo_x10 FROM ev2 WHERE rn = r_lo),
+           |hi AS (SELECT event_type, v_x10 AS hi_x10 FROM ev2 WHERE rn = n + 1 - r_lo)
+           |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(ANY_VALUE(lo_x10) AS BIGINT) AS lo_x10,
+           |  CAST(ANY_VALUE(hi_x10) AS BIGINT) AS hi_x10,
+           |  CAST(SUM(v_x10) AS BIGINT) AS raw_sum_x10,
+           |  CAST(SUM(GREATEST(LEAST(v_x10, hi_x10), lo_x10)) AS BIGINT) AS wins_sum_x10,
+           |  CAST(SUM(CASE WHEN v_x10 < lo_x10 OR v_x10 > hi_x10 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_clipped
+           |FROM ev2 JOIN lo USING (event_type) JOIN hi USING (event_type)
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile,
     q110PercentileNorm, q114TopkPerGroup, q126GroupOls, q127ChangePoint,
-    q131EquidepthHist, q141KAnonymity, q147ExactMedian, q164BenfordAudit)
+    q131EquidepthHist, q141KAnonymity, q147ExactMedian, q164BenfordAudit,
+    q169Winsorize)
 }

@@ -552,58 +552,133 @@ object PageRank {
     * ordering anywhere; per-round localCheckpoint severs the growing
     * lineage (the q77 discipline). The community roll-up at the end is
     * label-keyed and community-sized. */
+  /** The q102/q160/q170 deterministic md5-bridge friendship graph:
+    * canonical undirected edges (a < b, distinct). */
+  private def friendEdges(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("tri#"), col("src"), lit("#"), col("k"))),
+      1, 15), 16, 10).cast(LongType)
+    Tables.documents(s, d).filter(col("doc_id") < 500)
+      .select(col("doc_id").as("src"), explode(sequence(lit(1), lit(6))).as("k"))
+      .withColumn("dst", pmod(h, lit(500L)))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+  }
+
+  /** Final labels after [[LpaRounds]] synchronous mode-label rounds over
+    * the (v, u) neighbor relation — shared by q160 and q170. */
+  private def lpaLabels(nbr: DataFrame): DataFrame = {
+    var labels = nbr.select(col("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint()
+    val w = Window.partitionBy("v").orderBy(col("cnt").desc, col("lbl").asc)
+    for (_ <- 1 to LpaRounds) {
+      labels = nbr.join(labels.withColumnRenamed("v", "u"), Seq("u"))
+        .groupBy("v", "lbl").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("v", "lbl").localCheckpoint()
+    }
+    labels
+  }
+
+  /** Shared oracle CTE chain: graph build + [[LpaRounds]] unrolled LPA
+    * rounds, ending at `l<LpaRounds>` (used by q160 and q170). */
+  private def lpaCtes: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id AS src,
+       |    CAST(('0x' || substr(md5('tri#' || doc_id || '#' || k), 1, 15)) AS BIGINT)
+       |      % 500 AS dst
+       |  FROM documents, range(1, 7) AS t(k)
+       |  WHERE doc_id < 500),
+       |e AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM raw WHERE least(src, dst) < greatest(src, dst)),
+       |nbr AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e),
+       |l0 AS (SELECT DISTINCT v, v AS lbl FROM nbr),
+       |${(1 to LpaRounds).map(i =>
+         s"""g$i AS (
+            |  SELECT n.v, l.lbl, COUNT(*) AS cnt
+            |  FROM nbr n JOIN l${i - 1} l ON l.v = n.u GROUP BY n.v, l.lbl),
+            |l$i AS (
+            |  SELECT v, lbl FROM (
+            |    SELECT v, lbl, row_number() OVER (
+            |      PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rn FROM g$i)
+            |  WHERE rn = 1)""".stripMargin).mkString(",\n")}""".stripMargin
+
   val q160LabelProp = QueryDef(
     "q160_label_prop",
     (s, d) => {
-      val h = conv(substring(md5(concat(lit("tri#"), col("src"), lit("#"), col("k"))),
-        1, 15), 16, 10).cast(LongType)
-      val e = Tables.documents(s, d).filter(col("doc_id") < 500)
-        .select(col("doc_id").as("src"), explode(sequence(lit(1), lit(6))).as("k"))
-        .withColumn("dst", pmod(h, lit(500L)))
-        .select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .filter(col("a") < col("b")).distinct()
+      val e = friendEdges(s, d)
       val nbr = e.select(col("a").as("v"), col("b").as("u"))
         .unionByName(e.select(col("b").as("v"), col("a").as("u"))).localCheckpoint()
-      var labels = nbr.select(col("v")).distinct()
-        .withColumn("lbl", col("v")).localCheckpoint()
-      val w = Window.partitionBy("v").orderBy(col("cnt").desc, col("lbl").asc)
-      for (_ <- 1 to LpaRounds) {
-        labels = nbr.join(labels.withColumnRenamed("v", "u"), Seq("u"))
-          .groupBy("v", "lbl").agg(count(lit(1)).as("cnt"))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select("v", "lbl").localCheckpoint()
-      }
-      labels.groupBy("lbl")
+      lpaLabels(nbr).groupBy("lbl")
         .agg(count(lit(1)).as("csize"), min(col("v")).as("min_member"))
         .orderBy(col("csize").desc, col("lbl").asc)
     },
-    Some(s"""WITH raw AS (
-           |  SELECT doc_id AS src,
-           |    CAST(('0x' || substr(md5('tri#' || doc_id || '#' || k), 1, 15)) AS BIGINT)
-           |      % 500 AS dst
-           |  FROM documents, range(1, 7) AS t(k)
-           |  WHERE doc_id < 500),
-           |e AS (
-           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-           |  FROM raw WHERE least(src, dst) < greatest(src, dst)),
-           |nbr AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e),
-           |l0 AS (SELECT DISTINCT v, v AS lbl FROM nbr),
-           |${(1 to LpaRounds).map(i =>
-             s"""g$i AS (
-                |  SELECT n.v, l.lbl, COUNT(*) AS cnt
-                |  FROM nbr n JOIN l${i - 1} l ON l.v = n.u GROUP BY n.v, l.lbl),
-                |l$i AS (
-                |  SELECT v, lbl FROM (
-                |    SELECT v, lbl, row_number() OVER (
-                |      PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rn FROM g$i)
-                |  WHERE rn = 1)""".stripMargin).mkString(",\n")}
+    Some(s"""$lpaCtes
            |SELECT lbl, CAST(COUNT(*) AS BIGINT) AS csize, MIN(v) AS min_member
            |FROM l$LpaRounds GROUP BY lbl
            |ORDER BY csize DESC, lbl ASC""".stripMargin)
   )
 
+  /** q170: modularity scoring of q160's LPA partition — Newman's Q per
+    * community, the evaluation metric that tells a pipeline whether its
+    * communities are denser than a degree-preserving random graph:
+    * Q_c = e_c/m − (deg_c/2m)², reported ×1e6 in the q103 pre-divided
+    * fixed-point shape (both terms are DIVs of positives — no negative
+    * integer division ever happens, though the DIFFERENCE may be
+    * negative for under-dense communities, which is the signal). The
+    * detector (q160) and its evaluator are deliberately separate
+    * queries, as in production where Q gates whether the labels ship.
+    *
+    * Plan shape at 100 TB: internal-edge counting is the edge list
+    * joined twice against the vertex-keyed label frame (both joins
+    * vertex-keyed — the q102 discipline); degree and community sums are
+    * label-keyed aggs bounded by |communities|; m is a 1-row broadcast.
+    * deg_c² ≤ (2m)² and ×1e6 stays far under 2^63 at any graph this
+    * formula's BIGINT bound admits (documented: deg_c·1000 < 3e9). */
+  val q170Modularity = QueryDef(
+    "q170_modularity",
+    (s, d) => {
+      val e = friendEdges(s, d).localCheckpoint()
+      val nbr = e.select(col("a").as("v"), col("b").as("u"))
+        .unionByName(e.select(col("b").as("v"), col("a").as("u"))).localCheckpoint()
+      val labels = lpaLabels(nbr)
+      val m = e.agg(count(lit(1)).as("m"))
+      val internal = e
+        .join(labels.select(col("v").as("a"), col("lbl").as("la")), Seq("a"))
+        .join(labels.select(col("v").as("b"), col("lbl").as("lb")), Seq("b"))
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_in"))
+      val degc = nbr.groupBy("v").agg(count(lit(1)).as("deg"))
+        .join(labels, Seq("v"))
+        .groupBy("lbl").agg(sum(col("deg")).as("deg_c"))
+      degc.join(internal, Seq("lbl"), "left_outer")
+        .na.fill(0L, Seq("e_in"))
+        .crossJoin(broadcast(m))
+        .withColumn("q_x1m",
+          expr("e_in * 1000000 DIV m - deg_c * deg_c * 1000000 DIV (4 * m * m)"))
+        .select("lbl", "e_in", "deg_c", "q_x1m")
+        .orderBy(col("q_x1m").desc, col("lbl").asc)
+    },
+    Some(s"""$lpaCtes,
+           |lab AS (SELECT v, lbl FROM l$LpaRounds),
+           |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+           |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM nbr GROUP BY v),
+           |degc AS (
+           |  SELECT lbl, CAST(SUM(deg) AS BIGINT) AS deg_c
+           |  FROM deg JOIN lab USING (v) GROUP BY lbl),
+           |ein AS (
+           |  SELECT la.lbl AS lbl, CAST(COUNT(*) AS BIGINT) AS e_in
+           |  FROM e JOIN lab la ON la.v = e.a JOIN lab lb2 ON lb2.v = e.b
+           |  WHERE la.lbl = lb2.lbl GROUP BY la.lbl)
+           |SELECT d.lbl, CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in, d.deg_c,
+           |  CAST(COALESCE(ein.e_in, 0) * 1000000 // m
+           |     - d.deg_c * d.deg_c * 1000000 // (4 * m * m) AS BIGINT) AS q_x1m
+           |FROM degc d LEFT JOIN ein USING (lbl) CROSS JOIN mm
+           |ORDER BY q_x1m DESC, lbl ASC""".stripMargin)
+  )
+
   val all: Seq[QueryDef] =
     Seq(q77PageRank, q102Triangles, q113BfsHops, q143KCore, q148Hits, q156Ppr,
-      q160LabelProp)
+      q160LabelProp, q170Modularity)
 }

@@ -462,4 +462,52 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out.map(_._2).sum == nbrs.size.toLong, "every vertex labeled exactly once")
   }
 
+  test("q170: modularity bookkeeping is exact over the LPA partition") {
+    val rows = PageRank.q170Modularity.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // same label set as q160's community roll-up
+    val comms = PageRank.q160LabelProp.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.map(_._1).toSet == comms.keySet, "one row per community")
+    // degree mass partitions the double edge count; internal edges bound m
+    val m = rows.map(_._2).sum // Σ e_in ≤ m, strict unless one community
+    assert(rows.map(_._3).sum % 2 == 0)
+    assert(rows.forall { case (_, eIn, degC, _) => eIn <= degC / 2 })
+    // fixed-point identity per row, recomputed from the reported integers
+    val mTotal = rows.map(_._3).sum / 2
+    rows.foreach { case (_, eIn, degC, q) =>
+      assert(q == eIn * 1000000L / mTotal - degC * degC * 1000000L / (4 * mTotal * mTotal))
+    }
+    // total modularity is a valid Q and the partition beats random (Q > 0)
+    val qTot = rows.map(_._4).sum
+    assert(qTot >= -1000000L && qTot <= 1000000L)
+    assert(m <= mTotal)
+  }
+
+  test("q168: SCD2 enrichment matches each purchase to its as-of profile version") {
+    val out = EventOps.q168Scd2Enrich.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), expr("ts_ns DIV 1000").as("ts_us"),
+        col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val purchases = ev.filter(_._4 == "purchase")
+    assert(out.length == purchases.length, "exactly one row per purchase fact")
+    val signups = ev.filter(_._4 == "signup").groupBy(_._1)
+      .map { case (u, rows) => u -> rows.sortBy(r => (r._3, r._2)).toSeq }
+    for ((eid, uid, ts, _, version, pv) <- out) {
+      val versions = signups.getOrElse(uid, Seq.empty)
+      val idx = versions.lastIndexWhere(_._3 <= ts)
+      if (idx < 0)
+        assert(version == -1L && pv == -1L, s"fact $eid predates every version")
+      else {
+        assert(version == idx + 1L, s"fact $eid version ordinal")
+        assert(pv == math.floor(versions(idx)._5 * 1000.0 + 0.5).toLong,
+          s"fact $eid carries the as-of profile value")
+      }
+    }
+  }
+
 }

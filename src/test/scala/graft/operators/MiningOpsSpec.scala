@@ -174,4 +174,25 @@ class MiningOpsSpec extends SparkSpec {
     assert(math.abs(MiningOps.BenfordX1m.sum - 1000000L) <= 5)
   }
 
+  test("q169: winsorized stats ≡ sequential band recompute; clipping is live") {
+    val rows = MiningOps.q169Winsorize.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 10.0 + 0.5).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((tpe, n, lo, hi, raw, wins, clipped) <- rows) {
+      val vs = ev.filter(_._1 == tpe).sortBy(r => (r._3, r._2)).map(_._3)
+      assert(n == vs.length.toLong)
+      val rLo = (vs.length + 99) / 100
+      assert(lo == vs(rLo - 1) && hi == vs(vs.length - rLo), s"$tpe band edges")
+      assert(raw == vs.sum)
+      assert(wins == vs.map(v => math.max(lo, math.min(hi, v))).sum)
+      assert(clipped == vs.count(v => v < lo || v > hi).toLong)
+      assert(clipped > 0 && clipped < n, s"$tpe: band genuinely clips a strict subset")
+      assert(lo <= hi)
+    }
+  }
+
 }
