@@ -1085,9 +1085,79 @@ object EventOps {
            |ORDER BY f.event_id""".stripMargin)
   )
 
+  /** q171: position-based (U-shaped) multi-touch attribution — q115
+    * gives the LAST click everything; the U-shaped model marketing
+    * teams actually reconcile against splits each conversion's credit
+    * 40/20/40: first touch 400 000 ppm, last touch 400 000, middles
+    * sharing 200 000 (k = 1 → 1 000 000; k = 2 → 500 000 each; middle
+    * share = 200000 DIV (k−2), the truncation loss REPORTED rather
+    * than redistributed so every row is a pure integer function of
+    * (rn, k)). Touchpoints are the user's clicks in the hour before
+    * the purchase (q88's funnel horizon); one row per (conversion,
+    * touch) with role and credit.
+    *
+    * Plan shape at 100 TB: ONE user-keyed equi-join with the time
+    * window as residual (clicks-per-user-hour bounds the match list),
+    * then rank/count windows PARTITIONED BY CONVERSION — parallelism
+    * scales with purchases. Same exchange budget as q115/q121. */
+  val q171UShapedAttribution = QueryDef(
+    "q171_ushaped_attribution",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts_ns DIV 1000").as("ts_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_us").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts_us").as("c_ts"))
+      val w = Window.partitionBy("purchase_id")
+      val wo = w.orderBy(col("c_ts").asc, col("click_id").asc)
+      p.join(c,
+          col("user_id") === col("c_user") &&
+            col("c_ts") <= col("p_ts") && col("c_ts") > col("p_ts") - 3600000000L)
+        .withColumn("rn", row_number().over(wo).cast(LongType))
+        .withColumn("k", count(lit(1)).over(w))
+        .withColumn("role",
+          when(col("k") === 1, "only")
+            .when(col("rn") === 1, "first")
+            .when(col("rn") === col("k"), "last")
+            .otherwise("middle"))
+        .withColumn("credit_ppm", expr(
+          """CASE WHEN k = 1 THEN 1000000
+            |     WHEN rn = 1 OR rn = k THEN CASE WHEN k = 2 THEN 500000 ELSE 400000 END
+            |     ELSE 200000 DIV (k - 2) END""".stripMargin))
+        .select(col("purchase_id"), col("click_id"), col("rn"), col("k"),
+          col("role"), col("credit_ppm"))
+        .orderBy("purchase_id", "click_id")
+    },
+    Some("""WITH p AS (
+           |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_ts
+           |  FROM events WHERE event_type = 'purchase'),
+           |c AS (
+           |  SELECT user_id AS c_user, event_id AS click_id, epoch_us(ts) AS c_ts
+           |  FROM events WHERE event_type = 'click'),
+           |m AS (
+           |  SELECT purchase_id, click_id,
+           |    CAST(row_number() OVER (PARTITION BY purchase_id
+           |      ORDER BY c_ts ASC, click_id ASC) AS BIGINT) AS rn,
+           |    CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS k
+           |  FROM p JOIN c ON user_id = c_user
+           |    AND c_ts <= p_ts AND c_ts > p_ts - 3600000000)
+           |SELECT purchase_id, click_id, rn, k,
+           |  CASE WHEN k = 1 THEN 'only' WHEN rn = 1 THEN 'first'
+           |       WHEN rn = k THEN 'last' ELSE 'middle' END AS role,
+           |  CAST(CASE WHEN k = 1 THEN 1000000
+           |       WHEN rn = 1 OR rn = k THEN CASE WHEN k = 2 THEN 500000 ELSE 400000 END
+           |       ELSE 200000 // (k - 2) END AS BIGINT) AS credit_ppm
+           |FROM m ORDER BY purchase_id, click_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
     q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency,
     q109SessionPaths, q115Attribution, q119LatestState, q122Transitions,
     q125PeakConcurrency, q133TimeWeightedAvg, q137TrailingDistinct, q145AbTest,
-    q146Scd2History, q152DecayedEngagement, q159Cuped, q168Scd2Enrich)
+    q146Scd2History, q152DecayedEngagement, q159Cuped, q168Scd2Enrich,
+    q171UShapedAttribution)
 }

@@ -115,5 +115,72 @@ object LinkageOps {
            |ORDER BY doc1, doc2""".stripMargin)
   )
 
-  def all: Seq[QueryDef] = Seq(q135JaroLinkage, q136DamerauPairs)
+  /** q173: golden-record survivorship — the CONSTRUCTION step after
+    * matching (q135/q136 find duplicate pairs; q44/q71 cluster them):
+    * collapse each duplicate cluster into ONE canonical record with
+    * per-field survivorship rules, the way an MDM system builds its
+    * master table. Clusters are simulated deterministically
+    * (entity = custkey DIV 3) with field conflicts injected per member
+    * (name suffixes of different lengths), so every rule is exercised:
+    *   - name: LONGEST value (tie → lexicographic min) — completeness
+    *   - balance: MAX cents — greatest-value
+    *   - segment, nation: from the most RECENT record (max custkey) —
+    *     recency
+    * plus member count as lineage.
+    *
+    * Plan shape at 100 TB: ONE entity-keyed hash agg — every rule is a
+    * mergeable struct-extremum (the q119 argmax idiom: min/max over
+    * (sort-key, payload) structs with full map-side partials), so ≤ 1
+    * candidate per entity per partition crosses the exchange; no
+    * window, no sort of the record stream. The oracle states the same
+    * rules as per-field row_number windows — plan-different,
+    * result-identical. */
+  val q173GoldenRecord = QueryDef(
+    "q173_golden_record",
+    (s, d) => {
+      val dirty = Tables.customer(s, d)
+        .select(expr("c_custkey DIV 3").as("entity"), col("c_custkey"),
+          concat(col("c_name"),
+            expr("CASE c_custkey % 3 WHEN 1 THEN ' inc' WHEN 2 THEN ' incorporated' ELSE '' END"))
+            .as("name"),
+          floor(col("c_acctbal") * 100.0 + 0.5).cast("long").as("cents"),
+          col("c_mktsegment"), col("c_nationkey").cast("long").as("nation"))
+      dirty.groupBy("entity")
+        .agg(count(lit(1)).as("n_records"),
+          min(struct((-length(col("name"))).as("nl"), col("name").as("nv")))
+            .getField("nv").as("name"),
+          max(col("cents")).as("cents"),
+          max(struct(col("c_custkey").as("ck"), col("c_mktsegment").as("av"),
+            col("nation").as("nv"))).as("latest"))
+        .select(col("entity"), col("n_records"), col("name"), col("cents"),
+          col("latest.av").as("segment"), col("latest.nv").as("nationkey"))
+        .orderBy("entity")
+    },
+    Some("""WITH dirty AS (
+           |  SELECT c_custkey // 3 AS entity, c_custkey,
+           |    c_name || CASE c_custkey % 3 WHEN 1 THEN ' inc'
+           |              WHEN 2 THEN ' incorporated' ELSE '' END AS name,
+           |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents,
+           |    c_mktsegment, CAST(c_nationkey AS BIGINT) AS nation
+           |  FROM customer),
+           |nm AS (
+           |  SELECT entity, name, row_number() OVER (PARTITION BY entity
+           |    ORDER BY length(name) DESC, name ASC) AS rn
+           |  FROM dirty),
+           |lt AS (
+           |  SELECT entity, c_mktsegment, nation, row_number() OVER (
+           |    PARTITION BY entity ORDER BY c_custkey DESC) AS rn
+           |  FROM dirty),
+           |ag AS (
+           |  SELECT entity, CAST(COUNT(*) AS BIGINT) AS n_records,
+           |    CAST(MAX(cents) AS BIGINT) AS cents
+           |  FROM dirty GROUP BY entity)
+           |SELECT entity, n_records, nm.name, cents,
+           |  lt.c_mktsegment AS segment, lt.nation AS nationkey
+           |FROM ag JOIN nm USING (entity) JOIN lt USING (entity)
+           |WHERE nm.rn = 1 AND lt.rn = 1
+           |ORDER BY entity""".stripMargin)
+  )
+
+  def all: Seq[QueryDef] = Seq(q135JaroLinkage, q136DamerauPairs, q173GoldenRecord)
 }

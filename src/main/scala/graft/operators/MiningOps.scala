@@ -673,8 +673,79 @@ object MiningOps {
            |GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 
+  /** q172: frequent triples via the a-priori cascade — level 3 of what
+    * q105 starts: candidate (p1, p2, p3) triples are generated ONLY
+    * from frequent pairs (all three sub-pairs must clear the support
+    * floor — the downward-closure pruning that makes frequent-itemset
+    * mining tractable), then counted exactly and filtered. The
+    * deliverable includes each triple's support next to its weakest
+    * sub-pair support (the lift base for rule generation).
+    *
+    * Plan shape at 100 TB: the raw triple space is Σ basket³, but the
+    * cascade never touches it — extension joins run over the FREQUENT
+    * pair list (tiny under any support floor; a-priori's point), and
+    * the only basket-sized work is the final exact count of surviving
+    * candidates, an order-keyed three-way self-join that reuses one
+    * partitioning (the q105 argument, one level deeper). Candidate
+    * pruning happens BEFORE the big join via two broadcast semi-joins
+    * of the frequent-pair list. */
+  val q172AprioriTriples = QueryDef(
+    "q172_apriori_triples",
+    (s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .distinct()
+      val pairs = items.select(col("okey"), col("part").as("p1"))
+        .join(items.select(col("okey"), col("part").as("p2")), Seq("okey"))
+        .filter(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+      // candidate triples: extend (p1,p2) by (p2,p3); prune on (p1,p3)
+      val cand = pairs.select(col("p1"), col("p2"), col("sup").as("s12"))
+        .join(pairs.select(col("p1").as("p2"), col("p2").as("p3"),
+          col("sup").as("s23")), Seq("p2"))
+        .join(broadcast(pairs.select(col("p1"), col("p2").as("p3"),
+          col("sup").as("s13"))), Seq("p1", "p3"))
+        .select(col("p1"), col("p2"), col("p3"),
+          least(col("s12"), least(col("s13"), col("s23"))).as("min_pair_sup"))
+      val triples = items.select(col("okey"), col("part").as("p1"))
+        .join(items.select(col("okey"), col("part").as("p2")), Seq("okey"))
+        .join(items.select(col("okey"), col("part").as("p3")), Seq("okey"))
+        .filter(col("p1") < col("p2") && col("p2") < col("p3"))
+        .join(broadcast(cand), Seq("p1", "p2", "p3"))
+        .groupBy("p1", "p2", "p3", "min_pair_sup")
+        .agg(count(lit(1)).as("sup3"))
+        .filter(col("sup3") >= 2)
+      triples.select("p1", "p2", "p3", "sup3", "min_pair_sup")
+        .orderBy(col("sup3").desc, col("p1").asc, col("p2").asc, col("p3").asc)
+        .limit(30)
+    },
+    Some("""WITH items AS (
+           |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+           |pairs AS (
+           |  SELECT a.part AS p1, b.part AS p2, CAST(COUNT(*) AS BIGINT) AS sup
+           |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           |cand AS (
+           |  SELECT x.p1, x.p2, y.p2 AS p3,
+           |    LEAST(x.sup, y.sup, z.sup) AS min_pair_sup
+           |  FROM pairs x
+           |  JOIN pairs y ON y.p1 = x.p2
+           |  JOIN pairs z ON z.p1 = x.p1 AND z.p2 = y.p2),
+           |triples AS (
+           |  SELECT c.p1, c.p2, c.p3, c.min_pair_sup, CAST(COUNT(*) AS BIGINT) AS sup3
+           |  FROM items a
+           |  JOIN items b ON a.okey = b.okey
+           |  JOIN items t ON a.okey = t.okey
+           |  JOIN cand c ON c.p1 = a.part AND c.p2 = b.part AND c.p3 = t.part
+           |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 2)
+           |SELECT p1, p2, p3, sup3, min_pair_sup
+           |FROM triples
+           |ORDER BY sup3 DESC, p1 ASC, p2 ASC, p3 ASC LIMIT 30""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile,
     q110PercentileNorm, q114TopkPerGroup, q126GroupOls, q127ChangePoint,
     q131EquidepthHist, q141KAnonymity, q147ExactMedian, q164BenfordAudit,
-    q169Winsorize)
+    q169Winsorize, q172AprioriTriples)
 }

@@ -510,4 +510,29 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q171: U-shaped credit algebra conserves per conversion") {
+    val rows = EventOps.q171UShapedAttribution.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val byPurchase = rows.groupBy(_._1)
+    for ((pid, touches) <- byPurchase) {
+      val k = touches.head._4
+      assert(touches.length.toLong == k, s"purchase $pid k matches row count")
+      assert(touches.map(_._3).sorted.toSeq == (1L to k), "ranks are dense")
+      val credit = touches.map(_._6).sum
+      if (k <= 2) assert(credit == 1000000L, s"purchase $pid full conservation")
+      else assert(credit == 800000L + (k - 2) * (200000L / (k - 2)),
+        s"purchase $pid documented truncation loss only")
+      touches.foreach { case (_, _, rn, kk, role, c) =>
+        val expected =
+          if (kk == 1) ("only", 1000000L)
+          else if (rn == 1) ("first", if (kk == 2) 500000L else 400000L)
+          else if (rn == kk) ("last", if (kk == 2) 500000L else 400000L)
+          else ("middle", 200000L / (kk - 2))
+        assert((role, c) == expected, s"purchase $pid rank $rn")
+      }
+    }
+  }
+
 }

@@ -72,4 +72,28 @@ class LinkageOpsSpec extends SparkSpec {
     assert(dl.nonEmpty)
     assert(dl.forall(r => r.getInt(2) < r.getInt(3)), "dl must be strictly below lev")
   }
+
+  test("q173: survivorship rules ≡ sequential per-cluster resolution") {
+    val out = LinkageOps.q173GoldenRecord.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getString(4), r.getLong(5)))
+    val dirty = graft.Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_nationkey")
+      .collect().map { r =>
+        val ck = r.getLong(0)
+        val name = r.getString(1) + (ck % 3 match {
+          case 1 => " inc"; case 2 => " incorporated"; case _ => ""
+        })
+        (ck / 3, ck, name, math.floor(r.getDouble(2) * 100.0 + 0.5).toLong,
+          r.getString(3), r.getInt(4).toLong)
+      }
+    val expect = dirty.groupBy(_._1).toSeq.map { case (entity, ms) =>
+      val name = ms.map(_._3).sortBy(n => (-n.length, n)).head
+      val latest = ms.maxBy(_._2)
+      (entity, ms.length.toLong, name, ms.map(_._4).max, latest._5, latest._6)
+    }.sortBy(_._1)
+    assert(out.toSeq == expect, "golden records ≡ driver-side survivorship")
+    // conflicts are genuinely present: some cluster has 3 distinct name lengths
+    assert(dirty.groupBy(_._1).exists(_._2.map(_._3.length).distinct.size == 3))
+  }
 }

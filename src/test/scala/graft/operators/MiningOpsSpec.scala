@@ -195,4 +195,31 @@ class MiningOpsSpec extends SparkSpec {
     }
   }
 
+  test("q172: a-priori triples ≡ brute force; downward closure holds") {
+    val rows = MiningOps.q172AprioriTriples.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val baskets = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (_, xs) => xs.map(_._2).toSet }.toSeq
+    def sup(items: Set[Long]): Long = baskets.count(b => items.subsetOf(b)).toLong
+    val parts = baskets.flatten.distinct.sorted
+    val brute = (for {
+      b <- baskets; trip <- b.toSeq.sorted.combinations(3)
+    } yield (trip(0), trip(1), trip(2)))
+      .groupBy(identity).map { case (t, o) => (t, o.size.toLong) }
+      .filter(_._2 >= 2).toSeq
+      .map { case ((p1, p2, p3), s3) =>
+        val mp = Seq(Set(p1, p2), Set(p1, p3), Set(p2, p3)).map(sup).min
+        (p1, p2, p3, s3, mp)
+      }
+      .sortBy { case (p1, p2, p3, s3, _) => (-s3, p1, p2, p3) }.take(30)
+    assert(rows.toSeq == brute, "cascade output ≡ brute-force enumeration")
+    rows.foreach { case (_, _, _, s3, mp) =>
+      assert(s3 <= mp, "triple support bounded by its weakest sub-pair (closure)")
+      assert(mp >= 2, "every sub-pair cleared the support floor")
+    }
+    assert(parts.nonEmpty)
+  }
+
 }
