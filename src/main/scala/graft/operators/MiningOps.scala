@@ -744,8 +744,178 @@ object MiningOps {
            |ORDER BY sup3 DESC, p1 ASC, p2 ASC, p3 ASC LIMIT 30""".stripMargin)
   )
 
+  /** Shared scorer for the q174/q175 evaluation pair: a binary
+    * "is-English" detector scored as en-marker hits ×1e6 per token
+    * (q21's heuristic reduced to one class), label = lang = 'en'.
+    * Zero-token docs are dropped on both engines. */
+  private def enScores(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("label"),
+        size(filter(TextOps.tokens(lower(col("text"))),
+          t => t.isin("the", "and", "of", "is"))).cast(LongType).as("hits"),
+        size(TextOps.tokens(lower(col("text")))).cast(LongType).as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("label"),
+        expr("hits * 1000000 DIV n_tok").as("score_x1m"))
+
+  private val enScoresSql: String =
+    """sc AS (
+      |  SELECT doc_id,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+      |    CAST(len(list_filter(toks, t -> t IN ('the','and','of','is'))) AS BIGINT)
+      |      * 1000000 // len(toks) AS score_x1m
+      |  FROM (SELECT doc_id, lang,
+      |          list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) > 0)""".stripMargin
+
+  /** q174: exact tie-corrected AUC (Mann–Whitney rank-sum) — the
+    * ranking-quality metric every classifier eval reports, computed
+    * EXACTLY in integers: midranks handle score ties (doubled to stay
+    * integral — midrank2 = 2·minrank + tiecount − 1) and
+    * AUC×1e6 = (Σ⁺midrank2 − n⁺(n⁺+1))·1e6 DIV (2·n⁺·n⁻). The scored
+    * model is the q21-style is-English marker heuristic; the synthetic
+    * corpus draws text INDEPENDENTLY of the lang label, so the exact
+    * AUC lands near 500 000 — the q145 A/A framing: the instrument is
+    * proven against a known-null signal before anyone trusts it on a
+    * real one (a buggy rank-sum rarely lands near 0.5 by accident).
+    *
+    * Plan shape at 100 TB: the rank-sum NEVER ranks rows — scores are
+    * first reduced to a (score → count, pos-count) histogram (one hash
+    * agg, ≤ 1e6+1 groups by construction of the ×1e6 score), and the
+    * cumulative window runs over that bounded histogram, not the
+    * corpus. This is the decomposition that makes exact global AUC a
+    * metadata problem at any corpus size. */
+  val q174ExactAuc = QueryDef(
+    "q174_exact_auc",
+    (s, d) => {
+      val g = enScores(s, d).groupBy("score_x1m")
+        .agg(count(lit(1)).as("cnt"), sum(col("label")).as("npos"))
+      val w = Window.partitionBy(lit(0)).orderBy(col("score_x1m").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r2 = g
+        .withColumn("cum_before", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .select(col("npos"), col("cnt"),
+          (col("npos") * (lit(2L) * (col("cum_before") + 1L) + col("cnt") - 1L))
+            .as("r2c"))
+        .agg(sum(col("npos")).as("n_pos"),
+          sum(col("cnt") - col("npos")).as("n_neg"), sum(col("r2c")).as("r2"))
+      r2.select(col("n_pos"), col("n_neg"), col("r2"),
+        expr("(r2 - n_pos * (n_pos + 1)) * 1000000 DIV (2 * n_pos * n_neg)")
+          .as("auc_x1m"))
+    },
+    Some(s"""WITH $enScoresSql,
+           |g AS (
+           |  SELECT score_x1m, CAST(COUNT(*) AS BIGINT) AS cnt,
+           |    CAST(SUM(label) AS BIGINT) AS npos
+           |  FROM sc GROUP BY score_x1m),
+           |h AS (
+           |  SELECT npos, cnt,
+           |    CAST(COALESCE(SUM(cnt) OVER (ORDER BY score_x1m
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           |      AS cum_before
+           |  FROM g),
+           |m AS (
+           |  SELECT CAST(SUM(npos) AS BIGINT) AS n_pos,
+           |    CAST(SUM(cnt - npos) AS BIGINT) AS n_neg,
+           |    CAST(SUM(npos * (2 * (cum_before + 1) + cnt - 1)) AS BIGINT) AS r2
+           |  FROM h)
+           |SELECT n_pos, n_neg, r2,
+           |  CAST((r2 - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg) AS BIGINT)
+           |    AS auc_x1m
+           |FROM m""".stripMargin)
+  )
+
+  /** q175: calibration reliability diagram — the companion to q174's
+    * discrimination metric: bucket the same scores into ten fixed-width
+    * bins and compare MEAN PREDICTED score against EMPIRICAL positive
+    * rate per bin (the gap is the calibration error; its count-weighted
+    * max/sum is ECE). A heuristic scorer is systematically miscalibrated
+    * — visible, nonzero gaps are the expected deliverable. One hash agg
+    * on a 10-key space with map-side partials; nothing else. */
+  val q175Reliability = QueryDef(
+    "q175_reliability",
+    (s, d) =>
+      enScores(s, d)
+        .withColumn("bin", least(expr("score_x1m DIV 100000"), lit(9L)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("score_x1m")).as("ssum"),
+          sum(col("label")).as("npos"))
+        .select(col("bin"), col("n"),
+          expr("ssum DIV n").as("mean_score_x1m"),
+          expr("npos * 1000000 DIV n").as("pos_rate_x1m"),
+          abs(expr("ssum DIV n") - expr("npos * 1000000 DIV n")).as("gap_x1m"))
+        .orderBy("bin"),
+    Some(s"""WITH $enScoresSql,
+           |b AS (
+           |  SELECT LEAST(score_x1m // 100000, 9) AS bin,
+           |    CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(score_x1m) AS BIGINT) AS ssum,
+           |    CAST(SUM(label) AS BIGINT) AS npos
+           |  FROM sc GROUP BY 1)
+           |SELECT bin, n,
+           |  CAST(ssum // n AS BIGINT) AS mean_score_x1m,
+           |  CAST(npos * 1000000 // n AS BIGINT) AS pos_rate_x1m,
+           |  CAST(ABS(ssum // n - npos * 1000000 // n) AS BIGINT) AS gap_x1m
+           |FROM b ORDER BY bin""".stripMargin)
+  )
+
+  /** q176 thresholds out of 4096: ≈ 1/2/4/8/16/32/64 % — the power-law
+    * ladder scaling-law experiments sample. */
+  val LearnCurveThresholds = Seq(41L, 82L, 164L, 328L, 656L, 1311L, 2622L)
+
+  /** q176: learning-curve subset ladder — nested deterministic corpus
+    * prefixes for scaling-law runs: subset t = docs whose md5 bucket
+    * (mod 4096) falls below t, so every smaller subset is CONTAINED in
+    * every larger one (the prefix property that makes loss curves
+    * comparable across scales — resampling per size would confound
+    * data variance with scale). Per rung: doc count, token mass, and
+    * English share ×1e6 — the composition stats that must stay stable
+    * down the ladder for the subsets to be representative.
+    *
+    * Plan shape at 100 TB: one scan; each doc emits its ≤ |ladder|
+    * memberships from a bounded generator (no per-threshold rescan),
+    * then a |ladder|-key agg with map-side partials. */
+  val q176LearningCurve = QueryDef(
+    "q176_learning_curve",
+    (s, d) => {
+      val h = pmod(conv(substring(md5(concat(lit("lc#"),
+        col("doc_id").cast(StringType))), 1, 15), 16, 10).cast(LongType), lit(4096L))
+      Tables.documents(s, d)
+        .select(col("doc_id"), h.as("h"),
+          size(TextOps.tokens(lower(col("text")))).cast(LongType).as("n_tok"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("is_en"))
+        .withColumn("t", explode(typedLit(LearnCurveThresholds.toArray)))
+        .filter(col("h") < col("t"))
+        .groupBy("t")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          expr("sum(is_en) * 1000000").as("en_num"))
+        .select(col("t"), col("n_docs"), col("n_tokens"),
+          expr("en_num DIV n_docs").as("en_share_x1m"))
+        .orderBy("t")
+    },
+    Some(s"""WITH d AS (
+           |  SELECT doc_id,
+           |    CAST(('0x' || substr(md5('lc#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           |      % 4096 AS h,
+           |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT)
+           |      AS n_tok,
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+           |  FROM documents),
+           |x AS (
+           |  SELECT t, doc_id, n_tok, is_en
+           |  FROM d, (VALUES ${LearnCurveThresholds.map(t => s"(CAST($t AS BIGINT))").mkString(", ")}) v(t)
+           |  WHERE h < t)
+           |SELECT t, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(is_en) * 1000000 // COUNT(*) AS BIGINT) AS en_share_x1m
+           |FROM x GROUP BY t ORDER BY t""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile,
     q110PercentileNorm, q114TopkPerGroup, q126GroupOls, q127ChangePoint,
     q131EquidepthHist, q141KAnonymity, q147ExactMedian, q164BenfordAudit,
-    q169Winsorize, q172AprioriTriples)
+    q169Winsorize, q172AprioriTriples, q174ExactAuc, q175Reliability,
+    q176LearningCurve)
 }

@@ -222,4 +222,64 @@ class MiningOpsSpec extends SparkSpec {
     assert(parts.nonEmpty)
   }
 
+  private def enScoresDriver(): Seq[(Long, Long)] = // (label, score_x1m)
+    Tables.documents(spark, sfDir).select("lang", "text").collect().flatMap { r =>
+      val toks = r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)
+      if (toks.isEmpty) None
+      else Some((if (r.getString(0) == "en") 1L else 0L,
+        toks.count(Set("the", "and", "of", "is")).toLong * 1000000L / toks.length))
+    }.toSeq
+
+  test("q174: tie-corrected rank-sum AUC ≡ O(n²) pair counting") {
+    val Array(row) = MiningOps.q174ExactAuc.run(spark, sfDir).collect()
+    val (nPos, nNeg, auc) = (row.getLong(0), row.getLong(1), row.getLong(3))
+    val sc = enScoresDriver()
+    val pos = sc.filter(_._1 == 1L).map(_._2)
+    val neg = sc.filter(_._1 == 0L).map(_._2)
+    assert(nPos == pos.length.toLong && nNeg == neg.length.toLong)
+    // AUC definition: P(pos > neg) + P(tie)/2, counted pairwise (doubled)
+    val wins2 = pos.iterator.map(p =>
+      2L * neg.count(_ < p) + neg.count(_ == p)).sum
+    assert(auc == wins2 * 1000000L / (2 * nPos * nNeg),
+      "rank-sum formula ≡ brute-force pair comparison")
+    // null-signal corpus: the exact AUC sits near 0.5, not at a bug value
+    assert(math.abs(auc - 500000L) < 150000L)
+  }
+
+  test("q175: reliability bins partition the scored docs; arithmetic exact") {
+    val rows = MiningOps.q175Reliability.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val sc = enScoresDriver()
+    assert(rows.map(_._2).sum == sc.length.toLong)
+    for ((bin, n, mean, rate, gap) <- rows) {
+      val in = sc.filter(s => math.min(s._2 / 100000L, 9L) == bin)
+      assert(n == in.length.toLong)
+      assert(mean == in.map(_._2).sum / n)
+      assert(rate == in.map(_._1).sum * 1000000L / n)
+      assert(gap == math.abs(mean - rate))
+    }
+  }
+
+  test("q176: learning-curve rungs are nested prefixes with growing mass") {
+    val rows = MiningOps.q176LearningCurve.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == MiningOps.LearnCurveThresholds)
+    // monotone dataset sizes — the prefix property's observable
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+    assert(rows.forall(r => r._4 >= 0 && r._4 <= 1000000L))
+    // nesting is real set containment, not just growing counts
+    def subset(t: Long): Set[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Tables.documents(spark, sfDir).select("doc_id").collect().map(_.getLong(0))
+        .filter { id =>
+          val hex = md.digest(s"lc#$id".getBytes).map("%02x".format(_)).mkString.take(15)
+          java.lang.Long.parseLong(hex, 16) % 4096 < t
+        }.toSet
+    }
+    val sets = MiningOps.LearnCurveThresholds.map(subset)
+    sets.sliding(2).foreach { case Seq(a, b) => assert(a.subsetOf(b)) }
+    assert(rows.map(_._2).toSeq == sets.map(_.size.toLong))
+  }
+
 }
