@@ -61,19 +61,40 @@ object Bench {
     // BENCH.json pointer dropped (it is stated in the scaladoc and README)
     // so per-query entries keep 2-decimal precision as the registry grows
     val sfShort = sf.reverse.takeWhile(_ != '/').reverse
-    def line(qs: Option[String]): String = {
+    def line(qs: Option[String], elideZeroFailed: Boolean = false): String = {
       val queries = qs.map(q => s""","queries":$q""").getOrElse("")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec"$queries,"sf":"$sfShort","runs":$runs,"n_ok":$nOk,"n_failed":$nFailed,"cold_total":${fmt(coldTotal, 3)}}"""
+      // "n_failed":0 is redundant next to n_ok == |queries| — eliding it
+      // (only when zero, only when space demands) buys the ~14 chars that
+      // keep 2-decimal medians in the window at 176+ queries
+      val failed =
+        if (elideZeroFailed && nFailed == 0) "" else s""","n_failed":$nFailed"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec"$queries,"sf":"$sfShort","runs":$runs,"n_ok":$nOk$failed,"cold_total":${fmt(coldTotal, 3)}}"""
     }
     def shortKey(k: String): String = k.takeWhile(_ != '_')
-    val keys =
-      if (results.map(r => shortKey(r._1)).distinct.size == results.size)
-        results.map { case (k, v) => shortKey(k) -> v }
-      else results // prefix collision (never with qNN names): keep full keys
-    val candidates = Seq(3, 2, 1).iterator.map { dp =>
-      line(Some(keys.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
-        .mkString("{", ",", "}")))
-    } ++ Iterator.single(line(None))
+    // past ~170 queries even 1-decimal "qNN" keys overflow the window, so
+    // the ladder degrades the KEY before the VALUE: bare registry numbers
+    // ("q105_basket_rules" → "105" — still unambiguous, the zero-padded
+    // qNN names collide with nothing) keep 2-decimal medians in the tail
+    // at twice the registry size; full names live in BENCH.json either way
+    def numKey(k: String): String = {
+      val digits = shortKey(k).filter(_.isDigit)
+      val stripped = digits.dropWhile(_ == '0')
+      if (stripped.isEmpty) digits else stripped
+    }
+    def pick(key: String => String): Seq[(String, Double)] =
+      if (results.map(r => key(r._1)).distinct.size == results.size)
+        results.map { case (k, v) => key(k) -> v }
+      else results // key collision (never with qNN names): keep full keys
+    val qKeys = pick(shortKey)
+    val nKeys = pick(numKey)
+    def mapStr(keys: Seq[(String, Double)], dp: Int): String =
+      keys.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
+        .mkString("{", ",", "}")
+    val candidates =
+      Seq((qKeys, 3, false), (qKeys, 2, false), (nKeys, 2, false),
+        (nKeys, 2, true), (nKeys, 1, false), (nKeys, 1, true)).iterator.map {
+        case (keys, dp, elide) => line(Some(mapStr(keys, dp)), elide)
+      } ++ Iterator.single(line(None))
     candidates.find(_.length <= MaxLineChars).getOrElse(line(None))
   }
 

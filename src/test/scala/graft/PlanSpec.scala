@@ -164,7 +164,19 @@ class PlanSpec extends SparkSpec {
       // q153: 1-row probe-vector broadcast + the q139 stats broadcast
       "q153_rrf_fusion",
       // q154: per-FK-edge 1-row count × 1-row orphan-stats cross joins
-      "q154_fk_orphans")
+      "q154_fk_orphans",
+      // q157: per-round ≤k-center collect_list row broadcast (see scaladoc)
+      "q157_kcenter_coreset",
+      // q159: 1-row time-midpoint bounds + 1-row pooled-moments broadcasts
+      "q159_cuped",
+      // q164: 1-row total-count scalar broadcast (the q118 shape)
+      "q164_benford_audit",
+      // q165: bounded 20-row anchor-slice broadcast (the q38/q140 shape)
+      "q165_triplet_mining",
+      // q167: 1-row sample-size / boundary-array / total-count broadcasts
+      "q167_range_boundary_audit",
+      // q170: 1-row undirected-edge-count scalar broadcast
+      "q170_modularity")
     // plan-text exchange budgets: the LSH pipeline legitimately has ~18
     // (sig agg + banding self-join + verify joins); queries consuming the
     // CACHED pair/cluster frames repeat that lineage inside
@@ -246,6 +258,20 @@ class PlanSpec extends SparkSpec {
       // count-distinct — every exchange is class-metadata-sized or the
       // single record scan
       case n if n.startsWith("q141") => 10
+      // q159: the per-user (x, y) reduction lineage feeds the pooled-
+      // moments agg AND the arm agg (plan TEXT repeats it; ReusedExchange
+      // collapses at runtime) — every exchange past the user reduction is
+      // 1-row moments or 2-row arms
+      case n if n.startsWith("q159") => 12
+      // q170: the checkpointed label frame joins both edge endpoints and
+      // the degree agg; internal/degree/community aggs stack on top —
+      // every exchange is vertex- or label-keyed over the bounded graph
+      case n if n.startsWith("q170") => 12
+      // q172: the distinct (order, part) lineage appears on all three
+      // self-join sides (the q105 text-duplication argument, one level
+      // deeper) plus the frequent-pair lineage twice under the candidate
+      // build — runtime reuses the exchanges
+      case n if n.startsWith("q172") => 26
       case _ => 8
     }
     SparkEntry.registry.foreach { q =>
