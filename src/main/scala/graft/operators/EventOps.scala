@@ -1154,10 +1154,162 @@ object EventOps {
            |FROM m ORDER BY purchase_id, click_id""".stripMargin)
   )
 
+  /** Microseconds per hour (q177's profile grain). */
+  val HourUsC: Long = 3600L * 1000000L
+
+  /** q177: seasonality-strength report — per event type, how much of
+    * the value variance the hour-of-day profile explains: the ANOVA
+    * decomposition eta² = SSB/SST in an integer surrogate (each hour's
+    * S_h² DIV n_h term floor-divided BEFORE summing — documented: the
+    * surrogate is within 24 units of true SSB, far inside the ×1e6
+    * reporting grain), plus the peak hour and its mean. The statistic
+    * that decides whether a forecast needs an hourly profile (strong
+    * seasonality) or q100's trend-only EWMA suffices.
+    *
+    * Plan shape at 100 TB: first agg keys by (type, hour) — 24·|types|
+    * groups with full map-side combine — and everything after runs over
+    * that metadata-sized grid. Magnitude bound documented: S_h² at the
+    * tested SFs ≤ ~5e12 ≪ 2^63 (deciunit sums per type-hour). */
+  val q177Seasonality = QueryDef(
+    "q177_seasonality",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .select(col("event_type"),
+          expr(s"(ts_ns DIV 1000 DIV $HourUsC) % 24").as("h"),
+          floor(col("value") * 10.0 + 0.5).cast(LongType).as("v"))
+        .groupBy("event_type", "h")
+        .agg(count(lit(1)).as("nh"), sum(col("v")).as("sh"),
+          sum(col("v") * col("v")).as("sqh"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(expr("sh * 1000000 DIV nh").desc, col("h").asc)
+      hourly
+        .withColumn("rn", row_number().over(w))
+        .groupBy("event_type")
+        .agg(sum(col("nh")).as("n"), sum(col("sh")).as("sv"),
+          sum(col("sqh")).as("svv"),
+          sum(expr("sh * sh DIV nh")).as("ssb_raw"),
+          max(when(col("rn") === 1, col("h"))).as("peak_hour"),
+          max(when(col("rn") === 1, expr("sh * 10 DIV nh"))).as("peak_mean_x100"))
+        .select(col("event_type"), col("n"),
+          expr("((ssb_raw - sv * sv DIV n) * 1000000)" +
+            " DIV greatest(svv - sv * sv DIV n, 1)").as("strength_x1m"),
+          col("peak_hour"), col("peak_mean_x100"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH hourly AS (
+           |  SELECT event_type, (epoch_us(ts) // $HourUsC) % 24 AS h,
+           |    CAST(COUNT(*) AS BIGINT) AS nh,
+           |    CAST(SUM(CAST(floor(value * 10.0 + 0.5) AS BIGINT)) AS BIGINT) AS sh,
+           |    CAST(SUM(CAST(floor(value * 10.0 + 0.5) AS BIGINT)
+           |           * CAST(floor(value * 10.0 + 0.5) AS BIGINT)) AS BIGINT) AS sqh
+           |  FROM events GROUP BY 1, 2),
+           |r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY event_type
+           |    ORDER BY sh * 1000000 // nh DESC, h ASC) AS rn
+           |  FROM hourly)
+           |SELECT event_type, CAST(SUM(nh) AS BIGINT) AS n,
+           |  CAST((SUM(sh * sh // nh) - SUM(sh) * SUM(sh) // SUM(nh)) * 1000000
+           |    // GREATEST(SUM(sqh) - SUM(sh) * SUM(sh) // SUM(nh), 1) AS BIGINT)
+           |    AS strength_x1m,
+           |  CAST(MAX(CASE WHEN rn = 1 THEN h END) AS BIGINT) AS peak_hour,
+           |  CAST(MAX(CASE WHEN rn = 1 THEN sh * 10 // nh END) AS BIGINT)
+           |    AS peak_mean_x100
+           |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)
+  )
+
+  /** Microseconds per week (q178/q179's reporting grain). */
+  val WeekUs: Long = 7L * 24 * 3600 * 1000000L
+
+  /** q178: week-over-week growth report — weekly purchase revenue and
+    * event volume with lagged deltas ×1e6 (the executive trendline):
+    * one corpus-sized (week) agg with map-side combine, then lag
+    * windows over the metadata-sized week frame. First week reports -1
+    * sentinels (no prior), keeping the output engine-total. */
+  val q178WowGrowth = QueryDef(
+    "q178_wow_growth",
+    (s, d) => {
+      val w = Window.partitionBy(lit(0)).orderBy("week")
+      Tables.events(s, d)
+        .select(expr(s"ts_ns DIV 1000 DIV $WeekUs").as("week"),
+          col("event_type"),
+          floor(col("value") * 10.0 + 0.5).cast(LongType).as("v"))
+        .groupBy("week")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", col("v")).otherwise(0L))
+            .as("rev_x10"))
+        .withColumn("prev_rev", lag(col("rev_x10"), 1).over(w))
+        .withColumn("growth_x1m",
+          when(col("prev_rev").isNull || col("prev_rev") === 0, -1L)
+            .otherwise(expr("(rev_x10 - prev_rev) * 1000000 DIV prev_rev")))
+        .select("week", "n_events", "rev_x10", "growth_x1m")
+        .orderBy("week")
+    },
+    Some(s"""WITH wk AS (
+           |  SELECT epoch_us(ts) // $WeekUs AS week,
+           |    CAST(COUNT(*) AS BIGINT) AS n_events,
+           |    CAST(SUM(CASE WHEN event_type = 'purchase'
+           |      THEN CAST(floor(value * 10.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+           |      AS rev_x10
+           |  FROM events GROUP BY 1)
+           |SELECT week, n_events, rev_x10,
+           |  CAST(COALESCE((rev_x10 - lag(rev_x10, 1) OVER (ORDER BY week)) * 1000000
+           |    // NULLIF(lag(rev_x10, 1) OVER (ORDER BY week), 0), -1) AS BIGINT)
+           |    AS growth_x1m
+           |FROM wk ORDER BY week""".stripMargin)
+  )
+
+  /** q179: cohort LTV triangle — the lifetime-value matrix growth teams
+    * steer by: users cohorted by first-seen week, revenue accumulated
+    * by cohort age, each cell the CUMULATIVE per-cohort revenue through
+    * that age (the "LTV curve" read along a row; reading columns gives
+    * the q89 retention complement in revenue terms).
+    *
+    * Plan shape at 100 TB: first-seen is one user-keyed min-agg, the
+    * (cohort, age) cells one more agg over the joined stream (both
+    * map-side combinable), and the cumulative window runs over the
+    * weeks² metadata triangle, never the corpus. */
+  val q179CohortLtv = QueryDef(
+    "q179_cohort_ltv",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts_ns DIV 1000 DIV $WeekUs").as("week"),
+          col("event_type"),
+          floor(col("value") * 10.0 + 0.5).cast(LongType).as("v"))
+      val cohort = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+      val cells = ev.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("age_week"))
+        .agg(sum(when(col("event_type") === "purchase", col("v")).otherwise(0L))
+          .as("rev_x10"))
+      val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_users"))
+      val w = Window.partitionBy("cohort_week").orderBy("age_week")
+      cells.join(broadcast(sizes), Seq("cohort_week"))
+        .withColumn("cum_rev_x10", sum(col("rev_x10")).over(w))
+        .select("cohort_week", "age_week", "cohort_users", "rev_x10", "cum_rev_x10")
+        .orderBy("cohort_week", "age_week")
+    },
+    Some(s"""WITH ev AS (
+           |  SELECT user_id, epoch_us(ts) // $WeekUs AS week, event_type,
+           |    CAST(floor(value * 10.0 + 0.5) AS BIGINT) AS v
+           |  FROM events),
+           |cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id),
+           |cells AS (
+           |  SELECT cohort_week, week - cohort_week AS age_week,
+           |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN v ELSE 0 END) AS BIGINT)
+           |      AS rev_x10
+           |  FROM ev JOIN cohort USING (user_id) GROUP BY 1, 2),
+           |sizes AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+           |          FROM cohort GROUP BY 1)
+           |SELECT cohort_week, age_week, cohort_users, rev_x10,
+           |  CAST(SUM(rev_x10) OVER (PARTITION BY cohort_week ORDER BY age_week) AS BIGINT)
+           |    AS cum_rev_x10
+           |FROM cells JOIN sizes USING (cohort_week)
+           |ORDER BY cohort_week, age_week""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
     q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency,
     q109SessionPaths, q115Attribution, q119LatestState, q122Transitions,
     q125PeakConcurrency, q133TimeWeightedAvg, q137TrailingDistinct, q145AbTest,
     q146Scd2History, q152DecayedEngagement, q159Cuped, q168Scd2Enrich,
-    q171UShapedAttribution)
+    q171UShapedAttribution, q177Seasonality, q178WowGrowth, q179CohortLtv)
 }

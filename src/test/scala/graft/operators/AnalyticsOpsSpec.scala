@@ -535,4 +535,53 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  private def eventTuples(): Array[(Long, Long, String, Long)] =
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"),
+        col("event_type"), floor(col("value") * 10.0 + 0.5).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+
+  test("q177: seasonality surrogate ≡ sequential ANOVA bookkeeping") {
+    val rows = EventOps.q177Seasonality.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val ev = eventTuples()
+    for ((tpe, n, strength, peakH, peakMean) <- rows) {
+      val vs = ev.filter(_._3 == tpe).map(e => ((e._2 / EventOps.HourUsC) % 24, e._4))
+      assert(n == vs.length.toLong)
+      val byH = vs.groupBy(_._1).map { case (h, xs) =>
+        (h, xs.length.toLong, xs.map(_._2).sum) }.toSeq
+      val (s, svv) = (vs.map(_._2).sum, vs.map(v => v._2 * v._2).sum)
+      val ssb = byH.map { case (_, nh, sh) => sh * sh / nh }.sum - s * s / n
+      val sst = svv - s * s / n
+      assert(strength == ssb * 1000000L / math.max(sst, 1L), s"$tpe strength")
+      assert(strength >= 0 && strength <= 1000000L)
+      val best = byH.minBy { case (h, nh, sh) => (-(sh * 1000000L / nh), h) }
+      assert(peakH == best._1 && peakMean == best._3 * 10 / best._2, s"$tpe peak")
+    }
+  }
+
+  test("q178/q179: weekly rollups are internally consistent and conserve revenue") {
+    val wow = EventOps.q178WowGrowth.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = eventTuples()
+    val totalRev = ev.filter(_._3 == "purchase").map(_._4).sum
+    assert(wow.map(_._2).sum == ev.length.toLong, "event mass partitions into weeks")
+    assert(wow.map(_._3).sum == totalRev, "revenue conserves across weeks")
+    assert(wow.head._4 == -1L, "first week has no prior")
+    wow.sliding(2).foreach { case Array(a, b) =>
+      if (a._3 > 0) assert(b._4 == (b._3 - a._3) * 1000000L / a._3)
+    }
+    val ltv = EventOps.q179CohortLtv.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(ltv.map(_._4).sum == totalRev, "LTV triangle conserves total revenue")
+    // cumulative column is the running sum of the cell column per cohort
+    ltv.groupBy(_._1).foreach { case (_, cells) =>
+      val sorted = cells.sortBy(_._2)
+      assert(sorted.map(_._4).scanLeft(0L)(_ + _).tail.toSeq == sorted.map(_._5).toSeq)
+    }
+    // cohort sizes partition the user base
+    val users = ev.map(_._1).distinct.length.toLong
+    assert(ltv.groupBy(_._1).map(_._2.head._3).sum == users)
+  }
+
 }
