@@ -608,6 +608,96 @@ object ScaleSmoke {
       s"substring dedup: each planted doc must carry ONE bounded maximal region, got $sdMaxSpans/$sdMaxChars")
     println("[smoke] OK — substring dedup at " + sdDocs + " docs")
 
+    // ---- phase 10: label-propagation communities at scale (q160/q170) ----
+    // 200k nodes in 2,000 planted blocks of 100; each node gets 6 pseudo-
+    // random edges INSIDE its block plus 1-in-50 nodes one cross-block
+    // noise edge. Gates: the 3 synchronous LPA rounds must coarsen hard
+    // (≪ nodes communities), label every vertex exactly once, and the
+    // resulting partition's integer modularity must reflect the planted
+    // structure (Q > 0.3 — random labels give ~0).
+    val nLpa = sys.env.getOrElse("SPARK_GRAFT_SMOKE_LPANODES", "200000").toLong
+    val blockSz = 100L
+    val lpaBase = spark.range(nLpa).toDF("src")
+    val inBlock = (k: Int) =>
+      ((col("src") - pmod(col("src"), lit(blockSz))) +
+        pmod(xxhash64(col("src"), lit(k)), lit(blockSz))).as("dst")
+    val lpaRaw = (0 until 6).map(k => lpaBase.select(col("src"), inBlock(k)))
+      .reduce(_ unionByName _)
+      .unionByName(lpaBase.filter(col("src") % 50 === 0)
+        .select(col("src"), pmod(xxhash64(col("src"), lit(99)), lit(nLpa)).as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+      .repartition(32).localCheckpoint()
+    val lpaNbr = lpaRaw.select(col("a").as("v"), col("b").as("u"))
+      .unionByName(lpaRaw.select(col("b").as("v"), col("a").as("u"))).localCheckpoint()
+    val tLpa = System.nanoTime()
+    val lpaL = graft.operators.PageRank.lpaLabels(lpaNbr).cache()
+    val lpaVertices = lpaL.count()
+    val lpaComms = lpaL.select("lbl").distinct().count()
+    val lpaSecs = (System.nanoTime() - tLpa) / 1e9
+    // integer modularity of the partition (the q170 formula)
+    val mEdges = lpaRaw.count()
+    val la = lpaL.select(col("v").as("a"), col("lbl").as("la"))
+    val lb = lpaL.select(col("v").as("b"), col("lbl").as("lb"))
+    val eIn = lpaRaw.join(la, Seq("a")).join(lb, Seq("b"))
+      .filter(col("la") === col("lb")).count()
+    val degSq = lpaNbr.groupBy("v").agg(count(lit(1)).as("deg"))
+      .join(lpaL, Seq("v")).groupBy("lbl").agg(sum(col("deg")).as("dc"))
+      .agg(sum(col("dc") * col("dc"))).head().getLong(0)
+    val qX1m = eIn * 1000000L / mEdges - degSq * 1000000L / (4L * mEdges * mEdges)
+    println(f"[smoke] lpa: $lpaVertices vertices / $mEdges edges -> $lpaComms communities " +
+      f"in $lpaSecs%.1f s, modularity ${qX1m / 1e6}%.3f")
+    report ++= Seq("lpa_nodes" -> lpaVertices, "lpa_edges" -> mEdges,
+      "lpa_communities" -> lpaComms, "lpa_secs" -> lpaSecs, "lpa_q_x1m" -> qX1m)
+    assert(lpaComms < lpaVertices / 10,
+      s"LPA failed to coarsen: $lpaComms communities at $lpaVertices vertices")
+    assert(qX1m > 300000L, s"planted-block modularity too low: $qX1m")
+    lpaL.unpersist()
+    println("[smoke] OK — label propagation at " + lpaVertices + " vertices")
+
+    spark.catalog.clearCache()
+
+    // ---- phase 11: greedy k-center at scale (the q157 engine) ----
+    // 2M 16-dim integer vectors in a bounded [0,1000)^16 box plus ONE
+    // planted far outlier at 100,000^16. Greedy farthest-point must pick
+    // the outlier FIRST after the seed — the selection property the
+    // coreset depends on — with k narrow scans and no corpus shuffle.
+    val nKc = sys.env.getOrElse("SPARK_GRAFT_SMOKE_KCVECS", "2000000").toLong
+    val outlierId = nKc - 1
+    val kcVecs = spark.range(nKc).toDF("vec_id")
+      .select(col("vec_id"),
+        when(col("vec_id") === outlierId,
+          array((0 until 16).map(_ => lit(100000L)): _*))
+          .otherwise(array((0 until 16).map(k =>
+            pmod(xxhash64(col("vec_id"), lit(k)), lit(1000L))): _*)).as("iv"))
+      .repartition(32).localCheckpoint()
+    def kcSq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    val tKc = System.nanoTime()
+    var kcCenters = kcVecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("cid"), col("iv").as("cv")).localCheckpoint()
+    var kcPicks = Seq.empty[Long]
+    (1 to 4).foreach { _ =>
+      val cs = kcCenters.agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
+      val pick = kcVecs.crossJoin(broadcast(cs))
+        .filter(!array_contains(transform(col("cs"), c => c.getField("cid")), col("vec_id")))
+        .select(col("vec_id"), col("iv"),
+          array_min(transform(col("cs"), c => kcSq(col("iv"), c.getField("cv")))).as("md"))
+        .orderBy(col("md").desc, col("vec_id").asc).limit(1).localCheckpoint()
+      kcPicks :+= pick.head().getLong(0)
+      kcCenters = kcCenters.unionByName(
+        pick.select(col("vec_id").as("cid"), col("iv").as("cv"))).localCheckpoint()
+    }
+    val kcSecs = (System.nanoTime() - tKc) / 1e9
+    println(f"[smoke] k-center: $nKc vectors, 4 greedy picks in $kcSecs%.1f s — picks $kcPicks")
+    report ++= Seq("kc_vectors" -> nKc, "kc_secs" -> kcSecs,
+      "kc_first_pick" -> kcPicks.head)
+    assert(kcPicks.head == outlierId,
+      s"planted outlier $outlierId not picked first: $kcPicks")
+    assert(kcPicks.distinct.size == 4, "greedy picks must be distinct")
+    println("[smoke] OK — k-center at " + nKc + " vectors")
+
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_SMOKE.json"),
       jsonOf(report) + "\n")
     println("[smoke] wrote SCALE_SMOKE.json")

@@ -1306,10 +1306,66 @@ object EventOps {
            |ORDER BY cohort_week, age_week""".stripMargin)
   )
 
+  /** q181: revenue-concentration audit (exact Gini + top-1% share) —
+    * the inequality statistics that decide whether q84's salting /
+    * q118's skew report are needed BEFORE a job hits the hot keys: Gini
+    * over per-user purchase revenue via the rank formula
+    * G = 2·Σ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n, exact in ×1e6 fixed point
+    * (Σ i·x₍ᵢ₎ ties are rank-order invariant, so the deterministic
+    * (rev, user) sort makes both engines agree bit-for-bit; magnitude
+    * documented: 2e6·Σi·x ≈ 1e18 < 2^63 at the tested SFs), plus the
+    * revenue share of the top ⌈n/100⌉ users. Zero-revenue users count —
+    * inequality over the full base, not just buyers.
+    *
+    * Plan shape at 100 TB: one user-keyed agg reduces the corpus, then
+    * the ranked prefix sums run over the USER frame (q147's histogram
+    * narrowing is the documented alternative when even users overflow a
+    * sort). Output is one row. */
+  val q181GiniConcentration = QueryDef(
+    "q181_gini_concentration",
+    (s, d) => {
+      val byUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase",
+          floor(col("value") * 10.0 + 0.5).cast(LongType)).otherwise(0L)).as("rev"))
+      val wAsc = Window.partitionBy(lit(0)).orderBy(col("rev").asc, col("user_id").asc)
+      val ranked = byUser
+        .withColumn("i", row_number().over(wAsc).cast(LongType))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(0))))
+        .withColumn("is_top", col("i") > col("n") - expr("(n + 99) DIV 100"))
+      ranked.agg(max(col("n")).as("n_users"), sum(col("rev")).as("total_x10"),
+          sum(col("i") * col("rev")).as("ixr"),
+          sum(when(col("is_top"), col("rev")).otherwise(0L)).as("top_rev"))
+        .select(col("n_users"), col("total_x10"),
+          expr("2 * ixr * 1000000 DIV (n_users * total_x10)" +
+            " - (n_users + 1) * 1000000 DIV n_users").as("gini_x1m"),
+          expr("top_rev * 1000000 DIV total_x10").as("top1pct_share_x1m"))
+    },
+    Some("""WITH u AS (
+           |  SELECT user_id,
+           |    CAST(SUM(CASE WHEN event_type = 'purchase'
+           |      THEN CAST(floor(value * 10.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+           |      AS rev
+           |  FROM events GROUP BY user_id),
+           |r AS (
+           |  SELECT rev,
+           |    CAST(row_number() OVER (ORDER BY rev ASC, user_id ASC) AS BIGINT) AS i,
+           |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+           |  FROM u)
+           |SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+           |  CAST(SUM(rev) AS BIGINT) AS total_x10,
+           |  CAST(2 * SUM(i * rev) * 1000000 // (MAX(n) * SUM(rev))
+           |    - (MAX(n) + 1) * 1000000 // MAX(n) AS BIGINT) AS gini_x1m,
+           |  CAST(SUM(CASE WHEN i > n - (n + 99) // 100 THEN rev ELSE 0 END) * 1000000
+           |    // SUM(rev) AS BIGINT) AS top1pct_share_x1m
+           |FROM r""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
     q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency,
     q109SessionPaths, q115Attribution, q119LatestState, q122Transitions,
     q125PeakConcurrency, q133TimeWeightedAvg, q137TrailingDistinct, q145AbTest,
     q146Scd2History, q152DecayedEngagement, q159Cuped, q168Scd2Enrich,
-    q171UShapedAttribution, q177Seasonality, q178WowGrowth, q179CohortLtv)
+    q171UShapedAttribution, q177Seasonality, q178WowGrowth, q179CohortLtv,
+    q181GiniConcentration)
 }

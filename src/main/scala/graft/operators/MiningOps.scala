@@ -913,9 +913,124 @@ object MiningOps {
            |FROM x GROUP BY t ORDER BY t""".stripMargin)
   )
 
+  /** q180: decile gains table (lift chart) — the third leg of the eval
+    * suite (q174 discrimination, q175 calibration): rank by score,
+    * split into ten equal-count bins, and report per-decile positive
+    * concentration plus the CUMULATIVE capture curve — the table a
+    * targeting/filtering decision actually reads ("keep the top 30 % of
+    * docs by score → x % of the positives"). Lift = decile rate over
+    * base rate, ×1e6 with the q103 pre-divided shape; on the null-signal
+    * corpus lifts hover at 1e6 and capture tracks the diagonal, the
+    * q174 A/A argument again.
+    *
+    * Plan note: the decile needs global ranks — a corpus-ordered window
+    * here; the scale path replaces it with q167's sampled boundaries or
+    * q174's histogram ranks (documented), identical downstream. */
+  val q180GainsTable = QueryDef(
+    "q180_gains_table",
+    (s, d) => {
+      val wAll = Window.partitionBy(lit(0))
+      val w = wAll.orderBy(col("score_x1m").desc, col("doc_id").asc)
+      val base = enScores(s, d)
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("decile", expr("(rn - 1) * 10 DIV n"))
+      val wc = Window.partitionBy(lit(0)).orderBy("decile")
+      base.groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"), sum(col("label")).as("n_pos"),
+          max(col("n")).as("n"))
+        .withColumn("cum_pos", sum(col("n_pos")).over(wc))
+        .withColumn("tot_pos", sum(col("n_pos")).over(Window.partitionBy(lit(0))))
+        .select(col("decile"), col("n_docs"), col("n_pos"),
+          expr("(n_pos * 1000000 DIV n_docs) * n DIV greatest(tot_pos, 1)")
+            .as("lift_x1m"),
+          expr("cum_pos * 1000000 DIV greatest(tot_pos, 1)").as("cum_capture_x1m"))
+        .orderBy("decile")
+    },
+    Some(s"""WITH $enScoresSql,
+           |r AS (
+           |  SELECT label, score_x1m,
+           |    CAST(row_number() OVER (ORDER BY score_x1m DESC, doc_id ASC) AS BIGINT) AS rn,
+           |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+           |  FROM sc),
+           |dec AS (
+           |  SELECT (rn - 1) * 10 // n AS decile,
+           |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(label) AS BIGINT) AS n_pos,
+           |    CAST(MAX(n) AS BIGINT) AS n
+           |  FROM r GROUP BY 1)
+           |SELECT decile, n_docs, n_pos,
+           |  CAST((n_pos * 1000000 // n_docs) * n
+           |    // GREATEST(SUM(n_pos) OVER (), 1) AS BIGINT) AS lift_x1m,
+           |  CAST(SUM(n_pos) OVER (ORDER BY decile) * 1000000
+           |    // GREATEST(SUM(n_pos) OVER (), 1) AS BIGINT) AS cum_capture_x1m
+           |FROM dec ORDER BY decile""".stripMargin)
+  )
+
+  /** q182's replica count and the Poisson(1) CDF ×1e6 (P[X≤k] for
+    * k = 0..3; the ≥4 tail closes the last band) — shared constants so
+    * no float exp() reaches either engine. */
+  val BootReplicas = 20
+  val PoissonCdfX1m = Seq(367879L, 735759L, 919699L, 981012L)
+
+  /** q182: Poisson-bootstrap uncertainty — THE bootstrap that works on
+    * a cluster (Chamandy et al., Google 2012): resampling n-out-of-n
+    * needs global coordination, but Poisson(1) per-row weights are
+    * independent, so each row draws its weight for all B replicas from
+    * a hash — one narrow pass, B hash-agg cells per metric, fully
+    * map-side combinable, no corpus reshuffle. Here: B = 20 replica
+    * means of the purchase value, each row's replica weight dealt by
+    * the md5 bridge against the shared integer CDF. The replica spread
+    * IS the standard-error estimate a significance readout (q145/q159)
+    * would otherwise get parametrically.
+    *
+    * Determinism: weights are a pure function of (event_id, replica) —
+    * identical in both engines; replica means are integer DIV. */
+  val q182PoissonBootstrap = QueryDef(
+    "q182_poisson_bootstrap",
+    (s, d) => {
+      val u = pmod(conv(substring(md5(concat_ws("#",
+        col("event_id"), col("b"))), 1, 15), 16, 10).cast(LongType), lit(1000000L))
+      val cdf = PoissonCdfX1m
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          floor(col("value") * 10.0 + 0.5).cast(LongType).as("v"))
+        .withColumn("b", explode(typedLit((0 until BootReplicas).toArray)))
+        .withColumn("u", u)
+        .withColumn("w",
+          when(col("u") < cdf(0), 0L).when(col("u") < cdf(1), 1L)
+            .when(col("u") < cdf(2), 2L).when(col("u") < cdf(3), 3L)
+            .otherwise(4L))
+        .groupBy(col("b").cast(LongType).as("replica"))
+        .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("v")).as("sv"))
+        .select(col("replica"), col("n_eff"),
+          expr("sv DIV greatest(n_eff, 1)").as("mean_x10"))
+        .orderBy("replica")
+    },
+    Some(s"""WITH p AS (
+           |  SELECT event_id, CAST(floor(value * 10.0 + 0.5) AS BIGINT) AS v
+           |  FROM events WHERE event_type = 'purchase'),
+           |x AS (
+           |  SELECT CAST(b AS BIGINT) AS replica, v,
+           |    CAST(('0x' || substr(md5(event_id || '#' || b), 1, 15)) AS BIGINT)
+           |      % 1000000 AS u
+           |  FROM p, range(0, $BootReplicas) t(b)),
+           |wtd AS (
+           |  SELECT replica, v,
+           |    CASE WHEN u < ${PoissonCdfX1m(0)} THEN 0
+           |         WHEN u < ${PoissonCdfX1m(1)} THEN 1
+           |         WHEN u < ${PoissonCdfX1m(2)} THEN 2
+           |         WHEN u < ${PoissonCdfX1m(3)} THEN 3 ELSE 4 END AS w
+           |  FROM x)
+           |SELECT replica, CAST(SUM(w) AS BIGINT) AS n_eff,
+           |  CAST(SUM(w * v) // GREATEST(SUM(w), 1) AS BIGINT) AS mean_x10
+           |FROM wtd GROUP BY replica ORDER BY replica""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile,
     q110PercentileNorm, q114TopkPerGroup, q126GroupOls, q127ChangePoint,
     q131EquidepthHist, q141KAnonymity, q147ExactMedian, q164BenfordAudit,
     q169Winsorize, q172AprioriTriples, q174ExactAuc, q175Reliability,
-    q176LearningCurve)
+    q176LearningCurve, q180GainsTable, q182PoissonBootstrap)
 }

@@ -566,8 +566,9 @@ object PageRank {
   }
 
   /** Final labels after [[LpaRounds]] synchronous mode-label rounds over
-    * the (v, u) neighbor relation — shared by q160 and q170. */
-  private def lpaLabels(nbr: DataFrame): DataFrame = {
+    * the (v, u) neighbor relation — shared by q160, q170 and the
+    * ScaleSmoke community phase. */
+  def lpaLabels(nbr: DataFrame): DataFrame = {
     var labels = nbr.select(col("v")).distinct()
       .withColumn("lbl", col("v")).localCheckpoint()
     val w = Window.partitionBy("v").orderBy(col("cnt").desc, col("lbl").asc)

@@ -19,19 +19,25 @@ class BenchSpec extends AnyFunSuite {
     assert(!line.contains("\n"))
   }
 
-  test("per-query medians keep at least 2-decimal precision in the tail line") {
-    // r5 decision: past ~135 queries the 3-decimal map cannot fit the
-    // 1,900-char tail window, so the tail line carries 2 decimals (10 ms
-    // resolution — enough for the driver's cross-round comparisons) and
-    // full precision lives in BENCH.json. What must NEVER happen silently
-    // is dropping to 1 decimal or losing the per-query map entirely.
+  test("per-query medians keep at least 1-decimal precision in the tail line") {
+    // r5 decision, amended at 182 queries: the key ladder (qNN → bare
+    // registry number) and the n_failed:0 elision kept 2 decimals to
+    // ~176 queries; past that the arithmetic is unforgiving (~11 chars
+    // per 2-decimal entry × registry > window), so the tail guarantees
+    // 1 decimal (100 ms) — the driver's cross-round per-query signal
+    // survives — and FULL 3-decimal medians live in BENCH.json, which is
+    // committed in-repo every round. What must NEVER happen silently is
+    // losing the per-query map from the tail entirely (headroom at 1
+    // decimal: ~205 queries; revisit the encoding before crossing it).
     assert(names.size >= 94, s"registry shrank to ${names.size} queries")
     val results = names.map(_ -> 1.234567)
     val line = Bench.compactLine(12.3456, 98.7654, results, "/root/testdata/sf0.1", 5)
     assert(line.length <= Bench.MaxLineChars, s"line is ${line.length} chars")
-    assert(line.contains("\":1.23"),
-      s"per-query precision fell below 2 decimals at ${names.size} queries " +
+    assert(line.contains("\":1.2"),
+      s"per-query precision fell below 1 decimal at ${names.size} queries " +
         s"(line is ${line.length} chars)")
+    assert(line.contains("\"queries\":{"),
+      s"per-query map fell out of the tail at ${names.size} queries")
   }
 
   test("compact bench line degrades but still fits at adversarial timings") {

@@ -584,4 +584,24 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(ltv.groupBy(_._1).map(_._2.head._3).sum == users)
   }
 
+  test("q181: Gini and top-share ≡ sequential rank-formula recompute") {
+    val Array(row) = EventOps.q181GiniConcentration.run(spark, sfDir).collect()
+    val (nU, tot, gini, topShare) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val ev = eventTuples()
+    val byUser = ev.groupBy(_._1).map { case (u, rows) =>
+      (u, rows.collect { case (_, _, "purchase", v) => v }.sum)
+    }.toSeq.sortBy { case (u, rev) => (rev, u) }
+    val n = byUser.length.toLong
+    assert(nU == n && tot == byUser.map(_._2).sum)
+    val ixr = byUser.zipWithIndex.map { case ((_, rev), i) => (i + 1L) * rev }.sum
+    assert(gini == 2 * ixr * 1000000L / (n * tot) - (n + 1) * 1000000L / n)
+    assert(gini >= 0 && gini < 1000000L)
+    val topK = (n + 99) / 100
+    val expTop = byUser.takeRight(topK.toInt).map(_._2).sum * 1000000L / tot
+    assert(topShare == expTop)
+    // concentration is real: the top 1% holds more than 1% of revenue
+    assert(topShare > 10000L)
+  }
+
 }

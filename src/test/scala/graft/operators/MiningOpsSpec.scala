@@ -282,4 +282,65 @@ class MiningOpsSpec extends SparkSpec {
     assert(rows.map(_._2).toSeq == sets.map(_.size.toLong))
   }
 
+  test("q180: gains table ≡ driver recompute; capture curve is monotone to 1e6") {
+    val rows = MiningOps.q180GainsTable.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val sc = Tables.documents(spark, sfDir).select("doc_id", "lang", "text").collect()
+      .flatMap { r =>
+        val toks = r.getString(2).toLowerCase.split(" ").filter(_.nonEmpty)
+        if (toks.isEmpty) None
+        else Some((r.getLong(0), if (r.getString(1) == "en") 1L else 0L,
+          toks.count(Set("the", "and", "of", "is")).toLong * 1000000L / toks.length))
+      }.sortBy { case (id, _, s) => (-s, id) }
+    val n = sc.length.toLong
+    val totPos = sc.map(_._2).sum
+    val expect = sc.zipWithIndex
+      .groupBy { case (_, idx) => idx.toLong * 10 / n }
+      .toSeq.sortBy(_._1)
+      .scanLeft((-1L, 0L, 0L, 0L)) { case ((_, _, _, cum), (dec, xs)) =>
+        val pos = xs.map(_._1._2).sum
+        (dec, xs.length.toLong, pos, cum + pos)
+      }.tail
+      .map { case (dec, nd, pos, cum) =>
+        (dec, nd, pos, (pos * 1000000L / nd) * n / math.max(totPos, 1L),
+          cum * 1000000L / math.max(totPos, 1L))
+      }
+    assert(rows.toSeq == expect, "deciles ≡ sequential ranking")
+    assert(rows.map(_._1).toSeq == (0L to 9L))
+    assert(rows.last._5 == 1000000L, "full capture at decile 9")
+    assert(rows.map(_._5).toSeq == rows.map(_._5).sorted.toSeq, "capture monotone")
+  }
+
+  test("q182: Poisson-bootstrap replicas ≡ md5 recompute; weights behave") {
+    val rows = MiningOps.q182PoissonBootstrap.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (0L until MiningOps.BootReplicas.toLong))
+    val p = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), floor(col("value") * 10.0 + 0.5).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def weight(eid: Long, b: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$eid#$b".getBytes).map("%02x".format(_)).mkString.take(15)
+      val u = java.lang.Long.parseLong(hex, 16) % 1000000L
+      val c = MiningOps.PoissonCdfX1m
+      if (u < c(0)) 0L else if (u < c(1)) 1L else if (u < c(2)) 2L
+      else if (u < c(3)) 3L else 4L
+    }
+    for ((b, nEff, mean) <- rows) {
+      val ws = p.map { case (eid, v) => (weight(eid, b), v) }
+      val (sw, swv) = (ws.map(_._1).sum, ws.map { case (w, v) => w * v }.sum)
+      assert(nEff == sw, s"replica $b effective n")
+      assert(mean == swv / math.max(sw, 1L), s"replica $b mean")
+      // Poisson(1): effective mass within ±20% of the base count
+      assert(math.abs(sw - p.length) < p.length / 5, s"replica $b weight mass $sw")
+    }
+    // replica means cluster around the point estimate (bootstrap spread)
+    val means = rows.map(_._3)
+    val base = p.map(_._2).sum / p.length
+    assert(means.forall(m => math.abs(m - base) < base / 5))
+    assert(md != null)
+  }
+
 }
