@@ -1361,11 +1361,193 @@ object EventOps {
            |FROM r""".stripMargin)
   )
 
+  /** q183: clamped running balance — a prepaid-credit wallet where
+    * purchases top up and views draw down, floored at zero (no negative
+    * balance). The clamp makes the scan NONLINEAR, so no single window
+    * `sum` computes it — but the recurrence `b_i = max(0, b_{i-1} + d_i)`
+    * has a closed form over the UNclamped prefix sums P:
+    * `b_n = P_n - min(0, min_{j<=n} P_j)`, turning a sequential fold into
+    * three stacked windows (running sum → running min → lag). A clamp
+    * fires exactly when P sets a new strict minimum below every earlier
+    * floor, i.e. `P_j < min(0, rm_{j-1})`.
+    *
+    * Scale: all three window levels share the user partitioning, so
+    * Catalyst plans ONE user-keyed exchange with consecutive WindowExecs
+    * over it — the per-user sequential semantics costs a single shuffle,
+    * vs mapGroups re-sorting or an iterative driver loop. */
+  val q183ClampedBalance = QueryDef(
+    "q183_clamped_balance",
+    (s, d) => {
+      val cents = floor(col("value") * 100.0 + 0.5).cast(LongType)
+      val w = Window.partitionBy("user_id").orderBy(col("ts_ns").asc, col("event_id").asc)
+      val staged = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          when(col("event_type") === "purchase", cents).otherwise(-cents).as("delta"))
+        .withColumn("p", sum("delta").over(w))
+        .withColumn("rm", min("p").over(w))
+        .withColumn("bal", col("p") - least(lit(0L), col("rm")))
+        .withColumn("clamped",
+          col("p") < least(lit(0L), coalesce(lag("rm", 1).over(w), lit(Long.MaxValue))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("ts_ns").desc, col("event_id").desc)))
+      staged.groupBy("user_id")
+        .agg(max(when(col("rn") === 1, col("bal"))).as("final_bal_c"),
+          max("bal").as("peak_bal_c"),
+          sum(when(col("clamped"), 1L).otherwise(0L)).as("n_clamps"),
+          count(lit(1)).as("n_tx"))
+        .orderBy("user_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+           |    CASE WHEN event_type = 'purchase'
+           |      THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+           |      ELSE -CAST(floor(value * 100.0 + 0.5) AS BIGINT) END AS delta
+           |  FROM events WHERE event_type IN ('purchase', 'view')),
+           |a AS (
+           |  SELECT *, SUM(delta) OVER win AS p FROM t
+           |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+           |b AS (
+           |  SELECT *, MIN(p) OVER win AS rm FROM a
+           |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+           |c AS (
+           |  SELECT user_id, ts_ns, event_id,
+           |    p - LEAST(0, rm) AS bal,
+           |    p < LEAST(0, COALESCE(LAG(rm) OVER win, 9223372036854775807)) AS clamped,
+           |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_ns DESC, event_id DESC) AS rn
+           |  FROM b
+           |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_ns, event_id))
+           |SELECT user_id,
+           |  CAST(MAX(CASE WHEN rn = 1 THEN bal END) AS BIGINT) AS final_bal_c,
+           |  CAST(MAX(bal) AS BIGINT) AS peak_bal_c,
+           |  CAST(SUM(CASE WHEN clamped THEN 1 ELSE 0 END) AS BIGINT) AS n_clamps,
+           |  CAST(COUNT(*) AS BIGINT) AS n_tx
+           |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin)
+  )
+
+  private val SessGapNs = 30L * 60 * 1000 * 1000 * 1000
+  private val FiveMinNs = 5L * 60 * 1000 * 1000 * 1000
+
+  /** q185: discrete-time survival (hazard table) over SESSION durations —
+    * the engagement readout behind "how long do visits last": sessionize
+    * with q32's 30-minute gap rule, bucket each session's duration into
+    * 5-minute bands k, and report per band how many sessions were still
+    * alive entering it (at-risk), how many ended in it, the hazard rate
+    * ended/at-risk, and cumulative end share. Kaplan-Meier's product form
+    * needs floats; the discrete hazard table carries the same information
+    * and stays integer-exact (×1e6 floor division).
+    *
+    * Scale: sessionization is one user-keyed window (the lag-island
+    * assignment) + one (user, session) agg — both map-side-friendly and
+    * sharing the user exchange; at-risk is a REVERSE cumulative sum over
+    * the duration histogram, metadata-sized by construction. */
+  val q185HazardTable = QueryDef(
+    "q185_hazard_table",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_ns").asc, col("event_id").asc)
+      val sess = Tables.events(s, d)
+        .select(col("user_id"), col("ts_ns"), col("event_id"))
+        .withColumn("new_s",
+          when(col("ts_ns") - coalesce(lag("ts_ns", 1).over(w), lit(0L))
+            > SessGapNs, 1L).otherwise(0L))
+        .withColumn("sid", sum("new_s").over(w))
+        .groupBy("user_id", "sid")
+        .agg(expr(s"(max(ts_ns) - min(ts_ns)) DIV $FiveMinNs").as("k"))
+      val byK = sess.groupBy("k").agg(count(lit(1)).as("n_ended"))
+      val wDesc = Window.partitionBy(lit(0)).orderBy(col("k").desc)
+      val wAsc = Window.partitionBy(lit(0)).orderBy(col("k").asc)
+      byK
+        .withColumn("at_risk", sum("n_ended").over(wDesc))
+        .withColumn("total", sum("n_ended").over(Window.partitionBy(lit(0))))
+        .withColumn("cum", sum("n_ended").over(wAsc))
+        .select(col("k"), col("n_ended"), col("at_risk"),
+          expr("n_ended * 1000000 DIV at_risk").as("hazard_x1m"),
+          expr("cum * 1000000 DIV total").as("cum_end_x1m"))
+        .orderBy("k")
+    },
+    Some(s"""WITH t AS (
+           |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id FROM events),
+           |g AS (
+           |  SELECT user_id, ts_ns, event_id,
+           |    CASE WHEN ts_ns - COALESCE(LAG(ts_ns) OVER win, 0)
+           |      > ${SessGapNs} THEN 1 ELSE 0 END AS new_s
+           |  FROM t WINDOW win AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+           |si AS (
+           |  SELECT user_id, ts_ns,
+           |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS sid
+           |  FROM g),
+           |sess AS (
+           |  SELECT user_id, sid,
+           |    (MAX(ts_ns) - MIN(ts_ns)) // ${FiveMinNs} AS k
+           |  FROM si GROUP BY user_id, sid),
+           |h AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_ended FROM sess GROUP BY k)
+           |SELECT k, n_ended,
+           |  CAST(SUM(n_ended) OVER (ORDER BY k DESC) AS BIGINT) AS at_risk,
+           |  CAST(n_ended * 1000000 // SUM(n_ended) OVER (ORDER BY k DESC)
+           |    AS BIGINT) AS hazard_x1m,
+           |  CAST(SUM(n_ended) OVER (ORDER BY k ASC) * 1000000
+           |    // SUM(n_ended) OVER () AS BIGINT) AS cum_end_x1m
+           |FROM h ORDER BY k""".stripMargin)
+  )
+
+  /** q188: interval-union coverage — each event opens an activity
+    * interval `[ts, ts + value seconds)`; per user, the total UNION
+    * length (overlaps counted once) and the number of merged islands.
+    * The classic sweep ("effective uptime", ad-viewability, machine
+    * utilization) as two windows: an interval starts a new island iff
+    * its start clears every earlier end (running max-end over a
+    * 1-preceding frame), and its novel contribution is
+    * `end - greatest(start, prev_max_end)` clamped at zero — summing
+    * those IS the union length, no pairwise overlap join.
+    *
+    * Scale: one user-keyed exchange; both windows share it. Contrast
+    * with q125 (global concurrency sweep) — this one never leaves the
+    * user partition. */
+  val q188IntervalCoverage = QueryDef(
+    "q188_interval_coverage",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_ns").asc, col("event_id").asc)
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          (col("ts_ns") + (floor(col("value") * 1000.0 + 0.5).cast(LongType) * 1000000L))
+            .as("end_ns"))
+        .withColumn("prev_end", max("end_ns").over(wPrev))
+        .withColumn("contrib",
+          greatest(lit(0L),
+            col("end_ns") - greatest(col("ts_ns"), coalesce(col("prev_end"), col("ts_ns")))))
+        .withColumn("island",
+          when(col("prev_end").isNull || col("ts_ns") > col("prev_end"), 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("contrib").as("covered_ns"), sum("island").as("n_islands"),
+          count(lit(1)).as("n_intervals"))
+        .orderBy("user_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+           |    epoch_ns(ts) + CAST(floor(value * 1000.0 + 0.5) AS BIGINT) * 1000000
+           |      AS end_ns
+           |  FROM events),
+           |s AS (
+           |  SELECT user_id, ts_ns, end_ns,
+           |    MAX(end_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+           |  FROM t)
+           |SELECT user_id,
+           |  CAST(SUM(GREATEST(0, end_ns - GREATEST(ts_ns, COALESCE(prev_end, ts_ns))))
+           |    AS BIGINT) AS covered_ns,
+           |  CAST(SUM(CASE WHEN prev_end IS NULL OR ts_ns > prev_end THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_islands,
+           |  CAST(COUNT(*) AS BIGINT) AS n_intervals
+           |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
     q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency,
     q109SessionPaths, q115Attribution, q119LatestState, q122Transitions,
     q125PeakConcurrency, q133TimeWeightedAvg, q137TrailingDistinct, q145AbTest,
     q146Scd2History, q152DecayedEngagement, q159Cuped, q168Scd2Enrich,
     q171UShapedAttribution, q177Seasonality, q178WowGrowth, q179CohortLtv,
-    q181GiniConcentration)
+    q181GiniConcentration, q183ClampedBalance, q185HazardTable,
+    q188IntervalCoverage)
 }

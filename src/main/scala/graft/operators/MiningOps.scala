@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -1028,9 +1029,201 @@ object MiningOps {
            |FROM wtd GROUP BY replica ORDER BY replica""".stripMargin)
   )
 
+  /** q184: item-item collaborative filtering — the "customers who bought
+    * X also bought Y" neighbor table, the serving-side artifact of a
+    * recommender: for each part, its top-3 co-purchase neighbors by
+    * cosine² similarity `co(a,b)² / (n(a)·n(b))` (squared to stay
+    * integer; ranking-equivalent to cosine since all terms are
+    * positive). q105 mines the global rule list; this materializes a
+    * bounded PER-ITEM index.
+    *
+    * Scale: pair space is Σ basket² within orderkey (q105's a-priori
+    * shape, same heavy-basket cap policy); per-part supports n(p) are a
+    * part-keyed agg AQE-broadcast onto the pair stream; the top-3
+    * ranking window partitions by item over pair rows — never corpus
+    * rows. co ≥ 2 prunes the noise tail before the window. */
+  val q184ItemCf = QueryDef(
+    "q184_item_cf",
+    (s, d) => {
+      val op = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+      val n = op.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      val pairs = op.as("a")
+        .join(op.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("item"), col("b.l_partkey").as("neighbor"))
+        .agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 2)
+      val scored = pairs
+        .join(n.withColumnRenamed("l_partkey", "item").withColumnRenamed("n", "na"), "item")
+        .join(n.withColumnRenamed("l_partkey", "neighbor").withColumnRenamed("n", "nb"),
+          "neighbor")
+        .select(col("item"), col("neighbor"), col("co"),
+          expr("co * co * 1000000 DIV (na * nb)").as("sim_x1m"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("item").orderBy(col("sim_x1m").desc, col("neighbor").asc))
+          .cast(LongType))
+        .filter(col("rank") <= 3)
+        .orderBy("item", "rank")
+    },
+    Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |n AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM op GROUP BY 1),
+           |pairs AS (
+           |  SELECT a.l_partkey AS item, b.l_partkey AS neighbor,
+           |    CAST(COUNT(*) AS BIGINT) AS co
+           |  FROM op a JOIN op b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           |scored AS (
+           |  SELECT p.item, p.neighbor, p.co,
+           |    CAST(p.co * p.co * 1000000 // (na.n * nb.n) AS BIGINT) AS sim_x1m
+           |  FROM pairs p
+           |  JOIN n na ON na.l_partkey = p.item
+           |  JOIN n nb ON nb.l_partkey = p.neighbor)
+           |SELECT item, neighbor, co, sim_x1m,
+           |  CAST(rank AS BIGINT) AS rank
+           |FROM (SELECT *, row_number() OVER (PARTITION BY item
+           |        ORDER BY sim_x1m DESC, neighbor ASC) AS rank FROM scored)
+           |WHERE rank <= 3 ORDER BY item, rank""".stripMargin)
+  )
+
+  /** q186: weighted exact percentiles — quantity-weighted median and p90
+    * of the line-item price per return flag: "the price a typical UNIT
+    * (not a typical line) ships at". Values collapse to per-(flag, cents)
+    * weight sums FIRST, so the percentile windows run over distinct
+    * price points, not rows, and tie-handling is definitionally
+    * identical in both engines (the selected value is the smallest cents
+    * whose cumulative weight crosses the threshold — within-tie row
+    * order cannot matter because ties no longer exist).
+    *
+    * Scale: the (flag, cents) agg is map-side combinable and compresses
+    * the corpus to |distinct prices| rows; the cumulative window
+    * partitions by flag over that compressed frame. Same discipline as
+    * q147's sort-free median, generalized to arbitrary weights and
+    * quantiles. */
+  val q186WeightedMedian = QueryDef(
+    "q186_weighted_median",
+    (s, d) => {
+      val byVal = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          floor(col("l_extendedprice") * 100.0 + 0.5).cast(LongType).as("cents"),
+          floor(col("l_quantity") + 0.5).cast(LongType).as("w"))
+        .groupBy("flag", "cents").agg(sum("w").as("w"))
+      val wc = Window.partitionBy("flag").orderBy(col("cents").asc)
+      byVal
+        .withColumn("cum", sum("w").over(wc))
+        .withColumn("tot", sum("w").over(Window.partitionBy("flag")))
+        .groupBy("flag")
+        .agg(max("tot").as("total_w"),
+          min(when(col("cum") * 2 >= col("tot"), col("cents"))).as("wmedian_cents"),
+          min(when(col("cum") * 10 >= col("tot") * 9, col("cents"))).as("wp90_cents"))
+        .orderBy("flag")
+    },
+    Some("""WITH v AS (
+           |  SELECT l_returnflag AS flag,
+           |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+           |    CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS w
+           |  FROM lineitem GROUP BY 1, 2),
+           |c AS (
+           |  SELECT flag, cents, w,
+           |    SUM(w) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+           |    SUM(w) OVER (PARTITION BY flag) AS tot
+           |  FROM v)
+           |SELECT flag, CAST(MAX(tot) AS BIGINT) AS total_w,
+           |  CAST(MIN(CASE WHEN cum * 2 >= tot THEN cents END) AS BIGINT)
+           |    AS wmedian_cents,
+           |  CAST(MIN(CASE WHEN cum * 10 >= tot * 9 THEN cents END) AS BIGINT)
+           |    AS wp90_cents
+           |FROM c GROUP BY flag ORDER BY flag""".stripMargin)
+  )
+
+  /** q187's HLL geometry: 256 registers, 33-bit rank domain, and the
+    * m=256 bias constant α·1e6 (α = 0.7213/(1 + 1.079/m)). */
+  val HllBuckets = 256L
+  val HllAlphaX1m = 718214L
+
+  /** q187: a MERGEABLE cardinality sketch under an EXACT oracle —
+    * hand-rolled HyperLogLog whose every step is a deterministic integer
+    * function of the md5 bridge, so Spark and DuckDB produce
+    * bit-identical registers AND estimates (something
+    * `approx_count_distinct`'s engine-private hash can never do).
+    * Per event type: hash users to 40 bits; top 8 bits pick 1 of 256
+    * registers; the register keeps the max geometric rank (lowest-set-bit
+    * index of the remaining 32 bits — Geometric(½) for uniform bits,
+    * the same tail statistic as HLL's leading-zero count). The estimate's
+    * harmonic mean stays integer by scaling 2^{-M} to 2^{33-M}.
+    *
+    * Why it matters at 100 TB: registers are a 256-cell max-agg —
+    * map-side combinable, mergeable across partitions/days/tables with a
+    * plain `max`, constant memory. The exact distinct rides along here
+    * only to ground the error column. */
+  /** The q187 register builder, exposed so the spec can prove the sketch's
+    * defining property — registers built on any split of the data and
+    * max-merged equal the registers built on the whole. */
+  def hllRegisters(df: DataFrame, group: String, key: Column): DataFrame = {
+    val h = conv(substring(md5(key.cast(StringType)), 1, 10), 16, 10).cast(LongType)
+    df.select(col(group), h.as("h"))
+      .withColumn("bucket", expr("h DIV 4294967296"))
+      .withColumn("x", expr("h % 4294967296 + 4294967296"))
+      .withColumn("rho", expr("bit_count(x ^ (x - 1))"))
+      .groupBy(col(group), col("bucket")).agg(max("rho").as("m"))
+  }
+
+  val q187HllSketch = QueryDef(
+    "q187_hll_sketch",
+    (s, d) => {
+      val regs = hllRegisters(Tables.events(s, d), "event_type", col("user_id"))
+      val est = regs.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hit"),
+          sum(expr("CAST(1 AS BIGINT) << (33 - m)")).as("d_hit"))
+        .select(col("event_type"), col("n_hit"),
+          (col("d_hit") + (lit(HllBuckets) - col("n_hit")) * (1L << 33)).as("d"))
+        .select(col("event_type"), col("n_hit"),
+          expr(s"(${HllBuckets * HllBuckets} * ${1L << 33} DIV d) * $HllAlphaX1m DIV 1000000")
+            .as("hll_est"))
+      val exact = Tables.events(s, d).groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact"))
+      // err = est/exact − 1 in ×1e6; the division stays POSITIVE (est ≥ 0)
+      // so Spark's truncating DIV and DuckDB's flooring // agree — a signed
+      // numerator would make them differ by 1 on negative errors.
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("n_hit"), col("hll_est"), col("exact"),
+          expr("hll_est * 1000000 DIV exact - 1000000").as("err_x1m"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH h AS (
+           |  SELECT event_type,
+           |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10)) AS BIGINT)
+           |      AS h
+           |  FROM events),
+           |r AS (
+           |  SELECT event_type, h // 4294967296 AS bucket,
+           |    MAX(bit_count(xor(h % 4294967296 + 4294967296,
+           |      h % 4294967296 + 4294967296 - 1))) AS m
+           |  FROM h GROUP BY 1, 2),
+           |e AS (
+           |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hit,
+           |    CAST(SUM(1::BIGINT << (33 - m))
+           |      + (${HllBuckets} - COUNT(*)) * ${1L << 33} AS BIGINT) AS d
+           |  FROM r GROUP BY 1),
+           |x AS (
+           |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact
+           |  FROM events GROUP BY 1)
+           |SELECT e.event_type, e.n_hit,
+           |  CAST((${HllBuckets * HllBuckets} * ${1L << 33} // d)
+           |    * ${HllAlphaX1m} // 1000000 AS BIGINT) AS hll_est,
+           |  x.exact,
+           |  CAST((${HllBuckets * HllBuckets} * ${1L << 33} // d)
+           |    * ${HllAlphaX1m} // 1000000 * 1000000 // x.exact - 1000000 AS BIGINT)
+           |    AS err_x1m
+           |FROM e JOIN x ON e.event_type = x.event_type
+           |ORDER BY 1""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile,
     q110PercentileNorm, q114TopkPerGroup, q126GroupOls, q127ChangePoint,
     q131EquidepthHist, q141KAnonymity, q147ExactMedian, q164BenfordAudit,
     q169Winsorize, q172AprioriTriples, q174ExactAuc, q175Reliability,
-    q176LearningCurve, q180GainsTable, q182PoissonBootstrap)
+    q176LearningCurve, q180GainsTable, q182PoissonBootstrap, q184ItemCf,
+    q186WeightedMedian, q187HllSketch)
 }

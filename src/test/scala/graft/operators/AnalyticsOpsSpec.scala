@@ -604,4 +604,72 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(topShare > 10000L)
   }
 
+  test("q183: window closed form ≡ the sequential clamp recurrence per user") {
+    val out = EventOps.q183ClampedBalance.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        when(col("event_type") === "purchase",
+          floor(col("value") * 100.0 + 0.5).cast("long"))
+          .otherwise(-floor(col("value") * 100.0 + 0.5).cast("long")).as("delta"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty && rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, es) =>
+      var bal = 0L; var peak = 0L; var clamps = 0L
+      es.sortBy(e => (e._2, e._3)).foreach { case (_, _, _, d) =>
+        val raw = bal + d
+        if (raw < 0) { clamps += 1; bal = 0L } else bal = raw
+        peak = math.max(peak, bal)
+      }
+      val (fb, pb, nc, nt) = out(u)
+      assert(fb == bal, s"user $u final balance")
+      assert(pb == peak, s"user $u peak balance")
+      assert(nc == clamps, s"user $u clamp count")
+      assert(nt == es.length, s"user $u tx count")
+    }
+  }
+
+  test("q185: hazard table is a consistent survival decomposition") {
+    val out = EventOps.q185HazardTable.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    val total = out.map(_._2).sum
+    // at-risk at the smallest band is everyone; strictly decreasing after
+    assert(out.head._3 == total)
+    out.toSeq.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(b._3 == a._3 - a._2, "at-risk drains by exactly the band's deaths")
+      case _ => ()
+    }
+    // cumulative end share closes at 1e6 (floor-exact at the last row)
+    assert(out.last._5 == 1000000L)
+    out.foreach { case (_, ended, atRisk, hz, _) =>
+      assert(hz == ended * 1000000L / atRisk)
+    }
+  }
+
+  test("q188: union coverage ≡ driver-side interval merge per user") {
+    val out = EventOps.q188IntervalCoverage.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val iv = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_ns"),
+        (col("ts_ns") + floor(col("value") * 1000.0 + 0.5).cast("long") * 1000000L)
+          .as("end_ns"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    iv.groupBy(_._1).foreach { case (u, es) =>
+      val sorted = es.map(e => (e._2, e._3)).sortBy(identity)
+      var covered = 0L; var islands = 0L; var curEnd = Long.MinValue
+      sorted.foreach { case (s0, e0) =>
+        if (s0 > curEnd) islands += 1
+        if (e0 > curEnd) { covered += e0 - math.max(s0, curEnd); curEnd = e0 }
+      }
+      val (c, ni, nt) = out(u)
+      assert(c == covered, s"user $u covered length")
+      assert(ni == islands, s"user $u island count")
+      assert(nt == es.length)
+    }
+  }
+
 }

@@ -343,4 +343,80 @@ class MiningOpsSpec extends SparkSpec {
     assert(md != null)
   }
 
+  test("q184: neighbor table is support-consistent, bounded, and symmetric on co") {
+    val out = MiningOps.q184ItemCf.run(spark, sfDir).cache()
+    val op = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct()
+    val n = op.groupBy("l_partkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (item, nb, co, sim, rank) =>
+      assert(co <= math.min(n(item), n(nb)), s"co($item,$nb) exceeds supports")
+      assert(sim == co * co * 1000000L / (n(item) * n(nb)), "cosine² algebra")
+      assert(sim <= 1000000L && rank >= 1 && rank <= 3)
+    }
+    // co-occurrence is symmetric: co(a,b) recorded for a must equal co(b,a)
+    // wherever the pair survived the top-3 cut in both directions
+    val coMap = rows.map { case (a, b, co, _, _) => (a, b) -> co }.toMap
+    coMap.foreach { case ((a, b), co) =>
+      coMap.get((b, a)).foreach(rev => assert(rev == co, s"asymmetric co($a,$b)"))
+    }
+    // per-item rank sequences are 1..k with strictly ordered (sim desc, nb asc)
+    rows.groupBy(_._1).foreach { case (item, rs) =>
+      val sorted = rs.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1L to sorted.length).toSeq, s"ranks for $item")
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(x, y) =>
+          assert(x._4 > y._4 || (x._4 == y._4 && x._2 < y._2), s"order for $item")
+        case _ => ()
+      }
+    }
+    out.unpersist()
+  }
+
+  test("q186: weighted percentiles ≡ driver-side weighted selection per flag") {
+    val out = MiningOps.q186WeightedMedian.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents"),
+        floor(col("l_quantity") + 0.5).cast("long").as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (flag, es) =>
+      val byVal = es.groupBy(_._2).map { case (c, g) => c -> g.map(_._3).sum }
+        .toSeq.sortBy(_._1)
+      val tot = byVal.map(_._2).sum
+      def pick(num: Long, den: Long): Long = {
+        var cum = 0L
+        byVal.find { case (_, w) => cum += w; cum * den >= tot * num }.get._1
+      }
+      val (t, med, p90) = out(flag)
+      assert(t == tot, s"$flag total weight")
+      assert(med == pick(1, 2), s"$flag weighted median")
+      assert(p90 == pick(9, 10), s"$flag weighted p90")
+    }
+  }
+
+  test("q187: registers are mergeable — split-and-max equals whole-corpus build") {
+    val ev = Tables.events(spark, sfDir)
+    val whole = MiningOps.hllRegisters(ev, "event_type", col("user_id"))
+    val merged = MiningOps
+      .hllRegisters(ev.filter(col("event_id") % 2 === 0), "event_type", col("user_id"))
+      .union(MiningOps
+        .hllRegisters(ev.filter(col("event_id") % 2 === 1), "event_type", col("user_id")))
+      .groupBy("event_type", "bucket").agg(max("m").as("m"))
+    assert(whole.exceptAll(merged).count() == 0 && merged.exceptAll(whole).count() == 0,
+      "max-merge of split registers must equal the whole-corpus registers")
+    // structural sanity on the full query
+    val out = MiningOps.q187HllSketch.run(spark, sfDir).collect()
+    out.foreach { r =>
+      val (nHit, est, exact) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nHit <= math.min(256L, exact), "one register per distinct key at most")
+      assert(est > 0, "estimate positive")
+      assert(r.getLong(4) == est * 1000000L / exact - 1000000L, "error algebra")
+    }
+  }
+
 }
