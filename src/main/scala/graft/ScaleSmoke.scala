@@ -698,6 +698,41 @@ object ScaleSmoke {
     assert(kcPicks.distinct.size == 4, "greedy picks must be distinct")
     println("[smoke] OK — k-center at " + nKc + " vectors")
 
+    spark.catalog.clearCache()
+
+    // ---- phase 12: HLL cardinality sketch at scale (the q187 engine) ----
+    // 50M rows carrying 20M distinct keys (each key hit 1–4× via modulus),
+    // one group. Gates: all 256 registers are hit (at 20M distinct an
+    // empty register would mean a broken hash), and the integer HLL
+    // estimate lands within ±10% of the true 20M (m=256 → σ ≈ 6.5%; the
+    // md5 pipeline is deterministic, so the observed error is a fixed
+    // property of this key set, not a flaky draw). The register build is
+    // the entire distributed cost: one narrow scan into a 256-cell
+    // max-agg, map-side combined — the shuffle carries ≤ 256 rows per
+    // partition regardless of corpus size.
+    val nHllRows = sys.env.getOrElse("SPARK_GRAFT_SMOKE_HLLROWS", "50000000").toLong
+    val nHllKeys = nHllRows / 5 * 2
+    val hllIn = spark.range(nHllRows)
+      .select(lit("g").as("g"), pmod(col("id") * 2654435761L, lit(nHllKeys)).as("k"))
+    val tHll = System.nanoTime()
+    val hllRegs = graft.operators.MiningOps.hllRegisters(hllIn, "g", col("k")).cache()
+    val hllHit = hllRegs.count()
+    val hllD = hllRegs.agg(
+      sum(expr("CAST(1 AS BIGINT) << (33 - m)")).as("dh")).head().getLong(0) +
+      (256L - hllHit) * (1L << 33)
+    val hllEst = (256L * 256L * (1L << 33) / hllD) * graft.operators.MiningOps.HllAlphaX1m / 1000000L
+    val hllSecs = (System.nanoTime() - tHll) / 1e9
+    val hllTrue = hllIn.select("k").distinct().count()
+    val hllErrX1m = hllEst * 1000000L / hllTrue - 1000000L
+    println(f"[smoke] hll: $nHllRows rows / $hllTrue distinct -> est $hllEst " +
+      f"(err ${hllErrX1m / 1e4}%.2f%%) in $hllSecs%.1f s")
+    report ++= Seq("hll_rows" -> nHllRows, "hll_true" -> hllTrue,
+      "hll_est" -> hllEst, "hll_err_x1m" -> hllErrX1m, "hll_secs" -> hllSecs)
+    assert(hllHit == 256L, s"only $hllHit of 256 registers hit at $hllTrue distinct keys")
+    assert(math.abs(hllErrX1m) < 100000L, s"HLL error out of band: $hllErrX1m")
+    hllRegs.unpersist()
+    println("[smoke] OK — HLL sketch over " + nHllRows + " rows")
+
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_SMOKE.json"),
       jsonOf(report) + "\n")
     println("[smoke] wrote SCALE_SMOKE.json")

@@ -136,5 +136,131 @@ object AsofJoin {
            |GROUP BY c.user_id ORDER BY user_id""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q35AsofJoin, q123AsofNative)
+  /** Forward as-of: for each left row the EARLIEST right row at-or-after
+    * it — pandas `merge_asof(direction="forward")`. Implemented by time
+    * reversal: backward-as-of on negated timestamps is forward-as-of on
+    * the originals, so the whole window machinery (tie rules included,
+    * mirrored) is reused instead of duplicated. Same one-shuffle scale
+    * shape as [[asofJoin]]. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, leftKey: String,
+                      leftTs: String, rightKey: String, rightTs: String): DataFrame = {
+    val l = left.withColumn("_negts", -col(leftTs))
+    val r = right.withColumn("_negrts", -col(rightTs))
+    asofJoin(l, r, leftKey, "_negts", rightKey, "_negrts")
+      .drop("_negts")
+      .withColumn("matched", col("matched").dropFields("_negrts"))
+  }
+
+  /** q192: as-of join with a TOLERANCE bound (pandas merge_asof's
+    * `tolerance=`): each purchase takes the most recent click at most 10
+    * minutes old — staler matches are nulled. Tolerance is a PURE
+    * POST-FILTER on the unbounded backward as-of: the latest preceding
+    * right row is also the closest, so if IT violates the bound every
+    * older one does too — no second join, no changed shuffle shape.
+    * Aggregated per user like q35 (match count + exact gap sum) so every
+    * per-row null/match decision lands in the hash. */
+  val q192AsofTolerance = QueryDef(
+    "q192_asof_tolerance",
+    (s, d) => {
+      val TolUs = 10L * 60 * 1000 * 1000
+      val e = Tables.events(s, d).withColumn("ts_us", expr("ts_ns DIV 1000"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"))
+      asofJoin(purchases, clicks, "user_id", "ts_us", "c_user", "c_ts")
+        .withColumn("m_ts",
+          when(col("ts_us") - col("matched.c_ts") <= TolUs, col("matched.c_ts")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("m_ts")).as("n_matched"),
+          coalesce(sum(col("ts_us") - col("m_ts")), lit(0L)).cast(LongType)
+            .as("sum_gap_us"))
+        .orderBy("user_id")
+    },
+    Some("""WITH p AS (
+           |  SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'),
+           |c AS (
+           |  SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
+           |m AS (
+           |  SELECT p.user_id, p.ts_us,
+           |    (SELECT MAX(c.ts_us) FROM c
+           |     WHERE c.user_id = p.user_id AND c.ts_us <= p.ts_us
+           |       AND p.ts_us - c.ts_us <= 600000000) AS m_ts
+           |  FROM p)
+           |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           |  CAST(COUNT(m_ts) AS BIGINT) AS n_matched,
+           |  CAST(COALESCE(SUM(ts_us - m_ts), 0) AS BIGINT) AS sum_gap_us
+           |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)
+  )
+
+  /** q193: NEAREST-direction as-of (pandas merge_asof's
+    * `direction="nearest"`): each purchase takes whichever click is
+    * closer in time — before or after — within a 15-minute tolerance,
+    * ties resolved BACKWARD (the earlier click). Composed as one
+    * backward and one [[asofJoinForward]] pass (two window shuffles on
+    * the same key) + a projection-level arbitration; the per-user report
+    * counts each direction's wins so the arbitration itself is
+    * oracle-hashed. */
+  val q193AsofNearest = QueryDef(
+    "q193_asof_nearest",
+    (s, d) => {
+      val TolUs = 15L * 60 * 1000 * 1000
+      val e = Tables.events(s, d).withColumn("ts_us", expr("ts_ns DIV 1000"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"))
+      val back = asofJoin(purchases, clicks, "user_id", "ts_us", "c_user", "c_ts")
+        .withColumn("b_ts",
+          when(col("ts_us") - col("matched.c_ts") <= TolUs, col("matched.c_ts")))
+        .drop("matched")
+      val both = asofJoinForward(back, clicks, "user_id", "ts_us", "c_user", "c_ts")
+        .withColumn("f_ts",
+          when(col("matched.c_ts") - col("ts_us") <= TolUs, col("matched.c_ts")))
+        .drop("matched")
+      val bGap = col("ts_us") - col("b_ts")
+      val fGap = col("f_ts") - col("ts_us")
+      both
+        .withColumn("dir",
+          when(col("b_ts").isNotNull && (col("f_ts").isNull || bGap <= fGap), "b")
+            .when(col("f_ts").isNotNull, "f"))
+        .withColumn("gap", when(col("dir") === "b", bGap).when(col("dir") === "f", fGap))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("dir") === "b", 1L).otherwise(0L)).as("n_backward"),
+          sum(when(col("dir") === "f", 1L).otherwise(0L)).as("n_forward"),
+          coalesce(sum("gap"), lit(0L)).cast(LongType).as("sum_gap_us"))
+        .orderBy("user_id")
+    },
+    Some("""WITH p AS (
+           |  SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'),
+           |c AS (
+           |  SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
+           |m AS (
+           |  SELECT p.user_id, p.ts_us,
+           |    (SELECT MAX(c.ts_us) FROM c
+           |     WHERE c.user_id = p.user_id AND c.ts_us <= p.ts_us
+           |       AND p.ts_us - c.ts_us <= 900000000) AS b_ts,
+           |    (SELECT MIN(c.ts_us) FROM c
+           |     WHERE c.user_id = p.user_id AND c.ts_us >= p.ts_us
+           |       AND c.ts_us - p.ts_us <= 900000000) AS f_ts
+           |  FROM p),
+           |a AS (
+           |  SELECT user_id, ts_us, b_ts, f_ts,
+           |    CASE WHEN b_ts IS NOT NULL
+           |           AND (f_ts IS NULL OR ts_us - b_ts <= f_ts - ts_us) THEN 'b'
+           |         WHEN f_ts IS NOT NULL THEN 'f' END AS dir
+           |  FROM m)
+           |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           |  CAST(SUM(CASE WHEN dir = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_backward,
+           |  CAST(SUM(CASE WHEN dir = 'f' THEN 1 ELSE 0 END) AS BIGINT) AS n_forward,
+           |  CAST(COALESCE(SUM(CASE WHEN dir = 'b' THEN ts_us - b_ts
+           |                WHEN dir = 'f' THEN f_ts - ts_us END), 0) AS BIGINT)
+           |    AS sum_gap_us
+           |FROM a GROUP BY user_id ORDER BY user_id""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q35AsofJoin, q123AsofNative, q192AsofTolerance,
+    q193AsofNearest)
 }

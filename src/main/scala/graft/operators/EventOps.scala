@@ -1542,6 +1542,70 @@ object EventOps {
            |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)
   )
 
+  /** q191: conversion latency — the time-to-convert readout behind every
+    * funnel (q88 counts WHO converts; this measures HOW LONG it takes):
+    * per user, the gap from the FIRST view to the first purchase strictly
+    * after it; report conversion rate plus exact median/p90 latency in
+    * seconds. Percentile selection is the q186/q147 discipline — latencies
+    * collapse to per-second counts, the cumulative window runs over
+    * distinct seconds (metadata), the selected value is the smallest
+    * second whose cumulative count crosses the threshold, so tie handling
+    * is definitionally engine-identical.
+    *
+    * Scale: two map-side-combinable per-user min-aggs (views, then
+    * qualifying purchases) sharing one user-keyed join exchange; the
+    * percentile machinery never sees corpus rows. */
+  val q191ConversionLatency = QueryDef(
+    "q191_conversion_latency",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_ns").as("v_ns"))
+      val lat = ev.filter(col("event_type") === "purchase")
+        .join(firstView, "user_id")
+        .filter(col("ts_ns") > col("v_ns"))
+        .groupBy("user_id")
+        .agg(expr("(min(ts_ns) - any_value(v_ns)) DIV 1000000000").as("lat_s"))
+      val bySec = lat.groupBy("lat_s").agg(count(lit(1)).as("w"))
+      val wc = Window.partitionBy(lit(0)).orderBy(col("lat_s").asc)
+      val pct = bySec
+        .withColumn("cum", sum("w").over(wc))
+        .withColumn("tot", sum("w").over(Window.partitionBy(lit(0))))
+        .agg(max("tot").as("n_converted"),
+          min(when(col("cum") * 2 >= col("tot"), col("lat_s"))).as("median_s"),
+          min(when(col("cum") * 10 >= col("tot") * 9, col("lat_s"))).as("p90_s"))
+      firstView.agg(count(lit(1)).as("n_users")).crossJoin(pct)
+        .select(col("n_users"), col("n_converted"),
+          expr("n_converted * 1000000 DIV n_users").as("conv_x1m"),
+          col("median_s"), col("p90_s"))
+    },
+    Some("""WITH fv AS (
+           |  SELECT user_id, MIN(epoch_ns(ts)) AS v_ns FROM events
+           |  WHERE event_type = 'view' GROUP BY 1),
+           |lat AS (
+           |  SELECT e.user_id,
+           |    (MIN(epoch_ns(e.ts)) - MIN(fv.v_ns)) // 1000000000 AS lat_s
+           |  FROM events e JOIN fv USING (user_id)
+           |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > fv.v_ns
+           |  GROUP BY 1),
+           |sec AS (SELECT lat_s, CAST(COUNT(*) AS BIGINT) AS w FROM lat GROUP BY 1),
+           |c AS (
+           |  SELECT lat_s,
+           |    SUM(w) OVER (ORDER BY lat_s) AS cum, SUM(w) OVER () AS tot
+           |  FROM sec),
+           |p AS (
+           |  SELECT CAST(MAX(tot) AS BIGINT) AS n_converted,
+           |    CAST(MIN(CASE WHEN cum * 2 >= tot THEN lat_s END) AS BIGINT) AS median_s,
+           |    CAST(MIN(CASE WHEN cum * 10 >= tot * 9 THEN lat_s END) AS BIGINT) AS p90_s
+           |  FROM c)
+           |SELECT CAST((SELECT COUNT(*) FROM fv) AS BIGINT) AS n_users,
+           |  n_converted,
+           |  CAST(n_converted * 1000000 // (SELECT COUNT(*) FROM fv) AS BIGINT)
+           |    AS conv_x1m,
+           |  median_s, p90_s
+           |FROM p""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
     q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency,
     q109SessionPaths, q115Attribution, q119LatestState, q122Transitions,
@@ -1549,5 +1613,5 @@ object EventOps {
     q146Scd2History, q152DecayedEngagement, q159Cuped, q168Scd2Enrich,
     q171UShapedAttribution, q177Seasonality, q178WowGrowth, q179CohortLtv,
     q181GiniConcentration, q183ClampedBalance, q185HazardTable,
-    q188IntervalCoverage)
+    q188IntervalCoverage, q191ConversionLatency)
 }

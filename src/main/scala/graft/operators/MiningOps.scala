@@ -1142,6 +1142,18 @@ object MiningOps {
   val HllBuckets = 256L
   val HllAlphaX1m = 718214L
 
+  /** The q187 register builder, exposed so the spec can prove the sketch's
+    * defining property — registers built on any split of the data and
+    * max-merged equal the registers built on the whole. */
+  def hllRegisters(df: DataFrame, group: String, key: Column): DataFrame = {
+    val h = conv(substring(md5(key.cast(StringType)), 1, 10), 16, 10).cast(LongType)
+    df.select(col(group), h.as("h"))
+      .withColumn("bucket", expr("h DIV 4294967296"))
+      .withColumn("x", expr("h % 4294967296 + 4294967296"))
+      .withColumn("rho", expr("bit_count(x ^ (x - 1))"))
+      .groupBy(col(group), col("bucket")).agg(max("rho").as("m"))
+  }
+
   /** q187: a MERGEABLE cardinality sketch under an EXACT oracle —
     * hand-rolled HyperLogLog whose every step is a deterministic integer
     * function of the md5 bridge, so Spark and DuckDB produce
@@ -1157,18 +1169,6 @@ object MiningOps {
     * map-side combinable, mergeable across partitions/days/tables with a
     * plain `max`, constant memory. The exact distinct rides along here
     * only to ground the error column. */
-  /** The q187 register builder, exposed so the spec can prove the sketch's
-    * defining property — registers built on any split of the data and
-    * max-merged equal the registers built on the whole. */
-  def hllRegisters(df: DataFrame, group: String, key: Column): DataFrame = {
-    val h = conv(substring(md5(key.cast(StringType)), 1, 10), 16, 10).cast(LongType)
-    df.select(col(group), h.as("h"))
-      .withColumn("bucket", expr("h DIV 4294967296"))
-      .withColumn("x", expr("h % 4294967296 + 4294967296"))
-      .withColumn("rho", expr("bit_count(x ^ (x - 1))"))
-      .groupBy(col(group), col("bucket")).agg(max("rho").as("m"))
-  }
-
   val q187HllSketch = QueryDef(
     "q187_hll_sketch",
     (s, d) => {
@@ -1220,10 +1220,132 @@ object MiningOps {
            |ORDER BY 1""".stripMargin)
   )
 
+  /** q189's Count-Min geometry: 4 independent hash rows × 512 counters. */
+  val CmRows = 4
+  val CmWidth = 512L
+
+  /** The q189 cell builder, exposed for the spec's additivity proof
+    * (cells built on splits and SUM-merged equal the whole-corpus build —
+    * CM's merge is `+` where q187 HLL's is `max`). */
+  def cmCells(df: DataFrame, key: Column): DataFrame = {
+    val rows = (0 until CmRows).map { j =>
+      val h = conv(substring(md5(concat_ws("#", lit(j), key.cast(StringType))), 1, 15),
+        16, 10).cast(LongType)
+      df.select(lit(j.toLong).as("j"), pmod(h, lit(CmWidth)).as("b"))
+    }
+    rows.reduce(_ unionByName _).groupBy("j", "b").agg(count(lit(1)).as("c"))
+  }
+
+  /** q189: Count-Min frequency sketch under an EXACT oracle — the
+    * third of the sketch family (q132 Misra-Gries proposes heavy keys,
+    * q187 HLL counts distincts, CM answers POINT frequency queries):
+    * 4×512 counters, each row a different md5-salted hash, point
+    * estimate = min over the 4 cells — a deterministic integer pipeline
+    * both engines reproduce bit-for-bit. Probes: the 10 heaviest users
+    * by exact count; the report shows exact, estimate, and the
+    * overestimate slack (CM never underestimates — spec-asserted, and
+    * the oracle would catch a violation as a hash mismatch).
+    *
+    * Scale: the sketch build is 4 narrow projections into ONE
+    * (j, bucket) hash agg — 2048 cells total regardless of corpus size,
+    * map-side combined; merging shards/days is cell-wise `+`. The probe
+    * side joins 10 keys × 4 cells — metadata. */
+  val q189CmSketch = QueryDef(
+    "q189_cm_sketch",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val cells = cmCells(ev, col("user_id"))
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("user_id").asc).limit(10)
+      val probes = (0 until CmRows).map { j =>
+        val h = conv(substring(md5(concat_ws("#", lit(j),
+          col("user_id").cast(StringType))), 1, 15), 16, 10).cast(LongType)
+        exact.select(col("user_id"), col("exact"), lit(j.toLong).as("j"),
+          pmod(h, lit(CmWidth)).as("b"))
+      }
+      probes.reduce(_ unionByName _)
+        .join(cells, Seq("j", "b"))
+        .groupBy("user_id").agg(max("exact").as("exact"), min("c").as("cm_est"))
+        .select(col("user_id"), col("exact"), col("cm_est"),
+          (col("cm_est") - col("exact")).as("overcount"))
+        .orderBy(col("exact").desc, col("user_id").asc)
+    },
+    Some(s"""WITH ev AS (SELECT user_id FROM events),
+           |cells AS (
+           |  SELECT j, CAST(('0x' || substr(md5(j || '#' || user_id), 1, 15)) AS BIGINT)
+           |    % ${CmWidth} AS b, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM ev, range(0, $CmRows) t(j) GROUP BY 1, 2),
+           |exact AS (
+           |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact FROM ev
+           |  GROUP BY 1 ORDER BY exact DESC, user_id ASC LIMIT 10),
+           |probe AS (
+           |  SELECT e.user_id, e.exact, t.j,
+           |    CAST(('0x' || substr(md5(t.j || '#' || e.user_id), 1, 15)) AS BIGINT)
+           |      % ${CmWidth} AS b
+           |  FROM exact e, range(0, $CmRows) t(j))
+           |SELECT p.user_id, CAST(MAX(p.exact) AS BIGINT) AS exact,
+           |  CAST(MIN(c.c) AS BIGINT) AS cm_est,
+           |  CAST(MIN(c.c) - MAX(p.exact) AS BIGINT) AS overcount
+           |FROM probe p JOIN cells c ON c.j = p.j AND c.b = p.b
+           |GROUP BY p.user_id ORDER BY exact DESC, user_id ASC""".stripMargin)
+  )
+
+  /** q190: ledger reconciliation — the double-entry audit every billing
+    * pipeline runs: recompute each order's total from its line items
+    * (price × (1 − discount), exact cents) and reconcile against the
+    * order header, reporting per status the order count, how many
+    * disagree beyond a $1 tolerance, and the worst/total absolute drift.
+    * The float product is IEEE-identical in both engines; everything
+    * after the one `floor(×100 + 0.5)` is BIGINT cents.
+    *
+    * Scale: one lineitem→order-key hash agg (map-side combinable — the
+    * corpus-sized step) + one key join the header side broadcasts under
+    * AQE at dimension-like sizes; the status rollup is metadata. LEFT
+    * join keeps header-only orders visible as full-drift rows instead of
+    * silently dropping them — an audit that loses rows audits nothing. */
+  val q190LedgerRecon = QueryDef(
+    "q190_ledger_recon",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+            .cast(LongType).as("line_c"))
+        .groupBy("o_orderkey").agg(sum("line_c").as("recomputed_c"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100.0 + 0.5).cast(LongType).as("header_c"))
+        .join(li, Seq("o_orderkey"), "left")
+        .select(col("o_orderstatus"),
+          abs(col("header_c") - coalesce(col("recomputed_c"), lit(0L))).as("drift_c"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("drift_c") > 100L, 1L).otherwise(0L)).as("n_mismatch"),
+          max("drift_c").as("max_drift_c"),
+          sum("drift_c").as("total_drift_c"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""WITH li AS (
+           |  SELECT l_orderkey AS o_orderkey,
+           |    CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+           |      AS BIGINT)) AS BIGINT) AS recomputed_c
+           |  FROM lineitem GROUP BY 1),
+           |j AS (
+           |  SELECT o.o_orderstatus,
+           |    abs(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+           |      - COALESCE(li.recomputed_c, 0)) AS drift_c
+           |  FROM orders o LEFT JOIN li USING (o_orderkey))
+           |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           |  CAST(SUM(CASE WHEN drift_c > 100 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_mismatch,
+           |  CAST(MAX(drift_c) AS BIGINT) AS max_drift_c,
+           |  CAST(SUM(drift_c) AS BIGINT) AS total_drift_c
+           |FROM j GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile,
     q110PercentileNorm, q114TopkPerGroup, q126GroupOls, q127ChangePoint,
     q131EquidepthHist, q141KAnonymity, q147ExactMedian, q164BenfordAudit,
     q169Winsorize, q172AprioriTriples, q174ExactAuc, q175Reliability,
     q176LearningCurve, q180GainsTable, q182PoissonBootstrap, q184ItemCf,
-    q186WeightedMedian, q187HllSketch)
+    q186WeightedMedian, q187HllSketch, q189CmSketch, q190LedgerRecon)
 }

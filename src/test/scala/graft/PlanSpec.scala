@@ -176,7 +176,9 @@ class PlanSpec extends SparkSpec {
       // q167: 1-row sample-size / boundary-array / total-count broadcasts
       "q167_range_boundary_audit",
       // q170: 1-row undirected-edge-count scalar broadcast
-      "q170_modularity")
+      "q170_modularity",
+      // q191: 1-row user-count × 1-row percentile-summary cross join
+      "q191_conversion_latency")
     // plan-text exchange budgets: the LSH pipeline legitimately has ~18
     // (sig agg + banding self-join + verify joins); queries consuming the
     // CACHED pair/cluster frames repeat that lineage inside
@@ -211,6 +213,10 @@ class PlanSpec extends SparkSpec {
       // two join+agg passes each over checkpointed frames — all by design
       case n if n.startsWith("q77") || n.startsWith("q78") ||
         n.startsWith("q148") || n.startsWith("q156") => 16
+      // q184: the distinct (order, part) lineage appears on BOTH sides of
+      // the pair self-join and under both support joins — plan-text
+      // duplication of one exchange; runtime reuses it via ReuseExchange
+      case n if n.startsWith("q184") => 14
       // q85: the two-level rank adds the bucket-count agg + cumulative-
       // offset window exchanges — all over the metadata-sized bucket
       // frame (one row per (domain, bucket)), never the corpus

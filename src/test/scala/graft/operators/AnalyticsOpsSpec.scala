@@ -650,6 +650,31 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q191: conversion latency ≡ driver-side first-view/first-purchase walk") {
+    val out = EventOps.q191ConversionLatency.run(spark, sfDir).head()
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_ns"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byUser = ev.groupBy(_._1)
+    val firstViews = byUser.flatMap { case (u, es) =>
+      es.filter(_._3 == "view").map(_._2).minOption.map(u -> _)
+    }
+    val lats = firstViews.flatMap { case (u, v) =>
+      byUser(u).filter(e => e._3 == "purchase" && e._2 > v).map(_._2)
+        .minOption.map(p => (p - v) / 1000000000L)
+    }.toSeq.sorted
+    assert(out.getLong(0) == firstViews.size, "n_users")
+    assert(out.getLong(1) == lats.size, "n_converted")
+    assert(out.getLong(2) == lats.size.toLong * 1000000L / firstViews.size, "conv rate")
+    def pick(num: Long, den: Long): Long = {
+      var cum = 0L
+      lats.groupBy(identity).toSeq.sortBy(_._1)
+        .find { case (_, g) => cum += g.size; cum * den >= lats.size * num }.get._1
+    }
+    assert(out.getLong(3) == pick(1, 2), "median latency")
+    assert(out.getLong(4) == pick(9, 10), "p90 latency")
+  }
+
   test("q188: union coverage ≡ driver-side interval merge per user") {
     val out = EventOps.q188IntervalCoverage.run(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap

@@ -103,4 +103,46 @@ class AsofJoinSpec extends SparkSpec {
     assert(!plan.contains("Sort [") || !plan.contains("global=true"),
       s"sorts must be partition-local:\n$plan")
   }
+
+  test("forward as-of ≡ brute-force earliest-at-or-after; tolerance/nearest ≡ brute walk") {
+    val e = graft.Tables.events(spark, sfDir).withColumn("ts_us", expr("ts_ns DIV 1000"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"))
+    val p = purchases.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val c: Map[Long, Vector[Long]] = clicks.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, g) => u -> g.map(_._2).sorted.toVector }
+    // forward direction, unbounded
+    val fwd = AsofJoin.asofJoinForward(purchases, clicks,
+        "user_id", "ts_us", "c_user", "c_ts")
+      .select(col("event_id"), col("matched.c_ts")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    p.foreach { case (u, ts, eid) =>
+      val expect = c.getOrElse(u, Vector.empty).find(_ >= ts)
+      assert(fwd(eid) == expect, s"forward mismatch for purchase $eid")
+    }
+    // nearest arbitration (q193 logic) against a brute-force nearest walk
+    val TolUs = 15L * 60 * 1000 * 1000
+    val out = AsofJoin.q193AsofNearest.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val expect = p.groupBy(_._1).map { case (u, ps) =>
+      val cs = c.getOrElse(u, Vector.empty)
+      var (nb, nf, gap) = (0L, 0L, 0L)
+      ps.foreach { case (_, ts, _) =>
+        val b = cs.filter(x => x <= ts && ts - x <= TolUs).lastOption
+        val f = cs.find(x => x >= ts && x - ts <= TolUs)
+        (b, f) match {
+          case (Some(bt), ft) if ft.forall(x => ts - bt <= x - ts) =>
+            nb += 1; gap += ts - bt
+          case (_, Some(ft)) => nf += 1; gap += ft - ts
+          case _ => ()
+        }
+      }
+      u -> (ps.length.toLong, nb, nf, gap)
+    }
+    assert(out == expect, "nearest as-of disagrees with the brute-force walk")
+  }
 }

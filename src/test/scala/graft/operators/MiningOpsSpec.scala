@@ -399,6 +399,44 @@ class MiningOpsSpec extends SparkSpec {
     }
   }
 
+  test("q189: CM cells are additive — split-and-sum equals whole-corpus build; never underestimates") {
+    val ev = Tables.events(spark, sfDir)
+    val whole = MiningOps.cmCells(ev, col("user_id"))
+    val merged = MiningOps.cmCells(ev.filter(col("event_id") % 2 === 0), col("user_id"))
+      .unionByName(MiningOps.cmCells(ev.filter(col("event_id") % 2 === 1), col("user_id")))
+      .groupBy("j", "b").agg(sum("c").as("c"))
+    assert(whole.exceptAll(merged).count() == 0 && merged.exceptAll(whole).count() == 0,
+      "sum-merge of split cells must equal the whole-corpus cells")
+    val out = MiningOps.q189CmSketch.run(spark, sfDir).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      assert(r.getLong(3) >= 0, s"CM underestimated user ${r.getLong(0)}")
+      assert(r.getLong(2) == r.getLong(1) + r.getLong(3), "overcount algebra")
+    }
+  }
+
+  test("q190: reconciliation ≡ driver-side per-order recompute; row conservation") {
+    val out = MiningOps.q190LedgerRecon.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+          .cast("long").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = orders.groupBy(_._2).map { case (st, os) =>
+      val drifts = os.map { case (k, _, h) => math.abs(h - li.getOrElse(k, 0L)) }
+      st -> (os.length.toLong, drifts.count(_ > 100L).toLong, drifts.max, drifts.sum)
+    }
+    assert(out == expect, "per-status reconciliation mismatch")
+    assert(out.values.map(_._1).sum == orders.length, "every order audited exactly once")
+  }
+
   test("q187: registers are mergeable — split-and-max equals whole-corpus build") {
     val ev = Tables.events(spark, sfDir)
     val whole = MiningOps.hllRegisters(ev, "event_type", col("user_id"))
