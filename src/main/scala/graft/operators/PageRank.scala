@@ -679,7 +679,91 @@ object PageRank {
            |ORDER BY q_x1m DESC, lbl ASC""".stripMargin)
   )
 
+  /** q194: degree-distribution audit — the structural profile every graph
+    * job should read BEFORE choosing its plan (q77's scaladoc argues skew
+    * from it; q102's degree orientation depends on it; q84's salting is
+    * triggered by it): per node type, node/endpoint counts, max degree,
+    * exact median/p90 degree (q186's distinct-value cumulative selection
+    * — the windows run over the degree HISTOGRAM, not nodes), and the
+    * endpoint share of the top-1% highest-degree nodes ×1e6 (q181's
+    * concentration readout on graph structure; tie groups at the 1% cut
+    * contribute pro-rata in whole nodes, deterministic because same-degree
+    * nodes are interchangeable).
+    *
+    * Scale: ONE distinct-pair exchange, two node-keyed degree aggs, and
+    * every window thereafter runs over the (type, degree) histogram —
+    * bounded by max-degree, metadata at any corpus size. */
+  val q194DegreeAudit = QueryDef(
+    "q194_degree_audit",
+    (s, d) => {
+      val rel = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast(LongType).as("cust"),
+          (col("l_suppkey").cast(LongType) + 1000000L).as("supp"))
+        .distinct()
+      val deg = rel.groupBy("cust").agg(count(lit(1)).as("deg"))
+        .select(lit("customer").as("node_type"), col("deg"))
+        .unionByName(rel.groupBy("supp").agg(count(lit(1)).as("deg"))
+          .select(lit("supplier").as("node_type"), col("deg")))
+      val hist = deg.groupBy("node_type", "deg").agg(count(lit(1)).as("nodes"))
+      val wAsc = Window.partitionBy("node_type").orderBy(col("deg").asc)
+      val wDesc = Window.partitionBy("node_type").orderBy(col("deg").desc)
+      val wAll = Window.partitionBy("node_type")
+      hist
+        .withColumn("cum", sum("nodes").over(wAsc))
+        .withColumn("n", sum("nodes").over(wAll))
+        .withColumn("ends", sum(col("nodes") * col("deg")).over(wAll))
+        .withColumn("cum_hi", sum("nodes").over(wDesc))
+        .withColumn("k", expr("(n + 99) DIV 100"))
+        .withColumn("top_take",
+          greatest(lit(0L), least(col("nodes"), col("k") - (col("cum_hi") - col("nodes")))))
+        .groupBy("node_type")
+        .agg(max("n").as("n_nodes"), max("ends").as("n_endpoints"),
+          max("deg").as("max_deg"),
+          min(when(col("cum") * 2 >= col("n"), col("deg"))).as("med_deg"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("deg"))).as("p90_deg"),
+          (sum(col("top_take") * col("deg")) * 1000000L).as("top_x1m_num"))
+        .select(col("node_type"), col("n_nodes"), col("n_endpoints"),
+          col("max_deg"), col("med_deg"), col("p90_deg"),
+          expr("top_x1m_num DIV n_endpoints").as("top1pct_share_x1m"))
+        .orderBy("node_type")
+    },
+    Some("""WITH rel AS (
+           |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
+           |    CAST(l_suppkey AS BIGINT) + 1000000 AS supp
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |deg AS (
+           |  SELECT 'customer' AS node_type, CAST(COUNT(*) AS BIGINT) AS deg
+           |  FROM rel GROUP BY cust
+           |  UNION ALL
+           |  SELECT 'supplier' AS node_type, CAST(COUNT(*) AS BIGINT) AS deg
+           |  FROM rel GROUP BY supp),
+           |hist AS (
+           |  SELECT node_type, deg, CAST(COUNT(*) AS BIGINT) AS nodes
+           |  FROM deg GROUP BY 1, 2),
+           |c AS (
+           |  SELECT node_type, deg, nodes,
+           |    SUM(nodes) OVER (PARTITION BY node_type ORDER BY deg ASC) AS cum,
+           |    SUM(nodes) OVER (PARTITION BY node_type) AS n,
+           |    SUM(nodes * deg) OVER (PARTITION BY node_type) AS ends,
+           |    SUM(nodes) OVER (PARTITION BY node_type ORDER BY deg DESC) AS cum_hi
+           |  FROM hist),
+           |t AS (
+           |  SELECT *, (n + 99) // 100 AS k,
+           |    GREATEST(0, LEAST(nodes, (n + 99) // 100 - (cum_hi - nodes))) AS top_take
+           |  FROM c)
+           |SELECT node_type, CAST(MAX(n) AS BIGINT) AS n_nodes,
+           |  CAST(MAX(ends) AS BIGINT) AS n_endpoints,
+           |  CAST(MAX(deg) AS BIGINT) AS max_deg,
+           |  CAST(MIN(CASE WHEN cum * 2 >= n THEN deg END) AS BIGINT) AS med_deg,
+           |  CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN deg END) AS BIGINT) AS p90_deg,
+           |  CAST(SUM(top_take * deg) * 1000000 // MAX(ends) AS BIGINT)
+           |    AS top1pct_share_x1m
+           |FROM t GROUP BY node_type ORDER BY node_type""".stripMargin)
+  )
+
   val all: Seq[QueryDef] =
     Seq(q77PageRank, q102Triangles, q113BfsHops, q143KCore, q148Hits, q156Ppr,
-      q160LabelProp, q170Modularity)
+      q160LabelProp, q170Modularity, q194DegreeAudit)
 }

@@ -650,6 +650,32 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q194: degree audit ≡ driver-side recompute on the trade graph") {
+    val out = PageRank.q194DegreeAudit.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val rel = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long"), col("l_suppkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    def audit(degs: Seq[Long]): (Long, Long, Long, Long, Long, Long) = {
+      val sorted = degs.sorted
+      val n = sorted.length.toLong; val ends = sorted.sum
+      def pick(num: Long, den: Long): Long = {
+        var cum = 0L
+        sorted.find { _ => cum += 1; cum * den >= n * num }.get
+      }
+      val k = (n + 99) / 100
+      val top = sorted.reverse.take(k.toInt).sum
+      (n, ends, sorted.last, pick(1, 2), pick(9, 10), top * 1000000L / ends)
+    }
+    val custDegs = rel.groupBy(_._1).values.map(_.size.toLong).toSeq
+    val suppDegs = rel.groupBy(_._2).values.map(_.size.toLong).toSeq
+    assert(out("customer") == audit(custDegs), "customer audit")
+    assert(out("supplier") == audit(suppDegs), "supplier audit")
+  }
+
   test("q191: conversion latency ≡ driver-side first-view/first-purchase walk") {
     val out = EventOps.q191ConversionLatency.run(spark, sfDir).head()
     val ev = Tables.events(spark, sfDir)
