@@ -217,6 +217,9 @@ class PlanSpec extends SparkSpec {
       // the pair self-join and under both support joins — plan-text
       // duplication of one exchange; runtime reuses it via ReuseExchange
       case n if n.startsWith("q184") => 14
+      // q194: the distinct trade-pair lineage repeats under the customer
+      // AND supplier degree aggs (one extra text-counted exchange)
+      case n if n.startsWith("q194") => 10
       // q85: the two-level rank adds the bucket-count agg + cumulative-
       // offset window exchanges — all over the metadata-sized bucket
       // frame (one row per (domain, bucket)), never the corpus
