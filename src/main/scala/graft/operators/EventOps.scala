@@ -1606,6 +1606,50 @@ object EventOps {
            |FROM p""".stripMargin)
   )
 
+  /** q195: weekday×hour activity heatmap — the traffic-shape profile
+    * behind capacity planning and send-time optimization: event count and
+    * purchase-value share per (ISO weekday, UTC hour) cell, each cell's
+    * load share ×1e6 against the whole grid. Buckets derive from the
+    * exact ns epoch (day index DIV/`% 7` with the epoch-origin Thursday
+    * offset made explicit) so both engines bucket identically without
+    * consulting calendar/timezone code paths.
+    *
+    * Scale: ONE hash agg to a ≤168-cell grid (map-side combinable); the
+    * share windows run over the grid — metadata at any corpus size. */
+  private val DayNs = 86400L * 1000 * 1000 * 1000
+
+  val q195ActivityHeatmap = QueryDef(
+    "q195_activity_heatmap",
+    (s, d) => {
+      // epoch day 0 = Thursday 1970-01-01 → ISO weekday (Mon=1) = (day+3)%7+1
+      val day = expr(s"ts_ns DIV ${DayNs}")
+      Tables.events(s, d)
+        .select(((day + 3) % 7 + 1).as("iso_dow"),
+          expr(s"(ts_ns % ${DayNs}) DIV ${DayNs / 24}").as("hour"),
+          when(col("event_type") === "purchase",
+            floor(col("value") * 10.0 + 0.5).cast(LongType)).otherwise(0L).as("rev"))
+        .groupBy("iso_dow", "hour")
+        .agg(count(lit(1)).as("n_events"), sum("rev").as("rev_x10"))
+        .withColumn("total", sum("n_events").over(Window.partitionBy(lit(0))))
+        .select(col("iso_dow"), col("hour"), col("n_events"), col("rev_x10"),
+          expr("n_events * 1000000 DIV total").as("share_x1m"))
+        .orderBy("iso_dow", "hour")
+    },
+    Some(s"""WITH c AS (
+           |  SELECT (epoch_ns(ts) // ${DayNs} + 3) % 7 + 1 AS iso_dow,
+           |    (epoch_ns(ts) % ${DayNs}) // ${DayNs / 24} AS hour,
+           |    CASE WHEN event_type = 'purchase'
+           |      THEN CAST(floor(value * 10.0 + 0.5) AS BIGINT) ELSE 0 END AS rev
+           |  FROM events),
+           |g AS (
+           |  SELECT iso_dow, hour, CAST(COUNT(*) AS BIGINT) AS n_events,
+           |    CAST(SUM(rev) AS BIGINT) AS rev_x10
+           |  FROM c GROUP BY 1, 2)
+           |SELECT iso_dow, hour, n_events, rev_x10,
+           |  CAST(n_events * 1000000 // SUM(n_events) OVER () AS BIGINT) AS share_x1m
+           |FROM g ORDER BY iso_dow, hour""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
     q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency,
     q109SessionPaths, q115Attribution, q119LatestState, q122Transitions,
@@ -1613,5 +1657,5 @@ object EventOps {
     q146Scd2History, q152DecayedEngagement, q159Cuped, q168Scd2Enrich,
     q171UShapedAttribution, q177Seasonality, q178WowGrowth, q179CohortLtv,
     q181GiniConcentration, q183ClampedBalance, q185HazardTable,
-    q188IntervalCoverage, q191ConversionLatency)
+    q188IntervalCoverage, q191ConversionLatency, q195ActivityHeatmap)
 }
