@@ -650,6 +650,21 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q195: heatmap cells partition all events; shares close to ~1e6; buckets in range") {
+    val out = EventOps.q195ActivityHeatmap.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(out.map(_._3).sum == nEvents, "cells must partition every event exactly once")
+    out.foreach { case (dow, hour, n, rev, share) =>
+      assert(dow >= 1 && dow <= 7 && hour >= 0 && hour <= 23, "bucket ranges")
+      assert(n > 0 && rev >= 0)
+      assert(share == n * 1000000L / nEvents, "share algebra")
+    }
+    // floor-division shares sum to 1e6 minus at most one ulp per cell
+    val shareSum = out.map(_._5).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - out.length, "share closure")
+  }
+
   test("q194: degree audit ≡ driver-side recompute on the trade graph") {
     val out = PageRank.q194DegreeAudit.run(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
