@@ -1618,6 +1618,50 @@ object EventOps {
     * share windows run over the grid — metadata at any corpus size. */
   private val DayNs = 86400L * 1000 * 1000 * 1000
 
+  /** q196: per-user activity velocity — for every event, how many of the
+    * same user's events landed in the trailing hour (a true time-RANGE
+    * window frame, `rangeBetween(-1h, 0)` over the ns epoch — the frame
+    * shape rate limiters and fraud velocity checks use, distinct from
+    * every ROWS frame in the registry); reported per user as the peak
+    * burst, how many events sat at that peak, and the total. RANGE
+    * frames are tie-safe by construction: same-ts peers are in each
+    * other's frame in both engines, so no ordering tiebreak is needed.
+    *
+    * Scale: one user-keyed exchange; the range frame is evaluated by a
+    * running two-pointer pass inside each sorted partition — no
+    * self-join against the hour, no explode. */
+  val q196Velocity = QueryDef(
+    "q196_velocity",
+    (s, d) => {
+      val HourNs = 3600L * 1000 * 1000 * 1000
+      val w = Window.partitionBy("user_id").orderBy(col("ts_ns").asc)
+        .rangeBetween(-HourNs, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts_ns"))
+        .withColumn("trail", count(lit(1)).over(w))
+        .withColumn("mx", max("trail").over(Window.partitionBy("user_id")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), max("trail").as("peak_1h"),
+          sum(when(col("trail") === col("mx"), 1L).otherwise(0L)).as("n_at_peak"))
+        .orderBy("user_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT user_id, epoch_ns(ts) AS ts_ns FROM events),
+           |v AS (
+           |  SELECT user_id, ts_ns,
+           |    COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_ns
+           |      RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW) AS trail
+           |  FROM t),
+           |m AS (
+           |  SELECT user_id, ts_ns, trail,
+           |    MAX(trail) OVER (PARTITION BY user_id) AS mx
+           |  FROM v)
+           |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           |  CAST(MAX(trail) AS BIGINT) AS peak_1h,
+           |  CAST(SUM(CASE WHEN trail = mx THEN 1 ELSE 0 END) AS BIGINT) AS n_at_peak
+           |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)
+  )
+
   val q195ActivityHeatmap = QueryDef(
     "q195_activity_heatmap",
     (s, d) => {
@@ -1657,5 +1701,6 @@ object EventOps {
     q146Scd2History, q152DecayedEngagement, q159Cuped, q168Scd2Enrich,
     q171UShapedAttribution, q177Seasonality, q178WowGrowth, q179CohortLtv,
     q181GiniConcentration, q183ClampedBalance, q185HazardTable,
-    q188IntervalCoverage, q191ConversionLatency, q195ActivityHeatmap)
+    q188IntervalCoverage, q191ConversionLatency, q195ActivityHeatmap,
+    q196Velocity)
 }
