@@ -595,7 +595,54 @@ object PipelineOps {
            |ORDER BY d.doc_id""".stripMargin)
   )
 
+  /** q197: stratified train/val/test split assignment — the canonical
+    * ML split with EXACT per-stratum proportions (80/10/10 by floor
+    * boundaries), not q63's sampling: every doc gets exactly one split,
+    * counts per stratum are a pure function of the stratum size, and the
+    * assignment is a deterministic md5 ordinal (doc_id tiebreak) so
+    * re-running on the same corpus reproduces the split bit-for-bit —
+    * the property leakage audits (q142) depend on. Report = per
+    * (source, split) doc and char budgets.
+    *
+    * Scale: ONE source-partitioned rank window over (doc_id, hash) —
+    * doc METADATA, never text — then a hash agg; at 100 TB the window
+    * input is ~30 bytes/doc. Assigning by `hash % 10` instead would
+    * drift each stratum's proportions by O(√n); the ordinal rank makes
+    * them exact at the cost of this one metadata sort. */
+  val q197SplitAssign = QueryDef(
+    "q197_split_assign",
+    (s, d) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("h").asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          md5(col("doc_id").cast(StringType)).as("h"))
+        .withColumn("ord", row_number().over(w).cast(LongType))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+        .withColumn("split",
+          when(col("ord") * 10 <= col("n") * 8, "train")
+            .when(col("ord") * 10 <= col("n") * 9, "val")
+            .otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+        .orderBy("source", "split")
+    },
+    Some("""WITH r AS (
+           |  SELECT source, doc_id, n_chars,
+           |    CAST(row_number() OVER (PARTITION BY source
+           |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT)
+           |      AS ord,
+           |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+           |  FROM documents)
+           |SELECT source,
+           |  CASE WHEN ord * 10 <= n * 8 THEN 'train'
+           |       WHEN ord * 10 <= n * 9 THEN 'val' ELSE 'test' END AS split,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+           |FROM r GROUP BY 1, 2 ORDER BY source, split""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q73SequencePacking, q74SpanDedup,
     q75QualityRules, q76IncrementalDedup, q85MixtureSample, q92WeightedSample,
-    q99ChunkOverlap, q138SubstringDedup)
+    q99ChunkOverlap, q138SubstringDedup, q197SplitAssign)
 }
