@@ -1662,6 +1662,65 @@ object EventOps {
            |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)
   )
 
+  /** q198: RFM segmentation — the classic customer-base partition by
+    * Recency/Frequency/Monetary quintiles (marketing's workhorse
+    * segmentation, and a stratification key for sampling): per purchasing
+    * user, days since last purchase, purchase count and total value;
+    * each dimension scored 1–5 by `ntile(5)` with a user_id tiebreak so
+    * bucket edges are deterministic on both engines (ntile's
+    * equal-buckets-±1 split is SQL-standard); report = users and value
+    * per (r, f, m) cell — ≤125 rows.
+    *
+    * Scale: one user-keyed agg over purchases (map-side combinable),
+    * then three rank windows + the final agg over the per-USER frame —
+    * users, not events; the 1-row corpus-max watermark is a broadcast
+    * like q152's. The ntile windows are global (exact quintile edges
+    * need a total order); at billion-user scale swap them for q167's
+    * sampled range boundaries — same report, boundary error O(1/sample)
+    * — exactly the trade q131 (exact) vs q167 (sampled) documents. */
+  val q198RfmSegments = QueryDef(
+    "q198_rfm_segments",
+    (s, d) => {
+      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+      val watermark = p.agg(max("ts_ns").as("wm_ns"))
+      val byUser = p.groupBy("user_id")
+        .agg(max("ts_ns").as("last_ns"), count(lit(1)).as("freq"),
+          sum(floor(col("value") * 10.0 + 0.5).cast(LongType)).as("mon_x10"))
+        .crossJoin(watermark)
+        .select(col("user_id"),
+          expr(s"(wm_ns - last_ns) DIV ${DayNs}").as("rec_days"),
+          col("freq"), col("mon_x10"))
+      byUser
+        .withColumn("r", ntile(5).over(
+          Window.orderBy(col("rec_days").desc, col("user_id").asc)).cast(LongType))
+        .withColumn("f", ntile(5).over(
+          Window.orderBy(col("freq").asc, col("user_id").asc)).cast(LongType))
+        .withColumn("m", ntile(5).over(
+          Window.orderBy(col("mon_x10").asc, col("user_id").asc)).cast(LongType))
+        .groupBy("r", "f", "m")
+        .agg(count(lit(1)).as("n_users"), sum("mon_x10").as("value_x10"))
+        .orderBy("r", "f", "m")
+    },
+    Some(s"""WITH p AS (
+           |  SELECT user_id, epoch_ns(ts) AS ts_ns,
+           |    CAST(floor(value * 10.0 + 0.5) AS BIGINT) AS v
+           |  FROM events WHERE event_type = 'purchase'),
+           |u AS (
+           |  SELECT user_id,
+           |    ((SELECT MAX(ts_ns) FROM p) - MAX(ts_ns)) // ${DayNs} AS rec_days,
+           |    CAST(COUNT(*) AS BIGINT) AS freq, CAST(SUM(v) AS BIGINT) AS mon_x10
+           |  FROM p GROUP BY user_id),
+           |sc AS (
+           |  SELECT user_id, mon_x10,
+           |    CAST(ntile(5) OVER (ORDER BY rec_days DESC, user_id ASC) AS BIGINT) AS r,
+           |    CAST(ntile(5) OVER (ORDER BY freq ASC, user_id ASC) AS BIGINT) AS f,
+           |    CAST(ntile(5) OVER (ORDER BY mon_x10 ASC, user_id ASC) AS BIGINT) AS m
+           |  FROM u)
+           |SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_users,
+           |  CAST(SUM(mon_x10) AS BIGINT) AS value_x10
+           |FROM sc GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin)
+  )
+
   val q195ActivityHeatmap = QueryDef(
     "q195_activity_heatmap",
     (s, d) => {
@@ -1702,5 +1761,5 @@ object EventOps {
     q171UShapedAttribution, q177Seasonality, q178WowGrowth, q179CohortLtv,
     q181GiniConcentration, q183ClampedBalance, q185HazardTable,
     q188IntervalCoverage, q191ConversionLatency, q195ActivityHeatmap,
-    q196Velocity)
+    q196Velocity, q198RfmSegments)
 }
