@@ -339,6 +339,48 @@ object DedupOps {
            |SELECT d1, d2, ic, uc FROM pairs ORDER BY d1, d2""".stripMargin)
   )
 
+  /** q199: cross-source duplication matrix — WHERE the near-duplication
+    * lives: every verified near-dup pair labeled with its endpoints'
+    * (source, source) cell, per cell the pair count and mean exact
+    * Jaccard ×1e6 (per-pair integer division summed, then one final
+    * divide — no float mean). Off-diagonal cells are cross-source
+    * copying (mirrors, scrapes of scrapes — the signal that picks which
+    * source to DROP in q72's mixture); the diagonal is within-source
+    * redundancy. Cell key is order-normalized so (a,b) and (b,a)
+    * accumulate together.
+    *
+    * Plan shape at 100 TB: the heavy lifting is [[verifiedPairs]],
+    * shared through the pack's cachedFrame tier with q52/q142 — this
+    * audit adds two doc-METADATA joins (doc_id → source) and one agg
+    * bounded by |sources|². */
+  val q199SourceDupMatrix = QueryDef(
+    "q199_source_dup_matrix",
+    (s, d) => {
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      verifiedPairs(s, d, FullCorpus)
+        .join(src.withColumnRenamed("doc_id", "d1").withColumnRenamed("source", "s1"), "d1")
+        .join(src.withColumnRenamed("doc_id", "d2").withColumnRenamed("source", "s2"), "d2")
+        .select(least(col("s1"), col("s2")).as("src_a"),
+          greatest(col("s1"), col("s2")).as("src_b"),
+          expr("ic * 1000000 DIV uc").as("j_x1m"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(j_x1m) DIV count(1)").as("mean_j_x1m"))
+        .orderBy("src_a", "src_b")
+    },
+    Some(s"""WITH ${pairsCtes(capped = false, tenths = 6)},
+           |lab AS (
+           |  SELECT LEAST(da.source, db.source) AS src_a,
+           |    GREATEST(da.source, db.source) AS src_b,
+           |    ic * 1000000 // uc AS j_x1m
+           |  FROM pairs
+           |  JOIN documents da ON da.doc_id = d1
+           |  JOIN documents db ON db.doc_id = d2)
+           |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |  CAST(SUM(j_x1m) // COUNT(*) AS BIGINT) AS mean_j_x1m
+           |FROM lab GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin)
+  )
+
   /** q142: split-hygiene audit — assign every document a deterministic
     * 80/10/10 train/val/test split (the q58 md5-bucket idiom: retryable,
     * engine-stable, no rand()) and label every verified near-duplicate
@@ -864,5 +906,5 @@ object DedupOps {
   val all: Seq[QueryDef] =
     Seq(q23JaccardPairs, q24MinhashLsh, q25Simhash, q26SimhashPairs,
       q52MinhashLshFull, q87PrefixJoin, q90EditDistJoin, q91EditDistSql,
-      q93PassJoin, q95ContainmentJoin, q142SplitLeakage)
+      q93PassJoin, q95ContainmentJoin, q142SplitLeakage, q199SourceDupMatrix)
 }

@@ -201,9 +201,11 @@ class PlanSpec extends SparkSpec {
       // inside InMemoryRelation blocks — text duplication, the runtime
       // reads the cached frame
       // q142 is the q52 pairs frame + a per-row split projection, so its
-      // plan text repeats the same cached candidate lineage
+      // plan text repeats the same cached candidate lineage; q199 joins
+      // the same cached pair frame to documents twice (source lookup per
+      // endpoint), repeating the lineage under both join branches
       case n if n.startsWith("q24") || n.startsWith("q52") ||
-        n.startsWith("q142") => 90
+        n.startsWith("q142") || n.startsWith("q199") => 90
       // q93: short-bucket union + segment/probe join + distinct + two
       // text re-joins + DP repartition — candidate generation is wide by
       // design, every shuffled row is metadata-narrow
