@@ -178,7 +178,9 @@ class PlanSpec extends SparkSpec {
       // q170: 1-row undirected-edge-count scalar broadcast
       "q170_modularity",
       // q191: 1-row user-count × 1-row percentile-summary cross join
-      "q191_conversion_latency")
+      "q191_conversion_latency",
+      // q198: 1-row corpus-max watermark broadcast (the q152 shape)
+      "q198_rfm_segments")
     // plan-text exchange budgets: the LSH pipeline legitimately has ~18
     // (sig agg + banding self-join + verify joins); queries consuming the
     // CACHED pair/cluster frames repeat that lineage inside
