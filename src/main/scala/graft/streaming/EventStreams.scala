@@ -896,11 +896,73 @@ object EventStreams {
            |ORDER BY uid, view_us, view_id, click_us, click_id""".stripMargin)
   )
 
+  /** Typed row for [[q200StreamingRateLimit]]. */
+  final case class QuotaEv(user_id: Long, ts_us: Long, event_id: Long)
+
+  private val QuotaWindowUs = 6L * 3600 * 1000 * 1000
+  private val QuotaN = 3L
+
+  /** q200: per-key RATE LIMITING as arbitrary stateful streaming, under
+    * the DuckDB oracle — the quota-enforcement shape every ingestion
+    * pipeline needs (per-tenant API caps, per-source crawl budgets,
+    * per-user abuse throttles): admit only the first 3 events per user
+    * per 6-hour window, drop the rest, with the admission decision made
+    * in a streaming operator whose only memory is 16 bytes per key
+    * (current window, admitted count) — NOT a windowed aggregation: the
+    * decision is per-ROW and must be emitted immediately.
+    *
+    * Batch rows are folded in (ts_us, event_id) order (q111's
+    * discipline), so the admitted set is exactly the batch truth:
+    * row_number per (user, window) ≤ 3 — which IS the oracle. A
+    * state-loss, double-count, or window-boundary bug admits a different
+    * row set and fails the hash. Sentinel keys are negative and
+    * filtered. */
+  val q200StreamingRateLimit = graft.QueryDef(
+    "q200_streaming_rate_limit",
+    (s, d) => {
+      val sunk = drainAvailableNow(s, d) { st =>
+        import st.sparkSession.implicits._
+        st.select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"), col("event_id"))
+          .as[QuotaEv]
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState[(Long, Long), QuotaEv](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+            (_: Long, rows: Iterator[QuotaEv], state: GroupState[(Long, Long)]) =>
+              val sorted = rows.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+              var (win, cnt) = state.getOption.getOrElse((Long.MinValue, 0L))
+              val out = sorted.flatMap { e =>
+                val w = e.ts_us / QuotaWindowUs
+                if (w != win) { win = w; cnt = 0L }
+                if (cnt < QuotaN) { cnt += 1; Some(e) } else None
+              }
+              state.update((win, cnt))
+              out.iterator
+          }
+          .toDF()
+      }
+      sunk.filter(col("user_id") >= 0)
+        .select(col("user_id"), expr(s"ts_us DIV $QuotaWindowUs").as("win"),
+          col("ts_us"), col("event_id"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+    Some(s"""WITH base AS (
+           |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           |    epoch_us(ts) // ${QuotaWindowUs} AS win
+           |  FROM events),
+           |r AS (
+           |  SELECT user_id, win, ts_us, event_id,
+           |    row_number() OVER (PARTITION BY user_id, win
+           |      ORDER BY ts_us, event_id) AS rn
+           |  FROM base)
+           |SELECT user_id, win, ts_us, event_id FROM r WHERE rn <= ${QuotaN}
+           |ORDER BY user_id, ts_us, event_id""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] =
     Seq(q64StreamingTumbling, q82StreamingSession, q96StreamingIntervalJoin,
       q98StreamingDedup, q108StreamingEnrich, q111StreamingHighs,
       q121StreamingOuterJoin, q134StreamingTimers, q161ForeachBatchMerge,
-      q163StreamingFullOuterJoin)
+      q163StreamingFullOuterJoin, q200StreamingRateLimit)
 
   /** Custom per-user running state via mapGroupsWithState — the
     * `KeyValueGroupedDataset` stateful escape hatch (arbitrary state the
