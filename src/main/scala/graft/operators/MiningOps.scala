@@ -1342,10 +1342,119 @@ object MiningOps {
            |FROM j GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)
   )
 
+  /** q201: fulfillment-latency SLA report — per order priority, exact
+    * median/p90/max days from order date to line-item ship date plus the
+    * share of lines beyond a 60-day SLA ×1e6. The operational-latency
+    * readout (order-to-ship, ticket-to-resolve, ingest-to-serve) with
+    * the q186 exact-percentile discipline: latencies collapse to
+    * per-(priority, days) counts first, the cumulative window runs over
+    * distinct day values — metadata — and tie handling is definitionally
+    * engine-identical.
+    *
+    * Scale: one orderkey join (header side dimension-like under AQE),
+    * one (priority, days) hash agg — map-side combinable — and windows
+    * over the ≤ priorities×max-days histogram. */
+  val q201SlaLatency = QueryDef(
+    "q201_sla_latency",
+    (s, d) => {
+      val lat = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"),
+          unix_micros(col("l_shipdate").cast(TimestampType)).as("ship_us"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+          unix_micros(col("o_orderdate").cast(TimestampType)).as("ord_us")),
+          Seq("o_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          expr("(ship_us - ord_us) DIV 86400000000").as("days"))
+      val byDays = lat.groupBy("priority", "days").agg(count(lit(1)).as("w"))
+      val wc = Window.partitionBy("priority").orderBy(col("days").asc)
+      byDays
+        .withColumn("cum", sum("w").over(wc))
+        .withColumn("tot", sum("w").over(Window.partitionBy("priority")))
+        .groupBy("priority")
+        .agg(max("tot").as("n_lines"),
+          min(when(col("cum") * 2 >= col("tot"), col("days"))).as("med_days"),
+          min(when(col("cum") * 10 >= col("tot") * 9, col("days"))).as("p90_days"),
+          max("days").as("max_days"),
+          expr("sum(CASE WHEN days > 60 THEN w ELSE 0 END) * 1000000" +
+            " DIV max(tot)").as("breach_x1m"))
+        .orderBy("priority")
+    },
+    Some("""WITH lat AS (
+           |  SELECT o.o_orderpriority AS priority,
+           |    (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000
+           |      AS days
+           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+           |h AS (
+           |  SELECT priority, days, CAST(COUNT(*) AS BIGINT) AS w
+           |  FROM lat GROUP BY 1, 2),
+           |c AS (
+           |  SELECT priority, days, w,
+           |    SUM(w) OVER (PARTITION BY priority ORDER BY days) AS cum,
+           |    SUM(w) OVER (PARTITION BY priority) AS tot
+           |  FROM h)
+           |SELECT priority, CAST(MAX(tot) AS BIGINT) AS n_lines,
+           |  CAST(MIN(CASE WHEN cum * 2 >= tot THEN days END) AS BIGINT) AS med_days,
+           |  CAST(MIN(CASE WHEN cum * 10 >= tot * 9 THEN days END) AS BIGINT)
+           |    AS p90_days,
+           |  CAST(MAX(days) AS BIGINT) AS max_days,
+           |  CAST(SUM(CASE WHEN days > 60 THEN w ELSE 0 END) * 1000000 // MAX(tot)
+           |    AS BIGINT) AS breach_x1m
+           |FROM c GROUP BY priority ORDER BY priority""".stripMargin)
+  )
+
+  /** q202: supplier-concentration audit (Herfindahl–Hirschman index) —
+    * per part type prefix (the "category"), each supplier's quantity
+    * share ×1e4 and HHI = Σ share² (0..1e8): the market-concentration /
+    * single-point-of-failure metric procurement and data-source
+    * diversity reviews both use (an HHI near 1e8 = one supplier is the
+    * whole category — the same failure mode as one source dominating a
+    * training mixture, q72's concern in supply space). Shares are
+    * pre-divided integers so Σ share² never overflows and both engines
+    * agree bit-for-bit.
+    *
+    * Scale: one (category, supplier) hash agg — map-side combinable —
+    * then category-keyed windows over the supplier-count-bounded frame. */
+  val q202SupplierHhi = QueryDef(
+    "q202_supplier_hhi",
+    (s, d) => {
+      val cat = col("p_type").as("category")
+      val byCatSupp = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"),
+          floor(col("l_quantity") + 0.5).cast(LongType).as("q"))
+        .join(Tables.part(s, d).select(col("p_partkey"), cat), col("l_partkey") === col("p_partkey"))
+        .groupBy("category", "l_suppkey").agg(sum("q").as("q"))
+      byCatSupp
+        .withColumn("tot", sum("q").over(Window.partitionBy("category")))
+        .withColumn("share_x1e4", expr("q * 10000 DIV tot"))
+        .groupBy("category")
+        .agg(count(lit(1)).as("n_suppliers"),
+          max("tot").as("total_qty"),
+          sum(expr("share_x1e4 * share_x1e4")).as("hhi_x1e8"),
+          max("share_x1e4").as("top_share_x1e4"))
+        .orderBy("category")
+    },
+    Some("""WITH cs AS (
+           |  SELECT p.p_type AS category, l.l_suppkey,
+           |    CAST(SUM(CAST(floor(l.l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q
+           |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           |  GROUP BY 1, 2),
+           |sh AS (
+           |  SELECT category, q,
+           |    q * 10000 // SUM(q) OVER (PARTITION BY category) AS share_x1e4,
+           |    SUM(q) OVER (PARTITION BY category) AS tot
+           |  FROM cs)
+           |SELECT category, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           |  CAST(MAX(tot) AS BIGINT) AS total_qty,
+           |  CAST(SUM(share_x1e4 * share_x1e4) AS BIGINT) AS hhi_x1e8,
+           |  CAST(MAX(share_x1e4) AS BIGINT) AS top_share_x1e4
+           |FROM sh GROUP BY category ORDER BY category""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile,
     q110PercentileNorm, q114TopkPerGroup, q126GroupOls, q127ChangePoint,
     q131EquidepthHist, q141KAnonymity, q147ExactMedian, q164BenfordAudit,
     q169Winsorize, q172AprioriTriples, q174ExactAuc, q175Reliability,
     q176LearningCurve, q180GainsTable, q182PoissonBootstrap, q184ItemCf,
-    q186WeightedMedian, q187HllSketch, q189CmSketch, q190LedgerRecon)
+    q186WeightedMedian, q187HllSketch, q189CmSketch, q190LedgerRecon,
+    q201SlaLatency, q202SupplierHhi)
 }
