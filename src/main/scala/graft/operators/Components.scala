@@ -200,6 +200,71 @@ object Components {
            |GROUP BY cluster ORDER BY cluster""".stripMargin)
   )
 
+  /** q204: dedup-impact report — what keep-one-per-cluster WOULD do to
+    * the corpus before anyone runs it: the cluster-SIZE distribution
+    * (singletons included — docs in no near-dup pair are size-1 clusters
+    * by definition) with per-size cluster/doc counts and each size's
+    * share of the total drop ×1e6. The capacity-planning face of
+    * q44/q53/q71: size-2 tails mean light trimming, a giant component
+    * means boilerplate detection should run first.
+    *
+    * Scale: clustering touches pair METADATA only (the q53 property);
+    * the singleton count is corpus_count − Σ sz, one scalar; the
+    * histogram is bounded by the largest cluster size. */
+  val q204DedupImpact = QueryDef(
+    "q204_dedup_impact",
+    (s, d) => {
+      val edges = DedupOps.verifiedPairs(s, d, DedupOps.FullCorpus)
+        .select(col("d1").as("src"), col("d2").as("dst"))
+      val verts = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      val sizes = connectedComponentsAuto(verts, edges)
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      val multi = sizes.groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      val nDocs = Tables.documents(s, d).count()
+      val inPairs = verts.count()
+      val hist = multi
+        .unionByName(multi.sparkSession.range(1).toDF("x")
+          .select(lit(1L).as("sz"), lit(nDocs - inPairs).as("n_clusters")))
+        .groupBy("sz").agg(sum("n_clusters").as("n_clusters"))
+        .withColumn("n_docs", col("sz") * col("n_clusters"))
+        .withColumn("dropped", (col("sz") - 1) * col("n_clusters"))
+      hist
+        .withColumn("total_drop", sum("dropped").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(0))))
+        .select(col("sz"), col("n_clusters"), col("n_docs"),
+          expr("dropped * 1000000 DIV greatest(total_drop, 1)").as("drop_share_x1m"))
+        .orderBy("sz")
+    },
+    Some(s"""WITH RECURSIVE ${DedupOps.pairsCtes(capped = false, tenths = 6)},
+           |bidir AS (
+           |  SELECT d1 AS src, d2 AS dst FROM pairs
+           |  UNION SELECT d2 AS src, d1 AS dst FROM pairs),
+           |reach(node, lab) AS (
+           |  SELECT DISTINCT src, src FROM bidir
+           |  UNION
+           |  SELECT e.dst, r.lab FROM reach r JOIN bidir e ON e.src = r.node),
+           |clusters AS (
+           |  SELECT node AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY node),
+           |csizes AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS sz
+           |          FROM clusters GROUP BY cluster),
+           |cmulti AS (SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_clusters
+           |          FROM csizes GROUP BY sz),
+           |hist AS (
+           |  SELECT sz, n_clusters FROM cmulti
+           |  UNION ALL
+           |  SELECT 1, (SELECT COUNT(*) FROM documents)
+           |    - (SELECT COUNT(*) FROM clusters)),
+           |g AS (
+           |  SELECT sz, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters
+           |  FROM hist GROUP BY sz)
+           |SELECT sz, n_clusters, CAST(sz * n_clusters AS BIGINT) AS n_docs,
+           |  CAST((sz - 1) * n_clusters * 1000000
+           |    // GREATEST(SUM((sz - 1) * n_clusters) OVER (), 1) AS BIGINT)
+           |    AS drop_share_x1m
+           |FROM g ORDER BY sz""".stripMargin)
+  )
+
   /** q71: quality-canonical survivor selection — production near-dup
     * dedup keeps the BEST document of each cluster, not the lowest id
     * (FineWeb/RefinedWeb keep-longest rule): survivor = max `n_chars`,
@@ -254,5 +319,5 @@ object Components {
   )
 
   val all: Seq[QueryDef] = Seq(q44DedupClusters, q53DedupClustersFull,
-    q71ClusterCanonical)
+    q71ClusterCanonical, q204DedupImpact)
 }

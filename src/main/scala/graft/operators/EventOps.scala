@@ -1721,6 +1721,53 @@ object EventOps {
            |FROM sc GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin)
   )
 
+  /** q203: pipeline freshness / staleness audit — the monitor page every
+    * ingestion pipeline needs: per event type, minutes since the last
+    * event (against the corpus watermark), volume in the trailing 24 h vs
+    * the 24 h before it, and the day-over-day ratio ×1e6 — a stream that
+    * went quiet or fell off a cliff shows up as a stale age or a
+    * collapsed ratio. Integer-exact: ages in whole minutes, the ratio a
+    * guarded floor division.
+    *
+    * Scale: ONE scan with conditional aggregation per type (map-side
+    * combinable, output bounded by |types|); the watermark is the same
+    * 1-row broadcast as q152/q198. */
+  val q203FreshnessAudit = QueryDef(
+    "q203_freshness_audit",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val wm = e.agg(max("ts_ns").as("wm_ns"))
+      e.crossJoin(wm)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          expr(s"min(wm_ns - ts_ns) DIV ${60L * 1000 * 1000 * 1000}")
+            .as("staleness_min"),
+          sum(when(expr(s"wm_ns - ts_ns < ${DayNs}"), 1L).otherwise(0L))
+            .as("last_24h"),
+          sum(when(expr(s"wm_ns - ts_ns >= ${DayNs} AND wm_ns - ts_ns < ${2 * DayNs}"),
+            1L).otherwise(0L)).as("prior_24h"))
+        .select(col("event_type"), col("n_total"), col("staleness_min"),
+          col("last_24h"), col("prior_24h"),
+          expr("last_24h * 1000000 DIV greatest(prior_24h, 1)").as("dod_x1m"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH w AS (SELECT MAX(epoch_ns(ts)) AS wm_ns FROM events)
+           |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_total,
+           |  CAST(MIN(w.wm_ns - epoch_ns(ts)) // 60000000000 AS BIGINT)
+           |    AS staleness_min,
+           |  CAST(SUM(CASE WHEN w.wm_ns - epoch_ns(ts) < ${DayNs}
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS last_24h,
+           |  CAST(SUM(CASE WHEN w.wm_ns - epoch_ns(ts) >= ${DayNs}
+           |    AND w.wm_ns - epoch_ns(ts) < ${2 * DayNs}
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS prior_24h,
+           |  CAST(SUM(CASE WHEN w.wm_ns - epoch_ns(ts) < ${DayNs}
+           |    THEN 1 ELSE 0 END) * 1000000
+           |    // GREATEST(SUM(CASE WHEN w.wm_ns - epoch_ns(ts) >= ${DayNs}
+           |    AND w.wm_ns - epoch_ns(ts) < ${2 * DayNs} THEN 1 ELSE 0 END), 1)
+           |    AS BIGINT) AS dod_x1m
+           |FROM events, w GROUP BY event_type ORDER BY event_type""".stripMargin)
+  )
+
   val q195ActivityHeatmap = QueryDef(
     "q195_activity_heatmap",
     (s, d) => {
@@ -1761,5 +1808,5 @@ object EventOps {
     q171UShapedAttribution, q177Seasonality, q178WowGrowth, q179CohortLtv,
     q181GiniConcentration, q183ClampedBalance, q185HazardTable,
     q188IntervalCoverage, q191ConversionLatency, q195ActivityHeatmap,
-    q196Velocity, q198RfmSegments)
+    q196Velocity, q198RfmSegments, q203FreshnessAudit)
 }

@@ -180,7 +180,9 @@ class PlanSpec extends SparkSpec {
       // q191: 1-row user-count × 1-row percentile-summary cross join
       "q191_conversion_latency",
       // q198: 1-row corpus-max watermark broadcast (the q152 shape)
-      "q198_rfm_segments")
+      "q198_rfm_segments",
+      // q203: 1-row corpus-max watermark broadcast (the q152 shape)
+      "q203_freshness_audit")
     // plan-text exchange budgets: the LSH pipeline legitimately has ~18
     // (sig agg + banding self-join + verify joins); queries consuming the
     // CACHED pair/cluster frames repeat that lineage inside
@@ -195,7 +197,8 @@ class PlanSpec extends SparkSpec {
       // InMemoryRelation blocks — runtime reads the cached frames
       case n if n.startsWith("q46") || n.startsWith("q53") ||
         n.startsWith("q54") || n.startsWith("q71") || n.startsWith("q76") ||
-        n.startsWith("q87") || n.startsWith("q95") => 300
+        n.startsWith("q87") || n.startsWith("q95") ||
+        n.startsWith("q204") => 300
       case n if n.startsWith("q23") => 24
       // q24/q52: the verify stage references the materialized candidate
       // cache three times (candDocs union x2 + the pair join) and the
