@@ -1768,6 +1768,60 @@ object EventOps {
            |FROM events, w GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 
+  /** q206: inter-arrival gap percentiles — the traffic-model diagnostic
+    * (is arrival roughly Poisson? what timeout actually covers p90 of
+    * gaps?) that sizes q32's session gap and q185's bands instead of
+    * guessing them: per event type, exact median/p90/max of the
+    * SAME-USER inter-event gap in seconds (lag over the user-keyed
+    * window, first event per user has no gap and is excluded), via the
+    * q186 distinct-value cumulative selection.
+    *
+    * Scale: one user-keyed window (shared exchange with every other
+    * per-user op), one (type, gap-seconds) hash agg, percentile windows
+    * over the gap histogram — metadata. */
+  val q206InterarrivalGaps = QueryDef(
+    "q206_interarrival_gaps",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_ns").asc, col("event_id").asc)
+      val gaps = Tables.events(s, d)
+        .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+        .withColumn("gap_ns", col("ts_ns") - lag("ts_ns", 1).over(w))
+        .withColumn("gap_s", expr("gap_ns DIV 1000000000"))
+        .filter(col("gap_s").isNotNull)
+      val hist = gaps.groupBy("event_type", "gap_s").agg(count(lit(1)).as("n"))
+      val wc = Window.partitionBy("event_type").orderBy(col("gap_s").asc)
+      hist
+        .withColumn("cum", sum("n").over(wc))
+        .withColumn("tot", sum("n").over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(max("tot").as("n_gaps"),
+          min(when(col("cum") * 2 >= col("tot"), col("gap_s"))).as("med_gap_s"),
+          min(when(col("cum") * 10 >= col("tot") * 9, col("gap_s"))).as("p90_gap_s"),
+          max("gap_s").as("max_gap_s"))
+        .orderBy("event_type")
+    },
+    Some("""WITH g AS (
+           |  SELECT event_type,
+           |    (epoch_ns(ts) - LAG(epoch_ns(ts)) OVER (PARTITION BY user_id
+           |      ORDER BY epoch_ns(ts), event_id)) // 1000000000 AS gap_s
+           |  FROM events),
+           |h AS (
+           |  SELECT event_type, gap_s, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1, 2),
+           |c AS (
+           |  SELECT event_type, gap_s, n,
+           |    SUM(n) OVER (PARTITION BY event_type ORDER BY gap_s) AS cum,
+           |    SUM(n) OVER (PARTITION BY event_type) AS tot
+           |  FROM h)
+           |SELECT event_type, CAST(MAX(tot) AS BIGINT) AS n_gaps,
+           |  CAST(MIN(CASE WHEN cum * 2 >= tot THEN gap_s END) AS BIGINT)
+           |    AS med_gap_s,
+           |  CAST(MIN(CASE WHEN cum * 10 >= tot * 9 THEN gap_s END) AS BIGINT)
+           |    AS p90_gap_s,
+           |  CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+           |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin)
+  )
+
   val q195ActivityHeatmap = QueryDef(
     "q195_activity_heatmap",
     (s, d) => {
@@ -1808,5 +1862,5 @@ object EventOps {
     q171UShapedAttribution, q177Seasonality, q178WowGrowth, q179CohortLtv,
     q181GiniConcentration, q183ClampedBalance, q185HazardTable,
     q188IntervalCoverage, q191ConversionLatency, q195ActivityHeatmap,
-    q196Velocity, q198RfmSegments, q203FreshnessAudit)
+    q196Velocity, q198RfmSegments, q203FreshnessAudit, q206InterarrivalGaps)
 }

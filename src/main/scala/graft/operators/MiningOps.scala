@@ -1450,11 +1450,67 @@ object MiningOps {
            |FROM sh GROUP BY category ORDER BY category""".stripMargin)
   )
 
+  /** q205: ABC (Pareto) classification — the 80/95 cumulative-share split
+    * inventory management runs on SKUs and a data platform runs on
+    * tables/sources (class A gets optimization attention, class C gets
+    * archived): parts ranked by revenue, class A while cumulative share
+    * ≤ 80%, B to 95%, C after; report per class = parts, revenue, share
+    * ×1e6. The boundary is decided on the PRIOR row's cumulative share
+    * (a part straddling 80% is still A — the textbook convention) with
+    * (revenue desc, partkey) total order so both engines cut identically.
+    *
+    * Scale: one part-keyed revenue agg (map-side combinable); the
+    * ranking window runs over the per-PART frame. At catalog sizes where
+    * even that window is too global, the q167 sampled-boundary swap
+    * applies — same note as q198. */
+  val q205AbcClasses = QueryDef(
+    "q205_abc_classes",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+            .cast(LongType).as("c"))
+        .groupBy("l_partkey").agg(sum("c").as("rev_c"))
+      val w = Window.orderBy(col("rev_c").desc, col("l_partkey").asc)
+      rev
+        .withColumn("cum", sum("rev_c").over(w))
+        .withColumn("tot", sum("rev_c").over(Window.partitionBy(lit(0))))
+        .withColumn("prior", col("cum") - col("rev_c"))
+        .withColumn("cls",
+          when(col("prior") * 100 <= col("tot") * 80, "A")
+            .when(col("prior") * 100 <= col("tot") * 95, "B").otherwise("C"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_parts"), sum("rev_c").as("rev_c"),
+          expr("sum(rev_c) * 1000000 DIV max(tot)").as("share_x1m"))
+        .orderBy("cls")
+    },
+    Some("""WITH rev AS (
+           |  SELECT l_partkey,
+           |    CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+           |      AS BIGINT)) AS BIGINT) AS rev_c
+           |  FROM lineitem GROUP BY 1),
+           |c AS (
+           |  SELECT l_partkey, rev_c,
+           |    SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey ASC) AS cum,
+           |    SUM(rev_c) OVER () AS tot
+           |  FROM rev),
+           |lab AS (
+           |  SELECT rev_c, tot,
+           |    CASE WHEN (cum - rev_c) * 100 <= tot * 80 THEN 'A'
+           |         WHEN (cum - rev_c) * 100 <= tot * 95 THEN 'B'
+           |         ELSE 'C' END AS cls
+           |  FROM c)
+           |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           |  CAST(SUM(rev_c) AS BIGINT) AS rev_c,
+           |  CAST(SUM(rev_c) * 1000000 // MAX(tot) AS BIGINT) AS share_x1m
+           |FROM lab GROUP BY cls ORDER BY cls""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile,
     q110PercentileNorm, q114TopkPerGroup, q126GroupOls, q127ChangePoint,
     q131EquidepthHist, q141KAnonymity, q147ExactMedian, q164BenfordAudit,
     q169Winsorize, q172AprioriTriples, q174ExactAuc, q175Reliability,
     q176LearningCurve, q180GainsTable, q182PoissonBootstrap, q184ItemCf,
     q186WeightedMedian, q187HllSketch, q189CmSketch, q190LedgerRecon,
-    q201SlaLatency, q202SupplierHhi)
+    q201SlaLatency, q202SupplierHhi, q205AbcClasses)
 }
