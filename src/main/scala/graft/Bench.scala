@@ -90,11 +90,34 @@ object Bench {
     def mapStr(keys: Seq[(String, Double)], dp: Int): String =
       keys.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
         .mkString("{", ",", "}")
+    // Past ~205 queries even bare-number keys at 1 decimal overflow the
+    // window (the r5 encoding note foresaw this boundary). The next rung
+    // keeps the map but PARTIAL — slowest queries first (the ones any
+    // perf comparison actually reads) with an EXPLICIT "q_omitted" count,
+    // so per-query signal degrades loudly, never silently; the full
+    // 3-decimal medians are in BENCH.json, committed in-repo every round.
+    def partialLine(dp: Int): String = {
+      val byCost = nKeys.sortBy { case (k, v) => (-v, k) }
+      // fixed overhead of this rung measured with an empty map + marker
+      val overhead = line(Some("{}"), elideZeroFailed = true).length +
+        s""","q_omitted":${nKeys.size}""".length
+      var budget = MaxLineChars - overhead
+      val kept = byCost.takeWhile { case (k, v) =>
+        val len = k.length + fmt(v, dp).length + 4 // quotes + colon + comma
+        val fits = budget - len >= 0
+        if (fits) budget -= len
+        fits
+      }
+      val omitted = nKeys.size - kept.size
+      val q = mapStr(kept.sortBy { case (k, _) => (k.length, k) }, dp)
+      val base = line(Some(q), elideZeroFailed = true)
+      base.dropRight(1) + s""","q_omitted":$omitted}"""
+    }
     val candidates =
       Seq((qKeys, 3, false), (qKeys, 2, false), (nKeys, 2, false),
         (nKeys, 2, true), (nKeys, 1, false), (nKeys, 1, true)).iterator.map {
         case (keys, dp, elide) => line(Some(mapStr(keys, dp)), elide)
-      } ++ Iterator.single(line(None))
+      } ++ Iterator(partialLine(2), partialLine(1), line(None))
     candidates.find(_.length <= MaxLineChars).getOrElse(line(None))
   }
 

@@ -1506,11 +1506,68 @@ object MiningOps {
            |FROM lab GROUP BY cls ORDER BY cls""".stripMargin)
   )
 
+  /** q207: two-sample Kolmogorov–Smirnov drift test, integer-exact — the
+    * CONTINUOUS-distribution companion to q103's categorical chi-square
+    * and q144's embedding drift: did src1's document-length distribution
+    * drift from src0's? D = max |F̂_A(x) − F̂_B(x)| is computed with the
+    * difference cross-multiplied to |cumA·nB − cumB·nA| so no float CDF
+    * ever exists; the report carries the scaled statistic, D ×1e6, and
+    * the length where the gap peaks (smallest such length on ties).
+    *
+    * Scale: the two corpora collapse to per-length counts first (one
+    * hash agg); the CDF windows run over DISTINCT lengths — metadata.
+    * This is the promotion gate for a new pipeline revision: ship only
+    * if the output distribution didn't move. */
+  val q207KsDrift = QueryDef(
+    "q207_ks_drift",
+    (s, d) => {
+      val pts = Tables.documents(s, d)
+        .filter(col("source").isin("src0", "src1"))
+        .groupBy("n_chars")
+        .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("a"),
+          sum(when(col("source") === "src1", 1L).otherwise(0L)).as("b"))
+      val wc = Window.partitionBy(lit(0)).orderBy(col("n_chars").asc)
+      val wAll = Window.partitionBy(lit(0))
+      pts
+        .withColumn("cum_a", sum("a").over(wc))
+        .withColumn("cum_b", sum("b").over(wc))
+        .withColumn("na", sum("a").over(wAll))
+        .withColumn("nb", sum("b").over(wAll))
+        .withColumn("gap", abs(col("cum_a") * col("nb") - col("cum_b") * col("na")))
+        .withColumn("mx", max("gap").over(wAll))
+        .agg(max("na").as("na"), max("nb").as("nb"), max("gap").as("d_num"),
+          min(when(col("gap") === col("mx"), col("n_chars"))).as("arg_len"))
+        .select(col("na"), col("nb"), col("d_num"),
+          expr("d_num * 1000000 DIV (na * nb)").as("ks_x1m"), col("arg_len"))
+    },
+    Some("""WITH pts AS (
+           |  SELECT n_chars,
+           |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS b
+           |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+           |c AS (
+           |  SELECT n_chars,
+           |    SUM(a) OVER (ORDER BY n_chars) AS cum_a,
+           |    SUM(b) OVER (ORDER BY n_chars) AS cum_b,
+           |    SUM(a) OVER () AS na, SUM(b) OVER () AS nb
+           |  FROM pts),
+           |g AS (
+           |  SELECT n_chars, na, nb,
+           |    ABS(cum_a * nb - cum_b * na) AS gap,
+           |    MAX(ABS(cum_a * nb - cum_b * na)) OVER () AS mx
+           |  FROM c)
+           |SELECT CAST(MAX(na) AS BIGINT) AS na, CAST(MAX(nb) AS BIGINT) AS nb,
+           |  CAST(MAX(gap) AS BIGINT) AS d_num,
+           |  CAST(MAX(gap) * 1000000 // (MAX(na) * MAX(nb)) AS BIGINT) AS ks_x1m,
+           |  CAST(MIN(CASE WHEN gap = mx THEN n_chars END) AS BIGINT) AS arg_len
+           |FROM g""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile,
     q110PercentileNorm, q114TopkPerGroup, q126GroupOls, q127ChangePoint,
     q131EquidepthHist, q141KAnonymity, q147ExactMedian, q164BenfordAudit,
     q169Winsorize, q172AprioriTriples, q174ExactAuc, q175Reliability,
     q176LearningCurve, q180GainsTable, q182PoissonBootstrap, q184ItemCf,
     q186WeightedMedian, q187HllSketch, q189CmSketch, q190LedgerRecon,
-    q201SlaLatency, q202SupplierHhi, q205AbcClasses)
+    q201SlaLatency, q202SupplierHhi, q205AbcClasses, q207KsDrift)
 }

@@ -19,16 +19,16 @@ class BenchSpec extends AnyFunSuite {
     assert(!line.contains("\n"))
   }
 
-  test("per-query medians keep at least 1-decimal precision in the tail line") {
-    // r5 decision, amended at 182 queries: the key ladder (qNN → bare
-    // registry number) and the n_failed:0 elision kept 2 decimals to
-    // ~176 queries; past that the arithmetic is unforgiving (~11 chars
-    // per 2-decimal entry × registry > window), so the tail guarantees
-    // 1 decimal (100 ms) — the driver's cross-round per-query signal
-    // survives — and FULL 3-decimal medians live in BENCH.json, which is
-    // committed in-repo every round. What must NEVER happen silently is
-    // losing the per-query map from the tail entirely (headroom at 1
-    // decimal: ~205 queries; revisit the encoding before crossing it).
+  test("per-query medians stay in the tail line — partial past ~205 queries, never silent") {
+    // r5 decision, amended twice as the registry grew: the key ladder
+    // (qNN → bare registry number) and the n_failed:0 elision kept full
+    // maps with ≥1-decimal medians to ~205 queries; past that the
+    // arithmetic is unforgiving (~10 chars per entry × registry > the
+    // 1,950-char window), so the tail now degrades to a PARTIAL map —
+    // slowest queries first, the ones any perf comparison reads — with
+    // an EXPLICIT "q_omitted" count. FULL 3-decimal medians live in
+    // BENCH.json, committed in-repo every round. What must NEVER happen
+    // is the map vanishing silently.
     assert(names.size >= 94, s"registry shrank to ${names.size} queries")
     val results = names.map(_ -> 1.234567)
     val line = Bench.compactLine(12.3456, 98.7654, results, "/root/testdata/sf0.1", 5)
@@ -38,6 +38,26 @@ class BenchSpec extends AnyFunSuite {
         s"(line is ${line.length} chars)")
     assert(line.contains("\"queries\":{"),
       s"per-query map fell out of the tail at ${names.size} queries")
+    // if the map went partial, it must say so, and still carry the bulk
+    if (line.contains("\"q_omitted\":")) {
+      val kept = "\":1\\.2".r.findAllIn(line).size
+      assert(kept >= 100, s"partial map kept only $kept medians")
+      val omitted = "\"q_omitted\":(\\d+)".r.findFirstMatchIn(line).get.group(1).toInt
+      assert(kept + omitted == names.size,
+        s"kept $kept + omitted $omitted != registry ${names.size}")
+    }
+  }
+
+  test("partial tail map keeps the SLOWEST queries when it cannot keep all") {
+    // force the partial rung with a huge synthetic registry: the survivors
+    // must be exactly the most expensive entries, explicitly counted
+    val big = (1 to 400).map(i => f"q$i%03d_synthetic" -> i * 0.01)
+    val line = Bench.compactLine(1.0, 2.0, big, "sf0.1", 5)
+    assert(line.length <= Bench.MaxLineChars, s"line is ${line.length} chars")
+    assert(line.contains("\"q_omitted\":"), "400 entries cannot fit — must mark omission")
+    assert(line.contains("\"400\":4") && line.contains("\"399\":3.99") ||
+      line.contains("\"399\":"), "slowest queries must survive the cut")
+    assert(!line.contains("\"1\":0.01"), "cheapest query should be the first omitted")
   }
 
   test("compact bench line degrades but still fits at adversarial timings") {
