@@ -1,0 +1,186 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A complete custom DataSource V2 connector — the "bring your own
+  * storage system" extension axis of a Spark-native engine, demonstrated
+  * end-to-end with REAL pushdown, not a toy RDD wrapper:
+  *
+  *  - [[SynthProvider]] (`TableProvider`): entry point,
+  *    `spark.read.format(classOf[SynthProvider].getName)`.
+  *  - [[SynthTable]] (`Table` + `SupportsRead`): schema + capabilities.
+  *  - [[SynthScanBuilder]] (`SupportsPushDownFilters` +
+  *    `SupportsPushDownRequiredColumns`): doc_id range predicates are
+  *    ABSORBED into the scan (the generator never produces the filtered
+  *    rows — the DSv2 equivalent of parquet row-group skipping) and the
+  *    required-column set prunes generation work per row. Non-range
+  *    filters are returned as residuals for Spark to evaluate.
+  *  - [[SynthScan]] (`Scan` + `Batch`): splits the surviving [lo, hi) id
+  *    range evenly into `parts` input partitions — a NARROW, shuffle-free
+  *    scan whose parallelism is declared by the source, exactly how a
+  *    real connector hands Spark its split topology.
+  *
+  * The table is a deterministic synthetic corpus: for id x,
+  * `h = (x * 2654435761) mod 1e9` (Knuth multiplicative hash — odd
+  * multiplier, so a bijection mod 2^k and well-scattered mod 1e9) and
+  * `bucket = h mod 97`. Every value is a pure integer function of x,
+  * so DuckDB reproduces the whole table from `range()` — which is what
+  * lets a CUSTOM CONNECTOR sit under the standard oracle hash-compare
+  * (q208).
+  *
+  * Options: `rows` (table size, default 1e6), `parts` (input
+  * partitions, default 8).
+  */
+class SynthProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SynthTable.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SynthTable(
+      Option(properties.get("rows")).map(_.toLong).getOrElse(1000000L),
+      Option(properties.get("parts")).map(_.toInt).getOrElse(8))
+}
+
+object SynthTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("h", LongType, nullable = false),
+    StructField("bucket", LongType, nullable = false)))
+  val Mult = 2654435761L
+  val HMod = 1000000000L
+  val BMod = 97L
+}
+
+class SynthTable(rows: Long, parts: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_synth($rows)"
+  override def schema(): StructType = SynthTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SynthScanBuilder(rows, parts)
+}
+
+class SynthScanBuilder(rows: Long, parts: Int)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var lo = 0L
+  private var hi = rows
+  private var residual: Array[Filter] = Array.empty
+  private var required: StructType = SynthTable.Schema
+
+  /** doc_id range predicates tighten [lo, hi); everything else is handed
+    * back to Spark as a residual. Absorbed filters are FULLY consumed
+    * (not re-reported via pushedFilters), so Spark plans no re-check —
+    * the scan description carries the surviving range for the spec. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    residual = filters.filter {
+      case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v); false
+      case GreaterThan("doc_id", v: Long)        => lo = math.max(lo, v + 1); false
+      case LessThan("doc_id", v: Long)           => hi = math.min(hi, v); false
+      case LessThanOrEqual("doc_id", v: Long)    => hi = math.min(hi, v + 1); false
+      case EqualTo("doc_id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1); false
+      case _ => true
+    }
+    residual
+  }
+  override def pushedFilters(): Array[Filter] =
+    Array.empty // absorbed ones are gone entirely; residuals re-evaluated by Spark
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new SynthScan(math.min(lo, hi), hi, parts, required)
+}
+
+class SynthScan(lo: Long, hi: Long, parts: Int, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  // the surviving range is visible in the physical plan text — the spec
+  // asserts on it to prove the predicate reached the source
+  override def description(): String = s"SynthScan[lo=$lo,hi=$hi,cols=${required.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(hi - lo, 0L)
+    val per = math.max(1L, (n + parts - 1) / parts)
+    (0 until parts).iterator
+      .map(i => SynthPartition(lo + i * per, math.min(lo + (i + 1) * per, hi)))
+      .filter(p => p.start < p.end)
+      .toArray[InputPartition]
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required)
+}
+
+case class SynthPartition(start: Long, end: Long) extends InputPartition
+
+class SynthReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SynthPartition]
+    new PartitionReader[InternalRow] {
+      private var x = p.start - 1
+      // column generators resolved ONCE per partition from the pruned
+      // schema — unrequested columns are never computed
+      private val gens: Array[Long => Long] = required.fieldNames.map {
+        case "doc_id" => (v: Long) => v
+        case "h"      => (v: Long) => v * SynthTable.Mult % SynthTable.HMod
+        case "bucket" => (v: Long) => v * SynthTable.Mult % SynthTable.HMod % SynthTable.BMod
+      }
+      override def next(): Boolean = { x += 1; x < p.end }
+      override def get(): InternalRow = InternalRow.fromSeq(gens.map(_(x)).toIndexedSeq)
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The oracle-checked query over the custom connector. */
+object SynthSource {
+  import org.apache.spark.sql.functions._
+
+  private val Rows = 200000L
+  private val RLo = 50000L
+  private val RHi = 150000L
+
+  /** q208: the CUSTOM DSv2 CONNECTOR under the standard oracle — scan
+    * [[SynthProvider]] with a doc_id range predicate and a per-bucket
+    * aggregate; the range is absorbed INTO the source (rows outside it
+    * are never generated — SourcesSpec asserts the surviving [lo, hi)
+    * appears in the plan's scan description) and DuckDB reproduces the
+    * whole table from `range()` because every column is a pure integer
+    * function of the id. A connector wrong about pushdown bounds,
+    * partition splits, or column pruning produces a different hash. */
+  val q208Dsv2Scan = graft.QueryDef(
+    "q208_dsv2_scan",
+    (s, d) => {
+      val df = s.read.format(classOf[SynthProvider].getName)
+        .option("rows", Rows).option("parts", 8).load()
+      df.filter(col("doc_id") >= RLo && col("doc_id") < RHi)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("h").as("sum_h"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH t AS (
+           |  SELECT x AS doc_id,
+           |    x * ${SynthTable.Mult} % ${SynthTable.HMod} AS h,
+           |    x * ${SynthTable.Mult} % ${SynthTable.HMod} % ${SynthTable.BMod}
+           |      AS bucket
+           |  FROM range($RLo, $RHi) r(x))
+           |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(h) AS BIGINT) AS sum_h,
+           |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+           |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin)
+  )
+
+  val all: Seq[graft.QueryDef] = Seq(q208Dsv2Scan)
+}

@@ -165,4 +165,34 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [") && plan.contains("o_orderstatus"),
       s"expected partition pruning in:\n$plan")
   }
+
+  test("custom DSv2 connector: range predicate absorbed at the source, columns pruned") {
+    import graft.sources.{SynthProvider, SynthTable}
+    val df = spark.read.format(classOf[SynthProvider].getName)
+      .option("rows", 10000L).option("parts", 4).load()
+    // filter pushdown: the surviving [lo, hi) must appear in the scan
+    // description — the generator never produced the excluded rows
+    val filtered = df.filter(col("doc_id") >= 2500 && col("doc_id") < 7500)
+      .select("doc_id")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("SynthScan[lo=2500,hi=7500"),
+      s"range predicate did not reach the source:\n$plan")
+    // column pruning: only the projected column appears in the read schema
+    assert(plan.contains("cols=doc_id]"), s"column pruning missing:\n$plan")
+    // no post-scan Filter node survives — the predicate was fully absorbed
+    assert(!plan.contains("Filter ("), s"residual filter should not exist:\n$plan")
+    assert(filtered.count() == 5000)
+    // values match the declared formula (the oracle's contract)
+    val row = df.filter(col("doc_id") === 1234).select("h", "bucket").head()
+    val h = 1234L * SynthTable.Mult % SynthTable.HMod
+    assert(row.getLong(0) == h && row.getLong(1) == h % SynthTable.BMod)
+    // partition topology: the source declares its splits
+    assert(filtered.rdd.getNumPartitions == 4)
+    // non-range predicates stay residual and still evaluate correctly
+    val residual = df.filter(col("bucket") === 5)
+    val rplan = residual.queryExecution.executedPlan.toString
+    assert(rplan.contains("Filter"), s"residual predicate must be re-evaluated:\n$rplan")
+    assert(residual.count() ==
+      (0L until 10000L).count(x => x * SynthTable.Mult % SynthTable.HMod % SynthTable.BMod == 5))
+  }
 }
