@@ -5,6 +5,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -70,11 +71,12 @@ class SynthTable(rows: Long, parts: Int) extends Table with SupportsRead {
 
 class SynthScanBuilder(rows: Long, parts: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var lo = 0L
   private var hi = rows
   private var residual: Array[Filter] = Array.empty
   private var required: StructType = SynthTable.Schema
+  private var pushedAgg: Option[Array[aggregate.AggregateFunc]] = None
 
   /** doc_id range predicates tighten [lo, hi); everything else is handed
     * back to Spark as a residual. Absorbed filters are FULLY consumed
@@ -98,7 +100,78 @@ class SynthScanBuilder(rows: Long, parts: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SynthScan(math.min(lo, hi), hi, parts, required)
+  /** COUNT(*) / MIN(doc_id) / MAX(doc_id) over the (already
+    * range-narrowed) id interval have CLOSED FORMS — count = hi−lo,
+    * min = lo, max = hi−1 — so a complete aggregate pushdown turns the
+    * scan into arithmetic: zero rows are generated, the connector
+    * answers from its metadata exactly like a parquet footer answers
+    * count/min/max from statistics. Anything else (SUM(h), grouping)
+    * is declined and Spark falls back to the row scan. */
+  private def closedForm(f: aggregate.AggregateFunc): Boolean = f match {
+    case _: aggregate.CountStar => true
+    case m: aggregate.Min => m.column.describe == "doc_id"
+    case m: aggregate.Max => m.column.describe == "doc_id"
+    case _ => false
+  }
+  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall(closedForm)
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean =
+    if (supportCompletePushDown(agg)) {
+      pushedAgg = Some(agg.aggregateExpressions); true
+    } else false
+
+  override def build(): Scan = {
+    val l = math.min(lo, hi)
+    pushedAgg match {
+      case Some(fs) => new SynthAggScan(l, hi, fs)
+      case None     => new SynthScan(l, hi, parts, required)
+    }
+  }
+}
+
+/** The aggregate-pushdown scan: ONE partition, ONE row, no generation.
+  * Its schema is derived from the PUSHED aggregation (one LongType per
+  * function; min/max nullable for the empty range) — Spark matches the
+  * scan output against the aggregate's expected columns directly, not
+  * through pruneColumns. */
+class SynthAggScan(lo: Long, hi: Long, fs: Array[aggregate.AggregateFunc])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(fs.zipWithIndex.map {
+    case (f, i) => StructField(s"agg$i", LongType,
+      nullable = !f.isInstanceOf[aggregate.CountStar])
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SynthAggScan[lo=$lo,hi=$hi,agg=${fs.map(_.describe).mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SynthPartition(0L, 1L))
+  override def createReaderFactory(): PartitionReaderFactory =
+    // the factory ships to executors: plain serializable fields only —
+    // the AggregateFunc objects are reduced to string tags driver-side
+    new SynthAggReaderFactory(lo, hi, fs.map {
+      case _: aggregate.CountStar => "count"
+      case _: aggregate.Min       => "min"
+      case _: aggregate.Max       => "max"
+      case other => throw new IllegalStateException(s"unpushable agg $other")
+    })
+}
+
+class SynthAggReaderFactory(lo: Long, hi: Long, tags: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = {
+        val empty = hi <= lo
+        InternalRow.fromSeq(tags.toIndexedSeq.map {
+          case "count" => math.max(hi - lo, 0L)
+          case "min"   => if (empty) null else lo
+          case "max"   => if (empty) null else hi - 1
+        })
+      }
+      override def close(): Unit = ()
+    }
 }
 
 class SynthScan(lo: Long, hi: Long, parts: Int, required: StructType)
@@ -182,5 +255,26 @@ object SynthSource {
            |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin)
   )
 
-  val all: Seq[graft.QueryDef] = Seq(q208Dsv2Scan)
+  /** q209: AGGREGATE pushdown through the connector — COUNT/MIN/MAX over
+    * a range-filtered scan answered by [[SynthAggScan]]'s closed forms:
+    * the full filter→aggregate pipeline collapses into source-side
+    * arithmetic, zero rows generated (SourcesSpec plan-asserts the
+    * SynthAggScan node). The same query against DuckDB's `range()` is
+    * the oracle — a wrong closed form (off-by-one bounds, empty-range
+    * nulls) is a hash mismatch. */
+  val q209Dsv2AggPushdown = graft.QueryDef(
+    "q209_dsv2_agg_pushdown",
+    (s, d) => {
+      val df = s.read.format(classOf[SynthProvider].getName)
+        .option("rows", Rows).option("parts", 8).load()
+      df.filter(col("doc_id") >= 30000L && col("doc_id") < 170000L)
+        .agg(expr("count(*)").as("n"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(MIN(x) AS BIGINT) AS min_id, CAST(MAX(x) AS BIGINT) AS max_id
+           |FROM range(30000, 170000) t(x)""".stripMargin)
+  )
+
+  val all: Seq[graft.QueryDef] = Seq(q208Dsv2Scan, q209Dsv2AggPushdown)
 }

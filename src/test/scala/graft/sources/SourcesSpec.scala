@@ -195,4 +195,28 @@ class SourcesSpec extends SparkSpec {
     assert(residual.count() ==
       (0L until 10000L).count(x => x * SynthTable.Mult % SynthTable.HMod % SynthTable.BMod == 5))
   }
+
+  test("custom DSv2 connector: COUNT/MIN/MAX pushed to source closed forms; SUM falls back") {
+    import graft.sources.SynthProvider
+    val df = spark.read.format(classOf[SynthProvider].getName)
+      .option("rows", 10000L).option("parts", 4).load()
+    val agg = df.filter(col("doc_id") >= 100 && col("doc_id") < 9900)
+      .agg(expr("count(*)").as("n"), min("doc_id").as("mn"), max("doc_id").as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("SynthAggScan[lo=100,hi=9900"),
+      s"aggregate did not push to the source:\n$plan")
+    val r = agg.head()
+    assert(r.getLong(0) == 9800 && r.getLong(1) == 100 && r.getLong(2) == 9899)
+    // an empty surviving range answers count 0 with null min/max
+    val empty = df.filter(col("doc_id") >= 5000 && col("doc_id") < 5000)
+      .agg(expr("count(*)"), min("doc_id"), max("doc_id")).head()
+    assert(empty.getLong(0) == 0 && empty.isNullAt(1) && empty.isNullAt(2))
+    // SUM has no closed form — the builder declines and the row scan runs
+    val sumAgg = df.filter(col("doc_id") < 100).agg(sum("h"))
+    val splan = sumAgg.queryExecution.executedPlan.toString
+    assert(splan.contains("SynthScan[") && !splan.contains("SynthAggScan"),
+      s"SUM must fall back to the row scan:\n$splan")
+    assert(sumAgg.head().getLong(0) ==
+      (0L until 100L).map(x => x * graft.sources.SynthTable.Mult % graft.sources.SynthTable.HMod).sum)
+  }
 }
