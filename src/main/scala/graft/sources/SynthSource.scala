@@ -5,6 +5,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.expressions
 import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -71,7 +72,8 @@ class SynthTable(rows: Long, parts: Int) extends Table with SupportsRead {
 
 class SynthScanBuilder(rows: Long, parts: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownTopN {
   private var lo = 0L
   private var hi = rows
   private var residual: Array[Filter] = Array.empty
@@ -119,6 +121,21 @@ class SynthScanBuilder(rows: Long, parts: Int)
     if (supportCompletePushDown(agg)) {
       pushedAgg = Some(agg.aggregateExpressions); true
     } else false
+
+  /** ORDER BY doc_id ASC LIMIT k has a closed form too — ids are
+    * generated in order, so the top-k IS the range prefix [lo, lo+k):
+    * the sort AND the limit both vanish from the plan (COMPLETE TopN
+    * pushdown, `isPartiallyPushed = false`). Any other ordering is
+    * declined — Spark keeps its own TakeOrderedAndProject. */
+  override def pushTopN(orders: Array[expressions.SortOrder], limit: Int): Boolean =
+    orders match {
+      case Array(o)
+        if o.expression.describe == "doc_id" &&
+          o.direction == expressions.SortDirection.ASCENDING =>
+        hi = math.min(hi, math.min(lo, hi) + limit); true
+      case _ => false
+    }
+  override def isPartiallyPushed(): Boolean = false
 
   override def build(): Scan = {
     val l = math.min(lo, hi)
@@ -276,5 +293,35 @@ object SynthSource {
            |FROM range(30000, 170000) t(x)""".stripMargin)
   )
 
-  val all: Seq[graft.QueryDef] = Seq(q208Dsv2Scan, q209Dsv2AggPushdown)
+  /** q210: TopN pushdown through the connector — ORDER BY doc_id LIMIT
+    * 500 over a range-filtered scan collapses into the range prefix
+    * [lo, lo+500): sort and limit both vanish into the source
+    * (SourcesSpec plan-asserts no TakeOrderedAndProject survives). The
+    * oracle runs the same ordered limit over `range()`. */
+  val q210Dsv2TopN = graft.QueryDef(
+    "q210_dsv2_topn",
+    (s, d) => {
+      val df = s.read.format(classOf[SynthProvider].getName)
+        .option("rows", Rows).option("parts", 8).load()
+      df.filter(col("doc_id") >= 120000L)
+        .orderBy(col("doc_id").asc)
+        .limit(500)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH t AS (
+           |  SELECT x AS doc_id,
+           |    x * ${SynthTable.Mult} % ${SynthTable.HMod} % ${SynthTable.BMod}
+           |      AS bucket
+           |  FROM range(120000, $Rows) r(x) ORDER BY x LIMIT 500)
+           |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+           |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin)
+  )
+
+  val all: Seq[graft.QueryDef] = Seq(q208Dsv2Scan, q209Dsv2AggPushdown,
+    q210Dsv2TopN)
 }

@@ -219,4 +219,24 @@ class SourcesSpec extends SparkSpec {
     assert(sumAgg.head().getLong(0) ==
       (0L until 100L).map(x => x * graft.sources.SynthTable.Mult % graft.sources.SynthTable.HMod).sum)
   }
+
+  test("custom DSv2 connector: ORDER BY doc_id LIMIT pushes as a range prefix; DESC falls back") {
+    import graft.sources.SynthProvider
+    val df = spark.read.format(classOf[SynthProvider].getName)
+      .option("rows", 10000L).option("parts", 4).load()
+    val topn = df.filter(col("doc_id") >= 3000).orderBy(col("doc_id").asc).limit(50)
+      .select("doc_id")
+    val plan = topn.queryExecution.executedPlan.toString
+    assert(plan.contains("SynthScan[lo=3000,hi=3050"),
+      s"TopN did not collapse into the range prefix:\n$plan")
+    assert(!plan.contains("TakeOrderedAndProject"),
+      s"sort+limit should have vanished into the source:\n$plan")
+    assert(topn.collect().map(_.getLong(0)).toSeq == (3000L until 3050L).toSeq)
+    // descending order has no closed form here — Spark keeps its TopN
+    val desc = df.orderBy(col("doc_id").desc).limit(3).select("doc_id")
+    val dplan = desc.queryExecution.executedPlan.toString
+    assert(dplan.contains("TakeOrderedAndProject"),
+      s"DESC TopN must fall back to Spark:\n$dplan")
+    assert(desc.collect().map(_.getLong(0)).toSeq == Seq(9999L, 9998L, 9997L))
+  }
 }
