@@ -1563,11 +1563,85 @@ object MiningOps {
            |FROM g""".stripMargin)
   )
 
+  /** q211's KMV geometry: 64 minimum values over a 40-bit hash space. */
+  val KmvK = 64L
+  val KmvSpace = 1L << 40
+
+  /** The q211 KMV builder, exposed for the spec's merge proof: the k
+    * minimum distinct hash values per group. */
+  def kmvMins(df: DataFrame, group: Column, key: Column): DataFrame = {
+    val h = conv(substring(md5(key.cast(StringType)), 1, 10), 16, 10).cast(LongType)
+    df.select(group.as("g"), h.as("h")).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("h").asc)).cast(LongType))
+      .filter(col("rn") <= KmvK)
+  }
+
+  /** q211: KMV (k-minimum-values) cardinality sketch under an EXACT
+    * oracle — the fourth of the sketch family, and the one that supports
+    * SET ALGEBRA: q132 Misra-Gries finds heavy keys, q187 HLL counts
+    * distincts, q189 CM answers point frequencies; KMV's sketch is the k
+    * smallest distinct hash values, whose union-merge (take the k
+    * smallest of the combined lists) is EXACTLY the sketch of the union
+    * — the property that estimates |A ∪ B| (and via
+    * inclusion–exclusion, intersections) from per-partition or per-day
+    * sketches without rescanning. Estimate = (k−1)·2^40 DIV h_k, a pure
+    * integer both engines reproduce bit-for-bit. Per event type + the
+    * all-types union: h_k, estimate, exact distinct, signed error ×1e6
+    * via the positive-division form.
+    *
+    * Scale: the distinct (group, hash) agg is the only corpus-sized
+    * step (map-side combinable); the rank window runs per group over
+    * distinct hashes and the sketch itself is k rows per group. */
+  val q211KmvSketch = QueryDef(
+    "q211_kmv_sketch",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val both = ev.select(col("event_type"), col("user_id"))
+        .unionByName(ev.select(lit("_all").as("event_type"), col("user_id")))
+      val hk = kmvMins(both, col("event_type"), col("user_id"))
+        .filter(col("rn") === KmvK)
+        .select(col("g").as("event_type"), col("h").as("h_k"))
+      val exact = both.groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact"))
+      hk.join(exact, "event_type")
+        .select(col("event_type"), col("h_k"),
+          expr(s"(${KmvK - 1} * ${KmvSpace}) DIV h_k").as("kmv_est"),
+          col("exact"))
+        .withColumn("err_x1m", expr("kmv_est * 1000000 DIV exact - 1000000"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH uv AS (
+           |  SELECT event_type, user_id FROM events
+           |  UNION ALL SELECT '_all', user_id FROM events),
+           |hs AS (
+           |  SELECT DISTINCT event_type,
+           |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10)) AS BIGINT)
+           |      AS h
+           |  FROM uv),
+           |r AS (
+           |  SELECT event_type, h,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+           |  FROM hs),
+           |hk AS (SELECT event_type, h AS h_k FROM r WHERE rn = ${KmvK}),
+           |x AS (
+           |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact
+           |  FROM uv GROUP BY 1)
+           |SELECT hk.event_type, hk.h_k,
+           |  CAST(${KmvK - 1} * ${KmvSpace} // h_k AS BIGINT) AS kmv_est,
+           |  x.exact,
+           |  CAST(${KmvK - 1} * ${KmvSpace} // h_k * 1000000 // x.exact - 1000000
+           |    AS BIGINT) AS err_x1m
+           |FROM hk JOIN x ON hk.event_type = x.event_type
+           |ORDER BY 1""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile,
     q110PercentileNorm, q114TopkPerGroup, q126GroupOls, q127ChangePoint,
     q131EquidepthHist, q141KAnonymity, q147ExactMedian, q164BenfordAudit,
     q169Winsorize, q172AprioriTriples, q174ExactAuc, q175Reliability,
     q176LearningCurve, q180GainsTable, q182PoissonBootstrap, q184ItemCf,
     q186WeightedMedian, q187HllSketch, q189CmSketch, q190LedgerRecon,
-    q201SlaLatency, q202SupplierHhi, q205AbcClasses, q207KsDrift)
+    q201SlaLatency, q202SupplierHhi, q205AbcClasses, q207KsDrift,
+    q211KmvSketch)
 }

@@ -437,6 +437,29 @@ class MiningOpsSpec extends SparkSpec {
     assert(out.values.map(_._1).sum == orders.length, "every order audited exactly once")
   }
 
+  test("q211: KMV min-k merge of split sketches equals the whole-corpus sketch") {
+    val ev = Tables.events(spark, sfDir)
+    val whole = MiningOps.kmvMins(ev, col("event_type"), col("user_id"))
+      .select("g", "h")
+    val mergedLists = MiningOps
+      .kmvMins(ev.filter(col("event_id") % 2 === 0), col("event_type"), col("user_id"))
+      .unionByName(MiningOps
+        .kmvMins(ev.filter(col("event_id") % 2 === 1), col("event_type"), col("user_id")))
+      .select("g", "h").distinct()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy(col("h").asc)))
+      .filter(col("rn") <= MiningOps.KmvK).select("g", "h")
+    assert(whole.exceptAll(mergedLists).count() == 0 &&
+      mergedLists.exceptAll(whole).count() == 0,
+      "min-k union of split sketches must equal the whole-corpus sketch")
+    // estimates positive and the error column's algebra holds
+    MiningOps.q211KmvSketch.run(spark, sfDir).collect().foreach { r =>
+      val (hk, est, exact) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(hk > 0 && est > 0)
+      assert(r.getLong(4) == est * 1000000L / exact - 1000000L, "error algebra")
+    }
+  }
+
   test("q187: registers are mergeable — split-and-max equals whole-corpus build") {
     val ev = Tables.events(spark, sfDir)
     val whole = MiningOps.hllRegisters(ev, "event_type", col("user_id"))
