@@ -783,12 +783,22 @@ object EventStreams {
     * how a JDBC/Delta MERGE sink behaves. */
   private def drainForeachBatchMerge(s: SparkSession, d: String): DataFrame = {
     val staged = stagedSource(s, d)
-    val serve = java.nio.file.Files.createTempDirectory("graft_serve").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_serve_ckpt").toString
     val agg = stagedEventStream(s, staged)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         sum(floor(col("value") * 10.0 + 0.5).cast(LongType)).as("sv_x10"))
+    drainUpsert(s, agg, Seq("user_id"))
+  }
+
+  /** Update-mode aggregate → versioned serving table: each micro-batch's
+    * updated keys upsert (last-write-wins) into the latest version — the
+    * q161 mechanics, parametrized over the aggregate and its key so any
+    * incrementally-maintained state (per-user totals, q212's sketch
+    * registers) reuses one audited drain. */
+  private def drainUpsert(s: SparkSession, agg: DataFrame,
+                          keys: Seq[String]): DataFrame = {
+    val serve = java.nio.file.Files.createTempDirectory("graft_serve").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_serve_ckpt").toString
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val q =
@@ -804,7 +814,7 @@ object EventStreams {
           val merged = prev match {
             case Some(p) =>
               sp.read.parquet(p.toString)
-                .join(batch.select("user_id"), Seq("user_id"), "left_anti")
+                .join(batch.select(keys.map(col): _*), keys, "left_anti")
                 .unionByName(batch)
             case None => batch
           }
@@ -958,11 +968,51 @@ object EventStreams {
            |ORDER BY user_id, ts_us, event_id""".stripMargin)
   )
 
+  /** q212: STREAMING SKETCH MAINTENANCE under the oracle — the HLL
+    * registers of q187 maintained incrementally: the stream's Update-mode
+    * `max(rho)` agg carries register state across micro-batches, each
+    * batch's changed cells upsert into the serving table through
+    * [[drainUpsert]], and the FINAL table must yield bit-identical
+    * estimates to q187's one-shot batch SQL. This is how a production
+    * pipeline keeps "distinct users per type, right now" at O(types×256)
+    * state with no rescan — and because every step is the md5-bridge
+    * integer pipeline, "approximately right" is checkable as EXACTLY
+    * right. Register construction is shared with the batch query
+    * ([[graft.operators.MiningOps.hllRegisters]] — same code object). */
+  val q212StreamingHll = graft.QueryDef(
+    "q212_streaming_hll",
+    (s, d) => {
+      val staged = stagedSource(s, d)
+      val regsStream = graft.operators.MiningOps.hllRegisters(
+        stagedEventStream(s, staged), "event_type", col("user_id"))
+      val regs = drainUpsert(s, regsStream, Seq("event_type", "bucket"))
+        .filter(col("event_type") =!= "__sentinel__")
+      import graft.operators.MiningOps.{HllAlphaX1m, HllBuckets}
+      val est = regs.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hit"),
+          sum(expr("CAST(1 AS BIGINT) << (33 - m)")).as("d_hit"))
+        .select(col("event_type"), col("n_hit"),
+          (col("d_hit") + (lit(HllBuckets) - col("n_hit")) * (1L << 33)).as("d"))
+        .select(col("event_type"), col("n_hit"),
+          expr(s"(${HllBuckets * HllBuckets} * ${1L << 33} DIV d) * $HllAlphaX1m DIV 1000000")
+            .as("hll_est"))
+      val exact = graft.Tables.events(s, d).groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("n_hit"), col("hll_est"), col("exact"),
+          expr("hll_est * 1000000 DIV exact - 1000000").as("err_x1m"))
+        .orderBy("event_type")
+    },
+    // the oracle IS q187's batch formula — the stream-maintained registers
+    // must reproduce it exactly
+    graft.operators.MiningOps.q187HllSketch.oracle
+  )
+
   val all: Seq[graft.QueryDef] =
     Seq(q64StreamingTumbling, q82StreamingSession, q96StreamingIntervalJoin,
       q98StreamingDedup, q108StreamingEnrich, q111StreamingHighs,
       q121StreamingOuterJoin, q134StreamingTimers, q161ForeachBatchMerge,
-      q163StreamingFullOuterJoin, q200StreamingRateLimit)
+      q163StreamingFullOuterJoin, q200StreamingRateLimit, q212StreamingHll)
 
   /** Custom per-user running state via mapGroupsWithState — the
     * `KeyValueGroupedDataset` stateful escape hatch (arbitrary state the
