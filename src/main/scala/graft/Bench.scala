@@ -200,8 +200,12 @@ object Bench {
     val cold = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = runOnce(name, fn)
+      // stop the clock BEFORE the sweep so cold and warm both time only
+      // the query (the sweep's getPersistentRDDs walk + unpersist RPC
+      // dispatch sit outside the warm timers too)
+      val elapsed = (System.nanoTime() - t0) / 1e9
       sweepCheckpoints()
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) elapsed else -1.0)
     }
 
     val results = queries.map { case (name, fn) =>

@@ -1041,7 +1041,17 @@ object MiningOps {
     * shape, same heavy-basket cap policy); per-part supports n(p) are a
     * part-keyed agg AQE-broadcast onto the pair stream; the top-3
     * ranking window partitions by item over pair rows — never corpus
-    * rows. co ≥ 2 prunes the noise tail before the window. */
+    * rows. co ≥ 2 prunes the noise tail before the window.
+    *
+    * Overflow headroom: `co*co*1e6` stays inside Int64 while
+    * co < ⌊√(2^63/1e6)⌋ ≈ 3.03e6 co-purchases PER (item, neighbor)
+    * PAIR — not per corpus. A pair's co is bounded by the smaller
+    * item's order count, so the bound only binds when one single part
+    * appears in 3M+ distinct orders that ALL also contain one specific
+    * other part; at that popularity the cap policy documented on q105
+    * (heavy-basket truncation) has already bounded basket fan-out. If a
+    * corpus ever approaches it, halve the fixed-point scale (co²·1e4,
+    * shifting 2 digits of similarity precision) before squaring. */
   val q184ItemCf = QueryDef(
     "q184_item_cf",
     (s, d) => {
@@ -1138,9 +1148,10 @@ object MiningOps {
   )
 
   /** q187's HLL geometry: 256 registers, 33-bit rank domain, and the
-    * m=256 bias constant α·1e6 (α = 0.7213/(1 + 1.079/m)). */
+    * m=256 bias constant α·1e6 rounded to the nearest integer
+    * (α = 0.7213/(1 + 1.079/m) = 0.7182726 for m = 256). */
   val HllBuckets = 256L
-  val HllAlphaX1m = 718214L
+  val HllAlphaX1m = 718273L
 
   /** The q187 register builder, exposed so the spec can prove the sketch's
     * defining property — registers built on any split of the data and
@@ -1517,7 +1528,15 @@ object MiningOps {
     * Scale: the two corpora collapse to per-length counts first (one
     * hash agg); the CDF windows run over DISTINCT lengths — metadata.
     * This is the promotion gate for a new pipeline revision: ship only
-    * if the output distribution didn't move. */
+    * if the output distribution didn't move.
+    *
+    * Overflow headroom: cumA·nB ≤ nA·nB must stay under 2^63, i.e. the
+    * GEOMETRIC MEAN of the two sample sizes must stay below ~3.0e9 rows
+    * (both samples at 3e9, or 1e8 vs 9e10, etc.). Past that, divide both
+    * per-length counts by a common power of two before the window (D is
+    * a ratio, so uniform scaling preserves the argmax up to the counted
+    * granularity) — documented rather than applied because the rescale
+    * costs exactness below the bound. */
   val q207KsDrift = QueryDef(
     "q207_ks_drift",
     (s, d) => {

@@ -85,12 +85,26 @@ class SynthScanBuilder(rows: Long, parts: Int)
     * (not re-reported via pushedFilters), so Spark plans no re-check —
     * the scan description carries the surviving range for the spec. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // Match any integral Number, not just Long: an Int/Short-typed
+    // literal (possible via untyped SQL paths) must also tighten
+    // [lo, hi) rather than silently fall through to the residual and
+    // lose the range pushdown. Fractional literals stay residual —
+    // `doc_id >= 1.5` has no exact integer absorption here.
+    object IntegralV {
+      def unapply(v: Any): Option[Long] = v match {
+        case n: java.lang.Long    => Some(n.longValue())
+        case n: java.lang.Integer => Some(n.longValue())
+        case n: java.lang.Short   => Some(n.longValue())
+        case n: java.lang.Byte    => Some(n.longValue())
+        case _                    => None
+      }
+    }
     residual = filters.filter {
-      case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v); false
-      case GreaterThan("doc_id", v: Long)        => lo = math.max(lo, v + 1); false
-      case LessThan("doc_id", v: Long)           => hi = math.min(hi, v); false
-      case LessThanOrEqual("doc_id", v: Long)    => hi = math.min(hi, v + 1); false
-      case EqualTo("doc_id", v: Long) =>
+      case GreaterThanOrEqual("doc_id", IntegralV(v)) => lo = math.max(lo, v); false
+      case GreaterThan("doc_id", IntegralV(v))        => lo = math.max(lo, v + 1); false
+      case LessThan("doc_id", IntegralV(v))           => hi = math.min(hi, v); false
+      case LessThanOrEqual("doc_id", IntegralV(v))    => hi = math.min(hi, v + 1); false
+      case EqualTo("doc_id", IntegralV(v)) =>
         lo = math.max(lo, v); hi = math.min(hi, v + 1); false
       case _ => true
     }

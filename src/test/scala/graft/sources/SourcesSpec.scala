@@ -239,4 +239,21 @@ class SourcesSpec extends SparkSpec {
       s"DESC TopN must fall back to Spark:\n$dplan")
     assert(desc.collect().map(_.getLong(0)).toSeq == Seq(9999L, 9998L, 9997L))
   }
+
+  test("custom DSv2 connector: Int/Short-typed range literals are absorbed, not residual") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan, EqualTo}
+    // untyped SQL paths can hand the builder an Int-typed literal; the
+    // range must tighten identically to the Long case instead of the
+    // filter silently falling through to the residual array
+    val b = new graft.sources.SynthScanBuilder(10000L, 4)
+    val residual = b.pushFilters(Array(
+      GreaterThanOrEqual("doc_id", Int.box(2500)),
+      LessThan("doc_id", Short.box(7500.toShort))))
+    assert(residual.isEmpty, "integral non-Long literals must be absorbed")
+    assert(b.build().description().contains("SynthScan[lo=2500,hi=7500"),
+      "Int/Short literals must tighten [lo, hi)")
+    // a fractional literal has no exact integer absorption — stays residual
+    val b2 = new graft.sources.SynthScanBuilder(10000L, 4)
+    assert(b2.pushFilters(Array(EqualTo("doc_id", Double.box(1.5)))).length == 1)
+  }
 }
