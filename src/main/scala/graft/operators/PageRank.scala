@@ -261,6 +261,116 @@ object PageRank {
            |FROM walk GROUP BY id ORDER BY id""".stripMargin)
   )
 
+  /** Round bound for q213's Bellman-Ford (asserted, like [[CoreMaxRounds]]). */
+  val SsspMaxRounds = 16
+
+  /** Multi-source weighted single-source-shortest-paths by synchronous
+    * Bellman-Ford relaxation: after round r, `dist(v)` is the minimum
+    * weight over all ≤ r-edge paths from any seed. Each round is ONE
+    * equi-join dist⋈edges (keyed by src) plus ONE min-agg (keyed by
+    * vertex) — the weighted generalization of [[bfs]], which this
+    * reduces to when every weight is 1. `localCheckpoint` per round
+    * severs lineage ([[ranks]]'s rationale).
+    *
+    * Convergence is detected from TWO monotone scalars — node count
+    * (non-decreasing) and Σdist (non-increasing per node) — equal across
+    * a round iff the round was a fixpoint: no relaxation can raise a
+    * distance, so (count, sum) unchanged ⇒ no node added AND no distance
+    * lowered. One metadata agg per round, no frame diff join.
+    *
+    * Plan shape at 100 TB: the frontier never exceeds the vertex set and
+    * both per-round exchanges are keyed by vertex id, so parallelism
+    * scales with the graph while the round count is the shortest-path
+    * tree depth (asserted ≤ maxRounds). Delta-stepping — relaxing only
+    * vertices whose dist changed last round, the [[bfs]] frontier trick —
+    * is the documented refinement when the changed set shrinks much
+    * faster than the reached set. */
+  def sssp(edges: DataFrame, seeds: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    def ckpt(df: DataFrame): DataFrame = df.localCheckpoint()
+    val e = ckpt(edges.select(col("src"), col("dst"), col("w")))
+    var dist = ckpt(seeds.select(col("id")).distinct().withColumn("dist", lit(0L)))
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(sum("dist"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var fp = fingerprint(dist)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val relaxed = dist.join(e, dist("id") === e("src"))
+        .select(e("dst").as("id"), (dist("dist") + e("w")).as("dist"))
+      val next = ckpt(dist.unionByName(relaxed)
+        .groupBy("id").agg(min("dist").as("dist")))
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      dist = next; fp = nfp; rounds += 1
+    }
+    require(converged, s"Bellman-Ford did not converge within $maxRounds rounds")
+    (dist, rounds)
+  }
+
+  /** q213: multi-source weighted shortest paths over the md5 graph — the
+    * weighted companion to q113's hop-BFS (latency/cost propagation,
+    * where q113 answers only reachability): distance from the nearest
+    * seed (doc_id ≡ 0 mod 100) to every reachable node, edge weights
+    * 1 + (h DIV 500) % 2 carved from the SAME md5 word as the
+    * destination, so one hash drives the whole topology.
+    *
+    * The weight range {1, 2} is a deliberate bound, not a toy: a
+    * shortest path's edge count is at most (max_w/min_w)·hop-diameter
+    * (each hop costs ≥ min_w and the BFS path costs ≤ max_w·diameter),
+    * which keeps BOTH the Bellman-Ford round count and the oracle's
+    * bounded recursive unrolling small and provable. Wide-open weights
+    * (say 1..99) make the same recursion enumerate every distinct path
+    * weight per node — exponential oracle cost for zero extra operator
+    * coverage (the engine path is range-agnostic; only the PROOF
+    * machinery needs the ratio bound).
+    *
+    * The DuckDB oracle is a recursive CTE bounded at [[SsspMaxRounds]]
+    * edges; the Spark side ASSERTS Bellman-Ford convergence within the
+    * same bound, so the bounded unrolling provably covers every shortest
+    * path (convergence at round r means no shortest path uses more than
+    * r−1 < maxRounds edges). Same proof shape as q143's idempotent-peel
+    * unrolling. All-integer distances — bit-exact in both engines. */
+  val q213Sssp = QueryDef(
+    "q213_weighted_sssp",
+    (s, d) => {
+      val h = conv(substring(md5(concat(lit("sp#"), col("src"), lit("#"), col("k"))),
+        1, 15), 16, 10).cast(LongType)
+      val e = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id").as("src"), explode(sequence(lit(1), lit(6))).as("k"))
+        .withColumn("h", h)
+        .select(col("src"), pmod(col("h"), lit(500L)).as("dst"),
+          // h is a POSITIVE 60-bit value: integer DIV, never `/` (double
+          // division drops low bits past 2^53)
+          expr("1L + (h DIV 500) % 2").as("w"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(min("w").as("w"))
+      val seeds = Tables.documents(s, d)
+        .filter(col("doc_id") < 500 && col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("id"))
+      val (dist, _) = sssp(e, seeds, SsspMaxRounds)
+      dist.select(col("id"), col("dist")).orderBy("id")
+    },
+    Some(s"""WITH RECURSIVE raw AS (
+           |  SELECT doc_id AS src,
+           |    CAST(('0x' || substr(md5('sp#' || doc_id || '#' || k), 1, 15)) AS BIGINT)
+           |      AS h
+           |  FROM documents, range(1, 7) AS t(k)
+           |  WHERE doc_id < 500),
+           |e AS (
+           |  SELECT src, h % 500 AS dst, CAST(MIN(1 + (h // 500) % 2) AS BIGINT) AS w
+           |  FROM raw WHERE h % 500 <> src GROUP BY 1, 2),
+           |walk AS (
+           |  SELECT doc_id AS id, CAST(0 AS BIGINT) AS dist, 0 AS hops
+           |  FROM documents WHERE doc_id < 500 AND doc_id % 100 = 0
+           |  UNION
+           |  SELECT e.dst AS id, w.dist + e.w AS dist, w.hops + 1 AS hops
+           |  FROM walk w JOIN e ON e.src = w.id WHERE w.hops < $SsspMaxRounds)
+           |SELECT id, CAST(MIN(dist) AS BIGINT) AS dist
+           |FROM walk GROUP BY id ORDER BY id""".stripMargin)
+  )
+
   /** Degree threshold and round bound for q143's k-core. */
   val CoreK = 8
   val CoreMaxRounds = 8
@@ -765,5 +875,5 @@ object PageRank {
 
   val all: Seq[QueryDef] =
     Seq(q77PageRank, q102Triangles, q113BfsHops, q143KCore, q148Hits, q156Ppr,
-      q160LabelProp, q170Modularity, q194DegreeAudit)
+      q160LabelProp, q170Modularity, q194DegreeAudit, q213Sssp)
 }

@@ -371,6 +371,35 @@ class AnalyticsOpsSpec extends SparkSpec {
       "some seed customer must hold visible rank")
   }
 
+  test("q213: unit-weight sssp collapses to bfs hop counts; weighted distances exact") {
+    import graft.TestSession.spark.implicits._
+    // hand graph: 0→1 (w5), 0→2 (w1), 2→1 (w1), 1→3 (w1), 2→3 (w10)
+    val e = Seq((0L, 1L, 5L), (0L, 2L, 1L), (2L, 1L, 1L), (1L, 3L, 1L), (2L, 3L, 10L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(0L).toDF("id")
+    val (dist, rounds) = PageRank.sssp(e, seeds, maxRounds = 8)
+    val got = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0→2→1 (2) beats the direct w5 edge; 0→2→1→3 (3) beats 0→2→3 (11)
+    assert(got == Map(0L -> 0L, 1L -> 2L, 2L -> 1L, 3L -> 3L))
+    assert(rounds <= 8, "fixpoint within the bound")
+    // unit weights: sssp ≡ bfs hop distances on the q113 trade graph
+    val rel = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("cust"),
+        (col("l_suppkey").cast("long") + 1000000L).as("supp"))
+      .distinct()
+    val edges = rel.select(col("cust").as("src"), col("supp").as("dst"))
+      .union(rel.select(col("supp").as("src"), col("cust").as("dst")))
+      .withColumn("w", lit(1L))
+    val bseeds = rel.filter(col("cust") % 500 === 0).select(col("cust").as("id"))
+    val hops = PageRank.bfs(edges, bseeds, maxHops = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (udist, _) = PageRank.sssp(edges, bseeds, maxRounds = 8)
+    val um = udist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(um == hops, "unit-weight Bellman-Ford must equal BFS hop labels")
+  }
+
   test("q152: decayed scores equal a driver-side power-of-two recompute") {
     val out = EventOps.q152DecayedEngagement.run(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
