@@ -1104,9 +1104,116 @@ object VectorOps {
            |ORDER BY anchor, rank""".stripMargin)
   )
 
+  /** q214's geometry: shortlist size, picks, and the λ split (×10). */
+  val MmrShortlist = 50
+  val MmrPicks = 5
+  val MmrLambdaX10 = 7L // score = 7·rel − 3·max-sim-to-chosen
+
+  /** q214: MMR diversified retrieval (Carbonell & Goldstein 1998) — the
+    * anti-redundancy re-ranker between raw similarity search and what a
+    * pipeline actually serves or trains on: greedily pick the candidate
+    * maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked, so
+    * the result set covers the query's neighborhood instead of returning
+    * five copies of the same cluster (RAG context assembly, eval-set
+    * anchors, dedup-aware few-shot selection). Complements q157 — k-center
+    * maximizes SPREAD ignoring a query; MMR trades relevance against
+    * redundancy AROUND one.
+    *
+    * Exactness: 1e-5 integer quantization (the q157/q165 idiom), BIGINT
+    * dots (|dot| ≤ 64·4e10 ≪ 2^63), λ applied as the integer split
+    * 7·rel − 3·maxsim, every argmax tie-broken on vec_id — all five
+    * unrolled rounds hash-exact against DuckDB's chained CTEs.
+    *
+    * Plan shape at 100 TB: the corpus is touched by exactly ONE narrow
+    * scan (the relevance pass — broadcast query vector, distributed
+    * TakeOrderedAndProject shortlist; production swaps this for q97's
+    * PQ-ADC or q56's IVF shortlist, same contract). Everything after —
+    * the shortlist² similarity matrix and the greedy walk — is bounded
+    * metadata (50² rows), localCheckpoint'ed once; each pick is a
+    * semi-join + max-agg + TakeOrderedAndProject(1) over those 2.5k
+    * rows. The corpus never shuffles. */
+  val q214MmrRerank = QueryDef(
+    "q214_mmr_rerank",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(toD(col("embedding")),
+          x => floor(x * 100000.0 + 0.5).cast(LongType)).as("iv"))
+      def dotL(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      val qv = e.filter(col("vec_id") === 0).select(col("iv").as("qv"))
+      val cand = e.filter(col("vec_id") > 0).crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("iv"), dotL(col("iv"), col("qv")).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id").asc).limit(MmrShortlist)
+        .localCheckpoint()
+      val pairs = cand.select(col("vec_id").as("a"), col("iv").as("av"))
+        .crossJoin(cand.select(col("vec_id").as("b"), col("iv").as("bv")))
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("b"), dotL(col("av"), col("bv")).as("sim"))
+        .localCheckpoint()
+      val lam = MmrLambdaX10
+      var chosen = cand.limit(0)
+        .select(lit(0L).as("pick_ord"), col("vec_id"), col("rel"),
+          lit(0L).as("mmr"))
+      for (r <- 1 to MmrPicks) {
+        val simToChosen = pairs
+          .join(chosen.select(col("vec_id").as("b")), Seq("b"), "left_semi")
+          .groupBy(col("a").as("vec_id")).agg(max("sim").as("maxsim"))
+        val pick = cand
+          .join(chosen.select("vec_id"), Seq("vec_id"), "left_anti")
+          .join(simToChosen, Seq("vec_id"), "left_outer")
+          .select(lit(r.toLong).as("pick_ord"), col("vec_id"), col("rel"),
+            (lit(lam) * col("rel") -
+              lit(10L - lam) * coalesce(col("maxsim"), lit(0L))).as("mmr"))
+          .orderBy(col("mmr").desc, col("vec_id").asc).limit(1)
+          .localCheckpoint()
+        chosen = chosen.unionByName(pick)
+      }
+      chosen.orderBy("pick_ord")
+    },
+    Some {
+      val dotSql = (a: String, b: String) =>
+        s"list_sum(list_transform(range(1, 65), i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)]))"
+      val lam = MmrLambdaX10
+      val rounds = (2 to MmrPicks).map { r =>
+        s"""d$r AS (
+           |  SELECT c.vec_id, c.rel, CAST(MAX(p.sim) AS BIGINT) AS maxsim
+           |  FROM cand c JOIN p ON p.a = c.vec_id
+           |    AND p.b IN (SELECT vec_id FROM c${r - 1})
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM c${r - 1})
+           |  GROUP BY 1, 2),
+           |p$r AS (SELECT CAST($r AS BIGINT) AS pick_ord, vec_id, rel,
+           |          CAST($lam * rel - ${10 - lam} * maxsim AS BIGINT) AS mmr
+           |        FROM d$r ORDER BY mmr DESC, vec_id ASC LIMIT 1),
+           |c$r AS (SELECT vec_id FROM c${r - 1} UNION ALL
+           |        SELECT vec_id FROM p$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> CAST(floor(x * 100000.0 + 0.5) AS BIGINT)) AS iv
+         |  FROM embeddings),
+         |q AS (SELECT iv AS qv FROM e WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT vec_id, iv, CAST(${dotSql("iv", "qv")} AS BIGINT) AS rel
+         |  FROM e, q WHERE vec_id > 0
+         |  ORDER BY rel DESC, vec_id ASC LIMIT $MmrShortlist),
+         |p AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b,
+         |    CAST(${dotSql("a.iv", "b.iv")} AS BIGINT) AS sim
+         |  FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+         |p1 AS (SELECT CAST(1 AS BIGINT) AS pick_ord, vec_id, rel,
+         |         CAST($lam * rel AS BIGINT) AS mmr
+         |       FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1),
+         |c1 AS (SELECT vec_id FROM p1),
+         |$rounds
+         |${(1 to MmrPicks).map(r => s"SELECT pick_ord, vec_id, rel, mmr FROM p$r")
+            .mkString("\nUNION ALL ")}
+         |ORDER BY pick_ord""".stripMargin
+    }
+  )
+
   val all: Seq[QueryDef] =
     Seq(q27CosineTopK, q28AnnLsh, q29CosinePairs, q38BatchAnn, q56AnnIvf,
       q62QuantizedAnn, q68EmbeddingLshPairs, q78SemanticDedup, q86KMeans,
       q97PqAnn, q140MatryoshkaRecall, q144EmbeddingDrift, q150DensityLabels,
-      q153RrfFusion, q157KCenterCoreset, q165TripletMining)
+      q153RrfFusion, q157KCenterCoreset, q165TripletMining, q214MmrRerank)
 }

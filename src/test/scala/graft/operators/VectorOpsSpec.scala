@@ -179,6 +179,42 @@ class VectorOpsSpec extends SparkSpec {
     assert(ds.toSeq == ds.sortBy(-_).toSeq)
   }
 
+  test("q214: MMR picks match the sequential driver-side greedy; diversity binds") {
+    val out = VectorOps.q214MmrRerank.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == VectorOps.MmrPicks)
+    assert(out.map(_._1).toSeq == (1L to VectorOps.MmrPicks.toLong))
+    // driver-side replica: quantize, shortlist, then the same greedy
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(floor(cast(x as double) * 100000.0 + 0.5) as bigint)) iv")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    val qv = vecs.find(_._1 == 0L).get._2
+    val short = vecs.filter(_._1 > 0)
+      .map { case (id, iv) => (id, iv, dot(iv, qv)) }
+      .sortBy { case (id, _, rel) => (-rel, id) }.take(VectorOps.MmrShortlist)
+    val lam = VectorOps.MmrLambdaX10
+    var chosen = Vector.empty[(Long, Array[Long])]
+    var expect = Vector.empty[(Long, Long, Long, Long)]
+    for (r <- 1 to VectorOps.MmrPicks) {
+      val scored = short.filterNot { case (id, _, _) => chosen.exists(_._1 == id) }
+        .map { case (id, iv, rel) =>
+          val maxsim = if (chosen.isEmpty) 0L else chosen.map(c => dot(iv, c._2)).max
+          (id, iv, rel, lam * rel - (10 - lam) * maxsim)
+        }
+      val p = scored.maxBy { case (id, _, _, mmr) => (mmr, -id) }
+      chosen :+= ((p._1, p._2))
+      expect :+= ((r.toLong, p._1, p._3, p._4))
+    }
+    assert(out.toSeq == expect, "unrolled rounds ≡ sequential greedy MMR")
+    // pick 1 is the pure-relevance argmax; later picks trade relevance
+    // for diversity, so their rel can only be ≤ pick 1's
+    assert(out.head._3 == short.head._3 && out.head._2 == short.head._1)
+    assert(out.forall(_._3 <= out.head._3))
+  }
+
   test("q165: triplet roles sit at the exact similarity ranks") {
     val out = VectorOps.q165TripletMining.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
