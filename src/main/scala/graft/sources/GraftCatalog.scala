@@ -1,0 +1,91 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A minimal DSv2 catalog serving [[SynthTable]]s PLUS the `bucket`
+  * function their key-grouped layout is declared with — the missing half
+  * of storage-partitioned joins. A bare `format(...).load()` relation
+  * has no catalog, so Spark cannot resolve the `bucket(n, doc_id)`
+  * transform in the scan's reported `KeyGroupedPartitioning` and
+  * silently falls back to shuffling; a table loaded THROUGH a catalog
+  * that implements [[FunctionCatalog]] resolves it and plans the join
+  * exchange-free (the same contract Iceberg/Delta kernels fulfil —
+  * cf. Spark's own `functions.UnboundFunction` docs).
+  *
+  * Register at runtime (`spark.sql.catalog.graft = <this class>`), then
+  * `spark.table("graft.synth_<rows>_<parts>")` — the identifier encodes
+  * the generator geometry, `_flat` suffix opts out of bucketing.
+  */
+class GraftCatalog extends TableCatalog with FunctionCatalog {
+  private var catalogName = "graft"
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = Array.empty
+
+  /** `synth_<rows>_<parts>` (bucketed) or `synth_<rows>_<parts>_flat`. */
+  override def loadTable(ident: Identifier): Table = ident.name() match {
+    case GraftCatalog.TablePat(rows, parts, flat) =>
+      new SynthTable(rows.toLong, parts.toInt, bucketed = flat == null)
+    case _ => throw new NoSuchTableException(ident)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+  override def dropTable(ident: Identifier): Boolean = false
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name() == "bucket") GraftCatalog.BucketUnbound
+    else throw new NoSuchFunctionException(ident)
+}
+
+object GraftCatalog {
+  private val TablePat = "synth_([0-9]+)_([0-9]+)(_flat)?".r
+
+  /** `bucket(n, id) = id mod n` — EXACTLY the value each
+    * [[SynthBucketPartition]] reports via `HasPartitionKey`, which is
+    * the whole correctness contract of SPJ: Spark aligns partitions by
+    * these values and never re-checks them. Both join sides resolve the
+    * same canonical name, so their partitionings compare compatible. */
+  object BucketUnbound extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String = "bucket(numBuckets, id): id mod numBuckets"
+    override def bind(inputType: StructType): BoundFunction = {
+      val types = inputType.fields.map(_.dataType)
+      require(types.length == 2 && types.contains(IntegerType) &&
+        types.contains(LongType), s"bucket expects (int, bigint), got $inputType")
+      // transforms may order (col, numBuckets) or (numBuckets, col) —
+      // bind to whichever slot carries the int literal
+      new BucketBound(nAt = types.indexOf(IntegerType))
+    }
+  }
+
+  class BucketBound(nAt: Int) extends ScalarFunction[Int] {
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket"
+    override def inputTypes(): Array[DataType] =
+      if (nAt == 0) Array(IntegerType, LongType) else Array(LongType, IntegerType)
+    override def resultType(): DataType = IntegerType
+    override def isResultNullable: Boolean = false
+    override def isDeterministic: Boolean = true
+    override def produceResult(input: InternalRow): Int =
+      Math.floorMod(input.getLong(1 - nAt), input.getInt(nAt).toLong).toInt
+  }
+}

@@ -48,7 +48,8 @@ class SynthProvider extends TableProvider {
                         properties: util.Map[String, String]): Table =
     new SynthTable(
       Option(properties.get("rows")).map(_.toLong).getOrElse(1000000L),
-      Option(properties.get("parts")).map(_.toInt).getOrElse(8))
+      Option(properties.get("parts")).map(_.toInt).getOrElse(8),
+      Option(properties.get("bucketBy")).exists(_.toBoolean))
 }
 
 object SynthTable {
@@ -61,16 +62,17 @@ object SynthTable {
   val BMod = 97L
 }
 
-class SynthTable(rows: Long, parts: Int) extends Table with SupportsRead {
+class SynthTable(rows: Long, parts: Int, bucketed: Boolean = false)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_synth($rows)"
   override def schema(): StructType = SynthTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, parts)
+    new SynthScanBuilder(rows, parts, bucketed)
 }
 
-class SynthScanBuilder(rows: Long, parts: Int)
+class SynthScanBuilder(rows: Long, parts: Int, bucketed: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownTopN {
@@ -143,8 +145,11 @@ class SynthScanBuilder(rows: Long, parts: Int)
     * declined — Spark keeps its own TakeOrderedAndProject. */
   override def pushTopN(orders: Array[expressions.SortOrder], limit: Int): Boolean =
     orders match {
+      // the prefix trick is only valid when partitions hold CONTIGUOUS
+      // ranges — bucketed (mod-parts) partitions interleave ids, so the
+      // builder declines and Spark keeps its TakeOrderedAndProject
       case Array(o)
-        if o.expression.describe == "doc_id" &&
+        if !bucketed && o.expression.describe == "doc_id" &&
           o.direction == expressions.SortDirection.ASCENDING =>
         hi = math.min(hi, math.min(lo, hi) + limit); true
       case _ => false
@@ -155,7 +160,7 @@ class SynthScanBuilder(rows: Long, parts: Int)
     val l = math.min(lo, hi)
     pushedAgg match {
       case Some(fs) => new SynthAggScan(l, hi, fs)
-      case None     => new SynthScan(l, hi, parts, required)
+      case None     => new SynthScan(l, hi, parts, required, bucketed)
     }
   }
 }
@@ -205,33 +210,120 @@ class SynthAggReaderFactory(lo: Long, hi: Long, tags: Array[String])
     }
 }
 
-class SynthScan(lo: Long, hi: Long, parts: Int, required: StructType)
-    extends Scan with Batch {
+class SynthScan(lo: Long, hi: Long, parts: Int, required: StructType,
+                bucketed: Boolean = false)
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // the surviving range is visible in the physical plan text — the spec
   // asserts on it to prove the predicate reached the source
-  override def description(): String = s"SynthScan[lo=$lo,hi=$hi,cols=${required.fieldNames.mkString(",")}]"
+  override def description(): String =
+    s"SynthScan[lo=$lo,hi=$hi,cols=${required.fieldNames.mkString(",")}" +
+      (if (bucketed) s",bucketBy=$parts]" else "]") +
+      runtimeIds.map(ids => s"+runtime(${ids.length} ids)").getOrElse("")
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(hi - lo, 0L)
-    val per = math.max(1L, (n + parts - 1) / parts)
-    (0 until parts).iterator
-      .map(i => SynthPartition(lo + i * per, math.min(lo + (i + 1) * per, hi)))
-      .filter(p => p.start < p.end)
-      .toArray[InputPartition]
+  /** RUNTIME filtering (dynamic partition pruning, DSv2 form): when the
+    * scan sits under a broadcast equi-join on doc_id, Spark hands the
+    * build side's actual key set to [[filter]] AFTER that side has been
+    * broadcast, and the splits are re-planned to generate ONLY the
+    * surviving ids — the parquet-partition-pruning contract, fulfilled
+    * by a generator. Compile-time pushdown bounds [lo, hi) still apply
+    * first; the runtime set intersects them. Keys outside the set were
+    * never going to survive the join, so at 100 TB this turns a
+    * full-fact-scan join into a probe of the dim's key neighborhood. */
+  private var runtimeIds: Option[Array[Long]] = None
+  override def filterAttributes(): Array[expressions.NamedReference] =
+    Array(expressions.Expressions.column("doc_id"))
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case org.apache.spark.sql.sources.In("doc_id", vs) =>
+      val ids = vs.iterator.collect { case n: Number => n.longValue() }
+        .filter(v => v >= lo && v < hi).toArray.sorted
+      runtimeIds = Some(runtimeIds.fold(ids)(prev => prev.intersect(ids)))
+    case _ => () // non-IN runtime filters: decline, Spark re-evaluates
   }
+
+  /** Bucketed mode DECLARES its layout: partition p holds exactly the
+    * ids ≡ p (mod parts), reported as `KeyGroupedPartitioning(bucket(
+    * parts, doc_id))` with each split carrying its bucket id via
+    * `HasPartitionKey`. Under `spark.sql.sources.v2.bucketing.enabled`,
+    * Spark aligns two such scans partition-by-partition and runs joins
+    * on doc_id WITHOUT ANY EXCHANGE — the DSv2 storage-partitioned
+    * join, i.e. the connector-level answer to "co-locate the big join"
+    * that `ScaleTools.writeBucketed` gives at the file level. */
+  override def outputPartitioning(): partitioning.Partitioning =
+    if (bucketed)
+      new partitioning.KeyGroupedPartitioning(
+        Array(expressions.Expressions.bucket(parts, "doc_id")),
+        planInputPartitions().length)
+    else new partitioning.UnknownPartitioning(parts)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    runtimeIds match {
+      case Some(ids) if bucketed =>
+        // keep the declared key-grouped layout: bucket b still holds
+        // exactly the ids ≡ b (mod parts) — SPJ and runtime pruning
+        // compose
+        (0 until parts).iterator
+          .map(b => SynthIdsPartition(ids.filter(_ % parts == b), Some(b)))
+          .filter(_.ids.nonEmpty)
+          .toArray[InputPartition]
+      case Some(ids) =>
+        ids.grouped(math.max(1, (ids.length + parts - 1) / parts))
+          .map(chunk => SynthIdsPartition(chunk, None))
+          .toArray[InputPartition]
+      case None if bucketed =>
+        (0 until parts).iterator
+          .map { b =>
+            // first id ≥ lo with id % parts == b (lo ≥ 0 here)
+            val first = lo + (((b - lo % parts) % parts + parts) % parts)
+            SynthBucketPartition(first, hi, parts, b)
+          }
+          .filter(p => p.start < p.end)
+          .toArray[InputPartition]
+      case None =>
+        val n = math.max(hi - lo, 0L)
+        val per = math.max(1L, (n + parts - 1) / parts)
+        (0 until parts).iterator
+          .map(i => SynthPartition(lo + i * per, math.min(lo + (i + 1) * per, hi)))
+          .filter(p => p.start < p.end)
+          .toArray[InputPartition]
+    }
   override def createReaderFactory(): PartitionReaderFactory =
     new SynthReaderFactory(required)
 }
 
 case class SynthPartition(start: Long, end: Long) extends InputPartition
 
+/** A mod-`step` stride of [start, end) — bucket `key` of the key-grouped
+  * layout; `partitionKey` is how the split tells Spark WHICH bucket it
+  * is, so the SPJ planner can align both sides' splits by value. */
+case class SynthBucketPartition(start: Long, end: Long, step: Long, key: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(key)
+}
+
+/** An explicit id list — the post-runtime-filter split (`key` keeps the
+  * bucket identity in key-grouped mode). */
+case class SynthIdsPartition(ids: Array[Long], key: Option[Int])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(key.getOrElse(0))
+}
+
 class SynthReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[SynthPartition]
+    val idSeq: IndexedSeq[Long] = partition match {
+      case SynthIdsPartition(ids, _) => ids.toIndexedSeq
+      case _ => IndexedSeq.empty
+    }
+    val (start, end, step) = partition match {
+      case SynthPartition(s0, e0)              => (s0, e0, 1L)
+      case SynthBucketPartition(s0, e0, st, _) => (s0, e0, st)
+      case SynthIdsPartition(_, _)             => (0L, idSeq.length.toLong, 1L)
+    }
+    val explicit = partition.isInstanceOf[SynthIdsPartition]
     new PartitionReader[InternalRow] {
-      private var x = p.start - 1
+      private var x = start - step
       // column generators resolved ONCE per partition from the pruned
       // schema — unrequested columns are never computed
       private val gens: Array[Long => Long] = required.fieldNames.map {
@@ -239,8 +331,11 @@ class SynthReaderFactory(required: StructType) extends PartitionReaderFactory {
         case "h"      => (v: Long) => v * SynthTable.Mult % SynthTable.HMod
         case "bucket" => (v: Long) => v * SynthTable.Mult % SynthTable.HMod % SynthTable.BMod
       }
-      override def next(): Boolean = { x += 1; x < p.end }
-      override def get(): InternalRow = InternalRow.fromSeq(gens.map(_(x)).toIndexedSeq)
+      override def next(): Boolean = { x += step; x < end }
+      override def get(): InternalRow = {
+        val v = if (explicit) idSeq(x.toInt) else x
+        InternalRow.fromSeq(gens.map(_(v)).toIndexedSeq)
+      }
       override def close(): Unit = ()
     }
   }
@@ -336,6 +431,99 @@ object SynthSource {
            |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin)
   )
 
+  /** q215: STORAGE-PARTITIONED JOIN through the connector — both sides
+    * are [[GraftCatalog]] tables whose scans report `KeyGroupedPartition
+    * ing(bucket(8, doc_id))` with per-split bucket keys, so under
+    * `spark.sql.sources.v2.bucketing.enabled` the doc_id self-join plans
+    * WITHOUT ANY EXCHANGE (SourcesSpec asserts the plan): the DSv2 form
+    * of the co-located join, the single most important shuffle
+    * elimination at 100 TB (the whole probe side never moves). The
+    * filter on the probe side still pushes into its own scan — pushdown
+    * and SPJ compose. DuckDB reproduces both sides from `range()`; a
+    * connector lying about its layout (a row in the wrong bucket joins
+    * against nothing) is a hash mismatch, not a silent perf bug.
+    *
+    * The runtime confs are set/restored around the plan: bucketing
+    * enabled, broadcast disabled (a broadcast would bypass the partition
+    * alignment this query exists to exercise). */
+  val q215SpjJoin = graft.QueryDef(
+    "q215_dsv2_spj_join",
+    (s, d) => {
+      val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevBk = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      try {
+        def rd = s.table(s"graft.synth_${Rows}_8")
+        val probe = rd.filter(col("doc_id") >= RLo && col("doc_id") < RHi)
+          .select(col("doc_id"), col("h").as("h_probe"))
+        // physical planning is LAZY — materialize (eager localCheckpoint)
+        // while the SPJ confs are still on, then order the 97-row result
+        // after the restore
+        rd.join(probe, Seq("doc_id"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), sum(col("h") + col("h_probe")).as("sum_hh"))
+          .localCheckpoint()
+          .orderBy("bucket")
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        prevBk.fold(s.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+      }
+    },
+    Some(s"""WITH t AS (
+           |  SELECT x AS doc_id,
+           |    x * ${SynthTable.Mult} % ${SynthTable.HMod} AS h,
+           |    x * ${SynthTable.Mult} % ${SynthTable.HMod} % ${SynthTable.BMod}
+           |      AS bucket
+           |  FROM range(0, $Rows) r(x))
+           |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(2 * h) AS BIGINT) AS sum_hh
+           |FROM t WHERE doc_id >= $RLo AND doc_id < $RHi
+           |GROUP BY bucket ORDER BY bucket""".stripMargin)
+  )
+
+  /** q216: RUNTIME (dynamic) filtering through the connector — the fact
+    * side is the synth scan under a broadcast join against a small
+    * parquet-backed dim (documents, source-filtered, key remapped into
+    * the synth id space), so Spark hands the dim's ACTUAL key set to
+    * `SynthScan.filter` after broadcasting and the generator emits only
+    * the surviving ids (SourcesSpec asserts both the planned
+    * `RuntimeFilters:` and the scan's narrowed description). The DSv2
+    * analogue of q83's bloom-pruned join, pushed one level deeper: the
+    * pruning happens INSIDE the source, before rows exist. The oracle is
+    * the plain join — a scan that over-prunes (dropping a matching id)
+    * or under-prunes into wrong values is a hash mismatch, making the
+    * runtime-filter path a correctness surface, not just a perf one. */
+  val q216RuntimePrune = graft.QueryDef(
+    "q216_dsv2_runtime_prune",
+    (s, d) => {
+      val fact = s.read.format(classOf[SynthProvider].getName)
+        .option("rows", Rows).option("parts", 8).load()
+      val dim = graft.Tables.documents(s, d)
+        .filter(col("source") === "src1")
+        .select((col("doc_id") * 311L + 11L).as("doc_id"))
+      fact.join(dim, Seq("doc_id"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("h").as("sum_h"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH t AS (
+           |  SELECT x AS doc_id,
+           |    x * ${SynthTable.Mult} % ${SynthTable.HMod} AS h,
+           |    x * ${SynthTable.Mult} % ${SynthTable.HMod} % ${SynthTable.BMod}
+           |      AS bucket
+           |  FROM range(0, $Rows) r(x)),
+           |dim AS (
+           |  SELECT doc_id * 311 + 11 AS doc_id
+           |  FROM documents WHERE source = 'src1')
+           |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(h) AS BIGINT) AS sum_h
+           |FROM t JOIN dim USING (doc_id)
+           |GROUP BY bucket ORDER BY bucket""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q208Dsv2Scan, q209Dsv2AggPushdown,
-    q210Dsv2TopN)
+    q210Dsv2TopN, q215SpjJoin, q216RuntimePrune)
 }

@@ -240,6 +240,59 @@ class SourcesSpec extends SparkSpec {
     assert(desc.collect().map(_.getLong(0)).toSeq == Seq(9999L, 9998L, 9997L))
   }
 
+  test("custom DSv2 connector: storage-partitioned self-join runs with NO exchange") {
+    import graft.sources.SynthProvider
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    try {
+      def rd = spark.table("graft.synth_100000_8")
+      val a = rd
+      val b = rd.filter(col("doc_id") >= 40000).select(col("doc_id"), col("h").as("h2"))
+      val j = a.join(b, "doc_id")
+      j.count() // materialize so AQE finalizes the plan
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("bucketBy=8"), s"bucketed scan missing:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"key-grouped partitioning must eliminate the join shuffle:\n$plan")
+      assert(j.count() == 60000L)
+      // values survive the stride readers: h equals the closed form
+      val r = j.filter(col("doc_id") === 54321).head()
+      assert(r.getLong(1) == 54321L * graft.sources.SynthTable.Mult % graft.sources.SynthTable.HMod)
+      assert(r.getLong(1) == r.getLong(3))
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("custom DSv2 connector: broadcast join hands its key set to the scan at runtime") {
+    import graft.sources.SynthProvider
+    val dir = java.nio.file.Files.createTempDirectory("dpp_dim").toString
+    // a REAL file-backed dim (DPP requires a selective predicate on the
+    // filtering side; a LocalRelation constant-folds away)
+    spark.range(0, 1000).selectExpr("id * 191 AS doc_id", "id % 10 AS tag")
+      .write.mode("overwrite").parquet(dir)
+    val dim = spark.read.parquet(dir).filter(col("tag") === 3)
+    val fact = spark.read.format(classOf[SynthProvider].getName)
+      .option("rows", 200000L).option("parts", 8).load()
+    val j = fact.join(dim, Seq("doc_id")).agg(sum("h").as("s"), count(lit(1)).as("n"))
+    // collect() (NOT head(), which builds a separate QueryExecution) so
+    // the inspected plan is the one that actually ran
+    val row = j.collect()(0)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+      s"no runtime filter planned on the scan:\n$plan")
+    assert(plan.contains("+runtime("),
+      s"runtime key set never reached the scan:\n$plan")
+    // 100 dim keys with tag=3 (id % 10 == 3), those with id*191 < 200000
+    val ids = (0L until 1000L).filter(_ % 10 == 3).map(_ * 191).filter(_ < 200000L)
+    assert(row.getLong(1) == ids.length.toLong)
+    assert(row.getLong(0) ==
+      ids.map(x => x * graft.sources.SynthTable.Mult % graft.sources.SynthTable.HMod).sum)
+  }
+
   test("custom DSv2 connector: Int/Short-typed range literals are absorbed, not residual") {
     import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan, EqualTo}
     // untyped SQL paths can hand the builder an Int-typed literal; the
