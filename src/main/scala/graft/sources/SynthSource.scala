@@ -49,7 +49,8 @@ class SynthProvider extends TableProvider {
     new SynthTable(
       Option(properties.get("rows")).map(_.toLong).getOrElse(1000000L),
       Option(properties.get("parts")).map(_.toInt).getOrElse(8),
-      Option(properties.get("bucketBy")).exists(_.toBoolean))
+      Option(properties.get("bucketBy")).exists(_.toBoolean),
+      Option(properties.get("columnar")).forall(_.toBoolean))
 }
 
 object SynthTable {
@@ -62,17 +63,19 @@ object SynthTable {
   val BMod = 97L
 }
 
-class SynthTable(rows: Long, parts: Int, bucketed: Boolean = false)
+class SynthTable(rows: Long, parts: Int, bucketed: Boolean = false,
+                 columnar: Boolean = true)
     extends Table with SupportsRead {
   override def name(): String = s"graft_synth($rows)"
   override def schema(): StructType = SynthTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, parts, bucketed)
+    new SynthScanBuilder(rows, parts, bucketed, columnar)
 }
 
-class SynthScanBuilder(rows: Long, parts: Int, bucketed: Boolean = false)
+class SynthScanBuilder(rows: Long, parts: Int, bucketed: Boolean = false,
+                       columnar: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownTopN {
@@ -160,7 +163,7 @@ class SynthScanBuilder(rows: Long, parts: Int, bucketed: Boolean = false)
     val l = math.min(lo, hi)
     pushedAgg match {
       case Some(fs) => new SynthAggScan(l, hi, fs)
-      case None     => new SynthScan(l, hi, parts, required, bucketed)
+      case None     => new SynthScan(l, hi, parts, required, bucketed, columnar)
     }
   }
 }
@@ -211,7 +214,7 @@ class SynthAggReaderFactory(lo: Long, hi: Long, tags: Array[String])
 }
 
 class SynthScan(lo: Long, hi: Long, parts: Int, required: StructType,
-                bucketed: Boolean = false)
+                bucketed: Boolean = false, columnar: Boolean = true)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -290,7 +293,7 @@ class SynthScan(lo: Long, hi: Long, parts: Int, required: StructType,
           .toArray[InputPartition]
     }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SynthReaderFactory(required)
+    new SynthReaderFactory(required, columnar)
 }
 
 case class SynthPartition(start: Long, end: Long) extends InputPartition
@@ -310,8 +313,9 @@ case class SynthIdsPartition(ids: Array[Long], key: Option[Int])
   override def partitionKey(): InternalRow = InternalRow(key.getOrElse(0))
 }
 
-class SynthReaderFactory(required: StructType) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+/** Per-partition id stream shared by the row and columnar readers. */
+private object SynthGen {
+  def geometry(partition: InputPartition): (IndexedSeq[Long], Long, Long, Long, Boolean) = {
     val idSeq: IndexedSeq[Long] = partition match {
       case SynthIdsPartition(ids, _) => ids.toIndexedSeq
       case _ => IndexedSeq.empty
@@ -321,22 +325,71 @@ class SynthReaderFactory(required: StructType) extends PartitionReaderFactory {
       case SynthBucketPartition(s0, e0, st, _) => (s0, e0, st)
       case SynthIdsPartition(_, _)             => (0L, idSeq.length.toLong, 1L)
     }
-    val explicit = partition.isInstanceOf[SynthIdsPartition]
+    (idSeq, start, end, step, partition.isInstanceOf[SynthIdsPartition])
+  }
+  // column generators resolved ONCE per partition from the pruned
+  // schema — unrequested columns are never computed
+  def gens(required: StructType): Array[Long => Long] = required.fieldNames.map {
+    case "doc_id" => (v: Long) => v
+    case "h"      => (v: Long) => v * SynthTable.Mult % SynthTable.HMod
+    case "bucket" => (v: Long) => v * SynthTable.Mult % SynthTable.HMod % SynthTable.BMod
+  }
+}
+
+/** Row AND columnar read paths. Columnar is the default
+  * (`supportColumnarReads = true`): the generator fills 4k-row
+  * `OnHeapColumnVector` pages and Spark's vectorized `ColumnarToRow`
+  * bridge feeds whole-stage codegen from flat long arrays — the same
+  * batch shape the built-in parquet reader produces, i.e. the connector
+  * plugs into Tungsten at the batch level instead of materializing one
+  * `InternalRow` per id. The row reader remains for
+  * `spark.graft.synth.columnar=false` A/B runs and as the reference
+  * semantics (SourcesSpec asserts both paths produce identical
+  * results). */
+class SynthReaderFactory(required: StructType, columnar: Boolean = true)
+    extends PartitionReaderFactory {
+  import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val (idSeq, start, end, step, explicit) = SynthGen.geometry(partition)
     new PartitionReader[InternalRow] {
       private var x = start - step
-      // column generators resolved ONCE per partition from the pruned
-      // schema — unrequested columns are never computed
-      private val gens: Array[Long => Long] = required.fieldNames.map {
-        case "doc_id" => (v: Long) => v
-        case "h"      => (v: Long) => v * SynthTable.Mult % SynthTable.HMod
-        case "bucket" => (v: Long) => v * SynthTable.Mult % SynthTable.HMod % SynthTable.BMod
-      }
+      private val gens = SynthGen.gens(required)
       override def next(): Boolean = { x += step; x < end }
       override def get(): InternalRow = {
         val v = if (explicit) idSeq(x.toInt) else x
         InternalRow.fromSeq(gens.map(_(v)).toIndexedSeq)
       }
       override def close(): Unit = ()
+    }
+  }
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val (idSeq, start, end, step, explicit) = SynthGen.geometry(partition)
+    new PartitionReader[ColumnarBatch] {
+      private val PageRows = 4096
+      private var x = start
+      private val gens = SynthGen.gens(required)
+      private val vectors = OnHeapColumnVector.allocateColumns(PageRows, required)
+      private val batch = new ColumnarBatch(vectors.map(_.asInstanceOf[ColumnVector]))
+      override def next(): Boolean = {
+        if (x >= end) return false
+        var n = 0
+        vectors.foreach(_.reset())
+        while (n < PageRows && x < end) {
+          val v = if (explicit) idSeq(x.toInt) else x
+          var c = 0
+          while (c < gens.length) { vectors(c).putLong(n, gens(c)(v)); c += 1 }
+          x += step; n += 1
+        }
+        batch.setNumRows(n)
+        true
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = batch.close()
     }
   }
 }

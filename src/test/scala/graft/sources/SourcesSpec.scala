@@ -293,6 +293,31 @@ class SourcesSpec extends SparkSpec {
       ids.map(x => x * graft.sources.SynthTable.Mult % graft.sources.SynthTable.HMod).sum)
   }
 
+  test("custom DSv2 connector: columnar batches feed codegen; row path A/B identical") {
+    import graft.sources.SynthProvider
+    def rd(columnar: Boolean) = spark.read.format(classOf[SynthProvider].getName)
+      .option("rows", 20000L).option("parts", 4).option("columnar", columnar).load()
+    val cPlan = rd(columnar = true).filter(col("doc_id") >= 5000)
+      .queryExecution.executedPlan.toString
+    assert(cPlan.contains("ColumnarToRow"),
+      s"columnar path must bridge through the vectorized ColumnarToRow:\n$cPlan")
+    val rPlan = rd(columnar = false).filter(col("doc_id") >= 5000)
+      .queryExecution.executedPlan.toString
+    assert(!rPlan.contains("ColumnarToRow"), s"row path must stay row-based:\n$rPlan")
+    // identical results across page boundaries (4096-row pages, stride
+    // partitions) and under a residual filter
+    def sig(columnar: Boolean) = rd(columnar)
+      .filter(col("bucket") === 5)
+      .agg(count(lit(1)), sum("h"), sum("doc_id")).head()
+    assert(sig(columnar = true) == sig(columnar = false))
+    // columnar composes with the bucketed stride layout
+    val b = spark.read.format(classOf[SynthProvider].getName)
+      .option("rows", 20000L).option("parts", 4)
+      .option("bucketBy", "true").load()
+    assert(b.agg(sum("h")).head().getLong(0) ==
+      rd(columnar = false).agg(sum("h")).head().getLong(0))
+  }
+
   test("custom DSv2 connector: Int/Short-typed range literals are absorbed, not residual") {
     import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan, EqualTo}
     // untyped SQL paths can hand the builder an Int-typed literal; the
