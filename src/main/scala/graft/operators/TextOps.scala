@@ -1186,10 +1186,89 @@ object TextOps {
            |ORDER BY w_x6 DESC, t1 ASC, t2 ASC LIMIT 30""".stripMargin)
   )
 
+  /** q217: Heaps-law vocabulary-growth curve — scan the corpus in
+    * doc_id order, checkpoint at each decile, and report cumulative
+    * tokens vs cumulative DISTINCT vocabulary plus the marginal new
+    * vocab per decile. This is the "is more data still buying new
+    * content?" audit of corpus curation: Heaps' law predicts V(n) ≈
+    * K·n^β (β < 1), so vocab-per-token falls monotonically on healthy
+    * organic text — a FLAT curve means templated/duplicated input
+    * (every decile re-contributes the same boilerplate), a cliff means
+    * a source switched mid-corpus. Companion to q151 (n-gram novelty
+    * between two snapshots) — this is the whole-corpus longitudinal
+    * version.
+    *
+    * Exactness: a token's decile-of-first-appearance is
+    * `(min(doc_id)·10) DIV n_docs + 1` — pure positive integer
+    * arithmetic, and cumulative sums over the 10-row decile frame are
+    * order-fixed; vocab-per-1M-tokens is fixed-point floor division.
+    *
+    * Plan shape at 100 TB: the token explode is the ONLY corpus-wide
+    * operation; first-appearance is a token-keyed min agg (map-side
+    * combinable — the vocabulary, not the corpus, is the shuffle) and
+    * per-doc token counts a doc-keyed count agg. Both collapse to a
+    * 10-row metadata frame before the windows; the 1-row corpus-count
+    * broadcast is the q118 shape. */
+  val q217VocabGrowth = QueryDef(
+    "q217_vocab_growth",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val tok = docs.select(col("doc_id"),
+        explode(tokens(lower(col("text")))).as("token"))
+      import org.apache.spark.sql.expressions.Window
+      val decTok = tok.groupBy("doc_id").agg(count(lit(1)).as("toks"))
+        .crossJoin(broadcast(n))
+        .select(expr("(doc_id * 10) DIV n_docs + 1").as("decile"), col("toks"))
+        .groupBy("decile").agg(sum("toks").as("toks"))
+      val newVocab = tok.groupBy("token").agg(min("doc_id").as("first_doc"))
+        .crossJoin(broadcast(n))
+        .select(expr("(first_doc * 10) DIV n_docs + 1").as("decile"))
+        .groupBy("decile").agg(count(lit(1)).as("new_vocab"))
+      // 10-row metadata frame: partitionBy(lit(0)) avoids WindowExec's
+      // no-partition warning (the q72 idiom)
+      val w = Window.partitionBy(lit(0)).orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      decTok.join(newVocab, Seq("decile"), "full_outer")
+        .na.fill(0L, Seq("toks", "new_vocab"))
+        .withColumn("cum_tokens", sum("toks").over(w))
+        .withColumn("cum_vocab", sum("new_vocab").over(w))
+        .select(col("decile"), col("new_vocab"), col("cum_tokens"), col("cum_vocab"),
+          expr("cum_vocab * 1000000 DIV cum_tokens").as("vocab_per_1m_tok"))
+        .orderBy("decile")
+    },
+    Some("""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+           |tok AS (
+           |  SELECT doc_id,
+           |    lower(unnest(list_filter(string_split(text, ' '), t -> t <> ''))) AS token
+           |  FROM documents),
+           |dt AS (SELECT doc_id, COUNT(*) AS toks FROM tok GROUP BY doc_id),
+           |dec_tok AS (
+           |  SELECT (doc_id * 10) // n_docs + 1 AS decile,
+           |    CAST(SUM(toks) AS BIGINT) AS toks
+           |  FROM dt, n GROUP BY 1),
+           |fd AS (SELECT token, MIN(doc_id) AS first_doc FROM tok GROUP BY token),
+           |nv AS (
+           |  SELECT (first_doc * 10) // n_docs + 1 AS decile,
+           |    CAST(COUNT(*) AS BIGINT) AS new_vocab
+           |  FROM fd, n GROUP BY 1),
+           |j AS (
+           |  SELECT decile, COALESCE(toks, 0) AS toks,
+           |    COALESCE(new_vocab, 0) AS new_vocab
+           |  FROM dec_tok FULL OUTER JOIN nv USING (decile))
+           |SELECT CAST(decile AS BIGINT) AS decile,
+           |  CAST(new_vocab AS BIGINT) AS new_vocab,
+           |  CAST(SUM(toks) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens,
+           |  CAST(SUM(new_vocab) OVER (ORDER BY decile) AS BIGINT) AS cum_vocab,
+           |  CAST(SUM(new_vocab) OVER (ORDER BY decile) * 1000000
+           |    // SUM(toks) OVER (ORDER BY decile) AS BIGINT) AS vocab_per_1m_tok
+           |FROM j ORDER BY decile""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId,
     q22Fingerprint, q39Bigrams, q55TokenCounts, q57Winnowing, q59Tfidf,
     q66PiiRedact, q67Repetition, q69Decontamination, q70DecontamPool,
     q72MixtureReport, q101LmFluency, q104InvertedIndex, q124NbClassifier,
     q130PmiCollocations, q132HeavyHitters, q139Bm25, q151NgramNovelty,
-    q155BpePairs, q158SkipgramPairs)
+    q155BpePairs, q158SkipgramPairs, q217VocabGrowth)
 }

@@ -163,4 +163,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out.exists { case (_, _, n, w) => w != 6 * n },
       "non-adjacent contexts contribute (otherwise this is just q130's bigrams)")
   }
+
+  test("q217: growth curve conserves totals and cumulates monotonically") {
+    val out = TextOps.q217VocabGrowth.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).toSeq == (1L to 10L), "one row per decile")
+    // cumulative columns are non-decreasing and consistent with marginals
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3 && b._4 >= a._4)
+      assert(b._4 - a._4 == b._2, "cum_vocab marginals equal new_vocab")
+    }
+    // totals conserve: final cum_vocab = |distinct tokens|, final
+    // cum_tokens = total token occurrences
+    val tok = Tables.documents(spark, sfDir)
+      .select(explode(expr("filter(split(lower(text), ' '), t -> t <> '')")).as("token"))
+    assert(out.last._4 == tok.distinct().count())
+    assert(out.last._3 == tok.count())
+    assert(out.forall { case (_, _, ct, cv, r) => r == cv * 1000000L / ct })
+  }
 }
