@@ -490,6 +490,39 @@ object ScaleSmoke {
 
     spark.catalog.clearCache()
 
+    // ---- phase 7b: weighted SSSP at the same scale (the q213 engine) ----
+    // The phase-7 graph with {1,2} edge weights carved from xxhash64, and
+    // the planted chain's edges pinned to weight 2 — its only path is
+    // sequential (same out-of-range argument as BFS), so chain node k's
+    // weighted distance is exactly 2k from the chain-head seed. Bellman-
+    // Ford runs to FIXPOINT here (BFS stopped at 3 hops): the round count
+    // it converges in IS the weighted-shortest-path depth of a
+    // supercritical degree-8 graph — recorded, not assumed.
+    val wEdges = bEdges
+      .withColumn("w",
+        when(col("src") >= nBfs || col("dst") >= nBfs, lit(2L))
+          .otherwise(lit(1L) + pmod(xxhash64(col("src"), col("dst"), lit(7L)), lit(2L))))
+    val tsssp = System.nanoTime()
+    val (wDist, wRounds) = graft.operators.PageRank.sssp(wEdges, bSeeds, maxRounds = 40)
+    val wStats = wDist.agg(count(lit(1)), max("dist"), sum("dist")).head()
+    val ssspSecs = (System.nanoTime() - tsssp) / 1e9
+    val chainDist = wDist.filter(col("id") >= nBfs).orderBy("id").collect()
+      .map(r => r.getLong(0) - nBfs -> r.getLong(1)).toMap
+    println(f"[smoke] sssp: ${wStats.getLong(0)} nodes labeled in $ssspSecs%.1f s, " +
+      s"$wRounds rounds to fixpoint, max dist ${wStats.getLong(1)}")
+    report ++= Seq("sssp_nodes" -> wStats.getLong(0), "sssp_secs" -> ssspSecs,
+      "sssp_rounds" -> wRounds, "sssp_max_dist" -> wStats.getLong(1))
+    (0L to 3L).foreach { k =>
+      assert(chainDist.get(k).contains(2 * k),
+        s"planted chain node $k at dist ${chainDist.get(k)}, expected ${2 * k}")
+    }
+    // the full fixpoint reaches at least everything BFS saw in 3 hops
+    assert(wStats.getLong(0) >= bVisited,
+      s"sssp labeled ${wStats.getLong(0)} < bfs's $bVisited")
+    println("[smoke] OK — sssp at " + nBfs + " nodes")
+
+    spark.catalog.clearCache()
+
     // ---- phase 8: prefix-filter + containment joins at scale (q87/q95) ----
     // nPf base docs of 40 unique-ish 8-char md5-hex units (shingle space
     // 16^8 ≈ 4.3e9, so background unit sharing is ~n²·sz²/space ≈ tens of

@@ -282,6 +282,58 @@ object ScaleTools {
            |FROM asg CROSS JOIN tot GROUP BY bucket, n ORDER BY bucket""".stripMargin)
   )
 
+  /** q218: join-explosion audit — the EXACT output cardinality a
+    * many-to-many self-join on l_partkey would produce (Σ f(k)² over the
+    * per-key frequency histogram), with the top-10 keys ranked by their
+    * share of that blowup. q118 profiles ONE side's skew; this is the
+    * pre-join planner check for the quadratic failure mode at 100 TB —
+    * a join whose estimate is 100× its input must be restructured
+    * (pre-aggregate, salt, or semi-join first) BEFORE it runs, and the
+    * per-key shares point at exactly which keys to treat. The TOTAL row
+    * (key = −1) carries the whole estimate; f·(f−1) would count
+    * non-identical pairs — f² matches the unrestricted equi-join.
+    *
+    * Scale: two aggs over the key histogram (map-side combinable count,
+    * then a 1-row Σf² reduction broadcast back — the q118 shape); the
+    * corpus shuffles once, keyed by join key, which is the histogram a
+    * real planner would already collect. Overflow: f² < 2^63 needs
+    * f < 3.0e9 rows PER KEY — beyond it, this key's row set no longer
+    * fits any single-task join anyway (the audit would have failed the
+    * plan long before the arithmetic). */
+  val q218JoinBlowup = QueryDef(
+    "q218_join_blowup",
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val f = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").cast(LongType).as("key"))
+        .agg(count(lit(1)).as("f"))
+      val tot = f.agg(sum("f").as("in_rows"), sum(expr("f * f")).as("total"))
+      val top = f.select(col("key"), col("f"), expr("f * f").as("est_pairs"))
+        .orderBy(col("est_pairs").desc, col("key").asc).limit(10)
+        .crossJoin(broadcast(tot))
+        .select(col("key"), col("f"), col("est_pairs"),
+          expr("est_pairs * 1000000 DIV total").as("share_x1m"))
+      val total = tot.select(lit(-1L).as("key"), col("in_rows").as("f"),
+        col("total").as("est_pairs"), lit(1000000L).as("share_x1m"))
+      top.unionByName(total).orderBy(col("est_pairs").desc, col("key").asc)
+    },
+    Some("""WITH f AS (
+           |  SELECT CAST(l_partkey AS BIGINT) AS key, CAST(COUNT(*) AS BIGINT) AS f
+           |  FROM lineitem GROUP BY 1),
+           |t AS (SELECT CAST(SUM(f) AS BIGINT) AS in_rows,
+           |             CAST(SUM(f * f) AS BIGINT) AS total FROM f),
+           |top AS (
+           |  SELECT key, f, f * f AS est_pairs,
+           |    CAST(f * f * 1000000 // total AS BIGINT) AS share_x1m
+           |  FROM f, t ORDER BY est_pairs DESC, key ASC LIMIT 10)
+           |SELECT * FROM (
+           |  SELECT key, f, CAST(est_pairs AS BIGINT) AS est_pairs, share_x1m FROM top
+           |  UNION ALL
+           |  SELECT -1 AS key, in_rows AS f, total AS est_pairs,
+           |    CAST(1000000 AS BIGINT) AS share_x1m FROM t)
+           |ORDER BY est_pairs DESC, key ASC""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q83BloomJoin, q84SaltedJoin, q118SkewReport,
-    q167RangeBoundaryAudit)
+    q167RangeBoundaryAudit, q218JoinBlowup)
 }

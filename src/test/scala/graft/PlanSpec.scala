@@ -184,7 +184,9 @@ class PlanSpec extends SparkSpec {
       // q203: 1-row corpus-max watermark broadcast (the q152 shape)
       "q203_freshness_audit",
       // q217: 1-row corpus-count broadcast (the q118 shape)
-      "q217_vocab_growth")
+      "q217_vocab_growth",
+      // q218: 1-row (in_rows, Σf²) totals broadcast (the q118 shape)
+      "q218_join_blowup")
     // plan-text exchange budgets: the LSH pipeline legitimately has ~18
     // (sig agg + banding self-join + verify joins); queries consuming the
     // CACHED pair/cluster frames repeat that lineage inside

@@ -98,4 +98,20 @@ class ScaleToolsSpec extends SparkSpec {
       assert(dev == math.abs(share - 125000L))
     }
   }
+
+  test("q218: blowup estimate equals the materialized self-join exactly") {
+    val out = ScaleTools.q218JoinBlowup.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = out.find(_._1 == -1L).get
+    val li = Tables.lineitem(spark, sfDir).select(col("l_partkey").cast("long").as("key"))
+    // the estimate IS the join: Σf² = |lineitem ⋈ lineitem on l_partkey|
+    val joined = li.as("a").join(li.as("b"), "key").count()
+    assert(total._3 == joined, s"estimate ${total._3} != materialized $joined")
+    assert(total._2 == li.count())
+    // per-key rows: est_pairs = f² and the share algebra holds
+    out.filter(_._1 >= 0).foreach { case (_, f, est, share) =>
+      assert(est == f * f)
+      assert(share == est * 1000000L / total._3)
+    }
+  }
 }
