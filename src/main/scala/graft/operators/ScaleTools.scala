@@ -334,6 +334,73 @@ object ScaleTools {
            |ORDER BY est_pairs DESC, key ASC""".stripMargin)
   )
 
+  /** q219: cross-table integrity checksum — one (table, n_rows,
+    * checksum) row per table in the lake, where the checksum is an
+    * order-independent SUM of per-row md5-derived integers over the
+    * table's primary key (lineitem's composite key included). This is
+    * the replication/migration data contract: after a copy, a backfill,
+    * or an engine swap, compare the 10-row manifests — a single lost,
+    * duplicated, or key-corrupted row moves the checksum, and because
+    * the sum is commutative the check is insensitive to row order and
+    * file layout (exactly what differs across engines). The audit-tool
+    * companion to q116's row-level snapshot diff: q116 finds WHICH rows
+    * changed between two snapshots of one table; q219 is the O(1)-size
+    * fleet-wide manifest you compare first.
+    *
+    * Exactness: md5 → 15 hex chars → BIGINT, reduced mod 1e9 BEFORE the
+    * sum so even a 10^9-row table sums below 10^18 < 2^63 in both
+    * engines (headroom documented, not assumed).
+    *
+    * Scale: one narrow key-column scan per table, each a map-side-
+    * combinable 1-row agg — no joins, no wide rows; the 10 branches
+    * union without a barrier. */
+  val q219TableChecksums = QueryDef(
+    "q219_table_checksums",
+    (s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType}
+      def md5mod(c: Column): Column =
+        pmod(conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType),
+          lit(1000000000L))
+      def manifest(name: String, df: DataFrame, key: Column): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(md5mod(concat(lit(name), lit("#"), key.cast(StringType))))
+              .as("checksum"))
+          .select(lit(name).as("tbl"), col("n_rows"), col("checksum"))
+      manifest("region", Tables.region(s, d), col("r_regionkey"))
+        .unionByName(manifest("nation", Tables.nation(s, d), col("n_nationkey")))
+        .unionByName(manifest("customer", Tables.customer(s, d), col("c_custkey")))
+        .unionByName(manifest("supplier", Tables.supplier(s, d), col("s_suppkey")))
+        .unionByName(manifest("part", Tables.part(s, d), col("p_partkey")))
+        .unionByName(manifest("orders", Tables.orders(s, d), col("o_orderkey")))
+        .unionByName(manifest("lineitem", Tables.lineitem(s, d),
+          concat(col("l_orderkey").cast(StringType), lit("_"),
+            col("l_linenumber").cast(StringType))))
+        .unionByName(manifest("events", Tables.events(s, d), col("event_id")))
+        .unionByName(manifest("documents", Tables.documents(s, d), col("doc_id")))
+        .unionByName(manifest("embeddings", Tables.embeddings(s, d), col("vec_id")))
+        .orderBy("tbl")
+    },
+    Some {
+      def m(name: String, tbl: String, key: String) =
+        s"""SELECT '$name' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CAST(('0x' || substr(md5('$name' || '#' || $key), 1, 15))
+           |    AS BIGINT) % 1000000000) AS BIGINT) AS checksum
+           |FROM $tbl""".stripMargin
+      Seq(
+        m("region", "region", "r_regionkey"),
+        m("nation", "nation", "n_nationkey"),
+        m("customer", "customer", "c_custkey"),
+        m("supplier", "supplier", "s_suppkey"),
+        m("part", "part", "p_partkey"),
+        m("orders", "orders", "o_orderkey"),
+        m("lineitem", "lineitem", "l_orderkey || '_' || l_linenumber"),
+        m("events", "events", "event_id"),
+        m("documents", "documents", "doc_id"),
+        m("embeddings", "embeddings", "vec_id")
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY tbl")
+    }
+  )
+
   val all: Seq[QueryDef] = Seq(q83BloomJoin, q84SaltedJoin, q118SkewReport,
-    q167RangeBoundaryAudit, q218JoinBlowup)
+    q167RangeBoundaryAudit, q218JoinBlowup, q219TableChecksums)
 }

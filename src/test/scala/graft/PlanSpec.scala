@@ -272,6 +272,9 @@ class PlanSpec extends SparkSpec {
       // 1-row aggregates — per-branch cost is key-only rows; branches
       // union without a barrier
       case n if n.startsWith("q154") => 40
+      // q219: ten independent 1-row table-manifest branches (one
+      // two-phase agg each) union without a barrier, plus the final sort
+      case n if n.startsWith("q219") => 24
       // q141: the QI record lineage feeds three class-size aggs plus the
       // record stream itself (plan TEXT repeats it; ReusedExchange
       // collapses at runtime) and the rung report ends in a two-phase

@@ -99,6 +99,27 @@ class ScaleToolsSpec extends SparkSpec {
     }
   }
 
+  test("q219: manifest counts match; checksum recomputes and detects a lost row") {
+    val out = ScaleTools.q219TableChecksums.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == 10)
+    assert(out("nation")._1 == Tables.nation(spark, sfDir).count())
+    assert(out("lineitem")._1 == Tables.lineitem(spark, sfDir).count())
+    // driver-side recompute of one table's checksum, then drop a row:
+    // the sum must move (the whole point of the manifest)
+    val keys = Tables.nation(spark, sfDir).select(col("n_nationkey").cast("string"))
+      .collect().map(_.getString(0))
+    def h(k: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(("nation#" + k).getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000000000L
+    }
+    val full = keys.map(h).sum
+    assert(full == out("nation")._2, "driver recompute must equal the engine checksum")
+    assert(keys.drop(1).map(h).sum != full, "a lost row must move the checksum")
+  }
+
   test("q218: blowup estimate equals the materialized self-join exactly") {
     val out = ScaleTools.q218JoinBlowup.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
