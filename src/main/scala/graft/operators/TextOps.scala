@@ -1265,10 +1265,70 @@ object TextOps {
            |FROM j ORDER BY decile""".stripMargin)
   )
 
+  /** q220: emerging-term drift report — split the corpus into its first
+    * and second half (by doc_id order, the ingestion timeline) and rank
+    * the terms whose occurrence RATE rose the most: the term-level drill
+    * -down under q207's distribution-level KS gate and q151's snapshot
+    * novelty count (q207 says THAT the corpus moved, q151 says how much
+    * is new — this names WHICH vocabulary is rising, the trending-topics
+    * / contamination-onset signal). Rates are per-million-token
+    * fixed-point (each a positive floor division, so the Spark-DIV vs
+    * DuckDB-`//` truncation question never arises; the delta is a
+    * SUBTRACTION of two already-floored positives), min-support ≥ 5 in
+    * the rising half keeps noise terms out, ties break on token.
+    *
+    * Scale: one token explode feeding a single conditional agg (the
+    * half indicator is a projection — no per-half scans, no join of two
+    * count tables); the 1-row (corpus size, per-half totals) broadcast
+    * is the q118 shape; the final ranking is a token-keyed count table
+    * through TakeOrderedAndProject. */
+  val q220TermDrift = QueryDef(
+    "q220_term_drift",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val tok = docs.select(col("doc_id"),
+          explode(tokens(lower(col("text")))).as("token"))
+        .crossJoin(broadcast(n))
+        .select(col("token"), (col("doc_id") * 2 >= col("n_docs")).as("recent"))
+      val counts = tok.groupBy("token")
+        .agg(sum(when(!col("recent"), 1L).otherwise(0L)).as("cnt_old"),
+          sum(when(col("recent"), 1L).otherwise(0L)).as("cnt_new"))
+      val totals = counts.agg(sum("cnt_old").as("t_old"), sum("cnt_new").as("t_new"))
+      counts.filter(col("cnt_new") >= 5)
+        .crossJoin(broadcast(totals))
+        .select(col("token"), col("cnt_old"), col("cnt_new"),
+          expr("cnt_old * 1000000 DIV t_old").as("rate_old_x1m"),
+          expr("cnt_new * 1000000 DIV t_new").as("rate_new_x1m"))
+        .withColumn("delta_x1m", col("rate_new_x1m") - col("rate_old_x1m"))
+        .orderBy(col("delta_x1m").desc, col("token").asc)
+        .limit(20)
+    },
+    Some("""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+           |tok AS (
+           |  SELECT lower(unnest(list_filter(string_split(text, ' '), t -> t <> ''))) AS token,
+           |    doc_id * 2 >= n_docs AS recent
+           |  FROM documents, n),
+           |c AS (
+           |  SELECT token,
+           |    CAST(SUM(CASE WHEN recent THEN 0 ELSE 1 END) AS BIGINT) AS cnt_old,
+           |    CAST(SUM(CASE WHEN recent THEN 1 ELSE 0 END) AS BIGINT) AS cnt_new
+           |  FROM tok GROUP BY token),
+           |t AS (SELECT CAST(SUM(cnt_old) AS BIGINT) AS t_old,
+           |             CAST(SUM(cnt_new) AS BIGINT) AS t_new FROM c)
+           |SELECT token, cnt_old, cnt_new,
+           |  CAST(cnt_old * 1000000 // t_old AS BIGINT) AS rate_old_x1m,
+           |  CAST(cnt_new * 1000000 // t_new AS BIGINT) AS rate_new_x1m,
+           |  CAST(cnt_new * 1000000 // t_new - cnt_old * 1000000 // t_old AS BIGINT)
+           |    AS delta_x1m
+           |FROM c, t WHERE cnt_new >= 5
+           |ORDER BY delta_x1m DESC, token ASC LIMIT 20""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId,
     q22Fingerprint, q39Bigrams, q55TokenCounts, q57Winnowing, q59Tfidf,
     q66PiiRedact, q67Repetition, q69Decontamination, q70DecontamPool,
     q72MixtureReport, q101LmFluency, q104InvertedIndex, q124NbClassifier,
     q130PmiCollocations, q132HeavyHitters, q139Bm25, q151NgramNovelty,
-    q155BpePairs, q158SkipgramPairs, q217VocabGrowth)
+    q155BpePairs, q158SkipgramPairs, q217VocabGrowth, q220TermDrift)
 }

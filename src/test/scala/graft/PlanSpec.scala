@@ -186,7 +186,9 @@ class PlanSpec extends SparkSpec {
       // q217: 1-row corpus-count broadcast (the q118 shape)
       "q217_vocab_growth",
       // q218: 1-row (in_rows, Σf²) totals broadcast (the q118 shape)
-      "q218_join_blowup")
+      "q218_join_blowup",
+      // q220: 1-row corpus-count + per-half-totals broadcasts (q118 shape)
+      "q220_term_drift")
     // plan-text exchange budgets: the LSH pipeline legitimately has ~18
     // (sig agg + banding self-join + verify joins); queries consuming the
     // CACHED pair/cluster frames repeat that lineage inside
