@@ -48,6 +48,7 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
     // The registry's single-partition windows all run on metadata-sized
     // frames (presentation ranks, 1-row stacks — the r4 audit; a lit(0)
     // partition key does NOT silence this: constant folding strips it
@@ -238,7 +239,7 @@ object ScaleSmoke {
     val pqCb = subs.filter(col("vec_id").between(100, 163))
       .select(col("vec_id").as("cid"), col("m"), col("sv").as("cv"))
     def isq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+      graft.functions.GraftFunctions.longSqDist(a, b) // fused native kernel (~10× the fold)
     val cbArr = pqCb.groupBy("m")
       .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cands"))
     val pqCodes = subs.join(broadcast(cbArr), Seq("m"))
@@ -706,7 +707,7 @@ object ScaleSmoke {
             pmod(xxhash64(col("vec_id"), lit(k)), lit(1000L))): _*)).as("iv"))
       .repartition(32).localCheckpoint()
     def kcSq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+      graft.functions.GraftFunctions.longSqDist(a, b) // fused native kernel (~10× the fold)
     val tKc = System.nanoTime()
     var kcCenters = kcVecs.filter(col("vec_id") === 0)
       .select(col("vec_id").as("cid"), col("iv").as("cv")).localCheckpoint()

@@ -21,6 +21,10 @@ object GraftFunctions {
       children => CosineSimilarity(children(0), children(1))),
     ("array_agree_count", classOf[ArrayAgreeCount].getName,
       children => ArrayAgreeCount(children(0), children(1))),
+    ("long_dot", classOf[LongDot].getName,
+      children => LongDot(children(0), children(1))),
+    ("long_sqdist", classOf[LongSqDist].getName,
+      children => LongSqDist(children(0), children(1))),
     ("jaro_winkler", classOf[JaroWinkler].getName,
       children => JaroWinkler(children(0), children(1))),
     ("damerau_levenshtein", classOf[DamerauLevenshtein].getName,
@@ -61,6 +65,12 @@ object GraftFunctions {
 
   /** Column-API sugar (requires the function registered on the session). */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** Integer dot product over two long arrays (quantized similarity). */
+  def longDot(a: Column, b: Column): Column = call_function("long_dot", a, b)
+
+  /** Integer squared-L2 distance over two long arrays. */
+  def longSqDist(a: Column, b: Column): Column = call_function("long_sqdist", a, b)
 
   /** Position-wise agreement count of two long arrays (MinHash prune). */
   def agreeCount(a: Column, b: Column): Column =

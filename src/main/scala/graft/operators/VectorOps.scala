@@ -276,6 +276,7 @@ object VectorOps {
   val q62QuantizedAnn = QueryDef(
     "q62_quantized_ann",
     (s, d) => {
+      graft.functions.GraftFunctions.register(s)
       // amax is hoisted to its own column: referenced from inside the
       // transform lambda it would be re-evaluated per ELEMENT (64× per
       // row — Spark does not CSE across lambda boundaries)
@@ -287,8 +288,8 @@ object VectorOps {
             when(col("amax") === 0.0, lit(0L))
               .otherwise(floor(x * 127.0 / col("amax") + 0.5).cast(LongType))).as("q"))
       val query = emb.filter(col("vec_id") === 0).select(col("q").as("qq"))
-      val idot = aggregate(zip_with(col("q"), col("qq"), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x)
+      // fused native kernel (functions.LongDot) — no per-row product array
+      val idot = graft.functions.GraftFunctions.longDot(col("q"), col("qq"))
       emb.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(query))
         .select(col("vec_id"), idot.as("iscore"))
@@ -604,6 +605,7 @@ object VectorOps {
   val q97PqAnn = QueryDef(
     "q97_pq_ann",
     (s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), transform(toD(col("embedding")),
           x => floor(x * lit(1000000.0) + lit(0.5)).cast(LongType)).as("iv"))
@@ -615,7 +617,7 @@ object VectorOps {
       val cb = sub.filter(col("vec_id").between(1, PqK))
         .select(col("vec_id").as("cid"), col("m"), col("sv").as("cv"))
       def sqdist(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+        graft.functions.GraftFunctions.longSqDist(a, b) // fused native kernel
       // ENCODE: nearest codeword per (vector, subspace) — broadcast codebook
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id", "m").orderBy(col("sd").asc, col("cid").asc)
@@ -983,11 +985,12 @@ object VectorOps {
   val q157KCenterCoreset = QueryDef(
     "q157_kcenter_coreset",
     (s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), transform(toD(col("embedding")),
           x => floor(x * 100000.0 + 0.5).cast(LongType)).as("iv"))
       def sqdist(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+        graft.functions.GraftFunctions.longSqDist(a, b) // fused native kernel
       val seed = e.orderBy(col("vec_id").asc).limit(1)
       var chosen: DataFrame = seed.select(lit(0L).as("pick_ord"),
         col("vec_id"), lit(-1L).as("min_sqdist"))
@@ -1065,11 +1068,12 @@ object VectorOps {
   val q165TripletMining = QueryDef(
     "q165_triplet_mining",
     (s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), transform(toD(col("embedding")),
           x => floor(x * 100000.0 + 0.5).cast(LongType)).as("iv"))
       def dotL(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+        graft.functions.GraftFunctions.longDot(a, b) // fused native kernel
       val anchors = e.filter(col("vec_id") < TripletAnchors)
         .select(col("vec_id").as("anchor"), col("iv").as("av"))
       val w = org.apache.spark.sql.expressions.Window
@@ -1135,11 +1139,12 @@ object VectorOps {
   val q214MmrRerank = QueryDef(
     "q214_mmr_rerank",
     (s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), transform(toD(col("embedding")),
           x => floor(x * 100000.0 + 0.5).cast(LongType)).as("iv"))
       def dotL(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+        graft.functions.GraftFunctions.longDot(a, b) // fused native kernel
       val qv = e.filter(col("vec_id") === 0).select(col("iv").as("qv"))
       val cand = e.filter(col("vec_id") > 0).crossJoin(broadcast(qv))
         .select(col("vec_id"), col("iv"), dotL(col("iv"), col("qv")).as("rel"))

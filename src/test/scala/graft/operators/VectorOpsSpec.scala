@@ -179,6 +179,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(ds.toSeq == ds.sortBy(-_).toSeq)
   }
 
+  test("long_dot/long_sqdist kernels ≡ the declarative folds they replace; codegen, no UDF") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(floor(cast(x as double) * 100000.0 + 0.5) as bigint)) iv")
+    val q = e.filter(col("vec_id") === 0).select(col("iv").as("qv"))
+    val both = e.crossJoin(broadcast(q)).select(
+      graft.functions.GraftFunctions.longDot(col("iv"), col("qv")).as("kd"),
+      expr("aggregate(zip_with(iv, qv, (x, y) -> x * y), 0L, (a, x) -> a + x)").as("fd"),
+      graft.functions.GraftFunctions.longSqDist(col("iv"), col("qv")).as("ks"),
+      expr("aggregate(zip_with(iv, qv, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)").as("fs"))
+    assert(both.filter(col("kd") =!= col("fd") || col("ks") =!= col("fs")).count() == 0,
+      "kernels must equal the folds on every corpus vector")
+    val p = both.queryExecution.executedPlan.toString
+    assert(p.contains("long_dot") && p.contains("long_sqdist"))
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
+  }
+
   test("q214: MMR picks match the sequential driver-side greedy; diversity binds") {
     val out = VectorOps.q214MmrRerank.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
