@@ -1216,9 +1216,80 @@ object VectorOps {
     }
   )
 
+  /** q221: nearest-class-mean classifier — train integer centroids on
+    * the even-vec_id half, score the odd half by squared-L2 argmin, and
+    * report the confusion matrix. The embedding-space counterpart of
+    * q124's token NB classifier (and the supervised sibling of q86's
+    * k-means): NCM is the standard cheap probe for "do these embeddings
+    * separate the labels at all?" before any fine-tuning, and the
+    * per-class confusion off-diagonals name which labels collide.
+    *
+    * Exactness: centroid dims are floor divisions of NEGATIVE-capable
+    * sums, so the mean is computed as `(Σv + n·OFFSET) DIV n − OFFSET`
+    * with OFFSET = 2e5 ≥ |v|ₘₐₓ — the shift keeps the dividend
+    * positive, where Spark's truncating DIV and DuckDB's flooring `//`
+    * agree (the q141 pattern). Distances are integer ((v−m)² ≤ 1.6e11,
+    * ×64 dims ≪ 2^63); the argmin tie-breaks on label via the same
+    * windowed rank in both engines.
+    *
+    * Plan shape at 100 TB: centroids are label×dim METADATA (one
+    * map-side-combinable agg over the train explode); scoring joins the
+    * test explode against them on dim — the shuffle carries (vec,
+    * label) partial sums, 16-byte rows, test×|labels| of them. The
+    * broadcast-centroid + `long_sqdist` kernel form (the q157 shape) is
+    * the documented drop-in when |labels|·64 no longer reads as a dim
+    * join. */
+  val q221NcmClassifier = QueryDef(
+    "q221_ncm_classifier",
+    (s, d) => {
+      val x = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast(LongType).as("label"),
+          posexplode(toD(col("embedding"))).as(Seq("dim", "xv")))
+        .withColumn("v", floor(col("xv") * 100000.0 + 0.5).cast(LongType))
+      val centroids = x.filter(col("vec_id") % 2 === 0)
+        .groupBy(col("label").as("clabel"), col("dim"))
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .select(col("clabel"), col("dim"),
+          expr("(sv + n * 200000L) DIV n - 200000L").as("m"))
+      val dist = x.filter(col("vec_id") % 2 === 1)
+        .join(centroids, Seq("dim"))
+        .groupBy(col("vec_id"), col("label"), col("clabel"))
+        .agg(sum(expr("(v - m) * (v - m)")).as("d2"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("d2").asc, col("clabel").asc)
+      dist.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("label").as("true_label"), col("clabel").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_label", "pred_label")
+    },
+    Some("""WITH x AS (
+           |  SELECT vec_id, CAST(label AS BIGINT) AS label, i AS dim,
+           |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 100000.0 + 0.5)
+           |      AS BIGINT) AS v
+           |  FROM embeddings, range(1, 65) t(i)),
+           |c AS (
+           |  SELECT label AS clabel, dim,
+           |    (SUM(v) + COUNT(*) * 200000) // COUNT(*) - 200000 AS m
+           |  FROM x WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+           |dist AS (
+           |  SELECT x.vec_id, x.label, c.clabel,
+           |    SUM((x.v - c.m) * (x.v - c.m)) AS d2
+           |  FROM x JOIN c USING (dim) WHERE x.vec_id % 2 = 1
+           |  GROUP BY 1, 2, 3),
+           |pred AS (
+           |  SELECT vec_id, label, clabel
+           |  FROM dist QUALIFY row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY d2 ASC, clabel ASC) = 1)
+           |SELECT label AS true_label, clabel AS pred_label,
+           |  CAST(COUNT(*) AS BIGINT) AS n
+           |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  )
+
   val all: Seq[QueryDef] =
     Seq(q27CosineTopK, q28AnnLsh, q29CosinePairs, q38BatchAnn, q56AnnIvf,
       q62QuantizedAnn, q68EmbeddingLshPairs, q78SemanticDedup, q86KMeans,
       q97PqAnn, q140MatryoshkaRecall, q144EmbeddingDrift, q150DensityLabels,
-      q153RrfFusion, q157KCenterCoreset, q165TripletMining, q214MmrRerank)
+      q153RrfFusion, q157KCenterCoreset, q165TripletMining, q214MmrRerank,
+      q221NcmClassifier)
 }

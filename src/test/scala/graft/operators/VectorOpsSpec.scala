@@ -198,6 +198,33 @@ class VectorOpsSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
   }
 
+  test("q221: confusion matrix equals a driver-side NCM recompute; counts conserve") {
+    import org.apache.spark.sql.functions._
+    val out = VectorOps.q221NcmClassifier.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(label as long) label",
+        "transform(embedding, x -> cast(floor(cast(x as double) * 100000.0 + 0.5) as bigint)) iv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+    val train = vecs.filter(_._1 % 2 == 0)
+    val test = vecs.filter(_._1 % 2 == 1)
+    assert(out.values.sum == test.length, "every test vector classified exactly once")
+    val centroids = train.groupBy(_._2).map { case (l, vs) =>
+      val n = vs.length.toLong
+      l -> (0 until 64).map { i =>
+        val sv = vs.map(_._3(i)).sum
+        (sv + n * 200000L) / n - 200000L // dividend positive: / == DIV == floor
+      }.toArray
+    }
+    val brute = test.map { case (_, tl, iv) =>
+      val pred = centroids.toSeq.map { case (l, m) =>
+        (iv.indices.map(i => (iv(i) - m(i)) * (iv(i) - m(i))).sum, l)
+      }.min._2
+      (tl, pred)
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(out == brute, "engine confusion matrix ≡ driver recompute")
+  }
+
   test("q214: MMR picks match the sequential driver-side greedy; diversity binds") {
     val out = VectorOps.q214MmrRerank.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
