@@ -91,6 +91,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injectAll(ext)
     ext.injectOptimizerRule(_ => graft.plans.BandedLevenshtein)
+    ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoin)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

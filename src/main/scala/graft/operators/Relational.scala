@@ -844,6 +844,68 @@ object Relational {
            |FROM audit ORDER BY relation""".stripMargin)
   )
 
+  /** q222's interval geometry: window length and the rule's bin width
+    * (equal, so each interval explodes to at most 2 bins). */
+  val RangeBinWidth = 50000L
+
+  /** q222: PURE interval join (no equi key) under the
+    * [[graft.plans.BinnedRangeJoin]] optimizer rule — q09's range join
+    * has `user_id` to hash on; this one has NOTHING but `lo ≤ pt ≤ hi`,
+    * the shape Spark can only nest loops over (IP→range lookups,
+    * maintenance-window attribution). With the rule active the plan
+    * becomes explode-to-bins + shuffled equi-join on the bin + residual
+    * (BinnedRangeJoinSpec proves plan shape, exact-once matching, and
+    * negatives); the oracle runs the same natural theta join in DuckDB.
+    * The rewrite is RESULT-INVARIANT, so a binning bug (boundary
+    * off-by-one, duplicated bin match, dropped inverted interval) is a
+    * hash mismatch here — correctness surface, not just a plan claim.
+    *
+    * The conf is live only while the frame materializes (the q215
+    * lazy-planning pattern: localCheckpoint inside the conf window,
+    * 97-row orderBy after). */
+  val q222IntervalJoin = QueryDef(
+    "q222_interval_join_binned",
+    (s, d) => {
+      graft.plans.BinnedRangeJoin.install(s)
+      s.conf.set(graft.plans.BinnedRangeJoin.BinWidthKey, RangeBinWidth.toString)
+      try {
+        def md5int(c: Column): Column =
+          pmod(conv(substring(md5(c), 1, 15), 16, 10).cast(LongType),
+            lit(1000000000L))
+        val pts = Tables.events(s, d)
+          .select(col("event_id"),
+            md5int(concat(lit("pt#"), col("event_id").cast("string"))).as("pt"))
+        val ivs = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey").cast(LongType).as("iid"),
+            md5int(concat(lit("iv#"), col("o_orderkey").cast("string"))).as("lo"))
+          .withColumn("hi", col("lo") + RangeBinWidth)
+        pts.join(ivs, col("pt") >= col("lo") && col("pt") <= col("hi"))
+          .groupBy("iid")
+          .agg(count(lit(1)).as("n_hits"), min("pt").as("first_pt"),
+            max("pt").as("last_pt"))
+          .localCheckpoint()
+          .orderBy("iid")
+      } finally s.conf.set(graft.plans.BinnedRangeJoin.BinWidthKey, "0")
+    },
+    Some(s"""WITH pts AS (
+           |  SELECT event_id,
+           |    CAST(('0x' || substr(md5('pt#' || event_id), 1, 15)) AS BIGINT)
+           |      % 1000000000 AS pt
+           |  FROM events),
+           |ivs AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS iid,
+           |    CAST(('0x' || substr(md5('iv#' || o_orderkey), 1, 15)) AS BIGINT)
+           |      % 1000000000 AS lo
+           |  FROM orders WHERE o_orderkey % 10 = 0)
+           |SELECT iid, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           |  CAST(MIN(pt) AS BIGINT) AS first_pt,
+           |  CAST(MAX(pt) AS BIGINT) AS last_pt
+           |FROM pts JOIN ivs
+           |  ON pt >= lo AND pt <= lo + $RangeBinWidth
+           |GROUP BY iid ORDER BY iid""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q01FilterProject, q02GroupAgg, q03Frequencies, q04BroadcastJoin,
     q05MultiJoin, q06LeftOuter, q07SemiJoin, q08AntiJoin, q09RangeJoin,
@@ -851,5 +913,5 @@ object Relational {
     q15SetOps, q16ScalarFns, q17Elementwise, q36Cube, q37Product, q40SqlApi,
     q41WindowZoo, q42StringDate, q43DateArith, q45GroupingSets, q47Pivot,
     q48ArrayOps, q49Unpivot, q50Correlated, q51Percentiles, q58HashSample,
-    q61Histogram, q63StratifiedSample, q154FkOrphans)
+    q61Histogram, q63StratifiedSample, q154FkOrphans, q222IntervalJoin)
 }

@@ -277,6 +277,10 @@ class PlanSpec extends SparkSpec {
       // q219: ten independent 1-row table-manifest branches (one
       // two-phase agg each) union without a barrier, plus the final sort
       case n if n.startsWith("q219") => 24
+      // q217: the token explode feeds BOTH the per-doc count and the
+      // first-appearance lineages (plan text repeats it; runtime reuses
+      // the exchange) before the 10-row decile window + sort
+      case n if n.startsWith("q217") => 12
       // q141: the QI record lineage feeds three class-size aggs plus the
       // record stream itself (plan TEXT repeats it; ReusedExchange
       // collapses at runtime) and the rung report ends in a two-phase
