@@ -873,7 +873,90 @@ object PageRank {
            |FROM t GROUP BY node_type ORDER BY node_type""".stripMargin)
   )
 
+  /** q223: PageRank with DANGLING-MASS redistribution — the completion
+    * q77 doesn't need (its trade graph gives every node an out-edge) but
+    * every real web/link graph does: sink pages (no out-links) would
+    * leak their rank mass each round, deflating the whole vector. The
+    * standard fix (Page et al. 1999; the "dangling node" term) re-emits
+    * each round's sink mass uniformly: rank' = (15·U + 85·(inflow +
+    * danglingΣ DIV N)) DIV 100. The graph here PLANTS sinks — nodes ≡ 0
+    * (mod 5) get no out-edges, 100 of 500 — so the term visibly binds
+    * (ScalaTest asserts total mass stays within the floor-division
+    * slack, which without the term would lose ~20% per round).
+    *
+    * Integer exactness: the per-round dangling scalar is a 1-row agg
+    * broadcast into the update (the q118 shape); `DIV` on non-negative
+    * mass matches DuckDB's `//`, so four unrolled rounds are bit-exact
+    * against the chained-CTE oracle. Each round's remainder loss is
+    * < N units of 1e-12 — deterministic, identical in both engines.
+    *
+    * Scale: identical plan shape to q77 (edges built once, per-round
+    * join + agg keyed by node) plus one 1-row scalar agg per round —
+    * the dangling term costs one metadata reduction, not a shuffle. */
+  val q223DanglingPagerank = QueryDef(
+    "q223_dangling_pagerank",
+    (s, d) => {
+      val h = conv(substring(md5(concat(lit("dp#"), col("src"), lit("#"), col("k"))),
+        1, 15), 16, 10).cast(LongType)
+      val nodes = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id").as("id"))
+      val edges = nodes.filter(col("id") % 5 =!= 0) // ≡0 (mod 5) → sinks
+        .select(col("id").as("src"), explode(sequence(lit(1), lit(4))).as("k"))
+        .withColumn("dst", pmod(h, lit(500L)))
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct().localCheckpoint()
+      val deg = edges.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+      val n = nodes.count() // metadata: 500
+      var r = nodes.select(col("id"), lit(Unit).as("rank"))
+      (1 to Iterations).foreach { i =>
+        val dang = r.join(deg, Seq("id"), "left_anti")
+          .agg(coalesce(sum("rank"), lit(0L)).as("dang"))
+        val contrib = edges
+          .join(r.join(deg, Seq("id")).select(col("id").as("src"),
+            expr("rank div outdeg").as("share")), Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("share")).as("inflow"))
+        r = nodes.join(contrib, Seq("id"), "left_outer")
+          .crossJoin(broadcast(dang))
+          .select(col("id"),
+            expr(s"(15 * ${Unit}L + $Damping * (coalesce(inflow, 0L) + dang DIV $n)) div 100")
+              .as("rank"))
+        if (i % 2 == 0 && i < Iterations) r = r.localCheckpoint()
+      }
+      r.select(col("id"), col("rank"), (col("id") % 5 === 0).as("is_sink"))
+        .orderBy(col("rank").desc, col("id").asc).limit(20)
+    },
+    Some(s"""WITH nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < 500),
+           |raw AS (
+           |  SELECT id AS src,
+           |    CAST(('0x' || substr(md5('dp#' || id || '#' || k), 1, 15)) AS BIGINT)
+           |      % 500 AS dst
+           |  FROM nodes, range(1, 5) t(k) WHERE id % 5 <> 0),
+           |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+           |deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+           |r0 AS (SELECT id, CAST($Unit AS BIGINT) AS rank FROM nodes),
+           |${(1 to Iterations).map(i =>
+             s"""dang$i AS (
+                |  SELECT COALESCE(SUM(rank), 0) AS dang FROM r${i - 1}
+                |  WHERE id NOT IN (SELECT id FROM deg)),
+                |c$i AS (
+                |  SELECT e.dst AS id, SUM(r.rank // d.outdeg) AS inflow
+                |  FROM edges e JOIN r${i - 1} r ON r.id = e.src
+                |  JOIN deg d ON d.id = e.src GROUP BY e.dst),
+                |r$i AS (
+                |  SELECT nodes.id,
+                |    (15 * $Unit + $Damping * (COALESCE(c$i.inflow, 0) + dang // (SELECT COUNT(*) FROM nodes))) // 100
+                |      AS rank
+                |  FROM nodes LEFT JOIN c$i ON c$i.id = nodes.id, dang$i)""".stripMargin)
+             .mkString(",\n")}
+           |SELECT id, CAST(rank AS BIGINT) AS rank, id % 5 = 0 AS is_sink
+           |FROM r$Iterations
+           |ORDER BY rank DESC, id ASC LIMIT 20""".stripMargin)
+  )
+
   val all: Seq[QueryDef] =
     Seq(q77PageRank, q102Triangles, q113BfsHops, q143KCore, q148Hits, q156Ppr,
-      q160LabelProp, q170Modularity, q194DegreeAudit, q213Sssp)
+      q160LabelProp, q170Modularity, q194DegreeAudit, q213Sssp,
+      q223DanglingPagerank)
 }

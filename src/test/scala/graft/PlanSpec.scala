@@ -188,7 +188,9 @@ class PlanSpec extends SparkSpec {
       // q218: 1-row (in_rows, Σf²) totals broadcast (the q118 shape)
       "q218_join_blowup",
       // q220: 1-row corpus-count + per-half-totals broadcasts (q118 shape)
-      "q220_term_drift")
+      "q220_term_drift",
+      // q223: per-round 1-row dangling-mass scalar broadcast (q118 shape)
+      "q223_dangling_pagerank")
     // plan-text exchange budgets: the LSH pipeline legitimately has ~18
     // (sig agg + banding self-join + verify joins); queries consuming the
     // CACHED pair/cluster frames repeat that lineage inside
@@ -225,7 +227,8 @@ class PlanSpec extends SparkSpec {
       // window + per-cluster self join + two aggs; q148: 3 HITS rounds,
       // two join+agg passes each over checkpointed frames — all by design
       case n if n.startsWith("q77") || n.startsWith("q78") ||
-        n.startsWith("q148") || n.startsWith("q156") => 16
+        n.startsWith("q148") || n.startsWith("q156") ||
+        n.startsWith("q223") => 16
       // q184: the distinct (order, part) lineage appears on BOTH sides of
       // the pair self-join and under both support joins — plan-text
       // duplication of one exchange; runtime reuses it via ReuseExchange

@@ -400,6 +400,47 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(um == hops, "unit-weight Bellman-Ford must equal BFS hop labels")
   }
 
+  test("q223: dangling term conserves total mass; dropping it leaks the sinks' share") {
+    val out = PageRank.q223DanglingPagerank.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == 20)
+    // rebuild the graph driver-side (500 nodes is metadata)
+    val edges = Tables.documents(spark, sfDir).filter(col("doc_id") < 500)
+      .filter(col("doc_id") % 5 =!= 0)
+      .selectExpr("doc_id as src", "explode(sequence(1, 4)) as k")
+      .selectExpr("src",
+        "cast(conv(substring(md5(concat('dp#', src, '#', k)), 1, 15), 16, 10) as long) % 500 as dst")
+      .filter(col("src") =!= col("dst")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = 500L
+    val out600 = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.length.toLong }
+    def rounds(dangling: Boolean): Map[Long, Long] = {
+      var r = (0L until n).map(_ -> PageRank.Unit).toMap
+      (1 to PageRank.Iterations).foreach { _ =>
+        val dang = if (dangling)
+          r.collect { case (id, rk) if !out600.contains(id) => rk }.sum else 0L
+        val inflow = edges.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map { case (s0, _) => r(s0) / out600(s0) }.sum
+        }
+        r = (0L until n).map(id => id ->
+          (15L * PageRank.Unit + PageRank.Damping *
+            (inflow.getOrElse(id, 0L) + dang / n)) / 100L).toMap
+      }
+      r
+    }
+    val withTerm = rounds(dangling = true)
+    val withoutTerm = rounds(dangling = false)
+    val total = n * PageRank.Unit
+    assert(withTerm.values.sum > total * 999L / 1000L,
+      "dangling redistribution must conserve mass (floor slack only)")
+    assert(withoutTerm.values.sum < total * 9L / 10L,
+      "without the term the sinks' share leaks — the term must be live")
+    // engine top-20 ≡ driver recompute's top-20 (rank desc, id asc)
+    val expect = withTerm.toSeq.sortBy { case (id, rk) => (-rk, id) }.take(20)
+      .map { case (id, rk) => (id, rk, id % 5 == 0) }
+    assert(out.toSeq == expect)
+  }
+
   test("q152: decayed scores equal a driver-side power-of-two recompute") {
     val out = EventOps.q152DecayedEngagement.run(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
