@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.{QueryDef, Tables}
+
+/** Spatial operators over a uniform grid — the 2-D generalization of the
+  * 1-D binned range join (`plans.BinnedRangeJoin`): geospatial
+  * point-in-box joins (geofencing, tile statistics, viewport queries)
+  * are interval joins in TWO dimensions, so the same binning argument
+  * applies per axis and their product indexes the plane.
+  *
+  * Reference scope: the reference has no spatial support at all — this
+  * is extension-tier [X], the "composition of existing ops" preference
+  * (SURVEY §4): cell assignment is a projection, box coverage is two
+  * `sequence` explodes, and the join is a plain shuffled equi-join on
+  * the cell key. No custom operator needed — which is the point.
+  */
+object SpatialOps {
+
+  /** q224's grid geometry: a 1000×1000 integer plane in 50-unit cells
+    * (box edges ≤ 50, so a box covers at most 2×2 = 4 cells). */
+  val GridMax = 1000L
+  val CellW = 50L
+
+  /** q224: point-in-box spatial grid join — points (from events) land
+    * in exactly ONE cell (`(x div C, y div C)`); boxes (from orders)
+    * explode to every cell their rectangle touches (`sequence` per
+    * axis); the join is a SHUFFLED EQUI-JOIN on the cell pair with the
+    * exact bounds as residual. Each qualifying (point, box) pair meets
+    * in exactly one cell — the point's — so no dedup; cost is
+    * O(|P| + |B|·cells/box + matches) where the naive 2-D theta join
+    * (which DuckDB runs as the oracle) is O(|P|·|B|). Per-box hit
+    * counts + bounding stats out.
+    *
+    * Scale: the cell key distributes the plane across the cluster;
+    * hot cells (urban cores) are ordinary key skew — AQE skew-join or
+    * q84's salting applies unchanged. Cell width is the q222 knob: ~one
+    * box edge, so boxes explode to ≲4 cells. */
+  val q224GridJoin = QueryDef(
+    "q224_grid_join",
+    (s, d) => {
+      def md5i(c: Column): Column =
+        conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+      val pts = Tables.events(s, d)
+        .select(col("event_id"), md5i(concat(lit("gp#"), col("event_id").cast("string"))).as("h"))
+        .select(col("event_id"),
+          pmod(col("h"), lit(GridMax)).as("px"),
+          pmod(expr("h DIV 1000"), lit(GridMax)).as("py"))
+        .withColumn("cx", expr(s"px DIV $CellW"))
+        .withColumn("cy", expr(s"py DIV $CellW"))
+      val boxes = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey").cast(LongType).as("bid"),
+          md5i(concat(lit("gb#"), col("o_orderkey").cast("string"))).as("h"))
+        .select(col("bid"),
+          pmod(col("h"), lit(GridMax)).as("x0"),
+          pmod(expr("h DIV 1000"), lit(GridMax)).as("y0"),
+          expr("1L + (h DIV 1000000) % 50").as("w"),
+          expr("1L + (h DIV 100000000) % 50").as("hh"))
+        .select(col("bid"), col("x0"), col("y0"),
+          least(col("x0") + col("w"), lit(GridMax - 1)).as("x1"),
+          least(col("y0") + col("hh"), lit(GridMax - 1)).as("y1"))
+      val cells = boxes
+        .withColumn("cx", explode(expr(s"sequence(x0 DIV $CellW, x1 DIV $CellW)")))
+        .withColumn("cy", explode(expr(s"sequence(y0 DIV $CellW, y1 DIV $CellW)")))
+      pts.join(cells, Seq("cx", "cy"))
+        .filter(col("px").between(col("x0"), col("x1")) &&
+          col("py").between(col("y0"), col("y1")))
+        .groupBy("bid")
+        .agg(count(lit(1)).as("n_pts"), min("px").as("min_px"),
+          max("py").as("max_py"))
+        .orderBy("bid")
+    },
+    Some(s"""WITH pts AS (
+           |  SELECT event_id,
+           |    CAST(('0x' || substr(md5('gp#' || event_id), 1, 15)) AS BIGINT) AS h
+           |  FROM events),
+           |p AS (SELECT event_id, h % $GridMax AS px, (h // 1000) % $GridMax AS py
+           |      FROM pts),
+           |bx AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS bid,
+           |    CAST(('0x' || substr(md5('gb#' || o_orderkey), 1, 15)) AS BIGINT) AS h
+           |  FROM orders WHERE o_orderkey % 20 = 0),
+           |b AS (
+           |  SELECT bid, h % $GridMax AS x0, (h // 1000) % $GridMax AS y0,
+           |    LEAST(h % $GridMax + 1 + (h // 1000000) % 50, ${GridMax - 1}) AS x1,
+           |    LEAST((h // 1000) % $GridMax + 1 + (h // 100000000) % 50, ${GridMax - 1}) AS y1
+           |  FROM bx)
+           |SELECT bid, CAST(COUNT(*) AS BIGINT) AS n_pts,
+           |  CAST(MIN(px) AS BIGINT) AS min_px, CAST(MAX(py) AS BIGINT) AS max_py
+           |FROM p JOIN b
+           |  ON px BETWEEN x0 AND x1 AND py BETWEEN y0 AND y1
+           |GROUP BY bid ORDER BY bid""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q224GridJoin)
+}

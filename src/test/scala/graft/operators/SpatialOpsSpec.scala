@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Grid-join semantics: the binned plan answers the naive 2-D theta join
+  * exactly, matches each pair once, and never nests loops. */
+class SpatialOpsSpec extends SparkSpec {
+
+  test("q224: grid join ≡ naive 2-D theta join; exact-once; no nested loop") {
+    val out = SpatialOps.q224GridJoin.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // naive recompute with the same md5 carves, driver-side
+    def md5i(s0: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val pts = graft.Tables.events(spark, sfDir).select("event_id").collect()
+      .map(_.getLong(0)).map { id =>
+        val h = md5i(s"gp#$id")
+        (h % 1000L, (h / 1000L) % 1000L)
+      }
+    val boxes = graft.Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 20 === 0).select(col("o_orderkey").cast("long"))
+      .collect().map(_.getLong(0)).map { bid =>
+        val h = md5i(s"gb#$bid")
+        val x0 = h % 1000L; val y0 = (h / 1000L) % 1000L
+        (bid, x0, y0, math.min(x0 + 1 + (h / 1000000L) % 50, 999L),
+          math.min(y0 + 1 + (h / 100000000L) % 50, 999L))
+      }
+    val brute = boxes.flatMap { case (bid, x0, y0, x1, y1) =>
+      val hits = pts.filter { case (px, py) =>
+        px >= x0 && px <= x1 && py >= y0 && py <= y1
+      }
+      if (hits.isEmpty) None
+      else Some(bid -> ((hits.length.toLong, hits.map(_._1).min, hits.map(_._2).max)))
+    }.toMap
+    assert(out == brute, "grid join must equal the quadratic ground truth")
+    // exact-once: no (event, box) pair may be counted twice even when a
+    // box spans multiple cells — already implied by equality with brute
+    // force, but assert the multi-cell case is actually exercised
+    assert(boxes.exists { case (_, x0, _, x1, _) => x0 / 50 != x1 / 50 },
+      "test data must include boxes spanning cell boundaries")
+    // plan: shuffled equi-join on the cell key, not a nested loop
+    val p = SpatialOps.q224GridJoin.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"grid join must not nest loops:\n$p")
+  }
+}
