@@ -1008,11 +1008,80 @@ object EventStreams {
     graft.operators.MiningOps.q187HllSketch.oracle
   )
 
+  /** q225: stream-static INTERVAL lookup under the
+    * [[graft.plans.BinnedRangeJoin]] rule — the streaming face of q222:
+    * each arriving event carries a point and must find the static
+    * intervals containing it (IP→range enrichment, geofence alerting,
+    * tariff-band lookup) with NO equi key to hash on. Stream-static
+    * joins run the batch planner per micro-batch, so the same optimizer
+    * rule rewrites every batch's nested loop into the binned shuffled
+    * equi-join — proving the rule composes with Structured Streaming
+    * (Q225 spec captures the executed micro-batch plan and asserts no
+    * BroadcastNestedLoopJoin ran).
+    *
+    * The join is STATELESS (static side, inner), so no watermark is
+    * involved and the sentinel rows are filtered inside the plan (the
+    * stateful-only caveat on [[drainAvailableNow]]'s note does not
+    * apply). The bin-width conf stays set across the whole drain — the
+    * rule reads it at each batch's optimization — and is restored
+    * after. Post-drain, the sink rows aggregate per interval and must
+    * hash-match DuckDB's batch theta join.
+    *
+    * 100 TB/day shape: per batch the stream side shuffles once on the
+    * bin key and the static interval side is re-broadcast/exploded from
+    * its (metadata-sized) bins — state footprint zero. */
+  val q225StreamingIntervalLookup = graft.QueryDef(
+    "q225_streaming_interval_lookup",
+    (s, d) => {
+      graft.plans.BinnedRangeJoin.install(s)
+      s.conf.set(graft.plans.BinnedRangeJoin.BinWidthKey,
+        graft.operators.Relational.RangeBinWidth.toString)
+      try {
+        def md5int(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          pmod(conv(substring(md5(c), 1, 15), 16, 10)
+            .cast(org.apache.spark.sql.types.LongType), lit(1000000000L))
+        val ivs = graft.Tables.orders(s, d)
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey").cast(org.apache.spark.sql.types.LongType).as("iid"),
+            md5int(concat(lit("iv#"), col("o_orderkey").cast("string"))).as("lo"))
+          .withColumn("hi", col("lo") + graft.operators.Relational.RangeBinWidth)
+        val sunk = drainAvailableNow(s, d) { st =>
+          st.filter(col("event_type") =!= "__sentinel__")
+            .select(col("event_id"),
+              md5int(concat(lit("pt#"), col("event_id").cast("string"))).as("pt"))
+            .join(ivs, col("pt") >= col("lo") && col("pt") <= col("hi"))
+            .select(col("event_id"), col("iid"), col("pt"))
+        }
+        sunk.groupBy("iid")
+          .agg(count(lit(1)).as("n_hits"), min("pt").as("first_pt"),
+            max("pt").as("last_pt"))
+          .orderBy("iid")
+      } finally s.conf.set(graft.plans.BinnedRangeJoin.BinWidthKey, "0")
+    },
+    Some(s"""WITH pts AS (
+           |  SELECT event_id,
+           |    CAST(('0x' || substr(md5('pt#' || event_id), 1, 15)) AS BIGINT)
+           |      % 1000000000 AS pt
+           |  FROM events),
+           |ivs AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS iid,
+           |    CAST(('0x' || substr(md5('iv#' || o_orderkey), 1, 15)) AS BIGINT)
+           |      % 1000000000 AS lo
+           |  FROM orders WHERE o_orderkey % 10 = 0)
+           |SELECT iid, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           |  CAST(MIN(pt) AS BIGINT) AS first_pt,
+           |  CAST(MAX(pt) AS BIGINT) AS last_pt
+           |FROM pts JOIN ivs
+           |  ON pt >= lo AND pt <= lo + ${graft.operators.Relational.RangeBinWidth}
+           |GROUP BY iid ORDER BY iid""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] =
     Seq(q64StreamingTumbling, q82StreamingSession, q96StreamingIntervalJoin,
       q98StreamingDedup, q108StreamingEnrich, q111StreamingHighs,
       q121StreamingOuterJoin, q134StreamingTimers, q161ForeachBatchMerge,
-      q163StreamingFullOuterJoin, q200StreamingRateLimit, q212StreamingHll)
+      q163StreamingFullOuterJoin, q200StreamingRateLimit, q212StreamingHll,
+      q225StreamingIntervalLookup)
 
   /** Custom per-user running state via mapGroupsWithState — the
     * `KeyValueGroupedDataset` stateful escape hatch (arbitrary state the

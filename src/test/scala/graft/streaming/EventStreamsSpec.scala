@@ -389,4 +389,39 @@ class EventStreamsSpec extends SparkSpec {
       "merged serving table carries every user's cumulative aggregate")
     assert(got.map(_._1).distinct.length == got.length, "one row per key after upsert")
   }
+
+  test("q225: BinnedRangeJoin rewrites the stream-static interval join per micro-batch") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.BinnedRangeJoin.install(spark)
+    spark.conf.set(graft.plans.BinnedRangeJoin.BinWidthKey, "100")
+    try {
+      val ivs = Seq((1L, 50L, 149L), (2L, 300L, 420L), (3L, 900L, 950L))
+        .toDF("iid", "lo", "hi")
+      val input = MemoryStream[Long]
+      val joined = input.toDF().select((col("value") * 37 % 1000).as("pt"))
+        .join(ivs, col("pt") >= col("lo") && col("pt") <= col("hi"))
+      val query = joined.writeStream.format("memory").queryName("q225probe")
+        .outputMode(OutputMode.Append()).start()
+      input.addData(1L to 200L: _*)
+      query.processAllAvailable()
+      // the plan that actually ran the batch, post-optimization
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { query.explain(extended = false) }
+      query.stop()
+      val plan = buf.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"the micro-batch must not nest loops under the rule:\n$plan")
+      assert(plan.contains("graft_ptbin") || plan.contains("Generate"),
+        s"binned rewrite missing from the micro-batch plan:\n$plan")
+      // results equal the batch nested-loop answer
+      val got = spark.table("q225probe").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val expect = (1L to 200L).map(v => v * 37 % 1000).flatMap { pt =>
+        Seq((1L, 50L, 149L), (2L, 300L, 420L), (3L, 900L, 950L))
+          .collect { case (iid, lo, hi) if pt >= lo && pt <= hi => (pt, iid) }
+      }.sorted.toSeq
+      assert(got == expect)
+    } finally spark.conf.set(graft.plans.BinnedRangeJoin.BinWidthKey, "0")
+  }
 }
