@@ -1286,10 +1286,105 @@ object VectorOps {
            |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 
+  /** q226: IVF probe-sweep recall curve — for the q56 index (8 coarse
+    * centroids, nearest-centroid lists), the recall@10 and candidate
+    * cost at nprobe ∈ {1, 2, 4, 8}: the ONE artifact that decides an
+    * ANN serving config (how many lists must I probe to stop losing
+    * neighbors, and what fraction of the corpus does each rung scan?).
+    * q56 demonstrates a single operating point; this measures the whole
+    * trade-off — nprobe = 8 scans everything and provably reaches
+    * recall 10/10, pinning the curve's endpoint.
+    *
+    * Determinism: the q56 idiom exactly (round(cosine, 6) + vec_id
+    * tie-breaks on every ranking), so the sweep hash-matches DuckDB's
+    * windowed recompute; recall is an integer intersection count.
+    *
+    * Plan shape at 100 TB: the assignment pass is ONE corpus scan
+    * against broadcast centroids (q56's); the sweep reuses it for all
+    * rungs — per rung the candidate filter is a semi-join against ≤ 8
+    * probe cids and the rankings window over candidate lists, never the
+    * corpus. The production analogue partition-prunes by cid
+    * (`partitionBy(cid)` layout, ScaleSmoke phase 2's 6.8%-of-rows
+    * probe), with identical semantics. */
+  val q226IvfRecallSweep = QueryDef(
+    "q226_ivf_recall_sweep",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), toD(col("embedding")).as("v"))
+      val cents = emb.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+      val assign = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cid"),
+          round(cosine(col("v"), col("cv")), 6).as("csim"))
+        .withColumn("rn", row_number().over(w))
+      val lists = assign.filter(col("rn") === 1).select("vec_id", "v", "cid")
+      val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val scored = lists.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("cid"),
+          round(cosine(col("v"), col("qv")), 6).as("sim"))
+        .localCheckpoint()
+      val wSim = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0)).orderBy(col("sim").desc, col("vec_id").asc)
+      val exact10 = scored.withColumn("xr", row_number().over(wSim))
+        .filter(col("xr") <= 10).select(col("vec_id").as("xid"))
+      val probeRank = assign.filter(col("vec_id") === 0)
+        .select(col("cid"), col("rn").as("crn"))
+      val rungs = scored.join(broadcast(probeRank), Seq("cid"))
+        .crossJoin(broadcast(
+          s.range(0, 4).select(expr("shiftleft(1L, cast(id as int))").as("nprobe"))))
+        .filter(col("crn") <= col("nprobe"))
+      val wRung = org.apache.spark.sql.expressions.Window
+        .partitionBy("nprobe").orderBy(col("sim").desc, col("vec_id").asc)
+      rungs.withColumn("rr", row_number().over(wRung))
+        .join(broadcast(exact10.withColumn("hit", lit(1L))),
+          col("vec_id") === col("xid"), "left_outer")
+        .groupBy("nprobe")
+        .agg(count(lit(1)).as("n_cands"),
+          sum(when(col("rr") <= 10 && col("hit") === 1L, 1L).otherwise(0L))
+            .as("recall10"))
+        .orderBy("nprobe")
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+           |a AS (
+           |  SELECT e.vec_id, cid,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, cid) AS rn
+           |  FROM e CROSS JOIN c),
+           |lists AS (SELECT vec_id, cid FROM a WHERE rn = 1),
+           |scored AS (
+           |  SELECT e.vec_id, l.cid,
+           |    round(list_cosine_similarity(e.v,
+           |      (SELECT v FROM e WHERE vec_id = 0)), 6) AS sim
+           |  FROM e JOIN lists l ON l.vec_id = e.vec_id WHERE e.vec_id <> 0),
+           |exact10 AS (
+           |  SELECT vec_id FROM (
+           |    SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS xr
+           |    FROM scored) WHERE xr <= 10),
+           |pr AS (SELECT cid, rn AS crn FROM a WHERE vec_id = 0),
+           |rungs AS (
+           |  SELECT np.nprobe, s.vec_id, s.sim,
+           |    row_number() OVER (PARTITION BY np.nprobe
+           |      ORDER BY s.sim DESC, s.vec_id) AS rr
+           |  FROM scored s JOIN pr ON pr.cid = s.cid
+           |  CROSS JOIN (SELECT CAST(1 << CAST(x AS INTEGER) AS BIGINT) AS nprobe
+           |              FROM range(0, 4) t(x)) np
+           |  WHERE pr.crn <= np.nprobe)
+           |SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_cands,
+           |  CAST(SUM(CASE WHEN rr <= 10 AND vec_id IN (SELECT vec_id FROM exact10)
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS recall10
+           |FROM rungs GROUP BY nprobe ORDER BY nprobe""".stripMargin)
+  )
+
   val all: Seq[QueryDef] =
     Seq(q27CosineTopK, q28AnnLsh, q29CosinePairs, q38BatchAnn, q56AnnIvf,
       q62QuantizedAnn, q68EmbeddingLshPairs, q78SemanticDedup, q86KMeans,
       q97PqAnn, q140MatryoshkaRecall, q144EmbeddingDrift, q150DensityLabels,
       q153RrfFusion, q157KCenterCoreset, q165TripletMining, q214MmrRerank,
-      q221NcmClassifier)
+      q221NcmClassifier, q226IvfRecallSweep)
 }

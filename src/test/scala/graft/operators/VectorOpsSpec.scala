@@ -225,6 +225,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(out == brute, "engine confusion matrix ≡ driver recompute")
   }
 
+  test("q226: recall curve is monotone and the full-probe endpoint is exact") {
+    val out = VectorOps.q226IvfRecallSweep.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    // candidates and recall both grow with nprobe
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2 && b._3 >= a._3)
+    }
+    // nprobe = 8 probes every list: the full corpus (minus the query) is
+    // scanned and recall@10 is exact by construction
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    assert(out.last._2 == n - 1)
+    assert(out.last._3 == 10L)
+    assert(out.forall { case (_, cands, rec) => rec <= 10 && rec <= cands })
+  }
+
   test("q214: MMR picks match the sequential driver-side greedy; diversity binds") {
     val out = VectorOps.q214MmrRerank.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
