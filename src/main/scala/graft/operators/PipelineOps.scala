@@ -642,7 +642,91 @@ object PipelineOps {
            |FROM r GROUP BY 1, 2 ORDER BY source, split""".stripMargin)
   )
 
+  /** q227's sampling geometry: users ≡ 0 (mod 5), 2 positives each,
+    * 6 deterministic draws thinned to 3 surviving negatives. */
+  val NegDraws = 6
+  val NegKeep = 3
+
+  /** q227: deterministic negative sampling — the training-triple
+    * assembly step of every implicit-feedback recommender (BPR, matrix
+    * factorization, two-tower retrieval): for each user, pair observed
+    * positives with items the user did NOT interact with. The draws are
+    * md5-derived (`md5(user, j) mod |items|`) so the "random" negatives
+    * are RETRYABLE and engine-reproducible — the q58 idiom applied to
+    * sampling the complement — and the unbounded rejection loop of the
+    * textbook sampler is replaced by a bounded one: [[NegDraws]] draws,
+    * anti-joined against the user's FULL positive set, first [[NegKeep]]
+    * survivors kept by draw index. The yield is UP TO [[NegKeep]] —
+    * a user whose positives cover much of a small catalog keeps fewer
+    * (at the sf0.001 spec corpus, 200 items and ~40 positives/user,
+    * ragged users genuinely occur and the spec covers them); trainers
+    * consume ragged negative lists as a matter of course, and widening
+    * [[NegDraws]] is the knob when a corpus needs a harder floor.
+    *
+    * Scale: positives are one distinct over the fact join keyed by
+    * (user, item); draws are a 6-way explode of the user slice —
+    * narrow, shuffle only on the (user, item) anti-join key; the 1-row
+    * item-count broadcast is the q118 shape. Label layout matches what
+    * a trainer consumes: (user, item, label, ord). */
+  val q227NegativeSampling = QueryDef(
+    "q227_negative_sampling",
+    (s, d) => {
+      val pos = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast(LongType).as("user"),
+          col("l_partkey").cast(LongType).as("item"))
+        .distinct()
+      val nItems = Tables.part(s, d).agg(count(lit(1)).as("n_items"))
+      val users = pos.filter(col("user") % 5 === 0)
+      val wPos = Window.partitionBy("user").orderBy(col("item").asc)
+      val keptPos = users.withColumn("ord", row_number().over(wPos).cast(LongType))
+        .filter(col("ord") <= 2)
+        .select(col("user"), col("item"), lit(1L).as("label"), col("ord"))
+      val draws = users.select("user").distinct()
+        .select(col("user"), explode(sequence(lit(1), lit(NegDraws))).as("j"))
+        .crossJoin(broadcast(nItems))
+        .select(col("user"), col("j"),
+          pmod(conv(substring(md5(concat(lit("neg#"), col("user"), lit("#"), col("j"))),
+            1, 15), 16, 10).cast(LongType), col("n_items")).as("item"))
+      val wNeg = Window.partitionBy("user").orderBy(col("j").asc)
+      val negs = draws
+        .join(pos, Seq("user", "item"), "left_anti")
+        .withColumn("ord", row_number().over(wNeg).cast(LongType))
+        .filter(col("ord") <= NegKeep)
+        .select(col("user"), col("item"), lit(0L).as("label"), col("ord"))
+      keptPos.unionByName(negs)
+        .orderBy(col("user").asc, col("label").desc, col("ord").asc)
+    },
+    Some(s"""WITH pos AS (
+           |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS "user",
+           |    CAST(l_partkey AS BIGINT) AS item
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |n AS (SELECT COUNT(*) AS n_items FROM part),
+           |u AS (SELECT * FROM pos WHERE "user" % 5 = 0),
+           |kept_pos AS (
+           |  SELECT "user", item, CAST(1 AS BIGINT) AS label, ord FROM (
+           |    SELECT "user", item, CAST(row_number() OVER (
+           |      PARTITION BY "user" ORDER BY item ASC) AS BIGINT) AS ord
+           |    FROM u) WHERE ord <= 2),
+           |draws AS (
+           |  SELECT "user", j,
+           |    CAST(('0x' || substr(md5('neg#' || "user" || '#' || j), 1, 15)) AS BIGINT)
+           |      % n_items AS item
+           |  FROM (SELECT DISTINCT "user" FROM u), range(1, ${NegDraws + 1}) t(j), n),
+           |negs AS (
+           |  SELECT "user", item, CAST(0 AS BIGINT) AS label, ord FROM (
+           |    SELECT d."user", d.item, CAST(row_number() OVER (
+           |      PARTITION BY d."user" ORDER BY d.j ASC) AS BIGINT) AS ord
+           |    FROM draws d ANTI JOIN pos p
+           |      ON p."user" = d."user" AND p.item = d.item)
+           |  WHERE ord <= $NegKeep)
+           |SELECT "user", item, label, ord FROM kept_pos
+           |UNION ALL SELECT "user", item, label, ord FROM negs
+           |ORDER BY "user" ASC, label DESC, ord ASC""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q73SequencePacking, q74SpanDedup,
     q75QualityRules, q76IncrementalDedup, q85MixtureSample, q92WeightedSample,
-    q99ChunkOverlap, q138SubstringDedup, q197SplitAssign)
+    q99ChunkOverlap, q138SubstringDedup, q197SplitAssign, q227NegativeSampling)
 }

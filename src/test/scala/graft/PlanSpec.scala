@@ -192,7 +192,9 @@ class PlanSpec extends SparkSpec {
       // q223: per-round 1-row dangling-mass scalar broadcast (q118 shape)
       "q223_dangling_pagerank",
       // q226: 8-row centroid + 1-row query + 4-row rung broadcasts
-      "q226_ivf_recall_sweep")
+      "q226_ivf_recall_sweep",
+      // q227: 1-row item-count broadcast (q118 shape)
+      "q227_negative_sampling")
     // plan-text exchange budgets: the LSH pipeline legitimately has ~18
     // (sig agg + banding self-join + verify joins); queries consuming the
     // CACHED pair/cluster frames repeat that lineage inside

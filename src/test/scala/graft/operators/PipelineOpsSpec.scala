@@ -429,4 +429,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "delta joins broadcast the delta side")
   }
 
+  test("q227: negatives never collide with positives; the draw floor holds") {
+    import org.apache.spark.sql.functions._
+    val out = PipelineOps.q227NegativeSampling.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pos = graft.Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+      .join(graft.Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long"), col("l_partkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byUser = out.groupBy(_._1)
+    byUser.foreach { case (u, rows) =>
+      val negs = rows.filter(_._3 == 0L).sortBy(_._4)
+      // up to NegKeep survivors, contiguously numbered from 1, and NEVER
+      // colliding with the user's positives (the operator's contract)
+      assert(negs.length <= PipelineOps.NegKeep)
+      assert(negs.map(_._4).toSeq == (1L to negs.length.toLong))
+      negs.foreach { case (_, item, _, _) =>
+        assert(!pos((u, item)), s"user $u: negative $item is actually a positive")
+      }
+      val ps = rows.filter(_._3 == 1L).map(_._2).sorted
+      // positives are the user's 2 smallest interacted items
+      val expect = pos.collect { case (pu, it) if pu == u => it }.toSeq.sorted.take(2)
+      assert(ps.toSeq == expect)
+    }
+    assert(byUser.nonEmpty)
+    // the sampler yields in aggregate even on this dense 200-item corpus
+    val totNegs = out.count(_._3 == 0L)
+    assert(totNegs >= byUser.size, s"fewer than one negative per user on average: $totNegs")
+  }
 }
