@@ -32,22 +32,35 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = Array.empty
 
-  /** `synth_<rows>_<parts>` (bucketed) or `synth_<rows>_<parts>_flat`. */
+  /** `synth_<rows>_<parts>` (bucketed), `synth_<rows>_<parts>_flat`, or a
+    * writable in-memory `mem_<name>` ([[MemTable]]). */
   override def loadTable(ident: Identifier): Table = ident.name() match {
     case GraftCatalog.TablePat(rows, parts, flat) =>
       new SynthTable(rows.toLong, parts.toInt, bucketed = flat == null)
+    case m if m.startsWith("mem_") && MemStore.exists(m) => new MemTable(m)
     case _ => throw new NoSuchTableException(ident)
   }
 
+  /** Only `mem_*` tables are creatable — the synth family is generated. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+    ident.name() match {
+      case m if m.startsWith("mem_") =>
+        require(partitions.isEmpty, "mem tables are unpartitioned")
+        MemStore.create(m, schema)
+        new MemTable(m)
+      case other =>
+        throw new UnsupportedOperationException(s"cannot create $other: only mem_* tables are writable")
+    }
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog is read-only")
-  override def dropTable(ident: Identifier): Boolean = false
+    throw new UnsupportedOperationException("graft catalog tables cannot be altered")
+  override def dropTable(ident: Identifier): Boolean =
+    if (ident.name().startsWith("mem_") && MemStore.exists(ident.name())) {
+      MemStore.drop(ident.name()); true
+    } else false
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+    throw new UnsupportedOperationException("graft catalog tables cannot be renamed")
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(Array.empty, "bucket"))

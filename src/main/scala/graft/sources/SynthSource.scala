@@ -577,6 +577,33 @@ object SynthSource {
            |GROUP BY bucket ORDER BY bucket""".stripMargin)
   )
 
+  /** q228: DSv2 WRITE path roundtrip — the write half of the connector
+    * story: an aggregate of lineitem is written through [[MemTable]]'s
+    * two-phase commit (tasks buffer, ship rows in `commit()` messages,
+    * the driver installs atomically), then read back through the same
+    * catalog and compared against DuckDB running the aggregation
+    * directly. A writer that loses a task's rows, double-applies a
+    * retry, or commits non-atomically produces a different hash — the
+    * commit protocol itself sits under the oracle. (SourcesSpec
+    * additionally proves abort semantics: a mid-write failure leaves
+    * the previous committed version intact.) */
+  val q228WriteRoundtrip = graft.QueryDef(
+    "q228_dsv2_write_roundtrip",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      val src = graft.Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_key"))
+      s.sql("DROP TABLE IF EXISTS graft.mem_rt")
+      src.writeTo("graft.mem_rt").create()
+      s.table("graft.mem_rt").orderBy("flag", "status")
+    },
+    Some("""SELECT l_returnflag AS flag, l_linestatus AS status,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_key
+           |FROM lineitem GROUP BY 1, 2 ORDER BY flag, status""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q208Dsv2Scan, q209Dsv2AggPushdown,
-    q210Dsv2TopN, q215SpjJoin, q216RuntimePrune)
+    q210Dsv2TopN, q215SpjJoin, q216RuntimePrune, q228WriteRoundtrip)
 }

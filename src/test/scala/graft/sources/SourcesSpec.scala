@@ -318,6 +318,33 @@ class SourcesSpec extends SparkSpec {
       rd(columnar = false).agg(sum("h")).head().getLong(0))
   }
 
+  test("custom DSv2 sink: commit is atomic — a failed job leaves the committed version intact") {
+    import graft.sources.GraftCatalog
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.mem_atomic")
+    // first write commits
+    spark.range(0, 100).selectExpr("id", "id * 7 AS v")
+      .writeTo("graft.mem_atomic").create()
+    assert(spark.table("graft.mem_atomic").count() == 100)
+    val sum0 = spark.table("graft.mem_atomic").selectExpr("sum(v)").head().getLong(0)
+    // second write fails mid-task (after some rows were already buffered):
+    // NOTHING of it may become visible
+    val boom = org.apache.spark.sql.functions.udf((x: Long) =>
+      if (x == 50L) throw new RuntimeException("boom") else x)
+    intercept[Exception] {
+      spark.range(0, 100).select(boom(col("id")).as("id"),
+        (col("id") * 1000).as("v")).writeTo("graft.mem_atomic").append()
+    }
+    assert(spark.table("graft.mem_atomic").count() == 100,
+      "aborted append must not leak partial rows")
+    assert(spark.table("graft.mem_atomic").selectExpr("sum(v)").head().getLong(0) == sum0)
+    // INSERT OVERWRITE runs the truncate path: old version fully replaced
+    spark.sql("INSERT OVERWRITE graft.mem_atomic SELECT id, id AS v FROM range(0, 5)")
+    val after = spark.table("graft.mem_atomic").collect().map(_.getLong(0)).sorted
+    assert(after.toSeq == (0L until 5L))
+    spark.sql("DROP TABLE graft.mem_atomic")
+  }
+
   test("custom DSv2 connector: Int/Short-typed range literals are absorbed, not residual") {
     import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan, EqualTo}
     // untyped SQL paths can hand the builder an Int-typed literal; the
