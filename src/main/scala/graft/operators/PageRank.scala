@@ -955,8 +955,82 @@ object PageRank {
            |ORDER BY rank DESC, id ASC LIMIT 20""".stripMargin)
   )
 
+  /** q229: link prediction by the resource-allocation index (Zhou,
+    * Lü & Zhang 2009) — for every NON-edge (u, w) sharing neighbors,
+    * score Σ_b 1e6 DIV deg(b) over the common neighbors b: a shared
+    * low-degree friend is strong evidence, a shared hub is weak. The
+    * "who should be connected next" operator that completes the graph
+    * pack's analytics (q102 counts closed triangles; this ranks the
+    * OPEN ones about to close — recommendation candidates, knowledge-
+    * graph completion, missing-citation detection). RA is the
+    * integer-exact member of the classic family (Adamic-Adar's
+    * 1/log deg needs floats; RA's 1/deg beats it on most benchmarks
+    * anyway — cited in-paper).
+    *
+    * Exactness: per-neighbor contributions are fixed-point floor
+    * divisions SUMMED as integers (order-free); ties rank by (u, w).
+    *
+    * Plan shape at 100 TB: wedge enumeration is the q102 shape — two
+    * vertex-keyed equi-joins through the shared middle, u < w
+    * canonicalization so each candidate pair appears once per common
+    * neighbor; deg(b) rides the wedge join as a vertex-keyed agg
+    * broadcast; the existing-edge anti-join and the top-20 are pair-
+    * keyed. Wedge volume is Σ deg(b)² — the documented hub-cap/degree-
+    * orientation bound from q102 applies unchanged. */
+  val q229LinkPrediction = QueryDef(
+    "q229_link_prediction",
+    (s, d) => {
+      val h = conv(substring(md5(concat(lit("tri#"), col("src"), lit("#"), col("k"))),
+        1, 15), 16, 10).cast(LongType)
+      val e = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id").as("src"), explode(sequence(lit(1), lit(6))).as("k"))
+        .withColumn("dst", pmod(h, lit(500L)))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") < col("b")).distinct().localCheckpoint()
+      val adj = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val deg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      val wedges = adj.select(col("u"), col("v").as("mid"))
+        .join(adj.select(col("u").as("w"), col("v").as("mid")), Seq("mid"))
+        .filter(col("u") < col("w"))
+        .join(deg.withColumnRenamed("node", "mid"), Seq("mid"))
+      wedges
+        .groupBy("u", "w")
+        .agg(sum(expr("1000000 DIV deg")).as("ra_x1m"),
+          count(lit(1)).as("common"))
+        .join(e, col("u") === col("a") && col("w") === col("b"), "left_anti")
+        .orderBy(col("ra_x1m").desc, col("u").asc, col("w").asc)
+        .limit(20)
+    },
+    Some("""WITH raw AS (
+           |  SELECT doc_id AS src,
+           |    CAST(('0x' || substr(md5('tri#' || doc_id || '#' || k), 1, 15)) AS BIGINT)
+           |      % 500 AS dst
+           |  FROM documents, range(1, 7) AS t(k)
+           |  WHERE doc_id < 500),
+           |e AS (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM raw WHERE least(src, dst) < greatest(src, dst)),
+           |adj AS (
+           |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+           |deg AS (SELECT u AS node, COUNT(*) AS deg FROM adj GROUP BY 1),
+           |wedges AS (
+           |  SELECT x.u, y.u AS w, x.v AS mid
+           |  FROM adj x JOIN adj y ON x.v = y.v AND x.u < y.u),
+           |scored AS (
+           |  SELECT u, w, CAST(SUM(1000000 // deg) AS BIGINT) AS ra_x1m,
+           |    CAST(COUNT(*) AS BIGINT) AS common
+           |  FROM wedges JOIN deg ON deg.node = wedges.mid
+           |  GROUP BY u, w)
+           |SELECT u, w, ra_x1m, common
+           |FROM scored s
+           |ANTI JOIN e ON e.a = s.u AND e.b = s.w
+           |ORDER BY ra_x1m DESC, u ASC, w ASC LIMIT 20""".stripMargin)
+  )
+
   val all: Seq[QueryDef] =
     Seq(q77PageRank, q102Triangles, q113BfsHops, q143KCore, q148Hits, q156Ppr,
       q160LabelProp, q170Modularity, q194DegreeAudit, q213Sssp,
-      q223DanglingPagerank)
+      q223DanglingPagerank, q229LinkPrediction)
 }

@@ -441,6 +441,32 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out.toSeq == expect)
   }
 
+  test("q229: RA scores recompute from the graph; no predicted pair is an existing edge") {
+    val out = PageRank.q229LinkPrediction.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 20)
+    // rebuild the q102 graph driver-side
+    val edges = Tables.documents(spark, sfDir).filter(col("doc_id") < 500)
+      .selectExpr("doc_id as src", "explode(sequence(1, 6)) as k")
+      .selectExpr("least(src, cast(conv(substring(md5(concat('tri#', src, '#', k)), 1, 15), 16, 10) as long) % 500) as a",
+        "greatest(src, cast(conv(substring(md5(concat('tri#', src, '#', k)), 1, 15), 16, 10) as long) % 500) as b")
+      .filter(col("a") < col("b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nbrs = (edges.toSeq ++ edges.toSeq.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val deg = nbrs.map { case (k, v) => k -> v.size.toLong }
+    out.foreach { case (u, w, ra, common) =>
+      assert(!edges((u, w)), s"($u,$w) is already an edge")
+      val cn = nbrs(u).intersect(nbrs(w))
+      assert(common == cn.size.toLong)
+      assert(ra == cn.toSeq.map(b => 1000000L / deg(b)).sum,
+        s"($u,$w): RA score mismatch")
+    }
+    // scores descend with the declared tie-break
+    assert(out.map(t => (-t._3, t._1, t._2)).toSeq ==
+      out.map(t => (-t._3, t._1, t._2)).sorted.toSeq)
+  }
+
   test("q152: decayed scores equal a driver-side power-of-two recompute") {
     val out = EventOps.q152DecayedEngagement.run(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
