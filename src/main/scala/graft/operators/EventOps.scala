@@ -1854,6 +1854,65 @@ object EventOps {
            |FROM g ORDER BY iso_dow, hour""".stripMargin)
   )
 
+  /** q230: seasonal-naive forecast backtest — per event type, compare
+    * the 24-hour seasonal-naive forecast (ŷ_t = y_{t−24h}) against the
+    * random-walk baseline (ŷ_t = y_{t−1h}) on hourly counts, the
+    * MASE-style ratio every forecasting pipeline computes BEFORE
+    * shipping a model: if a model cannot beat "same hour yesterday",
+    * the pipeline ships the naive rule. Evaluation is restricted to
+    * hours where BOTH references exist (one inner-join chain), so the
+    * two error sums cover the identical point set and the ratio is a
+    * like-for-like comparison; ratio < 1e6 means daily seasonality is
+    * real (the seasonal lag beats the last-hour lag).
+    *
+    * Exactness: hourly buckets are integer epoch-hour floor divisions,
+    * errors are |count−count| sums, the ratio a single positive
+    * fixed-point floor division — hash-exact in both engines.
+    *
+    * Scale: one hash agg to hourly (type, hour) counts — metadata from
+    * there (three self-equi-joins on the hour key over the bucket
+    * table, never the event stream). */
+  val q230ForecastBacktest = QueryDef(
+    "q230_forecast_backtest",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("ts_ns DIV 1000 DIV 3600000000").as("h"))
+        .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val cur = hourly.select(col("event_type"), col("h"), col("c"))
+      val l1 = hourly.select(col("event_type"), (col("h") + 1).as("h"),
+        col("c").as("c1"))
+      val l24 = hourly.select(col("event_type"), (col("h") + 24).as("h"),
+        col("c").as("c24"))
+      cur.join(l1, Seq("event_type", "h"))
+        .join(l24, Seq("event_type", "h"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(abs(col("c") - col("c24"))).as("sae_seasonal"),
+          sum(abs(col("c") - col("c1"))).as("sae_naive"))
+        .select(col("event_type"), col("n_eval"), col("sae_seasonal"),
+          col("sae_naive"),
+          expr("sae_seasonal * 1000000 DIV sae_naive").as("mase_x1m"))
+        .orderBy("event_type")
+    },
+    Some("""WITH hourly AS (
+           |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+           |    CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM events GROUP BY 1, 2),
+           |j AS (
+           |  SELECT cur.event_type, cur.c, l1.c AS c1, l24.c AS c24
+           |  FROM hourly cur
+           |  JOIN hourly l1 ON l1.event_type = cur.event_type AND l1.h = cur.h - 1
+           |  JOIN hourly l24 ON l24.event_type = cur.event_type AND l24.h = cur.h - 24)
+           |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+           |  CAST(SUM(ABS(c - c24)) AS BIGINT) AS sae_seasonal,
+           |  CAST(SUM(ABS(c - c1)) AS BIGINT) AS sae_naive,
+           |  CAST(SUM(ABS(c - c24)) * 1000000 // SUM(ABS(c - c1)) AS BIGINT)
+           |    AS mase_x1m
+           |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
     q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency,
     q109SessionPaths, q115Attribution, q119LatestState, q122Transitions,
@@ -1862,5 +1921,6 @@ object EventOps {
     q171UShapedAttribution, q177Seasonality, q178WowGrowth, q179CohortLtv,
     q181GiniConcentration, q183ClampedBalance, q185HazardTable,
     q188IntervalCoverage, q191ConversionLatency, q195ActivityHeatmap,
-    q196Velocity, q198RfmSegments, q203FreshnessAudit, q206InterarrivalGaps)
+    q196Velocity, q198RfmSegments, q203FreshnessAudit, q206InterarrivalGaps,
+    q230ForecastBacktest)
 }
