@@ -95,5 +95,102 @@ object SpatialOps {
            |GROUP BY bid ORDER BY bid""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q224GridJoin)
+  /** q231: nearest-facility assignment — every point assigned to its
+    * closest facility (squared-L2, fid tie-break), reported per
+    * facility: the allocation step of facility location / fleet
+    * dispatch / cell-tower attribution. EXACT at scale via the
+    * two-pass grid idiom: pass 1 probes the point's own cell plus its
+    * 8 neighbors (facilities replicated to the 3×3 neighborhood — one
+    * explode), which resolves every point whose true nearest facility
+    * lies within one cell ring; pass 2 brute-forces ONLY the points
+    * with an empty ring (anti-join → broadcast over all facilities).
+    * A ring hit is provably the true argmin: any facility outside the
+    * 3×3 ring is > [[CellW]] away in some axis, while the ring
+    * candidate found is ≤ √2·[[CellW]]... which does NOT bound it —
+    * so pass 1 keeps a candidate only when its distance is ≤ [[CellW]]²
+    * (such a facility beats everything outside the ring, whose
+    * distance exceeds CellW); farther ring-hits fall through to the
+    * exact pass with the empty-ring points. Exactness is therefore
+    * structural, not probabilistic — and the fallback fraction is the
+    * measured scale knob (facility density vs cell width).
+    *
+    * Scale: pass 1 is a cell-keyed equi-join (points never replicate —
+    * facilities do, ×9, and |F| ≪ |P|); pass 2 touches only the
+    * fallback slice with a broadcast of the (metadata-sized) facility
+    * table. Per-facility report is one hash agg. */
+  val q231NearestFacility = QueryDef(
+    "q231_nearest_facility",
+    (s, d) => {
+      def md5i(c: Column): Column =
+        conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+      val pts = Tables.events(s, d)
+        .select(col("event_id"), md5i(concat(lit("gp#"), col("event_id").cast("string"))).as("h"))
+        .select(col("event_id"),
+          pmod(col("h"), lit(GridMax)).as("px"),
+          pmod(expr("h DIV 1000"), lit(GridMax)).as("py"))
+      val fac = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 200 === 0)
+        .select(col("o_orderkey").cast(LongType).as("fid"),
+          md5i(concat(lit("fc#"), col("o_orderkey").cast("string"))).as("h"))
+        .select(col("fid"),
+          pmod(col("h"), lit(GridMax)).as("fx"),
+          pmod(expr("h DIV 1000"), lit(GridMax)).as("fy"))
+        .localCheckpoint()
+      val d2 = (ax: Column, ay: Column, bx: Column, by: Column) =>
+        (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+      // facilities replicated to their 3×3 cell neighborhood
+      val facCells = fac
+        .withColumn("dxy", explode(expr(
+          "transform(sequence(0, 8), i -> struct(i DIV 3 - 1 AS dx, i % 3 - 1 AS dy))")))
+        .select(col("fid"), col("fx"), col("fy"),
+          (expr(s"fx DIV $CellW") + col("dxy.dx")).as("cx"),
+          (expr(s"fy DIV $CellW") + col("dxy.dy")).as("cy"))
+      val probed = pts
+        .withColumn("cx", expr(s"px DIV $CellW"))
+        .withColumn("cy", expr(s"py DIV $CellW"))
+        .join(facCells, Seq("cx", "cy"))
+        .select(col("event_id"), col("px"), col("py"),
+          struct(d2(col("px"), col("py"), col("fx"), col("fy")).as("d2"),
+            col("fid")).as("cand"))
+        .groupBy("event_id", "px", "py").agg(min("cand").as("best"))
+        // only a ring-winner CLOSER than one cell width is provably global
+        .filter(col("best.d2") <= lit(CellW * CellW))
+        .select(col("event_id"), col("best.fid").as("fid"), col("best.d2").as("d2"))
+      val fallback = pts
+        .join(probed.select("event_id"), Seq("event_id"), "left_anti")
+        .crossJoin(broadcast(fac))
+        .select(col("event_id"),
+          struct(d2(col("px"), col("py"), col("fx"), col("fy")).as("d2"),
+            col("fid")).as("cand"))
+        .groupBy("event_id").agg(min("cand").as("best"))
+        .select(col("event_id"), col("best.fid").as("fid"), col("best.d2").as("d2"))
+      probed.unionByName(fallback)
+        .groupBy("fid")
+        .agg(count(lit(1)).as("n_assigned"), sum("d2").as("sum_d2"),
+          max("d2").as("max_d2"))
+        .orderBy("fid")
+    },
+    Some(s"""WITH pts AS (
+           |  SELECT event_id,
+           |    CAST(('0x' || substr(md5('gp#' || event_id), 1, 15)) AS BIGINT) AS h
+           |  FROM events),
+           |p AS (SELECT event_id, h % $GridMax AS px, (h // 1000) % $GridMax AS py
+           |      FROM pts),
+           |fc AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS fid,
+           |    CAST(('0x' || substr(md5('fc#' || o_orderkey), 1, 15)) AS BIGINT) AS h
+           |  FROM orders WHERE o_orderkey % 200 = 0),
+           |f AS (SELECT fid, h % $GridMax AS fx, (h // 1000) % $GridMax AS fy FROM fc),
+           |best AS (
+           |  SELECT event_id, fid,
+           |    (px - fx) * (px - fx) + (py - fy) * (py - fy) AS d2
+           |  FROM p CROSS JOIN f
+           |  QUALIFY row_number() OVER (PARTITION BY event_id
+           |    ORDER BY (px - fx) * (px - fx) + (py - fy) * (py - fy) ASC, fid ASC) = 1)
+           |SELECT fid, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           |  CAST(SUM(d2) AS BIGINT) AS sum_d2, CAST(MAX(d2) AS BIGINT) AS max_d2
+           |FROM best GROUP BY fid ORDER BY fid""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q224GridJoin, q231NearestFacility)
 }

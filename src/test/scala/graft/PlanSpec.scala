@@ -288,6 +288,11 @@ class PlanSpec extends SparkSpec {
       // first-appearance lineages (plan text repeats it; runtime reuses
       // the exchange) before the 10-row decile window + sort
       case n if n.startsWith("q217") => 12
+      // q227: the distinct (user, item) positives lineage appears under
+      // the kept-positives window, the user slice, AND the anti-join
+      // right side (plan-text repeats; ReusedExchange at runtime) plus
+      // the two per-user rank windows
+      case n if n.startsWith("q227") => 16
       // q141: the QI record lineage feeds three class-size aggs plus the
       // record stream itself (plan TEXT repeats it; ReusedExchange
       // collapses at runtime) and the rung report ends in a two-phase

@@ -48,4 +48,39 @@ class SpatialOpsSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"grid join must not nest loops:\n$p")
   }
+
+  test("q231: assignments equal brute force; both ring and fallback paths are live") {
+    val d = "/root/testdata/sf0.01" // dense enough that both paths engage
+    val out = SpatialOps.q231NearestFacility.run(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def md5i(s0: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val pts = graft.Tables.events(spark, d).select("event_id").collect()
+      .map(_.getLong(0)).map { id =>
+        val h = md5i(s"gp#$id"); (h % 1000L, (h / 1000L) % 1000L)
+      }
+    val fac = graft.Tables.orders(spark, d)
+      .filter(col("o_orderkey") % 200 === 0).select(col("o_orderkey").cast("long"))
+      .collect().map(_.getLong(0)).map { fid =>
+        val h = md5i(s"fc#$fid"); (fid, h % 1000L, (h / 1000L) % 1000L)
+      }
+    val assigned = pts.map { case (px, py) =>
+      fac.map { case (fid, fx, fy) =>
+        ((px - fx) * (px - fx) + (py - fy) * (py - fy), fid)
+      }.min
+    }
+    val brute = assigned.groupBy(_._2).map { case (fid, xs) =>
+      fid -> ((xs.length.toLong, xs.map(_._1).sum, xs.map(_._1).max))
+    }
+    assert(out == brute, "two-pass grid assignment must equal brute force")
+    // both code paths live on this density: some points resolve in the
+    // ring (d² ≤ CellW²), some fall through to the exact pass
+    val c2 = SpatialOps.CellW * SpatialOps.CellW
+    val ring = assigned.count(_._1 <= c2)
+    assert(ring > 0 && ring < assigned.length,
+      s"ring/fallback split degenerate: $ring of ${assigned.length}")
+  }
 }
