@@ -436,6 +436,116 @@ object Multimodal {
            |FROM f WHERE frame % 2 = 0 ORDER BY doc_id, frame""".stripMargin)
   )
 
+  /** q232's perceptual-hash geometry: 8×8 grayscale images, 7 horizontal
+    * comparisons per row → a 56-bit dHash (kept under the sign bit). */
+  val PhashW = 8
+  val PhashH = 8
+  val PhashGroup = 4 // docs per planted perceptual group
+
+  private def md5bytes(s0: String): Array[Int] =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s0.getBytes("UTF-8")).map(_ & 0xff)
+
+  /** Base luminance pattern of perceptual group `g` (closed form the
+    * DuckDB oracle reproduces): row y takes md5("ph#g#y"), pixel x the
+    * byte x, quantized to {16, 32, …, 112}. */
+  private[operators] def phashBase(g: Long, y: Int): Array[Int] =
+    md5bytes(s"ph#$g#$y").take(PhashW).map(b => 16 + 16 * (b % 7))
+
+  /** q232: perceptual image dedup by difference hash — the image-side
+    * near-dup operator of the curation pack (re-saves, metadata edits
+    * and ±1-level noise leave a photo's STRUCTURE intact, so exact
+    * payload dedup q18/q34 misses them; dHash — "is the next pixel
+    * brighter" per position — clusters them). Each group of
+    * [[PhashGroup]] docs renders the SAME md5-seeded 8×8 pattern as a
+    * REAL PNG, plus per-member ±1 luminance noise planted ONLY at
+    * positions whose both horizontal margins are ≥ 16 — so the members'
+    * payloads (and md5 fingerprints) all differ while their dHash is
+    * PROVABLY identical: noise of 1 cannot flip a ≥16 comparison, and
+    * fragile (equal-neighbor) positions receive no noise. The engine
+    * computes the hash from DECODED pixels through the real codec; the
+    * oracle computes it from the closed form — equality verifies
+    * decode, hash algebra, and noise-invariance at once. Clusters are
+    * reported as (media, dhash, rep, csize); a cross-group 56-bit
+    * collision would be astronomical, and BOTH engines would agree on
+    * it anyway (each computes rep/csize from its own hash values).
+    *
+    * Scale: hashing is a per-row mapPartitions over payload bytes (no
+    * shuffle); clustering is one 8-byte-key hash agg — the dHash IS the
+    * dedup key, so the whole corpus clusters with one exchange, exactly
+    * like exact dedup (q18) but robust to re-encode noise. Hamming-
+    * banded pairing (the q25/q26 SimHash machinery, unchanged) is the
+    * documented extension when near-misses must also pair. */
+  /** The q232 corpus: per doc, the group's base pattern rendered as a
+    * real PNG plus the member's margin-safe ±1 noise. Exposed so the
+    * spec can assert the members are byte-distinct. */
+  def q232Payloads(s: SparkSession, d: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val g = id / PhashGroup
+        val noise = md5bytes(s"phn#$id")
+        val rows = (0 until PhashH).map(phashBase(g, _))
+        val lum = (x: Int, y: Int) => {
+          val p = rows(y)
+          val safe = x > 0 && x < PhashW - 1 &&
+            math.abs(p(x) - p(x - 1)) >= 16 && math.abs(p(x) - p(x + 1)) >= 16
+          p(x) + (if (safe) (noise((y * PhashW + x) % 16) % 3) - 1 else 0)
+        }
+        val payload = ImageCodec.encodePng(PhashW, PhashH) { (x, y) =>
+          val v = lum(x, y); (v, v, v)
+        }
+        (id, payload)
+      }
+  }
+
+  val q232ImagePhashDedup = QueryDef(
+    "q232_image_phash_dedup",
+    (s, d) => {
+      import s.implicits._
+      val hashed = q232Payloads(s, d).map { case (id, payload) =>
+        val img = ImageCodec.decode(payload)
+        var h = 0L
+        var y = 0
+        while (y < PhashH) {
+          var x = 0
+          while (x < PhashW - 1) {
+            val l = img.getRGB(x, y) & 0xff
+            val r = img.getRGB(x + 1, y) & 0xff
+            if (r > l) h |= 1L << (y * (PhashW - 1) + x)
+            x += 1
+          }
+          y += 1
+        }
+        (id, h)
+      }.toDF("media_id", "dhash")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("dhash")
+      hashed
+        .withColumn("rep", min("media_id").over(w))
+        .withColumn("csize", count(lit(1)).over(w))
+        .select("media_id", "dhash", "rep", "csize")
+        .orderBy("media_id")
+    },
+    Some(s"""WITH px AS (
+           |  SELECT doc_id, y.y, x.x,
+           |    16 + 16 * (CAST(('0x' || substr(md5('ph#' || (doc_id // $PhashGroup)
+           |      || '#' || y.y), 2 * x.x + 1, 2)) AS BIGINT) % 7) AS p
+           |  FROM documents,
+           |    range(0, $PhashH) y(y), range(0, $PhashW) x(x)),
+           |bits AS (
+           |  SELECT a.doc_id,
+           |    SUM(CASE WHEN b.p > a.p
+           |        THEN (CAST(1 AS BIGINT) << (a.y * ${PhashW - 1} + a.x))
+           |        ELSE 0 END) AS dhash
+           |  FROM px a JOIN px b
+           |    ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+           |  GROUP BY a.doc_id)
+           |SELECT doc_id AS media_id, CAST(dhash AS BIGINT) AS dhash,
+           |  CAST(MIN(doc_id) OVER (PARTITION BY dhash) AS BIGINT) AS rep,
+           |  CAST(COUNT(*) OVER (PARTITION BY dhash) AS BIGINT) AS csize
+           |FROM bits ORDER BY media_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q34BinaryPayload, q65ImageDecode, q94MixedCodec,
-    q128ImageResize, q129FrameSample)
+    q128ImageResize, q129FrameSample, q232ImagePhashDedup)
 }

@@ -120,4 +120,30 @@ class MultimodalSpec extends SparkSpec {
     val feats = extractFeatures(media, dim = 8).toDF()
     assert(feats.schema("features").dataType.simpleString == "array<float>")
   }
+
+  test("q232: perceptual clusters group byte-DISTINCT payloads (noise engaged)") {
+    import org.apache.spark.sql.functions._
+    val out = Multimodal.q232ImagePhashDedup.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = graft.Tables.documents(spark, sfDir).count()
+    assert(out.length == n)
+    // clusters are exactly the planted groups (members share the dhash,
+    // rep is the group head) wherever the group is complete
+    out.foreach { case (id, _, rep, csize) =>
+      val g = id / Multimodal.PhashGroup
+      assert(rep == g * Multimodal.PhashGroup, s"media $id clustered to rep $rep")
+      val expectSize = math.min(n - g * Multimodal.PhashGroup, Multimodal.PhashGroup.toLong)
+      assert(csize == expectSize)
+    }
+    // the planted noise must make group members byte-distinct — otherwise
+    // this is just exact dedup wearing a costume
+    val md5s = Multimodal.q232Payloads(spark, sfDir)
+      .filter(r => r._1 < Multimodal.PhashGroup)
+      .collect().map { case (_, payload) =>
+        java.security.MessageDigest.getInstance("MD5").digest(payload).toSeq
+      }
+    assert(md5s.length == Multimodal.PhashGroup)
+    assert(md5s.distinct.length == md5s.length,
+      "group members must differ byte-wise (the noise is the point)")
+  }
 }
