@@ -1655,6 +1655,78 @@ object MiningOps {
            |ORDER BY 1""".stripMargin)
   )
 
+  /** q233: sequential-pattern support (the GSP/PrefixSpan length-2
+    * counting step, Srikant-Agrawal 1996) — for ordered type pairs
+    * a ≺ b WITH ARBITRARY GAP inside a session (user-day), the number
+    * of sessions containing the subsequence, plus the confidence
+    * support(a≺b)/support(a): "users who search eventually purchase —
+    * in how many sessions, and how reliably after an a?". q122's
+    * transition matrix counts ADJACENT steps only; subsequence support
+    * is what behavioral funnels actually need (intermediate noise
+    * events must not break the pattern).
+    *
+    * Exactness: session = (user, epoch day) — pure integer bucketing;
+    * the subsequence relation is position rank i < j with the (ts_ns,
+    * event_id) total tiebreak; sessions are counted ONCE per pair via
+    * distinct; confidence is a positive fixed-point floor division.
+    *
+    * Scale: the self-join is WITHIN session keys (quadratic only in
+    * per-session length — bounded by the session, the same Σlen² shape
+    * as q105's baskets, with the same heavy-session cap policy);
+    * everything after is a (type, type) count table. */
+  val q233SubsequenceSupport = QueryDef(
+    "q233_subsequence_support",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("ts_ns DIV 1000 DIV 86400000000").as("day"),
+          col("event_type"), col("ts_ns"), col("event_id"))
+      val w = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts_ns").asc, col("event_id").asc)
+      val ranked = ev.withColumn("rn", row_number().over(w))
+        .select(col("user_id"), col("day"), col("event_type"), col("rn"))
+        .localCheckpoint()
+      val pairs = ranked.as("a")
+        .join(ranked.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+            col("a.rn") < col("b.rn"))
+        .select(col("a.user_id"), col("a.day"),
+          col("a.event_type").as("ante"), col("b.event_type").as("cons"))
+        .distinct()
+      val support = pairs.groupBy("ante", "cons").agg(count(lit(1)).as("support"))
+      val suppA = ranked.select(col("user_id"), col("day"),
+          col("event_type").as("ante")).distinct()
+        .groupBy("ante").agg(count(lit(1)).as("supp_ante"))
+      support.join(suppA, Seq("ante"))
+        .select(col("ante"), col("cons"), col("support"), col("supp_ante"),
+          expr("support * 1000000 DIV supp_ante").as("conf_x1m"))
+        .orderBy(col("support").desc, col("ante").asc, col("cons").asc)
+        .limit(20)
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type,
+           |    row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 86400000000
+           |      ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn
+           |  FROM events),
+           |pairs AS (
+           |  SELECT DISTINCT a.user_id, a.day,
+           |    a.event_type AS ante, b.event_type AS cons
+           |  FROM ev a JOIN ev b
+           |    ON b.user_id = a.user_id AND b.day = a.day AND a.rn < b.rn),
+           |sup AS (
+           |  SELECT ante, cons, CAST(COUNT(*) AS BIGINT) AS support
+           |  FROM pairs GROUP BY 1, 2),
+           |sa AS (
+           |  SELECT ante, CAST(COUNT(*) AS BIGINT) AS supp_ante FROM (
+           |    SELECT DISTINCT user_id, day, event_type AS ante FROM ev)
+           |  GROUP BY 1)
+           |SELECT ante, cons, support, supp_ante,
+           |  CAST(support * 1000000 // supp_ante AS BIGINT) AS conf_x1m
+           |FROM sup JOIN sa USING (ante)
+           |ORDER BY support DESC, ante ASC, cons ASC LIMIT 20""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile,
     q110PercentileNorm, q114TopkPerGroup, q126GroupOls, q127ChangePoint,
     q131EquidepthHist, q141KAnonymity, q147ExactMedian, q164BenfordAudit,
@@ -1662,5 +1734,5 @@ object MiningOps {
     q176LearningCurve, q180GainsTable, q182PoissonBootstrap, q184ItemCf,
     q186WeightedMedian, q187HllSketch, q189CmSketch, q190LedgerRecon,
     q201SlaLatency, q202SupplierHhi, q205AbcClasses, q207KsDrift,
-    q211KmvSketch)
+    q211KmvSketch, q233SubsequenceSupport)
 }
