@@ -1727,6 +1727,75 @@ object MiningOps {
            |ORDER BY support DESC, ante ASC, cons ASC LIMIT 20""".stripMargin)
   )
 
+  /** q234: mix/rate decomposition of a metric move — per order
+    * priority, "WHY did revenue change between the periods": the
+    * volume effect ((n₂−n₁)·r₁ — more orders at the old rate), the
+    * rate effect (n₁·(r₂−r₁) — the old volume at the new per-order
+    * value), and their interaction, with an explicit rounding residual
+    * so the four columns sum EXACTLY to Δrevenue. The standard
+    * price/volume (mix-shift) bridge every revenue review runs —
+    * q178's WoW growth says THAT the metric moved, this says which
+    * lever moved it.
+    *
+    * Exactness: revenue in integer cents (the q186 idiom), per-order
+    * rates fixed-point ×1000 (tenth-of-cent — rev·1000 keeps Σ ≤
+    * ~3e15 at sf1, documented headroom to sf ~1000); the only
+    * divisions are positive-operand floors, the effects are integer
+    * PRODUCTS (sign-safe in both engines), and the residual column
+    * absorbs the floor rounding so the identity is exact, not
+    * approximate.
+    *
+    * Scale: one conditional agg over the orders scan (the q220 shape —
+    * period indicator is a projection), then pure per-segment
+    * arithmetic on a 5-row frame. */
+  val q234MixRateDecomp = QueryDef(
+    "q234_mix_rate_decomp",
+    (s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("priority"),
+          (year(col("o_orderdate")) >= 1998).as("p2"),
+          floor(col("o_totalprice") * 100.0 + 0.5).cast(LongType).as("cents"))
+        .groupBy("priority")
+        .agg(sum(when(!col("p2"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("p2"), 1L).otherwise(0L)).as("n2"),
+          sum(when(!col("p2"), col("cents")).otherwise(0L)).as("rev1"),
+          sum(when(col("p2"), col("cents")).otherwise(0L)).as("rev2"))
+      base
+        .withColumn("r1", expr("rev1 * 1000 DIV n1"))
+        .withColumn("r2", expr("rev2 * 1000 DIV n2"))
+        .withColumn("delta_x1k", (col("rev2") - col("rev1")) * 1000)
+        .withColumn("vol_eff", (col("n2") - col("n1")) * col("r1"))
+        .withColumn("rate_eff", col("n1") * (col("r2") - col("r1")))
+        .withColumn("inter_eff", (col("n2") - col("n1")) * (col("r2") - col("r1")))
+        .withColumn("resid",
+          col("delta_x1k") - col("vol_eff") - col("rate_eff") - col("inter_eff"))
+        .select("priority", "n1", "n2", "delta_x1k", "vol_eff", "rate_eff",
+          "inter_eff", "resid")
+        .orderBy("priority")
+    },
+    Some("""WITH base AS (
+           |  SELECT o_orderpriority AS priority,
+           |    CAST(SUM(CASE WHEN year(o_orderdate) >= 1998 THEN 0 ELSE 1 END) AS BIGINT) AS n1,
+           |    CAST(SUM(CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           |    CAST(SUM(CASE WHEN year(o_orderdate) >= 1998 THEN 0
+           |      ELSE CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END) AS BIGINT) AS rev1,
+           |    CAST(SUM(CASE WHEN year(o_orderdate) >= 1998
+           |      THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev2
+           |  FROM orders GROUP BY 1),
+           |x AS (
+           |  SELECT priority, n1, n2, rev1, rev2,
+           |    rev1 * 1000 // n1 AS r1, rev2 * 1000 // n2 AS r2,
+           |    (rev2 - rev1) * 1000 AS delta_x1k
+           |  FROM base)
+           |SELECT priority, n1, n2, CAST(delta_x1k AS BIGINT) AS delta_x1k,
+           |  CAST((n2 - n1) * r1 AS BIGINT) AS vol_eff,
+           |  CAST(n1 * (r2 - r1) AS BIGINT) AS rate_eff,
+           |  CAST((n2 - n1) * (r2 - r1) AS BIGINT) AS inter_eff,
+           |  CAST(delta_x1k - (n2 - n1) * r1 - n1 * (r2 - r1)
+           |    - (n2 - n1) * (r2 - r1) AS BIGINT) AS resid
+           |FROM x ORDER BY priority""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile,
     q110PercentileNorm, q114TopkPerGroup, q126GroupOls, q127ChangePoint,
     q131EquidepthHist, q141KAnonymity, q147ExactMedian, q164BenfordAudit,
@@ -1734,5 +1803,5 @@ object MiningOps {
     q176LearningCurve, q180GainsTable, q182PoissonBootstrap, q184ItemCf,
     q186WeightedMedian, q187HllSketch, q189CmSketch, q190LedgerRecon,
     q201SlaLatency, q202SupplierHhi, q205AbcClasses, q207KsDrift,
-    q211KmvSketch, q233SubsequenceSupport)
+    q211KmvSketch, q233SubsequenceSupport, q234MixRateDecomp)
 }
