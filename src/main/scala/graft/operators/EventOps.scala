@@ -1913,6 +1913,114 @@ object EventOps {
            |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 
+  /** q235: burstiness audit (Fano factor) — per event type, the
+    * variance-to-mean ratio of hourly counts over the type's full
+    * observed span (zero hours included via the span arithmetic, not
+    * materialized): Fano ≈ 1 is Poisson arrivals, ≫ 1 is bursty
+    * (campaign spikes, retry storms, bot bursts), ≪ 1 is throttled/
+    * scheduled traffic. The shape-of-traffic companion to q206's
+    * inter-arrival percentiles and q230's seasonality gate — the first
+    * number a capacity planner asks for.
+    *
+    * Exactness: Fano×1e6 = (n·Σc² − (Σc)²)·1e6 DIV (n·Σc) — the
+    * numerator is n²·Var, the denominator n²·mean, both pure integers
+    * (no mean division ever happens); Σc² over materialized non-zero
+    * hours is exactly Σ over all hours since zeros contribute zero.
+    *
+    * Scale: one hash agg to (type, hour) counts, one more to the
+    * 5-row report. */
+  val q235Burstiness = QueryDef(
+    "q235_burstiness",
+    (s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("ts_ns DIV 1000 DIV 3600000000").as("h"))
+        .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg((max("h") - min("h") + 1).as("span_hours"),
+          sum("c").as("n_events"),
+          sum(expr("c * c")).as("sum_c2"),
+          max("c").as("peak_hour"))
+        .select(col("event_type"), col("span_hours"), col("n_events"),
+          col("peak_hour"),
+          expr("(span_hours * sum_c2 - n_events * n_events) * 1000000" +
+            " DIV (span_hours * n_events)").as("fano_x1m"))
+        .orderBy("event_type")
+    },
+    Some("""WITH hourly AS (
+           |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+           |    CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM events GROUP BY 1, 2)
+           |SELECT event_type,
+           |  CAST(MAX(h) - MIN(h) + 1 AS BIGINT) AS span_hours,
+           |  CAST(SUM(c) AS BIGINT) AS n_events,
+           |  CAST(MAX(c) AS BIGINT) AS peak_hour,
+           |  CAST(((MAX(h) - MIN(h) + 1) * SUM(c * c) - SUM(c) * SUM(c)) * 1000000
+           |    // ((MAX(h) - MIN(h) + 1) * SUM(c)) AS BIGINT) AS fano_x1m
+           |FROM hourly GROUP BY event_type ORDER BY event_type""".stripMargin)
+  )
+
+  /** q236: SCD2 temporal-integrity audit — per key, the overlap/gap
+    * violations of a slowly-changing-dimension history: consecutive
+    * versions must tile time exactly (valid_to = next valid_from, one
+    * open tail). The audit every warehouse runs on its dimension
+    * tables before trusting an as-of join (q168) against them: an
+    * overlap makes point-in-time lookups ambiguous, a gap makes them
+    * silently empty. Violations are PLANTED deterministically (every
+    * version with event_id ≡ 0 mod 5 has its valid_to stretched +1h →
+    * overlaps; ≡ 1 mod 5 shrunk −1h where room allows → gaps) so the
+    * detector's counts are non-trivial and exactly predictable.
+    *
+    * Exactness: all µs integers; overlap/gap magnitudes are positive
+    * differences of already-computed bounds.
+    *
+    * Scale: one user-keyed window pass over the (bounded) dimension
+    * history — dimension tables are metadata next to facts. */
+  val q236Scd2Integrity = QueryDef(
+    "q236_scd2_integrity",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+      val hist = Tables.events(s, d)
+        .filter(col("user_id") < 30)
+        .select(col("user_id"), col("event_id"), expr("ts_ns DIV 1000").as("ts_us"))
+        .withColumn("next_from", lead(col("ts_us"), 1).over(w))
+        .withColumn("valid_to",
+          when(col("next_from").isNull, lit(-1L))
+            .otherwise(col("next_from") +
+              when(col("event_id") % 5 === 0, lit(3600000000L))
+                .otherwise(when(col("event_id") % 5 === 1, lit(-3600000000L))
+                  .otherwise(lit(0L)))))
+      hist.filter(col("next_from").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_closed"),
+          sum(when(col("valid_to") > col("next_from"), 1L).otherwise(0L))
+            .as("n_overlaps"),
+          sum(when(col("valid_to") < col("next_from") &&
+            col("valid_to") > col("ts_us"), 1L).otherwise(0L)).as("n_gaps"),
+          max(when(col("valid_to") > col("next_from"),
+            col("valid_to") - col("next_from")).otherwise(0L)).as("max_overlap_us"))
+        .orderBy("user_id")
+    },
+    Some("""WITH log AS (
+           |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+           |      ORDER BY epoch_us(ts), event_id) AS next_from
+           |  FROM events WHERE user_id < 30),
+           |h AS (
+           |  SELECT user_id, ts_us, next_from,
+           |    next_from + CASE WHEN event_id % 5 = 0 THEN 3600000000
+           |      WHEN event_id % 5 = 1 THEN -3600000000 ELSE 0 END AS valid_to
+           |  FROM log WHERE next_from IS NOT NULL)
+           |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_closed,
+           |  CAST(SUM(CASE WHEN valid_to > next_from THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_overlaps,
+           |  CAST(SUM(CASE WHEN valid_to < next_from AND valid_to > ts_us
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+           |  CAST(MAX(CASE WHEN valid_to > next_from THEN valid_to - next_from
+           |    ELSE 0 END) AS BIGINT) AS max_overlap_us
+           |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
     q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency,
     q109SessionPaths, q115Attribution, q119LatestState, q122Transitions,
@@ -1922,5 +2030,5 @@ object EventOps {
     q181GiniConcentration, q183ClampedBalance, q185HazardTable,
     q188IntervalCoverage, q191ConversionLatency, q195ActivityHeatmap,
     q196Velocity, q198RfmSegments, q203FreshnessAudit, q206InterarrivalGaps,
-    q230ForecastBacktest)
+    q230ForecastBacktest, q235Burstiness, q236Scd2Integrity)
 }
