@@ -1325,10 +1325,81 @@ object TextOps {
            |ORDER BY delta_x1m DESC, token ASC LIMIT 20""".stripMargin)
   )
 
+  /** q237: per-source signature terms — for every source, the top-5
+    * tokens whose occurrence RATE most exceeds the rest of the corpus
+    * (smoothed rate-ratio lift): the mixture EXPLAINER next to q72's
+    * budget report — "what does this source contribute that the others
+    * don't" is how over/under-sampling decisions get justified, and a
+    * source whose signature terms are boilerplate is a dedup target,
+    * not a diversity win. q59 ranks terms within a DOCUMENT, q220
+    * across TIME; this ranks them across SOURCES.
+    *
+    * Exactness: staged fixed-point divisions (rate_in, rate_out ×1e6,
+    * then the ratio ×1e3 with +1 smoothing on the denominator) — every
+    * division positive-operand floor, identical in both engines;
+    * min-support 5 inside the source; ties break on token.
+    *
+    * Scale: one token explode into a (source, token) count table
+    * (map-side combinable); global counts derive from it by a second
+    * agg — the corpus shuffles once; the rank window partitions by
+    * source over the count table. */
+  val q237SourceSignature = QueryDef(
+    "q237_source_signature",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val st = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(lower(col("text")))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val totS = st.groupBy("source").agg(sum("cnt").as("t_src"))
+      val totT = st.groupBy("token").agg(sum("cnt").as("cnt_all"))
+      val tot = st.agg(sum("cnt").as("t_all"))
+      val scored = st.join(totS, Seq("source")).join(totT, Seq("token"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cnt") >= 5)
+        .select(col("source"), col("token"), col("cnt"),
+          expr("cnt * 1000000 DIV t_src").as("rate_in_x1m"),
+          expr("(cnt_all - cnt) * 1000000 DIV (t_all - t_src)").as("rate_out_x1m"))
+        .withColumn("lift_x1k",
+          expr("rate_in_x1m * 1000 DIV (rate_out_x1m + 1)"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("lift_x1k").desc, col("token").asc)
+      scored.withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 5)
+        .select("source", "rk", "token", "cnt", "lift_x1k")
+        .orderBy("source", "rk")
+    },
+    Some("""WITH st AS (
+           |  SELECT source,
+           |    lower(unnest(list_filter(string_split(text, ' '), t -> t <> ''))) AS token
+           |  FROM documents),
+           |c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+           |      FROM st GROUP BY 1, 2),
+           |ts AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS t_src FROM c GROUP BY 1),
+           |tt AS (SELECT token, CAST(SUM(cnt) AS BIGINT) AS cnt_all FROM c GROUP BY 1),
+           |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_all FROM c),
+           |scored AS (
+           |  SELECT c.source, c.token, c.cnt,
+           |    c.cnt * 1000000 // ts.t_src AS rate_in,
+           |    (tt.cnt_all - c.cnt) * 1000000 // (t.t_all - ts.t_src) AS rate_out
+           |  FROM c JOIN ts USING (source) JOIN tt USING (token), t
+           |  WHERE c.cnt >= 5),
+           |l AS (
+           |  SELECT source, token, cnt,
+           |    CAST(rate_in * 1000 // (rate_out + 1) AS BIGINT) AS lift_x1k,
+           |    CAST(row_number() OVER (PARTITION BY source
+           |      ORDER BY rate_in * 1000 // (rate_out + 1) DESC, token ASC) AS BIGINT)
+           |      AS rk
+           |  FROM scored)
+           |SELECT source, rk, token, cnt, lift_x1k
+           |FROM l WHERE rk <= 5 ORDER BY source, rk""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId,
     q22Fingerprint, q39Bigrams, q55TokenCounts, q57Winnowing, q59Tfidf,
     q66PiiRedact, q67Repetition, q69Decontamination, q70DecontamPool,
     q72MixtureReport, q101LmFluency, q104InvertedIndex, q124NbClassifier,
     q130PmiCollocations, q132HeavyHitters, q139Bm25, q151NgramNovelty,
-    q155BpePairs, q158SkipgramPairs, q217VocabGrowth, q220TermDrift)
+    q155BpePairs, q158SkipgramPairs, q217VocabGrowth, q220TermDrift,
+    q237SourceSignature)
 }

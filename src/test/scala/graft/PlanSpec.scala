@@ -194,7 +194,9 @@ class PlanSpec extends SparkSpec {
       // q226: 8-row centroid + 1-row query + 4-row rung broadcasts
       "q226_ivf_recall_sweep",
       // q227: 1-row item-count broadcast (q118 shape)
-      "q227_negative_sampling")
+      "q227_negative_sampling",
+      // q237: 1-row corpus-total broadcast (q118 shape)
+      "q237_source_signature")
     // plan-text exchange budgets: the LSH pipeline legitimately has ~18
     // (sig agg + banding self-join + verify joins); queries consuming the
     // CACHED pair/cluster frames repeat that lineage inside
