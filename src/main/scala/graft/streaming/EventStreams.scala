@@ -1076,12 +1076,84 @@ object EventStreams {
            |GROUP BY iid ORDER BY iid""".stripMargin)
   )
 
+  final case class TypeAgg(user_id: Long, event_type: String, n: Long, sv_x1k: Long)
+
+  /** MAP state — the `transformWithState` state-variable kind the other
+    * processors don't exercise (q111 ValueState, q134 timers): one
+    * RocksDB-backed map PER KEY, sub-keyed by event type, so a user's
+    * per-type aggregates update point-wise without deserializing the
+    * whole composite state (the difference between a MapState and a
+    * ValueState[Map] at 100 TB key cardinalities — RocksDB stores each
+    * (key, mapKey) as its own entry). Each batch emits the touched
+    * entries' NEW totals; counts are strictly monotone per emission, so
+    * the final state is recoverable from an append sink by max-n. */
+  class TypeCountProcessor extends StatefulProcessor[Long, Ev, TypeAgg] {
+    @transient private var m: org.apache.spark.sql.streaming.MapState[String, (Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      m = getHandle.getMapState[String, (Long, Long)]("byType",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[TypeAgg] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { e =>
+        val prev = if (m.containsKey(e.event_type)) m.getValue(e.event_type) else (0L, 0L)
+        m.updateValue(e.event_type,
+          (prev._1 + 1, prev._2 + math.floor(e.value * 1000.0 + 0.5).toLong))
+        touched += e.event_type
+      }
+      touched.iterator.map { t =>
+        val (n, sv) = m.getValue(t)
+        TypeAgg(key, t, n, sv)
+      }
+    }
+  }
+
+  /** q238: per-user per-type running aggregates in MapState, drained
+    * under the oracle — the serving-state shape of a feature store
+    * ("user × feature" counters updated point-wise). All events arrive
+    * across the drain's micro-batches; each batch re-emits the touched
+    * entries, and since an entry's count strictly increases on every
+    * emission, the LAST state per (user, type) is exactly the max-n row
+    * in the append sink — which must hash-match DuckDB's batch GROUP
+    * BY. A processor that loses a map entry, double-applies a batch, or
+    * cross-talks between sub-keys breaks the hash. */
+  val q238StreamingMapState = graft.QueryDef(
+    "q238_streaming_map_state",
+    (s, d) => {
+      val sunk = drainAvailableNow(s, d, rocksDb = true) { st =>
+        implicit val sess: SparkSession = st.sparkSession
+        import sess.implicits._
+        st.filter(col("user_id") >= 0 && col("user_id") < 50 &&
+            col("event_type") =!= "__sentinel__")
+          .select(col("ts"), col("user_id"), col("event_type"), col("value")).as[Ev]
+          .groupByKey(_.user_id)
+          .transformWithState(new TypeCountProcessor, TimeMode.None(),
+            OutputMode.Update())
+          .toDF()
+      }
+      sunk.groupBy("user_id", "event_type")
+        .agg(max(struct(col("n"), col("sv_x1k"))).as("last"))
+        .select(col("user_id"), col("event_type"),
+          col("last.n").as("n"), col("last.sv_x1k").as("sv_x1k"))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           |    AS sv_x1k
+           |FROM events WHERE user_id >= 0 AND user_id < 50
+           |GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] =
     Seq(q64StreamingTumbling, q82StreamingSession, q96StreamingIntervalJoin,
       q98StreamingDedup, q108StreamingEnrich, q111StreamingHighs,
       q121StreamingOuterJoin, q134StreamingTimers, q161ForeachBatchMerge,
       q163StreamingFullOuterJoin, q200StreamingRateLimit, q212StreamingHll,
-      q225StreamingIntervalLookup)
+      q225StreamingIntervalLookup, q238StreamingMapState)
 
   /** Custom per-user running state via mapGroupsWithState — the
     * `KeyValueGroupedDataset` stateful escape hatch (arbitrary state the
