@@ -21,6 +21,9 @@ object GraftFunctions {
       children => CosineSimilarity(children(0), children(1))),
     ("array_agree_count", classOf[ArrayAgreeCount].getName,
       children => ArrayAgreeCount(children(0), children(1))),
+    ("word_ngrams", classOf[WordNGrams].getName,
+      children => if (children.length == 1) WordNGrams(children(0))
+        else WordNGrams(children(0), children(1))),
     ("long_dot", classOf[LongDot].getName,
       children => LongDot(children(0), children(1))),
     ("long_sqdist", classOf[LongSqDist].getName,

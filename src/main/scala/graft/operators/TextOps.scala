@@ -1395,11 +1395,45 @@ object TextOps {
            |FROM l WHERE rk <= 5 ORDER BY source, rk""".stripMargin)
   )
 
+  /** q239: top word-TRIGRAMS through the NATIVE table function —
+    * `functions.WordNGrams`, a Catalyst `Generator`, i.e. the real
+    * UDTF surface (§2.7's ladder previously topped out at
+    * explode-of-a-built-array): the planner wraps it in a `Generate`
+    * node and rows STREAM out per input row with no per-row n-gram
+    * array materialized, and pure-SQL users reach it as
+    * `LATERAL VIEW word_ngrams(text, 3)` — the whole query below is
+    * one SQL text. The oracle is the same n-gram SQL the q39
+    * composition family uses, so the generator's tokenization, window
+    * walk, and position numbering are all hash-pinned against the
+    * declarative form.
+    *
+    * Scale: identical plan family to q39 (Generate → hash agg →
+    * TakeOrderedAndProject) minus the per-row array allocation. */
+  val q239NgramUdtf = QueryDef(
+    "q239_ngram_udtf",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("graft_q239_docs")
+      s.sql("""SELECT ngram, COUNT(*) AS cnt
+              |FROM graft_q239_docs
+              |LATERAL VIEW word_ngrams(lower(text), 3) t AS pos, ngram
+              |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin)
+    },
+    Some("""SELECT ngram, COUNT(*) AS cnt FROM (
+           |  SELECT unnest(list_transform(range(1, len(t) - 1),
+           |    i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1]
+           |      || ' ' || t[CAST(i AS INTEGER) + 2])) AS ngram
+           |  FROM (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+           |        FROM documents) d
+           |  WHERE len(t) >= 3) b
+           |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId,
     q22Fingerprint, q39Bigrams, q55TokenCounts, q57Winnowing, q59Tfidf,
     q66PiiRedact, q67Repetition, q69Decontamination, q70DecontamPool,
     q72MixtureReport, q101LmFluency, q104InvertedIndex, q124NbClassifier,
     q130PmiCollocations, q132HeavyHitters, q139Bm25, q151NgramNovelty,
     q155BpePairs, q158SkipgramPairs, q217VocabGrowth, q220TermDrift,
-    q237SourceSignature)
+    q237SourceSignature, q239NgramUdtf)
 }

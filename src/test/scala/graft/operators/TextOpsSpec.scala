@@ -164,6 +164,35 @@ class TextOpsSpec extends SparkSpec {
       "non-adjacent contexts contribute (otherwise this is just q130's bigrams)")
   }
 
+  test("q239: native generator ≡ the explode composition; Generate in the plan") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, sfDir).createOrReplaceTempView("g239_docs")
+    // bigram form must reproduce q39's declarative composition EXACTLY
+    val viaUdtf = spark.sql(
+      """SELECT ngram AS bigram, COUNT(*) AS cnt
+        |FROM g239_docs LATERAL VIEW word_ngrams(lower(text), 2) t AS pos, ngram
+        |GROUP BY 1""".stripMargin)
+    val viaCompose = Tables.documents(spark, sfDir)
+      .select(expr("filter(split(lower(text), ' '), x -> x <> '')").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+    assert(viaUdtf.exceptAll(viaCompose).isEmpty && viaCompose.exceptAll(viaUdtf).isEmpty,
+      "generator output must equal the declarative composition")
+    // positions are 1-based and dense per doc; empty/short docs emit nothing
+    val rows = spark.sql(
+      "SELECT pos, ngram FROM (SELECT 'a b c d' AS s) LATERAL VIEW word_ngrams(s, 3) t AS pos, ngram")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1, "a b c"), (2, "b c d")))
+    assert(spark.sql(
+      "SELECT * FROM (SELECT 'a b' AS s) LATERAL VIEW word_ngrams(s, 3) t AS pos, ngram")
+      .count() == 0)
+    // it plans as a Generate (a true table function), not a projection
+    val p = viaUdtf.queryExecution.executedPlan.toString
+    assert(p.contains("Generate"), s"expected a Generate node:\n$p")
+  }
+
   test("q217: growth curve conserves totals and cumulates monotonically") {
     val out = TextOps.q217VocabGrowth.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
