@@ -2021,6 +2021,66 @@ object EventOps {
            |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin)
   )
 
+  /** q241: daily-activity streaks — per user, the LONGEST run of
+    * consecutive active days, its start, and the number of distinct
+    * streaks: the engagement metric ("7-day streak!") product teams
+    * ship, and the day-granular cousin of q32's sessions (minutes) and
+    * q89's retention (cohort weeks). The classic gaps-and-islands
+    * rank-difference trick: over a user's DISTINCT active days,
+    * `day − row_number()` is constant exactly within a consecutive
+    * run — one group-by on that constant recovers every streak with no
+    * self-join.
+    *
+    * Exactness: days are integer epoch-day floor divisions; streak
+    * ranking ties break on earliest start.
+    *
+    * Scale: distinct user-days (one hash agg) → one user-partitioned
+    * window → per-(user, island) agg → per-user struct-max. Every
+    * stage is keyed by user; the window input is active DAYS, not
+    * events. */
+  val q241Streaks = QueryDef(
+    "q241_streaks",
+    (s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), expr("ts_ns DIV 1000 DIV 86400000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy(col("day").asc)
+      val islands = days
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+      islands.groupBy("user_id")
+        .agg(count(lit(1)).as("n_streaks"), sum("len").as("active_days"),
+          max(struct(col("len"), (-col("start_day")).as("nsd"))).as("best"))
+        .select(col("user_id"), col("n_streaks"), col("active_days"),
+          col("best.len").as("longest"), (-col("best.nsd")).as("longest_start"))
+        .orderBy("user_id")
+    },
+    Some("""WITH days AS (
+           |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           |  FROM events),
+           |g AS (
+           |  SELECT user_id, day,
+           |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+           |  FROM days),
+           |islands AS (
+           |  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+           |    CAST(MIN(day) AS BIGINT) AS start_day
+           |  FROM g GROUP BY 1, 2),
+           |r AS (
+           |  SELECT user_id, len, start_day, row_number() OVER (
+           |    PARTITION BY user_id ORDER BY len DESC, start_day ASC) AS rk
+           |  FROM islands)
+           |SELECT i.user_id, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           |  CAST(SUM(i.len) AS BIGINT) AS active_days,
+           |  CAST(MAX(CASE WHEN r.rk = 1 THEN r.len END) AS BIGINT) AS longest,
+           |  CAST(MAX(CASE WHEN r.rk = 1 THEN r.start_day END) AS BIGINT)
+           |    AS longest_start
+           |FROM islands i JOIN r ON r.user_id = i.user_id
+           |  AND r.len = i.len AND r.start_day = i.start_day
+           |GROUP BY i.user_id ORDER BY i.user_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
     q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency,
     q109SessionPaths, q115Attribution, q119LatestState, q122Transitions,
@@ -2030,5 +2090,5 @@ object EventOps {
     q181GiniConcentration, q183ClampedBalance, q185HazardTable,
     q188IntervalCoverage, q191ConversionLatency, q195ActivityHeatmap,
     q196Velocity, q198RfmSegments, q203FreshnessAudit, q206InterarrivalGaps,
-    q230ForecastBacktest, q235Burstiness, q236Scd2Integrity)
+    q230ForecastBacktest, q235Burstiness, q236Scd2Integrity, q241Streaks)
 }

@@ -192,5 +192,68 @@ object SpatialOps {
            |FROM best GROUP BY fid ORDER BY fid""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q224GridJoin, q231NearestFacility)
+  /** q240: tile-pyramid rollup — point densities aggregated at every
+    * zoom level at once (z3 = 125-unit tiles … z0 = 1000-unit world),
+    * the precompute behind every slippy-map heat layer and the spatial
+    * twin of q14's rollup: coarse tiles are exact SUMS of their four
+    * children, so one pass + an explode over zoom levels replaces four
+    * scans. Reported: per zoom, tile count, max-tile density and the
+    * top tile (the hotspot at each resolution, ties to the smallest
+    * tile id).
+    *
+    * Exactness: tile ids are pure integer floor divisions of the q224
+    * grid coordinates; the per-zoom argmax is a struct-max.
+    *
+    * Scale: ONE corpus scan exploded ×4 zooms into a (zoom, tile)
+    * hash agg — at web scale the explode factor is the zoom count, and
+    * the alternative (aggregate finest, then 3 parent re-aggs) is the
+    * documented shuffle-chain when zoom counts grow. */
+  val q240TilePyramid = QueryDef(
+    "q240_tile_pyramid",
+    (s, d) => {
+      def md5i(c: Column): Column =
+        conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+      val pts = Tables.events(s, d)
+        .select(md5i(concat(lit("gp#"), col("event_id").cast("string"))).as("h"))
+        .select(pmod(col("h"), lit(GridMax)).as("px"),
+          pmod(expr("h DIV 1000"), lit(GridMax)).as("py"))
+      val tiles = pts
+        .select(col("px"), col("py"), explode(sequence(lit(0), lit(3))).as("z"))
+        // zoom z splits the world into 2^z × 2^z tiles (tile edge 1000/2^z)
+        .select(col("z"),
+          expr("px * shiftleft(1, z) DIV 1000").as("tx"),
+          expr("py * shiftleft(1, z) DIV 1000").as("ty"))
+        .groupBy("z", "tx", "ty").agg(count(lit(1)).as("n"))
+      tiles.groupBy("z")
+        .agg(count(lit(1)).as("n_tiles"), sum("n").as("n_points"),
+          max(struct(col("n"), (-col("tx")).as("ntx"), (-col("ty")).as("nty")))
+            .as("top"))
+        .select(col("z"), col("n_tiles"), col("n_points"),
+          col("top.n").as("top_density"),
+          (-col("top.ntx")).as("top_tx"), (-col("top.nty")).as("top_ty"))
+        .orderBy("z")
+    },
+    Some(s"""WITH pts AS (
+           |  SELECT CAST(('0x' || substr(md5('gp#' || event_id), 1, 15)) AS BIGINT) AS h
+           |  FROM events),
+           |p AS (SELECT h % $GridMax AS px, (h // 1000) % $GridMax AS py FROM pts),
+           |t AS (
+           |  SELECT z, px * (1 << CAST(z AS INTEGER)) // 1000 AS tx,
+           |    py * (1 << CAST(z AS INTEGER)) // 1000 AS ty,
+           |    CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM p, range(0, 4) zz(z) GROUP BY 1, 2, 3),
+           |r AS (
+           |  SELECT z, tx, ty, n, row_number() OVER (PARTITION BY z
+           |    ORDER BY n DESC, tx ASC, ty ASC) AS rk
+           |  FROM t)
+           |SELECT CAST(t.z AS BIGINT) AS z, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           |  CAST(SUM(t.n) AS BIGINT) AS n_points,
+           |  CAST(MAX(CASE WHEN r.rk = 1 THEN r.n END) AS BIGINT) AS top_density,
+           |  CAST(MAX(CASE WHEN r.rk = 1 THEN r.tx END) AS BIGINT) AS top_tx,
+           |  CAST(MAX(CASE WHEN r.rk = 1 THEN r.ty END) AS BIGINT) AS top_ty
+           |FROM t JOIN r ON r.z = t.z AND r.tx = t.tx AND r.ty = t.ty
+           |GROUP BY t.z ORDER BY z""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q224GridJoin, q231NearestFacility, q240TilePyramid)
 }
