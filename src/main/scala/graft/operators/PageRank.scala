@@ -922,7 +922,10 @@ object PageRank {
           .select(col("id"),
             expr(s"(15 * ${Unit}L + $Damping * (coalesce(inflow, 0L) + dang DIV $n)) div 100")
               .as("rank"))
-        if (i % 2 == 0 && i < Iterations) r = r.localCheckpoint()
+        // checkpoint EVERY round (500-row frames — materialization is
+        // free): the dangling agg consumes r twice per round, so without
+        // it the unrolled plan text compounds past the sweep budget
+        if (i < Iterations) r = r.localCheckpoint()
       }
       r.select(col("id"), col("rank"), (col("id") % 5 === 0).as("is_sink"))
         .orderBy(col("rank").desc, col("id").asc).limit(20)

@@ -196,7 +196,11 @@ class PlanSpec extends SparkSpec {
       // q227: 1-row item-count broadcast (q118 shape)
       "q227_negative_sampling",
       // q237: 1-row corpus-total broadcast (q118 shape)
-      "q237_source_signature")
+      "q237_source_signature",
+      // q231: the EXACT fallback pass broadcasts the metadata-sized
+      // facility table over the (small) empty-ring point slice — the
+      // q27 shape, by design
+      "q231_nearest_facility")
     // plan-text exchange budgets: the LSH pipeline legitimately has ~18
     // (sig agg + banding self-join + verify joins); queries consuming the
     // CACHED pair/cluster frames repeat that lineage inside
