@@ -2081,6 +2081,56 @@ object EventOps {
            |GROUP BY i.user_id ORDER BY i.user_id""".stripMargin)
   )
 
+  /** q242: DAU/WAU stickiness — per day, the distinct daily actives,
+    * the distinct trailing-7-day actives, and their ×1e6 ratio: THE
+    * product-health headline (a stickiness near 1e6/7 means users show
+    * up one day a week; near 1e6 means daily habits). Built next to
+    * q241's streaks and q137's trailing distinct — this is the
+    * calendar-day, population-level variant.
+    *
+    * Trailing-window distinct does not decompose (a user active twice
+    * in the window counts once), so the WAU side materializes the
+    * (window-day, user) membership by exploding each ACTIVE user-day to
+    * the ≤7 window days it serves, then distinct-counts — the exact
+    * standard rewrite; the explode factor is the window length over
+    * user-DAYS (already distinct), never events. Days before a full
+    * window are reported with their partial-window WAU (the honest
+    * ramp-in, same on both engines).
+    *
+    * Exactness: integer epoch days, one positive floor division. */
+  val q242Stickiness = QueryDef(
+    "q242_stickiness",
+    (s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), expr("ts_ns DIV 1000 DIV 86400000000").as("day"))
+        .distinct().localCheckpoint()
+      val dau = ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      val wau = ud
+        .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .distinct()
+        .groupBy("day").agg(countDistinct("user_id").as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(col("day"), col("dau"), col("wau"),
+          expr("dau * 1000000 DIV wau").as("stickiness_x1m"))
+        .orderBy("day")
+    },
+    Some("""WITH ud AS (
+           |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           |  FROM events),
+           |dau AS (
+           |  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+           |  FROM ud GROUP BY 1),
+           |wau AS (
+           |  SELECT w.day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau FROM (
+           |    SELECT DISTINCT user_id, ud.day + o.o AS day
+           |    FROM ud, range(0, 7) o(o)) w
+           |  GROUP BY 1)
+           |SELECT day, dau, wau,
+           |  CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_x1m
+           |FROM dau JOIN wau USING (day)
+           |ORDER BY day""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
     q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency,
     q109SessionPaths, q115Attribution, q119LatestState, q122Transitions,
@@ -2090,5 +2140,6 @@ object EventOps {
     q181GiniConcentration, q183ClampedBalance, q185HazardTable,
     q188IntervalCoverage, q191ConversionLatency, q195ActivityHeatmap,
     q196Velocity, q198RfmSegments, q203FreshnessAudit, q206InterarrivalGaps,
-    q230ForecastBacktest, q235Burstiness, q236Scd2Integrity, q241Streaks)
+    q230ForecastBacktest, q235Burstiness, q236Scd2Integrity, q241Streaks,
+    q242Stickiness)
 }
