@@ -811,6 +811,73 @@ object ScaleSmoke {
     } finally spark.conf.set(graft.plans.BinnedRangeJoin.BinWidthKey, "0")
     println("[smoke] OK — binned range join at " + nRjPts + " points")
 
+    // ---- phase 14: spatial grid join + nearest facility at scale ----
+    // (the q224/q231 engines). 2M points × 50k boxes on the 1000×1000
+    // plane is a 1e11-pair 2-D theta join naively; via gridJoinPairs it
+    // is one cell-keyed shuffle. Ground truth rides plants, phase-13
+    // style: 100 points (ids < 100) inside box 0 = [900,939]², whose
+    // planted hits are exact by construction (random points also land
+    // in the box — counted separately by id range). Nearest-facility
+    // truth: the full facility table is metadata-sized, so the planted
+    // points' engine assignments are checked against a driver-side
+    // argmin over ALL facilities — exact, not probabilistic.
+    val nSpPts = sys.env.getOrElse("SPARK_GRAFT_SMOKE_SPPTS", "2000000").toLong
+    val nSpBoxes = sys.env.getOrElse("SPARK_GRAFT_SMOKE_SPBOXES", "50000").toLong
+    val nSpFac = sys.env.getOrElse("SPARK_GRAFT_SMOKE_SPFAC", "2000").toLong
+    val spPts = spark.range(nSpPts).select(col("id").as("event_id"),
+        when(col("id") < 100, lit(900L) + pmod(col("id"), lit(40)))
+          .otherwise(pmod(xxhash64(col("id"), lit(21L)), lit(1000L))).as("px"),
+        when(col("id") < 100, lit(900L) + pmod(col("id") * 7, lit(40)))
+          .otherwise(pmod(xxhash64(col("id"), lit(22L)), lit(1000L))).as("py"))
+      .repartition(32).localCheckpoint()
+    val spBoxes = spark.range(nSpBoxes).select(col("id").as("bid"),
+        when(col("id") === 0, lit(900L))
+          .otherwise(pmod(xxhash64(col("id"), lit(23L)), lit(950L))).as("x0"),
+        when(col("id") === 0, lit(900L))
+          .otherwise(pmod(xxhash64(col("id"), lit(24L)), lit(950L))).as("y0"))
+      .withColumn("x1", col("x0") + when(col("bid") === 0, lit(39L))
+        .otherwise(lit(1L) + pmod(xxhash64(col("bid"), lit(25L)), lit(49L))))
+      .withColumn("y1", col("y0") + when(col("bid") === 0, lit(39L))
+        .otherwise(lit(1L) + pmod(xxhash64(col("bid"), lit(26L)), lit(49L))))
+      .localCheckpoint()
+    val tSp = System.nanoTime()
+    val spJoined = operators.SpatialOps.gridJoinPairs(spPts, spBoxes).localCheckpoint()
+    val spMatches = spJoined.count()
+    val gjSecs = (System.nanoTime() - tSp) / 1e9
+    val spPlanted = spJoined.filter(col("bid") === 0 && col("event_id") < 100).count()
+    println(f"[smoke] grid join: $nSpPts pts × $nSpBoxes boxes -> $spMatches matches " +
+      f"in $gjSecs%.1f s (naive would test ${nSpPts * nSpBoxes} pairs)")
+    assert(spPlanted == 100L, s"planted box matched $spPlanted of 100")
+    report ++= Seq("sp_points" -> nSpPts, "sp_boxes" -> nSpBoxes,
+      "sp_matches" -> spMatches, "sp_secs" -> gjSecs, "sp_planted" -> spPlanted)
+    // nearest facility over the same point cloud
+    val spFac = spark.range(nSpFac).select(col("id").as("fid"),
+        pmod(xxhash64(col("id"), lit(27L)), lit(1000L)).as("fx"),
+        pmod(xxhash64(col("id"), lit(28L)), lit(1000L)).as("fy"))
+    val tNf = System.nanoTime()
+    val assigned = operators.SpatialOps.nearestFacilityAssign(spPts, spFac).localCheckpoint()
+    val nfTotal = assigned.count()
+    val nfSecs = (System.nanoTime() - tNf) / 1e9
+    val nfFallback = assigned
+      .filter(col("d2") > operators.SpatialOps.CellW * operators.SpatialOps.CellW).count()
+    assert(nfTotal == nSpPts, s"every point assigned exactly once: $nfTotal != $nSpPts")
+    // exact check on the planted ids against a driver-side full argmin
+    val facArr = spFac.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gotPlanted = assigned.filter(col("event_id") < 100).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (0L until 100L).foreach { id =>
+      val (px, py) = (900L + id % 40, 900L + id * 7 % 40)
+      val want = facArr.map { case (fid, fx, fy) =>
+        ((px - fx) * (px - fx) + (py - fy) * (py - fy), fid) }.min
+      assert(gotPlanted(id) == ((want._2, want._1)),
+        s"planted point $id assigned ${gotPlanted(id)}, want $want")
+    }
+    println(f"[smoke] nearest facility: $nSpPts pts × $nSpFac facilities in " +
+      f"$nfSecs%.1f s ($nfFallback exact-fallback points); planted argmins exact")
+    report ++= Seq("sp_fac" -> nSpFac, "sp_nf_secs" -> nfSecs,
+      "sp_nf_fallback" -> nfFallback, "sp_nf_planted_exact" -> 100L)
+    println("[smoke] OK — spatial family at " + nSpPts + " points")
+
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_SMOKE.json"),
       jsonOf(report) + "\n")
     println("[smoke] wrote SCALE_SMOKE.json")

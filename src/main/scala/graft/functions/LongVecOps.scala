@@ -18,7 +18,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Left-to-right accumulation over Long is exact and order-independent
   * anyway (wrap-free by the quantization headroom documented at each
   * call site), so swapping a fold for the kernel can never change a
-  * result — specs pin kernel ≡ fold on real embeddings.
+  * result — specs pin kernel ≡ fold on real embeddings AND on the edge
+  * cases below.
+  *
+  * Edge semantics match the fold they replace EXACTLY, so the kernel is
+  * a drop-in even on malformed rows (a truncated embedding from a bad
+  * ingest must surface as NULL, not silently score against a prefix):
+  *   - length mismatch → NULL (`zip_with` pads the shorter side with
+  *     nulls, the lambda nulls the product, `+` propagates);
+  *   - any NULL element → NULL (same propagation);
+  *   - either array NULL → NULL (BinaryExpression's null-safe wrapper).
+  * The per-element null check compiles away when both inputs declare
+  * `containsNull = false` (the shape every graft quantization produces:
+  * `transform(...)` over a non-null source is containsNull=false).
   */
 abstract class LongVecBinary extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -32,6 +44,53 @@ abstract class LongVecBinary extends BinaryExpression {
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = LongType
+
+  /** NULL on length-mismatch / null-element even when the inputs are
+    * declared non-nullable, so the fold equivalence holds row-wise. */
+  override def nullable: Boolean = true
+
+  protected def elementsMayBeNull: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _                => false
+  })
+
+  /** Shared eval-side guard: Some(n) to accumulate over, None → NULL. */
+  protected final def guardedLength(x: ArrayData, y: ArrayData): Option[Int] = {
+    val n = x.numElements()
+    if (n != y.numElements()) return None
+    if (elementsMayBeNull) {
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return None
+        i += 1
+      }
+    }
+    Some(n)
+  }
+
+  /** Shared codegen guard + loop: emits length/null checks mirroring
+    * [[guardedLength]], with `body(i)` as the per-element accumulation. */
+  protected final def guardedLoop(ctx: CodegenContext, ev: ExprCode,
+      a: String, b: String, acc: String, body: String => String): String = {
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    val nullCheck =
+      if (elementsMayBeNull) s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
+    s"""
+       |int $n = $a.numElements();
+       |long $acc = 0L;
+       |if ($n != $b.numElements()) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  for (int $i = 0; $i < $n; $i++) {
+       |    $nullCheck
+       |    ${body(i)}
+       |  }
+       |}
+       |${ev.value} = $acc;
+     """.stripMargin
+  }
 }
 
 /** Σ aᵢ·bᵢ — the integer dot product. */
@@ -41,26 +100,21 @@ case class LongDot(left: Expression, right: Expression) extends LongVecBinary {
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0L
-    var i = 0
-    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
-    acc
+    guardedLength(x, y) match {
+      case None => null
+      case Some(n) =>
+        var acc = 0L
+        var i = 0
+        while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+        acc
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getLong($i) * $b.getLong($i);
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
+      guardedLoop(ctx, ev, a, b, acc,
+        i => s"$acc += $a.getLong($i) * $b.getLong($i);")
     })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
@@ -74,32 +128,26 @@ case class LongSqDist(left: Expression, right: Expression) extends LongVecBinary
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0L
-    var i = 0
-    while (i < n) {
-      val d = x.getLong(i) - y.getLong(i)
-      acc += d * d
-      i += 1
+    guardedLength(x, y) match {
+      case None => null
+      case Some(n) =>
+        var acc = 0L
+        var i = 0
+        while (i < n) {
+          val d = x.getLong(i) - y.getLong(i)
+          acc += d * d
+          i += 1
+        }
+        acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $d = $a.getLong($i) - $b.getLong($i);
-         |  $acc += $d * $d;
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
+      guardedLoop(ctx, ev, a, b, acc,
+        i => s"long $d = $a.getLong($i) - $b.getLong($i); $acc += $d * $d;")
     })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

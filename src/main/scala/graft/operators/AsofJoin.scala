@@ -71,6 +71,39 @@ object AsofJoin {
         leftKey, leftTs, rightKey, rightTs))
   }
 
+  /** Forward direction through the NATIVE operator — the same time
+    * reversal as [[asofJoinForward]], reusing the merge-sweep Exec
+    * untouched: backward-as-of on negated timestamps is forward-as-of
+    * on the originals, tie rules mirrored identically on both paths
+    * (the xxhash64 tiebreak hashes the right row INCLUDING the negated
+    * column, in the same column order the composed form's payload
+    * struct carries, so the winners agree row for row — AsofJoinSpec
+    * pins it). */
+  def asofJoinNativeForward(left: DataFrame, right: DataFrame, leftKey: String,
+                            leftTs: String, rightKey: String, rightTs: String): DataFrame = {
+    val l = left.withColumn("_negts", -col(leftTs))
+    val r = right.withColumn("_negrts", -col(rightTs))
+    asofJoinNative(l, r, leftKey, "_negts", rightKey, "_negrts")
+      .drop("_negts")
+      .withColumn("matched", col("matched").dropFields("_negrts"))
+  }
+
+  /** Tolerance bound through the NATIVE operator (pandas merge_asof's
+    * `tolerance=`, q192's mode on the q123 path). Tolerance stays a
+    * PURE POST-PROJECTION over the unbounded sweep — deliberately NOT
+    * a sweep parameter: the latest preceding right row is also the
+    * closest, so if IT violates the bound every older one does too;
+    * nulling it is a codegen'd projection that changes no shuffle, no
+    * sort, and no operator state, whereas a bound inside the sweep
+    * would save nothing (the same rows are consumed either way). The
+    * whole `matched` struct nulls, matching the composed q192 rule. */
+  def asofJoinNativeTolerance(left: DataFrame, right: DataFrame, leftKey: String,
+                              leftTs: String, rightKey: String, rightTs: String,
+                              tolerance: Long): DataFrame =
+    asofJoinNative(left, right, leftKey, leftTs, rightKey, rightTs)
+      .withColumn("matched",
+        when(col(leftTs) - col(s"matched.$rightTs") <= tolerance, col("matched")))
+
   /** q123: the NATIVE as-of join under the oracle — for every purchase,
     * the most recent view at-or-before it, per user (the "what impression
     * led to this purchase" feed), aggregated like q35 so the lag sum is a
@@ -261,6 +294,52 @@ object AsofJoin {
            |FROM a GROUP BY user_id ORDER BY user_id""".stripMargin)
   )
 
+  /** q244: NEAREST-direction as-of with tolerance through the NATIVE
+    * operator — q193's semantics (merge_asof `direction="nearest"`,
+    * 15-minute tolerance, backward ties) but both passes run
+    * [[graft.plans.AsofJoinExec]]: the backward leg via
+    * [[asofJoinNativeTolerance]], the forward leg via
+    * [[asofJoinNativeForward]] + the same tolerance null-out, and the
+    * identical projection-level arbitration. Same DuckDB oracle as
+    * q193, so the native operator's full merge_asof surface (backward
+    * q123, tolerance, forward, nearest) sits under the hash — a sweep
+    * bug in either direction, or a tie-rule divergence from the
+    * composed path, is a mismatch here. AsofJoinSpec additionally pins
+    * native ≡ composed row-for-row pre-aggregation for both modes. */
+  val q244AsofNativeNearest = QueryDef(
+    "q244_asof_native_nearest",
+    (s, d) => {
+      val TolUs = 15L * 60 * 1000 * 1000
+      val e = Tables.events(s, d).withColumn("ts_us", expr("ts_ns DIV 1000"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"))
+      val back = asofJoinNativeTolerance(purchases, clicks,
+          "user_id", "ts_us", "c_user", "c_ts", TolUs)
+        .withColumn("b_ts", col("matched.c_ts"))
+        .drop("matched")
+      val both = asofJoinNativeForward(back, clicks, "user_id", "ts_us", "c_user", "c_ts")
+        .withColumn("f_ts",
+          when(col("matched.c_ts") - col("ts_us") <= TolUs, col("matched.c_ts")))
+        .drop("matched")
+      val bGap = col("ts_us") - col("b_ts")
+      val fGap = col("f_ts") - col("ts_us")
+      both
+        .withColumn("dir",
+          when(col("b_ts").isNotNull && (col("f_ts").isNull || bGap <= fGap), "b")
+            .when(col("f_ts").isNotNull, "f"))
+        .withColumn("gap", when(col("dir") === "b", bGap).when(col("dir") === "f", fGap))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("dir") === "b", 1L).otherwise(0L)).as("n_backward"),
+          sum(when(col("dir") === "f", 1L).otherwise(0L)).as("n_forward"),
+          coalesce(sum("gap"), lit(0L)).cast(LongType).as("sum_gap_us"))
+        .orderBy("user_id")
+    },
+    q193AsofNearest.oracle
+  )
+
   val all: Seq[QueryDef] = Seq(q35AsofJoin, q123AsofNative, q192AsofTolerance,
-    q193AsofNearest)
+    q193AsofNearest, q244AsofNativeNearest)
 }

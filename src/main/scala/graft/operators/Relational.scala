@@ -906,6 +906,70 @@ object Relational {
            |GROUP BY iid ORDER BY iid""".stripMargin)
   )
 
+  /** q243: LEFT OUTER interval join under the extended
+    * [[graft.plans.BinnedRangeJoin]] rule — q222 proves the inner core;
+    * this is the shape real interval workloads actually run: enrich each
+    * point with its containing interval and KEEP the unmatched rows
+    * (IP→geo with unknown ranges, tariff lookup with gaps). Before
+    * round 7 the rule guarded on `Inner` and this query planned
+    * BroadcastNestedLoopJoin; now the preserved side is the
+    * (non-exploded) point side, so the binned equi-join carries the
+    * LeftOuter type directly — unmatched points null-pad exactly once
+    * (BinnedRangeJoinSpec pins answers ≡ the nested loop for
+    * outer/semi/anti). The result is a coverage histogram: how many
+    * events fall under 0, 1, 2, … intervals — the cov=0 bucket EXISTS
+    * only because null-padded rows survive, so a silently-inner rewrite
+    * is a rowcount mismatch here, not just a value drift. The oracle is
+    * DuckDB's plain LEFT JOIN theta over the same frames. */
+  val q243LeftOuterIntervalJoin = QueryDef(
+    "q243_interval_join_left_outer",
+    (s, d) => {
+      graft.plans.BinnedRangeJoin.install(s)
+      s.conf.set(graft.plans.BinnedRangeJoin.BinWidthKey, RangeBinWidth.toString)
+      try {
+        def md5int(c: Column): Column =
+          pmod(conv(substring(md5(c), 1, 15), 16, 10).cast(LongType),
+            lit(1000000000L))
+        val pts = Tables.events(s, d)
+          .select(col("event_id"),
+            md5int(concat(lit("pt#"), col("event_id").cast("string"))).as("pt"))
+        val ivs = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey").cast(LongType).as("iid"),
+            md5int(concat(lit("iv#"), col("o_orderkey").cast("string"))).as("lo"))
+          .withColumn("hi", col("lo") + RangeBinWidth)
+        pts.join(ivs, col("pt") >= col("lo") && col("pt") <= col("hi"), "left_outer")
+          .groupBy("event_id")
+          .agg(count(col("iid")).as("cov"))
+          .groupBy("cov")
+          .agg(count(lit(1)).as("n_events"),
+            min("event_id").as("first_ev"), max("event_id").as("last_ev"))
+          .localCheckpoint()
+          .orderBy("cov")
+      } finally s.conf.set(graft.plans.BinnedRangeJoin.BinWidthKey, "0")
+    },
+    Some(s"""WITH pts AS (
+           |  SELECT event_id,
+           |    CAST(('0x' || substr(md5('pt#' || event_id), 1, 15)) AS BIGINT)
+           |      % 1000000000 AS pt
+           |  FROM events),
+           |ivs AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS iid,
+           |    CAST(('0x' || substr(md5('iv#' || o_orderkey), 1, 15)) AS BIGINT)
+           |      % 1000000000 AS lo
+           |  FROM orders WHERE o_orderkey % 10 = 0),
+           |cov AS (
+           |  SELECT p.event_id, COUNT(i.iid) AS cov
+           |  FROM pts p LEFT JOIN ivs i
+           |    ON p.pt >= i.lo AND p.pt <= i.lo + $RangeBinWidth
+           |  GROUP BY p.event_id)
+           |SELECT CAST(cov AS BIGINT) AS cov,
+           |  CAST(COUNT(*) AS BIGINT) AS n_events,
+           |  CAST(MIN(event_id) AS BIGINT) AS first_ev,
+           |  CAST(MAX(event_id) AS BIGINT) AS last_ev
+           |FROM cov GROUP BY cov ORDER BY cov""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q01FilterProject, q02GroupAgg, q03Frequencies, q04BroadcastJoin,
     q05MultiJoin, q06LeftOuter, q07SemiJoin, q08AntiJoin, q09RangeJoin,
@@ -913,5 +977,6 @@ object Relational {
     q15SetOps, q16ScalarFns, q17Elementwise, q36Cube, q37Product, q40SqlApi,
     q41WindowZoo, q42StringDate, q43DateArith, q45GroupingSets, q47Pivot,
     q48ArrayOps, q49Unpivot, q50Correlated, q51Percentiles, q58HashSample,
-    q61Histogram, q63StratifiedSample, q154FkOrphans, q222IntervalJoin)
+    q61Histogram, q63StratifiedSample, q154FkOrphans, q222IntervalJoin,
+    q243LeftOuterIntervalJoin)
 }

@@ -24,6 +24,28 @@ object SpatialOps {
   val GridMax = 1000L
   val CellW = 50L
 
+  /** The grid-join core, shared by q224 and the hot-cell skew spec so
+    * the skew story is proven through the SAME code path the query
+    * runs: points carrying (px, py) get their single cell, boxes
+    * carrying (x0, y0, x1, y1) explode to the cells their rectangle
+    * touches, and the shuffled equi-join on the cell pair keeps the
+    * exact bounds as residual. Hot cells (urban cores) are ordinary
+    * key skew on (cx, cy) — AQE's skew-join splits the oversized
+    * partition at runtime with no code change here
+    * (SpatialOpsSpec "hot cell" case plants a cell holding ~30% of
+    * all points and asserts `skew=true` on the executed join). */
+  def gridJoinPairs(pts: DataFrame, boxes: DataFrame): DataFrame = {
+    val p = pts
+      .withColumn("cx", expr(s"px DIV $CellW"))
+      .withColumn("cy", expr(s"py DIV $CellW"))
+    val cells = boxes
+      .withColumn("cx", explode(expr(s"sequence(x0 DIV $CellW, x1 DIV $CellW)")))
+      .withColumn("cy", explode(expr(s"sequence(y0 DIV $CellW, y1 DIV $CellW)")))
+    p.join(cells, Seq("cx", "cy"))
+      .filter(col("px").between(col("x0"), col("x1")) &&
+        col("py").between(col("y0"), col("y1")))
+  }
+
   /** q224: point-in-box spatial grid join — points (from events) land
     * in exactly ONE cell (`(x div C, y div C)`); boxes (from orders)
     * explode to every cell their rectangle touches (`sequence` per
@@ -36,8 +58,13 @@ object SpatialOps {
     *
     * Scale: the cell key distributes the plane across the cluster;
     * hot cells (urban cores) are ordinary key skew — AQE skew-join or
-    * q84's salting applies unchanged. Cell width is the q222 knob: ~one
-    * box edge, so boxes explode to ≲4 cells. */
+    * q84's salting applies unchanged, and this is proven LIVE, not
+    * asserted: SpatialOpsSpec's "hot cell" case drives a fixture with
+    * one cell holding ~30% of all points through [[gridJoinPairs]]
+    * (this query's exact code path) and asserts the executed join ran
+    * with `skew=true` — AQE split the oversized partition — while
+    * still equalling the brute-force answer. Cell width is the q222
+    * knob: ~one box edge, so boxes explode to ≲4 cells. */
   val q224GridJoin = QueryDef(
     "q224_grid_join",
     (s, d) => {
@@ -48,8 +75,6 @@ object SpatialOps {
         .select(col("event_id"),
           pmod(col("h"), lit(GridMax)).as("px"),
           pmod(expr("h DIV 1000"), lit(GridMax)).as("py"))
-        .withColumn("cx", expr(s"px DIV $CellW"))
-        .withColumn("cy", expr(s"py DIV $CellW"))
       val boxes = Tables.orders(s, d)
         .filter(col("o_orderkey") % 20 === 0)
         .select(col("o_orderkey").cast(LongType).as("bid"),
@@ -62,12 +87,7 @@ object SpatialOps {
         .select(col("bid"), col("x0"), col("y0"),
           least(col("x0") + col("w"), lit(GridMax - 1)).as("x1"),
           least(col("y0") + col("hh"), lit(GridMax - 1)).as("y1"))
-      val cells = boxes
-        .withColumn("cx", explode(expr(s"sequence(x0 DIV $CellW, x1 DIV $CellW)")))
-        .withColumn("cy", explode(expr(s"sequence(y0 DIV $CellW, y1 DIV $CellW)")))
-      pts.join(cells, Seq("cx", "cy"))
-        .filter(col("px").between(col("x0"), col("x1")) &&
-          col("py").between(col("y0"), col("y1")))
+      gridJoinPairs(pts, boxes)
         .groupBy("bid")
         .agg(count(lit(1)).as("n_pts"), min("px").as("min_px"),
           max("py").as("max_py"))
@@ -118,6 +138,46 @@ object SpatialOps {
     * facilities do, ×9, and |F| ≪ |P|); pass 2 touches only the
     * fallback slice with a broadcast of the (metadata-sized) facility
     * table. Per-facility report is one hash agg. */
+  /** The q231 two-pass assignment core, shared with the ScaleSmoke
+    * spatial phase so the ≥1M-point figures run this exact code path:
+    * points (event_id, px, py) × facilities (fid, fx, fy) →
+    * (event_id, fid, d2) with fid the TRUE squared-L2 argmin (fid
+    * tie-break). Pass 1 probes the 3×3 cell ring and keeps a winner
+    * only when provably global (d² ≤ CellW²); pass 2 brute-forces the
+    * rest against the broadcast facility table. */
+  def nearestFacilityAssign(pts: DataFrame, fac0: DataFrame): DataFrame = {
+    val fac = fac0.localCheckpoint()
+    val d2 = (ax: Column, ay: Column, bx: Column, by: Column) =>
+      (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+    // facilities replicated to their 3×3 cell neighborhood
+    val facCells = fac
+      .withColumn("dxy", explode(expr(
+        "transform(sequence(0, 8), i -> struct(i DIV 3 - 1 AS dx, i % 3 - 1 AS dy))")))
+      .select(col("fid"), col("fx"), col("fy"),
+        (expr(s"fx DIV $CellW") + col("dxy.dx")).as("cx"),
+        (expr(s"fy DIV $CellW") + col("dxy.dy")).as("cy"))
+    val probed = pts
+      .withColumn("cx", expr(s"px DIV $CellW"))
+      .withColumn("cy", expr(s"py DIV $CellW"))
+      .join(facCells, Seq("cx", "cy"))
+      .select(col("event_id"), col("px"), col("py"),
+        struct(d2(col("px"), col("py"), col("fx"), col("fy")).as("d2"),
+          col("fid")).as("cand"))
+      .groupBy("event_id", "px", "py").agg(min("cand").as("best"))
+      // only a ring-winner CLOSER than one cell width is provably global
+      .filter(col("best.d2") <= lit(CellW * CellW))
+      .select(col("event_id"), col("best.fid").as("fid"), col("best.d2").as("d2"))
+    val fallback = pts
+      .join(probed.select("event_id"), Seq("event_id"), "left_anti")
+      .crossJoin(broadcast(fac))
+      .select(col("event_id"),
+        struct(d2(col("px"), col("py"), col("fx"), col("fy")).as("d2"),
+          col("fid")).as("cand"))
+      .groupBy("event_id").agg(min("cand").as("best"))
+      .select(col("event_id"), col("best.fid").as("fid"), col("best.d2").as("d2"))
+    probed.unionByName(fallback)
+  }
+
   val q231NearestFacility = QueryDef(
     "q231_nearest_facility",
     (s, d) => {
@@ -135,36 +195,7 @@ object SpatialOps {
         .select(col("fid"),
           pmod(col("h"), lit(GridMax)).as("fx"),
           pmod(expr("h DIV 1000"), lit(GridMax)).as("fy"))
-        .localCheckpoint()
-      val d2 = (ax: Column, ay: Column, bx: Column, by: Column) =>
-        (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
-      // facilities replicated to their 3×3 cell neighborhood
-      val facCells = fac
-        .withColumn("dxy", explode(expr(
-          "transform(sequence(0, 8), i -> struct(i DIV 3 - 1 AS dx, i % 3 - 1 AS dy))")))
-        .select(col("fid"), col("fx"), col("fy"),
-          (expr(s"fx DIV $CellW") + col("dxy.dx")).as("cx"),
-          (expr(s"fy DIV $CellW") + col("dxy.dy")).as("cy"))
-      val probed = pts
-        .withColumn("cx", expr(s"px DIV $CellW"))
-        .withColumn("cy", expr(s"py DIV $CellW"))
-        .join(facCells, Seq("cx", "cy"))
-        .select(col("event_id"), col("px"), col("py"),
-          struct(d2(col("px"), col("py"), col("fx"), col("fy")).as("d2"),
-            col("fid")).as("cand"))
-        .groupBy("event_id", "px", "py").agg(min("cand").as("best"))
-        // only a ring-winner CLOSER than one cell width is provably global
-        .filter(col("best.d2") <= lit(CellW * CellW))
-        .select(col("event_id"), col("best.fid").as("fid"), col("best.d2").as("d2"))
-      val fallback = pts
-        .join(probed.select("event_id"), Seq("event_id"), "left_anti")
-        .crossJoin(broadcast(fac))
-        .select(col("event_id"),
-          struct(d2(col("px"), col("py"), col("fx"), col("fy")).as("d2"),
-            col("fid")).as("cand"))
-        .groupBy("event_id").agg(min("cand").as("best"))
-        .select(col("event_id"), col("best.fid").as("fid"), col("best.d2").as("d2"))
-      probed.unionByName(fallback)
+      nearestFacilityAssign(pts, fac)
         .groupBy("fid")
         .agg(count(lit(1)).as("n_assigned"), sum("d2").as("sum_d2"),
           max("d2").as("max_d2"))

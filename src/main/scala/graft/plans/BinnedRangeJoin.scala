@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
@@ -36,13 +36,32 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * disabled); pick it near the typical interval length so intervals
   * explode to ~2 bins.
   *
-  * Scope guards: inner joins only; both bounds must be integral; the
-  * point expression must reference exactly one side and both bounds the
-  * other; any equality conjunct between the sides disables the rewrite
-  * (Spark already has a hash key — and the guard also makes the rule
+  * Join types: the rewrite keeps the ORIGINAL join type whenever the
+  * side the type PRESERVES (or projects) is the point side, because the
+  * point side is never exploded — each point row still occurs exactly
+  * once on its side of the equi-join, and each qualifying pair still
+  * meets in exactly one bin, so per-row match multiplicity (and hence
+  * null-padding / semi dedup / anti complement) is unchanged:
+  *   - Inner: either orientation (as before);
+  *   - LeftOuter with the point on the left (enrich events with their
+  *     containing interval and KEEP the unmatched — IP→geo with
+  *     unknowns, tariff lookup with gaps);
+  *   - RightOuter with the point on the right (same shape, mirrored);
+  *   - LeftSemi / LeftAnti with the point on the left (points covered
+  *     by some interval / by none).
+  * When the preserved side is the INTERVAL side (LeftOuter point-right,
+  * RightOuter point-left, FullOuter, interval-side semi/anti) the
+  * explode would multiply preserved rows across bins, so those shapes
+  * are left to the default planner untouched.
+  *
+  * Scope guards: both bounds must be integral; the point expression
+  * must reference exactly one side and both bounds the other; any
+  * equality conjunct between the sides disables the rewrite (Spark
+  * already has a hash key — and the guard also makes the rule
   * idempotent, since the rewritten join carries `ptbin = ivbin`).
   * Intervals with `lo > hi` are filtered before the explode (they can
-  * never match, and `sequence()` would reject them).
+  * never match, and `sequence()` would reject them); for the outer
+  * types this is sound because the interval side is never preserved.
   */
 object BinnedRangeJoin extends Rule[LogicalPlan] {
 
@@ -81,7 +100,7 @@ object BinnedRangeJoin extends Rule[LogicalPlan] {
     val w = binWidth
     if (w <= 0) return plan
     plan.transform {
-      case j @ Join(left, right, Inner, Some(cond), hint) =>
+      case j @ Join(left, right, jt, Some(cond), hint) if rewritableType(jt) =>
         val conj = splitConj(cond)
         def side(e: Expression): Option[Boolean] = {
           val r = e.references
@@ -114,6 +133,7 @@ object BinnedRangeJoin extends Rule[LogicalPlan] {
         }
         candidate match {
           case None => j
+          case Some((pt, lo, hi)) if !typeAllows(jt, ptOnLeft = side(pt).get) => j
           case Some((pt, lo, hi)) =>
             val ptOnLeft = side(pt).get
             val (ptSide, ivSide) = if (ptOnLeft) (left, right) else (right, left)
@@ -137,11 +157,25 @@ object BinnedRangeJoin extends Rule[LogicalPlan] {
               generatorOutput = Seq(binAttr), child = ivFiltered)
             val newCond = And(EqualTo(ptBin.toAttribute, binAttr), cond)
             val rejoined =
-              if (ptOnLeft) Join(pProj, gen, Inner, Some(newCond), hint)
-              else Join(gen, pProj, Inner, Some(newCond), hint)
+              if (ptOnLeft) Join(pProj, gen, jt, Some(newCond), hint)
+              else Join(gen, pProj, jt, Some(newCond), hint)
             Project(j.output, rejoined)
         }
     }
+  }
+
+  private def rewritableType(jt: JoinType): Boolean = jt match {
+    case Inner | LeftOuter | RightOuter | LeftSemi | LeftAnti => true
+    case _ => false
+  }
+
+  /** The preserved/projected side must be the (non-exploded) point side:
+    * a preserved interval row would otherwise appear once PER BIN. */
+  private def typeAllows(jt: JoinType, ptOnLeft: Boolean): Boolean = jt match {
+    case Inner => true
+    case LeftOuter | LeftSemi | LeftAnti => ptOnLeft
+    case RightOuter => !ptOnLeft
+    case _ => false
   }
 
   /** Idempotently install on a live session (the BandedLevenshtein twin). */

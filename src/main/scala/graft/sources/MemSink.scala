@@ -30,6 +30,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * behavior itself is testable in-process.
   */
 object MemStore {
+  /** Capacity gate, the `Components.localThreshold` pattern: the store
+    * IS driver memory — that is the point of the sink (the two-phase
+    * commit protocol reduced to in-process testable semantics), not an
+    * accident, so the bound is explicit and asserted at commit instead
+    * of surfacing as a driver OOM mid-install. A production sink at
+    * 100 TB keeps this exact protocol but ships FILES in the commit
+    * messages (manifest-sized, not row-sized) — rows never visit the
+    * driver; this cap marks where the in-memory reduction stops being
+    * faithful to that. Commits that would leave a table above the cap
+    * are rejected whole (the previous committed version stays). */
+  val MaxCommittedRows: Long = 50L * 1000 * 1000
+
   /** name → (schema, committed rows). Volatile map + full-replace swap
     * per commit = atomic visibility for readers. */
   private val tables = new java.util.concurrent.ConcurrentHashMap[String, (StructType, Vector[InternalRow])]()
@@ -41,18 +53,54 @@ object MemStore {
   def rows(name: String): Vector[InternalRow] = tables.get(name)._2
   def drop(name: String): Unit = tables.remove(name)
   def commitAppend(name: String, rows: Seq[InternalRow]): Unit =
-    tables.compute(name, (_, prev) => (prev._1, prev._2 ++ rows))
+    tables.compute(name, (_, prev) => {
+      requireCapacity(name, prev._2.size.toLong + rows.size)
+      (prev._1, prev._2 ++ rows)
+    })
   def commitTruncate(name: String, rows: Seq[InternalRow]): Unit =
-    tables.compute(name, (_, prev) => (prev._1, rows.toVector))
+    tables.compute(name, (_, prev) => {
+      requireCapacity(name, rows.size.toLong)
+      (prev._1, rows.toVector)
+    })
+  /** Row-level delete: keep the survivors, one atomic swap. If `keep`
+    * throws mid-scan, `compute` rethrows and the mapping is left
+    * UNCHANGED — a failed delete never exposes a partial version. */
+  def commitDelete(name: String, keep: InternalRow => Boolean): Unit =
+    tables.compute(name, (_, prev) => (prev._1, prev._2.filter(keep)))
+
+  private def requireCapacity(name: String, wouldBe: Long): Unit =
+    require(wouldBe <= MaxCommittedRows,
+      s"graft_mem($name): commit would install $wouldBe rows > " +
+        s"MaxCommittedRows=$MaxCommittedRows — the in-memory sink is " +
+        "driver-bounded by design; write a file-backed table instead")
 }
 
 class MemTable(name: String) extends Table with SupportsRead with SupportsWrite
-    with TruncatableTable {
+    with TruncatableTable with SupportsDelete {
   override def name(): String = s"graft_mem($name)"
   override def schema(): StructType = MemStore.schemaOf(name)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
+
+  /** Row-level DELETE WHERE, the `SupportsDelete` metadata-delete shape:
+    * Spark translates the WHERE clause to source [[Filter]]s (the same
+    * pushdown currency scans use) and hands the CONJUNCTION here; rows
+    * matching every filter are deleted in one atomic store swap — the
+    * DSv2 analogue of a partition/file-level delete in parquet/Iceberg,
+    * where the condition must be decidable from pushed metadata alone.
+    * `canDeleteWhere` admits only filters this table can evaluate
+    * EXACTLY (else Spark must not call `deleteWhere` — a partial
+    * evaluation would silently delete the wrong rows), and a rejected
+    * or failed delete leaves the committed version intact
+    * (SourcesSpec pins both). q245 puts the whole path under the
+    * DuckDB oracle: delete a deterministic slice, hash the survivors. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(MemFilterEval.supported(_, schema()))
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    MemStore.commitDelete(name,
+      row => !filters.forall(MemFilterEval.eval(_, row, schema())))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan with Batch {
@@ -85,6 +133,105 @@ class MemTable(name: String) extends Table with SupportsRead with SupportsWrite
         override def toBatch: BatchWrite = new MemBatchWrite(name, doTruncate)
       }
     }
+}
+
+/** Interprets V1 source [[org.apache.spark.sql.sources.Filter]]s against
+  * committed [[InternalRow]]s for [[MemTable.deleteWhere]]. Exactness
+  * contract: [[supported]] admits a filter iff [[eval]] decides it
+  * EXACTLY for every row of the schema — the two are case-aligned, so a
+  * shape `supported` admits can never reach `eval`'s fallback throw. */
+object MemFilterEval {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.types._
+
+  private def field(schema: StructType, name: String): Option[(Int, DataType)] =
+    if (!schema.fieldNames.contains(name)) None
+    else { val i = schema.fieldIndex(name); Some((i, schema(i).dataType)) }
+
+  private def comparableType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DoubleType |
+         FloatType | StringType | BooleanType => true
+    case _ => false
+  }
+
+  def supported(f: Filter, schema: StructType): Boolean = f match {
+    case EqualTo(a, _) => has(schema, a)
+    case EqualNullSafe(a, _) => has(schema, a)
+    case GreaterThan(a, _) => has(schema, a)
+    case GreaterThanOrEqual(a, _) => has(schema, a)
+    case LessThan(a, _) => has(schema, a)
+    case LessThanOrEqual(a, _) => has(schema, a)
+    case In(a, _) => has(schema, a)
+    case IsNull(a) => has(schema, a)
+    case IsNotNull(a) => has(schema, a)
+    case And(l, r) => supported(l, schema) && supported(r, schema)
+    case Or(l, r) => supported(l, schema) && supported(r, schema)
+    case Not(c) => supported(c, schema)
+    case AlwaysTrue() | AlwaysFalse() => true
+    case _ => false // StringContains etc.: refuse, Spark keeps the table intact
+  }
+
+  private def has(schema: StructType, a: String): Boolean =
+    schema.fieldNames.contains(a) && comparableType(schema(schema.fieldIndex(a)).dataType)
+
+  /** SQL three-valued logic reduced to "does this row get deleted":
+    * a NULL comparison is not-true, which for DELETE means keep. */
+  def eval(f: Filter, row: InternalRow, schema: StructType): Boolean = f match {
+    case EqualTo(a, v) => cmp(get(row, a, schema), v).contains(0)
+    case EqualNullSafe(a, v) =>
+      val g = get(row, a, schema)
+      if (g == null || v == null) g == null && v == null else cmp(g, v).contains(0)
+    case GreaterThan(a, v) => cmp(get(row, a, schema), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(get(row, a, schema), v).exists(_ >= 0)
+    case LessThan(a, v) => cmp(get(row, a, schema), v).exists(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(get(row, a, schema), v).exists(_ <= 0)
+    case In(a, vs) =>
+      val g = get(row, a, schema)
+      g != null && vs.exists(v => v != null && cmp(g, v).contains(0))
+    case IsNull(a) => get(row, a, schema) == null
+    case IsNotNull(a) => get(row, a, schema) != null
+    case And(l, r) => eval(l, row, schema) && eval(r, row, schema)
+    case Or(l, r) => eval(l, row, schema) || eval(r, row, schema)
+    case Not(c) => !eval(c, row, schema)
+    case AlwaysTrue() => true
+    case AlwaysFalse() => false
+    case other => throw new UnsupportedOperationException(
+      s"mem delete: unsupported filter $other (canDeleteWhere must have refused)")
+  }
+
+  private def get(row: InternalRow, a: String, schema: StructType): Any =
+    field(schema, a) match {
+      case Some((i, dt)) =>
+        if (row.isNullAt(i)) null
+        else dt match {
+          case LongType => row.getLong(i)
+          case IntegerType => row.getInt(i)
+          case ShortType => row.getShort(i)
+          case ByteType => row.getByte(i)
+          case DoubleType => row.getDouble(i)
+          case FloatType => row.getFloat(i)
+          case StringType => row.getUTF8String(i).toString
+          case BooleanType => row.getBoolean(i)
+          case other => throw new UnsupportedOperationException(
+            s"mem delete: unsupported column type $other")
+        }
+      case None => throw new IllegalArgumentException(s"mem delete: no column $a")
+    }
+
+  /** None = incomparable-because-null (three-valued: the comparison is
+    * not true). Numeric widths unify through Long/Double. */
+  private def cmp(g: Any, v: Any): Option[Int] = (g, v) match {
+    case (null, _) | (_, null) => None
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Double, y: Number) => Some(java.lang.Double.compare(x, y.doubleValue))
+    case (x: Float, y: Number) => Some(java.lang.Double.compare(x.toDouble, y.doubleValue))
+    case (x: Number, y: java.lang.Double) => Some(java.lang.Double.compare(x.doubleValue, y))
+    case (x: Number, y: java.lang.Float) => Some(java.lang.Double.compare(x.doubleValue, y.doubleValue))
+    case (x: Number, y: Number) => Some(java.lang.Long.compare(x.longValue, y.longValue))
+    case (x, y) => throw new UnsupportedOperationException(
+      s"mem delete: incomparable ${x.getClass.getSimpleName} vs ${y.getClass.getSimpleName}")
+  }
 }
 
 case class MemPartition(rows: Vector[InternalRow]) extends InputPartition

@@ -604,6 +604,50 @@ object SynthSource {
            |FROM lineitem GROUP BY 1, 2 ORDER BY flag, status""".stripMargin)
   )
 
+  /** q245: DSv2 row-level DELETE under the oracle — the missing verb on
+    * the [[MemTable]] connector after q228's two-phase-commit write:
+    * `DELETE FROM ... WHERE` plans as a metadata delete ([[MemTable]]
+    * implements `SupportsDelete`), Spark translating the WHERE to
+    * source filters — the same pushdown currency the scans use — and
+    * the table removing the matching rows in ONE atomic swap (a failed
+    * or refused delete leaves the committed version intact;
+    * SourcesSpec pins both paths). The deleted slice is deterministic
+    * (`flag = 'R' AND k <= 30000 OR pk IN (...)`, exercising
+    * comparison, conjunction, disjunction and IN through the
+    * evaluator) and the SURVIVOR set is aggregated and hash-compared
+    * against DuckDB computing `WHERE NOT (slice)` directly on
+    * lineitem — a delete that drops too much, too little, or
+    * non-atomically is a mismatch. */
+  val q245Dsv2Delete = graft.QueryDef(
+    "q245_dsv2_delete",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      val src = graft.Tables.lineitem(s, d).select(
+        col("l_orderkey").cast("long").as("k"),
+        col("l_partkey").cast("long").as("pk"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_returnflag").as("flag"))
+      s.sql("DROP TABLE IF EXISTS graft.mem_del")
+      src.writeTo("graft.mem_del").create()
+      s.sql("""DELETE FROM graft.mem_del
+              |WHERE (flag = 'R' AND k <= 30000) OR pk IN (1, 7, 13)""".stripMargin)
+      s.table("graft.mem_del")
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"),
+          sum("k").as("sum_k"), max("pk").as("max_pk"))
+        .orderBy("flag")
+    },
+    Some("""SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_k,
+           |  CAST(MAX(l_partkey) AS BIGINT) AS max_pk
+           |FROM lineitem
+           |WHERE NOT ((l_returnflag = 'R' AND l_orderkey <= 30000)
+           |           OR l_partkey IN (1, 7, 13))
+           |GROUP BY 1 ORDER BY flag""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q208Dsv2Scan, q209Dsv2AggPushdown,
-    q210Dsv2TopN, q215SpjJoin, q216RuntimePrune, q228WriteRoundtrip)
+    q210Dsv2TopN, q215SpjJoin, q216RuntimePrune, q228WriteRoundtrip,
+    q245Dsv2Delete)
 }

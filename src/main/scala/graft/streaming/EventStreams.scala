@@ -1019,13 +1019,23 @@ object EventStreams {
     * (Q225 spec captures the executed micro-batch plan and asserts no
     * BroadcastNestedLoopJoin ran).
     *
-    * The join is STATELESS (static side, inner), so no watermark is
-    * involved and the sentinel rows are filtered inside the plan (the
-    * stateful-only caveat on [[drainAvailableNow]]'s note does not
-    * apply). The bin-width conf stays set across the whole drain — the
-    * rule reads it at each batch's optimization — and is restored
-    * after. Post-drain, the sink rows aggregate per interval and must
-    * hash-match DuckDB's batch theta join.
+    * Round 7: the lookup is LEFT OUTER — the shape real enrichment
+    * pipelines run (an event whose point falls in no known range must
+    * still reach the sink, tagged unknown, not be silently dropped).
+    * Since the rule's round-7 extension rewrites LeftOuter when the
+    * preserved side is the (non-exploded) point side, every micro-batch
+    * still takes the binned path; unmatched events land in the iid = -1
+    * bucket, whose row EXISTS in the result only because null-padded
+    * rows survive the join — an accidentally-inner plan is a missing
+    * group here, not a value drift.
+    *
+    * The join is STATELESS (static side, stream-left outer), so no
+    * watermark is involved and the sentinel rows are filtered inside
+    * the plan (the stateful-only caveat on [[drainAvailableNow]]'s note
+    * does not apply). The bin-width conf stays set across the whole
+    * drain — the rule reads it at each batch's optimization — and is
+    * restored after. Post-drain, the sink rows aggregate per interval
+    * and must hash-match DuckDB's batch LEFT JOIN theta.
     *
     * 100 TB/day shape: per batch the stream side shuffles once on the
     * bin key and the static interval side is re-broadcast/exploded from
@@ -1049,8 +1059,9 @@ object EventStreams {
           st.filter(col("event_type") =!= "__sentinel__")
             .select(col("event_id"),
               md5int(concat(lit("pt#"), col("event_id").cast("string"))).as("pt"))
-            .join(ivs, col("pt") >= col("lo") && col("pt") <= col("hi"))
-            .select(col("event_id"), col("iid"), col("pt"))
+            .join(ivs, col("pt") >= col("lo") && col("pt") <= col("hi"), "left_outer")
+            .select(col("event_id"), coalesce(col("iid"), lit(-1L)).as("iid"),
+              col("pt"))
         }
         sunk.groupBy("iid")
           .agg(count(lit(1)).as("n_hits"), min("pt").as("first_pt"),
@@ -1068,12 +1079,12 @@ object EventStreams {
            |    CAST(('0x' || substr(md5('iv#' || o_orderkey), 1, 15)) AS BIGINT)
            |      % 1000000000 AS lo
            |  FROM orders WHERE o_orderkey % 10 = 0)
-           |SELECT iid, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           |SELECT COALESCE(iid, -1) AS iid, CAST(COUNT(*) AS BIGINT) AS n_hits,
            |  CAST(MIN(pt) AS BIGINT) AS first_pt,
            |  CAST(MAX(pt) AS BIGINT) AS last_pt
-           |FROM pts JOIN ivs
+           |FROM pts LEFT JOIN ivs
            |  ON pt >= lo AND pt <= lo + ${graft.operators.Relational.RangeBinWidth}
-           |GROUP BY iid ORDER BY iid""".stripMargin)
+           |GROUP BY 1 ORDER BY iid""".stripMargin)
   )
 
   final case class TypeAgg(user_id: Long, event_type: String, n: Long, sv_x1k: Long)

@@ -104,6 +104,40 @@ class AsofJoinSpec extends SparkSpec {
       s"sorts must be partition-local:\n$plan")
   }
 
+  test("native tolerance / forward / nearest ≡ the composed formulations, row for row") {
+    val TolUs = 10L * 60 * 1000 * 1000
+    val e = graft.Tables.events(spark, sfDir).withColumn("ts_us", expr("ts_ns DIV 1000"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("matched.c_ts").as("m_ts"))
+      .orderBy("user_id", "ts_us", "event_id")
+      .collect().toSeq
+    // tolerance: composed post-filter ≡ native post-projection
+    val composedTol = canon(
+      AsofJoin.asofJoin(purchases, clicks, "user_id", "ts_us", "c_user", "c_ts")
+        .withColumn("matched",
+          when(col("ts_us") - col("matched.c_ts") <= TolUs, col("matched"))))
+    val nativeTol = canon(AsofJoin.asofJoinNativeTolerance(
+      purchases, clicks, "user_id", "ts_us", "c_user", "c_ts", TolUs))
+    assert(nativeTol == composedTol, "native tolerance diverges from composed")
+    assert(nativeTol.exists(_.isNullAt(3)) && nativeTol.exists(!_.isNullAt(3)),
+      "fixture must exercise both stale-nulled and in-tolerance matches")
+    // forward: time-reversed native sweep ≡ time-reversed composed window
+    val composedFwd = canon(AsofJoin.asofJoinForward(
+      purchases, clicks, "user_id", "ts_us", "c_user", "c_ts"))
+    val nativeFwd = canon(AsofJoin.asofJoinNativeForward(
+      purchases, clicks, "user_id", "ts_us", "c_user", "c_ts"))
+    assert(nativeFwd == composedFwd, "native forward diverges from composed")
+    // nearest: the full q193-vs-q244 arbitration, aggregated report
+    val composedNear = AsofJoin.q193AsofNearest.run(spark, sfDir).collect().toSeq
+    val nativeNear = AsofJoin.q244AsofNativeNearest.run(spark, sfDir).collect().toSeq
+    assert(nativeNear == composedNear, "native nearest diverges from composed")
+  }
+
   test("forward as-of ≡ brute-force earliest-at-or-after; tolerance/nearest ≡ brute walk") {
     val e = graft.Tables.events(spark, sfDir).withColumn("ts_us", expr("ts_ns DIV 1000"))
     val purchases = e.filter(col("event_type") === "purchase")

@@ -49,6 +49,61 @@ class SpatialOpsSpec extends SparkSpec {
       s"grid join must not nest loops:\n$p")
   }
 
+  test("hot cell: AQE skew-join splits the oversized cell partition; answers stay exact") {
+    // One cell holding ~30% of ALL points — the urban-core shape the
+    // q224 scaladoc claims AQE absorbs. Proven live through
+    // gridJoinPairs (q224's exact code path): the executed join must
+    // carry skew=true AND still equal brute force.
+    import spark.implicits._
+    val n = 150000L
+    val hot = 45000L // 30% in cell (0, 0)
+    val pts = spark.range(n).select(col("id"),
+      when(col("id") < hot, pmod(col("id") * 7919, lit(50)))
+        .otherwise(pmod(col("id") * 6271, lit(1000))).as("px"),
+      when(col("id") < hot, pmod(col("id") * 4409, lit(50)))
+        .otherwise(pmod(col("id") * 9973, lit(1000))).as("py"))
+    val boxes = spark.range(40).select(col("id").as("bid"),
+      pmod(col("id") * 5003, lit(960)).as("x0"),
+      pmod(col("id") * 3511, lit(960)).as("y0"))
+      .withColumn("x1", col("x0") + 39)
+      .withColumn("y1", col("y0") + 39)
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32k")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = SpatialOps.gridJoinPairs(pts, boxes)
+        .groupBy("bid").agg(count(lit(1)).as("n_pts"))
+      val got = joined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must have split the hot-cell partition (skew=true missing):\n$plan")
+      // brute force on the same deterministic formulas, driver-side
+      val ptArr = (0L until n).map { id =>
+        if (id < hot) (id * 7919 % 50, id * 4409 % 50)
+        else (id * 6271 % 1000, id * 9973 % 1000)
+      }
+      val brute = (0L until 40L).flatMap { bid =>
+        val x0 = bid * 5003 % 960; val y0 = bid * 3511 % 960
+        val c = ptArr.count { case (px, py) =>
+          px >= x0 && px <= x0 + 39 && py >= y0 && py <= y0 + 39 }
+        if (c > 0) Some(bid -> c.toLong) else None
+      }.toMap
+      assert(got == brute, "skew-split join must equal the quadratic ground truth")
+      // the fixture really is skewed: the hot cell dominates
+      assert(ptArr.count { case (px, py) => px < 50 && py < 50 } >= hot,
+        "hot cell must hold ~30% of points")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q231: assignments equal brute force; both ring and fallback paths are live") {
     val d = "/root/testdata/sf0.01" // dense enough that both paths engage
     val out = SpatialOps.q231NearestFacility.run(spark, d).collect()

@@ -198,6 +198,48 @@ class VectorOpsSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
   }
 
+  test("long_dot/long_sqdist edge guards ≡ the folds: length mismatch, null element, null array") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    // a malformed-ingest fixture: matched pair, truncated pair, null
+    // element on either side, a whole-array null — the fold NULLs all of
+    // them and the kernel must agree row-by-row
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("a", ArrayType(LongType, containsNull = true)),
+      StructField("b", ArrayType(LongType, containsNull = true))))
+    val rows = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+        Row(2L, Seq(1L, 2L), Seq(4L, 5L, 6L)),
+        Row(3L, Seq(1L, 2L, 3L, 4L), Seq(4L, 5L, 6L)),
+        Row(4L, Seq[Any](1L, null, 3L), Seq(4L, 5L, 6L)),
+        Row(5L, Seq(1L, 2L, 3L), Seq[Any](4L, 5L, null)),
+        Row(6L, null, Seq(4L, 5L, 6L)),
+        Row(7L, Seq.empty[Long], Seq.empty[Long]))), schema)
+    val both = rows.select(col("id"),
+      expr("long_dot(a, b)").as("kd"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (p, x) -> p + x)").as("fd"),
+      expr("long_sqdist(a, b)").as("ks"),
+      expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, (p, x) -> p + x)").as("fs"))
+    val got = both.collect().map(r => (r.getLong(0),
+      Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toSeq
+    got.foreach { case (id, kd, fd, ks, fs) =>
+      assert(kd == fd, s"row $id: long_dot $kd must equal fold $fd")
+      assert(ks == fs, s"row $id: long_sqdist $ks must equal fold $fs")
+    }
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2.contains(32L), "matched pair still scores")
+    assert(Seq(2L, 3L, 4L, 5L, 6L).forall(byId(_)._2.isEmpty),
+      "truncated / null-element / null-array rows are NULL, not prefix-scored")
+    assert(byId(7L)._2.contains(0L), "empty≡empty is 0, not NULL")
+    // the guards run through codegen, not an interpreted fallback
+    val p = both.queryExecution.executedPlan.toString
+    assert(p.contains("long_dot") && p.contains("long_sqdist"))
+  }
+
   test("q221: confusion matrix equals a driver-side NCM recompute; counts conserve") {
     import org.apache.spark.sql.functions._
     val out = VectorOps.q221NcmClassifier.run(spark, sfDir).collect()

@@ -47,6 +47,57 @@ class BinnedRangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("left-outer / left-semi / left-anti with the point on the left: same answers, no nested loop") {
+    val cond = col("pt") >= col("lo") && col("pt") <= col("hi")
+    val types = Seq("left_outer", "left_semi", "left_anti")
+    val base = types.map(t =>
+      t -> points.join(intervals, cond, t).collect().map(_.toSeq).toSet).toMap
+    // sanity: the fixture exercises all three behaviors
+    assert(base("left_outer").exists(_.contains(null)), "fixture must have unmatched points")
+    assert(base("left_semi").nonEmpty && base("left_anti").nonEmpty)
+    assert(base("left_semi").size + base("left_anti").size == points.count(),
+      "semi + anti must partition the point side")
+    withRule(50L) {
+      types.foreach { t =>
+        val r = points.join(intervals, cond, t)
+        assert(r.collect().map(_.toSeq).toSet == base(t), s"$t answers must be invariant")
+        val p = r.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+          s"$t interval join must not nest loops under the rule:\n$p")
+        assert(p.contains("graft_ptbin"), s"$t must take the binned path:\n$p")
+      }
+      // right-outer with the point on the RIGHT is the mirrored preserved-
+      // point shape — also rewritten
+      val ro = intervals.join(points, cond, "right_outer")
+      val baseRo = {
+        spark.conf.set(BinnedRangeJoin.BinWidthKey, "0")
+        try intervals.join(points, cond, "right_outer").collect().map(_.toSeq).toSet
+        finally spark.conf.set(BinnedRangeJoin.BinWidthKey, "50")
+      }
+      assert(ro.collect().map(_.toSeq).toSet == baseRo)
+      assert(ro.queryExecution.executedPlan.toString.contains("graft_ptbin"))
+    }
+  }
+
+  test("preserved-interval shapes are NOT rewritten (explode would duplicate preserved rows)") {
+    val cond = col("pt") >= col("lo") && col("pt") <= col("hi")
+    withRule(50L) {
+      // left-outer preserving the INTERVAL side; full outer; interval-side semi
+      val shapes = Seq(
+        intervals.join(points, cond, "left_outer"),
+        points.join(intervals, cond, "full_outer"),
+        intervals.join(points, cond, "left_semi"))
+      shapes.foreach { df =>
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("graft_ptbin"), s"preserved-interval shape must not be rewritten:\n$p")
+      }
+      // and the un-rewritten plans still answer correctly (rule is a no-op)
+      val lo = intervals.join(points, cond, "left_outer")
+      assert(lo.filter(col("pt").isNull).count() == 2,
+        "inverted interval 5 and point-gap interval 2 are unmatched")
+    }
+  }
+
   test("guards: equi conjunct present, or rule disabled, leaves the plan alone") {
     val equi = points.withColumn("k1", col("pt") % 10)
       .join(intervals.withColumn("k2", col("iid") % 10),

@@ -345,6 +345,50 @@ class SourcesSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mem_atomic")
   }
 
+  test("DSv2 DELETE WHERE: filters evaluated exactly; refused/failed deletes keep the version") {
+    import graft.sources.{GraftCatalog, MemFilterEval, MemStore}
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.mem_delspec")
+    spark.range(0, 100)
+      .selectExpr("id AS k", "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS tag",
+        "CASE WHEN id % 10 = 0 THEN NULL ELSE id * 7 END AS v")
+      .writeTo("graft.mem_delspec").create()
+    // the translated-filter delete: comparison + conjunction + IN + disjunction
+    spark.sql("DELETE FROM graft.mem_delspec WHERE (tag = 'a' AND k < 30) OR k IN (97, 98)")
+    val left = spark.table("graft.mem_delspec").select("k").collect().map(_.getLong(0)).toSet
+    val expect = (0L until 100L).filterNot(k =>
+      (k % 3 == 0 && k < 30) || k == 97 || k == 98).toSet
+    assert(left == expect, "survivors must be exactly the non-matching rows")
+    // NULL comparisons are not-true → those rows are KEPT, not deleted
+    spark.sql("DELETE FROM graft.mem_delspec WHERE v < 100")
+    val left2 = spark.table("graft.mem_delspec").select("k").collect().map(_.getLong(0)).toSet
+    assert(left2 == expect.filterNot(k => k % 10 != 0 && k * 7 < 100),
+      "NULL v rows must survive a v < 100 delete (three-valued logic)")
+    // a filter shape the evaluator can't decide exactly is REFUSED up
+    // front (canDeleteWhere) — Spark errors and the version is intact
+    val before = spark.table("graft.mem_delspec").count()
+    intercept[Exception] {
+      spark.sql("DELETE FROM graft.mem_delspec WHERE tag LIKE '%x%'")
+    }
+    assert(spark.table("graft.mem_delspec").count() == before,
+      "refused delete must leave the committed version intact")
+    // a delete whose evaluation THROWS mid-scan mutates nothing either:
+    // commitDelete's compute swap rethrows with the mapping unchanged
+    intercept[Exception] {
+      MemStore.commitDelete("mem_delspec",
+        r => throw new RuntimeException("poisoned predicate"))
+    }
+    assert(spark.table("graft.mem_delspec").count() == before,
+      "failed delete must leave the committed version intact")
+    // supported()/eval() stay case-aligned: whatever supported admits,
+    // eval decides without hitting its fallback throw
+    import org.apache.spark.sql.sources._
+    val schema = spark.table("graft.mem_delspec").schema
+    assert(!MemFilterEval.supported(StringContains("tag", "x"), schema))
+    assert(!MemFilterEval.supported(EqualTo("nope", 1L), schema))
+    spark.sql("DROP TABLE graft.mem_delspec")
+  }
+
   test("custom DSv2 connector: Int/Short-typed range literals are absorbed, not residual") {
     import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan, EqualTo}
     // untyped SQL paths can hand the builder an Int-typed literal; the

@@ -399,8 +399,10 @@ class EventStreamsSpec extends SparkSpec {
       val ivs = Seq((1L, 50L, 149L), (2L, 300L, 420L), (3L, 900L, 950L))
         .toDF("iid", "lo", "hi")
       val input = MemoryStream[Long]
+      // LEFT OUTER, like q225 itself: unmatched points must survive the
+      // micro-batch null-padded, still on the binned path
       val joined = input.toDF().select((col("value") * 37 % 1000).as("pt"))
-        .join(ivs, col("pt") >= col("lo") && col("pt") <= col("hi"))
+        .join(ivs, col("pt") >= col("lo") && col("pt") <= col("hi"), "left_outer")
       val query = joined.writeStream.format("memory").queryName("q225probe")
         .outputMode(OutputMode.Append()).start()
       input.addData(1L to 200L: _*)
@@ -414,14 +416,18 @@ class EventStreamsSpec extends SparkSpec {
         s"the micro-batch must not nest loops under the rule:\n$plan")
       assert(plan.contains("graft_ptbin") || plan.contains("Generate"),
         s"binned rewrite missing from the micro-batch plan:\n$plan")
-      // results equal the batch nested-loop answer
+      // results equal the batch nested-loop left-outer answer
       val got = spark.table("q225probe").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .sorted.toSeq
       val expect = (1L to 200L).map(v => v * 37 % 1000).flatMap { pt =>
-        Seq((1L, 50L, 149L), (2L, 300L, 420L), (3L, 900L, 950L))
+        val hits = Seq((1L, 50L, 149L), (2L, 300L, 420L), (3L, 900L, 950L))
           .collect { case (iid, lo, hi) if pt >= lo && pt <= hi => (pt, iid) }
+        if (hits.isEmpty) Seq((pt, -1L)) else hits
       }.sorted.toSeq
       assert(got == expect)
+      assert(got.exists(_._2 == -1L),
+        "fixture must produce unmatched points — the null-pad is the point of the test")
     } finally spark.conf.set(graft.plans.BinnedRangeJoin.BinWidthKey, "0")
   }
 }
