@@ -970,6 +970,122 @@ object Relational {
            |FROM cov GROUP BY cov ORDER BY cov""".stripMargin)
   )
 
+  /** q246: FULL OUTER interval join under the round-7 preserved-interval
+    * extension of [[graft.plans.BinnedRangeJoin]] — the one interval-join
+    * type where BOTH sides must survive unmatched. Before this round the
+    * rule left FullOuter to the default planner (BroadcastNestedLoopJoin);
+    * now it assembles three equi-shuffled branches: the binned inner core,
+    * unmatched points via the direct binned anti, and unmatched intervals
+    * via the group-count-expand anti (BinnedRangeJoin scaladoc steps 1-4).
+    * The result is a coverage LEDGER — row counts and checksums per match
+    * kind (matched / point_only / iv_only) — so dropping either unmatched
+    * branch, double-counting a bin, or breaking multiplicity is a hash
+    * mismatch, not a plan regression. Oracle: DuckDB's plain FULL JOIN
+    * theta over the same frames. */
+  val q246FullOuterIntervalJoin = QueryDef(
+    "q246_interval_join_full_outer",
+    (s, d) => {
+      graft.plans.BinnedRangeJoin.install(s)
+      s.conf.set(graft.plans.BinnedRangeJoin.BinWidthKey, RangeBinWidth.toString)
+      try {
+        def md5int(c: Column): Column =
+          pmod(conv(substring(md5(c), 1, 15), 16, 10).cast(LongType),
+            lit(1000000000L))
+        val pts = Tables.events(s, d)
+          .select(col("event_id"),
+            md5int(concat(lit("pt#"), col("event_id").cast("string"))).as("pt"))
+        val ivs = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey").cast(LongType).as("iid"),
+            md5int(concat(lit("iv#"), col("o_orderkey").cast("string"))).as("lo"))
+          .withColumn("hi", col("lo") + RangeBinWidth)
+        pts.join(ivs, col("pt") >= col("lo") && col("pt") <= col("hi"), "full_outer")
+          .select(
+            when(col("event_id").isNotNull && col("iid").isNotNull, lit("matched"))
+              .when(col("event_id").isNotNull, lit("point_only"))
+              .otherwise(lit("iv_only")).as("kind"),
+            col("event_id"), col("iid"))
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum("event_id"), lit(0L)).as("ev_sum"),
+            coalesce(sum("iid"), lit(0L)).as("iid_sum"))
+          .localCheckpoint()
+          .orderBy("kind")
+      } finally s.conf.set(graft.plans.BinnedRangeJoin.BinWidthKey, "0")
+    },
+    Some(s"""WITH pts AS (
+           |  SELECT event_id,
+           |    CAST(('0x' || substr(md5('pt#' || event_id), 1, 15)) AS BIGINT)
+           |      % 1000000000 AS pt
+           |  FROM events),
+           |ivs AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS iid,
+           |    CAST(('0x' || substr(md5('iv#' || o_orderkey), 1, 15)) AS BIGINT)
+           |      % 1000000000 AS lo
+           |  FROM orders WHERE o_orderkey % 10 = 0),
+           |fo AS (
+           |  SELECT p.event_id, i.iid,
+           |    CASE WHEN p.event_id IS NOT NULL AND i.iid IS NOT NULL THEN 'matched'
+           |         WHEN p.event_id IS NOT NULL THEN 'point_only'
+           |         ELSE 'iv_only' END AS kind
+           |  FROM pts p FULL JOIN ivs i
+           |    ON p.pt >= i.lo AND p.pt <= i.lo + $RangeBinWidth)
+           |SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(COALESCE(SUM(event_id), 0) AS BIGINT) AS ev_sum,
+           |  CAST(COALESCE(SUM(iid), 0) AS BIGINT) AS iid_sum
+           |FROM fo GROUP BY kind ORDER BY kind""".stripMargin)
+  )
+
+  /** q247: interval-side ANTI join — "dead windows", the audit dual of
+    * q243's coverage histogram: which maintenance/tariff windows matched
+    * NO event at all. The preserved side is the INTERVAL side, so the
+    * direct binned rewrite cannot carry the type (a window spanning two
+    * bins would report dead twice); this runs the group-count-expand
+    * path: distinct windows → binned semi proposes the covered ones →
+    * null-safe anti recovers the dead ones at original multiplicity.
+    * Everything is equi-shuffled; the nested-loop alternative tests
+    * |events| × |windows| pairs. Oracle: DuckDB NOT EXISTS. */
+  val q247DeadWindows = QueryDef(
+    "q247_interval_anti_dead_windows",
+    (s, d) => {
+      graft.plans.BinnedRangeJoin.install(s)
+      s.conf.set(graft.plans.BinnedRangeJoin.BinWidthKey, RangeBinWidth.toString)
+      try {
+        def md5int(c: Column): Column =
+          pmod(conv(substring(md5(c), 1, 15), 16, 10).cast(LongType),
+            lit(1000000000L))
+        val pts = Tables.events(s, d)
+          .select(md5int(concat(lit("pt#"), col("event_id").cast("string"))).as("pt"))
+        val ivs = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey").cast(LongType).as("iid"),
+            md5int(concat(lit("iv#"), col("o_orderkey").cast("string"))).as("lo"))
+          .withColumn("hi", col("lo") + RangeBinWidth)
+        ivs.join(pts, col("pt") >= col("lo") && col("pt") <= col("hi"), "left_anti")
+          .agg(count(lit(1)).as("n_dead"),
+            coalesce(sum("iid"), lit(0L)).as("iid_sum"),
+            min("iid").as("first_dead"), max("iid").as("last_dead"))
+          .localCheckpoint()
+      } finally s.conf.set(graft.plans.BinnedRangeJoin.BinWidthKey, "0")
+    },
+    Some(s"""WITH pts AS (
+           |  SELECT CAST(('0x' || substr(md5('pt#' || event_id), 1, 15)) AS BIGINT)
+           |      % 1000000000 AS pt
+           |  FROM events),
+           |ivs AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS iid,
+           |    CAST(('0x' || substr(md5('iv#' || o_orderkey), 1, 15)) AS BIGINT)
+           |      % 1000000000 AS lo
+           |  FROM orders WHERE o_orderkey % 10 = 0)
+           |SELECT CAST(COUNT(*) AS BIGINT) AS n_dead,
+           |  CAST(COALESCE(SUM(iid), 0) AS BIGINT) AS iid_sum,
+           |  CAST(MIN(iid) AS BIGINT) AS first_dead,
+           |  CAST(MAX(iid) AS BIGINT) AS last_dead
+           |FROM ivs i WHERE NOT EXISTS (
+           |  SELECT 1 FROM pts p
+           |  WHERE p.pt >= i.lo AND p.pt <= i.lo + $RangeBinWidth)""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q01FilterProject, q02GroupAgg, q03Frequencies, q04BroadcastJoin,
     q05MultiJoin, q06LeftOuter, q07SemiJoin, q08AntiJoin, q09RangeJoin,
@@ -978,5 +1094,5 @@ object Relational {
     q41WindowZoo, q42StringDate, q43DateArith, q45GroupingSets, q47Pivot,
     q48ArrayOps, q49Unpivot, q50Correlated, q51Percentiles, q58HashSample,
     q61Histogram, q63StratifiedSample, q154FkOrphans, q222IntervalJoin,
-    q243LeftOuterIntervalJoin)
+    q243LeftOuterIntervalJoin, q246FullOuterIntervalJoin, q247DeadWindows)
 }

@@ -79,22 +79,67 @@ class BinnedRangeJoinSpec extends SparkSpec {
     }
   }
 
-  test("preserved-interval shapes are NOT rewritten (explode would duplicate preserved rows)") {
+  /** Fixture for the preserved-interval path: DUPLICATE interval rows
+    * (multiplicity must survive group-count-expand exactly), a null
+    * bound (never matches, must still be preserved), plus the inverted
+    * and gap intervals from [[intervals]]. */
+  private def intervalsDup = {
+    import graft.TestSession.spark.implicits._
+    (Seq((0L, Some(-400L), Some(-300L)), (1L, Some(-30L), Some(25L)),
+      (2L, Some(100L), Some(100L)), (3L, Some(140L), Some(260L)),
+      (4L, Some(500L), Some(505L)), (5L, Some(700L), Some(640L)),
+      (6L, Some(1000L), Some(1120L)), (7L, Some(1999L), Some(2100L)),
+      // duplicates: one matching row ×3, one unmatched (inverted) ×2
+      (3L, Some(140L), Some(260L)), (3L, Some(140L), Some(260L)),
+      (5L, Some(700L), Some(640L)),
+      // null bound: three-valued predicate is never true
+      (8L, None: Option[Long], Some(900L))))
+      .toDF("iid", "lo", "hi")
+  }
+  private def pointsNullable = {
+    import graft.TestSession.spark.implicits._
+    ((-500L to 2000L by 7).map(p => (Some(p): Option[Long], s"p$p")) :+
+      ((None: Option[Long], "pnull"))).toDF("pt", "ptag")
+  }
+
+  private def multiset(df: org.apache.spark.sql.DataFrame): Map[Seq[Any], Int] =
+    df.collect().map(_.toSeq: Seq[Any]).groupBy(identity).map { case (k, v) => (k, v.length) }
+
+  test("preserved-interval shapes: full outer, interval-side outer/semi/anti — multiplicity-exact, no nested loop") {
     val cond = col("pt") >= col("lo") && col("pt") <= col("hi")
+    // (label, rule-shaped frame builder) — interval side PRESERVED in each
+    def shapes = Seq[(String, () => org.apache.spark.sql.DataFrame)](
+      ("full_outer pts-left", () => pointsNullable.join(intervalsDup, cond, "full_outer")),
+      ("full_outer ivs-left", () => intervalsDup.join(pointsNullable, cond, "full_outer")),
+      ("left_outer ivs-left", () => intervalsDup.join(pointsNullable, cond, "left_outer")),
+      ("right_outer ivs-right", () => pointsNullable.join(intervalsDup, cond, "right_outer")),
+      ("left_semi ivs-left", () => intervalsDup.join(pointsNullable, cond, "left_semi")),
+      ("left_anti ivs-left", () => intervalsDup.join(pointsNullable, cond, "left_anti")))
+    val base = shapes.map { case (t, f) => t -> multiset(f()) }.toMap
+    // fixture sanity: duplicates present and preserved in the baseline
+    assert(base("left_semi ivs-left").exists(_._2 == 3), "triplicated matched interval")
+    assert(base("left_anti ivs-left").exists(_._2 == 2), "duplicated unmatched interval")
+    assert(base("left_anti ivs-left").keys.exists(_.head == 8L), "null-bound row is anti")
     withRule(50L) {
-      // left-outer preserving the INTERVAL side; full outer; interval-side semi
-      val shapes = Seq(
-        intervals.join(points, cond, "left_outer"),
-        points.join(intervals, cond, "full_outer"),
-        intervals.join(points, cond, "left_semi"))
-      shapes.foreach { df =>
-        val p = df.queryExecution.executedPlan.toString
-        assert(!p.contains("graft_ptbin"), s"preserved-interval shape must not be rewritten:\n$p")
+      shapes.foreach { case (t, f) =>
+        val r = f()
+        assert(multiset(r) == base(t), s"$t answers must be invariant under the rewrite")
+        val p = r.queryExecution.executedPlan.toString
+        assert(p.contains("graft_ptbin"), s"$t must take the binned path:\n$p")
+        assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+          s"$t interval join must not nest loops under the rule:\n$p")
       }
-      // and the un-rewritten plans still answer correctly (rule is a no-op)
-      val lo = intervals.join(points, cond, "left_outer")
-      assert(lo.filter(col("pt").isNull).count() == 2,
-        "inverted interval 5 and point-gap interval 2 are unmatched")
+    }
+  }
+
+  test("preserved-interval guard: map-typed interval column keeps the default planner") {
+    val cond = col("pt") >= col("lo") && col("pt") <= col("hi")
+    val ivsWithMap = intervals.withColumn("m", map(col("iid"), col("lo")))
+    withRule(50L) {
+      val p = ivsWithMap.join(points, cond, "left_outer")
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("graft_ptbin"),
+        s"non-groupable interval side must not take the preserved path:\n$p")
     }
   }
 
