@@ -41,6 +41,32 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     case _ => throw new NoSuchTableException(ident)
   }
 
+  /** `VERSION AS OF v` time travel on `mem_*` tables: every commit on a
+    * [[MemTable]] installs a new immutable (versionId, rows) snapshot
+    * ([[MemStore.MaxVersions]] retained), and this hook pins a scan to
+    * one of them — Spark routes `SELECT ... VERSION AS OF v` here, the
+    * same contract Iceberg/Delta fulfil with snapshot ids. Unknown or
+    * expired versions fail at load with the retained range (never a
+    * silent remap); the pinned relation refuses writes. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    ident.name() match {
+      case m if m.startsWith("mem_") && MemStore.exists(m) =>
+        val v = try version.toLong catch {
+          case _: NumberFormatException => throw new NoSuchTableException(ident)
+        }
+        MemStore.rowsAt(m, v) // validate at load: expired → range error
+        new MemTable(m, Some(v))
+      case _ => throw new NoSuchTableException(ident)
+    }
+
+  /** `TIMESTAMP AS OF` needs a wall clock; the mem connector's version
+    * history is deliberately clock-free (deterministic tests), so the
+    * timestamp flavor is explicitly unsupported rather than wrong. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      s"graft catalog: TIMESTAMP AS OF is not supported (version history " +
+        "is clock-free); use VERSION AS OF")
+
   /** Only `mem_*` tables are creatable — the synth family is generated. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],

@@ -42,31 +42,61 @@ object MemStore {
     * are rejected whole (the previous committed version stays). */
   val MaxCommittedRows: Long = 50L * 1000 * 1000
 
-  /** name → (schema, committed rows). Volatile map + full-replace swap
-    * per commit = atomic visibility for readers. */
-  private val tables = new java.util.concurrent.ConcurrentHashMap[String, (StructType, Vector[InternalRow])]()
+  /** Bounded version history per table (Iceberg's snapshot-expiry
+    * reduced to a count): every commit installs a NEW (versionId, rows)
+    * entry instead of replacing the old one, so `VERSION AS OF` reads
+    * are consistent snapshots for free — the exact mechanism a file-
+    * backed table gets from immutable data files + a manifest list.
+    * Version ids stay monotonic after expiry (an expired version is a
+    * load-time error, not a silent remap). */
+  val MaxVersions: Int = 16
+
+  /** name → (schema, history of (versionId, committed rows), newest
+    * last). Volatile map + full-replace swap per commit = atomic
+    * visibility for readers; history entries are immutable. */
+  private val tables = new java.util.concurrent.ConcurrentHashMap[
+    String, (StructType, Vector[(Long, Vector[InternalRow])])]()
 
   def create(name: String, schema: StructType): Unit =
-    tables.putIfAbsent(name, (schema, Vector.empty))
+    tables.putIfAbsent(name, (schema, Vector((0L, Vector.empty))))
   def exists(name: String): Boolean = tables.containsKey(name)
   def schemaOf(name: String): StructType = tables.get(name)._1
-  def rows(name: String): Vector[InternalRow] = tables.get(name)._2
+  def rows(name: String): Vector[InternalRow] = tables.get(name)._2.last._2
+  /** Latest committed version id (0 = the empty table at creation). */
+  def currentVersion(name: String): Long = tables.get(name)._2.last._1
+  /** Snapshot read of a pinned version; expired/unknown ids fail with
+    * the retained range (never a silent remap to another snapshot). */
+  def rowsAt(name: String, version: Long): Vector[InternalRow] = {
+    val hist = tables.get(name)._2
+    hist.find(_._1 == version).map(_._2).getOrElse {
+      throw new IllegalArgumentException(
+        s"graft_mem($name): no version $version — retained versions are " +
+          s"${hist.head._1}..${hist.last._1} (MaxVersions=$MaxVersions)")
+    }
+  }
   def drop(name: String): Unit = tables.remove(name)
-  def commitAppend(name: String, rows: Seq[InternalRow]): Unit =
+
+  /** All commits funnel here: derive the next snapshot from the latest,
+    * append it with the next version id, expire past [[MaxVersions]].
+    * If `next` throws mid-derivation, `compute` rethrows and the mapping
+    * is left UNCHANGED — a failed commit never exposes a partial
+    * version and never burns a version id. */
+  private def install(name: String,
+      next: Vector[InternalRow] => Vector[InternalRow]): Unit =
     tables.compute(name, (_, prev) => {
-      requireCapacity(name, prev._2.size.toLong + rows.size)
-      (prev._1, prev._2 ++ rows)
-    })
-  def commitTruncate(name: String, rows: Seq[InternalRow]): Unit =
-    tables.compute(name, (_, prev) => {
+      val (schema, hist) = prev
+      val rows = next(hist.last._2)
       requireCapacity(name, rows.size.toLong)
-      (prev._1, rows.toVector)
+      (schema, (hist :+ (hist.last._1 + 1, rows)).takeRight(MaxVersions))
     })
-  /** Row-level delete: keep the survivors, one atomic swap. If `keep`
-    * throws mid-scan, `compute` rethrows and the mapping is left
-    * UNCHANGED — a failed delete never exposes a partial version. */
+
+  def commitAppend(name: String, rows: Seq[InternalRow]): Unit =
+    install(name, prev => prev ++ rows)
+  def commitTruncate(name: String, rows: Seq[InternalRow]): Unit =
+    install(name, _ => rows.toVector)
+  /** Row-level delete: keep the survivors, one atomic swap. */
   def commitDelete(name: String, keep: InternalRow => Boolean): Unit =
-    tables.compute(name, (_, prev) => (prev._1, prev._2.filter(keep)))
+    install(name, prev => prev.filter(keep))
 
   private def requireCapacity(name: String, wouldBe: Long): Unit =
     require(wouldBe <= MaxCommittedRows,
@@ -75,10 +105,17 @@ object MemStore {
         "driver-bounded by design; write a file-backed table instead")
 }
 
-class MemTable(name: String) extends Table with SupportsRead with SupportsWrite
+class MemTable(name: String, pinnedVersion: Option[Long] = None)
+    extends Table with SupportsRead with SupportsWrite
     with TruncatableTable with SupportsDelete {
-  override def name(): String = s"graft_mem($name)"
+  override def name(): String = pinnedVersion match {
+    case Some(v) => s"graft_mem($name@v$v)"
+    case None => s"graft_mem($name)"
+  }
   override def schema(): StructType = MemStore.schemaOf(name)
+  private def requireWritable(verb: String): Unit =
+    require(pinnedVersion.isEmpty,
+      s"graft_mem($name): cannot $verb a time-travel (VERSION AS OF) relation")
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
@@ -98,13 +135,18 @@ class MemTable(name: String) extends Table with SupportsRead with SupportsWrite
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     filters.forall(MemFilterEval.supported(_, schema()))
 
-  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    requireWritable("DELETE from")
     MemStore.commitDelete(name,
       row => !filters.forall(MemFilterEval.eval(_, row, schema())))
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan with Batch {
-      private val snap = MemStore.rows(name) // one consistent version per scan
+      // one consistent version per scan: the pinned snapshot for a
+      // VERSION AS OF relation, else the latest committed version
+      private val snap = pinnedVersion
+        .map(MemStore.rowsAt(name, _)).getOrElse(MemStore.rows(name))
       override def readSchema(): StructType = MemStore.schemaOf(name)
       override def toBatch: Batch = this
       override def description(): String = s"MemScan[$name,rows=${snap.size}]"
@@ -123,9 +165,13 @@ class MemTable(name: String) extends Table with SupportsRead with SupportsWrite
         }
     }
 
-  override def truncateTable(): Boolean = { MemStore.commitTruncate(name, Vector.empty); true }
+  override def truncateTable(): Boolean = {
+    requireWritable("TRUNCATE")
+    MemStore.commitTruncate(name, Vector.empty); true
+  }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireWritable("write to")
     new WriteBuilder with SupportsTruncate {
       private var doTruncate = false
       override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -133,6 +179,7 @@ class MemTable(name: String) extends Table with SupportsRead with SupportsWrite
         override def toBatch: BatchWrite = new MemBatchWrite(name, doTruncate)
       }
     }
+  }
 }
 
 /** Interprets V1 source [[org.apache.spark.sql.sources.Filter]]s against

@@ -647,7 +647,60 @@ object SynthSource {
            |GROUP BY 1 ORDER BY flag""".stripMargin)
   )
 
+  /** q248: DSv2 TIME TRAVEL — `VERSION AS OF` over the mem connector's
+    * version history, closing the read-side of the snapshot story that
+    * q228 (two-phase-commit write) and q245 (row-level delete) opened.
+    * Every [[MemTable]] commit now installs a new immutable snapshot
+    * (`MemStore` retains [[MemStore.MaxVersions]]; ids stay monotonic
+    * after expiry), and [[GraftCatalog]]'s `loadTable(ident, version)`
+    * pins a scan to one — the same contract Iceberg/Delta fulfil with
+    * snapshot ids, reduced to in-process-testable semantics. The query
+    * builds a three-commit history (CTAS append → DELETE → append) and
+    * reads ALL THREE versions back through `VERSION AS OF`, emitting a
+    * version ledger (n / checksums per version). A connector that reads
+    * through to the latest state, remaps an id, or leaks a partial
+    * commit into a snapshot produces a different ledger — DuckDB
+    * recomputes each version's expected state directly from lineitem.
+    * (SourcesSpec additionally pins expiry errors, abort-does-not-burn-
+    * a-version, and that pinned relations refuse writes.) */
+  val q248TimeTravel = graft.QueryDef(
+    "q248_dsv2_time_travel",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      val src = graft.Tables.lineitem(s, d).select(
+        col("l_orderkey").cast("long").as("k"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_returnflag").as("flag"))
+      s.sql("DROP TABLE IF EXISTS graft.mem_tt")
+      src.writeTo("graft.mem_tt").create()                    // v1
+      s.sql("DELETE FROM graft.mem_tt WHERE flag = 'R'")      // v2
+      src.filter(col("flag") === "R" && col("k") % 2 === 0)
+        .writeTo("graft.mem_tt").append()                     // v3
+      (1L to 3L).map { v =>
+        s.sql(s"""SELECT $v AS version, COUNT(*) AS n,
+                 |  SUM(k) AS sum_k, SUM(qty) AS sum_qty
+                 |FROM graft.mem_tt VERSION AS OF $v""".stripMargin)
+      }.reduce(_ unionAll _).orderBy("version")
+    },
+    Some("""WITH src AS (
+           |  SELECT l_orderkey AS k, CAST(l_quantity AS BIGINT) AS qty,
+           |    l_returnflag AS flag FROM lineitem),
+           |v1 AS (SELECT * FROM src),
+           |v2 AS (SELECT * FROM src WHERE NOT flag = 'R'),
+           |v3 AS (SELECT * FROM v2 UNION ALL
+           |       SELECT * FROM src WHERE flag = 'R' AND k % 2 = 0)
+           |SELECT CAST(1 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(k) AS BIGINT) AS sum_k, CAST(SUM(qty) AS BIGINT) AS sum_qty FROM v1
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           |  CAST(SUM(k) AS BIGINT), CAST(SUM(qty) AS BIGINT) FROM v2
+           |UNION ALL
+           |SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           |  CAST(SUM(k) AS BIGINT), CAST(SUM(qty) AS BIGINT) FROM v3
+           |ORDER BY version""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q208Dsv2Scan, q209Dsv2AggPushdown,
     q210Dsv2TopN, q215SpjJoin, q216RuntimePrune, q228WriteRoundtrip,
-    q245Dsv2Delete)
+    q245Dsv2Delete, q248TimeTravel)
 }

@@ -389,6 +389,50 @@ class SourcesSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mem_delspec")
   }
 
+  test("DSv2 VERSION AS OF: snapshots are immutable, expiry errors, aborts burn no version") {
+    import graft.sources.{GraftCatalog, MemStore}
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.mem_tt_spec")
+    spark.range(0, 10).selectExpr("id AS k").writeTo("graft.mem_tt_spec").create() // v1
+    spark.sql("DELETE FROM graft.mem_tt_spec WHERE k >= 5")                        // v2
+    spark.range(100, 103).selectExpr("id AS k").writeTo("graft.mem_tt_spec").append() // v3
+    def ks(v: Long): Seq[Long] =
+      spark.sql(s"SELECT k FROM graft.mem_tt_spec VERSION AS OF $v")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks(0).isEmpty, "v0 is the empty table at creation")
+    assert(ks(1) == (0L until 10L), "v1 = initial append")
+    assert(ks(2) == (0L until 5L), "v2 = post-delete snapshot")
+    assert(ks(3) == (0L until 5L) ++ (100L to 102L), "v3 = post-append")
+    // the latest relation reads v3; earlier snapshots stayed immutable
+    assert(spark.table("graft.mem_tt_spec").count() == 8)
+    // unknown version: load-time error carrying the retained range
+    val e = intercept[Exception] { ks(99) }
+    assert(e.getMessage != null)
+    // an ABORTED write burns no version id: v-history unchanged
+    val vBefore = MemStore.currentVersion("mem_tt_spec")
+    val boom = org.apache.spark.sql.functions.udf((x: Long) =>
+      if (x == 1L) throw new RuntimeException("boom") else x)
+    intercept[Exception] {
+      spark.range(0, 3).select(boom(col("id")).as("k"))
+        .writeTo("graft.mem_tt_spec").append()
+    }
+    assert(MemStore.currentVersion("mem_tt_spec") == vBefore,
+      "aborted job must not install or burn a version")
+    assert(ks(vBefore) == (0L until 5L) ++ (100L to 102L))
+    // a pinned relation refuses row-level writes at the store layer
+    intercept[Exception] {
+      new graft.sources.MemTable("mem_tt_spec", Some(1L)).truncateTable()
+    }
+    // expiry: drive past MaxVersions commits; v1 must error, not remap
+    (0 until MemStore.MaxVersions).foreach { i =>
+      spark.sql(s"DELETE FROM graft.mem_tt_spec WHERE k = ${100 + i}")
+    }
+    val e2 = intercept[Exception] { ks(1) }
+    assert(e2.getMessage.contains("retained versions"),
+      s"expired version must fail with the retained range: ${e2.getMessage}")
+    spark.sql("DROP TABLE graft.mem_tt_spec")
+  }
+
   test("custom DSv2 connector: Int/Short-typed range literals are absorbed, not residual") {
     import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan, EqualTo}
     // untyped SQL paths can hand the builder an Int-typed literal; the
