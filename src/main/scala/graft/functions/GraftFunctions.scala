@@ -32,6 +32,10 @@ object GraftFunctions {
       children => JaroWinkler(children(0), children(1))),
     ("damerau_levenshtein", classOf[DamerauLevenshtein].getName,
       children => DamerauLevenshtein(children(0), children(1))),
+    // Native TypedImperativeAggregate: Misra-Gries heavy-hitter sketch,
+    // O(m) state per group through partial agg + shuffle (see MisraGries)
+    ("mg_topk", classOf[MisraGriesSketch].getName,
+      children => MisraGriesSketch(children(0), children(1))),
     // Spark ships BloomFilterMightContain for its internal runtime-filter
     // rewrite but does not register it for users; exposing it makes the
     // bloom-pruned join (ScaleTools.bloomPrunedJoin) fully declarative and
@@ -78,6 +82,9 @@ object GraftFunctions {
   /** Position-wise agreement count of two long arrays (MinHash prune). */
   def agreeCount(a: Column, b: Column): Column =
     call_function("array_agree_count", a, b)
+
+  /** Misra-Gries heavy-hitter candidate keys (see [[MisraGriesSketch]]). */
+  def mgTopK(key: Column, m: Column): Column = call_function("mg_topk", key, m)
 
   /** Jaro-Winkler similarity (DuckDB-compatible; see [[StringSim]]). */
   def jaroWinkler(a: Column, b: Column): Column =

@@ -1429,11 +1429,56 @@ object TextOps {
            |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin)
   )
 
+  /** q249: GROUPED heavy hitters through the native `mg_topk`
+    * [[graft.functions.MisraGriesSketch]] aggregate — the engine-level
+    * generalization of q132: that query's `mapPartitions` sketch can
+    * only propose GLOBAL candidates, because the sketch lives per
+    * partition; `mg_topk` is a real Catalyst `TypedImperativeAggregate`
+    * (serialize / merge / partial-agg contract, the machinery under
+    * Spark's own `percentile_approx`), so it composes with `groupBy`
+    * and proposes candidates PER GROUP — here, per-language token
+    * heavy hitters, the "what dominates each slice" question a corpus
+    * mixture report asks. The propose/verify discipline is unchanged:
+    * capacity 64 guarantees every token with in-group frequency
+    * > n_g/65 survives the merge tree (Agarwal et al. mergeable
+    * summaries), the exact re-count keeps tokens with f·32 > n_g — a
+    * strictly stricter threshold, so the sketch is a provable superset
+    * and sketch error NEVER reaches the hash-checked output. State is
+    * O(64) per language through the shuffle; the re-count semi-join
+    * carries only candidate (lang, token) pairs. */
+  val q249GroupedHeavyHitters = QueryDef(
+    "q249_grouped_heavy_hitters",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val tok = Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(lower(col("text")))).as("t"))
+      val cand = tok.groupBy("lang")
+        .agg(graft.functions.GraftFunctions.mgTopK(col("t"), lit(64)).as("cands"))
+        .select(col("lang"), explode(col("cands")).as("t"))
+      val tot = tok.groupBy("lang").agg(count(lit(1)).as("n"))
+      tok.join(broadcast(cand), Seq("lang", "t"), "left_semi")
+        .groupBy("lang", "t").agg(count(lit(1)).as("f"))
+        .join(broadcast(tot), "lang")
+        .filter(col("f") * 32 > col("n"))
+        .select(col("lang"), col("t"), col("f"))
+        .orderBy(col("lang").asc, col("f").desc, col("t").asc)
+    },
+    Some("""WITH tok AS (
+           |  SELECT lang,
+           |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+           |  FROM documents),
+           |tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY lang)
+           |SELECT tok.lang AS lang, t, CAST(COUNT(*) AS BIGINT) AS f
+           |FROM tok JOIN tot ON tok.lang = tot.lang
+           |GROUP BY tok.lang, t, n HAVING COUNT(*) * 32 > n
+           |ORDER BY lang ASC, f DESC, t ASC""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId,
     q22Fingerprint, q39Bigrams, q55TokenCounts, q57Winnowing, q59Tfidf,
     q66PiiRedact, q67Repetition, q69Decontamination, q70DecontamPool,
     q72MixtureReport, q101LmFluency, q104InvertedIndex, q124NbClassifier,
     q130PmiCollocations, q132HeavyHitters, q139Bm25, q151NgramNovelty,
     q155BpePairs, q158SkipgramPairs, q217VocabGrowth, q220TermDrift,
-    q237SourceSignature, q239NgramUdtf)
+    q237SourceSignature, q239NgramUdtf, q249GroupedHeavyHitters)
 }
