@@ -1086,6 +1086,51 @@ object Relational {
            |  WHERE p.pt >= i.lo AND p.pt <= i.lo + $RangeBinWidth)""".stripMargin)
   )
 
+  /** q250: per-brand 2D SKYLINE (Pareto front — cheapest-for-the-size
+    * parts: minimize price, maximize size) as a PURE WINDOW plan. The
+    * textbook spelling is a quadratic dominance anti-join (`NOT EXISTS`
+    * over s ≤/≥ r — the oracle states exactly that spec); the engine
+    * plan exploits the 2D monotone-chain structure instead: sort each
+    * brand by price and a row is dominated iff a strictly-cheaper row
+    * has size ≥ its own (running max over `RANGE … 1 PRECEDING`) or an
+    * equal-priced row has size strictly greater (running max over
+    * `RANGE … CURRENT ROW` — RANGE frames include peers, which is the
+    * whole trick). One exchange on brand + one sort, O(n log n), vs the
+    * O(n²) self-join — at 100 TB the window form is the only viable
+    * one, and it is EXACT, not an approximation of the spec. Ties on
+    * both dimensions are kept (strict dominance), matching NOT EXISTS. */
+  val q250SkylinePerBrand = QueryDef(
+    "q250_skyline_per_brand",
+    (s, d) => {
+      val p = Tables.part(s, d).select(
+        col("p_brand").as("brand"), col("p_partkey").as("pk"),
+        (col("p_retailprice") * 100).cast(LongType).as("price_c"),
+        col("p_size").cast(LongType).as("size"))
+      val w1 = Window.partitionBy("brand").orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val w2 = Window.partitionBy("brand").orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      p.withColumn("m1", max("size").over(w1))
+        .withColumn("m2", max("size").over(w2))
+        .filter(!(coalesce(col("m1") >= col("size"), lit(false)) ||
+          col("m2") > col("size")))
+        .select("brand", "pk", "price_c", "size")
+        .orderBy("brand", "price_c", "pk")
+    },
+    Some("""WITH p AS (
+           |  SELECT p_brand AS brand, p_partkey AS pk,
+           |    CAST(p_retailprice * 100 AS BIGINT) AS price_c,
+           |    CAST(p_size AS BIGINT) AS size
+           |  FROM part)
+           |SELECT brand, pk, price_c, size FROM p r
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM p s
+           |  WHERE s.brand = r.brand AND s.price_c <= r.price_c
+           |    AND s.size >= r.size
+           |    AND (s.price_c < r.price_c OR s.size > r.size))
+           |ORDER BY brand, price_c, pk""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q01FilterProject, q02GroupAgg, q03Frequencies, q04BroadcastJoin,
     q05MultiJoin, q06LeftOuter, q07SemiJoin, q08AntiJoin, q09RangeJoin,
@@ -1094,5 +1139,6 @@ object Relational {
     q41WindowZoo, q42StringDate, q43DateArith, q45GroupingSets, q47Pivot,
     q48ArrayOps, q49Unpivot, q50Correlated, q51Percentiles, q58HashSample,
     q61Histogram, q63StratifiedSample, q154FkOrphans, q222IntervalJoin,
-    q243LeftOuterIntervalJoin, q246FullOuterIntervalJoin, q247DeadWindows)
+    q243LeftOuterIntervalJoin, q246FullOuterIntervalJoin, q247DeadWindows,
+    q250SkylinePerBrand)
 }

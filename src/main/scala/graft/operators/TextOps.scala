@@ -1474,11 +1474,83 @@ object TextOps {
            |ORDER BY lang ASC, f DESC, t ASC""".stripMargin)
   )
 
+  /** q251: BPE MERGE ROUNDS — the actual tokenizer-training step, where
+    * q155 stops at the first pair table: three full rounds of
+    * (count adjacent symbol pairs over the weighted vocabulary → pick
+    * the argmax pair → merge it everywhere → recount). The merge is the
+    * subtle part: replacing the chosen 2-symbol pair with a fresh
+    * 1-char mark makes re-tokenization a plain `replace()` — whose
+    * left-to-right non-overlapping semantics is EXACTLY BPE's greedy
+    * merge order, and identical in Spark and DuckDB, so a
+    * data-dependent iterative algorithm stays oracle-exact (the oracle
+    * unrolls the three rounds with scalar subqueries for the argmax).
+    * Scale shape: everything is VOCABULARY-sized after the first
+    * group-by — the corpus is touched once; each round is one pair
+    * explode + hash agg over vocab rows with full map-side combine, and
+    * the argmax is the only driver value (1 row/round, the k-means
+    * centroid pattern). Words are restricted to `^[a-z]+$` so the
+    * digit marks 0/1/2 cannot collide with real symbols. */
+  val q251BpeMergeRounds = QueryDef(
+    "q251_bpe_merge_rounds",
+    (s, d) => {
+      import s.implicits._
+      val w0 = Tables.documents(s, d)
+        .select(explode(tokens(lower(col("text")))).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .groupBy("w").agg(count(lit(1)).cast(LongType).as("cnt"))
+        .localCheckpoint() // vocab-sized; three rounds re-read it
+      def pairCounts(words: DataFrame): DataFrame = words
+        .filter(length(col("w")) >= 2)
+        .select(col("w"), col("cnt"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(expr("substring(w, i, 2)").as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum("cnt").cast(LongType).as("f"))
+      var words = w0
+      val merges = (1 to 3).map { r =>
+        val top = pairCounts(words)
+          .orderBy(col("f").desc, col("pair").asc).limit(1).collect()(0)
+        val (pair, f) = (top.getString(0), top.getLong(1))
+        val mark = (r - 1).toString
+        words = words.select(
+          expr(s"replace(w, '$pair', '$mark')").as("w"), col("cnt"))
+        (r.toLong, pair, f)
+      }
+      merges.toDF("round", "pair", "freq").orderBy("round")
+    },
+    Some("""WITH w0 AS (
+           |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+           |    SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS w
+           |    FROM documents) t
+           |  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w),
+           |p1 AS (
+           |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, SUM(cnt) AS f
+           |  FROM (SELECT w, cnt, unnest(range(1, len(w))) AS i FROM w0 WHERE len(w) >= 2) x
+           |  GROUP BY pair),
+           |m1 AS (SELECT pair, CAST(f AS BIGINT) AS f FROM p1 ORDER BY f DESC, pair ASC LIMIT 1),
+           |w1 AS (SELECT replace(w, (SELECT pair FROM m1), '0') AS w, cnt FROM w0),
+           |p2 AS (
+           |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, SUM(cnt) AS f
+           |  FROM (SELECT w, cnt, unnest(range(1, len(w))) AS i FROM w1 WHERE len(w) >= 2) x
+           |  GROUP BY pair),
+           |m2 AS (SELECT pair, CAST(f AS BIGINT) AS f FROM p2 ORDER BY f DESC, pair ASC LIMIT 1),
+           |w2 AS (SELECT replace(w, (SELECT pair FROM m2), '1') AS w, cnt FROM w1),
+           |p3 AS (
+           |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, SUM(cnt) AS f
+           |  FROM (SELECT w, cnt, unnest(range(1, len(w))) AS i FROM w2 WHERE len(w) >= 2) x
+           |  GROUP BY pair),
+           |m3 AS (SELECT pair, CAST(f AS BIGINT) AS f FROM p3 ORDER BY f DESC, pair ASC LIMIT 1)
+           |SELECT CAST(1 AS BIGINT) AS round, pair, f AS freq FROM m1
+           |UNION ALL SELECT CAST(2 AS BIGINT), pair, f FROM m2
+           |UNION ALL SELECT CAST(3 AS BIGINT), pair, f FROM m3
+           |ORDER BY round""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId,
     q22Fingerprint, q39Bigrams, q55TokenCounts, q57Winnowing, q59Tfidf,
     q66PiiRedact, q67Repetition, q69Decontamination, q70DecontamPool,
     q72MixtureReport, q101LmFluency, q104InvertedIndex, q124NbClassifier,
     q130PmiCollocations, q132HeavyHitters, q139Bm25, q151NgramNovelty,
     q155BpePairs, q158SkipgramPairs, q217VocabGrowth, q220TermDrift,
-    q237SourceSignature, q239NgramUdtf, q249GroupedHeavyHitters)
+    q237SourceSignature, q239NgramUdtf, q249GroupedHeavyHitters,
+    q251BpeMergeRounds)
 }
