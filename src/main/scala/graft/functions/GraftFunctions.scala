@@ -36,6 +36,10 @@ object GraftFunctions {
     // O(m) state per group through partial agg + shuffle (see MisraGries)
     ("mg_topk", classOf[MisraGriesSketch].getName,
       children => MisraGriesSketch(children(0), children(1))),
+    // Native TypedImperativeAggregate: exact grouped top-k, O(k) heap
+    // state per group through partial agg + shuffle (see BoundedTopK)
+    ("topk_agg", classOf[BoundedTopK].getName,
+      children => BoundedTopK(children(0), children(1))),
     // Spark ships BloomFilterMightContain for its internal runtime-filter
     // rewrite but does not register it for users; exposing it makes the
     // bloom-pruned join (ScaleTools.bloomPrunedJoin) fully declarative and
@@ -85,6 +89,9 @@ object GraftFunctions {
 
   /** Misra-Gries heavy-hitter candidate keys (see [[MisraGriesSketch]]). */
   def mgTopK(key: Column, m: Column): Column = call_function("mg_topk", key, m)
+
+  /** Exact k largest values per group, descending (see [[BoundedTopK]]). */
+  def topKAgg(value: Column, k: Column): Column = call_function("topk_agg", value, k)
 
   /** Jaro-Winkler similarity (DuckDB-compatible; see [[StringSim]]). */
   def jaroWinkler(a: Column, b: Column): Column =

@@ -1131,6 +1131,38 @@ object Relational {
            |ORDER BY brand, price_c, pk""".stripMargin)
   )
 
+  /** q252: GROUPED top-k through `topk_agg`
+    * ([[graft.functions.BoundedTopK]], a native bounded-heap
+    * TypedImperativeAggregate) — the per-group analogue of q11's global
+    * top-k and the SCALE replacement for q12's window-rank spelling.
+    * The window form must shuffle and sort EVERY row (the whole fact
+    * table through one exchange); `topk_agg` keeps a ≤ k-entry min-heap
+    * per group, so partial aggregation prunes map-side — each map task
+    * ships at most k rows per group, the grouped analogue of Spark's
+    * own TakeOrderedAndProject. EXACT, not approximate: the ranking
+    * value is `struct(n_chars, doc_id)` — lexicographic struct order
+    * gives the total tiebreak, so the k largest are unique and the
+    * oracle's ROW_NUMBER window reproduces them bit-for-bit. */
+  val q252GroupedTopK = QueryDef(
+    "q252_grouped_topk",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d).groupBy("lang")
+        .agg(graft.functions.GraftFunctions.topKAgg(
+          struct(col("n_chars"), col("doc_id")), lit(3)).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast(LongType).as("rnk"),
+          col("col.n_chars").as("n_chars"), col("col.doc_id").as("doc_id"))
+        .orderBy("lang", "rnk")
+    },
+    Some("""SELECT lang, CAST(rnk AS BIGINT) AS rnk, n_chars, doc_id FROM (
+           |  SELECT lang, n_chars, doc_id,
+           |    ROW_NUMBER() OVER (PARTITION BY lang
+           |      ORDER BY n_chars DESC, doc_id DESC) AS rnk
+           |  FROM documents) t
+           |WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q01FilterProject, q02GroupAgg, q03Frequencies, q04BroadcastJoin,
     q05MultiJoin, q06LeftOuter, q07SemiJoin, q08AntiJoin, q09RangeJoin,
@@ -1140,5 +1172,5 @@ object Relational {
     q48ArrayOps, q49Unpivot, q50Correlated, q51Percentiles, q58HashSample,
     q61Histogram, q63StratifiedSample, q154FkOrphans, q222IntervalJoin,
     q243LeftOuterIntervalJoin, q246FullOuterIntervalJoin, q247DeadWindows,
-    q250SkylinePerBrand)
+    q250SkylinePerBrand, q252GroupedTopK)
 }
