@@ -878,6 +878,95 @@ object ScaleSmoke {
       "sp_nf_fallback" -> nfFallback, "sp_nf_planted_exact" -> 100L)
     println("[smoke] OK — spatial family at " + nSpPts + " points")
 
+    spark.catalog.clearCache()
+
+    // ---- phase 15: exact grouped top-k at scale (q252's topk_agg) ----
+    // 10M rows × 1k groups, top-5 per group by (score, id). The window
+    // spelling shuffles+sorts all 10M rows; the bounded-heap aggregate
+    // ships ≤ 5 rows per (map task, group). Both are EXACT — the phase
+    // asserts bit-identical results and records both timings.
+    val nTk = sys.env.getOrElse("SPARK_GRAFT_SMOKE_TKROWS", "10000000").toLong
+    graft.functions.GraftFunctions.register(spark)
+    val tkIn = spark.range(nTk).select(
+        pmod(xxhash64(col("id"), lit(31L)), lit(1000L)).as("g"),
+        xxhash64(col("id"), lit(32L)).as("score"), col("id"))
+      .repartition(32).localCheckpoint()
+    val tTkA = System.nanoTime()
+    val tkAgg = tkIn.groupBy("g")
+      .agg(graft.functions.GraftFunctions.topKAgg(
+        struct(col("score"), col("id")), lit(5)).as("top"))
+      .select(col("g"), explode(col("top")).as("v"))
+      .select(col("g"), col("v.score"), col("v.id"))
+      .localCheckpoint()
+    val tkAggN = tkAgg.count()
+    val tkAggSecs = (System.nanoTime() - tTkA) / 1e9
+    val tkW = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("id").desc)
+    val tTkW = System.nanoTime()
+    val tkWin = tkIn.withColumn("rn", row_number().over(tkW))
+      .filter(col("rn") <= 5).select("g", "score", "id")
+      .localCheckpoint()
+    val tkWinN = tkWin.count()
+    val tkWinSecs = (System.nanoTime() - tTkW) / 1e9
+    assert(tkAggN == 5000L && tkWinN == 5000L, s"top-5 of 1000 groups: $tkAggN/$tkWinN")
+    assert(tkAgg.except(tkWin).isEmpty && tkWin.except(tkAgg).isEmpty,
+      "bounded-heap grouped top-k must equal the window answer bit-for-bit")
+    println(f"[smoke] grouped top-k: $nTk rows × 1000 groups -> heap-agg " +
+      f"$tkAggSecs%.1f s vs window $tkWinSecs%.1f s, results identical")
+    report ++= Seq("tk_rows" -> nTk, "tk_agg_secs" -> tkAggSecs,
+      "tk_window_secs" -> tkWinSecs, "tk_identical" -> 1L)
+
+    // ---- phase 16: preserved-interval FULL OUTER at scale (q246) ----
+    // 2M points × 50k intervals, FULL OUTER with nothing to hash on —
+    // nested loops at 1e11 pairs without the rule. The group-count-
+    // expand rewrite keeps it equi-shuffled; correctness at scale rides
+    // set-algebra invariants (exact, no quadratic ground truth needed):
+    // every point appears (matched or padded), every interval appears,
+    // and the planted interval matches its 100 planted points.
+    val nFoPts = sys.env.getOrElse("SPARK_GRAFT_SMOKE_FOPTS", "2000000").toLong
+    val nFoIvs = sys.env.getOrElse("SPARK_GRAFT_SMOKE_FOIVS", "50000").toLong
+    graft.plans.BinnedRangeJoin.install(spark)
+    spark.conf.set(graft.plans.BinnedRangeJoin.BinWidthKey, "50000")
+    try {
+      val foPts = spark.range(nFoPts).select(col("id").as("pid"),
+          when(col("id") < 100, lit(777000000L) + col("id"))
+            .otherwise(pmod(xxhash64(col("id"), lit(33L)), lit(1000000000L))).as("pt"))
+        .repartition(32).localCheckpoint()
+      val foIvs = spark.range(nFoIvs).select(col("id").as("iid"),
+          when(col("id") === 0, lit(777000000L))
+            .otherwise(pmod(xxhash64(col("id"), lit(34L)), lit(1000000000L))).as("lo"))
+        .withColumn("hi", col("lo") + when(col("iid") === 0, lit(99L)).otherwise(lit(9999L)))
+        .localCheckpoint()
+      val tFo = System.nanoTime()
+      val fo = foPts.join(foIvs,
+          col("pt") >= col("lo") && col("pt") <= col("hi"), "full_outer")
+        .localCheckpoint()
+      val foMatched = fo.filter(col("pid").isNotNull && col("iid").isNotNull).count()
+      val foPtOnly = fo.filter(col("iid").isNull).count()
+      val foIvOnly = fo.filter(col("pid").isNull).count()
+      val foSecs = (System.nanoTime() - tFo) / 1e9
+      // set algebra: padded + distinct-matched must tile each side exactly
+      val foMatchedPts = fo.filter(col("iid").isNotNull).select("pid").distinct().count()
+      val foMatchedIvs = fo.filter(col("pid").isNotNull).select("iid").distinct().count()
+      assert(foPtOnly + foMatchedPts == nFoPts,
+        s"point side must tile: $foPtOnly + $foMatchedPts != $nFoPts")
+      assert(foIvOnly + foMatchedIvs == nFoIvs,
+        s"interval side must tile: $foIvOnly + $foMatchedIvs != $nFoIvs")
+      val foPlanted = fo.filter(col("iid") === 0 && col("pid") < 100).count()
+      assert(foPlanted == 100L, s"planted interval matched $foPlanted of 100")
+      val foProbe = foPts.join(foIvs,
+        col("pt") >= col("lo") && col("pt") <= col("hi"), "full_outer")
+      val foPlan = foProbe.queryExecution.executedPlan.toString
+      assert(foPlan.contains("graft_ptbin") && !foPlan.contains("BroadcastNestedLoopJoin"),
+        s"full outer must take the binned path:\n$foPlan")
+      println(f"[smoke] full-outer interval join: $nFoPts pts × $nFoIvs ivs -> " +
+        f"$foMatched matched / $foPtOnly pt-only / $foIvOnly iv-only in $foSecs%.1f s")
+      report ++= Seq("fo_points" -> nFoPts, "fo_intervals" -> nFoIvs,
+        "fo_matched" -> foMatched, "fo_pt_only" -> foPtOnly,
+        "fo_iv_only" -> foIvOnly, "fo_secs" -> foSecs, "fo_planted" -> foPlanted)
+    } finally spark.conf.set(graft.plans.BinnedRangeJoin.BinWidthKey, "0")
+    println("[smoke] OK — full-outer binned interval join at " + nFoPts + " points")
+
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_SMOKE.json"),
       jsonOf(report) + "\n")
     println("[smoke] wrote SCALE_SMOKE.json")

@@ -851,6 +851,52 @@ object EventStreams {
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
   )
 
+  /** q253's drain: a streaming LEADERBOARD — Update-mode
+    * `groupBy(event_type).agg(topk_agg(...))` through the REAL streaming
+    * engine, composing two round-7 pieces: the bounded-heap
+    * [[graft.functions.BoundedTopK]] aggregate's buffer lives in the
+    * streaming STATE STORE (TypedImperativeAggregate state persists as
+    * the serialized heap between micro-batches — the same binary
+    * round-trip the shuffle path uses, now exercised across batches),
+    * and each batch's updated groups upsert into the versioned serving
+    * table via [[drainUpsert]] (the q161 mechanics). Because heap-merge
+    * is an exact incremental combine, the final serving version is
+    * bit-identical to the batch top-k over the whole stream — which is
+    * what the oracle states as a plain ROW_NUMBER window. State per
+    * group: ≤ k entries, the streaming-leaderboard recipe that never
+    * grows with the stream. */
+  private def drainStreamingTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val staged = stagedSource(s, d)
+    val agg = stagedEventStream(s, staged)
+      .select(col("event_type"),
+        floor(col("value") * 10.0 + 0.5).cast(LongType).as("v_x10"),
+        col("event_id"))
+      .groupBy("event_type")
+      .agg(graft.functions.GraftFunctions.topKAgg(
+        struct(col("v_x10"), col("event_id")), lit(5)).as("top"))
+    drainUpsert(s, agg, Seq("event_type"))
+  }
+
+  val q253StreamingLeaderboard = graft.QueryDef(
+    "q253_streaming_leaderboard",
+    (s, d) =>
+      drainStreamingTopK(s, d)
+        .filter(col("event_type") =!= "__sentinel__")
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).cast(LongType).as("rnk"),
+          col("col.v_x10").as("v_x10"), col("col.event_id").as("event_id"))
+        .orderBy("event_type", "rnk"),
+    Some("""SELECT event_type, CAST(rnk AS BIGINT) AS rnk, v_x10, event_id FROM (
+           |  SELECT event_type,
+           |    CAST(floor(value * 10.0 + 0.5) AS BIGINT) AS v_x10, event_id,
+           |    ROW_NUMBER() OVER (PARTITION BY event_type
+           |      ORDER BY CAST(floor(value * 10.0 + 0.5) AS BIGINT) DESC,
+           |               event_id DESC) AS rnk
+           |  FROM events) t
+           |WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin)
+  )
+
   /** q163: stream-stream FULL OUTER interval join executed AS streaming —
     * completes the streaming join matrix (q96 inner, q121 left outer):
     * views with no click in the 30-min horizon null-pad on the right
@@ -1164,7 +1210,7 @@ object EventStreams {
       q98StreamingDedup, q108StreamingEnrich, q111StreamingHighs,
       q121StreamingOuterJoin, q134StreamingTimers, q161ForeachBatchMerge,
       q163StreamingFullOuterJoin, q200StreamingRateLimit, q212StreamingHll,
-      q225StreamingIntervalLookup, q238StreamingMapState)
+      q225StreamingIntervalLookup, q238StreamingMapState, q253StreamingLeaderboard)
 
   /** Custom per-user running state via mapGroupsWithState — the
     * `KeyValueGroupedDataset` stateful escape hatch (arbitrary state the
