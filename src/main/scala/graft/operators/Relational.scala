@@ -1135,6 +1135,11 @@ object Relational {
     * ([[graft.functions.BoundedTopK]], a native bounded-heap
     * TypedImperativeAggregate) — the per-group analogue of q11's global
     * top-k and the SCALE replacement for q12's window-rank spelling.
+    * q114 proves the same equivalence with a typed `Aggregator` UDAF;
+    * this is the ENGINE-level version: a Catalyst aggregate over any
+    * orderable type, SQL-registered (`SELECT topk_agg(...)`), and
+    * reused by the q253 streaming leaderboard where the heap persists
+    * in the state store between micro-batches.
     * The window form must shuffle and sort EVERY row (the whole fact
     * table through one exchange); `topk_agg` keeps a ≤ k-entry min-heap
     * per group, so partial aggregation prunes map-side — each map task

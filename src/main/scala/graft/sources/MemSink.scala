@@ -97,6 +97,12 @@ object MemStore {
   /** Row-level delete: keep the survivors, one atomic swap. */
   def commitDelete(name: String, keep: InternalRow => Boolean): Unit =
     install(name, prev => prev.filter(keep))
+  /** Overwrite-by-filter (`replaceWhere`): drop the matching slice and
+    * append the replacement rows in ONE version install — delete and
+    * insert can never be observed separately. */
+  def commitOverwrite(name: String, drop: InternalRow => Boolean,
+      rows: Seq[InternalRow]): Unit =
+    install(name, prev => prev.filterNot(drop) ++ rows)
 
   private def requireCapacity(name: String, wouldBe: Long): Unit =
     require(wouldBe <= MaxCommittedRows,
@@ -118,7 +124,7 @@ class MemTable(name: String, pinnedVersion: Option[Long] = None)
       s"graft_mem($name): cannot $verb a time-travel (VERSION AS OF) relation")
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
   /** Row-level DELETE WHERE, the `SupportsDelete` metadata-delete shape:
     * Spark translates the WHERE clause to source [[Filter]]s (the same
@@ -172,11 +178,25 @@ class MemTable(name: String, pinnedVersion: Option[Long] = None)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireWritable("write to")
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var doTruncate = false
+      private var replaceWhere: Option[Array[org.apache.spark.sql.sources.Filter]] = None
       override def truncate(): WriteBuilder = { doTruncate = true; this }
+      /** Overwrite-by-filter (the Delta `replaceWhere` verb): Spark
+        * translates the condition to source filters; only filters
+        * [[MemFilterEval]] decides EXACTLY are accepted — a shape the
+        * evaluator cannot decide fails HERE, before any write starts,
+        * and the committed version stays (SourcesSpec pins it). */
+      override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+        require(filters.forall(MemFilterEval.supported(_, schema())),
+          s"graft_mem($name): overwrite condition not exactly evaluable: " +
+            filters.mkString(", "))
+        replaceWhere = Some(filters); this
+      }
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new MemBatchWrite(name, doTruncate)
+        override def toBatch: BatchWrite =
+          new MemBatchWrite(name, doTruncate, replaceWhere)
       }
     }
   }
@@ -285,7 +305,9 @@ case class MemPartition(rows: Vector[InternalRow]) extends InputPartition
 
 case class MemCommitMessage(rows: Array[Array[Byte]]) extends WriterCommitMessage
 
-class MemBatchWrite(name: String, truncate: Boolean) extends BatchWrite {
+class MemBatchWrite(name: String, truncate: Boolean,
+    replaceWhere: Option[Array[org.apache.spark.sql.sources.Filter]] = None)
+  extends BatchWrite {
   private val schema = MemStore.schemaOf(name)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new MemWriterFactory(schema)
@@ -298,8 +320,12 @@ class MemBatchWrite(name: String, truncate: Boolean) extends BatchWrite {
         r.copy(): InternalRow
       }
     }.toVector
-    if (truncate) MemStore.commitTruncate(name, rows)
-    else MemStore.commitAppend(name, rows)
+    replaceWhere match {
+      case Some(fs) => MemStore.commitOverwrite(name,
+        row => fs.forall(MemFilterEval.eval(_, row, schema)), rows)
+      case None if truncate => MemStore.commitTruncate(name, rows)
+      case None => MemStore.commitAppend(name, rows)
+    }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

@@ -69,7 +69,7 @@ class SynthTable(rows: Long, parts: Int, bucketed: Boolean = false,
   override def name(): String = s"graft_synth($rows)"
   override def schema(): StructType = SynthTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SynthScanBuilder(rows, parts, bucketed, columnar)
 }
@@ -261,6 +261,21 @@ class SynthScan(lo: Long, hi: Long, parts: Int, required: StructType,
         planInputPartitions().length)
     else new partitioning.UnknownPartitioning(parts)
 
+  /** STREAMING read of the same table: `readStream.table("graft.synth_…")`
+    * plans this scan as a [[SynthMicroBatchStream]] — the connector's
+    * MicroBatchStream surface (offsets, per-range split planning,
+    * admission control), the read-side analogue of MemSink's two-phase
+    * write. Offsets are row positions; each micro-batch reveals the next
+    * ~eighth of [lo, hi) (`SupportsAdmissionControl.latestOffset(start,
+    * limit)` — which is what Trigger.AvailableNow paces batches with),
+    * and `planInputPartitions(start, end)` re-plans the generator splits
+    * for exactly that range, so a batch never re-reads or skips rows:
+    * the exactly-once contract a file/Kafka source keeps with offsets,
+    * fulfilled by a generator. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SynthMicroBatchStream(lo, hi, parts, required)
+
   override def planInputPartitions(): Array[InputPartition] =
     runtimeIds match {
       case Some(ids) if bucketed =>
@@ -297,6 +312,64 @@ class SynthScan(lo: Long, hi: Long, parts: Int, required: StructType,
 }
 
 case class SynthPartition(start: Long, end: Long) extends InputPartition
+
+/** Row-position offset for the streaming read (`json` is the position). */
+case class SynthOffset(pos: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pos.toString
+}
+
+/** Micro-batch stream over the generator: reveals [lo, hi) in ~8 chunks.
+  * See [[SynthScan.toMicroBatchStream]] for the contract notes. */
+class SynthMicroBatchStream(lo: Long, hi: Long, parts: Int, required: StructType)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
+
+  private val chunk: Long = math.max(1L, (hi - lo) / 8)
+
+  /** Without this marker Spark DOWNGRADES Trigger.AvailableNow to a
+    * single Trigger.Once batch (logged as a fallback warning) — the
+    * multi-batch drain requires the source to declare it can pin an
+    * end. The generator's end is static (`hi`), so there is nothing to
+    * snapshot here; `reportLatestOffset`/`latestOffset(allAvailable)`
+    * already return it. */
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def initialOffset(): Offset = SynthOffset(lo)
+  override def deserializeOffset(json: String): Offset = SynthOffset(json.toLong)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(chunk)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: use latestOffset(Offset, ReadLimit)")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    // ReadAllAvailable is how Trigger.AvailableNow PINS its final target
+    // (one call at query start) — it must see the true end, while the
+    // per-batch calls advance by the admission-controlled chunk.
+    val step = limit match {
+      case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable =>
+        return SynthOffset(hi)
+      case mr: ReadMaxRows => mr.maxRows()
+      case _ => chunk
+    }
+    SynthOffset(math.min(hi, start.asInstanceOf[SynthOffset].pos + step))
+  }
+  /** The true end of the source — what AvailableNow pins as its target. */
+  override def reportLatestOffset(): Offset = SynthOffset(hi)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[SynthOffset].pos, end.asInstanceOf[SynthOffset].pos)
+    val n = math.max(e - s, 0L)
+    val per = math.max(1L, (n + parts - 1) / parts)
+    (0 until parts).iterator
+      .map(i => SynthPartition(s + i * per, math.min(s + (i + 1) * per, e)))
+      .filter(p => p.start < p.end)
+      .toArray[InputPartition]
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required, columnar = false)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 /** A mod-`step` stride of [start, end) — bucket `key` of the key-grouped
   * layout; `partitionKey` is how the split tells Spark WHICH bucket it
@@ -700,7 +773,87 @@ object SynthSource {
            |ORDER BY version""".stripMargin)
   )
 
+  /** q254: DSv2 OVERWRITE-BY-FILTER (`replaceWhere`, the Delta verb) —
+    * the last write shape on the mem connector after append (q228),
+    * truncate, row-level delete (q245) and time travel (q248): restate
+    * one slice of a table atomically. [[MemTable]]'s write builder
+    * implements `SupportsOverwrite`; Spark translates the condition to
+    * source filters, the builder REFUSES any filter [[MemFilterEval]]
+    * cannot decide exactly (fails before a single row is written), and
+    * the commit drops the matching slice and appends the replacement in
+    * ONE version install — a reader can never observe the delete
+    * without the insert. The query restates the 'R' slice with
+    * corrected quantities through `writeTo(...).overwrite(...)` and
+    * hash-compares the final table against DuckDB applying the same
+    * correction functionally. (SourcesSpec pins the refused-condition
+    * and aborted-job paths keeping the committed version.) */
+  val q254ReplaceWhere = graft.QueryDef(
+    "q254_dsv2_replace_where",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      val src = graft.Tables.lineitem(s, d).select(
+        col("l_orderkey").cast("long").as("k"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_returnflag").as("flag"))
+      s.sql("DROP TABLE IF EXISTS graft.mem_rw")
+      src.writeTo("graft.mem_rw").create()
+      src.filter(col("flag") === "R")
+        .withColumn("qty", col("qty") + 1000L)
+        .writeTo("graft.mem_rw").overwrite(col("flag") === "R")
+      s.table("graft.mem_rw")
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"),
+          sum("k").as("sum_k"))
+        .orderBy("flag")
+    },
+    Some("""SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(l_quantity AS BIGINT)
+           |    + CASE WHEN l_returnflag = 'R' THEN 1000 ELSE 0 END) AS BIGINT)
+           |    AS sum_qty,
+           |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_k
+           |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin)
+  )
+
+  /** q255: DSv2 STREAMING READ of the custom connector — the read-side
+    * streaming surface ([[SynthMicroBatchStream]]): `readStream.table`
+    * over the catalog table plans a MicroBatchStream whose offsets are
+    * row positions, with admission control pacing ~8 micro-batches
+    * under Trigger.AvailableNow and `planInputPartitions(start, end)`
+    * re-planning generator splits per offset range — the exactly-once
+    * offset contract a file/Kafka source keeps, fulfilled by a
+    * generator and CHECKED BY THE ORACLE: a batch that re-reads or
+    * skips rows breaks the complete-mode aggregate's counts/sums
+    * against DuckDB's closed-form rebuild of the table. (SourcesSpec
+    * additionally asserts the run really was multi-batch.) */
+  val q255StreamingRead = graft.QueryDef(
+    "q255_dsv2_streaming_read",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      val q = s.readStream.table("graft.synth_100000_8")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("h").as("sum_h"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("q255_sink")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q255_sink").orderBy("bucket")
+    },
+    Some(s"""WITH t AS (
+           |  SELECT x AS doc_id,
+           |    x * ${SynthTable.Mult} % ${SynthTable.HMod} AS h,
+           |    x * ${SynthTable.Mult} % ${SynthTable.HMod} % ${SynthTable.BMod}
+           |      AS bucket
+           |  FROM range(0, 100000) r(x))
+           |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(h) AS BIGINT) AS sum_h,
+           |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+           |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q208Dsv2Scan, q209Dsv2AggPushdown,
     q210Dsv2TopN, q215SpjJoin, q216RuntimePrune, q228WriteRoundtrip,
-    q245Dsv2Delete, q248TimeTravel)
+    q245Dsv2Delete, q248TimeTravel, q254ReplaceWhere, q255StreamingRead)
 }

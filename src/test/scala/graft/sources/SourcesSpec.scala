@@ -433,6 +433,61 @@ class SourcesSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mem_tt_spec")
   }
 
+  test("DSv2 replaceWhere: atomic slice restatement; refused/aborted overwrites keep the version") {
+    import graft.sources.{GraftCatalog, MemStore}
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.mem_rw_spec")
+    spark.range(0, 100)
+      .selectExpr("id AS k", "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS tag")
+      .writeTo("graft.mem_rw_spec").create()
+    // restate the 'a' slice with shifted keys, one atomic version
+    val vBefore = MemStore.currentVersion("mem_rw_spec")
+    spark.range(1000, 1005).selectExpr("id AS k", "'a' AS tag")
+      .writeTo("graft.mem_rw_spec").overwrite(col("tag") === "a")
+    assert(MemStore.currentVersion("mem_rw_spec") == vBefore + 1,
+      "replaceWhere is ONE version install")
+    val ks = spark.table("graft.mem_rw_spec").select("k").collect().map(_.getLong(0)).toSet
+    val expect = (0L until 100L).filterNot(_ % 3 == 0).toSet ++ (1000L until 1005L)
+    assert(ks == expect, "slice dropped and replacement appended atomically")
+    // a condition the evaluator can't decide exactly is refused up front
+    intercept[Exception] {
+      spark.range(0, 1).selectExpr("id AS k", "'a' AS tag")
+        .writeTo("graft.mem_rw_spec").overwrite(col("tag").contains("x"))
+    }
+    assert(spark.table("graft.mem_rw_spec").select("k").collect()
+      .map(_.getLong(0)).toSet == expect, "refused overwrite keeps the version")
+    // an overwrite whose job fails mid-task neither deletes nor appends
+    val boom = org.apache.spark.sql.functions.udf((x: Long) =>
+      if (x == 2L) throw new RuntimeException("boom") else x)
+    intercept[Exception] {
+      spark.range(0, 5).select(boom(col("id")).as("k"), lit("b").as("tag"))
+        .writeTo("graft.mem_rw_spec").overwrite(col("tag") === "b")
+    }
+    assert(spark.table("graft.mem_rw_spec").select("k").collect()
+      .map(_.getLong(0)).toSet == expect, "aborted overwrite keeps the version")
+    spark.sql("DROP TABLE graft.mem_rw_spec")
+  }
+
+  test("DSv2 streaming read: offsets pace multiple micro-batches, rows exactly once") {
+    import graft.sources.GraftCatalog
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val q = spark.readStream.table("graft.synth_10000_4")
+      .groupBy(lit(1).as("g"))
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("s"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("synth_stream_spec")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // exactly-once over offsets: n = rows, sum = closed form
+    val row = spark.table("synth_stream_spec").head()
+    assert(row.getLong(1) == 10000L, "every generated row exactly once")
+    assert(row.getLong(2) == 10000L * 9999L / 2, "offset ranges neither skip nor re-read")
+    // admission control actually paced the drain: > 1 data batch
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 2, s"expected a multi-batch drain, got $batches data batches")
+  }
+
   test("custom DSv2 connector: Int/Short-typed range literals are absorbed, not residual") {
     import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan, EqualTo}
     // untyped SQL paths can hand the builder an Int-typed literal; the
