@@ -946,8 +946,11 @@ object ScaleSmoke {
       val foIvOnly = fo.filter(col("pid").isNull).count()
       val foSecs = (System.nanoTime() - tFo) / 1e9
       // set algebra: padded + distinct-matched must tile each side exactly
-      val foMatchedPts = fo.filter(col("iid").isNotNull).select("pid").distinct().count()
-      val foMatchedIvs = fo.filter(col("pid").isNotNull).select("iid").distinct().count()
+      // (both keys non-null — a padded row carries the OTHER side's null
+      // and must not leak a null key into the distinct count)
+      val foMatched2 = fo.filter(col("pid").isNotNull && col("iid").isNotNull)
+      val foMatchedPts = foMatched2.select("pid").distinct().count()
+      val foMatchedIvs = foMatched2.select("iid").distinct().count()
       assert(foPtOnly + foMatchedPts == nFoPts,
         s"point side must tile: $foPtOnly + $foMatchedPts != $nFoPts")
       assert(foIvOnly + foMatchedIvs == nFoIvs,
