@@ -2131,6 +2131,77 @@ object EventOps {
            |ORDER BY day""".stripMargin)
   )
 
+  /** q256: POSITION-BASED (U-shaped) multi-touch attribution — the
+    * model marketers actually bill on, where q115's last-touch is the
+    * primitive: every purchase splits one million credit micro-units
+    * over ALL its preceding clicks, 40% to the first touch, 40% to the
+    * last, 20% shared by the middles. The part worth engineering is
+    * EXACT CONSERVATION under integer arithmetic: the middle pool
+    * divides with truncation, so the query assigns the division
+    * leftover (and, for n = 2, the whole undividable pool) to the FIRST
+    * click — a stated, deterministic rounding policy instead of float
+    * drift, making Σ credits ≡ 1e6 per purchase an invariant the hash
+    * verifies on both engines. Tiebreaks are total ((ts_us, event_id)
+    * lexicographic), matching q115's ordering discipline.
+    *
+    * Plan shape at 100 TB: the click×purchase pairing is USER-KEYED
+    * (one exchange), and per-user fan-out is bounded by per-user
+    * activity (~60 events at bench scale → ≤ ~900 pairs); a pathological
+    * mega-user is ordinary key skew — the q84 salting / AQE path. The
+    * per-purchase rank/count windows partition by purchase id, which is
+    * finer than user — no hot partitions. */
+  val q256PositionAttribution = QueryDef(
+    "q256_position_attribution",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns DIV 1000"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("c_us"), col("event_id").as("c_id"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("p_us"), col("event_id").as("p_id"))
+      val pairs = clicks.join(purch, Seq("user_id"))
+        .filter(col("c_us") < col("p_us") ||
+          (col("c_us") === col("p_us") && col("c_id") < col("p_id")))
+      val wR = Window.partitionBy("p_id").orderBy("c_us", "c_id")
+      val wN = Window.partitionBy("p_id")
+      pairs
+        .withColumn("rn", row_number().over(wR))
+        .withColumn("n", count(lit(1)).over(wN))
+        .withColumn("share_x1m",
+          when(col("n") === 1, lit(1000000L))
+            .when(col("rn") === 1 && col("n") === 2, lit(600000L))
+            .when(col("rn") === 1,
+              lit(400000L) + (lit(200000L) - expr("200000 DIV (n - 2)") * (col("n") - 2)))
+            .when(col("rn") === col("n"), lit(400000L))
+            .otherwise(expr("200000 DIV (n - 2)")))
+        .groupBy("c_id")
+        .agg(count(lit(1)).as("n_purchases"), sum("share_x1m").as("credit_x1m"))
+        .orderBy("c_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+           |clicks AS (
+           |  SELECT user_id, ts_us AS c_us, event_id AS c_id FROM e
+           |  WHERE event_type = 'click'),
+           |purch AS (
+           |  SELECT user_id, ts_us AS p_us, event_id AS p_id FROM e
+           |  WHERE event_type = 'purchase'),
+           |pairs AS (
+           |  SELECT c_id, p_id,
+           |    ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY c_us, c_id) AS rn,
+           |    COUNT(*) OVER (PARTITION BY p_id) AS n
+           |  FROM clicks JOIN purch USING (user_id)
+           |  WHERE c_us < p_us OR (c_us = p_us AND c_id < p_id))
+           |SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           |  CAST(SUM(CASE
+           |    WHEN n = 1 THEN 1000000
+           |    WHEN rn = 1 AND n = 2 THEN 600000
+           |    WHEN rn = 1 THEN 400000 + (200000 - (200000 // (n - 2)) * (n - 2))
+           |    WHEN rn = n THEN 400000
+           |    ELSE 200000 // (n - 2) END) AS BIGINT) AS credit_x1m
+           |FROM pairs GROUP BY c_id ORDER BY c_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
     q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency,
     q109SessionPaths, q115Attribution, q119LatestState, q122Transitions,
@@ -2141,5 +2212,5 @@ object EventOps {
     q188IntervalCoverage, q191ConversionLatency, q195ActivityHeatmap,
     q196Velocity, q198RfmSegments, q203FreshnessAudit, q206InterarrivalGaps,
     q230ForecastBacktest, q235Burstiness, q236Scd2Integrity, q241Streaks,
-    q242Stickiness)
+    q242Stickiness, q256PositionAttribution)
 }

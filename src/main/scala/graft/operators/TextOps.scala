@@ -1545,6 +1545,92 @@ object TextOps {
            |ORDER BY round""".stripMargin)
   )
 
+  /** q257: TOKENIZER FERTILITY evaluation — the acceptance test for
+    * q251's training step: apply the three learned merges to the corpus
+    * and measure symbols-per-word-occurrence ×1e6 PER LANGUAGE, before
+    * and after. Fertility (how many symbols a tokenizer spends per
+    * word) is the standard tokenizer-quality metric, and the per-lang
+    * split is the fairness question multilingual corpora ask (merges
+    * trained on the GLOBAL vocabulary compress dominant languages
+    * more). Mechanics reuse q251's oracle-exactness trick: merges are
+    * chosen on the global vocabulary (argmax per round via scalar
+    * subquery / driver 1-row collect), applied as chained `replace()`
+    * (left-to-right non-overlapping ≡ BPE greedy order in both
+    * engines), fertility integer-exact via ×1e6 DIV. The corpus is
+    * touched once; both fertility sums are one hash agg over the
+    * (lang, word) vocabulary. */
+  val q257TokenizerFertility = QueryDef(
+    "q257_tokenizer_fertility",
+    (s, d) => {
+      val w0l = Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(lower(col("text")))).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .groupBy("lang", "w").agg(count(lit(1)).cast(LongType).as("cnt"))
+        .localCheckpoint() // (lang, word) vocab; re-read by both passes
+      def pairCounts(words: DataFrame): DataFrame = words
+        .filter(length(col("w")) >= 2)
+        .select(col("w"), col("cnt"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(expr("substring(w, i, 2)").as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum("cnt").cast(LongType).as("f"))
+      var vocab = w0l.groupBy("w").agg(sum("cnt").cast(LongType).as("cnt"))
+      val marks = Seq("0", "1", "2")
+      val merges = marks.zipWithIndex.map { case (mark, i) =>
+        val pair = pairCounts(vocab)
+          .orderBy(col("f").desc, col("pair").asc).limit(1)
+          .collect()(0).getString(0)
+        vocab = vocab.select(expr(s"replace(w, '$pair', '$mark')").as("w"), col("cnt"))
+        (pair, mark)
+      }
+      // apply the learned merge chain to the per-lang vocabulary
+      val w3 = merges.foldLeft(col("w")) { case (c, (pair, mark)) =>
+        org.apache.spark.sql.functions.replace(c, lit(pair), lit(mark))
+      }
+      w0l.groupBy("lang")
+        .agg(sum("cnt").as("n_words"),
+          sum(length(col("w")).cast(LongType) * col("cnt")).as("sym_before"),
+          sum(length(w3).cast(LongType) * col("cnt")).as("sym_after"))
+        .select(col("lang"), col("n_words"),
+          expr("sym_before * 1000000 DIV n_words").as("fert_before_x1m"),
+          expr("sym_after * 1000000 DIV n_words").as("fert_after_x1m"))
+        .orderBy("lang")
+    },
+    Some("""WITH w0l AS (
+           |  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+           |    SELECT lang,
+           |      unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS w
+           |    FROM documents) t
+           |  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY lang, w),
+           |w0 AS (SELECT w, SUM(cnt) AS cnt FROM w0l GROUP BY w),
+           |p1 AS (
+           |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, SUM(cnt) AS f
+           |  FROM (SELECT w, cnt, unnest(range(1, len(w))) AS i FROM w0 WHERE len(w) >= 2) x
+           |  GROUP BY pair),
+           |m1 AS (SELECT pair FROM p1 ORDER BY f DESC, pair ASC LIMIT 1),
+           |w1 AS (SELECT replace(w, (SELECT pair FROM m1), '0') AS w, cnt FROM w0),
+           |p2 AS (
+           |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, SUM(cnt) AS f
+           |  FROM (SELECT w, cnt, unnest(range(1, len(w))) AS i FROM w1 WHERE len(w) >= 2) x
+           |  GROUP BY pair),
+           |m2 AS (SELECT pair FROM p2 ORDER BY f DESC, pair ASC LIMIT 1),
+           |w2 AS (SELECT replace(w, (SELECT pair FROM m2), '1') AS w, cnt FROM w1),
+           |p3 AS (
+           |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, SUM(cnt) AS f
+           |  FROM (SELECT w, cnt, unnest(range(1, len(w))) AS i FROM w2 WHERE len(w) >= 2) x
+           |  GROUP BY pair),
+           |m3 AS (SELECT pair FROM p3 ORDER BY f DESC, pair ASC LIMIT 1),
+           |merged AS (
+           |  SELECT lang,
+           |    replace(replace(replace(w, (SELECT pair FROM m1), '0'),
+           |      (SELECT pair FROM m2), '1'), (SELECT pair FROM m3), '2') AS w3,
+           |    w, cnt
+           |  FROM w0l)
+           |SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_words,
+           |  CAST(SUM(len(w) * cnt) * 1000000 // SUM(cnt) AS BIGINT) AS fert_before_x1m,
+           |  CAST(SUM(len(w3) * cnt) * 1000000 // SUM(cnt) AS BIGINT) AS fert_after_x1m
+           |FROM merged GROUP BY lang ORDER BY lang""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId,
     q22Fingerprint, q39Bigrams, q55TokenCounts, q57Winnowing, q59Tfidf,
     q66PiiRedact, q67Repetition, q69Decontamination, q70DecontamPool,
@@ -1552,5 +1638,5 @@ object TextOps {
     q130PmiCollocations, q132HeavyHitters, q139Bm25, q151NgramNovelty,
     q155BpePairs, q158SkipgramPairs, q217VocabGrowth, q220TermDrift,
     q237SourceSignature, q239NgramUdtf, q249GroupedHeavyHitters,
-    q251BpeMergeRounds)
+    q251BpeMergeRounds, q257TokenizerFertility)
 }
