@@ -1796,6 +1796,60 @@ object MiningOps {
            |FROM x ORDER BY priority""".stripMargin)
   )
 
+  /** q258: JOIN-SIZE ESTIMATION via the Count-Min inner product — the
+    * pre-flight estimator for q218's exact join-explosion audit (and
+    * the size question q256's click×purchase pairing asks before
+    * running): |A ⋈_k B| = Σ_k c_A(k)·c_B(k), estimated per sketch row
+    * as Σ_b cells_A(j,b)·cells_B(j,b) and min'd over the 4 rows — the
+    * AGMS/CMS construction, whose estimate is a PROVABLE overestimate
+    * (hash collisions only ever add nonnegative cross terms), so
+    * `overcount ≥ 0` is an invariant the oracle hash verifies, not a
+    * hope. Cost: two 2048-cell sketches + a 2048-row cell join,
+    * regardless of input size — the planner-style "will this join blow
+    * up" answer without touching the join; the EXACT pair count is
+    * computed alongside (one per-key count join) to expose the error.
+    * Merging shards is cell-wise `+`, so at 100 TB the sketches build
+    * map-side and the estimate is metadata-sized. */
+  val q258CmJoinSize = QueryDef(
+    "q258_cm_join_size",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val a = ev.filter(col("event_type") === "click").select(col("user_id"))
+      val b = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+      val estByRow = cmCells(a, col("user_id")).withColumnRenamed("c", "ca")
+        .join(cmCells(b, col("user_id")).withColumnRenamed("c", "cb"), Seq("j", "b"))
+        .groupBy("j").agg(sum(col("ca") * col("cb")).as("e"))
+      val est = estByRow.agg(min("e").as("cm_est"))
+      val exact = a.groupBy("user_id").agg(count(lit(1)).as("na"))
+        .join(b.groupBy("user_id").agg(count(lit(1)).as("nb")), "user_id")
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_pairs"))
+      exact.crossJoin(est)
+        .select(col("exact_pairs"), col("cm_est"),
+          (col("cm_est") - col("exact_pairs")).as("overcount"))
+    },
+    Some(s"""WITH a AS (SELECT user_id FROM events WHERE event_type = 'click'),
+           |b AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+           |ca AS (
+           |  SELECT j, CAST(('0x' || substr(md5(j || '#' || user_id), 1, 15)) AS BIGINT)
+           |    % ${CmWidth} AS bkt, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM a, range(0, $CmRows) t(j) GROUP BY 1, 2),
+           |cb AS (
+           |  SELECT j, CAST(('0x' || substr(md5(j || '#' || user_id), 1, 15)) AS BIGINT)
+           |    % ${CmWidth} AS bkt, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM b, range(0, $CmRows) t(j) GROUP BY 1, 2),
+           |est AS (
+           |  SELECT ca.j, SUM(ca.c * cb.c) AS e
+           |  FROM ca JOIN cb ON ca.j = cb.j AND ca.bkt = cb.bkt GROUP BY ca.j),
+           |exact AS (
+           |  SELECT CAST(COALESCE(SUM(na.c * nb.c), 0) AS BIGINT) AS exact_pairs
+           |  FROM (SELECT user_id, COUNT(*) AS c FROM a GROUP BY 1) na
+           |  JOIN (SELECT user_id, COUNT(*) AS c FROM b GROUP BY 1) nb
+           |    USING (user_id))
+           |SELECT exact_pairs, CAST(MIN(e) AS BIGINT) AS cm_est,
+           |  CAST(MIN(e) - exact_pairs AS BIGINT) AS overcount
+           |FROM exact, est GROUP BY exact_pairs""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile,
     q110PercentileNorm, q114TopkPerGroup, q126GroupOls, q127ChangePoint,
     q131EquidepthHist, q141KAnonymity, q147ExactMedian, q164BenfordAudit,
@@ -1803,5 +1857,5 @@ object MiningOps {
     q176LearningCurve, q180GainsTable, q182PoissonBootstrap, q184ItemCf,
     q186WeightedMedian, q187HllSketch, q189CmSketch, q190LedgerRecon,
     q201SlaLatency, q202SupplierHhi, q205AbcClasses, q207KsDrift,
-    q211KmvSketch, q233SubsequenceSupport, q234MixRateDecomp)
+    q211KmvSketch, q233SubsequenceSupport, q234MixRateDecomp, q258CmJoinSize)
 }

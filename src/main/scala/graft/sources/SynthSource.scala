@@ -326,7 +326,10 @@ class SynthMicroBatchStream(lo: Long, hi: Long, parts: Int, required: StructType
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
 
-  private val chunk: Long = math.max(1L, (hi - lo) / 8)
+  // 4 chunks: enough to prove multi-batch offset pacing, while keeping
+  // the per-batch fixed cost (micro-batch planning + checkpoint + sink
+  // commit, ~0.5-1 s each) from dominating the bench figure
+  private val chunk: Long = math.max(1L, (hi - lo) / 4)
 
   /** Without this marker Spark DOWNGRADES Trigger.AvailableNow to a
     * single Trigger.Once batch (logged as a fallback warning) — the

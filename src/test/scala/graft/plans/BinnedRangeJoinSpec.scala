@@ -132,6 +132,28 @@ class BinnedRangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("idempotence: re-optimizing an already-rewritten plan changes nothing") {
+    val cond = col("pt") >= col("lo") && col("pt") <= col("hi")
+    withRule(50L) {
+      // every join the rewrite emits carries an equality conjunct, so
+      // RE-APPLYING THE RULE to an already-rewritten plan must be the
+      // identity — for the direct path AND the preserved-interval
+      // decomposition. (The whole optimizer is deliberately not
+      // re-executed: unrelated batches like ConvertToLocalRelation keep
+      // folding test fixtures and would mask what this pins.)
+      for (df <- Seq(
+        points.join(intervals, cond),
+        intervalsDup.join(pointsNullable, cond, "full_outer"),
+        intervalsDup.join(pointsNullable, cond, "left_anti"))) {
+        val once = df.queryExecution.optimizedPlan
+        val twice = BinnedRangeJoin(once)
+        assert(twice.canonicalized == once.canonicalized,
+          s"rule must be a fixpoint:\nonce:\n$once\ntwice:\n$twice")
+        assert(once.toString.contains("graft_ptbin"), "fixture must be rewritten at all")
+      }
+    }
+  }
+
   test("preserved-interval guard: map-typed interval column keeps the default planner") {
     val cond = col("pt") >= col("lo") && col("pt") <= col("hi")
     val ivsWithMap = intervals.withColumn("m", map(col("iid"), col("lo")))
