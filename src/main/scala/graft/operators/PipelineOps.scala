@@ -726,7 +726,47 @@ object PipelineOps {
            |ORDER BY "user" ASC, label DESC, ord ASC""".stripMargin)
   )
 
+  /** q259: EXACTLY-k-PER-STRATUM deterministic sampling — the third
+    * sampling discipline after q58 (hash-bucket fraction) and q63
+    * (stratified fraction): a fixed-size quota per language, the shape
+    * eval-set construction actually needs ("5 docs per language, and
+    * the same 5 on every retry/engine/cluster"). One pass, no sort:
+    * rank = md5-derived integer (uniform, content-addressed —
+    * retry-stable by construction, the q58 determinism argument) and
+    * the per-group quota is `topk_agg(struct(rank, doc_id), 5)` — the
+    * bounded-heap native aggregate, so state is O(k) per stratum and
+    * map tasks ship at most k candidates per group, where the window
+    * spelling (the oracle) sorts every row of every stratum. */
+  val q259QuotaSample = QueryDef(
+    "q259_quota_sample",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val ranked = Tables.documents(s, d).select(col("lang"), col("doc_id"),
+        pmod(conv(substring(md5(concat(lit("qs#"), col("doc_id").cast("string"))),
+          1, 15), 16, 10).cast(LongType), lit(1000000000L)).as("rank"))
+      ranked.groupBy("lang")
+        .agg(graft.functions.GraftFunctions.topKAgg(
+          struct(col("rank"), col("doc_id")), lit(5)).as("pick"))
+        .select(col("lang"), posexplode(col("pick")))
+        .select(col("lang"), (col("pos") + 1).cast(LongType).as("rnk"),
+          col("col.rank").as("rank"), col("col.doc_id").as("doc_id"))
+        .orderBy("lang", "rnk")
+    },
+    Some("""WITH ranked AS (
+           |  SELECT lang, doc_id,
+           |    CAST(('0x' || substr(md5('qs#' || doc_id), 1, 15)) AS BIGINT)
+           |      % 1000000000 AS rank
+           |  FROM documents)
+           |SELECT lang, CAST(rnk AS BIGINT) AS rnk, rank, doc_id FROM (
+           |  SELECT lang, rank, doc_id,
+           |    ROW_NUMBER() OVER (PARTITION BY lang
+           |      ORDER BY rank DESC, doc_id DESC) AS rnk
+           |  FROM ranked) t
+           |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q73SequencePacking, q74SpanDedup,
     q75QualityRules, q76IncrementalDedup, q85MixtureSample, q92WeightedSample,
-    q99ChunkOverlap, q138SubstringDedup, q197SplitAssign, q227NegativeSampling)
+    q99ChunkOverlap, q138SubstringDedup, q197SplitAssign, q227NegativeSampling,
+    q259QuotaSample)
 }
