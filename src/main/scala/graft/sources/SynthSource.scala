@@ -216,8 +216,38 @@ class SynthAggReaderFactory(lo: Long, hi: Long, tags: Array[String])
 class SynthScan(lo: Long, hi: Long, parts: Int, required: StructType,
                 bucketed: Boolean = false, columnar: Boolean = true)
     extends Scan with Batch with SupportsReportPartitioning
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with SupportsReportOrdering with SupportsReportStatistics {
   override def readSchema(): StructType = required
+
+  /** Every split generates doc_id ASCENDING (contiguous ranges in flat
+    * mode, ascending mod-`parts` strides in bucketed mode, pre-sorted id
+    * lists post-runtime-filter), and this DECLARES it — the DSv2 analogue
+    * of parquet's sortedBy table property. Composed with the key-grouped
+    * layout it completes the SPJ story: Spark's EnsureRequirements sees
+    * the join's sort requirement already satisfied per aligned partition,
+    * so the storage-partitioned join runs with NO exchange AND NO sort —
+    * both halves of the join's physical cost answered from connector
+    * metadata (SourcesSpec asserts the sort-free plan). */
+  override def outputOrdering(): Array[expressions.SortOrder] =
+    if (required.fieldNames.contains("doc_id"))
+      Array(expressions.Expressions.sort(expressions.Expressions.column("doc_id"),
+        expressions.SortDirection.ASCENDING))
+    else Array.empty
+
+  /** Exact statistics from the generator's closed form — the contract
+    * CBO needs to size the scan without reading it (a parquet footer's
+    * row count, as arithmetic). With stats visible, a small synth
+    * relation AUTO-broadcasts under the session threshold — no
+    * `broadcast()` hint — which is how a real connector earns its place
+    * in join planning (SourcesSpec asserts the hint-free broadcast). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(hi - lo, 0L)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n * 24L) // 3 long-ish cols
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n)
+  }
   override def toBatch: Batch = this
   // the surviving range is visible in the physical plan text — the spec
   // asserts on it to prove the predicate reached the source

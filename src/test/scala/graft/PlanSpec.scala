@@ -147,6 +147,7 @@ class PlanSpec extends SparkSpec {
       "q118_skew_report", // q118: 1-row total-count scalar broadcast
       "q130_pmi_collocations", // q130: two 1-row totals (N tokens, B bigrams)
       "q132_heavy_hitters", // q132: 1-row token-total scalar broadcast
+      "q258_cm_join_size", // q258: 1-row exact-count × 1-row sketch-min scalar cross
       "q140_matryoshka_recall", // q140: bounded 20-row query-set broadcast (q38 shape)
       // q91: oracle-slice theta join (|Δlen| band + banded levenshtein);
       // the equi-bucketed shape for past-broadcast scale is q90
@@ -319,6 +320,11 @@ class PlanSpec extends SparkSpec {
       // deeper) plus the frequent-pair lineage twice under the candidate
       // build — runtime reuses the exchanges
       case n if n.startsWith("q172") => 26
+      // q258: two CMS builds (4-row salted union → 2048-cell agg, each a
+      // partial+final pair), the cell-join, the per-key exact-count join
+      // and two 1-row scalar aggs — every exchange past the two event
+      // scans is sketch-cell- or scalar-sized
+      case n if n.startsWith("q258") => 10
       case _ => 8
     }
     SparkEntry.registry.foreach { q =>

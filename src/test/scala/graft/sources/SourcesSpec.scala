@@ -267,6 +267,47 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 reported ordering: the storage-partitioned join is sort-free too") {
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    try {
+      def rd = spark.table("graft.synth_100000_8")
+      val j = rd.join(
+        rd.filter(col("doc_id") >= 40000).select(col("doc_id"), col("h").as("h2")),
+        "doc_id")
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      // key-grouped layout kills the exchange; REPORTED ordering must now
+      // kill the SortMergeJoin's per-partition sorts as well — the whole
+      // physical join cost answered from connector metadata
+      assert(!plan.contains("Exchange"), s"exchange crept back:\n$plan")
+      if (plan.contains("SortMergeJoin"))
+        assert(!plan.contains("Sort "),
+          s"declared doc_id ordering must satisfy the SMJ requirement:\n$plan")
+      assert(j.count() == 60000L)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("DSv2 reported statistics: a small synth relation auto-broadcasts, no hint") {
+    import graft.sources.SynthProvider
+    val big = spark.read.format(classOf[SynthProvider].getName)
+      .option("rows", 500000L).option("parts", 8).load()
+    val small = spark.read.format(classOf[SynthProvider].getName)
+      .option("rows", 500L).option("parts", 2).load()
+      .select(col("doc_id"), col("h").as("h_dim"))
+    val j = big.join(small, "doc_id") // NO broadcast() hint anywhere
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"reported numRows/sizeInBytes must drive an auto-broadcast:\n$plan")
+    assert(j.count() == 500L)
+  }
+
   test("custom DSv2 connector: broadcast join hands its key set to the scan at runtime") {
     import graft.sources.SynthProvider
     val dir = java.nio.file.Files.createTempDirectory("dpp_dim").toString
