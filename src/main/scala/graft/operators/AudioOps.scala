@@ -246,5 +246,69 @@ object AudioOps {
            |FROM fr2 GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q112AudioDecode, q162AudioVad)
+  final case class AudioZcr(doc_id: Long, n_samples: Long, zc: Long,
+                            zcr_x1m: Long, est_period_x2: Long)
+
+  /** q260: ZERO-CROSSING RATE — the third audio feature after q112's
+    * sample statistics and q162's frame energies, and the classic
+    * speech/music/noise discriminator (voiced speech crosses rarely,
+    * fricatives and hiss cross constantly): count sign changes between
+    * consecutive decoded samples (crossing at i iff `s[i-1] < 0 ≤ s[i]`
+    * or `s[i-1] ≥ 0 > s[i]` — a stated convention both engines mirror),
+    * report the count, the rate ×1e6 over the n−1 adjacent pairs, and
+    * the implied dominant period `2(n−1) div zc` in double-sample units
+    * (a sawtooth crosses exactly twice per period, so the estimate
+    * recovers the clip's closed-form period — a structural check on the
+    * whole decode+feature path, not just a checksum). All integer; zc is
+    * provably positive on this corpus (every clip spans many periods).
+    *
+    * Scale shape: identical to q112/q162 — narrow mapPartitions over
+    * the REAL WAV decode, payloads never shuffle, one feature row per
+    * clip moves. The oracle re-derives every adjacent pair with a LAG
+    * window over the closed-form sawtooth. */
+  val q260AudioZcr = QueryDef(
+    "q260_audio_zcr",
+    (s, d) => {
+      import s.implicits._
+      audioFromDocuments(s, d)
+        .mapPartitions(_.map { clip =>
+          val (_, samples) = WavCodec.decode(clip.payload)
+          var zc = 0L
+          var i = 1
+          while (i < samples.length) {
+            val a = samples(i - 1) < 0
+            val b = samples(i) < 0
+            if (a != b) zc += 1
+            i += 1
+          }
+          val pairs = (samples.length - 1).toLong
+          AudioZcr(clip.doc_id, samples.length.toLong, zc,
+            zc * 1000000L / pairs, 2L * pairs / zc)
+        })
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some("""WITH params AS (
+           |  SELECT doc_id,
+           |         CAST(400 + (doc_id % 7) * 100 AS BIGINT) AS n,
+           |         CAST(16 + (doc_id % 9) AS BIGINT) AS p,
+           |         CAST(256 * (1 + doc_id % 4) AS BIGINT) AS a
+           |  FROM documents),
+           |samples AS (
+           |  SELECT doc_id, n, i, ((i % p) - p // 2) * a AS s
+           |  FROM (SELECT doc_id, n, p, a, unnest(generate_series(0, n - 1)) AS i
+           |        FROM params) t),
+           |x AS (
+           |  SELECT doc_id, n,
+           |    CASE WHEN (LAG(s) OVER w < 0 AND s >= 0)
+           |           OR (LAG(s) OVER w >= 0 AND s < 0) THEN 1 ELSE 0 END AS c
+           |  FROM samples WINDOW w AS (PARTITION BY doc_id ORDER BY i))
+           |SELECT doc_id, CAST(ANY_VALUE(n) AS BIGINT) AS n_samples,
+           |  CAST(SUM(c) AS BIGINT) AS zc,
+           |  CAST(SUM(c) * 1000000 // (ANY_VALUE(n) - 1) AS BIGINT) AS zcr_x1m,
+           |  CAST(2 * (ANY_VALUE(n) - 1) // SUM(c) AS BIGINT) AS est_period_x2
+           |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q112AudioDecode, q162AudioVad, q260AudioZcr)
 }

@@ -546,6 +546,76 @@ object Multimodal {
            |FROM bits ORDER BY media_id""".stripMargin)
   )
 
+  /** q261: corpus LUMINANCE HISTOGRAM through the REAL PNG decode — the
+    * exposure/contrast profile an image-curation pipeline computes
+    * before filtering (drop the blown-out and the black frames, balance
+    * brightness strata): every decoded pixel's integer luminance
+    * `(r + g + b) div 3` lands in one of 16 buckets (`lum div 16`), and
+    * the corpus histogram reports pixels and contributing docs per
+    * bucket. Unlike q65's per-image MEANS (which a stride bug can
+    * accidentally preserve), the histogram touches every pixel VALUE
+    * individually — channel-order, stride, or gamma defects scatter
+    * pixels into wrong buckets on almost every image and break the
+    * hash. PNG half only (lossless; the q65 precedent), integer end to
+    * end; the oracle enumerates every (x, y) of the closed-form
+    * gradients in SQL, md5-seeded base levels included.
+    *
+    * Scale shape: the multimodal invariant — payloads never shuffle;
+    * decode + 16-bucket local histogram per partition, and only
+    * (doc, bucket, count) rows (≤ 16/doc) move into the final agg. */
+  val q261LuminanceHistogram = QueryDef(
+    "q261_luminance_histogram",
+    (s, d) => {
+      import s.implicits._
+      mediaFromDocuments(s, d)
+        .filter(_.media_id % 2 == 0)
+        .mapPartitions(_.flatMap { m =>
+          val img = ImageCodec.decode(m.payload)
+          val counts = new Array[Long](16)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              val lum = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+              counts(lum / 16) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          counts.iterator.zipWithIndex.collect {
+            case (c, b) if c > 0 => (m.media_id, b.toLong, c)
+          }
+        })
+        .toDF("doc_id", "bucket", "n_px")
+        .groupBy("bucket")
+        .agg(sum("n_px").as("n_px"), count(lit(1)).as("n_docs"))
+        .orderBy("bucket")
+    },
+    Some("""WITH px AS (
+           |  SELECT doc_id,
+           |    unnest(generate_series(0, 8 + doc_id % 8 - 1)) AS x,
+           |    CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) & 127 AS r0,
+           |    CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) & 127 AS g0,
+           |    CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT) & 127 AS b0,
+           |    8 + doc_id % 5 AS h
+           |  FROM documents WHERE doc_id % 2 = 0),
+           |pxy AS (
+           |  SELECT doc_id, x, unnest(generate_series(0, h - 1)) AS y, r0, g0, b0
+           |  FROM px),
+           |lum AS (
+           |  SELECT doc_id,
+           |    ((r0 + x + y) + (g0 + x) + (b0 + y)) // 3 // 16 AS bucket
+           |  FROM pxy),
+           |per_doc AS (
+           |  SELECT doc_id, bucket, COUNT(*) AS c FROM lum GROUP BY 1, 2)
+           |SELECT CAST(bucket AS BIGINT) AS bucket,
+           |  CAST(SUM(c) AS BIGINT) AS n_px,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs
+           |FROM per_doc GROUP BY bucket ORDER BY bucket""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q34BinaryPayload, q65ImageDecode, q94MixedCodec,
-    q128ImageResize, q129FrameSample, q232ImagePhashDedup)
+    q128ImageResize, q129FrameSample, q232ImagePhashDedup,
+    q261LuminanceHistogram)
 }
