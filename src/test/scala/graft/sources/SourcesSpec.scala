@@ -509,6 +509,39 @@ class SourcesSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mem_rw_spec")
   }
 
+  test("MemStore: concurrent commits serialize atomically — no lost rows, one version per commit") {
+    import graft.sources.MemStore
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val name = "mem_concurrency_spec"
+    MemStore.drop(name)
+    MemStore.create(name, StructType(Seq(StructField("v", LongType))))
+    val threads = 8
+    val commitsPer = 25
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val futs = (0 until threads).map { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            (0 until commitsPer).foreach { i =>
+              MemStore.commitAppend(name,
+                Seq(InternalRow(t * 1000L + i), InternalRow(-(t * 1000L + i) - 1)))
+            }
+        })
+      }
+      futs.foreach(_.get())
+      // every commit's rows landed exactly once (ConcurrentHashMap.compute
+      // serializes the swaps), and every commit burned exactly one version
+      assert(MemStore.rows(name).size == threads * commitsPer * 2,
+        "no commit may be lost or doubled under contention")
+      assert(MemStore.currentVersion(name) == threads * commitsPer.toLong,
+        "version ids must count exactly one per commit")
+    } finally {
+      pool.shutdown()
+      MemStore.drop(name)
+    }
+  }
+
   test("DSv2 streaming read: offsets pace multiple micro-batches, rows exactly once") {
     import graft.sources.GraftCatalog
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
