@@ -40,6 +40,16 @@ object GraftFunctions {
     // state per group through partial agg + shuffle (see BoundedTopK)
     ("topk_agg", classOf[BoundedTopK].getName,
       children => BoundedTopK(children(0), children(1))),
+    // Native TypedImperativeAggregate + scalar algebra: exact bounded-
+    // domain distinct sets, O(domain/8) state per group (see BitmapOps)
+    ("bitmap_build", classOf[BitmapBuild].getName,
+      children => BitmapBuild(children(0), children(1))),
+    ("bitmap_count", classOf[BitmapCount].getName,
+      children => BitmapCount(children(0))),
+    ("bitmap_and", classOf[BitmapAnd].getName,
+      children => BitmapAnd(children(0), children(1))),
+    ("bitmap_or", classOf[BitmapOr].getName,
+      children => BitmapOr(children(0), children(1))),
     // Spark ships BloomFilterMightContain for its internal runtime-filter
     // rewrite but does not register it for users; exposing it makes the
     // bloom-pruned join (ScaleTools.bloomPrunedJoin) fully declarative and
@@ -92,6 +102,19 @@ object GraftFunctions {
 
   /** Exact k largest values per group, descending (see [[BoundedTopK]]). */
   def topKAgg(value: Column, k: Column): Column = call_function("topk_agg", value, k)
+
+  /** Exact distinct-set bitmap over a bounded domain (see [[BitmapBuild]]). */
+  def bitmapBuild(key: Column, domain: Column): Column =
+    call_function("bitmap_build", key, domain)
+
+  /** Popcount of a bitmap (exact distinct count). */
+  def bitmapCount(b: Column): Column = call_function("bitmap_count", b)
+
+  /** Bitmap intersection. */
+  def bitmapAnd(a: Column, b: Column): Column = call_function("bitmap_and", a, b)
+
+  /** Bitmap union. */
+  def bitmapOr(a: Column, b: Column): Column = call_function("bitmap_or", a, b)
 
   /** Jaro-Winkler similarity (DuckDB-compatible; see [[StringSim]]). */
   def jaroWinkler(a: Column, b: Column): Column =

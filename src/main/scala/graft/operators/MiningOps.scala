@@ -1850,6 +1850,62 @@ object MiningOps {
            |FROM exact, est GROUP BY exact_pairs""".stripMargin)
   )
 
+  /** q262: SEGMENT OVERLAP via native bitmaps — exact distinct users
+    * per order-priority segment AND each segment's intersection/union
+    * with the URGENT segment, computed with [[graft.functions
+    * .BitmapBuild]] (a native `TypedImperativeAggregate`: fixed
+    * `domain`-bit bitmap state, word-wise-OR merge) and the
+    * `bitmap_count/and/or` scalar algebra. The overlap question
+    * ("users in BOTH segments") normally forces a fact-table self-join
+    * or a two-pass `COUNT(DISTINCT)` Expand; here the fact table is
+    * touched ONCE — five constant-size bitmaps come out of one
+    * hash aggregate (full map-side combine, one shuffle of
+    * `domain/8`-byte blocks), and every overlap/union is arithmetic
+    * over those aggregated values against the 1-row broadcast URGENT
+    * bitmap. Exactness is the point: unlike MinHash/HLL overlap
+    * estimates, bitmap set algebra is bit-for-bit — DuckDB recomputes
+    * the same counts from DISTINCT + IN and the hashes must match.
+    * Domain 2^18 (32 KB/group) covers the custkey space at every SF
+    * with the out-of-domain guard failing loudly if data outgrows it;
+    * BitmapSpec pins build ≡ countDistinct across partitionings, the
+    * algebra against set ops, merge determinism of the binary
+    * encoding, and the guard. */
+  val q262BitmapSegments = QueryDef(
+    "q262_bitmap_segments",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions._
+      val bm = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(bitmapBuild(col("o_custkey"), lit(1 << 18)).as("bm"),
+          count(lit(1)).as("n_orders"))
+      val urgent = bm.filter(col("priority") === "1-URGENT")
+        .select(col("bm").as("bm_u"))
+      bm.crossJoin(broadcast(urgent)) // 1-row scalar broadcast
+        .select(col("priority"), col("n_orders"),
+          bitmapCount(col("bm")).as("n_users"),
+          bitmapCount(bitmapAnd(col("bm"), col("bm_u"))).as("n_also_urgent"),
+          bitmapCount(bitmapOr(col("bm"), col("bm_u"))).as("n_union_urgent"))
+        .orderBy("priority")
+    },
+    Some("""WITH po AS (
+           |  SELECT DISTINCT o_orderpriority AS priority, o_custkey AS c
+           |  FROM orders),
+           |u AS (SELECT c FROM po WHERE priority = '1-URGENT'),
+           |base AS (
+           |  SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_users,
+           |    CAST(SUM(CASE WHEN c IN (SELECT c FROM u) THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_also_urgent
+           |  FROM po GROUP BY priority),
+           |no AS (SELECT o_orderpriority AS priority,
+           |  CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1)
+           |SELECT priority, n_orders, n_users, n_also_urgent,
+           |  CAST(n_users + (SELECT COUNT(*) FROM u) - n_also_urgent AS BIGINT)
+           |    AS n_union_urgent
+           |FROM base JOIN no USING (priority)
+           |ORDER BY priority""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile,
     q110PercentileNorm, q114TopkPerGroup, q126GroupOls, q127ChangePoint,
     q131EquidepthHist, q141KAnonymity, q147ExactMedian, q164BenfordAudit,
@@ -1857,5 +1913,6 @@ object MiningOps {
     q176LearningCurve, q180GainsTable, q182PoissonBootstrap, q184ItemCf,
     q186WeightedMedian, q187HllSketch, q189CmSketch, q190LedgerRecon,
     q201SlaLatency, q202SupplierHhi, q205AbcClasses, q207KsDrift,
-    q211KmvSketch, q233SubsequenceSupport, q234MixRateDecomp, q258CmJoinSize)
+    q211KmvSketch, q233SubsequenceSupport, q234MixRateDecomp, q258CmJoinSize,
+    q262BitmapSegments)
 }

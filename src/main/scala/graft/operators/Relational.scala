@@ -1182,6 +1182,61 @@ object Relational {
            |WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin)
   )
 
+  /** q265: RATIO-BAND (multiplicative tolerance) join riding the
+    * [[graft.plans.BinnedRangeJoin]] rule — "price within ±0.2%" is a
+    * MULTIPLICATIVE band, the catalog-entity-matching / transfer-pricing
+    * shape (`b ∈ [a·(1−ε), a·(1+ε)]`), and it needs NO new machinery:
+    * the bounds are integer EXPRESSIONS of the interval side
+    * (`lo = ceil(pa·(1−ε))`, `hi = floor(pa·(1+ε))` in exact ppm
+    * arithmetic), and the rule's scope guards only require the point to
+    * reference one side and both bounds the other — so the derived-
+    * bounds interval join bins and equi-shuffles exactly like q222's
+    * literal-width one, where the naive spelling is a
+    * BroadcastNestedLoopJoin over |A|·|B| price comparisons. Ceil via
+    * `(x + 999999) div 1e6` keeps both engines on integer floor
+    * division (prices positive); ±0.2% of a ~95k-cent price is a
+    * ~380-cent window against bin width 512 — intervals explode to ≲2
+    * bins. BinnedRangeJoinSpec pins the derived-bounds shape to the
+    * binned plan (no BNLJ) and answers ≡ the nested-loop reference. */
+  val q265RatioBandJoin = QueryDef(
+    "q265_ratio_band_join",
+    (s, d) => {
+      graft.plans.BinnedRangeJoin.install(s)
+      s.conf.set(graft.plans.BinnedRangeJoin.BinWidthKey, "512")
+      try {
+        def cents(c: Column): Column =
+          floor(c * 100.0 + 0.5).cast(LongType)
+        val a = Tables.part(s, d).filter(col("p_brand") === "Brand#11")
+          .select(col("p_partkey").as("ka"), cents(col("p_retailprice")).as("pa"))
+          .withColumn("lo", expr("(pa * 998000 + 999999) DIV 1000000"))
+          .withColumn("hi", expr("pa * 1002000 DIV 1000000"))
+        val b = Tables.part(s, d).filter(col("p_brand") === "Brand#22")
+          .select(col("p_partkey").as("kb"), cents(col("p_retailprice")).as("pb"))
+        b.join(a, col("pb") >= col("lo") && col("pb") <= col("hi"))
+          .groupBy("ka")
+          .agg(count(lit(1)).as("n_close"), min("pb").as("min_pb"),
+            max("pb").as("max_pb"))
+          .localCheckpoint()
+          .orderBy("ka")
+      } finally s.conf.set(graft.plans.BinnedRangeJoin.BinWidthKey, "0")
+    },
+    Some("""WITH a AS (
+           |  SELECT p_partkey AS ka,
+           |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS pa
+           |  FROM part WHERE p_brand = 'Brand#11'),
+           |b AS (
+           |  SELECT p_partkey AS kb,
+           |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS pb
+           |  FROM part WHERE p_brand = 'Brand#22')
+           |SELECT ka, CAST(COUNT(*) AS BIGINT) AS n_close,
+           |  CAST(MIN(pb) AS BIGINT) AS min_pb,
+           |  CAST(MAX(pb) AS BIGINT) AS max_pb
+           |FROM b JOIN a
+           |  ON pb >= (pa * 998000 + 999999) // 1000000
+           | AND pb <= pa * 1002000 // 1000000
+           |GROUP BY ka ORDER BY ka""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q01FilterProject, q02GroupAgg, q03Frequencies, q04BroadcastJoin,
     q05MultiJoin, q06LeftOuter, q07SemiJoin, q08AntiJoin, q09RangeJoin,
@@ -1191,5 +1246,5 @@ object Relational {
     q48ArrayOps, q49Unpivot, q50Correlated, q51Percentiles, q58HashSample,
     q61Histogram, q63StratifiedSample, q154FkOrphans, q222IntervalJoin,
     q243LeftOuterIntervalJoin, q246FullOuterIntervalJoin, q247DeadWindows,
-    q250SkylinePerBrand, q252GroupedTopK)
+    q250SkylinePerBrand, q252GroupedTopK, q265RatioBandJoin)
 }

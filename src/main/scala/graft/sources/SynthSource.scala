@@ -65,13 +65,34 @@ object SynthTable {
 
 class SynthTable(rows: Long, parts: Int, bucketed: Boolean = false,
                  columnar: Boolean = true)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft_synth($rows)"
   override def schema(): StructType = SynthTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SynthScanBuilder(rows, parts, bucketed, columnar)
+
+  /** METADATA COLUMNS (`SupportsMetadataColumns`) — the DSv2 provenance
+    * surface (`_metadata.file_path` for files, `_partition` for Kafka,
+    * here the key-grouped storage shard): `_shard` = doc_id mod `parts`,
+    * the bucket a row belongs to under the table's declared layout in
+    * EVERY read mode (contiguous splits, bucketed splits, post-runtime-
+    * filter id lists). Hidden from `SELECT *` — it exists in the
+    * relation's `metadataOutput`, not its schema — and materialized by
+    * the generator ONLY when a query references it (the reader sees it
+    * as one more pruned-schema column; unrequested means never
+    * computed). SourcesSpec pins hiddenness, values, and that pushdown
+    * composes; q264 puts it under the oracle. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_shard"
+      override def dataType: DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment: String =
+        s"key-grouped storage shard: doc_id mod $parts"
+    })
 }
 
 class SynthScanBuilder(rows: Long, parts: Int, bucketed: Boolean = false,
@@ -338,7 +359,7 @@ class SynthScan(lo: Long, hi: Long, parts: Int, required: StructType,
           .toArray[InputPartition]
     }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SynthReaderFactory(required, columnar)
+    new SynthReaderFactory(required, parts, columnar)
 }
 
 case class SynthPartition(start: Long, end: Long) extends InputPartition
@@ -399,7 +420,7 @@ class SynthMicroBatchStream(lo: Long, hi: Long, parts: Int, required: StructType
       .toArray[InputPartition]
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SynthReaderFactory(required, columnar = false)
+    new SynthReaderFactory(required, parts, columnar = false)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -434,11 +455,13 @@ private object SynthGen {
     (idSeq, start, end, step, partition.isInstanceOf[SynthIdsPartition])
   }
   // column generators resolved ONCE per partition from the pruned
-  // schema — unrequested columns are never computed
-  def gens(required: StructType): Array[Long => Long] = required.fieldNames.map {
+  // schema — unrequested columns (incl. the `_shard` metadata column)
+  // are never computed
+  def gens(required: StructType, parts: Int): Array[Long => Long] = required.fieldNames.map {
     case "doc_id" => (v: Long) => v
     case "h"      => (v: Long) => v * SynthTable.Mult % SynthTable.HMod
     case "bucket" => (v: Long) => v * SynthTable.Mult % SynthTable.HMod % SynthTable.BMod
+    case "_shard" => (v: Long) => v % parts
   }
 }
 
@@ -452,7 +475,7 @@ private object SynthGen {
   * `spark.graft.synth.columnar=false` A/B runs and as the reference
   * semantics (SourcesSpec asserts both paths produce identical
   * results). */
-class SynthReaderFactory(required: StructType, columnar: Boolean = true)
+class SynthReaderFactory(required: StructType, parts: Int, columnar: Boolean = true)
     extends PartitionReaderFactory {
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
@@ -463,7 +486,7 @@ class SynthReaderFactory(required: StructType, columnar: Boolean = true)
     val (idSeq, start, end, step, explicit) = SynthGen.geometry(partition)
     new PartitionReader[InternalRow] {
       private var x = start - step
-      private val gens = SynthGen.gens(required)
+      private val gens = SynthGen.gens(required, parts)
       override def next(): Boolean = { x += step; x < end }
       override def get(): InternalRow = {
         val v = if (explicit) idSeq(x.toInt) else x
@@ -478,7 +501,7 @@ class SynthReaderFactory(required: StructType, columnar: Boolean = true)
     new PartitionReader[ColumnarBatch] {
       private val PageRows = 4096
       private var x = start
-      private val gens = SynthGen.gens(required)
+      private val gens = SynthGen.gens(required, parts)
       private val vectors = OnHeapColumnVector.allocateColumns(PageRows, required)
       private val batch = new ColumnarBatch(vectors.map(_.asInstanceOf[ColumnVector]))
       override def next(): Boolean = {
@@ -886,7 +909,40 @@ object SynthSource {
            |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin)
   )
 
+  /** q264: METADATA COLUMN under the oracle — group by the `_shard`
+    * provenance column ([[SynthTable.metadataColumns]]) composed with
+    * range pushdown: the hidden column materializes only because the
+    * query names it, the doc_id range is still absorbed into the scan,
+    * and DuckDB recomputes the shard from the layout's defining formula
+    * (`doc_id mod parts`). A connector that misplaces a row in the
+    * declared layout, or a resolution path that silently binds `_shard`
+    * to nothing, breaks the hash. */
+  val q264MetadataColumn = graft.QueryDef(
+    "q264_dsv2_metadata_column",
+    (s, d) => {
+      val df = s.read.format(classOf[SynthProvider].getName)
+        .option("rows", Rows).option("parts", 8).load()
+      df.filter(col("doc_id") >= RLo && col("doc_id") < RHi)
+        .select(col("doc_id"), col("h"), col("_shard"))
+        .groupBy("_shard")
+        .agg(count(lit(1)).as("n"), sum("h").as("sum_h"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("_shard")
+    },
+    Some(s"""WITH t AS (
+           |  SELECT x AS doc_id,
+           |    x * ${SynthTable.Mult} % ${SynthTable.HMod} AS h,
+           |    x % 8 AS _shard
+           |  FROM range($RLo, $RHi) r(x))
+           |SELECT _shard, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(h) AS BIGINT) AS sum_h,
+           |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+           |FROM t GROUP BY _shard ORDER BY _shard""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q208Dsv2Scan, q209Dsv2AggPushdown,
     q210Dsv2TopN, q215SpjJoin, q216RuntimePrune, q228WriteRoundtrip,
-    q245Dsv2Delete, q248TimeTravel, q254ReplaceWhere, q255StreamingRead)
+    q245Dsv2Delete, q248TimeTravel, q254ReplaceWhere, q255StreamingRead,
+    q264MetadataColumn)
 }

@@ -1205,12 +1205,104 @@ object EventStreams {
            |GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin)
   )
 
+  final case class PEv(user_id: Long, event_type: String, ts_us: Long, event_id: Long)
+  final case class PurchaseCtx(user_id: Long, ts_us: Long, event_id: Long, n_prior_clicks: Long)
+
+  /** LIST state — the third `transformWithState` state-variable kind
+    * (q111/q238 cover Value and Map): a per-key ORDERED BUFFER in the
+    * RocksDB store, the shape for "what happened recently for this key"
+    * questions — here, a bounded look-back of click times so each
+    * purchase can be scored with how many clicks preceded it within the
+    * attribution window. A ValueState[Seq] must deserialize/reserialize
+    * the whole buffer per update; ListState stores each element as its
+    * own store entry, so append is O(1) and only the prune pass rewrites
+    * — the difference between per-event cost O(1) and O(buffer) at
+    * 100 TB event volumes. The buffer is PRUNED to the window on every
+    * batch (clicks older than newest-seen − window can never match a
+    * later purchase because event time only moves forward batch to
+    * batch), so state per key is bounded by the window's click rate, not
+    * history length. Batch rows fold in (ts_us, event_id) order — the
+    * q111/q200 discipline that makes the emitted set order-independent. */
+  class ClickWindowProcessor(windowUs: Long)
+      extends StatefulProcessor[Long, PEv, PurchaseCtx] {
+    @transient private var clicks: org.apache.spark.sql.streaming.ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      clicks = getHandle.getListState[Long]("clicks",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[PEv],
+                                 tv: TimerValues): Iterator[PurchaseCtx] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      clicks.get().foreach(buf += _)
+      val sorted = rows.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[PurchaseCtx]
+      var maxTs = Long.MinValue
+      sorted.foreach { e =>
+        maxTs = math.max(maxTs, e.ts_us)
+        e.event_type match {
+          case "click" => buf += e.ts_us
+          case "purchase" =>
+            // strict past: [ts - window, ts) — a same-µs click never counts
+            val n = buf.count(c => c >= e.ts_us - windowUs && c < e.ts_us)
+            out += PurchaseCtx(key, e.ts_us, e.event_id, n)
+          case _ => ()
+        }
+      }
+      val kept = buf.filter(_ >= maxTs - windowUs)
+      if (kept.isEmpty) clicks.clear()
+      else clicks.put(kept.toArray)
+      out.iterator
+    }
+  }
+
+  /** q263: click→purchase attribution context via ListState, drained
+    * under the oracle — for every purchase, the number of clicks by the
+    * same user in the strictly-preceding 30 minutes, computed by the
+    * streaming engine with a per-user pruned click buffer
+    * ([[ClickWindowProcessor]]) and hash-compared against DuckDB's
+    * batch theta-join count. A processor that loses a buffered click,
+    * prunes too eagerly, double-counts across the put/get round-trip,
+    * or breaks the strict-past boundary produces a different count
+    * somewhere in the ~2k purchases — the whole emitted set is hashed. */
+  val q263StreamingListState = graft.QueryDef(
+    "q263_streaming_list_state",
+    (s, d) => {
+      val sunk = drainAvailableNow(s, d, rocksDb = true) { st =>
+        implicit val sess: SparkSession = st.sparkSession
+        import sess.implicits._
+        st.select(col("user_id"), col("event_type"),
+            expr("ts_ns DIV 1000").as("ts_us"), col("event_id"))
+          .as[PEv]
+          .groupByKey(_.user_id)
+          .transformWithState(new ClickWindowProcessor(1800000000L),
+            TimeMode.None(), OutputMode.Append())
+          .toDF()
+      }
+      sunk.filter(col("user_id") >= 0)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("n_prior_clicks"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+           |  FROM events),
+           |p AS (SELECT user_id, ts_us, event_id FROM ev
+           |      WHERE event_type = 'purchase')
+           |SELECT p.user_id, p.ts_us, p.event_id,
+           |  CAST(COUNT(c.ts_us) AS BIGINT) AS n_prior_clicks
+           |FROM p LEFT JOIN ev c
+           |  ON c.user_id = p.user_id AND c.event_type = 'click'
+           | AND c.ts_us >= p.ts_us - 1800000000 AND c.ts_us < p.ts_us
+           |GROUP BY 1, 2, 3
+           |ORDER BY user_id, ts_us, event_id""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] =
     Seq(q64StreamingTumbling, q82StreamingSession, q96StreamingIntervalJoin,
       q98StreamingDedup, q108StreamingEnrich, q111StreamingHighs,
       q121StreamingOuterJoin, q134StreamingTimers, q161ForeachBatchMerge,
       q163StreamingFullOuterJoin, q200StreamingRateLimit, q212StreamingHll,
-      q225StreamingIntervalLookup, q238StreamingMapState, q253StreamingLeaderboard)
+      q225StreamingIntervalLookup, q238StreamingMapState, q253StreamingLeaderboard,
+      q263StreamingListState)
 
   /** Custom per-user running state via mapGroupsWithState — the
     * `KeyValueGroupedDataset` stateful escape hatch (arbitrary state the

@@ -148,6 +148,7 @@ class PlanSpec extends SparkSpec {
       "q130_pmi_collocations", // q130: two 1-row totals (N tokens, B bigrams)
       "q132_heavy_hitters", // q132: 1-row token-total scalar broadcast
       "q258_cm_join_size", // q258: 1-row exact-count × 1-row sketch-min scalar cross
+      "q262_bitmap_segments", // q262: 1-row URGENT-bitmap scalar broadcast
       "q140_matryoshka_recall", // q140: bounded 20-row query-set broadcast (q38 shape)
       // q91: oracle-slice theta join (|Δlen| band + banded levenshtein);
       // the equi-bucketed shape for past-broadcast scale is q90

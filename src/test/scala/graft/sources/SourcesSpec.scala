@@ -562,6 +562,36 @@ class SourcesSpec extends SparkSpec {
     assert(batches >= 2, s"expected a multi-batch drain, got $batches data batches")
   }
 
+  test("DSv2 metadata column: _shard hidden from *, materialized on demand, pushdown composes") {
+    import graft.sources.SynthProvider
+    val df = spark.read.format(classOf[SynthProvider].getName)
+      .option("rows", 10000L).option("parts", 4).load()
+    // hidden: SELECT * must NOT surface the metadata column
+    assert(!df.columns.contains("_shard"), "metadata column leaked into *")
+    // explicit reference materializes it, and the value follows the
+    // declared layout formula in flat mode
+    val rows = df.filter(col("doc_id") >= 100 && col("doc_id") < 108)
+      .select(col("doc_id"), col("_shard")).collect()
+    assert(rows.length == 8)
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(0) % 4,
+      s"_shard must be doc_id mod parts, got $r"))
+    // ...and in bucketed mode (same formula — the layout's definition)
+    val bk = spark.read.format(classOf[SynthProvider].getName)
+      .option("rows", 1000L).option("parts", 4).option("bucketBy", "true").load()
+      .select(col("doc_id"), col("_shard"))
+    bk.collect().foreach(r => assert(r.getLong(1) == r.getLong(0) % 4))
+    // range pushdown still reaches the source with the metadata column on
+    val q = df.filter(col("doc_id") >= 2500 && col("doc_id") < 7500)
+      .select(col("doc_id"), col("_shard"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("SynthScan[lo=2500,hi=7500"),
+      s"pushdown must compose with the metadata column:\n$plan")
+    assert(plan.contains("_shard"), s"the scan must carry the requested metadata column:\n$plan")
+    // unrequested means unread: a plain query's scan schema has no _shard
+    val plain = df.select("doc_id").queryExecution.executedPlan.toString
+    assert(!plain.contains("_shard"), s"unrequested metadata column must not be generated:\n$plain")
+  }
+
   test("custom DSv2 connector: Int/Short-typed range literals are absorbed, not residual") {
     import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan, EqualTo}
     // untyped SQL paths can hand the builder an Int-typed literal; the
