@@ -1293,7 +1293,7 @@ object EventStreams {
            |  ON c.user_id = p.user_id AND c.event_type = 'click'
            | AND c.ts_us >= p.ts_us - 1800000000 AND c.ts_us < p.ts_us
            |GROUP BY 1, 2, 3
-           |ORDER BY user_id, ts_us, event_id""".stripMargin)
+           |ORDER BY p.user_id, p.ts_us, p.event_id""".stripMargin)
   )
 
   val all: Seq[graft.QueryDef] =

@@ -47,6 +47,27 @@ class BinnedRangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("derived bounds (ratio band): expression lo/hi bins like literal widths — q265's shape") {
+    import graft.TestSession.spark.implicits._
+    // multiplicative tolerance: b ∈ [ceil(a·0.998), floor(a·1.002)] in
+    // exact ppm integer arithmetic — bounds are EXPRESSIONS of the
+    // interval side, which the rule's scope guards must accept
+    val a = (90000L to 100000L by 97).map(v => (v, s"a$v")).toDF("pa", "atag")
+      .withColumn("lo", expr("(pa * 998000 + 999999) DIV 1000000"))
+      .withColumn("hi", expr("pa * 1002000 DIV 1000000"))
+    val b = (90000L to 100000L by 89).map(v => (v, s"b$v")).toDF("pb", "btag")
+    val base = b.join(a, col("pb") >= col("lo") && col("pb") <= col("hi"))
+      .collect().map(_.toSeq).toSet
+    assert(base.nonEmpty)
+    withRule(512L) {
+      val r = b.join(a, col("pb") >= col("lo") && col("pb") <= col("hi"))
+      assert(r.collect().map(_.toSeq).toSet == base)
+      val p = r.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"derived-bounds interval join must bin, not nest loops:\n$p")
+    }
+  }
+
   test("left-outer / left-semi / left-anti with the point on the left: same answers, no nested loop") {
     val cond = col("pt") >= col("lo") && col("pt") <= col("hi")
     val types = Seq("left_outer", "left_semi", "left_anti")
