@@ -113,7 +113,8 @@ object MemStore {
 
 class MemTable(name: String, pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
-    with TruncatableTable with SupportsDelete {
+    with TruncatableTable with SupportsDelete
+    with SupportsRowLevelOperations {
   override def name(): String = pinnedVersion match {
     case Some(v) => s"graft_mem($name@v$v)"
     case None => s"graft_mem($name)"
@@ -146,6 +147,46 @@ class MemTable(name: String, pinnedVersion: Option[Long] = None)
     MemStore.commitDelete(name,
       row => !filters.forall(MemFilterEval.eval(_, row, schema())))
   }
+
+  /** ROW-LEVEL OPERATIONS (`SupportsRowLevelOperations`) — the verbs
+    * `SupportsDelete`'s metadata path cannot express: UPDATE and MERGE
+    * (and DELETE whose condition the filter evaluator refuses), planned
+    * by Spark as GROUP-BASED copy-on-write. Spark rewrites the statement
+    * into `ReplaceData`: the operation's SCAN reads the affected groups'
+    * FULL contents, the rewritten query recomputes them (copied-over
+    * unmatched rows ∪ updated/merged rows), and the operation's WRITE
+    * replaces exactly those groups. This table exposes no sub-table
+    * group granularity (`requiredMetadataAttributes` empty — the whole
+    * table is one group, the in-memory reduction of "rewrite the
+    * affected files"), so the scan is the full snapshot and the
+    * replacement write is a truncate-install: ONE atomic version swap
+    * through the same two-phase commit as every other write — a reader
+    * can never observe the delete-half of an UPDATE without its
+    * insert-half, and an aborted job keeps the committed version
+    * (SourcesSpec pins it). q266/q267 put UPDATE and MERGE under the
+    * DuckDB oracle. At 100 TB the same contract holds with file groups:
+    * the scan prunes to matched files and the write swaps only those —
+    * the granularity lives entirely in the connector, which is the
+    * point of the DSv2 design. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new RowLevelOperation {
+      override def command(): RowLevelOperation.Command = info.command()
+      override def description(): String =
+        s"graft_mem($name) copy-on-write ${info.command()}"
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        MemTable.this.newScanBuilder(options)
+      override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder = {
+        requireWritable(s"${info.command()} on")
+        new WriteBuilder {
+          override def build(): Write = new Write {
+            // group-based replacement over the single whole-table group
+            // (the writer strips the __row_operation marker per row)
+            override def toBatch: BatchWrite = new MemBatchWrite(name, truncate = true)
+          }
+        }
+      }
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan with Batch {
@@ -330,13 +371,30 @@ class MemBatchWrite(name: String, truncate: Boolean,
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
+/** Serializes task rows to table-schema UnsafeRow bytes. Row-level
+  * (ReplaceData) jobs deliver rows as `(__row_operation: int, data...)`
+  * — Spark's group-based rewrite prepends the marker and, for a
+  * connector with no `requiredMetadataAttributes`, hands the raw row to
+  * `write()` (the projecting task only runs on the metadata path; see
+  * `ReplaceDataExec.writingTask`). The writer dispatches on arity:
+  * table-width rows serialize directly, width+1 rows skip the leading
+  * marker; anything else fails loudly. */
 class MemWriterFactory(schema: StructType) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val proj =
-        org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+      private val direct = UnsafeProjection.create(schema)
+      private val skipOp = UnsafeProjection.create(
+        schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+          BoundReference(i + 1, f.dataType, f.nullable)
+        })
       private val buf = Vector.newBuilder[Array[Byte]]
       override def write(row: InternalRow): Unit = {
+        val proj =
+          if (row.numFields == schema.length) direct
+          else if (row.numFields == schema.length + 1) skipOp
+          else throw new IllegalStateException(
+            s"mem write: row arity ${row.numFields} vs table ${schema.length}")
         val u = proj(row)
         buf += util.Arrays.copyOf(u.getBytes, u.getSizeInBytes)
       }

@@ -941,8 +941,111 @@ object SynthSource {
            |FROM t GROUP BY _shard ORDER BY _shard""".stripMargin)
   )
 
+  /** q266: DSv2 row-level UPDATE under the oracle — the verb
+    * `SupportsDelete`'s metadata path structurally cannot express
+    * (rows must be REWRITTEN, not just dropped), planned by Spark as a
+    * group-based copy-on-write `ReplaceData` through [[MemTable
+    * .newRowLevelOperationBuilder]]: the operation's scan reads the
+    * whole (single-group) table, the rewritten query recomputes every
+    * row (`v' = v·2` on the matched slice, identity elsewhere), and
+    * the replacement commits through the SAME two-phase protocol as
+    * every other write — one atomic version install, abort keeps the
+    * version (SourcesSpec). The condition includes a modulo, so it is
+    * NOT filter-translatable — Spark evaluates it inside the rewrite,
+    * proving the path handles arbitrary predicates. DuckDB applies the
+    * update functionally; a lost unmatched row, a double-applied
+    * update, or a partial commit breaks the hash. */
+  val q266Dsv2Update = graft.QueryDef(
+    "q266_dsv2_update",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      val src = graft.Tables.lineitem(s, d).select(
+        col("l_orderkey").cast("long").as("k"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_returnflag").as("flag"))
+      s.sql("DROP TABLE IF EXISTS graft.mem_upd")
+      src.writeTo("graft.mem_upd").create()
+      s.sql("""UPDATE graft.mem_upd SET qty = qty * 2
+              |WHERE flag = 'R' AND k % 3 = 0""".stripMargin)
+      s.table("graft.mem_upd")
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"),
+          sum("k").as("sum_k"))
+        .orderBy("flag")
+    },
+    Some("""SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_orderkey % 3 = 0
+           |    THEN CAST(l_quantity AS BIGINT) * 2
+           |    ELSE CAST(l_quantity AS BIGINT) END) AS BIGINT) AS sum_qty,
+           |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_k
+           |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin)
+  )
+
+  /** q267: DSv2 MERGE under the oracle — all three clause kinds in one
+    * statement through the copy-on-write path: MATCHED → UPDATE
+    * (enriched orders bump their aggregate), NOT MATCHED → INSERT
+    * (source-only orders enter with sentinel n = −1), NOT MATCHED BY
+    * SOURCE → conditional DELETE (a deterministic tenth of the
+    * untouched target rows leave). The rewrite is a full-outer-shaped
+    * recomputation of the single group committed atomically; DuckDB
+    * rebuilds the same final table functionally (left join + anti
+    * union), and the bucketed ledger must hash-match — a MERGE that
+    * misclassifies any row (matched vs not, by-source vs not),
+    * drops an unmatched row, or applies a clause twice lands in a
+    * different bucket total. */
+  val q267Dsv2Merge = graft.QueryDef(
+    "q267_dsv2_merge",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      val tgt = graft.Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").cast("long").as("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+      s.sql("DROP TABLE IF EXISTS graft.mem_mg")
+      tgt.writeTo("graft.mem_mg").create()
+      graft.Tables.orders(s, d)
+        .filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey").cast("long").as("k"),
+          floor(col("o_totalprice") * 100.0 + 0.5).cast(LongType).as("pc"))
+        .createOrReplaceTempView("mg_src")
+      s.sql("""MERGE INTO graft.mem_mg t USING mg_src s ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET t.sum_qty = t.sum_qty + 1000000
+              |WHEN NOT MATCHED THEN INSERT (k, n, sum_qty) VALUES (s.k, -1, s.pc)
+              |WHEN NOT MATCHED BY SOURCE AND t.k % 10 = 7 THEN DELETE
+              |""".stripMargin)
+      s.table("graft.mem_mg")
+        .groupBy((col("k") % 16).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum("n").as("sum_n"),
+          sum("sum_qty").as("sum_sq"), min("k").as("min_k"),
+          max("k").as("max_k"))
+        .orderBy("bucket")
+    },
+    Some("""WITH li AS (
+           |  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+           |  FROM lineitem GROUP BY 1),
+           |src AS (
+           |  SELECT o_orderkey AS k,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc
+           |  FROM orders WHERE o_orderkey % 4 = 0),
+           |fin AS (
+           |  SELECT li.k, li.n,
+           |    li.sum_qty + CASE WHEN src.k IS NOT NULL THEN 1000000 ELSE 0 END
+           |      AS sum_qty
+           |  FROM li LEFT JOIN src USING (k)
+           |  WHERE NOT (src.k IS NULL AND li.k % 10 = 7)
+           |  UNION ALL
+           |  SELECT k, CAST(-1 AS BIGINT), pc FROM src
+           |  WHERE k NOT IN (SELECT k FROM li))
+           |SELECT k % 16 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(n) AS BIGINT) AS sum_n,
+           |  CAST(SUM(sum_qty) AS BIGINT) AS sum_sq,
+           |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+           |FROM fin GROUP BY 1 ORDER BY bucket""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q208Dsv2Scan, q209Dsv2AggPushdown,
     q210Dsv2TopN, q215SpjJoin, q216RuntimePrune, q228WriteRoundtrip,
     q245Dsv2Delete, q248TimeTravel, q254ReplaceWhere, q255StreamingRead,
-    q264MetadataColumn)
+    q264MetadataColumn, q266Dsv2Update, q267Dsv2Merge)
 }

@@ -405,21 +405,27 @@ class SourcesSpec extends SparkSpec {
     val left2 = spark.table("graft.mem_delspec").select("k").collect().map(_.getLong(0)).toSet
     assert(left2 == expect.filterNot(k => k % 10 != 0 && k * 7 < 100),
       "NULL v rows must survive a v < 100 delete (three-valued logic)")
-    // a filter shape the evaluator can't decide exactly is REFUSED up
-    // front (canDeleteWhere) — Spark errors and the version is intact
+    // a filter shape the evaluator can't decide exactly is refused by
+    // canDeleteWhere — and since round 7 the statement FALLS BACK to the
+    // group-based row-level rewrite instead of erroring: the LIKE is
+    // evaluated by Spark over the scanned group, matching rows dropped
+    // (here: none contain 'x'; 'b' matches all tag='b' survivors)
     val before = spark.table("graft.mem_delspec").count()
-    intercept[Exception] {
-      spark.sql("DELETE FROM graft.mem_delspec WHERE tag LIKE '%x%'")
-    }
+    spark.sql("DELETE FROM graft.mem_delspec WHERE tag LIKE '%x%'")
     assert(spark.table("graft.mem_delspec").count() == before,
-      "refused delete must leave the committed version intact")
+      "no-match copy-on-write delete must keep every row")
+    spark.sql("DELETE FROM graft.mem_delspec WHERE tag LIKE '%b%'")
+    assert(spark.table("graft.mem_delspec").select("tag").collect()
+      .forall(_.getString(0) == "a"),
+      "copy-on-write delete must evaluate the non-translatable predicate")
     // a delete whose evaluation THROWS mid-scan mutates nothing either:
     // commitDelete's compute swap rethrows with the mapping unchanged
+    val beforePoison = spark.table("graft.mem_delspec").count()
     intercept[Exception] {
       MemStore.commitDelete("mem_delspec",
         r => throw new RuntimeException("poisoned predicate"))
     }
-    assert(spark.table("graft.mem_delspec").count() == before,
+    assert(spark.table("graft.mem_delspec").count() == beforePoison,
       "failed delete must leave the committed version intact")
     // supported()/eval() stay case-aligned: whatever supported admits,
     // eval decides without hitting its fallback throw
@@ -428,6 +434,70 @@ class SourcesSpec extends SparkSpec {
     assert(!MemFilterEval.supported(StringContains("tag", "x"), schema))
     assert(!MemFilterEval.supported(EqualTo("nope", 1L), schema))
     spark.sql("DROP TABLE graft.mem_delspec")
+  }
+
+  test("DSv2 row-level ops: UPDATE and MERGE rewrite copy-on-write, atomically, aborts keep the version") {
+    import graft.sources.{GraftCatalog, MemStore}
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.mem_rlo")
+    spark.range(0, 50)
+      .selectExpr("id AS k", "id * 10 AS v",
+        "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS tag")
+      .writeTo("graft.mem_rlo").create()
+    val v1 = MemStore.currentVersion("mem_rlo")
+
+    // UPDATE: matched rows rewritten, unmatched copied over — one version
+    spark.sql("UPDATE graft.mem_rlo SET v = v + 1000 WHERE tag = 'even'")
+    assert(MemStore.currentVersion("mem_rlo") == v1 + 1,
+      "an UPDATE must install exactly one new version")
+    val afterUpdate = spark.table("graft.mem_rlo")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 50L).foreach { k =>
+      val expect = if (k % 2 == 0) k * 10 + 1000 else k * 10
+      assert(afterUpdate(k) == expect, s"k=$k: got ${afterUpdate(k)}, want $expect")
+    }
+    assert(afterUpdate.size == 50, "UPDATE must not lose or duplicate rows")
+
+    // MERGE: matched update + not-matched insert in ONE statement/version
+    spark.range(40, 60)
+      .selectExpr("id AS k", "id * 100 AS v", "'merged' AS tag")
+      .createOrReplaceTempView("rlo_src")
+    val v2 = MemStore.currentVersion("mem_rlo")
+    spark.sql("""MERGE INTO graft.mem_rlo t USING rlo_src s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v, t.tag = s.tag
+                |WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (s.k, s.v, s.tag)
+                |""".stripMargin)
+    assert(MemStore.currentVersion("mem_rlo") == v2 + 1,
+      "a MERGE must install exactly one new version")
+    val afterMerge = spark.table("graft.mem_rlo")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    assert(afterMerge.size == 60)
+    (0L until 40L).foreach { k =>
+      val expect = if (k % 2 == 0) k * 10 + 1000 else k * 10
+      assert(afterMerge(k) == ((expect, if (k % 2 == 0) "even" else "odd")))
+    }
+    (40L until 60L).foreach(k => assert(afterMerge(k) == ((k * 100, "merged"))))
+
+    // an UPDATE whose evaluation fails mid-job aborts: no version burned,
+    // contents intact (the two-phase commit's abort path through ReplaceData)
+    val v3 = MemStore.currentVersion("mem_rlo")
+    val boom = org.apache.spark.sql.functions.udf { (k: Long) =>
+      if (k >= 0) throw new RuntimeException("rlo boom"); k
+    }
+    spark.udf.register("rlo_boom", boom)
+    intercept[Exception] {
+      spark.sql("UPDATE graft.mem_rlo SET v = rlo_boom(k) WHERE tag = 'merged'")
+    }
+    assert(MemStore.currentVersion("mem_rlo") == v3,
+      "a failed UPDATE must not burn a version")
+    assert(spark.table("graft.mem_rlo").count() == 60,
+      "a failed UPDATE must leave contents intact")
+
+    // time-travel relations refuse row-level writes like every other verb
+    intercept[Exception] {
+      spark.sql(s"UPDATE graft.mem_rlo VERSION AS OF $v3 SET v = 0")
+    }
+    spark.sql("DROP TABLE graft.mem_rlo")
   }
 
   test("DSv2 VERSION AS OF: snapshots are immutable, expiry errors, aborts burn no version") {
