@@ -970,6 +970,36 @@ object ScaleSmoke {
     } finally spark.conf.set(graft.plans.BinnedRangeJoin.BinWidthKey, "0")
     println("[smoke] OK — full-outer binned interval join at " + nFoPts + " points")
 
+    // ---- phase 17: exact bitmap distinct at scale (q262's bitmap_build) ----
+    // 50M rows × 8 groups over a 2^24 key domain. COUNT(DISTINCT) plans
+    // the two-shuffle Expand and moves every distinct (group, key) pair;
+    // the bitmap aggregate moves ONE 2 MB block per (map task, group)
+    // through a single shuffle. Both are EXACT — the phase asserts
+    // identical counts and records both timings.
+    val nBm = sys.env.getOrElse("SPARK_GRAFT_SMOKE_BMROWS", "50000000").toLong
+    val bmDomain = 1L << 24
+    val bmIn = spark.range(nBm).select(
+        pmod(xxhash64(col("id"), lit(41L)), lit(8L)).as("g"),
+        pmod(xxhash64(col("id"), lit(42L)), lit(bmDomain)).as("k"))
+      .repartition(32).localCheckpoint()
+    val tBmA = System.nanoTime()
+    val bmAgg = bmIn.groupBy("g")
+      .agg(graft.functions.GraftFunctions.bitmapCount(
+        graft.functions.GraftFunctions.bitmapBuild(col("k"), lit(bmDomain)))
+        .as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bmAggSecs = (System.nanoTime() - tBmA) / 1e9
+    val tBmC = System.nanoTime()
+    val bmCd = bmIn.groupBy("g").agg(countDistinct(col("k")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bmCdSecs = (System.nanoTime() - tBmC) / 1e9
+    assert(bmAgg == bmCd, s"bitmap distinct must equal COUNT(DISTINCT): $bmAgg vs $bmCd")
+    println(f"[smoke] bitmap distinct: $nBm rows × 8 groups over 2^24 keys -> " +
+      f"bitmap ${bmAggSecs}%.1f s vs count-distinct ${bmCdSecs}%.1f s, identical")
+    report ++= Seq("bm_rows" -> nBm, "bm_groups" -> 8L,
+      "bm_agg_secs" -> bmAggSecs, "bm_cd_secs" -> bmCdSecs,
+      "bm_identical" -> 1L)
+
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_SMOKE.json"),
       jsonOf(report) + "\n")
     println("[smoke] wrote SCALE_SMOKE.json")

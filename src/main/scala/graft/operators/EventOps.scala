@@ -2202,6 +2202,60 @@ object EventOps {
            |FROM pairs GROUP BY c_id ORDER BY c_id""".stripMargin)
   )
 
+  /** q270: WEEKLY RETENTION LEDGER via bitmap algebra — q89's cohort
+    * question asked week-over-week, computed the way a serving layer
+    * would at 100 TB: ONE pass over the facts builds a 32 KB user
+    * bitmap per week ([[graft.functions.BitmapBuild]]), and every
+    * retention figure (retained / churned / new users between
+    * consecutive weeks) is then arithmetic over the aggregated bitmaps
+    * — `popcount(bm_w AND bm_{w+1})` — in a metadata-sized self-join of
+    * ~5 weekly rows. The fact-table alternative is a distinct-pair
+    * self-join per week pair (re-shuffling users once per comparison);
+    * the bitmap ledger never re-touches events, and the same frames
+    * answer ANY cross-week question (skip-week retention,
+    * resurrection) without another scan. Exact, not estimated — DuckDB
+    * rebuilds the figures from DISTINCT + self-join and the hashes
+    * must match. */
+  val q270BitmapRetention = QueryDef(
+    "q270_bitmap_retention",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions._
+      val weekly = Tables.events(s, d)
+        .select(expr("(ts_ns DIV 1000) DIV 604800000000").as("wk"), col("user_id"))
+        .groupBy("wk")
+        .agg(bitmapBuild(col("user_id"), lit(1 << 18)).as("bm"))
+      val nxt = weekly.select((col("wk") - 1).as("wk"), col("bm").as("bm_next"))
+      weekly.join(nxt, Seq("wk"))
+        .select(col("wk"),
+          bitmapCount(col("bm")).as("n_active"),
+          bitmapCount(col("bm_next")).as("n_next"),
+          bitmapCount(bitmapAnd(col("bm"), col("bm_next"))).as("retained"),
+          (bitmapCount(col("bm")) -
+            bitmapCount(bitmapAnd(col("bm"), col("bm_next")))).as("churned"),
+          (bitmapCount(col("bm_next")) -
+            bitmapCount(bitmapAnd(col("bm"), col("bm_next")))).as("new_users"))
+        .orderBy("wk")
+    },
+    Some("""WITH wu AS (
+           |  SELECT DISTINCT epoch_us(ts) // 604800000000 AS wk, user_id
+           |  FROM events),
+           |n AS (SELECT wk, CAST(COUNT(*) AS BIGINT) AS n_active
+           |      FROM wu GROUP BY wk),
+           |r AS (SELECT a.wk AS wk, CAST(COUNT(*) AS BIGINT) AS retained
+           |      FROM wu a JOIN wu b
+           |        ON b.user_id = a.user_id AND b.wk = a.wk + 1
+           |      GROUP BY a.wk)
+           |SELECT n.wk AS wk, n.n_active,
+           |  nb.n_active AS n_next,
+           |  CAST(COALESCE(r.retained, 0) AS BIGINT) AS retained,
+           |  CAST(n.n_active - COALESCE(r.retained, 0) AS BIGINT) AS churned,
+           |  CAST(nb.n_active - COALESCE(r.retained, 0) AS BIGINT) AS new_users
+           |FROM n JOIN n nb ON nb.wk = n.wk + 1
+           |LEFT JOIN r ON r.wk = n.wk
+           |ORDER BY wk""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
     q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency,
     q109SessionPaths, q115Attribution, q119LatestState, q122Transitions,
@@ -2212,5 +2266,5 @@ object EventOps {
     q188IntervalCoverage, q191ConversionLatency, q195ActivityHeatmap,
     q196Velocity, q198RfmSegments, q203FreshnessAudit, q206InterarrivalGaps,
     q230ForecastBacktest, q235Burstiness, q236Scd2Integrity, q241Streaks,
-    q242Stickiness, q256PositionAttribution)
+    q242Stickiness, q256PositionAttribution, q270BitmapRetention)
 }

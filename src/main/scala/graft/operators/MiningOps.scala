@@ -1906,6 +1906,101 @@ object MiningOps {
            |ORDER BY priority""".stripMargin)
   )
 
+  /** q269: HLL SET INTERSECTION — the approximate complement of q262's
+    * exact bitmaps, for UNBOUNDED key domains: estimate |click ∩
+    * purchase| users by inclusion-exclusion over three HLL estimates,
+    * where the UNION sketch is built by the register-level MERGE
+    * (bucket-wise max over the two sketches via a full-outer join) —
+    * the algebra that makes HLL the 100 TB overlap tool: segment
+    * sketches are 256-cell frames you can union ACROSS days/tables
+    * without re-touching the facts, and intersection falls out as
+    * arithmetic. Every step is the q187 md5-bridge integer pipeline
+    * (register construction IS [[hllRegisters]], the same code object),
+    * so "approximately right" is checkable as EXACTLY right: DuckDB
+    * rebuilds identical registers, merges the same way, and the exact
+    * intersection rides along to expose the inclusion-exclusion error
+    * (error compounds across the three estimates — the documented trade
+    * vs q262's exact algebra when the domain is bounded). */
+  val q269HllIntersect = QueryDef(
+    "q269_hll_intersect",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      def regsFor(t: String) =
+        hllRegisters(ev.filter(col("event_type") === t), "event_type",
+          col("user_id")).select(col("bucket"), col("m"))
+      // the 256-row register frames are each consumed twice (their own
+      // estimate + the union merge) — checkpoint so the shared lineage
+      // is materialized once instead of re-scanned per consumer
+      val ra = regsFor("click").localCheckpoint()
+      val rb = regsFor("purchase").localCheckpoint()
+      // sketch UNION = bucket-wise max — the HLL merge, as a plain
+      // equi-join over 256-cell frames
+      val ru = ra.withColumnRenamed("m", "ma")
+        .join(rb.withColumnRenamed("m", "mb"), Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          greatest(coalesce(col("ma"), lit(0L)), coalesce(col("mb"), lit(0L))).as("m"))
+      def estOf(regs: DataFrame, name: String) =
+        regs.agg(count(lit(1)).as("n_hit"),
+            sum(expr("CAST(1 AS BIGINT) << (33 - m)")).as("d_hit"))
+          .select(expr(
+            s"(${HllBuckets * HllBuckets} * ${1L << 33} DIV " +
+              s"(d_hit + ($HllBuckets - n_hit) * ${1L << 33})) " +
+              s"* $HllAlphaX1m DIV 1000000").as(name))
+      val exactInter = ev.filter(col("event_type") === "click")
+        .select("user_id").distinct()
+        .intersect(ev.filter(col("event_type") === "purchase")
+          .select("user_id").distinct())
+        .agg(count(lit(1)).as("exact_inter"))
+      estOf(ra, "est_click")
+        .crossJoin(estOf(rb, "est_purchase"))
+        .crossJoin(estOf(ru, "est_union"))
+        .crossJoin(exactInter) // all 1-row scalar broadcasts
+        .select(col("est_click"), col("est_purchase"), col("est_union"),
+          (col("est_click") + col("est_purchase") - col("est_union"))
+            .as("est_inter"),
+          col("exact_inter"))
+    },
+    Some(s"""WITH h AS (
+           |  SELECT event_type,
+           |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10))
+           |      AS BIGINT) AS h
+           |  FROM events WHERE event_type IN ('click', 'purchase')),
+           |r AS (
+           |  SELECT event_type, h // 4294967296 AS bucket,
+           |    MAX(bit_count(xor(h % 4294967296 + 4294967296,
+           |      h % 4294967296 + 4294967296 - 1))) AS m
+           |  FROM h GROUP BY 1, 2),
+           |ru AS (SELECT bucket, MAX(m) AS m FROM r GROUP BY 1),
+           |ea AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit,
+           |  CAST(SUM(1::BIGINT << (33 - m)) AS BIGINT) AS d_hit
+           |  FROM r WHERE event_type = 'click'),
+           |eb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit,
+           |  CAST(SUM(1::BIGINT << (33 - m)) AS BIGINT) AS d_hit
+           |  FROM r WHERE event_type = 'purchase'),
+           |eu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit,
+           |  CAST(SUM(1::BIGINT << (33 - m)) AS BIGINT) AS d_hit FROM ru),
+           |est AS (
+           |  SELECT
+           |    CAST((${HllBuckets * HllBuckets} * ${1L << 33}
+           |      // (ea.d_hit + ($HllBuckets - ea.n_hit) * ${1L << 33}))
+           |      * $HllAlphaX1m // 1000000 AS BIGINT) AS est_click,
+           |    CAST((${HllBuckets * HllBuckets} * ${1L << 33}
+           |      // (eb.d_hit + ($HllBuckets - eb.n_hit) * ${1L << 33}))
+           |      * $HllAlphaX1m // 1000000 AS BIGINT) AS est_purchase,
+           |    CAST((${HllBuckets * HllBuckets} * ${1L << 33}
+           |      // (eu.d_hit + ($HllBuckets - eu.n_hit) * ${1L << 33}))
+           |      * $HllAlphaX1m // 1000000 AS BIGINT) AS est_union
+           |  FROM ea, eb, eu),
+           |xi AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter FROM (
+           |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+           |  INTERSECT
+           |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+           |SELECT est_click, est_purchase, est_union,
+           |  CAST(est_click + est_purchase - est_union AS BIGINT) AS est_inter,
+           |  exact_inter
+           |FROM est, xi""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile,
     q110PercentileNorm, q114TopkPerGroup, q126GroupOls, q127ChangePoint,
     q131EquidepthHist, q141KAnonymity, q147ExactMedian, q164BenfordAudit,
@@ -1914,5 +2009,5 @@ object MiningOps {
     q186WeightedMedian, q187HllSketch, q189CmSketch, q190LedgerRecon,
     q201SlaLatency, q202SupplierHhi, q205AbcClasses, q207KsDrift,
     q211KmvSketch, q233SubsequenceSupport, q234MixRateDecomp, q258CmJoinSize,
-    q262BitmapSegments)
+    q262BitmapSegments, q269HllIntersect)
 }

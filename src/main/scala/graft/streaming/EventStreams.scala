@@ -1296,13 +1296,58 @@ object EventStreams {
            |ORDER BY p.user_id, p.ts_us, p.event_id""".stripMargin)
   )
 
+  /** q268: CHAINED STATEFUL OPERATORS — two windowed aggregations in
+    * ONE streaming query (hourly counts per type, then 3-hour
+    * max/sum OF the hourly counts via `window_time`), the multi-
+    * stateful-operator capability Spark 3.4+ added: the first
+    * aggregation's Append output feeds the second's event-time window
+    * directly, with the WATERMARK PROPAGATED through the operator
+    * chain — no intermediate sink, no second job, one checkpoint. This
+    * is the production rollup-cascade shape (minute→hour→day
+    * pre-aggregation) as a single plan. The drain's sentinels sit 2 h
+    * and 4 h past the data's max event time, and the final 3-hour
+    * window ends ≤ 3 h after it — so the 10-minute-delayed watermark
+    * (≥ maxTs + 3 h 50 m) provably closes BOTH layers' last windows
+    * before the stream ends, which is what makes the drained sink
+    * comparable to DuckDB's batch two-level GROUP BY: a watermark that
+    * fails to propagate across the chain strands the second layer's
+    * state and rows go missing from the hash. */
+  val q268ChainedStateful = graft.QueryDef(
+    "q268_chained_stateful",
+    (s, d) => {
+      val sunk = drainAvailableNow(s, d) { st =>
+        val hourly = st.withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour").as("w1"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        hourly
+          .groupBy(window(window_time(col("w1")), "3 hours").as("w3"),
+            col("event_type"))
+          .agg(max("cnt").as("max_hourly"), sum("cnt").as("sum_cnt"))
+          .select((unix_micros(col("w3.start"))).as("w3_start"),
+            col("event_type"), col("max_hourly"), col("sum_cnt"))
+      }
+      sunk.filter(col("event_type") =!= "__sentinel__")
+        .select(col("w3_start"), col("event_type"), col("max_hourly"),
+          col("sum_cnt"))
+        .orderBy("w3_start", "event_type")
+    },
+    Some("""WITH h AS (
+           |  SELECT epoch_us(ts) // 3600000000 AS hr, event_type,
+           |    CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM events GROUP BY 1, 2)
+           |SELECT (hr // 3) * 10800000000 AS w3_start, event_type,
+           |  CAST(MAX(cnt) AS BIGINT) AS max_hourly,
+           |  CAST(SUM(cnt) AS BIGINT) AS sum_cnt
+           |FROM h GROUP BY 1, 2 ORDER BY w3_start, event_type""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] =
     Seq(q64StreamingTumbling, q82StreamingSession, q96StreamingIntervalJoin,
       q98StreamingDedup, q108StreamingEnrich, q111StreamingHighs,
       q121StreamingOuterJoin, q134StreamingTimers, q161ForeachBatchMerge,
       q163StreamingFullOuterJoin, q200StreamingRateLimit, q212StreamingHll,
       q225StreamingIntervalLookup, q238StreamingMapState, q253StreamingLeaderboard,
-      q263StreamingListState)
+      q263StreamingListState, q268ChainedStateful)
 
   /** Custom per-user running state via mapGroupsWithState — the
     * `KeyValueGroupedDataset` stateful escape hatch (arbitrary state the

@@ -149,6 +149,7 @@ class PlanSpec extends SparkSpec {
       "q132_heavy_hitters", // q132: 1-row token-total scalar broadcast
       "q258_cm_join_size", // q258: 1-row exact-count × 1-row sketch-min scalar cross
       "q262_bitmap_segments", // q262: 1-row URGENT-bitmap scalar broadcast
+      "q269_hll_intersect", // q269: three 1-row estimate scalar crosses
       "q140_matryoshka_recall", // q140: bounded 20-row query-set broadcast (q38 shape)
       // q91: oracle-slice theta join (|Δlen| band + banded levenshtein);
       // the equi-bucketed shape for past-broadcast scale is q90
@@ -235,6 +236,12 @@ class PlanSpec extends SparkSpec {
       // text re-joins + DP repartition — candidate generation is wide by
       // design, every shuffled row is metadata-narrow
       case n if n.startsWith("q93") => 24
+      // q269: three 256-row register estimates (one agg exchange each),
+      // the full-outer register merge, and the exact-intersection rider
+      // (two distincts + INTERSECT + agg) — every exchanged frame is
+      // metadata-sized (≤256 register cells / ≤|users| ids); the count
+      // is structural fan-out of inclusion-exclusion, not data volume
+      case n if n.startsWith("q269") => 14
       // q77: 4 unrolled pagerank rounds, join+agg each; q78: assignment
       // window + per-cluster self join + two aggs; q148: 3 HITS rounds,
       // two join+agg passes each over checkpointed frames — all by design
