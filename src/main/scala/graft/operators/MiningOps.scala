@@ -1866,7 +1866,10 @@ object MiningOps {
     * estimates, bitmap set algebra is bit-for-bit — DuckDB recomputes
     * the same counts from DISTINCT + IN and the hashes must match.
     * Domain 2^18 (32 KB/group) covers the custkey space at every SF
-    * with the out-of-domain guard failing loudly if data outgrows it;
+    * with the out-of-domain guard failing loudly if data outgrows it.
+    * ScaleSmoke phase 17 (`bm_*`): 50M rows × 8 groups over a 2^24
+    * domain — bitmap 1.9 s vs COUNT(DISTINCT)'s two-shuffle Expand
+    * 7.6 s, counts identical;
     * BitmapSpec pins build ≡ countDistinct across partitionings, the
     * algebra against set ops, merge determinism of the binary
     * encoding, and the guard. */

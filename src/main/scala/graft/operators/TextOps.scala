@@ -1631,6 +1631,72 @@ object TextOps {
            |FROM merged GROUP BY lang ORDER BY lang""".stripMargin)
   )
 
+  /** q271: DEGENERATE-LOOP detection — the "model output stuck in a
+    * loop" / low-quality-boilerplate filter (q67 measures global
+    * duplicate-token FRACTIONS; this finds CONSECUTIVE periodicity,
+    * which a global fraction misses): per doc and period k ∈ {1, 2},
+    * the longest run of positions where `t[i] = t[i−k]` — period-1 runs
+    * catch "the the the", period-2 catches "ab ab ab". Computed as a
+    * per-row higher-order-function fold (flags via `transform` over the
+    * index range, longest-true-streak via `aggregate` carrying
+    * (current, best) in a struct) — zero shuffles before the final
+    * orderBy, the q57/q67 per-row-algebra discipline: at 100 TB the
+    * corpus is touched once and only (doc_id, r1, r2) rows for the
+    * ~10% loopy tail ever move. The oracle computes the same runs the
+    * relational way (positional unnest + lag + gaps-and-islands), so
+    * the two independent formulations must agree run-for-run. */
+  val q271LoopDetect = QueryDef(
+    "q271_loop_detect",
+    (s, d) => {
+      val t = tokens(lower(col("text")))
+      def maxRun(k: Int): Column = when(size(col("t")) <= k, lit(0L))
+        .otherwise(expr(
+          s"""CAST(aggregate(
+             |  transform(sequence($k, size(t) - 1),
+             |    i -> IF(element_at(t, i + 1) = element_at(t, i - $k + 1), 1, 0)),
+             |  struct(CAST(0 AS INT) AS cur, CAST(0 AS INT) AS best),
+             |  (acc, f) -> struct(
+             |    IF(f = 1, acc.cur + 1, 0) AS cur,
+             |    GREATEST(acc.best, IF(f = 1, acc.cur + 1, 0)) AS best),
+             |  acc -> acc.best) AS BIGINT)""".stripMargin))
+      Tables.documents(s, d)
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"), maxRun(1).as("r1"), maxRun(2).as("r2"))
+        .filter(col("r1") >= 2 || col("r2") >= 2)
+        .orderBy("doc_id")
+    },
+    Some("""WITH l AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+           |  FROM documents),
+           |tok AS (
+           |  SELECT doc_id, UNNEST(l) AS t, UNNEST(range(1, len(l) + 1)) AS i
+           |  FROM l),
+           |f AS (
+           |  SELECT doc_id, i,
+           |    CASE WHEN t = lag(t, 1) OVER w THEN 1 ELSE 0 END AS f1,
+           |    CASE WHEN t = lag(t, 2) OVER w THEN 1 ELSE 0 END AS f2
+           |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+           |runs1 AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run FROM (
+           |    SELECT doc_id, i,
+           |      i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+           |    FROM f WHERE f1 = 1) GROUP BY doc_id, grp),
+           |m1 AS (SELECT doc_id, MAX(run) AS r1 FROM runs1 GROUP BY doc_id),
+           |runs2 AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run FROM (
+           |    SELECT doc_id, i,
+           |      i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+           |    FROM f WHERE f2 = 1) GROUP BY doc_id, grp),
+           |m2 AS (SELECT doc_id, MAX(run) AS r2 FROM runs2 GROUP BY doc_id)
+           |SELECT d.doc_id, CAST(COALESCE(m1.r1, 0) AS BIGINT) AS r1,
+           |  CAST(COALESCE(m2.r2, 0) AS BIGINT) AS r2
+           |FROM documents d
+           |LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id)
+           |WHERE COALESCE(m1.r1, 0) >= 2 OR COALESCE(m2.r2, 0) >= 2
+           |ORDER BY doc_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q18DedupExact, q19TokenTopK, q20TextStats, q21LangId,
     q22Fingerprint, q39Bigrams, q55TokenCounts, q57Winnowing, q59Tfidf,
     q66PiiRedact, q67Repetition, q69Decontamination, q70DecontamPool,
@@ -1638,5 +1704,5 @@ object TextOps {
     q130PmiCollocations, q132HeavyHitters, q139Bm25, q151NgramNovelty,
     q155BpePairs, q158SkipgramPairs, q217VocabGrowth, q220TermDrift,
     q237SourceSignature, q239NgramUdtf, q249GroupedHeavyHitters,
-    q251BpeMergeRounds, q257TokenizerFertility)
+    q251BpeMergeRounds, q257TokenizerFertility, q271LoopDetect)
 }
