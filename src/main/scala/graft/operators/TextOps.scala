@@ -1648,20 +1648,29 @@ object TextOps {
   val q271LoopDetect = QueryDef(
     "q271_loop_detect",
     (s, d) => {
-      val t = tokens(lower(col("text")))
-      def maxRun(k: Int): Column = when(size(col("t")) <= k, lit(0L))
-        .otherwise(expr(
-          s"""CAST(aggregate(
-             |  transform(sequence($k, size(t) - 1),
-             |    i -> IF(element_at(t, i + 1) = element_at(t, i - $k + 1), 1, 0)),
-             |  struct(CAST(0 AS INT) AS cur, CAST(0 AS INT) AS best),
-             |  (acc, f) -> struct(
-             |    IF(f = 1, acc.cur + 1, 0) AS cur,
-             |    GREATEST(acc.best, IF(f = 1, acc.cur + 1, 0)) AS best),
-             |  acc -> acc.best) AS BIGINT)""".stripMargin))
+      // t is a [[bind]] lambda variable, NEVER a select'd column:
+      // CollapseProject would inline the split into every element_at
+      // reference and the per-row fold would go O(n²) (measured: 14.6 s
+      // at sf0.1 inlined vs sub-second bound — the q57 lesson)
+      def maxRun(t: Column, k: Int): Column = {
+        val flags = transform(sequence(lit(k), size(t) - 1), i =>
+          when(element_at(t, i + 1) === element_at(t, i - k + 1), lit(1))
+            .otherwise(lit(0)))
+        val folded = aggregate(flags,
+          struct(lit(0).as("cur"), lit(0).as("best")),
+          (acc, f) => {
+            val cur = when(f === 1, acc.getField("cur") + 1).otherwise(lit(0))
+            struct(cur.as("cur"),
+              greatest(acc.getField("best"), cur).as("best"))
+          },
+          acc => acc.getField("best"))
+        when(size(t) <= k, lit(0L)).otherwise(folded.cast(LongType))
+      }
       Tables.documents(s, d)
-        .select(col("doc_id"), t.as("t"))
-        .select(col("doc_id"), maxRun(1).as("r1"), maxRun(2).as("r2"))
+        .select(col("doc_id"),
+          bind(tokens(lower(col("text"))),
+            t => struct(maxRun(t, 1).as("r1"), maxRun(t, 2).as("r2"))).as("rs"))
+        .select(col("doc_id"), col("rs.r1").as("r1"), col("rs.r2").as("r2"))
         .filter(col("r1") >= 2 || col("r2") >= 2)
         .orderBy("doc_id")
     },
