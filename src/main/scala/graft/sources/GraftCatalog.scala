@@ -33,10 +33,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] = Array.empty
 
   /** `synth_<rows>_<parts>` (bucketed), `synth_<rows>_<parts>_flat`, or a
-    * writable in-memory `mem_<name>` ([[MemTable]]). */
+    * writable in-memory `mem_<name>` ([[MemTable]]; `memd_<name>` = the
+    * DELTA flavor whose row-level operations plan merge-on-read
+    * `WriteDelta` keyed by the first column instead of group rewrites). */
   override def loadTable(ident: Identifier): Table = ident.name() match {
     case GraftCatalog.TablePat(rows, parts, flat) =>
       new SynthTable(rows.toLong, parts.toInt, bucketed = flat == null)
+    case m if m.startsWith("memd_") && MemStore.exists(m) =>
+      new MemTable(m, delta = true)
     case m if m.startsWith("mem_") && MemStore.exists(m) => new MemTable(m)
     case _ => throw new NoSuchTableException(ident)
   }
@@ -50,12 +54,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     * silent remap); the pinned relation refuses writes. */
   override def loadTable(ident: Identifier, version: String): Table =
     ident.name() match {
-      case m if m.startsWith("mem_") && MemStore.exists(m) =>
+      case m if (m.startsWith("mem_") || m.startsWith("memd_")) && MemStore.exists(m) =>
         val v = try version.toLong catch {
           case _: NumberFormatException => throw new NoSuchTableException(ident)
         }
         MemStore.rowsAt(m, v) // validate at load: expired → range error
-        new MemTable(m, Some(v))
+        new MemTable(m, Some(v), delta = m.startsWith("memd_"))
       case _ => throw new NoSuchTableException(ident)
     }
 
@@ -72,17 +76,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table =
     ident.name() match {
-      case m if m.startsWith("mem_") =>
+      case m if m.startsWith("mem_") || m.startsWith("memd_") =>
         require(partitions.isEmpty, "mem tables are unpartitioned")
         MemStore.create(m, schema)
-        new MemTable(m)
+        new MemTable(m, delta = m.startsWith("memd_"))
       case other =>
         throw new UnsupportedOperationException(s"cannot create $other: only mem_* tables are writable")
     }
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("graft catalog tables cannot be altered")
   override def dropTable(ident: Identifier): Boolean =
-    if (ident.name().startsWith("mem_") && MemStore.exists(ident.name())) {
+    if ((ident.name().startsWith("mem_") || ident.name().startsWith("memd_")) &&
+        MemStore.exists(ident.name())) {
       MemStore.drop(ident.name()); true
     } else false
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =

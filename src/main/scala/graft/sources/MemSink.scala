@@ -4,6 +4,7 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.StructType
@@ -104,6 +105,30 @@ object MemStore {
       rows: Seq[InternalRow]): Unit =
     install(name, prev => prev.filterNot(drop) ++ rows)
 
+  /** Delta (merge-on-read) commit: apply per-row DELETE / UPDATE /
+    * INSERT operations keyed by the table's row-id column in ONE
+    * version install. An update or delete whose id matches no committed
+    * row fails the whole commit (the previous version stays) — a delta
+    * stream referencing a phantom id means the scan and the write
+    * disagree about the snapshot, which must never be papered over. */
+  def commitDelta(name: String, keyOf: InternalRow => Any,
+      deletes: Seq[Any], updates: Seq[(Any, InternalRow)],
+      inserts: Seq[InternalRow]): Unit =
+    install(name, prev => {
+      val updateByKey = updates.toMap
+      val present = prev.iterator.map(keyOf).toSet
+      val missing = (deletes.iterator ++ updates.iterator.map(_._1))
+        .filterNot(present)
+      require(missing.isEmpty,
+        s"graft_mem($name): delta commit references absent row id(s) " +
+          s"${missing.take(3).toSeq.mkString(", ")}")
+      val delSet = deletes.toSet
+      prev.iterator
+        .filterNot(r => delSet.contains(keyOf(r)))
+        .map(r => updateByKey.getOrElse(keyOf(r), r))
+        .toVector ++ inserts
+    })
+
   private def requireCapacity(name: String, wouldBe: Long): Unit =
     require(wouldBe <= MaxCommittedRows,
       s"graft_mem($name): commit would install $wouldBe rows > " +
@@ -111,7 +136,8 @@ object MemStore {
         "driver-bounded by design; write a file-backed table instead")
 }
 
-class MemTable(name: String, pinnedVersion: Option[Long] = None)
+class MemTable(name: String, pinnedVersion: Option[Long] = None,
+    delta: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with TruncatableTable with SupportsDelete
     with SupportsRowLevelOperations {
@@ -119,7 +145,14 @@ class MemTable(name: String, pinnedVersion: Option[Long] = None)
     case Some(v) => s"graft_mem($name@v$v)"
     case None => s"graft_mem($name)"
   }
-  override def schema(): StructType = MemStore.schemaOf(name)
+  /** Delta tables declare their first column (the row id) NON-NULL —
+    * Spark refuses a nullable row id for `WriteDelta` plans, and a memd
+    * table's id is a key by contract. */
+  override def schema(): StructType = {
+    val base = MemStore.schemaOf(name)
+    if (!delta) base
+    else StructType(base.fields.head.copy(nullable = false) +: base.fields.tail)
+  }
   private def requireWritable(verb: String): Unit =
     require(pinnedVersion.isEmpty,
       s"graft_mem($name): cannot $verb a time-travel (VERSION AS OF) relation")
@@ -170,7 +203,36 @@ class MemTable(name: String, pinnedVersion: Option[Long] = None)
     * point of the DSv2 design. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
-    () => new RowLevelOperation {
+    if (delta) () => new RowLevelOperation with SupportsDelta {
+      // DELTA (merge-on-read) flavor — `memd_*` tables: instead of
+      // rewriting whole groups, Spark plans `WriteDelta`, streaming
+      // per-row DELETE / UPDATE / INSERT operations KEYED BY [[rowId]]
+      // (the table's first column, the natural key of a memd table) to
+      // a [[DeltaWriter]]. The Iceberg merge-on-read shape: at 100 TB
+      // an UPDATE touching 0.1% of rows ships only that 0.1% as
+      // keyed deltas instead of copying every affected group — the
+      // write cost tracks the CHANGE size, the read side pays the
+      // merge. Here the store applies the deltas at commit (one atomic
+      // version install, same two-phase protocol), and a delta
+      // referencing an id absent from the snapshot fails the whole
+      // commit rather than papering over a scan/write disagreement.
+      override def command(): RowLevelOperation.Command = info.command()
+      override def description(): String =
+        s"graft_mem($name) delta ${info.command()}"
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        MemTable.this.newScanBuilder(options)
+      override def rowId(): Array[expressions.NamedReference] =
+        Array(expressions.Expressions.column(schema().fieldNames.head))
+      override def newWriteBuilder(winfo: LogicalWriteInfo): DeltaWriteBuilder = {
+        requireWritable(s"${info.command()} on")
+        new DeltaWriteBuilder {
+          override def build(): DeltaWrite = new DeltaWrite {
+            override def toBatch: DeltaBatchWrite = new MemDeltaBatchWrite(name)
+          }
+        }
+      }
+    }
+    else () => new RowLevelOperation {
       override def command(): RowLevelOperation.Command = info.command()
       override def description(): String =
         s"graft_mem($name) copy-on-write ${info.command()}"
@@ -345,6 +407,76 @@ object MemFilterEval {
 case class MemPartition(rows: Vector[InternalRow]) extends InputPartition
 
 case class MemCommitMessage(rows: Array[Array[Byte]]) extends WriterCommitMessage
+
+case class MemDeltaCommitMessage(
+    deletes: Array[Array[Byte]],
+    updateIds: Array[Array[Byte]],
+    updateRows: Array[Array[Byte]],
+    inserts: Array[Array[Byte]]) extends WriterCommitMessage
+
+/** The delta write: task writers buffer keyed DELETE / UPDATE / INSERT
+  * operations; the driver applies the full set in ONE atomic version
+  * install ([[MemStore.commitDelta]]). Abort drops the buffers — the
+  * same two-phase contract as [[MemBatchWrite]]. */
+class MemDeltaBatchWrite(name: String) extends DeltaBatchWrite {
+  private val schema = MemStore.schemaOf(name)
+  private val idSchema = StructType(Seq(schema.fields.head))
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new MemDeltaWriterFactory(schema)
+
+  private def rowsOf(bs: Iterator[Array[Byte]], st: StructType): Iterator[InternalRow] =
+    bs.map { bytes =>
+      val r = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(st.length)
+      r.pointTo(bytes, bytes.length)
+      r.copy(): InternalRow
+    }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.iterator.map(_.asInstanceOf[MemDeltaCommitMessage]).toSeq
+    val idType = idSchema.fields.head.dataType
+    def keyOfId(r: InternalRow): Any = r.get(0, idType)
+    val deletes = ms.iterator.flatMap(m => rowsOf(m.deletes.iterator, idSchema))
+      .map(keyOfId).toVector
+    val updates = ms.iterator.flatMap { m =>
+      rowsOf(m.updateIds.iterator, idSchema).map(keyOfId)
+        .zip(rowsOf(m.updateRows.iterator, schema))
+    }.toVector
+    val inserts = ms.iterator.flatMap(m => rowsOf(m.inserts.iterator, schema)).toVector
+    MemStore.commitDelta(name, r => r.get(0, idType), deletes, updates, inserts)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class MemDeltaWriterFactory(schema: StructType) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      private val idSchema = StructType(Seq(schema.fields.head))
+      private val idProj = UnsafeProjection.create(idSchema)
+      private val rowProj = UnsafeProjection.create(schema)
+      private val dels = Vector.newBuilder[Array[Byte]]
+      private val updIds = Vector.newBuilder[Array[Byte]]
+      private val updRows = Vector.newBuilder[Array[Byte]]
+      private val ins = Vector.newBuilder[Array[Byte]]
+      private def bytes(p: UnsafeProjection, r: InternalRow): Array[Byte] = {
+        val u = p(r)
+        util.Arrays.copyOf(u.getBytes, u.getSizeInBytes)
+      }
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        dels += bytes(idProj, id)
+      override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+        updIds += bytes(idProj, id)
+        updRows += bytes(rowProj, row)
+      }
+      override def insert(row: InternalRow): Unit = ins += bytes(rowProj, row)
+      override def commit(): WriterCommitMessage = MemDeltaCommitMessage(
+        dels.result().toArray, updIds.result().toArray,
+        updRows.result().toArray, ins.result().toArray)
+      override def abort(): Unit = { dels.clear(); updIds.clear(); updRows.clear(); ins.clear() }
+      override def close(): Unit = ()
+    }
+}
 
 class MemBatchWrite(name: String, truncate: Boolean,
     replaceWhere: Option[Array[org.apache.spark.sql.sources.Filter]] = None)

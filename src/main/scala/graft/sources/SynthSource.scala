@@ -1044,8 +1044,75 @@ object SynthSource {
            |FROM fin GROUP BY 1 ORDER BY bucket""".stripMargin)
   )
 
+  /** q272: DELTA (merge-on-read) row-level MERGE under the oracle — the
+    * OTHER DSv2 row-level path: where q267's copy-on-write rewrites the
+    * whole affected group, a `memd_*` table's operation implements
+    * `SupportsDelta`, so Spark plans `WriteDelta` and streams per-row
+    * DELETE / UPDATE / INSERT operations KEYED by the table's row id to
+    * a [[DeltaWriter]] — the write cost tracks the CHANGE size, not the
+    * group size (an UPDATE touching 0.1% of a 100 TB table ships 0.1%
+    * as keyed deltas; Iceberg's merge-on-read contract). One MERGE
+    * exercises all three writer verbs (matched UPDATE, not-matched
+    * INSERT, not-matched-by-source conditional DELETE); the store
+    * applies the delta set in ONE atomic version install, refusing
+    * phantom ids whole. DuckDB rebuilds the final table functionally —
+    * a delta misrouted to the wrong verb, applied twice, or dropped
+    * lands in a different bucket total. (SourcesSpec additionally pins
+    * the WriteDelta plan node, per-verb contents, single-version
+    * installs, and the failed-job abort path.) */
+  val q272DeltaMerge = graft.QueryDef(
+    "q272_dsv2_delta_merge",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      val tgt = graft.Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").cast("long").as("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+      s.sql("DROP TABLE IF EXISTS graft.memd_mg")
+      tgt.writeTo("graft.memd_mg").create()
+      graft.Tables.orders(s, d)
+        .filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").cast("long").as("k"),
+          floor(col("o_totalprice") * 100.0 + 0.5).cast(LongType).as("pc"))
+        .createOrReplaceTempView("dmg_src")
+      s.sql("""MERGE INTO graft.memd_mg t USING dmg_src s ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET t.sum_qty = t.sum_qty + 2000000
+              |WHEN NOT MATCHED THEN INSERT (k, n, sum_qty) VALUES (s.k, -1, s.pc)
+              |WHEN NOT MATCHED BY SOURCE AND t.k % 10 = 3 THEN DELETE
+              |""".stripMargin)
+      s.table("graft.memd_mg")
+        .groupBy((col("k") % 16).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum("n").as("sum_n"),
+          sum("sum_qty").as("sum_sq"), min("k").as("min_k"),
+          max("k").as("max_k"))
+        .orderBy("bucket")
+    },
+    Some("""WITH li AS (
+           |  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+           |  FROM lineitem GROUP BY 1),
+           |src AS (
+           |  SELECT o_orderkey AS k,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc
+           |  FROM orders WHERE o_orderkey % 5 = 0),
+           |fin AS (
+           |  SELECT li.k, li.n,
+           |    li.sum_qty + CASE WHEN src.k IS NOT NULL THEN 2000000 ELSE 0 END
+           |      AS sum_qty
+           |  FROM li LEFT JOIN src USING (k)
+           |  WHERE NOT (src.k IS NULL AND li.k % 10 = 3)
+           |  UNION ALL
+           |  SELECT k, CAST(-1 AS BIGINT), pc FROM src
+           |  WHERE k NOT IN (SELECT k FROM li))
+           |SELECT k % 16 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(n) AS BIGINT) AS sum_n,
+           |  CAST(SUM(sum_qty) AS BIGINT) AS sum_sq,
+           |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+           |FROM fin GROUP BY 1 ORDER BY bucket""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q208Dsv2Scan, q209Dsv2AggPushdown,
     q210Dsv2TopN, q215SpjJoin, q216RuntimePrune, q228WriteRoundtrip,
     q245Dsv2Delete, q248TimeTravel, q254ReplaceWhere, q255StreamingRead,
-    q264MetadataColumn, q266Dsv2Update, q267Dsv2Merge)
+    q264MetadataColumn, q266Dsv2Update, q267Dsv2Merge, q272DeltaMerge)
 }

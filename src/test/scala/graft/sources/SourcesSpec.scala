@@ -500,6 +500,72 @@ class SourcesSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mem_rlo")
   }
 
+  test("DSv2 delta row-level ops: WriteDelta plans, per-verb deltas apply keyed, aborts keep the version") {
+    import graft.sources.{GraftCatalog, MemStore}
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.memd_spec")
+    spark.range(0, 40)
+      .selectExpr("id AS k", "id * 10 AS v")
+      .writeTo("graft.memd_spec").create()
+    val v1 = MemStore.currentVersion("memd_spec")
+
+    // UPDATE on the delta flavor plans WriteDelta, not ReplaceData
+    val upd = spark.sql("UPDATE graft.memd_spec SET v = v + 7 WHERE k % 4 = 1")
+    val plan = upd.queryExecution.executedPlan.toString
+    assert(plan.contains("WriteDelta"),
+      s"memd tables must take the delta path:\n$plan")
+    assert(!plan.contains("ReplaceData"), s"no group rewrite expected:\n$plan")
+    assert(MemStore.currentVersion("memd_spec") == v1 + 1)
+    val afterUpdate = spark.table("graft.memd_spec")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(afterUpdate.size == 40, "delta UPDATE must not change row count")
+    (0L until 40L).foreach { k =>
+      assert(afterUpdate(k) == (if (k % 4 == 1) k * 10 + 7 else k * 10))
+    }
+
+    // one MERGE drives all three writer verbs keyed by k
+    spark.range(30, 50).selectExpr("id AS k", "id * 100 AS v")
+      .createOrReplaceTempView("dspec_src")
+    val v2 = MemStore.currentVersion("memd_spec")
+    spark.sql("""MERGE INTO graft.memd_spec t USING dspec_src s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+                |WHEN NOT MATCHED BY SOURCE AND t.k % 10 = 2 THEN DELETE
+                |""".stripMargin)
+    assert(MemStore.currentVersion("memd_spec") == v2 + 1,
+      "a delta MERGE must install exactly one version")
+    val afterMerge = spark.table("graft.memd_spec")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (30L until 50L).foreach(k => assert(afterMerge(k) == k * 100, s"k=$k"))
+    (0L until 30L).foreach { k =>
+      if (k % 10 == 2) assert(!afterMerge.contains(k), s"k=$k must be deleted")
+      else assert(afterMerge(k) == (if (k % 4 == 1) k * 10 + 7 else k * 10))
+    }
+
+    // failed job aborts: version and contents intact
+    val v3 = MemStore.currentVersion("memd_spec")
+    val n3 = spark.table("graft.memd_spec").count()
+    val boom = org.apache.spark.sql.functions.udf { (k: Long) =>
+      if (k >= 0) throw new RuntimeException("delta boom"); k
+    }
+    spark.udf.register("dspec_boom", boom)
+    intercept[Exception] {
+      spark.sql("UPDATE graft.memd_spec SET v = dspec_boom(k) WHERE k >= 30")
+    }
+    assert(MemStore.currentVersion("memd_spec") == v3 &&
+      spark.table("graft.memd_spec").count() == n3,
+      "a failed delta job must keep the committed version")
+
+    // a delta referencing a phantom id fails the WHOLE commit
+    intercept[Exception] {
+      MemStore.commitDelta("memd_spec", _.getLong(0),
+        deletes = Seq(999999L), updates = Nil, inserts = Nil)
+    }
+    assert(MemStore.currentVersion("memd_spec") == v3,
+      "a phantom-id delta must not burn a version")
+    spark.sql("DROP TABLE graft.memd_spec")
+  }
+
   test("DSv2 VERSION AS OF: snapshots are immutable, expiry errors, aborts burn no version") {
     import graft.sources.{GraftCatalog, MemStore}
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
