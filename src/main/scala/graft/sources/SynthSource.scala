@@ -1111,8 +1111,73 @@ object SynthSource {
            |FROM fin GROUP BY 1 ORDER BY bucket""".stripMargin)
   )
 
+  /** q273: VERSION-DIFF CDC READ — the change-data-capture question
+    * answered from the connector's OWN version history (q116 diffs
+    * parquet snapshots; this composes `VERSION AS OF` + the delta
+    * write path instead): build a history on a `memd_*` table
+    * (create → delta UPDATE → DELETE → append), then diff the v1
+    * snapshot against the head with a keyed full-outer join and
+    * classify each key I/U/D — exactly how a downstream incrementally
+    * syncs from a versioned table when the store keeps no explicit
+    * changelog. Both sides of the diff are reads of the SAME table at
+    * different pinned versions (consistent snapshots by construction —
+    * the q248 immutability contract is what makes the join
+    * meaningful); DuckDB replays the four commits functionally and
+    * classifies the same way. A snapshot that leaks a later commit, a
+    * delta misapplied, or an unstable version id shifts a key between
+    * op classes and breaks the hash. */
+  val q273VersionCdc = graft.QueryDef(
+    "q273_dsv2_version_cdc",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      val src = graft.Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").cast("long").as("k"))
+        .agg(sum(col("l_quantity").cast("long")).as("sq"))
+      s.sql("DROP TABLE IF EXISTS graft.memd_cdc")
+      src.writeTo("graft.memd_cdc").create()                    // v1
+      s.sql("UPDATE graft.memd_cdc SET sq = sq + 5 WHERE k % 7 = 0") // v2 (delta)
+      s.sql("DELETE FROM graft.memd_cdc WHERE k % 10 = 1")      // v3
+      src.filter(col("k") % 4 === 0)
+        .select((col("k") + 10000000L).as("k"), col("sq"))
+        .writeTo("graft.memd_cdc").append()                     // v4
+      val v1 = s.sql("SELECT k AS k1, sq AS sq1 FROM graft.memd_cdc VERSION AS OF 1")
+      val head = s.table("graft.memd_cdc").select(col("k").as("k2"), col("sq").as("sq2"))
+      v1.join(head, col("k1") === col("k2"), "full_outer")
+        .select(coalesce(col("k1"), col("k2")).as("k"),
+          when(col("k2").isNull, "D")
+            .when(col("k1").isNull, "I")
+            .when(col("sq1") =!= col("sq2"), "U")
+            .otherwise("=").as("op"),
+          coalesce(col("sq2"), lit(0L)).as("sq"))
+        .filter(col("op") =!= "=")
+        .groupBy("op")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), sum("sq").as("sum_sq"))
+        .orderBy("op")
+    },
+    Some("""WITH v1 AS (
+           |  SELECT l_orderkey AS k,
+           |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+           |  FROM lineitem GROUP BY 1),
+           |head AS (
+           |  SELECT k, sq + CASE WHEN k % 7 = 0 THEN 5 ELSE 0 END AS sq
+           |  FROM v1 WHERE NOT k % 10 = 1
+           |  UNION ALL
+           |  SELECT k + 10000000, sq FROM v1 WHERE k % 4 = 0),
+           |d AS (
+           |  SELECT COALESCE(v1.k, head.k) AS k,
+           |    CASE WHEN head.k IS NULL THEN 'D'
+           |         WHEN v1.k IS NULL THEN 'I'
+           |         WHEN v1.sq <> head.sq THEN 'U' ELSE '=' END AS op,
+           |    COALESCE(head.sq, 0) AS sq
+           |  FROM v1 FULL OUTER JOIN head ON v1.k = head.k)
+           |SELECT op, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(k) AS BIGINT) AS sum_k, CAST(SUM(sq) AS BIGINT) AS sum_sq
+           |FROM d WHERE op <> '=' GROUP BY op ORDER BY op""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q208Dsv2Scan, q209Dsv2AggPushdown,
     q210Dsv2TopN, q215SpjJoin, q216RuntimePrune, q228WriteRoundtrip,
     q245Dsv2Delete, q248TimeTravel, q254ReplaceWhere, q255StreamingRead,
-    q264MetadataColumn, q266Dsv2Update, q267Dsv2Merge, q272DeltaMerge)
+    q264MetadataColumn, q266Dsv2Update, q267Dsv2Merge, q272DeltaMerge,
+    q273VersionCdc)
 }
