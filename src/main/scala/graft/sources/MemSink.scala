@@ -75,7 +75,7 @@ object MemStore {
           s"${hist.head._1}..${hist.last._1} (MaxVersions=$MaxVersions)")
     }
   }
-  def drop(name: String): Unit = tables.remove(name)
+  def drop(name: String): Unit = { tables.remove(name); lastEpoch.remove(name) }
 
   /** All commits funnel here: derive the next snapshot from the latest,
     * append it with the next version id, expire past [[MaxVersions]].
@@ -129,6 +129,26 @@ object MemStore {
         .toVector ++ inserts
     })
 
+  /** STREAMING epoch commit: append `rows` for micro-batch `epochId`
+    * exactly once. Structured Streaming re-delivers a failed epoch's
+    * commit under the SAME id on restart, so idempotence here IS the
+    * sink's exactly-once contract (the `_spark_metadata` log of a file
+    * sink, reduced to a high-water mark): a replayed epoch is a no-op —
+    * no rows, no version bump. Epoch ids per (checkpoint, table) are
+    * monotone, so one high-water mark suffices. */
+  private val lastEpoch = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  def commitEpoch(name: String, epochId: Long, rows: Seq[InternalRow]): Unit =
+    tables.compute(name, (_, prev) => {
+      val (schema, hist) = prev
+      if (epochId <= lastEpoch.getOrDefault(name, -1L)) prev // replay: no-op
+      else {
+        val next = hist.last._2 ++ rows
+        requireCapacity(name, next.size.toLong)
+        lastEpoch.put(name, epochId) // inside compute: serialized per key
+        (schema, (hist :+ (hist.last._1 + 1, next)).takeRight(MaxVersions))
+      }
+    })
+
   private def requireCapacity(name: String, wouldBe: Long): Unit =
     require(wouldBe <= MaxCommittedRows,
       s"graft_mem($name): commit would install $wouldBe rows > " +
@@ -158,7 +178,8 @@ class MemTable(name: String, pinnedVersion: Option[Long] = None,
       s"graft_mem($name): cannot $verb a time-travel (VERSION AS OF) relation")
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.STREAMING_WRITE)
 
   /** Row-level DELETE WHERE, the `SupportsDelete` metadata-delete shape:
     * Spark translates the WHERE clause to source [[Filter]]s (the same
@@ -300,6 +321,29 @@ class MemTable(name: String, pinnedVersion: Option[Long] = None,
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new MemBatchWrite(name, doTruncate, replaceWhere)
+        /** `writeStream.toTable` — the connector as a STREAMING SINK:
+          * per-epoch task buffering through the same two-phase shape,
+          * with [[MemStore.commitEpoch]]'s high-water mark making
+          * replayed epochs no-ops (exactly-once under micro-batch
+          * retry, q274 + SourcesSpec). */
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+            override def createStreamingWriterFactory(
+                info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+              new MemStreamingWriterFactory(MemStore.schemaOf(name))
+            override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+              val schema = MemStore.schemaOf(name)
+              val rows = messages.iterator.flatMap {
+                case MemCommitMessage(bs) => bs.iterator.map { bytes =>
+                  val r = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(schema.length)
+                  r.pointTo(bytes, bytes.length)
+                  r.copy(): InternalRow
+                }
+              }.toVector
+              MemStore.commitEpoch(name, epochId, rows)
+            }
+            override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+          }
       }
     }
   }
@@ -501,6 +545,14 @@ class MemBatchWrite(name: String, truncate: Boolean,
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Streaming adapter: same buffering writer, epoch handed by Spark. */
+class MemStreamingWriterFactory(schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new MemWriterFactory(schema).createWriter(partitionId, taskId)
 }
 
 /** Serializes task rows to table-schema UnsafeRow bytes. Row-level

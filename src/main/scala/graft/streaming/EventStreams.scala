@@ -1341,13 +1341,69 @@ object EventStreams {
            |FROM h GROUP BY 1, 2 ORDER BY w3_start, event_type""".stripMargin)
   )
 
+  /** [[drainAvailableNow]]'s table-sink twin: the plan streams into a
+    * catalog TABLE (`writeStream.toTable`) instead of a parquet dir —
+    * exercising the DSv2 `StreamingWrite` path (per-epoch task
+    * buffering + the epoch high-water mark that makes replays no-ops). */
+  private def drainToTable(s: SparkSession, d: String, table: String)
+                          (plan: DataFrame => DataFrame): DataFrame = {
+    val staged = stagedSource(s, d)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val stream = stagedEventStream(s, staged)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try plan(stream).writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .toTable(table)
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    Seq(java.nio.file.Paths.get(ckpt)).foreach { root =>
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    s.table(table)
+  }
+
+  /** q274: STREAMING WRITE INTO THE CUSTOM CONNECTOR — the sink half of
+    * the connector's streaming story (q255 is the read half): the q64
+    * tumbling aggregation drains through `writeStream.toTable` into a
+    * `mem_*` table, whose `StreamingWrite` commits each micro-batch
+    * through the two-phase protocol with an EPOCH HIGH-WATER MARK —
+    * Structured Streaming re-delivers a failed epoch's commit under the
+    * same id on restart, and the mark makes the replay a no-op (no rows,
+    * no version bump): the `_spark_metadata` exactly-once contract of
+    * the file sink, fulfilled by a connector and CHECKED BY THE ORACLE —
+    * a double-applied or dropped epoch breaks the hash against q30's
+    * batch SQL. (SourcesSpec additionally replays an epoch directly and
+    * pins the no-op.) */
+  val q274StreamingTableSink = graft.QueryDef(
+    "q274_streaming_table_sink",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.sql("DROP TABLE IF EXISTS graft.mem_ssink")
+      s.sql("""CREATE TABLE graft.mem_ssink
+              |(w_start TIMESTAMP, event_type STRING, cnt BIGINT,
+              | sum_value DOUBLE)""".stripMargin)
+      val sunk = drainToTable(s, d, "graft.mem_ssink")(tumblingCounts(_))
+      sunk.filter(col("event_type") =!= "__sentinel__")
+        .select((unix_micros(col("w_start")) * 1000).cast(LongType).as("w_start"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("w_start", "event_type")
+    },
+    graft.operators.EventOps.q30Tumbling.oracle
+  )
+
   val all: Seq[graft.QueryDef] =
     Seq(q64StreamingTumbling, q82StreamingSession, q96StreamingIntervalJoin,
       q98StreamingDedup, q108StreamingEnrich, q111StreamingHighs,
       q121StreamingOuterJoin, q134StreamingTimers, q161ForeachBatchMerge,
       q163StreamingFullOuterJoin, q200StreamingRateLimit, q212StreamingHll,
       q225StreamingIntervalLookup, q238StreamingMapState, q253StreamingLeaderboard,
-      q263StreamingListState, q268ChainedStateful)
+      q263StreamingListState, q268ChainedStateful, q274StreamingTableSink)
 
   /** Custom per-user running state via mapGroupsWithState — the
     * `KeyValueGroupedDataset` stateful escape hatch (arbitrary state the

@@ -566,6 +566,31 @@ class SourcesSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.memd_spec")
   }
 
+  test("DSv2 streaming write: epoch replay is a no-op — no rows, no version burned") {
+    import graft.sources.{GraftCatalog, MemStore}
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.mem_epoch")
+    spark.sql("CREATE TABLE graft.mem_epoch (k BIGINT)")
+    import org.apache.spark.sql.catalyst.InternalRow
+    def rows(vs: Long*) = vs.map(v => InternalRow(v): InternalRow)
+    MemStore.commitEpoch("mem_epoch", 0L, rows(1L, 2L))
+    MemStore.commitEpoch("mem_epoch", 1L, rows(3L))
+    val v = MemStore.currentVersion("mem_epoch")
+    val n = spark.table("graft.mem_epoch").count()
+    assert(n == 3)
+    // a restarted micro-batch re-delivers the SAME epoch id: no-op
+    MemStore.commitEpoch("mem_epoch", 1L, rows(3L))
+    MemStore.commitEpoch("mem_epoch", 0L, rows(1L, 2L))
+    assert(MemStore.currentVersion("mem_epoch") == v,
+      "replayed epochs must not burn versions")
+    assert(spark.table("graft.mem_epoch").count() == n,
+      "replayed epochs must not duplicate rows")
+    // the next NEW epoch still commits
+    MemStore.commitEpoch("mem_epoch", 2L, rows(4L))
+    assert(spark.table("graft.mem_epoch").count() == n + 1)
+    spark.sql("DROP TABLE graft.mem_epoch")
+  }
+
   test("DSv2 VERSION AS OF: snapshots are immutable, expiry errors, aborts burn no version") {
     import graft.sources.{GraftCatalog, MemStore}
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
