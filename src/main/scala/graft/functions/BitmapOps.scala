@@ -145,6 +145,31 @@ object BitmapAlg {
     acc
   }
 
+  def positionsArray(a: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bb = java.nio.ByteBuffer.wrap(a).asLongBuffer()
+    val out = Array.newBuilder[Long]
+    var w = 0
+    val n = bb.remaining()
+    while (w < n) {
+      var bits = bb.get(w)
+      while (bits != 0L) {
+        out += w * 64L + java.lang.Long.numberOfTrailingZeros(bits)
+        bits &= bits - 1
+      }
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
+  }
+
+  /** a AND NOT b — the members of `a` absent from `b` (churn). */
+  def andNotBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val out = java.util.Arrays.copyOf(a, a.length)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) { out(i) = (a(i) & ~b(i)).toByte; i += 1 }
+    out
+  }
+
   def andBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     val (short, long) = if (a.length <= b.length) (a, b) else (b, a)
     val out = new Array[Byte](short.length)
@@ -160,6 +185,27 @@ object BitmapAlg {
     while (i < short.length) { out(i) = (short(i) | long(i)).toByte; i += 1 }
     out
   }
+}
+
+/** The set-bit positions of a bitmap, ascending — turns the bitmap
+  * algebra from counts into MEMBERS: `explode(bitmap_positions(
+  * bitmap_and(a, bitmap_not_in...)))` answers "WHICH keys churned", not
+  * just how many, still without re-touching the fact table. Output is
+  * bounded by the population count, not the domain. */
+case class BitmapPositions(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bitmap_positions expects binary, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(a: Any): Any =
+    BitmapAlg.positionsArray(a.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.BitmapAlg.positionsArray($a)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "bitmap_positions"
 }
 
 /** Popcount of a bitmap's set bits (exact distinct count). */
@@ -187,6 +233,17 @@ abstract class BitmapBinaryAlg extends BinaryExpression {
       s"$prettyName expects (binary, binary), got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   override def dataType: DataType = BinaryType
+}
+
+/** a AND NOT b — set difference (the churn direction). */
+case class BitmapAndNot(left: Expression, right: Expression) extends BitmapBinaryAlg {
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    BitmapAlg.andNotBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.BitmapAlg.andNotBytes($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "bitmap_and_not"
 }
 
 /** Word-wise intersection of two bitmaps. */

@@ -50,6 +50,10 @@ object GraftFunctions {
       children => BitmapAnd(children(0), children(1))),
     ("bitmap_or", classOf[BitmapOr].getName,
       children => BitmapOr(children(0), children(1))),
+    ("bitmap_and_not", classOf[BitmapAndNot].getName,
+      children => BitmapAndNot(children(0), children(1))),
+    ("bitmap_positions", classOf[BitmapPositions].getName,
+      children => BitmapPositions(children(0))),
     // Spark ships BloomFilterMightContain for its internal runtime-filter
     // rewrite but does not register it for users; exposing it makes the
     // bloom-pruned join (ScaleTools.bloomPrunedJoin) fully declarative and
@@ -115,6 +119,13 @@ object GraftFunctions {
 
   /** Bitmap union. */
   def bitmapOr(a: Column, b: Column): Column = call_function("bitmap_or", a, b)
+
+  /** Bitmap set difference (a AND NOT b). */
+  def bitmapAndNot(a: Column, b: Column): Column =
+    call_function("bitmap_and_not", a, b)
+
+  /** Ascending set-bit positions of a bitmap (members, not counts). */
+  def bitmapPositions(b: Column): Column = call_function("bitmap_positions", b)
 
   /** Jaro-Winkler similarity (DuckDB-compatible; see [[StringSim]]). */
   def jaroWinkler(a: Column, b: Column): Column =

@@ -2256,6 +2256,43 @@ object EventOps {
            |ORDER BY wk""".stripMargin)
   )
 
+  /** q276: CHURN MEMBERS via bitmap set difference — q270 counts who
+    * churned week-over-week; this names them: `bitmap_positions(
+    * bitmap_and_not(bm_w, bm_w+1))` explodes the exact PURCHASER ids active
+    * in week w but absent from w+1 (the lapsed-buyer re-engagement feed), still off the SAME per-week 32 KB
+    * frames (one fact pass; the members query is metadata-sized —
+    * output bounded by popcount, not domain). The list-the-members step
+    * is what turns the ledger into an actionable re-engagement feed,
+    * and the fact-table alternative is an anti-join PER WEEK PAIR.
+    * DuckDB rebuilds the member set relationally (EXISTS/NOT EXISTS) —
+    * ids must match one-for-one, not just in count. */
+  val q276ChurnMembers = QueryDef(
+    "q276_churn_members",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions._
+      val weekly = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(expr("(ts_ns DIV 1000) DIV 604800000000").as("wk"), col("user_id"))
+        .groupBy("wk")
+        .agg(bitmapBuild(col("user_id"), lit(1 << 18)).as("bm"))
+      val nxt = weekly.select((col("wk") - 1).as("wk"), col("bm").as("bm_next"))
+      weekly.join(nxt, Seq("wk"))
+        .select(col("wk"),
+          explode(bitmapPositions(bitmapAndNot(col("bm"), col("bm_next"))))
+            .as("user_id"))
+        .orderBy("wk", "user_id")
+    },
+    Some("""WITH wu AS (
+           |  SELECT DISTINCT epoch_us(ts) // 604800000000 AS wk, user_id
+           |  FROM events WHERE event_type = 'purchase')
+           |SELECT a.wk, a.user_id FROM wu a
+           |WHERE EXISTS (SELECT 1 FROM wu n WHERE n.wk = a.wk + 1)
+           |  AND NOT EXISTS (SELECT 1 FROM wu b
+           |    WHERE b.user_id = a.user_id AND b.wk = a.wk + 1)
+           |ORDER BY wk, user_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q30Tumbling, q31Sliding, q32Session, q33JsonProps,
     q60ResampleFfill, q88Funnel, q89Retention, q100EwmaAnomaly, q103Contingency,
     q109SessionPaths, q115Attribution, q119LatestState, q122Transitions,
@@ -2266,5 +2303,6 @@ object EventOps {
     q188IntervalCoverage, q191ConversionLatency, q195ActivityHeatmap,
     q196Velocity, q198RfmSegments, q203FreshnessAudit, q206InterarrivalGaps,
     q230ForecastBacktest, q235Burstiness, q236Scd2Integrity, q241Streaks,
-    q242Stickiness, q256PositionAttribution, q270BitmapRetention)
+    q242Stickiness, q256PositionAttribution, q270BitmapRetention,
+    q276ChurnMembers)
 }

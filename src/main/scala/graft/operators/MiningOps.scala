@@ -2004,6 +2004,99 @@ object MiningOps {
            |FROM est, xi""".stripMargin)
   )
 
+  /** q275: the CUBE OF SKETCHES — distinct users per (type, week),
+    * per type, per week, AND overall from ONE register build: HLL
+    * registers materialize at the finest grain (type × week × bucket)
+    * and every coarser cube cell is a `max` ROLLUP of those registers —
+    * the property exact distinct counts fundamentally lack (distincts
+    * don't add across cells; registers max-merge along any lattice
+    * edge). This is how a 100 TB serving layer answers "distinct users
+    * for ANY dimension combination" without one scan per combination:
+    * touch the facts once, roll registers up the lattice as metadata.
+    * All integer md5-bridge arithmetic (the q187 discipline), so DuckDB
+    * rebuilds the same lattice and every estimate hash-matches; rolled
+    * dimensions are labeled '(all)' / −1 to keep one typed frame. */
+  val q275HllCube = QueryDef(
+    "q275_hll_cube",
+    (s, d) => {
+      val h = conv(substring(md5(col("user_id").cast(StringType)), 1, 10), 16, 10)
+        .cast(LongType)
+      val regs = Tables.events(s, d)
+        .select(col("event_type"), expr("(ts_ns DIV 1000) DIV 604800000000").as("wk"), h.as("h"))
+        .withColumn("bucket", expr("h DIV 4294967296"))
+        .withColumn("x", expr("h % 4294967296 + 4294967296"))
+        .withColumn("rho", expr("bit_count(x ^ (x - 1))"))
+        .groupBy("event_type", "wk", "bucket").agg(max("rho").as("m"))
+        .localCheckpoint() // finest grain once; every level rolls from it
+      def estOver(grouped: DataFrame, keys: Column*): DataFrame =
+        grouped.groupBy(keys: _*)
+          .agg(count(lit(1)).as("n_hit"),
+            sum(expr("CAST(1 AS BIGINT) << (33 - m)")).as("d_hit"))
+          .withColumn("est", expr(
+            s"(${HllBuckets * HllBuckets} * ${1L << 33} DIV " +
+              s"(d_hit + ($HllBuckets - n_hit) * ${1L << 33})) " +
+              s"* $HllAlphaX1m DIV 1000000"))
+      val byTW = estOver(regs, col("event_type"), col("wk"))
+        .select(lit("1_type_week").as("level"), col("event_type"), col("wk"), col("est"))
+      val byT = estOver(
+        regs.groupBy("event_type", "bucket").agg(max("m").as("m")), col("event_type"))
+        .select(lit("2_type").as("level"), col("event_type"), lit(-1L).as("wk"), col("est"))
+      val byW = estOver(
+        regs.groupBy("wk", "bucket").agg(max("m").as("m")), col("wk"))
+        .select(lit("3_week").as("level"), lit("(all)").as("event_type"), col("wk"), col("est"))
+      val total = estOver(regs.groupBy("bucket").agg(max("m").as("m")))
+        .select(lit("4_all").as("level"), lit("(all)").as("event_type"),
+          lit(-1L).as("wk"), col("est"))
+      byTW.unionAll(byT).unionAll(byW).unionAll(total)
+        .orderBy("level", "event_type", "wk")
+    },
+    Some(s"""WITH r AS (
+           |  SELECT event_type, epoch_us(ts) // 604800000000 AS wk,
+           |    h // 4294967296 AS bucket,
+           |    MAX(bit_count(xor(h % 4294967296 + 4294967296,
+           |      h % 4294967296 + 4294967296 - 1))) AS m
+           |  FROM (SELECT event_type, ts,
+           |      CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10))
+           |        AS BIGINT) AS h
+           |    FROM events)
+           |  GROUP BY 1, 2, 3),
+           |tw AS (SELECT event_type, wk, CAST(COUNT(*) AS BIGINT) AS n_hit,
+           |  CAST(SUM(1::BIGINT << (33 - m)) AS BIGINT) AS d_hit
+           |  FROM r GROUP BY 1, 2),
+           |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hit,
+           |  CAST(SUM(1::BIGINT << (33 - m)) AS BIGINT) AS d_hit
+           |  FROM (SELECT event_type, bucket, MAX(m) AS m FROM r GROUP BY 1, 2)
+           |  GROUP BY 1),
+           |w AS (SELECT wk, CAST(COUNT(*) AS BIGINT) AS n_hit,
+           |  CAST(SUM(1::BIGINT << (33 - m)) AS BIGINT) AS d_hit
+           |  FROM (SELECT wk, bucket, MAX(m) AS m FROM r GROUP BY 1, 2)
+           |  GROUP BY 1),
+           |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit,
+           |  CAST(SUM(1::BIGINT << (33 - m)) AS BIGINT) AS d_hit
+           |  FROM (SELECT bucket, MAX(m) AS m FROM r GROUP BY 1))
+           |SELECT level, event_type, wk, CAST(est AS BIGINT) AS est FROM (
+           |  SELECT '1_type_week' AS level, event_type, wk,
+           |    (${HllBuckets * HllBuckets} * ${1L << 33}
+           |      // (d_hit + ($HllBuckets - n_hit) * ${1L << 33}))
+           |      * $HllAlphaX1m // 1000000 AS est FROM tw
+           |  UNION ALL
+           |  SELECT '2_type', event_type, -1,
+           |    (${HllBuckets * HllBuckets} * ${1L << 33}
+           |      // (d_hit + ($HllBuckets - n_hit) * ${1L << 33}))
+           |      * $HllAlphaX1m // 1000000 FROM t
+           |  UNION ALL
+           |  SELECT '3_week', '(all)', wk,
+           |    (${HllBuckets * HllBuckets} * ${1L << 33}
+           |      // (d_hit + ($HllBuckets - n_hit) * ${1L << 33}))
+           |      * $HllAlphaX1m // 1000000 FROM w
+           |  UNION ALL
+           |  SELECT '4_all', '(all)', -1,
+           |    (${HllBuckets * HllBuckets} * ${1L << 33}
+           |      // (d_hit + ($HllBuckets - n_hit) * ${1L << 33}))
+           |      * $HllAlphaX1m // 1000000 FROM a)
+           |ORDER BY level, event_type, wk""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile,
     q110PercentileNorm, q114TopkPerGroup, q126GroupOls, q127ChangePoint,
     q131EquidepthHist, q141KAnonymity, q147ExactMedian, q164BenfordAudit,
@@ -2012,5 +2105,5 @@ object MiningOps {
     q186WeightedMedian, q187HllSketch, q189CmSketch, q190LedgerRecon,
     q201SlaLatency, q202SupplierHhi, q205AbcClasses, q207KsDrift,
     q211KmvSketch, q233SubsequenceSupport, q234MixRateDecomp, q258CmJoinSize,
-    q262BitmapSegments, q269HllIntersect)
+    q262BitmapSegments, q269HllIntersect, q275HllCube)
 }

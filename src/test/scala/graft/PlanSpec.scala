@@ -242,6 +242,10 @@ class PlanSpec extends SparkSpec {
       // metadata-sized (≤256 register cells / ≤|users| ids); the count
       // is structural fan-out of inclusion-exclusion, not data volume
       case n if n.startsWith("q269") => 14
+      // q275: four lattice levels rolled from one checkpointed register
+      // frame (rollup + estimate agg per level, then the union sort) —
+      // every exchanged frame is ≤ |types|·|weeks|·256 register cells
+      case n if n.startsWith("q275") => 12
       // q77: 4 unrolled pagerank rounds, join+agg each; q78: assignment
       // window + per-cluster self join + two aggs; q148: 3 HITS rounds,
       // two join+agg passes each over checkpointed frames — all by design

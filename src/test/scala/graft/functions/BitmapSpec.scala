@@ -71,6 +71,30 @@ class BitmapSpec extends SparkSpec {
     assert(BitmapAlg.orBytes(small, large).length == 16)
   }
 
+  test("positions and and_not recover exact members (difference algebra)") {
+    GraftFunctions.register(spark)
+    val bm = fixture.groupBy("g")
+      .agg(GraftFunctions.bitmapBuild(col("k"), lit(1024)).as("bm"))
+    val b = bm.filter(col("g") === "b").select(col("bm").as("bm_b"))
+    val gone = bm.filter(col("g") === "a").crossJoin(broadcast(b))
+      .select(explode(GraftFunctions.bitmapPositions(
+        GraftFunctions.bitmapAndNot(col("bm"), col("bm_b")))).as("k"))
+      .collect().map(_.getLong(0)).toSet
+    val sa = (0L to 400L).toSet
+    val sb = (200L to 600L).toSet
+    assert(gone == sa -- sb, "a AND NOT b must name exactly a \\ b")
+    // positions round-trip: members of a bitmap are the built keys
+    val members = bm.filter(col("g") === "a")
+      .select(explode(GraftFunctions.bitmapPositions(col("bm"))).as("k"))
+      .collect().map(_.getLong(0)).toSet
+    assert(members == sa)
+    // ascending order within the array
+    val arr = bm.filter(col("g") === "a")
+      .select(GraftFunctions.bitmapPositions(col("bm"))).collect()
+      .head.getSeq[Long](0)
+    assert(arr == arr.sorted)
+  }
+
   test("out-of-domain keys fail loudly instead of wrapping") {
     GraftFunctions.register(spark)
     import graft.TestSession.spark.implicits._
