@@ -111,6 +111,56 @@ case class BitmapBuild(
   override def prettyName: String = "bitmap_build"
 }
 
+/** `bitmap_merge(bm)` — OR-merge of already-built bitmaps, the second
+  * aggregation level that makes the bitmap a first-class MERGEABLE
+  * summary: build per finest grain once ([[BitmapBuild]]), then roll up
+  * any coarser grouping by merging the aggregated values — the exact
+  * counterpart of HLL's register max-merge (q275), with exactness paid
+  * for by the bounded domain. `GROUPING SETS + COUNT(DISTINCT)` answers
+  * the same lattice by EXPANDing the fact scan once per cell class;
+  * the bitmap cube touches facts once and rolls up metadata (q277). */
+@ExpressionDescription(
+  usage = "_FUNC_(bm) - OR-merge of bitmap values (exact distinct-set union).")
+case class BitmapMerge(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bitmap_merge expects binary bitmaps, got ${other.sql}")
+  }
+
+  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else BitmapAlg.orBytes(buf, v.asInstanceOf[Array[Byte]])
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] =
+    BitmapAlg.orBytes(buf, other)
+
+  override def eval(buf: Array[Byte]): Any = buf
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "bitmap_merge"
+}
+
 /** Byte-level bitmap kernels. Scala object ⇒ static forwarders on the
   * `BitmapAlg` class, so whole-stage codegen calls them directly
   * (`graft.functions.BitmapAlg.andBytes(a, b)`) — the scalar bitmap ops

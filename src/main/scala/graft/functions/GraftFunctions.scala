@@ -50,6 +50,8 @@ object GraftFunctions {
       children => BitmapAnd(children(0), children(1))),
     ("bitmap_or", classOf[BitmapOr].getName,
       children => BitmapOr(children(0), children(1))),
+    ("bitmap_merge", classOf[BitmapMerge].getName,
+      children => BitmapMerge(children(0))),
     ("bitmap_and_not", classOf[BitmapAndNot].getName,
       children => BitmapAndNot(children(0), children(1))),
     ("bitmap_positions", classOf[BitmapPositions].getName,
@@ -119,6 +121,9 @@ object GraftFunctions {
 
   /** Bitmap union. */
   def bitmapOr(a: Column, b: Column): Column = call_function("bitmap_or", a, b)
+
+  /** OR-merge aggregate over built bitmaps (rollup level). */
+  def bitmapMerge(bm: Column): Column = call_function("bitmap_merge", bm)
 
   /** Bitmap set difference (a AND NOT b). */
   def bitmapAndNot(a: Column, b: Column): Column =

@@ -2097,6 +2097,62 @@ object MiningOps {
            |ORDER BY level, event_type, wk""".stripMargin)
   )
 
+  /** q277: the EXACT cube of distincts — q275's lattice rollup with
+    * bitmaps instead of HLL registers: per-(type, week) user bitmaps
+    * built in ONE fact pass, every coarser cell (per type, per week,
+    * overall) an OR-merge of the aggregated 32 KB frames via
+    * [[graft.functions.BitmapMerge]] — exact at every cell, mergeable
+    * along every lattice edge, domain-gated like all bitmap algebra.
+    * The declarative alternative — `GROUP BY GROUPING SETS` with
+    * `COUNT(DISTINCT)` — EXPANDs the fact scan once per cell class and
+    * shuffles distinct pairs twice; the bitmap cube touches facts once
+    * and rolls up metadata, and the DuckDB oracle IS that grouping-sets
+    * spelling, so the two formulations must agree exactly — the
+    * approx/exact pair (q275/q277) documents the trade: registers for
+    * unbounded domains, bitmaps when the domain is bounded and exact
+    * matters. */
+  val q277BitmapCube = QueryDef(
+    "q277_bitmap_cube",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions._
+      val finest = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("(ts_ns DIV 1000) DIV 604800000000").as("wk"), col("user_id"))
+        .groupBy("event_type", "wk")
+        .agg(bitmapBuild(col("user_id"), lit(1 << 18)).as("bm"))
+        .localCheckpoint() // one fact pass; every level rolls from this
+      val byTW = finest.select(lit("1_type_week").as("level"),
+        col("event_type"), col("wk"), bitmapCount(col("bm")).as("n_users"))
+      val byT = finest.groupBy("event_type")
+        .agg(bitmapCount(bitmapMerge(col("bm"))).as("n_users"))
+        .select(lit("2_type").as("level"), col("event_type"),
+          lit(-1L).as("wk"), col("n_users"))
+      val byW = finest.groupBy("wk")
+        .agg(bitmapCount(bitmapMerge(col("bm"))).as("n_users"))
+        .select(lit("3_week").as("level"), lit("(all)").as("event_type"),
+          col("wk"), col("n_users"))
+      val total = finest.agg(bitmapCount(bitmapMerge(col("bm"))).as("n_users"))
+        .select(lit("4_all").as("level"), lit("(all)").as("event_type"),
+          lit(-1L).as("wk"), col("n_users"))
+      byTW.unionAll(byT).unionAll(byW).unionAll(total)
+        .orderBy("level", "event_type", "wk")
+    },
+    Some("""SELECT
+           |  CASE WHEN event_type IS NOT NULL AND wk IS NOT NULL
+           |         THEN '1_type_week'
+           |       WHEN event_type IS NOT NULL THEN '2_type'
+           |       WHEN wk IS NOT NULL THEN '3_week'
+           |       ELSE '4_all' END AS level,
+           |  COALESCE(event_type, '(all)') AS event_type,
+           |  COALESCE(wk, -1) AS wk,
+           |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+           |FROM (SELECT event_type, epoch_us(ts) // 604800000000 AS wk,
+           |        user_id FROM events)
+           |GROUP BY GROUPING SETS ((event_type, wk), (event_type), (wk), ())
+           |ORDER BY level, event_type, wk""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(q105BasketRules, q106MadOutliers, q107TableProfile,
     q110PercentileNorm, q114TopkPerGroup, q126GroupOls, q127ChangePoint,
     q131EquidepthHist, q141KAnonymity, q147ExactMedian, q164BenfordAudit,
@@ -2105,5 +2161,5 @@ object MiningOps {
     q186WeightedMedian, q187HllSketch, q189CmSketch, q190LedgerRecon,
     q201SlaLatency, q202SupplierHhi, q205AbcClasses, q207KsDrift,
     q211KmvSketch, q233SubsequenceSupport, q234MixRateDecomp, q258CmJoinSize,
-    q262BitmapSegments, q269HllIntersect, q275HllCube)
+    q262BitmapSegments, q269HllIntersect, q275HllCube, q277BitmapCube)
 }

@@ -246,6 +246,10 @@ class PlanSpec extends SparkSpec {
       // frame (rollup + estimate agg per level, then the union sort) —
       // every exchanged frame is ≤ |types|·|weeks|·256 register cells
       case n if n.startsWith("q275") => 12
+      // q277: q275's lattice shape with bitmaps — one checkpointed
+      // finest-grain frame + three OR-merge rollups + union sort; every
+      // exchanged frame is |types|·|weeks| 32 KB bitmaps
+      case n if n.startsWith("q277") => 12
       // q77: 4 unrolled pagerank rounds, join+agg each; q78: assignment
       // window + per-cluster self join + two aggs; q148: 3 HITS rounds,
       // two join+agg passes each over checkpointed frames — all by design

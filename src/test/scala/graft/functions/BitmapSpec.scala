@@ -95,6 +95,33 @@ class BitmapSpec extends SparkSpec {
     assert(arr == arr.sorted)
   }
 
+  test("bitmap_merge: split-and-merge equals the whole-corpus build (mergeability)") {
+    GraftFunctions.register(spark)
+    import graft.TestSession.spark.implicits._
+    val df = (0L until 3000L).map(k => (k % 5, k % 700)).toDF("g", "k")
+    // whole-corpus build per group
+    val whole = df.groupBy("g")
+      .agg(GraftFunctions.bitmapBuild(col("k"), lit(1024)).as("bm"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    // build at a FINER grain, then OR-merge up — must be bit-identical
+    val merged = df.withColumn("shard", col("k") % 13)
+      .groupBy("g", "shard")
+      .agg(GraftFunctions.bitmapBuild(col("k"), lit(1024)).as("bm"))
+      .repartition(7)
+      .groupBy("g")
+      .agg(GraftFunctions.bitmapMerge(col("bm")).as("bm"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(merged == whole,
+      "OR-merge of finer-grain bitmaps must equal the direct build")
+    // SQL-reachable too
+    df.createOrReplaceTempView("bm_merge_t")
+    val n = spark.sql(
+      """SELECT bitmap_count(bitmap_merge(bm)) FROM (
+        |  SELECT bitmap_build(k, 1024) AS bm FROM bm_merge_t GROUP BY g % 2)
+        |""".stripMargin).collect().head.getLong(0)
+    assert(n == 700L)
+  }
+
   test("out-of-domain keys fail loudly instead of wrapping") {
     GraftFunctions.register(spark)
     import graft.TestSession.spark.implicits._
