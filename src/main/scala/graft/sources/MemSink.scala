@@ -179,7 +179,7 @@ class MemTable(name: String, pinnedVersion: Option[Long] = None,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   /** Row-level DELETE WHERE, the `SupportsDelete` metadata-delete shape:
     * Spark translates the WHERE clause to source [[Filter]]s (the same
@@ -283,16 +283,20 @@ class MemTable(name: String, pinnedVersion: Option[Long] = None,
       override def planInputPartitions(): Array[InputPartition] =
         Array(MemPartition(snap))
       override def createReaderFactory(): PartitionReaderFactory =
-        new PartitionReaderFactory {
-          override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-            new PartitionReader[InternalRow] {
-              private val it = p.asInstanceOf[MemPartition].rows.iterator
-              private var cur: InternalRow = _
-              override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
-              override def get(): InternalRow = cur
-              override def close(): Unit = ()
-            }
-        }
+        new MemReaderFactory
+
+      /** CHANGE-FEED streaming read (`readStream.table`): offsets are
+        * VERSION ids and each micro-batch delivers the rows APPENDED by
+        * exactly one commit — the version history doubling as a change
+        * log (Delta's change-data-feed shape, append slice). Admission
+        * control paces one version per batch; `ReadAllAvailable` (how
+        * Trigger.AvailableNow pins its target) returns the head. The
+        * feed REFUSES a non-append commit in range (prefix check) —
+        * serving a delete/update as an append stream would silently
+        * corrupt every downstream aggregate. */
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        new MemChangeFeed(name)
     }
 
   override def truncateTable(): Boolean = {
@@ -449,6 +453,69 @@ object MemFilterEval {
 }
 
 case class MemPartition(rows: Vector[InternalRow]) extends InputPartition
+
+/** Shared row reader over a [[MemPartition]]. */
+class MemReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val it = p.asInstanceOf[MemPartition].rows.iterator
+      private var cur: InternalRow = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+}
+
+/** Version-id offset for the change feed. */
+case class MemOffset(version: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** The mem table's change feed (see `toMicroBatchStream`): one committed
+  * VERSION per micro-batch, append slices only. */
+class MemChangeFeed(name: String)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def initialOffset(): Offset = MemOffset(0L)
+  override def deserializeOffset(json: String): Offset = MemOffset(json.toLong)
+  override def latestOffset(): Offset = MemOffset(MemStore.currentVersion(name))
+  // the default limit is what paces PER-BATCH advance (AvailableNow
+  // passes it each batch; ReadAllAvailable appears only when the
+  // wrapper pins its final target) — maxRows(1) here MEANS one VERSION
+  // per micro-batch, the change-log batching unit
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(1)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val head = MemStore.currentVersion(name)
+    limit match {
+      case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable =>
+        MemOffset(head) // AvailableNow pins the true head as its target
+      case _ =>
+        MemOffset(math.min(head, start.asInstanceOf[MemOffset].version + 1))
+    }
+  }
+  override def reportLatestOffset(): Offset = MemOffset(MemStore.currentVersion(name))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s0, e0) = (start.asInstanceOf[MemOffset].version,
+      end.asInstanceOf[MemOffset].version)
+    if (e0 <= s0) return Array.empty
+    val base = MemStore.rowsAt(name, s0)
+    val head = MemStore.rowsAt(name, e0)
+    require(head.size >= base.size &&
+      base.iterator.zip(head.iterator).forall { case (a, b) => a == b },
+      s"graft_mem($name): versions $s0..$e0 include a non-append commit — " +
+        "the change feed serves append slices only (delete/update history " +
+        "cannot be replayed as an append stream)")
+    Array(MemPartition(head.drop(base.size)))
+  }
+  override def createReaderFactory(): PartitionReaderFactory = new MemReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 case class MemCommitMessage(rows: Array[Array[Byte]]) extends WriterCommitMessage
 

@@ -1175,9 +1175,49 @@ object SynthSource {
            |FROM d WHERE op <> '=' GROUP BY op ORDER BY op""".stripMargin)
   )
 
+  /** q278: CHANGE-FEED STREAMING READ of the mem table — the version
+    * history doubling as a change log: `readStream.table` plans
+    * [[MemChangeFeed]], whose offsets are VERSION ids and whose
+    * micro-batches each deliver the rows appended by exactly ONE commit
+    * (admission control paces a version per batch; AvailableNow pins
+    * the head via `ReadAllAvailable`). Three append commits build the
+    * history; the streamed complete-mode aggregate over all batches
+    * must hash-match DuckDB aggregating the union directly — a batch
+    * that replays, skips, or splits a commit breaks the totals. The
+    * feed REFUSES non-append history (prefix-checked): a delete served
+    * as an append stream would silently corrupt downstream aggregates
+    * (SourcesSpec pins the refusal and the ≥3-batch pacing). */
+  val q278ChangeFeed = graft.QueryDef(
+    "q278_dsv2_change_feed",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      val src = graft.Tables.lineitem(s, d).select(
+        col("l_orderkey").cast("long").as("k"),
+        col("l_quantity").cast("long").as("qty"))
+      s.sql("DROP TABLE IF EXISTS graft.mem_cf")
+      src.filter(col("k") % 3 === 0).writeTo("graft.mem_cf").create() // v1
+      src.filter(col("k") % 3 === 1).writeTo("graft.mem_cf").append() // v2
+      src.filter(col("k") % 3 === 2).writeTo("graft.mem_cf").append() // v3
+      val q = s.readStream.table("graft.mem_cf")
+        .groupBy((col("k") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"),
+          sum("k").as("sum_k"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("q278_sink")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q278_sink").orderBy("bucket")
+    },
+    Some("""SELECT l_orderkey % 8 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_k
+           |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q208Dsv2Scan, q209Dsv2AggPushdown,
     q210Dsv2TopN, q215SpjJoin, q216RuntimePrune, q228WriteRoundtrip,
     q245Dsv2Delete, q248TimeTravel, q254ReplaceWhere, q255StreamingRead,
     q264MetadataColumn, q266Dsv2Update, q267Dsv2Merge, q272DeltaMerge,
-    q273VersionCdc)
+    q273VersionCdc, q278ChangeFeed)
 }

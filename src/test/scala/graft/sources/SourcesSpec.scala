@@ -591,6 +591,44 @@ class SourcesSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mem_epoch")
   }
 
+  test("DSv2 change feed: one version per micro-batch; non-append history refused") {
+    import graft.sources.GraftCatalog
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.mem_cfspec")
+    spark.range(0, 10).selectExpr("id AS k").writeTo("graft.mem_cfspec").create()
+    spark.range(10, 25).selectExpr("id AS k").writeTo("graft.mem_cfspec").append()
+    spark.range(25, 30).selectExpr("id AS k").writeTo("graft.mem_cfspec").append()
+    val q = spark.readStream.table("graft.mem_cfspec")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cfspec_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // every row exactly once across the batches
+    val got = spark.table("cfspec_sink").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (0L until 30L), s"change feed must replay appends exactly once: ${got.toSeq}")
+    // one VERSION per micro-batch: 3 commits → ≥3 non-empty batches
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3,
+      s"expected one version per micro-batch, got ${batches.length} non-empty batches")
+    // a delete breaks append-only history: a fresh feed from v0 must refuse
+    spark.sql("DELETE FROM graft.mem_cfspec WHERE k < 5")
+    val q2 = spark.readStream.table("graft.mem_cfspec")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cfspec_sink2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(c =>
+      Option(c.getMessage).exists(_.contains("non-append commit"))),
+      s"expected the non-append refusal, got $err")
+    spark.sql("DROP TABLE graft.mem_cfspec")
+  }
+
   test("DSv2 VERSION AS OF: snapshots are immutable, expiry errors, aborts burn no version") {
     import graft.sources.{GraftCatalog, MemStore}
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
