@@ -75,7 +75,10 @@ object MemStore {
           s"${hist.head._1}..${hist.last._1} (MaxVersions=$MaxVersions)")
     }
   }
-  def drop(name: String): Unit = { tables.remove(name); lastEpoch.remove(name) }
+  def drop(name: String): Unit = {
+    tables.remove(name)
+    lastEpoch.keySet.removeIf(_.startsWith(name + "#"))
+  }
 
   /** All commits funnel here: derive the next snapshot from the latest,
     * append it with the next version id, expire past [[MaxVersions]].
@@ -116,6 +119,9 @@ object MemStore {
       inserts: Seq[InternalRow]): Unit =
     install(name, prev => {
       val updateByKey = updates.toMap
+      require(updateByKey.size == updates.size,
+        s"graft_mem($name): delta commit carries duplicate update ids — " +
+          "two updates to one row in a single statement is a rewrite bug")
       val present = prev.iterator.map(keyOf).toSet
       val missing = (deletes.iterator ++ updates.iterator.map(_._1))
         .filterNot(present)
@@ -130,21 +136,25 @@ object MemStore {
     })
 
   /** STREAMING epoch commit: append `rows` for micro-batch `epochId`
-    * exactly once. Structured Streaming re-delivers a failed epoch's
-    * commit under the SAME id on restart, so idempotence here IS the
-    * sink's exactly-once contract (the `_spark_metadata` log of a file
-    * sink, reduced to a high-water mark): a replayed epoch is a no-op —
-    * no rows, no version bump. Epoch ids per (checkpoint, table) are
-    * monotone, so one high-water mark suffices. */
+    * exactly once PER WRITER QUERY. Structured Streaming re-delivers a
+    * failed epoch's commit under the SAME id on restart, so idempotence
+    * here IS the sink's exactly-once contract (the `_spark_metadata`
+    * log of a file sink, reduced to a high-water mark). The mark is
+    * keyed by (table, queryId) — epoch ids are monotone only WITHIN one
+    * query's checkpoint lineage; a table-keyed mark would silently
+    * no-op a second query's epoch 0 against the first query's
+    * high-water (SourcesSpec pins two writers interleaving). */
   private val lastEpoch = new java.util.concurrent.ConcurrentHashMap[String, Long]()
-  def commitEpoch(name: String, epochId: Long, rows: Seq[InternalRow]): Unit =
+  def commitEpoch(name: String, queryId: String, epochId: Long,
+      rows: Seq[InternalRow]): Unit =
     tables.compute(name, (_, prev) => {
       val (schema, hist) = prev
-      if (epochId <= lastEpoch.getOrDefault(name, -1L)) prev // replay: no-op
+      val key = name + "#" + queryId
+      if (epochId <= lastEpoch.getOrDefault(key, -1L)) prev // replay: no-op
       else {
         val next = hist.last._2 ++ rows
         requireCapacity(name, next.size.toLong)
-        lastEpoch.put(name, epochId) // inside compute: serialized per key
+        lastEpoch.put(key, epochId) // inside compute: serialized per table
         (schema, (hist :+ (hist.last._1 + 1, next)).takeRight(MaxVersions))
       }
     })
@@ -344,7 +354,7 @@ class MemTable(name: String, pinnedVersion: Option[Long] = None,
                   r.copy(): InternalRow
                 }
               }.toVector
-              MemStore.commitEpoch(name, epochId, rows)
+              MemStore.commitEpoch(name, info.queryId(), epochId, rows)
             }
             override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
           }

@@ -573,21 +573,28 @@ class SourcesSpec extends SparkSpec {
     spark.sql("CREATE TABLE graft.mem_epoch (k BIGINT)")
     import org.apache.spark.sql.catalyst.InternalRow
     def rows(vs: Long*) = vs.map(v => InternalRow(v): InternalRow)
-    MemStore.commitEpoch("mem_epoch", 0L, rows(1L, 2L))
-    MemStore.commitEpoch("mem_epoch", 1L, rows(3L))
+    MemStore.commitEpoch("mem_epoch", "qA", 0L, rows(1L, 2L))
+    MemStore.commitEpoch("mem_epoch", "qA", 1L, rows(3L))
     val v = MemStore.currentVersion("mem_epoch")
     val n = spark.table("graft.mem_epoch").count()
     assert(n == 3)
     // a restarted micro-batch re-delivers the SAME epoch id: no-op
-    MemStore.commitEpoch("mem_epoch", 1L, rows(3L))
-    MemStore.commitEpoch("mem_epoch", 0L, rows(1L, 2L))
+    MemStore.commitEpoch("mem_epoch", "qA", 1L, rows(3L))
+    MemStore.commitEpoch("mem_epoch", "qA", 0L, rows(1L, 2L))
     assert(MemStore.currentVersion("mem_epoch") == v,
       "replayed epochs must not burn versions")
     assert(spark.table("graft.mem_epoch").count() == n,
       "replayed epochs must not duplicate rows")
     // the next NEW epoch still commits
-    MemStore.commitEpoch("mem_epoch", 2L, rows(4L))
+    MemStore.commitEpoch("mem_epoch", "qA", 2L, rows(4L))
     assert(spark.table("graft.mem_epoch").count() == n + 1)
+    // the high-water mark is PER QUERY: a second writer's epoch 0 must
+    // commit, not be swallowed by the first writer's mark
+    MemStore.commitEpoch("mem_epoch", "qB", 0L, rows(5L))
+    assert(spark.table("graft.mem_epoch").count() == n + 2,
+      "a different query's epoch 0 must not be dropped")
+    MemStore.commitEpoch("mem_epoch", "qB", 0L, rows(5L)) // its own replay: no-op
+    assert(spark.table("graft.mem_epoch").count() == n + 2)
     spark.sql("DROP TABLE graft.mem_epoch")
   }
 
