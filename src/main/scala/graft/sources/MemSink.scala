@@ -79,6 +79,12 @@ object MemStore {
     tables.remove(name)
     lastEpoch.keySet.removeIf(_.startsWith(name + "#"))
   }
+  /** Live table names (sorted) — the catalog's `SHOW TABLES` surface and
+    * the bench harness's between-query sweep both need the inventory. */
+  def tableNames: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    tables.keySet.asScala.toSeq.sorted
+  }
 
   /** All commits funnel here: derive the next snapshot from the latest,
     * append it with the next version id, expire past [[MaxVersions]].
