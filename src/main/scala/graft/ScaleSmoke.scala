@@ -1000,6 +1000,67 @@ object ScaleSmoke {
       "bm_agg_secs" -> bmAggSecs, "bm_cd_secs" -> bmCdSecs,
       "bm_identical" -> 1L)
 
+    // ---- phase 18: change-feed drain at scale (the q278/q280 engine) ----
+    // A 10M-row, 8-commit history through MemChangeFeed. The version
+    // history IS the change log (per-commit slices recorded at commit
+    // time), so the drain costs micro-batch machinery + the slices — no
+    // table rescan, no snapshot diffing. Two drains: default admission
+    // (one VERSION per batch → 8 data batches) and a 400k row budget
+    // (fat commits split WITHIN a version → ~32 batches, bounding the
+    // consumer's per-batch memory). Exactly-once is asserted by closed
+    // form on both: count and Σk must match the committed range.
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.mem_cf_smoke")
+    val cfRows = sys.env.getOrElse("SPARK_GRAFT_SMOKE_CFROWS", "10000000").toLong
+    val cfVersions = 8
+    val cfPer = cfRows / cfVersions
+    val tCfB = System.nanoTime()
+    spark.sql("CREATE TABLE graft.mem_cf_smoke (k BIGINT)")
+    (0 until cfVersions).foreach { i =>
+      spark.range(i * cfPer, (i + 1) * cfPer).selectExpr("id AS k")
+        .writeTo("graft.mem_cf_smoke").append()
+    }
+    val cfBuildSecs = (System.nanoTime() - tCfB) / 1e9
+    def cfDrain(opts: Map[String, String], sink: String): (Double, Seq[Long]) = {
+      val t0 = System.nanoTime()
+      val reader = opts.foldLeft(spark.readStream)((b, kv) => b.option(kv._1, kv._2))
+      val q = reader.table("graft.mem_cf_smoke")
+        .groupBy(lit(1).as("g"))
+        .agg(count(lit(1)).as("n"), sum("k").as("s"))
+        .writeStream.outputMode("complete").format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val row = spark.table(sink).head()
+      assert(row.getLong(1) == cfRows &&
+        row.getLong(2) == cfRows * (cfRows - 1) / 2,
+        s"change-feed drain must deliver every committed row exactly once, got $row")
+      (secs, q.recentProgress.filter(_.numInputRows > 0).map(_.numInputRows).toSeq)
+    }
+    val (cfSecs, cfBatches) = cfDrain(Map.empty, "cf_smoke_sink")
+    val (cfBudSecs, cfBudBatches) =
+      cfDrain(Map("maxRowsPerBatch" -> "400000"), "cf_smoke_sink2")
+    assert(cfBatches.length == cfVersions,
+      s"default admission is one version per batch: ${cfBatches.length}")
+    assert(cfBudBatches.length >= 4 * cfVersions - cfVersions &&
+      cfBudBatches.max <= 400000L,
+      s"row budget must split fat commits: ${cfBudBatches.length} batches, " +
+        s"max ${if (cfBudBatches.isEmpty) 0L else cfBudBatches.max}")
+    println(f"[smoke] change feed: $cfRows rows / $cfVersions commits built in " +
+      f"$cfBuildSecs%.1f s; version-paced drain $cfSecs%.1f s " +
+      f"(${(cfRows / cfSecs).toLong} rows/s, ${cfBatches.length} batches); " +
+      f"400k-budget drain $cfBudSecs%.1f s (${cfBudBatches.length} batches)")
+    report ++= Seq("cf_rows" -> cfRows, "cf_versions" -> cfVersions.toLong,
+      "cf_build_secs" -> cfBuildSecs, "cf_drain_secs" -> cfSecs,
+      "cf_rows_per_sec" -> (cfRows / cfSecs).toLong,
+      "cf_batches" -> cfBatches.length.toLong,
+      "cf_budget_drain_secs" -> cfBudSecs,
+      "cf_budget_batches" -> cfBudBatches.length.toLong,
+      "cf_budget_max_batch_rows" -> cfBudBatches.max)
+    spark.sql("DROP TABLE graft.mem_cf_smoke")
+
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_SMOKE.json"),
       jsonOf(report) + "\n")
     println("[smoke] wrote SCALE_SMOKE.json")

@@ -30,7 +30,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     catalogName = name
   override def name(): String = catalogName
 
-  override def listTables(namespace: Array[String]): Array[Identifier] = Array.empty
+  /** `SHOW TABLES IN graft`: the live `mem_*`/`memd_*` tables. The
+    * `synth_*` family is parameter-encoded (an infinite generator
+    * namespace, `synth_<rows>_<parts>`), so it cannot be enumerated —
+    * the same reason a JDBC catalog doesn't list every possible query
+    * pushdown; its tables resolve on load only. */
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    if (namespace.nonEmpty) Array.empty
+    else MemStore.tableNames.map(Identifier.of(Array.empty[String], _)).toArray
 
   /** `synth_<rows>_<parts>` (bucketed), `synth_<rows>_<parts>_flat`, or a
     * writable in-memory `mem_<name>` ([[MemTable]]; `memd_<name>` = the
@@ -39,6 +46,16 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   override def loadTable(ident: Identifier): Table = ident.name() match {
     case GraftCatalog.TablePat(rows, parts, flat) =>
       new SynthTable(rows.toLong, parts.toInt, bucketed = flat == null)
+    // `<table>__changes`: the read-only change-data-feed relation of a
+    // mem table — per-commit `_change_type`/`_commit_version` rows
+    // (Delta's `table_changes`, SQL Server's CDC shadow table). The CDF
+    // columns must be on the TABLE schema (analysis resolves columns
+    // before any scan exists), hence a relation suffix, not an option.
+    case m if m.endsWith("__changes") =>
+      val base = m.stripSuffix("__changes")
+      if ((base.startsWith("mem_") || base.startsWith("memd_")) && MemStore.exists(base))
+        new MemTable(base, delta = base.startsWith("memd_"), changes = true)
+      else throw new NoSuchTableException(ident)
     case m if m.startsWith("memd_") && MemStore.exists(m) =>
       new MemTable(m, delta = true)
     case m if m.startsWith("mem_") && MemStore.exists(m) => new MemTable(m)
@@ -78,13 +95,55 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     ident.name() match {
       case m if m.startsWith("mem_") || m.startsWith("memd_") =>
         require(partitions.isEmpty, "mem tables are unpartitioned")
+        require(!m.endsWith("__changes"),
+          "the __changes suffix is reserved for the change-data-feed relation")
         MemStore.create(m, schema)
         new MemTable(m, delta = m.startsWith("memd_"))
       case other =>
         throw new UnsupportedOperationException(s"cannot create $other: only mem_* tables are writable")
     }
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog tables cannot be altered")
+  /** Schema evolution on `mem_*`/`memd_*` tables — metadata-only, the
+    * Iceberg contract: ALTER installs a new VERSION carrying the new
+    * schema and the SAME rows ([[MemStore.alterSchema]]); existing rows
+    * are never rewritten (readers back-fill NULL for columns added
+    * after a row was written), and `VERSION AS OF` a pre-ALTER version
+    * keeps the old schema — version-consistent reads across the change.
+    * Only the two shapes representable without a data rewrite are
+    * accepted: RENAME COLUMN and ADD (nullable) COLUMN at the end;
+    * drop/reorder/type-change/non-null-add are refused loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val name = ident.name()
+    if (!((name.startsWith("mem_") || name.startsWith("memd_")) && MemStore.exists(name)))
+      throw new NoSuchTableException(ident)
+    var schema = MemStore.schemaOf(name)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"graft catalog: nested ADD COLUMN unsupported (${add.fieldNames.mkString(".")})")
+        require(add.position() == null,
+          "graft catalog: ADD COLUMN appends at the end only (FIRST/AFTER " +
+            "would reorder existing rows' columns — a data rewrite)")
+        require(add.isNullable,
+          "graft catalog: new columns must be nullable — existing rows " +
+            "back-fill NULL at read (metadata-only evolution)")
+        require(!schema.fieldNames.contains(add.fieldNames()(0)),
+          s"graft catalog: column ${add.fieldNames()(0)} already exists")
+        schema = schema.add(add.fieldNames()(0), add.dataType(), nullable = true)
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          s"graft catalog: nested RENAME unsupported (${rn.fieldNames.mkString(".")})")
+        val i = schema.fieldIndex(rn.fieldNames()(0))
+        require(!schema.fieldNames.contains(rn.newName()),
+          s"graft catalog: column ${rn.newName()} already exists")
+        schema = StructType(schema.fields.updated(i, schema.fields(i).copy(name = rn.newName())))
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported table change $other — only RENAME " +
+          "COLUMN and ADD COLUMN (nullable, at the end) evolve without a " +
+          "data rewrite")
+    }
+    MemStore.alterSchema(name, schema)
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean =
     if ((ident.name().startsWith("mem_") || ident.name().startsWith("memd_")) &&
         MemStore.exists(ident.name())) {

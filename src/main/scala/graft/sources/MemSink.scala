@@ -3,12 +3,14 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The WRITE half of the custom-connector story (`SynthSource` is the
   * read half): an in-memory DSv2 table with the real two-phase commit
@@ -44,7 +46,7 @@ object MemStore {
   val MaxCommittedRows: Long = 50L * 1000 * 1000
 
   /** Bounded version history per table (Iceberg's snapshot-expiry
-    * reduced to a count): every commit installs a NEW (versionId, rows)
+    * reduced to a count): every commit installs a NEW [[MemVersion]]
     * entry instead of replacing the old one, so `VERSION AS OF` reads
     * are consistent snapshots for free — the exact mechanism a file-
     * backed table gets from immutable data files + a manifest list.
@@ -52,29 +54,62 @@ object MemStore {
     * load-time error, not a silent remap). */
   val MaxVersions: Int = 16
 
-  /** name → (schema, history of (versionId, committed rows), newest
-    * last). Volatile map + full-replace swap per commit = atomic
-    * visibility for readers; history entries are immutable. */
-  private val tables = new java.util.concurrent.ConcurrentHashMap[
-    String, (StructType, Vector[(Long, Vector[InternalRow])])]()
+  /** `_change_type` values, the Delta change-data-feed vocabulary. */
+  val OpInsert = "insert"
+  val OpDelete = "delete"
+  val OpUpdatePre = "update_preimage"
+  val OpUpdatePost = "update_postimage"
+
+  /** One committed snapshot. `schema` is the table schema AS OF this
+    * version (schema evolution installs a version like any other
+    * commit); `rows` written under an OLDER schema stay at their
+    * commit-time width and readers pad the missing trailing columns
+    * with NULL — the Iceberg contract where ALTER is a metadata-only
+    * operation and back-fill happens at read, never by rewriting data.
+    * `changes` is the commit's change log, recorded AT COMMIT TIME
+    * (where the verb is known exactly) rather than re-derived by
+    * diffing snapshots: the change-data-feed currency. */
+  final case class MemVersion(id: Long, schema: StructType,
+      rows: Vector[InternalRow], changes: Vector[(String, InternalRow)]) {
+    /** True iff this commit only appended rows — the precondition for
+      * serving it through the plain (non-CDF) change feed. Recorded
+      * here once instead of the r7 prefix re-scan of the WHOLE base
+      * snapshot per micro-batch (O(committed rows) per batch and
+      * dependent on row representation equality). */
+    val appendOnly: Boolean = changes.forall(_._1 == OpInsert)
+  }
+
+  /** name → version history, newest last. Full-replace swap per commit
+    * = atomic visibility for readers; history entries are immutable. */
+  private val tables =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[MemVersion]]()
 
   def create(name: String, schema: StructType): Unit =
-    tables.putIfAbsent(name, (schema, Vector((0L, Vector.empty))))
+    tables.putIfAbsent(name,
+      Vector(MemVersion(0L, schema, Vector.empty, Vector.empty)))
   def exists(name: String): Boolean = tables.containsKey(name)
-  def schemaOf(name: String): StructType = tables.get(name)._1
-  def rows(name: String): Vector[InternalRow] = tables.get(name)._2.last._2
+  def schemaOf(name: String): StructType = tables.get(name).last.schema
+  def rows(name: String): Vector[InternalRow] = tables.get(name).last.rows
   /** Latest committed version id (0 = the empty table at creation). */
-  def currentVersion(name: String): Long = tables.get(name)._2.last._1
-  /** Snapshot read of a pinned version; expired/unknown ids fail with
+  def currentVersion(name: String): Long = tables.get(name).last.id
+  /** Oldest version still retained (history is bounded). */
+  def oldestVersion(name: String): Long = tables.get(name).head.id
+
+  /** Snapshot lookup of a pinned version; expired/unknown ids fail with
     * the retained range (never a silent remap to another snapshot). */
-  def rowsAt(name: String, version: Long): Vector[InternalRow] = {
-    val hist = tables.get(name)._2
-    hist.find(_._1 == version).map(_._2).getOrElse {
+  def versionAt(name: String, version: Long): MemVersion = {
+    val hist = tables.get(name)
+    hist.find(_.id == version).getOrElse {
       throw new IllegalArgumentException(
         s"graft_mem($name): no version $version — retained versions are " +
-          s"${hist.head._1}..${hist.last._1} (MaxVersions=$MaxVersions)")
+          s"${hist.head.id}..${hist.last.id} (MaxVersions=$MaxVersions)")
     }
   }
+  def rowsAt(name: String, version: Long): Vector[InternalRow] =
+    versionAt(name, version).rows
+  def schemaAt(name: String, version: Long): StructType =
+    versionAt(name, version).schema
+
   def drop(name: String): Unit = {
     tables.remove(name)
     lastEpoch.keySet.removeIf(_.startsWith(name + "#"))
@@ -86,59 +121,109 @@ object MemStore {
     tables.keySet.asScala.toSeq.sorted
   }
 
-  /** All commits funnel here: derive the next snapshot from the latest,
-    * append it with the next version id, expire past [[MaxVersions]].
-    * If `next` throws mid-derivation, `compute` rethrows and the mapping
-    * is left UNCHANGED — a failed commit never exposes a partial
-    * version and never burns a version id. */
-  private def install(name: String,
-      next: Vector[InternalRow] => Vector[InternalRow]): Unit =
+  /** All commits funnel here: derive the next snapshot + its change log
+    * from the latest version, append with the next version id, expire
+    * past [[MaxVersions]]. If `next` throws mid-derivation, `compute`
+    * rethrows and the mapping is left UNCHANGED — a failed commit never
+    * exposes a partial version and never burns a version id. */
+  private def install(name: String)(next: MemVersion =>
+      (StructType, Vector[InternalRow], Vector[(String, InternalRow)])): Unit =
     tables.compute(name, (_, prev) => {
-      val (schema, hist) = prev
-      val rows = next(hist.last._2)
+      val last = prev.last
+      val (schema, rows, changes) = next(last)
       requireCapacity(name, rows.size.toLong)
-      (schema, (hist :+ (hist.last._1 + 1, rows)).takeRight(MaxVersions))
+      (prev :+ MemVersion(last.id + 1, schema, rows, changes))
+        .takeRight(MaxVersions)
     })
 
   def commitAppend(name: String, rows: Seq[InternalRow]): Unit =
-    install(name, prev => prev ++ rows)
+    install(name)(v => (v.schema, v.rows ++ rows,
+      rows.iterator.map((OpInsert, _)).toVector))
   def commitTruncate(name: String, rows: Seq[InternalRow]): Unit =
-    install(name, _ => rows.toVector)
+    install(name)(v => (v.schema, rows.toVector,
+      v.rows.iterator.map((OpDelete, _)).toVector ++
+        rows.iterator.map((OpInsert, _))))
   /** Row-level delete: keep the survivors, one atomic swap. */
   def commitDelete(name: String, keep: InternalRow => Boolean): Unit =
-    install(name, prev => prev.filter(keep))
+    install(name)(v => {
+      val (kept, removed) = v.rows.partition(keep)
+      (v.schema, kept, removed.iterator.map((OpDelete, _)).toVector)
+    })
   /** Overwrite-by-filter (`replaceWhere`): drop the matching slice and
     * append the replacement rows in ONE version install — delete and
     * insert can never be observed separately. */
   def commitOverwrite(name: String, drop: InternalRow => Boolean,
       rows: Seq[InternalRow]): Unit =
-    install(name, prev => prev.filterNot(drop) ++ rows)
+    install(name)(v => {
+      val (removed, kept) = v.rows.partition(drop)
+      (v.schema, kept ++ rows,
+        removed.iterator.map((OpDelete, _)).toVector ++
+          rows.iterator.map((OpInsert, _)))
+    })
 
   /** Delta (merge-on-read) commit: apply per-row DELETE / UPDATE /
     * INSERT operations keyed by the table's row-id column in ONE
     * version install. An update or delete whose id matches no committed
     * row fails the whole commit (the previous version stays) — a delta
     * stream referencing a phantom id means the scan and the write
-    * disagree about the snapshot, which must never be papered over. */
+    * disagree about the snapshot, which must never be papered over.
+    * Because the verbs arrive keyed, the change log here carries EXACT
+    * update pre/post images — the one commit shape that can. */
   def commitDelta(name: String, keyOf: InternalRow => Any,
       deletes: Seq[Any], updates: Seq[(Any, InternalRow)],
       inserts: Seq[InternalRow]): Unit =
-    install(name, prev => {
+    install(name)(v => {
+      val prev = v.rows
       val updateByKey = updates.toMap
       require(updateByKey.size == updates.size,
         s"graft_mem($name): delta commit carries duplicate update ids — " +
           "two updates to one row in a single statement is a rewrite bug")
+      val delSet = deletes.toSet
+      require(delSet.intersect(updateByKey.keySet).isEmpty,
+        s"graft_mem($name): delta commit deletes AND updates the same " +
+          "row id(s) — the delete filter would silently swallow the " +
+          "update, which is a rewrite bug")
       val present = prev.iterator.map(keyOf).toSet
       val missing = (deletes.iterator ++ updates.iterator.map(_._1))
         .filterNot(present)
       require(missing.isEmpty,
         s"graft_mem($name): delta commit references absent row id(s) " +
           s"${missing.take(3).toSeq.mkString(", ")}")
-      val delSet = deletes.toSet
-      prev.iterator
-        .filterNot(r => delSet.contains(keyOf(r)))
-        .map(r => updateByKey.getOrElse(keyOf(r), r))
-        .toVector ++ inserts
+      val out = Vector.newBuilder[InternalRow]
+      val changes = Vector.newBuilder[(String, InternalRow)]
+      prev.foreach { r =>
+        val k = keyOf(r)
+        if (delSet.contains(k)) changes += ((OpDelete, r))
+        else updateByKey.get(k) match {
+          case Some(nr) =>
+            changes += ((OpUpdatePre, r)); changes += ((OpUpdatePost, nr))
+            out += nr
+          case None => out += r
+        }
+      }
+      inserts.foreach { r => out += r; changes += ((OpInsert, r)) }
+      (v.schema, out.result(), changes.result())
+    })
+
+  /** Schema evolution, metadata-only (the ALTER TABLE surface): install
+    * a new version with the SAME rows and the new schema. Only widening
+    * shapes are representable — renames and appended nullable columns —
+    * asserted by prefix-type equality; anything else (drop, reorder,
+    * type change) would need a data rewrite and is refused upstream.
+    * The version's change log is empty (no row changed), so a change
+    * feed crossing it delivers an empty slice, and `VERSION AS OF` a
+    * pre-ALTER version keeps the OLD schema ([[MemVersion.schema]]). */
+  def alterSchema(name: String, newSchema: StructType): Unit =
+    install(name)(v => {
+      val old = v.schema
+      require(newSchema.length >= old.length &&
+        old.fields.zip(newSchema.fields).forall {
+          case (a, b) => a.dataType == b.dataType
+        },
+        s"graft_mem($name): schema evolution supports only RENAME COLUMN " +
+          s"and ADD COLUMN at the end (got ${old.simpleString} -> " +
+          s"${newSchema.simpleString})")
+      (newSchema, v.rows, Vector.empty)
     })
 
   /** STREAMING epoch commit: append `rows` for micro-batch `epochId`
@@ -154,14 +239,15 @@ object MemStore {
   def commitEpoch(name: String, queryId: String, epochId: Long,
       rows: Seq[InternalRow]): Unit =
     tables.compute(name, (_, prev) => {
-      val (schema, hist) = prev
+      val last = prev.last
       val key = name + "#" + queryId
       if (epochId <= lastEpoch.getOrDefault(key, -1L)) prev // replay: no-op
       else {
-        val next = hist.last._2 ++ rows
+        val next = last.rows ++ rows
         requireCapacity(name, next.size.toLong)
         lastEpoch.put(key, epochId) // inside compute: serialized per table
-        (schema, (hist :+ (hist.last._1 + 1, next)).takeRight(MaxVersions))
+        (prev :+ MemVersion(last.id + 1, last.schema, next,
+          rows.iterator.map((OpInsert, _)).toVector)).takeRight(MaxVersions)
       }
     })
 
@@ -173,25 +259,40 @@ object MemStore {
 }
 
 class MemTable(name: String, pinnedVersion: Option[Long] = None,
-    delta: Boolean = false)
+    delta: Boolean = false, changes: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with TruncatableTable with SupportsDelete
     with SupportsRowLevelOperations {
   override def name(): String = pinnedVersion match {
     case Some(v) => s"graft_mem($name@v$v)"
+    case None if changes => s"graft_mem($name#changes)"
     case None => s"graft_mem($name)"
   }
   /** Delta tables declare their first column (the row id) NON-NULL —
     * Spark refuses a nullable row id for `WriteDelta` plans, and a memd
-    * table's id is a key by contract. */
+    * table's id is a key by contract. A pinned (VERSION AS OF) relation
+    * reports the schema AS OF that version — the old column set before
+    * an ALTER, which is what version-consistent reads mean. The
+    * `__changes` relation appends `_change_type`/`_commit_version` —
+    * the columns MUST live on the TABLE (not just the scan): Spark
+    * resolves a query's columns from `Table.schema()` during analysis,
+    * before any ScanBuilder exists, which is why CDF is a relation
+    * suffix here rather than a read option. */
   override def schema(): StructType = {
-    val base = MemStore.schemaOf(name)
-    if (!delta) base
-    else StructType(base.fields.head.copy(nullable = false) +: base.fields.tail)
+    val base = pinnedVersion.map(MemStore.schemaAt(name, _))
+      .getOrElse(MemStore.schemaOf(name))
+    val typed =
+      if (!delta) base
+      else StructType(base.fields.head.copy(nullable = false) +: base.fields.tail)
+    if (changes) MemCdf.withCdfColumns(typed) else typed
   }
-  private def requireWritable(verb: String): Unit =
+  private def requireWritable(verb: String): Unit = {
     require(pinnedVersion.isEmpty,
       s"graft_mem($name): cannot $verb a time-travel (VERSION AS OF) relation")
+    require(!changes,
+      s"graft_mem($name): cannot $verb the __changes relation — it is a " +
+        "read-only view of the commit history")
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
@@ -287,33 +388,67 @@ class MemTable(name: String, pinnedVersion: Option[Long] = None,
       }
     }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  /** Scan options (Delta's CDF read surface, reduced — the CDF rowset
+    * itself is selected by loading the `<table>__changes` relation,
+    * because the `_change_type`/`_commit_version` columns must exist on
+    * the TABLE schema for analysis; see [[schema]]):
+    *  - `startingVersion=v`: serve changes from version v onward
+    *    (default: the oldest retained version);
+    *  - `maxRowsPerBatch=n` (streaming): admission-control row budget
+    *    WITHIN a version — one fat commit spreads over several
+    *    micro-batches instead of forcing one huge batch. A version
+    *    boundary is always a batch boundary (a batch never mixes
+    *    commits). */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val cdf = changes
+    val startingVersion = Option(options.get("startingVersion")).map(_.toLong)
+    val maxRowsPerBatch =
+      Option(options.get("maxRowsPerBatch")).map(_.toLong).getOrElse(Long.MaxValue)
     () => new Scan with Batch {
       // one consistent version per scan: the pinned snapshot for a
       // VERSION AS OF relation, else the latest committed version
-      private val snap = pinnedVersion
-        .map(MemStore.rowsAt(name, _)).getOrElse(MemStore.rows(name))
-      override def readSchema(): StructType = MemStore.schemaOf(name)
+      private val snapVersion =
+        pinnedVersion.getOrElse(MemStore.currentVersion(name))
+      private val dataSchema = MemStore.schemaAt(name, snapVersion)
+      override def readSchema(): StructType =
+        if (cdf) MemCdf.withCdfColumns(dataSchema) else dataSchema
       override def toBatch: Batch = this
-      override def description(): String = s"MemScan[$name,rows=${snap.size}]"
+      override def description(): String =
+        s"MemScan[$name,v=$snapVersion${if (cdf) ",cdf" else ""}]"
+      /** Batch CDF (`table_changes`): every retained commit's change
+        * rows from `startingVersion` (default: oldest retained). Built
+        * on the driver like every other mem read — the store IS driver
+        * memory; a file-backed table serves the same rows from change
+        * files. */
       override def planInputPartitions(): Array[InputPartition] =
-        Array(MemPartition(snap))
+        if (cdf) {
+          val from = startingVersion.getOrElse(MemStore.oldestVersion(name))
+          MemStore.versionAt(name, from) // validate: expired → range error
+          val rows = (from to snapVersion).iterator.flatMap { v =>
+            MemCdf.changeRows(name, dataSchema, v)
+          }.toVector
+          Array(MemPartition(rows))
+        } else Array(MemPartition(MemStore.rowsAt(name, snapVersion)))
       override def createReaderFactory(): PartitionReaderFactory =
-        new MemReaderFactory
+        new MemReaderFactory(readSchema())
 
       /** CHANGE-FEED streaming read (`readStream.table`): offsets are
-        * VERSION ids and each micro-batch delivers the rows APPENDED by
-        * exactly one commit — the version history doubling as a change
-        * log (Delta's change-data-feed shape, append slice). Admission
-        * control paces one version per batch; `ReadAllAvailable` (how
-        * Trigger.AvailableNow pins its target) returns the head. The
-        * feed REFUSES a non-append commit in range (prefix check) —
-        * serving a delete/update as an append stream would silently
-        * corrupt every downstream aggregate. */
+        * (version, position) pairs over the per-commit change logs —
+        * the version history doubling as a change log (Delta's
+        * change-data-feed shape). Admission control paces whole
+        * versions by default, `maxRowsPerBatch` splits within one;
+        * `ReadAllAvailable` (how Trigger.AvailableNow pins its target)
+        * returns the head. On the plain table the feed REFUSES a
+        * non-append commit in range (per-version flag, recorded at
+        * commit) — serving a delete/update as an append stream would
+        * silently corrupt every downstream aggregate; on the
+        * `__changes` relation those commits stream as typed
+        * `_change_type` rows instead. */
       override def toMicroBatchStream(checkpointLocation: String)
           : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-        new MemChangeFeed(name)
+        new MemChangeFeed(name, cdf, startingVersion, maxRowsPerBatch)
     }
+  }
 
   override def truncateTable(): Boolean = {
     requireWritable("TRUNCATE")
@@ -436,7 +571,9 @@ object MemFilterEval {
   private def get(row: InternalRow, a: String, schema: StructType): Any =
     field(schema, a) match {
       case Some((i, dt)) =>
-        if (row.isNullAt(i)) null
+        // i beyond the row's width = a column ADDED after this row was
+        // written (schema evolution): reads back-fill NULL
+        if (i >= row.numFields || row.isNullAt(i)) null
         else dt match {
           case LongType => row.getLong(i)
           case IntegerType => row.getInt(i)
@@ -470,65 +607,155 @@ object MemFilterEval {
 
 case class MemPartition(rows: Vector[InternalRow]) extends InputPartition
 
-/** Shared row reader over a [[MemPartition]]. */
-class MemReaderFactory extends PartitionReaderFactory {
+/** Shared row reader over a [[MemPartition]], padding rows written
+  * under an OLDER schema (fewer trailing columns) with NULLs up to the
+  * scan schema — the read-side half of metadata-only ALTER TABLE. */
+class MemReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
+      private val types = schema.fields.map(_.dataType)
       private val it = p.asInstanceOf[MemPartition].rows.iterator
       private var cur: InternalRow = _
+      private def pad(r: InternalRow): InternalRow =
+        if (r.numFields == types.length) r
+        else {
+          val g = new GenericInternalRow(types.length)
+          var i = 0
+          while (i < r.numFields) { g.update(i, r.get(i, types(i))); i += 1 }
+          g // trailing slots stay null: columns added after this row
+        }
       override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
-      override def get(): InternalRow = cur
+      override def get(): InternalRow = pad(cur)
       override def close(): Unit = ()
     }
 }
 
-/** Version-id offset for the change feed. */
-case class MemOffset(version: Long)
-    extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = version.toString
-}
+/** Builds the `_change_type`-typed rows a CDF read serves. */
+object MemCdf {
+  def withCdfColumns(dataSchema: StructType): StructType =
+    StructType(dataSchema.fields ++ Array(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false)))
 
-/** The mem table's change feed (see `toMicroBatchStream`): one committed
-  * VERSION per micro-batch, append slices only. */
-class MemChangeFeed(name: String)
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
-
-  override def prepareForTriggerAvailableNow(): Unit = ()
-  override def initialOffset(): Offset = MemOffset(0L)
-  override def deserializeOffset(json: String): Offset = MemOffset(json.toLong)
-  override def latestOffset(): Offset = MemOffset(MemStore.currentVersion(name))
-  // the default limit is what paces PER-BATCH advance (AvailableNow
-  // passes it each batch; ReadAllAvailable appears only when the
-  // wrapper pins its final target) — maxRows(1) here MEANS one VERSION
-  // per micro-batch, the change-log batching unit
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(1)
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val head = MemStore.currentVersion(name)
-    limit match {
-      case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable =>
-        MemOffset(head) // AvailableNow pins the true head as its target
-      case _ =>
-        MemOffset(math.min(head, start.asInstanceOf[MemOffset].version + 1))
+  /** Version `v`'s change log as full-width CDF rows: commit-time data
+    * columns padded to `dataSchema`, then the op tag and version id. */
+  def changeRows(name: String, dataSchema: StructType,
+      v: Long): Vector[InternalRow] = {
+    val types = dataSchema.fields.map(_.dataType)
+    MemStore.versionAt(name, v).changes.map { case (op, r) =>
+      val g = new GenericInternalRow(types.length + 2)
+      var i = 0
+      while (i < math.min(r.numFields, types.length)) {
+        g.update(i, r.get(i, types(i))); i += 1
+      }
+      g.update(types.length, UTF8String.fromString(op))
+      g.update(types.length + 1, v)
+      g: InternalRow
     }
   }
-  override def reportLatestOffset(): Offset = MemOffset(MemStore.currentVersion(name))
+}
+
+/** (version, position-within-version) offset for the change feed:
+  * versions `< version` are fully delivered, plus the first `pos`
+  * change rows of `version` itself. */
+case class MemOffset(version: Long, pos: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"$version:$pos"
+}
+object MemOffset {
+  def parse(json: String): MemOffset = {
+    val Array(v, p) = json.split(":", 2)
+    MemOffset(v.toLong, p.toLong)
+  }
+}
+
+/** The mem table's change feed (see `toMicroBatchStream`): per-commit
+  * change-log slices, one version per micro-batch by default,
+  * `maxRowsPerBatch` rows at most per batch within a version. In plain
+  * mode only append commits are servable (per-version flag recorded at
+  * commit time — not the r7 O(rows) prefix re-scan); in CDF mode every
+  * commit streams as typed `_change_type` rows. New readers start at
+  * the OLDEST RETAINED version (history expiry must not brick fresh
+  * consumers that only want what is still retained), or at an explicit
+  * `startingVersion`. */
+class MemChangeFeed(name: String, cdf: Boolean,
+    startingVersion: Option[Long], maxRowsPerBatch: Long)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadAllAvailable, ReadLimit, ReadMaxRows}
+
+  // the stream's data schema is fixed at start (current table schema);
+  // a mid-stream ALTER widens future reads only after restart — the
+  // same contract a file-backed CDF reader keeps per stream instance
+  private val dataSchema = MemStore.schemaOf(name)
+
+  private def sliceLen(v: Long): Long =
+    MemStore.versionAt(name, v).changes.size.toLong
+
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def initialOffset(): Offset = {
+    val from = startingVersion.getOrElse(MemStore.oldestVersion(name))
+    MemStore.versionAt(name, from) // validate: expired/unknown → range error
+    // (from, 0): version `from`'s own changes are the first batch served
+    MemOffset(from, 0L)
+  }
+  override def deserializeOffset(json: String): Offset = MemOffset.parse(json)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: use latestOffset(Offset, ReadLimit)")
+  // the default limit is what paces PER-BATCH advance (AvailableNow
+  // passes it each batch; ReadAllAvailable appears only when the
+  // wrapper pins its final target). The budget applies WITHIN a
+  // version; a version boundary is always a batch boundary — a batch
+  // never mixes two commits' rows.
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxRowsPerBatch)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[MemOffset]
+    val head = MemStore.currentVersion(name)
+    limit match {
+      case _: ReadAllAvailable => MemOffset(head, sliceLen(head))
+      case r: ReadMaxRows => advance(s, head, r.maxRows)
+      case _ => advance(s, head, maxRowsPerBatch)
+    }
+  }
+  private def advance(s: MemOffset, head: Long, budget: Long): MemOffset = {
+    val b = math.max(1L, budget)
+    val len = sliceLen(s.version)
+    if (s.pos < len) MemOffset(s.version, math.min(len, s.pos + b))
+    else if (s.version < head) {
+      val v2 = s.version + 1
+      MemOffset(v2, math.min(sliceLen(v2), b))
+    } else s
+  }
+  override def reportLatestOffset(): Offset = {
+    val head = MemStore.currentVersion(name)
+    MemOffset(head, sliceLen(head))
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val (s0, e0) = (start.asInstanceOf[MemOffset].version,
-      end.asInstanceOf[MemOffset].version)
-    if (e0 <= s0) return Array.empty
-    val base = MemStore.rowsAt(name, s0)
-    val head = MemStore.rowsAt(name, e0)
-    require(head.size >= base.size &&
-      base.iterator.zip(head.iterator).forall { case (a, b) => a == b },
-      s"graft_mem($name): versions $s0..$e0 include a non-append commit — " +
-        "the change feed serves append slices only (delete/update history " +
-        "cannot be replayed as an append stream)")
-    Array(MemPartition(head.drop(base.size)))
+    val (s, e) = (start.asInstanceOf[MemOffset], end.asInstanceOf[MemOffset])
+    val rows = (s.version to e.version).iterator.flatMap { v =>
+      val ver = MemStore.versionAt(name, v)
+      val from = if (v == s.version) s.pos.toInt else 0
+      val until = if (v == e.version) e.pos.toInt else ver.changes.size
+      if (until <= from) Iterator.empty
+      else if (cdf)
+        MemCdf.changeRows(name, dataSchema, v).slice(from, until).iterator
+      else {
+        require(ver.appendOnly,
+          s"graft_mem($name): version $v is a non-append commit — the " +
+            "plain change feed serves append slices only (delete/update " +
+            "history cannot be replayed as an append stream); read the " +
+            s"${name}__changes relation to stream typed _change_type rows")
+        ver.changes.slice(from, until).iterator.map(_._2)
+      }
+    }.toVector
+    if (rows.isEmpty) Array.empty
+    else Array(MemPartition(rows))
   }
-  override def createReaderFactory(): PartitionReaderFactory = new MemReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MemReaderFactory(
+      if (cdf) MemCdf.withCdfColumns(dataSchema) else dataSchema)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

@@ -317,7 +317,7 @@ class SynthScan(lo: Long, hi: Long, parts: Int, required: StructType,
     * MicroBatchStream surface (offsets, per-range split planning,
     * admission control), the read-side analogue of MemSink's two-phase
     * write. Offsets are row positions; each micro-batch reveals the next
-    * ~eighth of [lo, hi) (`SupportsAdmissionControl.latestOffset(start,
+    * ~quarter of [lo, hi) (`SupportsAdmissionControl.latestOffset(start,
     * limit)` — which is what Trigger.AvailableNow paces batches with),
     * and `planInputPartitions(start, end)` re-plans the generator splits
     * for exactly that range, so a batch never re-reads or skips rows:
@@ -370,7 +370,7 @@ case class SynthOffset(pos: Long)
   override def json(): String = pos.toString
 }
 
-/** Micro-batch stream over the generator: reveals [lo, hi) in ~8 chunks.
+/** Micro-batch stream over the generator: reveals [lo, hi) in ~4 chunks.
   * See [[SynthScan.toMicroBatchStream]] for the contract notes. */
 class SynthMicroBatchStream(lo: Long, hi: Long, parts: Int, required: StructType)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
@@ -873,7 +873,7 @@ object SynthSource {
   /** q255: DSv2 STREAMING READ of the custom connector — the read-side
     * streaming surface ([[SynthMicroBatchStream]]): `readStream.table`
     * over the catalog table plans a MicroBatchStream whose offsets are
-    * row positions, with admission control pacing ~8 micro-batches
+    * row positions, with admission control pacing ~4 micro-batches
     * under Trigger.AvailableNow and `planInputPartitions(start, end)`
     * re-planning generator splits per offset range — the exactly-once
     * offset contract a file/Kafka source keeps, fulfilled by a
@@ -1184,9 +1184,14 @@ object SynthSource {
     * history; the streamed complete-mode aggregate over all batches
     * must hash-match DuckDB aggregating the union directly — a batch
     * that replays, skips, or splits a commit breaks the totals. The
-    * feed REFUSES non-append history (prefix-checked): a delete served
-    * as an append stream would silently corrupt downstream aggregates
-    * (SourcesSpec pins the refusal and the ≥3-batch pacing). */
+    * feed REFUSES non-append history (per-version append-only flag
+    * recorded at commit): a delete served as an append stream would
+    * silently corrupt downstream aggregates (SourcesSpec pins the
+    * refusal and the ≥3-batch pacing; the `__changes` relation streams
+    * typed history instead — q280). Scale story: ScaleSmoke phase 18
+    * drains a 10M-row / 8-commit history (`cf_*` keys in
+    * SCALE_SMOKE.json — rows/sec, version-paced vs 400k-row-budget
+    * batch counts). */
   val q278ChangeFeed = graft.QueryDef(
     "q278_dsv2_change_feed",
     (s, d) => {
@@ -1215,9 +1220,195 @@ object SynthSource {
            |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin)
   )
 
+  /** q279: DSv2 SCHEMA EVOLUTION — `ALTER TABLE ADD COLUMN` as a
+    * METADATA-ONLY commit ([[GraftCatalog.alterTable]] →
+    * [[MemStore.alterSchema]]): the ALTER installs a new version
+    * carrying the widened schema and the SAME rows; pre-ALTER rows are
+    * never rewritten — the scan back-fills NULL for the added column at
+    * read ([[MemReaderFactory]] pads narrow rows), exactly Iceberg's
+    * evolution contract where at 100 TB an ALTER must not touch a
+    * single data file. Version-consistency is part of the check:
+    * `VERSION AS OF` the pre-ALTER version still serves the OLD schema
+    * (the `v_pre` phase below has no `prio` column to read), while the
+    * head read mixes pre-ALTER (NULL-padded) and post-ALTER rows under
+    * the new schema — both phases hash-checked against DuckDB modeling
+    * the union with explicit NULL back-fill. SourcesSpec additionally
+    * pins RENAME COLUMN and the refused shapes (drop/reorder/non-null). */
+  val q279SchemaEvolution = graft.QueryDef(
+    "q279_dsv2_schema_evolution",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      val src = graft.Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("cust"))
+      s.sql("DROP TABLE IF EXISTS graft.mem_evo")
+      src.filter(col("k") % 2 === 0).writeTo("graft.mem_evo").create() // v0+v1
+      val vPre = MemStore.currentVersion("mem_evo")
+      s.sql("ALTER TABLE graft.mem_evo ADD COLUMN prio BIGINT") // v2: metadata-only
+      src.filter(col("k") % 2 === 1)
+        .withColumn("prio", col("cust") % 7)
+        .writeTo("graft.mem_evo").append() // v3: rows carry the new column
+      val head = s.table("graft.mem_evo")
+        .groupBy((col("k") % 4).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("cust").as("sum_cust"),
+          sum(coalesce(col("prio"), lit(-1L))).as("sum_prio"))
+        .withColumn("phase", lit("head"))
+      val pre = s.sql(s"SELECT * FROM graft.mem_evo VERSION AS OF $vPre")
+        .groupBy((col("k") % 4).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("cust").as("sum_cust"),
+          (count(lit(1)) * -1L).as("sum_prio")) // old schema: no prio column
+        .withColumn("phase", lit("v_pre"))
+      head.unionByName(pre)
+        .select("phase", "bucket", "n", "sum_cust", "sum_prio")
+        .orderBy("phase", "bucket")
+    },
+    Some("""WITH src AS (
+           |  SELECT o_orderkey AS k, o_custkey AS cust FROM orders),
+           |evo AS (
+           |  SELECT k, cust, CAST(NULL AS BIGINT) AS prio
+           |  FROM src WHERE k % 2 = 0
+           |  UNION ALL
+           |  SELECT k, cust, cust % 7 AS prio FROM src WHERE k % 2 = 1),
+           |head AS (
+           |  SELECT 'head' AS phase, CAST(k % 4 AS BIGINT) AS bucket,
+           |    CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(cust) AS BIGINT) AS sum_cust,
+           |    CAST(SUM(COALESCE(prio, -1)) AS BIGINT) AS sum_prio
+           |  FROM evo GROUP BY 2),
+           |pre AS (
+           |  SELECT 'v_pre' AS phase, CAST(k % 4 AS BIGINT) AS bucket,
+           |    CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(cust) AS BIGINT) AS sum_cust,
+           |    CAST(-COUNT(*) AS BIGINT) AS sum_prio
+           |  FROM src WHERE k % 2 = 0 GROUP BY 2)
+           |SELECT * FROM head UNION ALL SELECT * FROM pre
+           |ORDER BY phase, bucket""".stripMargin)
+  )
+
+  /** q280: STREAMED CHANGE-DATA-FEED over row-level history — the q273
+    * batch I/U/D classification turned into the streaming feed. A memd
+    * (merge-on-read) table takes one MERGE whose [[MemStore.commitDelta]]
+    * records EXACT per-row change rows at commit time; the stream then
+    * reads the `memd_cfs__changes` RELATION (the CDF columns live on
+    * the table schema — analysis resolves columns before any scan
+    * exists), which lifts the plain feed's non-append refusal by
+    * serving typed `_change_type` rows
+    * (insert / delete / update_preimage / update_postimage — the Delta
+    * CDF vocabulary) instead of bare appends. The streamed change rows,
+    * aggregated per change type across all micro-batches, must
+    * hash-match DuckDB deriving the same change set functionally — a
+    * feed that replays, drops, or mistypes one change breaks a sum.
+    * (SourcesSpec pins that the PLAIN feed still refuses this history.) */
+  val q280CdfStream = graft.QueryDef(
+    "q280_dsv2_cdf_stream",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      val tgt = graft.Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").cast("long").as("k"))
+        .agg(sum(col("l_quantity").cast("long")).as("sq"))
+      s.sql("DROP TABLE IF EXISTS graft.memd_cfs")
+      tgt.writeTo("graft.memd_cfs").create() // v0+v1: inserts
+      graft.Tables.orders(s, d)
+        .filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").cast("long").as("k"),
+          floor(col("o_totalprice") * 100.0 + 0.5).cast(LongType).as("pc"))
+        .createOrReplaceTempView("cfs_src")
+      s.sql("""MERGE INTO graft.memd_cfs t USING cfs_src s ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET t.sq = t.sq + 777
+              |WHEN NOT MATCHED THEN INSERT (k, sq) VALUES (s.k, s.pc)
+              |WHEN NOT MATCHED BY SOURCE AND t.k % 10 = 3 THEN DELETE
+              |""".stripMargin) // v2: delta commit with pre/post images
+      val q = s.readStream.table("graft.memd_cfs__changes")
+        .groupBy(col("_change_type").as("op"))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          sum("sq").as("sum_sq"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("q280_sink")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q280_sink").orderBy("op")
+    },
+    Some("""WITH li AS (
+           |  SELECT l_orderkey AS k,
+           |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+           |  FROM lineitem GROUP BY 1),
+           |src AS (
+           |  SELECT o_orderkey AS k,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc
+           |  FROM orders WHERE o_orderkey % 5 = 0),
+           |ch AS (
+           |  SELECT 'insert' AS op, k, sq FROM li
+           |  UNION ALL
+           |  SELECT 'update_preimage', li.k, li.sq
+           |  FROM li JOIN src ON li.k = src.k
+           |  UNION ALL
+           |  SELECT 'update_postimage', li.k, li.sq + 777
+           |  FROM li JOIN src ON li.k = src.k
+           |  UNION ALL
+           |  SELECT 'delete', li.k, li.sq
+           |  FROM li LEFT JOIN src ON li.k = src.k
+           |  WHERE src.k IS NULL AND li.k % 10 = 3
+           |  UNION ALL
+           |  SELECT 'insert', k, pc FROM src
+           |  WHERE k NOT IN (SELECT k FROM li))
+           |SELECT op, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(k) AS BIGINT) AS sum_k,
+           |  CAST(SUM(sq) AS BIGINT) AS sum_sq
+           |FROM ch GROUP BY op ORDER BY op""".stripMargin)
+  )
+
+  /** q281: BATCH change-data-feed (`table_changes`): the same per-commit
+    * change logs served as a bounded read with `startingVersion`
+    * slicing history — v1's bulk load is EXCLUDED by starting at v2, so
+    * the result is exactly "what changed since version 2": the
+    * metadata-DELETE's removed rows (v2, via [[MemTable.deleteWhere]])
+    * and the re-insert append (v3), keyed by `_commit_version`. This is
+    * the incremental-consumer contract at 100 TB: a downstream job
+    * reads ONLY the commits since its last sync point, never rescanning
+    * the table. */
+  val q281CdfBatch = graft.QueryDef(
+    "q281_dsv2_cdf_batch",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      val src = graft.Tables.part(s, d).select(
+        col("p_partkey").cast("long").as("k"),
+        col("p_size").cast("long").as("sz"))
+      s.sql("DROP TABLE IF EXISTS graft.mem_cfb")
+      src.writeTo("graft.mem_cfb").create() // v0+v1
+      // a RANGE predicate: translatable to a V1 source filter, so the
+      // DELETE takes the SupportsDelete metadata path (one delete-only
+      // change set) instead of falling back to a copy-on-write rewrite
+      s.sql("DELETE FROM graft.mem_cfb WHERE sz <= 25") // v2: metadata delete
+      src.filter(col("sz") <= 25)
+        .withColumn("sz", col("sz") + 100L)
+        .writeTo("graft.mem_cfb").append() // v3: corrected re-insert
+      s.read.option("startingVersion", "2")
+        .table("graft.mem_cfb__changes")
+        .groupBy(col("_change_type").as("op"),
+          col("_commit_version").as("ver"))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          sum("sz").as("sum_sz"))
+        .orderBy("op", "ver")
+    },
+    Some("""WITH p AS (
+           |  SELECT p_partkey AS k, CAST(p_size AS BIGINT) AS sz FROM part),
+           |ch AS (
+           |  SELECT 'delete' AS op, CAST(2 AS BIGINT) AS ver, k, sz
+           |  FROM p WHERE sz <= 25
+           |  UNION ALL
+           |  SELECT 'insert', CAST(3 AS BIGINT), k, sz + 100
+           |  FROM p WHERE sz <= 25)
+           |SELECT op, ver, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(k) AS BIGINT) AS sum_k,
+           |  CAST(SUM(sz) AS BIGINT) AS sum_sz
+           |FROM ch GROUP BY 1, 2 ORDER BY op, ver""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q208Dsv2Scan, q209Dsv2AggPushdown,
     q210Dsv2TopN, q215SpjJoin, q216RuntimePrune, q228WriteRoundtrip,
     q245Dsv2Delete, q248TimeTravel, q254ReplaceWhere, q255StreamingRead,
     q264MetadataColumn, q266Dsv2Update, q267Dsv2Merge, q272DeltaMerge,
-    q273VersionCdc, q278ChangeFeed)
+    q273VersionCdc, q278ChangeFeed, q279SchemaEvolution, q280CdfStream,
+    q281CdfBatch)
 }

@@ -798,6 +798,197 @@ class SourcesSpec extends SparkSpec {
     assert(!plain.contains("_shard"), s"unrequested metadata column must not be generated:\n$plain")
   }
 
+  test("graft catalog: SHOW TABLES lists live mem tables; __changes names reserved") {
+    import graft.sources.GraftCatalog
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.mem_listspec")
+    spark.range(0, 3).selectExpr("id AS k").writeTo("graft.mem_listspec").create()
+    val names = spark.sql("SHOW TABLES IN graft").collect().map(_.getString(1))
+    assert(names.contains("mem_listspec"),
+      s"SHOW TABLES must list the live mem tables, got ${names.toSeq}")
+    // a dropped table disappears from the listing
+    spark.sql("DROP TABLE graft.mem_listspec")
+    val after = spark.sql("SHOW TABLES IN graft").collect().map(_.getString(1))
+    assert(!after.contains("mem_listspec"), "dropped tables must not be listed")
+    // the CDF suffix is reserved — not creatable as a base table
+    intercept[Exception] {
+      spark.range(0, 1).selectExpr("id AS k")
+        .writeTo("graft.mem_x__changes").create()
+    }
+  }
+
+  test("DSv2 schema evolution: ADD/RENAME are metadata-only; old versions keep the old schema; rewrites refused") {
+    import graft.sources.{GraftCatalog, MemStore}
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.mem_evospec")
+    spark.range(0, 5).selectExpr("id AS k", "id * 2 AS v")
+      .writeTo("graft.mem_evospec").create()
+    val vPre = MemStore.currentVersion("mem_evospec")
+    val rowsPre = MemStore.rows("mem_evospec")
+    spark.sql("ALTER TABLE graft.mem_evospec ADD COLUMN extra BIGINT")
+    spark.sql("ALTER TABLE graft.mem_evospec RENAME COLUMN v TO val")
+    // metadata-only: two version installs, the ROWS are the same objects
+    assert(MemStore.currentVersion("mem_evospec") == vPre + 2,
+      "each ALTER must install exactly one version")
+    assert(MemStore.rows("mem_evospec") eq rowsPre,
+      "ALTER must not rewrite a single row (metadata-only evolution)")
+    // head read: new schema, pre-ALTER rows back-fill NULL for the new column
+    assert(spark.table("graft.mem_evospec").columns.toSeq == Seq("k", "val", "extra"))
+    assert(spark.table("graft.mem_evospec").where(col("extra").isNull).count() == 5)
+    // appends after the ALTER carry the new column; both widths coexist
+    spark.range(5, 8).selectExpr("id AS k", "id * 2 AS val", "id AS extra")
+      .writeTo("graft.mem_evospec").append()
+    val agg = spark.table("graft.mem_evospec")
+      .agg(count(lit(1)), sum("extra"), sum("val")).head()
+    assert(agg.getLong(0) == 8 && agg.getLong(1) == 18 && agg.getLong(2) == 2 * 28,
+      s"mixed-width reads must NULL-pad old rows, got $agg")
+    // version-consistent reads: VERSION AS OF pre-ALTER serves the OLD schema
+    val old = spark.sql(s"SELECT * FROM graft.mem_evospec VERSION AS OF $vPre")
+    assert(old.columns.toSeq == Seq("k", "v"),
+      s"a pre-ALTER snapshot must keep the old schema, got ${old.columns.toSeq}")
+    assert(old.count() == 5)
+    // filters evaluate correctly over NULL-backfilled columns
+    assert(spark.sql("DELETE FROM graft.mem_evospec WHERE extra >= 7") != null)
+    assert(spark.table("graft.mem_evospec").count() == 7,
+      "a filter on an evolved column must treat pre-ALTER rows as NULL")
+    // shapes that would need a data rewrite are refused loudly
+    intercept[Exception] { spark.sql("ALTER TABLE graft.mem_evospec DROP COLUMN extra") }
+    intercept[Exception] { spark.sql("ALTER TABLE graft.mem_evospec ADD COLUMN f BIGINT FIRST") }
+    intercept[Exception] { spark.sql("ALTER TABLE graft.mem_evospec ALTER COLUMN k TYPE INT") }
+    assert(spark.table("graft.mem_evospec").columns.toSeq == Seq("k", "val", "extra"),
+      "refused ALTERs must leave the schema untouched")
+    spark.sql("DROP TABLE graft.mem_evospec")
+  }
+
+  test("DSv2 change feed: maxRowsPerBatch splits a fat commit across micro-batches, totals unchanged") {
+    import graft.sources.GraftCatalog
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.mem_fatspec")
+    spark.range(0, 10).selectExpr("id AS k").writeTo("graft.mem_fatspec").create()
+    spark.range(10, 110).selectExpr("id AS k").writeTo("graft.mem_fatspec").append() // fat: 100 rows
+    val q = spark.readStream.option("maxRowsPerBatch", "30")
+      .table("graft.mem_fatspec")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fatspec_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("fatspec_sink").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (0L until 110L),
+      s"row-budget pacing must not drop or replay rows: ${got.length} rows")
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    // v1 fits one batch (10 ≤ 30); v2 must split into ceil(100/30) = 4
+    assert(batches.length >= 5,
+      s"a 100-row commit under a 30-row budget must span ≥4 batches, got ${batches.length}")
+    assert(batches.map(_.numInputRows).max <= 30,
+      s"no batch may exceed the row budget: ${batches.map(_.numInputRows).toSeq}")
+    spark.sql("DROP TABLE graft.mem_fatspec")
+  }
+
+  test("DSv2 __changes relation: typed row-level history, startingVersion slices, plain feed still refuses") {
+    import graft.sources.GraftCatalog
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.memd_cdfspec")
+    spark.range(0, 10).selectExpr("id AS k", "id AS v")
+      .writeTo("graft.memd_cdfspec").create() // v1: 10 inserts
+    spark.sql("UPDATE graft.memd_cdfspec SET v = v + 100 WHERE k % 2 = 0") // v2: delta update
+    spark.sql("DELETE FROM graft.memd_cdfspec WHERE k = 3") // v3: metadata delete
+    // batch read: exact per-verb counts and update pre/post images
+    val ch = spark.table("graft.memd_cdfspec__changes")
+    assert(ch.columns.toSeq == Seq("k", "v", "_change_type", "_commit_version"))
+    val byOp = ch.groupBy("_change_type")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byOp("insert") == ((10L, 45L)), s"v1 bulk inserts: $byOp")
+    assert(byOp("update_preimage") == ((5L, 20L)), s"preimages carry OLD values: $byOp")
+    assert(byOp("update_postimage") == ((5L, 520L)), s"postimages carry NEW values: $byOp")
+    assert(byOp("delete") == ((1L, 3L)), s"metadata delete logs removed rows: $byOp")
+    // startingVersion excludes the bulk load — the incremental-sync read
+    assert(spark.read.option("startingVersion", "2")
+      .table("graft.memd_cdfspec__changes").count() == 11)
+    // an unknown/expired sync point fails with the retained range, never
+    // a silent remap to some other version
+    val bad = intercept[Exception] {
+      spark.read.option("startingVersion", "99")
+        .table("graft.memd_cdfspec__changes").count()
+    }
+    assert(bad.getMessage.contains("retained versions") ||
+      Option(bad.getCause).exists(_.getMessage.contains("retained versions")),
+      s"expected the retained-range error, got $bad")
+    // the SAME history streams through the __changes relation…
+    val q = spark.readStream.table("graft.memd_cdfspec__changes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdfspec_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("cdfspec_sink").count() == 21,
+      "streamed CDF must deliver every change row exactly once")
+    // …while the PLAIN feed keeps refusing non-append history
+    val q2 = spark.readStream.table("graft.memd_cdfspec")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdfspec_sink2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(c =>
+      Option(c.getMessage).exists(_.contains("non-append commit"))),
+      s"plain feed must still refuse row-level history, got $err")
+    // the changes relation is read-only
+    intercept[Exception] {
+      spark.sql("DELETE FROM graft.memd_cdfspec__changes WHERE k = 1")
+    }
+    spark.sql("DROP TABLE graft.memd_cdfspec")
+  }
+
+  test("DSv2 change feed: rolled history starts new readers at the oldest retained version") {
+    import graft.sources.{GraftCatalog, MemStore}
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.mem_rollspec")
+    spark.range(0, 2).selectExpr("id AS k").writeTo("graft.mem_rollspec").create()
+    (0 until MemStore.MaxVersions).foreach { i =>
+      spark.range(10L + i, 11L + i).selectExpr("id AS k")
+        .writeTo("graft.mem_rollspec").append()
+    }
+    // v0/v1 expired; a NEW reader must start at the oldest retained
+    // version instead of failing on the expired initial offset (r7
+    // behavior), serving exactly the still-retained slices
+    val q = spark.readStream.table("graft.mem_rollspec")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rollspec_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("rollspec_sink").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (10L until 26L),
+      s"rolled-history reader must serve the retained slices, got ${got.toSeq}")
+    spark.sql("DROP TABLE graft.mem_rollspec")
+  }
+
+  test("MemStore.commitDelta: a delete+update of the same row id is a rewrite bug, refused whole") {
+    import graft.sources.MemStore
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val name = "memd_guardspec"
+    MemStore.drop(name)
+    MemStore.create(name, StructType(Seq(StructField("k", LongType))))
+    MemStore.commitAppend(name, Seq(InternalRow(1L), InternalRow(2L)))
+    val v = MemStore.currentVersion(name)
+    val e = intercept[IllegalArgumentException] {
+      MemStore.commitDelta(name, _.getLong(0),
+        deletes = Seq(1L), updates = Seq((1L, InternalRow(9L))), inserts = Nil)
+    }
+    assert(e.getMessage.contains("deletes AND updates"),
+      s"expected the overlap refusal, got ${e.getMessage}")
+    assert(MemStore.currentVersion(name) == v && MemStore.rows(name).size == 2,
+      "a refused delta must not burn a version or change rows")
+    MemStore.drop(name)
+  }
+
   test("custom DSv2 connector: Int/Short-typed range literals are absorbed, not residual") {
     import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan, EqualTo}
     // untyped SQL paths can hand the builder an Int-typed literal; the
