@@ -427,8 +427,8 @@ class MemTable(name: String, pinnedVersion: Option[Long] = None,
           val rows = (from to snapVersion).iterator.flatMap { v =>
             MemCdf.changeRows(name, dataSchema, v)
           }.toVector
-          Array(MemPartition(rows))
-        } else Array(MemPartition(MemStore.rowsAt(name, snapVersion)))
+          MemPartition.split(rows)
+        } else MemPartition.split(MemStore.rowsAt(name, snapVersion))
       override def createReaderFactory(): PartitionReaderFactory =
         new MemReaderFactory(readSchema())
 
@@ -607,6 +607,25 @@ object MemFilterEval {
 
 case class MemPartition(rows: Vector[InternalRow]) extends InputPartition
 
+object MemPartition {
+  /** Split a snapshot into task-parallel slices — the in-memory store's
+    * "data files". A single-partition scan runs the whole read (and
+    * everything codegen fuses onto it) as ONE task: a 600k-row batch
+    * measured 1.2 s/micro-batch in the q278 drain before splitting.
+    * One slice per ~32k rows, at most 16 (slicing a driver-held Vector
+    * is pointer work; past the session's core count more slices only
+    * add scheduling overhead). */
+  def split(rows: Vector[InternalRow]): Array[InputPartition] = {
+    val target = 32768
+    if (rows.size <= target) Array(MemPartition(rows))
+    else {
+      val n = math.min(16, (rows.size + target - 1) / target)
+      val per = (rows.size + n - 1) / n
+      rows.grouped(per).map(MemPartition(_)).toArray[InputPartition]
+    }
+  }
+}
+
 /** Shared row reader over a [[MemPartition]], padding rows written
   * under an OLDER schema (fewer trailing columns) with NULLs up to the
   * scan schema — the read-side half of metadata-only ALTER TABLE. */
@@ -751,7 +770,7 @@ class MemChangeFeed(name: String, cdf: Boolean,
       }
     }.toVector
     if (rows.isEmpty) Array.empty
-    else Array(MemPartition(rows))
+    else MemPartition.split(rows)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new MemReaderFactory(
