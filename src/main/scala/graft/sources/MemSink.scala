@@ -404,7 +404,7 @@ class MemTable(name: String, pinnedVersion: Option[Long] = None,
     val startingVersion = Option(options.get("startingVersion")).map(_.toLong)
     val maxRowsPerBatch =
       Option(options.get("maxRowsPerBatch")).map(_.toLong).getOrElse(Long.MaxValue)
-    () => new Scan with Batch {
+    () => new Scan with Batch with SupportsReportStatistics {
       // one consistent version per scan: the pinned snapshot for a
       // VERSION AS OF relation, else the latest committed version
       private val snapVersion =
@@ -415,6 +415,27 @@ class MemTable(name: String, pinnedVersion: Option[Long] = None,
       override def toBatch: Batch = this
       override def description(): String =
         s"MemScan[$name,v=$snapVersion${if (cdf) ",cdf" else ""}]"
+      /** Reported statistics (the SynthScan CBO contract on the WRITE-
+        * side connector too): exact row count from the snapshot, size
+        * from the schema's estimated row width — so a mem dim table
+        * under the broadcast threshold auto-broadcasts in a join with
+        * NO hint (q283, plan-asserted). A production sink gets the
+        * same numbers from its manifest, which is the point: join
+        * planning earned from connector metadata, not a scan. */
+      override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+        new org.apache.spark.sql.connector.read.Statistics {
+          private val n =
+            if (cdf) {
+              val from = startingVersion.getOrElse(MemStore.oldestVersion(name))
+              (from to snapVersion).iterator
+                .map(v => MemStore.versionAt(name, v).changes.size.toLong).sum
+            } else MemStore.rowsAt(name, snapVersion).size.toLong
+          override def sizeInBytes(): java.util.OptionalLong =
+            java.util.OptionalLong.of(
+              math.max(1L, n * (readSchema().defaultSize + 8L)))
+          override def numRows(): java.util.OptionalLong =
+            java.util.OptionalLong.of(n)
+        }
       /** Batch CDF (`table_changes`): every retained commit's change
         * rows from `startingVersion` (default: oldest retained). Built
         * on the driver like every other mem read — the store IS driver
@@ -427,8 +448,8 @@ class MemTable(name: String, pinnedVersion: Option[Long] = None,
           val rows = (from to snapVersion).iterator.flatMap { v =>
             MemCdf.changeRows(name, dataSchema, v)
           }.toVector
-          MemPartition.split(rows)
-        } else MemPartition.split(MemStore.rowsAt(name, snapVersion))
+          MemPartition.split(rows, readSchema())
+        } else MemPartition.split(MemStore.rowsAt(name, snapVersion), dataSchema)
       override def createReaderFactory(): PartitionReaderFactory =
         new MemReaderFactory(readSchema())
 
@@ -605,46 +626,91 @@ object MemFilterEval {
   }
 }
 
-case class MemPartition(rows: Vector[InternalRow]) extends InputPartition
+/** A task-parallel slice of a snapshot, shipped as ONE byte blob plus
+  * per-row (offset, length, width) — the in-memory store's "data
+  * file". The previous shape (a `Vector[InternalRow]`) Java-serialized
+  * every row OBJECT into the task binary: at the 10M-row smoke scale
+  * that was ~11 s/micro-batch of driver-side serialization and "large
+  * task binary" warnings; a blob ships as one array copy. `widths`
+  * varies per row only across schema evolution (rows keep their
+  * commit-time width; readers pad). */
+case class MemPartition(blob: Array[Byte], offsets: Array[Int],
+    lengths: Array[Int], widths: Array[Int]) extends InputPartition
 
 object MemPartition {
-  /** Split a snapshot into task-parallel slices — the in-memory store's
-    * "data files". A single-partition scan runs the whole read (and
-    * everything codegen fuses onto it) as ONE task: a 600k-row batch
-    * measured 1.2 s/micro-batch in the q278 drain before splitting.
-    * One slice per ~32k rows, at most 16 (slicing a driver-held Vector
-    * is pointer work; past the session's core count more slices only
-    * add scheduling overhead). */
-  def split(rows: Vector[InternalRow]): Array[InputPartition] = {
+  import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
+
+  /** Split into slices of ~32k rows, at most 16 (past the session's
+    * core count more slices only add scheduling overhead; a single
+    * slice ran a 600k-row scan as ONE task — measured 1.2 s/batch).
+    * Rows are UnsafeRow after any commit (writers serialize through
+    * UnsafeRow bytes); store-API rows of other representations are
+    * projected using the matching PREFIX of `schema` (evolution only
+    * appends columns, so a width-w row's types are schema's first w). */
+  def split(rows: Seq[InternalRow], schema: StructType): Array[InputPartition] = {
+    if (rows.isEmpty) return Array.empty
     val target = 32768
-    if (rows.size <= target) Array(MemPartition(rows))
-    else {
-      val n = math.min(16, (rows.size + target - 1) / target)
-      val per = (rows.size + n - 1) / n
-      rows.grouped(per).map(MemPartition(_)).toArray[InputPartition]
+    val n = math.max(1, math.min(16, (rows.size + target - 1) / target))
+    val per = math.max(1, (rows.size + n - 1) / n)
+    val projCache = scala.collection.mutable.Map[Int, UnsafeProjection]()
+    def unsafeOf(r: InternalRow): UnsafeRow = r match {
+      case u: UnsafeRow => u
+      case other => projCache.getOrElseUpdate(other.numFields,
+        UnsafeProjection.create(
+          StructType(schema.fields.take(other.numFields))))(other)
     }
+    rows.grouped(per).map { chunk =>
+      val offsets = new Array[Int](chunk.size)
+      val lengths = new Array[Int](chunk.size)
+      val widths = new Array[Int](chunk.size)
+      val bos = new java.io.ByteArrayOutputStream(chunk.size * 32)
+      // single pass, bytes copied out IMMEDIATELY: UnsafeProjection
+      // reuses its output buffer, so holding projected rows across
+      // iterations would alias every one to the last
+      var i = 0
+      chunk.foreach { r =>
+        val u = unsafeOf(r)
+        offsets(i) = bos.size()
+        lengths(i) = u.getSizeInBytes
+        widths(i) = u.numFields
+        bos.write(u.getBytes)
+        i += 1
+      }
+      MemPartition(bos.toByteArray, offsets, lengths, widths): InputPartition
+    }.toArray
   }
 }
 
-/** Shared row reader over a [[MemPartition]], padding rows written
-  * under an OLDER schema (fewer trailing columns) with NULLs up to the
-  * scan schema — the read-side half of metadata-only ALTER TABLE. */
+/** Shared row reader over a [[MemPartition]]: zero-copy `UnsafeRow`
+  * views into the blob (buffer reused across rows — the standard
+  * PartitionReader contract), padding rows written under an OLDER
+  * schema (fewer trailing columns) with NULLs up to the scan schema —
+  * the read-side half of metadata-only ALTER TABLE. */
 class MemReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.expressions.UnsafeRow
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
+      private val mp = p.asInstanceOf[MemPartition]
       private val types = schema.fields.map(_.dataType)
-      private val it = p.asInstanceOf[MemPartition].rows.iterator
-      private var cur: InternalRow = _
+      private var i = -1
+      private var ur: UnsafeRow = _
       private def pad(r: InternalRow): InternalRow =
         if (r.numFields == types.length) r
         else {
           val g = new GenericInternalRow(types.length)
-          var i = 0
-          while (i < r.numFields) { g.update(i, r.get(i, types(i))); i += 1 }
+          var j = 0
+          while (j < r.numFields) { g.update(j, r.get(j, types(j))); j += 1 }
           g // trailing slots stay null: columns added after this row
         }
-      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
-      override def get(): InternalRow = pad(cur)
+      override def next(): Boolean = { i += 1; i < mp.offsets.length }
+      override def get(): InternalRow = {
+        val w = mp.widths(i)
+        if (ur == null || ur.numFields != w) ur = new UnsafeRow(w)
+        ur.pointTo(mp.blob,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + mp.offsets(i),
+          mp.lengths(i))
+        pad(ur)
+      }
       override def close(): Unit = ()
     }
 }
@@ -769,8 +835,8 @@ class MemChangeFeed(name: String, cdf: Boolean,
         ver.changes.slice(from, until).iterator.map(_._2)
       }
     }.toVector
-    if (rows.isEmpty) Array.empty
-    else MemPartition.split(rows)
+    MemPartition.split(rows,
+      if (cdf) MemCdf.withCdfColumns(dataSchema) else dataSchema)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new MemReaderFactory(

@@ -1470,10 +1470,94 @@ object SynthSource {
            |FROM ch GROUP BY 1, 2 ORDER BY op, ver""".stripMargin)
   )
 
+  /** q282: CDF × SCHEMA EVOLUTION composed — the change feed read
+    * ACROSS a mid-history ALTER. v1's insert change rows were written
+    * under the 2-column schema; the ALTER (v2) is an empty change set;
+    * v3's inserts carry the widened schema — so one `__changes` read
+    * serves MIXED-WIDTH change rows, NULL-padded to the head schema
+    * plus the CDF columns. The composition is exactly what a real CDC
+    * consumer hits the week after an ALTER ships, and the two features
+    * compose by construction here (both are just versions), checked by
+    * grouping per (_change_type, _commit_version) with a NULL-sensitive
+    * aggregate over the evolved column. */
+  val q282CdfEvolution = graft.QueryDef(
+    "q282_dsv2_cdf_evolution",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      val src = graft.Tables.part(s, d).select(
+        col("p_partkey").cast("long").as("k"),
+        col("p_size").cast("long").as("sz"))
+      s.sql("DROP TABLE IF EXISTS graft.mem_evo2")
+      src.filter(col("k") % 2 === 0).writeTo("graft.mem_evo2").create() // v0+v1
+      s.sql("ALTER TABLE graft.mem_evo2 ADD COLUMN extra BIGINT") // v2: empty changes
+      src.filter(col("k") % 2 === 1)
+        .withColumn("extra", col("sz") * 2L)
+        .writeTo("graft.mem_evo2").append() // v3: widened rows
+      s.table("graft.mem_evo2__changes")
+        .groupBy(col("_change_type").as("op"),
+          col("_commit_version").as("ver"))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          sum("sz").as("sum_sz"),
+          sum(coalesce(col("extra"), lit(-1L))).as("sum_extra"))
+        .orderBy("op", "ver")
+    },
+    Some("""WITH p AS (
+           |  SELECT p_partkey AS k, CAST(p_size AS BIGINT) AS sz FROM part),
+           |ch AS (
+           |  SELECT 'insert' AS op, CAST(1 AS BIGINT) AS ver, k, sz,
+           |    CAST(NULL AS BIGINT) AS extra
+           |  FROM p WHERE k % 2 = 0
+           |  UNION ALL
+           |  SELECT 'insert', CAST(3 AS BIGINT), k, sz, sz * 2
+           |  FROM p WHERE k % 2 = 1)
+           |SELECT op, ver, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(k) AS BIGINT) AS sum_k,
+           |  CAST(SUM(sz) AS BIGINT) AS sum_sz,
+           |  CAST(SUM(COALESCE(extra, -1)) AS BIGINT) AS sum_extra
+           |FROM ch GROUP BY 1, 2 ORDER BY op, ver""".stripMargin)
+  )
+
+  /** q283: REPORTED STATISTICS on the writable mem table — the CBO
+    * contract the synth READ connector already fulfils, now on the
+    * write side: the scan reports exact numRows (snapshot size) and a
+    * schema-width size estimate, so a mem DIM table created moments
+    * ago AUTO-BROADCASTS in a join against the lineitem fact with NO
+    * `broadcast()` hint anywhere — the join planning treatment a
+    * production table earns from its manifest. SourcesSpec asserts the
+    * hint-free BroadcastHashJoin; the oracle hashes the join itself
+    * (DuckDB joining part directly). At 100 TB this is the difference
+    * between a 20k-row dim shipping once to every executor and the
+    * fact table shuffling 600M rows. */
+  val q283MemStatsJoin = graft.QueryDef(
+    "q283_dsv2_mem_stats_join",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      ensureHistory(s, d, "mem_dim", wantVersion = 1) {
+        graft.Tables.part(s, d).select(
+          col("p_partkey").cast("long").as("k"),
+          col("p_brand").as("brand"))
+          .writeTo("graft.mem_dim").create()
+      }
+      graft.Tables.lineitem(s, d)
+        .select(col("l_partkey").cast("long").as("pk"),
+          col("l_quantity").cast("long").as("qty"))
+        .join(s.table("graft.mem_dim"), col("pk") === col("k")) // no hint
+        .groupBy("brand")
+        .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"),
+          sum("pk").as("sum_pk"))
+        .orderBy("brand")
+    },
+    Some("""SELECT p.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           |  CAST(SUM(l.l_partkey) AS BIGINT) AS sum_pk
+           |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           |GROUP BY 1 ORDER BY brand""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q208Dsv2Scan, q209Dsv2AggPushdown,
     q210Dsv2TopN, q215SpjJoin, q216RuntimePrune, q228WriteRoundtrip,
     q245Dsv2Delete, q248TimeTravel, q254ReplaceWhere, q255StreamingRead,
     q264MetadataColumn, q266Dsv2Update, q267Dsv2Merge, q272DeltaMerge,
     q273VersionCdc, q278ChangeFeed, q279SchemaEvolution, q280CdfStream,
-    q281CdfBatch)
+    q281CdfBatch, q282CdfEvolution, q283MemStatsJoin)
 }

@@ -969,6 +969,38 @@ class SourcesSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mem_rollspec")
   }
 
+  test("DSv2 mem table reported statistics: a small dim auto-broadcasts with no hint") {
+    import graft.sources.GraftCatalog
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.mem_statspec")
+    spark.range(0, 1000)
+      .selectExpr("id AS k", "CAST(id % 7 AS STRING) AS tag")
+      .writeTo("graft.mem_statspec").create()
+    // fact side sized ABOVE the broadcast threshold (5M × 16B ≈ 80 MB),
+    // dim side a 1000-row mem table whose ONLY size information is the
+    // scan's reported statistics — no hint anywhere
+    val fact = spark.range(0, 5000000L).selectExpr("id % 1000 AS fk", "id AS v")
+    val q = fact.join(spark.table("graft.mem_statspec"), col("fk") === col("k"))
+      .groupBy("tag").agg(sum("v").as("s"), count(lit(1)).as("n"))
+    val rows = q.collect() // collect BEFORE reading the AQE-final plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("MemScan"),
+      s"reported stats must earn a hint-free broadcast of the mem dim:\n$plan")
+    // the broadcast must come from REPORTED stats at plan time, not from
+    // AQE's runtime shuffle-size rescue: the logical relation's stats are
+    // the scan's numbers (without SupportsReportStatistics they default
+    // to the session-wide huge fallback and this assertion fails)
+    val dimStats = spark.table("graft.mem_statspec")
+      .queryExecution.optimizedPlan.stats
+    assert(dimStats.sizeInBytes > 0 &&
+      dimStats.sizeInBytes < 10L * 1024 * 1024,
+      s"dim stats must be scan-reported, got ${dimStats.sizeInBytes}")
+    assert(rows.map(_.getLong(2)).sum == 5000000L &&
+      rows.map(_.getLong(1)).sum == 5000000L * 4999999L / 2,
+      "every fact row joins exactly once")
+    spark.sql("DROP TABLE graft.mem_statspec")
+  }
+
   test("MemStore.commitDelta: a delete+update of the same row id is a rewrite bug, refused whole") {
     import graft.sources.MemStore
     import org.apache.spark.sql.catalyst.InternalRow
