@@ -1237,6 +1237,88 @@ object Relational {
            |GROUP BY ka ORDER BY ka""".stripMargin)
   )
 
+  /** q284: RECURSIVE CTE (Spark 4's `WITH RECURSIVE`) — iterative
+    * fixpoint queries declared in SQL instead of the driver-side loop
+    * every other engine-resident iteration here uses (PageRank, BFS).
+    * Each part key walks its binary-tree ancestor chain `node → node/2`
+    * to the root: ~log2(k) recursion steps, rows ≈ |part|·14 — the
+    * hierarchy/BOM-explosion shape. Spark executes the recursion as an
+    * iterated union with a depth limit (`cteRecursionLevelLimit`);
+    * DuckDB runs its native recursive CTE on the same text modulo the
+    * integer-division spelling (`DIV` vs `//`). The per-depth histogram
+    * (count + Σk at each chain length) is exact — one wrong step count
+    * anywhere shifts a bucket. */
+  val q284RecursiveCte = QueryDef(
+    "q284_recursive_cte",
+    (s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part")
+      s.sql("""WITH RECURSIVE anc AS (
+              |  SELECT p_partkey AS k, CAST(p_partkey AS BIGINT) AS node,
+              |         0 AS depth
+              |  FROM part
+              |  UNION ALL
+              |  SELECT k, node DIV 2, depth + 1 FROM anc WHERE node > 1
+              |)
+              |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n,
+              |  CAST(SUM(k) AS BIGINT) AS sum_k
+              |FROM anc WHERE node = 1
+              |GROUP BY depth ORDER BY depth""".stripMargin)
+    },
+    Some("""WITH RECURSIVE anc AS (
+           |  SELECT p_partkey AS k, CAST(p_partkey AS BIGINT) AS node,
+           |         0 AS depth
+           |  FROM part
+           |  UNION ALL
+           |  SELECT k, node // 2, depth + 1 FROM anc WHERE node > 1
+           |)
+           |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(k) AS BIGINT) AS sum_k
+           |FROM anc WHERE node = 1
+           |GROUP BY depth ORDER BY depth""".stripMargin)
+  )
+
+  /** q285: VARIANT shredding (Spark 4's semi-structured type) — parse
+    * a nested JSON document ONCE into a `VARIANT` column, then run
+    * several TYPED extractions against the parsed form
+    * (`variant_get(v, path, type)`), including a missing-path probe
+    * through `try_variant_get` (NULL, never an error). This is the
+    * 100 TB semi-structured contract: string `get_json_object` (q33)
+    * re-parses the document per extraction, while variant parses once
+    * and shreds — the reason lakehouse engines store logs as VARIANT.
+    * The document is built deterministically from each event row
+    * (nested object + array), so DuckDB reproduces every extraction
+    * with its JSON functions over the same constructed text. */
+  val q285VariantShred = QueryDef(
+    "q285_variant_shred",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("kk", get_json_object(col("props"), "$.k").cast(LongType))
+        .withColumn("doc", concat(
+          lit("{\"u\":"), col("user_id"),
+          lit(",\"m\":{\"t\":\""), col("event_type"),
+          lit("\",\"vals\":["), col("kk"), lit(","), (col("kk") * 2).cast(LongType),
+          lit("]}}")))
+        .withColumn("v", expr("parse_json(doc)"))
+        .select(
+          expr("variant_get(v, '$.m.t', 'string')").as("t"),
+          expr("variant_get(v, '$.u', 'bigint')").as("u"),
+          expr("variant_get(v, '$.m.vals[1]', 'bigint')").as("v1"),
+          expr("try_variant_get(v, '$.m.missing', 'bigint')").as("miss"))
+        .groupBy("t")
+        .agg(count(lit(1)).as("n"), sum("u").as("sum_u"),
+          sum("v1").as("sum_v1"), count(col("miss")).as("n_miss"))
+        .orderBy("t"),
+    Some("""WITH e AS (
+           |  SELECT event_type AS t, user_id AS u,
+           |    CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS v1
+           |  FROM events)
+           |SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(u) AS BIGINT) AS sum_u,
+           |  CAST(SUM(v1) AS BIGINT) AS sum_v1,
+           |  CAST(0 AS BIGINT) AS n_miss
+           |FROM e GROUP BY t ORDER BY t""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q01FilterProject, q02GroupAgg, q03Frequencies, q04BroadcastJoin,
     q05MultiJoin, q06LeftOuter, q07SemiJoin, q08AntiJoin, q09RangeJoin,
@@ -1246,5 +1328,6 @@ object Relational {
     q48ArrayOps, q49Unpivot, q50Correlated, q51Percentiles, q58HashSample,
     q61Histogram, q63StratifiedSample, q154FkOrphans, q222IntervalJoin,
     q243LeftOuterIntervalJoin, q246FullOuterIntervalJoin, q247DeadWindows,
-    q250SkylinePerBrand, q252GroupedTopK, q265RatioBandJoin)
+    q250SkylinePerBrand, q252GroupedTopK, q265RatioBandJoin,
+    q284RecursiveCte, q285VariantShred)
 }

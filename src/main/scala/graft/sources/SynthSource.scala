@@ -1554,10 +1554,58 @@ object SynthSource {
            |GROUP BY 1 ORDER BY brand""".stripMargin)
   )
 
+  /** q286: STATE STORE as a TABLE (Spark 4's State Data Source) — the
+    * streaming ops/debugging surface: after a stateful drain, batch-read
+    * the checkpoint's state store itself (`spark.read.format(
+    * "statestore").load(ckpt)`) and put the RAW STATE ROWS under the
+    * oracle. The state of a complete-mode count+sum over the synth
+    * stream must equal DuckDB's closed-form rebuild of the table — a
+    * state row lost to a failed commit, double-counted on epoch replay,
+    * or keyed to the wrong shuffle partition shows up as a wrong
+    * (count, sum) pair. This is how an operator debugs a corrupted
+    * streaming job at 100 TB: query the state, not the logs. State
+    * value columns carry the aggregation BUFFER names (`count`, `sum`),
+    * not the query aliases — part of the surface being pinned. */
+  val q286StateStoreRead = graft.QueryDef(
+    "q286_dsv2_state_store_read",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_q286_ckpt").toString
+      // 8 state partitions for 97 buckets (pinned into the checkpoint
+      // at start, restored after — the EventStreams drain pattern)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try s.readStream.table("graft.synth_100000_8")
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), sum("h").as("sum_h"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("q286_sink")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.awaitTermination()
+      s.read.format("statestore").load(ckpt)
+        .select(col("key.bucket").as("bucket"),
+          col("value.count").as("n"), col("value.sum").as("sum_h"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH t AS (
+           |  SELECT x * ${SynthTable.Mult} % ${SynthTable.HMod} AS h,
+           |    x * ${SynthTable.Mult} % ${SynthTable.HMod} % ${SynthTable.BMod}
+           |      AS bucket
+           |  FROM range(0, 100000) r(x))
+           |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(h) AS BIGINT) AS sum_h
+           |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q208Dsv2Scan, q209Dsv2AggPushdown,
     q210Dsv2TopN, q215SpjJoin, q216RuntimePrune, q228WriteRoundtrip,
     q245Dsv2Delete, q248TimeTravel, q254ReplaceWhere, q255StreamingRead,
     q264MetadataColumn, q266Dsv2Update, q267Dsv2Merge, q272DeltaMerge,
     q273VersionCdc, q278ChangeFeed, q279SchemaEvolution, q280CdfStream,
-    q281CdfBatch, q282CdfEvolution, q283MemStatsJoin)
+    q281CdfBatch, q282CdfEvolution, q283MemStatsJoin, q286StateStoreRead)
 }
