@@ -1319,6 +1319,46 @@ object Relational {
            |FROM e GROUP BY t ORDER BY t""".stripMargin)
   )
 
+  /** q287: LATERAL correlated join — the per-row table subquery
+    * (`FROM nation, LATERAL (SELECT … WHERE correlated ORDER BY …
+    * LIMIT 3)`): top-k-per-group spelled relationally instead of via a
+    * rank window (q12/q252), the form ad-hoc SQL users actually write.
+    * Spark decorrelates the LIMIT-bearing lateral subquery into a
+    * partitioned rank filter; DuckDB executes its native lateral —
+    * both must produce the identical top-3 customer set per nation
+    * (ties broken by the total (balance, custkey) order on both
+    * sides, balances in exact cents). */
+  val q287LateralTopK = QueryDef(
+    "q287_lateral_topk",
+    (s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql("""SELECT n.n_name AS nation, c.custkey,
+              |       c.acctbal_cents
+              |FROM nation n,
+              |LATERAL (
+              |  SELECT c_custkey AS custkey,
+              |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+              |  FROM customer
+              |  WHERE c_nationkey = n.n_nationkey
+              |  ORDER BY acctbal_cents DESC, c_custkey
+              |  LIMIT 3
+              |) c
+              |ORDER BY nation, acctbal_cents DESC, custkey""".stripMargin)
+    },
+    Some("""SELECT n.n_name AS nation, c.custkey, c.acctbal_cents
+           |FROM nation n,
+           |LATERAL (
+           |  SELECT c_custkey AS custkey,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+           |  FROM customer
+           |  WHERE c_nationkey = n.n_nationkey
+           |  ORDER BY acctbal_cents DESC, c_custkey
+           |  LIMIT 3
+           |) c
+           |ORDER BY nation, acctbal_cents DESC, custkey""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q01FilterProject, q02GroupAgg, q03Frequencies, q04BroadcastJoin,
     q05MultiJoin, q06LeftOuter, q07SemiJoin, q08AntiJoin, q09RangeJoin,
@@ -1329,5 +1369,5 @@ object Relational {
     q61Histogram, q63StratifiedSample, q154FkOrphans, q222IntervalJoin,
     q243LeftOuterIntervalJoin, q246FullOuterIntervalJoin, q247DeadWindows,
     q250SkylinePerBrand, q252GroupedTopK, q265RatioBandJoin,
-    q284RecursiveCte, q285VariantShred)
+    q284RecursiveCte, q285VariantShred, q287LateralTopK)
 }

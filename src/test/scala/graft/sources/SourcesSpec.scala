@@ -860,6 +860,51 @@ class SourcesSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mem_evospec")
   }
 
+  test("DSv2 schema evolution x row-level ops: UPDATE/MERGE rewrite over NULL-padded rows") {
+    import graft.sources.{GraftCatalog, MemStore}
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    // copy-on-write flavor: the ReplaceData scan must pad pre-ALTER rows
+    // before the rewrite, and the replacement write carries full width
+    spark.sql("DROP TABLE IF EXISTS graft.mem_evorlo")
+    spark.range(0, 6).selectExpr("id AS k", "id * 10 AS v")
+      .writeTo("graft.mem_evorlo").create()
+    spark.sql("ALTER TABLE graft.mem_evorlo ADD COLUMN extra BIGINT")
+    spark.sql("UPDATE graft.mem_evorlo SET extra = k + 100 WHERE k % 2 = 0")
+    val got = spark.table("graft.mem_evorlo").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(got.toSeq == (0L until 6L).map(k =>
+      (k, k * 10, if (k % 2 == 0) k + 100 else -1L)),
+      s"CoW rewrite over padded rows must back-fill then update: ${got.toSeq}")
+    spark.sql("DROP TABLE graft.mem_evorlo")
+    // delta (merge-on-read) flavor: WriteDelta's keyed update rows are
+    // full-width post-ALTER even when the matched row predates it
+    spark.sql("DROP TABLE IF EXISTS graft.memd_evorlo")
+    spark.range(0, 6).selectExpr("id AS k", "id * 10 AS v")
+      .writeTo("graft.memd_evorlo").create()
+    spark.sql("ALTER TABLE graft.memd_evorlo ADD COLUMN extra BIGINT")
+    spark.range(0, 3).selectExpr("id * 2 AS k", "id AS e")
+      .createOrReplaceTempView("evorlo_src")
+    spark.sql("""MERGE INTO graft.memd_evorlo t USING evorlo_src s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET t.extra = s.e
+                |WHEN NOT MATCHED THEN INSERT (k, v, extra) VALUES (s.k, -1, s.e)
+                |""".stripMargin)
+    val got2 = spark.table("graft.memd_evorlo").orderBy("k")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(got2.toSeq == (0L until 6L).map(k =>
+      (k, if (k % 2 == 0) k / 2 else -1L)),
+      s"delta update over an evolved table must key correctly: ${got2.toSeq}")
+    // the delta commit's CDF preimages keep the pre-ALTER width (padded
+    // on read), postimages the new width — both visible and typed
+    val ops = spark.table("graft.memd_evorlo__changes")
+      .groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops("update_preimage") == 3 && ops("update_postimage") == 3 &&
+      ops("insert") == 6, s"evolved-table delta change log: $ops")
+    spark.sql("DROP TABLE graft.memd_evorlo")
+  }
+
   test("DSv2 change feed: maxRowsPerBatch splits a fat commit across micro-batches, totals unchanged") {
     import graft.sources.GraftCatalog
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
