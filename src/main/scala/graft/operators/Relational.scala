@@ -1359,6 +1359,59 @@ object Relational {
            |ORDER BY nation, acctbal_cents DESC, custkey""".stripMargin)
   )
 
+  /** q288: MAP-type higher-order functions — the map half of q48's
+    * array gauntlet, previously uncovered: build a per-order map from
+    * grouped entries (`map_from_entries` over collected structs —
+    * line number → quantity, keys unique by construction), rewrite
+    * values WITH key access (`transform_values`), prune entries by
+    * predicate (`map_filter`), then `explode` the surviving entries
+    * back to rows and aggregate. Every map step is Spark-side
+    * (codegen'd HOFs, no UDF); DuckDB reproduces the FINAL relation
+    * functionally from the raw columns — a wrong entry dropped or a
+    * lambda misapplied to key vs value breaks the hash. The shape is
+    * the feature-store pattern: per-entity feature maps transformed
+    * without exploding until the end. */
+  val q288MapOps = QueryDef(
+    "q288_map_ops",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").cast("long").as("k"),
+          col("l_linenumber").cast("long").as("ln"),
+          col("l_quantity").cast("long").as("qty"))
+        // the synthetic lineitem repeats (orderkey, linenumber) pairs,
+        // so make the map key unique by construction first — building
+        // a map with duplicate keys is an ERROR by contract
+        // (DUPLICATED_MAP_KEY), not a silent last-wins
+        .groupBy("k", "ln").agg(sum("qty").as("qty"))
+        .groupBy("k")
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("ln"), col("qty"))))).as("m"))
+        .select(col("k"),
+          expr("transform_values(m, (ln, q) -> q * 10 + ln)").as("m2"))
+        .select(col("k"),
+          expr("map_filter(m2, (ln, v) -> ln % 2 = 1)").as("m3"))
+        .select(col("k"), size(col("m3")).as("n_odd"),
+          explode(col("m3")).as(Seq("ln", "v")))
+        .groupBy((col("k") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("v").as("sum_v"),
+          sum("ln").as("sum_ln"), sum("n_odd").as("sum_card"))
+        .orderBy("bucket"),
+    Some("""WITH e AS (
+           |  SELECT l_orderkey AS k, CAST(l_linenumber AS BIGINT) AS ln,
+           |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+           |  FROM lineitem GROUP BY 1, 2),
+           |odd AS (
+           |  SELECT k, ln, qty * 10 + ln AS v,
+           |    COUNT(*) OVER (PARTITION BY k) AS n_odd
+           |  FROM e WHERE ln % 2 = 1)
+           |SELECT CAST(k % 8 AS BIGINT) AS bucket,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(v) AS BIGINT) AS sum_v,
+           |  CAST(SUM(ln) AS BIGINT) AS sum_ln,
+           |  CAST(SUM(n_odd) AS BIGINT) AS sum_card
+           |FROM odd GROUP BY 1 ORDER BY bucket""".stripMargin)
+  )
+
   val all: Seq[QueryDef] = Seq(
     q01FilterProject, q02GroupAgg, q03Frequencies, q04BroadcastJoin,
     q05MultiJoin, q06LeftOuter, q07SemiJoin, q08AntiJoin, q09RangeJoin,
@@ -1369,5 +1422,5 @@ object Relational {
     q61Histogram, q63StratifiedSample, q154FkOrphans, q222IntervalJoin,
     q243LeftOuterIntervalJoin, q246FullOuterIntervalJoin, q247DeadWindows,
     q250SkylinePerBrand, q252GroupedTopK, q265RatioBandJoin,
-    q284RecursiveCte, q285VariantShred, q287LateralTopK)
+    q284RecursiveCte, q285VariantShred, q287LateralTopK, q288MapOps)
 }
