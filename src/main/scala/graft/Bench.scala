@@ -225,6 +225,9 @@ object Bench {
         .filter(_.endsWith("_sink"))
         .foreach(spark.catalog.dropTempView(_))
       graft.sources.MemStore.tableNames.foreach(graft.sources.MemStore.drop)
+      // fs scratch tables are disk, not heap, but their manifests/files
+      // are equally dead after the query returns — same policy
+      graft.sources.FsStore.dropAll()
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     }
 

@@ -1022,7 +1022,8 @@ object ScaleSmoke {
         .writeTo("graft.mem_cf_smoke").append()
     }
     val cfBuildSecs = (System.nanoTime() - tCfB) / 1e9
-    def cfDrain(opts: Map[String, String], sink: String): (Double, Seq[Long]) = {
+    def cfDrain(opts: Map[String, String],
+        sink: String): (Double, Seq[Long], Map[String, Long]) = {
       val t0 = System.nanoTime()
       val reader = opts.foldLeft(spark.readStream)((b, kv) => b.option(kv._1, kv._2))
       val q = reader.table("graft.mem_cf_smoke")
@@ -1037,10 +1038,23 @@ object ScaleSmoke {
       assert(row.getLong(1) == cfRows &&
         row.getLong(2) == cfRows * (cfRows - 1) / 2,
         s"change-feed drain must deliver every committed row exactly once, got $row")
-      (secs, q.recentProgress.filter(_.numInputRows > 0).map(_.numInputRows).toSeq)
+      // Per-micro-batch FLOOR breakdown (round-8 finding: ~1.5-4.5
+      // s/batch regardless of rows): durationMs attributes each batch
+      // to source planning (latestOffset+getBatch), Catalyst planning
+      // (queryPlanning), exactly-once log IO (walCommit+commitOffsets)
+      // and execution+sink install (addBatch). Summed across batches →
+      // cf_ms_* keys, so the floor is a recorded fact instead of a
+      // guess: addBatch (scan+agg+complete-mode sink rewrite) is the
+      // data-dependent part; the rest is the per-batch machinery a
+      // consumer pays no matter how small the batch is.
+      import scala.jdk.CollectionConverters._
+      val dur = q.recentProgress.toSeq
+        .flatMap(_.durationMs.asScala.toSeq)
+        .groupMapReduce(_._1)(_._2.longValue)(_ + _)
+      (secs, q.recentProgress.filter(_.numInputRows > 0).map(_.numInputRows).toSeq, dur)
     }
-    val (cfSecs, cfBatches) = cfDrain(Map.empty, "cf_smoke_sink")
-    val (cfBudSecs, cfBudBatches) =
+    val (cfSecs, cfBatches, cfDur) = cfDrain(Map.empty, "cf_smoke_sink")
+    val (cfBudSecs, cfBudBatches, cfBudDur) =
       cfDrain(Map("maxRowsPerBatch" -> "400000"), "cf_smoke_sink2")
     assert(cfBatches.length == cfVersions,
       s"default admission is one version per batch: ${cfBatches.length}")
@@ -1058,7 +1072,12 @@ object ScaleSmoke {
       "cf_batches" -> cfBatches.length.toLong,
       "cf_budget_drain_secs" -> cfBudSecs,
       "cf_budget_batches" -> cfBudBatches.length.toLong,
-      "cf_budget_max_batch_rows" -> cfBudBatches.max)
+      "cf_budget_max_batch_rows" -> cfBudBatches.max) ++
+      Seq("addBatch", "queryPlanning", "walCommit", "commitOffsets",
+        "latestOffset", "getBatch", "triggerExecution").flatMap { k =>
+        Seq(s"cf_ms_$k" -> cfDur.getOrElse(k, 0L),
+          s"cf_budget_ms_$k" -> cfBudDur.getOrElse(k, 0L))
+      }
     spark.sql("DROP TABLE graft.mem_cf_smoke")
 
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_SMOKE.json"),

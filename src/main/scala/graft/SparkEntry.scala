@@ -18,7 +18,8 @@ object SparkEntry {
       CleanCorpus.all ++ graft.streaming.EventStreams.all ++
       PipelineOps.all ++ PageRank.all ++ StorageOps.all ++ ScaleTools.all ++
       MiningOps.all ++ AudioOps.all ++ LinkageOps.all ++
-      SpatialOps.all ++ graft.sources.SynthSource.all
+      SpatialOps.all ++ graft.sources.SynthSource.all ++
+      graft.sources.FsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

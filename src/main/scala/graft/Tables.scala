@@ -57,4 +57,14 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Best-effort recursive delete of a query's scratch dir (checkpoints,
+    * staged stream sources) so repeated bench/verify runs don't leak temp
+    * space. Never throws — cleanup must not fail the query it follows. */
+  def deleteRecursively(f: java.io.File): Unit = {
+    try {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+      f.delete(): Unit
+    } catch { case scala.util.control.NonFatal(_) => }
+  }
 }

@@ -1,0 +1,486 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Oracle-checked queries over the FILE-BACKED connector ([[FsStore]] /
+  * [[FsTable]], `fs_*` and `fsd_*` through [[GraftCatalog]]) — the same
+  * verbs the `mem_*` pack pins (q228/q266/q267/q272/q279–q283), re-run
+  * against a store whose commit currency is PARQUET FILES + manifest
+  * messages instead of driver-resident rows: write round-trip, CoW
+  * UPDATE, three-clause MERGE (CoW and merge-on-read delta), schema
+  * evolution incl. type WIDENING with version-consistent narrow reads,
+  * batch + streamed CDF with read-time pre-image reconstruction,
+  * timestamp time travel under the injectable [[GraftClock]], and
+  * byte-budget feed admission. Each query rebuilds its table from DROP
+  * (the cost is in the timing — honest), and every result is the same
+  * DuckDB-functional oracle shape as its mem twin, so a protocol
+  * difference between the row-backed and file-backed stores is a hash
+  * mismatch. Reference analog: none (dask-obj has no storage layer);
+  * this is the [X] tier's demonstrated 100 TB story (BASELINE.json:6).
+  */
+object FsQueries {
+
+  private def cat(s: org.apache.spark.sql.SparkSession): Unit =
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+
+  /** q289: fs WRITE ROUND-TRIP — three append commits of lineitem slices
+    * land as task-written parquet files under three manifests; the read
+    * back is file-parallel (one task per data file) and must aggregate
+    * to exactly DuckDB over the source table. A file lost, double-
+    * committed, or mis-counted in a manifest breaks the totals. */
+  val q289FsRoundtrip = graft.QueryDef(
+    "q289_fs_write_roundtrip",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.lineitem(s, d).select(
+        col("l_orderkey").cast("long").as("k"),
+        col("l_quantity").cast("long").as("qty"))
+      s.sql("DROP TABLE IF EXISTS graft.fs_rt")
+      src.filter(col("k") % 3 === 0).writeTo("graft.fs_rt").create()
+      src.filter(col("k") % 3 === 1).writeTo("graft.fs_rt").append()
+      src.filter(col("k") % 3 === 2).writeTo("graft.fs_rt").append()
+      // the snapshot must be files-only: no rows on the driver
+      val ver = FsStore.current("fs_rt")
+      require(ver.files.nonEmpty && ver.files.map(_.rows).sum == ver.rowCount,
+        "fs_rt: manifest row counts must cover the snapshot")
+      s.table("graft.fs_rt")
+        .groupBy((col("k") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"),
+          sum("k").as("sum_k"))
+        .orderBy("bucket")
+    },
+    Some("""SELECT l_orderkey % 8 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_k
+           |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin)
+  )
+
+  /** q290: fs COPY-ON-WRITE UPDATE (q266's verb on files): the group
+    * rewrite's tasks write NEW parquet files and the truncate-install
+    * swaps the manifest — one atomic version, old files untouched on
+    * disk (time travel still serves them). */
+  val q290FsUpdate = graft.QueryDef(
+    "q290_fs_update",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.lineitem(s, d).select(
+        col("l_orderkey").cast("long").as("k"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_returnflag").as("flag"))
+      s.sql("DROP TABLE IF EXISTS graft.fs_upd")
+      src.writeTo("graft.fs_upd").create()
+      s.sql("""UPDATE graft.fs_upd SET qty = qty * 3
+              |WHERE flag = 'A' AND k % 4 = 0""".stripMargin)
+      s.table("graft.fs_upd")
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"),
+          sum("k").as("sum_k"))
+        .orderBy("flag")
+    },
+    Some("""SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CASE WHEN l_returnflag = 'A' AND l_orderkey % 4 = 0
+           |    THEN CAST(l_quantity AS BIGINT) * 3
+           |    ELSE CAST(l_quantity AS BIGINT) END) AS BIGINT) AS sum_qty,
+           |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_k
+           |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin)
+  )
+
+  /** q291: fs MERGE, all three clause kinds through the copy-on-write
+    * file rewrite (q267's shape): matched UPDATE, not-matched INSERT
+    * with sentinel n = −1, not-matched-by-source conditional DELETE —
+    * recomputed into new files and swapped in one manifest install. */
+  val q291FsMerge = graft.QueryDef(
+    "q291_fs_merge",
+    (s, d) => {
+      cat(s)
+      val tgt = graft.Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").cast("long").as("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+      s.sql("DROP TABLE IF EXISTS graft.fs_mg")
+      tgt.writeTo("graft.fs_mg").create()
+      graft.Tables.orders(s, d)
+        .filter(col("o_orderkey") % 6 === 0)
+        .select(col("o_orderkey").cast("long").as("k"),
+          floor(col("o_totalprice") * 100.0 + 0.5).cast(LongType).as("pc"))
+        .createOrReplaceTempView("fsmg_src")
+      s.sql("""MERGE INTO graft.fs_mg t USING fsmg_src s ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET t.sum_qty = t.sum_qty + 3000000
+              |WHEN NOT MATCHED THEN INSERT (k, n, sum_qty) VALUES (s.k, -1, s.pc)
+              |WHEN NOT MATCHED BY SOURCE AND t.k % 10 = 5 THEN DELETE
+              |""".stripMargin)
+      s.table("graft.fs_mg")
+        .groupBy((col("k") % 16).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum("n").as("sum_n"),
+          sum("sum_qty").as("sum_sq"), min("k").as("min_k"),
+          max("k").as("max_k"))
+        .orderBy("bucket")
+    },
+    Some("""WITH li AS (
+           |  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+           |  FROM lineitem GROUP BY 1),
+           |src AS (
+           |  SELECT o_orderkey AS k,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc
+           |  FROM orders WHERE o_orderkey % 6 = 0),
+           |fin AS (
+           |  SELECT li.k, li.n,
+           |    li.sum_qty + CASE WHEN src.k IS NOT NULL THEN 3000000 ELSE 0 END
+           |      AS sum_qty
+           |  FROM li LEFT JOIN src USING (k)
+           |  WHERE NOT (src.k IS NULL AND li.k % 10 = 5)
+           |  UNION ALL
+           |  SELECT k, CAST(-1 AS BIGINT), pc FROM src
+           |  WHERE k NOT IN (SELECT k FROM li))
+           |SELECT k % 16 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(n) AS BIGINT) AS sum_n,
+           |  CAST(SUM(sum_qty) AS BIGINT) AS sum_sq,
+           |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+           |FROM fin GROUP BY 1 ORDER BY bucket""".stripMargin)
+  )
+
+  /** q292: fsd MERGE-ON-READ delta MERGE (q272's verb on files): the
+    * delta writers ship key/update/insert FILES sized by the CHANGE, the
+    * base files are never rewritten (the manifest proves it — asserted
+    * in-query), and the scan merges masks at read. This is the write
+    * path that makes a 0.1% UPDATE on 100 TB cost 0.1%. */
+  val q292FsdDeltaMerge = graft.QueryDef(
+    "q292_fsd_delta_merge",
+    (s, d) => {
+      cat(s)
+      val tgt = graft.Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").cast("long").as("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+      s.sql("DROP TABLE IF EXISTS graft.fsd_mg")
+      tgt.writeTo("graft.fsd_mg").create()
+      val baseFiles = FsStore.current("fsd_mg").files.map(_.path).toSet
+      graft.Tables.orders(s, d)
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").cast("long").as("k"),
+          floor(col("o_totalprice") * 100.0 + 0.5).cast(LongType).as("pc"))
+        .createOrReplaceTempView("fsdmg_src")
+      s.sql("""MERGE INTO graft.fsd_mg t USING fsdmg_src s ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET t.sum_qty = t.sum_qty + 4000000
+              |WHEN NOT MATCHED THEN INSERT (k, n, sum_qty) VALUES (s.k, -1, s.pc)
+              |WHEN NOT MATCHED BY SOURCE AND t.k % 10 = 9 THEN DELETE
+              |""".stripMargin)
+      val ver = FsStore.current("fsd_mg")
+      require(baseFiles.subsetOf(ver.files.map(_.path).toSet) && ver.masks.nonEmpty,
+        "fsd_mg: merge-on-read must keep base files and install a key mask")
+      s.table("graft.fsd_mg")
+        .groupBy((col("k") % 16).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum("n").as("sum_n"),
+          sum("sum_qty").as("sum_sq"), min("k").as("min_k"),
+          max("k").as("max_k"))
+        .orderBy("bucket")
+    },
+    Some("""WITH li AS (
+           |  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+           |  FROM lineitem GROUP BY 1),
+           |src AS (
+           |  SELECT o_orderkey AS k,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc
+           |  FROM orders WHERE o_orderkey % 7 = 0),
+           |fin AS (
+           |  SELECT li.k, li.n,
+           |    li.sum_qty + CASE WHEN src.k IS NOT NULL THEN 4000000 ELSE 0 END
+           |      AS sum_qty
+           |  FROM li LEFT JOIN src USING (k)
+           |  WHERE NOT (src.k IS NULL AND li.k % 10 = 9)
+           |  UNION ALL
+           |  SELECT k, CAST(-1 AS BIGINT), pc FROM src
+           |  WHERE k NOT IN (SELECT k FROM li))
+           |SELECT k % 16 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(n) AS BIGINT) AS sum_n,
+           |  CAST(SUM(sum_qty) AS BIGINT) AS sum_sq,
+           |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+           |FROM fin GROUP BY 1 ORDER BY bucket""".stripMargin)
+  )
+
+  /** q293: fs SCHEMA EVOLUTION with TYPE WIDENING — the ALTER a year-two
+    * table actually wants: `cust` starts INT, widens to BIGINT
+    * (metadata-only; old parquet files are mapped by FIELD ID and
+    * upcast at scan), then an ADD + append under the widened schema.
+    * Version consistency is half the check: `VERSION AS OF` the
+    * pre-widen version reports the NARROW type — surfaced as a literal
+    * `cust_type` column in both phases so the ORACLE pins int vs
+    * bigint, not just the values. */
+  val q293FsEvolution = graft.QueryDef(
+    "q293_fs_schema_evolution",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("int").as("cust"))
+      s.sql("DROP TABLE IF EXISTS graft.fs_evo")
+      src.filter(col("k") % 2 === 0).writeTo("graft.fs_evo").create() // v0+v1
+      val vPre = FsStore.currentVersion("fs_evo")
+      s.sql("ALTER TABLE graft.fs_evo ALTER COLUMN cust TYPE BIGINT") // v2
+      s.sql("ALTER TABLE graft.fs_evo ADD COLUMN prio BIGINT")        // v3
+      src.filter(col("k") % 2 === 1)
+        .withColumn("cust", col("cust").cast("long"))
+        .withColumn("prio", col("cust") % 7)
+        .writeTo("graft.fs_evo").append()                             // v4
+      val headDf = s.table("graft.fs_evo")
+      val preDf = s.sql(s"SELECT * FROM graft.fs_evo VERSION AS OF $vPre")
+      val head = headDf
+        .groupBy((col("k") % 4).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("cust").as("sum_cust"),
+          sum(coalesce(col("prio"), lit(-1L))).as("sum_prio"))
+        .withColumn("phase", lit("head"))
+        .withColumn("cust_type", lit(headDf.schema("cust").dataType.simpleString))
+      val pre = preDf
+        .groupBy((col("k") % 4).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cust").cast("long")).as("sum_cust"),
+          (count(lit(1)) * -1L).as("sum_prio")) // old schema: no prio column
+        .withColumn("phase", lit("v_pre"))
+        .withColumn("cust_type", lit(preDf.schema("cust").dataType.simpleString))
+      head.unionByName(pre)
+        .select("phase", "cust_type", "bucket", "n", "sum_cust", "sum_prio")
+        .orderBy("phase", "bucket")
+    },
+    Some("""WITH src AS (
+           |  SELECT o_orderkey AS k, o_custkey AS cust FROM orders),
+           |evo AS (
+           |  SELECT k, cust, CAST(NULL AS BIGINT) AS prio
+           |  FROM src WHERE k % 2 = 0
+           |  UNION ALL
+           |  SELECT k, cust, cust % 7 AS prio FROM src WHERE k % 2 = 1),
+           |head AS (
+           |  SELECT 'head' AS phase, 'bigint' AS cust_type,
+           |    CAST(k % 4 AS BIGINT) AS bucket,
+           |    CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(cust) AS BIGINT) AS sum_cust,
+           |    CAST(SUM(COALESCE(prio, -1)) AS BIGINT) AS sum_prio
+           |  FROM evo GROUP BY 3),
+           |pre AS (
+           |  SELECT 'v_pre' AS phase, 'int' AS cust_type,
+           |    CAST(k % 4 AS BIGINT) AS bucket,
+           |    CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(cust) AS BIGINT) AS sum_cust,
+           |    CAST(-COUNT(*) AS BIGINT) AS sum_prio
+           |  FROM src WHERE k % 2 = 0 GROUP BY 3)
+           |SELECT * FROM head UNION ALL SELECT * FROM pre
+           |ORDER BY phase, bucket""".stripMargin)
+  )
+
+  /** q294: fsd BATCH CDF with read-time pre-image reconstruction — the
+    * file store records NO change rows at commit (a delta commit ships
+    * only key/update/insert files); the `__changes` read REBUILDS exact
+    * delete/update pre-images by filtering the prior snapshot to the
+    * key files, distributed across data files. `startingVersion=2`
+    * slices away the bulk load — the incremental-consumer read. */
+  val q294FsdCdfBatch = graft.QueryDef(
+    "q294_fsd_cdf_batch",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.part(s, d).select(
+        col("p_partkey").cast("long").as("k"),
+        col("p_size").cast("long").as("sz"))
+      s.sql("DROP TABLE IF EXISTS graft.fsd_cfb")
+      src.writeTo("graft.fsd_cfb").create() // v0+v1
+      src.filter(col("k") % 4 === 0)
+        .createOrReplaceTempView("fscfb_src")
+      s.sql("""MERGE INTO graft.fsd_cfb t USING fscfb_src s ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET t.sz = t.sz + 1000
+              |WHEN NOT MATCHED BY SOURCE AND t.k % 9 = 2 THEN DELETE
+              |""".stripMargin) // v2: delta (masks + update files)
+      s.read.option("startingVersion", "2")
+        .table("graft.fsd_cfb__changes")
+        .groupBy(col("_change_type").as("op"),
+          col("_commit_version").as("ver"))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          sum("sz").as("sum_sz"))
+        .orderBy("op", "ver")
+    },
+    Some("""WITH p AS (
+           |  SELECT p_partkey AS k, CAST(p_size AS BIGINT) AS sz FROM part),
+           |ch AS (
+           |  SELECT 'delete' AS op, CAST(2 AS BIGINT) AS ver, k, sz
+           |  FROM p WHERE k % 4 <> 0 AND k % 9 = 2
+           |  UNION ALL
+           |  SELECT 'update_preimage', CAST(2 AS BIGINT), k, sz
+           |  FROM p WHERE k % 4 = 0
+           |  UNION ALL
+           |  SELECT 'update_postimage', CAST(2 AS BIGINT), k, sz + 1000
+           |  FROM p WHERE k % 4 = 0)
+           |SELECT op, ver, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(k) AS BIGINT) AS sum_k,
+           |  CAST(SUM(sz) AS BIGINT) AS sum_sz
+           |FROM ch GROUP BY 1, 2 ORDER BY op, ver""".stripMargin)
+  )
+
+  /** q295: fsd STREAMED typed CDF (q280's shape on files): the feed's
+    * micro-batches slice the file-referenced change log; pre-images
+    * stream out of the same read-time reconstruction as q294 — the
+    * sequential-slice fallback for filtered changes, file-parallel for
+    * insert/post-image slices. */
+  val q295FsdCdfStream = graft.QueryDef(
+    "q295_fsd_cdf_stream",
+    (s, d) => {
+      cat(s)
+      val tgt = graft.Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").cast("long").as("k"))
+        .agg(sum(col("l_quantity").cast("long")).as("sq"))
+      s.sql("DROP TABLE IF EXISTS graft.fsd_cfs")
+      tgt.writeTo("graft.fsd_cfs").create() // v0+v1: inserts
+      graft.Tables.orders(s, d)
+        .filter(col("o_orderkey") % 6 === 0)
+        .select(col("o_orderkey").cast("long").as("k"),
+          floor(col("o_totalprice") * 100.0 + 0.5).cast(LongType).as("pc"))
+        .createOrReplaceTempView("fscfs_src")
+      s.sql("""MERGE INTO graft.fsd_cfs t USING fscfs_src s ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET t.sq = t.sq + 888
+              |WHEN NOT MATCHED THEN INSERT (k, sq) VALUES (s.k, s.pc)
+              |WHEN NOT MATCHED BY SOURCE AND t.k % 10 = 4 THEN DELETE
+              |""".stripMargin) // v2: delta commit
+      val q = s.readStream.table("graft.fsd_cfs__changes")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("q295_sink")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q295_sink")
+        .groupBy(col("_change_type").as("op"))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          sum("sq").as("sum_sq"))
+        .orderBy("op")
+    },
+    Some("""WITH li AS (
+           |  SELECT l_orderkey AS k,
+           |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+           |  FROM lineitem GROUP BY 1),
+           |src AS (
+           |  SELECT o_orderkey AS k,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc
+           |  FROM orders WHERE o_orderkey % 6 = 0),
+           |ch AS (
+           |  SELECT 'insert' AS op, k, sq FROM li
+           |  UNION ALL
+           |  SELECT 'update_preimage', li.k, li.sq
+           |  FROM li JOIN src ON li.k = src.k
+           |  UNION ALL
+           |  SELECT 'update_postimage', li.k, li.sq + 888
+           |  FROM li JOIN src ON li.k = src.k
+           |  UNION ALL
+           |  SELECT 'delete', li.k, li.sq
+           |  FROM li LEFT JOIN src ON li.k = src.k
+           |  WHERE src.k IS NULL AND li.k % 10 = 4
+           |  UNION ALL
+           |  SELECT 'insert', k, pc FROM src
+           |  WHERE k NOT IN (SELECT k FROM li))
+           |SELECT op, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(k) AS BIGINT) AS sum_k,
+           |  CAST(SUM(sq) AS BIGINT) AS sum_sq
+           |FROM ch GROUP BY op ORDER BY op""".stripMargin)
+  )
+
+  /** q296: `TIMESTAMP AS OF` under the injectable commit clock — the
+    * common time-travel syntax, kept deterministic: [[GraftClock]]
+    * stamps commits t0, t0+60 s, t0+120 s, t0+180 s (create = table
+    * manifest + first write), so `AS OF t0+150 s` must pin version 2
+    * (slices 0 and 1) while the head reads all three. Both phases under
+    * one oracle; clock-free tables keep the loud refusal (spec'd). */
+  val q296FsTimestampTravel = graft.QueryDef(
+    "q296_fs_timestamp_travel",
+    (s, d) => {
+      cat(s)
+      val t0 = 1700000000000L // fixed, deterministic epoch ms
+      val src = graft.Tables.lineitem(s, d).select(
+        col("l_orderkey").cast("long").as("k"),
+        col("l_quantity").cast("long").as("qty"))
+      s.sql("DROP TABLE IF EXISTS graft.fs_tt")
+      GraftClock.set(t0, 60000L)
+      try {
+        src.filter(col("k") % 3 === 0).writeTo("graft.fs_tt").create() // v0,v1
+        src.filter(col("k") % 3 === 1).writeTo("graft.fs_tt").append() // v2
+        src.filter(col("k") % 3 === 2).writeTo("graft.fs_tt").append() // v3
+      } finally GraftClock.clear()
+      val asOf = s.sql(
+        s"SELECT * FROM graft.fs_tt TIMESTAMP AS OF timestamp_millis(${t0 + 150000L})")
+        .groupBy((col("k") % 4).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"))
+        .withColumn("phase", lit("asof"))
+      val head = s.table("graft.fs_tt")
+        .groupBy((col("k") % 4).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"))
+        .withColumn("phase", lit("head"))
+      asOf.unionByName(head)
+        .select("phase", "bucket", "n", "sum_qty")
+        .orderBy("phase", "bucket")
+    },
+    Some("""WITH li AS (
+           |  SELECT l_orderkey AS k, CAST(l_quantity AS BIGINT) AS qty
+           |  FROM lineitem),
+           |pin AS (
+           |  SELECT 'asof' AS phase, CAST(k % 4 AS BIGINT) AS bucket,
+           |    CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(qty) AS BIGINT) AS sum_qty
+           |  FROM li WHERE k % 3 IN (0, 1) GROUP BY 2),
+           |head AS (
+           |  SELECT 'head' AS phase, CAST(k % 4 AS BIGINT) AS bucket,
+           |    CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(qty) AS BIGINT) AS sum_qty
+           |  FROM li GROUP BY 2)
+           |SELECT * FROM pin UNION ALL SELECT * FROM head
+           |ORDER BY phase, bucket""".stripMargin)
+  )
+
+  /** q297: BYTE-BUDGET feed admission on the fs change feed — one fat
+    * commit of ~44-byte-payload rows is drained under
+    * `maxBytesPerBatch`, which must split it into several micro-batches
+    * using only the MANIFEST's byte counts (no driver file reads); the
+    * drain's totals stay oracle-exact, and the pacing itself is
+    * asserted in-query (≥4 non-empty batches, none spanning a version).
+    * This closes the wide-row hole a pure row budget leaves: admission
+    * composes rows AND bytes, Delta/Kafka-style. */
+  val q297FsFeedBytes = graft.QueryDef(
+    "q297_fs_feed_bytes",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        md5(col("o_orderkey").cast("string")).as("payload"))
+      s.sql("DROP TABLE IF EXISTS graft.fs_fb")
+      src.writeTo("graft.fs_fb").create() // ONE fat commit (v1)
+      // budget = a sixth of the commit's MANIFEST byte count, so the
+      // pacing scales with the data (6-ish batches at every sf) and the
+      // driver never opens a data file to plan admission
+      val commitBytes = FsStore.current("fs_fb").files.map(_.bytes).sum
+      val q = s.readStream
+        .option("maxBytesPerBatch", math.max(4096L, commitBytes / 6).toString)
+        .table("graft.fs_fb")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("q297_sink")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val rows = FsStore.current("fs_fb").rowCount
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      require(batches.length >= 4,
+        s"byte budget must split the fat commit (got ${batches.length} batches)")
+      require(batches.forall(_.numInputRows < rows),
+        "no single batch may carry the whole commit under the byte budget")
+      s.table("q297_sink")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          sum(length(col("payload"))).as("sum_len"),
+          count_distinct(col("payload")).as("n_payload"))
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_k,
+           |  CAST(SUM(length(md5(CAST(o_orderkey AS VARCHAR)))) AS BIGINT)
+           |    AS sum_len,
+           |  CAST(COUNT(DISTINCT md5(CAST(o_orderkey AS VARCHAR))) AS BIGINT)
+           |    AS n_payload
+           |FROM orders""".stripMargin)
+  )
+
+  val all: Seq[graft.QueryDef] = Seq(q289FsRoundtrip, q290FsUpdate,
+    q291FsMerge, q292FsdDeltaMerge, q293FsEvolution, q294FsdCdfBatch,
+    q295FsdCdfStream, q296FsTimestampTravel, q297FsFeedBytes)
+}

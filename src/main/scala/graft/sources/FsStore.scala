@@ -1,0 +1,518 @@
+package graft.sources
+
+import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Injectable, deterministic commit clock (the `TIMESTAMP AS OF` story):
+  * the graft stores' version histories are clock-free by default — a
+  * wall clock would make the DuckDB oracle nondeterministic — so
+  * timestamp-typed time travel is served only for tables committed
+  * while a harness-supplied clock was installed. The clock is monotonic
+  * by construction (an AtomicLong stepping a fixed amount per commit),
+  * which is the Delta/Iceberg commit-timestamp contract reduced to a
+  * testable form. Commits without a clock stamp -1 ("no timestamp") and
+  * `TIMESTAMP AS OF` against them stays a loud refusal. */
+object GraftClock {
+  @volatile private var state: Option[(AtomicLong, Long)] = None
+
+  /** Install a clock: the next commit stamps `startMs`, each subsequent
+    * commit `stepMs` later. Deterministic across runs by construction. */
+  def set(startMs: Long, stepMs: Long): Unit =
+    state = Some((new AtomicLong(startMs), stepMs))
+  def clear(): Unit = state = None
+  /** Stamp for the commit being installed: -1 when no clock is set. */
+  def next(): Long = state match {
+    case Some((t, step)) => t.getAndAdd(step)
+    case None => -1L
+  }
+}
+
+/** Task-side parquet IO for the file-backed graft table: writes
+  * [[InternalRow]]s through Spark's own `ParquetWriteSupport` (the same
+  * row→parquet encoder every Spark parquet write uses — real, standard
+  * parquet files), reads them back through the public parquet Group API
+  * with per-file schemas, so a file written before a schema evolution
+  * (ADD / RENAME / type-WIDEN / DROP) is mapped to the scan schema by
+  * FIELD ID at read — never rewritten. Cf. the reference's storage
+  * story: dask-obj has none (`core.py:57` wraps in-memory sequences);
+  * this is the [X] tier's 100 TB bar (BASELINE.json:6). */
+object FsParquet {
+  import org.apache.parquet.hadoop.{ParquetReader, ParquetWriter}
+  import org.apache.parquet.hadoop.api.WriteSupport
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+  import org.apache.parquet.hadoop.metadata.CompressionCodecName
+  import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+
+  /** The column types the fs table admits (checked at CREATE): the same
+    * set [[MemFilterEval]] evaluates — enough for every connector query,
+    * refused loudly beyond it. */
+  def supportedType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType | StringType |
+         BooleanType => true
+    case _ => false
+  }
+
+  private def hadoopConf(schema: StructType): Configuration = {
+    import org.apache.spark.sql.internal.SQLConf
+    val conf = new Configuration()
+    // raw local FS: no .crc sidecars — integrity is parquet's own
+    // footer/page checksums; sidecars would orbit every data file and
+    // complicate the abort-leaves-no-files contract for nothing
+    conf.set("fs.file.impl", classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
+    // the FileSystem CACHE serves whatever "file" instance came first
+    // (the checksumming LocalFileSystem) — bypass it or the impl
+    // override above silently never applies
+    conf.set("fs.file.impl.disable.cache", "true")
+    ParquetWriteSupport.setSchema(schema, conf)
+    // keys ParquetWriteSupport/SparkToParquetSchemaConverter read at
+    // init (normally injected by ParquetFileFormat.prepareWrite);
+    // values = Spark's modern defaults
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "false")
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "true")
+    conf
+  }
+
+  private class RowBuilder(path: org.apache.hadoop.fs.Path)
+      extends ParquetWriter.Builder[InternalRow, RowBuilder](path) {
+    override def self(): RowBuilder = this
+    override def getWriteSupport(conf: Configuration): WriteSupport[InternalRow] =
+      new ParquetWriteSupport
+  }
+
+  /** Open a parquet writer for `schema` at `path` (local file). The
+    * caller streams rows and closes; bytes are on disk only then. */
+  def writer(path: String, schema: StructType): ParquetWriter[InternalRow] =
+    new RowBuilder(new org.apache.hadoop.fs.Path(path))
+      .withConf(hadoopConf(schema))
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+
+  /** Read `path` (written under `fileSchema`) converting each row to
+    * `scanSchema` by FIELD ID ("graft.fieldId" in field metadata):
+    *  - same id, same type → value as-is;
+    *  - same id, wider scan type (INT→BIGINT, FLOAT→DOUBLE) → upcast;
+    *  - id absent from the file (column added later) → NULL;
+    *  - file columns whose id is absent from the scan (dropped or
+    *    pruned) → skipped.
+    * This is Iceberg's schema-evolution read contract: files are
+    * immutable, the mapping lives in metadata. */
+  def read(path: String, fileSchema: StructType,
+      scanSchema: StructType): Iterator[InternalRow] = {
+    val reader = new ParquetReader(new Configuration(),
+      new org.apache.hadoop.fs.Path(path), new GroupReadSupport())
+    val conv = converters(fileSchema, scanSchema)
+    new Iterator[InternalRow] {
+      private var nextGroup = reader.read()
+      override def hasNext: Boolean = {
+        val h = nextGroup != null
+        if (!h) reader.close()
+        h
+      }
+      override def next(): InternalRow = {
+        val g = nextGroup
+        nextGroup = reader.read()
+        val out = new GenericInternalRow(scanSchema.length)
+        var i = 0
+        while (i < conv.length) { out.update(i, conv(i)(g)); i += 1 }
+        out
+      }
+    }
+  }
+
+  /** Per-scan-column extractor from a parquet Group of `fileSchema`. */
+  private def converters(fileSchema: StructType, scanSchema: StructType)
+      : Array[org.apache.parquet.example.data.Group => Any] = {
+    val byId = fileSchema.fields.zipWithIndex.map { case (f, i) =>
+      FsStore.fieldId(f) -> ((i, f.dataType))
+    }.toMap
+    scanSchema.fields.map { sf =>
+      byId.get(FsStore.fieldId(sf)) match {
+        case None => (_: org.apache.parquet.example.data.Group) => null
+        case Some((i, ft)) =>
+          val get: org.apache.parquet.example.data.Group => Any = (ft, sf.dataType) match {
+            case (LongType, LongType) => g => g.getLong(i, 0)
+            case (IntegerType, IntegerType) => g => g.getInteger(i, 0)
+            case (IntegerType, LongType) => g => g.getInteger(i, 0).toLong // widened
+            case (DoubleType, DoubleType) => g => g.getDouble(i, 0)
+            case (FloatType, FloatType) => g => g.getFloat(i, 0)
+            case (FloatType, DoubleType) => g => g.getFloat(i, 0).toDouble // widened
+            case (BooleanType, BooleanType) => g => g.getBoolean(i, 0)
+            case (StringType, StringType) =>
+              g => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+            case (a, b) => throw new IllegalStateException(
+              s"graft_fs: cannot read file column ${fileSchema(i).name}: $a " +
+                s"as scan type $b (only INT→BIGINT and FLOAT→DOUBLE widen)")
+          }
+          g => if (g.getFieldRepetitionCount(i) == 0) null else get(g)
+      }
+    }
+  }
+
+  /** Keys of a key file (single `k`-typed column written by the delta
+    * writer) or the FIRST column of a data file — normalized so an
+    * int-era key compares equal to its post-widening long form. */
+  def readKeys(path: String, fileSchema: StructType): Iterator[Any] = {
+    val keyField = StructType(Seq(fileSchema.fields.head))
+    read(path, keyField, keyField).map(r => normalizeKey(r.get(0, keyField.head.dataType)))
+  }
+
+  def normalizeKey(v: Any): Any = v match {
+    case null => null
+    case i: java.lang.Integer => i.longValue: java.lang.Long
+    case s: UTF8String => s.toString
+    case other => other
+  }
+}
+
+/** The FILE-BACKED graft table store — the production variant
+  * [[MemStore]]'s own scaladoc describes: the SAME two-phase commit
+  * protocol, version history, change-data-feed, row-level operations and
+  * schema evolution, but tasks write PARQUET DATA FILES and commit
+  * messages carry FILE MANIFESTS (path + row/byte counts), never rows.
+  * The driver installs one immutable JSON manifest per version under
+  * `<table>/_log/` (Delta's `_delta_log` shape, publish = atomic
+  * rename), so:
+  *  - driver memory is O(manifest) regardless of table size — the 50M-row
+  *    [[MemStore.MaxCommittedRows]] cap does not exist here (the bound
+  *    is disk);
+  *  - a failed job's files are deleted by task/driver `abort` and an
+  *    uncommitted manifest is never visible (readers only see renamed
+  *    `v%05d.json` files);
+  *  - data files are IMMUTABLE and SHARED across versions: an append
+  *    adds files, a delta commit adds key/update/insert files and masks
+  *    old rows at READ (merge-on-read), schema evolution touches only
+  *    the manifest.
+  * Versions are retained indefinitely (the testbed never needs expiry);
+  * a production deployment bounds history with snapshot expiry + vacuum
+  * of unreferenced files — the same knob Iceberg/Delta expose. */
+object FsStore {
+  val OpInsert = MemStore.OpInsert
+  val OpDelete = MemStore.OpDelete
+  val OpUpdatePre = MemStore.OpUpdatePre
+  val OpUpdatePost = MemStore.OpUpdatePost
+
+  /** One immutable data file of a snapshot. `schemaId` indexes the
+    * table's schema lineage (the schema the file was WRITTEN under);
+    * `addedVersion` decides which delta masks apply to it. */
+  final case class FileRef(path: String, rows: Long, bytes: Long,
+      schemaId: Int, addedVersion: Long)
+
+  /** A delta commit's read-side mask: keys in `keyFiles` are dead in
+    * every data file OLDER than `version` (deleted or superseded by an
+    * update row that lives in its own data file). */
+  final case class DeltaMask(version: Long, keyFiles: Vector[FileRef])
+
+  /** One entry of a version's change log, file-referenced: the change
+    * rows are `files` (with the masks that applied to them as of the
+    * previous version), optionally restricted to the keys in `keys` —
+    * how delete/update PRE-IMAGES are reconstructed at read without the
+    * commit ever scanning the table. */
+  final case class Change(op: String, files: Vector[FileRef],
+      masks: Vector[DeltaMask], keys: Vector[FileRef], rows: Long)
+
+  final case class Version(id: Long, tsMs: Long, schemaId: Int,
+      lineage: Vector[StructType], maxFieldId: Int,
+      files: Vector[FileRef], masks: Vector[DeltaMask],
+      changes: Vector[Change], rowCount: Long) {
+    def schema: StructType = lineage(schemaId)
+    def appendOnly: Boolean = changes.forall(_.op == OpInsert)
+  }
+
+  // ---------------------------------------------------------------- root
+
+  @volatile private var rootOverride: Option[String] = None
+  private lazy val defaultRoot =
+    Files.createTempDirectory("graft_fs").toString
+  /** Test/smoke hook: relocate the store (e.g. a per-phase scratch dir). */
+  def setRoot(path: String): Unit = rootOverride = Some(path)
+  def root: String = rootOverride.getOrElse(defaultRoot)
+
+  def tableDir(name: String): JPath = Paths.get(root, name)
+  private def logDir(name: String): JPath = tableDir(name).resolve("_log")
+  private def dataDir(name: String): JPath = tableDir(name).resolve("data")
+
+  /** Absolute path for a fresh data/key file some task is about to
+    * write. The file is invisible to readers until a manifest commits
+    * it — tasks write first, the driver publishes later (two-phase). */
+  def newFilePath(name: String, tag: String): String = {
+    Files.createDirectories(dataDir(name))
+    dataDir(name).resolve(
+      s"$tag-${java.util.UUID.randomUUID().toString.take(12)}.parquet").toString
+  }
+
+  // ------------------------------------------------------------ manifest
+
+  private val mapper = new ObjectMapper()
+
+  private def fileToJson(f: FileRef): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("path", f.path); o.put("rows", f.rows); o.put("bytes", f.bytes)
+    o.put("schemaId", f.schemaId); o.put("addedVersion", f.addedVersion)
+  }
+  private def fileFrom(n: JsonNode): FileRef =
+    FileRef(n.get("path").asText, n.get("rows").asLong, n.get("bytes").asLong,
+      n.get("schemaId").asInt, n.get("addedVersion").asLong)
+  private def filesJson(fs: Vector[FileRef]): ArrayNode = {
+    val a = mapper.createArrayNode(); fs.foreach(f => a.add(fileToJson(f))); a
+  }
+  private def filesFrom(n: JsonNode): Vector[FileRef] =
+    n.elements().asScala.map(fileFrom).toVector
+  private def masksJson(ms: Vector[DeltaMask]): ArrayNode = {
+    val a = mapper.createArrayNode()
+    ms.foreach { m =>
+      val o = mapper.createObjectNode()
+      o.put("version", m.version); o.set[ObjectNode]("keyFiles", filesJson(m.keyFiles))
+      a.add(o)
+    }
+    a
+  }
+  private def masksFrom(n: JsonNode): Vector[DeltaMask] =
+    n.elements().asScala.map(m =>
+      DeltaMask(m.get("version").asLong, filesFrom(m.get("keyFiles")))).toVector
+
+  private def writeManifest(name: String, v: Version): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("version", v.id); o.put("tsMs", v.tsMs)
+    o.put("schemaId", v.schemaId); o.put("maxFieldId", v.maxFieldId)
+    o.put("rowCount", v.rowCount)
+    val lin = mapper.createArrayNode()
+    v.lineage.foreach(s => lin.add(s.json))
+    o.set[ObjectNode]("lineage", lin)
+    o.set[ObjectNode]("files", filesJson(v.files))
+    o.set[ObjectNode]("masks", masksJson(v.masks))
+    val ch = mapper.createArrayNode()
+    v.changes.foreach { c =>
+      val co = mapper.createObjectNode()
+      co.put("op", c.op); co.put("rows", c.rows)
+      co.set[ObjectNode]("files", filesJson(c.files))
+      co.set[ObjectNode]("masks", masksJson(c.masks))
+      co.set[ObjectNode]("keys", filesJson(c.keys))
+      ch.add(co)
+    }
+    o.set[ObjectNode]("changes", ch)
+    Files.createDirectories(logDir(name))
+    val tmp = logDir(name).resolve(f".tmp-v${v.id}%05d-${System.nanoTime()}")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o))
+    val target = logDir(name).resolve(f"v${v.id}%05d.json")
+    // ATOMIC publish: the rename either installs the whole manifest or
+    // fails because a concurrent commit won the version id — the loser's
+    // data files stay orphaned (vacuum's job), never half-visible
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp)
+      throw new IllegalStateException(
+        s"graft_fs($name): concurrent commit of version ${v.id} — retry", e)
+    }
+  }
+
+  private def readManifest(name: String, id: Long): Version = {
+    val p = logDir(name).resolve(f"v$id%05d.json")
+    require(Files.exists(p),
+      s"graft_fs($name): no version $id — retained versions are " +
+        s"0..${currentVersion(name)}")
+    val o = mapper.readTree(Files.readAllBytes(p))
+    val lineage = o.get("lineage").elements().asScala
+      .map(n => DataType.fromJson(n.asText).asInstanceOf[StructType]).toVector
+    val changes = o.get("changes").elements().asScala.map { c =>
+      Change(c.get("op").asText, filesFrom(c.get("files")),
+        masksFrom(c.get("masks")), filesFrom(c.get("keys")),
+        c.get("rows").asLong)
+    }.toVector
+    Version(o.get("version").asLong, o.get("tsMs").asLong,
+      o.get("schemaId").asInt, lineage, o.get("maxFieldId").asInt,
+      filesFrom(o.get("files")), masksFrom(o.get("masks")), changes,
+      o.get("rowCount").asLong)
+  }
+
+  // ------------------------------------------------------------- catalog
+
+  def exists(name: String): Boolean =
+    Files.isDirectory(logDir(name)) && currentVersionOpt(name).isDefined
+
+  private def currentVersionOpt(name: String): Option[Long] = {
+    val d = logDir(name)
+    if (!Files.isDirectory(d)) None
+    else {
+      val vs = Files.list(d).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+          s.stripPrefix("v").stripSuffix(".json").toLong }
+        .toSeq
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+  def currentVersion(name: String): Long = currentVersionOpt(name).getOrElse(
+    throw new IllegalArgumentException(s"graft_fs($name): no such table"))
+
+  def versionAt(name: String, v: Long): Version = readManifest(name, v)
+  def current(name: String): Version = versionAt(name, currentVersion(name))
+  def schemaOf(name: String): StructType = current(name).schema
+
+  /** Newest version whose commit timestamp is ≤ `tsMs`. Tables written
+    * without [[GraftClock]] have tsMs = -1 on every version → refusal. */
+  def versionAsOfTimestamp(name: String, tsMs: Long): Long = {
+    val head = current(name)
+    require(head.tsMs >= 0,
+      s"graft_fs($name): table has no commit timestamps (written without " +
+        "a commit clock) — use VERSION AS OF, or install GraftClock before " +
+        "writing")
+    val ids = (0L to head.id).reverse
+    ids.map(versionAt(name, _)).find(v => v.tsMs >= 0 && v.tsMs <= tsMs)
+      .map(_.id)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft_fs($name): no version committed at or before timestamp " +
+          s"$tsMs ms (earliest is ${versionAt(name, 0L).tsMs})"))
+  }
+
+  def create(name: String, schema: StructType): Unit = {
+    require(schema.fields.nonEmpty, s"graft_fs($name): empty schema")
+    schema.fields.foreach(f => require(FsParquet.supportedType(f.dataType),
+      s"graft_fs($name): unsupported column type ${f.dataType.simpleString} " +
+        s"for ${f.name} (fs tables admit long/int/double/float/string/boolean)"))
+    val withIds = StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      withFieldId(f, i)
+    })
+    if (exists(name)) throw new IllegalStateException(
+      s"graft_fs($name): table already exists")
+    writeManifest(name, Version(0L, GraftClock.next(), 0, Vector(withIds),
+      withIds.length - 1, Vector.empty, Vector.empty, Vector.empty, 0L))
+  }
+
+  def drop(name: String): Unit =
+    graft.Tables.deleteRecursively(tableDir(name).toFile)
+  def tableNames: Seq[String] = {
+    val r = Paths.get(root)
+    if (!Files.isDirectory(r)) Seq.empty
+    else Files.list(r).iterator().asScala
+      .filter(p => Files.isDirectory(p.resolve("_log")))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+  /** Bench-sweep hook: drop every fs table (scratch state between
+    * queries, the MemStore.drop analog). */
+  def dropAll(): Unit = tableNames.foreach(drop)
+
+  // ------------------------------------------------------------ field ids
+
+  private val FieldIdKey = "graft.fieldId"
+  def fieldId(f: StructField): Int =
+    if (f.metadata.contains(FieldIdKey)) f.metadata.getLong(FieldIdKey).toInt
+    else -1
+  def withFieldId(f: StructField, id: Int): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putLong(FieldIdKey, id.toLong).build())
+
+  // -------------------------------------------------------------- commits
+
+  /** All commits funnel through here: read the head, derive the next
+    * version, publish its manifest (atomic rename = the commit point).
+    * Concurrent commits race on the version id — exactly one rename
+    * wins, the loser throws and its files become vacuum-able orphans. */
+  private def install(name: String)(next: Version => Version): Unit = {
+    val head = current(name)
+    writeManifest(name, next(head))
+  }
+
+  def commitAppend(name: String, files: Vector[FileRef]): Unit =
+    install(name) { v =>
+      val added = files.map(_.copy(schemaId = v.schemaId, addedVersion = v.id + 1))
+      Version(v.id + 1, GraftClock.next(), v.schemaId, v.lineage, v.maxFieldId,
+        v.files ++ added, v.masks,
+        added.map(f => Change(OpInsert, Vector(f), Vector.empty, Vector.empty, f.rows)),
+        v.rowCount + added.map(_.rows).sum)
+    }
+
+  /** Truncate-install (CoW row-level ops land here): the new snapshot is
+    * exactly `files`; the change log records the WHOLE previous snapshot
+    * as deletes (file-referenced pre-images) plus the new files as
+    * inserts — same vocabulary as [[MemStore.commitTruncate]]. */
+  def commitTruncate(name: String, files: Vector[FileRef]): Unit =
+    install(name) { v =>
+      val added = files.map(_.copy(schemaId = v.schemaId, addedVersion = v.id + 1))
+      val deleted =
+        if (v.rowCount == 0) Vector.empty
+        else Vector(Change(OpDelete, v.files, v.masks, Vector.empty, v.rowCount))
+      Version(v.id + 1, GraftClock.next(), v.schemaId, v.lineage, v.maxFieldId,
+        added, Vector.empty,
+        deleted ++ added.map(f =>
+          Change(OpInsert, Vector(f), Vector.empty, Vector.empty, f.rows)),
+        added.map(_.rows).sum)
+    }
+
+  /** MERGE-ON-READ delta commit: `delKeys`/`updKeys` become a read-side
+    * mask over older files, `updRows`/`inserts` join the snapshot as
+    * data files — the write cost tracks the CHANGE size (Iceberg's
+    * merge-on-read shape; an UPDATE touching 0.1% of 100 TB ships that
+    * 0.1%, never rewrites groups). The change log reconstructs exact
+    * pre-images AT READ by filtering the previous snapshot to the key
+    * files — the commit itself never scans the table. Phantom-id
+    * validation is structural here: Spark's `WriteDelta` derives every
+    * operation from a scan of this same table, so an id absent from the
+    * snapshot cannot reach the writer (the in-memory testbed double-
+    * checks because it holds the rows anyway; a file store would pay a
+    * full scan to re-verify what the plan already guarantees). */
+  def commitDelta(name: String, delKeys: Vector[FileRef],
+      updKeys: Vector[FileRef], updRows: Vector[FileRef],
+      inserts: Vector[FileRef]): Unit =
+    install(name) { v =>
+      val nextId = v.id + 1
+      val delN = delKeys.map(_.rows).sum
+      val updN = updKeys.map(_.rows).sum
+      require(updN == updRows.map(_.rows).sum,
+        s"graft_fs($name): delta commit update keys ($updN) and update " +
+          s"rows (${updRows.map(_.rows).sum}) disagree")
+      val at = (f: FileRef) => f.copy(schemaId = v.schemaId, addedVersion = nextId)
+      val updFiles = updRows.map(at)
+      val insFiles = inserts.map(at)
+      val mask = DeltaMask(nextId, (delKeys ++ updKeys).map(at))
+      val changes =
+        (if (delN > 0)
+          Vector(Change(OpDelete, v.files, v.masks, delKeys.map(at), delN))
+        else Vector.empty) ++
+        (if (updN > 0)
+          Vector(Change(OpUpdatePre, v.files, v.masks, updKeys.map(at), updN),
+            Change(OpUpdatePost, updFiles, Vector.empty, Vector.empty, updN))
+        else Vector.empty) ++
+        insFiles.map(f => Change(OpInsert, Vector(f), Vector.empty, Vector.empty, f.rows))
+      Version(nextId, GraftClock.next(), v.schemaId, v.lineage, v.maxFieldId,
+        v.files ++ updFiles ++ insFiles,
+        v.masks :+ mask,
+        changes,
+        v.rowCount - delN + insFiles.map(_.rows).sum)
+    }
+
+  /** Metadata-only schema evolution (ADD / RENAME / WIDEN / DROP): a new
+    * version with the SAME files and an appended lineage entry. Field
+    * ids make DROP + later re-ADD of the same name safe: the re-added
+    * column gets a FRESH id, so files carrying the old column cannot
+    * resurrect its values (the read mapping is by id, never by name).
+    * The base-schema check runs against the head INSIDE the commit
+    * (the rename race rejects a concurrent ALTER), closing the
+    * lost-update window the mem catalog also guards. */
+  def alterSchema(name: String, expectedBase: StructType,
+      newSchema: StructType, newMaxFieldId: Int): Unit =
+    install(name) { v =>
+      require(v.schema == expectedBase,
+        s"graft_fs($name): concurrent schema change — ALTER was computed " +
+          s"against ${expectedBase.simpleString} but the table is now " +
+          s"${v.schema.simpleString}")
+      newSchema.fields.foreach(f => require(fieldId(f) >= 0,
+        s"graft_fs($name): evolved column ${f.name} lost its field id"))
+      Version(v.id + 1, GraftClock.next(), v.lineage.length,
+        v.lineage :+ newSchema, newMaxFieldId,
+        v.files, v.masks, Vector.empty, v.rowCount)
+    }
+}

@@ -36,8 +36,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     * the same reason a JDBC catalog doesn't list every possible query
     * pushdown; its tables resolve on load only. */
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    if (namespace.nonEmpty) Array.empty
-    else MemStore.tableNames.map(Identifier.of(Array.empty[String], _)).toArray
+    if (namespace.nonEmpty)
+      // TableCatalog contract: an unknown namespace is an ERROR, not an
+      // empty listing — `SHOW TABLES IN graft.nosuch` must fail loudly
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        name() +: namespace)
+    else (MemStore.tableNames ++ FsStore.tableNames)
+      .map(Identifier.of(Array.empty[String], _)).toArray
 
   /** `synth_<rows>_<parts>` (bucketed), `synth_<rows>_<parts>_flat`, or a
     * writable in-memory `mem_<name>` ([[MemTable]]; `memd_<name>` = the
@@ -55,12 +60,22 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       val base = m.stripSuffix("__changes")
       if ((base.startsWith("mem_") || base.startsWith("memd_")) && MemStore.exists(base))
         new MemTable(base, delta = base.startsWith("memd_"), changes = true)
+      else if ((base.startsWith("fs_") || base.startsWith("fsd_")) && FsStore.exists(base))
+        new FsTable(base, delta = base.startsWith("fsd_"), changes = true)
       else throw new NoSuchTableException(ident)
     case m if m.startsWith("memd_") && MemStore.exists(m) =>
       new MemTable(m, delta = true)
     case m if m.startsWith("mem_") && MemStore.exists(m) => new MemTable(m)
+    case m if m.startsWith("fsd_") && FsStore.exists(m) =>
+      new FsTable(m, delta = true)
+    case m if m.startsWith("fs_") && FsStore.exists(m) => new FsTable(m)
     case _ => throw new NoSuchTableException(ident)
   }
+
+  private def isMem(m: String): Boolean =
+    m.startsWith("mem_") || m.startsWith("memd_")
+  private def isFs(m: String): Boolean =
+    m.startsWith("fs_") || m.startsWith("fsd_")
 
   /** `VERSION AS OF v` time travel on `mem_*` tables: every commit on a
     * [[MemTable]] installs a new immutable (versionId, rows) snapshot
@@ -71,36 +86,62 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     * silent remap); the pinned relation refuses writes. */
   override def loadTable(ident: Identifier, version: String): Table =
     ident.name() match {
-      case m if (m.startsWith("mem_") || m.startsWith("memd_")) && MemStore.exists(m) =>
+      case m if isMem(m) && MemStore.exists(m) =>
         val v = try version.toLong catch {
           case _: NumberFormatException => throw new NoSuchTableException(ident)
         }
         MemStore.rowsAt(m, v) // validate at load: expired → range error
         new MemTable(m, Some(v), delta = m.startsWith("memd_"))
+      case m if isFs(m) && FsStore.exists(m) =>
+        val v = try version.toLong catch {
+          case _: NumberFormatException => throw new NoSuchTableException(ident)
+        }
+        FsStore.versionAt(m, v) // validate at load: unknown → range error
+        new FsTable(m, Some(v), delta = m.startsWith("fsd_"))
       case _ => throw new NoSuchTableException(ident)
     }
 
-  /** `TIMESTAMP AS OF` needs a wall clock; the mem connector's version
-    * history is deliberately clock-free (deterministic tests), so the
-    * timestamp flavor is explicitly unsupported rather than wrong. */
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      s"graft catalog: TIMESTAMP AS OF is not supported (version history " +
-        "is clock-free); use VERSION AS OF")
+  /** `TIMESTAMP AS OF t` — served when the history was committed under
+    * the injectable [[GraftClock]] (deterministic, monotonic commit
+    * stamps; the production analog is the store's commit wall clock):
+    * the scan pins the NEWEST version whose stamp is ≤ t, exactly the
+    * Delta/Iceberg timestamp-travel contract. Tables written without a
+    * clock keep the loud refusal — version history stays clock-free by
+    * default so the DuckDB oracle is deterministic. Spark hands the
+    * timestamp in MICROSECONDS. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val tMs = timestamp / 1000L
+    ident.name() match {
+      case m if isMem(m) && MemStore.exists(m) =>
+        new MemTable(m, Some(MemStore.versionAsOfTimestamp(m, tMs)),
+          delta = m.startsWith("memd_"))
+      case m if isFs(m) && FsStore.exists(m) =>
+        new FsTable(m, Some(FsStore.versionAsOfTimestamp(m, tMs)),
+          delta = m.startsWith("fsd_"))
+      case _ => throw new NoSuchTableException(ident)
+    }
+  }
 
   /** Only `mem_*` tables are creatable — the synth family is generated. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table =
     ident.name() match {
-      case m if m.startsWith("mem_") || m.startsWith("memd_") =>
+      case m if isMem(m) =>
         require(partitions.isEmpty, "mem tables are unpartitioned")
         require(!m.endsWith("__changes"),
           "the __changes suffix is reserved for the change-data-feed relation")
         MemStore.create(m, schema)
         new MemTable(m, delta = m.startsWith("memd_"))
+      case m if isFs(m) =>
+        require(partitions.isEmpty, "fs tables are unpartitioned")
+        require(!m.endsWith("__changes"),
+          "the __changes suffix is reserved for the change-data-feed relation")
+        FsStore.create(m, schema)
+        new FsTable(m, delta = m.startsWith("fsd_"))
       case other =>
-        throw new UnsupportedOperationException(s"cannot create $other: only mem_* tables are writable")
+        throw new UnsupportedOperationException(
+          s"cannot create $other: only mem_*/memd_*/fs_*/fsd_* tables are writable")
     }
   /** Schema evolution on `mem_*`/`memd_*` tables — metadata-only, the
     * Iceberg contract: ALTER installs a new VERSION carrying the new
@@ -113,9 +154,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     * drop/reorder/type-change/non-null-add are refused loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val name = ident.name()
-    if (!((name.startsWith("mem_") || name.startsWith("memd_")) && MemStore.exists(name)))
+    if (isFs(name) && FsStore.exists(name)) return alterFsTable(ident, changes)
+    if (!(isMem(name) && MemStore.exists(name)))
       throw new NoSuchTableException(ident)
-    var schema = MemStore.schemaOf(name)
+    val base = MemStore.schemaOf(name)
+    var schema = base
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -141,14 +184,92 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
           "COLUMN and ADD COLUMN (nullable, at the end) evolve without a " +
           "data rewrite")
     }
-    MemStore.alterSchema(name, schema)
+    MemStore.alterSchema(name, base, schema)
     loadTable(ident)
   }
-  override def dropTable(ident: Identifier): Boolean =
-    if ((ident.name().startsWith("mem_") || ident.name().startsWith("memd_")) &&
-        MemStore.exists(ident.name())) {
-      MemStore.drop(ident.name()); true
-    } else false
+
+  /** Schema evolution on the FILE-BACKED table — metadata-only with
+    * FIELD-ID mapping ([[FsStore]] lineage), which widens the accepted
+    * shapes beyond the mem table's ADD/RENAME:
+    *  - ADD (nullable) COLUMN at the end — fresh field id;
+    *  - RENAME COLUMN — id unchanged, so old files keep serving it;
+    *  - ALTER COLUMN TYPE for the SAFE WIDENINGS (INT→BIGINT,
+    *    FLOAT→DOUBLE) — metadata-only under Iceberg's rules; readers
+    *    upcast old files' values at scan, and `VERSION AS OF` a
+    *    pre-widen version still reports the NARROW type (q293);
+    *  - DROP COLUMN — removed from the schema; because the read mapping
+    *    is by field id, a later re-ADD of the same NAME gets a fresh id
+    *    and can never resurrect the dropped values (q299). Dropping the
+    *    FIRST column is refused (it is the row-id / merge-on-read mask
+    *    key). Narrowings and reorders stay loud refusals. */
+  private def alterFsTable(ident: Identifier, changes: Seq[TableChange]): Table = {
+    val name = ident.name()
+    val base = FsStore.schemaOf(name)
+    var schema = base
+    var maxFieldId = FsStore.current(name).maxFieldId
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"graft catalog: nested ADD COLUMN unsupported (${add.fieldNames.mkString(".")})")
+        require(add.position() == null,
+          "graft catalog: ADD COLUMN appends at the end only")
+        require(add.isNullable,
+          "graft catalog: new columns must be nullable — existing files " +
+            "back-fill NULL at read (metadata-only evolution)")
+        require(!schema.fieldNames.contains(add.fieldNames()(0)),
+          s"graft catalog: column ${add.fieldNames()(0)} already exists")
+        require(FsParquet.supportedType(add.dataType()),
+          s"graft catalog: unsupported fs column type ${add.dataType().simpleString}")
+        maxFieldId += 1
+        schema = StructType(schema.fields :+ FsStore.withFieldId(
+          StructField(add.fieldNames()(0), add.dataType(), nullable = true),
+          maxFieldId))
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          s"graft catalog: nested RENAME unsupported (${rn.fieldNames.mkString(".")})")
+        val i = schema.fieldIndex(rn.fieldNames()(0))
+        require(!schema.fieldNames.contains(rn.newName()),
+          s"graft catalog: column ${rn.newName()} already exists")
+        schema = StructType(schema.fields.updated(i,
+          schema.fields(i).copy(name = rn.newName()))) // field id rides along
+      case up: TableChange.UpdateColumnType =>
+        require(up.fieldNames.length == 1,
+          s"graft catalog: nested type change unsupported (${up.fieldNames.mkString(".")})")
+        val i = schema.fieldIndex(up.fieldNames()(0))
+        val old = schema.fields(i).dataType
+        val widening = (old, up.newDataType()) match {
+          case (IntegerType, LongType) => true
+          case (FloatType, DoubleType) => true
+          case _ => false
+        }
+        require(widening,
+          s"graft catalog: only safe widenings evolve without a data " +
+            s"rewrite (INT->BIGINT, FLOAT->DOUBLE); got ${old.simpleString} " +
+            s"-> ${up.newDataType().simpleString} for ${up.fieldNames()(0)}")
+        schema = StructType(schema.fields.updated(i,
+          schema.fields(i).copy(dataType = up.newDataType())))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"graft catalog: nested DROP unsupported (${del.fieldNames.mkString(".")})")
+        val i = schema.fieldIndex(del.fieldNames()(0))
+        require(i != 0,
+          s"graft catalog: cannot drop the first column (${schema.fields(0).name}) " +
+            "— it is the table's row id / merge-on-read mask key")
+        schema = StructType(schema.fields.patch(i, Nil, 1))
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported table change $other — fs tables evolve " +
+          "via ADD/RENAME/WIDEN(int->bigint,float->double)/DROP only")
+    }
+    FsStore.alterSchema(name, base, schema, maxFieldId)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val m = ident.name()
+    if (isMem(m) && MemStore.exists(m)) { MemStore.drop(m); true }
+    else if (isFs(m) && FsStore.exists(m)) { FsStore.drop(m); true }
+    else false
+  }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog tables cannot be renamed")
 

@@ -70,7 +70,8 @@ object MemStore {
     * (where the verb is known exactly) rather than re-derived by
     * diffing snapshots: the change-data-feed currency. */
   final case class MemVersion(id: Long, schema: StructType,
-      rows: Vector[InternalRow], changes: Vector[(String, InternalRow)]) {
+      rows: Vector[InternalRow], changes: Vector[(String, InternalRow)],
+      tsMs: Long = -1L) {
     /** True iff this commit only appended rows — the precondition for
       * serving it through the plain (non-CDF) change feed. Recorded
       * here once instead of the r7 prefix re-scan of the WHOLE base
@@ -86,7 +87,8 @@ object MemStore {
 
   def create(name: String, schema: StructType): Unit =
     tables.putIfAbsent(name,
-      Vector(MemVersion(0L, schema, Vector.empty, Vector.empty)))
+      Vector(MemVersion(0L, schema, Vector.empty, Vector.empty,
+        GraftClock.next())))
   def exists(name: String): Boolean = tables.containsKey(name)
   def schemaOf(name: String): StructType = tables.get(name).last.schema
   def rows(name: String): Vector[InternalRow] = tables.get(name).last.rows
@@ -132,9 +134,27 @@ object MemStore {
       val last = prev.last
       val (schema, rows, changes) = next(last)
       requireCapacity(name, rows.size.toLong)
-      (prev :+ MemVersion(last.id + 1, schema, rows, changes))
+      (prev :+ MemVersion(last.id + 1, schema, rows, changes,
+        GraftClock.next()))
         .takeRight(MaxVersions)
     })
+
+  /** `TIMESTAMP AS OF t`: newest RETAINED version whose commit stamp is
+    * ≤ t. Only meaningful for histories committed under the injectable
+    * [[GraftClock]] — clock-free tables (tsMs = -1 everywhere) refuse,
+    * keeping the default history deterministic for the oracle. */
+  def versionAsOfTimestamp(name: String, tsMs: Long): Long = {
+    val hist = tables.get(name)
+    require(hist.last.tsMs >= 0,
+      s"graft_mem($name): table has no commit timestamps (written without " +
+        "a commit clock) — use VERSION AS OF, or install GraftClock before " +
+        "writing")
+    hist.reverseIterator.find(v => v.tsMs >= 0 && v.tsMs <= tsMs)
+      .map(_.id)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft_mem($name): no retained version committed at or before " +
+          s"timestamp $tsMs ms (earliest retained is ${hist.head.tsMs})"))
+  }
 
   def commitAppend(name: String, rows: Seq[InternalRow]): Unit =
     install(name)(v => (v.schema, v.rows ++ rows,
@@ -213,9 +233,18 @@ object MemStore {
     * The version's change log is empty (no row changed), so a change
     * feed crossing it delivers an empty slice, and `VERSION AS OF` a
     * pre-ALTER version keeps the OLD schema ([[MemVersion.schema]]). */
-  def alterSchema(name: String, newSchema: StructType): Unit =
+  def alterSchema(name: String, expectedBase: StructType,
+      newSchema: StructType): Unit =
     install(name)(v => {
       val old = v.schema
+      // the ALTER was computed against `expectedBase` OUTSIDE this atomic
+      // install; if another ALTER landed in between, applying this one
+      // would silently drop that change — compare names AND types and
+      // refuse instead (the caller re-reads and retries)
+      require(old == expectedBase,
+        s"graft_mem($name): concurrent schema change — ALTER was computed " +
+          s"against ${expectedBase.simpleString} but the table is now " +
+          s"${old.simpleString}; re-read the schema and retry")
       require(newSchema.length >= old.length &&
         old.fields.zip(newSchema.fields).forall {
           case (a, b) => a.dataType == b.dataType
@@ -247,7 +276,8 @@ object MemStore {
         requireCapacity(name, next.size.toLong)
         lastEpoch.put(key, epochId) // inside compute: serialized per table
         (prev :+ MemVersion(last.id + 1, last.schema, next,
-          rows.iterator.map((OpInsert, _)).toVector)).takeRight(MaxVersions)
+          rows.iterator.map((OpInsert, _)).toVector,
+          GraftClock.next())).takeRight(MaxVersions)
       }
     })
 
@@ -404,6 +434,8 @@ class MemTable(name: String, pinnedVersion: Option[Long] = None,
     val startingVersion = Option(options.get("startingVersion")).map(_.toLong)
     val maxRowsPerBatch =
       Option(options.get("maxRowsPerBatch")).map(_.toLong).getOrElse(Long.MaxValue)
+    val maxBytesPerBatch =
+      Option(options.get("maxBytesPerBatch")).map(_.toLong).getOrElse(Long.MaxValue)
     () => new Scan with Batch with SupportsReportStatistics {
       // one consistent version per scan: the pinned snapshot for a
       // VERSION AS OF relation, else the latest committed version
@@ -467,7 +499,8 @@ class MemTable(name: String, pinnedVersion: Option[Long] = None,
         * `_change_type` rows instead. */
       override def toMicroBatchStream(checkpointLocation: String)
           : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-        new MemChangeFeed(name, cdf, startingVersion, maxRowsPerBatch)
+        new MemChangeFeed(name, cdf, startingVersion, maxRowsPerBatch,
+          maxBytesPerBatch)
     }
   }
 
@@ -696,6 +729,17 @@ class MemReaderFactory(schema: StructType) extends PartitionReaderFactory {
       private var ur: UnsafeRow = _
       private def pad(r: InternalRow): InternalRow =
         if (r.numFields == types.length) r
+        else if (r.numFields > types.length)
+          // a row WIDER than the scan schema: the stream's dataSchema is
+          // fixed at start, so a mid-stream ALTER + append produced rows
+          // this reader cannot map; fail with the contract instead of an
+          // ArrayIndexOutOfBounds (CDF mode documents the same
+          // fixed-at-start contract and truncates typed change rows)
+          throw new IllegalStateException(
+            s"mem read: row has ${r.numFields} fields but the scan schema " +
+              s"has ${types.length} — the table schema evolved after this " +
+              "stream started (dataSchema is fixed at start); restart the " +
+              "stream to pick up the widened schema")
         else {
           val g = new GenericInternalRow(types.length)
           var j = 0
@@ -748,10 +792,19 @@ case class MemOffset(version: Long, pos: Long)
   override def json(): String = s"$version:$pos"
 }
 object MemOffset {
-  def parse(json: String): MemOffset = {
-    val Array(v, p) = json.split(":", 2)
-    MemOffset(v.toLong, p.toLong)
-  }
+  def parse(json: String): MemOffset =
+    json.split(":", 2) match {
+      case Array(v, p) => MemOffset(v.toLong, p.toLong)
+      case _ =>
+        // a checkpoint from the pre-(version:pos) offset format: the old
+        // single number meant "version fully delivered", but the slice
+        // length it implied is not recoverable here — refuse with the
+        // incompatibility spelled out instead of an opaque MatchError
+        throw new IllegalStateException(
+          s"mem change feed: offset '$json' uses the legacy single-number " +
+            "format; this checkpoint predates (version:pos) offsets — " +
+            "restart the stream from a fresh checkpoint")
+    }
 }
 
 /** The mem table's change feed (see `toMicroBatchStream`): per-commit
@@ -764,10 +817,11 @@ object MemOffset {
   * consumers that only want what is still retained), or at an explicit
   * `startingVersion`. */
 class MemChangeFeed(name: String, cdf: Boolean,
-    startingVersion: Option[Long], maxRowsPerBatch: Long)
+    startingVersion: Option[Long], maxRowsPerBatch: Long,
+    maxBytesPerBatch: Long = Long.MaxValue)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadAllAvailable, ReadLimit, ReadMaxRows}
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxRows}
 
   // the stream's data schema is fixed at start (current table schema);
   // a mid-stream ALTER widens future reads only after restart — the
@@ -776,6 +830,15 @@ class MemChangeFeed(name: String, cdf: Boolean,
 
   private def sliceLen(v: Long): Long =
     MemStore.versionAt(name, v).changes.size.toLong
+
+  /** Exact byte size of one committed change row: commits serialize
+    * through UnsafeRow, so the size is just read off the blob encoding;
+    * rows of other representations fall back to the schema estimate. */
+  private def rowBytes(r: InternalRow): Long = r match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+      u.getSizeInBytes.toLong
+    case _ => dataSchema.defaultSize.toLong + 8L
+  }
 
   override def prepareForTriggerAvailableNow(): Unit = ()
   override def initialOffset(): Offset = {
@@ -792,25 +855,53 @@ class MemChangeFeed(name: String, cdf: Boolean,
   // passes it each batch; ReadAllAvailable appears only when the
   // wrapper pins its final target). The budget applies WITHIN a
   // version; a version boundary is always a batch boundary — a batch
-  // never mixes two commits' rows.
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxRowsPerBatch)
+  // never mixes two commits' rows. Rows and bytes COMPOSE: one
+  // wide-row commit cannot defeat a pure row budget (the Delta/Kafka
+  // admission shape), and UnsafeRow sizes make the byte budget exact.
+  override def getDefaultReadLimit: ReadLimit = {
+    val hasRows = maxRowsPerBatch != Long.MaxValue
+    val hasBytes = maxBytesPerBatch != Long.MaxValue
+    if (hasRows && hasBytes) ReadLimit.compositeLimit(
+      Array(ReadLimit.maxRows(maxRowsPerBatch), ReadLimit.maxBytes(maxBytesPerBatch)))
+    else if (hasBytes) ReadLimit.maxBytes(maxBytesPerBatch)
+    else ReadLimit.maxRows(maxRowsPerBatch)
+  }
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[MemOffset]
     val head = MemStore.currentVersion(name)
     limit match {
       case _: ReadAllAvailable => MemOffset(head, sliceLen(head))
-      case r: ReadMaxRows => advance(s, head, r.maxRows)
-      case _ => advance(s, head, maxRowsPerBatch)
+      case r: ReadMaxRows => advance(s, head, r.maxRows, maxBytesPerBatch)
+      case b: ReadMaxBytes => advance(s, head, maxRowsPerBatch, b.maxBytes)
+      case c: CompositeReadLimit =>
+        val (rB, bB) = c.getReadLimits.foldLeft((Long.MaxValue, Long.MaxValue)) {
+          case ((r0, b0), r: ReadMaxRows) => (math.min(r0, r.maxRows), b0)
+          case ((r0, b0), b: ReadMaxBytes) => (r0, math.min(b0, b.maxBytes))
+          case (acc, _) => acc
+        }
+        advance(s, head, rB, bB)
+      case _ => advance(s, head, maxRowsPerBatch, maxBytesPerBatch)
     }
   }
-  private def advance(s: MemOffset, head: Long, budget: Long): MemOffset = {
-    val b = math.max(1L, budget)
-    val len = sliceLen(s.version)
-    if (s.pos < len) MemOffset(s.version, math.min(len, s.pos + b))
-    else if (s.version < head) {
-      val v2 = s.version + 1
-      MemOffset(v2, math.min(sliceLen(v2), b))
-    } else s
+  private def advance(s: MemOffset, head: Long, rowBudget: Long,
+      byteBudget: Long): MemOffset = {
+    val (v, pos) =
+      if (s.pos < sliceLen(s.version)) (s.version, s.pos)
+      else if (s.version < head) (s.version + 1, 0L)
+      else return s
+    val changes = MemStore.versionAt(name, v).changes
+    // an empty change set (a metadata-only ALTER) is its own empty
+    // batch — the offset still has to cross it one version at a time
+    if (changes.isEmpty) return MemOffset(v, 0L)
+    // at least one row per batch (progress), then admit while BOTH
+    // budgets hold; exact per-row sizes from the UnsafeRow encoding
+    var p = pos + 1
+    var bytes = rowBytes(changes(pos.toInt)._2)
+    while (p < changes.size && (p - pos) < math.max(1L, rowBudget) && {
+      val b = rowBytes(changes(p.toInt)._2)
+      if (bytes + b <= byteBudget) { bytes += b; true } else false
+    }) p += 1
+    MemOffset(v, p)
   }
   override def reportLatestOffset(): Offset = {
     val head = MemStore.currentVersion(name)

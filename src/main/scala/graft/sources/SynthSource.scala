@@ -1576,8 +1576,12 @@ object SynthSource {
       // at start, restored after — the EventStreams drain pattern)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q =
-        try s.readStream.table("graft.synth_100000_8")
+      // the stream thread captures the conf asynchronously after start()
+      // (session clone + OffsetSeqMetadata), so the pin must stay set
+      // until awaitTermination — the first batch writes it into the
+      // checkpoint, which pins it for every later run of this lineage
+      try {
+        val q = s.readStream.table("graft.synth_100000_8")
           .groupBy("bucket")
           .agg(count(lit(1)).as("n"), sum("h").as("sum_h"))
           .writeStream.outputMode("complete").format("memory")
@@ -1585,12 +1589,18 @@ object SynthSource {
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      q.awaitTermination()
-      s.read.format("statestore").load(ckpt)
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val state = s.read.format("statestore").load(ckpt)
         .select(col("key.bucket").as("bucket"),
           col("value.count").as("n"), col("value.sum").as("sum_h"))
         .orderBy("bucket")
+      // the state rows are materialized before the checkpoint dir (this
+      // query's scratch space, recreated per run) is deleted — leaving
+      // it would leak a temp dir per bench/verify run
+      val out = state.localCheckpoint(true)
+      graft.Tables.deleteRecursively(new java.io.File(ckpt))
+      out
     },
     Some(s"""WITH t AS (
            |  SELECT x * ${SynthTable.Mult} % ${SynthTable.HMod} AS h,
@@ -1602,10 +1612,126 @@ object SynthSource {
            |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin)
   )
 
+  /** q298: `transformWithState` STATE read through the State Data
+    * Source — q286 covers aggregation-operator state; this pins the
+    * state flavor the repo's own TWS queries (q253/q263/q268)
+    * accumulate: NAMED state variables. One drain keeps TWO vars per
+    * bucket — a ValueState "agg" (count, Σh) and a ListState "keep"
+    * (every h ≡ 0 mod 5, a set so the rebuilt state is arrival-order
+    * independent) — then two batch reads with `stateVarName` select
+    * each var from the SAME checkpoint (`flattenCollectionTypes`
+    * default flattens the list to one row per element). Both rebuilt
+    * states are closed-form over `range()`, so a state row lost to a
+    * failed RocksDB commit, double-applied on replay, or routed to the
+    * wrong variable breaks the hash. This is the 100 TB debug story
+    * for the API that owns arbitrary state: query the variable, not
+    * the logs. */
+  val q298TwsStateRead = graft.QueryDef(
+    "q298_dsv2_tws_state_read",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_q298_ckpt").toString
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = s.conf.getOption(providerKey)
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        val q = s.readStream.table("graft.synth_100000_8")
+          .select(col("bucket"), col("h")).as[(Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new BucketStateProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF()
+          .writeStream.outputMode("update").format("memory")
+          .queryName("q298_sink")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        prevProvider.fold(s.conf.unset(providerKey))(s.conf.set(providerKey, _))
+      }
+      val agg = s.read.format("statestore")
+        .option("stateVarName", "agg").load(ckpt)
+        .select(col("key.value").as("bucket"),
+          // TWS value structs carry the ENCODER's field names (the
+          // tuple's _1/_2) — not query aliases; part of the pinned surface
+          col("value._1").as("n"), col("value._2").as("metric"))
+        .withColumn("var", lit("agg"))
+      val keep = s.read.format("statestore")
+        .option("stateVarName", "keep").load(ckpt)
+        .groupBy(col("key.value").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("list_element.value").as("metric"))
+        .withColumn("var", lit("keep"))
+      val out = agg.unionByName(keep)
+        .select("var", "bucket", "n", "metric")
+        .orderBy("var", "bucket")
+        .localCheckpoint(true) // materialize before the scratch ckpt dir goes
+      graft.Tables.deleteRecursively(new java.io.File(ckpt))
+      out
+    },
+    Some(s"""WITH t AS (
+           |  SELECT x * ${SynthTable.Mult} % ${SynthTable.HMod} AS h,
+           |    x * ${SynthTable.Mult} % ${SynthTable.HMod} % ${SynthTable.BMod}
+           |      AS bucket
+           |  FROM range(0, 100000) r(x)),
+           |agg AS (
+           |  SELECT 'agg' AS var, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(h) AS BIGINT) AS metric
+           |  FROM t GROUP BY 2),
+           |keep AS (
+           |  SELECT 'keep' AS var, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(h) AS BIGINT) AS metric
+           |  FROM t WHERE h % 5 = 0 GROUP BY 2)
+           |SELECT * FROM agg UNION ALL SELECT * FROM keep
+           |ORDER BY var, bucket""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q208Dsv2Scan, q209Dsv2AggPushdown,
     q210Dsv2TopN, q215SpjJoin, q216RuntimePrune, q228WriteRoundtrip,
     q245Dsv2Delete, q248TimeTravel, q254ReplaceWhere, q255StreamingRead,
     q264MetadataColumn, q266Dsv2Update, q267Dsv2Merge, q272DeltaMerge,
     q273VersionCdc, q278ChangeFeed, q279SchemaEvolution, q280CdfStream,
-    q281CdfBatch, q282CdfEvolution, q283MemStatsJoin, q286StateStoreRead)
+    q281CdfBatch, q282CdfEvolution, q283MemStatsJoin, q286StateStoreRead,
+    q298TwsStateRead)
+}
+
+/** Per-bucket TWS processor for q298: two NAMED state variables so the
+  * state source read exercises variable selection — a ValueState
+  * (count, Σh) updated per batch and a ListState holding every h ≡ 0
+  * (mod 5). List contents form a deterministic SET regardless of batch
+  * slicing; the reader aggregates them, so ordering never matters. */
+class BucketStateProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long)] {
+  @transient private var agg: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+  @transient private var keep: org.apache.spark.sql.streaming.ListState[Long] = _
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    agg = getHandle.getValueState[(Long, Long)]("agg",
+      org.apache.spark.sql.Encoders.product[(Long, Long)],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+    keep = getHandle.getListState[Long]("keep",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Long)] = {
+    var (n, s) = if (agg.exists()) agg.get() else (0L, 0L)
+    val kept = Vector.newBuilder[Long]
+    rows.foreach { case (_, h) =>
+      n += 1; s += h
+      if (h % 5 == 0) kept += h
+    }
+    agg.update((n, s))
+    val ks = kept.result()
+    if (ks.nonEmpty) keep.appendList(ks.toArray)
+    Iterator.single((key, n, s))
+  }
 }

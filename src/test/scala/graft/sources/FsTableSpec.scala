@@ -1,0 +1,322 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The FILE-BACKED connector (`fs_*` / `fsd_*`): the MemTable protocol
+  * with parquet files as the commit currency — two-phase file commits,
+  * abort-leaves-no-files, merge-on-read deltas, CDF, schema evolution
+  * with field ids (incl. type WIDENING and DROP), timestamp travel under
+  * the injectable commit clock, and byte-budget feed admission. */
+class FsTableSpec extends SparkSpec {
+  import graft.TestSession.spark.implicits._
+
+  private def cat(): Unit =
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  private def drop(t: String): Unit = spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+
+  /** Every parquet file under the table dir (data files only). */
+  private def dataFiles(t: String): Set[String] = {
+    val d = FsStore.tableDir(t).resolve("data")
+    if (!Files.isDirectory(d)) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(d).iterator().asScala.map(_.toString).toSet
+    }
+  }
+
+  test("fs: two-phase parquet commit — create/append round-trip, files on disk, no rows on the driver") {
+    cat(); drop("fs_rt")
+    val src = (0L until 1000L).map(k => (k, k * 3 % 97, s"s$k")).toDF("k", "v", "tag")
+    src.filter($"k" % 2 === 0).writeTo("graft.fs_rt").create()
+    src.filter($"k" % 2 === 1).writeTo("graft.fs_rt").append()
+    val back = spark.table("graft.fs_rt")
+    assert(back.count() == 1000)
+    assert(back.agg(sum("k"), sum("v")).head() ==
+      src.agg(sum("k"), sum("v")).head())
+    // string column round-trips through parquet binary
+    assert(back.filter($"k" === 123L).head().getString(2) == "s123")
+    // the snapshot is FILES, referenced by the manifest
+    val ver = FsStore.current("fs_rt")
+    assert(ver.files.nonEmpty && ver.files.forall(f => Files.exists(Paths.get(f.path))))
+    assert(ver.rowCount == 1000 && ver.files.map(_.rows).sum == 1000)
+    // every on-disk file is referenced (no orphans from these commits)
+    assert(dataFiles("fs_rt") == ver.files.map(_.path).toSet)
+    drop("fs_rt")
+  }
+
+  test("fs: a failed write job leaves NO files and the committed version intact") {
+    cat(); drop("fs_ab")
+    (0L until 100L).map(k => (k, k)).toDF("k", "v").writeTo("graft.fs_ab").create()
+    val before = dataFiles("fs_ab")
+    val verBefore = FsStore.currentVersion("fs_ab")
+    val boom = udf((k: Long) => {
+      if (k == 77L) throw new RuntimeException("planted failure"); k
+    })
+    intercept[Exception] {
+      (0L until 100L).map(k => (k, k)).toDF("k", "v")
+        .repartition(4)
+        .select(boom($"k").as("k"), $"v")
+        .writeTo("graft.fs_ab").append()
+    }
+    assert(FsStore.currentVersion("fs_ab") == verBefore,
+      "a failed job must not install a version")
+    assert(dataFiles("fs_ab") == before,
+      "task/driver abort must delete every file the failed job wrote")
+    assert(spark.table("graft.fs_ab").count() == 100)
+    drop("fs_ab")
+  }
+
+  test("fs: copy-on-write UPDATE and metadata-free DELETE rewrite through new files") {
+    cat(); drop("fs_cow")
+    (0L until 500L).map(k => (k, k % 10)).toDF("k", "v").writeTo("graft.fs_cow").create()
+    spark.sql("UPDATE graft.fs_cow SET v = v + 100 WHERE k % 5 = 0")
+    spark.sql("DELETE FROM graft.fs_cow WHERE k % 7 = 0")
+    val got = spark.table("graft.fs_cow")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv")).head()
+    val want = (0L until 500L).map(k => (k, k % 10 + (if (k % 5 == 0) 100 else 0)))
+      .filter(_._1 % 7 != 0)
+    assert(got.getLong(0) == want.size && got.getLong(1) == want.map(_._2).sum)
+    drop("fs_cow")
+  }
+
+  test("fsd: merge-on-read delta MERGE — key files mask old data files, no rewrite") {
+    cat(); drop("fsd_mor")
+    (0L until 400L).map(k => (k, k % 13)).toDF("k", "v").writeTo("graft.fsd_mor").create()
+    val baseFiles = FsStore.current("fsd_mor").files.map(_.path).toSet
+    Seq.tabulate(100)(i => (i * 4L, 999L)) // 100 updates (k % 4 == 0)
+      .toDF("k", "v").createOrReplaceTempView("fsd_mor_src")
+    spark.sql("""MERGE INTO graft.fsd_mor t USING fsd_mor_src s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                |WHEN NOT MATCHED BY SOURCE AND t.k % 9 = 1 THEN DELETE
+                |""".stripMargin)
+    val ver = FsStore.current("fsd_mor")
+    assert(baseFiles.subsetOf(ver.files.map(_.path).toSet),
+      "merge-on-read must keep the base files (no rewrite)")
+    assert(ver.masks.nonEmpty, "the delta commit must install a key mask")
+    val want = (0L until 400L).flatMap { k =>
+      if (k % 4 == 0) Some((k, 999L))
+      else if (k % 9 == 1) None
+      else Some((k, k % 13))
+    }
+    val got = spark.table("graft.fsd_mor").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == want.sortBy(_._1))
+    // second delta stacks: update a previously-updated key, delete another
+    Seq((0L, 1L)).toDF("k", "v").createOrReplaceTempView("fsd_mor_src2")
+    spark.sql("""MERGE INTO graft.fsd_mor t USING fsd_mor_src2 s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                |""".stripMargin)
+    assert(spark.table("graft.fsd_mor").filter($"k" === 0L).head().getLong(1) == 1L)
+    drop("fsd_mor")
+  }
+
+  test("fsd: batch CDF reconstructs exact pre/post images at read, startingVersion slices") {
+    cat(); drop("fsd_cdf")
+    (0L until 300L).map(k => (k, k % 11)).toDF("k", "v").writeTo("graft.fsd_cdf").create()
+    Seq.tabulate(30)(i => (i * 10L, -1L)).toDF("k", "v")
+      .createOrReplaceTempView("fsd_cdf_src")
+    spark.sql("""MERGE INTO graft.fsd_cdf t USING fsd_cdf_src s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                |WHEN NOT MATCHED BY SOURCE AND t.k % 8 = 3 THEN DELETE
+                |""".stripMargin)
+    val ch = spark.read.option("startingVersion", "2")
+      .table("graft.fsd_cdf__changes")
+      .groupBy("_change_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sk"), sum("v").as("sv"))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toList
+    val updKeys = (0L until 300L).filter(_ % 10 == 0)
+    val delKeys = (0L until 300L).filter(k => k % 10 != 0 && k % 8 == 3)
+    assert(ch == List(
+      ("delete", delKeys.size.toLong, delKeys.sum, delKeys.map(_ % 11).sum),
+      ("update_postimage", updKeys.size.toLong, updKeys.sum, -updKeys.size.toLong),
+      ("update_preimage", updKeys.size.toLong, updKeys.sum, updKeys.map(_ % 11).sum)))
+    drop("fsd_cdf")
+  }
+
+  test("fs: schema evolution — ADD, WIDEN int->bigint, VERSION AS OF keeps the narrow type, DROP cannot resurrect") {
+    cat(); drop("fs_evo")
+    // int value column: the widening target
+    (0 until 200).map(k => (k.toLong, k % 7)).toDF("k", "v").writeTo("graft.fs_evo").create()
+    val vNarrow = FsStore.currentVersion("fs_evo")
+    assert(spark.table("graft.fs_evo").schema("v").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    spark.sql("ALTER TABLE graft.fs_evo ALTER COLUMN v TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.fs_evo ADD COLUMN extra BIGINT")
+    (200 until 300).map(k => (k.toLong, k.toLong * 2, k.toLong * 3))
+      .toDF("k", "v", "extra").writeTo("graft.fs_evo").append()
+    val head = spark.table("graft.fs_evo")
+    assert(head.schema("v").dataType == org.apache.spark.sql.types.LongType)
+    // old files upcast at read; new column NULL-padded on old rows
+    val agg = head.agg(sum("v"), sum(coalesce($"extra", lit(-1L))), count(lit(1))).head()
+    val wantV = (0 until 200).map(_ % 7).sum.toLong + (200 until 300).map(_ * 2L).sum
+    val wantE = -200L + (200 until 300).map(_ * 3L).sum
+    assert(agg.getLong(0) == wantV && agg.getLong(1) == wantE && agg.getLong(2) == 300)
+    // pinned pre-ALTER version: NARROW type, old column set
+    val pre = spark.sql(s"SELECT * FROM graft.fs_evo VERSION AS OF $vNarrow")
+    assert(pre.schema("v").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(pre.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(pre.count() == 200)
+    // DROP + re-ADD same name: fresh field id, old values must NOT resurrect
+    spark.sql("ALTER TABLE graft.fs_evo DROP COLUMN extra")
+    assert(spark.table("graft.fs_evo").schema.fieldNames.toSeq == Seq("k", "v"))
+    spark.sql("ALTER TABLE graft.fs_evo ADD COLUMN extra BIGINT")
+    val re = spark.table("graft.fs_evo").agg(count($"extra")).head().getLong(0)
+    assert(re == 0, s"re-added column must be NULL everywhere (got $re non-null)")
+    // narrowing stays a loud refusal
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.fs_evo ALTER COLUMN v TYPE INT")
+    }
+    // Spark's analyzer refuses the narrowing before the catalog even
+    // sees it (NOT_SUPPORTED_CHANGE_COLUMN); the catalog's own guard
+    // backs it for direct alterTable calls
+    assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      e.getMessage.contains("widen"))
+    intercept[Exception] {
+      new GraftCatalog().alterTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "fs_evo"),
+        org.apache.spark.sql.connector.catalog.TableChange.updateColumnType(
+          Array("v"), org.apache.spark.sql.types.IntegerType))
+    }
+    drop("fs_evo")
+  }
+
+  test("TIMESTAMP AS OF under the injectable commit clock (fs and mem); clock-free tables refuse") {
+    cat(); drop("fs_tt"); drop("mem_tt")
+    try {
+      GraftClock.set(1000000L, 1000L) // ms: v0=1000000, each commit +1s
+      (0L until 50L).map(k => (k, 1L)).toDF("k", "v").writeTo("graft.fs_tt").create()
+      (0L until 50L).map(k => (k, 2L)).toDF("k", "v").writeTo("graft.fs_tt").append()
+      (0L until 50L).map(k => (k, 3L)).toDF("k", "v").writeTo("graft.fs_tt").append()
+      // ts between v1 (create+write = versions 0,1) and v2
+      val t1 = FsStore.versionAt("fs_tt", 1L).tsMs
+      val pinned = spark.read.option("x", "y")
+        .table("graft.fs_tt") // sanity: head has 150
+      assert(pinned.count() == 150)
+      val asOf = spark.sql(
+        s"SELECT sum(v) AS sv FROM graft.fs_tt TIMESTAMP AS OF " +
+          s"timestamp_millis(${t1 + 500L})").head().getLong(0)
+      assert(asOf == 50L, "timestamp between v1 and v2 must pin v1")
+      // mem flavor
+      (0L until 20L).map(k => (k, 1L)).toDF("k", "v").writeTo("graft.mem_tt").create()
+      (0L until 20L).map(k => (k, 2L)).toDF("k", "v").writeTo("graft.mem_tt").append()
+      val m1 = MemStore.versionAt("mem_tt", 1L).tsMs
+      val memAsOf = spark.sql(
+        s"SELECT sum(v) AS sv FROM graft.mem_tt TIMESTAMP AS OF " +
+          s"timestamp_millis(${m1 + 1L})").head().getLong(0)
+      assert(memAsOf == 20L)
+    } finally GraftClock.clear()
+    // clock-free history → loud refusal
+    drop("fs_ntt")
+    (0L until 5L).map(k => (k, k)).toDF("k", "v").writeTo("graft.fs_ntt").create()
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.fs_ntt TIMESTAMP AS OF timestamp_millis(99)").collect()
+    }
+    assert(e.getMessage.contains("commit clock") || e.getMessage.contains("timestamps"))
+    drop("fs_tt"); drop("mem_tt"); drop("fs_ntt")
+  }
+
+  test("fs change feed: plain feed paces one version per batch; byte budget splits a fat commit") {
+    cat(); drop("fs_feed")
+    // incompressible-ish payload (md5 hex per row) so the manifest's
+    // parquet byte counts actually scale with rows
+    val src = (0L until 3000L).map(k =>
+      (k, Seq.tabulate(4)(i => graft.sources.FsTableSpec.md5Hex(s"$k-$i")).mkString))
+      .toDF("k", "payload")
+    src.filter($"k" < 1000L).writeTo("graft.fs_feed").create()
+    src.filter($"k" >= 1000L && $"k" < 2000L).writeTo("graft.fs_feed").append()
+    src.filter($"k" >= 2000L).writeTo("graft.fs_feed").append()
+    // version-paced drain: 3 non-empty batches (one per commit)
+    val q1 = spark.readStream.table("graft.fs_feed")
+      .writeStream.format("memory").queryName("fs_feed_sink1")
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    val b1 = q1.recentProgress.filter(_.numInputRows > 0)
+    assert(b1.length >= 3, s"expected >=3 version-paced batches, got ${b1.length}")
+    assert(spark.table("fs_feed_sink1").count() == 3000)
+    // byte budget: each row is >128 bytes on disk, so 30k-byte batches
+    // must split each 1000-row commit into several micro-batches
+    val q2 = spark.readStream.option("maxBytesPerBatch", "30000")
+      .table("graft.fs_feed")
+      .writeStream.format("memory").queryName("fs_feed_sink2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val b2 = q2.recentProgress.filter(_.numInputRows > 0)
+    assert(b2.length > b1.length,
+      s"byte budget must split fat commits (${b2.length} vs ${b1.length})")
+    assert(b2.forall(_.numInputRows <= 1000),
+      "a batch must never span a version boundary")
+    assert(spark.table("fs_feed_sink2").agg(sum("k")).head().getLong(0) ==
+      (0L until 3000L).sum)
+    spark.catalog.dropTempView("fs_feed_sink1")
+    spark.catalog.dropTempView("fs_feed_sink2")
+    drop("fs_feed")
+  }
+
+  test("mem change feed: composed row+byte budgets — wide rows split on bytes, totals intact") {
+    cat(); drop("mem_fat")
+    val fat = (0L until 400L).map(k => (k, "y" * 500)).toDF("k", "payload")
+    fat.writeTo("graft.mem_fat").create() // one fat commit, ~500B+ rows
+    val q = spark.readStream
+      .option("maxRowsPerBatch", "1000")     // rows alone would take all 400
+      .option("maxBytesPerBatch", "50000")   // ~100 rows per batch by bytes
+      .table("graft.mem_fat")
+      .writeStream.format("memory").queryName("mem_fat_sink")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3,
+      s"byte budget must split the fat commit (got ${batches.length} batches)")
+    assert(spark.table("mem_fat_sink").agg(count(lit(1)), sum("k")).head() ==
+      org.apache.spark.sql.Row(400L, (0L until 400L).sum))
+    spark.catalog.dropTempView("mem_fat_sink")
+    drop("mem_fat")
+  }
+
+  test("fs: plain feed refuses non-append history; __changes serves it typed") {
+    cat(); drop("fs_ref")
+    (0L until 100L).map(k => (k, k)).toDF("k", "v").writeTo("graft.fs_ref").create()
+    spark.sql("UPDATE graft.fs_ref SET v = 0 WHERE k % 2 = 0") // CoW: non-append
+    val q = spark.readStream.table("graft.fs_ref")
+      .writeStream.format("memory").queryName("fs_ref_sink")
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("non-append") || Option(e.getCause).exists(
+      _.getMessage.contains("non-append")))
+    spark.catalog.dropTempView("fs_ref_sink")
+    // typed feed serves the same history
+    val typed = spark.read.table("graft.fs_ref__changes")
+      .groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(typed("delete") == 100L) // CoW truncate-install: delete-all
+    assert(typed("insert") == 200L) // create + reinsert
+    drop("fs_ref")
+  }
+
+  // (companion helpers at the bottom of the file)
+
+  test("fs: TRUNCATE + catalog listing + unsupported column type refused at create") {
+    cat(); drop("fs_misc")
+    (0L until 10L).map(k => (k, k)).toDF("k", "v").writeTo("graft.fs_misc").create()
+    assert(spark.sql("SHOW TABLES IN graft").collect()
+      .map(_.getString(1)).contains("fs_misc"))
+    spark.sql("TRUNCATE TABLE graft.fs_misc")
+    assert(spark.table("graft.fs_misc").count() == 0)
+    val e = intercept[Exception] {
+      Seq((1L, Array(1.0f, 2.0f))).toDF("k", "vec").writeTo("graft.fs_bad").create()
+    }
+    assert(e.getMessage.contains("unsupported column type"))
+    drop("fs_misc")
+  }
+}
+
+object FsTableSpec {
+  def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+}
