@@ -37,8 +37,16 @@ object Bench {
 
   /** Largest stdout line the driver's tail window is guaranteed to hold
     * (window is 2,000 chars; 50 spare covers a trailing newline plus any
-    * truncated partial line ahead of ours). */
-  val MaxLineChars = 1950
+    * truncated partial line ahead of ours).
+    *
+    * Round-9 correction: the driver's snapshot is the LAST 2000 chars of
+    * the whole process output, and sbt prints a `[success] Total time:
+    * 1521 s (25:21), completed …` trailer (~76 chars) AFTER our line —
+    * r8's 1950-char line + trailer = 2027 chars, which truncated the
+    * JSON's head out of the window (`BENCH_r08.json "parsed": null`).
+    * Budget the trailer in: 1860 + 76 + newlines stays inside 2000 with
+    * margin for a longer wall-clock string. */
+  val MaxLineChars = 1860
 
   /** Compact JSON number: `dp` decimals, trailing zeros stripped. */
   private def fmt(v: Double, dp: Int): String =

@@ -494,6 +494,71 @@ object FsStore {
         v.rowCount - delN + insFiles.map(_.rows).sum)
     }
 
+  /** Snapshot EXPIRY (Iceberg's `expireSnapshots`, Delta's log
+    * retention): drop manifests older than the newest `keep` versions.
+    * Version ids stay monotonic and an expired id becomes a load-time
+    * range error (never a silent remap) — the mem store's MaxVersions
+    * contract, here an explicit maintenance call because a FILE store's
+    * natural bound is disk, not driver heap. Data files are NOT touched
+    * (they may be shared with retained versions); [[vacuum]] reclaims
+    * the ones no retained manifest references. */
+  def expireVersions(name: String, keep: Int): Long = {
+    require(keep >= 1, "must retain at least the head version")
+    val head = currentVersion(name)
+    val cutoff = head - keep + 1
+    var dropped = 0L
+    (0L until cutoff).foreach { v =>
+      val p = logDir(name).resolve(f"v$v%05d.json")
+      if (Files.deleteIfExists(p)) dropped += 1
+    }
+    dropped
+  }
+
+  /** Oldest version still retained (after any [[expireVersions]]). */
+  def oldestVersion(name: String): Long = {
+    val d = logDir(name)
+    Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong }
+      .min
+  }
+
+  /** VACUUM: delete every data/key file under the table dir that NO
+    * retained manifest references — orphans from aborted or lost jobs
+    * (a task that died between writing and abort) and files whose last
+    * referencing version was expired. Two-phase safety holds because
+    * readers resolve files only through manifests: a file can be
+    * deleted here iff no retained manifest names it, and commits
+    * publish (rename) before returning, so there is no window where a
+    * committed file looks unreferenced. Returns (files, bytes)
+    * reclaimed. */
+  def vacuum(name: String): (Long, Long) = {
+    val d = dataDir(name)
+    if (!Files.isDirectory(d)) return (0L, 0L)
+    val referenced: Set[String] = {
+      val head = currentVersion(name)
+      (oldestVersion(name) to head).iterator
+        .map(versionAt(name, _))
+        .flatMap { v =>
+          v.files.iterator.map(_.path) ++
+            v.masks.iterator.flatMap(_.keyFiles).map(_.path) ++
+            v.changes.iterator.flatMap(c =>
+              c.files.iterator.map(_.path) ++ c.keys.iterator.map(_.path) ++
+                c.masks.iterator.flatMap(_.keyFiles).map(_.path))
+        }.toSet
+    }
+    var files = 0L
+    var bytes = 0L
+    Files.list(d).iterator().asScala.toSeq.foreach { p =>
+      if (!referenced.contains(p.toString)) {
+        bytes += Files.size(p)
+        if (Files.deleteIfExists(p)) files += 1
+      }
+    }
+    (files, bytes)
+  }
+
   /** Metadata-only schema evolution (ADD / RENAME / WIDEN / DROP): a new
     * version with the SAME files and an appended lineage entry. Field
     * ids make DROP + later re-ADD of the same name safe: the re-added

@@ -127,7 +127,7 @@ class FsTable(name: String, pinnedVersion: Option[Long] = None,
       override def estimateStatistics(): Statistics = new Statistics {
         private val (n, bytes) =
           if (cdf) {
-            val from = startingVersion.getOrElse(0L)
+            val from = startingVersion.getOrElse(FsStore.oldestVersion(name))
             val vs = (from to snapVersion).map(FsStore.versionAt(name, _))
             (vs.iterator.flatMap(_.changes).map(_.rows).sum,
               vs.iterator.flatMap(_.changes).flatMap(_.files).map(_.bytes).sum)
@@ -139,8 +139,10 @@ class FsTable(name: String, pinnedVersion: Option[Long] = None,
 
       override def planInputPartitions(): Array[InputPartition] =
         if (cdf) {
-          val from = startingVersion.getOrElse(0L)
-          FsStore.versionAt(name, from) // validate: unknown → range error
+          // default = oldest RETAINED version (expiry must not brick a
+          // fresh consumer that only wants what is still retained)
+          val from = startingVersion.getOrElse(FsStore.oldestVersion(name))
+          FsStore.versionAt(name, from) // validate: expired/unknown → range error
           (from to snapVersion).iterator.flatMap { v =>
             FsStore.versionAt(name, v).changes.flatMap(c =>
               FsScanPlanner.changePartitions(c, v, ver.lineage, dataSchema))
@@ -336,8 +338,8 @@ class FsChangeFeed(name: String, cdf: Boolean, startingVersion: Option[Long],
 
   override def prepareForTriggerAvailableNow(): Unit = ()
   override def initialOffset(): Offset = {
-    val from = startingVersion.getOrElse(0L)
-    FsStore.versionAt(name, from) // validate
+    val from = startingVersion.getOrElse(FsStore.oldestVersion(name))
+    FsStore.versionAt(name, from) // validate: expired/unknown → range error
     MemOffset(from, 0L)
   }
   override def deserializeOffset(json: String): Offset = MemOffset.parse(json)

@@ -151,7 +151,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     * keeps the old schema — version-consistent reads across the change.
     * Only the two shapes representable without a data rewrite are
     * accepted: RENAME COLUMN and ADD (nullable) COLUMN at the end;
-    * drop/reorder/type-change/non-null-add are refused loudly. */
+    * drop/reorder/type-change/non-null-add are refused loudly. Type
+    * WIDENING and DROP live on the FILE-BACKED table ([[alterFsTable]]):
+    * they need per-file schemas + field ids, which the fs manifest has
+    * and the mem store's untyped `InternalRow` vectors structurally do
+    * not (a widened INT slot re-read as LONG is byte-level corruption
+    * without per-row era tags — the fs lineage is that tag, per file). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val name = ident.name()
     if (isFs(name) && FsStore.exists(name)) return alterFsTable(ident, changes)

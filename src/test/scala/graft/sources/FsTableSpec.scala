@@ -297,6 +297,59 @@ class FsTableSpec extends SparkSpec {
     drop("fs_ref")
   }
 
+  test("fs: snapshot expiry + vacuum — expired versions error loudly, orphans reclaimed, shared files survive") {
+    cat(); drop("fs_gc")
+    (0L until 300L).map(k => (k, k)).toDF("k", "v").writeTo("graft.fs_gc").create()
+    (300L until 600L).map(k => (k, k)).toDF("k", "v").writeTo("graft.fs_gc").append()
+    (600L until 900L).map(k => (k, k)).toDF("k", "v").writeTo("graft.fs_gc").append()
+    // plant an orphan (a task that died between write and abort)
+    val orphan = FsStore.newFilePath("fs_gc", "orphan")
+    java.nio.file.Files.write(java.nio.file.Paths.get(orphan), Array[Byte](1, 2, 3))
+    // vacuum BEFORE expiry: only the orphan goes (all files referenced)
+    val (f1, b1) = FsStore.vacuum("fs_gc")
+    assert(f1 == 1 && b1 == 3 && !java.nio.file.Files.exists(java.nio.file.Paths.get(orphan)))
+    // expire all but the head 2 versions
+    val dropped = FsStore.expireVersions("fs_gc", keep = 2)
+    assert(dropped >= 1 && FsStore.oldestVersion("fs_gc") == 2L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.fs_gc VERSION AS OF 0").collect()
+    }
+    assert(e.getMessage.contains("no version"))
+    // data files shared into retained manifests MUST survive a vacuum
+    val (f2, _) = FsStore.vacuum("fs_gc")
+    assert(f2 == 0, "append-only history: every data file is still referenced")
+    assert(spark.table("graft.fs_gc").count() == 900)
+    // the CDF default start follows the oldest RETAINED version
+    val ch = spark.read.table("graft.fs_gc__changes")
+      .agg(min("_commit_version"), count(lit(1))).head()
+    assert(ch.getLong(0) == 2L && ch.getLong(1) == 600L)
+    drop("fs_gc")
+  }
+
+  test("fs: expiry + vacuum reclaim files once their last referencing version expires (CoW history)") {
+    cat(); drop("fs_gc2")
+    (0L until 200L).map(k => (k, k)).toDF("k", "v").writeTo("graft.fs_gc2").create()
+    val oldFiles = FsStore.current("fs_gc2").files.map(_.path)
+    spark.sql("UPDATE graft.fs_gc2 SET v = 0 WHERE k >= 0") // v2 CoW: new files
+    assert(oldFiles.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    // while v2 is RETAINED its change log still references the old files
+    // as delete PRE-IMAGES (CDF must be able to serve them) — vacuum
+    // keeps them even though the snapshot no longer lists them
+    FsStore.expireVersions("fs_gc2", keep = 2) // keep v1(expired? no: v2+v1)
+    val (f0, _) = FsStore.vacuum("fs_gc2")
+    assert(oldFiles.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))),
+      "delete pre-image refs in a retained change log must pin the files")
+    // expire the CoW version's manifest too (one more commit, keep head only)
+    (200L until 210L).map(k => (k, k)).toDF("k", "v").writeTo("graft.fs_gc2").append() // v3
+    FsStore.expireVersions("fs_gc2", keep = 1)
+    val (f, _) = FsStore.vacuum("fs_gc2")
+    assert(f >= oldFiles.size,
+      "files referenced only by expired versions must be reclaimed")
+    assert(oldFiles.forall(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    assert(spark.table("graft.fs_gc2").count() == 210)
+    drop("fs_gc2")
+  }
+
   // (companion helpers at the bottom of the file)
 
   test("fs: TRUNCATE + catalog listing + unsupported column type refused at create") {
