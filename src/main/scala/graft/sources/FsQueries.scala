@@ -480,7 +480,76 @@ object FsQueries {
            |FROM orders""".stripMargin)
   )
 
+  /** q299: manifest ZONE-MAP file skipping — the clustered write
+    * (`repartitionByRange` on the key) produces files with disjoint
+    * key ranges recorded in the manifest ([[FsStore.FileRef]] min/max),
+    * and a key-range scan opens ONLY the overlapping files: Delta/
+    * Iceberg data skipping from manifest stats alone, no file reads to
+    * plan. Skippability is asserted in-query from the manifest (most
+    * files disjoint from the predicate window); the actual skip is
+    * plan-asserted in FsTableSpec (`keyRange=[…], files=1/8` in the
+    * scan description). Filters stay residual, so skipping is always
+    * sound — at 100 TB this is the difference between opening 8 files
+    * and opening 80 000. */
+  val q299FsZoneSkip = graft.QueryDef(
+    "q299_fs_zone_skip",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.lineitem(s, d).select(
+        col("l_orderkey").cast("long").as("k"),
+        col("l_quantity").cast("long").as("qty"))
+        .repartitionByRange(8, col("k")) // clustered files → tight zone maps
+      s.sql("DROP TABLE IF EXISTS graft.fs_zm")
+      src.writeTo("graft.fs_zm").create()
+      val (lo, hi) = (1000L, 4999L)
+      val head = FsStore.current("fs_zm")
+      require(head.files.count(_.disjointFrom(lo, hi)) >= head.files.size / 2,
+        "clustered write must yield mostly-skippable zone maps")
+      s.table("graft.fs_zm")
+        .filter(col("k").between(lo, hi))
+        .groupBy((col("k") % 4).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"),
+          sum("k").as("sum_k"))
+        .orderBy("bucket")
+    },
+    Some("""SELECT l_orderkey % 4 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_k
+           |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 4999
+           |GROUP BY 1 ORDER BY bucket""".stripMargin)
+  )
+
+  /** q300: COLUMN PRUNING through the fs scan — the 4-column table's
+    * aggregate touches one column, and the scan's read schema shrinks
+    * to exactly it (`pruned=sz` in the description, mapped by FIELD ID
+    * so pruning composes with renames/widening); the other three
+    * columns' parquet pages are never decoded. FsTableSpec additionally
+    * pins the masked-delta case where the pruned-out row-id key rides
+    * along internally for mask filtering and is stripped on emit. */
+  val q300FsColumnPrune = graft.QueryDef(
+    "q300_fs_column_prune",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.part(s, d).select(
+        col("p_partkey").cast("long").as("k"),
+        col("p_size").cast("long").as("sz"),
+        col("p_brand").as("brand"),
+        col("p_type").as("ptype"))
+      s.sql("DROP TABLE IF EXISTS graft.fs_cp")
+      src.writeTo("graft.fs_cp").create()
+      s.table("graft.fs_cp")
+        .groupBy((col("sz") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("sz").as("sum_sz"))
+        .orderBy("bucket")
+    },
+    Some("""SELECT CAST(p_size AS BIGINT) % 8 AS bucket,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS sum_sz
+           |FROM part GROUP BY 1 ORDER BY bucket""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q289FsRoundtrip, q290FsUpdate,
     q291FsMerge, q292FsdDeltaMerge, q293FsEvolution, q294FsdCdfBatch,
-    q295FsdCdfStream, q296FsTimestampTravel, q297FsFeedBytes)
+    q295FsdCdfStream, q296FsTimestampTravel, q297FsFeedBytes,
+    q299FsZoneSkip, q300FsColumnPrune)
 }

@@ -207,9 +207,19 @@ object FsStore {
 
   /** One immutable data file of a snapshot. `schemaId` indexes the
     * table's schema lineage (the schema the file was WRITTEN under);
-    * `addedVersion` decides which delta masks apply to it. */
+    * `addedVersion` decides which delta masks apply to it. `minKey` /
+    * `maxKey` are the writer-recorded ZONE MAP of the first (row-id)
+    * column when it is integral — the manifest-level data-skipping
+    * stats Delta/Iceberg keep per file; sentinels (MinValue/MaxValue)
+    * mean "unknown, never skip". */
   final case class FileRef(path: String, rows: Long, bytes: Long,
-      schemaId: Int, addedVersion: Long)
+      schemaId: Int, addedVersion: Long,
+      minKey: Long = Long.MinValue, maxKey: Long = Long.MaxValue) {
+    /** Can a scan bounded to [lo, hi] on the key skip this file? */
+    def disjointFrom(lo: Long, hi: Long): Boolean =
+      !(minKey == Long.MinValue && maxKey == Long.MaxValue) &&
+        (maxKey < lo || minKey > hi)
+  }
 
   /** A delta commit's read-side mask: keys in `keyFiles` are dead in
     * every data file OLDER than `version` (deleted or superseded by an
@@ -262,10 +272,12 @@ object FsStore {
     val o = mapper.createObjectNode()
     o.put("path", f.path); o.put("rows", f.rows); o.put("bytes", f.bytes)
     o.put("schemaId", f.schemaId); o.put("addedVersion", f.addedVersion)
+    o.put("minKey", f.minKey); o.put("maxKey", f.maxKey)
   }
   private def fileFrom(n: JsonNode): FileRef =
     FileRef(n.get("path").asText, n.get("rows").asLong, n.get("bytes").asLong,
-      n.get("schemaId").asInt, n.get("addedVersion").asLong)
+      n.get("schemaId").asInt, n.get("addedVersion").asLong,
+      n.get("minKey").asLong, n.get("maxKey").asLong)
   private def filesJson(fs: Vector[FileRef]): ArrayNode = {
     val a = mapper.createArrayNode(); fs.foreach(f => a.add(fileToJson(f))); a
   }

@@ -75,7 +75,8 @@ class FsTable(name: String, pinnedVersion: Option[Long] = None,
       override def command(): RowLevelOperation.Command = info.command()
       override def description(): String = s"graft_fs($name) delta ${info.command()}"
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        FsTable.this.newScanBuilder(options)
+        new FsScanBuilder(name, pinnedVersion, cdf = false, options,
+          allowPushdown = false)
       override def rowId(): Array[expressions.NamedReference] =
         Array(expressions.Expressions.column(schema().fieldNames.head))
       override def newWriteBuilder(winfo: LogicalWriteInfo): DeltaWriteBuilder = {
@@ -91,8 +92,12 @@ class FsTable(name: String, pinnedVersion: Option[Long] = None,
       override def command(): RowLevelOperation.Command = info.command()
       override def description(): String =
         s"graft_fs($name) copy-on-write ${info.command()}"
+      // NO pushdown on the rewrite scan: a group-based CoW recomputation
+      // must read EVERY row of the replaced group — a zone-map skip here
+      // would silently drop the skipped rows from the rewritten table
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        FsTable.this.newScanBuilder(options)
+        new FsScanBuilder(name, pinnedVersion, cdf = false, options,
+          allowPushdown = false)
       override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder = {
         requireWritable(s"${info.command()} on")
         new WriteBuilder {
@@ -103,61 +108,9 @@ class FsTable(name: String, pinnedVersion: Option[Long] = None,
       }
     }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val cdf = changes
-    val startingVersion = Option(options.get("startingVersion")).map(_.toLong)
-    val maxRowsPerBatch =
-      Option(options.get("maxRowsPerBatch")).map(_.toLong).getOrElse(Long.MaxValue)
-    val maxBytesPerBatch =
-      Option(options.get("maxBytesPerBatch")).map(_.toLong).getOrElse(Long.MaxValue)
-    () => new Scan with Batch with SupportsReportStatistics {
-      private val snapVersion =
-        pinnedVersion.getOrElse(FsStore.currentVersion(name))
-      private val ver = FsStore.versionAt(name, snapVersion)
-      private val dataSchema = ver.schema
-      override def readSchema(): StructType =
-        if (cdf) MemCdf.withCdfColumns(dataSchema) else dataSchema
-      override def toBatch: Batch = this
-      override def description(): String =
-        s"FsScan[$name,v=$snapVersion${if (cdf) ",cdf" else ""}]"
-
-      /** Manifest-sourced statistics (the q283 contract): exact live row
-        * count and on-disk bytes with zero file reads — what a real
-        * table's manifest provides the CBO. */
-      override def estimateStatistics(): Statistics = new Statistics {
-        private val (n, bytes) =
-          if (cdf) {
-            val from = startingVersion.getOrElse(FsStore.oldestVersion(name))
-            val vs = (from to snapVersion).map(FsStore.versionAt(name, _))
-            (vs.iterator.flatMap(_.changes).map(_.rows).sum,
-              vs.iterator.flatMap(_.changes).flatMap(_.files).map(_.bytes).sum)
-          } else (ver.rowCount, ver.files.map(_.bytes).sum)
-        override def sizeInBytes(): util.OptionalLong =
-          util.OptionalLong.of(math.max(1L, bytes))
-        override def numRows(): util.OptionalLong = util.OptionalLong.of(n)
-      }
-
-      override def planInputPartitions(): Array[InputPartition] =
-        if (cdf) {
-          // default = oldest RETAINED version (expiry must not brick a
-          // fresh consumer that only wants what is still retained)
-          val from = startingVersion.getOrElse(FsStore.oldestVersion(name))
-          FsStore.versionAt(name, from) // validate: expired/unknown → range error
-          (from to snapVersion).iterator.flatMap { v =>
-            FsStore.versionAt(name, v).changes.flatMap(c =>
-              FsScanPlanner.changePartitions(c, v, ver.lineage, dataSchema))
-          }.toArray
-        } else FsScanPlanner.snapshotPartitions(ver, dataSchema)
-
-      override def createReaderFactory(): PartitionReaderFactory =
-        new FsReaderFactory
-
-      override def toMicroBatchStream(checkpointLocation: String)
-          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-        new FsChangeFeed(name, cdf, startingVersion,
-          maxRowsPerBatch, maxBytesPerBatch)
-    }
-  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FsScanBuilder(name, pinnedVersion, cdf = changes, options,
+      allowPushdown = true)
 
   override def truncateTable(): Boolean = {
     requireWritable("TRUNCATE")
@@ -174,6 +127,162 @@ class FsTable(name: String, pinnedVersion: Option[Long] = None,
       }
     }
   }
+}
+
+/** The fs scan builder — COLUMN PRUNING and zone-map FILE SKIPPING from
+  * the manifest, the two wins a 100 TB scan cannot live without:
+  *  - `pruneColumns`: the scan schema shrinks to the required columns
+  *    (mapped by field id at read, so pruning composes with evolution);
+  *    when delta masks still need the row-id key, it rides along
+  *    internally and is stripped before rows leave the reader.
+  *  - `pushFilters`: conjunctive range/equality/IN predicates on the
+  *    FIRST (row-id) column tighten a [lo, hi] window; files whose
+  *    manifest zone map ([[FsStore.FileRef.minKey]]/`maxKey`) is
+  *    disjoint are never opened — Delta/Iceberg data skipping from
+  *    manifest stats alone. Every filter stays RESIDUAL (Spark
+  *    re-evaluates post-scan), so skipping is advisory and always
+  *    sound: it can only drop files that contain no qualifying row.
+  * Row-level-operation scans get `allowPushdown = false`: a group-based
+  * copy-on-write rewrite must read every row of the group it replaces.
+  * The streaming feed path ignores pruning (fixed-at-start schema). */
+class FsScanBuilder(name: String, pinnedVersion: Option[Long], cdf: Boolean,
+    options: CaseInsensitiveStringMap, allowPushdown: Boolean)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  private val startingVersion = Option(options.get("startingVersion")).map(_.toLong)
+  private val maxRowsPerBatch =
+    Option(options.get("maxRowsPerBatch")).map(_.toLong).getOrElse(Long.MaxValue)
+  private val maxBytesPerBatch =
+    Option(options.get("maxBytesPerBatch")).map(_.toLong).getOrElse(Long.MaxValue)
+  private val snapVersion = pinnedVersion.getOrElse(FsStore.currentVersion(name))
+  private val ver = FsStore.versionAt(name, snapVersion)
+  private val keyField = ver.schema.fields.head
+  private val keyIntegral = keyField.dataType match {
+    case LongType | IntegerType => true
+    case _ => false
+  }
+
+  private var required: Option[StructType] = None
+  private var lo = Long.MinValue
+  private var hi = Long.MaxValue
+  private var accepted: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    if (allowPushdown && !cdf) required = Some(requiredSchema)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (allowPushdown && !cdf && keyIntegral) {
+      val keyName = keyField.name
+      def longOf(v: Any): Option[Long] = v match {
+        case n: Number => Some(n.longValue)
+        case _ => None
+      }
+      def bound(f: Filter): Boolean = f match {
+        case EqualTo(a, v) if a == keyName => longOf(v).exists { k =>
+          lo = math.max(lo, k); hi = math.min(hi, k); true }
+        case GreaterThan(a, v) if a == keyName => longOf(v).exists { k =>
+          if (k < Long.MaxValue) lo = math.max(lo, k + 1); true }
+        case GreaterThanOrEqual(a, v) if a == keyName => longOf(v).exists { k =>
+          lo = math.max(lo, k); true }
+        case LessThan(a, v) if a == keyName => longOf(v).exists { k =>
+          if (k > Long.MinValue) hi = math.min(hi, k - 1); true }
+        case LessThanOrEqual(a, v) if a == keyName => longOf(v).exists { k =>
+          hi = math.min(hi, k); true }
+        case In(a, vs) if a == keyName && vs.nonEmpty &&
+            vs.forall(v => longOf(v).isDefined) =>
+          lo = math.max(lo, vs.map(_.asInstanceOf[Number].longValue).min)
+          hi = math.min(hi, vs.map(_.asInstanceOf[Number].longValue).max)
+          true
+        case And(l, r) =>
+          val a = bound(l); val b = bound(r); a || b
+        case _ => false
+      }
+      accepted = filters.filter(bound)
+    }
+    filters // all residual: skipping is file-granular, rows re-filtered
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = new FsScan(name, cdf, snapVersion, ver,
+    required, lo, hi, startingVersion, maxRowsPerBatch, maxBytesPerBatch)
+}
+
+class FsScan(name: String, cdf: Boolean, snapVersion: Long,
+    ver: FsStore.Version, required: Option[StructType], lo: Long, hi: Long,
+    startingVersion: Option[Long], maxRowsPerBatch: Long,
+    maxBytesPerBatch: Long)
+    extends Scan with Batch with SupportsReportStatistics {
+  private val dataSchema = ver.schema
+  /** The schema rows LEAVE the scan with (pruned for plain reads). */
+  private val outSchema: StructType =
+    if (cdf) MemCdf.withCdfColumns(dataSchema)
+    else required.getOrElse(dataSchema)
+  /** Zone-map survivors of the snapshot's file set. */
+  private def survivors: Vector[FileRef] =
+    ver.files.filterNot(_.disjointFrom(lo, hi))
+
+  override def readSchema(): StructType = outSchema
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val bounds =
+      if (lo == Long.MinValue && hi == Long.MaxValue) ""
+      else s", keyRange=[$lo,$hi], files=${survivors.size}/${ver.files.size}"
+    val pruned = required.map(r => s", pruned=${r.fieldNames.mkString(",")}")
+      .getOrElse("")
+    s"FsScan[$name,v=$snapVersion${if (cdf) ",cdf" else ""}$bounds$pruned]"
+  }
+
+  /** Manifest-sourced statistics (the q283 contract), zone-map-aware:
+    * exact surviving row count and on-disk bytes, zero file reads. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val (n, bytes) =
+      if (cdf) {
+        val from = startingVersion.getOrElse(FsStore.oldestVersion(name))
+        val vs = (from to snapVersion).map(FsStore.versionAt(name, _))
+        (vs.iterator.flatMap(_.changes).map(_.rows).sum,
+          vs.iterator.flatMap(_.changes).flatMap(_.files).map(_.bytes).sum)
+      } else (survivors.map(_.rows).sum, survivors.map(_.bytes).sum)
+    override def sizeInBytes(): util.OptionalLong =
+      util.OptionalLong.of(math.max(1L, bytes))
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(n)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (cdf) {
+      // default = oldest RETAINED version (expiry must not brick a
+      // fresh consumer that only wants what is still retained)
+      val from = startingVersion.getOrElse(FsStore.oldestVersion(name))
+      FsStore.versionAt(name, from) // validate: expired/unknown → range error
+      (from to snapVersion).iterator.flatMap { v =>
+        FsStore.versionAt(name, v).changes.flatMap(c =>
+          FsScanPlanner.changePartitions(c, v, ver.lineage, dataSchema))
+      }.toArray
+    } else {
+      // masks are keyed by the row id; when pruning removed it, the key
+      // rides along internally (stripKey) so masking still works
+      val files = survivors
+      val needKey = files.exists(f => FsScanPlanner.masksFor(f, ver.masks).nonEmpty)
+      val hasKey = outSchema.fields.headOption.exists(f =>
+        FsStore.fieldId(f) == FsStore.fieldId(dataSchema.fields.head))
+      val (scanSchema, strip) =
+        if (!needKey || hasKey) (outSchema, false)
+        else (StructType(dataSchema.fields.head +: outSchema.fields), true)
+      files.map { f =>
+        FsScanPartition(Vector((f, FsScanPlanner.masksFor(f, ver.masks))),
+          ver.lineage, scanSchema, Vector.empty, None, 0L, -1L, strip): InputPartition
+      }.toArray
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory = new FsReaderFactory
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FsChangeFeed(name, cdf, startingVersion,
+      maxRowsPerBatch, maxBytesPerBatch)
 }
 
 /** Plans file-parallel partitions for snapshot and CDF reads. A data
@@ -248,13 +357,17 @@ case class FsScanPartition(
     keysFilter: Vector[FileRef],
     cdf: Option[(String, Long)],
     skip: Long,
-    take: Long) extends InputPartition
+    take: Long,
+    stripKey: Boolean = false) extends InputPartition
 
 class FsReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val fp = p.asInstanceOf[FsScanPartition]
-      private val keyType = fp.scanSchema.head.dataType
+      // a fully-pruned scan (count(*)) has an EMPTY schema; it also has
+      // no masks/filters, so the key type is never consulted
+      private val keyType =
+        if (fp.scanSchema.isEmpty) null else fp.scanSchema.head.dataType
       private def keySchema(kf: FileRef): StructType =
         StructType(Seq(fp.lineage(kf.schemaId).head))
       private val keySetCache =
@@ -287,6 +400,15 @@ class FsReaderFactory extends PartitionReaderFactory {
         it
       }
       private def decorate(r: InternalRow): InternalRow = fp.cdf match {
+        case None if fp.stripKey =>
+          // the key was read only for mask filtering (pruned out of the
+          // requested columns) — drop it before the row leaves the scan
+          val g = new GenericInternalRow(fp.scanSchema.length - 1)
+          var i = 1
+          while (i < fp.scanSchema.length) {
+            g.update(i - 1, r.get(i, fp.scanSchema(i).dataType)); i += 1
+          }
+          g
         case None => r
         case Some((op, version)) =>
           val w = fp.scanSchema.length
@@ -443,12 +565,29 @@ private[sources] class FsFileWriter(tableName: String, tag: String,
   private var path: String = _
   private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
   private var rows = 0L
+  // zone map of the first (row-id) column when integral: the per-file
+  // min/max the manifest records for scan-time file skipping
+  private val keyGetter: Option[InternalRow => Long] =
+    schema.fields.head.dataType match {
+      case org.apache.spark.sql.types.LongType => Some(_.getLong(0))
+      case org.apache.spark.sql.types.IntegerType => Some(_.getInt(0).toLong)
+      case _ => None
+    }
+  private var minKey = Long.MaxValue
+  private var maxKey = Long.MinValue
   def write(r: InternalRow): Unit = {
     if (writer == null) {
       path = FsStore.newFilePath(tableName, tag)
       writer = FsParquet.writer(path, schema)
     }
     writer.write(r)
+    keyGetter.foreach { g =>
+      if (!r.isNullAt(0)) {
+        val k = g(r)
+        if (k < minKey) minKey = k
+        if (k > maxKey) maxKey = k
+      }
+    }
     rows += 1
   }
   def finish(): Option[FileRef] =
@@ -456,7 +595,10 @@ private[sources] class FsFileWriter(tableName: String, tag: String,
     else {
       writer.close()
       val bytes = new java.io.File(path).length()
-      Some(FileRef(path, rows, bytes, 0, 0L)) // schemaId/version set at commit
+      val (lo, hi) =
+        if (keyGetter.isDefined && minKey <= maxKey) (minKey, maxKey)
+        else (Long.MinValue, Long.MaxValue) // unknown: never skip
+      Some(FileRef(path, rows, bytes, 0, 0L, lo, hi)) // schemaId/version set at commit
     }
   def abort(): Unit = {
     if (writer != null) {

@@ -350,6 +350,56 @@ class FsTableSpec extends SparkSpec {
     drop("fs_gc2")
   }
 
+  test("fs: zone-map skipping and column pruning are plan-visible; masked prune strips the internal key") {
+    cat(); drop("fs_zp")
+    (0L until 800L).map(k => (k, k % 13, s"pay$k"))
+      .toDF("k", "v", "pay")
+      .repartitionByRange(8, $"k")
+      .writeTo("graft.fs_zp").create()
+    // 8 clustered files: a 100-wide key window overlaps exactly one
+    val q = spark.table("graft.fs_zp").filter($"k" >= 200L && $"k" <= 299L)
+      .agg(count(lit(1)), sum("v"))
+    val got = q.head()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("keyRange=[200,299]"), s"bounds must reach the scan: $plan")
+    assert(plan.contains("files=1/8"), s"zone maps must skip 7 of 8 files: $plan")
+    assert(got.getLong(0) == 100 && got.getLong(1) == (200L to 299L).map(_ % 13).sum)
+    // column pruning: only `v` read
+    val p2 = spark.table("graft.fs_zp").groupBy(($"v" % 3).as("b"))
+      .agg(count(lit(1)).as("n"))
+    p2.collect()
+    val plan2 = p2.queryExecution.executedPlan.toString
+    assert(plan2.contains("pruned=v]") || plan2.contains("pruned=v,"),
+      s"scan must shrink to the required column: $plan2")
+    drop("fs_zp")
+    // masked fsd table, key pruned out: mask filtering still applies
+    // (the key rides along internally and is stripped on emit)
+    drop("fsd_zp")
+    (0L until 300L).map(k => (k, k % 7)).toDF("k", "v").writeTo("graft.fsd_zp").create()
+    Seq.tabulate(30)(i => (i * 10L, 100L)).toDF("k", "v")
+      .createOrReplaceTempView("fsd_zp_src")
+    spark.sql("""MERGE INTO graft.fsd_zp t USING fsd_zp_src s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+    val p3 = spark.table("graft.fsd_zp").agg(sum("v"), count(lit(1)))
+    val r3 = p3.head()
+    val want = (0L until 300L).map(k => if (k % 10 == 0) 100L else k % 7).sum
+    assert(r3.getLong(0) == want && r3.getLong(1) == 300,
+      "mask filtering must survive pruning the key column out")
+    val plan3 = p3.queryExecution.executedPlan.toString
+    assert(plan3.contains("pruned=v]"), s"prune must still apply: $plan3")
+    drop("fsd_zp")
+    // row-level rewrites must NOT prune/skip: an UPDATE with a key
+    // predicate rewrites the whole group and loses no rows
+    drop("fs_zp2")
+    (0L until 400L).map(k => (k, 1L)).toDF("k", "v")
+      .repartitionByRange(4, $"k").writeTo("graft.fs_zp2").create()
+    spark.sql("UPDATE graft.fs_zp2 SET v = 2 WHERE k < 100")
+    val r4 = spark.table("graft.fs_zp2").agg(count(lit(1)), sum("v")).head()
+    assert(r4.getLong(0) == 400 && r4.getLong(1) == 100L * 2 + 300L,
+      "a zone-map skip inside the CoW rewrite scan would have dropped rows")
+    drop("fs_zp2")
+  }
+
   // (companion helpers at the bottom of the file)
 
   test("fs: TRUNCATE + catalog listing + unsupported column type refused at create") {
