@@ -548,8 +548,54 @@ object FsQueries {
            |FROM part GROUP BY 1 ORDER BY bucket""".stripMargin)
   )
 
+  /** q301: fs STREAMING SINK (`writeStream.toTable` on the file store,
+    * q274's mem contract on files): each micro-batch's task parquet
+    * files commit through [[FsStore.commitEpochAppend]], whose manifest
+    * epoch high-water mark makes a REPLAYED epoch a no-op that deletes
+    * its re-written files instead of installing a version — the file
+    * sink's `_spark_metadata` exactly-once log, as manifest state. The
+    * admission-controlled synth stream delivers ~4 micro-batches
+    * (multi-epoch asserted in-query); the sunk table's aggregate must
+    * match DuckDB's closed-form rebuild — a lost, duplicated, or
+    * replayed epoch breaks the totals. */
+  val q301FsStreamingSink = graft.QueryDef(
+    "q301_fs_streaming_sink",
+    (s, d) => {
+      cat(s)
+      s.sql("DROP TABLE IF EXISTS graft.fs_ssink")
+      s.sql("CREATE TABLE graft.fs_ssink (doc_id BIGINT, h BIGINT, bucket BIGINT)")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_q301_ckpt").toString
+      val q = s.readStream.table("graft.synth_200000_8")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("graft.fs_ssink")
+      q.awaitTermination()
+      graft.Tables.deleteRecursively(new java.io.File(ckpt))
+      require(FsStore.current("fs_ssink").epochs.nonEmpty &&
+        FsStore.currentVersion("fs_ssink") >= 3,
+        "the admission-controlled stream must commit multiple epochs")
+      s.table("graft.fs_ssink")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("h").as("sum_h"),
+          sum("doc_id").as("sum_id"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH t AS (
+           |  SELECT x AS doc_id,
+           |    x * ${SynthTable.Mult} % ${SynthTable.HMod} AS h,
+           |    x * ${SynthTable.Mult} % ${SynthTable.HMod} % ${SynthTable.BMod}
+           |      AS bucket
+           |  FROM range(0, 200000) r(x))
+           |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(h) AS BIGINT) AS sum_h,
+           |  CAST(SUM(doc_id) AS BIGINT) AS sum_id
+           |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q289FsRoundtrip, q290FsUpdate,
     q291FsMerge, q292FsdDeltaMerge, q293FsEvolution, q294FsdCdfBatch,
     q295FsdCdfStream, q296FsTimestampTravel, q297FsFeedBytes,
-    q299FsZoneSkip, q300FsColumnPrune)
+    q299FsZoneSkip, q300FsColumnPrune, q301FsStreamingSink)
 }

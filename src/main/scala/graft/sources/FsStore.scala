@@ -237,7 +237,8 @@ object FsStore {
   final case class Version(id: Long, tsMs: Long, schemaId: Int,
       lineage: Vector[StructType], maxFieldId: Int,
       files: Vector[FileRef], masks: Vector[DeltaMask],
-      changes: Vector[Change], rowCount: Long) {
+      changes: Vector[Change], rowCount: Long,
+      epochs: Map[String, Long] = Map.empty) {
     def schema: StructType = lineage(schemaId)
     def appendOnly: Boolean = changes.forall(_.op == OpInsert)
   }
@@ -316,6 +317,9 @@ object FsStore {
       ch.add(co)
     }
     o.set[ObjectNode]("changes", ch)
+    val ep = mapper.createObjectNode()
+    v.epochs.foreach { case (q, e) => ep.put(q, e) }
+    o.set[ObjectNode]("epochs", ep)
     Files.createDirectories(logDir(name))
     val tmp = logDir(name).resolve(f".tmp-v${v.id}%05d-${System.nanoTime()}")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o))
@@ -344,10 +348,13 @@ object FsStore {
         masksFrom(c.get("masks")), filesFrom(c.get("keys")),
         c.get("rows").asLong)
     }.toVector
+    val epochs = Option(o.get("epochs")).map { ep =>
+      ep.properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
+    }.getOrElse(Map.empty[String, Long])
     Version(o.get("version").asLong, o.get("tsMs").asLong,
       o.get("schemaId").asInt, lineage, o.get("maxFieldId").asInt,
       filesFrom(o.get("files")), masksFrom(o.get("masks")), changes,
-      o.get("rowCount").asLong)
+      o.get("rowCount").asLong, epochs)
   }
 
   // ------------------------------------------------------------- catalog
@@ -444,7 +451,7 @@ object FsStore {
       Version(v.id + 1, GraftClock.next(), v.schemaId, v.lineage, v.maxFieldId,
         v.files ++ added, v.masks,
         added.map(f => Change(OpInsert, Vector(f), Vector.empty, Vector.empty, f.rows)),
-        v.rowCount + added.map(_.rows).sum)
+        v.rowCount + added.map(_.rows).sum, v.epochs)
     }
 
   /** Truncate-install (CoW row-level ops land here): the new snapshot is
@@ -461,7 +468,7 @@ object FsStore {
         added, Vector.empty,
         deleted ++ added.map(f =>
           Change(OpInsert, Vector(f), Vector.empty, Vector.empty, f.rows)),
-        added.map(_.rows).sum)
+        added.map(_.rows).sum, v.epochs)
     }
 
   /** MERGE-ON-READ delta commit: `delKeys`/`updKeys` become a read-side
@@ -503,7 +510,7 @@ object FsStore {
         v.files ++ updFiles ++ insFiles,
         v.masks :+ mask,
         changes,
-        v.rowCount - delN + insFiles.map(_.rows).sum)
+        v.rowCount - delN + insFiles.map(_.rows).sum, v.epochs)
     }
 
   /** Snapshot EXPIRY (Iceberg's `expireSnapshots`, Delta's log
@@ -571,6 +578,33 @@ object FsStore {
     (files, bytes)
   }
 
+  /** STREAMING epoch commit (the q274 contract on files): append
+    * `files` for micro-batch `epochId` exactly once per writer query —
+    * Structured Streaming re-delivers a failed epoch's commit under the
+    * SAME id on restart, and the manifest carries a per-(queryId)
+    * high-water mark, so a REPLAYED epoch installs no version and its
+    * re-written files are reported back as orphans for the caller to
+    * delete (the file sink's `_spark_metadata` log, as manifest state).
+    * Returns true iff the epoch committed (false = replay). */
+  def commitEpochAppend(name: String, queryId: String, epochId: Long,
+      files: Vector[FileRef]): Boolean = {
+    val head = current(name)
+    if (epochId <= head.epochs.getOrElse(queryId, -1L)) false // replay
+    else {
+      install(name) { v =>
+        require(epochId > v.epochs.getOrElse(queryId, -1L),
+          s"graft_fs($name): epoch $epochId raced a concurrent commit")
+        val added = files.map(_.copy(schemaId = v.schemaId, addedVersion = v.id + 1))
+        Version(v.id + 1, GraftClock.next(), v.schemaId, v.lineage, v.maxFieldId,
+          v.files ++ added, v.masks,
+          added.map(f => Change(OpInsert, Vector(f), Vector.empty, Vector.empty, f.rows)),
+          v.rowCount + added.map(_.rows).sum,
+          v.epochs + (queryId -> epochId))
+      }
+      true
+    }
+  }
+
   /** Metadata-only schema evolution (ADD / RENAME / WIDEN / DROP): a new
     * version with the SAME files and an appended lineage entry. Field
     * ids make DROP + later re-ADD of the same name safe: the re-added
@@ -590,6 +624,6 @@ object FsStore {
         s"graft_fs($name): evolved column ${f.name} lost its field id"))
       Version(v.id + 1, GraftClock.next(), v.lineage.length,
         v.lineage :+ newSchema, newMaxFieldId,
-        v.files, v.masks, Vector.empty, v.rowCount)
+        v.files, v.masks, Vector.empty, v.rowCount, v.epochs)
     }
 }

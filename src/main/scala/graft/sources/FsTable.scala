@@ -67,7 +67,8 @@ class FsTable(name: String, pinnedVersion: Option[Long] = None,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
@@ -124,6 +125,33 @@ class FsTable(name: String, pinnedVersion: Option[Long] = None,
       override def truncate(): WriteBuilder = { doTruncate = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new FsBatchWrite(name, doTruncate)
+        /** `writeStream.toTable` on the file store: per-epoch task
+          * parquet files through the same two-phase shape, with the
+          * MANIFEST's per-query epoch high-water mark making replayed
+          * epochs no-ops — the replayed epoch's re-written files are
+          * deleted instead of committed (exactly-once under micro-batch
+          * retry; the mem twin is q274, the fs one q301). */
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+            private val schema = FsStore.schemaOf(name)
+            override def createStreamingWriterFactory(
+                info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+              new FsStreamingWriterFactory(name, schema)
+            override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+              val files = messages.iterator
+                .flatMap { case FsCommitMessage(f) => f }.toVector
+              val committed = FsStore.commitEpochAppend(name,
+                info.queryId(), epochId, files)
+              if (!committed) // replayed epoch: its files are orphans
+                files.foreach(f => new java.io.File(f.path).delete(): Unit)
+            }
+            override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+              messages.foreach {
+                case FsCommitMessage(Some(f)) =>
+                  new java.io.File(f.path).delete(): Unit
+                case _ =>
+              }
+          }
       }
     }
   }
@@ -647,6 +675,15 @@ class FsWriterFactory(name: String, schema: StructType) extends DataWriterFactor
       override def abort(): Unit = out.abort()
       override def close(): Unit = ()
     }
+}
+
+/** Streaming adapter: same file-writing task writer, epoch handed by
+  * Spark (serializable top-level class — the task ships it). */
+class FsStreamingWriterFactory(name: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new FsWriterFactory(name, schema).createWriter(partitionId, taskId)
 }
 
 /** The merge-on-read delta write: per task up to FOUR parquet files

@@ -400,6 +400,35 @@ class FsTableSpec extends SparkSpec {
     drop("fs_zp2")
   }
 
+  test("fs streaming sink: manifest epoch high-water mark makes replays no-ops that delete their files") {
+    cat(); drop("fs_ep")
+    spark.sql("CREATE TABLE graft.fs_ep (k BIGINT)")
+    import org.apache.spark.sql.catalyst.InternalRow
+    def fileOf(tag: String, ks: Seq[Long]): FsStore.FileRef = {
+      val schema = FsStore.schemaOf("fs_ep")
+      val w = new FsFileWriter("fs_ep", tag, schema)
+      ks.foreach(k => w.write(InternalRow(k)))
+      w.finish().get
+    }
+    assert(FsStore.commitEpochAppend("fs_ep", "qA", 0L, Vector(fileOf("e0", 0L until 10L))))
+    assert(FsStore.commitEpochAppend("fs_ep", "qA", 1L, Vector(fileOf("e1", 10L until 20L))))
+    val verAfter = FsStore.currentVersion("fs_ep")
+    // REPLAY of epoch 1 (a restart re-delivers the same id): no version,
+    // and the caller deletes the re-written file (the sink's contract)
+    val replayFile = fileOf("e1r", 10L until 20L)
+    assert(!FsStore.commitEpochAppend("fs_ep", "qA", 1L, Vector(replayFile)))
+    assert(FsStore.currentVersion("fs_ep") == verAfter, "replay must not install")
+    // a SECOND query's epoch 0 must not collide with the first query's mark
+    assert(FsStore.commitEpochAppend("fs_ep", "qB", 0L, Vector(fileOf("b0", 100L until 105L))))
+    assert(spark.table("graft.fs_ep").count() == 25)
+    assert(spark.table("graft.fs_ep").agg(sum("k")).head().getLong(0) ==
+      (0L until 20L).sum + (100L until 105L).sum)
+    // the replayed file is an orphan; vacuum reclaims it
+    val (fGone, _) = FsStore.vacuum("fs_ep")
+    assert(fGone == 1)
+    drop("fs_ep")
+  }
+
   // (companion helpers at the bottom of the file)
 
   test("fs: TRUNCATE + catalog listing + unsupported column type refused at create") {
