@@ -44,7 +44,7 @@ object FsScaleSmoke {
     }
 
     // ---- build: V versions × R rows of (k BIGINT, payload CHAR(32)) ----
-    val rows = sys.env.getOrElse("SPARK_GRAFT_SMOKE_FSROWS", "40000000").toLong
+    val rows = sys.env.getOrElse("SPARK_GRAFT_SMOKE_FSROWS", "56000000").toLong
     val versions = 8
     val per = rows / versions
     // MemStore-equivalent footprint: UnsafeRow(2 cols, 32B string) ≈

@@ -253,6 +253,16 @@ object FsStore {
   def root: String = rootOverride.getOrElse(defaultRoot)
 
   def tableDir(name: String): JPath = Paths.get(root, name)
+  /** Directory listing that CLOSES the stream: `Files.list` holds an OS
+    * directory fd until closed, and the manifest lookup runs on every
+    * table load — the unclosed-stream version leaked ~2.4k fds per bench
+    * session and measurably slowed later streaming queries (round-9
+    * bench post-mortem). */
+  private def listNames(d: JPath): Vector[String] = {
+    val st = Files.list(d)
+    try st.iterator().asScala.map(_.getFileName.toString).toVector
+    finally st.close()
+  }
   private def logDir(name: String): JPath = tableDir(name).resolve("_log")
   private def dataDir(name: String): JPath = tableDir(name).resolve("data")
 
@@ -366,11 +376,10 @@ object FsStore {
     val d = logDir(name)
     if (!Files.isDirectory(d)) None
     else {
-      val vs = Files.list(d).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-          s.stripPrefix("v").stripSuffix(".json").toLong }
-        .toSeq
+      val vs = listNames(d).collect {
+        case s if s.startsWith("v") && s.endsWith(".json") =>
+          s.stripPrefix("v").stripSuffix(".json").toLong
+      }
       if (vs.isEmpty) None else Some(vs.max)
     }
   }
@@ -416,9 +425,9 @@ object FsStore {
   def tableNames: Seq[String] = {
     val r = Paths.get(root)
     if (!Files.isDirectory(r)) Seq.empty
-    else Files.list(r).iterator().asScala
-      .filter(p => Files.isDirectory(p.resolve("_log")))
-      .map(_.getFileName.toString).toSeq.sorted
+    else listNames(r)
+      .filter(n => Files.isDirectory(r.resolve(n).resolve("_log")))
+      .sorted
   }
   /** Bench-sweep hook: drop every fs table (scratch state between
     * queries, the MemStore.drop analog). */
@@ -534,14 +543,11 @@ object FsStore {
   }
 
   /** Oldest version still retained (after any [[expireVersions]]). */
-  def oldestVersion(name: String): Long = {
-    val d = logDir(name)
-    Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-        s.stripPrefix("v").stripSuffix(".json").toLong }
-      .min
-  }
+  def oldestVersion(name: String): Long =
+    listNames(logDir(name)).collect {
+      case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong
+    }.min
 
   /** VACUUM: delete every data/key file under the table dir that NO
     * retained manifest references — orphans from aborted or lost jobs
@@ -569,7 +575,7 @@ object FsStore {
     }
     var files = 0L
     var bytes = 0L
-    Files.list(d).iterator().asScala.toSeq.foreach { p =>
+    listNames(d).map(d.resolve).foreach { p =>
       if (!referenced.contains(p.toString)) {
         bytes += Files.size(p)
         if (Files.deleteIfExists(p)) files += 1

@@ -24,7 +24,8 @@ class FsTableSpec extends SparkSpec {
     if (!Files.isDirectory(d)) Set.empty
     else {
       import scala.jdk.CollectionConverters._
-      Files.list(d).iterator().asScala.map(_.toString).toSet
+      val st = Files.list(d)
+      try st.iterator().asScala.map(_.toString).toSet finally st.close()
     }
   }
 
