@@ -334,11 +334,18 @@ object FsStore {
     val tmp = logDir(name).resolve(f".tmp-v${v.id}%05d-${System.nanoTime()}")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o))
     val target = logDir(name).resolve(f"v${v.id}%05d.json")
-    // ATOMIC publish: the rename either installs the whole manifest or
-    // fails because a concurrent commit won the version id — the loser's
-    // data files stay orphaned (vacuum's job), never half-visible
-    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    catch { case e: java.nio.file.FileAlreadyExistsException =>
+    // ATOMIC publish with CREATE-NEW semantics: POSIX rename() REPLACES
+    // an existing target, so Files.move(ATOMIC_MOVE) would let two
+    // concurrent commits silently clobber each other (caught by the
+    // FsTableSpec race test: 40 "successful" commits, 9 surviving
+    // versions). A hard LINK is atomic AND fails with
+    // FileAlreadyExistsException when the version id is taken — exactly
+    // one winner per id; the loser throws and its data files stay
+    // orphaned (vacuum's job), never half-visible.
+    try {
+      Files.createLink(target, tmp)
+      Files.deleteIfExists(tmp): Unit
+    } catch { case e: java.nio.file.FileAlreadyExistsException =>
       Files.deleteIfExists(tmp)
       throw new IllegalStateException(
         s"graft_fs($name): concurrent commit of version ${v.id} — retry", e)

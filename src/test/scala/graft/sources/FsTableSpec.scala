@@ -430,6 +430,76 @@ class FsTableSpec extends SparkSpec {
     drop("fs_ep")
   }
 
+  test("fs: NULL values round-trip through the parquet files (optional fields)") {
+    cat(); drop("fs_null")
+    val src = (0L until 200L).map { k =>
+      (k,
+        if (k % 3 == 0) None else Some(k * 2),
+        if (k % 5 == 0) None else Some(s"s$k"))
+    }.toDF("k", "v", "tag")
+    src.writeTo("graft.fs_null").create()
+    val back = spark.table("graft.fs_null")
+    assert(back.filter($"v".isNull).count() == (0L until 200L).count(_ % 3 == 0))
+    assert(back.filter($"tag".isNull).count() == (0L until 200L).count(_ % 5 == 0))
+    assert(back.agg(sum("v")).head().getLong(0) ==
+      (0L until 200L).filter(_ % 3 != 0).map(_ * 2).sum)
+    assert(back.filter($"k" === 7L).head().getString(2) == "s7")
+    assert(back.filter($"k" === 5L).head().isNullAt(2))
+    drop("fs_null")
+  }
+
+  test("fs: concurrent commits race on the manifest publish — exactly one winner per version id, losers loud, orphans vacuumable") {
+    cat(); drop("fs_race")
+    spark.sql("CREATE TABLE graft.fs_race (k BIGINT)")
+    import org.apache.spark.sql.catalyst.InternalRow
+    val threads = 8
+    val perThread = 20
+    val schema = FsStore.schemaOf("fs_race")
+    // pre-write every data file so the latched loop contends ONLY on the
+    // manifest publish (read head → derive → atomic create-new link)
+    val refs = (0 until threads).map { t =>
+      (0 until perThread).map { i =>
+        val w = new FsFileWriter("fs_race", s"t$t-$i", schema)
+        w.write(InternalRow((t * 1000 + i).toLong))
+        w.finish().get
+      }
+    }
+    val successes = new java.util.concurrent.atomic.AtomicLong
+    val failures = new java.util.concurrent.atomic.AtomicLong
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = (0 until threads).map { t =>
+      new Thread(() => {
+        start.await()
+        refs(t).foreach { ref =>
+          try {
+            FsStore.commitAppend("fs_race", Vector(ref))
+            successes.incrementAndGet(): Unit
+          } catch {
+            case e: IllegalStateException if e.getMessage.contains("concurrent commit") =>
+              failures.incrementAndGet(): Unit
+          }
+        }
+      })
+    }
+    pool.foreach(_.start()); start.countDown(); pool.foreach(_.join())
+    val head = FsStore.current("fs_race")
+    assert(successes.get() + failures.get() == threads.toLong * perThread)
+    // THE regression invariant: before the create-new publish fix, POSIX
+    // rename REPLACED the winner's manifest — 40 "successes" survived as
+    // 9 versions (silently lost commits). Now every success IS a version.
+    assert(head.id == successes.get(),
+      s"every successful commit must be exactly one version " +
+        s"(head ${head.id} vs ${successes.get()} successes)")
+    assert(head.rowCount == successes.get())
+    assert(spark.table("graft.fs_race").count() == successes.get())
+    // losers' files are orphans; vacuum reclaims exactly them
+    val (reclaimed, _) = FsStore.vacuum("fs_race")
+    assert(reclaimed == failures.get(),
+      s"vacuum must reclaim exactly the losers' files ($reclaimed vs ${failures.get()})")
+    assert(spark.table("graft.fs_race").count() == successes.get())
+    drop("fs_race")
+  }
+
   // (companion helpers at the bottom of the file)
 
   test("fs: TRUNCATE + catalog listing + unsupported column type refused at create") {
