@@ -110,27 +110,37 @@ object FsParquet {
     *    pruned) → skipped.
     * This is Iceberg's schema-evolution read contract: files are
     * immutable, the mapping lives in metadata. */
+  /** A row iterator that owns its parquet reader: closes at EOF AND on
+    * [[close]] — a LIMIT/take-sliced scan abandons the iterator mid-file,
+    * and without the explicit close every such task leaked an open
+    * parquet file handle (the round-9 directory-fd-leak class, on data
+    * files; the partition reader's `close()` now calls through). */
+  final class RowIter(reader: ParquetReader[org.apache.parquet.example.data.Group],
+      conv: Array[org.apache.parquet.example.data.Group => Any],
+      scanLen: Int) extends Iterator[InternalRow] with AutoCloseable {
+    private var closed = false
+    private var nextGroup = reader.read()
+    override def close(): Unit = if (!closed) { closed = true; reader.close() }
+    override def hasNext: Boolean = {
+      val h = nextGroup != null
+      if (!h) close()
+      h
+    }
+    override def next(): InternalRow = {
+      val g = nextGroup
+      nextGroup = reader.read()
+      val out = new GenericInternalRow(scanLen)
+      var i = 0
+      while (i < conv.length) { out.update(i, conv(i)(g)); i += 1 }
+      out
+    }
+  }
+
   def read(path: String, fileSchema: StructType,
-      scanSchema: StructType): Iterator[InternalRow] = {
+      scanSchema: StructType): RowIter = {
     val reader = new ParquetReader(new Configuration(),
       new org.apache.hadoop.fs.Path(path), new GroupReadSupport())
-    val conv = converters(fileSchema, scanSchema)
-    new Iterator[InternalRow] {
-      private var nextGroup = reader.read()
-      override def hasNext: Boolean = {
-        val h = nextGroup != null
-        if (!h) reader.close()
-        h
-      }
-      override def next(): InternalRow = {
-        val g = nextGroup
-        nextGroup = reader.read()
-        val out = new GenericInternalRow(scanSchema.length)
-        var i = 0
-        while (i < conv.length) { out.update(i, conv(i)(g)); i += 1 }
-        out
-      }
-    }
+    new RowIter(reader, converters(fileSchema, scanSchema), scanSchema.length)
   }
 
   /** Per-scan-column extractor from a parquet Group of `fileSchema`. */
@@ -397,20 +407,29 @@ object FsStore {
   def current(name: String): Version = versionAt(name, currentVersion(name))
   def schemaOf(name: String): StructType = current(name).schema
 
-  /** Newest version whose commit timestamp is ≤ `tsMs`. Tables written
-    * without [[GraftClock]] have tsMs = -1 on every version → refusal. */
+  /** Newest RETAINED version whose commit timestamp is ≤ `tsMs`. Walks
+    * lazily head→oldest and stops at the first hit, so a lookup reads
+    * one manifest in the common head case — and [[expireVersions]]
+    * cannot brick it (the eager `0..head` sweep used to throw
+    * "no version 0" for ANY timestamp once version 0 was expired, even
+    * when the target version was retained — the mem store's
+    * retained-history semantics, restored). Tables written without
+    * [[GraftClock]] have tsMs = -1 on every version → refusal. */
   def versionAsOfTimestamp(name: String, tsMs: Long): Long = {
     val head = current(name)
     require(head.tsMs >= 0,
       s"graft_fs($name): table has no commit timestamps (written without " +
         "a commit clock) — use VERSION AS OF, or install GraftClock before " +
         "writing")
-    val ids = (0L to head.id).reverse
-    ids.map(versionAt(name, _)).find(v => v.tsMs >= 0 && v.tsMs <= tsMs)
+    val oldest = oldestVersion(name)
+    Iterator.iterate(head.id)(_ - 1).takeWhile(_ >= oldest)
+      .map(v => if (v == head.id) head else versionAt(name, v))
+      .find(v => v.tsMs >= 0 && v.tsMs <= tsMs)
       .map(_.id)
       .getOrElse(throw new IllegalArgumentException(
-        s"graft_fs($name): no version committed at or before timestamp " +
-          s"$tsMs ms (earliest is ${versionAt(name, 0L).tsMs})"))
+        s"graft_fs($name): no retained version committed at or before " +
+          s"timestamp $tsMs ms (earliest retained is " +
+          s"${versionAt(name, oldest).tsMs})"))
   }
 
   def create(name: String, schema: StructType): Unit = {
@@ -461,8 +480,24 @@ object FsStore {
     writeManifest(name, next(head))
   }
 
-  def commitAppend(name: String, files: Vector[FileRef]): Unit =
+  /** The data-commit guard: task files are stamped with the HEAD's
+    * schemaId at install time, so the head schema must still be the one
+    * the tasks wrote under — a concurrent ALTER between write start and
+    * commit would otherwise durably mis-tag files in the manifest
+    * (later reads map columns by the wrong lineage entry). The loser
+    * throws; its files stay orphans for vacuum — same outcome as losing
+    * the version-id race. */
+  private def requireSchemaUnchanged(name: String, v: Version,
+      writeSchemaId: Int): Unit =
+    require(v.schemaId == writeSchemaId,
+      s"graft_fs($name): schema evolved during the write (tasks wrote " +
+        s"under schema $writeSchemaId, head is now ${v.schemaId}) — retry " +
+        "the write against the new schema")
+
+  def commitAppend(name: String, files: Vector[FileRef],
+      writeSchemaId: Int): Unit =
     install(name) { v =>
+      requireSchemaUnchanged(name, v, writeSchemaId)
       val added = files.map(_.copy(schemaId = v.schemaId, addedVersion = v.id + 1))
       Version(v.id + 1, GraftClock.next(), v.schemaId, v.lineage, v.maxFieldId,
         v.files ++ added, v.masks,
@@ -474,8 +509,10 @@ object FsStore {
     * exactly `files`; the change log records the WHOLE previous snapshot
     * as deletes (file-referenced pre-images) plus the new files as
     * inserts — same vocabulary as [[MemStore.commitTruncate]]. */
-  def commitTruncate(name: String, files: Vector[FileRef]): Unit =
+  def commitTruncate(name: String, files: Vector[FileRef],
+      writeSchemaId: Int): Unit =
     install(name) { v =>
+      requireSchemaUnchanged(name, v, writeSchemaId)
       val added = files.map(_.copy(schemaId = v.schemaId, addedVersion = v.id + 1))
       val deleted =
         if (v.rowCount == 0) Vector.empty
@@ -501,8 +538,9 @@ object FsStore {
     * full scan to re-verify what the plan already guarantees). */
   def commitDelta(name: String, delKeys: Vector[FileRef],
       updKeys: Vector[FileRef], updRows: Vector[FileRef],
-      inserts: Vector[FileRef]): Unit =
+      inserts: Vector[FileRef], writeSchemaId: Int): Unit =
     install(name) { v =>
+      requireSchemaUnchanged(name, v, writeSchemaId)
       val nextId = v.id + 1
       val delN = delKeys.map(_.rows).sum
       val updN = updKeys.map(_.rows).sum
@@ -563,11 +601,17 @@ object FsStore {
     * readers resolve files only through manifests: a file can be
     * deleted here iff no retained manifest names it, and commits
     * publish (rename) before returning, so there is no window where a
-    * committed file looks unreferenced. Returns (files, bytes)
-    * reclaimed. */
-  def vacuum(name: String): (Long, Long) = {
+    * COMMITTED file looks unreferenced. An IN-FLIGHT two-phase write is
+    * the one hazard: its task files exist before the manifest does, so
+    * `retainMs` (Delta's `deletedFileRetentionDuration`, Iceberg's
+    * `older_than`) skips files younger than the window — run with a
+    * retention ≥ the longest write job, or only with no writes in
+    * flight (retainMs = 0 keeps the testbed's deterministic
+    * reclaim-everything behavior). Returns (files, bytes) reclaimed. */
+  def vacuum(name: String, retainMs: Long = 0L): (Long, Long) = {
     val d = dataDir(name)
     if (!Files.isDirectory(d)) return (0L, 0L)
+    val cutoff = System.currentTimeMillis() - retainMs
     val referenced: Set[String] = {
       val head = currentVersion(name)
       (oldestVersion(name) to head).iterator
@@ -583,7 +627,8 @@ object FsStore {
     var files = 0L
     var bytes = 0L
     listNames(d).map(d.resolve).foreach { p =>
-      if (!referenced.contains(p.toString)) {
+      if (!referenced.contains(p.toString) &&
+          (retainMs <= 0L || Files.getLastModifiedTime(p).toMillis <= cutoff)) {
         bytes += Files.size(p)
         if (Files.deleteIfExists(p)) files += 1
       }
@@ -600,11 +645,12 @@ object FsStore {
     * delete (the file sink's `_spark_metadata` log, as manifest state).
     * Returns true iff the epoch committed (false = replay). */
   def commitEpochAppend(name: String, queryId: String, epochId: Long,
-      files: Vector[FileRef]): Boolean = {
+      files: Vector[FileRef], writeSchemaId: Int): Boolean = {
     val head = current(name)
     if (epochId <= head.epochs.getOrElse(queryId, -1L)) false // replay
     else {
       install(name) { v =>
+        requireSchemaUnchanged(name, v, writeSchemaId)
         require(epochId > v.epochs.getOrElse(queryId, -1L),
           s"graft_fs($name): epoch $epochId raced a concurrent commit")
         val added = files.map(_.copy(schemaId = v.schemaId, addedVersion = v.id + 1))

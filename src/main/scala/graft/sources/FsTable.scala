@@ -115,7 +115,8 @@ class FsTable(name: String, pinnedVersion: Option[Long] = None,
 
   override def truncateTable(): Boolean = {
     requireWritable("TRUNCATE")
-    FsStore.commitTruncate(name, Vector.empty); true
+    FsStore.commitTruncate(name, Vector.empty,
+      FsStore.current(name).schemaId); true
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -133,7 +134,10 @@ class FsTable(name: String, pinnedVersion: Option[Long] = None,
           * retry; the mem twin is q274, the fs one q301). */
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
-            private val schema = FsStore.schemaOf(name)
+            // write-time schema, pinned: a concurrent ALTER between epoch
+            // write and commit fails the install instead of mis-tagging
+            private val writeVer = FsStore.current(name)
+            private val schema = writeVer.schema
             override def createStreamingWriterFactory(
                 info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
               new FsStreamingWriterFactory(name, schema)
@@ -141,7 +145,7 @@ class FsTable(name: String, pinnedVersion: Option[Long] = None,
               val files = messages.iterator
                 .flatMap { case FsCommitMessage(f) => f }.toVector
               val committed = FsStore.commitEpochAppend(name,
-                info.queryId(), epochId, files)
+                info.queryId(), epochId, files, writeVer.schemaId)
               if (!committed) // replayed epoch: its files are orphans
                 files.foreach(f => new java.io.File(f.path).delete(): Unit)
             }
@@ -407,10 +411,16 @@ class FsReaderFactory extends PartitionReaderFactory {
             FsParquet.readKeys(kf.path, keySchema(kf))).toSet)
       private val filterSet: Set[Any] = keysOf(fp.keysFilter)
 
+      // the file currently being read: flatMap opens files strictly one
+      // at a time (a new RowIter only after the previous hit EOF and
+      // self-closed), so tracking the latest is tracking the only one
+      // that can still be open when Spark closes a LIMIT/slice early
+      private var live: FsParquet.RowIter = _
       private val base: Iterator[InternalRow] =
         fp.files.iterator.flatMap { case (f, maskFiles) =>
           val mask = keysOf(maskFiles)
           val rows = FsParquet.read(f.path, fp.lineage(f.schemaId), fp.scanSchema)
+          live = rows
           if (mask.isEmpty && fp.keysFilter.isEmpty) rows
           else rows.filter { r =>
             val k = FsParquet.normalizeKey(r.get(0, keyType))
@@ -451,7 +461,7 @@ class FsReaderFactory extends PartitionReaderFactory {
       override def next(): Boolean =
         if (sliced.hasNext) { cur = decorate(sliced.next()); true } else false
       override def get(): InternalRow = cur
-      override def close(): Unit = ()
+      override def close(): Unit = if (live != null) live.close()
     }
 }
 
@@ -556,6 +566,17 @@ class FsChangeFeed(name: String, cdf: Boolean, startingVersion: Option[Long],
           s"graft_fs($name): version $v is a non-append commit — the plain " +
             "change feed serves append slices only; read the " +
             s"${name}__changes relation to stream typed _change_type rows")
+        // lineage is pinned at stream start; a metadata-only ALTER slips
+        // past the appendOnly check (empty change list), so a post-ALTER
+        // append carries a schemaId beyond the pinned lineage — the same
+        // explicit restart error the mem feed throws, not an opaque
+        // IndexOutOfBounds in the reader
+        ver.changes.iterator.flatMap(c => c.files.iterator ++ c.keys.iterator)
+          .find(_.schemaId >= lineage.length)
+          .foreach(f => throw new IllegalStateException(
+            s"graft_fs($name): version $v was written under a schema that " +
+              "evolved after this stream started — restart the stream to " +
+              "pick up the new schema"))
         // walk this version's changes with cumulative counts, slicing
         // each overlapping entry
         val out = Seq.newBuilder[InputPartition]
@@ -637,14 +658,18 @@ private[sources] class FsFileWriter(tableName: String, tag: String,
 }
 
 class FsBatchWrite(name: String, truncate: Boolean) extends BatchWrite {
-  private val schema = FsStore.schemaOf(name)
+  // write-time schema, pinned at write build: the commit validates the
+  // head still carries this schemaId (a concurrent ALTER between write
+  // start and commit must fail the install, never mis-tag the files)
+  private val writeVer = FsStore.current(name)
+  private val schema = writeVer.schema
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new FsWriterFactory(name, schema)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.iterator
       .flatMap { case FsCommitMessage(f) => f }.toVector
-    if (truncate) FsStore.commitTruncate(name, files)
-    else FsStore.commitAppend(name, files)
+    if (truncate) FsStore.commitTruncate(name, files, writeVer.schemaId)
+    else FsStore.commitAppend(name, files, writeVer.schemaId)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -690,14 +715,15 @@ class FsStreamingWriterFactory(name: String, schema: StructType)
   * (delete keys, update keys, update rows, inserts); the driver installs
   * them as a [[FsStore.DeltaMask]] + data files in one manifest. */
 class FsDeltaBatchWrite(name: String) extends DeltaBatchWrite {
-  private val schema = FsStore.schemaOf(name)
+  private val writeVer = FsStore.current(name) // pinned write-time schema
+  private val schema = writeVer.schema
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     new FsDeltaWriterFactory(name, schema)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val ms = messages.iterator.map(_.asInstanceOf[FsDeltaCommitMessage]).toVector
     FsStore.commitDelta(name,
       ms.flatMap(_.delKeys), ms.flatMap(_.updKeys),
-      ms.flatMap(_.updRows), ms.flatMap(_.inserts))
+      ms.flatMap(_.updRows), ms.flatMap(_.inserts), writeVer.schemaId)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach { case m: FsDeltaCommitMessage =>

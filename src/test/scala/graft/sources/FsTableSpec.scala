@@ -411,16 +411,16 @@ class FsTableSpec extends SparkSpec {
       ks.foreach(k => w.write(InternalRow(k)))
       w.finish().get
     }
-    assert(FsStore.commitEpochAppend("fs_ep", "qA", 0L, Vector(fileOf("e0", 0L until 10L))))
-    assert(FsStore.commitEpochAppend("fs_ep", "qA", 1L, Vector(fileOf("e1", 10L until 20L))))
+    assert(FsStore.commitEpochAppend("fs_ep", "qA", 0L, Vector(fileOf("e0", 0L until 10L)), 0))
+    assert(FsStore.commitEpochAppend("fs_ep", "qA", 1L, Vector(fileOf("e1", 10L until 20L)), 0))
     val verAfter = FsStore.currentVersion("fs_ep")
     // REPLAY of epoch 1 (a restart re-delivers the same id): no version,
     // and the caller deletes the re-written file (the sink's contract)
     val replayFile = fileOf("e1r", 10L until 20L)
-    assert(!FsStore.commitEpochAppend("fs_ep", "qA", 1L, Vector(replayFile)))
+    assert(!FsStore.commitEpochAppend("fs_ep", "qA", 1L, Vector(replayFile), 0))
     assert(FsStore.currentVersion("fs_ep") == verAfter, "replay must not install")
     // a SECOND query's epoch 0 must not collide with the first query's mark
-    assert(FsStore.commitEpochAppend("fs_ep", "qB", 0L, Vector(fileOf("b0", 100L until 105L))))
+    assert(FsStore.commitEpochAppend("fs_ep", "qB", 0L, Vector(fileOf("b0", 100L until 105L)), 0))
     assert(spark.table("graft.fs_ep").count() == 25)
     assert(spark.table("graft.fs_ep").agg(sum("k")).head().getLong(0) ==
       (0L until 20L).sum + (100L until 105L).sum)
@@ -472,7 +472,7 @@ class FsTableSpec extends SparkSpec {
         start.await()
         refs(t).foreach { ref =>
           try {
-            FsStore.commitAppend("fs_race", Vector(ref))
+            FsStore.commitAppend("fs_race", Vector(ref), 0)
             successes.incrementAndGet(): Unit
           } catch {
             case e: IllegalStateException if e.getMessage.contains("concurrent commit") =>
@@ -514,6 +514,106 @@ class FsTableSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unsupported column type"))
     drop("fs_misc")
+  }
+
+  test("fs: LIMIT-abandoned scans leak no parquet file handles (reader close propagates)") {
+    cat(); drop("fs_fd")
+    val src = (0L until 20000L).map(k => (k, k * 7 % 101)).toDF("k", "v")
+      .repartition(4)
+    src.writeTo("graft.fs_fd").create()
+    def openDataFds(): Int = {
+      import scala.jdk.CollectionConverters._
+      val fdDir = Paths.get("/proc/self/fd")
+      val st = Files.list(fdDir)
+      try st.iterator().asScala.count { p =>
+        try Files.readSymbolicLink(p).toString.contains("/fs_fd/")
+        catch { case _: Exception => false }
+      } finally st.close()
+    }
+    // LIMIT scans abandon the row iterator mid-file; before the close fix
+    // each left one open parquet handle per touched partition
+    (1 to 25).foreach { _ =>
+      assert(spark.table("graft.fs_fd").limit(1).collect().length == 1)
+    }
+    assert(openDataFds() == 0,
+      "LIMIT scans must not leak open fds into the table's data dir")
+    drop("fs_fd")
+  }
+
+  test("fs: TIMESTAMP AS OF resolves retained versions after expiry; pre-history stays loud") {
+    cat(); drop("fs_ttx")
+    val t0 = 1700000000000L
+    GraftClock.set(t0, 60000L)
+    try {
+      (0L until 50L).map(k => (k, k)).toDF("k", "v").writeTo("graft.fs_ttx").create() // v0,v1
+      (50L until 80L).map(k => (k, k)).toDF("k", "v").writeTo("graft.fs_ttx").append() // v2
+      (80L until 100L).map(k => (k, k)).toDF("k", "v").writeTo("graft.fs_ttx").append() // v3
+    } finally GraftClock.clear()
+    FsStore.expireVersions("fs_ttx", keep = 2) // retained: v2, v3
+    // the eager 0..head sweep used to throw "no version 0" here even for a
+    // RETAINED target — the lazy head→oldest walk resolves it
+    assert(FsStore.versionAsOfTimestamp("fs_ttx", t0 + 125000L) == 2L)
+    assert(FsStore.versionAsOfTimestamp("fs_ttx", t0 + 999999L) == 3L)
+    val e = intercept[IllegalArgumentException] {
+      FsStore.versionAsOfTimestamp("fs_ttx", t0 + 60000L) // v1's stamp: expired
+    }
+    assert(e.getMessage.contains("retained"))
+    drop("fs_ttx")
+  }
+
+  test("fs: a commit racing a concurrent ALTER fails loudly instead of mis-tagging files") {
+    cat(); drop("fs_alt")
+    (0L until 100L).map(k => (k, k)).toDF("k", "v").writeTo("graft.fs_alt").create()
+    val staleSchemaId = FsStore.current("fs_alt").schemaId
+    spark.sql("ALTER TABLE graft.fs_alt ADD COLUMN extra BIGINT") // schema moves on
+    import org.apache.spark.sql.catalyst.InternalRow
+    val w = new FsFileWriter("fs_alt", "stale",
+      FsStore.versionAt("fs_alt", 1L).schema)
+    w.write(InternalRow(999L, 999L))
+    val ref = w.finish().get
+    val e = intercept[IllegalArgumentException] {
+      FsStore.commitAppend("fs_alt", Vector(ref), staleSchemaId)
+    }
+    assert(e.getMessage.contains("schema evolved during the write"))
+    // the refused commit's file is an orphan; vacuum reclaims it
+    val (gone, _) = FsStore.vacuum("fs_alt")
+    assert(gone == 1L)
+    drop("fs_alt")
+  }
+
+  test("fs: vacuum's retention window spares young unreferenced files (in-flight write safety)") {
+    cat(); drop("fs_vr")
+    (0L until 10L).map(k => (k, k)).toDF("k", "v").writeTo("graft.fs_vr").create()
+    // simulate an in-flight two-phase write: a task file exists, its
+    // manifest does not yet
+    import org.apache.spark.sql.catalyst.InternalRow
+    val w = new FsFileWriter("fs_vr", "inflight", FsStore.schemaOf("fs_vr"))
+    w.write(InternalRow(42L, 42L))
+    val ref = w.finish().get
+    val (kept, _) = FsStore.vacuum("fs_vr", retainMs = 3600000L)
+    assert(kept == 0L, "retention must spare files younger than the window")
+    assert(Files.exists(Paths.get(ref.path)))
+    val (gone, _) = FsStore.vacuum("fs_vr") // retainMs = 0: testbed reclaim-all
+    assert(gone == 1L && !Files.exists(Paths.get(ref.path)))
+    drop("fs_vr")
+  }
+
+  test("fs change feed: a post-ALTER append fails with the explicit restart error, not IndexOutOfBounds") {
+    cat(); drop("fs_cfalt")
+    (0L until 30L).map(k => (k, k)).toDF("k", "v").writeTo("graft.fs_cfalt").create()
+    val feed = new FsChangeFeed("fs_cfalt", cdf = false, startingVersion = None,
+      maxRowsPerBatch = Long.MaxValue, maxBytesPerBatch = Long.MaxValue)
+    // stream is "running": lineage pinned at construction. Now evolve and
+    // append under the NEW schema
+    spark.sql("ALTER TABLE graft.fs_cfalt ADD COLUMN extra BIGINT")
+    spark.sql("INSERT INTO graft.fs_cfalt VALUES (100, 100, 7)")
+    val head = FsStore.currentVersion("fs_cfalt")
+    val e = intercept[IllegalStateException] {
+      feed.planInputPartitions(MemOffset(head, 0L),
+        MemOffset(head, 1L))
+    }
+    assert(e.getMessage.contains("restart the stream"))
+    drop("fs_cfalt")
   }
 }
 
