@@ -309,7 +309,18 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
       }.toArray
     }
 
-  override def createReaderFactory(): PartitionReaderFactory = new FsReaderFactory
+  /** COLUMNAR when every surviving file is a plain snapshot read (no
+    * delta masks anywhere — Spark requires all partitions of one scan to
+    * agree): parquet pages decode straight into column vectors
+    * ([[FsVectorized]]) and the plan gains a `ColumnarToRow` feeding
+    * whole-stage codegen. Masked/CDF scans keep the row reader (per-row
+    * key logic). */
+  private def allColumnar: Boolean =
+    FsVectorized.enabled && !cdf &&
+      survivors.forall(f => FsScanPlanner.masksFor(f, ver.masks).isEmpty)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FsReaderFactory(columnar = allColumnar)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -392,7 +403,39 @@ case class FsScanPartition(
     take: Long,
     stripKey: Boolean = false) extends InputPartition
 
-class FsReaderFactory extends PartitionReaderFactory {
+class FsReaderFactory(columnar: Boolean = false) extends PartitionReaderFactory {
+  /** Uniform per scan — [[FsScan.createReaderFactory]] only sets this
+    * when every partition is a plain maskless snapshot read. */
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val fp = p.asInstanceOf[FsScanPartition]
+    require(fp.cdf.isEmpty && fp.keysFilter.isEmpty && fp.skip == 0L &&
+      fp.take < 0L && !fp.stripKey && fp.files.forall(_._2.isEmpty),
+      "graft_fs: columnar path requires a plain snapshot partition")
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private val files = fp.files.iterator
+      private var cur: org.apache.spark.sql.execution.datasources.parquet
+        .VectorizedParquetRecordReader = _
+      private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null) {
+            if (!files.hasNext) return false
+            val (f, _) = files.next()
+            cur = FsVectorized.open(f.path, fp.lineage(f.schemaId), fp.scanSchema)
+          }
+          if (cur.nextBatch()) { batch = cur.resultBatch(); return true }
+          cur.close(); cur = null
+        }
+        false
+      }
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+      override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+    }
+  }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val fp = p.asInstanceOf[FsScanPartition]
@@ -593,7 +636,8 @@ class FsChangeFeed(name: String, cdf: Boolean, startingVersion: Option[Long],
       }
     }.toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory = new FsReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FsReaderFactory(columnar = false) // feed slices need per-row logic
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

@@ -516,6 +516,79 @@ class FsTableSpec extends SparkSpec {
     drop("fs_misc")
   }
 
+  test("fs: vectorized scan — ColumnarToRow in the plan, row ≡ columnar across pruning/evolution/count(*), masked scans fall back") {
+    cat(); drop("fs_vec")
+    val src = (0L until 50000L)
+      .map(k => (k, (k % 1000).toInt, k * 0.5, s"name$k", k % 3 == 0))
+      .toDF("k", "c", "x", "nm", "flag")
+    src.repartition(4).writeTo("graft.fs_vec").create()
+
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect(); df.queryExecution.executedPlan.toString
+    }
+    // plain snapshot scan takes the vectorized path: ColumnarToRow feeds
+    // whole-stage codegen, exactly like Spark's built-in parquet source
+    val agg = spark.table("graft.fs_vec")
+      .groupBy(($"c" % 10).as("b"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sk"), sum("x").as("sx"),
+        sum(length($"nm")).as("sl"), sum(when($"flag", 1L).otherwise(0L)).as("sf"))
+    assert(planOf(agg).contains("ColumnarToRow"),
+      "plain fs snapshot scans must be columnar")
+    // row ≡ columnar: same aggregate straight off the source frame
+    val expect = src.groupBy(($"c" % 10).as("b"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sk"), sum("x").as("sx"),
+        sum(length($"nm")).as("sl"), sum(when($"flag", 1L).otherwise(0L)).as("sf"))
+    assert(agg.orderBy("b").collect().toSeq == expect.orderBy("b").collect().toSeq)
+
+    // count(*): fully-pruned scan (empty schema) still columnar-correct
+    assert(spark.table("graft.fs_vec").count() == 50000L)
+
+    // evolution composes with vectorization: WIDEN int->bigint (old files
+    // upcast in the vector fill), RENAME (file-era name resolves by field
+    // id), ADD (older files null-fill), then an append under the new schema
+    spark.sql("ALTER TABLE graft.fs_vec ALTER COLUMN c TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.fs_vec RENAME COLUMN nm TO label")
+    spark.sql("ALTER TABLE graft.fs_vec ADD COLUMN extra BIGINT")
+    (50000L until 60000L)
+      .map(k => (k, k % 1000, k * 0.5, s"name$k", k % 3 == 0, k * 2))
+      .toDF("k", "c", "x", "label", "flag", "extra")
+      .writeTo("graft.fs_vec").append()
+    val evo = spark.table("graft.fs_vec")
+      .agg(count(lit(1)).as("n"), sum("c").as("sc"),
+        sum(length($"label")).as("sl"),
+        sum(coalesce($"extra", lit(-1L))).as("se"))
+    assert(planOf(evo).contains("ColumnarToRow"),
+      "evolved fs snapshots must stay columnar (per-file requested schemas)")
+    val r = evo.head()
+    assert(r.getLong(0) == 60000L)
+    assert(r.getLong(1) == (0L until 60000L).map(_ % 1000).sum)
+    assert(r.getLong(2) == (0L until 60000L).map(k => s"name$k".length.toLong).sum)
+    assert(r.getLong(3) == -50000L + (50000L until 60000L).map(_ * 2).sum)
+
+    // DROP then re-ADD same name: the fresh field id must NOT resurrect
+    // old values through the vectorized name mapping
+    spark.sql("ALTER TABLE graft.fs_vec DROP COLUMN x")
+    spark.sql("ALTER TABLE graft.fs_vec ADD COLUMN x DOUBLE")
+    val res = spark.table("graft.fs_vec").agg(
+      count($"x").as("nonnull"), count(lit(1)).as("n")).head()
+    assert(res.getLong(0) == 0L, "re-added column must read NULL from old files")
+    assert(res.getLong(1) == 60000L)
+
+    // a DELTA mask forces the whole scan onto the row reader — correct,
+    // just not columnar (per-row key masking)
+    drop("fs_vec")
+    val tgt = (0L until 10000L).map(k => (k, k)).toDF("k", "v")
+    tgt.writeTo("graft.fsd_vec").create()
+    spark.sql("DELETE FROM graft.fsd_vec WHERE k >= 9000")
+    val masked = spark.table("graft.fsd_vec").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    val mplan = planOf(masked)
+    assert(!mplan.contains("ColumnarToRow"),
+      "masked delta scans must fall back to the row reader")
+    val mr = masked.head()
+    assert(mr.getLong(0) == (0L until 9000L).sum && mr.getLong(1) == 9000L)
+    drop("fsd_vec")
+  }
+
   test("fs: LIMIT-abandoned scans leak no parquet file handles (reader close propagates)") {
     cat(); drop("fs_fd")
     val src = (0L until 20000L).map(k => (k, k * 7 % 101)).toDF("k", "v")
