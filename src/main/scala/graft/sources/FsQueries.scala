@@ -594,8 +594,101 @@ object FsQueries {
            |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin)
   )
 
+  /** q302: fs WAREHOUSE TYPES — the first real table a user creates
+    * (money + event time): DECIMAL(12,2) prices, TIMESTAMP(µs) events,
+    * DATE partitions and an ARRAY column round-trip through the task-
+    * written parquet files and the VECTORIZED scan ([[FsVectorized]] —
+    * plain snapshot, so `ColumnarToRow` is the path under test;
+    * FsTableSpec pins row-path ≡ columnar on the same types). Every
+    * output reduces to exact integers, so a units bug (ms vs µs, cents
+    * vs units, days vs seconds) is a hash mismatch — decimals are built
+    * from exact integer cents via strings on BOTH sides (no double
+    * rounding reaches the table). */
+  val q302FsWideTypes = graft.QueryDef(
+    "q302_fs_wide_types",
+    (s, d) => {
+      cat(s)
+      val base = 1700000000000000L // epoch µs, fixed
+      val src = graft.Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        concat(expr("(o_orderkey % 100000) DIV 100").cast("string"), lit("."),
+          lpad((col("o_orderkey") % 100L).cast("string"), 2, "0"))
+          .cast("decimal(12,2)").as("price"),
+        timestamp_micros(lit(base) + col("o_orderkey") * 1000000L).as("ts"),
+        date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+          (col("o_orderkey") % 365L).cast("int")).as("od"),
+        array(col("o_orderkey"), col("o_orderkey") * 2L).as("xs"))
+      s.sql("DROP TABLE IF EXISTS graft.fs_wt")
+      src.writeTo("graft.fs_wt").create()
+      s.table("graft.fs_wt")
+        .groupBy((col("k") % 4).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          (sum("price") * 100L).cast(LongType).as("sum_cents"),
+          sum(unix_micros(col("ts")) - base).as("sum_ts_off"),
+          sum(datediff(col("od"), lit(java.sql.Date.valueOf("2024-01-01"))))
+            .cast(LongType).as("sum_days"),
+          sum(aggregate(col("xs"), lit(0L), (a, e) => a + e)).as("sum_xs"))
+        .orderBy("bucket")
+    },
+    Some("""SELECT o_orderkey % 4 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(CONCAT(CAST(o_orderkey % 100000 // 100 AS VARCHAR),
+           |    '.', lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0'))
+           |    AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_cents,
+           |  CAST(SUM(o_orderkey * 1000000) AS BIGINT) AS sum_ts_off,
+           |  CAST(SUM(o_orderkey % 365) AS BIGINT) AS sum_days,
+           |  CAST(SUM(o_orderkey * 3) AS BIGINT) AS sum_xs
+           |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)
+  )
+
+  /** q303: PER-COLUMN zone maps — q299's manifest file skipping on a
+    * NON-key column: the write clusters by `cents` (extended price), so
+    * first-column key ranges fully overlap while every file's `cents`
+    * stat window is tight; a range conjunct on `cents` must open only
+    * the overlapping files (skippability asserted in-query from the
+    * manifest stats by field id; the executed-plan `files=k/n` is
+    * additionally pinned in FsTableSpec). This is Delta/Iceberg
+    * any-column data skipping — at 100 TB the difference between
+    * opening 8 files and 80 000 for a price-band query. */
+  val q303FsColStats = graft.QueryDef(
+    "q303_fs_colstats",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.lineitem(s, d).select(
+        col("l_orderkey").cast("long").as("k"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast(LongType).as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+        .repartitionByRange(8, col("cents"))
+      s.sql("DROP TABLE IF EXISTS graft.fs_cs")
+      src.writeTo("graft.fs_cs").create()
+      val (lo, hi) = (2000000L, 4000000L)
+      val head = FsStore.current("fs_cs")
+      val centsId = FsStore.fieldId(head.schema("cents"))
+      val win = FsStore.ColWindow("long", Some(lo), Some(hi))
+      require(head.files.count(f =>
+        f.stats.get(centsId).exists(_.disjointFrom(win))) >= head.files.size / 2,
+        "clustered write must yield mostly-skippable cents stats")
+      s.table("graft.fs_cs")
+        .filter(col("cents").between(lo, hi))
+        .groupBy((col("qty") % 5).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_c"),
+          sum("k").as("sum_k"))
+        .orderBy("bucket")
+    },
+    Some("""WITH li AS (
+           |  SELECT l_orderkey AS k,
+           |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+           |    CAST(l_quantity AS BIGINT) AS qty
+           |  FROM lineitem)
+           |SELECT qty % 5 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS sum_c,
+           |  CAST(SUM(k) AS BIGINT) AS sum_k
+           |FROM li WHERE cents BETWEEN 2000000 AND 4000000
+           |GROUP BY 1 ORDER BY bucket""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q289FsRoundtrip, q290FsUpdate,
     q291FsMerge, q292FsdDeltaMerge, q293FsEvolution, q294FsdCdfBatch,
     q295FsdCdfStream, q296FsTimestampTravel, q297FsFeedBytes,
-    q299FsZoneSkip, q300FsColumnPrune, q301FsStreamingSink)
+    q299FsZoneSkip, q300FsColumnPrune, q301FsStreamingSink,
+    q302FsWideTypes, q303FsColStats)
 }

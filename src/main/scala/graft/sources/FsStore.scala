@@ -53,12 +53,22 @@ object FsParquet {
   import org.apache.parquet.hadoop.metadata.CompressionCodecName
   import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
 
-  /** The column types the fs table admits (checked at CREATE): the same
-    * set [[MemFilterEval]] evaluates — enough for every connector query,
-    * refused loudly beyond it. */
+  /** The column types the fs table admits (checked at CREATE): the
+    * atomics [[MemFilterEval]] evaluates PLUS the warehouse staples a
+    * money+event-time table needs — DECIMAL (any supported precision),
+    * TIMESTAMP (µs), DATE, and one-level ARRAYs of those atomics
+    * (embeddings, tag lists). Nested structs/maps stay a loud refusal:
+    * field-id evolution and zone maps are only defined here for flat
+    * columns. */
   def supportedType(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType | StringType |
-         BooleanType => true
+         BooleanType | TimestampType | DateType => true
+    case _: DecimalType => true
+    case ArrayType(et, _) => et match {
+      case LongType | IntegerType | DoubleType | FloatType | StringType |
+           BooleanType => true
+      case _ => false
+    }
     case _ => false
   }
 
@@ -163,6 +173,36 @@ object FsParquet {
             case (BooleanType, BooleanType) => g => g.getBoolean(i, 0)
             case (StringType, StringType) =>
               g => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+            // TIMESTAMP(µs) / DATE: parquet INT64 / INT32, same units as
+            // InternalRow's internal representation — value as-is
+            case (TimestampType, TimestampType) => g => g.getLong(i, 0)
+            case (DateType, DateType) => g => g.getInteger(i, 0)
+            // DECIMAL: standard-mode physicals by precision (ParquetWrite
+            // Support writes INT32 ≤9, INT64 ≤18, FLBA above)
+            case (d: DecimalType, s: DecimalType) if d == s =>
+              if (d.precision <= 9) { g =>
+                Decimal(g.getInteger(i, 0).toLong, d.precision, d.scale) }
+              else if (d.precision <= 18) { g =>
+                Decimal(g.getLong(i, 0), d.precision, d.scale) }
+              else { g =>
+                val unscaled = new java.math.BigInteger(g.getBinary(i, 0).getBytes)
+                Decimal(new java.math.BigDecimal(unscaled, d.scale), d.precision, d.scale) }
+            // one-level LIST of atomics (standard 3-level layout)
+            case (ArrayType(fe, _), ArrayType(se, _)) if fe == se =>
+              val elem = elementGetter(fe)
+              g => {
+                val list = g.getGroup(i, 0)
+                val n = list.getFieldRepetitionCount(0)
+                val out = new Array[Any](n)
+                var j = 0
+                while (j < n) {
+                  val holder = list.getGroup(0, j)
+                  out(j) = if (holder.getFieldRepetitionCount(0) == 0) null
+                           else elem(holder)
+                  j += 1
+                }
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+              }
             case (a, b) => throw new IllegalStateException(
               s"graft_fs: cannot read file column ${fileSchema(i).name}: $a " +
                 s"as scan type $b (only INT→BIGINT and FLOAT→DOUBLE widen)")
@@ -170,6 +210,20 @@ object FsParquet {
           g => if (g.getFieldRepetitionCount(i) == 0) null else get(g)
       }
     }
+  }
+
+  /** Typed extractor for a list element holder group (field 0 = the
+    * element value). */
+  private def elementGetter(et: DataType)
+      : org.apache.parquet.example.data.Group => Any = et match {
+    case LongType => _.getLong(0, 0)
+    case IntegerType => _.getInteger(0, 0)
+    case DoubleType => _.getDouble(0, 0)
+    case FloatType => _.getFloat(0, 0)
+    case BooleanType => _.getBoolean(0, 0)
+    case StringType => g => UTF8String.fromBytes(g.getBinary(0, 0).getBytes)
+    case other => throw new IllegalStateException(
+      s"graft_fs: unsupported array element type $other")
   }
 
   /** Keys of a key file (single `k`-typed column written by the delta
@@ -215,16 +269,51 @@ object FsStore {
   val OpUpdatePre = MemStore.OpUpdatePre
   val OpUpdatePost = MemStore.OpUpdatePost
 
+  /** PER-COLUMN zone-map entry of one data file, keyed in [[FileRef]] by
+    * FIELD ID so stats survive renames and compose with widening (int
+    * stats are normalized to `long`, float to `double`, at write). A
+    * column with no entry (all-NULL, unsupported type) is never skipped
+    * on. String order is UTF8 binary — the SAME order Spark's string
+    * comparisons use, so window-disjointness is sound for pushed string
+    * predicates too. */
+  final case class ColStat(kind: String, min: Any, max: Any) {
+    /** File provably holds NO value inside the window (None = unbounded
+      * side)? Sound because the stat covers every non-NULL value of the
+      * file (NULL never satisfies a range conjunct; a double column that
+      * saw NaN records NO stat at all — NaN compares greatest in Spark,
+      * which min/max arithmetic cannot represent). */
+    def disjointFrom(w: ColWindow): Boolean = kind == w.kind &&
+      (w.hi.exists(h => ColStat.lt(kind, h, min)) ||
+        w.lo.exists(l => ColStat.lt(kind, max, l)))
+  }
+  object ColStat {
+    /** Strict order per stat kind; strings in UTF8 BINARY order — the
+      * same order Spark's string comparisons use. */
+    def lt(kind: String, a: Any, b: Any): Boolean = kind match {
+      case "long" => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case "double" => a.asInstanceOf[Double] < b.asInstanceOf[Double]
+      case "string" => UTF8String.fromString(a.asInstanceOf[String])
+        .compareTo(UTF8String.fromString(b.asInstanceOf[String])) < 0
+      case other => throw new IllegalStateException(s"ColStat kind $other")
+    }
+  }
+
+  /** A conjunctive [lo, hi] window some pushed filters imply for one
+    * column (None = unbounded side), typed like the column's stat kind. */
+  final case class ColWindow(kind: String, lo: Option[Any], hi: Option[Any])
+
   /** One immutable data file of a snapshot. `schemaId` indexes the
     * table's schema lineage (the schema the file was WRITTEN under);
     * `addedVersion` decides which delta masks apply to it. `minKey` /
     * `maxKey` are the writer-recorded ZONE MAP of the first (row-id)
-    * column when it is integral — the manifest-level data-skipping
+    * column when it is integral, and `stats` carries min/max for EVERY
+    * atomic column (by field id) — the manifest-level data-skipping
     * stats Delta/Iceberg keep per file; sentinels (MinValue/MaxValue)
-    * mean "unknown, never skip". */
+    * and absent stats mean "unknown, never skip". */
   final case class FileRef(path: String, rows: Long, bytes: Long,
       schemaId: Int, addedVersion: Long,
-      minKey: Long = Long.MinValue, maxKey: Long = Long.MaxValue) {
+      minKey: Long = Long.MinValue, maxKey: Long = Long.MaxValue,
+      stats: Map[Int, ColStat] = Map.empty) {
     /** Can a scan bounded to [lo, hi] on the key skip this file? */
     def disjointFrom(lo: Long, hi: Long): Boolean =
       !(minKey == Long.MinValue && maxKey == Long.MaxValue) &&
@@ -294,11 +383,44 @@ object FsStore {
     o.put("path", f.path); o.put("rows", f.rows); o.put("bytes", f.bytes)
     o.put("schemaId", f.schemaId); o.put("addedVersion", f.addedVersion)
     o.put("minKey", f.minKey); o.put("maxKey", f.maxKey)
+    if (f.stats.nonEmpty) {
+      val st = mapper.createArrayNode()
+      f.stats.toSeq.sortBy(_._1).foreach { case (id, s) =>
+        val e = mapper.createObjectNode()
+        e.put("id", id); e.put("kind", s.kind)
+        s.kind match {
+          case "long" =>
+            e.put("min", s.min.asInstanceOf[Long])
+            e.put("max", s.max.asInstanceOf[Long])
+          case "double" =>
+            e.put("min", s.min.asInstanceOf[Double])
+            e.put("max", s.max.asInstanceOf[Double])
+          case _ =>
+            e.put("min", s.min.asInstanceOf[String])
+            e.put("max", s.max.asInstanceOf[String])
+        }
+        st.add(e): Unit
+      }
+      o.set[ObjectNode]("stats", st)
+    }
+    o
   }
-  private def fileFrom(n: JsonNode): FileRef =
+  private def fileFrom(n: JsonNode): FileRef = {
+    val stats = Option(n.get("stats")).map { st =>
+      st.elements().asScala.map { e =>
+        val kind = e.get("kind").asText
+        val (mn, mx): (Any, Any) = kind match {
+          case "long" => (e.get("min").asLong, e.get("max").asLong)
+          case "double" => (e.get("min").asDouble, e.get("max").asDouble)
+          case _ => (e.get("min").asText, e.get("max").asText)
+        }
+        e.get("id").asInt -> ColStat(kind, mn, mx)
+      }.toMap
+    }.getOrElse(Map.empty[Int, ColStat])
     FileRef(n.get("path").asText, n.get("rows").asLong, n.get("bytes").asLong,
       n.get("schemaId").asInt, n.get("addedVersion").asLong,
-      n.get("minKey").asLong, n.get("maxKey").asLong)
+      n.get("minKey").asLong, n.get("maxKey").asLong, stats)
+  }
   private def filesJson(fs: Vector[FileRef]): ArrayNode = {
     val a = mapper.createArrayNode(); fs.foreach(f => a.add(fileToJson(f))); a
   }
@@ -458,6 +580,19 @@ object FsStore {
   /** Bench-sweep hook: drop every fs table (scratch state between
     * queries, the MemStore.drop analog). */
   def dropAll(): Unit = tableNames.foreach(drop)
+
+  /** Zone-map stat kind tracked for a column type (None = no stats,
+    * never skip). TIMESTAMP/DATE share the integral kind (their
+    * InternalRow physicals); INT normalizes to long and FLOAT to double
+    * at write so stats stay comparable across type WIDENING. Decimals,
+    * booleans and arrays track none — a bool zone map is worthless and
+    * the rest need scale-aware orders not worth the manifest bytes. */
+  def statKind(dt: DataType): Option[String] = dt match {
+    case LongType | IntegerType | TimestampType | DateType => Some("long")
+    case DoubleType | FloatType => Some("double")
+    case StringType => Some("string")
+    case _ => None
+  }
 
   // ------------------------------------------------------------ field ids
 

@@ -202,12 +202,44 @@ class FsScanBuilder(name: String, pinnedVersion: Option[Long], cdf: Boolean,
   private var lo = Long.MinValue
   private var hi = Long.MaxValue
   private var accepted: Array[Filter] = Array.empty
+  /** Conjunctive windows per stat-tracked column (by FIELD ID) — feeds
+    * the per-column zone-map skip alongside the first-column fast path. */
+  private val bounds = scala.collection.mutable.Map[Int, FsStore.ColWindow]()
+  private val statCols: Map[String, (Int, String)] =
+    ver.schema.fields.flatMap(f =>
+      FsStore.statKind(f.dataType).map(k => f.name -> ((FsStore.fieldId(f), k)))).toMap
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (allowPushdown && !cdf) required = Some(requiredSchema)
 
+  /** Filter literal → the column's stat-kind value space (timestamps to
+    * µs, dates to days — the same physicals the writer tracked). */
+  private def statValue(kind: String, v: Any): Option[Any] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    (kind, v) match {
+      case ("long", t: java.sql.Timestamp) => Some(DateTimeUtils.fromJavaTimestamp(t))
+      case ("long", t: java.time.Instant) => Some(DateTimeUtils.instantToMicros(t))
+      case ("long", d: java.sql.Date) => Some(DateTimeUtils.fromJavaDate(d).toLong)
+      case ("long", d: java.time.LocalDate) => Some(DateTimeUtils.localDateToDays(d).toLong)
+      case ("long", n: Number) => Some(n.longValue)
+      case ("double", n: Number) => Some(n.doubleValue)
+      case ("string", s: String) => Some(s)
+      case _ => None
+    }
+  }
+  private def tighten(id: Int, kind: String, nlo: Option[Any], nhi: Option[Any]): Unit = {
+    val w = bounds.getOrElse(id, FsStore.ColWindow(kind, None, None))
+    val lo2 = (w.lo.toSeq ++ nlo.toSeq)
+      .reduceOption((a, b) => if (FsStore.ColStat.lt(kind, a, b)) b else a)
+    val hi2 = (w.hi.toSeq ++ nhi.toSeq)
+      .reduceOption((a, b) => if (FsStore.ColStat.lt(kind, a, b)) a else b)
+    bounds(id) = FsStore.ColWindow(kind, lo2, hi2)
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     if (allowPushdown && !cdf && keyIntegral) {
+      // first-column fast path: exact ±1 tightening on the integral key
+      // (drives FileRef.minKey/maxKey and the feed's keyRange text)
       val keyName = keyField.name
       def longOf(v: Any): Option[Long] = v match {
         case n: Number => Some(n.longValue)
@@ -235,16 +267,48 @@ class FsScanBuilder(name: String, pinnedVersion: Option[Long], cdf: Boolean,
       }
       accepted = filters.filter(bound)
     }
+    if (allowPushdown && !cdf) {
+      // generalized path: every stat-tracked column tightens a typed
+      // conjunctive window — bounds are INCLUSIVE supersets (a strict
+      // `>`/`<` uses its literal inclusively), which can only under-skip,
+      // never drop a qualifying file
+      def window(f: Filter): Boolean = f match {
+        case EqualTo(a, v) => statCols.get(a).exists { case (id, k) =>
+          statValue(k, v).exists { sv => tighten(id, k, Some(sv), Some(sv)); true } }
+        case GreaterThan(a, v) => statCols.get(a).exists { case (id, k) =>
+          statValue(k, v).exists { sv => tighten(id, k, Some(sv), None); true } }
+        case GreaterThanOrEqual(a, v) => statCols.get(a).exists { case (id, k) =>
+          statValue(k, v).exists { sv => tighten(id, k, Some(sv), None); true } }
+        case LessThan(a, v) => statCols.get(a).exists { case (id, k) =>
+          statValue(k, v).exists { sv => tighten(id, k, None, Some(sv)); true } }
+        case LessThanOrEqual(a, v) => statCols.get(a).exists { case (id, k) =>
+          statValue(k, v).exists { sv => tighten(id, k, None, Some(sv)); true } }
+        case In(a, vs) if vs.nonEmpty => statCols.get(a).exists { case (id, k) =>
+          val svs = vs.flatMap(statValue(k, _))
+          svs.length == vs.length && {
+            val mn = svs.reduce((x, y) => if (FsStore.ColStat.lt(k, x, y)) x else y)
+            val mx = svs.reduce((x, y) => if (FsStore.ColStat.lt(k, x, y)) y else x)
+            tighten(id, k, Some(mn), Some(mx)); true
+          } }
+        case And(l, r) =>
+          val a = window(l); val b = window(r); a || b
+        case _ => false
+      }
+      val winAccepted = filters.filter(window)
+      accepted = (accepted ++ winAccepted).distinct
+    }
     filters // all residual: skipping is file-granular, rows re-filtered
   }
   override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan = new FsScan(name, cdf, snapVersion, ver,
-    required, lo, hi, startingVersion, maxRowsPerBatch, maxBytesPerBatch)
+    required, lo, hi, bounds.toMap, startingVersion, maxRowsPerBatch,
+    maxBytesPerBatch)
 }
 
 class FsScan(name: String, cdf: Boolean, snapVersion: Long,
     ver: FsStore.Version, required: Option[StructType], lo: Long, hi: Long,
+    colBounds: Map[Int, FsStore.ColWindow],
     startingVersion: Option[Long], maxRowsPerBatch: Long,
     maxBytesPerBatch: Long)
     extends Scan with Batch with SupportsReportStatistics {
@@ -253,19 +317,28 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
   private val outSchema: StructType =
     if (cdf) MemCdf.withCdfColumns(dataSchema)
     else required.getOrElse(dataSchema)
+  /** ANY bound column whose recorded stat is disjoint from its window
+    * proves the file holds no qualifying row — skip. Files lacking the
+    * stat (old era, all-NULL, NaN-poisoned) are never skipped on it. */
+  private def statDisjoint(f: FileRef): Boolean =
+    colBounds.exists { case (id, w) => f.stats.get(id).exists(_.disjointFrom(w)) }
   /** Zone-map survivors of the snapshot's file set. */
   private def survivors: Vector[FileRef] =
-    ver.files.filterNot(_.disjointFrom(lo, hi))
+    ver.files.filterNot(f => f.disjointFrom(lo, hi) || statDisjoint(f))
 
   override def readSchema(): StructType = outSchema
   override def toBatch: Batch = this
   override def description(): String = {
-    val bounds =
+    val keyB =
       if (lo == Long.MinValue && hi == Long.MaxValue) ""
-      else s", keyRange=[$lo,$hi], files=${survivors.size}/${ver.files.size}"
+      else s", keyRange=[$lo,$hi]"
+    val colB = if (colBounds.isEmpty) "" else s", colBounds=${colBounds.size}"
+    val files =
+      if (keyB.isEmpty && colB.isEmpty) ""
+      else s", files=${survivors.size}/${ver.files.size}"
     val pruned = required.map(r => s", pruned=${r.fieldNames.mkString(",")}")
       .getOrElse("")
-    s"FsScan[$name,v=$snapVersion${if (cdf) ",cdf" else ""}$bounds$pruned]"
+    s"FsScan[$name,v=$snapVersion${if (cdf) ",cdf" else ""}$keyB$colB$files$pruned]"
   }
 
   /** Manifest-sourced statistics (the q283 contract), zone-map-aware:
@@ -655,6 +728,7 @@ case class FsDeltaCommitMessage(delKeys: Option[FileRef],
   * contract with FILES as the currency. */
 private[sources] class FsFileWriter(tableName: String, tag: String,
     schema: StructType) {
+  import org.apache.spark.sql.types._
   private var path: String = _
   private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
   private var rows = 0L
@@ -662,12 +736,51 @@ private[sources] class FsFileWriter(tableName: String, tag: String,
   // min/max the manifest records for scan-time file skipping
   private val keyGetter: Option[InternalRow => Long] =
     schema.fields.head.dataType match {
-      case org.apache.spark.sql.types.LongType => Some(_.getLong(0))
-      case org.apache.spark.sql.types.IntegerType => Some(_.getInt(0).toLong)
+      case LongType => Some(_.getLong(0))
+      case IntegerType => Some(_.getInt(0).toLong)
       case _ => None
     }
   private var minKey = Long.MaxValue
   private var maxKey = Long.MinValue
+
+  /** Running min/max of one column in its stat-kind value space. A NaN
+    * poisons the column's stat (NaN compares greatest in Spark — a
+    * numeric min/max cannot cover it soundly); all-NULL records none. */
+  private final class StatTracker(val fieldId: Int, val kind: String,
+      get: InternalRow => Any) {
+    private var any = false
+    private var poisoned = false
+    private var minV: Any = _
+    private var maxV: Any = _
+    def update(r: InternalRow): Unit = if (!poisoned) {
+      val v = get(r)
+      if (kind == "double" && v.asInstanceOf[Double].isNaN) { poisoned = true; return }
+      if (!any) { minV = v; maxV = v; any = true }
+      else {
+        if (FsStore.ColStat.lt(kind, v, minV)) minV = v
+        if (FsStore.ColStat.lt(kind, maxV, v)) maxV = v
+      }
+    }
+    def result: Option[(Int, FsStore.ColStat)] =
+      if (any && !poisoned) Some(fieldId -> FsStore.ColStat(kind, minV, maxV))
+      else None
+  }
+  // per-column zone maps for EVERY stat-tracked column, keyed by field
+  // id — what lets a scan skip files on any conjunct, not just the key
+  private val trackers: Array[(Int, StatTracker)] =
+    schema.fields.zipWithIndex.flatMap { case (f, i) =>
+      FsStore.statKind(f.dataType).map { kind =>
+        val get: InternalRow => Any = f.dataType match {
+          case LongType | TimestampType => _.getLong(i)
+          case IntegerType | DateType => r => r.getInt(i).toLong
+          case DoubleType => _.getDouble(i)
+          case FloatType => r => r.getFloat(i).toDouble
+          case _ => r => r.getUTF8String(i).toString
+        }
+        (i, new StatTracker(FsStore.fieldId(f), kind, get))
+      }
+    }
+
   def write(r: InternalRow): Unit = {
     if (writer == null) {
       path = FsStore.newFilePath(tableName, tag)
@@ -681,6 +794,12 @@ private[sources] class FsFileWriter(tableName: String, tag: String,
         if (k > maxKey) maxKey = k
       }
     }
+    var t = 0
+    while (t < trackers.length) {
+      val (i, tr) = trackers(t)
+      if (!r.isNullAt(i)) tr.update(r)
+      t += 1
+    }
     rows += 1
   }
   def finish(): Option[FileRef] =
@@ -691,7 +810,8 @@ private[sources] class FsFileWriter(tableName: String, tag: String,
       val (lo, hi) =
         if (keyGetter.isDefined && minKey <= maxKey) (minKey, maxKey)
         else (Long.MinValue, Long.MaxValue) // unknown: never skip
-      Some(FileRef(path, rows, bytes, 0, 0L, lo, hi)) // schemaId/version set at commit
+      val stats = trackers.iterator.flatMap(_._2.result).toMap
+      Some(FileRef(path, rows, bytes, 0, 0L, lo, hi, stats)) // schemaId/version set at commit
     }
   def abort(): Unit = {
     if (writer != null) {

@@ -510,7 +510,7 @@ class FsTableSpec extends SparkSpec {
     spark.sql("TRUNCATE TABLE graft.fs_misc")
     assert(spark.table("graft.fs_misc").count() == 0)
     val e = intercept[Exception] {
-      Seq((1L, Array(1.0f, 2.0f))).toDF("k", "vec").writeTo("graft.fs_bad").create()
+      Seq((1L, Map("a" -> 1L))).toDF("k", "m").writeTo("graft.fs_bad").create()
     }
     assert(e.getMessage.contains("unsupported column type"))
     drop("fs_misc")
@@ -587,6 +587,115 @@ class FsTableSpec extends SparkSpec {
     val mr = masked.head()
     assert(mr.getLong(0) == (0L until 9000L).sum && mr.getLong(1) == 9000L)
     drop("fsd_vec")
+  }
+
+  test("fs: per-column zone maps — non-key conjuncts skip files, NaN/NULL stay sound, stats survive rename") {
+    cat(); drop("fs_zm2")
+    // cluster on the NON-key column v so first-column key ranges overlap
+    // but v windows are disjoint per file
+    val src = (0L until 40000L).map(k => (k % 1000, k, s"u${k % 7}"))
+      .toDF("k", "v", "tag")
+      .repartitionByRange(8, $"v")
+    src.writeTo("graft.fs_zm2").create()
+    val head = FsStore.current("fs_zm2")
+    assert(head.files.forall(_.stats.size == 3), "every atomic column tracks stats")
+
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect(); df.queryExecution.executedPlan.toString
+    }
+    // range conjunct on v (not the key) must open a strict subset of files
+    val q = spark.table("graft.fs_zm2").filter($"v".between(10000L, 12000L))
+      .agg(count(lit(1)).as("n"), sum("k").as("sk"))
+    val p = planOf(q)
+    assert(p.contains("colBounds=1"), s"expected colBounds in scan description: $p")
+    val filesRe = ", files=(\\d+)/(\\d+)".r
+    val m = filesRe.findFirstMatchIn(p).getOrElse(fail(s"no files=k/n in: $p"))
+    assert(m.group(1).toInt < m.group(2).toInt, s"expected skipping: $p")
+    val r = q.head()
+    assert(r.getLong(0) == 2001L)
+    assert(r.getLong(1) == (10000L to 12000L).map(_ % 1000).sum)
+    // string conjunct skips too when disjoint from every tag
+    val sq = spark.table("graft.fs_zm2").filter($"tag" === "zzz")
+    assert(sq.count() == 0L)
+    val sp = sq.queryExecution.executedPlan.toString
+    assert(filesRe.findFirstMatchIn(sp).exists(_.group(1).toInt == 0),
+      s"an impossible string window must skip every file: $sp")
+
+    // rename keeps skipping (stats ride field ids, filters the new name)
+    spark.sql("ALTER TABLE graft.fs_zm2 RENAME COLUMN v TO val")
+    val rq = spark.table("graft.fs_zm2").filter($"val" < 100L)
+    rq.collect()
+    val rp = rq.queryExecution.executedPlan.toString
+    assert(filesRe.findFirstMatchIn(rp).exists(mm => mm.group(1).toInt < mm.group(2).toInt),
+      s"stats must survive RENAME: $rp")
+    assert(rq.count() == 100L)
+    drop("fs_zm2")
+
+    // NaN poisons the double stat — the file must NOT be skipped even
+    // though its non-NaN min/max look disjoint from the window
+    drop("fs_nan")
+    Seq((1L, 0.5), (2L, Double.NaN), (3L, 0.7)).toDF("k", "x")
+      .coalesce(1).writeTo("graft.fs_nan").create()
+    assert(FsStore.current("fs_nan").files.forall(!_.stats.contains(1)),
+      "NaN must poison the double column's stat")
+    assert(spark.table("graft.fs_nan").filter($"x" > 100.0).count() == 1L,
+      "the NaN row compares greatest and must survive")
+    drop("fs_nan")
+
+    // all-NULL column: no stat, no skip, NULL-safe reads
+    drop("fs_nul")
+    (0L until 100L).map(k => (k, Option.empty[java.lang.Long])).toDF("k", "v")
+      .coalesce(1).writeTo("graft.fs_nul").create()
+    assert(FsStore.current("fs_nul").files.forall(!_.stats.contains(1)))
+    assert(spark.table("graft.fs_nul").filter($"v" > 5L).count() == 0L)
+    drop("fs_nul")
+  }
+
+  test("fs: warehouse types — decimal/timestamp/date/array round-trip on both read paths, timestamp zone maps skip") {
+    cat(); drop("fs_types")
+    val src = spark.range(0, 20000).select(
+      $"id".as("k"),
+      ($"id" % 1000).cast("decimal(12,2)").as("price"),
+      (lit(38) * $"id" % 97).cast("decimal(24,3)").as("wide"),
+      timestamp_micros(lit(1700000000000000L) + $"id" * 1000000L).as("ts"),
+      date_add(lit(java.sql.Date.valueOf("2024-01-01")), ($"id" % 365).cast("int")).as("d"),
+      array($"id", $"id" * 2, $"id" * 3).as("xs"),
+      transform(sequence(lit(1), lit(3)), e => concat(lit("t"), e + $"id" % 5)).as("tags"))
+    src.repartitionByRange(4, $"ts").writeTo("graft.fs_types").create()
+
+    def agg(df: org.apache.spark.sql.DataFrame) = df.agg(
+      sum("price").as("sp"), sum("wide").as("sw"),
+      sum(unix_micros($"ts") - 1700000000000000L).as("st"),
+      sum(datediff($"d", lit(java.sql.Date.valueOf("2024-01-01")))).as("sd"),
+      sum(aggregate($"xs", lit(0L), (a, e) => a + e)).as("sx"),
+      sum(size($"tags")).as("ng")).head()
+    val viaFs = agg(spark.table("graft.fs_types"))
+    val direct = agg(src)
+    assert(viaFs == direct, s"fs=$viaFs direct=$direct")
+    // columnar on the plain snapshot…
+    val cdf = spark.table("graft.fs_types").agg(sum("price"))
+    cdf.collect()
+    assert(cdf.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    // …and the ROW path must agree: mask one row so the scan falls back
+    drop("fsd_types")
+    src.writeTo("graft.fsd_types").create()
+    spark.sql("DELETE FROM graft.fsd_types WHERE k = 19999")
+    val masked = agg(spark.table("graft.fsd_types"))
+    val directMasked = agg(src.filter($"k" =!= 19999))
+    assert(masked == directMasked, s"row-path=$masked direct=$directMasked")
+    drop("fsd_types")
+
+    // timestamp zone maps: a time-window conjunct opens a file subset
+    val tq = spark.table("graft.fs_types").filter(
+      $"ts" >= timestamp_micros(lit(1700000500000000L)) &&
+      $"ts" < timestamp_micros(lit(1700001000000000L)))
+    tq.collect()
+    val tp = tq.queryExecution.executedPlan.toString
+    val filesRe = ", files=(\\d+)/(\\d+)".r
+    assert(filesRe.findFirstMatchIn(tp).exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"timestamp windows must skip: $tp")
+    assert(tq.count() == 500L)
+    drop("fs_types")
   }
 
   test("fs: LIMIT-abandoned scans leak no parquet file handles (reader close propagates)") {
