@@ -686,9 +686,77 @@ object FsQueries {
            |GROUP BY 1 ORDER BY bucket""".stripMargin)
   )
 
+  /** q304: fs STORAGE-PARTITIONED JOIN — the manifest's partition spec
+    * closing the "every fs-fs join shuffles" gap: both tables are
+    * CREATEd `PARTITIONED BY (bucket(8, k))`, the write REQUESTS a
+    * clustered distribution on the bucket transform (tasks write one
+    * file per bucket, `FileRef.bucket` in the manifest), and each scan
+    * reports `KeyGroupedPartitioning(bucket(8, k))` with one split per
+    * bucket — so the join plans with NO exchange on either side
+    * (q215's contract, fulfilled from FILES instead of a generator;
+    * FsTableSpec asserts the exchange-free executed plan). In-query,
+    * the manifests are asserted fully bucketed. */
+  val q304FsSpjJoin = graft.QueryDef(
+    "q304_fs_spj_join",
+    (s, d) => {
+      cat(s)
+      val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevBk = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        s.sql("DROP TABLE IF EXISTS graft.fs_spj1")
+        s.sql("DROP TABLE IF EXISTS graft.fs_spj2")
+        s.sql("""CREATE TABLE graft.fs_spj1 (k BIGINT, sq BIGINT)
+                |PARTITIONED BY (bucket(8, k))""".stripMargin)
+        s.sql("""CREATE TABLE graft.fs_spj2 (k BIGINT, pc BIGINT)
+                |PARTITIONED BY (bucket(8, k))""".stripMargin)
+        graft.Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey").cast("long").as("k"))
+          .agg(sum(col("l_quantity").cast("long")).as("sq"))
+          .writeTo("graft.fs_spj1").append()
+        graft.Tables.orders(s, d)
+          .select(col("o_orderkey").cast("long").as("k"),
+            floor(col("o_totalprice") * 100.0 + 0.5).cast(LongType).as("pc"))
+          .writeTo("graft.fs_spj2").append()
+        Seq("fs_spj1", "fs_spj2").foreach { t =>
+          val v = FsStore.current(t)
+          require(v.bucketN == 8 &&
+            v.files.forall(f => f.bucket >= 0 && f.bucket < 8),
+            s"$t: every data file must land in its declared bucket")
+        }
+        // physical planning is LAZY — materialize (eager localCheckpoint)
+        // while the SPJ confs are on, order the tiny result after restore
+        s.table("graft.fs_spj1").join(s.table("graft.fs_spj2"), Seq("k"))
+          .groupBy((col("k") % 4).as("bucket"))
+          .agg(count(lit(1)).as("n"), sum("sq").as("sum_sq"),
+            sum("pc").as("sum_pc"))
+          .localCheckpoint()
+          .orderBy("bucket")
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        prevBk.fold(s.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+      }
+    },
+    Some("""WITH li AS (
+           |  SELECT l_orderkey AS k,
+           |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+           |  FROM lineitem GROUP BY 1),
+           |o AS (
+           |  SELECT o_orderkey AS k,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc
+           |  FROM orders)
+           |SELECT k % 4 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(sq) AS BIGINT) AS sum_sq,
+           |  CAST(SUM(pc) AS BIGINT) AS sum_pc
+           |FROM li JOIN o USING (k)
+           |GROUP BY 1 ORDER BY bucket""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q289FsRoundtrip, q290FsUpdate,
     q291FsMerge, q292FsdDeltaMerge, q293FsEvolution, q294FsdCdfBatch,
     q295FsdCdfStream, q296FsTimestampTravel, q297FsFeedBytes,
     q299FsZoneSkip, q300FsColumnPrune, q301FsStreamingSink,
-    q302FsWideTypes, q303FsColStats)
+    q302FsWideTypes, q303FsColStats, q304FsSpjJoin)
 }

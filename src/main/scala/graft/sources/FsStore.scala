@@ -313,7 +313,7 @@ object FsStore {
   final case class FileRef(path: String, rows: Long, bytes: Long,
       schemaId: Int, addedVersion: Long,
       minKey: Long = Long.MinValue, maxKey: Long = Long.MaxValue,
-      stats: Map[Int, ColStat] = Map.empty) {
+      stats: Map[Int, ColStat] = Map.empty, bucket: Int = -1) {
     /** Can a scan bounded to [lo, hi] on the key skip this file? */
     def disjointFrom(lo: Long, hi: Long): Boolean =
       !(minKey == Long.MinValue && maxKey == Long.MaxValue) &&
@@ -333,11 +333,17 @@ object FsStore {
   final case class Change(op: String, files: Vector[FileRef],
       masks: Vector[DeltaMask], keys: Vector[FileRef], rows: Long)
 
+  /** `bucketN` > 0 declares the table's PARTITION SPEC: every data file
+    * holds only rows with `floorMod(firstCol, bucketN) == file.bucket` —
+    * the layout [[FsScan]] reports as `KeyGroupedPartitioning(bucket(n,
+    * key))` so two such tables join WITHOUT an exchange (storage-
+    * partitioned join). The spec is fixed at CREATE (Iceberg's partition
+    * spec, reduced to the bucket transform the graft catalog resolves). */
   final case class Version(id: Long, tsMs: Long, schemaId: Int,
       lineage: Vector[StructType], maxFieldId: Int,
       files: Vector[FileRef], masks: Vector[DeltaMask],
       changes: Vector[Change], rowCount: Long,
-      epochs: Map[String, Long] = Map.empty) {
+      epochs: Map[String, Long] = Map.empty, bucketN: Int = 0) {
     def schema: StructType = lineage(schemaId)
     def appendOnly: Boolean = changes.forall(_.op == OpInsert)
   }
@@ -383,6 +389,7 @@ object FsStore {
     o.put("path", f.path); o.put("rows", f.rows); o.put("bytes", f.bytes)
     o.put("schemaId", f.schemaId); o.put("addedVersion", f.addedVersion)
     o.put("minKey", f.minKey); o.put("maxKey", f.maxKey)
+    if (f.bucket >= 0) o.put("bucket", f.bucket)
     if (f.stats.nonEmpty) {
       val st = mapper.createArrayNode()
       f.stats.toSeq.sortBy(_._1).foreach { case (id, s) =>
@@ -419,7 +426,8 @@ object FsStore {
     }.getOrElse(Map.empty[Int, ColStat])
     FileRef(n.get("path").asText, n.get("rows").asLong, n.get("bytes").asLong,
       n.get("schemaId").asInt, n.get("addedVersion").asLong,
-      n.get("minKey").asLong, n.get("maxKey").asLong, stats)
+      n.get("minKey").asLong, n.get("maxKey").asLong, stats,
+      Option(n.get("bucket")).map(_.asInt).getOrElse(-1))
   }
   private def filesJson(fs: Vector[FileRef]): ArrayNode = {
     val a = mapper.createArrayNode(); fs.foreach(f => a.add(fileToJson(f))); a
@@ -443,7 +451,7 @@ object FsStore {
     val o = mapper.createObjectNode()
     o.put("version", v.id); o.put("tsMs", v.tsMs)
     o.put("schemaId", v.schemaId); o.put("maxFieldId", v.maxFieldId)
-    o.put("rowCount", v.rowCount)
+    o.put("rowCount", v.rowCount); o.put("bucketN", v.bucketN)
     val lin = mapper.createArrayNode()
     v.lineage.foreach(s => lin.add(s.json))
     o.set[ObjectNode]("lineage", lin)
@@ -503,7 +511,8 @@ object FsStore {
     Version(o.get("version").asLong, o.get("tsMs").asLong,
       o.get("schemaId").asInt, lineage, o.get("maxFieldId").asInt,
       filesFrom(o.get("files")), masksFrom(o.get("masks")), changes,
-      o.get("rowCount").asLong, epochs)
+      o.get("rowCount").asLong, epochs,
+      Option(o.get("bucketN")).map(_.asInt).getOrElse(0))
   }
 
   // ------------------------------------------------------------- catalog
@@ -554,8 +563,14 @@ object FsStore {
           s"${versionAt(name, oldest).tsMs})"))
   }
 
-  def create(name: String, schema: StructType): Unit = {
+  def create(name: String, schema: StructType, bucketN: Int = 0): Unit = {
     require(schema.fields.nonEmpty, s"graft_fs($name): empty schema")
+    if (bucketN > 0) {
+      require(schema.fields.head.dataType == LongType ||
+        schema.fields.head.dataType == IntegerType,
+        s"graft_fs($name): bucket partitioning requires an integral first " +
+          s"(row-id) column, got ${schema.fields.head.dataType.simpleString}")
+    }
     schema.fields.foreach(f => require(FsParquet.supportedType(f.dataType),
       s"graft_fs($name): unsupported column type ${f.dataType.simpleString} " +
         s"for ${f.name} (fs tables admit long/int/double/float/string/boolean)"))
@@ -565,7 +580,8 @@ object FsStore {
     if (exists(name)) throw new IllegalStateException(
       s"graft_fs($name): table already exists")
     writeManifest(name, Version(0L, GraftClock.next(), 0, Vector(withIds),
-      withIds.length - 1, Vector.empty, Vector.empty, Vector.empty, 0L))
+      withIds.length - 1, Vector.empty, Vector.empty, Vector.empty, 0L,
+      Map.empty, bucketN))
   }
 
   def drop(name: String): Unit =
@@ -637,7 +653,7 @@ object FsStore {
       Version(v.id + 1, GraftClock.next(), v.schemaId, v.lineage, v.maxFieldId,
         v.files ++ added, v.masks,
         added.map(f => Change(OpInsert, Vector(f), Vector.empty, Vector.empty, f.rows)),
-        v.rowCount + added.map(_.rows).sum, v.epochs)
+        v.rowCount + added.map(_.rows).sum, v.epochs, v.bucketN)
     }
 
   /** Truncate-install (CoW row-level ops land here): the new snapshot is
@@ -656,7 +672,7 @@ object FsStore {
         added, Vector.empty,
         deleted ++ added.map(f =>
           Change(OpInsert, Vector(f), Vector.empty, Vector.empty, f.rows)),
-        added.map(_.rows).sum, v.epochs)
+        added.map(_.rows).sum, v.epochs, v.bucketN)
     }
 
   /** MERGE-ON-READ delta commit: `delKeys`/`updKeys` become a read-side
@@ -699,7 +715,7 @@ object FsStore {
         v.files ++ updFiles ++ insFiles,
         v.masks :+ mask,
         changes,
-        v.rowCount - delN + insFiles.map(_.rows).sum, v.epochs)
+        v.rowCount - delN + insFiles.map(_.rows).sum, v.epochs, v.bucketN)
     }
 
   /** Snapshot EXPIRY (Iceberg's `expireSnapshots`, Delta's log
@@ -793,7 +809,7 @@ object FsStore {
           v.files ++ added, v.masks,
           added.map(f => Change(OpInsert, Vector(f), Vector.empty, Vector.empty, f.rows)),
           v.rowCount + added.map(_.rows).sum,
-          v.epochs + (queryId -> epochId))
+          v.epochs + (queryId -> epochId), v.bucketN)
       }
       true
     }
@@ -818,6 +834,6 @@ object FsStore {
         s"graft_fs($name): evolved column ${f.name} lost its field id"))
       Version(v.id + 1, GraftClock.next(), v.lineage.length,
         v.lineage :+ newSchema, newMaxFieldId,
-        v.files, v.masks, Vector.empty, v.rowCount, v.epochs)
+        v.files, v.masks, Vector.empty, v.rowCount, v.epochs, v.bucketN)
     }
 }

@@ -134,10 +134,37 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
         MemStore.create(m, schema)
         new MemTable(m, delta = m.startsWith("memd_"))
       case m if isFs(m) =>
-        require(partitions.isEmpty, "fs tables are unpartitioned")
         require(!m.endsWith("__changes"),
           "the __changes suffix is reserved for the change-data-feed relation")
-        FsStore.create(m, schema)
+        // fs_* tables accept ONE bucket(n, <first column>) transform — the
+        // partition spec FsScan reports as KeyGroupedPartitioning so two
+        // such tables join exchange-free (storage-partitioned join).
+        // fsd_* stays unpartitioned: its delta writers ship key files,
+        // which have no bucket to land in
+        val bucketN = partitions.toSeq match {
+          case Seq() => 0
+          case Seq(t) =>
+            require(!m.startsWith("fsd_"),
+              s"graft catalog: $m is a merge-on-read table — bucket " +
+                "partitioning lives on the copy-on-write fs_* flavor")
+            val parts = t.toString // e.g. bucket(8, k)
+            val Pat = """bucket\((\d+),\s*(.+)\)""".r
+            parts match {
+              case Pat(n, col) =>
+                require(col.trim.stripPrefix("`").stripSuffix("`") ==
+                  schema.fields.head.name,
+                  s"graft catalog: fs tables bucket on the FIRST (row-id) " +
+                    s"column ${schema.fields.head.name}, got $col")
+                n.toInt
+              case other => throw new UnsupportedOperationException(
+                s"graft catalog: unsupported fs partition transform $other " +
+                  "— only bucket(n, <first column>)")
+            }
+          case many => throw new UnsupportedOperationException(
+            s"graft catalog: fs tables take at most one partition " +
+              s"transform, got ${many.mkString(", ")}")
+        }
+        FsStore.create(m, schema, bucketN)
         new FsTable(m, delta = m.startsWith("fsd_"))
       case other =>
         throw new UnsupportedOperationException(

@@ -698,6 +698,61 @@ class FsTableSpec extends SparkSpec {
     drop("fs_types")
   }
 
+  test("fs: bucket partition spec — fs-fs join exchange-free, CoW keeps buckets, point lookups prune, fsd refused") {
+    cat(); drop("fs_bk1"); drop("fs_bk2")
+    spark.sql("CREATE TABLE graft.fs_bk1 (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE graft.fs_bk2 (k BIGINT, w BIGINT) PARTITIONED BY (bucket(4, k))")
+    (0L until 20000L).map(k => (k, k * 3 % 101)).toDF("k", "v")
+      .repartition(6).writeTo("graft.fs_bk1").append()
+    (0L until 20000L by 2).map(k => (k, k % 97)).toDF("k", "w")
+      .repartition(6).writeTo("graft.fs_bk2").append()
+    Seq("fs_bk1", "fs_bk2").foreach { t =>
+      val ver = FsStore.current(t)
+      assert(ver.bucketN == 4)
+      assert(ver.files.forall(f => f.bucket >= 0 && f.bucket < 4))
+      // the clustered write distribution means one file per bucket, not
+      // one per (task × bucket)
+      assert(ver.files.size <= 4, s"$t wrote ${ver.files.size} files")
+    }
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("graft.fs_bk1").join(spark.table("graft.fs_bk2"), "k")
+      j.count() // materialize so AQE finalizes the plan
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"key-grouped fs layout must eliminate the join shuffle:\n$plan")
+      assert(j.count() == 10000L)
+      val r = j.filter($"k" === 4242L).head()
+      assert(r.getLong(1) == 4242L * 3 % 101 && r.getLong(2) == 4242L % 97)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+    // CoW UPDATE rewrites into bucketed files again
+    spark.sql("UPDATE graft.fs_bk1 SET v = v + 1000 WHERE k % 7 = 0")
+    val afterCow = FsStore.current("fs_bk1")
+    assert(afterCow.files.forall(f => f.bucket >= 0 && f.bucket < 4),
+      "the CoW rewrite must keep the bucket layout")
+    assert(spark.table("graft.fs_bk1").filter($"k" === 7L).head().getLong(1) ==
+      7L * 3 % 101 + 1000)
+    // exact-key lookup prunes other buckets' files from the manifest
+    val pt = spark.table("graft.fs_bk1").filter($"k" === 4242L)
+    pt.collect()
+    val ptPlan = pt.queryExecution.executedPlan.toString
+    val filesRe = ", files=(\\d+)/(\\d+)".r
+    assert(filesRe.findFirstMatchIn(ptPlan).exists(m =>
+      m.group(1).toInt < m.group(2).toInt),
+      s"point lookup must bucket-prune the manifest: $ptPlan")
+    // fsd (merge-on-read) refuses the spec: delta key files have no bucket
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.fsd_bk (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+    }
+    assert(e.getMessage.contains("merge-on-read"))
+    drop("fs_bk1"); drop("fs_bk2")
+  }
+
   test("fs: LIMIT-abandoned scans leak no parquet file handles (reader close propagates)") {
     cat(); drop("fs_fd")
     val src = (0L until 20000L).map(k => (k, k * 7 % 101)).toDF("k", "v")
