@@ -754,9 +754,62 @@ object FsQueries {
            |GROUP BY 1 ORDER BY bucket""".stripMargin)
   )
 
+  /** q305: COMPACTION (bin-packing OPTIMIZE) — the maintenance verb
+    * q301's streaming sink needs: four small appends accrete ~32 task
+    * files; [[FsMaintenance.compact]] rewrites them (one Spark task per
+    * bin, field-id mapped) and installs the swap as a NON-logical
+    * version — same rows, ≥4× fewer files (asserted in-query), EMPTY
+    * change log. The oracle pins content identity across the rewrite
+    * twice over: the HEAD aggregate and the `VERSION AS OF` PRE-
+    * compaction aggregate must both equal the same DuckDB rebuild —
+    * a compaction that lost/duplicated a row, or broke time travel to
+    * the old files, is a hash mismatch. */
+  val q305FsCompact = graft.QueryDef(
+    "q305_fs_compact",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.lineitem(s, d).select(
+        col("l_orderkey").cast("long").as("k"),
+        col("l_quantity").cast("long").as("qty"))
+      s.sql("DROP TABLE IF EXISTS graft.fs_opt")
+      src.filter(col("k") % 4 === 0).repartition(8).writeTo("graft.fs_opt").create()
+      (1 to 3).foreach(i => src.filter(col("k") % 4 === i)
+        .repartition(8).writeTo("graft.fs_opt").append())
+      val pre = FsStore.current("fs_opt")
+      val (before, after, bins) =
+        FsMaintenance.compact(s, "fs_opt", targetBytes = 512L << 20)
+      require(bins >= 1 && after * 4 <= before,
+        s"compaction must shrink the file count ≥4× (got $before → $after)")
+      val post = FsStore.current("fs_opt")
+      require(post.rowCount == pre.rowCount && post.changes.isEmpty,
+        "compaction is not a logical change")
+      def agg(df: org.apache.spark.sql.DataFrame, phase: String) = df
+        .groupBy((col("k") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"),
+          sum("k").as("sum_k"))
+        .withColumn("phase", lit(phase))
+      agg(s.table("graft.fs_opt"), "head")
+        .unionByName(agg(
+          s.sql(s"SELECT * FROM graft.fs_opt VERSION AS OF ${pre.id}"), "pre"))
+        .select("phase", "bucket", "n", "sum_qty", "sum_k")
+        .orderBy("phase", "bucket")
+    },
+    Some("""WITH li AS (
+           |  SELECT l_orderkey AS k, CAST(l_quantity AS BIGINT) AS qty
+           |  FROM lineitem),
+           |agg AS (
+           |  SELECT k % 8 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(qty) AS BIGINT) AS sum_qty,
+           |    CAST(SUM(k) AS BIGINT) AS sum_k
+           |  FROM li GROUP BY 1)
+           |SELECT 'head' AS phase, * FROM agg
+           |UNION ALL SELECT 'pre' AS phase, * FROM agg
+           |ORDER BY phase, bucket""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q289FsRoundtrip, q290FsUpdate,
     q291FsMerge, q292FsdDeltaMerge, q293FsEvolution, q294FsdCdfBatch,
     q295FsdCdfStream, q296FsTimestampTravel, q297FsFeedBytes,
     q299FsZoneSkip, q300FsColumnPrune, q301FsStreamingSink,
-    q302FsWideTypes, q303FsColStats, q304FsSpjJoin)
+    q302FsWideTypes, q303FsColStats, q304FsSpjJoin, q305FsCompact)
 }

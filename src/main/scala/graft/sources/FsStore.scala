@@ -718,6 +718,41 @@ object FsStore {
         v.rowCount - delN + insFiles.map(_.rows).sum, v.epochs, v.bucketN)
     }
 
+  /** COMPACTION install (the commit half of OPTIMIZE — see
+    * [[FsMaintenance.compact]]): swap `removed` small files for `added`
+    * compacted ones in ONE manifest, with the SAME rows. NOT a logical
+    * change: the change log stays EMPTY, so the CDF serves nothing for
+    * this version, the plain feed's slice is zero-length, and epoch
+    * high-water marks ride along untouched — consumers never see a
+    * compaction. Old files stay on disk for retained versions' time
+    * travel; expiry + vacuum reclaims them. Guards: schema pinned
+    * (concurrent ALTER loses), every removed file still in the snapshot
+    * (concurrent writers lose), row counts preserved, and NO removed
+    * file may carry an applicable delta mask — the compacted copy's
+    * fresh addedVersion would escape the mask and resurrect masked rows. */
+  def commitRewrite(name: String, removed: Vector[FileRef],
+      added: Vector[FileRef], writeSchemaId: Int): Unit =
+    install(name) { v =>
+      requireSchemaUnchanged(name, v, writeSchemaId)
+      val live = v.files.map(_.path).toSet
+      removed.foreach { r =>
+        require(live.contains(r.path),
+          s"graft_fs($name): compaction raced a concurrent rewrite — " +
+            s"${r.path} left the snapshot")
+        require(!v.masks.exists(_.version > r.addedVersion),
+          s"graft_fs($name): cannot compact ${r.path} — a delta mask " +
+            "applies to it and the rewrite would resurrect masked rows")
+      }
+      require(removed.map(_.rows).sum == added.map(_.rows).sum,
+        s"graft_fs($name): compaction must preserve rows " +
+          s"(${removed.map(_.rows).sum} removed vs ${added.map(_.rows).sum} added)")
+      val rm = removed.map(_.path).toSet
+      val newAdded = added.map(_.copy(schemaId = v.schemaId, addedVersion = v.id + 1))
+      Version(v.id + 1, GraftClock.next(), v.schemaId, v.lineage, v.maxFieldId,
+        v.files.filterNot(f => rm.contains(f.path)) ++ newAdded,
+        v.masks, Vector.empty, v.rowCount, v.epochs, v.bucketN)
+    }
+
   /** Snapshot EXPIRY (Iceberg's `expireSnapshots`, Delta's log
     * retention): drop manifests older than the newest `keep` versions.
     * Version ids stay monotonic and an expired id becomes a load-time

@@ -499,18 +499,27 @@ object FsScanPlanner {
 
   /** A [skip, skip+take) slice of a change's row stream for the
     * streaming feed. Unfiltered changes slice per FILE with exact
-    * arithmetic; key-filtered / masked changes fall back to ONE
-    * sequential partition, because post-filter per-file counts are only
-    * known to the reader (a production feed writes change FILES per
-    * commit — Delta's CDF shape — and keeps file-parallel slicing; the
-    * read-side reconstruction trades that for zero commit-time scans). */
+    * arithmetic. Key-filtered / masked changes (delete/update pre-image
+    * reconstruction) go FILE-PARALLEL whenever the slice covers the
+    * WHOLE change — each task filters its own file independently and
+    * the union is exactly the change, no counts needed — which is every
+    * batch except the one a row/byte budget cuts mid-change; only that
+    * partial slice falls back to ONE sequential partition, because
+    * post-filter per-file counts are only known to the reader (a
+    * production feed writes change FILES per commit — Delta's CDF
+    * shape — and keeps even partial slices parallel; the read-side
+    * reconstruction trades that for zero commit-time scans). */
   def slicePartitions(c: Change, version: Long, lineage: Vector[StructType],
       dataSchema: StructType, cdf: Boolean, skip: Long,
       take: Long): Seq[InputPartition] = {
     val tag = if (cdf) Some((c.op, version)) else None
     val filtered = c.keys.nonEmpty ||
       c.files.exists(f => masksFor(f, c.masks).nonEmpty)
-    if (filtered)
+    if (filtered && skip == 0L && take >= c.rows)
+      // whole-change slice: one task per data file, filters independent
+      c.files.map(f => FsScanPartition(Vector((f, masksFor(f, c.masks))),
+        lineage, dataSchema, c.keys, tag, 0L, -1L))
+    else if (filtered)
       Seq(FsScanPartition(c.files.map(f => (f, masksFor(f, c.masks))),
         lineage, dataSchema, c.keys, tag, skip, take))
     else {

@@ -753,6 +753,105 @@ class FsTableSpec extends SparkSpec {
     drop("fs_bk1"); drop("fs_bk2")
   }
 
+  test("fs: compaction — streaming-sink small files bin-pack, epochs/replay/time-travel intact, old files vacuum after expiry") {
+    cat(); drop("fs_cpk")
+    spark.sql("CREATE TABLE graft.fs_cpk (k BIGINT, v BIGINT)")
+    import org.apache.spark.sql.catalyst.InternalRow
+    def fileOf(tag: String, ks: Seq[Long]): FsStore.FileRef = {
+      val w = new FsFileWriter("fs_cpk", tag, FsStore.schemaOf("fs_cpk"))
+      ks.foreach(k => w.write(InternalRow(k, k * 2)))
+      w.finish().get
+    }
+    // a streaming sink's accretion: 6 epochs, one small file each
+    (0 until 6).foreach { e =>
+      assert(FsStore.commitEpochAppend("fs_cpk", "qS", e.toLong,
+        Vector(fileOf(s"e$e", (e * 100L) until ((e + 1) * 100L))), 0))
+    }
+    val pre = FsStore.current("fs_cpk")
+    assert(pre.files.size == 6)
+    val contentBefore = spark.table("graft.fs_cpk").orderBy("k").collect().toSeq
+
+    val (before, after, bins) = FsMaintenance.compact(spark, "fs_cpk", 64L << 20)
+    assert(before == 6 && after == 1 && bins == 1)
+    val post = FsStore.current("fs_cpk")
+    assert(post.rowCount == 600 && post.changes.isEmpty,
+      "compaction must not be a logical change")
+    // contents hash-identical pre/post
+    assert(spark.table("graft.fs_cpk").orderBy("k").collect().toSeq == contentBefore)
+    // time travel to the pre-compaction version still serves old files
+    assert(spark.sql(s"SELECT * FROM graft.fs_cpk VERSION AS OF ${pre.id}")
+      .orderBy("k").collect().toSeq == contentBefore)
+    // epoch high-water marks rode along: a REPLAY of epoch 5 stays a no-op
+    val replay = fileOf("e5r", 500L until 600L)
+    assert(!FsStore.commitEpochAppend("fs_cpk", "qS", 5L, Vector(replay), 0))
+    new java.io.File(replay.path).delete()
+    // ...and a NEW epoch still commits
+    assert(FsStore.commitEpochAppend("fs_cpk", "qS", 6L,
+      Vector(fileOf("e6", 600L until 650L)), 0))
+    assert(spark.table("graft.fs_cpk").count() == 650)
+    // expiry + vacuum reclaims the six compacted-away files
+    FsStore.expireVersions("fs_cpk", keep = 2)
+    val (gone, _) = FsStore.vacuum("fs_cpk")
+    assert(gone == 6L, s"expected the 6 pre-compaction files reclaimed, got $gone")
+    assert(spark.table("graft.fs_cpk").count() == 650)
+    drop("fs_cpk")
+
+    // masked fsd files are NOT eligible — compaction must not resurrect
+    // masked rows
+    drop("fsd_cpk")
+    (0L until 1000L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(1).writeTo("graft.fsd_cpk").create()
+    (1000L until 2000L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(1).writeTo("graft.fsd_cpk").append()
+    spark.sql("DELETE FROM graft.fsd_cpk WHERE k % 5 = 1")
+    val (b2, a2, bins2) = FsMaintenance.compact(spark, "fsd_cpk", 64L << 20)
+    assert(bins2 == 0 && b2 == a2, "masked files must be ineligible")
+    assert(spark.table("graft.fsd_cpk").count() == 1600)
+    drop("fsd_cpk")
+  }
+
+  test("fs CDF: whole-change key-filtered slices plan file-parallel; budget-cut partial slices stay sequential") {
+    cat(); drop("fsd_par")
+    (0L until 8000L).map(k => (k, k % 13)).toDF("k", "v")
+      .repartition(4).writeTo("graft.fsd_par").create() // 4 base files
+    spark.sql("DELETE FROM graft.fsd_par WHERE k % 9 = 2") // v2: delta keys
+    val v = FsStore.currentVersion("fsd_par")
+    val ver = FsStore.versionAt("fsd_par", v)
+    assert(ver.changes.nonEmpty && ver.changes.head.keys.nonEmpty)
+    val total = ver.changes.map(_.rows).sum
+    val feed = new FsChangeFeed("fsd_par", cdf = true, startingVersion = None,
+      maxRowsPerBatch = Long.MaxValue, maxBytesPerBatch = Long.MaxValue)
+    // a batch covering the WHOLE delete change: one task per base file —
+    // pre-image reconstruction of a large delete no longer serializes
+    val whole = feed.planInputPartitions(MemOffset(v, 0L), MemOffset(v, total))
+    assert(whole.length >= 4,
+      s"whole-change filtered slice must be file-parallel, got ${whole.length}")
+    // a budget-cut PARTIAL slice of the same change: sequential fallback
+    val partial = feed.planInputPartitions(MemOffset(v, 0L), MemOffset(v, 1L))
+    assert(partial.length == 1,
+      s"partial filtered slice must stay sequential, got ${partial.length}")
+    // and the streamed drain (byte-budgeted so some batches ARE partial)
+    // still reconstructs the exact typed change set
+    val q = spark.readStream
+      .option("maxBytesPerBatch", "4096")
+      .table("graft.fsd_par__changes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fsdpar_sink")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("fsdpar_sink")
+      .groupBy("_change_type").agg(count(lit(1)).as("n"), sum("k").as("sk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val delK = (0L until 8000L).filter(_ % 9 == 2)
+    val insK = (0L until 8000L)
+    assert(got == Set(
+      ("insert", insK.size.toLong, insK.sum),
+      ("delete", delK.size.toLong, delK.sum)))
+    spark.sql("DROP VIEW IF EXISTS fsdpar_sink")
+    drop("fsd_par")
+  }
+
   test("fs: LIMIT-abandoned scans leak no parquet file handles (reader close propagates)") {
     cat(); drop("fs_fd")
     val src = (0L until 20000L).map(k => (k, k * 7 % 101)).toDF("k", "v")
