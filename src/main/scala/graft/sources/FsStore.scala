@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path => JPath, Paths}
 import java.util.concurrent.atomic.AtomicLong
 
 import scala.jdk.CollectionConverters._
@@ -111,15 +111,6 @@ object FsParquet {
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .build()
 
-  /** Read `path` (written under `fileSchema`) converting each row to
-    * `scanSchema` by FIELD ID ("graft.fieldId" in field metadata):
-    *  - same id, same type → value as-is;
-    *  - same id, wider scan type (INT→BIGINT, FLOAT→DOUBLE) → upcast;
-    *  - id absent from the file (column added later) → NULL;
-    *  - file columns whose id is absent from the scan (dropped or
-    *    pruned) → skipped.
-    * This is Iceberg's schema-evolution read contract: files are
-    * immutable, the mapping lives in metadata. */
   /** A row iterator that owns its parquet reader: closes at EOF AND on
     * [[close]] — a LIMIT/take-sliced scan abandons the iterator mid-file,
     * and without the explicit close every such task leaked an open
@@ -146,6 +137,17 @@ object FsParquet {
     }
   }
 
+  /** Read `path` (written under `fileSchema`) converting each row to
+    * `scanSchema` by FIELD ID ("graft.fieldId" in field metadata):
+    *  - same id, same type → value as-is;
+    *  - same id, wider scan type (INT→BIGINT, FLOAT→DOUBLE) → upcast;
+    *  - id absent from the file (column added later) → NULL;
+    *  - file columns whose id is absent from the scan (dropped or
+    *    pruned) → skipped.
+    * This is Iceberg's schema-evolution read contract: files are
+    * immutable, the mapping lives in metadata. The ROW path — the
+    * masked/CDF/sliced reads; plain snapshot scans take the vectorized
+    * [[FsVectorized]] path instead. */
   def read(path: String, fileSchema: StructType,
       scanSchema: StructType): RowIter = {
     val reader = new ParquetReader(new Configuration(),

@@ -477,14 +477,6 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
   * applicable to each file (delta commits NEWER than the file) ride
   * along as key-file references the task resolves itself. */
 object FsScanPlanner {
-  /** Data files + per-file applicable masks of a snapshot. */
-  def snapshotPartitions(v: FsStore.Version,
-      scanSchema: StructType): Array[InputPartition] =
-    v.files.map { f =>
-      FsScanPartition(Vector((f, masksFor(f, v.masks))), v.lineage, scanSchema,
-        Vector.empty, None, 0L, -1L): InputPartition
-    }.toArray
-
   def masksFor(f: FileRef, masks: Vector[DeltaMask]): Vector[FileRef] =
     masks.filter(_.version > f.addedVersion).flatMap(_.keyFiles)
 
