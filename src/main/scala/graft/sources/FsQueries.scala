@@ -807,9 +807,51 @@ object FsQueries {
            |ORDER BY phase, bucket""".stripMargin)
   )
 
+  /** q306: AGGREGATE pushdown from MANIFEST STATS — q209's contract on
+    * files: COUNT(*) is the snapshot rowCount, MIN/MAX fold the exact
+    * per-file zone maps ([[FsStore.ColStat]]), so the whole ungrouped
+    * aggregate over a multi-file table is answered with ZERO file reads
+    * (one manifest read — the 100 TB MIN/MAX). The scan in the plan is
+    * `FsAggScan[…,manifest-only,files=0/n]` (plan-asserted in
+    * FsTableSpec along with every decline path: grouping, SUM, residual
+    * filters, statless columns, delta masks). String min/max rides the
+    * UTF8-binary stat order — the same order both engines compare
+    * VARCHAR with, so the oracle pins it exactly. */
+  val q306FsAggPushdown = graft.QueryDef(
+    "q306_fs_agg_pushdown",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast(LongType).as("pc"),
+        md5(col("o_orderkey").cast("string")).as("tag"))
+      s.sql("DROP TABLE IF EXISTS graft.fs_agp")
+      src.filter(col("k") % 2 === 0).repartition(4).writeTo("graft.fs_agp").create()
+      src.filter(col("k") % 2 === 1).repartition(4).writeTo("graft.fs_agp").append()
+      require(FsStore.current("fs_agp").files.size >= 2,
+        "the pushdown must fold MULTIPLE files' stats")
+      s.table("graft.fs_agp").agg(
+        count(lit(1)).as("n"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        min("pc").as("min_pc"), max("pc").as("max_pc"),
+        min("tag").as("min_tag"), max("tag").as("max_tag"))
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(MIN(o_orderkey) AS BIGINT) AS min_k,
+           |  CAST(MAX(o_orderkey) AS BIGINT) AS max_k,
+           |  CAST(MIN(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           |    AS min_pc,
+           |  CAST(MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           |    AS max_pc,
+           |  MIN(md5(CAST(o_orderkey AS VARCHAR))) AS min_tag,
+           |  MAX(md5(CAST(o_orderkey AS VARCHAR))) AS max_tag
+           |FROM orders""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q289FsRoundtrip, q290FsUpdate,
     q291FsMerge, q292FsdDeltaMerge, q293FsEvolution, q294FsdCdfBatch,
     q295FsdCdfStream, q296FsTimestampTravel, q297FsFeedBytes,
     q299FsZoneSkip, q300FsColumnPrune, q301FsStreamingSink,
-    q302FsWideTypes, q303FsColStats, q304FsSpjJoin, q305FsCompact)
+    q302FsWideTypes, q303FsColStats, q304FsSpjJoin, q305FsCompact,
+    q306FsAggPushdown)
 }

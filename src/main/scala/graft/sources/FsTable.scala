@@ -212,7 +212,9 @@ class FsScanBuilder(name: String, pinnedVersion: Option[Long], cdf: Boolean,
     options: CaseInsensitiveStringMap, allowPushdown: Boolean)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.aggregate
   import org.apache.spark.sql.sources._
   import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -332,9 +334,103 @@ class FsScanBuilder(name: String, pinnedVersion: Option[Long], cdf: Boolean,
   }
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan = new FsScan(name, cdf, snapVersion, ver,
-    required, lo, hi, bounds.toMap, startingVersion, maxRowsPerBatch,
-    maxBytesPerBatch)
+  /** AGGREGATE pushdown from MANIFEST STATS — COUNT(*) is the
+    * snapshot's rowCount, MIN/MAX(col) fold the per-file zone maps
+    * ([[FsStore.ColStat]] records EXACT per-file min/max), so the whole
+    * aggregate is answered with ZERO file reads: the parquet-footer-
+    * statistics shape at 100 TB is one manifest read. Eligibility is
+    * strict: no grouping, no delta masks (a masked row could BE the
+    * min, or change the count), and every file must carry the column's
+    * stat (all-NULL files, NaN-poisoned doubles and pre-stats eras
+    * decline loudly into the row/columnar scan). Spark only attempts
+    * the pushdown when no filters remain on the scan, and ours are
+    * always residual — so a filtered aggregate keeps the normal path. */
+  private var pushedAgg: Option[Array[aggregate.AggregateFunc]] = None
+  private def statFor(colName: String): Option[(Int, String, org.apache.spark.sql.types.DataType)] =
+    ver.schema.fields.find(_.name == colName).flatMap(f =>
+      FsStore.statKind(f.dataType).map(k => (FsStore.fieldId(f), k, f.dataType)))
+  private def manifestAnswerable(f: aggregate.AggregateFunc): Boolean = f match {
+    case _: aggregate.CountStar => true
+    case m: aggregate.Min => statFor(m.column.describe).exists { case (id, _, _) =>
+      ver.files.forall(_.stats.contains(id)) }
+    case m: aggregate.Max => statFor(m.column.describe).exists { case (id, _, _) =>
+      ver.files.forall(_.stats.contains(id)) }
+    case _ => false
+  }
+  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
+    allowPushdown && !cdf && ver.masks.isEmpty &&
+      agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.forall(manifestAnswerable)
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean =
+    if (supportCompletePushDown(agg)) {
+      pushedAgg = Some(agg.aggregateExpressions); true
+    } else false
+
+  override def build(): Scan = pushedAgg match {
+    case Some(fs) =>
+      import org.apache.spark.sql.types.{DataType, StructField}
+      // fold the manifest driver-side: the scan ships VALUES, not work
+      def fold(id: Int, kind: String, takeMax: Boolean): Any =
+        ver.files.map(_.stats(id)).map(s => if (takeMax) s.max else s.min)
+          .reduceOption { (a, b) =>
+            val aLess = FsStore.ColStat.lt(kind, a, b)
+            if (takeMax == aLess) b else a
+          }.orNull
+      // stats store widening-normalized kinds; convert back to the
+      // COLUMN's type space for the aggregate's output row
+      def typed(v: Any, dt: DataType): Any = (v, dt) match {
+        case (null, _) => null
+        case (l: Long, IntegerType | org.apache.spark.sql.types.DateType) => l.toInt
+        case (d: Double, org.apache.spark.sql.types.FloatType) => d.toFloat
+        case (s: String, _) => UTF8String.fromString(s)
+        case (other, _) => other
+      }
+      val (fields, values) = fs.zipWithIndex.map {
+        case (_: aggregate.CountStar, i) =>
+          (StructField(s"agg$i", LongType, nullable = false),
+            ver.rowCount: Any)
+        case (m: aggregate.Min, i) =>
+          val (id, kind, dt) = statFor(m.column.describe).get
+          (StructField(s"agg$i", dt, nullable = true),
+            typed(fold(id, kind, takeMax = false), dt))
+        case (m: aggregate.Max, i) =>
+          val (id, kind, dt) = statFor(m.column.describe).get
+          (StructField(s"agg$i", dt, nullable = true),
+            typed(fold(id, kind, takeMax = true), dt))
+        case (other, _) => throw new IllegalStateException(s"unpushable agg $other")
+      }.unzip
+      new FsAggScan(name, snapVersion, StructType(fields.toIndexedSeq),
+        values.toIndexedSeq, ver.files.size)
+    case None => new FsScan(name, cdf, snapVersion, ver,
+      required, lo, hi, bounds.toMap, startingVersion, maxRowsPerBatch,
+      maxBytesPerBatch)
+  }
+}
+
+/** The aggregate-pushdown scan: ONE partition, ONE precomputed row,
+  * ZERO files opened — the values were folded from the manifest at
+  * plan time ([[FsScanBuilder.pushAggregation]]). */
+class FsAggScan(name: String, snapVersion: Long, schema: StructType,
+    values: Seq[Any], nFiles: Int) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"FsAggScan[$name,v=$snapVersion,manifest-only,files=0/$nFiles]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(FsAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FsAggReaderFactory
+}
+case class FsAggPartition(values: Seq[Any]) extends InputPartition
+class FsAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(p.asInstanceOf[FsAggPartition].values)
+      override def close(): Unit = ()
+    }
 }
 
 class FsScan(name: String, cdf: Boolean, snapVersion: Long,

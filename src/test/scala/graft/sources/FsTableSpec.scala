@@ -852,6 +852,56 @@ class FsTableSpec extends SparkSpec {
     drop("fsd_par")
   }
 
+  test("fs: aggregate pushdown answers COUNT/MIN/MAX from the manifest; grouping/SUM/filters/statless/masks decline") {
+    cat(); drop("fs_agp2")
+    val src = (0L until 30000L)
+      .map(k => (k, k * 7 % 1009, s"t${k % 97}", Option.empty[java.lang.Long]))
+      .toDF("k", "v", "tag", "nul")
+    src.filter($"k" < 15000).repartition(3).writeTo("graft.fs_agp2").create()
+    src.filter($"k" >= 15000).repartition(3).writeTo("graft.fs_agp2").append()
+
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect(); df.queryExecution.executedPlan.toString
+    }
+    val agg = spark.table("graft.fs_agp2").agg(
+      count(lit(1)).as("n"), min("k").as("mk"), max("k").as("xk"),
+      min("tag").as("mt"), max("tag").as("xt"))
+    val p = planOf(agg)
+    assert(p.contains("FsAggScan") && p.contains("files=0/"),
+      s"ungrouped COUNT/MIN/MAX must be answered manifest-only:\n$p")
+    val r = agg.head()
+    assert(r.getLong(0) == 30000L && r.getLong(1) == 0L && r.getLong(2) == 29999L)
+    assert(r.getString(3) == "t0" && r.getString(4) == "t96") // UTF8 order
+
+    def declines(df: org.apache.spark.sql.DataFrame): Unit = {
+      val dp = planOf(df)
+      assert(!dp.contains("FsAggScan"), s"must decline into the scan:\n$dp")
+    }
+    // grouping declines
+    declines(spark.table("graft.fs_agp2").groupBy($"k" % 3).agg(min("k")))
+    // SUM declines (no additive manifest stat)
+    declines(spark.table("graft.fs_agp2").agg(sum("v")))
+    // residual filters keep the normal scan path
+    declines(spark.table("graft.fs_agp2").filter($"k" > 100).agg(min("k")))
+    // a statless (all-NULL) column declines — and still answers NULL right
+    val nulAgg = spark.table("graft.fs_agp2").agg(min("nul").as("m"))
+    declines(nulAgg)
+    assert(nulAgg.head().isNullAt(0))
+    drop("fs_agp2")
+
+    // delta masks decline: the count/min must reflect the masked rows
+    drop("fsd_agp")
+    (0L until 1000L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(1).writeTo("graft.fsd_agp").create()
+    spark.sql("DELETE FROM graft.fsd_agp WHERE k < 10")
+    val mAgg = spark.table("graft.fsd_agp").agg(
+      count(lit(1)).as("n"), min("k").as("mk"))
+    declines(mAgg)
+    val mr = mAgg.head()
+    assert(mr.getLong(0) == 990L && mr.getLong(1) == 10L)
+    drop("fsd_agp")
+  }
+
   test("fs: LIMIT-abandoned scans leak no parquet file handles (reader close propagates)") {
     cat(); drop("fs_fd")
     val src = (0L until 20000L).map(k => (k, k * 7 % 101)).toDF("k", "v")
