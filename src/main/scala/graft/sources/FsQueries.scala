@@ -848,10 +848,54 @@ object FsQueries {
            |FROM orders""".stripMargin)
   )
 
+  /** q307: RUNTIME file pruning (q216's DSv2 dynamic partition pruning,
+    * on files): the fact side is a BUCKETED fs table and the dim keeps
+    * only keys ≡ 3 (mod 8) — a MODULO predicate no static zone map can
+    * use (it stays residual), but after the dim broadcasts, Spark hands
+    * its ACTUAL key set to `FsScan.filter` and the re-planned scan opens
+    * ONLY bucket-3 files (`runtime=… keys, files=k/n` — 7/8 of the fact
+    * pruned at the MANIFEST, before any row exists; plan-asserted in
+    * FsTableSpec). The oracle is the plain join, so over- or
+    * under-pruning is a hash mismatch — DPP as a correctness surface. */
+  val q307FsRuntimePrune = graft.QueryDef(
+    "q307_fs_runtime_prune",
+    (s, d) => {
+      cat(s)
+      s.sql("DROP TABLE IF EXISTS graft.fs_rtf")
+      s.sql("""CREATE TABLE graft.fs_rtf (k BIGINT, qty BIGINT)
+              |PARTITIONED BY (bucket(8, k))""".stripMargin)
+      graft.Tables.lineitem(s, d)
+        .select(col("l_orderkey").cast("long").as("k"),
+          col("l_quantity").cast("long").as("qty"))
+        .writeTo("graft.fs_rtf").append()
+      val dim = graft.Tables.orders(s, d)
+        .filter(col("o_orderkey") % 8 === 3 && col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").cast("long").as("k"),
+          floor(col("o_totalprice") * 100.0 + 0.5).cast(LongType).as("pc"))
+      s.table("graft.fs_rtf").join(dim, Seq("k"))
+        .groupBy((col("k") % 4).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"),
+          sum("pc").as("sum_pc"))
+        .orderBy("bucket")
+    },
+    Some("""WITH li AS (
+           |  SELECT l_orderkey AS k, CAST(l_quantity AS BIGINT) AS qty
+           |  FROM lineitem),
+           |dim AS (
+           |  SELECT o_orderkey AS k,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc
+           |  FROM orders WHERE o_orderkey % 8 = 3 AND o_orderkey % 5 = 0)
+           |SELECT k % 4 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(qty) AS BIGINT) AS sum_qty,
+           |  CAST(SUM(pc) AS BIGINT) AS sum_pc
+           |FROM li JOIN dim USING (k)
+           |GROUP BY 1 ORDER BY bucket""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q289FsRoundtrip, q290FsUpdate,
     q291FsMerge, q292FsdDeltaMerge, q293FsEvolution, q294FsdCdfBatch,
     q295FsdCdfStream, q296FsTimestampTravel, q297FsFeedBytes,
     q299FsZoneSkip, q300FsColumnPrune, q301FsStreamingSink,
     q302FsWideTypes, q303FsColStats, q304FsSpjJoin, q305FsCompact,
-    q306FsAggPushdown)
+    q306FsAggPushdown, q307FsRuntimePrune)
 }

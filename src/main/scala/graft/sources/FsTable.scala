@@ -403,7 +403,7 @@ class FsScanBuilder(name: String, pinnedVersion: Option[Long], cdf: Boolean,
         values.toIndexedSeq, ver.files.size)
     case None => new FsScan(name, cdf, snapVersion, ver,
       required, lo, hi, bounds.toMap, startingVersion, maxRowsPerBatch,
-      maxBytesPerBatch)
+      maxBytesPerBatch, allowRuntime = allowPushdown)
   }
 }
 
@@ -437,10 +437,45 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
     ver: FsStore.Version, required: Option[StructType], lo: Long, hi: Long,
     colBounds: Map[Int, FsStore.ColWindow],
     startingVersion: Option[Long], maxRowsPerBatch: Long,
-    maxBytesPerBatch: Long)
+    maxBytesPerBatch: Long, allowRuntime: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsRuntimeFiltering {
   private val dataSchema = ver.schema
+
+  /** RUNTIME file pruning (DSv2 dynamic partition pruning): under a
+    * broadcast equi-join on the row-id key, Spark hands the build
+    * side's ACTUAL key set here AFTER that side is broadcast, and the
+    * re-planned scan opens only files whose zone map contains at least
+    * one surviving key (and, on bucketed tables, whose bucket one of
+    * the keys lands in) — at 100 TB the dim's key neighborhood decides
+    * which fact files are read, before any row exists. File-granular
+    * and advisory: the join re-checks rows, so pruning is always sound. */
+  private var runtimeKeys: Option[Array[Long]] = None
+  // `allowRuntime = false` on ROW-LEVEL-OPERATION scans: Spark's runtime
+  // group filtering would prune the rewrite scan to the MATCHED files,
+  // but this store's CoW commit is a whole-table truncate-install — a
+  // pruned rewrite scan silently DROPS every unmatched file's rows
+  // (FsTableSpec's CoW-with-predicate case caught exactly that)
+  override def filterAttributes(): Array[expressions.NamedReference] =
+    if (allowRuntime && !cdf &&
+        FsStore.statKind(dataSchema.fields.head.dataType).contains("long"))
+      Array(expressions.Expressions.column(dataSchema.fields.head.name))
+    else Array.empty
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    filters.foreach {
+      case org.apache.spark.sql.sources.In(a, vs)
+          if a == dataSchema.fields.head.name =>
+        val ks = vs.iterator.collect { case n: Number => n.longValue }.toArray.sorted
+        runtimeKeys = Some(runtimeKeys.fold(ks)(prev => prev.intersect(ks)))
+      case _ => () // non-IN runtime filters: decline, the join re-evaluates
+    }
+  private def runtimePruned(f: FileRef): Boolean = runtimeKeys.exists { ks =>
+    val zoneMiss = !(f.minKey == Long.MinValue && f.maxKey == Long.MaxValue) &&
+      !ks.exists(k => k >= f.minKey && k <= f.maxKey)
+    val bucketMiss = ver.bucketN > 0 && f.bucket >= 0 &&
+      !ks.exists(k => Math.floorMod(k, ver.bucketN.toLong).toInt == f.bucket)
+    zoneMiss || bucketMiss
+  }
   /** The schema rows LEAVE the scan with (pruned for plain reads). */
   private val outSchema: StructType =
     if (cdf) MemCdf.withCdfColumns(dataSchema)
@@ -456,10 +491,12 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
   private def bucketPruned(f: FileRef): Boolean =
     ver.bucketN > 0 && f.bucket >= 0 && lo == hi && lo != Long.MinValue &&
       f.bucket != Math.floorMod(lo, ver.bucketN.toLong).toInt
-  /** Partition- and zone-map survivors of the snapshot's file set. */
+  /** Partition-, zone-map- and runtime-filter survivors of the
+    * snapshot's file set. */
   private def survivors: Vector[FileRef] =
     ver.files.filterNot(f =>
-      bucketPruned(f) || f.disjointFrom(lo, hi) || statDisjoint(f))
+      bucketPruned(f) || f.disjointFrom(lo, hi) || statDisjoint(f) ||
+        runtimePruned(f))
   /** The bucketed layout is reportable when every surviving file knows
     * its bucket (always true for tables created with a spec). */
   private def bucketedLayout: Boolean =
@@ -487,12 +524,13 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
       if (lo == Long.MinValue && hi == Long.MaxValue) ""
       else s", keyRange=[$lo,$hi]"
     val colB = if (colBounds.isEmpty) "" else s", colBounds=${colBounds.size}"
+    val rt = runtimeKeys.map(ks => s", runtime=${ks.length} keys").getOrElse("")
     val files =
-      if (keyB.isEmpty && colB.isEmpty) ""
+      if (keyB.isEmpty && colB.isEmpty && rt.isEmpty) ""
       else s", files=${survivors.size}/${ver.files.size}"
     val pruned = required.map(r => s", pruned=${r.fieldNames.mkString(",")}")
       .getOrElse("")
-    s"FsScan[$name,v=$snapVersion${if (cdf) ",cdf" else ""}$keyB$colB$files$pruned]"
+    s"FsScan[$name,v=$snapVersion${if (cdf) ",cdf" else ""}$keyB$colB$rt$files$pruned]"
   }
 
   /** Manifest-sourced statistics (the q283 contract), zone-map-aware:

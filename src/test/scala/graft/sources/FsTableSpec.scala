@@ -902,6 +902,37 @@ class FsTableSpec extends SparkSpec {
     drop("fsd_agp")
   }
 
+  test("fs: runtime filtering — a broadcast join's key set prunes fact files by bucket and zone map") {
+    cat(); drop("fs_rtp")
+    spark.sql("CREATE TABLE graft.fs_rtp (k BIGINT, v BIGINT) PARTITIONED BY (bucket(8, k))")
+    (0L until 80000L).map(k => (k, k * 3 % 1009)).toDF("k", "v")
+      .writeTo("graft.fs_rtp").append()
+    assert(FsStore.current("fs_rtp").files.size == 8)
+    // dim keys all ≡ 3 (mod 8): a modulo shape static zone maps cannot
+    // use — only the RUNTIME key set can prune, and it must pick exactly
+    // the bucket-3 file. DPP needs a selective predicate on a REAL
+    // file-backed dim (a LocalRelation constant-folds away)
+    val dimDir = Files.createTempDirectory("fs_rtp_dim").toString
+    spark.range(0, 2000).selectExpr("id * 40 - (id * 40) % 8 + 3 AS k", "id % 10 AS tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter($"tag" === 3).select("k")
+    val j = spark.table("graft.fs_rtp").join(dim, Seq("k"))
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+      s"the fs scan must receive the runtime filter:\n$plan")
+    assert(plan.contains("runtime=") && plan.contains("files=1/8"),
+      s"the runtime key set must prune to the single bucket-3 file:\n$plan")
+    val dimKeys = (0L until 2000L).filter(_ % 10 == 3)
+      .map(id => id * 40 - (id * 40) % 8 + 3).distinct.filter(_ < 80000L)
+    val r = j.head()
+    assert(r.getLong(0) == dimKeys.size.toLong)
+    assert(r.getLong(1) == dimKeys.map(_ * 3 % 1009).sum)
+    graft.Tables.deleteRecursively(new java.io.File(dimDir))
+    drop("fs_rtp")
+  }
+
   test("fs: LIMIT-abandoned scans leak no parquet file handles (reader close propagates)") {
     cat(); drop("fs_fd")
     val src = (0L until 20000L).map(k => (k, k * 7 % 101)).toDF("k", "v")
