@@ -315,7 +315,8 @@ object FsStore {
   final case class FileRef(path: String, rows: Long, bytes: Long,
       schemaId: Int, addedVersion: Long,
       minKey: Long = Long.MinValue, maxKey: Long = Long.MaxValue,
-      stats: Map[Int, ColStat] = Map.empty, bucket: Int = -1) {
+      stats: Map[Int, ColStat] = Map.empty, bucket: Int = -1,
+      sorted: Boolean = false) {
     /** Can a scan bounded to [lo, hi] on the key skip this file? */
     def disjointFrom(lo: Long, hi: Long): Boolean =
       !(minKey == Long.MinValue && maxKey == Long.MaxValue) &&
@@ -392,6 +393,7 @@ object FsStore {
     o.put("schemaId", f.schemaId); o.put("addedVersion", f.addedVersion)
     o.put("minKey", f.minKey); o.put("maxKey", f.maxKey)
     if (f.bucket >= 0) o.put("bucket", f.bucket)
+    if (f.sorted) o.put("sorted", true)
     if (f.stats.nonEmpty) {
       val st = mapper.createArrayNode()
       f.stats.toSeq.sortBy(_._1).foreach { case (id, s) =>
@@ -429,7 +431,8 @@ object FsStore {
     FileRef(n.get("path").asText, n.get("rows").asLong, n.get("bytes").asLong,
       n.get("schemaId").asInt, n.get("addedVersion").asLong,
       n.get("minKey").asLong, n.get("maxKey").asLong, stats,
-      Option(n.get("bucket")).map(_.asInt).getOrElse(-1))
+      Option(n.get("bucket")).map(_.asInt).getOrElse(-1),
+      Option(n.get("sorted")).exists(_.asBoolean))
   }
   private def filesJson(fs: Vector[FileRef]): ArrayNode = {
     val a = mapper.createArrayNode(); fs.foreach(f => a.add(fileToJson(f))); a

@@ -155,7 +155,15 @@ class FsWrite(name: String, truncate: Boolean, queryId: String)
       Distributions.clustered(Array(expressions.Expressions.bucket(bucketN,
         FsStore.schemaOf(name).fields.head.name)))
     else Distributions.unspecified()
-  override def requiredOrdering(): Array[expressions.SortOrder] = Array.empty
+  /** Bucketed tables also request a PER-TASK SORT by the key, so every
+    * written file is key-ASC — which lets the scan REPORT that order and
+    * the storage-partitioned join drop its per-partition sorts too. */
+  override def requiredOrdering(): Array[expressions.SortOrder] =
+    if (bucketN > 0)
+      Array(expressions.Expressions.sort(
+        expressions.Expressions.column(FsStore.schemaOf(name).fields.head.name),
+        expressions.SortDirection.ASCENDING))
+    else Array.empty
   override def requiredNumPartitions(): Int = 0
 
   override def toBatch: BatchWrite = new FsBatchWrite(name, truncate)
@@ -439,8 +447,31 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
     startingVersion: Option[Long], maxRowsPerBatch: Long,
     maxBytesPerBatch: Long, allowRuntime: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportPartitioning with SupportsRuntimeFiltering {
+    with SupportsReportPartitioning with SupportsRuntimeFiltering
+    with SupportsReportOrdering {
   private val dataSchema = ver.schema
+
+  /** REPORTED ordering, the second half of the metadata-answered join:
+    * when the bucketed layout holds AND every bucket's surviving files
+    * reduce to at most ONE key-sorted file (a fresh clustered write, or
+    * any state after compaction), each input partition IS key-ASC — so
+    * EnsureRequirements drops the sort-merge join's per-partition sorts
+    * on top of the exchange the key grouping already killed. Claimed
+    * only when provable: the writer RECORDS observed order per file
+    * ([[FileRef.sorted]]); multi-file buckets (concatenation is not
+    * sorted), masked reads on other flavors, and pruned-out keys all
+    * report nothing. */
+  override def outputOrdering(): Array[expressions.SortOrder] = {
+    val keyName = dataSchema.fields.head.name
+    val keyVisible = outSchema.fields.headOption.exists(_.name == keyName)
+    val onePerBucket = bucketedLayout && keyVisible &&
+      survivors.groupBy(_.bucket).values.forall(fs =>
+        fs.size <= 1 && fs.forall(_.sorted))
+    if (onePerBucket)
+      Array(expressions.Expressions.sort(expressions.Expressions.column(keyName),
+        expressions.SortDirection.ASCENDING))
+    else Array.empty
+  }
 
   /** RUNTIME file pruning (DSv2 dynamic partition pruning): under a
     * broadcast equi-join on the row-id key, Spark hands the build
@@ -1028,6 +1059,11 @@ private[sources] class FsFileWriter(tableName: String, tag: String,
     }
   private var minKey = Long.MaxValue
   private var maxKey = Long.MinValue
+  // observed key order: true while keys arrive nondecreasing (what the
+  // write-side requiredOrdering produces on bucketed tables) — the scan
+  // only REPORTS an ordering a file provably has
+  private var keysSorted = true
+  private var sawKey = false
 
   /** Running min/max of one column in its stat-kind value space. A NaN
     * poisons the column's stat (NaN compares greatest in Spark — a
@@ -1076,9 +1112,11 @@ private[sources] class FsFileWriter(tableName: String, tag: String,
     keyGetter.foreach { g =>
       if (!r.isNullAt(0)) {
         val k = g(r)
+        if (sawKey && k < maxKey) keysSorted = false
+        sawKey = true
         if (k < minKey) minKey = k
         if (k > maxKey) maxKey = k
-      }
+      } else keysSorted = false // a NULL key breaks a total ASC order claim
     }
     var t = 0
     while (t < trackers.length) {
@@ -1097,8 +1135,9 @@ private[sources] class FsFileWriter(tableName: String, tag: String,
         if (keyGetter.isDefined && minKey <= maxKey) (minKey, maxKey)
         else (Long.MinValue, Long.MaxValue) // unknown: never skip
       val stats = trackers.iterator.flatMap(_._2.result).toMap
+      val sorted = keyGetter.isDefined && sawKey && keysSorted
       // schemaId/addedVersion are stamped at commit
-      Some(FileRef(path, rows, bytes, 0, 0L, lo, hi, stats, bucket))
+      Some(FileRef(path, rows, bytes, 0, 0L, lo, hi, stats, bucket, sorted))
     }
   def abort(): Unit = {
     if (writer != null) {

@@ -723,6 +723,14 @@ class FsTableSpec extends SparkSpec {
       val plan = j.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"key-grouped fs layout must eliminate the join shuffle:\n$plan")
+      // each bucket is ONE key-sorted file (the write's requiredOrdering,
+      // recorded per file) — the REPORTED ordering must kill the
+      // sort-merge join's per-partition sorts as well
+      if (plan.contains("SortMergeJoin"))
+        assert(!plan.contains("Sort "),
+          s"recorded key-ASC files must satisfy the SMJ ordering:\n$plan")
+      assert(FsStore.current("fs_bk1").files.forall(_.sorted),
+        "clustered writes must record key-sorted files")
       assert(j.count() == 10000L)
       val r = j.filter($"k" === 4242L).head()
       assert(r.getLong(1) == 4242L * 3 % 101 && r.getLong(2) == 4242L % 97)
