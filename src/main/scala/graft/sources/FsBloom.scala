@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-file BLOOM FILTER index for fs tables — the point-lookup
+  * complement to the manifest zone maps: min/max stats prune files only
+  * when the data is CLUSTERED on the queried column, but a needle
+  * lookup on a scattered high-cardinality column (a document id hash, a
+  * user UUID) finds every file's [min, max] covering the value. A bloom
+  * filter answers "provably absent" for exactly that shape, so an
+  * equality/IN scan opens only the files that MIGHT hold a match — at
+  * 100 TB, the difference between reading 3 files and 80 000 for a
+  * `WHERE doc_hash = '…'` probe.
+  *
+  * Layout follows the Iceberg-puffin / parquet-bloom shape, not Delta's
+  * abandoned manifest-embedded variant: the bits live in a SIDECAR file
+  * next to the data file (one sidecar per data file, all indexed
+  * columns inside), and the manifest records only the sidecar path +
+  * size. The version log stays O(file count); sidecars are read on the
+  * DRIVER at plan time, only for files that survived every cheaper
+  * prune (bucket, zone map, runtime keys) and only when an equality
+  * predicate on an indexed column was pushed.
+  *
+  * Classic double-hashing bloom (Kirsch–Mitzenmacher): two XXH64 hashes
+  * of the column value, probe i touches bit `h1 + i·h2 (mod m)`; sized
+  * at ~10 bits/value with k = 7 probes (fpp ≈ 0.8%). Values hash in
+  * their STAT-KIND space (int→long, timestamp→µs — the same
+  * normalization [[FsStore.ColStat]] applies), so a probe computed from
+  * a pushed filter literal matches bits written before a type-widening
+  * ALTER. NULLs are never added: an equality predicate cannot match
+  * NULL, so skipping stays sound. Reference analog: none — dask-obj has
+  * no storage tier (`core.py:57`); this is [X]-tier scale machinery. */
+final class FsBloom(val words: Array[Long], val k: Int) {
+  private val mask = (words.length.toLong << 6) - 1 // m is a power of two
+
+  def put(h1: Long, h2: Long): Unit = {
+    var i = 0
+    var h = h1
+    while (i < k) {
+      val bit = h & mask
+      words((bit >>> 6).toInt) |= 1L << (bit & 63)
+      h += h2
+      i += 1
+    }
+  }
+
+  def mightContain(h1: Long, h2: Long): Boolean = {
+    var i = 0
+    var h = h1
+    while (i < k) {
+      val bit = h & mask
+      if ((words((bit >>> 6).toInt) & (1L << (bit & 63))) == 0L) return false
+      h += h2
+      i += 1
+    }
+    true
+  }
+}
+
+object FsBloom {
+  private val Seed1 = 0x9747b28c8123fedcL
+  private val Seed2 = 0x41c64e6d3f84d5b5L
+  private val Magic = 0x47424c4d // "GBLM"
+  val BitsPerValue = 10
+  val Probes = 7
+  /** Max values a task buffers before giving up on the file's bloom
+    * (64 MB of hash pairs) — a production writer sizes from an NDV
+    * estimate instead; past the cap the file simply records no bloom,
+    * which only costs skipping, never correctness. */
+  val MaxBufferedValues: Int = 4 << 20
+
+  def hashLong(v: Long): (Long, Long) =
+    (XXH64.hashLong(v, Seed1), XXH64.hashLong(v, Seed2))
+  def hashString(s: UTF8String): (Long, Long) =
+    (XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed1),
+      XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed2))
+  /** Hash a plan-time value already normalized to its stat-kind space
+    * (the space [[FsScanBuilder]]'s `statValue` produces). */
+  def hashValue(kind: String, v: Any): (Long, Long) = kind match {
+    case "long" => hashLong(v.asInstanceOf[Long])
+    case "string" => hashString(UTF8String.fromString(v.asInstanceOf[String]))
+    case other => throw new IllegalStateException(s"no bloom hash for kind $other")
+  }
+
+  /** An empty bloom sized for `n` buffered values. */
+  def sized(n: Int): FsBloom = {
+    val bits = math.max(64L, java.lang.Long.highestOneBit(
+      math.max(1L, n.toLong * BitsPerValue - 1)) << 1)
+    new FsBloom(new Array[Long]((bits >>> 6).toInt), Probes)
+  }
+
+  /** Write one sidecar holding every indexed column's bloom of one data
+    * file. Returns the byte size on disk. */
+  def writeSidecar(path: String, blooms: Seq[(Int, FsBloom)]): Long = {
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(Paths.get(path))))
+    try {
+      out.writeInt(Magic)
+      out.writeInt(blooms.size)
+      blooms.foreach { case (id, b) =>
+        out.writeInt(id)
+        out.writeInt(b.k)
+        out.writeInt(b.words.length)
+        b.words.foreach(out.writeLong)
+      }
+    } finally out.close()
+    Files.size(Paths.get(path))
+  }
+
+  def readSidecar(path: String): Map[Int, FsBloom] = {
+    val in = new DataInputStream(new java.io.BufferedInputStream(
+      Files.newInputStream(Paths.get(path))))
+    try {
+      require(in.readInt() == Magic, s"graft_fs: $path is not a bloom sidecar")
+      val n = in.readInt()
+      (0 until n).map { _ =>
+        val id = in.readInt()
+        val k = in.readInt()
+        val words = new Array[Long](in.readInt())
+        var i = 0
+        while (i < words.length) { words(i) = in.readLong(); i += 1 }
+        id -> new FsBloom(words, k)
+      }.toMap
+    } catch {
+      case _: EOFException => throw new IllegalStateException(
+        s"graft_fs: truncated bloom sidecar $path")
+    } finally in.close()
+  }
+}

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import FsStore.FileRef
@@ -54,10 +55,11 @@ object FsMaintenance {
     // one Spark task per bin: read every bin file mapped by field id to
     // the head schema, stream into one new file (zone maps/stats
     // recomputed by the writer); rows never visit the driver
+    val bloomIds = head.bloomIds.toSet
     val added = spark.sparkContext
       .parallelize(bins.zipWithIndex, bins.size)
       .map { case (bin, i) =>
-        val w = new FsFileWriter(name, s"c$i", schema, bin.head.bucket)
+        val w = new FsFileWriter(name, s"c$i", schema, bin.head.bucket, bloomIds)
         bin.foreach { f =>
           val it = FsParquet.read(f.path, lineage(f.schemaId), schema)
           try it.foreach(w.write) finally it.close()
@@ -68,5 +70,101 @@ object FsMaintenance {
     FsStore.commitRewrite(name, bins.flatten, added, head.schemaId)
     val after = FsStore.current(name)
     (head.files.size, after.files.size, bins.size)
+  }
+
+  /** Bits of z-value per dimension: 16 keeps a 3-column interleave
+    * inside a long with headroom, and 2^16 cells per axis is far finer
+    * than any realistic file count resolves. */
+  private val ZBits = 16
+
+  /** Z-ORDER clustering rewrite (Delta's `OPTIMIZE … ZORDER BY`): sort
+    * the WHOLE table by the interleaved bits of `cols` and rewrite it as
+    * `targetFiles` z-contiguous files, so EVERY clustered column's
+    * per-file zone map ([[FsStore.ColStat]]) turns tight at once — a
+    * conjunctive box on (a, b) then opens the few files whose z-range
+    * the box touches instead of all of them. Linear clustering (sort by
+    * a, b) only serves the leading column; the z-curve is what makes
+    * manifest stats multi-dimensional at 100 TB.
+    *
+    * Spark-first: each column is normalized to [0, 2^16) THROUGH THE
+    * MANIFEST's global min/max (no data pass), the interleave is a
+    * folded bitwise [[Column]] (whole-stage codegen, no UDF), the
+    * placement is `repartitionByRange` + `sortWithinPartitions` on the
+    * z-value (Spark's range sampler balances file sizes), and the tasks
+    * stream rows into fresh parquet files whose writers recompute zone
+    * maps/blooms. The swap installs through [[FsStore.commitRewrite]]:
+    * NOT a logical change — change log empty, row count preserved, time
+    * travel to the pre-rewrite layout intact, old files reclaimed by
+    * expiry + vacuum. Same eligibility as [[compact]]: no applicable
+    * delta masks (the fresh addedVersion would escape them), and not on
+    * bucketed tables (the bucket spec owns file placement there).
+    * Normalization is monotone-approximate over doubles — clustering
+    * QUALITY depends on it, correctness never does: the oracle reads
+    * the same rows wherever they land. Returns (files before, after). */
+  def zorder(spark: SparkSession, name: String, cols: Seq[String],
+      targetFiles: Int): (Int, Int) = {
+    val head = FsStore.current(name)
+    require(cols.size >= 2,
+      s"graft_fs($name): z-order needs ≥2 columns (one column is a plain sort)")
+    require(targetFiles >= 1, "targetFiles must be ≥1")
+    require(head.masks.isEmpty,
+      s"graft_fs($name): cannot z-order under delta masks — the rewritten " +
+        "files' fresh addedVersion would escape them; apply masks first")
+    require(head.bucketN == 0,
+      s"graft_fs($name): bucketed tables own their file placement — " +
+        "z-order lives on the unpartitioned flavor")
+    val fields = cols.map(c => head.schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft_fs($name): z-order column $c is not in the schema")))
+    fields.foreach(f => require(FsStore.statKind(f.dataType).contains("long"),
+      s"graft_fs($name): z-order on ${f.dataType.simpleString} column " +
+        s"${f.name} unsupported (integral/timestamp/date columns only)"))
+    // global [min, max] per column from the manifest — zero file reads
+    val ranges = fields.map { f =>
+      val id = FsStore.fieldId(f)
+      val sts = head.files.flatMap(_.stats.get(id))
+      require(sts.size == head.files.size,
+        s"graft_fs($name): every file must carry stats for ${f.name} " +
+          "(all-NULL files cannot place on the curve)")
+      (sts.map(_.min.asInstanceOf[Long]).min,
+        sts.map(_.max.asInstanceOf[Long]).max)
+    }
+    if (head.files.isEmpty) return (0, 0)
+
+    // cell coordinate per column: floor((v - min) / span * 2^16), NULLs
+    // to cell 0 (they sort first — an arbitrary but stable placement)
+    val cells: Seq[Column] = fields.zip(ranges).map { case (f, (mn, mx)) =>
+      val span = math.max(1L, mx - mn) + 1L
+      val cell = floor((col(f.name).cast("long") - lit(mn))
+        .cast("double") / lit(span.toDouble) * lit((1L << ZBits).toDouble))
+        .cast("long")
+      coalesce(least(cell, lit((1L << ZBits) - 1L)), lit(0L))
+    }
+    // interleave: bit i of column j lands at position i·ncols + j —
+    // a folded bitwise expression, fully codegen'd
+    val z = (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
+      cells.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(c, i).bitwiseAND(lit(1L)),
+          i * cells.size + j))
+      }
+    }
+
+    val schema = head.schema
+    val bloomIds = head.bloomIds.toSet
+    val ordered = spark.table(s"graft.$name")
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .withColumn("__z", z)
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    val added = ordered.queryExecution.toRdd
+      .mapPartitionsWithIndex { (i, rows) =>
+        val w = new FsFileWriter(name, s"z$i", schema, -1, bloomIds)
+        rows.foreach(w.write)
+        Iterator.single(w.finish())
+      }
+      .collect().toVector.flatten
+    FsStore.commitRewrite(name, head.files, added, head.schemaId)
+    (head.files.size, added.size)
   }
 }

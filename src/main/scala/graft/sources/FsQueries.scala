@@ -892,10 +892,162 @@ object FsQueries {
            |GROUP BY 1 ORDER BY bucket""".stripMargin)
   )
 
+  /** q308: per-file BLOOM-FILTER skipping — the point-lookup complement
+    * to q303's zone maps: `tag` is md5 of the key, so each file's
+    * [min, max] tag window spans nearly the whole hex space and min/max
+    * stats prune (almost) nothing, yet a `tag IN (…)` needle probe must
+    * open only the files whose SIDECAR bloom ([[FsBloom]], declared via
+    * `TBLPROPERTIES ('blooms'='tag')`, manifest-referenced) might hold a
+    * probe — asserted in-query from the sidecars (≤ probes+1 of 8 files
+    * survivable; the executed-plan `bloomProbes=…, files=k/n` is pinned
+    * in FsTableSpec). The probe literals are fetched driver-side first
+    * (the lookup-client shape — 3 values, not data), and the oracle
+    * recomputes the same three smallest-key tags functionally, so a
+    * bloom that skips a file it shouldn't is a hash mismatch. At 100 TB
+    * this is a secondary-index read: 3 files opened, not 80 000. */
+  val q308FsBloomSkip = graft.QueryDef(
+    "q308_fs_bloom_skip",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        md5(col("o_orderkey").cast("long").cast("string").cast("binary")).as("tag"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast(LongType).as("cents"))
+        .repartition(8) // scatter: every file's tag range ≈ whole hex space
+      s.sql("DROP TABLE IF EXISTS graft.fs_blm")
+      src.writeTo("graft.fs_blm").tableProperty("blooms", "tag").create()
+      val head = FsStore.current("fs_blm")
+      require(head.files.size >= 8 && head.files.forall(_.bloom.isDefined),
+        "every data file must carry a bloom sidecar")
+      // probe tags of the 3 smallest keys — literals, so the IN pushes
+      // down; the oracle recomputes them functionally
+      val probes = s.table("graft.fs_blm").select("k", "tag")
+        .orderBy("k").limit(3).collect().map(_.getString(1)).toSeq
+      val tagId = FsStore.fieldId(head.schema("tag"))
+      // zone maps alone are useless here (scattered column)…
+      val zoneSkippable = head.files.count(f => probes.forall(p =>
+        f.stats.get(tagId).exists(_.disjointFrom(
+          FsStore.ColWindow("string", Some(p), Some(p))))))
+      require(zoneSkippable <= head.files.size / 2,
+        s"tag must be scattered (zone maps skipped $zoneSkippable files)")
+      // …while the blooms prove most files probe-free (≤1 false positive)
+      val bloomSkippable = head.files.count { f =>
+        val blooms = FsBloom.readSidecar(f.bloom.get)
+        probes.forall { p =>
+          val (h1, h2) = FsBloom.hashValue("string", p)
+          !blooms(tagId).mightContain(h1, h2)
+        }
+      }
+      require(bloomSkippable >= head.files.size - probes.size - 1,
+        s"blooms must localize the probes (only $bloomSkippable of " +
+          s"${head.files.size} files skippable)")
+      s.table("graft.fs_blm")
+        .filter(col("tag").isin(probes: _*))
+        .select("k", "tag", "cents")
+        .orderBy("k")
+    },
+    Some("""WITH o AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |    md5(CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR)) AS tag,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM orders),
+           |probes AS (
+           |  SELECT md5(CAST(k AS VARCHAR)) AS tag
+           |  FROM (SELECT k FROM o ORDER BY k LIMIT 3))
+           |SELECT k, tag, cents FROM o
+           |WHERE tag IN (SELECT tag FROM probes)
+           |ORDER BY k""".stripMargin)
+  )
+
+  /** q309: Z-ORDER clustering rewrite (Delta's OPTIMIZE ZORDER BY) —
+    * q303's zone maps are only as good as the LAYOUT: a randomly
+    * scattered write leaves every file's (x, y) stat windows spanning
+    * the whole space, so a conjunctive box prunes nothing (asserted
+    * pre-rewrite). [[FsMaintenance.zorder]] re-clusters the table along
+    * the interleaved-bit curve — normalization bounds from MANIFEST
+    * stats (no extra data pass), the interleave a folded bitwise Column
+    * (codegen, no UDF), placement by `repartitionByRange` on the
+    * z-value — and the SAME box query must then skip ≥3/4 of the files
+    * from per-file stats alone (asserted from the manifest; the
+    * executed-plan `files=k/n` twin is pinned in FsTableSpec). The swap
+    * is a non-logical [[FsStore.commitRewrite]]: row count preserved,
+    * change log empty. The oracle recomputes the box functionally, so
+    * a row lost, duplicated, or mis-placed by the rewrite is a hash
+    * mismatch. At 100 TB this is the difference between a 2-D slice
+    * reading ~1/16 of the files and reading all of them. */
+  val q309FsZorder = graft.QueryDef(
+    "q309_fs_zorder",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("x"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast(LongType).as("y"))
+        .repartition(16) // scattered: every file spans ~the full (x, y) space
+      s.sql("DROP TABLE IF EXISTS graft.fs_zo")
+      src.writeTo("graft.fs_zo").create()
+      val pre = FsStore.current("fs_zo")
+      // the second-quarter box on each axis, from the SAME manifest
+      // ranges the curve normalizes through (the oracle recomputes this
+      // arithmetic functionally — integer floor division on both engines)
+      def range(c: String): (Long, Long) = {
+        val id = FsStore.fieldId(pre.schema(c))
+        val sts = pre.files.flatMap(_.stats.get(id))
+        (sts.map(_.min.asInstanceOf[Long]).min,
+          sts.map(_.max.asInstanceOf[Long]).max)
+      }
+      val (xmn, xmx) = range("x"); val (ymn, ymx) = range("y")
+      val (xlo, xhi) = (xmn + (xmx - xmn + 1) / 4, xmn + (xmx - xmn + 1) / 2)
+      val (ylo, yhi) = (ymn + (ymx - ymn + 1) / 4, ymn + (ymx - ymn + 1) / 2)
+      def skippable(v: FsStore.Version): Int = {
+        val xId = FsStore.fieldId(v.schema("x"))
+        val yId = FsStore.fieldId(v.schema("y"))
+        v.files.count(f =>
+          f.stats.get(xId).exists(_.disjointFrom(
+            FsStore.ColWindow("long", Some(xlo), Some(xhi - 1)))) ||
+          f.stats.get(yId).exists(_.disjointFrom(
+            FsStore.ColWindow("long", Some(ylo), Some(yhi - 1)))))
+      }
+      require(skippable(pre) <= 2,
+        s"scattered layout must not be box-skippable (${skippable(pre)})")
+      val (before, after) = FsMaintenance.zorder(s, "fs_zo", Seq("x", "y"), 16)
+      val post = FsStore.current("fs_zo")
+      require(post.rowCount == pre.rowCount && post.changes.isEmpty,
+        "z-order is not a logical change")
+      require(skippable(post) * 4 >= post.files.size * 3,
+        s"z-ordered layout must skip ≥3/4 of $after files for the box " +
+          s"(skips ${skippable(post)})")
+      s.table("graft.fs_zo")
+        .filter(col("x") >= xlo && col("x") < xhi &&
+          col("y") >= ylo && col("y") < yhi)
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          sum("x").as("sum_x"), sum("y").as("sum_y"))
+    },
+    Some("""WITH o AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |    CAST(o_custkey AS BIGINT) AS x,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+           |  FROM orders),
+           |b AS (
+           |  SELECT MIN(x) AS xmn, MAX(x) AS xmx,
+           |         MIN(y) AS ymn, MAX(y) AS ymx FROM o),
+           |lim AS (
+           |  SELECT xmn + (xmx - xmn + 1) // 4 AS xlo,
+           |         xmn + (xmx - xmn + 1) // 2 AS xhi,
+           |         ymn + (ymx - ymn + 1) // 4 AS ylo,
+           |         ymn + (ymx - ymn + 1) // 2 AS yhi FROM b)
+           |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(k) AS BIGINT) AS sum_k,
+           |  CAST(SUM(x) AS BIGINT) AS sum_x,
+           |  CAST(SUM(y) AS BIGINT) AS sum_y
+           |FROM o, lim
+           |WHERE x >= xlo AND x < xhi AND y >= ylo AND y < yhi""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q289FsRoundtrip, q290FsUpdate,
     q291FsMerge, q292FsdDeltaMerge, q293FsEvolution, q294FsdCdfBatch,
     q295FsdCdfStream, q296FsTimestampTravel, q297FsFeedBytes,
     q299FsZoneSkip, q300FsColumnPrune, q301FsStreamingSink,
     q302FsWideTypes, q303FsColStats, q304FsSpjJoin, q305FsCompact,
-    q306FsAggPushdown, q307FsRuntimePrune)
+    q306FsAggPushdown, q307FsRuntimePrune, q308FsBloomSkip, q309FsZorder)
 }

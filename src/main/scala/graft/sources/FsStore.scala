@@ -316,7 +316,7 @@ object FsStore {
       schemaId: Int, addedVersion: Long,
       minKey: Long = Long.MinValue, maxKey: Long = Long.MaxValue,
       stats: Map[Int, ColStat] = Map.empty, bucket: Int = -1,
-      sorted: Boolean = false) {
+      sorted: Boolean = false, bloom: Option[String] = None) {
     /** Can a scan bounded to [lo, hi] on the key skip this file? */
     def disjointFrom(lo: Long, hi: Long): Boolean =
       !(minKey == Long.MinValue && maxKey == Long.MaxValue) &&
@@ -346,7 +346,8 @@ object FsStore {
       lineage: Vector[StructType], maxFieldId: Int,
       files: Vector[FileRef], masks: Vector[DeltaMask],
       changes: Vector[Change], rowCount: Long,
-      epochs: Map[String, Long] = Map.empty, bucketN: Int = 0) {
+      epochs: Map[String, Long] = Map.empty, bucketN: Int = 0,
+      bloomIds: Vector[Int] = Vector.empty) {
     def schema: StructType = lineage(schemaId)
     def appendOnly: Boolean = changes.forall(_.op == OpInsert)
   }
@@ -374,6 +375,13 @@ object FsStore {
   private def logDir(name: String): JPath = tableDir(name).resolve("_log")
   private def dataDir(name: String): JPath = tableDir(name).resolve("data")
 
+  /** Delete an UNCOMMITTED file and its bloom sidecar (abort paths and
+    * replayed streaming epochs — the manifest never saw the ref). */
+  private[sources] def deleteRef(f: FileRef): Unit = {
+    new java.io.File(f.path).delete()
+    f.bloom.foreach(p => new java.io.File(p).delete(): Unit)
+  }
+
   /** Absolute path for a fresh data/key file some task is about to
     * write. The file is invisible to readers until a manifest commits
     * it — tasks write first, the driver publishes later (two-phase). */
@@ -394,6 +402,7 @@ object FsStore {
     o.put("minKey", f.minKey); o.put("maxKey", f.maxKey)
     if (f.bucket >= 0) o.put("bucket", f.bucket)
     if (f.sorted) o.put("sorted", true)
+    f.bloom.foreach(o.put("bloom", _))
     if (f.stats.nonEmpty) {
       val st = mapper.createArrayNode()
       f.stats.toSeq.sortBy(_._1).foreach { case (id, s) =>
@@ -432,7 +441,8 @@ object FsStore {
       n.get("schemaId").asInt, n.get("addedVersion").asLong,
       n.get("minKey").asLong, n.get("maxKey").asLong, stats,
       Option(n.get("bucket")).map(_.asInt).getOrElse(-1),
-      Option(n.get("sorted")).exists(_.asBoolean))
+      Option(n.get("sorted")).exists(_.asBoolean),
+      Option(n.get("bloom")).map(_.asText))
   }
   private def filesJson(fs: Vector[FileRef]): ArrayNode = {
     val a = mapper.createArrayNode(); fs.foreach(f => a.add(fileToJson(f))); a
@@ -457,6 +467,11 @@ object FsStore {
     o.put("version", v.id); o.put("tsMs", v.tsMs)
     o.put("schemaId", v.schemaId); o.put("maxFieldId", v.maxFieldId)
     o.put("rowCount", v.rowCount); o.put("bucketN", v.bucketN)
+    if (v.bloomIds.nonEmpty) {
+      val bi = mapper.createArrayNode()
+      v.bloomIds.foreach(bi.add(_): Unit)
+      o.set[ObjectNode]("bloomIds", bi)
+    }
     val lin = mapper.createArrayNode()
     v.lineage.foreach(s => lin.add(s.json))
     o.set[ObjectNode]("lineage", lin)
@@ -517,7 +532,9 @@ object FsStore {
       o.get("schemaId").asInt, lineage, o.get("maxFieldId").asInt,
       filesFrom(o.get("files")), masksFrom(o.get("masks")), changes,
       o.get("rowCount").asLong, epochs,
-      Option(o.get("bucketN")).map(_.asInt).getOrElse(0))
+      Option(o.get("bucketN")).map(_.asInt).getOrElse(0),
+      Option(o.get("bloomIds")).map(_.elements().asScala.map(_.asInt).toVector)
+        .getOrElse(Vector.empty))
   }
 
   // ------------------------------------------------------------- catalog
@@ -568,7 +585,8 @@ object FsStore {
           s"${versionAt(name, oldest).tsMs})"))
   }
 
-  def create(name: String, schema: StructType, bucketN: Int = 0): Unit = {
+  def create(name: String, schema: StructType, bucketN: Int = 0,
+      bloomCols: Seq[String] = Nil): Unit = {
     require(schema.fields.nonEmpty, s"graft_fs($name): empty schema")
     if (bucketN > 0) {
       require(schema.fields.head.dataType == LongType ||
@@ -582,11 +600,24 @@ object FsStore {
     val withIds = StructType(schema.fields.zipWithIndex.map { case (f, i) =>
       withFieldId(f, i)
     })
+    // bloom-indexed columns resolve to FIELD IDS at create, so the index
+    // declaration survives renames; only equality-probe-able kinds admit
+    // one (doubles decline: float equality is a data-quality bug, not a
+    // lookup shape, and NaN would poison the hash space)
+    val bloomIds = bloomCols.toVector.map { c =>
+      val f = withIds.fields.find(_.name == c).getOrElse(throw
+        new IllegalArgumentException(
+          s"graft_fs($name): bloom column $c is not in the schema"))
+      require(statKind(f.dataType).exists(k => k == "long" || k == "string"),
+        s"graft_fs($name): bloom index on ${f.dataType.simpleString} column " +
+          s"$c unsupported (integral/timestamp/date/string columns only)")
+      fieldId(f)
+    }
     if (exists(name)) throw new IllegalStateException(
       s"graft_fs($name): table already exists")
     writeManifest(name, Version(0L, GraftClock.next(), 0, Vector(withIds),
       withIds.length - 1, Vector.empty, Vector.empty, Vector.empty, 0L,
-      Map.empty, bucketN))
+      Map.empty, bucketN, bloomIds))
   }
 
   def drop(name: String): Unit =
@@ -658,7 +689,7 @@ object FsStore {
       Version(v.id + 1, GraftClock.next(), v.schemaId, v.lineage, v.maxFieldId,
         v.files ++ added, v.masks,
         added.map(f => Change(OpInsert, Vector(f), Vector.empty, Vector.empty, f.rows)),
-        v.rowCount + added.map(_.rows).sum, v.epochs, v.bucketN)
+        v.rowCount + added.map(_.rows).sum, v.epochs, v.bucketN, v.bloomIds)
     }
 
   /** Truncate-install (CoW row-level ops land here): the new snapshot is
@@ -677,7 +708,7 @@ object FsStore {
         added, Vector.empty,
         deleted ++ added.map(f =>
           Change(OpInsert, Vector(f), Vector.empty, Vector.empty, f.rows)),
-        added.map(_.rows).sum, v.epochs, v.bucketN)
+        added.map(_.rows).sum, v.epochs, v.bucketN, v.bloomIds)
     }
 
   /** MERGE-ON-READ delta commit: `delKeys`/`updKeys` become a read-side
@@ -720,7 +751,7 @@ object FsStore {
         v.files ++ updFiles ++ insFiles,
         v.masks :+ mask,
         changes,
-        v.rowCount - delN + insFiles.map(_.rows).sum, v.epochs, v.bucketN)
+        v.rowCount - delN + insFiles.map(_.rows).sum, v.epochs, v.bucketN, v.bloomIds)
     }
 
   /** COMPACTION install (the commit half of OPTIMIZE — see
@@ -755,7 +786,7 @@ object FsStore {
       val newAdded = added.map(_.copy(schemaId = v.schemaId, addedVersion = v.id + 1))
       Version(v.id + 1, GraftClock.next(), v.schemaId, v.lineage, v.maxFieldId,
         v.files.filterNot(f => rm.contains(f.path)) ++ newAdded,
-        v.masks, Vector.empty, v.rowCount, v.epochs, v.bucketN)
+        v.masks, Vector.empty, v.rowCount, v.epochs, v.bucketN, v.bloomIds)
     }
 
   /** Snapshot EXPIRY (Iceberg's `expireSnapshots`, Delta's log
@@ -808,11 +839,15 @@ object FsStore {
       (oldestVersion(name) to head).iterator
         .map(versionAt(name, _))
         .flatMap { v =>
-          v.files.iterator.map(_.path) ++
-            v.masks.iterator.flatMap(_.keyFiles).map(_.path) ++
+          // a referenced data file pins its bloom sidecar too
+          def paths(f: FileRef): Iterator[String] =
+            Iterator(f.path) ++ f.bloom.iterator
+          v.files.iterator.flatMap(paths) ++
+            v.masks.iterator.flatMap(_.keyFiles).flatMap(paths) ++
             v.changes.iterator.flatMap(c =>
-              c.files.iterator.map(_.path) ++ c.keys.iterator.map(_.path) ++
-                c.masks.iterator.flatMap(_.keyFiles).map(_.path))
+              c.files.iterator.flatMap(paths) ++
+                c.keys.iterator.flatMap(paths) ++
+                c.masks.iterator.flatMap(_.keyFiles).flatMap(paths))
         }.toSet
     }
     var files = 0L
@@ -849,7 +884,7 @@ object FsStore {
           v.files ++ added, v.masks,
           added.map(f => Change(OpInsert, Vector(f), Vector.empty, Vector.empty, f.rows)),
           v.rowCount + added.map(_.rows).sum,
-          v.epochs + (queryId -> epochId), v.bucketN)
+          v.epochs + (queryId -> epochId), v.bucketN, v.bloomIds)
       }
       true
     }
@@ -874,6 +909,6 @@ object FsStore {
         s"graft_fs($name): evolved column ${f.name} lost its field id"))
       Version(v.id + 1, GraftClock.next(), v.lineage.length,
         v.lineage :+ newSchema, newMaxFieldId,
-        v.files, v.masks, Vector.empty, v.rowCount, v.epochs, v.bucketN)
+        v.files, v.masks, Vector.empty, v.rowCount, v.epochs, v.bucketN, v.bloomIds)
     }
 }

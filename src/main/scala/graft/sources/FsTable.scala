@@ -181,20 +181,21 @@ class FsWrite(name: String, truncate: Boolean, queryId: String)
       private val schema = writeVer.schema
       override def createStreamingWriterFactory(
           info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-        new FsStreamingWriterFactory(name, schema, writeVer.bucketN)
+        new FsStreamingWriterFactory(name, schema, writeVer.bucketN,
+          writeVer.bloomIds.toSet)
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
         val files = messages.iterator
           .flatMap { case FsCommitMessage(fs) => fs }.toVector
         val committed = FsStore.commitEpochAppend(name,
           queryId, epochId, files, writeVer.schemaId)
         if (!committed) // replayed epoch: its files are orphans
-          files.foreach(f => new java.io.File(f.path).delete(): Unit)
+          files.foreach(FsStore.deleteRef)
       }
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
         messages.foreach {
           // entries for tasks that never committed are NULL
           case FsCommitMessage(fs) =>
-            fs.foreach(f => new java.io.File(f.path).delete(): Unit)
+            fs.foreach(FsStore.deleteRef)
           case _ =>
         }
     }
@@ -243,6 +244,11 @@ class FsScanBuilder(name: String, pinnedVersion: Option[Long], cdf: Boolean,
   private var lo = Long.MinValue
   private var hi = Long.MaxValue
   private var accepted: Array[Filter] = Array.empty
+  /** Equality/IN probes on BLOOM-indexed columns: (field id, stat kind,
+    * probe values in stat-kind space) per pushed predicate — each
+    * predicate independently licenses a file skip when the file's bloom
+    * proves EVERY probe value absent. */
+  private val bloomPreds = Vector.newBuilder[(Int, String, Vector[Any])]
   /** Conjunctive windows per stat-tracked column (by FIELD ID) — feeds
     * the per-column zone-map skip alongside the first-column fast path. */
   private val bounds = scala.collection.mutable.Map[Int, FsStore.ColWindow]()
@@ -337,6 +343,26 @@ class FsScanBuilder(name: String, pinnedVersion: Option[Long], cdf: Boolean,
       }
       val winAccepted = filters.filter(window)
       accepted = (accepted ++ winAccepted).distinct
+      // bloom probes: equality/IN on DECLARED index columns — the
+      // point-lookup shape zone maps cannot prune when the column is
+      // scattered across files (values normalized exactly like the
+      // writer's, so probes match bits across type widening)
+      val bloomCols: Map[String, (Int, String)] =
+        statCols.filter { case (_, (id, _)) => ver.bloomIds.contains(id) }
+      def probe(f: Filter): Boolean = f match {
+        case EqualTo(a, v) => bloomCols.get(a).exists { case (id, k) =>
+          statValue(k, v).exists { sv =>
+            bloomPreds += ((id, k, Vector(sv))); true } }
+        case In(a, vs) if vs.nonEmpty => bloomCols.get(a).exists { case (id, k) =>
+          val svs = vs.toVector.flatMap(statValue(k, _))
+          svs.length == vs.length && { bloomPreds += ((id, k, svs)); true }
+        }
+        case And(l, r) =>
+          val a = probe(l); val b = probe(r); a || b
+        case _ => false
+      }
+      val probeAccepted = filters.filter(probe)
+      accepted = (accepted ++ probeAccepted).distinct
     }
     filters // all residual: skipping is file-granular, rows re-filtered
   }
@@ -411,7 +437,8 @@ class FsScanBuilder(name: String, pinnedVersion: Option[Long], cdf: Boolean,
         values.toIndexedSeq, ver.files.size)
     case None => new FsScan(name, cdf, snapVersion, ver,
       required, lo, hi, bounds.toMap, startingVersion, maxRowsPerBatch,
-      maxBytesPerBatch, allowRuntime = allowPushdown)
+      maxBytesPerBatch, allowRuntime = allowPushdown,
+      bloomPreds = bloomPreds.result())
   }
 }
 
@@ -445,7 +472,8 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
     ver: FsStore.Version, required: Option[StructType], lo: Long, hi: Long,
     colBounds: Map[Int, FsStore.ColWindow],
     startingVersion: Option[Long], maxRowsPerBatch: Long,
-    maxBytesPerBatch: Long, allowRuntime: Boolean = true)
+    maxBytesPerBatch: Long, allowRuntime: Boolean = true,
+    bloomPreds: Vector[(Int, String, Vector[Any])] = Vector.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering
     with SupportsReportOrdering {
@@ -522,12 +550,33 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
   private def bucketPruned(f: FileRef): Boolean =
     ver.bucketN > 0 && f.bucket >= 0 && lo == hi && lo != Long.MinValue &&
       f.bucket != Math.floorMod(lo, ver.bucketN.toLong).toInt
-  /** Partition-, zone-map- and runtime-filter survivors of the
-    * snapshot's file set. */
+  /** Hashed bloom probes, computed once per scan; sidecars are read
+    * lazily on the driver, only for files every cheaper prune kept. */
+  private val bloomProbes: Vector[(Int, Vector[(Long, Long)])] =
+    bloomPreds.map { case (id, kind, vs) =>
+      id -> vs.map(FsBloom.hashValue(kind, _))
+    }
+  private val bloomCache =
+    scala.collection.mutable.Map[String, Map[Int, FsBloom]]()
+  /** A pushed equality predicate whose EVERY probe value is provably
+    * absent from the file's bloom proves the file holds no qualifying
+    * row. Files without a sidecar (buffer-cap overflow, pre-index era,
+    * all-NULL column) are never skipped on it. */
+  private def bloomPruned(f: FileRef): Boolean =
+    bloomProbes.nonEmpty && f.bloom.exists { p =>
+      val blooms = bloomCache.getOrElseUpdate(p, FsBloom.readSidecar(p))
+      bloomProbes.exists { case (id, probes) =>
+        blooms.get(id).exists(b =>
+          probes.forall { case (h1, h2) => !b.mightContain(h1, h2) })
+      }
+    }
+  /** Partition-, zone-map-, bloom- and runtime-filter survivors of the
+    * snapshot's file set (cheap manifest checks first — a bloom probe
+    * reads a sidecar). */
   private def survivors: Vector[FileRef] =
     ver.files.filterNot(f =>
       bucketPruned(f) || f.disjointFrom(lo, hi) || statDisjoint(f) ||
-        runtimePruned(f))
+        runtimePruned(f) || bloomPruned(f))
   /** The bucketed layout is reportable when every surviving file knows
     * its bucket (always true for tables created with a spec). */
   private def bucketedLayout: Boolean =
@@ -555,13 +604,14 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
       if (lo == Long.MinValue && hi == Long.MaxValue) ""
       else s", keyRange=[$lo,$hi]"
     val colB = if (colBounds.isEmpty) "" else s", colBounds=${colBounds.size}"
+    val bl = if (bloomPreds.isEmpty) "" else s", bloomProbes=${bloomPreds.size}"
     val rt = runtimeKeys.map(ks => s", runtime=${ks.length} keys").getOrElse("")
     val files =
-      if (keyB.isEmpty && colB.isEmpty && rt.isEmpty) ""
+      if (keyB.isEmpty && colB.isEmpty && rt.isEmpty && bl.isEmpty) ""
       else s", files=${survivors.size}/${ver.files.size}"
     val pruned = required.map(r => s", pruned=${r.fieldNames.mkString(",")}")
       .getOrElse("")
-    s"FsScan[$name,v=$snapVersion${if (cdf) ",cdf" else ""}$keyB$colB$rt$files$pruned]"
+    s"FsScan[$name,v=$snapVersion${if (cdf) ",cdf" else ""}$keyB$colB$bl$rt$files$pruned]"
   }
 
   /** Manifest-sourced statistics (the q283 contract), zone-map-aware:
@@ -1044,7 +1094,7 @@ case class FsDeltaCommitMessage(delKeys: Option[FileRef],
   * returns the manifest entry; abort deletes the file — the two-phase
   * contract with FILES as the currency. */
 private[sources] class FsFileWriter(tableName: String, tag: String,
-    schema: StructType, bucket: Int = -1) {
+    schema: StructType, bucket: Int = -1, bloomIds: Set[Int] = Set.empty) {
   import org.apache.spark.sql.types._
   private var path: String = _
   private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
@@ -1087,6 +1137,55 @@ private[sources] class FsFileWriter(tableName: String, tag: String,
       if (any && !poisoned) Some(fieldId -> FsStore.ColStat(kind, minV, maxV))
       else None
   }
+  /** Buffers the hash pairs of one bloom-indexed column: the bloom is
+    * sized at [[FsFileWriter.finish]] from the observed count (a
+    * production writer sizes from an NDV estimate up front); past the
+    * buffer cap the file records NO bloom — skipping lost, soundness
+    * kept. NULLs never enter (call-site guarded): equality cannot match
+    * NULL, so a probe miss stays a proof of absence. */
+  private final class BloomTracker(val fieldId: Int,
+      hash: InternalRow => (Long, Long)) {
+    private val h1s = new scala.collection.mutable.ArrayBuilder.ofLong
+    private val h2s = new scala.collection.mutable.ArrayBuilder.ofLong
+    private var n = 0
+    private var overflow = false
+    def update(r: InternalRow): Unit = if (!overflow) {
+      if (n >= FsBloom.MaxBufferedValues) {
+        overflow = true; h1s.clear(); h2s.clear()
+      } else {
+        val (a, b) = hash(r)
+        h1s += a; h2s += b; n += 1
+      }
+    }
+    def result: Option[(Int, FsBloom)] =
+      if (overflow || n == 0) None
+      else {
+        val bloom = FsBloom.sized(n)
+        val a1 = h1s.result(); val a2 = h2s.result()
+        var i = 0
+        while (i < n) { bloom.put(a1(i), a2(i)); i += 1 }
+        Some(fieldId -> bloom)
+      }
+  }
+  // bloom trackers for the table's DECLARED index columns (by field id,
+  // so the index follows renames) — values hash in stat-kind space, the
+  // same normalization the scan's probe values get
+  private val bloomTrackers: Array[(Int, BloomTracker)] =
+    schema.fields.zipWithIndex.flatMap { case (f, i) =>
+      val id = FsStore.fieldId(f)
+      if (!bloomIds.contains(id)) None
+      else FsStore.statKind(f.dataType).collect {
+        case "long" =>
+          val get: InternalRow => Long = f.dataType match {
+            case LongType | TimestampType => _.getLong(i)
+            case _ => r => r.getInt(i).toLong // INT / DATE
+          }
+          (i, new BloomTracker(id, r => FsBloom.hashLong(get(r))))
+        case "string" =>
+          (i, new BloomTracker(id, r => FsBloom.hashString(r.getUTF8String(i))))
+      }
+    }
+
   // per-column zone maps for EVERY stat-tracked column, keyed by field
   // id — what lets a scan skip files on any conjunct, not just the key
   private val trackers: Array[(Int, StatTracker)] =
@@ -1124,6 +1223,12 @@ private[sources] class FsFileWriter(tableName: String, tag: String,
       if (!r.isNullAt(i)) tr.update(r)
       t += 1
     }
+    var b = 0
+    while (b < bloomTrackers.length) {
+      val (i, tr) = bloomTrackers(b)
+      if (!r.isNullAt(i)) tr.update(r)
+      b += 1
+    }
     rows += 1
   }
   def finish(): Option[FileRef] =
@@ -1136,8 +1241,19 @@ private[sources] class FsFileWriter(tableName: String, tag: String,
         else (Long.MinValue, Long.MaxValue) // unknown: never skip
       val stats = trackers.iterator.flatMap(_._2.result).toMap
       val sorted = keyGetter.isDefined && sawKey && keysSorted
+      // bloom SIDECAR next to the data file (Iceberg-puffin shape): the
+      // manifest carries only its path — the version log stays O(files)
+      val blooms = bloomTrackers.iterator.flatMap(_._2.result).toSeq
+      val bloomPath =
+        if (blooms.isEmpty) None
+        else {
+          val p = s"$path.bloom"
+          FsBloom.writeSidecar(p, blooms)
+          Some(p)
+        }
       // schemaId/addedVersion are stamped at commit
-      Some(FileRef(path, rows, bytes, 0, 0L, lo, hi, stats, bucket, sorted))
+      Some(FileRef(path, rows, bytes, 0, 0L, lo, hi, stats, bucket, sorted,
+        bloomPath))
     }
   def abort(): Unit = {
     if (writer != null) {
@@ -1154,7 +1270,7 @@ class FsBatchWrite(name: String, truncate: Boolean) extends BatchWrite {
   private val writeVer = FsStore.current(name)
   private val schema = writeVer.schema
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new FsWriterFactory(name, schema, writeVer.bucketN)
+    new FsWriterFactory(name, schema, writeVer.bucketN, writeVer.bloomIds.toSet)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.iterator
       .flatMap { case FsCommitMessage(fs) => fs }.toVector
@@ -1166,7 +1282,7 @@ class FsBatchWrite(name: String, truncate: Boolean) extends BatchWrite {
       // entries for tasks that never committed are NULL — skipping them
       // must not skip deleting the files of the tasks that DID commit
       case FsCommitMessage(fs) =>
-        fs.foreach(f => new java.io.File(f.path).delete(): Unit)
+        fs.foreach(FsStore.deleteRef)
       case _ =>
     }
 }
@@ -1178,7 +1294,8 @@ class FsBatchWrite(name: String, truncate: Boolean) extends BatchWrite {
   * Row-level rewrite jobs deliver `(__row_operation: int, data...)`
   * rows (the MemWriter contract — see `ReplaceDataExec.writingTask`);
   * the writer dispatches on arity and strips the marker. */
-class FsWriterFactory(name: String, schema: StructType, bucketN: Int = 0)
+class FsWriterFactory(name: String, schema: StructType, bucketN: Int = 0,
+    bloomIds: Set[Int] = Set.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -1193,7 +1310,7 @@ class FsWriterFactory(name: String, schema: StructType, bucketN: Int = 0)
         scala.collection.mutable.Map[Int, FsFileWriter]()
       private def writerFor(b: Int): FsFileWriter =
         byBucket.getOrElseUpdate(b,
-          new FsFileWriter(name, s"d$partitionId-b$b", schema, b))
+          new FsFileWriter(name, s"d$partitionId-b$b", schema, b, bloomIds))
       private def route(row: InternalRow): Unit =
         if (bucketN <= 0) writerFor(-1).write(row)
         else {
@@ -1218,11 +1335,12 @@ class FsWriterFactory(name: String, schema: StructType, bucketN: Int = 0)
 /** Streaming adapter: same file-writing task writer, epoch handed by
   * Spark (serializable top-level class — the task ships it). */
 class FsStreamingWriterFactory(name: String, schema: StructType,
-    bucketN: Int = 0)
+    bucketN: Int = 0, bloomIds: Set[Int] = Set.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new FsWriterFactory(name, schema, bucketN).createWriter(partitionId, taskId)
+    new FsWriterFactory(name, schema, bucketN, bloomIds)
+      .createWriter(partitionId, taskId)
 }
 
 /** The merge-on-read delta write: per task up to FOUR parquet files
@@ -1232,7 +1350,7 @@ class FsDeltaBatchWrite(name: String) extends DeltaBatchWrite {
   private val writeVer = FsStore.current(name) // pinned write-time schema
   private val schema = writeVer.schema
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    new FsDeltaWriterFactory(name, schema)
+    new FsDeltaWriterFactory(name, schema, writeVer.bloomIds.toSet)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val ms = messages.iterator.map(_.asInstanceOf[FsDeltaCommitMessage]).toVector
     FsStore.commitDelta(name,
@@ -1242,19 +1360,24 @@ class FsDeltaBatchWrite(name: String) extends DeltaBatchWrite {
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach { case m: FsDeltaCommitMessage =>
       (m.delKeys ++ m.updKeys ++ m.updRows ++ m.inserts)
-        .foreach(f => new java.io.File(f.path).delete(): Unit)
+        .foreach(FsStore.deleteRef)
     }
 }
 
-class FsDeltaWriterFactory(name: String, schema: StructType)
+class FsDeltaWriterFactory(name: String, schema: StructType,
+    bloomIds: Set[Int] = Set.empty)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
       private val idSchema = StructType(Seq(schema.fields.head))
+      // DATA files carry the bloom index; key files are mask plumbing
+      // the scan never bloom-probes
       private val dels = new FsFileWriter(name, s"k$partitionId", idSchema)
       private val updKs = new FsFileWriter(name, s"uk$partitionId", idSchema)
-      private val updRs = new FsFileWriter(name, s"u$partitionId", schema)
-      private val ins = new FsFileWriter(name, s"i$partitionId", schema)
+      private val updRs = new FsFileWriter(name, s"u$partitionId", schema,
+        bloomIds = bloomIds)
+      private val ins = new FsFileWriter(name, s"i$partitionId", schema,
+        bloomIds = bloomIds)
       override def delete(meta: InternalRow, id: InternalRow): Unit =
         dels.write(id)
       override def update(meta: InternalRow, id: InternalRow,

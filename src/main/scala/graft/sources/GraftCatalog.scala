@@ -164,7 +164,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
             s"graft catalog: fs tables take at most one partition " +
               s"transform, got ${many.mkString(", ")}")
         }
-        FsStore.create(m, schema, bucketN)
+        // TBLPROPERTIES ('blooms'='colA,colB') declares per-file bloom
+        // indexes (sidecar files, manifest-referenced) for point-lookup
+        // file skipping on scattered columns zone maps can't prune
+        val bloomCols = Option(properties.get("blooms")).toSeq
+          .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        FsStore.create(m, schema, bucketN, bloomCols)
         new FsTable(m, delta = m.startsWith("fsd_"))
       case other =>
         throw new UnsupportedOperationException(

@@ -1040,6 +1040,178 @@ class FsTableSpec extends SparkSpec {
     assert(e.getMessage.contains("restart the stream"))
     drop("fs_cfalt")
   }
+
+  test("fs: bloom-filter skipping — point lookups prune scattered files, absent probes read nothing, NULL/overflow sound") {
+    cat(); drop("fs_bl")
+    import FsTableSpec.md5Hex
+    // scattered high-cardinality string + long columns: every file's
+    // zone map spans ~the whole value space, only blooms can prune
+    val src = (0L until 4000L).map(k => (k, md5Hex(k.toString),
+      k * 2654435761L % 1000003L)).toDF("k", "tag", "fp")
+      .repartition(8)
+    spark.sql("""CREATE TABLE graft.fs_bl (k BIGINT, tag STRING, fp BIGINT)
+                |TBLPROPERTIES ('blooms'='tag,fp')""".stripMargin)
+    src.writeTo("graft.fs_bl").append()
+    val head = FsStore.current("fs_bl")
+    assert(head.bloomIds.size == 2 && head.files.size == 8 &&
+      head.files.forall(f => f.bloom.exists(p => Files.exists(Paths.get(p)))),
+      "every data file must carry an on-disk bloom sidecar")
+    // 1) string point lookup: ≤2 of 8 files opened (1 holds it, ≤1 fp)
+    val probe = md5Hex("1234")
+    val q1 = spark.table("graft.fs_bl").filter($"tag" === probe).select("k")
+    assert(q1.collect().map(_.getLong(0)).toSeq == Seq(1234L))
+    val plan1 = q1.queryExecution.executedPlan.toString
+    assert(plan1.contains("bloomProbes=1"), s"probe must reach the scan: $plan1")
+    val Files1 = """files=(\d+)/8""".r.unanchored
+    plan1 match {
+      case Files1(n) => assert(n.toInt <= 2, s"bloom must prune: $plan1")
+      case _ => fail(s"no files=k/n in: $plan1")
+    }
+    // 2) absent probe: zero files opened, empty result
+    val q2 = spark.table("graft.fs_bl").filter($"tag" === "not-a-real-tag")
+    assert(q2.count() == 0)
+    val plan2 = q2.queryExecution.executedPlan.toString
+    plan2 match {
+      case Files1(n) => assert(n.toInt <= 1, s"absent probe must prune ~all: $plan2")
+      case _ => fail(s"no files=k/n in: $plan2")
+    }
+    // 3) long-column IN probe (second declared index)
+    val fps = Seq(77L, 1234L).map(k => k * 2654435761L % 1000003L)
+    val q3 = spark.table("graft.fs_bl").filter($"fp".isin(fps: _*)).select("k")
+    assert(q3.collect().map(_.getLong(0)).sorted.toSeq == Seq(77L, 1234L))
+    val plan3 = q3.queryExecution.executedPlan.toString
+    assert(plan3.contains("bloomProbes=1"), s"IN probe must reach the scan: $plan3")
+    plan3 match {
+      case Files1(n) => assert(n.toInt <= 3, s"IN probe must prune: $plan3")
+      case _ => fail(s"no files=k/n in: $plan3")
+    }
+    // 4) compaction rebuilds blooms on the packed files
+    val (before, after, bins) = FsMaintenance.compact(spark, "fs_bl",
+      targetBytes = 512L << 20)
+    assert(bins >= 1 && after < before)
+    val packed = FsStore.current("fs_bl")
+    assert(packed.files.forall(_.bloom.isDefined),
+      "compacted files must carry fresh blooms")
+    assert(spark.table("graft.fs_bl").filter($"tag" === probe)
+      .head().getLong(0) == 1234L)
+    drop("fs_bl")
+
+    // NULLs never enter the bloom; equality skipping stays sound and
+    // IS NULL (not a bloom shape) still sees the rows
+    drop("fs_bln")
+    spark.sql("""CREATE TABLE graft.fs_bln (k BIGINT, tag STRING)
+                |TBLPROPERTIES ('blooms'='tag')""".stripMargin)
+    (0L until 100L).map(k => (k, if (k % 10 == 0) null else s"t$k"))
+      .toDF("k", "tag").coalesce(1).writeTo("graft.fs_bln").append()
+    assert(spark.table("graft.fs_bln").filter($"tag".isNull).count() == 10)
+    assert(spark.table("graft.fs_bln").filter($"tag" === "t55")
+      .head().getLong(0) == 55L)
+    drop("fs_bln")
+
+    // refusals: non-probe-able column types decline at CREATE
+    drop("fs_blbad")
+    val e = intercept[Exception] {
+      spark.sql("""CREATE TABLE graft.fs_blbad (k BIGINT, x DOUBLE)
+                  |TBLPROPERTIES ('blooms'='x')""".stripMargin)
+    }
+    assert(e.getMessage.contains("bloom index"), e.getMessage)
+    drop("fs_blbad")
+  }
+
+  test("fsd: bloom skipping composes with merge-on-read masks; vacuum spares referenced sidecars") {
+    cat(); drop("fsd_bl")
+    import FsTableSpec.md5Hex
+    spark.sql("""CREATE TABLE graft.fsd_bl (k BIGINT, tag STRING)
+                |TBLPROPERTIES ('blooms'='tag')""".stripMargin)
+    (0L until 500L).map(k => (k, md5Hex(k.toString))).toDF("k", "tag")
+      .repartition(4).writeTo("graft.fsd_bl").append()
+    // MoR UPDATE moves row 42 to a NEW tag living in a new data file
+    Seq((42L, "moved")).toDF("k", "tag").createOrReplaceTempView("fsd_bl_src")
+    spark.sql("""MERGE INTO graft.fsd_bl t USING fsd_bl_src s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET t.tag = s.tag""".stripMargin)
+    // old tag: bloom OPENS the old file (bits can't unset) but the mask
+    // drops the row — absence via mask, not via skip
+    assert(spark.table("graft.fsd_bl")
+      .filter($"tag" === md5Hex("42")).count() == 0)
+    // new tag: found via the update file's own bloom
+    assert(spark.table("graft.fsd_bl").filter($"tag" === "moved")
+      .head().getLong(0) == 42L)
+    // untouched needle still localized
+    val q = spark.table("graft.fsd_bl").filter($"tag" === md5Hex("99"))
+    assert(q.head().getLong(0) == 99L)
+    // vacuum: every referenced sidecar survives (orphans only reclaimed)
+    FsStore.vacuum("fsd_bl")
+    val head = FsStore.current("fsd_bl")
+    assert(head.files.forall(f =>
+      f.bloom.forall(p => Files.exists(Paths.get(p)))),
+      "vacuum must not reclaim referenced bloom sidecars")
+    assert(spark.table("graft.fsd_bl").filter($"tag" === md5Hex("99"))
+      .head().getLong(0) == 99L)
+    drop("fsd_bl")
+  }
+
+  test("fs: z-order rewrite — a 2-D box opens ≤4 of 16 files, contents and time travel intact, refusals loud") {
+    cat(); drop("fs_zo")
+    // exact 64×64 grid scaled to the upper value range: a box aligned to
+    // the curve's quarters lands in ONE contiguous z-slice
+    val grid = (0L until 4096L).map { i =>
+      (i, (i % 64L) * 1024L, (i / 64L) * 1024L)
+    }.toDF("k", "x", "y").repartition(16)
+    grid.writeTo("graft.fs_zo").create()
+    val pre = FsStore.current("fs_zo")
+    assert(pre.files.size == 16)
+    // scattered: the box prunes nothing pre-rewrite
+    val box = spark.table("graft.fs_zo")
+      .filter($"x" >= 16384L && $"x" < 32768L && $"y" >= 16384L && $"y" < 32768L)
+    val planPre = box.queryExecution.executedPlan.toString
+    assert(planPre.contains("files=16/16"), s"scattered must not prune: $planPre")
+    val wantKeys = (0L until 4096L).filter(i =>
+      (i % 64) * 1024 >= 16384 && (i % 64) * 1024 < 32768 &&
+      (i / 64) * 1024 >= 16384 && (i / 64) * 1024 < 32768)
+    assert(box.count() == wantKeys.size)
+
+    val (before, after) = FsMaintenance.zorder(spark, "fs_zo", Seq("x", "y"), 16)
+    assert(before == 16 && after >= 4)
+    val post = FsStore.current("fs_zo")
+    assert(post.rowCount == 4096 && post.changes.isEmpty,
+      "z-order must be a non-logical rewrite")
+    // same box now opens ≤4 of 16 files: the box covers one quarter-
+    // square of the curve, but the value→cell normalization (span is not
+    // a power of two) shifts it off the exact quarter boundary, so it can
+    // straddle up to 4 z-subsquares — still 4 files instead of 16
+    val box2 = spark.table("graft.fs_zo")
+      .filter($"x" >= 16384L && $"x" < 32768L && $"y" >= 16384L && $"y" < 32768L)
+    val plan2 = box2.queryExecution.executedPlan.toString
+    val FilesK = s"""files=(\\d+)/$after""".r.unanchored
+    plan2 match {
+      case FilesK(n) => assert(n.toInt <= 4, s"z-order must localize the box: $plan2")
+      case _ => fail(s"no files=k/n in: $plan2")
+    }
+    assert(box2.select("k").collect().map(_.getLong(0)).sorted.toSeq == wantKeys,
+      "the rewritten layout must serve exactly the same rows")
+    // whole-table identity + time travel to the scattered layout
+    assert(spark.table("graft.fs_zo").agg(sum("k"), sum("x"), sum("y")).head() ==
+      spark.sql(s"SELECT * FROM graft.fs_zo VERSION AS OF ${pre.id}")
+        .agg(sum("k"), sum("x"), sum("y")).head())
+    // refusals: <2 columns, unknown column, non-integral column
+    intercept[IllegalArgumentException] {
+      FsMaintenance.zorder(spark, "fs_zo", Seq("x"), 4)
+    }
+    intercept[IllegalArgumentException] {
+      FsMaintenance.zorder(spark, "fs_zo", Seq("x", "nope"), 4)
+    }
+    drop("fs_zo")
+    // masked tables refuse (the rewrite would escape the mask)
+    drop("fsd_zo")
+    (0L until 100L).map(k => (k, k, k)).toDF("k", "x", "y")
+      .writeTo("graft.fsd_zo").create()
+    spark.sql("DELETE FROM graft.fsd_zo WHERE k = 5")
+    val e = intercept[IllegalArgumentException] {
+      FsMaintenance.zorder(spark, "fsd_zo", Seq("x", "y"), 4)
+    }
+    assert(e.getMessage.contains("delta masks"), e.getMessage)
+    drop("fsd_zo")
+  }
 }
 
 object FsTableSpec {
