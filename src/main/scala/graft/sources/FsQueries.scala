@@ -1044,10 +1044,72 @@ object FsQueries {
            |WHERE x >= xlo AND x < xhi AND y >= ylo AND y < yhi""".stripMargin)
   )
 
+  /** q310: WRITE-AUDIT-PUBLISH branches (Iceberg refs, fast-forward
+    * case): a risky load is staged on an isolated BRANCH — a shadow
+    * table whose `_log` is a byte-copy of main's manifests, data files
+    * SHARED by absolute path, so every verb (append, MERGE, CDF, time
+    * travel) works on it with zero new machinery — audited there (row
+    * completeness + a quality gate), and only then PUBLISHED: each
+    * branch commit past the fork installs onto main through the same
+    * hard-link race every writer runs (a diverged main refuses the
+    * fast-forward; a REJECTED branch is dropped and main never saw a
+    * byte — both exercised in-query). Staged files hard-link into
+    * main's data dir at publish, so dropping the branch afterwards
+    * cannot orphan published data. Main's manifest rowCount is asserted
+    * UNTOUCHED while both branches stage. The oracle is the full
+    * audited load, so a publish that lost, doubled, or reordered a
+    * staged commit is a hash mismatch. */
+  val q310FsWapBranch = graft.QueryDef(
+    "q310_fs_wap_branch",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.lineitem(s, d).select(
+        col("l_orderkey").cast("long").as("k"),
+        col("l_quantity").cast("long").as("qty"))
+      s.sql("DROP TABLE IF EXISTS graft.fs_wap")
+      FsStore.branchesOf("fs_wap").foreach(b => FsStore.drop(b))
+      src.filter(col("k") % 2 === 0).writeTo("graft.fs_wap").create()
+      val baseRows = FsStore.current("fs_wap").rowCount
+      // stage the other half on an audit branch (two commits)
+      val br = FsStore.createBranch("fs_wap", "audit")
+      src.filter(col("k") % 4 === 1).writeTo(s"graft.$br").append()
+      src.filter(col("k") % 4 === 3).writeTo(s"graft.$br").append()
+      // a BAD load stages on its own branch, fails its audit, drops —
+      // main must never see it
+      val bad = FsStore.createBranch("fs_wap", "bad")
+      src.filter(col("k") % 2 === 1).withColumn("qty", lit(-1L))
+        .writeTo(s"graft.$bad").append()
+      require(s.table(s"graft.$bad").filter(col("qty") < 0).count() > 0,
+        "bad branch must fail its quality audit")
+      FsStore.dropBranch("fs_wap", "bad")
+      // audit the good branch: complete and clean
+      require(s.table(s"graft.$br").count() == src.count(),
+        "audit: staged load must be complete")
+      require(s.table(s"graft.$br").filter(col("qty") < 0).count() == 0,
+        "audit: staged load must be clean")
+      // main untouched while both branches staged
+      require(FsStore.current("fs_wap").rowCount == baseRows,
+        "main must not see staged commits before publish")
+      val published = FsStore.publishBranch("fs_wap", "audit")
+      require(published == 2, s"fast-forward must install 2 versions ($published)")
+      FsStore.dropBranch("fs_wap", "audit")
+      s.table("graft.fs_wap")
+        .groupBy((col("k") % 7).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"),
+          sum("k").as("sum_k"))
+        .orderBy("bucket")
+    },
+    Some("""SELECT l_orderkey % 7 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_k
+           |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q289FsRoundtrip, q290FsUpdate,
     q291FsMerge, q292FsdDeltaMerge, q293FsEvolution, q294FsdCdfBatch,
     q295FsdCdfStream, q296FsTimestampTravel, q297FsFeedBytes,
     q299FsZoneSkip, q300FsColumnPrune, q301FsStreamingSink,
     q302FsWideTypes, q303FsColStats, q304FsSpjJoin, q305FsCompact,
-    q306FsAggPushdown, q307FsRuntimePrune, q308FsBloomSkip, q309FsZorder)
+    q306FsAggPushdown, q307FsRuntimePrune, q308FsBloomSkip, q309FsZorder,
+    q310FsWapBranch)
 }

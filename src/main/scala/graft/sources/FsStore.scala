@@ -834,22 +834,26 @@ object FsStore {
     val d = dataDir(name)
     if (!Files.isDirectory(d)) return (0L, 0L)
     val cutoff = System.currentTimeMillis() - retainMs
-    val referenced: Set[String] = {
-      val head = currentVersion(name)
-      (oldestVersion(name) to head).iterator
-        .map(versionAt(name, _))
-        .flatMap { v =>
-          // a referenced data file pins its bloom sidecar too
-          def paths(f: FileRef): Iterator[String] =
-            Iterator(f.path) ++ f.bloom.iterator
-          v.files.iterator.flatMap(paths) ++
-            v.masks.iterator.flatMap(_.keyFiles).flatMap(paths) ++
-            v.changes.iterator.flatMap(c =>
-              c.files.iterator.flatMap(paths) ++
-                c.keys.iterator.flatMap(paths) ++
-                c.masks.iterator.flatMap(_.keyFiles).flatMap(paths))
-        }.toSet
-    }
+    // a LIVE BRANCH's manifests pin main-dir files too (an expired main
+    // version's files may still serve the branch's history — Iceberg's
+    // refs-retain-snapshots rule); branch data dirs are separate, so a
+    // branch's own vacuum never sees main files and vice versa
+    val referenced: Set[String] = (name +: branchesOf(name)).iterator
+      .flatMap { tbl =>
+        (oldestVersion(tbl) to currentVersion(tbl)).iterator
+          .map(versionAt(tbl, _))
+          .flatMap { v =>
+            // a referenced data file pins its bloom sidecar too
+            def paths(f: FileRef): Iterator[String] =
+              Iterator(f.path) ++ f.bloom.iterator
+            v.files.iterator.flatMap(paths) ++
+              v.masks.iterator.flatMap(_.keyFiles).flatMap(paths) ++
+              v.changes.iterator.flatMap(c =>
+                c.files.iterator.flatMap(paths) ++
+                  c.keys.iterator.flatMap(paths) ++
+                  c.masks.iterator.flatMap(_.keyFiles).flatMap(paths))
+          }
+      }.toSet
     var files = 0L
     var bytes = 0L
     listNames(d).map(d.resolve).foreach { p =>
@@ -889,6 +893,105 @@ object FsStore {
       true
     }
   }
+
+  // ------------------------------------------------- WAP branches (refs)
+
+  /** Branch-name plumbing: a branch of table T is a SHADOW TABLE named
+    * `T__wap_<branch>` whose `_log` starts as a byte-copy of T's
+    * retained manifests — so every existing verb (reads, writes, MERGE,
+    * CDF, time travel, schema evolution) works on the branch with ZERO
+    * new machinery, while data files are SHARED by absolute path (the
+    * copy is manifests, never data). This is Iceberg's write-audit-
+    * publish reduced to the fast-forward case: stage a risky load on
+    * the branch, audit it there, publish atomically or drop it. */
+  private val WapSep = "__wap_"
+  def branchTableName(name: String, branch: String): String = {
+    require(!name.contains(WapSep),
+      s"graft_fs($name): cannot branch a branch")
+    require(branch.nonEmpty && branch.forall(c => c.isLetterOrDigit || c == '_'),
+      s"graft_fs($name): bad branch name '$branch'")
+    s"$name$WapSep$branch"
+  }
+  /** Branches of `name` currently on disk (their shadow-table names). */
+  def branchesOf(name: String): Seq[String] =
+    tableNames.filter(_.startsWith(s"$name$WapSep"))
+
+  /** Create branch `branch` at `name`'s current head: copy every
+    * RETAINED manifest (ids preserved, so masks' addedVersion arithmetic
+    * and time travel stay valid on the branch). O(manifests), no data
+    * copied. */
+  def createBranch(name: String, branch: String): String = {
+    val shadow = branchTableName(name, branch)
+    if (exists(shadow)) throw new IllegalStateException(
+      s"graft_fs($name): branch $branch already exists")
+    val head = currentVersion(name)
+    Files.createDirectories(logDir(shadow))
+    (oldestVersion(name) to head).foreach { v =>
+      val src = logDir(name).resolve(f"v$v%05d.json")
+      Files.copy(src, logDir(shadow).resolve(f"v$v%05d.json")): Unit
+    }
+    shadow
+  }
+
+  /** FAST-FORWARD publish: install every branch commit past the fork
+    * point onto main, atomically per version (the same hard-link commit
+    * race every writer runs — a concurrent main commit makes the next
+    * link fail loudly; already-published prefixes stay valid). Requires
+    * main's head to still BE the fork point (no main commits since the
+    * branch was cut — the fast-forward contract; a diverged main
+    * refuses). Branch-written data files and bloom sidecars are
+    * HARD-LINKED into main's data dir and the installed manifests point
+    * at the linked paths, so dropping the branch afterwards cannot
+    * orphan published data. Returns the number of versions published. */
+  def publishBranch(name: String, branch: String): Long = {
+    val shadow = branchTableName(name, branch)
+    require(exists(shadow), s"graft_fs($name): no branch $branch")
+    val mainHead = currentVersion(name)
+    val branchHead = currentVersion(shadow)
+    // the fork point is the oldest shared id boundary: branch manifests
+    // ≤ mainHead must BE main's manifests (byte-copied at cut time); a
+    // main commit since then shows up as mainHead > branch's copy of it
+    // or as a diverged id — both refuse below
+    require(branchHead >= mainHead,
+      s"graft_fs($name): branch $branch has no commits past main " +
+        s"(branch head $branchHead, main head $mainHead)")
+    val forkCheck = versionAt(shadow, mainHead)
+    val mainAtFork = versionAt(name, mainHead)
+    require(forkCheck == mainAtFork,
+      s"graft_fs($name): main diverged from branch $branch since the cut " +
+        s"(version $mainHead differs) — fast-forward refused; re-cut the " +
+        "branch and replay the load")
+    val branchData = dataDir(shadow).toString
+    def relink(p: String): String =
+      if (!p.startsWith(branchData)) p
+      else {
+        val target = dataDir(name).resolve(Paths.get(p).getFileName)
+        Files.createDirectories(dataDir(name))
+        if (!Files.exists(target)) Files.createLink(target, Paths.get(p))
+        target.toString
+      }
+    def relinkRef(f: FileRef): FileRef =
+      f.copy(path = relink(f.path), bloom = f.bloom.map(relink))
+    def relinkMasks(ms: Vector[DeltaMask]): Vector[DeltaMask] =
+      ms.map(m => m.copy(keyFiles = m.keyFiles.map(relinkRef)))
+    ((mainHead + 1) to branchHead).foreach { vid =>
+      val v = versionAt(shadow, vid)
+      writeManifest(name, v.copy(
+        files = v.files.map(relinkRef),
+        masks = relinkMasks(v.masks),
+        changes = v.changes.map(c => c.copy(
+          files = c.files.map(relinkRef),
+          masks = relinkMasks(c.masks),
+          keys = c.keys.map(relinkRef)))))
+    }
+    branchHead - mainHead
+  }
+
+  /** Drop a branch: deletes its manifests AND its data dir (staged
+    * files). Safe after [[publishBranch]] — published files were
+    * hard-linked into main's data dir. */
+  def dropBranch(name: String, branch: String): Unit =
+    drop(branchTableName(name, branch))
 
   /** Metadata-only schema evolution (ADD / RENAME / WIDEN / DROP): a new
     * version with the SAME files and an appended lineage entry. Field

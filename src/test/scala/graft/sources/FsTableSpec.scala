@@ -1212,6 +1212,76 @@ class FsTableSpec extends SparkSpec {
     assert(e.getMessage.contains("delta masks"), e.getMessage)
     drop("fsd_zo")
   }
+
+  test("fs: WAP branches — staged commits isolated, fast-forward publish atomic, diverged main refuses, vacuum honors refs") {
+    cat(); drop("fs_wb")
+    FsStore.branchesOf("fs_wb").foreach(FsStore.drop)
+    (0L until 400L).map(k => (k, k % 9)).toDF("k", "v")
+      .writeTo("graft.fs_wb").create()
+    val baseHead = FsStore.currentVersion("fs_wb")
+
+    // stage two commits on a branch; main sees nothing
+    val br = FsStore.createBranch("fs_wb", "audit")
+    (400L until 500L).map(k => (k, k % 9)).toDF("k", "v")
+      .writeTo(s"graft.$br").append()
+    (500L until 600L).map(k => (k, k % 9)).toDF("k", "v")
+      .writeTo(s"graft.$br").append()
+    assert(spark.table(s"graft.$br").count() == 600)
+    assert(FsStore.current("fs_wb").rowCount == 400 &&
+      FsStore.currentVersion("fs_wb") == baseHead,
+      "main must be untouched by staged branch commits")
+    // branch time travel works off the copied history
+    assert(spark.sql(s"SELECT * FROM graft.$br VERSION AS OF $baseHead")
+      .count() == 400)
+
+    // fast-forward publish: two versions land, branch dropped, data intact
+    assert(FsStore.publishBranch("fs_wb", "audit") == 2)
+    FsStore.dropBranch("fs_wb", "audit")
+    assert(spark.table("graft.fs_wb").count() == 600)
+    assert(spark.table("graft.fs_wb").agg(sum("k")).head().getLong(0) ==
+      (0L until 600L).sum, "published rows must survive the branch drop")
+
+    // a diverged main refuses the fast-forward
+    val br2 = FsStore.createBranch("fs_wb", "late")
+    (600L until 650L).map(k => (k, 0L)).toDF("k", "v")
+      .writeTo(s"graft.$br2").append()
+    (900L until 910L).map(k => (k, 0L)).toDF("k", "v")
+      .writeTo("graft.fs_wb").append() // main moves on
+    val e1 = intercept[IllegalArgumentException] {
+      FsStore.publishBranch("fs_wb", "late")
+    }
+    assert(e1.getMessage.contains("diverged"), e1.getMessage)
+    FsStore.dropBranch("fs_wb", "late")
+
+    // refs retain files: a CoW rewrite + expiry past it orphans the old
+    // files in MAIN's history (the extra append ages out even the CoW
+    // version's change-log pre-image citation), so the live branch is
+    // their ONLY remaining reference — vacuum must spare them
+    val br3 = FsStore.createBranch("fs_wb", "keeper")
+    val preRewrite = spark.table(s"graft.$br3").agg(sum("v")).head().getLong(0)
+    spark.sql("UPDATE graft.fs_wb SET v = 99 WHERE k < 50")
+    Seq((1000L, 0L)).toDF("k", "v").writeTo("graft.fs_wb").append()
+    FsStore.expireVersions("fs_wb", keep = 1)
+    assert(FsStore.vacuum("fs_wb")._1 == 0,
+      "nothing reclaimable while the branch holds the last reference")
+    assert(spark.table(s"graft.$br3").agg(sum("v")).head().getLong(0)
+      == preRewrite, "vacuum must spare files a live branch references")
+    // once the branch drops, the same vacuum reclaims them
+    FsStore.dropBranch("fs_wb", "keeper")
+    val (files, bytes) = FsStore.vacuum("fs_wb")
+    assert(files > 0 && bytes > 0, "dropping the last ref frees the files")
+    assert(spark.table("graft.fs_wb").count() == 611)
+
+    // refusals: branch of a branch, duplicate branch, bad name
+    intercept[IllegalArgumentException] {
+      FsStore.createBranch(FsStore.branchTableName("fs_wb", "x"), "y")
+    }
+    FsStore.createBranch("fs_wb", "dup")
+    intercept[IllegalStateException] { FsStore.createBranch("fs_wb", "dup") }
+    FsStore.dropBranch("fs_wb", "dup")
+    intercept[IllegalArgumentException] { FsStore.createBranch("fs_wb", "bad name") }
+    drop("fs_wb")
+  }
 }
 
 object FsTableSpec {
