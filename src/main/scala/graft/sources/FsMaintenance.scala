@@ -56,11 +56,40 @@ object FsMaintenance {
     // the head schema, stream into one new file (zone maps/stats
     // recomputed by the writer); rows never visit the driver
     val bloomIds = head.bloomIds.toSet
+    val keyIntegral = schema.fields.head.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
     val added = spark.sparkContext
       .parallelize(bins.zipWithIndex, bins.size)
       .map { case (bin, i) =>
         val w = new FsFileWriter(name, s"c$i", schema, bin.head.bucket, bloomIds)
-        bin.foreach { f =>
+        if (keyIntegral && bin.forall(_.sorted)) {
+          // all inputs key-sorted → K-WAY MERGE instead of concatenation:
+          // the compacted file stays sorted (the writer observes and
+          // re-claims it), so a bucket collapsing to one file KEEPS the
+          // reported ordering and the storage-partitioned join stays
+          // sort-free after OPTIMIZE — compaction must not un-earn what
+          // the clustered write paid for. Sorted inputs hold no NULL
+          // keys (a NULL breaks the writer's sorted claim).
+          val raw = bin.map(f =>
+            FsParquet.read(f.path, lineage(f.schemaId), schema))
+          val iters = raw.map(_.buffered)
+          try {
+            def keyOf(r: org.apache.spark.sql.catalyst.InternalRow): Long =
+              schema.fields.head.dataType match {
+                case org.apache.spark.sql.types.IntegerType => r.getInt(0).toLong
+                case _ => r.getLong(0)
+              }
+            var live = iters.filter(_.hasNext)
+            while (live.nonEmpty) {
+              val src = live.minBy(it => keyOf(it.head))
+              w.write(src.next())
+              if (!src.hasNext) live = live.filter(_.hasNext)
+            }
+          } finally raw.foreach(_.close())
+        } else bin.foreach { f =>
           val it = FsParquet.read(f.path, lineage(f.schemaId), schema)
           try it.foreach(w.write) finally it.close()
         }
@@ -165,6 +194,81 @@ object FsMaintenance {
       }
       .collect().toVector.flatten
     FsStore.commitRewrite(name, head.files, added, head.schemaId)
+    (head.files.size, added.size)
+  }
+
+  /** PARTITION EVOLUTION by rewrite: re-route every row into a NEW
+    * bucket count (`newN`; 0 drops the spec) and flip the manifest's
+    * partition spec in the same [[FsStore.commitRewrite]] — so a table
+    * created unbucketed (or bucketed to the wrong width for today's
+    * join partner) EARNS the exchange-free storage-partitioned join
+    * without recreating the table or breaking its history: time travel
+    * to pre-evolution versions keeps the OLD spec (bucketN is
+    * per-version), CDF and epoch marks ride along untouched, and the
+    * rewrite is NOT a logical change. Placement is one Spark shuffle
+    * (`repartition` on the new bucket expression) with rows key-sorted
+    * inside each bucket, so every rewritten file is ALSO key-ASC —
+    * the evolved table joins exchange-free AND sort-free immediately.
+    * Same eligibility as the other rewrites: no applicable delta masks.
+    * Iceberg evolves specs metadata-only and scans old+new layouts
+    * side-by-side; this store keeps ONE layout per version instead —
+    * the rewrite costs one pass, and every later scan/SPJ plans against
+    * a single spec. Returns (files before, files after). */
+  def rebucket(spark: SparkSession, name: String, newN: Int): (Int, Int) = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val head = FsStore.current(name)
+    require(newN >= 0, "newN must be ≥0 (0 drops the partition spec)")
+    require(newN != head.bucketN,
+      s"graft_fs($name): table is already bucketed to $newN")
+    require(head.masks.isEmpty,
+      s"graft_fs($name): cannot rebucket under delta masks — apply them first")
+    val keyField = head.schema.fields.head
+    if (newN > 0) require(
+      keyField.dataType == LongType || keyField.dataType == IntegerType,
+      s"graft_fs($name): bucket partitioning requires an integral first " +
+        s"(row-id) column, got ${keyField.dataType.simpleString}")
+    if (head.files.isEmpty) { // metadata-only flip for an empty table
+      FsStore.commitRewrite(name, Vector.empty, Vector.empty,
+        head.schemaId, newN)
+      return (0, 0)
+    }
+    val schema = head.schema
+    val bloomIds = head.bloomIds.toSet
+    val keyIsInt = keyField.dataType == IntegerType
+    val routed =
+      if (newN > 0)
+        spark.table(s"graft.$name")
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+          .repartition(newN, pmod(col(keyField.name).cast("long"), lit(newN.toLong)))
+          .sortWithinPartitions(
+            pmod(col(keyField.name).cast("long"), lit(newN.toLong)),
+            col(keyField.name))
+      else
+        spark.table(s"graft.$name")
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val added = routed.queryExecution.toRdd
+      .mapPartitionsWithIndex { (i, rows) =>
+        // one writer per bucket this task received (tasks hold whole
+        // buckets after the pmod shuffle; rows arrive bucket-grouped and
+        // key-ASC, so each file claims its sorted flag)
+        val byBucket = scala.collection.mutable.LinkedHashMap[Int, FsFileWriter]()
+        rows.foreach { r =>
+          val b =
+            if (newN <= 0) -1
+            else {
+              require(!r.isNullAt(0),
+                s"graft_fs($name): bucketed tables key on the first " +
+                  "column — NULL row ids have no bucket")
+              val k = if (keyIsInt) r.getInt(0).toLong else r.getLong(0)
+              Math.floorMod(k, newN.toLong).toInt
+            }
+          byBucket.getOrElseUpdate(b,
+            new FsFileWriter(name, s"rb$i-b$b", schema, b, bloomIds)).write(r)
+        }
+        Iterator.single(byBucket.valuesIterator.flatMap(_.finish()).toVector)
+      }
+      .collect().toVector.flatten
+    FsStore.commitRewrite(name, head.files, added, head.schemaId, newN)
     (head.files.size, added.size)
   }
 }

@@ -1105,11 +1105,84 @@ object FsQueries {
            |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin)
   )
 
+  /** q311: PARTITION EVOLUTION by rewrite — the table that was created
+    * UNPARTITIONED (so every join against the bucketed warehouse
+    * shuffles it) is re-routed into `bucket(8, k)` by
+    * [[FsMaintenance.rebucket]]: one Spark shuffle on the new bucket
+    * expression, rows key-sorted inside each bucket, the manifest's
+    * partition spec flipped in the SAME non-logical commit (row count
+    * preserved, change log empty, time travel to the unbucketed layout
+    * intact — bucketN is per-version). The evolved table then joins the
+    * bucketed fact with NO exchange AND NO sort (every rewritten file
+    * claims its sorted flag; the exchange-free+sort-free executed plan
+    * is pinned in FsTableSpec) — the q304 storage-partitioned join,
+    * EARNED mid-life instead of declared at CREATE. The oracle is the
+    * plain join, so a row mis-routed to the wrong bucket (SPJ would
+    * silently never match it) is a hash mismatch. */
+  val q311FsRebucket = graft.QueryDef(
+    "q311_fs_rebucket",
+    (s, d) => {
+      cat(s)
+      val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevBk = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        s.sql("DROP TABLE IF EXISTS graft.fs_rb1")
+        s.sql("DROP TABLE IF EXISTS graft.fs_rb2")
+        // born unpartitioned — the legacy-table shape
+        s.sql("CREATE TABLE graft.fs_rb1 (k BIGINT, sq BIGINT)")
+        s.sql("""CREATE TABLE graft.fs_rb2 (k BIGINT, pc BIGINT)
+                |PARTITIONED BY (bucket(8, k))""".stripMargin)
+        graft.Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey").cast("long").as("k"))
+          .agg(sum(col("l_quantity").cast("long")).as("sq"))
+          .writeTo("graft.fs_rb1").append()
+        graft.Tables.orders(s, d)
+          .select(col("o_orderkey").cast("long").as("k"),
+            floor(col("o_totalprice") * 100.0 + 0.5).cast(LongType).as("pc"))
+          .writeTo("graft.fs_rb2").append()
+        val pre = FsStore.current("fs_rb1")
+        require(pre.bucketN == 0, "fs_rb1 must be born unpartitioned")
+        val (_, after) = FsMaintenance.rebucket(s, "fs_rb1", 8)
+        val post = FsStore.current("fs_rb1")
+        require(post.bucketN == 8 && post.rowCount == pre.rowCount &&
+          post.changes.isEmpty &&
+          post.files.forall(f => f.bucket >= 0 && f.bucket < 8 && f.sorted),
+          s"rebucket must flip the spec non-logically into sorted buckets " +
+            s"($after files)")
+        s.table("graft.fs_rb1").join(s.table("graft.fs_rb2"), Seq("k"))
+          .groupBy((col("k") % 3).as("bucket"))
+          .agg(count(lit(1)).as("n"), sum("sq").as("sum_sq"),
+            sum("pc").as("sum_pc"))
+          .localCheckpoint()
+          .orderBy("bucket")
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        prevBk.fold(s.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+      }
+    },
+    Some("""WITH li AS (
+           |  SELECT l_orderkey AS k,
+           |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+           |  FROM lineitem GROUP BY 1),
+           |o AS (
+           |  SELECT o_orderkey AS k,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc
+           |  FROM orders)
+           |SELECT k % 3 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(sq) AS BIGINT) AS sum_sq,
+           |  CAST(SUM(pc) AS BIGINT) AS sum_pc
+           |FROM li JOIN o USING (k)
+           |GROUP BY 1 ORDER BY bucket""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q289FsRoundtrip, q290FsUpdate,
     q291FsMerge, q292FsdDeltaMerge, q293FsEvolution, q294FsdCdfBatch,
     q295FsdCdfStream, q296FsTimestampTravel, q297FsFeedBytes,
     q299FsZoneSkip, q300FsColumnPrune, q301FsStreamingSink,
     q302FsWideTypes, q303FsColStats, q304FsSpjJoin, q305FsCompact,
     q306FsAggPushdown, q307FsRuntimePrune, q308FsBloomSkip, q309FsZorder,
-    q310FsWapBranch)
+    q310FsWapBranch, q311FsRebucket)
 }

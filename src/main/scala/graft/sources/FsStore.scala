@@ -766,8 +766,14 @@ object FsStore {
     * (concurrent writers lose), row counts preserved, and NO removed
     * file may carry an applicable delta mask — the compacted copy's
     * fresh addedVersion would escape the mask and resurrect masked rows. */
+  /** `newBucketN ≥ 0` additionally flips the PARTITION SPEC (partition
+    * evolution by rewrite — the caller must have re-routed every row:
+    * the rewrite is required to be TOTAL, old layout fully replaced).
+    * Time travel keeps the old spec: `bucketN` is per-version, so a
+    * pinned pre-evolution read still reports the layout its files have. */
   def commitRewrite(name: String, removed: Vector[FileRef],
-      added: Vector[FileRef], writeSchemaId: Int): Unit =
+      added: Vector[FileRef], writeSchemaId: Int,
+      newBucketN: Int = -1): Unit =
     install(name) { v =>
       requireSchemaUnchanged(name, v, writeSchemaId)
       val live = v.files.map(_.path).toSet
@@ -782,11 +788,21 @@ object FsStore {
       require(removed.map(_.rows).sum == added.map(_.rows).sum,
         s"graft_fs($name): compaction must preserve rows " +
           s"(${removed.map(_.rows).sum} removed vs ${added.map(_.rows).sum} added)")
+      if (newBucketN >= 0) {
+        require(removed.map(_.path).toSet == live,
+          s"graft_fs($name): a partition-spec change must rewrite the " +
+            "WHOLE snapshot — partial rewrites would mix layouts")
+        require(newBucketN == 0 ||
+          added.forall(f => f.bucket >= 0 && f.bucket < newBucketN),
+          s"graft_fs($name): rewritten files must land in the new spec's " +
+            s"buckets [0, $newBucketN)")
+      }
       val rm = removed.map(_.path).toSet
       val newAdded = added.map(_.copy(schemaId = v.schemaId, addedVersion = v.id + 1))
       Version(v.id + 1, GraftClock.next(), v.schemaId, v.lineage, v.maxFieldId,
         v.files.filterNot(f => rm.contains(f.path)) ++ newAdded,
-        v.masks, Vector.empty, v.rowCount, v.epochs, v.bucketN, v.bloomIds)
+        v.masks, Vector.empty, v.rowCount, v.epochs,
+        if (newBucketN >= 0) newBucketN else v.bucketN, v.bloomIds)
     }
 
   /** Snapshot EXPIRY (Iceberg's `expireSnapshots`, Delta's log

@@ -1282,6 +1282,121 @@ class FsTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { FsStore.createBranch("fs_wb", "bad name") }
     drop("fs_wb")
   }
+
+  test("fs: rebucket — partition evolution flips the spec, the evolved table joins exchange- and sort-free, time travel keeps the old layout") {
+    cat(); drop("fs_pe1"); drop("fs_pe2")
+    spark.sql("CREATE TABLE graft.fs_pe1 (k BIGINT, v BIGINT)") // unbucketed
+    spark.sql("CREATE TABLE graft.fs_pe2 (k BIGINT, w BIGINT) PARTITIONED BY (bucket(4, k))")
+    (0L until 8000L).map(k => (k, k * 3 % 101)).toDF("k", "v")
+      .repartition(6).writeTo("graft.fs_pe1").append()
+    (0L until 8000L by 2).map(k => (k, k % 97)).toDF("k", "w")
+      .repartition(6).writeTo("graft.fs_pe2").append()
+    val pre = FsStore.current("fs_pe1")
+    assert(pre.bucketN == 0)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // unevolved: the join must shuffle the unbucketed side
+      val j0 = spark.table("graft.fs_pe1").join(spark.table("graft.fs_pe2"), "k")
+      j0.count()
+      assert(j0.queryExecution.executedPlan.toString.contains("Exchange"),
+        "an unbucketed side must shuffle")
+      val (before, after) = FsMaintenance.rebucket(spark, "fs_pe1", 4)
+      val post = FsStore.current("fs_pe1")
+      assert(post.bucketN == 4 && post.rowCount == 8000 && post.changes.isEmpty)
+      assert(post.files.forall(f => f.bucket >= 0 && f.bucket < 4 && f.sorted),
+        "rewritten files must be bucketed and key-sorted")
+      // evolved: exchange-free AND sort-free
+      val j1 = spark.table("graft.fs_pe1").join(spark.table("graft.fs_pe2"), "k")
+      j1.count()
+      val plan = j1.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"the evolved spec must eliminate the join shuffle:\n$plan")
+      if (plan.contains("SortMergeJoin"))
+        assert(!plan.contains("Sort "),
+          s"sorted rewritten files must satisfy the SMJ ordering:\n$plan")
+      assert(j1.count() == 4000L)
+      val r = j1.filter($"k" === 4242L).head()
+      assert(r.getLong(1) == 4242L * 3 % 101 && r.getLong(2) == 4242L % 97)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+    // time travel keeps the pre-evolution layout and content
+    val pinned = spark.sql(s"SELECT * FROM graft.fs_pe1 VERSION AS OF ${pre.id}")
+    assert(pinned.count() == 8000)
+    assert(spark.table("graft.fs_pe1").agg(sum("k"), sum("v")).head() ==
+      pinned.agg(sum("k"), sum("v")).head())
+    // dropping the spec again
+    val (_, _) = FsMaintenance.rebucket(spark, "fs_pe1", 0)
+    assert(FsStore.current("fs_pe1").bucketN == 0)
+    assert(spark.table("graft.fs_pe1").count() == 8000)
+    // refusals: same width, masks
+    intercept[IllegalArgumentException] {
+      FsMaintenance.rebucket(spark, "fs_pe1", 0)
+    }
+    drop("fs_pe1"); drop("fs_pe2")
+    drop("fsd_pe")
+    (0L until 100L).map(k => (k, k)).toDF("k", "v").writeTo("graft.fsd_pe").create()
+    spark.sql("DELETE FROM graft.fsd_pe WHERE k = 5")
+    val e = intercept[IllegalArgumentException] {
+      FsMaintenance.rebucket(spark, "fsd_pe", 4)
+    }
+    assert(e.getMessage.contains("delta masks"), e.getMessage)
+    drop("fsd_pe")
+  }
+
+  test("fs: sorted compaction — bin-packed buckets k-way merge, the OPTIMIZEd table keeps its sort-free SPJ") {
+    cat(); drop("fs_sc1"); drop("fs_sc2")
+    spark.sql("CREATE TABLE graft.fs_sc1 (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE graft.fs_sc2 (k BIGINT, w BIGINT) PARTITIONED BY (bucket(4, k))")
+    // two appends whose keys INTERLEAVE inside every bucket (bucket b
+    // gets keys ≡ b and ≡ b+4 mod 8): each bucket holds TWO sorted
+    // files whose concatenation is NOT sorted — only a true merge
+    // restores the order
+    (0L until 6000L).filter(_ % 8 < 4).map(k => (k, k % 11)).toDF("k", "v")
+      .writeTo("graft.fs_sc1").append()
+    (0L until 6000L).filter(_ % 8 >= 4).map(k => (k, k % 11)).toDF("k", "v")
+      .writeTo("graft.fs_sc1").append()
+    (0L until 6000L).map(k => (k, k % 13)).toDF("k", "w")
+      .writeTo("graft.fs_sc2").append()
+    assert(FsStore.current("fs_sc1").files.forall(_.sorted))
+    assert(FsStore.current("fs_sc1").files.size == 8)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j0 = spark.table("graft.fs_sc1").join(spark.table("graft.fs_sc2"), "k")
+      j0.count()
+      val plan0 = j0.queryExecution.executedPlan.toString
+      assert(!plan0.contains("Exchange") && plan0.contains("Sort "),
+        s"two sorted files per bucket concatenate unsorted — SMJ must sort:\n$plan0")
+      // OPTIMIZE: the merge keeps each compacted bucket file key-ASC
+      val (before, after, bins) = FsMaintenance.compact(spark, "fs_sc1",
+        targetBytes = 512L << 20)
+      assert(before == 8 && after == 4 && bins == 4)
+      assert(FsStore.current("fs_sc1").files.forall(_.sorted),
+        "k-way-merged compaction must preserve the sorted claim")
+      val j1 = spark.table("graft.fs_sc1").join(spark.table("graft.fs_sc2"), "k")
+      j1.count()
+      val plan1 = j1.queryExecution.executedPlan.toString
+      assert(!plan1.contains("Exchange"),
+        s"compaction must keep the key-grouped layout:\n$plan1")
+      if (plan1.contains("SortMergeJoin"))
+        assert(!plan1.contains("Sort "),
+          s"one merged sorted file per bucket must stay sort-free:\n$plan1")
+      // merge correctness: contents identical, interleaving restored
+      assert(j1.count() == 6000L)
+      assert(spark.table("graft.fs_sc1").agg(sum("k"), sum("v")).head() ==
+        spark.sql(s"SELECT * FROM graft.fs_sc1 VERSION AS OF 2")
+          .agg(sum("k"), sum("v")).head())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+    drop("fs_sc1"); drop("fs_sc2")
+  }
 }
 
 object FsTableSpec {
