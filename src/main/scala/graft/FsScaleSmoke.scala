@@ -202,6 +202,111 @@ object FsScaleSmoke {
       f"${deltaBytes.toDouble / math.max(1L, baseBytes)}%.4f; " +
       f"heap peak ${heapPeak / 1e9}%.2f GB")
 
+    // ---- bloom index: a needle lookup must open ~1 file, not all ----
+    def filesOpened(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      df.collect()
+      val FilesRe = """files=(\d+)/(\d+)""".r.unanchored
+      df.queryExecution.executedPlan.toString match {
+        case FilesRe(k, n) => (k.toInt, n.toInt)
+        case _ => (-1, -1)
+      }
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bRows = math.min(rows / 4, 14000000L)
+    val bSrc = spark.range(0, bRows, 1, 32).selectExpr("id AS k",
+      "md5(CAST(id AS STRING)) AS tag", "id % 1000 AS v")
+    spark.sql("DROP TABLE IF EXISTS graft.fs_smokeb")
+    spark.sql("DROP TABLE IF EXISTS graft.fs_smokeb0")
+    spark.sql("""CREATE TABLE graft.fs_smokeb (k BIGINT, tag STRING, v BIGINT)
+                |TBLPROPERTIES ('blooms'='tag')""".stripMargin)
+    spark.sql("CREATE TABLE graft.fs_smokeb0 (k BIGINT, tag STRING, v BIGINT)")
+    val tB = System.nanoTime()
+    bSrc.writeTo("graft.fs_smokeb").append()
+    val bBuildSecs = (System.nanoTime() - tB) / 1e9
+    bSrc.writeTo("graft.fs_smokeb0").append() // index-less twin (A/B)
+    touchHeap()
+    val bHead = graft.sources.FsStore.current("fs_smokeb")
+    val sidecarBytes = bHead.files.flatMap(_.bloom)
+      .map(p => java.nio.file.Files.size(java.nio.file.Paths.get(p))).sum
+    val bDataBytes = bHead.files.map(_.bytes).sum
+    val probe = md5hex("7654321")
+    val t5 = System.nanoTime()
+    val (bOpened, bTotal) = filesOpened(
+      spark.table("graft.fs_smokeb").filter(col("tag") === probe))
+    val bLookupSecs = (System.nanoTime() - t5) / 1e9
+    val t6 = System.nanoTime()
+    filesOpened(spark.table("graft.fs_smokeb0").filter(col("tag") === probe))
+    val bNoIdxSecs = (System.nanoTime() - t6) / 1e9
+    touchHeap()
+    require(bOpened >= 1 && bOpened <= 2 && bTotal == bHead.files.size,
+      s"bloom needle must open ~1 of $bTotal files, opened $bOpened")
+    report ++= Seq(
+      "fsb_rows" -> bRows, "fsb_files" -> bTotal.toLong,
+      "fsb_build_secs" -> bBuildSecs,
+      "fsb_files_opened" -> bOpened.toLong,
+      "fsb_sidecar_bytes" -> sidecarBytes,
+      "fsb_data_bytes" -> bDataBytes,
+      "fsb_index_overhead" -> (sidecarBytes.toDouble / bDataBytes),
+      "fsb_lookup_secs" -> bLookupSecs,
+      "fsb_lookup_noindex_secs" -> bNoIdxSecs,
+      "fsb_noindex_over_indexed" -> (bNoIdxSecs / bLookupSecs))
+    println(f"[fs-smoke] bloom needle over $bRows rows: $bOpened/$bTotal files, " +
+      f"$bLookupSecs%.2f s vs index-less $bNoIdxSecs%.2f s " +
+      f"(${bNoIdxSecs / bLookupSecs}%.1fx); sidecars ${sidecarBytes / 1e6}%.1f MB " +
+      f"= ${100.0 * sidecarBytes / bDataBytes}%.2f%% of data")
+    spark.sql("DROP TABLE graft.fs_smokeb")
+    spark.sql("DROP TABLE graft.fs_smokeb0")
+
+    // ---- z-order: a 2-D box must open ~1/16 of the files after rewrite ----
+    val zRows = math.min(rows / 7, 8000000L)
+    spark.sql("DROP TABLE IF EXISTS graft.fs_smokez")
+    spark.range(0, zRows, 1, 32).selectExpr("id AS k",
+      "(id * 2654435761) % 1000003 AS x", "(id * 40503) % 999983 AS y")
+      .writeTo("graft.fs_smokez").create()
+    // an EIGHTH-wide box per axis: its z-image is 1 subsquare (1/64 of
+    // the curve) when cell-aligned, ≤4 when the data-range normalization
+    // shifts it — either way a small contiguous z-slice
+    val zBox = spark.table("graft.fs_smokez")
+      .filter(col("x").between(250000L, 375000L) &&
+        col("y").between(250000L, 375000L))
+      .agg(count(lit(1)).as("n"), sum("k").as("s"))
+    val t7 = System.nanoTime()
+    val (zPreOpened, zPreTotal) = filesOpened(zBox)
+    val zPreSecs = (System.nanoTime() - t7) / 1e9
+    val zWant = zBox.head()
+    val t8 = System.nanoTime()
+    val (_, zFiles) = graft.sources.FsMaintenance.zorder(
+      spark, "fs_smokez", Seq("x", "y"), 32)
+    val zRewriteSecs = (System.nanoTime() - t8) / 1e9
+    touchHeap()
+    val zBox2 = spark.table("graft.fs_smokez")
+      .filter(col("x").between(250000L, 375000L) &&
+        col("y").between(250000L, 375000L))
+      .agg(count(lit(1)).as("n"), sum("k").as("s"))
+    val t9 = System.nanoTime()
+    val (zPostOpened, zPostTotal) = filesOpened(zBox2)
+    val zPostSecs = (System.nanoTime() - t9) / 1e9
+    require(zBox2.head() == zWant, "z-order must not change the box contents")
+    require(zPreOpened == zPreTotal,
+      s"scattered layout must open every file ($zPreOpened/$zPreTotal)")
+    require(zPostOpened * 4 <= zPostTotal,
+      s"z-ordered box must open ≤1/4 of files ($zPostOpened/$zPostTotal)")
+    report ++= Seq(
+      "fsz_rows" -> zRows,
+      "fsz_pre_files_opened" -> zPreOpened.toLong,
+      "fsz_post_files_opened" -> zPostOpened.toLong,
+      "fsz_files" -> zPostTotal.toLong,
+      "fsz_rewrite_secs" -> zRewriteSecs,
+      "fsz_box_pre_secs" -> zPreSecs,
+      "fsz_box_post_secs" -> zPostSecs,
+      "fsz_pre_over_post" -> (zPreSecs / zPostSecs))
+    println(f"[fs-smoke] z-order over $zRows rows: box $zPreOpened/$zPreTotal" +
+      f" files, $zPreSecs%.2f s -> $zPostOpened/$zPostTotal files, " +
+      f"$zPostSecs%.2f s (${zPreSecs / zPostSecs}%.1fx); rewrite $zRewriteSecs%.1f s")
+    spark.sql("DROP TABLE graft.fs_smokez")
+
     // merge fsc_* keys into SCALE_SMOKE.json (the main smoke owns the rest)
     val path = java.nio.file.Paths.get("SCALE_SMOKE.json")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
