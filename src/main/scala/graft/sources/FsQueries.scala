@@ -1178,11 +1178,69 @@ object FsQueries {
            |GROUP BY 1 ORDER BY bucket""".stripMargin)
   )
 
+  /** q312: METADATA INSPECTION relations (Iceberg's `t$history` /
+    * `t$files`, Delta's DESCRIBE HISTORY): `__history` serves one row
+    * per retained version — derived operation label, added/removed rows
+    * from the change log, snapshot totals — and `__files` one row per
+    * live data file with its bucket, exact key zone map and layout
+    * flags; BOTH manifest-only (`FsMetaScan[…,manifest-only]`, zero
+    * data files opened at any table size — the ops-dashboard read must
+    * not cost a scan). The history of create → two appends → CoW DELETE
+    * and the per-bucket file rollup (min/max key from writer-recorded
+    * zone maps, rows summed) are BOTH recomputed functionally by the
+    * DuckDB oracle from lineitem — a mislabeled operation, a change-log
+    * miscount, or an inexact zone map is a hash mismatch. */
+  val q312FsMetaTables = graft.QueryDef(
+    "q312_fs_meta_tables",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.lineitem(s, d).select(
+        col("l_orderkey").cast("long").as("k"),
+        col("l_quantity").cast("long").as("qty"))
+      s.sql("DROP TABLE IF EXISTS graft.fs_meta")
+      s.sql("""CREATE TABLE graft.fs_meta (k BIGINT, qty BIGINT)
+              |PARTITIONED BY (bucket(4, k))""".stripMargin)
+      src.filter(col("k") % 2 === 0).writeTo("graft.fs_meta").append()
+      src.filter(col("k") % 2 === 1).writeTo("graft.fs_meta").append()
+      s.sql("DELETE FROM graft.fs_meta WHERE k % 10 = 0") // CoW overwrite
+      val hist = s.table("graft.fs_meta__history").select(
+        lit("history").as("rel"), col("version").as("id"),
+        col("added_rows").as("a"), col("removed_rows").as("b"),
+        col("row_count").as("c"), col("operation").as("op"))
+      val files = s.table("graft.fs_meta__files")
+        .groupBy(col("bucket").cast(LongType).as("id"))
+        .agg(min("min_key").as("a"), max("max_key").as("b"),
+          sum("rows").as("c"))
+        .select(lit("files").as("rel"), col("id"), col("a"), col("b"),
+          col("c"), lit("").as("op"))
+      hist.unionByName(files).orderBy("rel", "id")
+    },
+    Some("""WITH li AS (SELECT CAST(l_orderkey AS BIGINT) AS k FROM lineitem),
+           |ev AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM li WHERE k % 2 = 0),
+           |od AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM li WHERE k % 2 = 1),
+           |kp AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM li WHERE k % 10 <> 0),
+           |hist AS (
+           |  SELECT 'history' AS rel, CAST(0 AS BIGINT) AS id,
+           |    CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b,
+           |    CAST(0 AS BIGINT) AS c, 'create' AS op
+           |  UNION ALL SELECT 'history', 1, ev.n, 0, ev.n, 'append' FROM ev
+           |  UNION ALL SELECT 'history', 2, od.n, 0, ev.n + od.n, 'append'
+           |    FROM ev, od
+           |  UNION ALL SELECT 'history', 3, kp.n, ev.n + od.n, kp.n,
+           |    'overwrite' FROM ev, od, kp),
+           |fl AS (
+           |  SELECT 'files' AS rel, k % 4 AS id, MIN(k) AS a, MAX(k) AS b,
+           |    CAST(COUNT(*) AS BIGINT) AS c, '' AS op
+           |  FROM li WHERE k % 10 <> 0 GROUP BY k % 4)
+           |SELECT * FROM hist UNION ALL SELECT * FROM fl
+           |ORDER BY rel, id""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q289FsRoundtrip, q290FsUpdate,
     q291FsMerge, q292FsdDeltaMerge, q293FsEvolution, q294FsdCdfBatch,
     q295FsdCdfStream, q296FsTimestampTravel, q297FsFeedBytes,
     q299FsZoneSkip, q300FsColumnPrune, q301FsStreamingSink,
     q302FsWideTypes, q303FsColStats, q304FsSpjJoin, q305FsCompact,
     q306FsAggPushdown, q307FsRuntimePrune, q308FsBloomSkip, q309FsZorder,
-    q310FsWapBranch, q311FsRebucket)
+    q310FsWapBranch, q311FsRebucket, q312FsMetaTables)
 }

@@ -63,6 +63,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       else if ((base.startsWith("fs_") || base.startsWith("fsd_")) && FsStore.exists(base))
         new FsTable(base, delta = base.startsWith("fsd_"), changes = true)
       else throw new NoSuchTableException(ident)
+    // `<table>__history` / `<table>__files`: manifest-only metadata
+    // inspection relations of an fs table (Iceberg's t$history/t$files) —
+    // read-only, zero data files opened
+    case m if m.endsWith("__history") || m.endsWith("__files") =>
+      val kind = if (m.endsWith("__history")) "history" else "files"
+      val base = m.stripSuffix(s"__$kind")
+      if ((base.startsWith("fs_") || base.startsWith("fsd_")) && FsStore.exists(base))
+        new FsMetaTable(base, kind)
+      else throw new NoSuchTableException(ident)
     case m if m.startsWith("memd_") && MemStore.exists(m) =>
       new MemTable(m, delta = true)
     case m if m.startsWith("mem_") && MemStore.exists(m) => new MemTable(m)
@@ -93,11 +102,21 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
         MemStore.rowsAt(m, v) // validate at load: expired → range error
         new MemTable(m, Some(v), delta = m.startsWith("memd_"))
       case m if isFs(m) && FsStore.exists(m) =>
-        val v = try version.toLong catch {
-          case _: NumberFormatException => throw new NoSuchTableException(ident)
+        version.toLongOption match {
+          case Some(v) =>
+            FsStore.versionAt(m, v) // validate at load: unknown → range error
+            new FsTable(m, Some(v), delta = m.startsWith("fsd_"))
+          case None =>
+            // `VERSION AS OF '<branch>'`: Iceberg's branch read — a
+            // READ-ONLY pin of the branch's current head (the audit
+            // query's surface while a WAP load is staged)
+            val shadow = try FsStore.branchTableName(m, version) catch {
+              case _: IllegalArgumentException => throw new NoSuchTableException(ident)
+            }
+            if (!FsStore.exists(shadow)) throw new NoSuchTableException(ident)
+            new FsTable(shadow, Some(FsStore.currentVersion(shadow)),
+              delta = m.startsWith("fsd_"))
         }
-        FsStore.versionAt(m, v) // validate at load: unknown → range error
-        new FsTable(m, Some(v), delta = m.startsWith("fsd_"))
       case _ => throw new NoSuchTableException(ident)
     }
 

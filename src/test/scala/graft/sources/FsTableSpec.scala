@@ -1397,6 +1397,68 @@ class FsTableSpec extends SparkSpec {
     }
     drop("fs_sc1"); drop("fs_sc2")
   }
+
+  test("fs: metadata relations — __history labels every commit shape, __files mirrors the manifest, branch reads via VERSION AS OF '<name>'") {
+    cat(); drop("fsd_mh")
+    // merge-on-read table: create → append → MERGE → DELETE → ALTER
+    (0L until 200L).map(k => (k, k % 7)).toDF("k", "v")
+      .writeTo("graft.fsd_mh").create()
+    Seq((10L, 99L)).toDF("k", "v").createOrReplaceTempView("fsd_mh_src")
+    spark.sql("""MERGE INTO graft.fsd_mh t USING fsd_mh_src s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+    spark.sql("DELETE FROM graft.fsd_mh WHERE k % 50 = 1")
+    spark.sql("ALTER TABLE graft.fsd_mh ADD COLUMN extra BIGINT")
+    val hist = spark.table("graft.fsd_mh__history")
+      .select("version", "operation", "added_rows", "removed_rows", "row_count")
+      .orderBy("version").collect()
+    assert(hist.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((0L, "create"), (1L, "append"), (2L, "merge"), (3L, "delete"),
+        (4L, "evolve")), hist.mkString(", "))
+    assert(hist(2).getLong(2) == 1 && hist(2).getLong(3) == 1) // merge: 1 upd
+    assert(hist(3).getLong(3) == 4 && hist(3).getLong(4) == 196) // 4 deleted
+    // metadata relations are read-only
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.fsd_mh__history VALUES (9,9,'x',0,0,0,0,0,0)")
+    }
+    drop("fsd_mh")
+
+    // bucketed + bloomed + compacted: __files carries the layout story
+    drop("fs_mh")
+    spark.sql("""CREATE TABLE graft.fs_mh (k BIGINT, tag STRING)
+                |PARTITIONED BY (bucket(4, k))
+                |TBLPROPERTIES ('blooms'='tag')""".stripMargin)
+    (0L until 4000L).filter(_ % 8 < 4).map(k => (k, s"t$k")).toDF("k", "tag")
+      .writeTo("graft.fs_mh").append()
+    (0L until 4000L).filter(_ % 8 >= 4).map(k => (k, s"t$k")).toDF("k", "tag")
+      .writeTo("graft.fs_mh").append()
+    FsMaintenance.compact(spark, "fs_mh", targetBytes = 512L << 20)
+    val ops = spark.table("graft.fs_mh__history")
+      .select("operation").orderBy("version").collect().map(_.getString(0))
+    assert(ops.toSeq == Seq("create", "append", "append", "maintenance"), ops.toSeq)
+    val fl = spark.table("graft.fs_mh__files")
+    val rows = fl.collect()
+    assert(rows.length == 4 && rows.forall(r =>
+      r.getInt(1) >= 0 && r.getInt(1) < 4 && // bucket
+      r.getBoolean(6) && r.getBoolean(7)),   // sorted, has_bloom
+      rows.mkString("\n"))
+    assert(fl.agg(sum("rows")).head().getLong(0) == 4000)
+    // manifest-only: the scan opens no data files
+    assert(fl.queryExecution.executedPlan.toString.contains("manifest-only"))
+
+    // branch read through SQL time travel
+    val br = FsStore.createBranch("fs_mh", "stage")
+    (9000L until 9100L).map(k => (k, s"t$k")).toDF("k", "tag")
+      .writeTo(s"graft.$br").append()
+    assert(spark.sql("SELECT * FROM graft.fs_mh VERSION AS OF 'stage'")
+      .count() == 4100)
+    assert(spark.table("graft.fs_mh").count() == 4000,
+      "a branch read must not leak into main")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.fs_mh VERSION AS OF 'nosuch'").collect()
+    }
+    FsStore.dropBranch("fs_mh", "stage")
+    drop("fs_mh")
+  }
 }
 
 object FsTableSpec {
