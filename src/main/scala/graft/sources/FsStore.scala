@@ -681,8 +681,35 @@ object FsStore {
         s"under schema $writeSchemaId, head is now ${v.schemaId}) — retry " +
         "the write against the new schema")
 
+  /** OPTIMISTIC RETRY for APPEND-class commits (the Delta/Iceberg
+    * conflict rule, reduced): a blind append is serializable against
+    * ANY concurrent commit — its files reference no prior snapshot, so
+    * re-deriving from the new head and re-publishing is always correct.
+    * Losers of the manifest-id race therefore retry here instead of
+    * surfacing. Everything snapshot-DEPENDENT stays a loud loser:
+    * truncate/CoW rewrites were computed FROM a snapshot (a retry would
+    * silently drop the concurrent commit's rows — lost update), delta
+    * commits' masks would swallow a concurrently appended row with a
+    * matching key, and maintenance rewrites re-validate their file sets
+    * against the head anyway. The schema guard still applies per
+    * attempt: an ALTER racing the write stays a loud failure.
+    * Progress is system-wide guaranteed (every race has exactly one
+    * winner), so the cap only guards a true livelock bug — it is sized
+    * far above any real contention, not as back-pressure. */
+  private def retryingConcurrent(name: String, attempts: Int = 1000)(
+      body: => Unit): Unit = {
+    var n = 0
+    while (true) {
+      try { body; return } catch {
+        case e: IllegalStateException if n < attempts &&
+            e.getMessage != null && e.getMessage.contains("concurrent commit") =>
+          n += 1 // re-derive from the new head on the next attempt
+      }
+    }
+  }
+
   def commitAppend(name: String, files: Vector[FileRef],
-      writeSchemaId: Int): Unit =
+      writeSchemaId: Int): Unit = retryingConcurrent(name) {
     install(name) { v =>
       requireSchemaUnchanged(name, v, writeSchemaId)
       val added = files.map(_.copy(schemaId = v.schemaId, addedVersion = v.id + 1))
@@ -691,6 +718,7 @@ object FsStore {
         added.map(f => Change(OpInsert, Vector(f), Vector.empty, Vector.empty, f.rows)),
         v.rowCount + added.map(_.rows).sum, v.epochs, v.bucketN, v.bloomIds)
     }
+  }
 
   /** Truncate-install (CoW row-level ops land here): the new snapshot is
     * exactly `files`; the change log records the WHOLE previous snapshot
@@ -892,22 +920,28 @@ object FsStore {
     * Returns true iff the epoch committed (false = replay). */
   def commitEpochAppend(name: String, queryId: String, epochId: Long,
       files: Vector[FileRef], writeSchemaId: Int): Boolean = {
-    val head = current(name)
-    if (epochId <= head.epochs.getOrElse(queryId, -1L)) false // replay
-    else {
-      install(name) { v =>
-        requireSchemaUnchanged(name, v, writeSchemaId)
-        require(epochId > v.epochs.getOrElse(queryId, -1L),
-          s"graft_fs($name): epoch $epochId raced a concurrent commit")
-        val added = files.map(_.copy(schemaId = v.schemaId, addedVersion = v.id + 1))
-        Version(v.id + 1, GraftClock.next(), v.schemaId, v.lineage, v.maxFieldId,
-          v.files ++ added, v.masks,
-          added.map(f => Change(OpInsert, Vector(f), Vector.empty, Vector.empty, f.rows)),
-          v.rowCount + added.map(_.rows).sum,
-          v.epochs + (queryId -> epochId), v.bucketN, v.bloomIds)
+    // append-class: retried like commitAppend — each attempt re-reads
+    // the head, so a replay detected mid-retry still returns false
+    var committed = false
+    retryingConcurrent(name) {
+      val head = current(name)
+      if (epochId <= head.epochs.getOrElse(queryId, -1L)) committed = false
+      else {
+        install(name) { v =>
+          requireSchemaUnchanged(name, v, writeSchemaId)
+          require(epochId > v.epochs.getOrElse(queryId, -1L),
+            s"graft_fs($name): epoch $epochId raced a concurrent commit")
+          val added = files.map(_.copy(schemaId = v.schemaId, addedVersion = v.id + 1))
+          Version(v.id + 1, GraftClock.next(), v.schemaId, v.lineage, v.maxFieldId,
+            v.files ++ added, v.masks,
+            added.map(f => Change(OpInsert, Vector(f), Vector.empty, Vector.empty, f.rows)),
+            v.rowCount + added.map(_.rows).sum,
+            v.epochs + (queryId -> epochId), v.bucketN, v.bloomIds)
+        }
+        committed = true
       }
-      true
     }
+    committed
   }
 
   // ------------------------------------------------- WAP branches (refs)

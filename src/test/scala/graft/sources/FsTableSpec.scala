@@ -448,7 +448,7 @@ class FsTableSpec extends SparkSpec {
     drop("fs_null")
   }
 
-  test("fs: concurrent commits race on the manifest publish — exactly one winner per version id, losers loud, orphans vacuumable") {
+  test("fs: concurrent commits — appends all serialize via optimistic retry; snapshot-dependent losers stay loud, orphans vacuumable") {
     cat(); drop("fs_race")
     spark.sql("CREATE TABLE graft.fs_race (k BIGINT)")
     import org.apache.spark.sql.catalyst.InternalRow
@@ -464,39 +464,59 @@ class FsTableSpec extends SparkSpec {
         w.finish().get
       }
     }
-    val successes = new java.util.concurrent.atomic.AtomicLong
-    val failures = new java.util.concurrent.atomic.AtomicLong
     val start = new java.util.concurrent.CountDownLatch(1)
     val pool = (0 until threads).map { t =>
       new Thread(() => {
         start.await()
-        refs(t).foreach { ref =>
-          try {
-            FsStore.commitAppend("fs_race", Vector(ref), 0)
-            successes.incrementAndGet(): Unit
-          } catch {
-            case e: IllegalStateException if e.getMessage.contains("concurrent commit") =>
-              failures.incrementAndGet(): Unit
-          }
-        }
+        refs(t).foreach(ref => FsStore.commitAppend("fs_race", Vector(ref), 0))
       })
     }
     pool.foreach(_.start()); start.countDown(); pool.foreach(_.join())
     val head = FsStore.current("fs_race")
-    assert(successes.get() + failures.get() == threads.toLong * perThread)
-    // THE regression invariant: before the create-new publish fix, POSIX
-    // rename REPLACED the winner's manifest — 40 "successes" survived as
-    // 9 versions (silently lost commits). Now every success IS a version.
-    assert(head.id == successes.get(),
-      s"every successful commit must be exactly one version " +
-        s"(head ${head.id} vs ${successes.get()} successes)")
-    assert(head.rowCount == successes.get())
-    assert(spark.table("graft.fs_race").count() == successes.get())
-    // losers' files are orphans; vacuum reclaims exactly them
+    val total = threads.toLong * perThread
+    // the append conflict rule: blind appends are serializable, so the
+    // optimistic retry must land EVERY commit as exactly one version —
+    // no lost updates (the pre-create-new-link bug), no spurious losers
+    assert(head.id == total,
+      s"all $total concurrent appends must serialize (head ${head.id})")
+    assert(head.rowCount == total)
+    assert(spark.table("graft.fs_race").count() == total)
+    assert(FsStore.vacuum("fs_race")._1 == 0, "no orphans when everyone wins")
+
+    // snapshot-DEPENDENT commits keep the loud-loser contract: racing
+    // truncate-installs were each computed from a snapshot, so a retry
+    // would lose updates — exactly one version per publish id, losers
+    // surface, their files become vacuumable orphans
+    val successes = new java.util.concurrent.atomic.AtomicLong
+    val failures = new java.util.concurrent.atomic.AtomicLong
+    val headBefore = FsStore.currentVersion("fs_race")
+    val start2 = new java.util.concurrent.CountDownLatch(1)
+    val truncRefs = (0 until threads).map { t =>
+      val w = new FsFileWriter("fs_race", s"tr$t", schema)
+      w.write(InternalRow((9000 + t).toLong))
+      w.finish().get
+    }
+    val pool2 = (0 until threads).map { t =>
+      new Thread(() => {
+        start2.await()
+        try {
+          FsStore.commitTruncate("fs_race", Vector(truncRefs(t)), 0)
+          successes.incrementAndGet(): Unit
+        } catch {
+          case e: IllegalStateException if e.getMessage.contains("concurrent commit") =>
+            failures.incrementAndGet(): Unit
+        }
+      })
+    }
+    pool2.foreach(_.start()); start2.countDown(); pool2.foreach(_.join())
+    assert(successes.get() + failures.get() == threads.toLong)
+    assert(FsStore.currentVersion("fs_race") == headBefore + successes.get(),
+      "every successful truncate must be exactly one version")
+    assert(spark.table("graft.fs_race").count() == 1,
+      "the table holds exactly the last winning truncate")
     val (reclaimed, _) = FsStore.vacuum("fs_race")
     assert(reclaimed == failures.get(),
       s"vacuum must reclaim exactly the losers' files ($reclaimed vs ${failures.get()})")
-    assert(spark.table("graft.fs_race").count() == successes.get())
     drop("fs_race")
   }
 
