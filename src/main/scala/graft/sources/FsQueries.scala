@@ -1236,11 +1236,75 @@ object FsQueries {
            |ORDER BY rel, id""".stripMargin)
   )
 
+  /** q313: NULL-COUNT file skipping — the third leg of the manifest
+    * stats (zone maps order values, blooms localize equalities, null
+    * counts answer NULL-NESS): every task writer records per-column
+    * NULL counts by field id, and a pushed IS NULL conjunct skips every
+    * file with 0 nulls while IS NOT NULL skips all-NULL files — plus
+    * Spark pushes an IMPLICIT IsNotNull with most predicates, so
+    * all-NULL files drop out of ordinary scans for free. The table
+    * NULLs a column on the lowest key-QUARTER (range-clustered, so the
+    * sampled boundaries leave at least one whole file all-NULL), and
+    * the IS NULL branch must open ≤3 of 8 files while the IS NOT NULL
+    * branch must skip the all-NULL one(s) (both asserted from the manifest
+    * in-query; the plan twin lives in FsTableSpec). The oracle
+    * recomputes both branches functionally — a skip that drops a real
+    * NULL row, or misses one, is a hash mismatch. */
+  val q313FsNullSkip = graft.QueryDef(
+    "q313_fs_null_skip",
+    (s, d) => {
+      cat(s)
+      val li = graft.Tables.lineitem(s, d).select(
+        col("l_orderkey").cast("long").as("k"),
+        col("l_quantity").cast("long").as("qty"))
+      val maxK = li.agg(max("k")).head().getLong(0)
+      val src = li.select(col("k"),
+        when(col("k") * 4 <= maxK, lit(null).cast(LongType))
+          .otherwise(col("qty")).as("v"))
+        .repartitionByRange(8, col("k"))
+      s.sql("DROP TABLE IF EXISTS graft.fs_nl")
+      src.writeTo("graft.fs_nl").create()
+      val head = FsStore.current("fs_nl")
+      val vId = FsStore.fieldId(head.schema("v"))
+      require(head.files.forall(_.nullCounts.contains(vId)),
+        "every file must record the column's null count")
+      val withNulls = head.files.count(_.nullCounts(vId) > 0)
+      val allNull = head.files.count(f => f.nullCounts(vId) == f.rows)
+      require(withNulls <= 3 && allNull >= 1,
+        s"nulls must concentrate ($withNulls files with nulls, $allNull all-NULL)")
+      val isNull = s.table("graft.fs_nl").filter(col("v").isNull)
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          lit(0L).as("sum_v"))
+        .withColumn("rel", lit("null"))
+      val notNull = s.table("graft.fs_nl").filter(col("v").isNotNull)
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          sum("v").as("sum_v"))
+        .withColumn("rel", lit("notnull"))
+      isNull.unionByName(notNull)
+        .select("rel", "n", "sum_k", "sum_v").orderBy("rel")
+    },
+    Some("""WITH li AS (
+           |  SELECT CAST(l_orderkey AS BIGINT) AS k,
+           |    CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+           |mx AS (SELECT MAX(k) AS m FROM li),
+           |t AS (
+           |  SELECT k, CASE WHEN k * 4 <= (SELECT m FROM mx) THEN NULL
+           |    ELSE qty END AS v FROM li)
+           |SELECT 'notnull' AS rel, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(k) AS BIGINT) AS sum_k, CAST(SUM(v) AS BIGINT) AS sum_v
+           |FROM t WHERE v IS NOT NULL
+           |UNION ALL
+           |SELECT 'null', CAST(COUNT(*) AS BIGINT),
+           |  CAST(SUM(k) AS BIGINT), CAST(0 AS BIGINT)
+           |FROM t WHERE v IS NULL
+           |ORDER BY rel""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q289FsRoundtrip, q290FsUpdate,
     q291FsMerge, q292FsdDeltaMerge, q293FsEvolution, q294FsdCdfBatch,
     q295FsdCdfStream, q296FsTimestampTravel, q297FsFeedBytes,
     q299FsZoneSkip, q300FsColumnPrune, q301FsStreamingSink,
     q302FsWideTypes, q303FsColStats, q304FsSpjJoin, q305FsCompact,
     q306FsAggPushdown, q307FsRuntimePrune, q308FsBloomSkip, q309FsZorder,
-    q310FsWapBranch, q311FsRebucket, q312FsMetaTables)
+    q310FsWapBranch, q311FsRebucket, q312FsMetaTables, q313FsNullSkip)
 }

@@ -312,11 +312,19 @@ object FsStore {
     * atomic column (by field id) — the manifest-level data-skipping
     * stats Delta/Iceberg keep per file; sentinels (MinValue/MaxValue)
     * and absent stats mean "unknown, never skip". */
+  /** `nullCounts`: per-column (by FIELD ID) count of NULLs in this file —
+    * recorded for EVERY column of the write schema (0 included, so
+    * "no entry" distinguishes pre-stats-era files from null-free ones).
+    * Powers IS NULL / IS NOT NULL file skipping: a 0 proves no row
+    * satisfies IS NULL; a count equal to `rows` proves none satisfies
+    * IS NOT NULL — and Spark pushes implicit IsNotNull conjuncts with
+    * most filters, so all-NULL files drop out of ordinary scans free. */
   final case class FileRef(path: String, rows: Long, bytes: Long,
       schemaId: Int, addedVersion: Long,
       minKey: Long = Long.MinValue, maxKey: Long = Long.MaxValue,
       stats: Map[Int, ColStat] = Map.empty, bucket: Int = -1,
-      sorted: Boolean = false, bloom: Option[String] = None) {
+      sorted: Boolean = false, bloom: Option[String] = None,
+      nullCounts: Map[Int, Long] = Map.empty) {
     /** Can a scan bounded to [lo, hi] on the key skip this file? */
     def disjointFrom(lo: Long, hi: Long): Boolean =
       !(minKey == Long.MinValue && maxKey == Long.MaxValue) &&
@@ -403,6 +411,15 @@ object FsStore {
     if (f.bucket >= 0) o.put("bucket", f.bucket)
     if (f.sorted) o.put("sorted", true)
     f.bloom.foreach(o.put("bloom", _))
+    if (f.nullCounts.nonEmpty) {
+      val nc = mapper.createArrayNode()
+      f.nullCounts.toSeq.sortBy(_._1).foreach { case (id, n) =>
+        val e = mapper.createObjectNode()
+        e.put("id", id); e.put("n", n)
+        nc.add(e): Unit
+      }
+      o.set[ObjectNode]("nulls", nc)
+    }
     if (f.stats.nonEmpty) {
       val st = mapper.createArrayNode()
       f.stats.toSeq.sortBy(_._1).foreach { case (id, s) =>
@@ -437,12 +454,16 @@ object FsStore {
         e.get("id").asInt -> ColStat(kind, mn, mx)
       }.toMap
     }.getOrElse(Map.empty[Int, ColStat])
+    val nulls = Option(n.get("nulls")).map { nc =>
+      nc.elements().asScala.map(e =>
+        e.get("id").asInt -> e.get("n").asLong).toMap
+    }.getOrElse(Map.empty[Int, Long])
     FileRef(n.get("path").asText, n.get("rows").asLong, n.get("bytes").asLong,
       n.get("schemaId").asInt, n.get("addedVersion").asLong,
       n.get("minKey").asLong, n.get("maxKey").asLong, stats,
       Option(n.get("bucket")).map(_.asInt).getOrElse(-1),
       Option(n.get("sorted")).exists(_.asBoolean),
-      Option(n.get("bloom")).map(_.asText))
+      Option(n.get("bloom")).map(_.asText), nulls)
   }
   private def filesJson(fs: Vector[FileRef]): ArrayNode = {
     val a = mapper.createArrayNode(); fs.foreach(f => a.add(fileToJson(f))); a

@@ -249,6 +249,11 @@ class FsScanBuilder(name: String, pinnedVersion: Option[Long], cdf: Boolean,
     * predicate independently licenses a file skip when the file's bloom
     * proves EVERY probe value absent. */
   private val bloomPreds = Vector.newBuilder[(Int, String, Vector[Any])]
+  /** IS NULL / IS NOT NULL conjuncts, by field id (`true` = IS NULL):
+    * answered from the per-file null counts. Spark pushes an implicit
+    * IsNotNull with most predicates, so all-NULL files drop out of
+    * ordinary scans for free. */
+  private val nullPreds = Vector.newBuilder[(Int, Boolean)]
   /** Conjunctive windows per stat-tracked column (by FIELD ID) — feeds
     * the per-column zone-map skip alongside the first-column fast path. */
   private val bounds = scala.collection.mutable.Map[Int, FsStore.ColWindow]()
@@ -363,6 +368,21 @@ class FsScanBuilder(name: String, pinnedVersion: Option[Long], cdf: Boolean,
       }
       val probeAccepted = filters.filter(probe)
       accepted = (accepted ++ probeAccepted).distinct
+      // null-ness conjuncts: any column, any type — a null check needs
+      // no value order, just the per-file counts
+      val allIds: Map[String, Int] =
+        ver.schema.fields.map(f => f.name -> FsStore.fieldId(f)).toMap
+      def nullProbe(f: Filter): Boolean = f match {
+        case IsNull(a) => allIds.get(a).exists { id =>
+          nullPreds += ((id, true)); true }
+        case IsNotNull(a) => allIds.get(a).exists { id =>
+          nullPreds += ((id, false)); true }
+        case And(l, r) =>
+          val x = nullProbe(l); val y = nullProbe(r); x || y
+        case _ => false
+      }
+      val nullAccepted = filters.filter(nullProbe)
+      accepted = (accepted ++ nullAccepted).distinct
     }
     filters // all residual: skipping is file-granular, rows re-filtered
   }
@@ -438,7 +458,7 @@ class FsScanBuilder(name: String, pinnedVersion: Option[Long], cdf: Boolean,
     case None => new FsScan(name, cdf, snapVersion, ver,
       required, lo, hi, bounds.toMap, startingVersion, maxRowsPerBatch,
       maxBytesPerBatch, allowRuntime = allowPushdown,
-      bloomPreds = bloomPreds.result())
+      bloomPreds = bloomPreds.result(), nullPreds = nullPreds.result())
   }
 }
 
@@ -473,7 +493,8 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
     colBounds: Map[Int, FsStore.ColWindow],
     startingVersion: Option[Long], maxRowsPerBatch: Long,
     maxBytesPerBatch: Long, allowRuntime: Boolean = true,
-    bloomPreds: Vector[(Int, String, Vector[Any])] = Vector.empty)
+    bloomPreds: Vector[(Int, String, Vector[Any])] = Vector.empty,
+    nullPreds: Vector[(Int, Boolean)] = Vector.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering
     with SupportsReportOrdering {
@@ -570,13 +591,21 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
           probes.forall { case (h1, h2) => !b.mightContain(h1, h2) })
       }
     }
-  /** Partition-, zone-map-, bloom- and runtime-filter survivors of the
-    * snapshot's file set (cheap manifest checks first — a bloom probe
-    * reads a sidecar). */
+  /** A pushed null-ness conjunct the per-file counts refute: 0 NULLs
+    * proves no IS NULL row, all-NULL proves no IS NOT NULL row. Files
+    * without counts (pre-stats era) are never skipped on it. */
+  private def nullPruned(f: FileRef): Boolean =
+    nullPreds.exists { case (id, wantNull) =>
+      f.nullCounts.get(id).exists(n =>
+        if (wantNull) n == 0L else n == f.rows)
+    }
+  /** Partition-, zone-map-, null-count-, bloom- and runtime-filter
+    * survivors of the snapshot's file set (cheap manifest checks
+    * first — a bloom probe reads a sidecar). */
   private def survivors: Vector[FileRef] =
     ver.files.filterNot(f =>
       bucketPruned(f) || f.disjointFrom(lo, hi) || statDisjoint(f) ||
-        runtimePruned(f) || bloomPruned(f))
+        nullPruned(f) || runtimePruned(f) || bloomPruned(f))
   /** The bucketed layout is reportable when every surviving file knows
     * its bucket (always true for tables created with a spec). */
   private def bucketedLayout: Boolean =
@@ -605,13 +634,14 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
       else s", keyRange=[$lo,$hi]"
     val colB = if (colBounds.isEmpty) "" else s", colBounds=${colBounds.size}"
     val bl = if (bloomPreds.isEmpty) "" else s", bloomProbes=${bloomPreds.size}"
+    val nl = if (nullPreds.isEmpty) "" else s", nullProbes=${nullPreds.size}"
     val rt = runtimeKeys.map(ks => s", runtime=${ks.length} keys").getOrElse("")
     val files =
-      if (keyB.isEmpty && colB.isEmpty && rt.isEmpty && bl.isEmpty) ""
+      if (keyB.isEmpty && colB.isEmpty && rt.isEmpty && bl.isEmpty && nl.isEmpty) ""
       else s", files=${survivors.size}/${ver.files.size}"
     val pruned = required.map(r => s", pruned=${r.fieldNames.mkString(",")}")
       .getOrElse("")
-    s"FsScan[$name,v=$snapVersion${if (cdf) ",cdf" else ""}$keyB$colB$bl$rt$files$pruned]"
+    s"FsScan[$name,v=$snapVersion${if (cdf) ",cdf" else ""}$keyB$colB$bl$nl$rt$files$pruned]"
   }
 
   /** Manifest-sourced statistics (the q283 contract), zone-map-aware:
@@ -1202,12 +1232,22 @@ private[sources] class FsFileWriter(tableName: String, tag: String,
       }
     }
 
+  // per-column NULL counts (every column, any type) — the IS NULL /
+  // IS NOT NULL skipping stats; ids resolved once at construction
+  private val fieldIds: Array[Int] = schema.fields.map(FsStore.fieldId)
+  private val nullCounts = new Array[Long](schema.length)
+
   def write(r: InternalRow): Unit = {
     if (writer == null) {
       path = FsStore.newFilePath(tableName, tag)
       writer = FsParquet.writer(path, schema)
     }
     writer.write(r)
+    var c = 0
+    while (c < nullCounts.length) {
+      if (r.isNullAt(c)) nullCounts(c) += 1
+      c += 1
+    }
     keyGetter.foreach { g =>
       if (!r.isNullAt(0)) {
         val k = g(r)
@@ -1253,7 +1293,7 @@ private[sources] class FsFileWriter(tableName: String, tag: String,
         }
       // schemaId/addedVersion are stamped at commit
       Some(FileRef(path, rows, bytes, 0, 0L, lo, hi, stats, bucket, sorted,
-        bloomPath))
+        bloomPath, fieldIds.zip(nullCounts).toMap))
     }
   def abort(): Unit = {
     if (writer != null) {

@@ -1479,6 +1479,52 @@ class FsTableSpec extends SparkSpec {
     FsStore.dropBranch("fs_mh", "stage")
     drop("fs_mh")
   }
+
+  test("fs: null-count skipping — IS NULL opens only null-bearing files, all-NULL files drop from ordinary scans via implicit IsNotNull") {
+    cat(); drop("fs_nl")
+    // 8 range-clustered files; v is NULL on the first quarter of keys
+    // (range boundaries are sampled, so the null region must span whole
+    // files with margin for at least one to be provably all-NULL)
+    (0L until 4000L).map(k => (k, if (k < 1000) None else Some(k % 17)))
+      .toDF("k", "v").repartitionByRange(8, $"k")
+      .writeTo("graft.fs_nl").create()
+    val head = FsStore.current("fs_nl")
+    val vId = FsStore.fieldId(head.schema("v"))
+    assert(head.files.size == 8 &&
+      head.files.forall(_.nullCounts.contains(vId)))
+    assert(head.files.count(f => f.nullCounts(vId) == f.rows) >= 1,
+      "at least one all-NULL file")
+    val FilesRe = """files=(\d+)/8""".r.unanchored
+    def opened(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      df.queryExecution.executedPlan.toString match {
+        case FilesRe(n) => n.toInt
+        case other => fail(s"no files=k/8 in: $other")
+      }
+    }
+    // IS NULL: only the null-bearing file(s) open
+    val qn = spark.table("graft.fs_nl").filter($"v".isNull).select("k")
+    assert(opened(qn) <= 3)
+    assert(qn.count() == 1000)
+    assert(qn.queryExecution.executedPlan.toString.contains("nullProbes=1"))
+    // IS NOT NULL: the all-NULL files are skipped
+    val qnn = spark.table("graft.fs_nl").filter($"v".isNotNull)
+    assert(opened(qnn) <= 7)
+    assert(qnn.count() == 3000)
+    // an ordinary equality pushes an IMPLICIT IsNotNull → same free skip
+    val qe = spark.table("graft.fs_nl").filter($"v" === 3L)
+    assert(opened(qe) <= 7, "implicit IsNotNull must drop the all-NULL file")
+    assert(qe.count() == (1000L until 4000L).count(_ % 17 == 3))
+    // pre-stats-era files (no counts) are never skipped on null-ness
+    import org.apache.spark.sql.catalyst.InternalRow
+    val w = new FsFileWriter("fs_nl", "legacy", head.schema)
+    w.write(InternalRow(9999L, null))
+    val legacy = w.finish().get.copy(nullCounts = Map.empty)
+    FsStore.commitAppend("fs_nl", Vector(legacy), head.schemaId)
+    assert(spark.table("graft.fs_nl").filter($"v".isNull).count() == 1001,
+      "a file without counts must always be read")
+    drop("fs_nl")
+  }
 }
 
 object FsTableSpec {
