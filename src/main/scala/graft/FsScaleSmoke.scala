@@ -231,7 +231,7 @@ object FsScaleSmoke {
     val sidecarBytes = bHead.files.flatMap(_.bloom)
       .map(p => java.nio.file.Files.size(java.nio.file.Paths.get(p))).sum
     val bDataBytes = bHead.files.map(_.bytes).sum
-    val probe = md5hex("7654321")
+    val probe = md5hex((bRows / 2).toString) // a key that exists at any scale
     val t5 = System.nanoTime()
     val (bOpened, bTotal) = filesOpened(
       spark.table("graft.fs_smokeb").filter(col("tag") === probe))

@@ -77,10 +77,11 @@ object FsMaintenance {
             FsParquet.read(f.path, lineage(f.schemaId), schema))
           val iters = raw.map(_.buffered)
           try {
-            def keyOf(r: org.apache.spark.sql.catalyst.InternalRow): Long =
+            // accessor resolved ONCE — keyOf runs per key comparison
+            val keyOf: org.apache.spark.sql.catalyst.InternalRow => Long =
               schema.fields.head.dataType match {
-                case org.apache.spark.sql.types.IntegerType => r.getInt(0).toLong
-                case _ => r.getLong(0)
+                case org.apache.spark.sql.types.IntegerType => _.getInt(0).toLong
+                case _ => _.getLong(0)
               }
             var live = iters.filter(_.hasNext)
             while (live.nonEmpty) {
@@ -148,6 +149,7 @@ object FsMaintenance {
     fields.foreach(f => require(FsStore.statKind(f.dataType).contains("long"),
       s"graft_fs($name): z-order on ${f.dataType.simpleString} column " +
         s"${f.name} unsupported (integral/timestamp/date columns only)"))
+    if (head.files.isEmpty) return (0, 0)
     // global [min, max] per column from the manifest — zero file reads
     val ranges = fields.map { f =>
       val id = FsStore.fieldId(f)
@@ -158,13 +160,22 @@ object FsMaintenance {
       (sts.map(_.min.asInstanceOf[Long]).min,
         sts.map(_.max.asInstanceOf[Long]).max)
     }
-    if (head.files.isEmpty) return (0, 0)
 
+    // a column's value in its "long" STAT-KIND space — the same units
+    // the manifest min/max were recorded in (µs for timestamps, days
+    // for dates; a bare cast would yield SECONDS for timestamps and is
+    // not even legal for dates)
+    def statSpace(f: org.apache.spark.sql.types.StructField): Column =
+      f.dataType match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(col(f.name))
+        case org.apache.spark.sql.types.DateType => unix_date(col(f.name)).cast("long")
+        case _ => col(f.name).cast("long")
+      }
     // cell coordinate per column: floor((v - min) / span * 2^16), NULLs
     // to cell 0 (they sort first — an arbitrary but stable placement)
     val cells: Seq[Column] = fields.zip(ranges).map { case (f, (mn, mx)) =>
       val span = math.max(1L, mx - mn) + 1L
-      val cell = floor((col(f.name).cast("long") - lit(mn))
+      val cell = floor((statSpace(f) - lit(mn))
         .cast("double") / lit(span.toDouble) * lit((1L << ZBits).toDouble))
         .cast("long")
       coalesce(least(cell, lit((1L << ZBits) - 1L)), lit(0L))

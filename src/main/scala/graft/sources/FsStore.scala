@@ -905,19 +905,28 @@ object FsStore {
     // branch's own vacuum never sees main files and vice versa
     val referenced: Set[String] = (name +: branchesOf(name)).iterator
       .flatMap { tbl =>
-        (oldestVersion(tbl) to currentVersion(tbl)).iterator
-          .map(versionAt(tbl, _))
-          .flatMap { v =>
-            // a referenced data file pins its bloom sidecar too
-            def paths(f: FileRef): Iterator[String] =
-              Iterator(f.path) ++ f.bloom.iterator
-            v.files.iterator.flatMap(paths) ++
-              v.masks.iterator.flatMap(_.keyFiles).flatMap(paths) ++
-              v.changes.iterator.flatMap(c =>
-                c.files.iterator.flatMap(paths) ++
-                  c.keys.iterator.flatMap(paths) ++
-                  c.masks.iterator.flatMap(_.keyFiles).flatMap(paths))
-          }
+        def refsOf: Iterator[String] =
+          (oldestVersion(tbl) to currentVersion(tbl)).iterator
+            .map(versionAt(tbl, _))
+            .flatMap { v =>
+              // a referenced data file pins its bloom sidecar too
+              def paths(f: FileRef): Iterator[String] =
+                Iterator(f.path) ++ f.bloom.iterator
+              v.files.iterator.flatMap(paths) ++
+                v.masks.iterator.flatMap(_.keyFiles).flatMap(paths) ++
+                v.changes.iterator.flatMap(c =>
+                  c.files.iterator.flatMap(paths) ++
+                    c.keys.iterator.flatMap(paths) ++
+                    c.masks.iterator.flatMap(_.keyFiles).flatMap(paths))
+            }
+        if (tbl == name) refsOf
+        else try refsOf.toVector.iterator catch {
+          // a branch dropped between the listing and this read no longer
+          // pins anything — skip it rather than failing the vacuum
+          case _: java.nio.file.NoSuchFileException |
+               _: java.io.UncheckedIOException |
+               _: IllegalArgumentException => Iterator.empty
+        }
       }.toSet
     var files = 0L
     var bytes = 0L
@@ -979,7 +988,11 @@ object FsStore {
   def branchTableName(name: String, branch: String): String = {
     require(!name.contains(WapSep),
       s"graft_fs($name): cannot branch a branch")
-    require(branch.nonEmpty && branch.forall(c => c.isLetterOrDigit || c == '_'),
+    // first char must be alphanumeric: a leading '_' would let the
+    // shadow name collide with the catalog's relation suffixes
+    // (`…__wap__files` parses as `…__wap` + `__files`)
+    require(branch.nonEmpty && branch.head.isLetterOrDigit &&
+      branch.forall(c => c.isLetterOrDigit || c == '_'),
       s"graft_fs($name): bad branch name '$branch'")
     s"$name$WapSep$branch"
   }

@@ -1289,17 +1289,23 @@ private[sources] class FsFileWriter(tableName: String, tag: String,
         else {
           val p = s"$path.bloom"
           FsBloom.writeSidecar(p, blooms)
+          sidecar = p // a later task-level abort must delete it too
           Some(p)
         }
       // schemaId/addedVersion are stamped at commit
       Some(FileRef(path, rows, bytes, 0, 0L, lo, hi, stats, bucket, sorted,
         bloomPath, fieldIds.zip(nullCounts).toMap))
     }
+  private var sidecar: String = _
   def abort(): Unit = {
     if (writer != null) {
       try writer.close() catch { case scala.util.control.NonFatal(_) => }
       new java.io.File(path).delete(): Unit
     }
+    // finish() may have already written this writer's bloom sidecar when
+    // a SIBLING writer's failure aborts the task — delete it with the
+    // data file (the driver-side abort paths pair them via deleteRef)
+    if (sidecar != null) new java.io.File(sidecar).delete(): Unit
   }
 }
 

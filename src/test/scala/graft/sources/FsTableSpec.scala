@@ -1221,6 +1221,36 @@ class FsTableSpec extends SparkSpec {
       FsMaintenance.zorder(spark, "fs_zo", Seq("x", "nope"), 4)
     }
     drop("fs_zo")
+    // TIMESTAMP columns place on the curve in µs — the manifest's stat
+    // space (a bare long cast would be SECONDS and degenerate the curve)
+    drop("fs_zt")
+    val tsGrid = (0L until 4096L).map { i =>
+      (i, new java.sql.Timestamp((i % 64L) * 1024L), (i / 64L) * 1024L)
+    }.toDF("k", "ts", "x").repartition(16)
+    tsGrid.writeTo("graft.fs_zt").create()
+    FsMaintenance.zorder(spark, "fs_zt", Seq("ts", "x"), 16)
+    val tsBox = spark.table("graft.fs_zt")
+      .filter($"ts" >= new java.sql.Timestamp(16384L) &&
+        $"ts" < new java.sql.Timestamp(32768L) &&
+        $"x" >= 16384L && $"x" < 32768L)
+    tsBox.collect()
+    val tsPlan = tsBox.queryExecution.executedPlan.toString
+    val TsFiles = """files=(\d+)/(\d+)""".r.unanchored
+    tsPlan match {
+      case TsFiles(n, t) => assert(n.toInt * 2 <= t.toInt,
+        s"µs-space z-order must localize the ts box: $tsPlan")
+      case _ => fail(s"no files=k/n in: $tsPlan")
+    }
+    assert(tsBox.count() ==
+      (0L until 4096L).count(i => (i % 64) * 1024 >= 16384 &&
+        (i % 64) * 1024 < 32768 && (i / 64) * 1024 >= 16384 &&
+        (i / 64) * 1024 < 32768))
+    drop("fs_zt")
+    // empty table: a no-op, not a crash
+    drop("fs_ze")
+    spark.sql("CREATE TABLE graft.fs_ze (a BIGINT, b BIGINT)")
+    assert(FsMaintenance.zorder(spark, "fs_ze", Seq("a", "b"), 4) == ((0, 0)))
+    drop("fs_ze")
     // masked tables refuse (the rewrite would escape the mask)
     drop("fsd_zo")
     (0L until 100L).map(k => (k, k, k)).toDF("k", "x", "y")
@@ -1300,6 +1330,9 @@ class FsTableSpec extends SparkSpec {
     intercept[IllegalStateException] { FsStore.createBranch("fs_wb", "dup") }
     FsStore.dropBranch("fs_wb", "dup")
     intercept[IllegalArgumentException] { FsStore.createBranch("fs_wb", "bad name") }
+    // a leading '_' would collide with the __files/__history/__changes
+    // relation suffixes in the catalog — refused at create
+    intercept[IllegalArgumentException] { FsStore.createBranch("fs_wb", "_files") }
     drop("fs_wb")
   }
 
