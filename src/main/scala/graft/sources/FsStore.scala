@@ -606,6 +606,26 @@ object FsStore {
           s"${versionAt(name, oldest).tsMs})"))
   }
 
+  /** Oldest RETAINED version committed AT OR AFTER `tsMs` — the Delta
+    * CDF `startingTimestamp` contract (note the direction: time TRAVEL
+    * pins the newest version ≤ t, a CHANGE FEED starts at the first
+    * version ≥ t — "give me everything since"). Same clock rules as
+    * [[versionAsOfTimestamp]]. */
+  def versionSinceTimestamp(name: String, tsMs: Long): Long = {
+    val head = current(name)
+    require(head.tsMs >= 0,
+      s"graft_fs($name): table has no commit timestamps (written without " +
+        "a commit clock) — use startingVersion, or install GraftClock " +
+        "before writing")
+    (oldestVersion(name) to head.id).iterator
+      .map(v => if (v == head.id) head else versionAt(name, v))
+      .find(v => v.tsMs >= tsMs)
+      .map(_.id)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft_fs($name): no retained version committed at or after " +
+          s"timestamp $tsMs ms (newest is ${head.tsMs})"))
+  }
+
   def create(name: String, schema: StructType, bucketN: Int = 0,
       bloomCols: Seq[String] = Nil): Unit = {
     require(schema.fields.nonEmpty, s"graft_fs($name): empty schema")

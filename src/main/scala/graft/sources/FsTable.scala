@@ -227,7 +227,18 @@ class FsScanBuilder(name: String, pinnedVersion: Option[Long], cdf: Boolean,
   import org.apache.spark.sql.sources._
   import org.apache.spark.sql.types.{IntegerType, LongType}
 
-  private val startingVersion = Option(options.get("startingVersion")).map(_.toLong)
+  /** `startingVersion` (explicit) or `startingTimestamp` (ms, resolved
+    * to the FIRST version committed at or after it — Delta's CDF
+    * contract; both set is a loud conflict). */
+  private val startingVersion = {
+    val byVer = Option(options.get("startingVersion")).map(_.toLong)
+    val byTs = Option(options.get("startingTimestamp"))
+      .map(ts => FsStore.versionSinceTimestamp(name, ts.toLong))
+    require(byVer.isEmpty || byTs.isEmpty,
+      s"graft_fs($name): startingVersion and startingTimestamp are " +
+        "mutually exclusive")
+    byVer.orElse(byTs)
+  }
   private val maxRowsPerBatch =
     Option(options.get("maxRowsPerBatch")).map(_.toLong).getOrElse(Long.MaxValue)
   private val maxBytesPerBatch =

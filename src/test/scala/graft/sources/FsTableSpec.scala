@@ -1513,6 +1513,35 @@ class FsTableSpec extends SparkSpec {
     drop("fs_mh")
   }
 
+  test("fs: CDF startingTimestamp — the feed starts at the first version committed at or after t (Delta's contract)") {
+    cat(); drop("fs_st")
+    GraftClock.set(1000L, 100L)
+    try {
+      (0L until 10L).map(k => (k, k)).toDF("k", "v").writeTo("graft.fs_st").create()
+      (10L until 20L).map(k => (k, k)).toDF("k", "v").writeTo("graft.fs_st").append()
+      (20L until 30L).map(k => (k, k)).toDF("k", "v").writeTo("graft.fs_st").append()
+      // versions 0(create,ts=1000) 1(ts=1100) 2(ts=1200) 3(ts=1300)
+      def changesSince(opts: (String, String)*): Seq[Long] = {
+        val r = opts.foldLeft(spark.read)((b, kv) => b.option(kv._1, kv._2))
+        r.table("graft.fs_st__changes").select("k")
+          .collect().map(_.getLong(0)).sorted.toSeq
+      }
+      // at-or-after 1250 → version 3 only
+      assert(changesSince("startingTimestamp" -> "1250") == (20L until 30L))
+      // exactly a commit stamp → that version included
+      assert(changesSince("startingTimestamp" -> "1200") == (10L until 30L))
+      // before history → everything retained
+      assert(changesSince("startingTimestamp" -> "1") == (0L until 30L))
+      // after the head → loud, not silently empty
+      intercept[IllegalArgumentException] { changesSince("startingTimestamp" -> "9999") }
+      // both knobs at once → loud conflict
+      intercept[IllegalArgumentException] {
+        changesSince("startingTimestamp" -> "1200", "startingVersion" -> "1")
+      }
+    } finally GraftClock.clear()
+    drop("fs_st")
+  }
+
   test("fs: null-count skipping — IS NULL opens only null-bearing files, all-NULL files drop from ordinary scans via implicit IsNotNull") {
     cat(); drop("fs_nl")
     // 8 range-clustered files; v is NULL on the first quarter of keys
