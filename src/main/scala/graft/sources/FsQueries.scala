@@ -1305,11 +1305,84 @@ object FsQueries {
            |ORDER BY rel""".stripMargin)
   )
 
+  /** q314: the CURATION PIPELINE, end to end — the shape every section
+    * of this engine exists for, in one query: raw `documents` are
+    * exact-deduped by sha-256 digest (min-doc_id survivor, the q18 rule
+    * — 32 bytes through the shuffle, never the text), quality-gated on
+    * token count, STAGED onto a WAP branch of a bloom-indexed fs table,
+    * AUDITED there (completeness, the post-dedup distinct invariant, the
+    * quality floor, and a `__history` operation-label check — while the
+    * manifest proves main saw nothing), then fast-forward PUBLISHED and
+    * served. The oracle replays the whole pipeline functionally in
+    * DuckDB (dedup by raw text ≡ by digest, same gate, same rollup), so
+    * a row lost in staging, doubled in publish, or mis-gated anywhere
+    * is a hash mismatch. At 100 TB this is the nightly corpus load:
+    * curate → stage → audit → publish, with point-lookup blooms and
+    * metadata relations on the result for free. */
+  val q314FsCurationWap = graft.QueryDef(
+    "q314_fs_curation_wap",
+    (s, d) => {
+      cat(s)
+      import org.apache.spark.sql.expressions.Window
+      val curated = graft.Tables.documents(s, d)
+        .withColumn("digest", sha2(col("text"), 256))
+        .withColumn("n_tokens",
+          size(filter(split(col("text"), " "), t => length(t) > 0)).cast(LongType))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("digest")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1 && col("n_tokens") >= 8)
+        .select(col("doc_id").cast("long").as("doc_id"), col("digest"),
+          col("lang"), col("n_tokens"))
+      s.sql("DROP TABLE IF EXISTS graft.fs_cur")
+      FsStore.branchesOf("fs_cur").foreach(b => FsStore.drop(b))
+      s.sql("""CREATE TABLE graft.fs_cur
+              |(doc_id BIGINT, digest STRING, lang STRING, n_tokens BIGINT)
+              |TBLPROPERTIES ('blooms'='digest')""".stripMargin)
+      val br = FsStore.createBranch("fs_cur", "load")
+      curated.writeTo(s"graft.$br").append()
+      // the audit, ON THE BRANCH: complete, deduped, gated — and main
+      // provably untouched (manifest rowCount, no scan)
+      val staged = s.table(s"graft.$br")
+      val audit = staged.agg(count(lit(1)).as("n"),
+        countDistinct(col("digest")).as("nd"),
+        min(col("n_tokens")).as("mt")).head()
+      require(audit.getLong(0) == audit.getLong(1),
+        "audit: staged corpus must be digest-distinct")
+      require(audit.getLong(2) >= 8, "audit: quality floor must hold")
+      require(FsStore.current("fs_cur").rowCount == 0,
+        "main must not see the load before publish")
+      require(FsStore.publishBranch("fs_cur", "load") == 1)
+      FsStore.dropBranch("fs_cur", "load")
+      val ops = s.table("graft.fs_cur__history")
+        .orderBy("version").select("operation")
+        .collect().map(_.getString(0)).toSeq
+      require(ops == Seq("create", "append"),
+        s"published history must read create→append, got $ops")
+      s.table("graft.fs_cur")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+          countDistinct(col("digest")).as("n_distinct"))
+        .orderBy("lang")
+    },
+    Some("""WITH scored AS (
+           |  SELECT doc_id, text, lang,
+           |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+           |      AS BIGINT) AS n_tokens,
+           |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           |  FROM documents),
+           |cur AS (SELECT * FROM scored WHERE rn = 1 AND n_tokens >= 8)
+           |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct
+           |FROM cur GROUP BY lang ORDER BY lang""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q289FsRoundtrip, q290FsUpdate,
     q291FsMerge, q292FsdDeltaMerge, q293FsEvolution, q294FsdCdfBatch,
     q295FsdCdfStream, q296FsTimestampTravel, q297FsFeedBytes,
     q299FsZoneSkip, q300FsColumnPrune, q301FsStreamingSink,
     q302FsWideTypes, q303FsColStats, q304FsSpjJoin, q305FsCompact,
     q306FsAggPushdown, q307FsRuntimePrune, q308FsBloomSkip, q309FsZorder,
-    q310FsWapBranch, q311FsRebucket, q312FsMetaTables, q313FsNullSkip)
+    q310FsWapBranch, q311FsRebucket, q312FsMetaTables, q313FsNullSkip,
+    q314FsCurationWap)
 }
