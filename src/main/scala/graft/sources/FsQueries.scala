@@ -1377,6 +1377,141 @@ object FsQueries {
            |FROM cur GROUP BY lang ORDER BY lang""".stripMargin)
   )
 
+  /** q315: INCREMENTAL MATERIALIZED VIEW maintenance ([[FsMatView]]) —
+    * a grouped COUNT/SUM view over a merge-on-read base table is kept
+    * current by applying only the base's CDF window since the last
+    * refresh (signed delta aggregation, Gupta–Mumick counting), with the
+    * contents swap and the applied-version mark installed in ONE
+    * manifest (exactly-once; a replayed refresh installs nothing). The
+    * in-query requires pin the contract: the refresh consumed the
+    * CHANGE rows (manifest arithmetic), not the base; a second refresh
+    * is a version-free no-op; and the view equals the full recompute of
+    * the live base — which is also what DuckDB checks. */
+  val q315FsMatViewIvm = graft.QueryDef(
+    "q315_fs_matview_ivm",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.orders(s, d).select(
+        col("o_orderkey").cast(LongType).as("k"),
+        (col("o_custkey") % 24).cast(LongType).as("grp"),
+        floor(col("o_totalprice")).cast(LongType).as("qty"))
+      s.sql("DROP TABLE IF EXISTS graft.fsd_mvb")
+      if (FsStore.exists("fs_mv")) FsStore.drop("fs_mv")
+      src.filter(col("k") % 3 =!= 0).writeTo("graft.fsd_mvb").create()
+      val seeded = FsMatView.create(s, "fs_mv", "fsd_mvb",
+        Seq("grp"), Seq("qty"))
+      require(seeded.applied && FsMatView.isFresh("fs_mv"),
+        "view must seed at the base head")
+      // base change 1: append the held-out third
+      src.filter(col("k") % 3 === 0).writeTo("graft.fsd_mvb").append()
+      // base change 2: merge-on-read UPDATE + DELETE (masks in the CDF)
+      src.filter(col("k") % 5 === 0).createOrReplaceTempView("fsmv_upd")
+      s.sql("""MERGE INTO graft.fsd_mvb t USING fsmv_upd s ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET t.qty = t.qty + 100
+              |WHEN NOT MATCHED BY SOURCE AND t.k % 7 = 1 THEN DELETE
+              |""".stripMargin)
+      val stats = FsMatView.refresh(s, "fs_mv")
+      require(stats.applied && FsMatView.isFresh("fs_mv"),
+        "refresh must reach the base head")
+      require(stats.deltaRows < FsStore.current("fsd_mvb").rowCount,
+        s"refresh must consume the change window (${stats.deltaRows} " +
+          s"rows), not the base (${FsStore.current("fsd_mvb").rowCount})")
+      val vAfter = FsStore.currentVersion("fs_mv")
+      require(!FsMatView.refresh(s, "fs_mv").applied &&
+        FsStore.currentVersion("fs_mv") == vAfter,
+        "a fresh view's refresh must install nothing")
+      val full = s.table("graft.fsd_mvb").groupBy("grp")
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+      val view = s.table("graft.fs_mv")
+      require(view.exceptAll(full).isEmpty && full.exceptAll(view).isEmpty,
+        "incrementally maintained view must equal the full recompute")
+      view.orderBy("grp")
+    },
+    Some("""WITH src AS (
+           |  SELECT o_orderkey AS k,
+           |    CAST(o_custkey % 24 AS BIGINT) AS grp,
+           |    CAST(FLOOR(o_totalprice) AS BIGINT) AS qty
+           |  FROM orders),
+           |fin AS (
+           |  SELECT grp, CASE WHEN k % 5 = 0 THEN qty + 100 ELSE qty END AS qty
+           |  FROM src WHERE NOT (k % 7 = 1 AND k % 5 <> 0))
+           |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(qty) AS BIGINT) AS sum_qty
+           |FROM fin GROUP BY grp ORDER BY grp""".stripMargin)
+  )
+
+  /** q316: MULTI-TABLE ATOMIC PUBLISH ([[FsTxn]]) — a fact table and
+    * its summary table are loaded in two transactions (prepare staged
+    * donors → one marker create flips both heads together), with a
+    * poison batch prepared and ABORTED in between. The in-query
+    * requires pin the protocol: between prepare and commit both tables
+    * still read their old snapshots; the aborted batch leaves no trace
+    * and frees its version ids; and at the end the summary table equals
+    * a fresh aggregate of the fact table — the cross-table consistency
+    * invariant atomicity exists to protect, which is also exactly what
+    * DuckDB recomputes. */
+  val q316FsTxnPublish = graft.QueryDef(
+    "q316_fs_txn_publish",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.orders(s, d).select(
+        col("o_orderkey").cast(LongType).as("k"),
+        col("o_custkey").cast(LongType).as("cust"),
+        (col("o_orderkey") % 8).cast(LongType).as("b"))
+      Seq("fs_txq_fact", "fs_txq_sum", "fs_txq_d1", "fs_txq_d2",
+        "fs_txq_d3", "fs_txq_d4", "fs_txq_bf", "fs_txq_bs")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS graft.$t"))
+      s.sql("CREATE TABLE graft.fs_txq_fact (k BIGINT, cust BIGINT, b BIGINT)")
+      s.sql("CREATE TABLE graft.fs_txq_sum (b BIGINT, n BIGINT, sum_cust BIGINT)")
+      def summarize(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("b").agg(count(lit(1)).as("n"), sum("cust").as("sum_cust"))
+      // txn 1: first batch + its summary, atomically
+      val b1 = src.filter(col("k") % 2 === 0)
+      b1.writeTo("graft.fs_txq_d1").create()
+      summarize(b1).writeTo("graft.fs_txq_d2").create()
+      val p1 = FsTxn.prepare(Seq(
+        FsTxn.TxnOp("fs_txq_fact", "fs_txq_d1"),
+        FsTxn.TxnOp("fs_txq_sum", "fs_txq_d2", replace = true)))
+      require(s.table("graft.fs_txq_fact").isEmpty &&
+        s.table("graft.fs_txq_sum").isEmpty,
+        "prepared txn must be invisible on both tables")
+      p1.commit()
+      val afterT1 = FsStore.current("fs_txq_fact").rowCount
+      require(afterT1 > 0, "txn 1 must be visible after its marker")
+      // poison batch: prepared on BOTH tables, then aborted — no reader
+      // may ever join these fact rows or this summary
+      src.filter(col("k") % 2 === 1).limit(64)
+        .withColumn("cust", col("cust") + 1000000000L)
+        .writeTo("graft.fs_txq_bf").create()
+      summarize(s.table("graft.fs_txq_bf")).writeTo("graft.fs_txq_bs").create()
+      val bad = FsTxn.prepare(Seq(
+        FsTxn.TxnOp("fs_txq_fact", "fs_txq_bf"),
+        FsTxn.TxnOp("fs_txq_sum", "fs_txq_bs", replace = true)))
+      bad.abort()
+      require(FsStore.current("fs_txq_fact").rowCount == afterT1,
+        "aborted txn must leave no trace")
+      // txn 2: the remaining rows + the refreshed summary
+      val b2 = src.filter(col("k") % 2 === 1)
+      b2.writeTo("graft.fs_txq_d3").create()
+      summarize(s.table("graft.fs_txq_fact").unionByName(b2))
+        .writeTo("graft.fs_txq_d4").create()
+      FsTxn.commitAll(Seq(
+        FsTxn.TxnOp("fs_txq_fact", "fs_txq_d3"),
+        FsTxn.TxnOp("fs_txq_sum", "fs_txq_d4", replace = true)))
+      // the invariant the atomic publish protects: summary == aggregate
+      // of the facts, at every visible moment — checked at the end
+      val fresh = summarize(s.table("graft.fs_txq_fact"))
+      val summ = s.table("graft.fs_txq_sum")
+      require(summ.exceptAll(fresh).isEmpty && fresh.exceptAll(summ).isEmpty,
+        "summary must equal the fact aggregate after atomic publishes")
+      summ.orderBy("b")
+    },
+    Some("""SELECT CAST(o_orderkey % 8 AS BIGINT) AS b,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q289FsRoundtrip, q290FsUpdate,
     q291FsMerge, q292FsdDeltaMerge, q293FsEvolution, q294FsdCdfBatch,
     q295FsdCdfStream, q296FsTimestampTravel, q297FsFeedBytes,
@@ -1384,5 +1519,5 @@ object FsQueries {
     q302FsWideTypes, q303FsColStats, q304FsSpjJoin, q305FsCompact,
     q306FsAggPushdown, q307FsRuntimePrune, q308FsBloomSkip, q309FsZorder,
     q310FsWapBranch, q311FsRebucket, q312FsMetaTables, q313FsNullSkip,
-    q314FsCurationWap)
+    q314FsCurationWap, q315FsMatViewIvm, q316FsTxnPublish)
 }

@@ -350,12 +350,17 @@ object FsStore {
     * key))` so two such tables join WITHOUT an exchange (storage-
     * partitioned join). The spec is fixed at CREATE (Iceberg's partition
     * spec, reduced to the bucket transform the graft catalog resolves). */
+  /** `txnId` (Some = this manifest was installed by a MULTI-TABLE
+    * transaction, [[FsTxn]]): the version is INVISIBLE to every reader
+    * until `_txn/<id>.committed` exists — one atomic marker create
+    * flips all participating tables' pending heads visible together. */
   final case class Version(id: Long, tsMs: Long, schemaId: Int,
       lineage: Vector[StructType], maxFieldId: Int,
       files: Vector[FileRef], masks: Vector[DeltaMask],
       changes: Vector[Change], rowCount: Long,
       epochs: Map[String, Long] = Map.empty, bucketN: Int = 0,
-      bloomIds: Vector[Int] = Vector.empty) {
+      bloomIds: Vector[Int] = Vector.empty,
+      txnId: Option[String] = None) {
     def schema: StructType = lineage(schemaId)
     def appendOnly: Boolean = changes.forall(_.op == OpInsert)
   }
@@ -483,8 +488,107 @@ object FsStore {
     n.elements().asScala.map(m =>
       DeltaMask(m.get("version").asLong, filesFrom(m.get("keyFiles")))).toVector
 
+  // ---------------------------------------- multi-table txn visibility
+
+  private def txnDir: JPath = Paths.get(root, "_txn")
+  private[sources] def txnMarker(id: String, state: String): JPath =
+    txnDir.resolve(s"$id.$state")
+  /** Committed markers are TERMINAL — cache positives forever. */
+  private val committedTxns =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def txnCommitted(id: String): Boolean =
+    committedTxns.contains(id) || {
+      val c = Files.exists(txnMarker(id, "committed"))
+      if (c) committedTxns.add(id): Unit
+      c
+    }
+  def txnAborted(id: String): Boolean = Files.exists(txnMarker(id, "aborted"))
+
+  /** Manifest-path → txn stamp, from a STREAMING PREFIX read (the stamp
+    * is the first JSON field when present; absence is decided by the
+    * first field name) — head-visibility checks never pay a full parse.
+    * Cached only for TERMINAL answers: None (a plain manifest is
+    * immutable) and committed stamps; a PENDING stamp is re-read every
+    * time because an abort deletes the file and frees its path. */
+  private val txnStampCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+  private def txnStampOf(p: JPath): Option[String] = {
+    val key = p.toString
+    val cached = txnStampCache.get(key)
+    if (cached != null) return cached
+    val in = Files.newInputStream(p)
+    val stamp =
+      try {
+        val jp = mapper.getFactory.createParser(in)
+        try {
+          jp.nextToken() // START_OBJECT
+          jp.nextToken() // first FIELD_NAME
+          if (jp.currentName() == "txn") { jp.nextToken(); Some(jp.getText) }
+          else None
+        } finally jp.close()
+      } finally in.close()
+    if (stamp.isEmpty || stamp.exists(txnCommitted))
+      txnStampCache.put(key, stamp): Unit
+    stamp
+  }
+
+  /** Is version `id` of `name` readable — plain, or its txn committed?
+    * A manifest deleted mid-check (abort cleanup racing a reader) is
+    * simply not visible. */
+  private def manifestVisible(name: String, id: Long): Boolean =
+    try txnStampOf(logDir(name).resolve(f"v$id%05d.json")).forall(txnCommitted)
+    catch { case _: java.nio.file.NoSuchFileException => false }
+
+  private[sources] def txnBegin(id: String, tables: Seq[String]): Unit = {
+    Files.createDirectories(txnDir)
+    val o = mapper.createObjectNode()
+    val arr = mapper.createArrayNode()
+    tables.foreach(arr.add(_): Unit)
+    o.set[ObjectNode]("tables", arr)
+    Files.write(txnMarker(id, "begin"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o)): Unit
+  }
+  private[sources] def txnTables(id: String): Seq[String] = {
+    val p = txnMarker(id, "begin")
+    require(Files.exists(p), s"graft_fs: unknown transaction $id")
+    mapper.readTree(Files.readAllBytes(p)).get("tables")
+      .elements().asScala.map(_.asText).toSeq
+  }
+  /** THE commit point: one atomic marker create makes every pending
+    * manifest stamped `id` visible across all participating tables. */
+  private[sources] def txnCommitMark(id: String): Unit = {
+    require(!txnAborted(id), s"graft_fs: transaction $id already aborted")
+    Files.createDirectories(txnDir)
+    Files.createFile(txnMarker(id, "committed")): Unit
+  }
+  private[sources] def txnAbortMark(id: String): Unit = {
+    require(!txnCommitted(id), s"graft_fs: transaction $id already committed")
+    Files.createDirectories(txnDir)
+    if (!Files.exists(txnMarker(id, "aborted")))
+      Files.createFile(txnMarker(id, "aborted")): Unit
+  }
+  /** Abort cleanup: delete `name`'s pending manifest stamped `id` (ids
+    * above the visible head only — a pending version is always newer). */
+  private[sources] def deletePendingManifest(name: String, id: String): Unit = {
+    val d = logDir(name)
+    if (!Files.isDirectory(d)) return
+    listNames(d).collect {
+      case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong
+    }.sorted.reverseIterator
+      .takeWhile(v => !manifestVisible(name, v))
+      .foreach { v =>
+        val p = d.resolve(f"v$v%05d.json")
+        if (txnStampOf(p).contains(id)) Files.deleteIfExists(p): Unit
+      }
+  }
+
   private def writeManifest(name: String, v: Version): Unit = {
     val o = mapper.createObjectNode()
+    // the txn stamp goes FIRST so pending-detection can stop after a few
+    // bytes of streaming parse ([[txnStampOf]]) instead of re-reading a
+    // large manifest's schema lineage and file lists
+    v.txnId.foreach(t => o.put("txn", t): Unit)
     o.put("version", v.id); o.put("tsMs", v.tsMs)
     o.put("schemaId", v.schemaId); o.put("maxFieldId", v.maxFieldId)
     o.put("rowCount", v.rowCount); o.put("bucketN", v.bucketN)
@@ -528,6 +632,23 @@ object FsStore {
       Files.deleteIfExists(tmp): Unit
     } catch { case e: java.nio.file.FileAlreadyExistsException =>
       Files.deleteIfExists(tmp)
+      // discriminate the occupant: an ordinary loser retries, but a
+      // PENDING transaction manifest holds the id until its txn resolves
+      // (retrying against it would livelock), and a crashed-abort
+      // leftover is finished here (aborted manifests are deleted, the id
+      // freed) before surfacing as an ordinary race
+      val occupant =
+        try { if (Files.exists(target)) txnStampOf(target) else None }
+        catch { case scala.util.control.NonFatal(_) => None }
+      occupant match {
+        case Some(t) if txnAborted(t) =>
+          Files.deleteIfExists(target): Unit
+        case Some(t) if !txnCommitted(t) =>
+          throw new IllegalStateException(
+            s"graft_fs($name): version ${v.id} is held by in-flight " +
+              s"transaction $t — commit or abort it first", e)
+        case _ => ()
+      }
       throw new IllegalStateException(
         s"graft_fs($name): concurrent commit of version ${v.id} — retry", e)
     }
@@ -549,13 +670,18 @@ object FsStore {
     val epochs = Option(o.get("epochs")).map { ep =>
       ep.properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
     }.getOrElse(Map.empty[String, Long])
+    val txn = Option(o.get("txn")).map(_.asText)
+    txn.foreach(t => require(txnCommitted(t),
+      s"graft_fs($name): version $id belongs to unresolved transaction " +
+        s"$t — not readable until it commits"))
     Version(o.get("version").asLong, o.get("tsMs").asLong,
       o.get("schemaId").asInt, lineage, o.get("maxFieldId").asInt,
       filesFrom(o.get("files")), masksFrom(o.get("masks")), changes,
       o.get("rowCount").asLong, epochs,
       Option(o.get("bucketN")).map(_.asInt).getOrElse(0),
       Option(o.get("bloomIds")).map(_.elements().asScala.map(_.asInt).toVector)
-        .getOrElse(Vector.empty))
+        .getOrElse(Vector.empty),
+      txn)
   }
 
   // ------------------------------------------------------------- catalog
@@ -571,7 +697,10 @@ object FsStore {
         case s if s.startsWith("v") && s.endsWith(".json") =>
           s.stripPrefix("v").stripSuffix(".json").toLong
       }
-      if (vs.isEmpty) None else Some(vs.max)
+      // the visible head: skip PENDING/ABORTED txn manifests (at most
+      // one per in-flight txn, always above the visible head — the
+      // common case costs one streaming-prefix read of the max id)
+      vs.sorted.reverseIterator.find(manifestVisible(name, _))
     }
   }
   def currentVersion(name: String): Long = currentVersionOpt(name).getOrElse(
@@ -992,6 +1121,114 @@ object FsStore {
       }
     }
     committed
+  }
+
+  /** REPLACE-ADOPT commit for incremental view maintenance (see
+    * [[FsMatView]]): atomically swap `name`'s contents for the files of
+    * DONOR table's head snapshot AND stamp the epoch high-water mark
+    * `epochKey -> epochVal` in the SAME manifest — the refresh's
+    * exactly-once point. Donor data files are HARD-LINKED into `name`'s
+    * data dir (the [[publishBranch]] discipline: dropping the donor
+    * afterwards cannot orphan adopted data). A refresh whose mark is
+    * already applied installs NOTHING and returns false (replay — e.g.
+    * two concurrent refreshes computed from the same base version; both
+    * produced identical contents, one adoption suffices). The change
+    * log records full delete+insert (truncate shape), so a DOWNSTREAM
+    * consumer can chain off the view's own CDF. */
+  /** Donor/target schema compatibility for adopt-style commits: same
+    * column names, types, and FIELD IDS in order — nullability and
+    * other metadata differences (a SQL-DDL target is all-nullable, an
+    * aggregate-written donor is not) don't affect the file mapping. */
+  private def adoptCompatible(a: StructType, b: StructType): Boolean =
+    a.length == b.length && a.fields.zip(b.fields).forall { case (x, y) =>
+      x.name == y.name && x.dataType == y.dataType && fieldId(x) == fieldId(y)
+    }
+
+  /** Hard-link a donor-table file into `name`'s data dir (idempotent;
+    * non-donor paths pass through) — the [[publishBranch]] discipline
+    * that lets the donor be dropped without orphaning adopted data. */
+  private def relinkInto(name: String, donorData: String)(p: String): String =
+    if (!p.startsWith(donorData)) p
+    else {
+      val target = dataDir(name).resolve(Paths.get(p).getFileName)
+      Files.createDirectories(dataDir(name))
+      if (!Files.exists(target)) Files.createLink(target, Paths.get(p))
+      target.toString
+    }
+
+  def adoptReplace(name: String, donor: String,
+      epochKey: String, epochVal: Long): Boolean = {
+    val d = current(donor)
+    require(d.masks.isEmpty,
+      s"graft_fs($name): adopt donor $donor carries delta masks — " +
+        "adopted files get a fresh addedVersion, which would escape them")
+    val relink = relinkInto(name, dataDir(donor).toString) _
+    val head = current(name)
+    if (epochVal <= head.epochs.getOrElse(epochKey, -1L)) return false
+    install(name) { v =>
+      require(epochVal > v.epochs.getOrElse(epochKey, -1L),
+        s"graft_fs($name): refresh to $epochKey=$epochVal raced a " +
+          "concurrent refresh that already applied it")
+      require(adoptCompatible(v.schema, d.schema),
+        s"graft_fs($name): adopt donor schema ${d.schema.simpleString} " +
+          s"does not match view schema ${v.schema.simpleString}")
+      val added = d.files.map(f => f.copy(path = relink(f.path),
+        bloom = f.bloom.map(relink), schemaId = v.schemaId,
+        addedVersion = v.id + 1))
+      val deleted =
+        if (v.rowCount == 0) Vector.empty
+        else Vector(Change(OpDelete, v.files, v.masks, Vector.empty, v.rowCount))
+      Version(v.id + 1, GraftClock.next(), v.schemaId, v.lineage, v.maxFieldId,
+        added, Vector.empty,
+        deleted ++ added.map(f =>
+          Change(OpInsert, Vector(f), Vector.empty, Vector.empty, f.rows)),
+        added.map(_.rows).sum, v.epochs + (epochKey -> epochVal),
+        v.bucketN, v.bloomIds)
+    }
+    true
+  }
+
+  /** TXN install (the prepare half of [[FsTxn]]): append — or, with
+    * `replace`, swap in — DONOR's head snapshot as a PENDING manifest
+    * stamped `txnId`. The version is invisible to every reader and
+    * BLOCKS later commits on this table (writers fail loudly against an
+    * unresolved txn head) until the txn's one commit-marker create
+    * resolves all participating tables together, or an abort deletes
+    * the manifest. Ordinary version-id races retry (append-class);
+    * donor files are hard-linked so dropping the donor is safe either
+    * way. Returns the pending version id. */
+  def installPending(name: String, donor: String, txnId: String,
+      replace: Boolean = false): Long = {
+    val d = current(donor)
+    require(d.masks.isEmpty,
+      s"graft_fs($name): txn donor $donor carries delta masks — staged " +
+        "files get a fresh addedVersion, which would escape them")
+    val relink = relinkInto(name, dataDir(donor).toString) _
+    var out = -1L
+    retryingConcurrent(name) {
+      install(name) { v =>
+        require(adoptCompatible(v.schema, d.schema),
+          s"graft_fs($name): txn donor schema ${d.schema.simpleString} " +
+            s"does not match table schema ${v.schema.simpleString}")
+        val added = d.files.map(f => f.copy(path = relink(f.path),
+          bloom = f.bloom.map(relink), schemaId = v.schemaId,
+          addedVersion = v.id + 1))
+        val deleted =
+          if (replace && v.rowCount > 0)
+            Vector(Change(OpDelete, v.files, v.masks, Vector.empty, v.rowCount))
+          else Vector.empty
+        out = v.id + 1
+        Version(v.id + 1, GraftClock.next(), v.schemaId, v.lineage,
+          v.maxFieldId,
+          if (replace) added else v.files ++ added,
+          if (replace) Vector.empty else v.masks,
+          deleted ++ added.map(f =>
+            Change(OpInsert, Vector(f), Vector.empty, Vector.empty, f.rows)),
+          (if (replace) 0L else v.rowCount) + added.map(_.rows).sum,
+          v.epochs, v.bucketN, v.bloomIds, txnId = Some(txnId))
+      }
+    }
+    out
   }
 
   // ------------------------------------------------- WAP branches (refs)

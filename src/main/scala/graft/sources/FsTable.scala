@@ -243,7 +243,21 @@ class FsScanBuilder(name: String, pinnedVersion: Option[Long], cdf: Boolean,
     Option(options.get("maxRowsPerBatch")).map(_.toLong).getOrElse(Long.MaxValue)
   private val maxBytesPerBatch =
     Option(options.get("maxBytesPerBatch")).map(_.toLong).getOrElse(Long.MaxValue)
-  private val snapVersion = pinnedVersion.getOrElse(FsStore.currentVersion(name))
+  /** `endingVersion` (CDF only — Delta's batch-CDF contract): pin the
+    * feed's upper bound so an incremental consumer reads EXACTLY
+    * (startingVersion-1, endingVersion] even while the table keeps
+    * committing — the window [[FsMatView.refresh]] stamps as applied. */
+  private val endingVersion = {
+    val e = Option(options.get("endingVersion")).map(_.toLong)
+    require(e.isEmpty || cdf,
+      s"graft_fs($name): endingVersion is a __changes read option")
+    e.foreach(v => FsStore.versionAt(name, v)) // expired/unknown → loud
+    require(e.isEmpty || pinnedVersion.forall(e.contains),
+      s"graft_fs($name): endingVersion conflicts with VERSION AS OF")
+    e
+  }
+  private val snapVersion = pinnedVersion.orElse(endingVersion)
+    .getOrElse(FsStore.currentVersion(name))
   private val ver = FsStore.versionAt(name, snapVersion)
   private val keyField = ver.schema.fields.head
   private val keyIntegral = keyField.dataType match {

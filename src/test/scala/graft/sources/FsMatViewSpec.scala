@@ -1,0 +1,127 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized view maintenance ([[FsMatView]]): signed
+  * delta aggregation over the base's CDF window, exactly-once contents
+  * swap via [[FsStore.adoptReplace]], crash/replay recovery, and the
+  * definition-time refusals that keep the algebra exact. */
+class FsMatViewSpec extends SparkSpec {
+  import graft.TestSession.spark.implicits._
+
+  private def cat(): Unit =
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  private def drop(t: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+    if (FsStore.exists(t)) FsStore.drop(t)
+  }
+
+  private def fullRecompute(base: String): DataFrame =
+    spark.table(s"graft.$base").groupBy("g")
+      .agg(count(lit(1)).as("n_rows"), sum($"v".cast("long")).as("sum_v"))
+
+  private def assertViewEquals(view: String, expected: DataFrame): Unit = {
+    val got = spark.table(s"graft.$view")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "view contents must equal the full recompute")
+  }
+
+  test("ivm: seed + append/update/delete refreshes track the base exactly, O(changes) windows") {
+    cat(); drop("fsd_ivb"); drop("fs_ivv"); drop("fs_ivv__ivm")
+    val src = (0L until 600L).map(k => (k, k % 7, k % 13)).toDF("k", "g", "v")
+    src.filter($"k" < 200L).writeTo("graft.fsd_ivb").create()
+    val seeded = FsMatView.create(spark, "fs_ivv", "fsd_ivb", Seq("g"), Seq("v"))
+    assert(seeded.applied && FsMatView.isFresh("fs_ivv"))
+    assert(FsMatView.appliedVersion("fs_ivv") == FsStore.currentVersion("fsd_ivb"))
+    assertViewEquals("fs_ivv", fullRecompute("fsd_ivb"))
+
+    // window 1: two appends before one refresh (multi-version window)
+    src.filter($"k" >= 200L && $"k" < 400L).writeTo("graft.fsd_ivb").append()
+    src.filter($"k" >= 400L).writeTo("graft.fsd_ivb").append()
+    val s1 = FsMatView.refresh(spark, "fs_ivv")
+    assert(s1.applied && s1.deltaRows == 400L,
+      s"refresh must consume exactly the window's change rows, got ${s1.deltaRows}")
+    assertViewEquals("fs_ivv", fullRecompute("fsd_ivb"))
+
+    // window 2: merge-on-read update + delete (signed pre/post images)
+    src.filter($"k" % 11 === 0L).createOrReplaceTempView("ivm_upd")
+    spark.sql("""MERGE INTO graft.fsd_ivb t USING ivm_upd s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET t.v = t.v + 1000
+                |WHEN NOT MATCHED BY SOURCE AND t.k % 17 = 3 THEN DELETE
+                |""".stripMargin)
+    val s2 = FsMatView.refresh(spark, "fs_ivv")
+    assert(s2.applied && s2.deltaRows < 600L)
+    assertViewEquals("fs_ivv", fullRecompute("fsd_ivb"))
+
+    // a group deleted to zero rows vanishes from the view
+    spark.sql("DELETE FROM graft.fsd_ivb WHERE g = 3")
+    assert(FsMatView.refresh(spark, "fs_ivv").applied)
+    assert(spark.table("graft.fs_ivv").filter($"g" === 3L).isEmpty)
+    assertViewEquals("fs_ivv", fullRecompute("fsd_ivb"))
+
+    // fresh view: refresh applies nothing, installs no version
+    val v = FsStore.currentVersion("fs_ivv")
+    assert(!FsMatView.refresh(spark, "fs_ivv").applied)
+    assert(FsStore.currentVersion("fs_ivv") == v)
+    drop("fsd_ivb"); drop("fs_ivv")
+  }
+
+  test("ivm: definition survives sessions on disk; non-integral SUM and MIN/MAX shapes are refused") {
+    cat(); drop("fs_ivb2"); drop("fs_ivv2")
+    val src = (0L until 50L).map(k => (k, k % 3, k.toDouble)).toDF("k", "g", "d")
+    src.writeTo("graft.fs_ivb2").create()
+    // double SUM refused: delta algebra exact only for integral sums
+    val e = intercept[IllegalArgumentException] {
+      FsMatView.create(spark, "fs_ivv2", "fs_ivb2", Seq("g"), Seq("d"))
+    }
+    assert(e.getMessage.contains("not integral"))
+    // integral view works and its definition round-trips from _view.json
+    FsMatView.create(spark, "fs_ivv2", "fs_ivb2", Seq("g"), Seq("k"))
+    val d = FsMatView.definitionOf("fs_ivv2")
+    assert(d == FsMatView.ViewDef("fs_ivb2", Seq("g"), Seq("k")))
+    drop("fs_ivb2"); drop("fs_ivv2")
+  }
+
+  test("ivm: crashed refresh (scratch left behind) recovers; adopt replay installs nothing") {
+    cat(); drop("fs_ivb3"); drop("fs_ivv3"); drop("fs_ivv3__ivm")
+    val src = (0L until 120L).map(k => (k, k % 5, k % 9)).toDF("k", "g", "v")
+    src.filter($"k" < 60L).writeTo("graft.fs_ivb3").create()
+    FsMatView.create(spark, "fs_ivv3", "fs_ivb3", Seq("g"), Seq("v"))
+    // simulate a refresh that died after the scratch write, before adopt:
+    // a stale scratch table with garbage contents must be dropped, not adopted
+    FsStore.create("fs_ivv3__ivm", FsStore.schemaOf("fs_ivv3"))
+    src.filter($"k" >= 60L).writeTo("graft.fs_ivb3").append()
+    val s1 = FsMatView.refresh(spark, "fs_ivv3")
+    assert(s1.applied)
+    assertViewEquals("fs_ivv3", fullRecompute("fs_ivb3"))
+    assert(!FsStore.exists("fs_ivv3__ivm"), "refresh must clean its scratch")
+    // replayed adopt (same mark) is a no-op even with a donor present
+    FsStore.create("fs_ivv3__ivm", FsStore.schemaOf("fs_ivv3"))
+    assert(!FsStore.adoptReplace("fs_ivv3", "fs_ivv3__ivm", "ivm",
+      FsMatView.appliedVersion("fs_ivv3")))
+    FsStore.drop("fs_ivv3__ivm")
+    drop("fs_ivb3"); drop("fs_ivv3")
+  }
+
+  test("ivm: endingVersion pins the CDF window against concurrent base commits") {
+    cat(); drop("fs_ivb4")
+    val src = (0L until 90L).map(k => (k, k % 4)).toDF("k", "v")
+    src.filter($"k" < 30L).writeTo("graft.fs_ivb4").create() // v0+v1
+    src.filter($"k" >= 30L && $"k" < 60L).writeTo("graft.fs_ivb4").append() // v2
+    src.filter($"k" >= 60L).writeTo("graft.fs_ivb4").append() // v3
+    val pinned = spark.read
+      .option("startingVersion", "2").option("endingVersion", "2")
+      .table("graft.fs_ivb4__changes")
+    assert(pinned.count() == 30L &&
+      pinned.agg(min("k"), max("k")).head() ==
+        spark.range(30, 60).agg(min("id"), max("id")).head())
+    // endingVersion outside the batch-CDF relation is refused
+    val e = intercept[Exception] {
+      spark.read.option("endingVersion", "2").table("graft.fs_ivb4").count()
+    }
+    assert(e.getMessage.contains("endingVersion"))
+    drop("fs_ivb4")
+  }
+}
