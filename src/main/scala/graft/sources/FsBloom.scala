@@ -86,6 +86,24 @@ object FsBloom {
     case other => throw new IllegalStateException(s"no bloom hash for kind $other")
   }
 
+  /** Pack a byte 3-GRAM into its 24-bit key — the value the write- and
+    * probe-side gram hashing must agree on. Grams are RAW UTF8 BYTES
+    * (never tokenized, never decoded), so "all grams of the needle
+    * present" is sound for Spark's byte-level contains/startsWith/
+    * endsWith/equality on any encoding, including mid-token matches —
+    * the ClickHouse `ngrambf_v1` shape. */
+  def gramKey(b0: Byte, b1: Byte, b2: Byte): Int =
+    ((b0 & 0xFF) << 16) | ((b1 & 0xFF) << 8) | (b2 & 0xFF)
+
+  /** The needle's gram keys for a probe (empty = needle under 3 bytes,
+    * no skipping licensed). */
+  def gramKeys(needle: String): Vector[Long] = {
+    val u = UTF8String.fromString(needle)
+    val n = u.numBytes
+    (0 until (n - 2)).map(i =>
+      gramKey(u.getByte(i), u.getByte(i + 1), u.getByte(i + 2)).toLong).toVector
+  }
+
   /** An empty bloom sized for `n` buffered values. */
   def sized(n: Int): FsBloom = {
     val bits = math.max(64L, java.lang.Long.highestOneBit(

@@ -56,6 +56,7 @@ object FsMaintenance {
     // the head schema, stream into one new file (zone maps/stats
     // recomputed by the writer); rows never visit the driver
     val bloomIds = head.bloomIds.toSet
+    val ngramIds = head.ngramIds.toSet
     val keyIntegral = schema.fields.head.dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType => true
@@ -64,7 +65,8 @@ object FsMaintenance {
     val added = spark.sparkContext
       .parallelize(bins.zipWithIndex, bins.size)
       .map { case (bin, i) =>
-        val w = new FsFileWriter(name, s"c$i", schema, bin.head.bucket, bloomIds)
+        val w = new FsFileWriter(name, s"c$i", schema, bin.head.bucket,
+          bloomIds, ngramIds)
         if (keyIntegral && bin.forall(_.sorted)) {
           // all inputs key-sorted → K-WAY MERGE instead of concatenation:
           // the compacted file stays sorted (the writer observes and
@@ -191,6 +193,7 @@ object FsMaintenance {
 
     val schema = head.schema
     val bloomIds = head.bloomIds.toSet
+    val ngramIds = head.ngramIds.toSet
     val ordered = spark.table(s"graft.$name")
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
       .withColumn("__z", z)
@@ -199,7 +202,7 @@ object FsMaintenance {
       .drop("__z")
     val added = ordered.queryExecution.toRdd
       .mapPartitionsWithIndex { (i, rows) =>
-        val w = new FsFileWriter(name, s"z$i", schema, -1, bloomIds)
+        val w = new FsFileWriter(name, s"z$i", schema, -1, bloomIds, ngramIds)
         rows.foreach(w.write)
         Iterator.single(w.finish())
       }
@@ -245,6 +248,7 @@ object FsMaintenance {
     }
     val schema = head.schema
     val bloomIds = head.bloomIds.toSet
+    val ngramIds = head.ngramIds.toSet
     val keyIsInt = keyField.dataType == IntegerType
     val routed =
       if (newN > 0)
@@ -274,7 +278,8 @@ object FsMaintenance {
               Math.floorMod(k, newN.toLong).toInt
             }
           byBucket.getOrElseUpdate(b,
-            new FsFileWriter(name, s"rb$i-b$b", schema, b, bloomIds)).write(r)
+            new FsFileWriter(name, s"rb$i-b$b", schema, b, bloomIds,
+              ngramIds)).write(r)
         }
         Iterator.single(byBucket.valuesIterator.flatMap(_.finish()).toVector)
       }

@@ -1512,6 +1512,65 @@ object FsQueries {
            |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
+  /** q317: N-GRAM BLOOM substring skipping (ClickHouse `ngrambf_v1`
+    * shape) — per-file blooms over the byte 3-GRAMS of a declared
+    * string column answer `contains`/`LIKE '%x%'` probes that neither
+    * zone maps (mid-string, not a prefix order) nor value blooms
+    * (equality only) can: a file skips when ANY gram of the needle is
+    * provably absent. The table clusters URIs by tenant, so the grams
+    * of "tenant17." live in one file — the in-query requires pin that
+    * the sidecar blooms skip all but the holder (modulo bloom fpp) and
+    * that the EXECUTED scan opened only the survivors. The oracle
+    * recomputes the contains() functionally. */
+  val q317FsNgramSkip = graft.QueryDef(
+    "q317_fs_ngram_skip",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.orders(s, d).select(
+        col("o_orderkey").cast(LongType).as("k"),
+        concat(lit("s3://corpus/tenant"), col("o_custkey") % 20,
+          lit(".example/"), col("o_orderkey")).as("uri"),
+        col("o_custkey").cast(LongType).as("cust"))
+        .repartition(8, col("cust") % 20) // cluster files by tenant
+      s.sql("DROP TABLE IF EXISTS graft.fs_ngx")
+      src.writeTo("graft.fs_ngx").tableProperty("ngram_blooms", "uri")
+        .create()
+      val head = FsStore.current("fs_ngx")
+      require(head.files.forall(_.bloom.isDefined),
+        "every data file must carry a gram sidecar")
+      val needle = "tenant17.example"
+      val uid = FsStore.fieldId(head.schema("uri"))
+      val grams = FsBloom.gramKeys(needle).map(FsBloom.hashLong)
+      // manifest-level proof: the gram blooms localize the tenant
+      val skippable = head.files.count { f =>
+        val b = FsBloom.readSidecar(f.bloom.get)(-(uid + 1))
+        grams.exists { case (h1, h2) => !b.mightContain(h1, h2) }
+      }
+      require(skippable >= head.files.size - 2,
+        s"gram blooms must localize the needle (only $skippable of " +
+          s"${head.files.size} files skippable)")
+      // executed-plan proof: the scan opened ONLY the unskipped files
+      val out = s.table("graft.fs_ngx")
+        .filter(col("uri").contains(needle))
+        .select("k", "uri", "cust").orderBy("k")
+      val desc = out.queryExecution.executedPlan.toString()
+      require(desc.contains("ngramProbes=1") &&
+        desc.contains(s"files=${head.files.size - skippable}/${head.files.size}"),
+        s"scan must prune on the gram probe, got: " +
+          desc.linesIterator.find(_.contains("FsScan")).getOrElse("?"))
+      out
+    },
+    Some("""WITH o AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |    's3://corpus/tenant' || CAST(o_custkey % 20 AS VARCHAR) ||
+           |      '.example/' || CAST(o_orderkey AS VARCHAR) AS uri,
+           |    CAST(o_custkey AS BIGINT) AS cust
+           |  FROM orders)
+           |SELECT k, uri, cust FROM o
+           |WHERE contains(uri, 'tenant17.example')
+           |ORDER BY k""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q289FsRoundtrip, q290FsUpdate,
     q291FsMerge, q292FsdDeltaMerge, q293FsEvolution, q294FsdCdfBatch,
     q295FsdCdfStream, q296FsTimestampTravel, q297FsFeedBytes,
@@ -1519,5 +1578,6 @@ object FsQueries {
     q302FsWideTypes, q303FsColStats, q304FsSpjJoin, q305FsCompact,
     q306FsAggPushdown, q307FsRuntimePrune, q308FsBloomSkip, q309FsZorder,
     q310FsWapBranch, q311FsRebucket, q312FsMetaTables, q313FsNullSkip,
-    q314FsCurationWap, q315FsMatViewIvm, q316FsTxnPublish)
+    q314FsCurationWap, q315FsMatViewIvm, q316FsTxnPublish,
+    q317FsNgramSkip)
 }

@@ -353,13 +353,16 @@ object FsStore {
   /** `txnId` (Some = this manifest was installed by a MULTI-TABLE
     * transaction, [[FsTxn]]): the version is INVISIBLE to every reader
     * until `_txn/<id>.committed` exists — one atomic marker create
-    * flips all participating tables' pending heads visible together. */
+    * flips all participating tables' pending heads visible together.
+    * `ngramIds`: field ids of string columns carrying a per-file byte
+    * 3-GRAM bloom (substring-predicate skipping, [[FsBloom]]). */
   final case class Version(id: Long, tsMs: Long, schemaId: Int,
       lineage: Vector[StructType], maxFieldId: Int,
       files: Vector[FileRef], masks: Vector[DeltaMask],
       changes: Vector[Change], rowCount: Long,
       epochs: Map[String, Long] = Map.empty, bucketN: Int = 0,
       bloomIds: Vector[Int] = Vector.empty,
+      ngramIds: Vector[Int] = Vector.empty,
       txnId: Option[String] = None) {
     def schema: StructType = lineage(schemaId)
     def appendOnly: Boolean = changes.forall(_.op == OpInsert)
@@ -597,6 +600,11 @@ object FsStore {
       v.bloomIds.foreach(bi.add(_): Unit)
       o.set[ObjectNode]("bloomIds", bi)
     }
+    if (v.ngramIds.nonEmpty) {
+      val ni = mapper.createArrayNode()
+      v.ngramIds.foreach(ni.add(_): Unit)
+      o.set[ObjectNode]("ngramIds", ni)
+    }
     val lin = mapper.createArrayNode()
     v.lineage.foreach(s => lin.add(s.json))
     o.set[ObjectNode]("lineage", lin)
@@ -681,6 +689,8 @@ object FsStore {
       Option(o.get("bucketN")).map(_.asInt).getOrElse(0),
       Option(o.get("bloomIds")).map(_.elements().asScala.map(_.asInt).toVector)
         .getOrElse(Vector.empty),
+      Option(o.get("ngramIds")).map(_.elements().asScala.map(_.asInt).toVector)
+        .getOrElse(Vector.empty),
       txn)
   }
 
@@ -756,7 +766,7 @@ object FsStore {
   }
 
   def create(name: String, schema: StructType, bucketN: Int = 0,
-      bloomCols: Seq[String] = Nil): Unit = {
+      bloomCols: Seq[String] = Nil, ngramCols: Seq[String] = Nil): Unit = {
     require(schema.fields.nonEmpty, s"graft_fs($name): empty schema")
     if (bucketN > 0) {
       require(schema.fields.head.dataType == LongType ||
@@ -783,11 +793,23 @@ object FsStore {
           s"$c unsupported (integral/timestamp/date/string columns only)")
       fieldId(f)
     }
+    // ngram-bloom columns (substring skipping) are STRING-only: the
+    // gram space is the column's raw UTF8 bytes, matching Spark's
+    // byte-level contains/startsWith/endsWith semantics exactly
+    val ngramIds = ngramCols.toVector.map { c =>
+      val f = withIds.fields.find(_.name == c).getOrElse(throw
+        new IllegalArgumentException(
+          s"graft_fs($name): ngram-bloom column $c is not in the schema"))
+      require(f.dataType == org.apache.spark.sql.types.StringType,
+        s"graft_fs($name): ngram index on ${f.dataType.simpleString} column " +
+          s"$c unsupported (substring predicates are a string shape)")
+      fieldId(f)
+    }
     if (exists(name)) throw new IllegalStateException(
       s"graft_fs($name): table already exists")
     writeManifest(name, Version(0L, GraftClock.next(), 0, Vector(withIds),
       withIds.length - 1, Vector.empty, Vector.empty, Vector.empty, 0L,
-      Map.empty, bucketN, bloomIds))
+      Map.empty, bucketN, bloomIds, ngramIds))
   }
 
   def drop(name: String): Unit =
@@ -886,7 +908,7 @@ object FsStore {
       Version(v.id + 1, GraftClock.next(), v.schemaId, v.lineage, v.maxFieldId,
         v.files ++ added, v.masks,
         added.map(f => Change(OpInsert, Vector(f), Vector.empty, Vector.empty, f.rows)),
-        v.rowCount + added.map(_.rows).sum, v.epochs, v.bucketN, v.bloomIds)
+        v.rowCount + added.map(_.rows).sum, v.epochs, v.bucketN, v.bloomIds, v.ngramIds)
     }
   }
 
@@ -906,7 +928,7 @@ object FsStore {
         added, Vector.empty,
         deleted ++ added.map(f =>
           Change(OpInsert, Vector(f), Vector.empty, Vector.empty, f.rows)),
-        added.map(_.rows).sum, v.epochs, v.bucketN, v.bloomIds)
+        added.map(_.rows).sum, v.epochs, v.bucketN, v.bloomIds, v.ngramIds)
     }
 
   /** MERGE-ON-READ delta commit: `delKeys`/`updKeys` become a read-side
@@ -949,7 +971,7 @@ object FsStore {
         v.files ++ updFiles ++ insFiles,
         v.masks :+ mask,
         changes,
-        v.rowCount - delN + insFiles.map(_.rows).sum, v.epochs, v.bucketN, v.bloomIds)
+        v.rowCount - delN + insFiles.map(_.rows).sum, v.epochs, v.bucketN, v.bloomIds, v.ngramIds)
     }
 
   /** COMPACTION install (the commit half of OPTIMIZE — see
@@ -1000,7 +1022,7 @@ object FsStore {
       Version(v.id + 1, GraftClock.next(), v.schemaId, v.lineage, v.maxFieldId,
         v.files.filterNot(f => rm.contains(f.path)) ++ newAdded,
         v.masks, Vector.empty, v.rowCount, v.epochs,
-        if (newBucketN >= 0) newBucketN else v.bucketN, v.bloomIds)
+        if (newBucketN >= 0) newBucketN else v.bucketN, v.bloomIds, v.ngramIds)
     }
 
   /** Snapshot EXPIRY (Iceberg's `expireSnapshots`, Delta's log
@@ -1115,7 +1137,7 @@ object FsStore {
             v.files ++ added, v.masks,
             added.map(f => Change(OpInsert, Vector(f), Vector.empty, Vector.empty, f.rows)),
             v.rowCount + added.map(_.rows).sum,
-            v.epochs + (queryId -> epochId), v.bucketN, v.bloomIds)
+            v.epochs + (queryId -> epochId), v.bucketN, v.bloomIds, v.ngramIds)
         }
         committed = true
       }
@@ -1183,7 +1205,7 @@ object FsStore {
         deleted ++ added.map(f =>
           Change(OpInsert, Vector(f), Vector.empty, Vector.empty, f.rows)),
         added.map(_.rows).sum, v.epochs + (epochKey -> epochVal),
-        v.bucketN, v.bloomIds)
+        v.bucketN, v.bloomIds, v.ngramIds)
     }
     true
   }
@@ -1225,7 +1247,7 @@ object FsStore {
           deleted ++ added.map(f =>
             Change(OpInsert, Vector(f), Vector.empty, Vector.empty, f.rows)),
           (if (replace) 0L else v.rowCount) + added.map(_.rows).sum,
-          v.epochs, v.bucketN, v.bloomIds, txnId = Some(txnId))
+          v.epochs, v.bucketN, v.bloomIds, v.ngramIds, txnId = Some(txnId))
       }
     }
     out
@@ -1353,6 +1375,6 @@ object FsStore {
         s"graft_fs($name): evolved column ${f.name} lost its field id"))
       Version(v.id + 1, GraftClock.next(), v.lineage.length,
         v.lineage :+ newSchema, newMaxFieldId,
-        v.files, v.masks, Vector.empty, v.rowCount, v.epochs, v.bucketN, v.bloomIds)
+        v.files, v.masks, Vector.empty, v.rowCount, v.epochs, v.bucketN, v.bloomIds, v.ngramIds)
     }
 }

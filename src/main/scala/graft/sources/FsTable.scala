@@ -182,7 +182,7 @@ class FsWrite(name: String, truncate: Boolean, queryId: String)
       override def createStreamingWriterFactory(
           info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
         new FsStreamingWriterFactory(name, schema, writeVer.bucketN,
-          writeVer.bloomIds.toSet)
+          writeVer.bloomIds.toSet, writeVer.ngramIds.toSet)
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
         val files = messages.iterator
           .flatMap { case FsCommitMessage(fs) => fs }.toVector
@@ -279,6 +279,10 @@ class FsScanBuilder(name: String, pinnedVersion: Option[Long], cdf: Boolean,
     * IsNotNull with most predicates, so all-NULL files drop out of
     * ordinary scans for free. */
   private val nullPreds = Vector.newBuilder[(Int, Boolean)]
+  /** Substring probes on NGRAM-indexed string columns: (field id, gram
+    * keys of one needle) per pushed predicate — a file skips when ANY
+    * gram of the needle is provably absent from its gram bloom. */
+  private val ngramPreds = Vector.newBuilder[(Int, Vector[Long])]
   /** Conjunctive windows per stat-tracked column (by FIELD ID) — feeds
     * the per-column zone-map skip alongside the first-column fast path. */
   private val bounds = scala.collection.mutable.Map[Int, FsStore.ColWindow]()
@@ -408,6 +412,33 @@ class FsScanBuilder(name: String, pinnedVersion: Option[Long], cdf: Boolean,
       }
       val nullAccepted = filters.filter(nullProbe)
       accepted = (accepted ++ nullAccepted).distinct
+      // substring probes on DECLARED ngram-index columns (the
+      // ClickHouse ngrambf_v1 shape): contains/startsWith/endsWith/
+      // equality all imply "needle is a byte-substring of the value",
+      // so EVERY byte 3-gram of the needle must appear somewhere in a
+      // matching file — one provably-absent gram skips it, soundly even
+      // for mid-token matches. Needles under 3 bytes license nothing.
+      val ngramCols: Map[String, Int] = ver.schema.fields.iterator.collect {
+        case f if f.dataType == org.apache.spark.sql.types.StringType &&
+            ver.ngramIds.contains(FsStore.fieldId(f)) =>
+          f.name -> FsStore.fieldId(f)
+      }.toMap
+      def gramProbe(a: String, v: String): Boolean =
+        v != null && ngramCols.contains(a) && {
+          val gs = FsBloom.gramKeys(v)
+          gs.nonEmpty && { ngramPreds += ((ngramCols(a), gs)); true }
+        }
+      def ngramProbe(f: Filter): Boolean = f match {
+        case StringContains(a, v) => gramProbe(a, v)
+        case StringStartsWith(a, v) => gramProbe(a, v)
+        case StringEndsWith(a, v) => gramProbe(a, v)
+        case EqualTo(a, v: String) => gramProbe(a, v)
+        case And(l, r) =>
+          val x = ngramProbe(l); val y = ngramProbe(r); x || y
+        case _ => false
+      }
+      val ngramAccepted = filters.filter(ngramProbe)
+      accepted = (accepted ++ ngramAccepted).distinct
     }
     filters // all residual: skipping is file-granular, rows re-filtered
   }
@@ -483,7 +514,8 @@ class FsScanBuilder(name: String, pinnedVersion: Option[Long], cdf: Boolean,
     case None => new FsScan(name, cdf, snapVersion, ver,
       required, lo, hi, bounds.toMap, startingVersion, maxRowsPerBatch,
       maxBytesPerBatch, allowRuntime = allowPushdown,
-      bloomPreds = bloomPreds.result(), nullPreds = nullPreds.result())
+      bloomPreds = bloomPreds.result(), nullPreds = nullPreds.result(),
+      ngramPreds = ngramPreds.result())
   }
 }
 
@@ -519,7 +551,8 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
     startingVersion: Option[Long], maxRowsPerBatch: Long,
     maxBytesPerBatch: Long, allowRuntime: Boolean = true,
     bloomPreds: Vector[(Int, String, Vector[Any])] = Vector.empty,
-    nullPreds: Vector[(Int, Boolean)] = Vector.empty)
+    nullPreds: Vector[(Int, Boolean)] = Vector.empty,
+    ngramPreds: Vector[(Int, Vector[Long])] = Vector.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering
     with SupportsReportOrdering {
@@ -616,6 +649,24 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
           probes.forall { case (h1, h2) => !b.mightContain(h1, h2) })
       }
     }
+  /** Gram probes of the pushed substring needles (sidecar key space is
+    * `-(fieldId+1)` — see the writer's NgramTracker). */
+  private val ngramProbes: Vector[(Int, Vector[(Long, Long)])] =
+    ngramPreds.map { case (id, gs) =>
+      -(id + 1) -> gs.map(FsBloom.hashLong)
+    }
+  /** A matching row contains the needle, hence every one of its byte
+    * 3-grams — so ONE gram provably absent from the file's gram bloom
+    * proves no row of the file can match that pushed predicate. Files
+    * without a gram bloom (all-NULL column, pre-index era) never skip. */
+  private def ngramPruned(f: FileRef): Boolean =
+    ngramProbes.nonEmpty && f.bloom.exists { p =>
+      val blooms = bloomCache.getOrElseUpdate(p, FsBloom.readSidecar(p))
+      ngramProbes.exists { case (id, grams) =>
+        blooms.get(id).exists(b =>
+          grams.exists { case (h1, h2) => !b.mightContain(h1, h2) })
+      }
+    }
   /** A pushed null-ness conjunct the per-file counts refute: 0 NULLs
     * proves no IS NULL row, all-NULL proves no IS NOT NULL row. Files
     * without counts (pre-stats era) are never skipped on it. */
@@ -630,7 +681,8 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
   private def survivors: Vector[FileRef] =
     ver.files.filterNot(f =>
       bucketPruned(f) || f.disjointFrom(lo, hi) || statDisjoint(f) ||
-        nullPruned(f) || runtimePruned(f) || bloomPruned(f))
+        nullPruned(f) || runtimePruned(f) || bloomPruned(f) ||
+        ngramPruned(f))
   /** The bucketed layout is reportable when every surviving file knows
     * its bucket (always true for tables created with a spec). */
   private def bucketedLayout: Boolean =
@@ -660,13 +712,16 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
     val colB = if (colBounds.isEmpty) "" else s", colBounds=${colBounds.size}"
     val bl = if (bloomPreds.isEmpty) "" else s", bloomProbes=${bloomPreds.size}"
     val nl = if (nullPreds.isEmpty) "" else s", nullProbes=${nullPreds.size}"
+    val ng = if (ngramPreds.isEmpty) ""
+      else s", ngramProbes=${ngramPreds.size}"
     val rt = runtimeKeys.map(ks => s", runtime=${ks.length} keys").getOrElse("")
     val files =
-      if (keyB.isEmpty && colB.isEmpty && rt.isEmpty && bl.isEmpty && nl.isEmpty) ""
+      if (keyB.isEmpty && colB.isEmpty && rt.isEmpty && bl.isEmpty &&
+        nl.isEmpty && ng.isEmpty) ""
       else s", files=${survivors.size}/${ver.files.size}"
     val pruned = required.map(r => s", pruned=${r.fieldNames.mkString(",")}")
       .getOrElse("")
-    s"FsScan[$name,v=$snapVersion${if (cdf) ",cdf" else ""}$keyB$colB$bl$nl$rt$files$pruned]"
+    s"FsScan[$name,v=$snapVersion${if (cdf) ",cdf" else ""}$keyB$colB$bl$nl$ng$rt$files$pruned]"
   }
 
   /** Manifest-sourced statistics (the q283 contract), zone-map-aware:
@@ -1149,7 +1204,8 @@ case class FsDeltaCommitMessage(delKeys: Option[FileRef],
   * returns the manifest entry; abort deletes the file — the two-phase
   * contract with FILES as the currency. */
 private[sources] class FsFileWriter(tableName: String, tag: String,
-    schema: StructType, bucket: Int = -1, bloomIds: Set[Int] = Set.empty) {
+    schema: StructType, bucket: Int = -1, bloomIds: Set[Int] = Set.empty,
+    ngramIds: Set[Int] = Set.empty) {
   import org.apache.spark.sql.types._
   private var path: String = _
   private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
@@ -1222,6 +1278,48 @@ private[sources] class FsFileWriter(tableName: String, tag: String,
         Some(fieldId -> bloom)
       }
   }
+  /** Collects the DISTINCT byte 3-grams of one ngram-indexed string
+    * column into a 2^24-bit set (2 MB, exact — no hash-dedup
+    * unsoundness), hashed into a bloom sized from the true cardinality
+    * at [[finish]]. Memory is CONSTANT in file size, so unlike the
+    * value-buffering [[BloomTracker]] there is no overflow cap — a
+    * 100 TB text scan's every file gets its gram index. */
+  private final class NgramTracker(val fieldId: Int, col: Int) {
+    private val seen = new java.util.BitSet(1 << 24)
+    def update(r: InternalRow): Unit = {
+      val s = r.getUTF8String(col)
+      val n = s.numBytes
+      var i = 0
+      while (i + 2 < n) {
+        seen.set(FsBloom.gramKey(s.getByte(i), s.getByte(i + 1), s.getByte(i + 2)))
+        i += 1
+      }
+    }
+    /** Sidecar key is the NEGATIVE id space: `-(fieldId+1)` — gram
+      * blooms share the sidecar file with value blooms collision-free. */
+    def result: Option[(Int, FsBloom)] = {
+      val n = seen.cardinality()
+      if (n == 0) None
+      else {
+        val bloom = FsBloom.sized(n)
+        var g = seen.nextSetBit(0)
+        while (g >= 0) {
+          val (h1, h2) = FsBloom.hashLong(g.toLong)
+          bloom.put(h1, h2)
+          g = seen.nextSetBit(g + 1)
+        }
+        Some(-(fieldId + 1) -> bloom)
+      }
+    }
+  }
+  private val ngramTrackers: Array[(Int, NgramTracker)] =
+    schema.fields.zipWithIndex.flatMap { case (f, i) =>
+      val id = FsStore.fieldId(f)
+      if (ngramIds.contains(id) && f.dataType == StringType)
+        Some((i, new NgramTracker(id, i)))
+      else None
+    }
+
   // bloom trackers for the table's DECLARED index columns (by field id,
   // so the index follows renames) — values hash in stat-kind space, the
   // same normalization the scan's probe values get
@@ -1294,6 +1392,12 @@ private[sources] class FsFileWriter(tableName: String, tag: String,
       if (!r.isNullAt(i)) tr.update(r)
       b += 1
     }
+    var g = 0
+    while (g < ngramTrackers.length) {
+      val (i, tr) = ngramTrackers(g)
+      if (!r.isNullAt(i)) tr.update(r)
+      g += 1
+    }
     rows += 1
   }
   def finish(): Option[FileRef] =
@@ -1308,7 +1412,8 @@ private[sources] class FsFileWriter(tableName: String, tag: String,
       val sorted = keyGetter.isDefined && sawKey && keysSorted
       // bloom SIDECAR next to the data file (Iceberg-puffin shape): the
       // manifest carries only its path — the version log stays O(files)
-      val blooms = bloomTrackers.iterator.flatMap(_._2.result).toSeq
+      val blooms = bloomTrackers.iterator.flatMap(_._2.result).toSeq ++
+        ngramTrackers.iterator.flatMap(_._2.result)
       val bloomPath =
         if (blooms.isEmpty) None
         else {
@@ -1341,7 +1446,8 @@ class FsBatchWrite(name: String, truncate: Boolean) extends BatchWrite {
   private val writeVer = FsStore.current(name)
   private val schema = writeVer.schema
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new FsWriterFactory(name, schema, writeVer.bucketN, writeVer.bloomIds.toSet)
+    new FsWriterFactory(name, schema, writeVer.bucketN,
+      writeVer.bloomIds.toSet, writeVer.ngramIds.toSet)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.iterator
       .flatMap { case FsCommitMessage(fs) => fs }.toVector
@@ -1366,7 +1472,7 @@ class FsBatchWrite(name: String, truncate: Boolean) extends BatchWrite {
   * rows (the MemWriter contract — see `ReplaceDataExec.writingTask`);
   * the writer dispatches on arity and strips the marker. */
 class FsWriterFactory(name: String, schema: StructType, bucketN: Int = 0,
-    bloomIds: Set[Int] = Set.empty)
+    bloomIds: Set[Int] = Set.empty, ngramIds: Set[Int] = Set.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -1381,7 +1487,8 @@ class FsWriterFactory(name: String, schema: StructType, bucketN: Int = 0,
         scala.collection.mutable.Map[Int, FsFileWriter]()
       private def writerFor(b: Int): FsFileWriter =
         byBucket.getOrElseUpdate(b,
-          new FsFileWriter(name, s"d$partitionId-b$b", schema, b, bloomIds))
+          new FsFileWriter(name, s"d$partitionId-b$b", schema, b, bloomIds,
+            ngramIds))
       private def route(row: InternalRow): Unit =
         if (bucketN <= 0) writerFor(-1).write(row)
         else {
@@ -1406,11 +1513,12 @@ class FsWriterFactory(name: String, schema: StructType, bucketN: Int = 0,
 /** Streaming adapter: same file-writing task writer, epoch handed by
   * Spark (serializable top-level class — the task ships it). */
 class FsStreamingWriterFactory(name: String, schema: StructType,
-    bucketN: Int = 0, bloomIds: Set[Int] = Set.empty)
+    bucketN: Int = 0, bloomIds: Set[Int] = Set.empty,
+    ngramIds: Set[Int] = Set.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new FsWriterFactory(name, schema, bucketN, bloomIds)
+    new FsWriterFactory(name, schema, bucketN, bloomIds, ngramIds)
       .createWriter(partitionId, taskId)
 }
 
@@ -1421,7 +1529,8 @@ class FsDeltaBatchWrite(name: String) extends DeltaBatchWrite {
   private val writeVer = FsStore.current(name) // pinned write-time schema
   private val schema = writeVer.schema
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    new FsDeltaWriterFactory(name, schema, writeVer.bloomIds.toSet)
+    new FsDeltaWriterFactory(name, schema, writeVer.bloomIds.toSet,
+      writeVer.ngramIds.toSet)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val ms = messages.iterator.map(_.asInstanceOf[FsDeltaCommitMessage]).toVector
     FsStore.commitDelta(name,
@@ -1436,7 +1545,7 @@ class FsDeltaBatchWrite(name: String) extends DeltaBatchWrite {
 }
 
 class FsDeltaWriterFactory(name: String, schema: StructType,
-    bloomIds: Set[Int] = Set.empty)
+    bloomIds: Set[Int] = Set.empty, ngramIds: Set[Int] = Set.empty)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
@@ -1446,9 +1555,9 @@ class FsDeltaWriterFactory(name: String, schema: StructType,
       private val dels = new FsFileWriter(name, s"k$partitionId", idSchema)
       private val updKs = new FsFileWriter(name, s"uk$partitionId", idSchema)
       private val updRs = new FsFileWriter(name, s"u$partitionId", schema,
-        bloomIds = bloomIds)
+        bloomIds = bloomIds, ngramIds = ngramIds)
       private val ins = new FsFileWriter(name, s"i$partitionId", schema,
-        bloomIds = bloomIds)
+        bloomIds = bloomIds, ngramIds = ngramIds)
       override def delete(meta: InternalRow, id: InternalRow): Unit =
         dels.write(id)
       override def update(meta: InternalRow, id: InternalRow,

@@ -188,7 +188,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
         // file skipping on scattered columns zone maps can't prune
         val bloomCols = Option(properties.get("blooms")).toSeq
           .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-        FsStore.create(m, schema, bucketN, bloomCols)
+        // TBLPROPERTIES ('ngram_blooms'='text') declares per-file byte
+        // 3-GRAM blooms on string columns — substring-predicate
+        // (contains/LIKE '%x%'/prefix/suffix) file skipping, the
+        // ClickHouse ngrambf_v1 shape value blooms can't answer
+        val ngramCols = Option(properties.get("ngram_blooms")).toSeq
+          .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        FsStore.create(m, schema, bucketN, bloomCols, ngramCols)
         new FsTable(m, delta = m.startsWith("fsd_"))
       case other =>
         throw new UnsupportedOperationException(
