@@ -307,6 +307,102 @@ object FsScaleSmoke {
       f"$zPostSecs%.2f s (${zPreSecs / zPostSecs}%.1fx); rewrite $zRewriteSecs%.1f s")
     spark.sql("DROP TABLE graft.fs_smokez")
 
+    // ---- incremental view maintenance: refresh must cost O(changes) ----
+    // Three windows, three honest numbers. A/B machinery is identical
+    // (same aggregate shape, same distributed write, same atomic
+    // commit), so the gaps measure exactly the read/write difference:
+    //  A. 2% APPEND window touching all groups → replace refresh reads
+    //     the window, full recompute reads the base: refresh must win.
+    //  B. small append into FEW groups → auto picks the merge-on-read
+    //     DELTA path: only changed groups written.
+    //  C. 1% MoR UPDATE window → the CDF reconstructs pre-images by
+    //     scanning prior files for the keys, so the read is O(touched
+    //     files), not O(changes) — recorded as its own metric, the
+    //     documented trade for zero commit-time change files.
+    import graft.sources.{FsMatView, FsStore => FStore}
+    val vRows = math.min(rows / 8, 7000000L)
+    spark.sql("DROP TABLE IF EXISTS graft.fsd_smokev")
+    Seq("fs_smokev", "fs_smokev2").foreach(t =>
+      if (FStore.exists(t)) FStore.drop(t))
+    spark.sql("CREATE TABLE graft.fsd_smokev (k BIGINT, g BIGINT, v BIGINT)")
+    spark.range(0, vRows, 1, 16)
+      .selectExpr("id AS k", "id % 100000 AS g", "id % 97 AS v")
+      .writeTo("graft.fsd_smokev").append()
+    FsMatView.create(spark, "fs_smokev", "fsd_smokev", Seq("g"), Seq("v"))
+    touchHeap()
+    // window A: 2% append across all groups
+    spark.range(vRows, vRows + vRows / 50, 1, 4)
+      .selectExpr("id AS k", "id % 100000 AS g", "id % 97 AS v")
+      .writeTo("graft.fsd_smokev").append()
+    val tvA = System.nanoTime()
+    val stA = FsMatView.refresh(spark, "fs_smokev")
+    val refreshASecs = (System.nanoTime() - tvA) / 1e9
+    touchHeap()
+    val tvF = System.nanoTime()
+    FsMatView.create(spark, "fs_smokev2", "fsd_smokev", Seq("g"), Seq("v"))
+    val fullSecs = (System.nanoTime() - tvF) / 1e9
+    val va = spark.table("graft.fs_smokev")
+    val vb = spark.table("graft.fs_smokev2")
+    require(va.exceptAll(vb).isEmpty && vb.exceptAll(va).isEmpty,
+      "incremental refresh must equal the full recompute at scale")
+    FStore.drop("fs_smokev2")
+    require(stA.applied && stA.deltaRows == vRows / 50,
+      s"refresh A must consume only the change window (${stA.deltaRows})")
+    require(refreshASecs < fullSecs,
+      f"O(changes) append refresh ($refreshASecs%.2f s) must beat the " +
+        f"O(base) recompute ($fullSecs%.2f s)")
+    // window B: small append into 50 groups → auto delta
+    spark.range(0, vRows / 200, 1, 4)
+      .selectExpr(s"id + ${2 * vRows} AS k", "id % 50 AS g", "id % 97 AS v")
+      .writeTo("graft.fsd_smokev").append()
+    val tvB = System.nanoTime()
+    val stB = FsMatView.refresh(spark, "fs_smokev")
+    val refreshBSecs = (System.nanoTime() - tvB) / 1e9
+    touchHeap()
+    require(stB.applied && stB.incremental,
+      "a few-group window must take the merge-on-read delta path")
+    require(FStore.current("fs_smokev").masks.size == 1,
+      "delta refresh lands as one mask")
+    // window C: 1% MoR update — pre-image reconstruction cost, recorded
+    spark.range(0, vRows / 100, 1, 4)
+      .selectExpr("id * 97 AS k", "(id * 31) % 97 AS nv")
+      .createOrReplaceTempView("fsv_smoke_upd")
+    spark.sql("""MERGE INTO graft.fsd_smokev t USING fsv_smoke_upd s
+                |ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET t.v = s.nv""".stripMargin)
+    val tvC = System.nanoTime()
+    val stC = FsMatView.refresh(spark, "fs_smokev")
+    val refreshCSecs = (System.nanoTime() - tvC) / 1e9
+    touchHeap()
+    require(stC.applied, "update window must refresh")
+    // final equivalence across all three windows + a compaction pass
+    FsMatView.compact(spark, "fs_smokev")
+    require(FStore.current("fs_smokev").masks.isEmpty)
+    FsMatView.create(spark, "fs_smokev2", "fsd_smokev", Seq("g"), Seq("v"))
+    val vc = spark.table("graft.fs_smokev")
+    val vd = spark.table("graft.fs_smokev2")
+    require(vc.exceptAll(vd).isEmpty && vd.exceptAll(vc).isEmpty,
+      "view must track the base through append/delta/update windows")
+    report ++= Seq(
+      "fsv_rows" -> vRows,
+      "fsv_groups" -> FStore.current("fs_smokev").rowCount,
+      "fsv_append_change_rows" -> stA.deltaRows,
+      "fsv_append_refresh_secs" -> refreshASecs,
+      "fsv_full_secs" -> fullSecs,
+      "fsv_full_over_refresh" -> (fullSecs / refreshASecs),
+      "fsv_delta_change_rows" -> stB.deltaRows,
+      "fsv_delta_refresh_secs" -> refreshBSecs,
+      "fsv_upd_change_rows" -> stC.deltaRows,
+      "fsv_upd_refresh_secs" -> refreshCSecs)
+    println(f"[fs-smoke] ivm over $vRows rows: append window " +
+      f"(${stA.deltaRows} rows) refresh $refreshASecs%.2f s vs full " +
+      f"recompute $fullSecs%.2f s (${fullSecs / refreshASecs}%.1fx); " +
+      f"few-group delta refresh $refreshBSecs%.2f s; 1%% update window " +
+      f"$refreshCSecs%.2f s (pre-image reconstruction, the no-change-" +
+      f"files trade)")
+    spark.sql("DROP TABLE graft.fsd_smokev")
+    Seq("fs_smokev", "fs_smokev2").foreach(FStore.drop)
+
     // merge fsc_* keys into SCALE_SMOKE.json (the main smoke owns the rest)
     val path = java.nio.file.Paths.get("SCALE_SMOKE.json")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

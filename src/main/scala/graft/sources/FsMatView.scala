@@ -83,13 +83,20 @@ object FsMatView {
 
   /** What one refresh did: the pinned window, the change rows it
     * consumed (from MANIFEST arithmetic, not a count job), and the
-    * groups written. `applied=false` = nothing to do or replay. */
+    * groups written. `applied=false` = nothing to do or replay;
+    * `incremental=true` = merge-on-read delta commit (only changed
+    * groups written) rather than a full contents swap. */
   final case class RefreshStats(fromVersion: Long, toVersion: Long,
-      deltaRows: Long, viewRows: Long, applied: Boolean)
+      deltaRows: Long, viewRows: Long, applied: Boolean,
+      incremental: Boolean = false)
 
   private def viewSchema(base: String, groupCols: Seq[String],
       sumCols: Seq[String]): StructType = {
     val bs = FsStore.schemaOf(base)
+    val outNames = "n_rows" +: sumCols.map(c => s"sum_$c")
+    require(groupCols.intersect(outNames).isEmpty,
+      s"graft_fs($base): group columns ${groupCols.mkString(",")} collide " +
+        s"with the view's maintained columns ${outNames.mkString(",")}")
     def field(c: String): StructField = bs.fields.find(_.name == c)
       .getOrElse(throw new IllegalArgumentException(
         s"graft_fs($base): no column $c for the view definition"))
@@ -138,8 +145,18 @@ object FsMatView {
       deltaRows = FsStore.versionAt(base, pinned).rowCount)
   }
 
-  /** Apply every base change committed since the last refresh. */
-  def refresh(spark: SparkSession, view: String): RefreshStats = {
+  /** Apply every base change committed since the last refresh.
+    *
+    * `mode`: `"replace"` swaps the FULL view contents atomically
+    * (O(view) write; also the mask compactor — the swap clears
+    * accumulated delta masks); `"delta"` commits only the CHANGED
+    * groups as a merge-on-read delta (O(changed groups) write — what
+    * keeps a chain of views O(changes) end-to-end), available for
+    * single-group-column views (delta masks key on the first column);
+    * `"auto"` (default) picks delta when the change window is small
+    * against the view and the view can take it. */
+  def refresh(spark: SparkSession, view: String,
+      mode: String = "auto"): RefreshStats = {
     val d = definitionOf(view)
     val last = appliedVersion(view)
     val head = FsStore.currentVersion(d.base)
@@ -161,27 +178,121 @@ object FsMatView {
       .agg(sum(sign).as("n_rows"),
         d.sumCols.map(c =>
           sum(sign * col(c).cast(LongType)).as(s"sum_$c")): _*)
-    val (nAgg, sumAggs) = aggColumns(d.sumCols)
-    val merged = spark.table(s"graft.$view")
-      .unionByName(delta)
-      .groupBy(d.groupCols.map(col): _*)
-      .agg(nAgg, sumAggs: _*)
-      .filter(col("n_rows") > 0L)
-    val stats = swapContents(spark, view, merged, schema, head)
+    val viewRows = FsStore.current(view).rowCount
+    val useDelta = mode match {
+      case "delta" =>
+        require(d.groupCols.size == 1,
+          s"graft_fs($view): delta refresh needs a single group column " +
+            "(masks key on the first column); use replace")
+        true
+      case "replace" => false
+      case "auto" =>
+        d.groupCols.size == 1 && deltaRows < math.max(64L, viewRows / 2)
+      case other => throw new IllegalArgumentException(
+        s"graft_fs($view): unknown refresh mode '$other'")
+    }
+    val stats =
+      if (useDelta) deltaContents(spark, view, d, delta, schema, head)
+      else {
+        val (nAgg, sumAggs) = aggColumns(d.sumCols)
+        val merged = spark.table(s"graft.$view")
+          .unionByName(delta)
+          .groupBy(d.groupCols.map(col): _*)
+          .agg(nAgg, sumAggs: _*)
+          .filter(col("n_rows") > 0L)
+        swapContents(spark, view, merged, schema, head)
+      }
     stats.copy(fromVersion = last, deltaRows = deltaRows)
+  }
+
+  /** MERGE-ON-READ refresh: classify the delta against the current view
+    * (insert / update / group-died-delete), write ONLY those groups as
+    * key + data files in one distributed pass (the
+    * [[FsDeltaWriterFactory]] file shapes), and install them with the
+    * high-water mark in one [[FsStore.commitDeltaWithEpoch]] manifest.
+    * Write cost is O(changed groups); unchanged view files are never
+    * rewritten. Masks accumulate one per refresh — a periodic
+    * `mode="replace"` refresh is the compactor that clears them. */
+  private def deltaContents(spark: SparkSession, view: String,
+      d: ViewDef, delta: DataFrame, schema: StructType,
+      baseVersion: Long): RefreshStats = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+    import org.apache.spark.sql.types.IntegerType
+    val g = d.groupCols.head
+    require(delta.filter(col(g).isNull).isEmpty,
+      s"graft_fs($view): delta refresh cannot mask a NULL group key — " +
+        "use mode=replace for windows touching the NULL group")
+    val sums = d.sumCols.map(c => s"sum_$c")
+    val cur = spark.table(s"graft.$view")
+    val dren = delta.select(col(g).as("__g") +:
+      ("n_rows" +: sums).map(c => col(c).as(s"__d_$c")): _*)
+    val joined = dren.join(cur, dren("__g") === cur(g), "left")
+    val newNExpr = coalesce(col("n_rows"), lit(0L)) + col("__d_n_rows")
+    val newN = newNExpr.as("n_rows")
+    val newSums = d.sumCols.map(c =>
+      (coalesce(col(s"sum_$c"), lit(0L)) + col(s"__d_sum_$c")).as(s"sum_$c"))
+    // 0 = group died (delete), 1 = update, 2 = new group (insert)
+    val op = when(col("n_rows").isNotNull && newNExpr === 0L, lit(0))
+      .when(col("n_rows").isNotNull, lit(1)).otherwise(lit(2))
+    val out = joined
+      .select((op.as("__op") +: col("__g").as(g) +: newN +: newSums): _*)
+      .filter(!(col("__op") === 2 && col("n_rows") === 0L))
+    val viewHead = FsStore.current(view)
+    val fields = schema.fields
+    val refs = out.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+      val keySchema = StructType(Array(fields.head))
+      val dels = new FsFileWriter(view, s"vk$pid", keySchema)
+      val updKs = new FsFileWriter(view, s"vuk$pid", keySchema)
+      val updRs = new FsFileWriter(view, s"vu$pid", StructType(fields))
+      val ins = new FsFileWriter(view, s"vi$pid", StructType(fields))
+      val dataProj = UnsafeProjection.create(
+        fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+          BoundReference(i + 1, f.dataType, f.nullable)
+        })
+      val keyProj = UnsafeProjection.create(IndexedSeq(
+        BoundReference(1, fields.head.dataType, fields.head.nullable)))
+      rows.foreach { r =>
+        r.getInt(0) match {
+          case 0 => dels.write(keyProj(r))
+          case 1 => updKs.write(keyProj(r)); updRs.write(dataProj(r))
+          case _ => ins.write(dataProj(r))
+        }
+      }
+      Iterator((dels.finish(), updKs.finish(), updRs.finish(), ins.finish()))
+    }.collect()
+    val delKeys = refs.flatMap(_._1).toVector
+    val updKeys = refs.flatMap(_._2).toVector
+    val updRows = refs.flatMap(_._3).toVector
+    val inserts = refs.flatMap(_._4).toVector
+    val applied = FsStore.commitDeltaWithEpoch(view, delKeys, updKeys,
+      updRows, inserts, viewHead.schemaId, EpochKey, baseVersion)
+    if (!applied) // replayed mark: the just-written files are orphans
+      (delKeys ++ updKeys ++ updRows ++ inserts).foreach(FsStore.deleteRef)
+    RefreshStats(baseVersion, baseVersion, 0L,
+      FsStore.current(view).rowCount, applied, incremental = true)
+  }
+
+  /** Compact a view that accumulated delta-refresh masks: swap in the
+    * current contents as clean files (adoptReplace clears masks) at the
+    * SAME high-water mark — a non-logical rewrite, like OPTIMIZE. */
+  def compact(spark: SparkSession, view: String): Unit = {
+    val hwm = appliedVersion(view)
+    swapContents(spark, view, spark.table(s"graft.$view"),
+      FsStore.schemaOf(view), hwm, allowSame = true): Unit
   }
 
   /** Distributed write of `contents` to a scratch fs table, then the
     * atomic [[FsStore.adoptReplace]] swap-with-mark onto the view. */
   private def swapContents(spark: SparkSession, view: String,
       contents: DataFrame, schema: StructType,
-      baseVersion: Long): RefreshStats = {
+      baseVersion: Long, allowSame: Boolean = false): RefreshStats = {
     val scratch = s"${view}__ivm"
     if (FsStore.exists(scratch)) FsStore.drop(scratch) // crashed refresh
     FsStore.create(scratch, schema)
     contents.select(schema.fieldNames.map(col).toIndexedSeq: _*)
       .writeTo(s"graft.$scratch").append()
-    val applied = FsStore.adoptReplace(view, scratch, EpochKey, baseVersion)
+    val applied = FsStore.adoptReplace(view, scratch, EpochKey, baseVersion,
+      allowSame)
     FsStore.drop(scratch)
     RefreshStats(baseVersion, baseVersion, 0L,
       FsStore.current(view).rowCount, applied)

@@ -1571,6 +1571,72 @@ object FsQueries {
            |ORDER BY k""".stripMargin)
   )
 
+  /** q318: MERGE-ON-READ view refresh ([[FsMatView]] delta mode) — the
+    * refinement that keeps refresh WRITE cost O(changed groups): the
+    * classified delta (insert / update / group-died-delete) lands as
+    * key + data files with the high-water mark in one
+    * [[FsStore.commitDeltaWithEpoch]] manifest, so unchanged view files
+    * are never rewritten and a DOWNSTREAM consumer of the view's own
+    * CDF sees proper per-group images. The in-query requires pin the
+    * mechanics: both refreshes are incremental (masks accumulate, one
+    * per refresh), a fully-deleted group vanishes, and the view
+    * compactor clears the masks without changing contents. DuckDB
+    * recomputes the final state functionally. */
+  val q318FsMatViewDelta = graft.QueryDef(
+    "q318_fs_matview_delta",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.part(s, d).select(
+        col("p_partkey").cast(LongType).as("k"),
+        (col("p_partkey") % 500).cast(LongType).as("grp"),
+        floor(col("p_retailprice")).cast(LongType).as("qty"))
+      s.sql("DROP TABLE IF EXISTS graft.fsd_dvb")
+      if (FsStore.exists("fs_dv")) FsStore.drop("fs_dv")
+      src.filter(col("k") % 97 =!= 0).writeTo("graft.fsd_dvb").create()
+      FsMatView.create(s, "fs_dv", "fsd_dvb", Seq("grp"), Seq("qty"))
+      // window 1: a small append — touches few of the 500 groups
+      src.filter(col("k") % 97 === 0).writeTo("graft.fsd_dvb").append()
+      val s1 = FsMatView.refresh(s, "fs_dv", mode = "delta")
+      require(s1.applied && s1.incremental,
+        "small window must refresh as a merge-on-read delta")
+      require(FsStore.current("fs_dv").masks.size == 1,
+        "delta refresh must land as ONE mask, not a rewrite")
+      // window 2: update one residue class, kill group 7 entirely
+      src.filter(col("k") % 4 === 0).createOrReplaceTempView("fsdv_upd")
+      s.sql("""MERGE INTO graft.fsd_dvb t USING fsdv_upd s ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET t.qty = t.qty + 500
+              |""".stripMargin)
+      s.sql("DELETE FROM graft.fsd_dvb WHERE grp = 7")
+      val s2 = FsMatView.refresh(s, "fs_dv", mode = "delta")
+      require(s2.applied && s2.incremental && FsMatView.isFresh("fs_dv"))
+      require(s.table("graft.fs_dv").filter(col("grp") === 7L).isEmpty,
+        "a group deleted to zero rows must vanish from the view")
+      val full = s.table("graft.fsd_dvb").groupBy("grp")
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+      val view = s.table("graft.fs_dv")
+      require(view.exceptAll(full).isEmpty && full.exceptAll(view).isEmpty,
+        "delta-refreshed view must equal the full recompute")
+      // the compactor: same contents, masks gone, one new version
+      FsMatView.compact(s, "fs_dv")
+      require(FsStore.current("fs_dv").masks.isEmpty,
+        "compaction must clear accumulated masks")
+      val view2 = s.table("graft.fs_dv")
+      require(view2.exceptAll(full).isEmpty && full.exceptAll(view2).isEmpty,
+        "compaction must not change contents")
+      view2.orderBy("grp")
+    },
+    Some("""WITH src AS (
+           |  SELECT p_partkey AS k, CAST(p_partkey % 500 AS BIGINT) AS grp,
+           |    CAST(FLOOR(p_retailprice) AS BIGINT) AS qty
+           |  FROM part),
+           |fin AS (
+           |  SELECT grp, CASE WHEN k % 4 = 0 THEN qty + 500 ELSE qty END AS qty
+           |  FROM src WHERE grp <> 7)
+           |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(qty) AS BIGINT) AS sum_qty
+           |FROM fin GROUP BY grp ORDER BY grp""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q289FsRoundtrip, q290FsUpdate,
     q291FsMerge, q292FsdDeltaMerge, q293FsEvolution, q294FsdCdfBatch,
     q295FsdCdfStream, q296FsTimestampTravel, q297FsFeedBytes,
@@ -1579,5 +1645,5 @@ object FsQueries {
     q306FsAggPushdown, q307FsRuntimePrune, q308FsBloomSkip, q309FsZorder,
     q310FsWapBranch, q311FsRebucket, q312FsMetaTables, q313FsNullSkip,
     q314FsCurationWap, q315FsMatViewIvm, q316FsTxnPublish,
-    q317FsNgramSkip)
+    q317FsNgramSkip, q318FsMatViewDelta)
 }

@@ -948,31 +948,59 @@ object FsStore {
       inserts: Vector[FileRef], writeSchemaId: Int): Unit =
     install(name) { v =>
       requireSchemaUnchanged(name, v, writeSchemaId)
-      val nextId = v.id + 1
-      val delN = delKeys.map(_.rows).sum
-      val updN = updKeys.map(_.rows).sum
-      require(updN == updRows.map(_.rows).sum,
-        s"graft_fs($name): delta commit update keys ($updN) and update " +
-          s"rows (${updRows.map(_.rows).sum}) disagree")
-      val at = (f: FileRef) => f.copy(schemaId = v.schemaId, addedVersion = nextId)
-      val updFiles = updRows.map(at)
-      val insFiles = inserts.map(at)
-      val mask = DeltaMask(nextId, (delKeys ++ updKeys).map(at))
-      val changes =
-        (if (delN > 0)
-          Vector(Change(OpDelete, v.files, v.masks, delKeys.map(at), delN))
-        else Vector.empty) ++
-        (if (updN > 0)
-          Vector(Change(OpUpdatePre, v.files, v.masks, updKeys.map(at), updN),
-            Change(OpUpdatePost, updFiles, Vector.empty, Vector.empty, updN))
-        else Vector.empty) ++
-        insFiles.map(f => Change(OpInsert, Vector(f), Vector.empty, Vector.empty, f.rows))
-      Version(nextId, GraftClock.next(), v.schemaId, v.lineage, v.maxFieldId,
-        v.files ++ updFiles ++ insFiles,
-        v.masks :+ mask,
-        changes,
-        v.rowCount - delN + insFiles.map(_.rows).sum, v.epochs, v.bucketN, v.bloomIds, v.ngramIds)
+      deltaNext(name, v, delKeys, updKeys, updRows, inserts, None)
     }
+
+  /** [[commitDelta]] with an epoch high-water mark stamped in the SAME
+    * manifest — the exactly-once merge-on-read refresh commit
+    * ([[FsMatView]]'s delta mode). Returns false (installs nothing) on
+    * a replayed mark; the caller deletes its just-written files. */
+  def commitDeltaWithEpoch(name: String, delKeys: Vector[FileRef],
+      updKeys: Vector[FileRef], updRows: Vector[FileRef],
+      inserts: Vector[FileRef], writeSchemaId: Int,
+      epochKey: String, epochVal: Long): Boolean = {
+    val head = current(name)
+    if (epochVal <= head.epochs.getOrElse(epochKey, -1L)) return false
+    install(name) { v =>
+      require(epochVal > v.epochs.getOrElse(epochKey, -1L),
+        s"graft_fs($name): delta refresh to $epochKey=$epochVal raced a " +
+          "concurrent refresh that already applied it")
+      requireSchemaUnchanged(name, v, writeSchemaId)
+      deltaNext(name, v, delKeys, updKeys, updRows, inserts,
+        Some(epochKey -> epochVal))
+    }
+    true
+  }
+
+  private def deltaNext(name: String, v: Version, delKeys: Vector[FileRef],
+      updKeys: Vector[FileRef], updRows: Vector[FileRef],
+      inserts: Vector[FileRef], epoch: Option[(String, Long)]): Version = {
+    val nextId = v.id + 1
+    val delN = delKeys.map(_.rows).sum
+    val updN = updKeys.map(_.rows).sum
+    require(updN == updRows.map(_.rows).sum,
+      s"graft_fs($name): delta commit update keys ($updN) and update " +
+        s"rows (${updRows.map(_.rows).sum}) disagree")
+    val at = (f: FileRef) => f.copy(schemaId = v.schemaId, addedVersion = nextId)
+    val updFiles = updRows.map(at)
+    val insFiles = inserts.map(at)
+    val maskFiles = (delKeys ++ updKeys).map(at)
+    val changes =
+      (if (delN > 0)
+        Vector(Change(OpDelete, v.files, v.masks, delKeys.map(at), delN))
+      else Vector.empty) ++
+      (if (updN > 0)
+        Vector(Change(OpUpdatePre, v.files, v.masks, updKeys.map(at), updN),
+          Change(OpUpdatePost, updFiles, Vector.empty, Vector.empty, updN))
+      else Vector.empty) ++
+      insFiles.map(f => Change(OpInsert, Vector(f), Vector.empty, Vector.empty, f.rows))
+    Version(nextId, GraftClock.next(), v.schemaId, v.lineage, v.maxFieldId,
+      v.files ++ updFiles ++ insFiles,
+      if (maskFiles.isEmpty) v.masks else v.masks :+ DeltaMask(nextId, maskFiles),
+      changes,
+      v.rowCount - delN + insFiles.map(_.rows).sum,
+      epoch.fold(v.epochs)(v.epochs + _), v.bucketN, v.bloomIds, v.ngramIds)
+  }
 
   /** COMPACTION install (the commit half of OPTIMIZE — see
     * [[FsMaintenance.compact]]): swap `removed` small files for `added`
@@ -1178,17 +1206,22 @@ object FsStore {
       target.toString
     }
 
+  /** `allowSame`: accept a swap at the CURRENT mark — the view
+    * compactor's non-logical rewrite (same contents, mask-free files). */
   def adoptReplace(name: String, donor: String,
-      epochKey: String, epochVal: Long): Boolean = {
+      epochKey: String, epochVal: Long,
+      allowSame: Boolean = false): Boolean = {
     val d = current(donor)
     require(d.masks.isEmpty,
       s"graft_fs($name): adopt donor $donor carries delta masks — " +
         "adopted files get a fresh addedVersion, which would escape them")
     val relink = relinkInto(name, dataDir(donor).toString) _
     val head = current(name)
-    if (epochVal <= head.epochs.getOrElse(epochKey, -1L)) return false
+    val floor = head.epochs.getOrElse(epochKey, -1L)
+    if (epochVal < floor || (!allowSame && epochVal == floor)) return false
     install(name) { v =>
-      require(epochVal > v.epochs.getOrElse(epochKey, -1L),
+      require(epochVal > v.epochs.getOrElse(epochKey, -1L) ||
+        (allowSame && epochVal == v.epochs.getOrElse(epochKey, -1L)),
         s"graft_fs($name): refresh to $epochKey=$epochVal raced a " +
           "concurrent refresh that already applied it")
       require(adoptCompatible(v.schema, d.schema),

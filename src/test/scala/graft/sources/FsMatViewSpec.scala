@@ -93,7 +93,7 @@ class FsMatViewSpec extends SparkSpec {
     // a stale scratch table with garbage contents must be dropped, not adopted
     FsStore.create("fs_ivv3__ivm", FsStore.schemaOf("fs_ivv3"))
     src.filter($"k" >= 60L).writeTo("graft.fs_ivb3").append()
-    val s1 = FsMatView.refresh(spark, "fs_ivv3")
+    val s1 = FsMatView.refresh(spark, "fs_ivv3", mode = "replace")
     assert(s1.applied)
     assertViewEquals("fs_ivv3", fullRecompute("fs_ivb3"))
     assert(!FsStore.exists("fs_ivv3__ivm"), "refresh must clean its scratch")
@@ -103,6 +103,81 @@ class FsMatViewSpec extends SparkSpec {
       FsMatView.appliedVersion("fs_ivv3")))
     FsStore.drop("fs_ivv3__ivm")
     drop("fs_ivb3"); drop("fs_ivv3")
+  }
+
+  test("ivm delta mode: O(changed groups) writes, repeated masks, death, NULL-group refusal, auto policy") {
+    cat(); drop("fsd_ivd"); drop("fs_ivd")
+    val src = (0L until 1000L).map(k => (k, k % 200, k % 11)).toDF("k", "g", "v")
+    src.writeTo("graft.fsd_ivd").create()
+    FsMatView.create(spark, "fs_ivd", "fsd_ivd", Seq("g"), Seq("v"))
+    val filesBefore = FsStore.current("fs_ivd").files.toSet
+    // small window: 10 rows → ≤10 of 200 groups; auto picks delta
+    (1000L until 1010L).map(k => (k, k % 200, k % 11)).toDF("k", "g", "v")
+      .writeTo("graft.fsd_ivd").append()
+    val s1 = FsMatView.refresh(spark, "fs_ivd")
+    assert(s1.applied && s1.incremental, "auto must pick delta for a small window")
+    val head1 = FsStore.current("fs_ivd")
+    assert(head1.masks.size == 1)
+    // the original view files survived UNREWRITTEN — O(changed groups)
+    assert(filesBefore.subsetOf(head1.files.toSet),
+      "delta refresh must not rewrite unchanged view files")
+    assertViewEquals("fs_ivd", fullRecompute("fsd_ivd"))
+    // second window: kill group 3 → masked delete; masks accumulate
+    spark.sql("DELETE FROM graft.fsd_ivd WHERE g = 3")
+    val s2 = FsMatView.refresh(spark, "fs_ivd", mode = "delta")
+    assert(s2.applied && s2.incremental)
+    assert(FsStore.current("fs_ivd").masks.size == 2)
+    assert(spark.table("graft.fs_ivd").filter($"g" === 3L).isEmpty)
+    assertViewEquals("fs_ivd", fullRecompute("fsd_ivd"))
+    // compactor: masks cleared, contents identical
+    FsMatView.compact(spark, "fs_ivd")
+    assert(FsStore.current("fs_ivd").masks.isEmpty)
+    assertViewEquals("fs_ivd", fullRecompute("fsd_ivd"))
+    // a LARGE window flips auto back to replace
+    (2000L until 3200L).map(k => (k, k % 200, k % 11)).toDF("k", "g", "v")
+      .writeTo("graft.fsd_ivd").append()
+    val s3 = FsMatView.refresh(spark, "fs_ivd")
+    assert(s3.applied && !s3.incremental, "auto must pick replace for a bulk window")
+    assertViewEquals("fs_ivd", fullRecompute("fsd_ivd"))
+    drop("fsd_ivd"); drop("fs_ivd")
+    // NULL group keys: delta mode refuses loudly (masks key the first col)
+    drop("fsd_ivn"); drop("fs_ivn")
+    Seq((1L, Option(2L), 5L), (2L, Option.empty[Long], 6L))
+      .toDF("k", "g", "v").writeTo("graft.fsd_ivn").create()
+    FsMatView.create(spark, "fs_ivn", "fsd_ivn", Seq("g"), Seq("v"))
+    Seq((3L, Option.empty[Long], 7L)).toDF("k", "g", "v")
+      .writeTo("graft.fsd_ivn").append()
+    val e = intercept[IllegalArgumentException] {
+      FsMatView.refresh(spark, "fs_ivn", mode = "delta")
+    }
+    assert(e.getMessage.contains("NULL group"))
+    // replace handles the NULL group fine
+    assert(FsMatView.refresh(spark, "fs_ivn", mode = "replace").applied)
+    val nullGroup = spark.table("graft.fs_ivn").filter($"g".isNull).head()
+    assert(nullGroup.getLong(1) == 2L && nullGroup.getLong(2) == 13L)
+    drop("fsd_ivn"); drop("fs_ivn")
+  }
+
+  test("ivm chaining: a view over a view stays incremental through the upstream view's CDF") {
+    cat(); drop("fsd_ivc"); drop("fs_ivc1"); drop("fs_ivc2")
+    val src = (0L until 400L).map(k => (k, k % 40, 1L)).toDF("k", "g", "v")
+    src.writeTo("graft.fsd_ivc").create()
+    // v1: per-group counts; v2 over v1: how many groups have each size
+    // (grouping v2 by v1's sum_v — v=1 per row, so sum_v IS the size)
+    FsMatView.create(spark, "fs_ivc1", "fsd_ivc", Seq("g"), Seq("v"))
+    FsMatView.create(spark, "fs_ivc2", "fs_ivc1", Seq("sum_v"), Seq("n_rows"))
+    // upstream change: 5 rows into group 0 → v1 group 0 moves 10→15
+    (400L until 405L).map(k => (k, 0L, 1L)).toDF("k", "g", "v")
+      .writeTo("graft.fsd_ivc").append()
+    val u1 = FsMatView.refresh(spark, "fs_ivc1", mode = "delta")
+    assert(u1.applied && u1.incremental)
+    val u2 = FsMatView.refresh(spark, "fs_ivc2")
+    assert(u2.applied)
+    val v2 = spark.table("graft.fs_ivc2").orderBy("sum_v").collect()
+    // 39 groups of size 10, one group of size 15
+    assert(v2.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((10L, 39L), (15L, 1L)))
+    drop("fsd_ivc"); drop("fs_ivc1"); drop("fs_ivc2")
   }
 
   test("ivm: endingVersion pins the CDF window against concurrent base commits") {
