@@ -1637,6 +1637,51 @@ object FsQueries {
            |FROM fin GROUP BY grp ORDER BY grp""".stripMargin)
   )
 
+  /** q319: BINARY payload columns in the fs warehouse — the multimodal
+    * lake shape: opaque image/audio bytes ride next to typed metadata,
+    * the payload column itself carries no stats or indexes (nothing to
+    * skip on), while the columns AROUND it still zone-map/bloom/prune,
+    * and the plain snapshot scan stays on the VECTORIZED path
+    * (plan-asserted ColumnarToRow). Fidelity is byte-exact: the oracle
+    * aggregates byte lengths and distinct payloads that only match if
+    * every byte round-tripped through parquet binary. */
+  val q319FsBinaryPayload = graft.QueryDef(
+    "q319_fs_binary_payload",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.documents(s, d).select(
+        col("doc_id").cast(LongType).as("doc_id"),
+        col("lang"),
+        col("text").cast("binary").as("payload"))
+      s.sql("DROP TABLE IF EXISTS graft.fs_bin")
+      src.writeTo("graft.fs_bin").create()
+      val head = FsStore.current("fs_bin")
+      // the payload column records no zone map (opaque bytes), the
+      // doc_id column does — skipping survives around the payload
+      val pid = FsStore.fieldId(head.schema("payload"))
+      val did = FsStore.fieldId(head.schema("doc_id"))
+      require(head.files.forall(f =>
+        !f.stats.contains(pid) && f.stats.contains(did)),
+        "binary stays stat-free; neighboring columns keep their stats")
+      def agg = s.table("graft.fs_bin")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("payload"))).as("sum_bytes"),
+          countDistinct(col("payload")).as("n_distinct"))
+        .orderBy("lang")
+      val probe = agg
+      probe.collect() // AQE finalizes only after execution
+      require(probe.queryExecution.executedPlan.toString()
+        .contains("ColumnarToRow"),
+        "binary snapshot scans must stay on the vectorized path")
+      agg
+    },
+    Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+           |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q289FsRoundtrip, q290FsUpdate,
     q291FsMerge, q292FsdDeltaMerge, q293FsEvolution, q294FsdCdfBatch,
     q295FsdCdfStream, q296FsTimestampTravel, q297FsFeedBytes,
@@ -1645,5 +1690,5 @@ object FsQueries {
     q306FsAggPushdown, q307FsRuntimePrune, q308FsBloomSkip, q309FsZorder,
     q310FsWapBranch, q311FsRebucket, q312FsMetaTables, q313FsNullSkip,
     q314FsCurationWap, q315FsMatViewIvm, q316FsTxnPublish,
-    q317FsNgramSkip, q318FsMatViewDelta)
+    q317FsNgramSkip, q318FsMatViewDelta, q319FsBinaryPayload)
 }

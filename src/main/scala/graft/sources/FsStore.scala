@@ -56,13 +56,15 @@ object FsParquet {
   /** The column types the fs table admits (checked at CREATE): the
     * atomics [[MemFilterEval]] evaluates PLUS the warehouse staples a
     * money+event-time table needs — DECIMAL (any supported precision),
-    * TIMESTAMP (µs), DATE, and one-level ARRAYs of those atomics
-    * (embeddings, tag lists). Nested structs/maps stay a loud refusal:
-    * field-id evolution and zone maps are only defined here for flat
-    * columns. */
+    * TIMESTAMP (µs), DATE, BINARY (the multimodal payload column a
+    * training-data lake stores images/audio in — opaque: no stats, no
+    * indexes, only the columns AROUND it skip), and one-level ARRAYs of
+    * the numeric/string/boolean atomics (embeddings, tag lists). Nested
+    * structs/maps stay a loud refusal: field-id evolution and zone maps
+    * are only defined here for flat columns. */
   def supportedType(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType | StringType |
-         BooleanType | TimestampType | DateType => true
+         BooleanType | TimestampType | DateType | BinaryType => true
     case _: DecimalType => true
     case ArrayType(et, _) => et match {
       case LongType | IntegerType | DoubleType | FloatType | StringType |
@@ -175,6 +177,7 @@ object FsParquet {
             case (BooleanType, BooleanType) => g => g.getBoolean(i, 0)
             case (StringType, StringType) =>
               g => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+            case (BinaryType, BinaryType) => g => g.getBinary(i, 0).getBytes
             // TIMESTAMP(µs) / DATE: parquet INT64 / INT32, same units as
             // InternalRow's internal representation — value as-is
             case (TimestampType, TimestampType) => g => g.getLong(i, 0)
@@ -776,7 +779,8 @@ object FsStore {
     }
     schema.fields.foreach(f => require(FsParquet.supportedType(f.dataType),
       s"graft_fs($name): unsupported column type ${f.dataType.simpleString} " +
-        s"for ${f.name} (fs tables admit long/int/double/float/string/boolean)"))
+        s"for ${f.name} (fs tables admit the flat atomics incl. decimal/" +
+        "timestamp/date/binary and one-level arrays; structs/maps refuse)"))
     val withIds = StructType(schema.fields.zipWithIndex.map { case (f, i) =>
       withFieldId(f, i)
     })

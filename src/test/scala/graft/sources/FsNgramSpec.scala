@@ -71,6 +71,37 @@ class FsNgramSpec extends SparkSpec {
     drop("fs_ng3")
   }
 
+  test("binary columns: arbitrary bytes round-trip exactly through write, update, and compaction") {
+    cat(); drop("fs_byt")
+    // bytes no string can hold: NULs, high bit, invalid UTF8 sequences
+    val rows = (0 until 64).map { i =>
+      (i.toLong, Array[Byte](0, -1, i.toByte, -128, (i * 7).toByte))
+    }
+    rows.toDF("k", "b").repartition(4).writeTo("graft.fs_byt").create()
+    val back = spark.table("graft.fs_byt").orderBy("k").collect()
+    assert(back.length == 64 && back.forall { r =>
+      java.util.Arrays.equals(r.getAs[Array[Byte]](1),
+        rows(r.getLong(0).toInt)._2)
+    }, "every byte must survive the parquet round-trip")
+    // the vectorized path serves binary (plain snapshot scan)
+    val q = spark.table("graft.fs_byt").groupBy()
+      .agg(sum(length($"b")).as("s"))
+    assert(q.collect().head.getLong(0) == 64L * 5)
+    assert(q.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    // CoW UPDATE rewrites binary rows through the task writer
+    spark.sql("UPDATE graft.fs_byt SET b = CAST('xy' AS BINARY) WHERE k % 8 = 1")
+    val upd = spark.table("graft.fs_byt").filter($"k" === 9L).head()
+    assert(new String(upd.getAs[Array[Byte]](1), "UTF-8") == "xy")
+    val untouched = spark.table("graft.fs_byt").filter($"k" === 4L).head()
+    assert(java.util.Arrays.equals(untouched.getAs[Array[Byte]](1), rows(4)._2))
+    // compaction carries binary through the row reader + writer
+    FsMaintenance.compact(spark, "fs_byt", targetBytes = 1L << 26): Unit
+    val post = spark.table("graft.fs_byt").orderBy("k").collect()
+    assert(post.length == 64 && java.util.Arrays.equals(
+      post(4).getAs[Array[Byte]](1), rows(4)._2))
+    drop("fs_byt")
+  }
+
   test("ngram: compaction rewrites preserve the gram index; declarations refuse non-strings") {
     val nFiles = mkTable("fs_ng4")
     val (before, after, rewritten) =
