@@ -320,19 +320,22 @@ object FsScaleSmoke {
     //     files), not O(changes) — recorded as its own metric, the
     //     documented trade for zero commit-time change files.
     import graft.sources.{FsMatView, FsStore => FStore}
-    val vRows = math.min(rows / 8, 7000000L)
+    // sized so the BASE SCAN dominates the recompute (the regime IVM
+    // exists for): 28M base rows vs a 50k-group view — at parity-sized
+    // bases the shared view-write cost masks the read-side difference
+    val vRows = math.min(rows / 2, 28000000L)
     spark.sql("DROP TABLE IF EXISTS graft.fsd_smokev")
     Seq("fs_smokev", "fs_smokev2").foreach(t =>
       if (FStore.exists(t)) FStore.drop(t))
     spark.sql("CREATE TABLE graft.fsd_smokev (k BIGINT, g BIGINT, v BIGINT)")
     spark.range(0, vRows, 1, 16)
-      .selectExpr("id AS k", "id % 100000 AS g", "id % 97 AS v")
+      .selectExpr("id AS k", "id % 50000 AS g", "id % 97 AS v")
       .writeTo("graft.fsd_smokev").append()
     FsMatView.create(spark, "fs_smokev", "fsd_smokev", Seq("g"), Seq("v"))
     touchHeap()
     // window A: 2% append across all groups
     spark.range(vRows, vRows + vRows / 50, 1, 4)
-      .selectExpr("id AS k", "id % 100000 AS g", "id % 97 AS v")
+      .selectExpr("id AS k", "id % 50000 AS g", "id % 97 AS v")
       .writeTo("graft.fsd_smokev").append()
     val tvA = System.nanoTime()
     val stA = FsMatView.refresh(spark, "fs_smokev")

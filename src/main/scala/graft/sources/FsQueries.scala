@@ -1682,6 +1682,97 @@ object FsQueries {
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
   )
 
+  /** q320: CLONE + RESTORE — the remaining lifecycle verbs a lakehouse
+    * user reaches for weekly. CLONE makes an independent table sharing
+    * the source's data BYTES (manifests copied, files hard-linked —
+    * unlike Delta's shallow clone a source VACUUM cannot break it;
+    * storage sharing is asserted via link counts). RESTORE rolls a
+    * botched load back as a NEW logical commit (delete-current +
+    * insert-restored in the change log), so an INCREMENTAL VIEW
+    * refreshed across the rollback stays exact — asserted in-query by
+    * riding a [[FsMatView]] through botch → restore. The oracle
+    * recomputes both final tables (restored prod ≡ the clean load,
+    * experiment clone ≡ clean + the experiment) from customer. */
+  val q320FsCloneRestore = graft.QueryDef(
+    "q320_fs_clone_restore",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.customer(s, d).select(
+        col("c_custkey").cast(LongType).as("k"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") * 100 + 0.5).cast(LongType).as("bal"))
+      Seq("fs_prod", "fs_exp").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS graft.$t")
+        if (FsStore.exists(t)) FsStore.drop(t)
+      }
+      if (FsStore.exists("fs_pv")) FsStore.drop("fs_pv")
+      src.writeTo("graft.fs_prod").create()
+      val vGood = FsStore.currentVersion("fs_prod")
+      // a view rides along — it must survive the rollback exactly
+      FsMatView.create(s, "fs_pv", "fs_prod", Seq("seg"), Seq("bal"))
+      // clone for the experiment: zero data copied, bytes shared
+      FsStore.cloneTable("fs_prod", "fs_exp")
+      val shared = FsStore.current("fs_exp").files.head.path
+      val links = java.nio.file.Files.getAttribute(
+        java.nio.file.Paths.get(shared), "unix:nlink")
+        .asInstanceOf[Number].longValue
+      require(links >= 2, s"clone must hard-link data files (nlink=$links)")
+      s.sql("UPDATE graft.fs_exp SET bal = bal + 1000 WHERE k % 3 = 0")
+      require(FsStore.currentVersion("fs_prod") == vGood,
+        "the experiment must not touch prod")
+      // the botched load: poison rows land on prod
+      src.limit(64).withColumn("k", col("k") + 1000000L)
+        .withColumn("bal", lit(-999999L))
+        .writeTo("graft.fs_prod").append()
+      require(!FsMatView.isFresh("fs_pv"))
+      FsMatView.refresh(s, "fs_pv") // the view ingests the poison…
+      val vRestore = FsStore.restore("fs_prod", vGood)
+      require(FsStore.current("fs_prod").rowCount ==
+        FsStore.versionAt("fs_prod", vGood).rowCount,
+        "restore must bring back the clean snapshot")
+      // …and the rollback's LOGICAL change log heals it incrementally
+      val healed = FsMatView.refresh(s, "fs_pv")
+      require(healed.applied && FsMatView.isFresh("fs_pv"))
+      val fullV = s.table("graft.fs_prod").groupBy("seg")
+        .agg(count(lit(1)).as("n_rows"), sum(col("bal")).as("sum_bal"))
+      val view = s.table("graft.fs_pv")
+      require(view.exceptAll(fullV).isEmpty && fullV.exceptAll(view).isEmpty,
+        "a view refreshed across RESTORE must equal the recompute")
+      // the restore reads as ordinary CDF: one delete + one insert wave
+      val wave = s.read.option("startingVersion", vRestore.toString)
+        .table("graft.fs_prod__changes")
+        .groupBy(col("_change_type").as("op")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(wave.contains("delete") && wave.contains("insert"),
+        s"restore must log delete+insert, got $wave")
+      def sideAgg(t: String, tag: String) = s.table(s"graft.$t")
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_rows"), sum(col("bal")).as("sum_bal"))
+        .withColumn("side", lit(tag))
+      sideAgg("fs_prod", "prod").unionByName(sideAgg("fs_exp", "exp"))
+        .select("side", "seg", "n_rows", "sum_bal")
+        .orderBy("side", "seg")
+    },
+    Some("""WITH src AS (
+           |  SELECT c_custkey AS k, c_mktsegment AS seg,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+           |  FROM customer),
+           |prod AS (
+           |  SELECT 'prod' AS side, seg,
+           |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |    CAST(SUM(bal) AS BIGINT) AS sum_bal
+           |  FROM src GROUP BY seg),
+           |exp AS (
+           |  SELECT 'exp' AS side, seg,
+           |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |    CAST(SUM(CASE WHEN k % 3 = 0 THEN bal + 1000 ELSE bal END)
+           |      AS BIGINT) AS sum_bal
+           |  FROM src GROUP BY seg)
+           |SELECT side, seg, n_rows, sum_bal
+           |FROM (SELECT * FROM prod UNION ALL SELECT * FROM exp)
+           |ORDER BY side, seg""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q289FsRoundtrip, q290FsUpdate,
     q291FsMerge, q292FsdDeltaMerge, q293FsEvolution, q294FsdCdfBatch,
     q295FsdCdfStream, q296FsTimestampTravel, q297FsFeedBytes,
@@ -1690,5 +1781,6 @@ object FsQueries {
     q306FsAggPushdown, q307FsRuntimePrune, q308FsBloomSkip, q309FsZorder,
     q310FsWapBranch, q311FsRebucket, q312FsMetaTables, q313FsNullSkip,
     q314FsCurationWap, q315FsMatViewIvm, q316FsTxnPublish,
-    q317FsNgramSkip, q318FsMatViewDelta, q319FsBinaryPayload)
+    q317FsNgramSkip, q318FsMatViewDelta, q319FsBinaryPayload,
+    q320FsCloneRestore)
 }

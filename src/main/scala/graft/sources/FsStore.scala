@@ -1290,6 +1290,67 @@ object FsStore {
     out
   }
 
+  /** CLONE: an independent table sharing the source's data bytes —
+    * every RETAINED manifest is copied (ids, history, time travel and
+    * CDF intact) with data files and sidecars HARD-LINKED into the
+    * clone's own dir and paths rewritten. Unlike Delta's shallow clone
+    * (path-sharing, broken by a source VACUUM), links keep the bytes
+    * alive per-table: either side may vacuum, expire, or drop freely.
+    * O(files) metadata work, zero data copied. */
+  def cloneTable(src: String, dst: String): Long = {
+    require(!exists(dst), s"graft_fs($dst): table already exists")
+    require(!dst.contains(WapSep), s"graft_fs($dst): reserved name")
+    val relink = relinkInto(dst, dataDir(src).toString) _
+    def relinkRef(f: FileRef): FileRef =
+      f.copy(path = relink(f.path), bloom = f.bloom.map(relink))
+    def relinkMasks(ms: Vector[DeltaMask]): Vector[DeltaMask] =
+      ms.map(m => m.copy(keyFiles = m.keyFiles.map(relinkRef)))
+    Files.createDirectories(logDir(dst))
+    val head = currentVersion(src)
+    (oldestVersion(src) to head).foreach { vid =>
+      val v = versionAt(src, vid)
+      writeManifest(dst, v.copy(
+        files = v.files.map(relinkRef),
+        masks = relinkMasks(v.masks),
+        changes = v.changes.map(c => c.copy(
+          files = c.files.map(relinkRef),
+          masks = relinkMasks(c.masks),
+          keys = c.keys.map(relinkRef)))))
+    }
+    head
+  }
+
+  /** RESTORE `name` to retained version `toVersion` (Delta RESTORE):
+    * a NEW head whose snapshot is the old version's — history moves
+    * forward, nothing is rewritten, and the change log records the
+    * rollback as delete-current + insert-restored so CDF consumers
+    * (incremental views included) see it as ordinary changes. */
+  def restore(name: String, toVersion: Long): Long = {
+    val target = versionAt(name, toVersion) // expired/unknown → loud
+    var out = -1L
+    install(name) { v =>
+      require(toVersion < v.id,
+        s"graft_fs($name): restore target $toVersion is not before head ${v.id}")
+      require(target.schema == v.schema,
+        s"graft_fs($name): cannot restore across a schema change " +
+          s"(version $toVersion was ${target.schema.simpleString}, head " +
+          s"is ${v.schema.simpleString})")
+      val deleted =
+        if (v.rowCount == 0) Vector.empty
+        else Vector(Change(OpDelete, v.files, v.masks, Vector.empty, v.rowCount))
+      val inserted =
+        if (target.rowCount == 0) Vector.empty
+        else Vector(Change(OpInsert, target.files, target.masks,
+          Vector.empty, target.rowCount))
+      out = v.id + 1
+      Version(v.id + 1, GraftClock.next(), v.schemaId, v.lineage,
+        v.maxFieldId, target.files, target.masks,
+        deleted ++ inserted,
+        target.rowCount, v.epochs, target.bucketN, v.bloomIds, v.ngramIds)
+    }
+    out
+  }
+
   // ------------------------------------------------- WAP branches (refs)
 
   /** Branch-name plumbing: a branch of table T is a SHADOW TABLE named

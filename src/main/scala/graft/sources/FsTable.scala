@@ -787,8 +787,24 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
     FsVectorized.enabled && !cdf &&
       survivors.forall(f => FsScanPlanner.masksFor(f, ver.masks).isEmpty)
 
+  /** COLUMNAR CDF for APPEND-ONLY windows — the dominant incremental-
+    * consumption shape (ETL over accreting tables, [[FsMatView]] append
+    * refreshes): when every change in the window is a plain INSERT (no
+    * masks, no key files — nothing to reconstruct per row), its files
+    * decode vectorized like a snapshot and the `_change_type` /
+    * `_commit_version` metadata ride as CONSTANT column vectors. One
+    * delete/update anywhere in the window falls the whole scan back to
+    * the row reader (Spark requires all partitions to agree). */
+  private def cdfAllColumnar: Boolean =
+    FsVectorized.enabled && cdf && {
+      val from = startingVersion.getOrElse(FsStore.oldestVersion(name))
+      (from to snapVersion).forall(v =>
+        FsStore.versionAt(name, v).changes.forall(c =>
+          c.op == FsStore.OpInsert && c.masks.isEmpty && c.keys.isEmpty))
+    }
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new FsReaderFactory(columnar = allColumnar)
+    new FsReaderFactory(columnar = allColumnar || cdfAllColumnar)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -952,14 +968,42 @@ class FsReaderFactory(columnar: Boolean = false) extends PartitionReaderFactory 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val fp = p.asInstanceOf[FsScanPartition]
-    require(fp.cdf.isEmpty && fp.keysFilter.isEmpty && fp.skip == 0L &&
-      fp.take < 0L && !fp.stripKey && fp.files.forall(_._2.isEmpty),
-      "graft_fs: columnar path requires a plain snapshot partition")
+    require(fp.keysFilter.isEmpty && fp.skip == 0L &&
+      fp.take < 0L && !fp.stripKey && fp.files.forall(_._2.isEmpty) &&
+      fp.cdf.forall(_._1 == MemStore.OpInsert),
+      "graft_fs: columnar path requires a plain snapshot or pure-insert " +
+        "CDF partition")
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+      import org.apache.spark.sql.types.{LongType, StringType}
       private val files = fp.files.iterator
       private var cur: org.apache.spark.sql.execution.datasources.parquet
         .VectorizedParquetRecordReader = _
       private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      // CDF decoration as CONSTANT vectors: the whole partition is one
+      // change, so _change_type/_commit_version are per-partition
+      // constants filled once at open
+      private val cdfVectors: Array[org.apache.spark.sql.vectorized.ColumnVector] =
+        fp.cdf match {
+          case None => Array.empty
+          case Some((op, version)) =>
+            val opVec = new OnHeapColumnVector(FsVectorized.Capacity, StringType)
+            val bytes = op.getBytes("UTF-8")
+            var i = 0
+            while (i < FsVectorized.Capacity) {
+              opVec.putByteArray(i, bytes); i += 1
+            }
+            val verVec = new OnHeapColumnVector(FsVectorized.Capacity, LongType)
+            verVec.putLongs(0, FsVectorized.Capacity, version)
+            Array(opVec, verVec)
+        }
+      private def decorate(b: org.apache.spark.sql.vectorized.ColumnarBatch)
+          : org.apache.spark.sql.vectorized.ColumnarBatch =
+        if (cdfVectors.isEmpty) b
+        else {
+          val cols = Array.tabulate(b.numCols)(b.column) ++ cdfVectors
+          new org.apache.spark.sql.vectorized.ColumnarBatch(cols, b.numRows)
+        }
       override def next(): Boolean = {
         while (true) {
           if (cur == null) {
@@ -967,7 +1011,7 @@ class FsReaderFactory(columnar: Boolean = false) extends PartitionReaderFactory 
             val (f, _) = files.next()
             cur = FsVectorized.open(f.path, fp.lineage(f.schemaId), fp.scanSchema)
           }
-          if (cur.nextBatch()) { batch = cur.resultBatch(); return true }
+          if (cur.nextBatch()) { batch = decorate(cur.resultBatch()); return true }
           cur.close(); cur = null
         }
         false

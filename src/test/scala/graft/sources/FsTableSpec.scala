@@ -880,6 +880,36 @@ class FsTableSpec extends SparkSpec {
     drop("fsd_par")
   }
 
+  test("fs CDF: append-only windows read COLUMNAR with constant metadata vectors; a masked window falls back") {
+    cat(); drop("fsd_cdfc")
+    val src = (0L until 500L).map(k => (k, k % 13)).toDF("k", "v")
+    src.filter($"k" < 200L).writeTo("graft.fsd_cdfc").create() // v0+v1
+    src.filter($"k" >= 200L).writeTo("graft.fsd_cdfc").append() // v2
+    val feed = spark.read.option("startingVersion", "1")
+      .table("graft.fsd_cdfc__changes")
+      .groupBy("_change_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("s"),
+        sum("_commit_version").as("sv"))
+    val rows = feed.collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "insert" &&
+      rows.head.getLong(1) == 500L &&
+      rows.head.getLong(2) == (0L until 500L).sum)
+    val plan = feed.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"append-only CDF window must decode vectorized: $plan")
+    // one masked change in the window → whole scan falls back to rows,
+    // results still exact (pre-image reconstruction needs per-row logic)
+    spark.sql("DELETE FROM graft.fsd_cdfc WHERE k % 10 = 7") // v3: masks
+    val feed2 = spark.read.option("startingVersion", "1")
+      .table("graft.fsd_cdfc__changes")
+      .groupBy("_change_type").agg(count(lit(1)).as("n"))
+    val byOp = feed2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byOp("insert") == 500L && byOp("delete") == 50L)
+    assert(!feed2.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "a masked window must keep the row reader")
+    drop("fsd_cdfc")
+  }
+
   test("fs: aggregate pushdown answers COUNT/MIN/MAX from the manifest; grouping/SUM/filters/statless/masks decline") {
     cat(); drop("fs_agp2")
     val src = (0L until 30000L)
