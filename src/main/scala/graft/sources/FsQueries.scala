@@ -1588,13 +1588,14 @@ object FsQueries {
       cat(s)
       val src = graft.Tables.part(s, d).select(
         col("p_partkey").cast(LongType).as("k"),
-        (col("p_partkey") % 500).cast(LongType).as("grp"),
+        (col("p_partkey") % 24).cast(LongType).as("grp"),
         floor(col("p_retailprice")).cast(LongType).as("qty"))
       s.sql("DROP TABLE IF EXISTS graft.fsd_dvb")
       if (FsStore.exists("fs_dv")) FsStore.drop("fs_dv")
       src.filter(col("k") % 97 =!= 0).writeTo("graft.fsd_dvb").create()
       FsMatView.create(s, "fs_dv", "fsd_dvb", Seq("grp"), Seq("qty"))
-      // window 1: a small append — touches few of the 500 groups
+      // window 1: a small append — touches few of the 24 groups
+      // (dense at every SF, so the touched groups EXIST: update-class)
       src.filter(col("k") % 97 === 0).writeTo("graft.fsd_dvb").append()
       val s1 = FsMatView.refresh(s, "fs_dv", mode = "delta")
       require(s1.applied && s1.incremental,
@@ -1626,7 +1627,7 @@ object FsQueries {
       view2.orderBy("grp")
     },
     Some("""WITH src AS (
-           |  SELECT p_partkey AS k, CAST(p_partkey % 500 AS BIGINT) AS grp,
+           |  SELECT p_partkey AS k, CAST(p_partkey % 24 AS BIGINT) AS grp,
            |    CAST(FLOOR(p_retailprice) AS BIGINT) AS qty
            |  FROM part),
            |fin AS (
