@@ -816,8 +816,16 @@ object FsStore {
       Map.empty, bucketN, bloomIds, ngramIds))
   }
 
-  def drop(name: String): Unit =
+  def drop(name: String): Unit = {
+    // purge the txn-stamp cache for this table's manifests: a DROP +
+    // re-CREATE reuses manifest PATHS, and a cached terminal stamp from
+    // the old incarnation must not decide visibility for the new one
+    // (a recreated table's PENDING v1 would look committed through the
+    // old v1's cached stamp — the q316-under-repetition bug)
+    val prefix = tableDir(name).toString + java.io.File.separator
+    txnStampCache.keySet.removeIf(_.startsWith(prefix)): Unit
     graft.Tables.deleteRecursively(tableDir(name).toFile)
+  }
   def tableNames: Seq[String] = {
     val r = Paths.get(root)
     if (!Files.isDirectory(r)) Seq.empty

@@ -124,6 +124,22 @@ class FsTxnSpec extends SparkSpec {
     drop("fs_txf4"); drop("fs_txs4"); drop("fs_txd6"); drop("fs_txd7")
   }
 
+  test("txn: drop + recreate at the same paths — the old incarnation's stamps never decide visibility") {
+    // the q316-under-repetition bug: manifest PATHS repeat across
+    // drop/recreate, and a committed stamp cached for the OLD table's
+    // v1 must not make the NEW table's pending v1 look visible
+    (1 to 3).foreach { round =>
+      mkTables("fs_txr", "fs_txr2")
+      val d = stage("fs_txrd", (100L until 110L).map(k => (k, k % 10)).toDF("k", "v"))
+      val p = FsTxn.prepare(Seq(FsTxn.TxnOp("fs_txr", d)))
+      assert(count("fs_txr") == 100L,
+        s"round $round: prepared txn must stay invisible after recreate")
+      p.commit()
+      assert(count("fs_txr") == 110L, s"round $round: commit must flip")
+      drop("fs_txr"); drop("fs_txr2"); drop("fs_txrd")
+    }
+  }
+
   test("txn: prepare failure on the second table rolls back the first (all-or-nothing prepare)") {
     mkTables("fs_txf5", "fs_txs5")
     val d1 = stage("fs_txd8", (100L until 120L).map(k => (k, k % 10)).toDF("k", "v"))
