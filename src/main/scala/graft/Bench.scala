@@ -60,7 +60,8 @@ object Bench {
     * in BENCH.json), with per-query precision reduced (then the map
     * dropped entirely) until the line fits [[MaxLineChars]]. */
   def compactLine(total: Double, coldTotal: Double,
-                  results: Seq[(String, Double)], sf: String, runs: Int): String = {
+                  results: Seq[(String, Double)], sf: String, runs: Int,
+                  partial: Int = -1): String = {
     // n_ok/n_failed make the totals self-describing: a total over 96
     // succeeded queries must not be compared against one over 127
     val nOk = results.count(_._2 >= 0)
@@ -76,7 +77,12 @@ object Bench {
       // keep 2-decimal medians in the window at 176+ queries
       val failed =
         if (elideZeroFailed && nFailed == 0) "" else s""","n_failed":$nFailed"""
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec"$queries,"sf":"$sfShort","runs":$runs,"n_ok":$nOk$failed,"cold_total":${fmt(coldTotal, 3)}}"""
+      // partial ≥ 0: a mid-run checkpoint line over the first n_ok
+      // queries (value covers only those) — printed so a run the driver
+      // kills mid-flight still leaves parseable per-query figures in the
+      // stdout tail; the final line (no "partial") always prints last
+      val part = if (partial >= 0) s""","partial":true,"n_total":$partial""" else ""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec"$queries,"sf":"$sfShort","runs":$runs,"n_ok":$nOk$failed$part,"cold_total":${fmt(coldTotal, 3)}}"""
     }
     def shortKey(k: String): String = k.takeWhile(_ != '_')
     // past ~170 queries even 1-decimal "qNN" keys overflow the window, so
@@ -130,9 +136,19 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val tStart = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - tStart) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    // Wall-clock budget for the whole bench (measured from main entry —
+    // sbt compile time is outside it, so leave headroom vs the driver's
+    // kill timer). Round-10 lesson: 320 queries × (1 cold + 5 warm)
+    // ≈ 1.6 ks blew the driver window and rc=124 yielded NOTHING. The
+    // warm loop degrades per-query runs 5→3→1 to fit the projection
+    // inside this budget, and partial compact lines every
+    // [[PartialEvery]] queries make even a killed run parseable.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1300").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -239,7 +255,11 @@ object Bench {
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     }
 
-    val cold = queries.map { case (name, fn) =>
+    // mid-run checkpoint cadence: cheap (one println) and frequent enough
+    // that a kill loses at most ~20 queries of per-query signal
+    val PartialEvery = 20
+    val coldBuf = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = runOnce(name, fn)
       // stop the clock BEFORE the sweep so cold and warm both time only
@@ -247,20 +267,61 @@ object Bench {
       // dispatch sit outside the warm timers too)
       val elapsed = (System.nanoTime() - t0) / 1e9
       sweepCheckpoints()
-      name -> (if (ok) elapsed else -1.0)
+      coldBuf += name -> (if (ok) elapsed else -1.0)
+      // cold-phase checkpoint: runs=0 marks value as cold-only figures
+      if (coldBuf.size % PartialEvery == 0 && coldBuf.size < queries.size) {
+        val sum = coldBuf.iterator.map(_._2).filter(_ >= 0).sum
+        println(compactLine(sum, sum, coldBuf.toSeq, sfDir, 0, queries.size))
+      }
     }
+    val cold = coldBuf.toSeq
+    val coldByName = cold.toMap
 
-    val results = queries.map { case (name, fn) =>
-      val times = (1 to runs).flatMap { _ =>
+    // Warm loop with budget-aware degradation: before each query, project
+    // the remaining warm cost (remaining queries' cold times × the
+    // observed warm/cold ratio × candidate run count) and pick the
+    // largest runs ∈ {configured, 3, 1} whose projection fits the
+    // remaining budget with 8% slack. Never below 1 — a single warm run
+    // still yields a real figure; the partial lines bound the damage if
+    // the projection is wrong and the driver kills us anyway.
+    var warmSpent = 0.0   // total warm seconds across all runs so far
+    var coldCovered = 0.0 // cold seconds of the queries those runs re-ran
+    val runsUsed = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val resBuf = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val remainingCold = scala.collection.mutable.ArrayDeque[Double]()
+    queries.foreach { case (n, _) =>
+      remainingCold.append(math.max(coldByName(n), 0.3)) // failed cold: assume cheap
+    }
+    queries.foreach { case (name, fn) =>
+      val myCold = remainingCold.removeHead()
+      val ratio = // warm-run seconds per cold second (≈0.5 historically)
+        if (coldCovered > 1.0) warmSpent / coldCovered else 0.6
+      val ratioSafe = math.min(math.max(ratio, 0.2), 1.5)
+      val restCold = myCold + remainingCold.sum
+      val left = budgetS - elapsedS
+      val r = Seq(runs, 3, 1).filter(_ <= runs)
+        .find(c => restCold * ratioSafe * c <= left * 0.92)
+        .getOrElse(1)
+      runsUsed(name) = r
+      val times = (1 to r).flatMap { _ =>
         val t0 = System.nanoTime()
         if (runOnce(name, fn)) Some((System.nanoTime() - t0) / 1e9) else None
       }
       sweepCheckpoints()
+      if (times.nonEmpty && coldByName(name) >= 0) {
+        warmSpent += times.sum; coldCovered += myCold * r
+      }
       val median =
-        if (times.size < runs) -1.0 // any failed run poisons the figure
-        else times.sorted.apply(runs / 2)
-      name -> median
+        if (times.size < r) -1.0 // any failed run poisons the figure
+        else times.sorted.apply(r / 2)
+      resBuf += name -> median
+      if (resBuf.size % PartialEvery == 0 && resBuf.size < queries.size) {
+        val sum = resBuf.iterator.map(_._2).filter(_ >= 0).sum
+        val coldSum = cold.iterator.map(_._2).filter(_ >= 0).sum
+        println(compactLine(sum, coldSum, resBuf.toSeq, sfDir, runs, queries.size))
+      }
     }
+    val results = resBuf.toSeq
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -272,8 +333,10 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
     val nOk = results.count(_._2 >= 0)
+    val runsJson = runsUsed.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"n_ok":$nOk,"n_failed":${results.size - nOk},"cold_total":$coldTotal,"cold_queries":$coldJson,"errors":$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"n_ok":$nOk,"n_failed":${results.size - nOk},"cold_total":$coldTotal,"cold_queries":$coldJson,"runs_used":$runsJson,"budget_s":$budgetS,"wall_s":${fmt(elapsedS, 1)},"errors":$errJson}"""
     Files.writeString(Paths.get("BENCH.json"), full + "\n")
     spark.stop()
     // the one stdout line, printed last so the driver's tail window sees it

@@ -401,6 +401,36 @@ object FsStore {
     f.bloom.foreach(p => new java.io.File(p).delete(): Unit)
   }
 
+  /** Abort backstop: delete every file in `data/` whose name carries
+    * write-job stamp `jobId` (filename prefix `j<jobId>-`, stamped by the
+    * writer factories). Task- and driver-level aborts delete the files
+    * they KNOW about (the attempt's own tracked writers; the refs in
+    * delivered commit messages) — but a task attempt that dies or is
+    * superseded after `finish()` and before its message lands is visible
+    * to neither. The stamp makes the job's whole output enumerable from
+    * the driver, so abort can sweep unreported attempts too. Committed
+    * jobs never reach this path; concurrent jobs have distinct stamps. */
+  private[sources] def sweepJobFiles(name: String, jobId: String): Unit = {
+    val dir = dataDir(name).toFile
+    val prefix = s"j$jobId-"
+    def sweep(): Int = {
+      val fs = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      fs.count(f => f.getName.startsWith(prefix) && f.delete())
+    }
+    // Zombie attempts may STILL be closing their files while the driver
+    // aborts (the kill is asynchronous); one scan would race them. Loop
+    // until two consecutive quiet scans — bounded at ~2 s, abort path
+    // only. A straggler slower than that is caught by the task-side
+    // isInterrupted self-abort, and ultimately by vacuum: the manifest
+    // never references unreported files, so reads stay correct either way.
+    var quiet = 0; var tries = 0
+    while (quiet < 2 && tries < 40) {
+      if (sweep() == 0) quiet += 1 else quiet = 0
+      tries += 1
+      if (quiet < 2) Thread.sleep(50)
+    }
+  }
+
   /** Absolute path for a fresh data/key file some task is about to
     * write. The file is invisible to readers until a manifest commits
     * it — tasks write first, the driver publishes later (two-phase). */

@@ -179,10 +179,14 @@ class FsWrite(name: String, truncate: Boolean, queryId: String)
       // write and commit fails the install instead of mis-tagging
       private val writeVer = FsStore.current(name)
       private val schema = writeVer.schema
+      // per-query stamp; the factory appends the epoch so each epoch's
+      // abort sweeps exactly its own attempts (earlier epochs' committed
+      // files share the query stamp but not the epoch suffix)
+      private val jobId = java.util.UUID.randomUUID().toString.take(8)
       override def createStreamingWriterFactory(
           info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
         new FsStreamingWriterFactory(name, schema, writeVer.bucketN,
-          writeVer.bloomIds.toSet, writeVer.ngramIds.toSet)
+          writeVer.bloomIds.toSet, writeVer.ngramIds.toSet, jobId)
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
         val files = messages.iterator
           .flatMap { case FsCommitMessage(fs) => fs }.toVector
@@ -191,13 +195,15 @@ class FsWrite(name: String, truncate: Boolean, queryId: String)
         if (!committed) // replayed epoch: its files are orphans
           files.foreach(FsStore.deleteRef)
       }
-      override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
         messages.foreach {
           // entries for tasks that never committed are NULL
           case FsCommitMessage(fs) =>
             fs.foreach(FsStore.deleteRef)
           case _ =>
         }
+        FsStore.sweepJobFiles(name, s"$jobId-e$epochId")
+      }
     }
 }
 
@@ -1489,16 +1495,19 @@ class FsBatchWrite(name: String, truncate: Boolean) extends BatchWrite {
   // start and commit must fail the install, never mis-tag the files)
   private val writeVer = FsStore.current(name)
   private val schema = writeVer.schema
+  // per-job stamp in every file name: abort's sweep backstop for task
+  // attempts invisible to both abort levels (see FsStore.sweepJobFiles)
+  private val jobId = java.util.UUID.randomUUID().toString.take(8)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new FsWriterFactory(name, schema, writeVer.bucketN,
-      writeVer.bloomIds.toSet, writeVer.ngramIds.toSet)
+      writeVer.bloomIds.toSet, writeVer.ngramIds.toSet, jobId)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.iterator
       .flatMap { case FsCommitMessage(fs) => fs }.toVector
     if (truncate) FsStore.commitTruncate(name, files, writeVer.schemaId)
     else FsStore.commitAppend(name, files, writeVer.schemaId)
   }
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach {
       // entries for tasks that never committed are NULL — skipping them
       // must not skip deleting the files of the tasks that DID commit
@@ -1506,6 +1515,10 @@ class FsBatchWrite(name: String, truncate: Boolean) extends BatchWrite {
         fs.foreach(FsStore.deleteRef)
       case _ =>
     }
+    // an attempt that died after finish() but before its message was
+    // delivered is in NEITHER abort path — sweep the job's stamp
+    FsStore.sweepJobFiles(name, jobId)
+  }
 }
 
 /** Serializes task rows into parquet data files — ONE for an
@@ -1516,8 +1529,11 @@ class FsBatchWrite(name: String, truncate: Boolean) extends BatchWrite {
   * rows (the MemWriter contract — see `ReplaceDataExec.writingTask`);
   * the writer dispatches on arity and strips the marker. */
 class FsWriterFactory(name: String, schema: StructType, bucketN: Int = 0,
-    bloomIds: Set[Int] = Set.empty, ngramIds: Set[Int] = Set.empty)
-    extends DataWriterFactory {
+    bloomIds: Set[Int] = Set.empty, ngramIds: Set[Int] = Set.empty,
+    jobId: String = "") extends DataWriterFactory {
+  // the job stamp leads the file name so abort can sweep by prefix
+  private def tag(partitionId: Int, b: Int): String =
+    if (jobId.isEmpty) s"d$partitionId-b$b" else s"j$jobId-d$partitionId-b$b"
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
@@ -1531,7 +1547,7 @@ class FsWriterFactory(name: String, schema: StructType, bucketN: Int = 0,
         scala.collection.mutable.Map[Int, FsFileWriter]()
       private def writerFor(b: Int): FsFileWriter =
         byBucket.getOrElseUpdate(b,
-          new FsFileWriter(name, s"d$partitionId-b$b", schema, b, bloomIds,
+          new FsFileWriter(name, tag(partitionId, b), schema, b, bloomIds,
             ngramIds))
       private def route(row: InternalRow): Unit =
         if (bucketN <= 0) writerFor(-1).write(row)
@@ -1547,8 +1563,19 @@ class FsWriterFactory(name: String, schema: StructType, bucketN: Int = 0,
         else if (row.numFields == schema.length + 1) route(skipOp(row))
         else throw new IllegalStateException(
           s"fs write: row arity ${row.numFields} vs table ${schema.length}")
-      override def commit(): WriterCommitMessage =
+      override def commit(): WriterCommitMessage = {
+        // zombie guard: a kill that lands after the row loop (the job
+        // already failed) must not mint files the driver will never see —
+        // self-abort instead of committing. The residual window (kill
+        // arriving after this check) is covered by the driver abort's
+        // quiescent sweep over the job stamp.
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null && tc.isInterrupted()) {
+          byBucket.valuesIterator.foreach(_.abort())
+          throw new org.apache.spark.TaskKilledException("zombie write attempt")
+        }
         FsCommitMessage(byBucket.valuesIterator.flatMap(_.finish()).toVector)
+      }
       override def abort(): Unit = byBucket.valuesIterator.foreach(_.abort())
       override def close(): Unit = ()
     }
@@ -1558,11 +1585,12 @@ class FsWriterFactory(name: String, schema: StructType, bucketN: Int = 0,
   * Spark (serializable top-level class — the task ships it). */
 class FsStreamingWriterFactory(name: String, schema: StructType,
     bucketN: Int = 0, bloomIds: Set[Int] = Set.empty,
-    ngramIds: Set[Int] = Set.empty)
+    ngramIds: Set[Int] = Set.empty, jobId: String = "")
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new FsWriterFactory(name, schema, bucketN, bloomIds, ngramIds)
+    new FsWriterFactory(name, schema, bucketN, bloomIds, ngramIds,
+      if (jobId.isEmpty) "" else s"$jobId-e$epochId")
       .createWriter(partitionId, taskId)
 }
 
@@ -1572,35 +1600,41 @@ class FsStreamingWriterFactory(name: String, schema: StructType,
 class FsDeltaBatchWrite(name: String) extends DeltaBatchWrite {
   private val writeVer = FsStore.current(name) // pinned write-time schema
   private val schema = writeVer.schema
+  private val jobId = java.util.UUID.randomUUID().toString.take(8)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     new FsDeltaWriterFactory(name, schema, writeVer.bloomIds.toSet,
-      writeVer.ngramIds.toSet)
+      writeVer.ngramIds.toSet, jobId)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val ms = messages.iterator.map(_.asInstanceOf[FsDeltaCommitMessage]).toVector
     FsStore.commitDelta(name,
       ms.flatMap(_.delKeys), ms.flatMap(_.updKeys),
       ms.flatMap(_.updRows), ms.flatMap(_.inserts), writeVer.schemaId)
   }
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach { case m: FsDeltaCommitMessage =>
       (m.delKeys ++ m.updKeys ++ m.updRows ++ m.inserts)
         .foreach(FsStore.deleteRef)
     }
+    // unreported attempts (died after finish(), message never delivered)
+    FsStore.sweepJobFiles(name, jobId)
+  }
 }
 
 class FsDeltaWriterFactory(name: String, schema: StructType,
-    bloomIds: Set[Int] = Set.empty, ngramIds: Set[Int] = Set.empty)
-    extends DeltaWriterFactory {
+    bloomIds: Set[Int] = Set.empty, ngramIds: Set[Int] = Set.empty,
+    jobId: String = "") extends DeltaWriterFactory {
+  private def tag(kind: String, partitionId: Int): String =
+    if (jobId.isEmpty) s"$kind$partitionId" else s"j$jobId-$kind$partitionId"
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
       private val idSchema = StructType(Seq(schema.fields.head))
       // DATA files carry the bloom index; key files are mask plumbing
       // the scan never bloom-probes
-      private val dels = new FsFileWriter(name, s"k$partitionId", idSchema)
-      private val updKs = new FsFileWriter(name, s"uk$partitionId", idSchema)
-      private val updRs = new FsFileWriter(name, s"u$partitionId", schema,
+      private val dels = new FsFileWriter(name, tag("k", partitionId), idSchema)
+      private val updKs = new FsFileWriter(name, tag("uk", partitionId), idSchema)
+      private val updRs = new FsFileWriter(name, tag("u", partitionId), schema,
         bloomIds = bloomIds, ngramIds = ngramIds)
-      private val ins = new FsFileWriter(name, s"i$partitionId", schema,
+      private val ins = new FsFileWriter(name, tag("i", partitionId), schema,
         bloomIds = bloomIds, ngramIds = ngramIds)
       override def delete(meta: InternalRow, id: InternalRow): Unit =
         dels.write(id)

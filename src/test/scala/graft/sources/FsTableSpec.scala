@@ -71,6 +71,42 @@ class FsTableSpec extends SparkSpec {
     drop("fs_ab")
   }
 
+  test("fs: abort stress — repeated planted-failure appends leave zero orphans under parallel load") {
+    cat(); drop("fs_abst"); drop("fs_abst2")
+    (0L until 100L).map(k => (k, k)).toDF("k", "v").writeTo("graft.fs_abst").create()
+    (0L until 100L).map(k => (k, k)).toDF("k", "v").writeTo("graft.fs_abst2").create()
+    val before = dataFiles("fs_abst")
+    // the round-10 escape was a RACE only the full suite reproduced: an
+    // attempt finishing its file while the job was already failing. Keep
+    // a sibling table under concurrent append load so the scheduler
+    // interleaves this table's dying tasks with real work, and plant the
+    // failure at a DIFFERENT row each round so the surviving attempts'
+    // progress at abort time varies.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val load = Future {
+      (1 to 6).foreach { i =>
+        ((i * 1000L) until (i * 1000L + 200L)).map(k => (k, k)).toDF("k", "v")
+          .repartition(8).writeTo("graft.fs_abst2").append()
+      }
+    }
+    (1 to 6).foreach { i =>
+      val boom = udf((k: Long) => {
+        if (k == i * 29L) throw new RuntimeException(s"planted failure $i"); k
+      })
+      intercept[Exception] {
+        (0L until 200L).map(k => (k, k)).toDF("k", "v").repartition(8)
+          .select(boom($"k").as("k"), $"v").writeTo("graft.fs_abst").append()
+      }
+      assert(dataFiles("fs_abst") == before,
+        s"job-stamp sweep must leave zero orphans (planted failure $i)")
+    }
+    Await.result(load, scala.concurrent.duration.Duration(180, "s"))
+    assert(spark.table("graft.fs_abst").count() == 100)
+    assert(spark.table("graft.fs_abst2").count() == 100 + 6 * 200)
+    drop("fs_abst"); drop("fs_abst2")
+  }
+
   test("fs: copy-on-write UPDATE and metadata-free DELETE rewrite through new files") {
     cat(); drop("fs_cow")
     (0L until 500L).map(k => (k, k % 10)).toDF("k", "v").writeTo("graft.fs_cow").create()
