@@ -104,6 +104,39 @@ object FsBloom {
       gramKey(u.getByte(i), u.getByte(i + 1), u.getByte(i + 2)).toLong).toVector
   }
 
+  /** Shared sidecar prune decision (driver plan-time AND task
+    * read-time): TRUE when the sidecar's blooms PROVE no row of the
+    * file can satisfy some pushed predicate. Value-bloom predicates
+    * skip when EVERY probe value of one predicate is absent; gram
+    * predicates skip when ANY gram of one needle is absent (a matching
+    * row must contain every gram of its needle). */
+  def pruned(blooms: Map[Int, FsBloom],
+      bloomProbes: Seq[(Int, Seq[(Long, Long)])],
+      ngramProbes: Seq[(Int, Seq[(Long, Long)])]): Boolean =
+    bloomProbes.exists { case (id, probes) =>
+      blooms.get(id).exists(b =>
+        probes.forall { case (h1, h2) => !b.mightContain(h1, h2) })
+    } || ngramProbes.exists { case (id, grams) =>
+      blooms.get(id).exists(b =>
+        grams.exists { case (h1, h2) => !b.mightContain(h1, h2) })
+    }
+
+  /** Files skipped by TASK-side sidecar probes (instrumentation: the
+    * spec and the scale smoke pin that the task path actually skips). */
+  val taskSkipped = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Sidecar probing stays on the driver only below this
+    * cheap-survivor file count; above it the hashed probes ship INSIDE
+    * the scan partitions and each reader task probes its file's
+    * sidecar before opening the data file. Rationale: blooms exist for
+    * scattered columns zone maps can't prune, so on exactly that shape
+    * every file survives the cheap prunes — a needle probe over a
+    * million-file table would be ~1 MB × files of SERIAL driver IO at
+    * plan time. Task-side, the same IO is one small read per task,
+    * fully parallel, overlapped with the scan itself. Mutable so specs
+    * can force the task path on small tables. */
+  @volatile var DriverProbeMax: Int = 64
+
   /** An empty bloom sized for `n` buffered values. */
   def sized(n: Int): FsBloom = {
     val bits = math.max(64L, java.lang.Long.highestOneBit(

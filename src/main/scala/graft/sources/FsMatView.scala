@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
@@ -10,22 +10,36 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** INCREMENTAL MATERIALIZED VIEW maintenance over the file-backed store
   * — the lakehouse capability that turns the CDF machinery (q294/q295)
-  * into a product: a grouped COUNT/SUM aggregate of a base `fs_*`/`fsd_*`
-  * table, materialized as its own fs table and kept current by applying
-  * only the base's CHANGES since the last refresh. Refresh cost is
-  * O(|changes| + |view|), never O(|base|) — at 100 TB the difference
-  * between re-aggregating a day's appends and re-scanning the lake.
+  * into a product: a grouped COUNT/SUM/MIN/MAX aggregate of a base
+  * `fs_*`/`fsd_*` table, materialized as its own fs table and kept
+  * current by applying only the base's CHANGES since the last refresh.
+  * Refresh cost is O(|changes| + |view|) for the counting algebra,
+  * never O(|base|) — at 100 TB the difference between re-aggregating a
+  * day's appends and re-scanning the lake.
   *
   * The algebra is classic delta-propagation IVM (Gupta & Mumick's
-  * counting algorithm, reduced to the distributive aggregates it is
-  * exact for): each change-feed row carries a sign (+1 for
+  * counting algorithm): each change-feed row carries a sign (+1 for
   * insert/update_postimage, -1 for delete/update_preimage); the signed
   * per-group partial aggregate is a DELTA VIEW that merges with the
   * current contents by one more group-by, and groups whose maintained
-  * row count reaches zero vanish. COUNT and SUM over integral columns
-  * are exact under this algebra (long arithmetic, no ordering effects);
-  * MIN/MAX are NOT maintainable under deletes without auxiliary state
-  * and are refused loudly at definition time rather than served wrong.
+  * row count reaches zero vanish.
+  *
+  * NULL exactness (SQL semantics, maintained not approximated): every
+  * SUM column carries a per-group NON-NULL COUNTER `nn_<col>` — NULL
+  * values contribute nothing to the signed sum (each NULL term drops
+  * out of SUM), and the served `sum_<col>` is NULL exactly when the
+  * counter reaches zero, which is when SQL's SUM over the group would
+  * be NULL. (When the counter is zero the signed sum is provably 0 —
+  * every non-null insert was cancelled by its delete — so storing NULL
+  * loses nothing: refresh arithmetic reads it back through coalesce.)
+  *
+  * MIN/MAX are NOT delta-maintainable under deletes without auxiliary
+  * state; they are maintained by the standard HYBRID: inserts fold in
+  * incrementally (`least`/`greatest`), and a group is RECOMPUTED from
+  * the pinned base snapshot only when the window deletes a value that
+  * ties-or-beats the group's current extreme — the only case where the
+  * stored extreme can be stale. Windows with no such deletes (appends,
+  * deletes above the min / below the max) stay O(changes).
   *
   * Exactly-once: the refresh reads the feed over the PINNED window
   * (lastApplied, baseHead] (`startingVersion`/`endingVersion` — the
@@ -47,12 +61,15 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * following public Delta/Materialize designs. */
 object FsMatView {
 
-  /** A view definition: grouped COUNT + SUMs over a base table.
-    * `sumCols` must be integral in the base schema (exact delta
-    * algebra); the maintained columns are named `n_rows` and
-    * `sum_<col>`. */
+  /** A view definition: grouped COUNT + SUMs (+ optional MIN/MAX) over
+    * a base table. `sumCols` must be integral in the base schema (exact
+    * delta algebra); `minCols`/`maxCols` may be any orderable atomic.
+    * The maintained columns are named `n_rows`, `sum_<col>` +
+    * `nn_<col>` (its non-null counter — also the exact AVG story:
+    * AVG(col) = sum_<col> / nn_<col>), `min_<col>`, `max_<col>`. */
   final case class ViewDef(base: String, groupCols: Seq[String],
-      sumCols: Seq[String])
+      sumCols: Seq[String], minCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil)
 
   private val mapper = new ObjectMapper()
   private val EpochKey = "ivm"
@@ -66,9 +83,10 @@ object FsMatView {
     require(isView(view), s"graft_fs($view): not a materialized view")
     val o = mapper.readTree(Files.readAllBytes(defPath(view)))
     import scala.jdk.CollectionConverters._
-    ViewDef(o.get("base").asText,
-      o.get("groupCols").elements().asScala.map(_.asText).toSeq,
-      o.get("sumCols").elements().asScala.map(_.asText).toSeq)
+    def arr(k: String): Seq[String] = Option(o.get(k))
+      .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+    ViewDef(o.get("base").asText, arr("groupCols"), arr("sumCols"),
+      arr("minCols"), arr("maxCols"))
   }
 
   /** Base version the view's contents reflect (its CDF high-water
@@ -90,56 +108,77 @@ object FsMatView {
       deltaRows: Long, viewRows: Long, applied: Boolean,
       incremental: Boolean = false)
 
-  private def viewSchema(base: String, groupCols: Seq[String],
-      sumCols: Seq[String]): StructType = {
-    val bs = FsStore.schemaOf(base)
-    val outNames = "n_rows" +: sumCols.map(c => s"sum_$c")
-    require(groupCols.intersect(outNames).isEmpty,
-      s"graft_fs($base): group columns ${groupCols.mkString(",")} collide " +
-        s"with the view's maintained columns ${outNames.mkString(",")}")
+  private def viewSchema(d: ViewDef): StructType = {
+    val bs = FsStore.schemaOf(d.base)
+    val outNames = "n_rows" +: (d.sumCols.map(c => s"sum_$c") ++
+      d.sumCols.map(c => s"nn_$c") ++ d.minCols.map(c => s"min_$c") ++
+      d.maxCols.map(c => s"max_$c"))
+    require(outNames.distinct.size == outNames.size,
+      s"graft_fs(${d.base}): duplicate maintained columns " +
+        outNames.diff(outNames.distinct).mkString(","))
+    require(d.groupCols.intersect(outNames).isEmpty,
+      s"graft_fs(${d.base}): group columns ${d.groupCols.mkString(",")} " +
+        s"collide with the view's maintained columns ${outNames.mkString(",")}")
     def field(c: String): StructField = bs.fields.find(_.name == c)
       .getOrElse(throw new IllegalArgumentException(
-        s"graft_fs($base): no column $c for the view definition"))
-    sumCols.foreach { c =>
+        s"graft_fs(${d.base}): no column $c for the view definition"))
+    d.sumCols.foreach { c =>
       require(Set("int", "bigint").contains(field(c).dataType.simpleString),
-        s"graft_fs($base): SUM($c) is not integral — the delta algebra " +
-          "is only exact for COUNT/SUM over integral columns (MIN/MAX " +
-          "need auxiliary state under deletes and are refused)")
+        s"graft_fs(${d.base}): SUM($c) is not integral — the delta " +
+          "algebra is only exact for COUNT/SUM over integral columns")
+    }
+    (d.minCols ++ d.maxCols).foreach { c =>
+      require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(field(c).dataType) &&
+        !field(c).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+        !field(c).dataType.isInstanceOf[org.apache.spark.sql.types.StructType],
+        s"graft_fs(${d.base}): MIN/MAX($c) needs an orderable atomic type")
     }
     StructType(
-      groupCols.map(c => StructField(c, field(c).dataType, nullable = true)) ++
+      d.groupCols.map(c => StructField(c, field(c).dataType, nullable = true)) ++
         (StructField("n_rows", LongType, nullable = true) +:
-          sumCols.map(c => StructField(s"sum_$c", LongType, nullable = true))))
+          (d.sumCols.map(c => StructField(s"sum_$c", LongType, nullable = true)) ++
+            d.sumCols.map(c => StructField(s"nn_$c", LongType, nullable = true)) ++
+            d.minCols.map(c => StructField(s"min_$c", field(c).dataType, nullable = true)) ++
+            d.maxCols.map(c => StructField(s"max_$c", field(c).dataType, nullable = true)))))
   }
 
-  private def aggColumns(sumCols: Seq[String]): (Column, Seq[Column]) =
-    (sum(col("n_rows")).as("n_rows"),
-      sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")))
+  /** Natural (non-signed) aggregate list over base rows — seeding and
+    * per-group recompute use SQL's own semantics directly. */
+  private def naturalAggs(d: ViewDef): Seq[Column] =
+    count(lit(1)).as("n_rows") +:
+      (d.sumCols.map(c => sum(col(c).cast(LongType)).as(s"sum_$c")) ++
+        d.sumCols.map(c => count(col(c)).as(s"nn_$c")) ++
+        d.minCols.map(c => min(col(c)).as(s"min_$c")) ++
+        d.maxCols.map(c => max(col(c)).as(s"max_$c")))
 
   /** Create view `view` over `base` at its CURRENT version: one full
     * aggregate of the pinned base snapshot seeds the contents; every
     * later [[refresh]] is incremental. */
   def create(spark: SparkSession, view: String, base: String,
-      groupCols: Seq[String], sumCols: Seq[String]): RefreshStats = {
+      groupCols: Seq[String], sumCols: Seq[String],
+      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): RefreshStats = {
     require(view.startsWith("fs_"),
       s"graft_fs($view): materialized views are plain fs_ tables")
     require(!FsStore.exists(view), s"graft_fs($view): already exists")
-    val schema = viewSchema(base, groupCols, sumCols)
+    val d = ViewDef(base, groupCols, sumCols, minCols, maxCols)
+    val schema = viewSchema(d)
     val pinned = FsStore.currentVersion(base)
     FsStore.create(view, schema)
     Files.createDirectories(FsStore.tableDir(view))
     val o = mapper.createObjectNode()
     o.put("base", base)
-    val g = mapper.createArrayNode(); groupCols.foreach(g.add(_): Unit)
-    val s = mapper.createArrayNode(); sumCols.foreach(s.add(_): Unit)
-    o.set[ObjectNode]("groupCols", g)
-    o.set[ObjectNode]("sumCols", s)
+    def put(k: String, vs: Seq[String]): Unit = {
+      val a = mapper.createArrayNode(); vs.foreach(a.add(_): Unit)
+      o.set[ObjectNode](k, a): Unit
+    }
+    put("groupCols", groupCols); put("sumCols", sumCols)
+    put("minCols", minCols); put("maxCols", maxCols)
     Files.write(defPath(view),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o))
     val snap = spark.sql(s"SELECT * FROM graft.$base VERSION AS OF $pinned")
-    val seed = snap.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"),
-        sumCols.map(c => sum(col(c).cast(LongType)).as(s"sum_$c")): _*)
+    val seed = snap.groupBy(groupCols.map(col): _*).agg(
+      naturalAggs(d).head, naturalAggs(d).tail: _*)
     val stats = swapContents(spark, view, seed, schema, pinned)
     stats.copy(fromVersion = 0L,
       deltaRows = FsStore.versionAt(base, pinned).rowCount)
@@ -152,9 +191,12 @@ object FsMatView {
     * accumulated delta masks); `"delta"` commits only the CHANGED
     * groups as a merge-on-read delta (O(changed groups) write — what
     * keeps a chain of views O(changes) end-to-end), available for
-    * single-group-column views (delta masks key on the first column);
-    * `"auto"` (default) picks delta when the change window is small
-    * against the view and the view can take it. */
+    * single-group-column COUNT/SUM views (delta masks key on the first
+    * column, and the window must not touch the NULL group); `"auto"`
+    * (default) picks delta when the change window is small against the
+    * view and the view can take it, FALLING BACK to replace when the
+    * window touches the NULL group (a legal change — never an error in
+    * auto). */
   def refresh(spark: SparkSession, view: String,
       mode: String = "auto"): RefreshStats = {
     val d = definitionOf(view)
@@ -164,6 +206,7 @@ object FsMatView {
       return RefreshStats(last, head, 0L, FsStore.current(view).rowCount,
         applied = false)
     val schema = FsStore.schemaOf(view)
+    val hasMM = d.minCols.nonEmpty || d.maxCols.nonEmpty
     // change rows in the window, from manifests alone (no scan)
     val deltaRows = ((last + 1) to head).iterator
       .flatMap(FsStore.versionAt(d.base, _).changes).map(_.rows).sum
@@ -173,36 +216,157 @@ object FsMatView {
       .table(s"graft.${d.base}__changes")
     val sign = when(col("_change_type").isin(
       FsStore.OpInsert, FsStore.OpUpdatePost), lit(1L)).otherwise(lit(-1L))
-    val delta = changes
-      .groupBy(d.groupCols.map(col): _*)
-      .agg(sum(sign).as("n_rows"),
-        d.sumCols.map(c =>
-          sum(sign * col(c).cast(LongType)).as(s"sum_$c")): _*)
-    val viewRows = FsStore.current(view).rowCount
-    val useDelta = mode match {
-      case "delta" =>
-        require(d.groupCols.size == 1,
-          s"graft_fs($view): delta refresh needs a single group column " +
-            "(masks key on the first column); use replace")
-        true
-      case "replace" => false
-      case "auto" =>
-        d.groupCols.size == 1 && deltaRows < math.max(64L, viewRows / 2)
-      case other => throw new IllegalArgumentException(
-        s"graft_fs($view): unknown refresh mode '$other'")
-    }
-    val stats =
-      if (useDelta) deltaContents(spark, view, d, delta, schema, head)
-      else {
-        val (nAgg, sumAggs) = aggColumns(d.sumCols)
-        val merged = spark.table(s"graft.$view")
-          .unionByName(delta)
-          .groupBy(d.groupCols.map(col): _*)
-          .agg(nAgg, sumAggs: _*)
-          .filter(col("n_rows") > 0L)
-        swapContents(spark, view, merged, schema, head)
+    // one signed pass over the window computes everything any path
+    // needs: counts, null-exact sums + counters, and (for min/max) the
+    // inserted/deleted extremes + a delete marker per group
+    val deltaAggs: Seq[Column] =
+      (sum(sign).as("n_rows") +:
+        (d.sumCols.map(c =>
+          sum(sign * col(c).cast(LongType)).as(s"sum_$c")) ++
+          d.sumCols.map(c =>
+            sum(when(col(c).isNotNull, sign).otherwise(0L)).as(s"nn_$c")))) ++
+        (if (hasMM) Seq(sum(when(sign < 0L, 1L).otherwise(0L)).as("__n_del"))
+         else Nil) ++
+        d.minCols.flatMap(c => Seq(
+          min(when(sign > 0L, col(c))).as(s"__ins_min_$c"),
+          min(when(sign < 0L, col(c))).as(s"__del_min_$c"))) ++
+        d.maxCols.flatMap(c => Seq(
+          max(when(sign > 0L, col(c))).as(s"__ins_max_$c"),
+          max(when(sign < 0L, col(c))).as(s"__del_max_$c")))
+    // the delta is consumed 2-3 times (NULL-group probe, classification
+    // or merge, min/max recompute planning) — persist so the CDF window
+    // is READ ONCE, keeping the O(changes) cost claim honest
+    val delta = changes.groupBy(d.groupCols.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+      .persist()
+    try {
+      val viewRows = FsStore.current(view).rowCount
+      val deltaEligible = d.groupCols.size == 1 && !hasMM
+      // the NULL group cannot ride a delta mask (masks key the first
+      // column) — probe only when the answer can matter
+      def touchesNullGroup: Boolean =
+        !delta.filter(col(d.groupCols.head).isNull).isEmpty
+      val useDelta = mode match {
+        case "delta" =>
+          require(d.groupCols.size == 1,
+            s"graft_fs($view): delta refresh needs a single group column " +
+              "(masks key on the first column); use replace")
+          require(!hasMM,
+            s"graft_fs($view): delta refresh maintains COUNT/SUM only — " +
+              "MIN/MAX views refresh via replace")
+          require(!touchesNullGroup,
+            s"graft_fs($view): delta refresh cannot mask a NULL group " +
+              "key — use mode=replace for windows touching the NULL group")
+          true
+        case "replace" => false
+        case "auto" =>
+          deltaEligible && deltaRows < math.max(64L, viewRows / 2) &&
+            !touchesNullGroup
+        case other => throw new IllegalArgumentException(
+          s"graft_fs($view): unknown refresh mode '$other'")
       }
-    stats.copy(fromVersion = last, deltaRows = deltaRows)
+      val stats =
+        if (useDelta) deltaContents(spark, view, d, delta, schema, head)
+        else swapContents(spark, view,
+          mergedContents(spark, view, d, delta, head), schema, head)
+      stats.copy(fromVersion = last, deltaRows = deltaRows)
+    } finally delta.unpersist(blocking = false): Unit
+  }
+
+  /** Full merged contents for a replace refresh: counting algebra for
+    * COUNT/SUM/nn, hybrid incremental-or-recompute for MIN/MAX. */
+  private def mergedContents(spark: SparkSession, view: String,
+      d: ViewDef, delta: DataFrame, baseVersion: Long): DataFrame = {
+    val g = d.groupCols
+    val sums = d.sumCols.map(c => s"sum_$c")
+    val nns = d.sumCols.map(c => s"nn_$c")
+    val cur = spark.table(s"graft.$view")
+    // ---- counting algebra: view ∪ delta, one more group-by ----------
+    // stored sums read back through coalesce (NULL ⇔ counter 0 ⇔ the
+    // signed sum is exactly 0); the merged sum is re-NULLed at the end
+    def countCols(src: DataFrame): DataFrame = src.select(
+      (g.map(col) :+ col("n_rows")) ++
+        (sums.map(c => coalesce(col(c), lit(0L)).as(c)) ++
+          nns.map(c => coalesce(col(c), lit(0L)).as(c))): _*)
+    val counts = countCols(cur).unionByName(countCols(delta))
+      .groupBy(g.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        (sums ++ nns).map(c => sum(col(c)).as(c)): _*)
+      .filter(col("n_rows") > 0L)
+    val servedSums = d.sumCols.map(c =>
+      when(col(s"nn_$c") === 0L, lit(null).cast(LongType))
+        .otherwise(col(s"sum_$c")).as(s"sum_$c"))
+    val countsServed = counts.select(
+      (g.map(col) :+ col("n_rows")) ++ servedSums ++ nns.map(col): _*)
+    if (d.minCols.isEmpty && d.maxCols.isEmpty) return countsServed
+    // ---- min/max hybrid --------------------------------------------
+    // null-safe group equality: the NULL group is a real group here
+    def gEq(l: DataFrame, r: DataFrame): Column =
+      g.map(c => l(c) <=> r(c)).reduce(_ && _)
+    // each call mints FRESH aliases (new expression ids / dataset id):
+    // the cur extremes are joined in twice (stale detection; the
+    // untouched-group fallthrough) and reusing one frame would be an
+    // ambiguous self-join
+    def mmCurFresh(): DataFrame = cur.select(g.map(col) ++
+      d.minCols.map(c => col(s"min_$c").as(s"__cur_min_$c")) ++
+      d.maxCols.map(c => col(s"max_$c").as(s"__cur_max_$c")): _*)
+    val mmCur = mmCurFresh()
+    val mmDelta = delta.select(g.map(col) ++ Seq(col("__n_del")) ++
+      d.minCols.flatMap(c => Seq(col(s"__ins_min_$c"), col(s"__del_min_$c"))) ++
+      d.maxCols.flatMap(c => Seq(col(s"__ins_max_$c"), col(s"__del_max_$c"))): _*)
+    val touched0 = mmDelta.join(mmCur, gEq(mmDelta, mmCur), "left")
+      .select(mmDelta.columns.map(mmDelta(_)).toIndexedSeq ++
+        mmCur.columns.filterNot(g.contains).map(mmCur(_)): _*)
+    // a group's stored extreme goes stale ONLY when the window deleted
+    // a value tying-or-beating it (deleting NULLs or interior values
+    // cannot move MIN/MAX); everything else folds in incrementally
+    val staleMin = d.minCols.map(c =>
+      col(s"__del_min_$c").isNotNull && (col(s"__cur_min_$c").isNull ||
+        col(s"__del_min_$c") <= col(s"__cur_min_$c")))
+    val staleMax = d.maxCols.map(c =>
+      col(s"__del_max_$c").isNotNull && (col(s"__cur_max_$c").isNull ||
+        col(s"__del_max_$c") >= col(s"__cur_max_$c")))
+    val needsRecompute = (staleMin ++ staleMax).reduce(_ || _)
+    val touched = touched0.select(g.map(col) ++ Seq(
+      needsRecompute.as("__rec"), lit(true).as("__tch")) ++
+      d.minCols.map(c =>
+        least(col(s"__cur_min_$c"), col(s"__ins_min_$c")).as(s"__inc_min_$c")) ++
+      d.maxCols.map(c =>
+        greatest(col(s"__cur_max_$c"), col(s"__ins_max_$c")).as(s"__inc_max_$c")): _*)
+    // recompute exactly the stale groups from the PINNED base snapshot
+    // (semi-join pushes the group filter into the scan where possible)
+    val staleGroups = touched.filter(col("__rec")).select(g.map(col): _*)
+    val base = spark.sql(
+      s"SELECT * FROM graft.${d.base} VERSION AS OF $baseVersion")
+    val recomputed = base.join(staleGroups, gEq(base, staleGroups), "left_semi")
+      .groupBy(g.map(col): _*)
+      .agg(
+        (d.minCols.map(c => min(col(c)).as(s"__rc_min_$c")) ++
+          d.maxCols.map(c => max(col(c)).as(s"__rc_max_$c"))).head,
+        (d.minCols.map(c => min(col(c)).as(s"__rc_min_$c")) ++
+          d.maxCols.map(c => max(col(c)).as(s"__rc_max_$c"))).tail: _*)
+    val j1 = countsServed.join(touched, gEq(countsServed, touched), "left")
+      .select(countsServed.columns.map(countsServed(_)).toIndexedSeq ++
+        touched.columns.filterNot(g.contains).map(touched(_)): _*)
+    val mmCur2 = mmCurFresh()
+    val j2 = j1.join(mmCur2, gEq(j1, mmCur2), "left")
+      .select(j1.columns.map(j1(_)).toIndexedSeq ++
+        mmCur2.columns.filterNot(g.contains).map(mmCur2(_)): _*)
+    val j3 = j2.join(recomputed, gEq(j2, recomputed), "left")
+      .select(j2.columns.map(j2(_)).toIndexedSeq ++
+        recomputed.columns.filterNot(g.contains).map(recomputed(_)): _*)
+    // per group: recomputed beats incremental beats untouched-current
+    val finalMins = d.minCols.map(c =>
+      when(col("__rec"), col(s"__rc_min_$c"))
+        .when(col("__tch"), col(s"__inc_min_$c"))
+        .otherwise(col(s"__cur_min_$c")).as(s"min_$c"))
+    val finalMaxs = d.maxCols.map(c =>
+      when(col("__rec"), col(s"__rc_max_$c"))
+        .when(col("__tch"), col(s"__inc_max_$c"))
+        .otherwise(col(s"__cur_max_$c")).as(s"max_$c"))
+    j3.select((g.map(col) :+ col("n_rows")) ++
+      d.sumCols.map(c => col(s"sum_$c")) ++ nns.map(col) ++
+      finalMins ++ finalMaxs: _*)
   }
 
   /** MERGE-ON-READ refresh: classify the delta against the current view
@@ -217,25 +381,36 @@ object FsMatView {
       d: ViewDef, delta: DataFrame, schema: StructType,
       baseVersion: Long): RefreshStats = {
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
-    import org.apache.spark.sql.types.IntegerType
     val g = d.groupCols.head
-    require(delta.filter(col(g).isNull).isEmpty,
-      s"graft_fs($view): delta refresh cannot mask a NULL group key — " +
-        "use mode=replace for windows touching the NULL group")
-    val sums = d.sumCols.map(c => s"sum_$c")
     val cur = spark.table(s"graft.$view")
+    val maintained = ("n_rows" +: d.sumCols.map(c => s"sum_$c")) ++
+      d.sumCols.map(c => s"nn_$c")
     val dren = delta.select(col(g).as("__g") +:
-      ("n_rows" +: sums).map(c => col(c).as(s"__d_$c")): _*)
+      maintained.map(c => col(c).as(s"__d_$c")): _*)
     val joined = dren.join(cur, dren("__g") === cur(g), "left")
     val newNExpr = coalesce(col("n_rows"), lit(0L)) + col("__d_n_rows")
     val newN = newNExpr.as("n_rows")
-    val newSums = d.sumCols.map(c =>
-      (coalesce(col(s"sum_$c"), lit(0L)) + col(s"__d_sum_$c")).as(s"sum_$c"))
+    // both sides NULL-coalesced: the stored sum is NULL when its
+    // counter is 0, and a window whose non-null contributions are all
+    // NULL yields a NULL delta sum — either would otherwise poison the
+    // addition (the round-10 advisory). The counter then re-NULLs the
+    // served sum exactly when SQL's SUM would be NULL.
+    val newNNs = d.sumCols.map(c =>
+      (coalesce(col(s"nn_$c"), lit(0L)) +
+        coalesce(col(s"__d_nn_$c"), lit(0L))).as(s"nn_$c"))
+    val newSums = d.sumCols.map { c =>
+      val raw = coalesce(col(s"sum_$c"), lit(0L)) +
+        coalesce(col(s"__d_sum_$c"), lit(0L))
+      val nn = coalesce(col(s"nn_$c"), lit(0L)) +
+        coalesce(col(s"__d_nn_$c"), lit(0L))
+      when(nn === 0L, lit(null).cast(LongType)).otherwise(raw).as(s"sum_$c")
+    }
     // 0 = group died (delete), 1 = update, 2 = new group (insert)
     val op = when(col("n_rows").isNotNull && newNExpr === 0L, lit(0))
       .when(col("n_rows").isNotNull, lit(1)).otherwise(lit(2))
     val out = joined
-      .select((op.as("__op") +: col("__g").as(g) +: newN +: newSums): _*)
+      .select(op.as("__op") +: col("__g").as(g) +: newN +:
+        (newSums ++ newNNs): _*)
       .filter(!(col("__op") === 2 && col("n_rows") === 0L))
     val viewHead = FsStore.current(view)
     val fields = schema.fields

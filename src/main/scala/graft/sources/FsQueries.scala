@@ -1421,7 +1421,8 @@ object FsQueries {
         FsStore.currentVersion("fs_mv") == vAfter,
         "a fresh view's refresh must install nothing")
       val full = s.table("graft.fsd_mvb").groupBy("grp")
-        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"),
+          count(col("qty")).as("nn_qty"))
       val view = s.table("graft.fs_mv")
       require(view.exceptAll(full).isEmpty && full.exceptAll(view).isEmpty,
         "incrementally maintained view must equal the full recompute")
@@ -1436,7 +1437,8 @@ object FsQueries {
            |  SELECT grp, CASE WHEN k % 5 = 0 THEN qty + 100 ELSE qty END AS qty
            |  FROM src WHERE NOT (k % 7 = 1 AND k % 5 <> 0))
            |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
-           |  CAST(SUM(qty) AS BIGINT) AS sum_qty
+           |  CAST(SUM(qty) AS BIGINT) AS sum_qty,
+           |  CAST(COUNT(qty) AS BIGINT) AS nn_qty
            |FROM fin GROUP BY grp ORDER BY grp""".stripMargin)
   )
 
@@ -1613,7 +1615,8 @@ object FsQueries {
       require(s.table("graft.fs_dv").filter(col("grp") === 7L).isEmpty,
         "a group deleted to zero rows must vanish from the view")
       val full = s.table("graft.fsd_dvb").groupBy("grp")
-        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"),
+          count(col("qty")).as("nn_qty"))
       val view = s.table("graft.fs_dv")
       require(view.exceptAll(full).isEmpty && full.exceptAll(view).isEmpty,
         "delta-refreshed view must equal the full recompute")
@@ -1634,7 +1637,8 @@ object FsQueries {
            |  SELECT grp, CASE WHEN k % 4 = 0 THEN qty + 500 ELSE qty END AS qty
            |  FROM src WHERE grp <> 7)
            |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
-           |  CAST(SUM(qty) AS BIGINT) AS sum_qty
+           |  CAST(SUM(qty) AS BIGINT) AS sum_qty,
+           |  CAST(COUNT(qty) AS BIGINT) AS nn_qty
            |FROM fin GROUP BY grp ORDER BY grp""".stripMargin)
   )
 
@@ -1735,7 +1739,8 @@ object FsQueries {
       val healed = FsMatView.refresh(s, "fs_pv")
       require(healed.applied && FsMatView.isFresh("fs_pv"))
       val fullV = s.table("graft.fs_prod").groupBy("seg")
-        .agg(count(lit(1)).as("n_rows"), sum(col("bal")).as("sum_bal"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("bal")).as("sum_bal"),
+          count(col("bal")).as("nn_bal"))
       val view = s.table("graft.fs_pv")
       require(view.exceptAll(fullV).isEmpty && fullV.exceptAll(view).isEmpty,
         "a view refreshed across RESTORE must equal the recompute")
@@ -1774,6 +1779,129 @@ object FsQueries {
            |ORDER BY side, seg""".stripMargin)
   )
 
+  /** q321: NULL-EXACT incremental view maintenance — the round-10
+    * advisory closed as a capability: every maintained SUM carries a
+    * per-group NON-NULL COUNTER (`nn_<col>`), so a change window whose
+    * delta sum is NULL (all changed rows hold NULL) cannot poison an
+    * existing group, and deleting a group's LAST non-null value serves
+    * SUM as NULL (SQL semantics), never 0. Both windows ride the
+    * MERGE-ON-READ delta path — the counters are maintained through the
+    * masked commit too. The in-query requires pin the two failure modes
+    * by name; DuckDB recomputes the final state with its own SUM/COUNT
+    * NULL semantics. */
+  val q321FsMatViewNulls = graft.QueryDef(
+    "q321_fs_matview_nulls",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.orders(s, d).select(
+        col("o_orderkey").cast(LongType).as("k"),
+        (col("o_custkey") % 20).cast(LongType).as("grp"),
+        when(col("o_orderkey") % 3 === 0, lit(null).cast(LongType))
+          .otherwise(floor(col("o_totalprice")).cast(LongType)).as("val"))
+      s.sql("DROP TABLE IF EXISTS graft.fsd_nvb")
+      if (FsStore.exists("fs_nv")) FsStore.drop("fs_nv")
+      src.filter(col("k") % 3 =!= 0).writeTo("graft.fsd_nvb").create()
+      FsMatView.create(s, "fs_nv", "fsd_nvb", Seq("grp"), Seq("val"))
+      // window 1: an ALL-NULL delta into EXISTING groups (k%3=0 rows all
+      // carry NULL val) — the poisoned-addition shape
+      src.filter(col("k") % 3 === 0).writeTo("graft.fsd_nvb").append()
+      val s1 = FsMatView.refresh(s, "fs_nv", mode = "delta")
+      require(s1.applied && s1.incremental,
+        "NULL-delta window must still ride the merge-on-read path")
+      require(s.table("graft.fs_nv")
+        .filter(col("sum_val").isNull && col("nn_val") > 0L).isEmpty,
+        "an all-NULL delta must not NULL an existing group's sum")
+      // window 2: delete EVERY non-null value of group 5 — its SUM must
+      // go NULL (counter 0) while the group survives on its NULL rows
+      s.sql("DELETE FROM graft.fsd_nvb WHERE grp = 5 AND val IS NOT NULL")
+      val s2 = FsMatView.refresh(s, "fs_nv", mode = "delta")
+      require(s2.applied && s2.incremental && FsMatView.isFresh("fs_nv"))
+      val g5 = s.table("graft.fs_nv").filter(col("grp") === 5L).head()
+      require(g5.isNullAt(2) && g5.getLong(3) == 0L && g5.getLong(1) > 0L,
+        "SUM must serve NULL when the last non-null value is deleted")
+      val full = s.table("graft.fsd_nvb").groupBy("grp")
+        .agg(count(lit(1)).as("n_rows"), sum(col("val")).as("sum_val"),
+          count(col("val")).as("nn_val"))
+      val view = s.table("graft.fs_nv")
+      require(view.exceptAll(full).isEmpty && full.exceptAll(view).isEmpty,
+        "NULL-bearing view must equal the full recompute")
+      view.orderBy("grp")
+    },
+    Some("""WITH src AS (
+           |  SELECT o_orderkey AS k,
+           |    CAST(o_custkey % 20 AS BIGINT) AS grp,
+           |    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+           |         ELSE CAST(FLOOR(o_totalprice) AS BIGINT) END AS val
+           |  FROM orders),
+           |fin AS (
+           |  SELECT grp, val FROM src
+           |  WHERE NOT (grp = 5 AND val IS NOT NULL))
+           |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(val) AS BIGINT) AS sum_val,
+           |  CAST(COUNT(val) AS BIGINT) AS nn_val
+           |FROM fin GROUP BY grp ORDER BY grp""".stripMargin)
+  )
+
+  /** q322: MIN/MAX materialized view maintenance — the hybrid the
+    * counting algebra cannot express: inserts fold in incrementally
+    * (`least`/`greatest`), and a group is recomputed from the PINNED
+    * base snapshot only when the window deletes a value tying-or-beating
+    * its stored extreme (MERGE pre-images count — an UPDATE moving the
+    * max is delete-of-old + insert-of-new). The view rides one refresh
+    * across an append, then a MERGE UPDATE + DELETE wave; DuckDB
+    * recomputes the final state's MIN/MAX/SUM/COUNT per group. */
+  val q322FsMatViewMinMax = graft.QueryDef(
+    "q322_fs_matview_minmax",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.part(s, d).select(
+        col("p_partkey").cast(LongType).as("k"),
+        (col("p_partkey") % 16).cast(LongType).as("grp"),
+        floor(col("p_retailprice")).cast(LongType).as("val"))
+      s.sql("DROP TABLE IF EXISTS graft.fsd_mmb")
+      if (FsStore.exists("fs_mmv")) FsStore.drop("fs_mmv")
+      src.filter(col("k") % 5 =!= 0).writeTo("graft.fsd_mmb").create()
+      FsMatView.create(s, "fs_mmv", "fsd_mmb", Seq("grp"), Seq("val"),
+        minCols = Seq("val"), maxCols = Seq("val"))
+      // window 1: inserts only — extremes fold in without a base scan
+      src.filter(col("k") % 5 === 0).writeTo("graft.fsd_mmb").append()
+      require(FsMatView.refresh(s, "fs_mmv").applied)
+      // window 2: MERGE moves values up (+1000: old value = a DELETED
+      // pre-image that may have been a group min) and a DELETE wave
+      // removes rows outright — the stale-extreme recompute case
+      src.filter(col("k") % 4 === 0).createOrReplaceTempView("fsmm_upd")
+      s.sql("""MERGE INTO graft.fsd_mmb t USING fsmm_upd s ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET t.val = t.val + 1000
+              |""".stripMargin)
+      s.sql("DELETE FROM graft.fsd_mmb WHERE k % 13 = 0")
+      val st = FsMatView.refresh(s, "fs_mmv")
+      require(st.applied && FsMatView.isFresh("fs_mmv"))
+      val full = s.table("graft.fsd_mmb").groupBy("grp")
+        .agg(count(lit(1)).as("n_rows"), sum(col("val")).as("sum_val"),
+          count(col("val")).as("nn_val"), min(col("val")).as("min_val"),
+          max(col("val")).as("max_val"))
+      val view = s.table("graft.fs_mmv")
+      require(view.exceptAll(full).isEmpty && full.exceptAll(view).isEmpty,
+        "min/max view must equal the full recompute after delete waves")
+      view.orderBy("grp")
+    },
+    Some("""WITH src AS (
+           |  SELECT p_partkey AS k,
+           |    CAST(p_partkey % 16 AS BIGINT) AS grp,
+           |    CAST(FLOOR(p_retailprice) AS BIGINT) AS val
+           |  FROM part),
+           |fin AS (
+           |  SELECT grp,
+           |    CASE WHEN k % 4 = 0 THEN val + 1000 ELSE val END AS val
+           |  FROM src WHERE k % 13 <> 0)
+           |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(val) AS BIGINT) AS sum_val,
+           |  CAST(COUNT(val) AS BIGINT) AS nn_val,
+           |  CAST(MIN(val) AS BIGINT) AS min_val,
+           |  CAST(MAX(val) AS BIGINT) AS max_val
+           |FROM fin GROUP BY grp ORDER BY grp""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q289FsRoundtrip, q290FsUpdate,
     q291FsMerge, q292FsdDeltaMerge, q293FsEvolution, q294FsdCdfBatch,
     q295FsdCdfStream, q296FsTimestampTravel, q297FsFeedBytes,
@@ -1783,5 +1911,5 @@ object FsQueries {
     q310FsWapBranch, q311FsRebucket, q312FsMetaTables, q313FsNullSkip,
     q314FsCurationWap, q315FsMatViewIvm, q316FsTxnPublish,
     q317FsNgramSkip, q318FsMatViewDelta, q319FsBinaryPayload,
-    q320FsCloneRestore)
+    q320FsCloneRestore, q321FsMatViewNulls, q322FsMatViewMinMax)
 }

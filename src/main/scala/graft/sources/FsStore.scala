@@ -1347,13 +1347,19 @@ object FsStore {
     val head = currentVersion(src)
     (oldestVersion(src) to head).foreach { vid =>
       val v = versionAt(src, vid)
+      // strip the source's txn stamp: a clone's versions are committed
+      // by construction (versionAt only serves visible ones) — keeping
+      // the stamp would tie the clone's readability forever to the
+      // SOURCE's _txn/<id>.committed marker file (marker expiry or a
+      // relocated clone would brick it)
       writeManifest(dst, v.copy(
         files = v.files.map(relinkRef),
         masks = relinkMasks(v.masks),
         changes = v.changes.map(c => c.copy(
           files = c.files.map(relinkRef),
           masks = relinkMasks(c.masks),
-          keys = c.keys.map(relinkRef)))))
+          keys = c.keys.map(relinkRef))),
+        txnId = None))
     }
     head
   }

@@ -643,35 +643,20 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
     }
   private val bloomCache =
     scala.collection.mutable.Map[String, Map[Int, FsBloom]]()
-  /** A pushed equality predicate whose EVERY probe value is provably
-    * absent from the file's bloom proves the file holds no qualifying
-    * row. Files without a sidecar (buffer-cap overflow, pre-index era,
-    * all-NULL column) are never skipped on it. */
-  private def bloomPruned(f: FileRef): Boolean =
-    bloomProbes.nonEmpty && f.bloom.exists { p =>
-      val blooms = bloomCache.getOrElseUpdate(p, FsBloom.readSidecar(p))
-      bloomProbes.exists { case (id, probes) =>
-        blooms.get(id).exists(b =>
-          probes.forall { case (h1, h2) => !b.mightContain(h1, h2) })
-      }
-    }
   /** Gram probes of the pushed substring needles (sidecar key space is
     * `-(fieldId+1)` — see the writer's NgramTracker). */
   private val ngramProbes: Vector[(Int, Vector[(Long, Long)])] =
     ngramPreds.map { case (id, gs) =>
       -(id + 1) -> gs.map(FsBloom.hashLong)
     }
-  /** A matching row contains the needle, hence every one of its byte
-    * 3-grams — so ONE gram provably absent from the file's gram bloom
-    * proves no row of the file can match that pushed predicate. Files
-    * without a gram bloom (all-NULL column, pre-index era) never skip. */
-  private def ngramPruned(f: FileRef): Boolean =
-    ngramProbes.nonEmpty && f.bloom.exists { p =>
+  /** Value blooms prove absence when EVERY probe value of a predicate
+    * misses; gram blooms when ANY gram of a needle misses (a matching
+    * row carries every gram). Files without a sidecar (buffer-cap
+    * overflow, pre-index era, all-NULL column) are never skipped. */
+  private def sidecarPruned(f: FileRef): Boolean =
+    (bloomProbes.nonEmpty || ngramProbes.nonEmpty) && f.bloom.exists { p =>
       val blooms = bloomCache.getOrElseUpdate(p, FsBloom.readSidecar(p))
-      ngramProbes.exists { case (id, grams) =>
-        blooms.get(id).exists(b =>
-          grams.exists { case (h1, h2) => !b.mightContain(h1, h2) })
-      }
+      FsBloom.pruned(blooms, bloomProbes, ngramProbes)
     }
   /** A pushed null-ness conjunct the per-file counts refute: 0 NULLs
     * proves no IS NULL row, all-NULL proves no IS NOT NULL row. Files
@@ -681,14 +666,27 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
       f.nullCounts.get(id).exists(n =>
         if (wantNull) n == 0L else n == f.rows)
     }
-  /** Partition-, zone-map-, null-count-, bloom- and runtime-filter
-    * survivors of the snapshot's file set (cheap manifest checks
-    * first — a bloom probe reads a sidecar). */
-  private def survivors: Vector[FileRef] =
+  /** Survivors of the MANIFEST-only prunes (partition, zone map, null
+    * count, runtime keys) — no file IO of any kind. */
+  private def cheapSurvivors: Vector[FileRef] =
     ver.files.filterNot(f =>
       bucketPruned(f) || f.disjointFrom(lo, hi) || statDisjoint(f) ||
-        nullPruned(f) || runtimePruned(f) || bloomPruned(f) ||
-        ngramPruned(f))
+        nullPruned(f) || runtimePruned(f))
+  /** Above [[FsBloom.DriverProbeMax]] cheap survivors, sidecar probing
+    * moves INTO the reader tasks (hashed probes ride the partitions):
+    * blooms exist for exactly the scattered-column shape where nothing
+    * else prunes, and serial ~1 MB-per-file driver IO at plan time does
+    * not survive a million-file table. Small scans keep the driver
+    * probe (fewer tasks beats fewer sidecar reads there). */
+  private def probeTaskSide: Boolean =
+    (bloomProbes.nonEmpty || ngramProbes.nonEmpty) &&
+      cheapSurvivors.size > FsBloom.DriverProbeMax
+  /** Planned file set: cheap prunes always; sidecar prunes only in
+    * driver-probe mode (task mode prunes at read time instead). */
+  private def survivors: Vector[FileRef] = {
+    val cheap = cheapSurvivors
+    if (probeTaskSide) cheap else cheap.filterNot(sidecarPruned)
+  }
   /** The bucketed layout is reportable when every surviving file knows
     * its bucket (always true for tables created with a spec). */
   private def bucketedLayout: Boolean =
@@ -720,6 +718,7 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
     val nl = if (nullPreds.isEmpty) "" else s", nullProbes=${nullPreds.size}"
     val ng = if (ngramPreds.isEmpty) ""
       else s", ngramProbes=${ngramPreds.size}"
+    val pm = if (probeTaskSide) ", probe=task" else ""
     val rt = runtimeKeys.map(ks => s", runtime=${ks.length} keys").getOrElse("")
     val files =
       if (keyB.isEmpty && colB.isEmpty && rt.isEmpty && bl.isEmpty &&
@@ -727,7 +726,7 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
       else s", files=${survivors.size}/${ver.files.size}"
     val pruned = required.map(r => s", pruned=${r.fieldNames.mkString(",")}")
       .getOrElse("")
-    s"FsScan[$name,v=$snapVersion${if (cdf) ",cdf" else ""}$keyB$colB$bl$nl$ng$rt$files$pruned]"
+    s"FsScan[$name,v=$snapVersion${if (cdf) ",cdf" else ""}$keyB$colB$bl$nl$ng$pm$rt$files$pruned]"
   }
 
   /** Manifest-sourced statistics (the q283 contract), zone-map-aware:
@@ -759,6 +758,8 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
       // masks are keyed by the row id; when pruning removed it, the key
       // rides along internally (stripKey) so masking still works
       val files = survivors
+      val taskB = if (probeTaskSide) bloomProbes else Vector.empty
+      val taskN = if (probeTaskSide) ngramProbes else Vector.empty
       val needKey = files.exists(f => FsScanPlanner.masksFor(f, ver.masks).nonEmpty)
       val hasKey = outSchema.fields.headOption.exists(f =>
         FsStore.fieldId(f) == FsStore.fieldId(dataSchema.fields.head))
@@ -775,11 +776,12 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
             byBucket.getOrElse(b, Vector.empty)
               .map(f => (f, FsScanPlanner.masksFor(f, ver.masks))),
             ver.lineage, scanSchema, Vector.empty, None, 0L, -1L, strip,
-            bucketKey = b): InputPartition
+            bucketKey = b, taskBloom = taskB, taskNgram = taskN): InputPartition
         }.toArray
       } else files.map { f =>
         FsScanPartition(Vector((f, FsScanPlanner.masksFor(f, ver.masks))),
-          ver.lineage, scanSchema, Vector.empty, None, 0L, -1L, strip): InputPartition
+          ver.lineage, scanSchema, Vector.empty, None, 0L, -1L, strip,
+          taskBloom = taskB, taskNgram = taskN): InputPartition
       }.toArray
     }
 
@@ -893,7 +895,19 @@ case class FsScanPartition(
     skip: Long,
     take: Long,
     stripKey: Boolean = false,
-    bucketKey: Int = -1) extends InputPartition with HasPartitionKey {
+    bucketKey: Int = -1,
+    taskBloom: Vector[(Int, Vector[(Long, Long)])] = Vector.empty,
+    taskNgram: Vector[(Int, Vector[(Long, Long)])] = Vector.empty)
+    extends InputPartition with HasPartitionKey {
+  /** Task-side sidecar probe (large scans — [[FsBloom.DriverProbeMax]]):
+    * decide from the file's OWN sidecar, before opening the data file,
+    * whether any pushed bloom/gram predicate proves it empty. */
+  def taskPruned(f: FileRef): Boolean =
+    (taskBloom.nonEmpty || taskNgram.nonEmpty) && f.bloom.exists { p =>
+      val skip = FsBloom.pruned(FsBloom.readSidecar(p), taskBloom, taskNgram)
+      if (skip) FsBloom.taskSkipped.incrementAndGet(): Unit
+      skip
+    }
   /** Consulted only when [[FsScan.outputPartitioning]] reports the
     * key-grouped layout — the SPJ planner aligns both sides' splits by
     * this value and never re-checks it. */
@@ -1015,10 +1029,14 @@ class FsReaderFactory(columnar: Boolean = false) extends PartitionReaderFactory 
           if (cur == null) {
             if (!files.hasNext) return false
             val (f, _) = files.next()
-            cur = FsVectorized.open(f.path, fp.lineage(f.schemaId), fp.scanSchema)
+            // task-side sidecar probe: skip the whole file unopened
+            if (!fp.taskPruned(f))
+              cur = FsVectorized.open(f.path, fp.lineage(f.schemaId), fp.scanSchema)
           }
-          if (cur.nextBatch()) { batch = decorate(cur.resultBatch()); return true }
-          cur.close(); cur = null
+          if (cur != null) {
+            if (cur.nextBatch()) { batch = decorate(cur.resultBatch()); return true }
+            cur.close(); cur = null
+          }
         }
         false
       }
@@ -1060,13 +1078,17 @@ class FsReaderFactory(columnar: Boolean = false) extends PartitionReaderFactory 
       private var live: FsParquet.RowIter = _
       private val base: Iterator[InternalRow] =
         fp.files.iterator.flatMap { case (f, maskFiles) =>
-          val mask = keysOf(maskFiles)
-          val rows = FsParquet.read(f.path, fp.lineage(f.schemaId), fp.scanSchema)
-          live = rows
-          if (mask.isEmpty && fp.keysFilter.isEmpty) rows
-          else rows.filter { r =>
-            val k = FsParquet.normalizeKey(r.get(0, keyType))
-            !mask.contains(k) && (fp.keysFilter.isEmpty || filterSet.contains(k))
+          // task-side sidecar probe: skip the whole file unopened
+          if (fp.taskPruned(f)) Iterator.empty
+          else {
+            val mask = keysOf(maskFiles)
+            val rows = FsParquet.read(f.path, fp.lineage(f.schemaId), fp.scanSchema)
+            live = rows
+            if (mask.isEmpty && fp.keysFilter.isEmpty) rows
+            else rows.filter { r =>
+              val k = FsParquet.normalizeKey(r.get(0, keyType))
+              !mask.contains(k) && (fp.keysFilter.isEmpty || filterSet.contains(k))
+            }
           }
         }
       private val sliced: Iterator[InternalRow] = {

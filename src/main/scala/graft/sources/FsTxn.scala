@@ -48,12 +48,18 @@ object FsTxn {
       val staged: Seq[(TxnOp, Long)]) {
     /** The atomic all-tables commit point. */
     def commit(): Unit = FsStore.txnCommitMark(id)
-    /** Roll back: no table ever saw the staged versions. */
+    /** Roll back: no table ever saw the staged versions. The MARKER
+      * lands first — a crash mid-rollback must leave the txn resolved
+      * (aborted), never a half-deleted pending set that a later
+      * commit() could publish TORN. Leftover pending manifests of an
+      * aborted txn are inert: the install-time occupant check and
+      * recovery both tolerate them, and commit-after-abort is refused
+      * deterministically by the marker. */
     def abort(): Unit = {
+      FsStore.txnAbortMark(id)
       staged.foreach { case (op, _) =>
         FsStore.deletePendingManifest(op.table, id)
       }
-      FsStore.txnAbortMark(id)
     }
   }
 
@@ -97,8 +103,9 @@ object FsTxn {
   def abortById(id: String): Unit = {
     require(!FsStore.txnCommitted(id),
       s"graft_fs: transaction $id committed — nothing to roll back")
-    FsStore.txnTables(id).foreach(FsStore.deletePendingManifest(_, id))
+    // marker first (same crash-ordering argument as Prepared.abort)
     FsStore.txnAbortMark(id)
+    FsStore.txnTables(id).foreach(FsStore.deletePendingManifest(_, id))
   }
 
   /** Unresolved transaction ids found on disk (begin record without a

@@ -43,6 +43,30 @@ class FsCloneRestoreSpec extends SparkSpec {
     drop("fs_cl2")
   }
 
+  test("clone: versions loaded by a transaction stay readable after the txn marker expires") {
+    cat(); drop("fs_cl3"); drop("fs_cl4"); drop("fs_cl3d")
+    spark.sql("CREATE TABLE graft.fs_cl3 (k BIGINT, v BIGINT)")
+    (0L until 80L).map(k => (k, k % 5)).toDF("k", "v")
+      .writeTo("graft.fs_cl3d").create()
+    val committed = FsTxn.commitAll(Seq(FsTxn.TxnOp("fs_cl3", "fs_cl3d")))
+    val txnId = {
+      // the source head's visibility hangs on this marker
+      val v = FsStore.versionAt("fs_cl3", committed.head._2)
+      assert(v.txnId.nonEmpty, "txn-loaded version must carry the stamp")
+      v.txnId.get
+    }
+    FsStore.cloneTable("fs_cl3", "fs_cl4")
+    assert(spark.table("graft.fs_cl4").count() == 80L)
+    // expire the marker (cleanup/relocation scenario): the clone's
+    // manifests carry NO stamp — committed by construction — so its
+    // whole history must stay readable
+    java.nio.file.Files.delete(FsStore.txnMarker(txnId, "committed"))
+    assert(spark.table("graft.fs_cl4").count() == 80L,
+      "clone must not depend on the source's txn markers")
+    assert(spark.sql("SELECT * FROM graft.fs_cl4 VERSION AS OF 1").count() == 80L)
+    drop("fs_cl3"); drop("fs_cl4"); drop("fs_cl3d")
+  }
+
   test("restore: logical rollback with travel to the botched era intact; refusal edges") {
     cat(); drop("fs_rs1")
     val src = (0L until 100L).map(k => (k, k % 5)).toDF("k", "v")

@@ -20,7 +20,8 @@ class FsMatViewSpec extends SparkSpec {
 
   private def fullRecompute(base: String): DataFrame =
     spark.table(s"graft.$base").groupBy("g")
-      .agg(count(lit(1)).as("n_rows"), sum($"v".cast("long")).as("sum_v"))
+      .agg(count(lit(1)).as("n_rows"), sum($"v".cast("long")).as("sum_v"),
+        count($"v").as("nn_v"))
 
   private def assertViewEquals(view: String, expected: DataFrame): Unit = {
     val got = spark.table(s"graft.$view")
@@ -178,6 +179,100 @@ class FsMatViewSpec extends SparkSpec {
     assert(v2.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((10L, 39L), (15L, 1L)))
     drop("fsd_ivc"); drop("fs_ivc1"); drop("fs_ivc2")
+  }
+
+  test("ivm: NULL values in SUM columns stay SQL-exact through delta AND replace refreshes") {
+    cat(); drop("fsd_ivs"); drop("fs_ivs")
+    // group 0 starts all-NULL (SUM must serve NULL); group 1 mixed
+    Seq((1L, 0L, Option.empty[Long]), (2L, 0L, Option.empty[Long]),
+      (3L, 1L, Option(5L)), (4L, 1L, Option.empty[Long]))
+      .toDF("k", "g", "v").writeTo("graft.fsd_ivs").create()
+    FsMatView.create(spark, "fs_ivs", "fsd_ivs", Seq("g"), Seq("v"))
+    assertViewEquals("fs_ivs", fullRecompute("fsd_ivs"))
+    // window 1 (delta path): append an ALL-NULL row into existing group 1
+    // — the round-10 advisory shape: the window's delta sum is NULL and
+    // must not poison group 1's stored sum
+    Seq((5L, 1L, Option.empty[Long])).toDF("k", "g", "v")
+      .writeTo("graft.fsd_ivs").append()
+    val s1 = FsMatView.refresh(spark, "fs_ivs", mode = "delta")
+    assert(s1.applied && s1.incremental)
+    assertViewEquals("fs_ivs", fullRecompute("fsd_ivs"))
+    assert(spark.table("graft.fs_ivs").filter($"g" === 1L)
+      .head().getLong(2) == 5L, "NULL delta must not corrupt the sum")
+    // window 2 (delta path): delete group 1's ONLY non-null value — the
+    // served SUM must go back to NULL (counter reaches 0), not 0
+    spark.sql("DELETE FROM graft.fsd_ivs WHERE k = 3")
+    assert(FsMatView.refresh(spark, "fs_ivs", mode = "delta").applied)
+    assertViewEquals("fs_ivs", fullRecompute("fsd_ivs"))
+    val g1 = spark.table("graft.fs_ivs").filter($"g" === 1L).head()
+    assert(g1.isNullAt(2) && g1.getLong(3) == 0L,
+      "SUM must serve NULL when its last non-null value is deleted")
+    // window 3 (replace path): same invariants through the full merge
+    Seq((6L, 0L, Option(7L)), (7L, 1L, Option.empty[Long]))
+      .toDF("k", "g", "v").writeTo("graft.fsd_ivs").append()
+    assert(FsMatView.refresh(spark, "fs_ivs", mode = "replace").applied)
+    assertViewEquals("fs_ivs", fullRecompute("fsd_ivs"))
+    drop("fsd_ivs"); drop("fs_ivs")
+  }
+
+  test("ivm: auto mode falls back to replace (never throws) when a small window touches the NULL group") {
+    cat(); drop("fsd_ivng"); drop("fs_ivng")
+    (0L until 400L).map(k => (k, Option(k % 40), k % 7))
+      .toDF("k", "g", "v").writeTo("graft.fsd_ivng").create()
+    FsMatView.create(spark, "fs_ivng", "fsd_ivng", Seq("g"), Seq("v"))
+    // a SMALL window (auto would pick delta) that touches the NULL group
+    Seq((1000L, Option.empty[Long], 3L), (1001L, Option(2L), 4L))
+      .toDF("k", "g", "v").writeTo("graft.fsd_ivng").append()
+    val st = FsMatView.refresh(spark, "fs_ivng") // auto: must not throw
+    assert(st.applied && !st.incremental,
+      "auto must degrade to replace for a NULL-group window")
+    assertViewEquals("fs_ivng", fullRecompute("fsd_ivng"))
+    drop("fsd_ivng"); drop("fs_ivng")
+  }
+
+  test("ivm min/max: inserts fold in incrementally; deletes of the extreme recompute only stale groups") {
+    cat(); drop("fsd_ivm"); drop("fs_ivm")
+    val src = (0L until 300L).map(k => (k, k % 6, k % 50))
+      .toDF("k", "g", "v")
+    src.writeTo("graft.fsd_ivm").create()
+    def full(): DataFrame = spark.table("graft.fsd_ivm").groupBy("g")
+      .agg(count(lit(1)).as("n_rows"), sum($"v".cast("long")).as("sum_v"),
+        count($"v").as("nn_v"), min($"v").as("min_v"), max($"v").as("max_v"))
+    FsMatView.create(spark, "fs_ivm", "fsd_ivm", Seq("g"), Seq("v"),
+      minCols = Seq("v"), maxCols = Seq("v"))
+    assertViewEquals("fs_ivm", full())
+    // inserts only: min/max fold in without touching the base
+    Seq((1000L, 2L, -5L), (1001L, 3L, 99L)).toDF("k", "g", "v")
+      .writeTo("graft.fsd_ivm").append()
+    assert(FsMatView.refresh(spark, "fs_ivm").applied)
+    assertViewEquals("fs_ivm", full())
+    assert(spark.table("graft.fs_ivm").filter($"g" === 2L)
+      .head().getAs[Long]("min_v") == -5L)
+    // delete the global max of group 3 (the 99) — stale, must recompute
+    spark.sql("DELETE FROM graft.fsd_ivm WHERE k = 1001")
+    // and delete interior values of group 4 — NOT stale, no recompute needed
+    spark.sql("DELETE FROM graft.fsd_ivm WHERE g = 4 AND v BETWEEN 10 AND 20")
+    assert(FsMatView.refresh(spark, "fs_ivm").applied)
+    assertViewEquals("fs_ivm", full())
+    // MERGE with updates moving the extremes both ways
+    spark.table("graft.fsd_ivm").filter($"k" % 9 === 0)
+      .createOrReplaceTempView("ivm_mm_upd")
+    spark.sql("""MERGE INTO graft.fsd_ivm t USING ivm_mm_upd s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET t.v = t.v + 200
+                |""".stripMargin)
+    assert(FsMatView.refresh(spark, "fs_ivm").applied)
+    assertViewEquals("fs_ivm", full())
+    // delta mode is a loud refusal for MIN/MAX views (needs a pending
+    // window — a fresh view returns before mode validation)
+    Seq((2000L, 1L, 1L)).toDF("k", "g", "v").writeTo("graft.fsd_ivm").append()
+    val e = intercept[IllegalArgumentException] {
+      FsMatView.refresh(spark, "fs_ivm", mode = "delta")
+    }
+    assert(e.getMessage.contains("MIN/MAX"))
+    // auto degrades the same window to replace and stays exact
+    assert(FsMatView.refresh(spark, "fs_ivm").applied)
+    assertViewEquals("fs_ivm", full())
+    drop("fsd_ivm"); drop("fs_ivm")
   }
 
   test("ivm: endingVersion pins the CDF window against concurrent base commits") {

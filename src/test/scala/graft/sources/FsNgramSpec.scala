@@ -40,6 +40,37 @@ class FsNgramSpec extends SparkSpec {
     drop("fs_ng1")
   }
 
+  test("ngram/bloom: task-side probing returns the DRIVER-probe result set and actually skips files") {
+    val nFiles = mkTable("fs_ngt")
+    val needle = "tenant6.example"
+    def run() = spark.table("graft.fs_ngt")
+      .filter($"uri".contains(needle)).orderBy("k").collect().toSeq
+    // driver mode (default threshold): plan-time sidecar pruning
+    val driverRows = run()
+    val driverPlan = spark.table("graft.fs_ngt")
+      .filter($"uri".contains(needle)).queryExecution.executedPlan.toString
+    assert(driverPlan.contains(s"files=1/$nFiles") &&
+      !driverPlan.contains("probe=task"))
+    // task mode (threshold forced to 0): identical rows, probes ride
+    // the partitions, and the reader-side skip counter moves
+    val before = FsBloom.taskSkipped.get()
+    FsBloom.DriverProbeMax = 0
+    try {
+      val q = spark.table("graft.fs_ngt").filter($"uri".contains(needle))
+        .orderBy("k")
+      val taskRows = q.collect().toSeq
+      assert(taskRows == driverRows,
+        "task-side probing must not change the result set")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("probe=task"), s"task mode must be declared: $plan")
+      assert(plan.contains(s"files=$nFiles/$nFiles"),
+        s"task mode plans ALL cheap survivors (pruning happens in tasks): $plan")
+      assert(FsBloom.taskSkipped.get() > before,
+        "reader tasks must have skipped files via their sidecars")
+    } finally FsBloom.DriverProbeMax = 64
+    drop("fs_ngt")
+  }
+
   test("ngram: mid-token needles match (byte grams, not tokens); prefix/suffix/equality also push") {
     val nFiles = mkTable("fs_ng2")
     // mid-token: 'ant3.exam' crosses 'tenant3' and '.example'

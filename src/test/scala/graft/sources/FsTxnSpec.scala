@@ -140,6 +140,29 @@ class FsTxnSpec extends SparkSpec {
     }
   }
 
+  test("txn: a crashed abort (marker down, pending manifests left) can never commit torn") {
+    mkTables("fs_txf7", "fs_txs7")
+    val d1 = stage("fs_txd11", (100L until 120L).map(k => (k, k % 10)).toDF("k", "v"))
+    val d2 = stage("fs_txd12", (0L until 10L).map(g => (g, 12L)).toDF("g", "n"))
+    val p = FsTxn.prepare(Seq(
+      FsTxn.TxnOp("fs_txf7", d1), FsTxn.TxnOp("fs_txs7", d2)))
+    // simulate the crash window abort() is ordered for: the .aborted
+    // marker landed but NO pending manifest was deleted yet
+    FsStore.txnAbortMark(p.id)
+    // the decisive invariant: commit after the marker is REFUSED — the
+    // old delete-first ordering let a commit here publish only the
+    // tables whose manifests were already gone (a torn transaction)
+    intercept[IllegalArgumentException] { p.commit() }
+    // leftover pending manifests are inert: both tables read old heads
+    assert(count("fs_txf7") == 100L && count("fs_txs7") == 10L)
+    // the interrupted rollback completes idempotently; tables writable
+    p.abort()
+    (200L until 205L).map(k => (k, k % 10)).toDF("k", "v")
+      .writeTo("graft.fs_txf7").append()
+    assert(count("fs_txf7") == 105L)
+    drop("fs_txf7"); drop("fs_txs7"); drop("fs_txd11"); drop("fs_txd12")
+  }
+
   test("txn: prepare failure on the second table rolls back the first (all-or-nothing prepare)") {
     mkTables("fs_txf5", "fs_txs5")
     val d1 = stage("fs_txd8", (100L until 120L).map(k => (k, k % 10)).toDF("k", "v"))
