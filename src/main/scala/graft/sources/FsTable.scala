@@ -785,15 +785,16 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
       }.toArray
     }
 
-  /** COLUMNAR when every surviving file is a plain snapshot read (no
-    * delta masks anywhere — Spark requires all partitions of one scan to
-    * agree): parquet pages decode straight into column vectors
-    * ([[FsVectorized]]) and the plan gains a `ColumnarToRow` feeding
-    * whole-stage codegen. Masked/CDF scans keep the row reader (per-row
-    * key logic). */
-  private def allColumnar: Boolean =
-    FsVectorized.enabled && !cdf &&
-      survivors.forall(f => FsScanPlanner.masksFor(f, ver.masks).isEmpty)
+  /** COLUMNAR for every snapshot scan, MASKED ones included: parquet
+    * pages decode straight into column vectors ([[FsVectorized]]) and
+    * the plan gains a `ColumnarToRow` feeding whole-stage codegen.
+    * Delta masks apply BATCH-level in the reader — a selection view
+    * over the key vector ([[FsVectorized.SelectedVector]]) — so the
+    * merge-on-read table shape a CDC-fed warehouse scans most no longer
+    * forfeits the vectorized constant factor. CDF windows stay columnar
+    * only when pure-insert ([[cdfAllColumnar]]); sliced feeds keep the
+    * row reader. */
+  private def allColumnar: Boolean = FsVectorized.enabled && !cdf
 
   /** COLUMNAR CDF for APPEND-ONLY windows — the dominant incremental-
     * consumption shape (ETL over accreting tables, [[FsMatView]] append
@@ -988,18 +989,71 @@ class FsReaderFactory(columnar: Boolean = false) extends PartitionReaderFactory 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val fp = p.asInstanceOf[FsScanPartition]
-    require(fp.keysFilter.isEmpty && fp.skip == 0L &&
-      fp.take < 0L && !fp.stripKey && fp.files.forall(_._2.isEmpty) &&
-      fp.cdf.forall(_._1 == MemStore.OpInsert),
-      "graft_fs: columnar path requires a plain snapshot or pure-insert " +
-        "CDF partition")
+    require(fp.keysFilter.isEmpty && fp.skip == 0L && fp.take < 0L &&
+      fp.cdf.forall(_._1 == MemStore.OpInsert) &&
+      (fp.cdf.isEmpty || (fp.files.forall(_._2.isEmpty) && !fp.stripKey)),
+      "graft_fs: columnar path requires a snapshot partition (masks " +
+        "apply batch-level) or a pure-insert maskless CDF partition")
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
-      import org.apache.spark.sql.types.{LongType, StringType}
+      import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+      import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
       private val files = fp.files.iterator
       private var cur: org.apache.spark.sql.execution.datasources.parquet
         .VectorizedParquetRecordReader = _
       private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      // ---- merge-on-read masking state (same shapes as the row path) --
+      private val keySetCache =
+        scala.collection.mutable.Map[String, FsKeyMask]()
+      private def keySchema(kf: FileRef): StructType =
+        StructType(Seq(fp.lineage(kf.schemaId).head))
+      private def keysOf(kfs: Vector[FileRef]): FsKeyMask =
+        if (kfs.isEmpty) FsKeyMask.Empty
+        else keySetCache.getOrElseUpdate(kfs.map(_.path).mkString(","), {
+          val integral = kfs.forall(kf => keySchema(kf).head.dataType match {
+            case LongType | IntegerType => true
+            case _ => false
+          })
+          FsKeyMask.build(kfs.iterator.flatMap(kf =>
+            FsParquet.readKeys(kf.path, keySchema(kf))), integral)
+        })
+      private var curMask: FsKeyMask = FsKeyMask.Empty
+      private val keyType =
+        if (fp.scanSchema.isEmpty) null else fp.scanSchema.head.dataType
+      private def keyAt(v: ColumnVector, i: Int): Any = keyType match {
+        case LongType => Long.box(v.getLong(i))
+        case IntegerType => Long.box(v.getInt(i).toLong) // normalizeKey
+        case _ => v.getUTF8String(i)
+      }
+      /** Apply the file's mask (selection view over the key vector) and
+        * the internal-key strip (drop vector 0 — zero copy) to one
+        * decoded batch. A NULL key is never in a mask — kept, like the
+        * row path. */
+      private def applyMask(b: ColumnarBatch): ColumnarBatch = {
+        val drop = if (fp.stripKey) 1 else 0
+        if (curMask.isEmpty && drop == 0) return b
+        val n = b.numRows
+        val sel: Array[Int] =
+          if (curMask.isEmpty) null
+          else {
+            val kv = b.column(0)
+            val tmp = new Array[Int](n)
+            var m = 0; var i = 0
+            while (i < n) {
+              if (kv.isNullAt(i) || !curMask.contains(keyAt(kv, i))) {
+                tmp(m) = i; m += 1
+              }
+              i += 1
+            }
+            if (m == n) null else java.util.Arrays.copyOf(tmp, m)
+          }
+        if (sel == null && drop == 0) return b
+        val baseCols = Array.tabulate(b.numCols)(b.column).drop(drop)
+        val outCols: Array[ColumnVector] =
+          if (sel == null) baseCols
+          else baseCols.map(new FsVectorized.SelectedVector(_, sel): ColumnVector)
+        new ColumnarBatch(outCols, if (sel == null) n else sel.length)
+      }
       // CDF decoration as CONSTANT vectors: the whole partition is one
       // change, so _change_type/_commit_version are per-partition
       // constants filled once at open
@@ -1028,14 +1082,19 @@ class FsReaderFactory(columnar: Boolean = false) extends PartitionReaderFactory 
         while (true) {
           if (cur == null) {
             if (!files.hasNext) return false
-            val (f, _) = files.next()
+            val (f, maskFiles) = files.next()
             // task-side sidecar probe: skip the whole file unopened
-            if (!fp.taskPruned(f))
+            if (!fp.taskPruned(f)) {
+              curMask = keysOf(maskFiles)
               cur = FsVectorized.open(f.path, fp.lineage(f.schemaId), fp.scanSchema)
+            }
           }
           if (cur != null) {
-            if (cur.nextBatch()) { batch = decorate(cur.resultBatch()); return true }
-            cur.close(); cur = null
+            if (cur.nextBatch()) {
+              val b = decorate(applyMask(cur.resultBatch()))
+              // a fully-masked batch yields nothing — read the next one
+              if (b.numRows > 0) { batch = b; return true }
+            } else { cur.close(); cur = null }
           }
         }
         false

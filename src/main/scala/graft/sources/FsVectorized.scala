@@ -35,10 +35,52 @@ object FsVectorized {
   /** Rows per ColumnarBatch (Spark's own default batch capacity). */
   val Capacity = 4096
 
+  /** A zero-copy SELECTION view over a decoded vector: row `i` of the
+    * view is row `sel(i)` of the base. The merge-on-read columnar path
+    * applies delete/update masks BATCH-level with it — survivors stay
+    * in the reader-owned vectors, no re-encode, no per-row
+    * materialization (the base vectors are closed by the parquet
+    * reader; this view's close is a no-op). Nested structs never reach
+    * here ([[FsParquet.supportedType]] refuses them at CREATE); arrays
+    * delegate through `getArray`, which carries its own offsets. */
+  final class SelectedVector(base: org.apache.spark.sql.vectorized.ColumnVector,
+      sel: Array[Int])
+      extends org.apache.spark.sql.vectorized.ColumnVector(base.dataType) {
+    override def close(): Unit = ()
+    override def hasNull: Boolean = base.hasNull
+    // an upper bound (selection may have dropped the null rows) — the
+    // read path only branches on it, never counts by it
+    override def numNulls: Int = base.numNulls
+    override def isNullAt(i: Int): Boolean = base.isNullAt(sel(i))
+    override def getBoolean(i: Int): Boolean = base.getBoolean(sel(i))
+    override def getByte(i: Int): Byte = base.getByte(sel(i))
+    override def getShort(i: Int): Short = base.getShort(sel(i))
+    override def getInt(i: Int): Int = base.getInt(sel(i))
+    override def getLong(i: Int): Long = base.getLong(sel(i))
+    override def getFloat(i: Int): Float = base.getFloat(sel(i))
+    override def getDouble(i: Int): Double = base.getDouble(sel(i))
+    override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+      base.getArray(sel(i))
+    override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+      base.getMap(sel(i))
+    override def getDecimal(i: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal =
+      base.getDecimal(sel(i), p, s)
+    override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+      base.getUTF8String(sel(i))
+    override def getBinary(i: Int): Array[Byte] = base.getBinary(sel(i))
+    override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
+      throw new UnsupportedOperationException(
+        "graft_fs: nested structs are not admitted to the fs store")
+  }
+
+  /** In-process row-reader toggle (env is fixed at JVM start): the specs
+    * assert row ≡ columnar equivalence across masks with it. */
+  @volatile var forceRowReader: Boolean = false
+
   /** A/B + ops escape hatch: `SPARK_GRAFT_FS_COLUMNAR=false` forces the
     * row reader everywhere (how the row≡columnar equivalence and the
     * speedup are measured without code changes). */
-  def enabled: Boolean =
+  def enabled: Boolean = !forceRowReader &&
     sys.env.get("SPARK_GRAFT_FS_COLUMNAR").forall(_.toBoolean)
 
   /** The file-shaped requested schema: scan columns renamed to their

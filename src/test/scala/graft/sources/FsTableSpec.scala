@@ -572,7 +572,7 @@ class FsTableSpec extends SparkSpec {
     drop("fs_misc")
   }
 
-  test("fs: vectorized scan — ColumnarToRow in the plan, row ≡ columnar across pruning/evolution/count(*), masked scans fall back") {
+  test("fs: vectorized scan — ColumnarToRow in the plan, row ≡ columnar across pruning/evolution/count(*)/masks") {
     cat(); drop("fs_vec")
     val src = (0L until 50000L)
       .map(k => (k, (k % 1000).toInt, k * 0.5, s"name$k", k % 3 == 0))
@@ -630,18 +630,32 @@ class FsTableSpec extends SparkSpec {
     assert(res.getLong(0) == 0L, "re-added column must read NULL from old files")
     assert(res.getLong(1) == 60000L)
 
-    // a DELTA mask forces the whole scan onto the row reader — correct,
-    // just not columnar (per-row key masking)
+    // DELTA masks apply BATCH-level in the columnar reader (a selection
+    // view over the key vector): the merge-on-read scan stays vectorized
     drop("fs_vec")
     val tgt = (0L until 10000L).map(k => (k, k)).toDF("k", "v")
     tgt.writeTo("graft.fsd_vec").create()
     spark.sql("DELETE FROM graft.fsd_vec WHERE k >= 9000")
-    val masked = spark.table("graft.fsd_vec").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    spark.sql("UPDATE graft.fsd_vec SET v = v + 7 WHERE k % 10 = 0")
+    val masked = spark.table("graft.fsd_vec")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
     val mplan = planOf(masked)
-    assert(!mplan.contains("ColumnarToRow"),
-      "masked delta scans must fall back to the row reader")
+    assert(mplan.contains("ColumnarToRow"),
+      "masked delta scans ride the vectorized path (batch-level masks)")
     val mr = masked.head()
-    assert(mr.getLong(0) == (0L until 9000L).sum && mr.getLong(1) == 9000L)
+    val expSum = (0L until 9000L).map(k => k + (if (k % 10 == 0) 7L else 0L)).sum
+    assert(mr.getLong(0) == expSum && mr.getLong(1) == 9000L)
+    // row ≡ columnar across masks AND the key-strip path (key pruned out
+    // of the projection, read internally for masking, dropped zero-copy)
+    val colRows = spark.table("graft.fsd_vec").select("v").orderBy("v")
+      .collect().toSeq
+    FsVectorized.forceRowReader = true
+    try {
+      val rowQ = spark.table("graft.fsd_vec").select("v").orderBy("v")
+      val rowRows = rowQ.collect().toSeq
+      assert(!rowQ.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      assert(rowRows == colRows, "masked row and columnar reads must agree")
+    } finally FsVectorized.forceRowReader = false
     drop("fsd_vec")
   }
 
