@@ -47,7 +47,10 @@ object FsMaintenance {
     val eligible = head.files.filter(f =>
       f.bytes < targetBytes &&
         !head.masks.exists(_.version > f.addedVersion))
-    val bins = eligible.groupBy(_.bucket).toVector.sortBy(_._1)
+    // bins never cross a bucket OR a partition value — compaction must
+    // not un-earn the layout the clustered/partitioned write paid for
+    val bins = eligible.groupBy(f => (f.bucket, f.part)).toVector
+      .sortBy { case ((b, p), _) => (b, p.getOrElse(Long.MinValue)) }
       .flatMap { case (_, fs) => binPack(fs, targetBytes) }
     if (bins.isEmpty) return (head.files.size, head.files.size, 0)
     val lineage: Vector[StructType] = head.lineage
@@ -66,7 +69,7 @@ object FsMaintenance {
       .parallelize(bins.zipWithIndex, bins.size)
       .map { case (bin, i) =>
         val w = new FsFileWriter(name, s"c$i", schema, bin.head.bucket,
-          bloomIds, ngramIds)
+          bloomIds, ngramIds, bin.head.part)
         if (keyIntegral && bin.forall(_.sorted)) {
           // all inputs key-sorted → K-WAY MERGE instead of concatenation:
           // the compacted file stays sorted (the writer observes and
@@ -145,6 +148,9 @@ object FsMaintenance {
     require(head.bucketN == 0,
       s"graft_fs($name): bucketed tables own their file placement — " +
         "z-order lives on the unpartitioned flavor")
+    require(FsStore.partSpecOf(name).isEmpty,
+      s"graft_fs($name): value-partitioned tables own their file " +
+        "placement — a whole-table z-order would destroy the layout")
     val fields = cols.map(c => head.schema.fields.find(_.name == c).getOrElse(
       throw new IllegalArgumentException(
         s"graft_fs($name): z-order column $c is not in the schema")))
@@ -236,6 +242,9 @@ object FsMaintenance {
       s"graft_fs($name): table is already bucketed to $newN")
     require(head.masks.isEmpty,
       s"graft_fs($name): cannot rebucket under delta masks — apply them first")
+    require(FsStore.partSpecOf(name).isEmpty,
+      s"graft_fs($name): value-partitioned tables cannot be rebucketed " +
+        "— one partition spec per table")
     val keyField = head.schema.fields.head
     if (newN > 0) require(
       keyField.dataType == LongType || keyField.dataType == IntegerType,

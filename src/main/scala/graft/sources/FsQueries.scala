@@ -1902,6 +1902,67 @@ object FsQueries {
            |FROM fin GROUP BY grp ORDER BY grp""".stripMargin)
   )
 
+  /** q323: DATE-PARTITIONED fact layout (`PARTITIONED BY (days(ts))`) —
+    * the most common warehouse layout, now a first-class fs partition
+    * spec: the writer routes rows to one file per DAY (enforced
+    * clustering, not hoped-for), every file's manifest entry records its
+    * epoch-day partition value, and a pushed time window prunes whole
+    * partitions from the MANIFEST before zone maps or any file IO
+    * (FsScan.partPruned — stats-independent). The in-query requires pin
+    * the layout (every file carries its day; ~a month of partitions) and
+    * the executed plan's `files=k/n` fraction against the EXPECTED
+    * surviving day set; DuckDB recomputes the week's aggregate. */
+  val q323FsDatePartition = graft.QueryDef(
+    "q323_fs_date_partition",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.events(s, d).select(
+        col("event_id").cast(LongType).as("event_id"),
+        col("ts"), col("event_type"), col("value").as("v"))
+      s.sql("DROP TABLE IF EXISTS graft.fs_datep")
+      src.writeTo("graft.fs_datep")
+        .partitionedBy(org.apache.spark.sql.functions.days(col("ts")))
+        .create()
+      val head = FsStore.current("fs_datep")
+      require(head.files.forall(_.part.nonEmpty),
+        "every file of a days(ts) table must record its partition day")
+      val dayVals = head.files.flatMap(_.part).distinct
+      require(dayVals.size >= 25 && dayVals.size <= 31,
+        s"expected ~30 day partitions over the January span, got ${dayVals.size}")
+      val q = s.table("graft.fs_datep")
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-17 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).cast("decimal(18,4)").cast("double").as("sum_v"))
+        .orderBy("event_type")
+      q.collect() // AQE finalizes only after execution
+      val plan = q.queryExecution.executedPlan.toString
+      val Frac = """files=(\d+)/(\d+)""".r.unanchored
+      val (kept, total) = plan match {
+        case Frac(a, b) => (a.toInt, b.toInt)
+        case _ => throw new IllegalStateException(s"no files= fraction: $plan")
+      }
+      // partition pruning keeps days [Jan10 .. Jan17] (inclusive-superset
+      // windows); the finer ts zone map may additionally drop the Jan17
+      // boundary file (its min ts sits past midnight) — accept both
+      val d0 = java.time.LocalDate.of(2024, 1, 10).toEpochDay
+      val d1 = java.time.LocalDate.of(2024, 1, 17).toEpochDay
+      val inWeek = head.files.count(_.part.exists(p => p >= d0 && p < d1))
+      val withBoundary = head.files.count(_.part.exists(p => p >= d0 && p <= d1))
+      require(kept >= inWeek && kept <= withBoundary && kept < total,
+        s"day-window scan must prune to the week's partitions " +
+          s"($kept/$total, expected $inWeek..$withBoundary)")
+      q
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(CAST(SUM(value) AS DECIMAL(18,4)) AS DOUBLE) AS sum_v
+           |FROM events
+           |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           |  AND ts < TIMESTAMP '2024-01-17 00:00:00'
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q289FsRoundtrip, q290FsUpdate,
     q291FsMerge, q292FsdDeltaMerge, q293FsEvolution, q294FsdCdfBatch,
     q295FsdCdfStream, q296FsTimestampTravel, q297FsFeedBytes,
@@ -1911,5 +1972,6 @@ object FsQueries {
     q310FsWapBranch, q311FsRebucket, q312FsMetaTables, q313FsNullSkip,
     q314FsCurationWap, q315FsMatViewIvm, q316FsTxnPublish,
     q317FsNgramSkip, q318FsMatViewDelta, q319FsBinaryPayload,
-    q320FsCloneRestore, q321FsMatViewNulls, q322FsMatViewMinMax)
+    q320FsCloneRestore, q321FsMatViewNulls, q322FsMatViewMinMax,
+    q323FsDatePartition)
 }

@@ -327,7 +327,11 @@ object FsStore {
       minKey: Long = Long.MinValue, maxKey: Long = Long.MaxValue,
       stats: Map[Int, ColStat] = Map.empty, bucket: Int = -1,
       sorted: Boolean = false, bloom: Option[String] = None,
-      nullCounts: Map[Int, Long] = Map.empty) {
+      nullCounts: Map[Int, Long] = Map.empty,
+      // LONG-encoded partition value under the table's _part.json spec
+      // (identity value, or epoch day for days(ts)); None = the file
+      // predates the spec or holds the NULL partition — never pruned
+      part: Option[Long] = None) {
     /** Can a scan bounded to [lo, hi] on the key skip this file? */
     def disjointFrom(lo: Long, hi: Long): Boolean =
       !(minKey == Long.MinValue && maxKey == Long.MaxValue) &&
@@ -450,6 +454,7 @@ object FsStore {
     o.put("schemaId", f.schemaId); o.put("addedVersion", f.addedVersion)
     o.put("minKey", f.minKey); o.put("maxKey", f.maxKey)
     if (f.bucket >= 0) o.put("bucket", f.bucket)
+    f.part.foreach(p => o.put("part", p): Unit)
     if (f.sorted) o.put("sorted", true)
     f.bloom.foreach(o.put("bloom", _))
     if (f.nullCounts.nonEmpty) {
@@ -504,7 +509,8 @@ object FsStore {
       n.get("minKey").asLong, n.get("maxKey").asLong, stats,
       Option(n.get("bucket")).map(_.asInt).getOrElse(-1),
       Option(n.get("sorted")).exists(_.asBoolean),
-      Option(n.get("bloom")).map(_.asText), nulls)
+      Option(n.get("bloom")).map(_.asText), nulls,
+      Option(n.get("part")).map(_.asLong))
   }
   private def filesJson(fs: Vector[FileRef]): ArrayNode = {
     val a = mapper.createArrayNode(); fs.foreach(f => a.add(fileToJson(f))); a
@@ -798,14 +804,41 @@ object FsStore {
           s"timestamp $tsMs ms (newest is ${head.tsMs})"))
   }
 
+  /** Microseconds per day — the `days(ts)` transform's granule. */
+  val MicrosPerDay: Long = 86400L * 1000000L
+
+  /** The table's VALUE-partition spec, fixed at CREATE (Iceberg's
+    * initial partition spec reduced to the identity/days transforms):
+    * `(kind, fieldId)` where kind ∈ {identity, days}. Stored table-level
+    * in `_part.json` — one spec for every version, like `_view.json`.
+    * Field-id keyed, so the spec survives renames and type widening. */
+  def partSpecOf(name: String): Option[(String, Int)] = {
+    val p = tableDir(name).resolve("_part.json")
+    if (!Files.exists(p)) None
+    else {
+      val o = mapper.readTree(Files.readAllBytes(p))
+      Some((o.get("kind").asText, o.get("fieldId").asInt))
+    }
+  }
+  private def writePartSpec(name: String, kind: String, fieldId: Int): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("kind", kind); o.put("fieldId", fieldId)
+    Files.createDirectories(tableDir(name))
+    Files.write(tableDir(name).resolve("_part.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o)): Unit
+  }
+
   def create(name: String, schema: StructType, bucketN: Int = 0,
-      bloomCols: Seq[String] = Nil, ngramCols: Seq[String] = Nil): Unit = {
+      bloomCols: Seq[String] = Nil, ngramCols: Seq[String] = Nil,
+      partKind: String = "", partCol: String = ""): Unit = {
     require(schema.fields.nonEmpty, s"graft_fs($name): empty schema")
     if (bucketN > 0) {
       require(schema.fields.head.dataType == LongType ||
         schema.fields.head.dataType == IntegerType,
         s"graft_fs($name): bucket partitioning requires an integral first " +
           s"(row-id) column, got ${schema.fields.head.dataType.simpleString}")
+      require(partKind.isEmpty,
+        s"graft_fs($name): one partition transform per table")
     }
     schema.fields.foreach(f => require(FsParquet.supportedType(f.dataType),
       s"graft_fs($name): unsupported column type ${f.dataType.simpleString} " +
@@ -841,6 +874,23 @@ object FsStore {
     }
     if (exists(name)) throw new IllegalStateException(
       s"graft_fs($name): table already exists")
+    if (partKind.nonEmpty) {
+      require(partKind == "identity" || partKind == "days",
+        s"graft_fs($name): unknown partition transform $partKind")
+      val f = withIds.fields.find(_.name == partCol).getOrElse(throw
+        new IllegalArgumentException(
+          s"graft_fs($name): partition column $partCol is not in the schema"))
+      partKind match {
+        case "days" => require(f.dataType == TimestampType,
+          s"graft_fs($name): days() partitions a TIMESTAMP column, got " +
+            f.dataType.simpleString)
+        case _ => require(Set[DataType](LongType, IntegerType, DateType)
+          .contains(f.dataType),
+          s"graft_fs($name): identity partitioning admits integral/date " +
+            s"columns, got ${f.dataType.simpleString}")
+      }
+      writePartSpec(name, partKind, fieldId(f))
+    }
     writeManifest(name, Version(0L, GraftClock.next(), 0, Vector(withIds),
       withIds.length - 1, Vector.empty, Vector.empty, Vector.empty, 0L,
       Map.empty, bucketN, bloomIds, ngramIds))
@@ -1344,6 +1394,10 @@ object FsStore {
     def relinkMasks(ms: Vector[DeltaMask]): Vector[DeltaMask] =
       ms.map(m => m.copy(keyFiles = m.keyFiles.map(relinkRef)))
     Files.createDirectories(logDir(dst))
+    // the partition spec is table-level metadata — the clone keeps it
+    val srcSpec = tableDir(src).resolve("_part.json")
+    if (Files.exists(srcSpec))
+      Files.copy(srcSpec, tableDir(dst).resolve("_part.json")): Unit
     val head = currentVersion(src)
     (oldestVersion(src) to head).foreach { vid =>
       val v = versionAt(src, vid)

@@ -183,10 +183,15 @@ class FsWrite(name: String, truncate: Boolean, queryId: String)
       // abort sweeps exactly its own attempts (earlier epochs' committed
       // files share the query stamp but not the epoch suffix)
       private val jobId = java.util.UUID.randomUUID().toString.take(8)
+      private val (partKind, partIdx) = FsStore.partSpecOf(name)
+        .map { case (k, fid) =>
+          (k, schema.fields.indexWhere(f => FsStore.fieldId(f) == fid))
+        }.getOrElse(("", -1))
       override def createStreamingWriterFactory(
           info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
         new FsStreamingWriterFactory(name, schema, writeVer.bucketN,
-          writeVer.bloomIds.toSet, writeVer.ngramIds.toSet, jobId)
+          writeVer.bloomIds.toSet, writeVer.ngramIds.toSet, jobId,
+          partKind, partIdx)
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
         val files = messages.iterator
           .flatMap { case FsCommitMessage(fs) => fs }.toVector
@@ -666,12 +671,36 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
       f.nullCounts.get(id).exists(n =>
         if (wantNull) n == 0L else n == f.rows)
     }
+  /** VALUE-partition pruning (identity/days spec from `_part.json`):
+    * a pushed window on the partition column, translated to partition
+    * space (identity = the long value; days = the µs window's epoch-day
+    * range), drops every file whose recorded partition value falls
+    * outside — BEFORE zone maps, stats-independent (it works on files
+    * whose column stats are NaN-poisoned or absent). Files without a
+    * value (pre-spec era, the NULL partition) are never pruned here. */
+  private val partSpec: Option[(String, Int)] = FsStore.partSpecOf(name)
+  private def partPruned(f: FileRef): Boolean =
+    partSpec.exists { case (kind, fid) =>
+      f.part.exists { p =>
+        colBounds.get(fid).exists { w =>
+          def day(v: Any): Long =
+            Math.floorDiv(v.asInstanceOf[Long], FsStore.MicrosPerDay)
+          kind match {
+            case "days" =>
+              w.lo.exists(l => p < day(l)) || w.hi.exists(h => p > day(h))
+            case _ => w.kind == "long" &&
+              (w.lo.exists(l => p < l.asInstanceOf[Long]) ||
+                w.hi.exists(h => p > h.asInstanceOf[Long]))
+          }
+        }
+      }
+    }
   /** Survivors of the MANIFEST-only prunes (partition, zone map, null
     * count, runtime keys) — no file IO of any kind. */
   private def cheapSurvivors: Vector[FileRef] =
     ver.files.filterNot(f =>
-      bucketPruned(f) || f.disjointFrom(lo, hi) || statDisjoint(f) ||
-        nullPruned(f) || runtimePruned(f))
+      bucketPruned(f) || partPruned(f) || f.disjointFrom(lo, hi) ||
+        statDisjoint(f) || nullPruned(f) || runtimePruned(f))
   /** Above [[FsBloom.DriverProbeMax]] cheap survivors, sidecar probing
     * moves INTO the reader tasks (hashed probes ride the partitions):
     * blooms exist for exactly the scattered-column shape where nothing
@@ -1336,7 +1365,7 @@ case class FsDeltaCommitMessage(delKeys: Option[FileRef],
   * contract with FILES as the currency. */
 private[sources] class FsFileWriter(tableName: String, tag: String,
     schema: StructType, bucket: Int = -1, bloomIds: Set[Int] = Set.empty,
-    ngramIds: Set[Int] = Set.empty) {
+    ngramIds: Set[Int] = Set.empty, part: Option[Long] = None) {
   import org.apache.spark.sql.types._
   private var path: String = _
   private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
@@ -1555,7 +1584,7 @@ private[sources] class FsFileWriter(tableName: String, tag: String,
         }
       // schemaId/addedVersion are stamped at commit
       Some(FileRef(path, rows, bytes, 0, 0L, lo, hi, stats, bucket, sorted,
-        bloomPath, fieldIds.zip(nullCounts).toMap))
+        bloomPath, fieldIds.zip(nullCounts).toMap, part))
     }
   private var sidecar: String = _
   def abort(): Unit = {
@@ -1579,9 +1608,16 @@ class FsBatchWrite(name: String, truncate: Boolean) extends BatchWrite {
   // per-job stamp in every file name: abort's sweep backstop for task
   // attempts invisible to both abort levels (see FsStore.sweepJobFiles)
   private val jobId = java.util.UUID.randomUUID().toString.take(8)
+  // value-partition spec (identity/days), resolved to a write-schema
+  // column index by field id (survives renames/widening)
+  private val (partKind, partIdx) = FsStore.partSpecOf(name)
+    .map { case (k, fid) =>
+      (k, schema.fields.indexWhere(f => FsStore.fieldId(f) == fid))
+    }.getOrElse(("", -1))
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new FsWriterFactory(name, schema, writeVer.bucketN,
-      writeVer.bloomIds.toSet, writeVer.ngramIds.toSet, jobId)
+      writeVer.bloomIds.toSet, writeVer.ngramIds.toSet, jobId,
+      partKind, partIdx)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.iterator
       .flatMap { case FsCommitMessage(fs) => fs }.toVector
@@ -1611,7 +1647,8 @@ class FsBatchWrite(name: String, truncate: Boolean) extends BatchWrite {
   * the writer dispatches on arity and strips the marker. */
 class FsWriterFactory(name: String, schema: StructType, bucketN: Int = 0,
     bloomIds: Set[Int] = Set.empty, ngramIds: Set[Int] = Set.empty,
-    jobId: String = "") extends DataWriterFactory {
+    jobId: String = "", partKind: String = "", partIdx: Int = -1)
+    extends DataWriterFactory {
   // the job stamp leads the file name so abort can sweep by prefix
   private def tag(partitionId: Int, b: Int): String =
     if (jobId.isEmpty) s"d$partitionId-b$b" else s"j$jobId-d$partitionId-b$b"
@@ -1630,8 +1667,33 @@ class FsWriterFactory(name: String, schema: StructType, bucketN: Int = 0,
         byBucket.getOrElseUpdate(b,
           new FsFileWriter(name, tag(partitionId, b), schema, b, bloomIds,
             ngramIds))
+      // value-partitioned layout (identity/days): one file per partition
+      // VALUE this task sees; the NULL partition gets its own (unpruned)
+      // file — Iceberg's null-partition shape
+      private val byPart =
+        scala.collection.mutable.Map[Option[Long], FsFileWriter]()
+      private val partIsInt = partIdx >= 0 && (schema(partIdx).dataType match {
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.DateType => true
+        case _ => false
+      })
+      private def partValue(row: InternalRow): Option[Long] =
+        if (row.isNullAt(partIdx)) None
+        else {
+          val raw = if (partIsInt) row.getInt(partIdx).toLong
+            else row.getLong(partIdx)
+          Some(if (partKind == "days") Math.floorDiv(raw, FsStore.MicrosPerDay)
+            else raw)
+        }
+      private def partWriterFor(pv: Option[Long]): FsFileWriter =
+        byPart.getOrElseUpdate(pv, {
+          val pTag = pv.map(v => s"p$v").getOrElse("pnull")
+          val base = tag(partitionId, -1).replace("-b-1", s"-$pTag")
+          new FsFileWriter(name, base, schema, -1, bloomIds, ngramIds, pv)
+        })
       private def route(row: InternalRow): Unit =
-        if (bucketN <= 0) writerFor(-1).write(row)
+        if (partKind.nonEmpty) partWriterFor(partValue(row)).write(row)
+        else if (bucketN <= 0) writerFor(-1).write(row)
         else {
           require(!row.isNullAt(0),
             s"graft_fs($name): bucketed tables key on the first column — " +
@@ -1652,12 +1714,14 @@ class FsWriterFactory(name: String, schema: StructType, bucketN: Int = 0,
         // quiescent sweep over the job stamp.
         val tc = org.apache.spark.TaskContext.get()
         if (tc != null && tc.isInterrupted()) {
-          byBucket.valuesIterator.foreach(_.abort())
+          (byBucket.valuesIterator ++ byPart.valuesIterator).foreach(_.abort())
           throw new org.apache.spark.TaskKilledException("zombie write attempt")
         }
-        FsCommitMessage(byBucket.valuesIterator.flatMap(_.finish()).toVector)
+        FsCommitMessage((byBucket.valuesIterator ++ byPart.valuesIterator)
+          .flatMap(_.finish()).toVector)
       }
-      override def abort(): Unit = byBucket.valuesIterator.foreach(_.abort())
+      override def abort(): Unit =
+        (byBucket.valuesIterator ++ byPart.valuesIterator).foreach(_.abort())
       override def close(): Unit = ()
     }
 }
@@ -1666,12 +1730,13 @@ class FsWriterFactory(name: String, schema: StructType, bucketN: Int = 0,
   * Spark (serializable top-level class — the task ships it). */
 class FsStreamingWriterFactory(name: String, schema: StructType,
     bucketN: Int = 0, bloomIds: Set[Int] = Set.empty,
-    ngramIds: Set[Int] = Set.empty, jobId: String = "")
+    ngramIds: Set[Int] = Set.empty, jobId: String = "",
+    partKind: String = "", partIdx: Int = -1)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new FsWriterFactory(name, schema, bucketN, bloomIds, ngramIds,
-      if (jobId.isEmpty) "" else s"$jobId-e$epochId")
+      if (jobId.isEmpty) "" else s"$jobId-e$epochId", partKind, partIdx)
       .createWriter(partitionId, taskId)
 }
 

@@ -155,29 +155,43 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       case m if isFs(m) =>
         require(!m.endsWith("__changes"),
           "the __changes suffix is reserved for the change-data-feed relation")
-        // fs_* tables accept ONE bucket(n, <first column>) transform — the
-        // partition spec FsScan reports as KeyGroupedPartitioning so two
-        // such tables join exchange-free (storage-partitioned join).
+        // fs_* tables accept ONE partition transform:
+        //  - bucket(n, <first column>): the layout FsScan reports as
+        //    KeyGroupedPartitioning so two such tables join exchange-free
+        //    (storage-partitioned join);
+        //  - identity(<col>) / days(<ts col>): the date-partitioned-fact
+        //    layout — the writer routes rows to one file per partition
+        //    VALUE and the scan prunes partitions from pushed windows
+        //    before zone maps even look (FsScan.partPruned).
         // fsd_* stays unpartitioned: its delta writers ship key files,
-        // which have no bucket to land in
-        val bucketN = partitions.toSeq match {
-          case Seq() => 0
+        // which have no partition to land in
+        val (bucketN, partKind, partCol) = partitions.toSeq match {
+          case Seq() => (0, "", "")
           case Seq(t) =>
             require(!m.startsWith("fsd_"),
-              s"graft catalog: $m is a merge-on-read table — bucket " +
+              s"graft catalog: $m is a merge-on-read table — " +
                 "partitioning lives on the copy-on-write fs_* flavor")
-            val parts = t.toString // e.g. bucket(8, k)
-            val Pat = """bucket\((\d+),\s*(.+)\)""".r
-            parts match {
-              case Pat(n, col) =>
-                require(col.trim.stripPrefix("`").stripSuffix("`") ==
-                  schema.fields.head.name,
-                  s"graft catalog: fs tables bucket on the FIRST (row-id) " +
-                    s"column ${schema.fields.head.name}, got $col")
-                n.toInt
-              case other => throw new UnsupportedOperationException(
-                s"graft catalog: unsupported fs partition transform $other " +
-                  "— only bucket(n, <first column>)")
+            // the transform case classes are private[sql] — dispatch on
+            // the connector-public name()/references() surface instead
+            t.name() match {
+              case "identity" =>
+                (0, "identity", t.references()(0).fieldNames.mkString("."))
+              case "days" =>
+                (0, "days", t.references()(0).fieldNames.mkString("."))
+              case _ =>
+                val parts = t.toString // e.g. bucket(8, k)
+                val Pat = """bucket\((\d+),\s*(.+)\)""".r
+                parts match {
+                  case Pat(n, col) =>
+                    require(col.trim.stripPrefix("`").stripSuffix("`") ==
+                      schema.fields.head.name,
+                      s"graft catalog: fs tables bucket on the FIRST (row-id) " +
+                        s"column ${schema.fields.head.name}, got $col")
+                    (n.toInt, "", "")
+                  case other => throw new UnsupportedOperationException(
+                    s"graft catalog: unsupported fs partition transform $other " +
+                      "— bucket(n, <first column>), identity, or days(<ts>)")
+                }
             }
           case many => throw new UnsupportedOperationException(
             s"graft catalog: fs tables take at most one partition " +
@@ -194,7 +208,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
         // ClickHouse ngrambf_v1 shape value blooms can't answer
         val ngramCols = Option(properties.get("ngram_blooms")).toSeq
           .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-        FsStore.create(m, schema, bucketN, bloomCols, ngramCols)
+        FsStore.create(m, schema, bucketN, bloomCols, ngramCols,
+          partKind, partCol)
         new FsTable(m, delta = m.startsWith("fsd_"))
       case other =>
         throw new UnsupportedOperationException(
@@ -317,6 +332,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
         require(i != 0,
           s"graft catalog: cannot drop the first column (${schema.fields(0).name}) " +
             "— it is the table's row id / merge-on-read mask key")
+        require(!FsStore.partSpecOf(name).exists(_._2 ==
+          FsStore.fieldId(schema.fields(i))),
+          s"graft catalog: cannot drop ${schema.fields(i).name} — it is " +
+            s"$name's partition column")
         schema = StructType(schema.fields.patch(i, Nil, 1))
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported table change $other — fs tables evolve " +

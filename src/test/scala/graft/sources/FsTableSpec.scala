@@ -659,6 +659,57 @@ class FsTableSpec extends SparkSpec {
     drop("fsd_vec")
   }
 
+  test("fs: identity/days partitioning — per-value routing, NULL partition, pruning, rewrite keeps layout") {
+    cat(); drop("fs_idp")
+    // identity over a nullable group column: one file per value per
+    // task, plus a dedicated (never value-pruned) NULL-partition file
+    val src = (0L until 900L)
+      .map(k => (k, if (k % 90 == 89) None else Some(k % 9), k * 2))
+      .toDF("k", "g", "v")
+    src.writeTo("graft.fs_idp").partitionedBy($"g").create()
+    val head = FsStore.current("fs_idp")
+    assert(FsStore.partSpecOf("fs_idp").exists(_._1 == "identity"))
+    val (withPart, nullPart) = head.files.partition(_.part.nonEmpty)
+    assert(withPart.flatMap(_.part).toSet == (0L until 9L).toSet,
+      "one partition value per distinct g")
+    assert(nullPart.nonEmpty && nullPart.map(_.rows).sum == 10L,
+      "NULL g rows land in their own partition file")
+    // value pruning: g = 3 opens only that partition (+ null files are
+    // dropped by the implicit IsNotNull null-count prune)
+    val q = spark.table("graft.fs_idp").filter($"g" === 3L)
+    val got = q.collect()
+    assert(got.forall(_.getLong(1) == 3L))
+    assert(got.length == src.filter($"g" === 3).count().toInt)
+    val plan = { q.collect(); q.queryExecution.executedPlan.toString }
+    val Frac = """files=(\d+)/(\d+)""".r.unanchored
+    plan match {
+      case Frac(a, b) =>
+        assert(a.toInt == withPart.count(_.part.contains(3L)),
+          s"identity prune must open only g=3's files: $plan")
+        assert(a.toInt < b.toInt)
+      case _ => fail(s"no files fraction in $plan")
+    }
+    // a CoW UPDATE rewrites THROUGH the partition routing — layout kept
+    spark.sql("UPDATE graft.fs_idp SET v = v + 1 WHERE k % 2 = 0")
+    val head2 = FsStore.current("fs_idp")
+    assert(head2.files.filter(_.part.nonEmpty).flatMap(_.part).toSet ==
+      (0L until 9L).toSet, "row-level rewrite must preserve the layout")
+    assert(spark.table("graft.fs_idp").agg(sum("v")).head().getLong(0) ==
+      src.select(sum($"v" + when($"k" % 2 === 0, 1L).otherwise(0L)))
+        .head().getLong(0))
+    // compaction bins never cross partition values
+    val (_, _, rewritten) = FsMaintenance.compact(spark, "fs_idp", 1L << 20)
+    if (rewritten > 0) {
+      val head3 = FsStore.current("fs_idp")
+      assert(head3.files.filter(_.part.nonEmpty).flatMap(_.part).toSet ==
+        (0L until 9L).toSet, "compaction must preserve partition values")
+    }
+    // the partition column cannot be dropped; z-order/rebucket refuse
+    intercept[Exception] { spark.sql("ALTER TABLE graft.fs_idp DROP COLUMN g") }
+    intercept[Exception] { FsMaintenance.rebucket(spark, "fs_idp", 4) }
+    drop("fs_idp")
+  }
+
   test("fs: per-column zone maps — non-key conjuncts skip files, NaN/NULL stay sound, stats survive rename") {
     cat(); drop("fs_zm2")
     // cluster on the NON-key column v so first-column key ranges overlap
