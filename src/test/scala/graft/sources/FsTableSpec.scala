@@ -659,6 +659,47 @@ class FsTableSpec extends SparkSpec {
     drop("fsd_vec")
   }
 
+  test("fsd: string-keyed masks — compact Strings shape, exact under columnar AND row readers") {
+    cat(); drop("fsd_skey")
+    val src = (0L until 20000L).map(k => (f"uuid-$k%08d-suffix", k))
+      .toDF("id", "v")
+    src.writeTo("graft.fsd_skey").create()
+    // MERGE + DELETE build string-keyed masks
+    src.filter($"v" % 7 === 0).createOrReplaceTempView("skey_upd")
+    spark.sql("""MERGE INTO graft.fsd_skey t USING skey_upd s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET t.v = t.v + 1000000
+                |""".stripMargin)
+    spark.sql("DELETE FROM graft.fsd_skey WHERE v >= 19000 AND v < 1000000")
+    FsKeyMask.resetPeak()
+    val q = spark.table("graft.fsd_skey")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    q.collect()
+    // columnar even under string-keyed masks
+    assert(q.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "string-keyed masked scans ride the vectorized path")
+    val expect = (0L until 20000L)
+      .map(k => if (k % 7 == 0) k + 1000000L else k)
+      .filter(v => !(v >= 19000L && v < 1000000L))
+    assert(q.head().getLong(1) == expect.size.toLong)
+    assert(q.head().getLong(0) == expect.sum)
+    // memory class: blob + offsets + bitmap, NOT 48 B/key boxed entries
+    // (~7.3k masked keys × 20-byte ids ≈ 175 KB vs ≈350 KB boxed)
+    val peak = FsKeyMask.peakBytes
+    assert(peak > 0, "a string mask must have been built")
+    assert(peak < 20000L * 40L,
+      s"string mask must be compact (peak $peak bytes)")
+    // row reader agrees exactly (the String-vs-UTF8String probe paths)
+    val colRows = spark.table("graft.fsd_skey").select("v").orderBy("v")
+      .collect().toSeq
+    FsVectorized.forceRowReader = true
+    try {
+      val rowRows = spark.table("graft.fsd_skey").select("v").orderBy("v")
+        .collect().toSeq
+      assert(rowRows == colRows)
+    } finally FsVectorized.forceRowReader = false
+    drop("fsd_skey")
+  }
+
   test("fs: identity/days partitioning — per-value routing, NULL partition, pruning, rewrite keeps layout") {
     cat(); drop("fs_idp")
     // identity over a nullable group column: one file per value per
