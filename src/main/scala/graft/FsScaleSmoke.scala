@@ -344,7 +344,9 @@ object FsScaleSmoke {
     touchHeap()
     require(aRow.getLong(0) == 1L && bRow.getLong(0) == 1L,
       s"needle must find its one row in both modes, got $aRow / $bRow")
-    require(tpSkipped >= tpFiles - 16,
+    // blooms are probabilistic: a ~1% false-positive tail opens its file
+    // and finds nothing (correct, just wasted IO) — demand ≥95% skipped
+    require(tpSkipped >= (tpFiles.toLong * 95) / 100,
       s"task probes must skip nearly every file reader-side ($tpSkipped)")
     report ++= Seq(
       "fsb_tp_files" -> tpHead.files.size.toLong,

@@ -233,15 +233,20 @@ object FsMatView {
         d.maxCols.flatMap(c => Seq(
           max(when(sign > 0L, col(c))).as(s"__ins_max_$c"),
           max(when(sign < 0L, col(c))).as(s"__del_max_$c")))
-    // the delta is consumed 2-3 times (NULL-group probe, classification
-    // or merge, min/max recompute planning) — persist so the CDF window
-    // is READ ONCE, keeping the O(changes) cost claim honest
-    val delta = changes.groupBy(d.groupCols.map(col): _*)
+    val delta0 = changes.groupBy(d.groupCols.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
-      .persist()
+    val viewRows = FsStore.current(view).rowCount
+    val deltaEligible = d.groupCols.size == 1 && !hasMM
+    val smallWindow = deltaRows < math.max(64L, viewRows / 2)
+    // the delta is consumed MORE THAN ONCE only when (a) a NULL-group
+    // probe precedes the classification (delta/auto-small modes) or
+    // (b) min/max planning joins it twice — persist exactly then, so
+    // the CDF window is READ ONCE without taxing the plain replace
+    // refresh (which consumes the delta a single time) with caching
+    val doPersist = hasMM || mode == "delta" ||
+      (mode == "auto" && deltaEligible && smallWindow)
+    val delta = if (doPersist) delta0.persist() else delta0
     try {
-      val viewRows = FsStore.current(view).rowCount
-      val deltaEligible = d.groupCols.size == 1 && !hasMM
       // the NULL group cannot ride a delta mask (masks key the first
       // column) — probe only when the answer can matter
       def touchesNullGroup: Boolean =
@@ -260,8 +265,7 @@ object FsMatView {
           true
         case "replace" => false
         case "auto" =>
-          deltaEligible && deltaRows < math.max(64L, viewRows / 2) &&
-            !touchesNullGroup
+          deltaEligible && smallWindow && !touchesNullGroup
         case other => throw new IllegalArgumentException(
           s"graft_fs($view): unknown refresh mode '$other'")
       }
@@ -270,7 +274,7 @@ object FsMatView {
         else swapContents(spark, view,
           mergedContents(spark, view, d, delta, head), schema, head)
       stats.copy(fromVersion = last, deltaRows = deltaRows)
-    } finally delta.unpersist(blocking = false): Unit
+    } finally if (doPersist) delta.unpersist(blocking = false): Unit
   }
 
   /** Full merged contents for a replace refresh: counting algebra for
