@@ -61,7 +61,8 @@ object Bench {
     * dropped entirely) until the line fits [[MaxLineChars]]. */
   def compactLine(total: Double, coldTotal: Double,
                   results: Seq[(String, Double)], sf: String, runs: Int,
-                  partial: Int = -1): String = {
+                  partial: Int = -1, runsMin: Int = -1,
+                  retimed: Int = -1): String = {
     // n_ok/n_failed make the totals self-describing: a total over 96
     // succeeded queries must not be compared against one over 127
     val nOk = results.count(_._2 >= 0)
@@ -82,7 +83,13 @@ object Bench {
       // kills mid-flight still leaves parseable per-query figures in the
       // stdout tail; the final line (no "partial") always prints last
       val part = if (partial >= 0) s""","partial":true,"n_total":$partial""" else ""
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec"$queries,"sf":"$sfShort","runs":$runs,"n_ok":$nOk$failed$part,"cold_total":${fmt(coldTotal, 3)}}"""
+      // degradation marker (r11 verdict): when the budget forced ANY
+      // query below the configured run count, the line says so — a total
+      // mixing 5-run medians with 1-run figures must not read as clean
+      val degr = if (runsMin >= 0 && runsMin < runs)
+        s""","runs_min":$runsMin""" else ""
+      val ret = if (retimed > 0) s""","retimed":$retimed""" else ""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec"$queries,"sf":"$sfShort","runs":$runs$degr$ret,"n_ok":$nOk$failed$part,"cold_total":${fmt(coldTotal, 3)}}"""
     }
     def shortKey(k: String): String = k.takeWhile(_ != '_')
     // past ~170 queries even 1-decimal "qNN" keys overflow the window, so
@@ -145,7 +152,7 @@ object Bench {
     // sbt compile time is outside it, so leave headroom vs the driver's
     // kill timer). Round-10 lesson: 320 queries × (1 cold + 5 warm)
     // ≈ 1.6 ks blew the driver window and rc=124 yielded NOTHING. The
-    // warm loop degrades per-query runs 5→3→1 to fit the projection
+    // warm loop degrades per-query runs 5→3→2→1 to fit the projection
     // inside this budget, and partial compact lines every
     // [[PartialEvery]] queries make even a killed run parseable.
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1300").toDouble
@@ -169,6 +176,31 @@ object Bench {
       .getLogger("org.apache.spark.sql.execution.window.WindowExec")
       .setLevel(org.apache.log4j.Level.ERROR)
 
+
+    // The last committed clean record (BENCH.json in the working dir) is
+    // the drift reference for the second pass below: a warm figure >2x
+    // its committed value is far more likely a box stall than a real
+    // regression (r11: uniform 2-40x stalls on unchanged code), so those
+    // queries get re-timed with leftover budget and keep the better
+    // figure. Missing/unparseable file (round 1, renamed queries) =>
+    // empty map, no second pass — the feature degrades to the old shape.
+    val priorFigures: Map[String, Double] =
+      try {
+        val p = Paths.get("BENCH.json")
+        if (!Files.exists(p)) Map.empty
+        else {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(Files.readAllBytes(p))
+          val qn = root.get("queries")
+          if (qn == null) Map.empty
+          else {
+            import scala.jdk.CollectionConverters._
+            qn.properties().asScala
+              .map(e => e.getKey -> e.getValue.asDouble)
+              .filter(_._2 > 0).toMap
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
     // dev-only: comma-separated query-name filter for isolated timings;
     // the driver never sets it, so official runs always time everything
@@ -299,7 +331,7 @@ object Bench {
       val ratioSafe = math.min(math.max(ratio, 0.2), 1.5)
       val restCold = myCold + remainingCold.sum
       val left = budgetS - elapsedS
-      val r = Seq(runs, 3, 1).filter(_ <= runs)
+      val r = Seq(runs, 3, 2, 1).filter(_ <= runs)
         .find(c => restCold * ratioSafe * c <= left * 0.92)
         .getOrElse(1)
       runsUsed(name) = r
@@ -311,14 +343,55 @@ object Bench {
       if (times.nonEmpty && coldByName(name) >= 0) {
         warmSpent += times.sum; coldCovered += myCold * r
       }
-      val median =
+      // At full runs the figure is the MEDIAN (the committed historical
+      // metric). Degraded runs switch to MIN-of-runs: with 1-3 samples a
+      // single box stall lands in (or IS) the median, while the min of a
+      // warm steady-state loop is a real figure that never flatters a
+      // true regression — the r11 record degraded every query to
+      // runs_used=1 and shipped 40x stall artifacts as official numbers.
+      val figure =
         if (times.size < r) -1.0 // any failed run poisons the figure
+        else if (r < runs) times.min
         else times.sorted.apply(r / 2)
-      resBuf += name -> median
+      resBuf += name -> figure
       if (resBuf.size % PartialEvery == 0 && resBuf.size < queries.size) {
         val sum = resBuf.iterator.map(_._2).filter(_ >= 0).sum
         val coldSum = cold.iterator.map(_._2).filter(_ >= 0).sum
-        println(compactLine(sum, coldSum, resBuf.toSeq, sfDir, runs, queries.size))
+        println(compactLine(sum, coldSum, resBuf.toSeq, sfDir, runs,
+          queries.size, runsMin = runsUsed.values.min))
+      }
+    }
+    // Drift-triggered second pass (r11 verdict #2c): any figure reading
+    // >2x its committed record is re-timed with whatever budget is left,
+    // worst excess first, and the final figure is the BEST of the two
+    // measurements (a stall can only inflate; a real regression
+    // reproduces and keeps its new figure). This is the stall rejection
+    // the runs_used=1 regime lacks — one bad scheduling window no longer
+    // becomes a query's official number.
+    val retimedNames = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (priorFigures.nonEmpty) {
+      val byName = queries.toMap
+      val drifted = resBuf.zipWithIndex.collect {
+        case ((n, v), i) if v > 0 && priorFigures.get(n).exists(p => v > 2 * p) =>
+          (n, v, i)
+      }.sortBy { case (n, v, _) => -(v / priorFigures(n)) }
+      drifted.foreach { case (name, v, idx) =>
+        val prior = priorFigures(name)
+        // projected cost: up to 3 warm re-runs at the committed figure,
+        // padded 2x for honest regressions; stop when it no longer fits
+        if (elapsedS + math.min(3, runs) * prior * 2 <= budgetS * 0.98) {
+          val fn = byName(name)
+          val times = (1 to math.min(3, runs)).flatMap { _ =>
+            val t0 = System.nanoTime()
+            if (runOnce(name, fn)) Some((System.nanoTime() - t0) / 1e9)
+            else None
+          }
+          sweepCheckpoints()
+          if (times.nonEmpty && times.min < v) {
+            resBuf(idx) = name -> times.min
+            retimedNames(name) = times.min
+          }
+        }
       }
     }
     val results = resBuf.toSeq
@@ -335,11 +408,15 @@ object Bench {
     val nOk = results.count(_._2 >= 0)
     val runsJson = runsUsed.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val retimedJson = retimedNames.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val runsMin = if (runsUsed.isEmpty) runs else runsUsed.values.min
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"n_ok":$nOk,"n_failed":${results.size - nOk},"cold_total":$coldTotal,"cold_queries":$coldJson,"runs_used":$runsJson,"budget_s":$budgetS,"wall_s":${fmt(elapsedS, 1)},"errors":$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"runs_min":$runsMin,"n_ok":$nOk,"n_failed":${results.size - nOk},"cold_total":$coldTotal,"cold_queries":$coldJson,"runs_used":$runsJson,"retimed":$retimedJson,"budget_s":$budgetS,"wall_s":${fmt(elapsedS, 1)},"errors":$errJson}"""
     Files.writeString(Paths.get("BENCH.json"), full + "\n")
     spark.stop()
     // the one stdout line, printed last so the driver's tail window sees it
-    println(compactLine(total, coldTotal, results, sfDir, runs))
+    println(compactLine(total, coldTotal, results, sfDir, runs,
+      runsMin = runsMin, retimed = retimedNames.size))
   }
 }

@@ -262,7 +262,7 @@ object FsScaleSmoke {
     // ---- STRING-keyed masks: compact Strings shape, not boxed sets ----
     // UUID-style row ids are the shape the round-10 verdict flagged: the
     // boxed Set[Any] fallback was the r9 OOM class. The Strings mask is
-    // one sorted UTF-8 blob + offsets + an xxhash64 bitmap — measure the
+    // one sorted UTF-8 blob + offset array, binary-searched — measure the
     // per-reader peak a full masked scan builds at warehouse key counts.
     val sRows = math.min(rows / 14, 4000000L)
     spark.sql("DROP TABLE IF EXISTS graft.fsd_smokes")
@@ -539,6 +539,58 @@ object FsScaleSmoke {
       f"no-change-files trade)")
     spark.sql("DROP TABLE graft.fsd_smokec")
     Seq("fs_smokec", "fs_smokec2").foreach(FStore.drop)
+
+    // ---- ROW-GROUP SPLITS: one deliberately skewed file must not be
+    // one task. A compaction-sized file (many row groups) next to small
+    // siblings: without splits the whole scan waits on the big file's
+    // single task; with splits (spark.graft.fs.splitBytes) the planner
+    // fans it into row-group-aligned ranges with zero planning IO (the
+    // offsets ride the manifest) and the task times flatten.
+    val ssRows = math.min(rows / 2, 24000000L)
+    spark.sql("DROP TABLE IF EXISTS graft.fs_smokesp")
+    System.setProperty("graft.fs.rowGroupBytes", (8 * 1024 * 1024).toString)
+    try {
+      // the skewed file: all rows through ONE writer task
+      spark.range(0, ssRows, 1, 1)
+        .selectExpr("id AS k", "id % 1000 AS v")
+        .writeTo("graft.fs_smokesp").create()
+    } finally System.clearProperty("graft.fs.rowGroupBytes"): Unit
+    // small siblings (the realistic mixed layout)
+    spark.range(ssRows, ssRows + ssRows / 8, 1, 8)
+      .selectExpr("id AS k", "id % 1000 AS v")
+      .writeTo("graft.fs_smokesp").append()
+    val spHead = FStore.current("fs_smokesp")
+    val bigGroups = spHead.files.map(_.groups.size).max
+    require(bigGroups > 4, s"skewed file must be multi-group ($bigGroups)")
+    val expectSum = spark.range(0, ssRows + ssRows / 8)
+      .selectExpr("sum(id % 1000) s").head().getLong(0)
+    def spScan(): Double = {
+      val t = System.nanoTime()
+      val got = spark.table("graft.fs_smokesp").agg(sum(col("v"))).head().getLong(0)
+      require(got == expectSum, "split scan must stay exact")
+      (System.nanoTime() - t) / 1e9
+    }
+    spark.conf.set("spark.graft.fs.splitBytes", (1L << 40).toString) // off
+    spScan() // warm
+    val spWhole = spScan()
+    spark.conf.set("spark.graft.fs.splitBytes", (16 * 1024 * 1024).toString)
+    val spTasks = spark.table("graft.fs_smokesp").rdd.getNumPartitions
+    spScan() // warm
+    val spSplit = spScan()
+    spark.conf.unset("spark.graft.fs.splitBytes")
+    report ++= Seq(
+      "fss_rows" -> (ssRows + ssRows / 8),
+      "fss_files" -> spHead.files.size.toLong,
+      "fss_big_file_groups" -> bigGroups.toLong,
+      "fss_tasks_split" -> spTasks.toLong,
+      "fss_scan_secs_whole" -> spWhole,
+      "fss_scan_secs_split" -> spSplit,
+      "fss_split_speedup" -> (spWhole / spSplit))
+    println(f"[fs-smoke] skewed-file scan over ${ssRows + ssRows / 8} rows: " +
+      f"whole-file $spWhole%.2f s vs row-group-split $spSplit%.2f s " +
+      f"(${spWhole / spSplit}%.1fx, $spTasks tasks, big file " +
+      f"$bigGroups groups)")
+    spark.sql("DROP TABLE graft.fs_smokesp")
 
     // merge fsc_* keys into SCALE_SMOKE.json (the main smoke owns the rest)
     val path = java.nio.file.Paths.get("SCALE_SMOKE.json")

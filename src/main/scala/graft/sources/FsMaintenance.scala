@@ -49,8 +49,10 @@ object FsMaintenance {
         !head.masks.exists(_.version > f.addedVersion))
     // bins never cross a bucket OR a partition value — compaction must
     // not un-earn the layout the clustered/partitioned write paid for
-    val bins = eligible.groupBy(f => (f.bucket, f.part)).toVector
-      .sortBy { case ((b, p), _) => (b, p.getOrElse(Long.MinValue)) }
+    val bins = eligible.groupBy(f => (f.bucket, f.parts)).toVector
+      .sortBy { case ((b, p), _) =>
+        (b, p.map(_.map(_.toString).getOrElse("")).mkString(","))
+      }
       .flatMap { case (_, fs) => binPack(fs, targetBytes) }
     if (bins.isEmpty) return (head.files.size, head.files.size, 0)
     val lineage: Vector[StructType] = head.lineage
@@ -69,7 +71,7 @@ object FsMaintenance {
       .parallelize(bins.zipWithIndex, bins.size)
       .map { case (bin, i) =>
         val w = new FsFileWriter(name, s"c$i", schema, bin.head.bucket,
-          bloomIds, ngramIds, bin.head.part)
+          bloomIds, ngramIds, bin.head.parts)
         if (keyIntegral && bin.forall(_.sorted)) {
           // all inputs key-sorted → K-WAY MERGE instead of concatenation:
           // the compacted file stays sorted (the writer observes and

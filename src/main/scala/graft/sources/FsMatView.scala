@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** INCREMENTAL MATERIALIZED VIEW maintenance over the file-backed store
   * — the lakehouse capability that turns the CDF machinery (q294/q295)
@@ -108,6 +108,26 @@ object FsMatView {
       deltaRows: Long, viewRows: Long, applied: Boolean,
       incremental: Boolean = false)
 
+  /** Multi-column-group views carry a CANONICAL SERIALIZED GROUP KEY as
+    * their first column (`gkey`): delta-refresh masks key on the view's
+    * first column, so a composite group needs one injective scalar that
+    * stands for the whole tuple. `to_json(struct(groups))` is that
+    * scalar — deterministic field order (the definition's), explicit
+    * nulls (never dropped, so the NULL-bearing groups stay maskable —
+    * multi-group views have NO null-group delta restriction), JSON
+    * escaping keeps it injective per the fixed group schema, and it is
+    * one codegen'd expression. Single-group views keep their group
+    * column itself as the mask key — no extra column, full
+    * backward-compat with existing views. */
+  private def hasGkey(d: ViewDef): Boolean = d.groupCols.size > 1
+  private def gkeyExpr(d: ViewDef): Column =
+    to_json(struct(d.groupCols.map(col): _*),
+      Map("ignoreNullFields" -> "false"))
+  /** Prepend the canonical key to `df` when the definition needs one. */
+  private def withGkey(d: ViewDef, df: DataFrame): DataFrame =
+    if (!hasGkey(d)) df
+    else df.select(gkeyExpr(d).as("gkey") +: df.columns.map(col).toSeq: _*)
+
   private def viewSchema(d: ViewDef): StructType = {
     val bs = FsStore.schemaOf(d.base)
     val outNames = "n_rows" +: (d.sumCols.map(c => s"sum_$c") ++
@@ -119,6 +139,9 @@ object FsMatView {
     require(d.groupCols.intersect(outNames).isEmpty,
       s"graft_fs(${d.base}): group columns ${d.groupCols.mkString(",")} " +
         s"collide with the view's maintained columns ${outNames.mkString(",")}")
+    require(!hasGkey(d) || !d.groupCols.contains("gkey"),
+      s"graft_fs(${d.base}): 'gkey' is reserved for the canonical group " +
+        "key of multi-column-group views")
     def field(c: String): StructField = bs.fields.find(_.name == c)
       .getOrElse(throw new IllegalArgumentException(
         s"graft_fs(${d.base}): no column $c for the view definition"))
@@ -135,6 +158,8 @@ object FsMatView {
         s"graft_fs(${d.base}): MIN/MAX($c) needs an orderable atomic type")
     }
     StructType(
+      (if (hasGkey(d)) Seq(StructField("gkey", StringType, nullable = true))
+       else Nil) ++
       d.groupCols.map(c => StructField(c, field(c).dataType, nullable = true)) ++
         (StructField("n_rows", LongType, nullable = true) +:
           (d.sumCols.map(c => StructField(s"sum_$c", LongType, nullable = true)) ++
@@ -177,8 +202,8 @@ object FsMatView {
     Files.write(defPath(view),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o))
     val snap = spark.sql(s"SELECT * FROM graft.$base VERSION AS OF $pinned")
-    val seed = snap.groupBy(groupCols.map(col): _*).agg(
-      naturalAggs(d).head, naturalAggs(d).tail: _*)
+    val seed = withGkey(d, snap.groupBy(groupCols.map(col): _*).agg(
+      naturalAggs(d).head, naturalAggs(d).tail: _*))
     val stats = swapContents(spark, view, seed, schema, pinned)
     stats.copy(fromVersion = 0L,
       deltaRows = FsStore.versionAt(base, pinned).rowCount)
@@ -190,13 +215,15 @@ object FsMatView {
     * (O(view) write; also the mask compactor — the swap clears
     * accumulated delta masks); `"delta"` commits only the CHANGED
     * groups as a merge-on-read delta (O(changed groups) write — what
-    * keeps a chain of views O(changes) end-to-end), available for
-    * single-group-column COUNT/SUM views (delta masks key on the first
-    * column, and the window must not touch the NULL group); `"auto"`
-    * (default) picks delta when the change window is small against the
-    * view and the view can take it, FALLING BACK to replace when the
-    * window touches the NULL group (a legal change — never an error in
-    * auto). */
+    * keeps a chain of views O(changes) end-to-end). Any group-column
+    * count qualifies (multi-column groups mask via the canonical
+    * `gkey`), and MIN/MAX views qualify whenever the window deletes no
+    * value tying-or-beating a stored extreme (pure appends trivially) —
+    * the remaining delta restrictions are a single-column group whose
+    * window touches the NULL group (unmaskable key) and a stale
+    * extreme (needs recompute). `"auto"` (default) picks delta when
+    * the change window is small against the view and the view can take
+    * it, FALLING BACK to replace otherwise — never an error in auto. */
   def refresh(spark: SparkSession, view: String,
       mode: String = "auto"): RefreshStats = {
     val d = definitionOf(view)
@@ -236,45 +263,84 @@ object FsMatView {
     val delta0 = changes.groupBy(d.groupCols.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
     val viewRows = FsStore.current(view).rowCount
-    val deltaEligible = d.groupCols.size == 1 && !hasMM
     val smallWindow = deltaRows < math.max(64L, viewRows / 2)
-    // the delta is consumed MORE THAN ONCE only when (a) a NULL-group
+    // the delta is consumed MORE THAN ONCE only when (a) an eligibility
     // probe precedes the classification (delta/auto-small modes) or
     // (b) min/max planning joins it twice — persist exactly then, so
     // the CDF window is READ ONCE without taxing the plain replace
     // refresh (which consumes the delta a single time) with caching
-    val doPersist = hasMM || mode == "delta" ||
-      (mode == "auto" && deltaEligible && smallWindow)
+    val doPersist = hasMM || mode == "delta" || (mode == "auto" && smallWindow)
     val delta = if (doPersist) delta0.persist() else delta0
     try {
       // the NULL group cannot ride a delta mask (masks key the first
-      // column) — probe only when the answer can matter
-      def touchesNullGroup: Boolean =
+      // column) — single-column groups only: multi-column groups mask
+      // on the canonical gkey, which encodes NULLs and is never NULL
+      // itself. Probe only when the answer can matter.
+      def touchesNullGroup: Boolean = !hasGkey(d) &&
         !delta.filter(col(d.groupCols.head).isNull).isEmpty
+      // MIN/MAX rides the delta path when NO stored extreme goes stale:
+      // a pure-append window qualifies with zero extra IO (the signed
+      // delta already counted its deletes), otherwise one join of the
+      // persisted delta against the view's extremes decides —
+      // O(changed groups + view), never O(base)
+      def extremesStale: Boolean = hasMM && {
+        val dels = delta.agg(coalesce(sum(col("__n_del")), lit(0L)))
+          .head.getLong(0)
+        dels > 0L && {
+          val cur = spark.table(s"graft.$view")
+          val mmCur = cur.select(d.groupCols.map(col) ++
+            Seq(col("n_rows").as("__cur_n")) ++
+            d.minCols.map(c => col(s"min_$c").as(s"__cur_min_$c")) ++
+            d.maxCols.map(c => col(s"max_$c").as(s"__cur_max_$c")): _*)
+          val j = delta.join(mmCur,
+            d.groupCols.map(c => delta(c) <=> mmCur(c)).reduce(_ && _),
+            "left")
+          // a group deleted to ZERO rows never needs recompute — its
+          // whole row dies under a delete mask; only a SURVIVING group
+          // with an extreme-beating delete forces the replace path
+          val survives =
+            coalesce(col("__cur_n"), lit(0L)) + col("n_rows") > 0L
+          !j.filter(staleCond(d) && survives).isEmpty
+        }
+      }
       val useDelta = mode match {
         case "delta" =>
-          require(d.groupCols.size == 1,
-            s"graft_fs($view): delta refresh needs a single group column " +
-              "(masks key on the first column); use replace")
-          require(!hasMM,
-            s"graft_fs($view): delta refresh maintains COUNT/SUM only — " +
-              "MIN/MAX views refresh via replace")
           require(!touchesNullGroup,
             s"graft_fs($view): delta refresh cannot mask a NULL group " +
               "key — use mode=replace for windows touching the NULL group")
+          require(!extremesStale,
+            s"graft_fs($view): the window deletes a value tying-or-" +
+              "beating a stored MIN/MAX — those groups need recompute; " +
+              "use mode=replace (auto falls back automatically)")
           true
         case "replace" => false
         case "auto" =>
-          deltaEligible && smallWindow && !touchesNullGroup
+          smallWindow && !touchesNullGroup && !extremesStale
         case other => throw new IllegalArgumentException(
           s"graft_fs($view): unknown refresh mode '$other'")
       }
       val stats =
         if (useDelta) deltaContents(spark, view, d, delta, schema, head)
         else swapContents(spark, view,
-          mergedContents(spark, view, d, delta, head), schema, head)
+          withGkey(d, mergedContents(spark, view, d, delta, head)),
+          schema, head)
       stats.copy(fromVersion = last, deltaRows = deltaRows)
     } finally if (doPersist) delta.unpersist(blocking = false): Unit
+  }
+
+  /** A stored extreme goes stale ONLY when the window deleted a value
+    * tying-or-beating it (deleting NULLs or interior values cannot move
+    * MIN/MAX) — evaluated over a delta⋈current-extremes join carrying
+    * `__del_*`/`__cur_*` columns. Shared by the replace path's hybrid
+    * and the delta path's eligibility probe. */
+  private def staleCond(d: ViewDef): Column = {
+    val staleMin = d.minCols.map(c =>
+      col(s"__del_min_$c").isNotNull && (col(s"__cur_min_$c").isNull ||
+        col(s"__del_min_$c") <= col(s"__cur_min_$c")))
+    val staleMax = d.maxCols.map(c =>
+      col(s"__del_max_$c").isNotNull && (col(s"__cur_max_$c").isNull ||
+        col(s"__del_max_$c") >= col(s"__cur_max_$c")))
+    (staleMin ++ staleMax).reduce(_ || _)
   }
 
   /** Full merged contents for a replace refresh: counting algebra for
@@ -321,16 +387,8 @@ object FsMatView {
     val touched0 = mmDelta.join(mmCur, gEq(mmDelta, mmCur), "left")
       .select(mmDelta.columns.map(mmDelta(_)).toIndexedSeq ++
         mmCur.columns.filterNot(g.contains).map(mmCur(_)): _*)
-    // a group's stored extreme goes stale ONLY when the window deleted
-    // a value tying-or-beating it (deleting NULLs or interior values
-    // cannot move MIN/MAX); everything else folds in incrementally
-    val staleMin = d.minCols.map(c =>
-      col(s"__del_min_$c").isNotNull && (col(s"__cur_min_$c").isNull ||
-        col(s"__del_min_$c") <= col(s"__cur_min_$c")))
-    val staleMax = d.maxCols.map(c =>
-      col(s"__del_max_$c").isNotNull && (col(s"__cur_max_$c").isNull ||
-        col(s"__del_max_$c") >= col(s"__cur_max_$c")))
-    val needsRecompute = (staleMin ++ staleMax).reduce(_ || _)
+    // everything except [[staleCond]] groups folds in incrementally
+    val needsRecompute = staleCond(d)
     val touched = touched0.select(g.map(col) ++ Seq(
       needsRecompute.as("__rec"), lit(true).as("__tch")) ++
       d.minCols.map(c =>
@@ -380,18 +438,28 @@ object FsMatView {
     * high-water mark in one [[FsStore.commitDeltaWithEpoch]] manifest.
     * Write cost is O(changed groups); unchanged view files are never
     * rewritten. Masks accumulate one per refresh — a periodic
-    * `mode="replace"` refresh is the compactor that clears them. */
+    * `mode="replace"` refresh is the compactor that clears them.
+    * The mask key is the view's FIRST column: the single group column,
+    * or the canonical `gkey` for multi-column groups. MIN/MAX columns
+    * fold insert-incrementally (`least`/`greatest` with the stored
+    * extreme) — the caller guarantees no stored extreme goes stale in
+    * this window ([[staleCond]] probe). */
   private def deltaContents(spark: SparkSession, view: String,
       d: ViewDef, delta: DataFrame, schema: StructType,
       baseVersion: Long): RefreshStats = {
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
-    val g = d.groupCols.head
+    val g = d.groupCols
+    val keyName = schema.fields.head.name // gkey, or the single group col
     val cur = spark.table(s"graft.$view")
     val maintained = ("n_rows" +: d.sumCols.map(c => s"sum_$c")) ++
       d.sumCols.map(c => s"nn_$c")
-    val dren = delta.select(col(g).as("__g") +:
-      maintained.map(c => col(c).as(s"__d_$c")): _*)
-    val joined = dren.join(cur, dren("__g") === cur(g), "left")
+    val keyCol = if (hasGkey(d)) gkeyExpr(d) else col(g.head)
+    val dren = delta.select(keyCol.as("__g") +:
+      (g.map(c => col(c).as(s"__dg_$c")) ++
+        maintained.map(c => col(c).as(s"__d_$c")) ++
+        d.minCols.map(c => col(s"__ins_min_$c")) ++
+        d.maxCols.map(c => col(s"__ins_max_$c"))): _*)
+    val joined = dren.join(cur, dren("__g") === cur(keyName), "left")
     val newNExpr = coalesce(col("n_rows"), lit(0L)) + col("__d_n_rows")
     val newN = newNExpr.as("n_rows")
     // both sides NULL-coalesced: the stored sum is NULL when its
@@ -409,12 +477,22 @@ object FsMatView {
         coalesce(col(s"__d_nn_$c"), lit(0L))
       when(nn === 0L, lit(null).cast(LongType)).otherwise(raw).as(s"sum_$c")
     }
+    // MIN/MAX: the caller's staleness probe guarantees a pure
+    // insert-incremental fold — least/greatest SKIP NULLs, so an
+    // all-NULL insert window keeps the stored extreme and a new group's
+    // extreme is the inserted one
+    val newMins = d.minCols.map(c =>
+      least(col(s"min_$c"), col(s"__ins_min_$c")).as(s"min_$c"))
+    val newMaxs = d.maxCols.map(c =>
+      greatest(col(s"max_$c"), col(s"__ins_max_$c")).as(s"max_$c"))
     // 0 = group died (delete), 1 = update, 2 = new group (insert)
     val op = when(col("n_rows").isNotNull && newNExpr === 0L, lit(0))
       .when(col("n_rows").isNotNull, lit(1)).otherwise(lit(2))
     val out = joined
-      .select(op.as("__op") +: col("__g").as(g) +: newN +:
-        (newSums ++ newNNs): _*)
+      .select(op.as("__op") +:
+        ((if (hasGkey(d)) Seq(col("__g").as("gkey")) else Nil) ++
+          g.map(c => col(s"__dg_$c").as(c)) ++ Seq(newN) ++
+          newSums ++ newNNs ++ newMins ++ newMaxs): _*)
       .filter(!(col("__op") === 2 && col("n_rows") === 0L))
     val viewHead = FsStore.current(view)
     val fields = schema.fields

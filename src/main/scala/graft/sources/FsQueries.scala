@@ -1963,6 +1963,237 @@ object FsQueries {
            |GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 
+  /** q324: COMPOSITE partition spec (`PARTITIONED BY (days(ts),
+    * identity(shard))`) — the date+shard fact layout (Iceberg composite
+    * partition specs are the public design): the writer routes rows by
+    * the whole tuple (the load pre-clusters by the same tuple so each
+    * partition lands as one file, the at-scale bulk-load pattern), every
+    * manifest entry records the tuple, and a pushed time window PLUS a
+    * shard equality prune conjunctively from the manifest before any
+    * file IO. The in-query requires pin tuple routing and the exact
+    * two-dimensional `files=k/n` fraction; DuckDB recomputes the
+    * filtered aggregate. */
+  val q324FsCompositePartition = graft.QueryDef(
+    "q324_fs_composite_partition",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.events(s, d).select(
+        col("event_id").cast(LongType).as("event_id"),
+        col("ts"),
+        (col("user_id") % 8).cast(LongType).as("shard"),
+        col("event_type"), col("value").as("v"))
+      s.sql("DROP TABLE IF EXISTS graft.fs_compp")
+      // pre-cluster by the partition tuple so each (day, shard) lands as
+      // ONE file instead of one-per-task — at 1000 executors this is the
+      // difference between |tuples| files and |tuples|x|tasks| files
+      src.repartition(col("shard"),
+          expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)"))
+        .writeTo("graft.fs_compp")
+        .partitionedBy(org.apache.spark.sql.functions.days(col("ts")),
+          col("shard"))
+        .create()
+      val head = FsStore.current("fs_compp")
+      require(head.files.forall(_.parts.size == 2),
+        "every file of a composite-spec table must record the full tuple")
+      val shards = head.files.flatMap(_.parts(1)).distinct
+      require(shards.size == 8, s"expected 8 shards, got ${shards.size}")
+      val q = s.table("graft.fs_compp")
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-17 00:00:00").cast("timestamp") &&
+          col("shard") === 3L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).cast("decimal(18,4)").cast("double").as("sum_v"))
+        .orderBy("event_type")
+      q.collect() // AQE finalizes only after execution
+      val plan = q.queryExecution.executedPlan.toString
+      val Frac = """files=(\d+)/(\d+)""".r.unanchored
+      val (kept, total) = plan match {
+        case Frac(a, b) => (a.toInt, b.toInt)
+        case _ => throw new IllegalStateException(s"no files= fraction: $plan")
+      }
+      val d0 = java.time.LocalDate.of(2024, 1, 10).toEpochDay
+      val d1 = java.time.LocalDate.of(2024, 1, 17).toEpochDay
+      def inTuple(f: FsStore.FileRef, dHi: Long): Boolean =
+        f.parts(0).exists(p => p >= d0 && p <= dHi) &&
+          f.parts(1).contains(3L)
+      val inWeek = head.files.count(inTuple(_, d1 - 1))
+      val withBoundary = head.files.count(inTuple(_, d1))
+      require(kept >= inWeek && kept <= withBoundary && kept < total / 4,
+        s"composite prune must cut BOTH dimensions " +
+          s"($kept/$total, expected $inWeek..$withBoundary)")
+      q
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(CAST(SUM(value) AS DECIMAL(18,4)) AS DOUBLE) AS sum_v
+           |FROM events
+           |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           |  AND ts < TIMESTAMP '2024-01-17 00:00:00'
+           |  AND user_id % 8 = 3
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  )
+
+  /** q325: MULTI-COLUMN-GROUP materialized view on the MERGE-ON-READ
+    * delta path — the r11 verdict's missing IVM tier: composite group
+    * keys mask via a canonical serialized key (`gkey`, the view's own
+    * first column — `to_json` of the group struct, injective, explicit
+    * NULLs so NULL-bearing groups stay maskable), and MIN columns ride
+    * the same O(changed groups) delta commit whenever the window
+    * deletes no value tying-or-beating a stored extreme (pure appends
+    * trivially qualify). The in-query requires pin: delta landed as ONE
+    * mask with change rows bounded by the touched-group count (never
+    * O(view)); an extreme-beating delete REFUSES explicit delta and
+    * auto-falls-back to the replace/recompute path; final contents
+    * equal a full recompute. DuckDB recomputes the end state. */
+  val q325FsMatViewMultiGroup = graft.QueryDef(
+    "q325_fs_matview_multigroup",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.orders(s, d).select(
+        col("o_orderkey").cast(LongType).as("k"),
+        (col("o_custkey") % 6).cast(LongType).as("g1"),
+        when(col("o_orderkey") % 30 === 0, lit(null).cast(LongType))
+          .otherwise((col("o_orderkey") % 5).cast(LongType)).as("g2"),
+        floor(col("o_totalprice")).cast(LongType).as("val"))
+      s.sql("DROP TABLE IF EXISTS graft.fsd_mgb")
+      if (FsStore.exists("fs_mgv")) FsStore.drop("fs_mgv")
+      src.filter(col("k") % 11 =!= 0).writeTo("graft.fsd_mgb").create()
+      FsMatView.create(s, "fs_mgv", "fsd_mgb", Seq("g1", "g2"), Seq("val"),
+        minCols = Seq("val"))
+      require(FsStore.schemaOf("fs_mgv").fields.head.name == "gkey",
+        "a multi-column-group view leads with the canonical group key")
+      // window 1: an append touching ONLY g1=2 groups (the NULL-g2 group
+      // among them — gkey encodes NULLs, so it masks fine)
+      src.filter(col("k") % 11 === 0 && col("g1") === 2L)
+        .writeTo("graft.fsd_mgb").append()
+      val s1 = FsMatView.refresh(s, "fs_mgv", mode = "delta")
+      require(s1.applied && s1.incremental,
+        "a multi-group MIN view's append window must ride the MoR delta")
+      require(FsStore.current("fs_mgv").masks.size == 1,
+        "delta refresh lands as ONE mask, not a rewrite")
+      // O(changed groups): the refresh wrote rows bounded by the 6
+      // touched (2, g2) tuples — g2 ∈ {0..4, NULL} — never the view
+      val deltaRows = FsStore
+        .versionAt("fs_mgv", FsStore.currentVersion("fs_mgv"))
+        .changes.map(_.rows).sum
+      val viewGroups = s.table("graft.fs_mgv").count()
+      require(deltaRows <= 3 * 6 && deltaRows < viewGroups,
+        s"delta refresh must write O(changed groups) rows " +
+          s"($deltaRows vs $viewGroups view groups)")
+      // window 2a: a NEW global min for group (2,1) is still an INSERT —
+      // extremes fold via least(), stays on the delta path
+      s.sql("INSERT INTO graft.fsd_mgb VALUES (-1, 2, 1, -1)")
+      val s2 = FsMatView.refresh(s, "fs_mgv", mode = "delta")
+      require(s2.applied && s2.incremental,
+        "an inserted new extreme folds incrementally")
+      require(s.table("graft.fs_mgv")
+        .filter(col("g1") === 2L && col("g2") === 1L)
+        .head().getAs[Long]("min_val") == -1L,
+        "the inserted extreme must be served")
+      // window 2b: DELETE that sentinel — the deleted value TIES the
+      // stored min, so explicit delta must refuse and auto must fall
+      // back to the replace/recompute path (which also compacts masks)
+      s.sql("DELETE FROM graft.fsd_mgb WHERE k = -1")
+      val refused =
+        try { FsMatView.refresh(s, "fs_mgv", mode = "delta"); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused,
+        "explicit delta mode must refuse an extreme-beating delete")
+      val s3 = FsMatView.refresh(s, "fs_mgv")
+      require(s3.applied && !s3.incremental && FsMatView.isFresh("fs_mgv"),
+        "auto mode must fall back to replace for the stale extreme")
+      require(FsStore.current("fs_mgv").masks.isEmpty,
+        "the replace refresh doubles as the mask compactor")
+      val full = s.table("graft.fsd_mgb").groupBy("g1", "g2")
+        .agg(count(lit(1)).as("n_rows"), sum(col("val")).as("sum_val"),
+          count(col("val")).as("nn_val"), min(col("val")).as("min_val"))
+      val view = s.table("graft.fs_mgv").drop("gkey")
+      require(view.exceptAll(full).isEmpty && full.exceptAll(view).isEmpty,
+        "multi-group delta-refreshed view must equal the full recompute")
+      s.table("graft.fs_mgv").select(col("g1"),
+          coalesce(col("g2"), lit(-1L)).as("g2k"), col("n_rows"),
+          col("sum_val"), col("nn_val"), col("min_val"))
+        .orderBy("g1", "g2k")
+    },
+    Some("""WITH src AS (
+           |  SELECT o_orderkey AS k, CAST(o_custkey % 6 AS BIGINT) AS g1,
+           |    CASE WHEN o_orderkey % 30 = 0 THEN NULL
+           |         ELSE CAST(o_orderkey % 5 AS BIGINT) END AS g2,
+           |    CAST(FLOOR(o_totalprice) AS BIGINT) AS val
+           |  FROM orders),
+           |fin AS (SELECT * FROM src WHERE k % 11 <> 0 OR g1 = 2)
+           |SELECT g1, CAST(COALESCE(g2, -1) AS BIGINT) AS g2k,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(val) AS BIGINT) AS sum_val,
+           |  CAST(COUNT(val) AS BIGINT) AS nn_val,
+           |  CAST(MIN(val) AS BIGINT) AS min_val
+           |FROM fin GROUP BY g1, g2 ORDER BY g1, g2k""".stripMargin)
+  )
+
+  /** q326: NESTED STRUCT columns in the fs warehouse — the
+    * `events.props` shape the r11 verdict ranked the #1 missing
+    * capability: the JSON props shred into a typed struct that LANDS AS
+    * A STRUCT (Iceberg-style nested field ids assigned at create), leaf
+    * zone maps prune files on a pushed `props_s.k` window exactly like
+    * a flat column (plan-asserted `files=k/n` plus ColumnarToRow — the
+    * vectorized reader handles structs), and nested EVOLUTION renames a
+    * struct member with old files still serving by field id. DuckDB
+    * recomputes from the raw JSON column. */
+  val q326FsNestedStruct = graft.QueryDef(
+    "q326_fs_nested_struct",
+    (s, d) => {
+      cat(s)
+      val src = graft.Tables.events(s, d).select(
+        col("event_id").cast(LongType).as("event_id"),
+        col("ts"),
+        struct(
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+          (col("user_id") % 4).cast(LongType).as("dev")).as("props_s"),
+        col("value").as("v"))
+      s.sql("DROP TABLE IF EXISTS graft.fs_evprops")
+      // cluster by the nested leaf so its per-file zone maps earn real
+      // pruning (the at-scale load pattern: range-partition by the
+      // query key; explicit partition count so AQE never coalesces the
+      // layout away at small SF)
+      src.repartitionByRange(8, col("props_s.k"))
+        .writeTo("graft.fs_evprops").create()
+      val head = FsStore.current("fs_evprops")
+      val leafIds = FsStore.leafFields(head.schema)
+        .map { case (n, f) => n -> FsStore.fieldId(f) }.toMap
+      require(leafIds.contains("props_s.k") && leafIds("props_s.k") >= 0,
+        "nested leaves must carry their own field ids")
+      require(head.files.forall(_.stats.contains(leafIds("props_s.k"))),
+        "every file must record the nested leaf's zone map")
+      // nested evolution: rename the leaf — old files serve by field id
+      s.sql("ALTER TABLE graft.fs_evprops RENAME COLUMN props_s.k TO key")
+      val q = s.table("graft.fs_evprops")
+        .filter(col("props_s.key") >= 20L && col("props_s.key") <= 29L)
+        .groupBy(col("props_s.dev").as("dev"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).cast("decimal(18,4)").cast("double").as("sum_v"))
+        .orderBy("dev")
+      q.collect() // AQE finalizes only after execution
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains("ColumnarToRow"),
+        "nested snapshot scans must ride the vectorized path")
+      val Frac = """files=(\d+)/(\d+)""".r.unanchored
+      plan match {
+        case Frac(a, b) =>
+          require(a.toInt < b.toInt,
+            s"nested-leaf zone maps must prune the k-sorted layout ($a/$b)")
+        case _ => throw new IllegalStateException(s"no files= fraction: $plan")
+      }
+      q
+    },
+    Some("""SELECT CAST(user_id % 4 AS BIGINT) AS dev,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(CAST(SUM(value) AS DECIMAL(18,4)) AS DOUBLE) AS sum_v
+           |FROM events
+           |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT)
+           |      BETWEEN 20 AND 29
+           |GROUP BY 1 ORDER BY dev""".stripMargin)
+  )
+
   val all: Seq[graft.QueryDef] = Seq(q289FsRoundtrip, q290FsUpdate,
     q291FsMerge, q292FsdDeltaMerge, q293FsEvolution, q294FsdCdfBatch,
     q295FsdCdfStream, q296FsTimestampTravel, q297FsFeedBytes,
@@ -1973,5 +2204,6 @@ object FsQueries {
     q314FsCurationWap, q315FsMatViewIvm, q316FsTxnPublish,
     q317FsNgramSkip, q318FsMatViewDelta, q319FsBinaryPayload,
     q320FsCloneRestore, q321FsMatViewNulls, q322FsMatViewMinMax,
-    q323FsDatePartition)
+    q323FsDatePartition, q324FsCompositePartition, q325FsMatViewMultiGroup,
+    q326FsNestedStruct)
 }

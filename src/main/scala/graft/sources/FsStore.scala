@@ -58,10 +58,17 @@ object FsParquet {
     * money+event-time table needs — DECIMAL (any supported precision),
     * TIMESTAMP (µs), DATE, BINARY (the multimodal payload column a
     * training-data lake stores images/audio in — opaque: no stats, no
-    * indexes, only the columns AROUND it skip), and one-level ARRAYs of
-    * the numeric/string/boolean atomics (embeddings, tag lists). Nested
-    * structs/maps stay a loud refusal: field-id evolution and zone maps
-    * are only defined here for flat columns. */
+    * indexes, only the columns AROUND it skip), one-level ARRAYs of
+    * the numeric/string/boolean atomics (embeddings, tag lists),
+    * NESTED STRUCTS of all of these (recursively — the `events.props`
+    * shape: every nested field carries its own Iceberg-style field id,
+    * so leaf zone maps, null-count skipping, nested column pruning and
+    * ADD/RENAME/widen evolution all work below the top level), and
+    * MAPs of string/integral keys to flat atomics (opaque like binary —
+    * no stats, no per-entry evolution: the key set is data, not
+    * schema). Arrays OF structs/maps stay a loud refusal: element-level
+    * field ids inside a repeated group buy little and complicate every
+    * reader. */
   def supportedType(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType | StringType |
          BooleanType | TimestampType | DateType | BinaryType => true
@@ -71,6 +78,17 @@ object FsParquet {
            BooleanType => true
       case _ => false
     }
+    case StructType(fields) =>
+      fields.nonEmpty && fields.forall(f => supportedType(f.dataType))
+    case MapType(kt, vt, _) =>
+      (kt match {
+        case StringType | LongType | IntegerType => true
+        case _ => false
+      }) && (vt match {
+        case LongType | IntegerType | DoubleType | FloatType | StringType |
+             BooleanType => true
+        case _ => false
+      })
     case _ => false
   }
 
@@ -106,12 +124,37 @@ object FsParquet {
   }
 
   /** Open a parquet writer for `schema` at `path` (local file). The
-    * caller streams rows and closes; bytes are on disk only then. */
+    * caller streams rows and closes; bytes are on disk only then.
+    * Row-group size follows parquet's 128 MB default; the
+    * `graft.fs.rowGroupBytes` system property overrides it (ops tuning,
+    * and how the split-scan specs manufacture multi-group files). */
   def writer(path: String, schema: StructType): ParquetWriter[InternalRow] =
     new RowBuilder(new org.apache.hadoop.fs.Path(path))
       .withConf(hadoopConf(schema))
       .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withRowGroupSize(sys.props.get("graft.fs.rowGroupBytes")
+        .map(_.toLong)
+        .getOrElse(ParquetWriter.DEFAULT_BLOCK_SIZE.toLong))
       .build()
+
+  /** Row-group starting byte positions of `path`, task-side (one footer
+    * read of a file this task just wrote — page-cache warm). Returns
+    * empty for single-group files: they split no further, so the
+    * manifest carries nothing. */
+  def rowGroupStarts(path: String): Vector[Long] = {
+    val conf = new Configuration()
+    conf.set("fs.file.impl", classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
+    conf.set("fs.file.impl.disable.cache", "true")
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(path), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = r.getFooter.getBlocks.asScala
+      if (blocks.size <= 1) Vector.empty
+      else blocks.iterator.map(_.getStartingPos).toVector
+    } finally r.close()
+  }
 
   /** A row iterator that owns its parquet reader: closes at EOF AND on
     * [[close]] — a LIMIT/take-sliced scan abandons the iterator mid-file,
@@ -149,11 +192,21 @@ object FsParquet {
     * This is Iceberg's schema-evolution read contract: files are
     * immutable, the mapping lives in metadata. The ROW path — the
     * masked/CDF/sliced reads; plain snapshot scans take the vectorized
-    * [[FsVectorized]] path instead. */
-  def read(path: String, fileSchema: StructType,
-      scanSchema: StructType): RowIter = {
-    val reader = new ParquetReader(new Configuration(),
-      new org.apache.hadoop.fs.Path(path), new GroupReadSupport())
+    * [[FsVectorized]] path instead. `range` restricts to the row groups
+    * whose byte midpoint falls inside it (the split-scan rule). */
+  def read(path: String, fileSchema: StructType, scanSchema: StructType,
+      range: Option[(Long, Long)] = None): RowIter = {
+    val reader = range match {
+      case None =>
+        new ParquetReader(new Configuration(),
+          new org.apache.hadoop.fs.Path(path), new GroupReadSupport())
+      case Some((start, len)) =>
+        ParquetReader.builder(new GroupReadSupport(),
+            new org.apache.hadoop.fs.Path(path))
+          .withConf(new Configuration())
+          .withFileRange(start, start + len)
+          .build()
+    }
     new RowIter(reader, converters(fileSchema, scanSchema), scanSchema.length)
   }
 
@@ -208,6 +261,42 @@ object FsParquet {
                 }
                 new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
               }
+            // NESTED STRUCT: recurse — the same field-id mapping,
+            // widening and ADD-backfill contract applies at every depth
+            // (a nested field RENAMED since the file was written
+            // resolves by id; one ADDED since null-fills)
+            case (ft: StructType, st: StructType) =>
+              val inner = converters(ft, st)
+              g => {
+                val sub = g.getGroup(i, 0)
+                val out = new GenericInternalRow(inner.length)
+                var j = 0
+                while (j < inner.length) { out.update(j, inner(j)(sub)); j += 1 }
+                out
+              }
+            // MAP of atomics (standard key_value repeated group): opaque
+            // — exact type match only, no id mapping inside
+            case (MapType(fk, fv, _), MapType(sk, sv, _))
+                if fk == sk && fv == sv =>
+              val keyG = kvGetter(fk, 0)
+              val valG = kvGetter(fv, 1)
+              g => {
+                val m = g.getGroup(i, 0)
+                val n = m.getFieldRepetitionCount(0)
+                val ks = new Array[Any](n)
+                val vs = new Array[Any](n)
+                var j = 0
+                while (j < n) {
+                  val kv = m.getGroup(0, j)
+                  ks(j) = keyG(kv)
+                  vs(j) = if (kv.getFieldRepetitionCount(1) == 0) null
+                          else valG(kv)
+                  j += 1
+                }
+                import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+                new ArrayBasedMapData(
+                  new GenericArrayData(ks), new GenericArrayData(vs))
+              }
             case (a, b) => throw new IllegalStateException(
               s"graft_fs: cannot read file column ${fileSchema(i).name}: $a " +
                 s"as scan type $b (only INT→BIGINT and FLOAT→DOUBLE widen)")
@@ -229,6 +318,19 @@ object FsParquet {
     case StringType => g => UTF8String.fromBytes(g.getBinary(0, 0).getBytes)
     case other => throw new IllegalStateException(
       s"graft_fs: unsupported array element type $other")
+  }
+
+  /** Typed extractor for field `idx` of a map's key_value group. */
+  private def kvGetter(t: DataType, idx: Int)
+      : org.apache.parquet.example.data.Group => Any = t match {
+    case LongType => _.getLong(idx, 0)
+    case IntegerType => _.getInteger(idx, 0)
+    case DoubleType => _.getDouble(idx, 0)
+    case FloatType => _.getFloat(idx, 0)
+    case BooleanType => _.getBoolean(idx, 0)
+    case StringType => g => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+    case other => throw new IllegalStateException(
+      s"graft_fs: unsupported map key/value type $other")
   }
 
   /** Keys of a key file (single `k`-typed column written by the delta
@@ -328,10 +430,21 @@ object FsStore {
       stats: Map[Int, ColStat] = Map.empty, bucket: Int = -1,
       sorted: Boolean = false, bloom: Option[String] = None,
       nullCounts: Map[Int, Long] = Map.empty,
-      // LONG-encoded partition value under the table's _part.json spec
-      // (identity value, or epoch day for days(ts)); None = the file
-      // predates the spec or holds the NULL partition — never pruned
-      part: Option[Long] = None) {
+      // LONG-encoded partition TUPLE under the table's _part.json spec,
+      // one entry per spec field in spec order (identity value, epoch
+      // day/hour/month index for the time transforms); None entries are
+      // the NULL partition, an EMPTY vector = the file predates the spec
+      // — never pruned either way
+      parts: Vector[Option[Long]] = Vector.empty,
+      // parquet ROW-GROUP starting byte positions, recorded at write
+      // time when the file has MORE THAN ONE group (8 B/group in the
+      // manifest): lets the scan planner split one skewed file into
+      // row-group-granular tasks with ZERO planning-time file IO.
+      // Empty = single-group or pre-split-era file — one task.
+      groups: Vector[Long] = Vector.empty) {
+    /** First spec field's value — the single-transform accessor most
+      * call sites (day-partitioned facts) read. */
+    def part: Option[Long] = parts.headOption.flatten
     /** Can a scan bounded to [lo, hi] on the key skip this file? */
     def disjointFrom(lo: Long, hi: Long): Boolean =
       !(minKey == Long.MinValue && maxKey == Long.MaxValue) &&
@@ -454,8 +567,27 @@ object FsStore {
     o.put("schemaId", f.schemaId); o.put("addedVersion", f.addedVersion)
     o.put("minKey", f.minKey); o.put("maxKey", f.maxKey)
     if (f.bucket >= 0) o.put("bucket", f.bucket)
-    f.part.foreach(p => o.put("part", p): Unit)
+    // single-field specs keep the legacy scalar "part" key (manifest
+    // compat both ways); composite specs write the "parts" array with
+    // JSON null marking the NULL partition
+    f.parts match {
+      case Vector() => ()
+      case Vector(p) => p.foreach(v => o.put("part", v): Unit)
+        if (p.isEmpty) o.putNull("part")
+      case ps =>
+        val pa = mapper.createArrayNode()
+        ps.foreach {
+          case Some(v) => pa.add(v): Unit
+          case None => pa.addNull(): Unit
+        }
+        o.set[ObjectNode]("parts", pa)
+    }
     if (f.sorted) o.put("sorted", true)
+    if (f.groups.nonEmpty) {
+      val ga = mapper.createArrayNode()
+      f.groups.foreach(ga.add(_): Unit)
+      o.set[ObjectNode]("groups", ga)
+    }
     f.bloom.foreach(o.put("bloom", _))
     if (f.nullCounts.nonEmpty) {
       val nc = mapper.createArrayNode()
@@ -510,7 +642,17 @@ object FsStore {
       Option(n.get("bucket")).map(_.asInt).getOrElse(-1),
       Option(n.get("sorted")).exists(_.asBoolean),
       Option(n.get("bloom")).map(_.asText), nulls,
-      Option(n.get("part")).map(_.asLong))
+      Option(n.get("parts")) match {
+        case Some(pa) => pa.elements().asScala
+          .map(e => if (e.isNull) None else Some(e.asLong)).toVector
+        case None => Option(n.get("part")) match {
+          case Some(p) if p.isNull => Vector(None) // NULL partition
+          case Some(p) => Vector(Some(p.asLong))
+          case None => Vector.empty // pre-spec file
+        }
+      },
+      Option(n.get("groups")).map(_.elements().asScala
+        .map(_.asLong).toVector).getOrElse(Vector.empty))
   }
   private def filesJson(fs: Vector[FileRef]): ArrayNode = {
     val a = mapper.createArrayNode(); fs.foreach(f => a.add(fileToJson(f))); a
@@ -663,7 +805,14 @@ object FsStore {
     v.epochs.foreach { case (q, e) => ep.put(q, e) }
     o.set[ObjectNode]("epochs", ep)
     Files.createDirectories(logDir(name))
-    val tmp = logDir(name).resolve(f".tmp-v${v.id}%05d-${System.nanoTime()}")
+    // Tmp names must be collision-proof: two committers racing the same
+    // version id under load CAN draw the same nanoTime tick (observed in
+    // the 160-append contention test — Files.write truncates the shared
+    // tmp silently and the loser's createLink dies on NoSuchFile after
+    // the winner unlinks it). A per-process UUID makes the path unique
+    // regardless of clock resolution or thread scheduling.
+    val tmp = logDir(name).resolve(
+      f".tmp-v${v.id}%05d-${java.util.UUID.randomUUID().toString}")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o))
     val target = logDir(name).resolve(f"v${v.id}%05d.json")
     // ATOMIC publish with CREATE-NEW semantics: POSIX rename() REPLACES
@@ -698,6 +847,15 @@ object FsStore {
       }
       throw new IllegalStateException(
         s"graft_fs($name): concurrent commit of version ${v.id} — retry", e)
+    case e: java.nio.file.NoSuchFileException =>
+      // Defense in depth: the tmp vanished under us. With UUID tmp names
+      // this should be impossible, but if any path collision (or an
+      // external sweep) unlinks the tmp between write and publish, the
+      // append itself is still valid — surface it as the retryable
+      // concurrent-commit race, never as a nonsense NoSuchFile crash.
+      throw new IllegalStateException(
+        s"graft_fs($name): concurrent commit of version ${v.id} — retry " +
+          "(tmp manifest vanished during publish)", e)
     }
   }
 
@@ -808,45 +966,100 @@ object FsStore {
   val MicrosPerDay: Long = 86400L * 1000000L
 
   /** The table's VALUE-partition spec, fixed at CREATE (Iceberg's
-    * initial partition spec reduced to the identity/days transforms):
-    * `(kind, fieldId)` where kind ∈ {identity, days}. Stored table-level
-    * in `_part.json` — one spec for every version, like `_view.json`.
-    * Field-id keyed, so the spec survives renames and type widening. */
-  def partSpecOf(name: String): Option[(String, Int)] = {
+    * initial partition spec reduced to the identity + time transforms):
+    * ordered `(kind, fieldId)` fields where kind ∈ {identity, days,
+    * hours, months, years}. COMPOSITE specs (`days(ts), identity(k)` —
+    * the second-most-common fact layout) are first-class: the writer
+    * routes rows by the whole tuple and the scan prunes conjunctively
+    * per field. Stored table-level in `_part.json` — one spec for every
+    * version, like `_view.json`. Field-id keyed, so the spec survives
+    * renames and type widening. Empty = unpartitioned. */
+  def partSpecOf(name: String): Vector[(String, Int)] = {
     val p = tableDir(name).resolve("_part.json")
-    if (!Files.exists(p)) None
+    if (!Files.exists(p)) Vector.empty
     else {
       val o = mapper.readTree(Files.readAllBytes(p))
-      Some((o.get("kind").asText, o.get("fieldId").asInt))
+      Option(o.get("fields")) match {
+        case Some(fs) => fs.elements().asScala
+          .map(f => (f.get("kind").asText, f.get("fieldId").asInt)).toVector
+        case None => // legacy single-field flat shape
+          Vector((o.get("kind").asText, o.get("fieldId").asInt))
+      }
     }
   }
-  private def writePartSpec(name: String, kind: String, fieldId: Int): Unit = {
+  private def writePartSpec(name: String,
+      fields: Seq[(String, Int)]): Unit = {
     val o = mapper.createObjectNode()
-    o.put("kind", kind); o.put("fieldId", fieldId)
+    val fs = mapper.createArrayNode()
+    fields.foreach { case (kind, fieldId) =>
+      val e = mapper.createObjectNode()
+      e.put("kind", kind); e.put("fieldId", fieldId)
+      fs.add(e): Unit
+    }
+    o.set[ObjectNode]("fields", fs)
     Files.createDirectories(tableDir(name))
     Files.write(tableDir(name).resolve("_part.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o)): Unit
   }
 
+  /** Resolve the table's partition spec to write-schema column indexes
+    * by field id — LOUDLY: a spec field absent from the schema would
+    * otherwise surface as `row.isNullAt(-1)` deep in the first write.
+    * Absence means the spec file is corrupt or survived a re-CREATE it
+    * should not have; refuse here with the real story. */
+  def resolvePartSpec(name: String,
+      schema: StructType): Vector[(String, Int)] =
+    partSpecOf(name).map { case (kind, fid) =>
+      val idx = schema.fields.indexWhere(f => fieldId(f) == fid)
+      if (idx < 0) throw new IllegalStateException(
+        s"graft_fs($name): partition spec field $kind(field id $fid) is " +
+          "absent from the write schema — _part.json is corrupt or " +
+          "inherited from a dropped incarnation of the table")
+      (kind, idx)
+    }
+
+  /** LONG-encode a raw column value into partition space. Raw is the
+    * column's InternalRow physical: µs since epoch for the time
+    * transforms, the value itself for identity. Every transform is
+    * MONOTONE in the raw value, which is what makes scan-side window
+    * translation (`p < T(lo) || p > T(hi)`) a safe prune. */
+  def partTransform(kind: String, raw: Long): Long = kind match {
+    case "identity" => raw
+    case "days" => Math.floorDiv(raw, MicrosPerDay)
+    case "hours" => Math.floorDiv(raw, 3600L * 1000000L)
+    case "months" =>
+      val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(raw, MicrosPerDay))
+      (d.getYear - 1970).toLong * 12L + (d.getMonthValue - 1)
+    case "years" =>
+      java.time.LocalDate.ofEpochDay(Math.floorDiv(raw, MicrosPerDay))
+        .getYear.toLong - 1970L
+    case other => throw new IllegalArgumentException(
+      s"unknown partition transform $other")
+  }
+
   def create(name: String, schema: StructType, bucketN: Int = 0,
       bloomCols: Seq[String] = Nil, ngramCols: Seq[String] = Nil,
-      partKind: String = "", partCol: String = ""): Unit = {
+      partFields: Seq[(String, String)] = Nil): Unit = {
     require(schema.fields.nonEmpty, s"graft_fs($name): empty schema")
     if (bucketN > 0) {
       require(schema.fields.head.dataType == LongType ||
         schema.fields.head.dataType == IntegerType,
         s"graft_fs($name): bucket partitioning requires an integral first " +
           s"(row-id) column, got ${schema.fields.head.dataType.simpleString}")
-      require(partKind.isEmpty,
-        s"graft_fs($name): one partition transform per table")
+      require(partFields.isEmpty,
+        s"graft_fs($name): bucket and value partitioning do not compose")
     }
     schema.fields.foreach(f => require(FsParquet.supportedType(f.dataType),
       s"graft_fs($name): unsupported column type ${f.dataType.simpleString} " +
-        s"for ${f.name} (fs tables admit the flat atomics incl. decimal/" +
-        "timestamp/date/binary and one-level arrays; structs/maps refuse)"))
-    val withIds = StructType(schema.fields.zipWithIndex.map { case (f, i) =>
-      withFieldId(f, i)
-    })
+        s"for ${f.name} (fs tables admit the atomics incl. decimal/" +
+        "timestamp/date/binary, one-level atomic arrays, nested structs " +
+        "of these, and atomic-keyed maps; arrays of structs/maps refuse)"))
+    require(schema.fields.head.dataType match {
+      case _: StructType | _: MapType => false
+      case _ => true
+    }, s"graft_fs($name): the first (row-id / mask key) column must be " +
+      "an atomic, not a struct/map")
+    val (withIds, maxId) = assignFieldIds(schema)
     // bloom-indexed columns resolve to FIELD IDS at create, so the index
     // declaration survives renames; only equality-probe-able kinds admit
     // one (doubles decline: float equality is a data-quality bug, not a
@@ -874,26 +1087,37 @@ object FsStore {
     }
     if (exists(name)) throw new IllegalStateException(
       s"graft_fs($name): table already exists")
-    if (partKind.nonEmpty) {
-      require(partKind == "identity" || partKind == "days",
-        s"graft_fs($name): unknown partition transform $partKind")
+    // A previous create() that died between spec and v0 manifest can
+    // leave a stale _part.json; a re-CREATE must never inherit it (the
+    // stale field id could miss the new schema and crash the first
+    // write). Clear it here, and publish the spec only AFTER the v0
+    // manifest lands so the crash window can no longer produce one.
+    Files.deleteIfExists(tableDir(name).resolve("_part.json")): Unit
+    val timeKinds = Set("days", "hours", "months", "years")
+    val resolvedSpec = partFields.map { case (kind, partCol) =>
+      require(kind == "identity" || timeKinds.contains(kind),
+        s"graft_fs($name): unknown partition transform $kind")
       val f = withIds.fields.find(_.name == partCol).getOrElse(throw
         new IllegalArgumentException(
           s"graft_fs($name): partition column $partCol is not in the schema"))
-      partKind match {
-        case "days" => require(f.dataType == TimestampType,
-          s"graft_fs($name): days() partitions a TIMESTAMP column, got " +
+      if (timeKinds.contains(kind))
+        require(f.dataType == TimestampType,
+          s"graft_fs($name): $kind() partitions a TIMESTAMP column, got " +
             f.dataType.simpleString)
-        case _ => require(Set[DataType](LongType, IntegerType, DateType)
-          .contains(f.dataType),
-          s"graft_fs($name): identity partitioning admits integral/date " +
-            s"columns, got ${f.dataType.simpleString}")
-      }
-      writePartSpec(name, partKind, fieldId(f))
+      else require(Set[DataType](LongType, IntegerType, DateType)
+        .contains(f.dataType),
+        s"graft_fs($name): identity partitioning admits integral/date " +
+          s"columns, got ${f.dataType.simpleString}")
+      (kind, fieldId(f))
     }
+    require(resolvedSpec.map(_._2).distinct.size == resolvedSpec.size,
+      s"graft_fs($name): a column appears twice in the partition spec")
     writeManifest(name, Version(0L, GraftClock.next(), 0, Vector(withIds),
-      withIds.length - 1, Vector.empty, Vector.empty, Vector.empty, 0L,
+      maxId, Vector.empty, Vector.empty, Vector.empty, 0L,
       Map.empty, bucketN, bloomIds, ngramIds))
+    // spec AFTER the manifest: a crash here leaves a valid unpartitioned
+    // table (fails soft), never a stale spec haunting a re-CREATE
+    if (resolvedSpec.nonEmpty) writePartSpec(name, resolvedSpec)
   }
 
   def drop(name: String): Unit = {
@@ -939,6 +1163,44 @@ object FsStore {
   def withFieldId(f: StructField, id: Int): StructField =
     f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
       .putLong(FieldIdKey, id.toLong).build())
+
+  /** Assign Iceberg-style field ids DEPTH-FIRST to every field,
+    * INCLUDING nested struct members (parent before children — flat
+    * schemas keep the historical 0..n-1 top-level numbering, so every
+    * pre-nested manifest reads back unchanged). Returns the id-stamped
+    * schema and the max id assigned. */
+  def assignFieldIds(schema: StructType, start: Int = 0): (StructType, Int) = {
+    var next = start
+    def walk(st: StructType): StructType = StructType(st.fields.map { f =>
+      val id = next
+      next += 1
+      val dt = f.dataType match {
+        case s: StructType => walk(s)
+        case other => other
+      }
+      withFieldId(f.copy(dataType = dt), id)
+    })
+    val stamped = walk(schema)
+    (stamped, next - 1)
+  }
+
+  /** Depth-first `(dottedName, field)` pairs of every NON-STRUCT leaf,
+    * top-level atomics included — the name space pushed predicates and
+    * stats address (`props.x` for nested leaves). Struct nodes
+    * themselves are not leaves; map entries are not enumerable. */
+  def leafFields(schema: StructType): Seq[(String, StructField)] = {
+    val out = Seq.newBuilder[(String, StructField)]
+    def walk(st: StructType, prefix: String): Unit =
+      st.fields.foreach { f =>
+        val name = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        f.dataType match {
+          case s: StructType => walk(s, name)
+          case _ => out += ((name, f))
+        }
+      }
+    walk(schema, "")
+    out.result()
+  }
 
   // -------------------------------------------------------------- commits
 

@@ -183,15 +183,12 @@ class FsWrite(name: String, truncate: Boolean, queryId: String)
       // abort sweeps exactly its own attempts (earlier epochs' committed
       // files share the query stamp but not the epoch suffix)
       private val jobId = java.util.UUID.randomUUID().toString.take(8)
-      private val (partKind, partIdx) = FsStore.partSpecOf(name)
-        .map { case (k, fid) =>
-          (k, schema.fields.indexWhere(f => FsStore.fieldId(f) == fid))
-        }.getOrElse(("", -1))
+      private val partSpec = FsStore.resolvePartSpec(name, schema)
       override def createStreamingWriterFactory(
           info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
         new FsStreamingWriterFactory(name, schema, writeVer.bucketN,
           writeVer.bloomIds.toSet, writeVer.ngramIds.toSet, jobId,
-          partKind, partIdx)
+          partSpec)
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
         val files = messages.iterator
           .flatMap { case FsCommitMessage(fs) => fs }.toVector
@@ -295,11 +292,15 @@ class FsScanBuilder(name: String, pinnedVersion: Option[Long], cdf: Boolean,
     * gram of the needle is provably absent from its gram bloom. */
   private val ngramPreds = Vector.newBuilder[(Int, Vector[Long])]
   /** Conjunctive windows per stat-tracked column (by FIELD ID) — feeds
-    * the per-column zone-map skip alongside the first-column fast path. */
+    * the per-column zone-map skip alongside the first-column fast path.
+    * Keyed by the DOTTED leaf name ([[FsStore.leafFields]]): nested
+    * struct leaves prune exactly like flat columns (Spark pushes
+    * `props.x > 5` with the dotted attribute). */
   private val bounds = scala.collection.mutable.Map[Int, FsStore.ColWindow]()
   private val statCols: Map[String, (Int, String)] =
-    ver.schema.fields.flatMap(f =>
-      FsStore.statKind(f.dataType).map(k => f.name -> ((FsStore.fieldId(f), k)))).toMap
+    FsStore.leafFields(ver.schema).flatMap { case (name, f) =>
+      FsStore.statKind(f.dataType).map(k => name -> ((FsStore.fieldId(f), k)))
+    }.toMap
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (allowPushdown && !cdf) required = Some(requiredSchema)
@@ -408,10 +409,12 @@ class FsScanBuilder(name: String, pinnedVersion: Option[Long], cdf: Boolean,
       }
       val probeAccepted = filters.filter(probe)
       accepted = (accepted ++ probeAccepted).distinct
-      // null-ness conjuncts: any column, any type — a null check needs
-      // no value order, just the per-file counts
+      // null-ness conjuncts: any column, any type, nested leaves
+      // included — a null check needs no value order, just the counts
       val allIds: Map[String, Int] =
-        ver.schema.fields.map(f => f.name -> FsStore.fieldId(f)).toMap
+        (ver.schema.fields.map(f => f.name -> FsStore.fieldId(f)) ++
+          FsStore.leafFields(ver.schema)
+            .map { case (n, f) => n -> FsStore.fieldId(f) }).toMap
       def nullProbe(f: Filter): Boolean = f match {
         case IsNull(a) => allIds.get(a).exists { id =>
           nullPreds += ((id, true)); true }
@@ -468,8 +471,9 @@ class FsScanBuilder(name: String, pinnedVersion: Option[Long], cdf: Boolean,
     * always residual — so a filtered aggregate keeps the normal path. */
   private var pushedAgg: Option[Array[aggregate.AggregateFunc]] = None
   private def statFor(colName: String): Option[(Int, String, org.apache.spark.sql.types.DataType)] =
-    ver.schema.fields.find(_.name == colName).flatMap(f =>
-      FsStore.statKind(f.dataType).map(k => (FsStore.fieldId(f), k, f.dataType)))
+    FsStore.leafFields(ver.schema).find(_._1 == colName).flatMap { case (_, f) =>
+      FsStore.statKind(f.dataType).map(k => (FsStore.fieldId(f), k, f.dataType))
+    }
   private def manifestAnswerable(f: aggregate.AggregateFunc): Boolean = f match {
     case _: aggregate.CountStar => true
     case m: aggregate.Min => statFor(m.column.describe).exists { case (id, _, _) =>
@@ -616,6 +620,7 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
           if a == dataSchema.fields.head.name =>
         val ks = vs.iterator.collect { case n: Number => n.longValue }.toArray.sorted
         runtimeKeys = Some(runtimeKeys.fold(ks)(prev => prev.intersect(ks)))
+        cheapCache = null; survivorsCache = null // prune set changed
       case _ => () // non-IN runtime filters: decline, the join re-evaluates
     }
   private def runtimePruned(f: FileRef): Boolean = runtimeKeys.exists { ks =>
@@ -625,10 +630,30 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
       !ks.exists(k => Math.floorMod(k, ver.bucketN.toLong).toInt == f.bucket)
     zoneMiss || bucketMiss
   }
+  /** Re-stamp graft field ids onto a REQUIRED (possibly nested-pruned)
+    * schema by NAME PATH against the live table schema: Spark's nested
+    * schema pruning rebuilds struct types from the query's field
+    * accesses and DROPS nested field metadata, which would silently
+    * turn every pruned nested leaf into a "missing" (null-filled)
+    * column. Names are exact at scan time (they ARE the current
+    * schema's names), so the path lookup is total; anything unmatched
+    * keeps its (absent) id and null-fills — the pre-nested behavior. */
+  private def restampIds(req: StructType, table: StructType): StructType =
+    StructType(req.fields.map { rf =>
+      table.fields.find(_.name == rf.name) match {
+        case None => rf
+        case Some(tf) =>
+          val dt = (rf.dataType, tf.dataType) match {
+            case (rs: StructType, ts: StructType) => restampIds(rs, ts)
+            case _ => rf.dataType
+          }
+          rf.copy(dataType = dt, metadata = tf.metadata)
+      }
+    })
   /** The schema rows LEAVE the scan with (pruned for plain reads). */
   private val outSchema: StructType =
     if (cdf) MemCdf.withCdfColumns(dataSchema)
-    else required.getOrElse(dataSchema)
+    else required.map(restampIds(_, dataSchema)).getOrElse(dataSchema)
   /** ANY bound column whose recorded stat is disjoint from its window
     * proves the file holds no qualifying row — skip. Files lacking the
     * stat (old era, all-NULL, NaN-poisoned) are never skipped on it. */
@@ -671,36 +696,45 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
       f.nullCounts.get(id).exists(n =>
         if (wantNull) n == 0L else n == f.rows)
     }
-  /** VALUE-partition pruning (identity/days spec from `_part.json`):
-    * a pushed window on the partition column, translated to partition
-    * space (identity = the long value; days = the µs window's epoch-day
-    * range), drops every file whose recorded partition value falls
-    * outside — BEFORE zone maps, stats-independent (it works on files
-    * whose column stats are NaN-poisoned or absent). Files without a
-    * value (pre-spec era, the NULL partition) are never pruned here. */
-  private val partSpec: Option[(String, Int)] = FsStore.partSpecOf(name)
+  /** VALUE-partition pruning (identity + days/hours/months/years spec
+    * from `_part.json`, possibly COMPOSITE): each pushed window on a
+    * partition column, translated to that field's partition space via
+    * the monotone [[FsStore.partTransform]], drops every file whose
+    * recorded tuple value falls outside — conjunctively across spec
+    * fields (surviving requires surviving EVERY field's window), BEFORE
+    * zone maps, stats-independent (it works on files whose column stats
+    * are NaN-poisoned or absent). Files without a recorded tuple
+    * (pre-spec era) or with a NULL entry are never pruned on that
+    * field. */
+  private val partSpec: Vector[(String, Int)] = FsStore.partSpecOf(name)
   private def partPruned(f: FileRef): Boolean =
-    partSpec.exists { case (kind, fid) =>
-      f.part.exists { p =>
-        colBounds.get(fid).exists { w =>
-          def day(v: Any): Long =
-            Math.floorDiv(v.asInstanceOf[Long], FsStore.MicrosPerDay)
-          kind match {
-            case "days" =>
-              w.lo.exists(l => p < day(l)) || w.hi.exists(h => p > day(h))
-            case _ => w.kind == "long" &&
-              (w.lo.exists(l => p < l.asInstanceOf[Long]) ||
-                w.hi.exists(h => p > h.asInstanceOf[Long]))
+    partSpec.nonEmpty && f.parts.size == partSpec.size &&
+      partSpec.iterator.zipWithIndex.exists { case ((kind, fid), i) =>
+        f.parts(i).exists { p =>
+          colBounds.get(fid).exists { w =>
+            w.kind == "long" && (
+              w.lo.exists(l =>
+                p < FsStore.partTransform(kind, l.asInstanceOf[Long])) ||
+              w.hi.exists(h =>
+                p > FsStore.partTransform(kind, h.asInstanceOf[Long])))
           }
         }
       }
-    }
   /** Survivors of the MANIFEST-only prunes (partition, zone map, null
-    * count, runtime keys) — no file IO of any kind. */
-  private def cheapSurvivors: Vector[FileRef] =
-    ver.files.filterNot(f =>
-      bucketPruned(f) || partPruned(f) || f.disjointFrom(lo, hi) ||
-        statDisjoint(f) || nullPruned(f) || runtimePruned(f))
+    * count, runtime keys) — no file IO of any kind. Computed ONCE per
+    * prune-set state: description/estimateStatistics/planPartitions
+    * each consult it, and at the million-file scale the task-side-probe
+    * path targets, re-filtering the whole file list per call is a real
+    * driver cost. The cache invalidates when a runtime filter lands
+    * (the one post-construction prune-set mutation). */
+  private var cheapCache: Vector[FileRef] = null
+  private def cheapSurvivors: Vector[FileRef] = {
+    if (cheapCache == null)
+      cheapCache = ver.files.filterNot(f =>
+        bucketPruned(f) || partPruned(f) || f.disjointFrom(lo, hi) ||
+          statDisjoint(f) || nullPruned(f) || runtimePruned(f))
+    cheapCache
+  }
   /** Above [[FsBloom.DriverProbeMax]] cheap survivors, sidecar probing
     * moves INTO the reader tasks (hashed probes ride the partitions):
     * blooms exist for exactly the scattered-column shape where nothing
@@ -711,10 +745,17 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
     (bloomProbes.nonEmpty || ngramProbes.nonEmpty) &&
       cheapSurvivors.size > FsBloom.DriverProbeMax
   /** Planned file set: cheap prunes always; sidecar prunes only in
-    * driver-probe mode (task mode prunes at read time instead). */
+    * driver-probe mode (task mode prunes at read time instead). Cached
+    * alongside [[cheapSurvivors]] — in driver-probe mode each
+    * evaluation re-reads sidecar files, which must happen once. */
+  private var survivorsCache: Vector[FileRef] = null
   private def survivors: Vector[FileRef] = {
-    val cheap = cheapSurvivors
-    if (probeTaskSide) cheap else cheap.filterNot(sidecarPruned)
+    if (survivorsCache == null) {
+      val cheap = cheapSurvivors
+      survivorsCache =
+        if (probeTaskSide) cheap else cheap.filterNot(sidecarPruned)
+    }
+    survivorsCache
   }
   /** The bucketed layout is reportable when every surviving file knows
     * its bucket (always true for tables created with a spec). */
@@ -822,10 +863,22 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
             ver.lineage, scanSchema, Vector.empty, None, 0L, -1L, strip,
             taskBloom = taskB, taskNgram = taskN): InputPartition
         }.toArray
-      } else files.map { f =>
-        FsScanPartition(Vector((f, FsScanPlanner.masksFor(f, ver.masks))),
-          ver.lineage, scanSchema, Vector.empty, None, 0L, -1L, strip): InputPartition
-      }.toArray
+      } else {
+        // row-group-granular splits: one skewed 10 GB file must not be
+        // one task. Files whose manifest entry recorded multiple row
+        // groups split into ~splitBytes ranges — masks/sidecars keep
+        // file semantics per split (masks are per-row by key; the
+        // sidecar is the file's). Zero planning IO: offsets ride the
+        // manifest.
+        val splitBytes = FsScanPlanner.splitBytes
+        files.flatMap { f =>
+          val ms = FsScanPlanner.masksFor(f, ver.masks)
+          FsScanPlanner.splitRanges(f, splitBytes).map(r =>
+            FsScanPartition(Vector((f, ms)), ver.lineage, scanSchema,
+              Vector.empty, None, 0L, -1L, strip,
+              range = r): InputPartition)
+        }.toArray
+      }
     }
 
   /** COLUMNAR for every snapshot scan, MASKED ones included: parquet
@@ -882,6 +935,33 @@ class FsScan(name: String, cdf: Boolean, snapVersion: Long,
 object FsScanPlanner {
   def masksFor(f: FileRef, masks: Vector[DeltaMask]): Vector[FileRef] =
     masks.filter(_.version > f.addedVersion).flatMap(_.keyFiles)
+
+  /** Target bytes per scan split (`spark.graft.fs.splitBytes`, default
+    * 128 MB — Spark's own `files.maxPartitionBytes` default). */
+  def splitBytes: Long =
+    scala.util.Try(org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.graft.fs.splitBytes")).toOption
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+
+  /** Byte ranges that partition `f` into ~`target`-sized chunks CUT AT
+    * ROW-GROUP STARTS (each group's midpoint lands in exactly one
+    * range). `Vector(None)` = whole file: single-group files, files
+    * under the target, and pre-split-era manifest entries. */
+  def splitRanges(f: FileRef, target: Long): Vector[Option[(Long, Long)]] = {
+    if (f.groups.size <= 1 || f.bytes <= target) return Vector(None)
+    val out = Vector.newBuilder[Option[(Long, Long)]]
+    var cut = 0L
+    var i = 1
+    while (i < f.groups.length) {
+      if (f.groups(i) - cut >= target) {
+        out += Some((cut, f.groups(i) - cut))
+        cut = f.groups(i)
+      }
+      i += 1
+    }
+    out += Some((cut, f.bytes - cut))
+    out.result()
+  }
 
   /** One change-log entry as CDF partitions (batch read: no slicing, so
     * every file is its own task even for key-filtered pre-images). */
@@ -951,7 +1031,13 @@ case class FsScanPartition(
     stripKey: Boolean = false,
     bucketKey: Int = -1,
     taskBloom: Vector[(Int, Vector[(Long, Long)])] = Vector.empty,
-    taskNgram: Vector[(Int, Vector[(Long, Long)])] = Vector.empty)
+    taskNgram: Vector[(Int, Vector[(Long, Long)])] = Vector.empty,
+    // row-group split: read only the parquet row groups whose byte
+    // MIDPOINT falls in [start, start+length) — parquet-mr's standard
+    // split-assignment rule, so ranges that tile a file partition its
+    // groups exactly. None = the whole file. Only single-file snapshot
+    // partitions carry one (FsScan's split branch).
+    range: Option[(Long, Long)] = None)
     extends InputPartition with HasPartitionKey {
   /** Task-side sidecar probe (large scans — [[FsBloom.DriverProbeMax]]):
     * decide from the file's OWN sidecar, before opening the data file,
@@ -976,9 +1062,10 @@ case class FsScanPartition(
   * containers instead of ~80 GB of boxed `Set[Any]` entries per reader
   * (the round-9 verdict's one scale-weak finding; FsScaleSmoke records
   * the measured ratio under `fsm_*`). String keys get the compact
-  * [[FsKeyMask.Strings]] shape (xxhash64 bitmap fast-negative + one
-  * sorted UTF-8 blob for exact confirms — no per-key objects); only
-  * exotic non-string non-integral keys keep the boxed fallback. */
+  * [[FsKeyMask.Strings]] shape — one sorted UTF-8 blob + offset array,
+  * binary-searched, ~36 B/key, no per-key objects (a hash-bitmap
+  * fast-negative was tried and rejected, see the Strings scaladoc);
+  * only exotic non-string non-integral keys keep the boxed fallback. */
 sealed trait FsKeyMask {
   def contains(k: Any): Boolean
   def isEmpty: Boolean
@@ -1116,8 +1203,11 @@ object FsKeyMask {
 }
 
 class FsReaderFactory(columnar: Boolean = false) extends PartitionReaderFactory {
-  /** Uniform per scan — [[FsScan.createReaderFactory]] only sets this
-    * when every partition is a plain maskless snapshot read. */
+  /** Uniform per scan — [[FsScan.createReaderFactory]] sets this when
+    * every partition is a snapshot read (masked ones included — masks
+    * apply batch-level via SelectedVector) or a pure-insert maskless
+    * CDF partition; per-row machinery (key filters, skip/take, mixed
+    * CDF ops) forces the row reader. */
   override def supportColumnarReads(p: InputPartition): Boolean = columnar
 
   override def createColumnarReader(p: InputPartition)
@@ -1223,7 +1313,8 @@ class FsReaderFactory(columnar: Boolean = false) extends PartitionReaderFactory 
             // task-side sidecar probe: skip the whole file unopened
             if (!fp.taskPruned(f)) {
               curMask = keysOf(maskFiles)
-              cur = FsVectorized.open(f.path, fp.lineage(f.schemaId), fp.scanSchema)
+              cur = FsVectorized.open(f.path, fp.lineage(f.schemaId),
+                fp.scanSchema, fp.range)
             }
           }
           if (cur != null) {
@@ -1278,7 +1369,8 @@ class FsReaderFactory(columnar: Boolean = false) extends PartitionReaderFactory 
           if (fp.taskPruned(f)) Iterator.empty
           else {
             val mask = keysOf(maskFiles)
-            val rows = FsParquet.read(f.path, fp.lineage(f.schemaId), fp.scanSchema)
+            val rows = FsParquet.read(f.path, fp.lineage(f.schemaId),
+              fp.scanSchema, fp.range)
             live = rows
             if (mask.isEmpty && fp.keysFilter.isEmpty) rows
             else rows.filter { r =>
@@ -1473,7 +1565,8 @@ case class FsDeltaCommitMessage(delKeys: Option[FileRef],
   * contract with FILES as the currency. */
 private[sources] class FsFileWriter(tableName: String, tag: String,
     schema: StructType, bucket: Int = -1, bloomIds: Set[Int] = Set.empty,
-    ngramIds: Set[Int] = Set.empty, part: Option[Long] = None) {
+    ngramIds: Set[Int] = Set.empty,
+    parts: Vector[Option[Long]] = Vector.empty) {
   import org.apache.spark.sql.types._
   private var path: String = _
   private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
@@ -1503,8 +1596,8 @@ private[sources] class FsFileWriter(tableName: String, tag: String,
     private var poisoned = false
     private var minV: Any = _
     private var maxV: Any = _
-    def update(r: InternalRow): Unit = if (!poisoned) {
-      val v = get(r)
+    def update(r: InternalRow): Unit = observeValue(get(r))
+    def observeValue(v: Any): Unit = if (!poisoned) {
       if (kind == "double" && v.asInstanceOf[Double].isNaN) { poisoned = true; return }
       if (!any) { minV = v; maxV = v; any = true }
       else {
@@ -1628,6 +1721,74 @@ private[sources] class FsFileWriter(tableName: String, tag: String,
   private val fieldIds: Array[Int] = schema.fields.map(FsStore.fieldId)
   private val nullCounts = new Array[Long](schema.length)
 
+  /** NESTED STRUCT LEAVES: zone maps + null counts BELOW the top level
+    * (Iceberg-style leaf field ids) — what lets a pushed `props.x > 5`
+    * skip files exactly like a flat column. One extractor per leaf
+    * walks the ordinal path (a NULL anywhere on the path counts as a
+    * NULL leaf — SQL's field-access semantics). Flat schemas build an
+    * EMPTY array: zero added hot-path cost for them. */
+  private final class NestedLeaf(val fid: Int,
+      extract: InternalRow => Any, tracker: StatTracker) {
+    var nulls = 0L
+    def observe(r: InternalRow): Unit = {
+      val v = extract(r)
+      if (v == null) nulls += 1
+      else if (tracker != null) tracker.observeValue(v)
+    }
+    def stat: Option[(Int, FsStore.ColStat)] =
+      if (tracker == null) None else tracker.result
+  }
+  private val nestedLeaves: Array[NestedLeaf] = {
+    val out = Array.newBuilder[NestedLeaf]
+    // path = (ordinal, struct width) hops from the TOP row to the leaf's
+    // parent struct; leafIdx/type read the value in stat-kind space
+    def statGetter(dt: org.apache.spark.sql.types.DataType, j: Int)
+        : org.apache.spark.sql.catalyst.expressions.SpecializedGetters => Any =
+      dt match {
+        case LongType | TimestampType => _.getLong(j)
+        case IntegerType | DateType => s => s.getInt(j).toLong
+        case DoubleType => _.getDouble(j)
+        case FloatType => s => s.getFloat(j).toDouble
+        case StringType => s => s.getUTF8String(j).toString
+        // non-stat leaf types (binary/decimal/bool/array/map): track
+        // null counts only — TRUE is the non-null marker
+        case _ => _ => java.lang.Boolean.TRUE
+      }
+    def walk(st: StructType, path: Vector[(Int, Int)]): Unit =
+      st.fields.zipWithIndex.foreach { case (f, j) =>
+        f.dataType match {
+          case s: StructType => walk(s, path :+ ((j, s.length)))
+          case dt =>
+            val get = statGetter(dt, j)
+            val tracker = FsStore.statKind(dt)
+              .map(k => new StatTracker(FsStore.fieldId(f), k, null))
+              .orNull
+            val hops = path
+            val extract: InternalRow => Any = r => {
+              var cur: org.apache.spark.sql.catalyst.expressions.SpecializedGetters = r
+              var h = 0
+              var nul = false
+              while (!nul && h < hops.length) {
+                val (o, w) = hops(h)
+                if (cur.isNullAt(o)) nul = true
+                else cur = cur.getStruct(o, w)
+                h += 1
+              }
+              if (nul || cur.isNullAt(j)) null else get(cur)
+            }
+            out += new NestedLeaf(FsStore.fieldId(f), extract, tracker)
+        }
+      }
+    schema.fields.zipWithIndex.foreach {
+      case (f, i) =>
+        f.dataType match {
+          case s: StructType => walk(s, Vector((i, s.length)))
+          case _ => () // top-level atomics ride the flat arrays above
+        }
+    }
+    out.result()
+  }
+
   def write(r: InternalRow): Unit = {
     if (writer == null) {
       path = FsStore.newFilePath(tableName, tag)
@@ -1666,6 +1827,8 @@ private[sources] class FsFileWriter(tableName: String, tag: String,
       if (!r.isNullAt(i)) tr.update(r)
       g += 1
     }
+    var q = 0
+    while (q < nestedLeaves.length) { nestedLeaves(q).observe(r); q += 1 }
     rows += 1
   }
   def finish(): Option[FileRef] =
@@ -1676,7 +1839,8 @@ private[sources] class FsFileWriter(tableName: String, tag: String,
       val (lo, hi) =
         if (keyGetter.isDefined && minKey <= maxKey) (minKey, maxKey)
         else (Long.MinValue, Long.MaxValue) // unknown: never skip
-      val stats = trackers.iterator.flatMap(_._2.result).toMap
+      val stats = (trackers.iterator.flatMap(_._2.result) ++
+        nestedLeaves.iterator.flatMap(_.stat)).toMap
       val sorted = keyGetter.isDefined && sawKey && keysSorted
       // bloom SIDECAR next to the data file (Iceberg-puffin shape): the
       // manifest carries only its path — the version log stays O(files)
@@ -1690,9 +1854,15 @@ private[sources] class FsFileWriter(tableName: String, tag: String,
           sidecar = p // a later task-level abort must delete it too
           Some(p)
         }
+      // row-group offsets (empty for the common single-group file): the
+      // scan planner's split currency — recorded HERE so planning never
+      // reads a footer (a million-file table plans from manifests alone)
+      val groups = FsParquet.rowGroupStarts(path)
+      val nulls = fieldIds.zip(nullCounts).toMap ++
+        nestedLeaves.iterator.map(l => l.fid -> l.nulls)
       // schemaId/addedVersion are stamped at commit
       Some(FileRef(path, rows, bytes, 0, 0L, lo, hi, stats, bucket, sorted,
-        bloomPath, fieldIds.zip(nullCounts).toMap, part))
+        bloomPath, nulls, parts, groups))
     }
   private var sidecar: String = _
   def abort(): Unit = {
@@ -1716,16 +1886,14 @@ class FsBatchWrite(name: String, truncate: Boolean) extends BatchWrite {
   // per-job stamp in every file name: abort's sweep backstop for task
   // attempts invisible to both abort levels (see FsStore.sweepJobFiles)
   private val jobId = java.util.UUID.randomUUID().toString.take(8)
-  // value-partition spec (identity/days), resolved to a write-schema
-  // column index by field id (survives renames/widening)
-  private val (partKind, partIdx) = FsStore.partSpecOf(name)
-    .map { case (k, fid) =>
-      (k, schema.fields.indexWhere(f => FsStore.fieldId(f) == fid))
-    }.getOrElse(("", -1))
+  // value-partition spec (identity + time transforms, possibly
+  // composite), resolved to write-schema column indexes by field id
+  // (survives renames/widening); resolution fails loudly on a missing id
+  private val partSpec = FsStore.resolvePartSpec(name, schema)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new FsWriterFactory(name, schema, writeVer.bucketN,
       writeVer.bloomIds.toSet, writeVer.ngramIds.toSet, jobId,
-      partKind, partIdx)
+      partSpec)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.iterator
       .flatMap { case FsCommitMessage(fs) => fs }.toVector
@@ -1755,7 +1923,7 @@ class FsBatchWrite(name: String, truncate: Boolean) extends BatchWrite {
   * the writer dispatches on arity and strips the marker. */
 class FsWriterFactory(name: String, schema: StructType, bucketN: Int = 0,
     bloomIds: Set[Int] = Set.empty, ngramIds: Set[Int] = Set.empty,
-    jobId: String = "", partKind: String = "", partIdx: Int = -1)
+    jobId: String = "", partSpec: Seq[(String, Int)] = Nil)
     extends DataWriterFactory {
   // the job stamp leads the file name so abort can sweep by prefix
   private def tag(partitionId: Int, b: Int): String =
@@ -1775,32 +1943,39 @@ class FsWriterFactory(name: String, schema: StructType, bucketN: Int = 0,
         byBucket.getOrElseUpdate(b,
           new FsFileWriter(name, tag(partitionId, b), schema, b, bloomIds,
             ngramIds))
-      // value-partitioned layout (identity/days): one file per partition
-      // VALUE this task sees; the NULL partition gets its own (unpruned)
-      // file — Iceberg's null-partition shape
+      // value-partitioned layout (identity + time transforms, possibly
+      // composite): one file per partition TUPLE this task sees; NULL
+      // entries get their own (unpruned) file — Iceberg's null-partition
+      // shape
       private val byPart =
-        scala.collection.mutable.Map[Option[Long], FsFileWriter]()
-      private val partIsInt = partIdx >= 0 && (schema(partIdx).dataType match {
-        case org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.DateType => true
-        case _ => false
-      })
-      private def partValue(row: InternalRow): Option[Long] =
-        if (row.isNullAt(partIdx)) None
-        else {
-          val raw = if (partIsInt) row.getInt(partIdx).toLong
-            else row.getLong(partIdx)
-          Some(if (partKind == "days") Math.floorDiv(raw, FsStore.MicrosPerDay)
-            else raw)
-        }
-      private def partWriterFor(pv: Option[Long]): FsFileWriter =
+        scala.collection.mutable.Map[Vector[Option[Long]], FsFileWriter]()
+      // per-spec-field physical accessor: Int-backed (int/date) vs Long
+      // (long/timestamp µs), decided once, not per row
+      private val partGetters: Vector[InternalRow => Option[Long]] =
+        partSpec.iterator.map { case (kind, idx) =>
+          val isInt = schema(idx).dataType match {
+            case org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.DateType => true
+            case _ => false
+          }
+          (row: InternalRow) =>
+            if (row.isNullAt(idx)) None
+            else {
+              val raw = if (isInt) row.getInt(idx).toLong else row.getLong(idx)
+              Some(FsStore.partTransform(kind, raw))
+            }
+        }.toVector
+      private def partValue(row: InternalRow): Vector[Option[Long]] =
+        partGetters.map(_(row))
+      private def partWriterFor(pv: Vector[Option[Long]]): FsFileWriter =
         byPart.getOrElseUpdate(pv, {
-          val pTag = pv.map(v => s"p$v").getOrElse("pnull")
+          val pTag = pv.map(_.map(_.toString).getOrElse("null"))
+            .mkString("p", "_", "")
           val base = tag(partitionId, -1).replace("-b-1", s"-$pTag")
           new FsFileWriter(name, base, schema, -1, bloomIds, ngramIds, pv)
         })
       private def route(row: InternalRow): Unit =
-        if (partKind.nonEmpty) partWriterFor(partValue(row)).write(row)
+        if (partSpec.nonEmpty) partWriterFor(partValue(row)).write(row)
         else if (bucketN <= 0) writerFor(-1).write(row)
         else {
           require(!row.isNullAt(0),
@@ -1839,12 +2014,12 @@ class FsWriterFactory(name: String, schema: StructType, bucketN: Int = 0,
 class FsStreamingWriterFactory(name: String, schema: StructType,
     bucketN: Int = 0, bloomIds: Set[Int] = Set.empty,
     ngramIds: Set[Int] = Set.empty, jobId: String = "",
-    partKind: String = "", partIdx: Int = -1)
+    partSpec: Seq[(String, Int)] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new FsWriterFactory(name, schema, bucketN, bloomIds, ngramIds,
-      if (jobId.isEmpty) "" else s"$jobId-e$epochId", partKind, partIdx)
+      if (jobId.isEmpty) "" else s"$jobId-e$epochId", partSpec)
       .createWriter(partitionId, taskId)
 }
 

@@ -122,4 +122,45 @@ object FsTxn {
     names.filter(_.endsWith(".begin")).map(_.stripSuffix(".begin"))
       .filterNot(id => FsStore.txnCommitted(id) || FsStore.txnAborted(id))
   }
+
+  /** Age before an unresolved txn is PRESUMED crashed and swept: long
+    * enough that no live prepare→commit window plausibly spans it (a
+    * prepare is manifest installs, not data writes — sub-second per
+    * table), short enough that a crashed loader stops blocking its
+    * tables within the operational retry horizon. */
+  val DefaultRecoveryAgeMs: Long = 15L * 60L * 1000L
+
+  /** Crash-recovery SWEEP: abort every unresolved transaction whose
+    * begin record is older than `olderThanMs` (file mtime — the moment
+    * `begin` was written). Logs loudly per rollback; returns the swept
+    * ids. Races are safe both ways: a txn that commits between the
+    * listing and the abort is left alone (the marker wins — abortById
+    * refuses it), and two concurrent sweeps of one id are idempotent
+    * (abort marks + pending deletes are). */
+  def recover(olderThanMs: Long = DefaultRecoveryAgeMs): Seq[String] = {
+    val d = java.nio.file.Paths.get(FsStore.root, "_txn")
+    val now = System.currentTimeMillis()
+    val expired = unresolved().filter { id =>
+      try now - Files.getLastModifiedTime(d.resolve(s"$id.begin"))
+        .toMillis >= olderThanMs
+      catch { case _: java.io.IOException => false } // raced resolution
+    }
+    expired.filter { id =>
+      try {
+        abortById(id)
+        System.err.println(s"[graft_fs] txn recovery: rolled back crashed " +
+          s"transaction $id (tables ${FsStore.txnTables(id).mkString(", ")})")
+        true
+      } catch { case _: IllegalArgumentException => false } // committed meanwhile
+    }
+  }
+
+  private val sweptOnLoad = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** Once-per-process recovery hook, called on catalog initialization
+    * ([[GraftCatalog.initialize]]) so a crashed loader's half-prepared
+    * txn stops blocking its tables the next time ANY session touches
+    * the warehouse — nobody has to know [[abortById]] exists. The age
+    * threshold keeps live prepares of concurrent drivers safe. */
+  private[sources] def recoverOnLoad(): Unit =
+    if (sweptOnLoad.compareAndSet(false, true)) { recover(): Unit }
 }

@@ -68,9 +68,11 @@ object FsVectorized {
     override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
       base.getUTF8String(sel(i))
     override def getBinary(i: Int): Array[Byte] = base.getBinary(sel(i))
+    // struct members select through: a child vector shares the parent's
+    // row space, so the same selection view applies (getStruct/getMap on
+    // the batch row resolve through getChild)
     override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
-      throw new UnsupportedOperationException(
-        "graft_fs: nested structs are not admitted to the fs store")
+      new SelectedVector(base.getChild(ordinal), sel)
   }
 
   /** In-process row-reader toggle (env is fixed at JVM start): the specs
@@ -85,12 +87,20 @@ object FsVectorized {
 
   /** The file-shaped requested schema: scan columns renamed to their
     * file-era names by field id; ids the file lacks get a reserved name
-    * (`__graft_missing_<i>`) guaranteed absent → null-filled vectors. */
+    * (`__graft_missing_<i>`) guaranteed absent → null-filled vectors.
+    * RECURSIVE through nested structs: a renamed nested field resolves
+    * to its file-era name, an added one null-fills — the same contract
+    * at every depth (leaf scan types kept, so the reader's updaters
+    * still widen INT32→BIGINT / FLOAT→DOUBLE inside structs). */
   def requestedSchema(fileSchema: StructType, scanSchema: StructType): StructType = {
     val byId = fileSchema.fields.map(f => FsStore.fieldId(f) -> f).toMap
     StructType(scanSchema.fields.zipWithIndex.map { case (sf, i) =>
       byId.get(FsStore.fieldId(sf)) match {
-        case Some(ff) => StructField(ff.name, sf.dataType, nullable = true)
+        case Some(ff) => (ff.dataType, sf.dataType) match {
+          case (fs: StructType, ss: StructType) =>
+            StructField(ff.name, requestedSchema(fs, ss), nullable = true)
+          case _ => StructField(ff.name, sf.dataType, nullable = true)
+        }
         case None => StructField(s"__graft_missing_$i", sf.dataType, nullable = true)
       }
     })
@@ -124,18 +134,21 @@ object FsVectorized {
 
   /** Open `path` (written under `fileSchema`) as a batch-returning
     * vectorized reader producing `scanSchema`-shaped ColumnarBatches.
-    * Caller iterates `nextBatch()`/`resultBatch()` and MUST `close()`. */
-  def open(path: String, fileSchema: StructType,
-      scanSchema: StructType): VectorizedParquetRecordReader = {
+    * `range` restricts the read to the row groups whose byte midpoint
+    * falls inside it (parquet-mr's split rule — how one skewed file
+    * scans as several tasks); None reads the whole file. Caller
+    * iterates `nextBatch()`/`resultBatch()` and MUST `close()`. */
+  def open(path: String, fileSchema: StructType, scanSchema: StructType,
+      range: Option[(Long, Long)] = None): VectorizedParquetRecordReader = {
     val requested = requestedSchema(fileSchema, scanSchema)
     val conf = readConf(requested)
     val reader = new VectorizedParquetRecordReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC", /*useOffHeap=*/ false,
       Capacity)
-    val len = new java.io.File(path).length()
+    val (start, len) = range.getOrElse((0L, new java.io.File(path).length()))
     // initialize casts to the mapred FileSplit subclass internally
     val split = new org.apache.hadoop.mapred.FileSplit(
-      new org.apache.hadoop.fs.Path(path), 0, len, Array.empty[String])
+      new org.apache.hadoop.fs.Path(path), start, len, Array.empty[String])
     val attempt = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
       conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
     try {

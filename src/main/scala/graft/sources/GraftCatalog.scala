@@ -26,8 +26,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftCatalog extends TableCatalog with FunctionCatalog {
   private var catalogName = "graft"
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    // crash recovery on first catalog load (once per process): sweep
+    // expired unresolved multi-table txns so a crashed loader's pending
+    // manifests stop blocking commits on its tables (FsTxn.recoverOnLoad)
+    FsTxn.recoverOnLoad()
+  }
   override def name(): String = catalogName
 
   /** `SHOW TABLES IN graft`: the live `mem_*`/`memd_*` tables. The
@@ -155,47 +160,52 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       case m if isFs(m) =>
         require(!m.endsWith("__changes"),
           "the __changes suffix is reserved for the change-data-feed relation")
-        // fs_* tables accept ONE partition transform:
+        // fs_* tables accept EITHER one bucket transform OR a composite
+        // VALUE-partition spec:
         //  - bucket(n, <first column>): the layout FsScan reports as
         //    KeyGroupedPartitioning so two such tables join exchange-free
-        //    (storage-partitioned join);
-        //  - identity(<col>) / days(<ts col>): the date-partitioned-fact
-        //    layout — the writer routes rows to one file per partition
-        //    VALUE and the scan prunes partitions from pushed windows
-        //    before zone maps even look (FsScan.partPruned).
+        //    (storage-partitioned join); bucket composes with nothing;
+        //  - identity(<col>) / days|hours|months|years(<ts col>), in any
+        //    combination and order (`days(ts), identity(k)` — the
+        //    date+shard fact layout): the writer routes rows to one file
+        //    per partition TUPLE and the scan prunes conjunctively from
+        //    pushed windows before zone maps even look (FsScan
+        //    .partPruned).
         // fsd_* stays unpartitioned: its delta writers ship key files,
         // which have no partition to land in
-        val (bucketN, partKind, partCol) = partitions.toSeq match {
-          case Seq() => (0, "", "")
-          case Seq(t) =>
+        val valueKinds = Set("identity", "days", "hours", "months", "years")
+        val (bucketN, partFields) = partitions.toSeq match {
+          case Seq() => (0, Nil)
+          case ts if ts.forall(t => valueKinds.contains(t.name())) =>
             require(!m.startsWith("fsd_"),
               s"graft catalog: $m is a merge-on-read table — " +
                 "partitioning lives on the copy-on-write fs_* flavor")
             // the transform case classes are private[sql] — dispatch on
             // the connector-public name()/references() surface instead
-            t.name() match {
-              case "identity" =>
-                (0, "identity", t.references()(0).fieldNames.mkString("."))
-              case "days" =>
-                (0, "days", t.references()(0).fieldNames.mkString("."))
-              case _ =>
-                val parts = t.toString // e.g. bucket(8, k)
-                val Pat = """bucket\((\d+),\s*(.+)\)""".r
-                parts match {
-                  case Pat(n, col) =>
-                    require(col.trim.stripPrefix("`").stripSuffix("`") ==
-                      schema.fields.head.name,
-                      s"graft catalog: fs tables bucket on the FIRST (row-id) " +
-                        s"column ${schema.fields.head.name}, got $col")
-                    (n.toInt, "", "")
-                  case other => throw new UnsupportedOperationException(
-                    s"graft catalog: unsupported fs partition transform $other " +
-                      "— bucket(n, <first column>), identity, or days(<ts>)")
-                }
+            (0, ts.map(t =>
+              (t.name(), t.references()(0).fieldNames.mkString("."))).toList)
+          case Seq(t) =>
+            require(!m.startsWith("fsd_"),
+              s"graft catalog: $m is a merge-on-read table — " +
+                "partitioning lives on the copy-on-write fs_* flavor")
+            val parts = t.toString // e.g. bucket(8, k)
+            val Pat = """bucket\((\d+),\s*(.+)\)""".r
+            parts match {
+              case Pat(n, col) =>
+                require(col.trim.stripPrefix("`").stripSuffix("`") ==
+                  schema.fields.head.name,
+                  s"graft catalog: fs tables bucket on the FIRST (row-id) " +
+                    s"column ${schema.fields.head.name}, got $col")
+                (n.toInt, Nil)
+              case other => throw new UnsupportedOperationException(
+                s"graft catalog: unsupported fs partition transform $other " +
+                  "— bucket(n, <first column>), identity, days/hours/" +
+                  "months/years(<ts>), or a composite of the value kinds")
             }
           case many => throw new UnsupportedOperationException(
-            s"graft catalog: fs tables take at most one partition " +
-              s"transform, got ${many.mkString(", ")}")
+            s"graft catalog: unsupported fs partition spec " +
+              s"${many.mkString(", ")} — bucket(n, <first column>) stands " +
+              "alone; identity/days/hours/months/years compose freely")
         }
         // TBLPROPERTIES ('blooms'='colA,colB') declares per-file bloom
         // indexes (sidecar files, manifest-referenced) for point-lookup
@@ -209,7 +219,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
         val ngramCols = Option(properties.get("ngram_blooms")).toSeq
           .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
         FsStore.create(m, schema, bucketN, bloomCols, ngramCols,
-          partKind, partCol)
+          partFields)
         new FsTable(m, delta = m.startsWith("fsd_"))
       case other =>
         throw new UnsupportedOperationException(
@@ -279,6 +289,25 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     *    and can never resurrect the dropped values (q299). Dropping the
     *    FIRST column is refused (it is the row-id / merge-on-read mask
     *    key). Narrowings and reorders stay loud refusals. */
+  /** Rewrite the struct at `path` (empty = the top level) with `f` —
+    * how every evolution verb reaches NESTED struct members: the change
+    * applies inside `props` exactly as it would at the top, field ids
+    * riding along untouched elsewhere. */
+  private def updateStructAt(schema: StructType, path: Seq[String])
+      (f: StructType => StructType): StructType =
+    if (path.isEmpty) f(schema)
+    else {
+      val i = schema.fieldIndex(path.head)
+      schema.fields(i).dataType match {
+        case s: StructType =>
+          StructType(schema.fields.updated(i, schema.fields(i)
+            .copy(dataType = updateStructAt(s, path.tail)(f))))
+        case other => throw new IllegalArgumentException(
+          s"graft catalog: ${path.head} is ${other.simpleString}, " +
+            "not a struct — nested evolution addresses struct members")
+      }
+    }
+
   private def alterFsTable(ident: Identifier, changes: Seq[TableChange]): Table = {
     val name = ident.name()
     val base = FsStore.schemaOf(name)
@@ -286,57 +315,69 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     var maxFieldId = FsStore.current(name).maxFieldId
     changes.foreach {
       case add: TableChange.AddColumn =>
-        require(add.fieldNames.length == 1,
-          s"graft catalog: nested ADD COLUMN unsupported (${add.fieldNames.mkString(".")})")
         require(add.position() == null,
           "graft catalog: ADD COLUMN appends at the end only")
         require(add.isNullable,
           "graft catalog: new columns must be nullable — existing files " +
             "back-fill NULL at read (metadata-only evolution)")
-        require(!schema.fieldNames.contains(add.fieldNames()(0)),
-          s"graft catalog: column ${add.fieldNames()(0)} already exists")
         require(FsParquet.supportedType(add.dataType()),
           s"graft catalog: unsupported fs column type ${add.dataType().simpleString}")
-        maxFieldId += 1
-        schema = StructType(schema.fields :+ FsStore.withFieldId(
-          StructField(add.fieldNames()(0), add.dataType(), nullable = true),
-          maxFieldId))
-      case rn: TableChange.RenameColumn =>
-        require(rn.fieldNames.length == 1,
-          s"graft catalog: nested RENAME unsupported (${rn.fieldNames.mkString(".")})")
-        val i = schema.fieldIndex(rn.fieldNames()(0))
-        require(!schema.fieldNames.contains(rn.newName()),
-          s"graft catalog: column ${rn.newName()} already exists")
-        schema = StructType(schema.fields.updated(i,
-          schema.fields(i).copy(name = rn.newName()))) // field id rides along
-      case up: TableChange.UpdateColumnType =>
-        require(up.fieldNames.length == 1,
-          s"graft catalog: nested type change unsupported (${up.fieldNames.mkString(".")})")
-        val i = schema.fieldIndex(up.fieldNames()(0))
-        val old = schema.fields(i).dataType
-        val widening = (old, up.newDataType()) match {
-          case (IntegerType, LongType) => true
-          case (FloatType, DoubleType) => true
-          case _ => false
+        val colName = add.fieldNames().last
+        schema = updateStructAt(schema, add.fieldNames().init.toSeq) { st =>
+          require(!st.fieldNames.contains(colName),
+            s"graft catalog: column ${add.fieldNames().mkString(".")} already exists")
+          // a struct-typed ADD stamps ids on ITS nested members too
+          val (stamped, newMax) = FsStore.assignFieldIds(
+            StructType(Seq(StructField(colName, add.dataType(),
+              nullable = true))), maxFieldId + 1)
+          maxFieldId = newMax
+          StructType(st.fields ++ stamped.fields)
         }
-        require(widening,
-          s"graft catalog: only safe widenings evolve without a data " +
-            s"rewrite (INT->BIGINT, FLOAT->DOUBLE); got ${old.simpleString} " +
-            s"-> ${up.newDataType().simpleString} for ${up.fieldNames()(0)}")
-        schema = StructType(schema.fields.updated(i,
-          schema.fields(i).copy(dataType = up.newDataType())))
+      case rn: TableChange.RenameColumn =>
+        val colName = rn.fieldNames().last
+        schema = updateStructAt(schema, rn.fieldNames().init.toSeq) { st =>
+          val i = st.fieldIndex(colName)
+          require(!st.fieldNames.contains(rn.newName()),
+            s"graft catalog: column ${rn.newName()} already exists")
+          StructType(st.fields.updated(i,
+            st.fields(i).copy(name = rn.newName()))) // field id rides along
+        }
+      case up: TableChange.UpdateColumnType =>
+        val colName = up.fieldNames().last
+        schema = updateStructAt(schema, up.fieldNames().init.toSeq) { st =>
+          val i = st.fieldIndex(colName)
+          val old = st.fields(i).dataType
+          val widening = (old, up.newDataType()) match {
+            case (IntegerType, LongType) => true
+            case (FloatType, DoubleType) => true
+            case _ => false
+          }
+          require(widening,
+            s"graft catalog: only safe widenings evolve without a data " +
+              s"rewrite (INT->BIGINT, FLOAT->DOUBLE); got ${old.simpleString} " +
+              s"-> ${up.newDataType().simpleString} for ${up.fieldNames().mkString(".")}")
+          StructType(st.fields.updated(i,
+            st.fields(i).copy(dataType = up.newDataType())))
+        }
       case del: TableChange.DeleteColumn =>
-        require(del.fieldNames.length == 1,
-          s"graft catalog: nested DROP unsupported (${del.fieldNames.mkString(".")})")
-        val i = schema.fieldIndex(del.fieldNames()(0))
-        require(i != 0,
-          s"graft catalog: cannot drop the first column (${schema.fields(0).name}) " +
-            "— it is the table's row id / merge-on-read mask key")
-        require(!FsStore.partSpecOf(name).exists(_._2 ==
-          FsStore.fieldId(schema.fields(i))),
-          s"graft catalog: cannot drop ${schema.fields(i).name} — it is " +
-            s"$name's partition column")
-        schema = StructType(schema.fields.patch(i, Nil, 1))
+        val colName = del.fieldNames().last
+        if (del.fieldNames().length == 1) {
+          val i = schema.fieldIndex(colName)
+          require(i != 0,
+            s"graft catalog: cannot drop the first column (${schema.fields(0).name}) " +
+              "— it is the table's row id / merge-on-read mask key")
+          require(!FsStore.partSpecOf(name).exists(_._2 ==
+            FsStore.fieldId(schema.fields(i))),
+            s"graft catalog: cannot drop ${schema.fields(i).name} — it is " +
+              s"$name's partition column")
+        }
+        schema = updateStructAt(schema, del.fieldNames().init.toSeq) { st =>
+          val i = st.fieldIndex(colName)
+          require(st.length > 1,
+            s"graft catalog: cannot drop the last member of a struct " +
+              s"(${del.fieldNames().mkString(".")}) — drop the struct column")
+          StructType(st.fields.patch(i, Nil, 1))
+        }
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported table change $other — fs tables evolve " +
           "via ADD/RENAME/WIDEN(int->bigint,float->double)/DROP only")

@@ -67,6 +67,24 @@ class BenchSpec extends AnyFunSuite {
     assert(line.startsWith("{\"metric\":\"total\",\"value\":"))
   }
 
+  test("degradation markers: runs_min below configured runs is stated, clean runs stay unmarked") {
+    val results = names.map(_ -> 1.234567)
+    // degraded run: some query fell to 1 warm run — the line must say so
+    val degraded = Bench.compactLine(12.3, 98.7, results,
+      "/root/testdata/sf0.1", 5, runsMin = 1, retimed = 2)
+    assert(degraded.length <= Bench.MaxLineChars,
+      s"line is ${degraded.length} chars")
+    assert(degraded.contains("\"runs_min\":1"),
+      "a total mixing 5-run medians with 1-run figures must carry the marker")
+    assert(degraded.contains("\"retimed\":2"),
+      "drift-pass re-times must be visible in the tail line")
+    // clean run: no markers, shape identical to the historical line
+    val clean = Bench.compactLine(12.3, 98.7, results,
+      "/root/testdata/sf0.1", 5, runsMin = 5, retimed = 0)
+    assert(!clean.contains("runs_min") && !clean.contains("retimed"),
+      "markers are degradation-only — clean lines keep the committed shape")
+  }
+
   test("compact line is valid minimal JSON shape with failed queries") {
     val results = names.map(_ -> -1.0)
     val line = Bench.compactLine(0.0, -0.0, results, "sf", 1)

@@ -262,15 +262,24 @@ class FsMatViewSpec extends SparkSpec {
                 |""".stripMargin)
     assert(FsMatView.refresh(spark, "fs_ivm").applied)
     assertViewEquals("fs_ivm", full())
-    // delta mode is a loud refusal for MIN/MAX views (needs a pending
-    // window — a fresh view returns before mode validation)
+    // an insert-only window RIDES the merge-on-read delta path even on
+    // a MIN/MAX view (no stored extreme can go stale)
     Seq((2000L, 1L, 1L)).toDF("k", "g", "v").writeTo("graft.fsd_ivm").append()
+    val sIns = FsMatView.refresh(spark, "fs_ivm", mode = "delta")
+    assert(sIns.applied && sIns.incremental,
+      "append windows on MIN/MAX views must stay O(changed groups)")
+    assertViewEquals("fs_ivm", full())
+    // delta mode is a loud refusal when the window deletes a value
+    // tying-or-beating a stored extreme (those groups need recompute):
+    // v=1 ties group 1's stored min
+    spark.sql("DELETE FROM graft.fsd_ivm WHERE k = 2000")
     val e = intercept[IllegalArgumentException] {
       FsMatView.refresh(spark, "fs_ivm", mode = "delta")
     }
     assert(e.getMessage.contains("MIN/MAX"))
     // auto degrades the same window to replace and stays exact
-    assert(FsMatView.refresh(spark, "fs_ivm").applied)
+    val sStale = FsMatView.refresh(spark, "fs_ivm")
+    assert(sStale.applied && !sStale.incremental)
     assertViewEquals("fs_ivm", full())
     drop("fsd_ivm"); drop("fs_ivm")
   }
@@ -293,5 +302,91 @@ class FsMatViewSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("endingVersion"))
     drop("fs_ivb4")
+  }
+
+  test("ivm multi-column groups: canonical gkey masks NULL-bearing tuples; MIN rides append deltas; stale extremes fall back") {
+    cat(); drop("fsd_ivg"); drop("fs_ivg")
+    // 2-column group with NULLs in BOTH columns — the shape single-col
+    // masks could never key; gkey (to_json of the group struct) can
+    val src = (0L until 600L).map { k =>
+      (k, if (k % 10 == 9) None else Some(k % 4),
+        if (k % 15 == 14) None else Some(k % 3), k % 10)
+    }.toDF("k", "g1", "g2", "v")
+    src.filter($"k" < 500L).writeTo("graft.fsd_ivg").create()
+    FsMatView.create(spark, "fs_ivg", "fsd_ivg", Seq("g1", "g2"),
+      Seq("v"), minCols = Seq("v"), maxCols = Seq("v"))
+    val sch = FsStore.schemaOf("fs_ivg")
+    assert(sch.fields.head.name == "gkey" &&
+      sch.fields.head.dataType.simpleString == "string",
+      "multi-group views lead with the canonical serialized key")
+    def full(): DataFrame = spark.table("graft.fsd_ivg").groupBy("g1", "g2")
+      .agg(count(lit(1)).as("n_rows"), sum($"v".cast("long")).as("sum_v"),
+        count($"v").as("nn_v"), min($"v").as("min_v"), max($"v").as("max_v"))
+    def viewNoKey(): DataFrame = spark.table("graft.fs_ivg").drop("gkey")
+    def assertExact(): Unit =
+      assert(viewNoKey().exceptAll(full()).isEmpty &&
+        full().exceptAll(viewNoKey()).isEmpty,
+        "multi-group view must equal the full recompute")
+    assertExact()
+    // gkey is injective: one row per distinct group tuple
+    assert(spark.table("graft.fs_ivg").select("gkey").distinct.count() ==
+      spark.table("graft.fs_ivg").count())
+    // window 1: append touching NULL-bearing tuples — rides the delta
+    val filesBefore = FsStore.current("fs_ivg").files.toSet
+    src.filter($"k" >= 500L).writeTo("graft.fsd_ivg").append()
+    val s1 = FsMatView.refresh(spark, "fs_ivg", mode = "delta")
+    assert(s1.applied && s1.incremental,
+      "multi-group MIN/MAX append windows must ride the MoR delta")
+    assert(FsStore.current("fs_ivg").masks.size == 1)
+    assert(filesBefore.subsetOf(FsStore.current("fs_ivg").files.toSet),
+      "delta refresh must not rewrite unchanged view files")
+    assertExact()
+    // window 2: kill one NULL-bearing group entirely — masked delete by
+    // gkey; also delete interior values (NOT extreme-beating: for the
+    // all-groups v∈0..9 layout, v=5 never ties min 0 / max 9)
+    spark.sql("DELETE FROM graft.fsd_ivg WHERE g1 IS NULL AND g2 IS NULL")
+    spark.sql("DELETE FROM graft.fsd_ivg WHERE g1 = 1 AND g2 = 1 AND v = 5")
+    val s2 = FsMatView.refresh(spark, "fs_ivg", mode = "delta")
+    assert(s2.applied && s2.incremental)
+    assert(viewNoKey().filter($"g1".isNull && $"g2".isNull).isEmpty,
+      "a group deleted to zero rows vanishes via its gkey mask")
+    assertExact()
+    // window 3: delete a group's stored min → stale → explicit delta
+    // refuses, auto falls back to replace (which compacts masks)
+    spark.sql("DELETE FROM graft.fsd_ivg WHERE g1 = 2 AND g2 = 2 AND v = 0")
+    val e2 = intercept[IllegalArgumentException] {
+      FsMatView.refresh(spark, "fs_ivg", mode = "delta")
+    }
+    assert(e2.getMessage.contains("MIN/MAX"))
+    val s3 = FsMatView.refresh(spark, "fs_ivg")
+    assert(s3.applied && !s3.incremental)
+    assert(FsStore.current("fs_ivg").masks.isEmpty)
+    assertExact()
+    drop("fsd_ivg"); drop("fs_ivg")
+  }
+
+  test("ivm multi-column groups: gkey distinguishes ambiguous tuple serializations") {
+    cat(); drop("fsd_ivj"); drop("fs_ivj")
+    // adversarial string groups: ("a,b", "c") vs ("a", "b,c") — any
+    // naive concat collides; JSON escaping must keep them apart
+    Seq((1L, "a,b", "c", 1L), (2L, "a", "b,c", 2L),
+      (3L, "a\"x", null.asInstanceOf[String], 3L),
+      (4L, "a", "\"x", 4L))
+      .toDF("k", "g1", "g2", "v").writeTo("graft.fsd_ivj").create()
+    FsMatView.create(spark, "fs_ivj", "fsd_ivj", Seq("g1", "g2"), Seq("v"))
+    assert(spark.table("graft.fs_ivj").count() == 4L,
+      "every adversarial tuple must stay a distinct group")
+    // delta-refresh an update against one of the colliding-if-naive keys
+    spark.sql("INSERT INTO graft.fsd_ivj VALUES (5, 'a,b', 'c', 10)")
+    val s1 = FsMatView.refresh(spark, "fs_ivj", mode = "delta")
+    assert(s1.applied && s1.incremental)
+    val r = spark.table("graft.fs_ivj")
+      .filter($"g1" === "a,b" && $"g2" === "c").head()
+    assert(r.getAs[Long]("n_rows") == 2L && r.getAs[Long]("sum_v") == 11L)
+    val other = spark.table("graft.fs_ivj")
+      .filter($"g1" === "a" && $"g2" === "b,c").head()
+    assert(other.getAs[Long]("n_rows") == 1L && other.getAs[Long]("sum_v") == 2L,
+      "the naive-concat twin must be untouched")
+    drop("fsd_ivj"); drop("fs_ivj")
   }
 }

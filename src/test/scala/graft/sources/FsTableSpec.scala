@@ -556,6 +556,55 @@ class FsTableSpec extends SparkSpec {
     drop("fs_race")
   }
 
+  test("fs: high-contention commit storm — 16 threads x 50 appends, zero lost, zero uncaught") {
+    // Regression pin for the round-11 red test: FsStore.writeManifest used
+    // to name tmp manifests with bare System.nanoTime(), so two committers
+    // racing one version id could DRAW THE SAME TICK, share a tmp path,
+    // and the loser died with NoSuchFileException (not the retryable
+    // concurrent-commit signal) — 4 of 160 appends silently never landed
+    // because the exception killed the committer thread. This storm is
+    // sized so same-id contention is the COMMON case (16 threads hammering
+    // one table) and asserts BOTH head == total and that no thread died
+    // with any uncaught throwable.
+    cat(); drop("fs_storm")
+    spark.sql("CREATE TABLE graft.fs_storm (k BIGINT)")
+    import org.apache.spark.sql.catalyst.InternalRow
+    val threads = 16
+    val perThread = 50
+    val schema = FsStore.schemaOf("fs_storm")
+    val refs = (0 until threads).map { t =>
+      (0 until perThread).map { i =>
+        val w = new FsFileWriter("fs_storm", s"s$t-$i", schema)
+        w.write(InternalRow((t * 10000 + i).toLong))
+        w.finish().get
+      }
+    }
+    val uncaught = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        start.await()
+        refs(t).foreach(ref => FsStore.commitAppend("fs_storm", Vector(ref), 0))
+      })
+      th.setUncaughtExceptionHandler((_, e) => { uncaught.add(e); () })
+      th
+    }
+    pool.foreach(_.start()); start.countDown(); pool.foreach(_.join())
+    val firstUncaught = Option(uncaught.peek())
+      .map(e => s"${e.getClass.getName}: ${e.getMessage}").getOrElse("-")
+    assert(uncaught.isEmpty,
+      s"committer threads must never die uncaught (got ${uncaught.size}, " +
+        s"first: $firstUncaught)")
+    val head = FsStore.current("fs_storm")
+    val total = threads.toLong * perThread
+    assert(head.id == total,
+      s"all $total storm appends must serialize (head ${head.id})")
+    assert(head.rowCount == total)
+    assert(spark.table("graft.fs_storm").count() == total)
+    assert(FsStore.vacuum("fs_storm")._1 == 0, "no orphans when everyone wins")
+    drop("fs_storm")
+  }
+
   // (companion helpers at the bottom of the file)
 
   test("fs: TRUNCATE + catalog listing + unsupported column type refused at create") {
@@ -565,11 +614,133 @@ class FsTableSpec extends SparkSpec {
       .map(_.getString(1)).contains("fs_misc"))
     spark.sql("TRUNCATE TABLE graft.fs_misc")
     assert(spark.table("graft.fs_misc").count() == 0)
+    // arrays OF structs stay refused (structs and atomic maps are
+    // first-class since r12 — see the nested-struct spec)
     val e = intercept[Exception] {
-      Seq((1L, Map("a" -> 1L))).toDF("k", "m").writeTo("graft.fs_bad").create()
+      (0L until 3L).map(k => (k, Seq((k, s"s$k"))))
+        .toDF("k", "a").writeTo("graft.fs_bad").create()
     }
     assert(e.getMessage.contains("unsupported column type"))
+    // a struct/map FIRST column is refused (it is the mask key)
+    val e2 = intercept[Exception] {
+      Seq((Map("a" -> 1L), 1L)).toDF("m", "k").writeTo("graft.fs_bad").create()
+    }
+    assert(e2.getMessage.contains("first"))
     drop("fs_misc")
+  }
+
+  test("fs: nested struct/map columns — leaf zone maps prune, nested evolution by field id, row ≡ columnar, masked MoR") {
+    cat(); drop("fs_nest")
+    val src = spark.range(0, 40000).select(
+      $"id".as("k"),
+      struct(
+        ($"id" % 100).cast("int").as("x"),
+        struct(($"id" % 7).as("d"),
+          concat(lit("u"), $"id" % 50).as("tag")).as("sub"),
+        when($"id" % 10 === 9, lit(null).cast("string"))
+          .otherwise(concat(lit("n"), $"id" % 13)).as("nm")).as("props"),
+      map(concat(lit("k"), $"id" % 3), $"id" % 5).as("attrs"),
+      ($"id" % 4).as("v"))
+    src.repartition(4).writeTo("graft.fs_nest").create()
+    // every nested member carries its own field id, all distinct
+    val sch = FsStore.schemaOf("fs_nest")
+    val ids = FsStore.leafFields(sch).map { case (_, f) => FsStore.fieldId(f) }
+    assert(ids.forall(_ >= 0) && ids.distinct.size == ids.size,
+      s"nested leaves need unique field ids, got $ids")
+    val got = spark.table("graft.fs_nest")
+    // full-fidelity round-trip (maps are not set-op comparable — checked
+    // via element_at aggregate below instead)
+    assert(got.drop("attrs").exceptAll(src.drop("attrs")).isEmpty &&
+      src.drop("attrs").exceptAll(got.drop("attrs")).isEmpty)
+    def aggs(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum($"props.x").as("sx"), sum($"props.sub.d").as("sd"),
+        count($"props.nm").as("nn"),
+        sum(length($"props.sub.tag")).as("st"),
+        sum(element_at($"attrs", "k1")).as("sm")).head()
+    val probe = got.agg(sum($"props.x").as("sx"))
+    probe.collect()
+    assert(probe.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "nested snapshot scans must stay on the vectorized path")
+    assert(aggs(got) == aggs(src))
+
+    // LEAF ZONE MAPS: a file-clustered nested leaf prunes from the
+    // manifest exactly like a flat column
+    drop("fs_nestp")
+    spark.range(0, 20000).select($"id".as("k"),
+      struct(($"id" / 1000L).cast("long").as("bucket"),
+        ($"id" % 9).as("y")).as("p"))
+      .orderBy("k")
+      .writeTo("graft.fs_nestp").create()
+    val q = spark.table("graft.fs_nestp").filter($"p.bucket" === 3L)
+    assert(q.count() == 1000L)
+    q.collect()
+    val Frac = """files=(\d+)/(\d+)""".r.unanchored
+    q.queryExecution.executedPlan.toString match {
+      case Frac(a, b) => assert(a.toInt < b.toInt,
+        s"nested-leaf zone maps must prune files ($a/$b)")
+      case other => fail(s"no files fraction in $other")
+    }
+    drop("fs_nestp")
+
+    // NESTED EVOLUTION: rename + widen + add + drop below the top level,
+    // all field-id-mapped so OLD files keep serving
+    spark.sql("ALTER TABLE graft.fs_nest RENAME COLUMN props.x TO x2")
+    spark.sql("ALTER TABLE graft.fs_nest ALTER COLUMN props.x2 TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.fs_nest ADD COLUMNS (props.z BIGINT)")
+    val evo = spark.table("graft.fs_nest")
+      .agg(sum($"props.x2").as("sx"), count($"props.z").as("nz")).head()
+    assert(evo.getLong(0) == (0L until 40000L).map(_ % 100).sum,
+      "renamed+widened nested leaf must serve old files by field id")
+    assert(evo.getLong(1) == 0L, "added nested member null-fills old files")
+    // appends under the evolved schema blend with the old era
+    spark.range(40000, 41000).select($"id".as("k"),
+      struct(($"id" % 100).as("x2"),
+        struct(($"id" % 7).as("d"),
+          concat(lit("u"), $"id" % 50).as("tag")).as("sub"),
+        concat(lit("n"), $"id" % 13).as("nm"), ($"id" * 2).as("z")).as("props"),
+      map(concat(lit("k"), $"id" % 3), $"id" % 5).as("attrs"),
+      ($"id" % 4).as("v")).writeTo("graft.fs_nest").append()
+    val blend = spark.table("graft.fs_nest")
+      .agg(count(lit(1)), sum($"props.z"), sum($"props.x2")).head()
+    assert(blend.getLong(0) == 41000L)
+    assert(blend.getLong(1) == (40000L until 41000L).map(_ * 2).sum)
+    assert(blend.getLong(2) ==
+      (0L until 41000L).map(_ % 100).sum)
+    // DROP + re-ADD a nested member: the fresh id must not resurrect
+    spark.sql("ALTER TABLE graft.fs_nest DROP COLUMN props.nm")
+    spark.sql("ALTER TABLE graft.fs_nest ADD COLUMNS (props.nm STRING)")
+    assert(spark.table("graft.fs_nest").filter($"props.nm".isNotNull).isEmpty,
+      "re-added nested member must read NULL from every old file")
+    // row ≡ columnar across the whole evolved nested table
+    val colAgg = spark.table("graft.fs_nest")
+      .agg(sum($"props.x2"), sum($"props.sub.d"), sum($"props.z")).head()
+    FsVectorized.forceRowReader = true
+    try {
+      val rowAgg = spark.table("graft.fs_nest")
+        .agg(sum($"props.x2"), sum($"props.sub.d"), sum($"props.z")).head()
+      assert(rowAgg == colAgg, "row and columnar nested reads must agree")
+    } finally FsVectorized.forceRowReader = false
+    drop("fs_nest")
+
+    // MERGE-ON-READ masks over a struct column: batch-level selection
+    // views select through getChild; row twin agrees
+    drop("fsd_nest")
+    spark.range(0, 5000).select($"id".as("k"),
+      struct(($"id" % 11).as("a"), concat(lit("t"), $"id" % 4).as("t")).as("s"))
+      .writeTo("graft.fsd_nest").create()
+    spark.sql("DELETE FROM graft.fsd_nest WHERE k % 5 = 0")
+    val expSum = (0L until 5000L).filter(_ % 5 != 0).map(_ % 11).sum
+    val mq = spark.table("graft.fsd_nest")
+      .agg(count(lit(1)).as("n"), sum($"s.a").as("sa"))
+    mq.collect()
+    assert(mq.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "masked struct scans must stay vectorized")
+    assert(mq.head().getLong(0) == 4000L && mq.head().getLong(1) == expSum)
+    FsVectorized.forceRowReader = true
+    try assert(spark.table("graft.fsd_nest").agg(sum($"s.a")).head()
+      .getLong(0) == expSum)
+    finally FsVectorized.forceRowReader = false
+    drop("fsd_nest")
   }
 
   test("fs: vectorized scan — ColumnarToRow in the plan, row ≡ columnar across pruning/evolution/count(*)/masks") {
@@ -698,6 +869,182 @@ class FsTableSpec extends SparkSpec {
       assert(rowRows == colRows)
     } finally FsVectorized.forceRowReader = false
     drop("fsd_skey")
+  }
+
+  test("fs: row-group scan splits — one skewed file fans out to many tasks, masks/evolution intact, row ≡ columnar") {
+    cat(); drop("fsd_split")
+    // manufacture ONE skewed multi-group file: tiny row groups + one
+    // writer task (at production sizes: a 10 GB compaction output with
+    // 128 MB groups)
+    System.setProperty("graft.fs.rowGroupBytes", "65536")
+    try (0L until 120000L).map(k => (k, k % 97, f"pad-$k%010d"))
+      .toDF("k", "v", "pad").coalesce(1)
+      .writeTo("graft.fsd_split").create()
+    finally System.clearProperty("graft.fs.rowGroupBytes"): Unit
+    val f0 = FsStore.current("fsd_split").files
+    assert(f0.size == 1 && f0.head.groups.size > 4,
+      s"expected one multi-group file, got ${f0.size} files / " +
+        s"${f0.head.groups.size} groups")
+    // without the split conf: one file = one task (the default 128 MB
+    // target exceeds the file)
+    assert(spark.table("graft.fsd_split").rdd.getNumPartitions == 1)
+    spark.conf.set("spark.graft.fs.splitBytes", (128 * 1024).toString)
+    try {
+      val q = spark.table("graft.fsd_split")
+      assert(q.rdd.getNumPartitions > 2,
+        "a skewed file must fan out into row-group splits")
+      // exactness across splits: no row lost or duplicated at the cuts
+      val r = q.agg(count(lit(1)), sum($"k"), countDistinct($"k")).head()
+      assert(r.getLong(0) == 120000L &&
+        r.getLong(1) == (0L until 120000L).sum && r.getLong(2) == 120000L)
+      // merge-on-read masks keep FILE semantics per split: every split
+      // applies the same key masks to its own row subset
+      spark.sql("UPDATE graft.fsd_split SET v = v + 1000 WHERE k % 10 = 0")
+      spark.sql("DELETE FROM graft.fsd_split WHERE v = 13")
+      val expect = (0L until 120000L)
+        .map(k => (k, if (k % 10 == 0) k % 97 + 1000L else k % 97))
+        .filter(_._2 != 13L)
+      val m = spark.table("graft.fsd_split").agg(count(lit(1)), sum($"v")).head()
+      assert(m.getLong(0) == expect.size.toLong &&
+        m.getLong(1) == expect.map(_._2).sum)
+      // schema evolution composes with splits (per-file requested schema)
+      spark.sql("ALTER TABLE graft.fsd_split ADD COLUMN extra BIGINT")
+      assert(spark.table("graft.fsd_split").filter($"extra".isNotNull).isEmpty)
+      // row ≡ columnar over the same split plan
+      val colRows = spark.table("graft.fsd_split").select("k", "v")
+        .orderBy("k").collect().toSeq
+      FsVectorized.forceRowReader = true
+      try {
+        val rowRows = spark.table("graft.fsd_split").select("k", "v")
+          .orderBy("k").collect().toSeq
+        assert(rowRows == colRows, "split row and columnar reads must agree")
+      } finally FsVectorized.forceRowReader = false
+    } finally spark.conf.unset("spark.graft.fs.splitBytes")
+    drop("fsd_split")
+  }
+
+  test("fs: composite partition spec — days(ts) x identity(shard) tuple routing + conjunctive pruning; hours/months/years granularities") {
+    cat(); drop("fs_comp")
+    // 3 days x 4 shards (+ a NULL-shard sliver): the date+shard fact
+    // layout the r11 verdict named as the second-most-common spec
+    val t0us = 1709251200000000L // 2024-03-01 00:00:00 UTC in µs
+    val src = spark.range(0, 1200).select(
+      $"id".as("k"),
+      expr(s"timestamp_micros($t0us + (id % 3) * 86400000000 + (id % 7) * 3600000000)").as("ts"),
+      when($"id" % 120 === 119, lit(null).cast("long"))
+        .otherwise($"id" % 4).as("shard"),
+      ($"id" * 1.0).as("v"))
+    src.writeTo("graft.fs_comp")
+      .partitionedBy(org.apache.spark.sql.functions.days($"ts"), $"shard")
+      .create()
+    val head = FsStore.current("fs_comp")
+    assert(FsStore.partSpecOf("fs_comp").map(_._1) ==
+      Vector("days", "identity"), "spec order must be preserved")
+    assert(head.files.forall(_.parts.size == 2),
+      "every file records the full partition tuple")
+    val d0 = java.time.LocalDate.of(2024, 3, 1).toEpochDay
+    assert(head.files.flatMap(_.parts(0)).toSet ==
+      Set(d0, d0 + 1, d0 + 2), "day dimension routed correctly")
+    assert(head.files.flatMap(_.parts(1)).toSet == (0L until 4L).toSet,
+      "shard dimension routed correctly")
+    assert(head.files.exists(f => f.parts(1).isEmpty),
+      "NULL shard rows land in their own partition file")
+    // conjunctive pruning: a one-day window AND one shard must open only
+    // that tuple's files (the implicit IsNotNull(shard) null-count prune
+    // additionally drops the NULL-shard files)
+    val q = spark.table("graft.fs_comp")
+      .filter($"ts" >= lit("2024-03-02 00:00:00").cast("timestamp") &&
+        $"ts" < lit("2024-03-03 00:00:00").cast("timestamp") &&
+        $"shard" === 2L)
+    val got = q.collect()
+    assert(got.nonEmpty && got.forall(_.getLong(2) == 2L))
+    val plan = q.queryExecution.executedPlan.toString
+    val Frac = """files=(\d+)/(\d+)""".r.unanchored
+    // bounds are stored inclusive (strict `<` widens conservatively), so
+    // the 2024-03-03 boundary day's shard-2 files may also survive
+    val exact = head.files.count(f =>
+      f.parts(0).contains(d0 + 1) && f.parts(1).contains(2L))
+    val withBoundary = head.files.count(f =>
+      f.parts(0).exists(p => p == d0 + 1 || p == d0 + 2) &&
+        f.parts(1).contains(2L))
+    plan match {
+      case Frac(a, b) =>
+        assert(a.toInt >= exact && a.toInt <= withBoundary,
+          s"conjunctive prune must cut to the (day,shard) tuple's files " +
+            s"($a/$b, expected $exact..$withBoundary): $plan")
+        assert(a.toInt < b.toInt / 4,
+          "the composite prune must cut BOTH dimensions")
+      case _ => fail(s"no files fraction in $plan")
+    }
+    // single-dimension window still prunes on its own field
+    val qDay = spark.table("graft.fs_comp")
+      .filter($"ts" < lit("2024-03-02 00:00:00").cast("timestamp"))
+    qDay.collect()
+    qDay.queryExecution.executedPlan.toString match {
+      case Frac(a, _) =>
+        val lo = head.files.count(_.parts(0).contains(d0))
+        val hiB = head.files.count(_.parts(0).exists(p => p <= d0 + 1))
+        assert(a.toInt >= lo && a.toInt <= hiB)
+      case _ => fail("no files fraction in day-only plan")
+    }
+    drop("fs_comp")
+
+    // hour granularity: 48 hourly partitions, a 3-hour window keeps 3
+    drop("fs_hr")
+    spark.range(0, 960).select(
+      $"id".as("k"),
+      expr(s"timestamp_micros($t0us + (id % 48) * 3600000000)").as("ts"))
+      .coalesce(2)
+      .writeTo("graft.fs_hr")
+      .partitionedBy(org.apache.spark.sql.functions.hours($"ts")).create()
+    val hrHead = FsStore.current("fs_hr")
+    val h0 = t0us / 3600000000L
+    assert(hrHead.files.flatMap(_.parts(0)).toSet ==
+      (h0 until h0 + 48).toSet)
+    val qHr = spark.table("graft.fs_hr")
+      .filter($"ts" >= lit("2024-03-01 10:00:00").cast("timestamp") &&
+        $"ts" < lit("2024-03-01 13:00:00").cast("timestamp"))
+    assert(qHr.count() == 960 / 48 * 3)
+    qHr.queryExecution.executedPlan.toString match {
+      case Frac(a, _) =>
+        val lo = hrHead.files.count(
+          _.parts(0).exists(p => p >= h0 + 10 && p <= h0 + 12))
+        val hiB = hrHead.files.count(
+          _.parts(0).exists(p => p >= h0 + 10 && p <= h0 + 13))
+        assert(a.toInt >= lo && a.toInt <= hiB)
+      case _ => fail("no files fraction in hour plan")
+    }
+    drop("fs_hr")
+
+    // month granularity: Jan/Feb/Mar 2024, a February filter keeps 1
+    drop("fs_mo")
+    spark.range(0, 300).select(
+      $"id".as("k"),
+      expr("timestamp_micros(1704067200000000 + (id % 3) * 2678400000000)").as("ts"))
+      .coalesce(2)
+      .writeTo("graft.fs_mo")
+      .partitionedBy(org.apache.spark.sql.functions.months($"ts")).create()
+    val moHead = FsStore.current("fs_mo")
+    val m0 = (2024 - 1970) * 12L // 2024-01 month index
+    assert(moHead.files.flatMap(_.parts(0)).toSet == Set(m0, m0 + 1, m0 + 2))
+    val qMo = spark.table("graft.fs_mo")
+      .filter($"ts" >= lit("2024-02-01 00:00:00").cast("timestamp") &&
+        $"ts" < lit("2024-03-01 00:00:00").cast("timestamp"))
+    assert(qMo.count() == 100)
+    qMo.queryExecution.executedPlan.toString match {
+      case Frac(a, _) =>
+        val lo = moHead.files.count(_.parts(0).contains(m0 + 1))
+        val hiB = moHead.files.count(
+          _.parts(0).exists(p => p == m0 + 1 || p == m0 + 2))
+        assert(a.toInt >= lo && a.toInt <= hiB)
+      case _ => fail("no files fraction in month plan")
+    }
+    drop("fs_mo")
+
+    // years transform value encoding (the remaining granule): monotone
+    // index relative to 1970, leap-safe via LocalDate
+    assert(FsStore.partTransform("years", t0us) == 54L)
+    assert(FsStore.partTransform("months", t0us) == (2024 - 1970) * 12L + 2)
   }
 
   test("fs: identity/days partitioning — per-value routing, NULL partition, pruning, rewrite keeps layout") {

@@ -124,6 +124,36 @@ class FsTxnSpec extends SparkSpec {
     drop("fs_txf4"); drop("fs_txs4"); drop("fs_txd6"); drop("fs_txd7")
   }
 
+  test("txn: recovery sweep — expired crashed prepares are rolled back automatically; young and committed txns are safe") {
+    mkTables("fs_txr1", "fs_txr2")
+    val d1 = stage("fs_txrd1", (100L until 120L).map(k => (k, k % 10)).toDF("k", "v"))
+    // a crashed prepare: pending manifest installed, driver gone
+    val p = FsTxn.prepare(Seq(FsTxn.TxnOp("fs_txr1", d1)))
+    // ... which blocks later commits on the table
+    intercept[Exception] {
+      (200L until 205L).map(k => (k, k % 10)).toDF("k", "v")
+        .writeTo("graft.fs_txr1").append()
+    }
+    // a YOUNG unresolved txn is never swept (could be a live prepare of
+    // a concurrent driver) — the default-age sweep leaves it alone
+    assert(FsTxn.recover().isEmpty)
+    assert(FsTxn.unresolved().contains(p.id))
+    // past the age threshold the sweep rolls it back and unblocks
+    assert(FsTxn.recover(olderThanMs = 0L).contains(p.id))
+    assert(!FsTxn.unresolved().contains(p.id))
+    assert(count("fs_txr1") == 100L, "recovery must roll back, not publish")
+    (200L until 205L).map(k => (k, k % 10)).toDF("k", "v")
+      .writeTo("graft.fs_txr1").append()
+    assert(count("fs_txr1") == 105L, "the table is writable after recovery")
+    // a COMMITTED txn is never swept, whatever its age
+    val d2 = stage("fs_txrd2", (300L until 310L).map(k => (k, k % 10)).toDF("k", "v"))
+    val p2 = FsTxn.prepare(Seq(FsTxn.TxnOp("fs_txr1", d2)))
+    p2.commit()
+    assert(!FsTxn.recover(olderThanMs = 0L).contains(p2.id))
+    assert(count("fs_txr1") == 115L)
+    drop("fs_txr1"); drop("fs_txr2"); drop("fs_txrd1"); drop("fs_txrd2")
+  }
+
   test("txn: drop + recreate at the same paths — the old incarnation's stamps never decide visibility") {
     // the q316-under-repetition bug: manifest PATHS repeat across
     // drop/recreate, and a committed stamp cached for the OLD table's
