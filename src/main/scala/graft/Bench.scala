@@ -413,7 +413,12 @@ object Bench {
     val runsMin = if (runsUsed.isEmpty) runs else runsUsed.values.min
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"runs_min":$runsMin,"n_ok":$nOk,"n_failed":${results.size - nOk},"cold_total":$coldTotal,"cold_queries":$coldJson,"runs_used":$runsJson,"retimed":$retimedJson,"budget_s":$budgetS,"wall_s":${fmt(elapsedS, 1)},"errors":$errJson}"""
-    Files.writeString(Paths.get("BENCH.json"), full + "\n")
+    // dev-filtered runs write a SIDE file: BENCH.json is the committed
+    // official record AND the drift-pass baseline — a 5-query spot run
+    // overwriting it poisons both (exactly how the round-11 record lost
+    // its 313-query baseline)
+    val recPath = if (filter.isDefined) "BENCH_dev.json" else "BENCH.json"
+    Files.writeString(Paths.get(recPath), full + "\n")
     spark.stop()
     // the one stdout line, printed last so the driver's tail window sees it
     println(compactLine(total, coldTotal, results, sfDir, runs,
