@@ -1033,6 +1033,11 @@ object FsStore {
     case "years" =>
       java.time.LocalDate.ofEpochDay(Math.floorDiv(raw, MicrosPerDay))
         .getYear.toLong - 1970L
+    case t if t.startsWith("truncate:") =>
+      // Iceberg's integer truncate: v - (v mod W) — monotone, so the
+      // scan-side window translation prunes soundly
+      val w = t.substring("truncate:".length).toLong
+      raw - Math.floorMod(raw, w)
     case other => throw new IllegalArgumentException(
       s"unknown partition transform $other")
   }
@@ -1046,8 +1051,9 @@ object FsStore {
         schema.fields.head.dataType == IntegerType,
         s"graft_fs($name): bucket partitioning requires an integral first " +
           s"(row-id) column, got ${schema.fields.head.dataType.simpleString}")
-      require(partFields.isEmpty,
-        s"graft_fs($name): bucket and value partitioning do not compose")
+      // bucket COMPOSES with value partitioning (the SPJ + time-pruning
+      // fact layout: bucket(n, id) for exchange-free joins, days(ts)
+      // for window pruning) — the writer routes by (bucket, tuple)
     }
     schema.fields.foreach(f => require(FsParquet.supportedType(f.dataType),
       s"graft_fs($name): unsupported column type ${f.dataType.simpleString} " +
@@ -1095,7 +1101,8 @@ object FsStore {
     Files.deleteIfExists(tableDir(name).resolve("_part.json")): Unit
     val timeKinds = Set("days", "hours", "months", "years")
     val resolvedSpec = partFields.map { case (kind, partCol) =>
-      require(kind == "identity" || timeKinds.contains(kind),
+      require(kind == "identity" || timeKinds.contains(kind) ||
+        kind.startsWith("truncate:"),
         s"graft_fs($name): unknown partition transform $kind")
       val f = withIds.fields.find(_.name == partCol).getOrElse(throw
         new IllegalArgumentException(
@@ -1104,7 +1111,15 @@ object FsStore {
         require(f.dataType == TimestampType,
           s"graft_fs($name): $kind() partitions a TIMESTAMP column, got " +
             f.dataType.simpleString)
-      else require(Set[DataType](LongType, IntegerType, DateType)
+      else if (kind.startsWith("truncate:")) {
+        val w = try kind.substring("truncate:".length).toLong
+          catch { case _: NumberFormatException => 0L }
+        require(w > 0,
+          s"graft_fs($name): truncate width must be a positive integer")
+        require(Set[DataType](LongType, IntegerType).contains(f.dataType),
+          s"graft_fs($name): truncate($w) partitions integral columns, " +
+            s"got ${f.dataType.simpleString}")
+      } else require(Set[DataType](LongType, IntegerType, DateType)
         .contains(f.dataType),
         s"graft_fs($name): identity partitioning admits integral/date " +
           s"columns, got ${f.dataType.simpleString}")

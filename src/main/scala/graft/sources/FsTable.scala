@@ -1943,12 +1943,13 @@ class FsWriterFactory(name: String, schema: StructType, bucketN: Int = 0,
         byBucket.getOrElseUpdate(b,
           new FsFileWriter(name, tag(partitionId, b), schema, b, bloomIds,
             ngramIds))
-      // value-partitioned layout (identity + time transforms, possibly
-      // composite): one file per partition TUPLE this task sees; NULL
-      // entries get their own (unpruned) file — Iceberg's null-partition
-      // shape
+      // value-partitioned layout (identity + time/truncate transforms,
+      // possibly composite, possibly UNDER a bucket spec — the SPJ +
+      // time-pruning fact layout): one file per (bucket, partition
+      // TUPLE) this task sees; NULL entries get their own (unpruned)
+      // file — Iceberg's null-partition shape
       private val byPart =
-        scala.collection.mutable.Map[Vector[Option[Long]], FsFileWriter]()
+        scala.collection.mutable.Map[(Int, Vector[Option[Long]]), FsFileWriter]()
       // per-spec-field physical accessor: Int-backed (int/date) vs Long
       // (long/timestamp µs), decided once, not per row
       private val partGetters: Vector[InternalRow => Option[Long]] =
@@ -1967,23 +1968,28 @@ class FsWriterFactory(name: String, schema: StructType, bucketN: Int = 0,
         }.toVector
       private def partValue(row: InternalRow): Vector[Option[Long]] =
         partGetters.map(_(row))
-      private def partWriterFor(pv: Vector[Option[Long]]): FsFileWriter =
-        byPart.getOrElseUpdate(pv, {
+      private def partWriterFor(b: Int, pv: Vector[Option[Long]]): FsFileWriter =
+        byPart.getOrElseUpdate((b, pv), {
           val pTag = pv.map(_.map(_.toString).getOrElse("null"))
             .mkString("p", "_", "")
-          val base = tag(partitionId, -1).replace("-b-1", s"-$pTag")
-          new FsFileWriter(name, base, schema, -1, bloomIds, ngramIds, pv)
+          val base =
+            if (b < 0) tag(partitionId, -1).replace("-b-1", s"-$pTag")
+            else s"${tag(partitionId, b)}-$pTag"
+          new FsFileWriter(name, base, schema, b, bloomIds, ngramIds, pv)
         })
+      private def bucketOf(row: InternalRow): Int = {
+        require(!row.isNullAt(0),
+          s"graft_fs($name): bucketed tables key on the first column — " +
+            "NULL row ids have no bucket")
+        val k = if (keyIsInt) row.getInt(0).toLong else row.getLong(0)
+        Math.floorMod(k, bucketN.toLong).toInt
+      }
       private def route(row: InternalRow): Unit =
-        if (partSpec.nonEmpty) partWriterFor(partValue(row)).write(row)
+        if (partSpec.nonEmpty)
+          partWriterFor(if (bucketN > 0) bucketOf(row) else -1,
+            partValue(row)).write(row)
         else if (bucketN <= 0) writerFor(-1).write(row)
-        else {
-          require(!row.isNullAt(0),
-            s"graft_fs($name): bucketed tables key on the first column — " +
-              "NULL row ids have no bucket")
-          val k = if (keyIsInt) row.getInt(0).toLong else row.getLong(0)
-          writerFor(Math.floorMod(k, bucketN.toLong).toInt).write(row)
-        }
+        else writerFor(bucketOf(row)).write(row)
       override def write(row: InternalRow): Unit =
         if (row.numFields == schema.length) route(row)
         else if (row.numFields == schema.length + 1) route(skipOp(row))

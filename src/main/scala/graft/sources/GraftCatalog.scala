@@ -160,52 +160,51 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       case m if isFs(m) =>
         require(!m.endsWith("__changes"),
           "the __changes suffix is reserved for the change-data-feed relation")
-        // fs_* tables accept EITHER one bucket transform OR a composite
-        // VALUE-partition spec:
+        // fs_* tables accept a bucket transform, a composite VALUE-
+        // partition spec, or BOTH (the SPJ + pruning fact layout):
         //  - bucket(n, <first column>): the layout FsScan reports as
         //    KeyGroupedPartitioning so two such tables join exchange-free
-        //    (storage-partitioned join); bucket composes with nothing;
-        //  - identity(<col>) / days|hours|months|years(<ts col>), in any
-        //    combination and order (`days(ts), identity(k)` — the
-        //    date+shard fact layout): the writer routes rows to one file
-        //    per partition TUPLE and the scan prunes conjunctively from
-        //    pushed windows before zone maps even look (FsScan
-        //    .partPruned).
+        //    (storage-partitioned join);
+        //  - identity(<col>) / days|hours|months|years(<ts col>) /
+        //    truncate(w, <int col>), in any combination and order
+        //    (`days(ts), identity(k)` — the date+shard fact layout): the
+        //    writer routes rows to one file per (bucket,) partition
+        //    TUPLE and the scan prunes conjunctively from pushed windows
+        //    before zone maps even look (FsScan.partPruned).
         // fsd_* stays unpartitioned: its delta writers ship key files,
         // which have no partition to land in
         val valueKinds = Set("identity", "days", "hours", "months", "years")
-        val (bucketN, partFields) = partitions.toSeq match {
-          case Seq() => (0, Nil)
-          case ts if ts.forall(t => valueKinds.contains(t.name())) =>
-            require(!m.startsWith("fsd_"),
-              s"graft catalog: $m is a merge-on-read table — " +
-                "partitioning lives on the copy-on-write fs_* flavor")
-            // the transform case classes are private[sql] — dispatch on
-            // the connector-public name()/references() surface instead
-            (0, ts.map(t =>
-              (t.name(), t.references()(0).fieldNames.mkString("."))).toList)
-          case Seq(t) =>
-            require(!m.startsWith("fsd_"),
-              s"graft catalog: $m is a merge-on-read table — " +
-                "partitioning lives on the copy-on-write fs_* flavor")
-            val parts = t.toString // e.g. bucket(8, k)
-            val Pat = """bucket\((\d+),\s*(.+)\)""".r
-            parts match {
-              case Pat(n, col) =>
-                require(col.trim.stripPrefix("`").stripSuffix("`") ==
-                  schema.fields.head.name,
-                  s"graft catalog: fs tables bucket on the FIRST (row-id) " +
-                    s"column ${schema.fields.head.name}, got $col")
-                (n.toInt, Nil)
-              case other => throw new UnsupportedOperationException(
-                s"graft catalog: unsupported fs partition transform $other " +
-                  "— bucket(n, <first column>), identity, days/hours/" +
-                  "months/years(<ts>), or a composite of the value kinds")
-            }
-          case many => throw new UnsupportedOperationException(
-            s"graft catalog: unsupported fs partition spec " +
-              s"${many.mkString(", ")} — bucket(n, <first column>) stands " +
-              "alone; identity/days/hours/months/years compose freely")
+        val BucketPat = """bucket\((\d+),\s*(.+)\)""".r
+        val TruncPat = """truncate\((\d+),\s*(.+)\)""".r
+        if (partitions.nonEmpty)
+          require(!m.startsWith("fsd_"),
+            s"graft catalog: $m is a merge-on-read table — " +
+              "partitioning lives on the copy-on-write fs_* flavor")
+        var bucketN = 0
+        val partFields = scala.collection.mutable.ListBuffer[(String, String)]()
+        partitions.foreach { t =>
+          // the transform case classes are private[sql] — dispatch on
+          // the connector-public name()/references()/toString surface
+          if (valueKinds.contains(t.name()))
+            partFields += ((t.name(),
+              t.references()(0).fieldNames.mkString(".")))
+          else t.toString match {
+            case BucketPat(n, col) =>
+              require(bucketN == 0, s"graft catalog: one bucket spec per table")
+              require(col.trim.stripPrefix("`").stripSuffix("`") ==
+                schema.fields.head.name,
+                s"graft catalog: fs tables bucket on the FIRST (row-id) " +
+                  s"column ${schema.fields.head.name}, got $col")
+              bucketN = n.toInt
+            case TruncPat(w, col) =>
+              partFields += ((s"truncate:$w",
+                col.trim.stripPrefix("`").stripSuffix("`")))
+            case other => throw new UnsupportedOperationException(
+              s"graft catalog: unsupported fs partition transform $other " +
+                "— bucket(n, <first column>), identity, days/hours/" +
+                "months/years(<ts>), truncate(w, <int col>), composed " +
+                "freely (one bucket max)")
+          }
         }
         // TBLPROPERTIES ('blooms'='colA,colB') declares per-file bloom
         // indexes (sidecar files, manifest-referenced) for point-lookup
@@ -219,7 +218,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
         val ngramCols = Option(properties.get("ngram_blooms")).toSeq
           .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
         FsStore.create(m, schema, bucketN, bloomCols, ngramCols,
-          partFields)
+          partFields.toList)
         new FsTable(m, delta = m.startsWith("fsd_"))
       case other =>
         throw new UnsupportedOperationException(

@@ -1207,6 +1207,80 @@ class FsTableSpec extends SparkSpec {
     drop("fs_types")
   }
 
+  test("fs: bucket x value composition + truncate(w) — SPJ stays exchange-free while windows prune") {
+    cat(); drop("fs_bv1"); drop("fs_bv2")
+    // the fact layout at scale: bucket(4, k) for exchange-free joins,
+    // days(ts) for time-window pruning — composed in one spec
+    val t0us = 1709251200000000L // 2024-03-01 UTC µs
+    def src(n: Long) = spark.range(0, n).select($"id".as("k"),
+      expr(s"timestamp_micros($t0us + (id % 4) * 86400000000)").as("ts"),
+      ($"id" % 7).as("v"))
+    spark.sql("CREATE TABLE graft.fs_bv1 (k BIGINT, ts TIMESTAMP, v BIGINT)" +
+      " PARTITIONED BY (bucket(4, k), days(ts))")
+    spark.sql("CREATE TABLE graft.fs_bv2 (k BIGINT, ts TIMESTAMP, v BIGINT)" +
+      " PARTITIONED BY (days(ts), bucket(4, k))") // order-insensitive
+    src(8000).repartition(4).writeTo("graft.fs_bv1").append()
+    src(8000).repartition(4).writeTo("graft.fs_bv2").append()
+    val d0 = java.time.LocalDate.of(2024, 3, 1).toEpochDay
+    Seq("fs_bv1", "fs_bv2").foreach { t =>
+      val head = FsStore.current(t)
+      assert(head.bucketN == 4)
+      assert(head.files.forall(f => f.bucket >= 0 && f.bucket < 4 &&
+        f.parts.size == 1 && f.parts(0).exists(p => p >= d0 && p < d0 + 4)),
+        s"$t files must carry BOTH bucket and day tuple")
+    }
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("graft.fs_bv1")
+        .join(spark.table("graft.fs_bv2"), "k")
+      j.count()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"composed spec must keep the key-grouped join exchange-free:\n$plan")
+      assert(j.count() == 8000L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+    // the day window prunes within the composed layout
+    val qd = spark.table("graft.fs_bv1")
+      .filter($"ts" >= lit("2024-03-02 00:00:00").cast("timestamp") &&
+        $"ts" < lit("2024-03-03 00:00:00").cast("timestamp"))
+    assert(qd.count() == 2000L)
+    val Frac = """files=(\d+)/(\d+)""".r.unanchored
+    qd.queryExecution.executedPlan.toString match {
+      case Frac(a, b) => assert(a.toInt < b.toInt,
+        s"day window must prune composed files ($a/$b)")
+      case other => fail(s"no files fraction in $other")
+    }
+    drop("fs_bv1"); drop("fs_bv2")
+
+    // truncate(w): Iceberg's integer truncate — id-range chunks route to
+    // their own files and an id window prunes
+    drop("fs_tr")
+    // truncate has no DataFrame-API transform function — the SQL parser's
+    // generic ApplyTransform syntax carries it
+    spark.sql("CREATE TABLE graft.fs_tr (k BIGINT, g BIGINT, val BIGINT)" +
+      " PARTITIONED BY (truncate(1000, val))")
+    spark.range(0, 9000).select($"id".as("k"), ($"id" % 5).as("g"),
+      $"id".as("val"))
+      .writeTo("graft.fs_tr").append()
+    val trHead = FsStore.current("fs_tr")
+    assert(trHead.files.flatMap(_.parts(0)).forall(_ % 1000 == 0),
+      "truncate values are multiples of the width")
+    val qt = spark.table("graft.fs_tr")
+      .filter($"val" >= 3200L && $"val" < 3800L)
+    assert(qt.count() == 600L)
+    qt.queryExecution.executedPlan.toString match {
+      case Frac(a, b) => assert(a.toInt < b.toInt,
+        s"truncate window must prune ($a/$b)")
+      case other => fail(s"no files fraction in $other")
+    }
+    drop("fs_tr")
+  }
+
   test("fs: bucket partition spec — fs-fs join exchange-free, CoW keeps buckets, point lookups prune, fsd refused") {
     cat(); drop("fs_bk1"); drop("fs_bk2")
     spark.sql("CREATE TABLE graft.fs_bk1 (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))")
