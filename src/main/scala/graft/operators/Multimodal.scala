@@ -61,12 +61,17 @@ object Multimodal {
 
     private def render(width: Int, height: Int)(rgb: (Int, Int) => (Int, Int, Int)): BufferedImage = {
       val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      // TYPE_INT_RGB backs onto a packed int raster: writing the buffer
+      // directly stores exactly what setRGB would (no alpha, sRGB), minus
+      // one color-model dispatch per pixel
+      val data = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferInt].getData
       var y = 0
       while (y < height) {
         var x = 0
         while (x < width) {
           val (r, g, b) = rgb(x, y)
-          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          data(y * width + x) = (r << 16) | (g << 8) | b
           x += 1
         }
         y += 1
@@ -103,6 +108,26 @@ object Multimodal {
       img
     }
 
+    /** Per-channel means over an ALREADY-decoded image — the shared loop
+      * behind [[channelMeans]], exposed so callers that already hold the
+      * decoded frame (q128 re-decodes its resize output exactly once)
+      * don't pay a second `ImageIO.read` of the same payload. Bulk
+      * `getRGB(0,0,w,h,…)` converts the whole raster in one call instead
+      * of one color-model conversion per pixel. */
+    def channelMeansOf(img: BufferedImage): (Double, Double, Double) = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        i += 1
+      }
+      val n = (w * h).toDouble
+      (sr / n, sg / n, sb / n)
+    }
+
     /** Container detection from the real magic bytes (PNG `\x89PNG`,
       * JPEG `\xFF\xD8\xFF`) — the header sniff a binaryFile ingest does
       * before routing to a decoder. */
@@ -121,23 +146,8 @@ object Multimodal {
     }
 
     /** Empirical per-channel means over the decoded pixels. */
-    def channelMeans(payload: Array[Byte]): (Double, Double, Double) = {
-      val img = decode(payload)
-      val (w, h) = (img.getWidth, img.getHeight)
-      var (sr, sg, sb) = (0L, 0L, 0L)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val p = img.getRGB(x, y)
-          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-          x += 1
-        }
-        y += 1
-      }
-      val n = (w * h).toDouble
-      (sr / n, sg / n, sb / n)
-    }
+    def channelMeans(payload: Array[Byte]): (Double, Double, Double) =
+      channelMeansOf(decode(payload))
 
     /** Feature vector from decoded pixels: a `dim`-bin luminance histogram
       * (mass-normalized) — the shape a real embedding model's output takes
@@ -212,15 +222,47 @@ object Multimodal {
     * read binary files via `spark.read.format("binaryFile")`; the
     * generated corpus exists so decode correctness is oracle-checkable
     * (q65 exact on the lossless half, q94 on every row). */
+  /** Spread codec-heavy per-row work across the cluster: the bench's
+    * single-file `documents` scan yields ONE input partition, which
+    * serializes every ImageIO encode/decode behind it onto one core
+    * (measured: q128 ran single-threaded, 13.9 s for 2,500 rows). The
+    * guide §8 shape — move the SMALL rows (id, text) once, generate the
+    * heavy payloads after — so the round-robin exchange carries bytes
+    * proportional to the text column, never the images. No-op when the
+    * scan already has enough partitions (many-file tables at scale). */
+  private def spreadSmallRows(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   def mediaFromDocuments(s: SparkSession, d: String): Dataset[MediaItem] = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+    spreadSmallRows(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .as[(Long, String)]
       .map { case (id, text) =>
         val (w, h, r0, g0, b0) = imageParams(id, md5hex(text.getBytes("UTF-8")))
         val grad = (x: Int, y: Int) => (r0 + x + y, g0 + x, b0 + y)
         val payload =
           if (id % 2 == 0) ImageCodec.encodePng(w, h)(grad)
           else ImageCodec.encodeJpeg(w, h)(grad)
+        MediaItem(id, payload, ImageCodec.probe(payload, "image"))
+      }
+  }
+
+  /** The PNG (lossless, even-id) half of [[mediaFromDocuments]], with the
+    * id filter applied BEFORE the codec map: `payload is PNG ⟺ doc_id
+    * even` by construction, so this is exactly
+    * `mediaFromDocuments(…).filter(_.meta.format == "image/png")` — minus
+    * one discarded JPEG encode per odd row (the old shape encoded every
+    * document and threw the lossy half away at the filter). */
+  def pngMediaFromDocuments(s: SparkSession, d: String): Dataset[MediaItem] = {
+    import s.implicits._
+    spreadSmallRows(Tables.documents(s, d)
+      .filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val (w, h, r0, g0, b0) = imageParams(id, md5hex(text.getBytes("UTF-8")))
+        val payload = ImageCodec.encodePng(w, h)((x, y) => (r0 + x + y, g0 + x, b0 + y))
         MediaItem(id, payload, ImageCodec.probe(payload, "image"))
       }
   }
@@ -289,8 +331,7 @@ object Multimodal {
     "q65_image_decode",
     (s, d) => {
       import s.implicits._
-      mediaFromDocuments(s, d)
-        .filter(_.meta.format == "image/png")
+      pngMediaFromDocuments(s, d)
         .mapPartitions(_.map { m =>
           val (r, g, b) = ImageCodec.channelMeans(m.payload)
           MediaStats(m.media_id, m.meta.width.toLong, m.meta.height.toLong, r, g, b)
@@ -370,13 +411,15 @@ object Multimodal {
     "q128_image_resize",
     (s, d) => {
       import s.implicits._
-      mediaFromDocuments(s, d)
-        .filter(_.meta.format == "image/png")
+      pngMediaFromDocuments(s, d)
         .mapPartitions(_.map { m =>
           val resized = ImageCodec.resize(m.payload, m.meta.width * 2, m.meta.height * 2)
-          val meta = ImageCodec.probe(resized, "image")
-          val (r, g, b) = ImageCodec.channelMeans(resized)
-          MediaStats(m.media_id, meta.width.toLong, meta.height.toLong, r, g, b)
+          // ONE decode of the re-encoded payload serves dimensions and
+          // means (probe + channelMeans each re-decoded it before —
+          // same bytes, same BufferedImage, two redundant ImageIO.reads)
+          val img = ImageCodec.decode(resized)
+          val (r, g, b) = ImageCodec.channelMeansOf(img)
+          MediaStats(m.media_id, img.getWidth.toLong, img.getHeight.toLong, r, g, b)
         })
         .toDF()
         .orderBy("doc_id")
@@ -408,8 +451,7 @@ object Multimodal {
     "q129_frame_sample",
     (s, d) => {
       import s.implicits._
-      mediaFromDocuments(s, d)
-        .filter(_.meta.format == "image/png")
+      pngMediaFromDocuments(s, d)
         .flatMap { m =>
           ImageCodec.frameSample(m.payload, everyN = 2).zipWithIndex.map {
             case (frame, k) =>
@@ -481,7 +523,7 @@ object Multimodal {
     * spec can assert the members are byte-distinct. */
   def q232Payloads(s: SparkSession, d: String): Dataset[(Long, Array[Byte])] = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long]
+    spreadSmallRows(Tables.documents(s, d).select(col("doc_id"))).as[Long]
       .map { id =>
         val g = id / PhashGroup
         val noise = md5bytes(s"phn#$id")
@@ -505,13 +547,14 @@ object Multimodal {
       import s.implicits._
       val hashed = q232Payloads(s, d).map { case (id, payload) =>
         val img = ImageCodec.decode(payload)
+        val px = img.getRGB(0, 0, PhashW, PhashH, null, 0, PhashW)
         var h = 0L
         var y = 0
         while (y < PhashH) {
           var x = 0
           while (x < PhashW - 1) {
-            val l = img.getRGB(x, y) & 0xff
-            val r = img.getRGB(x + 1, y) & 0xff
+            val l = px(y * PhashW + x) & 0xff
+            val r = px(y * PhashW + x + 1) & 0xff
             if (r > l) h |= 1L << (y * (PhashW - 1) + x)
             x += 1
           }
@@ -567,21 +610,17 @@ object Multimodal {
     "q261_luminance_histogram",
     (s, d) => {
       import s.implicits._
-      mediaFromDocuments(s, d)
-        .filter(_.media_id % 2 == 0)
+      pngMediaFromDocuments(s, d)
         .mapPartitions(_.flatMap { m =>
           val img = ImageCodec.decode(m.payload)
           val counts = new Array[Long](16)
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val p = img.getRGB(x, y)
-              val lum = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
-              counts(lum / 16) += 1L
-              x += 1
-            }
-            y += 1
+          val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            val lum = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+            counts(lum / 16) += 1L
+            i += 1
           }
           counts.iterator.zipWithIndex.collect {
             case (c, b) if c > 0 => (m.media_id, b.toLong, c)

