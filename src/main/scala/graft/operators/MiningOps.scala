@@ -13,35 +13,56 @@ import graft.{QueryDef, Tables}
   * discipline (no float log/division reaches the oracle hash). */
 object MiningOps {
 
+  /** Basket frame shared by the co-occurrence miners (q105/q172/q184):
+    * one lineitem pass → (okey, SORTED distinct parts array), eagerly
+    * materialized. `sort_array(collect_set(part))` per order ≡ DISTINCT
+    * (okey, part) — and generating combinations by in-row explodes over
+    * the array replaces the okey self-joins entirely: the r12 before-plan
+    * of q172 re-derived the `items` distinct lineage 18 times (18 parquet
+    * scans, 44 plan-text Exchanges) because each self-join reference
+    * duplicates the subtree; the basket array is built once, checkpointed,
+    * and every pair/triple enumeration is a NARROW Generate over it
+    * (guide §2.4: remove shuffles outright). Candidate space is unchanged
+    * (Σ basket^k within the order — a-priori's point). */
+  private def orderBaskets(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .groupBy("okey").agg(sort_array(collect_set(col("part"))).as("parts"))
+      .localCheckpoint()
+
+  /** Index-ordered 2-combinations of each basket: elements are distinct
+    * and ascending, so position order ≡ `p1 < p2`. Narrow (no exchange). */
+  private def basketPairs(baskets: DataFrame): DataFrame =
+    baskets
+      .select(col("parts"), posexplode(col("parts")).as(Seq("i", "p1")))
+      .select(col("p1"), explode(expr("slice(parts, i + 2, size(parts))")).as("p2"))
+
   /** q105: market-basket association rules — frequent part PAIRS within
     * an order plus confidence and lift, the classic co-occurrence mining
     * op (and the same shape as word co-occurrence / PMI over token
-    * windows). Pair generation is a self-join WITHIN the orderkey — the
-    * candidate space is Σ basket² (baskets average ~7 lines), never
-    * catalog², which is the a-priori observation that makes basket
-    * mining tractable. Confidence = sup(ab)/sup(a) and lift =
+    * windows). Pair generation explodes 2-combinations WITHIN each
+    * basket array — the candidate space is Σ basket² (baskets average ~7
+    * lines), never catalog², which is the a-priori observation that makes
+    * basket mining tractable. Confidence = sup(ab)/sup(a) and lift =
     * sup(ab)·N/(sup(a)·sup(b)) in ×1e6 fixed-point with the denominator
     * pre-divided (the q103 overflow-safe shape).
     *
-    * Plan shape at 100 TB: distinct (order, part) is one exchange keyed
-    * by order; the pair self-join reuses that partitioning (equi-join on
-    * orderkey — co-located, no second shuffle of the big side under
-    * bucketing); per-part supports are a part-keyed agg far smaller than
-    * the pair stream, AQE-broadcast onto it. Heavy-hitter parts (the
-    * retail "bestseller skew") fatten baskets multiplicatively — the
-    * stated mitigation is the same df-cap policy as q104: cap basket
-    * width or drop ubiquitous items before pairing. */
+    * Plan shape at 100 TB: ONE exchange keyed by order builds the basket
+    * arrays ([[orderBaskets]]); pair enumeration is a narrow Generate
+    * over them (no self-join shuffle at all), feeding one (p1, p2) hash
+    * agg; per-part supports are a part-keyed agg far smaller than the
+    * pair stream, AQE-broadcast onto it. Heavy-hitter parts (the retail
+    * "bestseller skew") fatten baskets multiplicatively — the stated
+    * mitigation is the same df-cap policy as q104: cap basket width or
+    * drop ubiquitous items before pairing. */
   val q105BasketRules = QueryDef(
     "q105_basket_rules",
     (s, d) => {
-      val items = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-        .distinct()
-      val n = items.select(countDistinct(col("okey")).as("n_orders"))
-      val sup = items.groupBy("part").agg(count(lit(1)).as("sup"))
-      val pairs = items.select(col("okey"), col("part").as("p1"))
-        .join(items.select(col("okey"), col("part").as("p2")), Seq("okey"))
-        .filter(col("p1") < col("p2"))
+      val baskets = orderBaskets(s, d)
+      val n = baskets.select(count(lit(1)).as("n_orders"))
+      val sup = baskets.select(explode(col("parts")).as("part"))
+        .groupBy("part").agg(count(lit(1)).as("sup"))
+      val pairs = basketPairs(baskets)
         .groupBy("p1", "p2").agg(count(lit(1)).as("sup_ab"))
         .filter(col("sup_ab") >= 2)
       pairs
@@ -682,37 +703,39 @@ object MiningOps {
     * deliverable includes each triple's support next to its weakest
     * sub-pair support (the lift base for rule generation).
     *
-    * Plan shape at 100 TB: the raw triple space is Σ basket³, but the
-    * cascade never touches it — extension joins run over the FREQUENT
-    * pair list (tiny under any support floor; a-priori's point), and
-    * the only basket-sized work is the final exact count of surviving
-    * candidates, an order-keyed three-way self-join that reuses one
-    * partitioning (the q105 argument, one level deeper). Candidate
-    * pruning happens BEFORE the big join via two broadcast semi-joins
-    * of the frequent-pair list. */
+    * Plan shape at 100 TB: the raw triple space is Σ basket³, but it
+    * never shuffles — 3-combinations explode NARROWLY from the basket
+    * arrays ([[orderBaskets]]: one order-keyed exchange shared with the
+    * pair level), extension joins run over the FREQUENT pair list (tiny
+    * under any support floor; a-priori's point, checkpointed once and
+    * broadcast), and the only basket-sized exchange left is the final
+    * (p1,p2,p3) candidate count. Candidate pruning happens as the
+    * enumeration meets the broadcast candidate list — before the agg. */
   val q172AprioriTriples = QueryDef(
     "q172_apriori_triples",
     (s, d) => {
-      val items = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-        .distinct()
-      val pairs = items.select(col("okey"), col("part").as("p1"))
-        .join(items.select(col("okey"), col("part").as("p2")), Seq("okey"))
-        .filter(col("p1") < col("p2"))
+      val baskets = orderBaskets(s, d)
+      val pairs = basketPairs(baskets)
         .groupBy("p1", "p2").agg(count(lit(1)).as("sup"))
         .filter(col("sup") >= 2)
+        .localCheckpoint() // referenced 3× below; frequent list is tiny
       // candidate triples: extend (p1,p2) by (p2,p3); prune on (p1,p3)
       val cand = pairs.select(col("p1"), col("p2"), col("sup").as("s12"))
-        .join(pairs.select(col("p1").as("p2"), col("p2").as("p3"),
-          col("sup").as("s23")), Seq("p2"))
+        .join(broadcast(pairs.select(col("p1").as("p2"), col("p2").as("p3"),
+          col("sup").as("s23"))), Seq("p2"))
         .join(broadcast(pairs.select(col("p1"), col("p2").as("p3"),
           col("sup").as("s13"))), Seq("p1", "p3"))
         .select(col("p1"), col("p2"), col("p3"),
           least(col("s12"), least(col("s13"), col("s23"))).as("min_pair_sup"))
-      val triples = items.select(col("okey"), col("part").as("p1"))
-        .join(items.select(col("okey"), col("part").as("p2")), Seq("okey"))
-        .join(items.select(col("okey"), col("part").as("p3")), Seq("okey"))
-        .filter(col("p1") < col("p2") && col("p2") < col("p3"))
+      // index-ordered 3-combinations: sorted distinct array ⇒ position
+      // order ≡ p1 < p2 < p3 (p2 sits at 0-based i+1+j, so p3 starts at
+      // 1-based (i+1+j)+2 = i+j+3)
+      val triples = baskets
+        .select(col("parts"), posexplode(col("parts")).as(Seq("i", "p1")))
+        .select(col("parts"), col("i"), col("p1"),
+          posexplode(expr("slice(parts, i + 2, size(parts))")).as(Seq("j", "p2")))
+        .select(col("p1"), col("p2"),
+          explode(expr("slice(parts, i + j + 3, size(parts))")).as("p3"))
         .join(broadcast(cand), Seq("p1", "p2", "p3"))
         .groupBy("p1", "p2", "p3", "min_pair_sup")
         .agg(count(lit(1)).as("sup3"))
@@ -1038,10 +1061,12 @@ object MiningOps {
     * bounded PER-ITEM index.
     *
     * Scale: pair space is Σ basket² within orderkey (q105's a-priori
-    * shape, same heavy-basket cap policy); per-part supports n(p) are a
-    * part-keyed agg AQE-broadcast onto the pair stream; the top-3
-    * ranking window partitions by item over pair rows — never corpus
-    * rows. co ≥ 2 prunes the noise tail before the window.
+    * shape, same heavy-basket cap policy), enumerated NARROWLY from the
+    * shared basket arrays ([[orderBaskets]] — both explode directions,
+    * no okey self-join shuffle); per-part supports n(p) are a part-keyed
+    * agg AQE-broadcast onto the pair stream; the top-3 ranking window
+    * partitions by item over pair rows — never corpus rows. co ≥ 2
+    * prunes the noise tail before the window.
     *
     * Overflow headroom: `co*co*1e6` stays inside Int64 while
     * co < ⌊√(2^63/1e6)⌋ ≈ 3.03e6 co-purchases PER (item, neighbor)
@@ -1055,12 +1080,17 @@ object MiningOps {
   val q184ItemCf = QueryDef(
     "q184_item_cf",
     (s, d) => {
-      val op = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-      val n = op.groupBy("l_partkey").agg(count(lit(1)).as("n"))
-      val pairs = op.as("a")
-        .join(op.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("item"), col("b.l_partkey").as("neighbor"))
+      val baskets = orderBaskets(s, d)
+      val n = baskets.select(explode(col("parts")).as("l_partkey"))
+        .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      // ordered pairs (item ≠ neighbor): each index-ordered combination
+      // taken in both directions — ≡ the a≠b self-join's pair multiset
+      val pairs = basketPairs(baskets)
+        .select(array(struct(col("p1").as("item"), col("p2").as("neighbor")),
+          struct(col("p2").as("item"), col("p1").as("neighbor"))).as("both"))
+        .select(explode(col("both")).as("pr"))
+        .select(col("pr.item").as("item"), col("pr.neighbor").as("neighbor"))
+        .groupBy("item", "neighbor")
         .agg(count(lit(1)).as("co"))
         .filter(col("co") >= 2)
       val scored = pairs
