@@ -39,6 +39,21 @@ object PageRank {
   val Damping = 85L // × 1/100
   val Iterations = 4
 
+  /** The distinct customer↔supplier trade relation shared by q77/q113/
+    * q156/q194, eagerly materialized: every consumer references it 2-3
+    * times (both union directions of `edges`, q113's seeds, q194's two
+    * degree branches), and each reference re-derived the lineitem⋈orders
+    * join + distinct in the physical plan — the checkpoint makes the big
+    * join run once per query (guide §2.4 / §3.3 plan-truncation). */
+  private def tradeRel(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast(LongType).as("cust"),
+        (col("l_suppkey").cast(LongType) + 1000000L).as("supp"))
+      .distinct()
+      .localCheckpoint()
+
   /** (id, rank) after [[Iterations]] rounds over `edges` (src, dst —
     * already directed both ways), starting every node at [[Unit]].
     *
@@ -64,23 +79,27 @@ object PageRank {
     val e = ckpt(edges)
     val deg = ckpt(e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("outdeg")))
-    var r = deg.select(col("id"), lit(Unit).as("rank"))
+    // outdeg RIDES the rank frame: the per-round r ⋈ deg share join the
+    // old shape paid (one extra exchange/broadcast per iteration) is a
+    // projection here — each round is exactly one share join + one hash
+    // agg + one outer join (guide §2.4)
+    var r = deg.select(col("id"), col("outdeg"), lit(Unit).as("rank"))
     (1 to Iterations).foreach { i =>
       val contrib = e
-        .join(r.join(deg, Seq("id")).select(col("id").as("src"),
+        .join(r.select(col("id").as("src"),
           expr("rank div outdeg").as("share")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("share")).as("inflow"))
-      r = deg.select(col("id"))
+      r = deg
         .join(contrib, Seq("id"), "left_outer")
-        .select(col("id"),
+        .select(col("id"), col("outdeg"),
           expr(s"(15 * ${Unit}L + $Damping * coalesce(inflow, 0L)) div 100").as("rank"))
       // checkpoint every OTHER round: two rounds of lineage stay bounded
       // and half the eager materializations disappear from the critical
       // path (on a real cluster: same cadence trade as Components)
       if (i % 2 == 0 && i < Iterations) r = ckpt(r)
     }
-    r
+    r.select(col("id"), col("rank"))
   }
 
   /** q77: PageRank top-20 over the trade graph — node type, key and
@@ -89,12 +108,7 @@ object PageRank {
   val q77PageRank = QueryDef(
     "q77_pagerank",
     (s, d) => {
-      val rel = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").cast(LongType).as("cust"),
-          (col("l_suppkey").cast(LongType) + 1000000L).as("supp"))
-        .distinct()
+      val rel = tradeRel(s, d)
       val edges = rel.select(col("cust").as("src"), col("supp").as("dst"))
         .union(rel.select(col("supp").as("src"), col("cust").as("dst")))
       ranks(edges)
@@ -234,12 +248,7 @@ object PageRank {
   val q113BfsHops = QueryDef(
     "q113_bfs_hops",
     (s, d) => {
-      val rel = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").cast(LongType).as("cust"),
-          (col("l_suppkey").cast(LongType) + 1000000L).as("supp"))
-        .distinct()
+      val rel = tradeRel(s, d)
       val edges = rel.select(col("cust").as("src"), col("supp").as("dst"))
         .union(rel.select(col("supp").as("src"), col("cust").as("dst")))
       val seeds = rel.filter(col("cust") % 500 === 0).select(col("cust").as("id"))
@@ -491,20 +500,30 @@ object PageRank {
     val e = ckpt(edges.select(col("src"), col("dst")))
     val nodes = ckpt(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct())
+    // A zero score is algebraically identical to an ABSENT row inside the
+    // iteration (it contributes nothing to either sum), so the per-round
+    // nodes ⟕ zero-fill joins the old shape paid (2 joins + 2 ckpts per
+    // round) move OUTSIDE the loop: each round is exactly two
+    // join-then-agg steps over the score aggregates themselves, and the
+    // all-nodes zero-filled frames are produced once at the end — same
+    // values on every node (guide §2.4).
     var a = nodes.select(col("id"), lit(1L).as("a"))
-    var h = nodes.select(col("id"), lit(1L).as("h"))
+    var hAgg: DataFrame = null
     (1 to iters).foreach { i =>
-      val hAgg = e.join(a.select(col("id").as("dst"), col("a")), Seq("dst"))
+      hAgg = e.join(a.select(col("id").as("dst"), col("a")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(sum(col("a")).as("hsum"))
-      h = nodes.join(hAgg, Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("hsum"), lit(0L)).as("h"))
-      val aAgg = e.join(h.select(col("id").as("src"), col("h")), Seq("src"))
-        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("asum"))
-      a = nodes.join(aAgg, Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("asum"), lit(0L)).as("a"))
-      if (i < iters) { h = ckpt(h); a = ckpt(a) }
+      // the final round's hub agg feeds BOTH the authority update and the
+      // h output — checkpoint severs the duplicated lineage (and bounds
+      // plan depth at one round, the old cadence)
+      if (i < iters || iters > 1) hAgg = ckpt(hAgg)
+      a = e.join(hAgg.select(col("id").as("src"), col("hsum")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("hsum")).as("a"))
     }
-    (nodes, h, a)
+    val h = nodes.join(hAgg, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("hsum"), lit(0L)).as("h"))
+    val aOut = nodes.join(a, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("a"), lit(0L)).as("a"))
+    (nodes, h, aOut)
   }
 
   /** q148: HITS over a skewed md5 link graph (out-degree 1 + id%8) —
@@ -576,31 +595,29 @@ object PageRank {
     val deg = ckpt(e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("outdeg"))
       .withColumn("s", when(isSeed, 1L).otherwise(0L)))
-    var r = deg.select(col("id"), (col("s") * Unit).as("rank"))
+    // outdeg + seed flag ride the rank frame ([[ranks]]'s rationale): the
+    // per-round r ⋈ deg join becomes a projection
+    var r = deg.select(col("id"), col("outdeg"), col("s"),
+      (col("s") * Unit).as("rank"))
     (1 to Iterations).foreach { i =>
       val contrib = e
-        .join(r.join(deg, Seq("id")).select(col("id").as("src"),
+        .join(r.select(col("id").as("src"),
           expr("rank div outdeg").as("share")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("share")).as("inflow"))
-      r = deg.select(col("id"), col("s"))
+      r = deg
         .join(contrib, Seq("id"), "left_outer")
-        .select(col("id"),
+        .select(col("id"), col("outdeg"), col("s"),
           expr(s"(15 * ${Unit}L * s + $Damping * coalesce(inflow, 0L)) div 100").as("rank"))
       if (i % 2 == 0 && i < Iterations) r = ckpt(r)
     }
-    r
+    r.select(col("id"), col("rank"))
   }
 
   val q156Ppr = QueryDef(
     "q156_ppr",
     (s, d) => {
-      val rel = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").cast(LongType).as("cust"),
-          (col("l_suppkey").cast(LongType) + 1000000L).as("supp"))
-        .distinct()
+      val rel = tradeRel(s, d)
       val edges = rel.select(col("cust").as("src"), col("supp").as("dst"))
         .union(rel.select(col("supp").as("src"), col("cust").as("dst")))
       pprRanks(edges, col("id") < 1000000L && col("id") % 500 === 0)
@@ -806,12 +823,7 @@ object PageRank {
   val q194DegreeAudit = QueryDef(
     "q194_degree_audit",
     (s, d) => {
-      val rel = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").cast(LongType).as("cust"),
-          (col("l_suppkey").cast(LongType) + 1000000L).as("supp"))
-        .distinct()
+      val rel = tradeRel(s, d)
       val deg = rel.groupBy("cust").agg(count(lit(1)).as("deg"))
         .select(lit("customer").as("node_type"), col("deg"))
         .unionByName(rel.groupBy("supp").agg(count(lit(1)).as("deg"))
