@@ -58,6 +58,22 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
+  /** Round-robin a frame to `defaultParallelism` partitions when it has
+    * fewer — for pipelines whose per-row compute (md5-bridge hashing,
+    * tokenization, codecs, edit-distance kernels) dominates the scan.
+    * The bench tables are single-file, SINGLE-ROW-GROUP parquet, so every
+    * scan is one task and everything narrow above it runs on one core
+    * until the first exchange (measured r12: q167's three lineitem
+    * passes, each with an md5 per row, serialized end-to-end). The
+    * exchange moves only the projected columns — callers select the
+    * needed columns FIRST (guide §2.3/§8: shuffle the small rows, then
+    * compute). No-op on inputs that already have enough partitions (real
+    * multi-file tables at scale). */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Best-effort recursive delete of a query's scratch dir (checkpoints,
     * staged stream sources) so repeated bench/verify runs don't leak temp
     * space. Never throws — cleanup must not fail the query it follows. */

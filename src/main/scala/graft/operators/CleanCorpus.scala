@@ -35,9 +35,11 @@ object CleanCorpus {
 
   /** The pipeline, parameterized by the dedup-pack doc_id cap. */
   private def cleanReport(s: SparkSession, d: String, cap: Long): DataFrame = {
-    val docs =
+    // spread (r12): the quality stage tokenizes + regexes every doc on
+    // what is otherwise a 1-task single-row-group scan
+    val docs = Tables.spread(
       if (cap == DedupOps.FullCorpus) Tables.documents(s, d)
-      else Tables.documents(s, d).filter(col("doc_id") < cap)
+      else Tables.documents(s, d).filter(col("doc_id") < cap))
     // 1. exact dedup survivors
     val exactKeep = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
       .select("doc_id")

@@ -87,8 +87,11 @@ object DedupOps {
     * The bounded ORACLE slice keeps raw strings: q23 is the ground-truth
     * query and stays collision-free by construction. */
   private[graft] def rawShingles(s: SparkSession, d: String, cap: Long): DataFrame = {
-    val raw = Tables.documents(s, d)
+    // spread (r12): the single-row-group documents scan is 1 task; the
+    // shingle explode + hashing above it feeds every MinHash consumer
+    val raw = Tables.spread(Tables.documents(s, d)
       .filter(capFilter(cap) && length(col("text")) >= 5)
+      .select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         explode(transform(
           sequence(lit(1), length(col("text")) - 4),
@@ -763,9 +766,9 @@ object DedupOps {
     "q91_editdist_sql",
     (s, d) => {
       graft.plans.BandedLevenshtein.install(s)
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d)
         .filter(col("doc_id") < OracleCap)
-        .select("doc_id", "text", "n_chars")
+        .select("doc_id", "text", "n_chars"))
         .createOrReplaceTempView("docs_editdist")
       s.sql("""SELECT a.doc_id AS d1, b.doc_id AS d2
               |FROM docs_editdist a JOIN docs_editdist b

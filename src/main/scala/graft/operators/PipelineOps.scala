@@ -566,7 +566,7 @@ object PipelineOps {
 
   val q138SubstringDedup = QueryDef(
     "q138_substring_dedup",
-    (s, d) => substringDedup(Tables.documents(s, d)),
+    (s, d) => substringDedup(Tables.spread(Tables.documents(s, d))),
     Some(s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
            |ix AS (
            |  SELECT doc_id, text, unnest(range(1, len - $SubstrK + 2)) AS i

@@ -225,9 +225,11 @@ object ScaleTools {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.LongType
-      val li = graft.Tables.lineitem(s, d)
+      // spread: the single-row-group scan is 1 task, and all three li
+      // passes (md5 sample, assignment, count) run narrow above it
+      val li = graft.Tables.spread(graft.Tables.lineitem(s, d)
         .select(floor(col("l_extendedprice") * 100.0 + 0.5).cast(LongType).as("cents"),
-          col("l_orderkey"), col("l_linenumber"))
+          col("l_orderkey"), col("l_linenumber")))
       val h = pmod(conv(substring(md5(concat_ws(":",
         col("l_orderkey"), col("l_linenumber"))), 1, 15), 16, 10).cast(LongType),
         lit(RangeSampleMod))

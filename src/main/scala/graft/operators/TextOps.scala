@@ -283,8 +283,9 @@ object TextOps {
                   array_min(fps).as("min_fp"),
                   array_max(fps).as("max_fp"),
                   aggregate(fps, lit(0L), (a, x) => a.bitwiseXOR(x)).as("xor_fp")))))))
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d)
         .filter(length(col("text")) >= k + w - 1)
+        .select(col("doc_id"), col("text")))
         .select(col("doc_id"), summary.as("r"))
         .select(col("doc_id"), col("r.n_fp"), col("r.min_fp"), col("r.max_fp"), col("r.xor_fp"))
         .orderBy("doc_id")

@@ -411,7 +411,7 @@ object VectorOps {
     "q78_semantic_dedup",
     (s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val emb = Tables.embeddings(s, d)
+      val emb = Tables.spread(Tables.embeddings(s, d))
         .select(col("vec_id"), toD(col("embedding")).as("v"))
       val cents = emb.filter(col("vec_id").between(1, 8))
         .select(col("vec_id").as("cid"), col("v").as("cv"))

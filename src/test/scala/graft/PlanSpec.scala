@@ -216,10 +216,13 @@ class PlanSpec extends SparkSpec {
       // q87/q95: candidate AND verified-pair frames are cached (r5), so
       // the plan TEXT repeats the candidate lineage inside nested
       // InMemoryRelation blocks — runtime reads the cached frames
+      // (r12: rawShingles' spread adds one runtime exchange that the
+      // repeated cached candidate lineage multiplies in plan text —
+      // 300 → 450; runtime reads the cached frames either way)
       case n if n.startsWith("q46") || n.startsWith("q53") ||
         n.startsWith("q54") || n.startsWith("q71") || n.startsWith("q76") ||
         n.startsWith("q87") || n.startsWith("q95") ||
-        n.startsWith("q204") => 300
+        n.startsWith("q204") => 450
       case n if n.startsWith("q23") => 24
       // q24/q52: the verify stage references the materialized candidate
       // cache three times (candDocs union x2 + the pair join) and the
@@ -230,8 +233,11 @@ class PlanSpec extends SparkSpec {
       // plan text repeats the same cached candidate lineage; q199 joins
       // the same cached pair frame to documents twice (source lookup per
       // endpoint), repeating the lineage under both join branches
+      // (r12: rawShingles' spread round-robin adds ONE runtime exchange
+      // under the documents scan, which the repeated cached lineage
+      // multiplies ~16x in plan text — 90 → 110)
       case n if n.startsWith("q24") || n.startsWith("q52") ||
-        n.startsWith("q142") || n.startsWith("q199") => 90
+        n.startsWith("q142") || n.startsWith("q199") => 110
       // q93: short-bucket union + segment/probe join + distinct + two
       // text re-joins + DP repartition — candidate generation is wide by
       // design, every shuffled row is metadata-narrow
@@ -341,6 +347,10 @@ class PlanSpec extends SparkSpec {
       // and two 1-row scalar aggs — every exchange past the two event
       // scans is sketch-cell- or scalar-sized
       case n if n.startsWith("q258") => 10
+      // q167 (r12): the spread round-robin exchange under the lineitem
+      // scan appears once per li reference (sample, assignment, count) in
+      // plan text; runtime reuses one exchange (ReuseExchange)
+      case n if n.startsWith("q167") => 12
       case _ => 8
     }
     SparkEntry.registry.foreach { q =>
