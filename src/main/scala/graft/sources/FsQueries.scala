@@ -24,6 +24,27 @@ object FsQueries {
   private def cat(s: org.apache.spark.sql.SparkSession): Unit =
     s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
 
+  /** ONE-job multiset equality for the in-query verification requires.
+    * The r11 shape — two-sided exceptAll-is-empty —
+    * launched two jobs, EACH re-deriving both input lineages (the view
+    * recompute side is a full group-by over the base table) — this
+    * compares per-row counts through a single null-safe full-outer join,
+    * so each lineage is computed once per check. Equality semantics are
+    * identical: same rows with same multiplicities, NULLs matching NULLs
+    * (`<=>`), which is exactly what the two-sided exceptAll tested. */
+  private def sameRows(a: org.apache.spark.sql.DataFrame,
+                       b: org.apache.spark.sql.DataFrame): Boolean = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val cols = a.columns.toSeq
+    val ca = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__na")).alias("l")
+    val cb = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__nb")).alias("r")
+    val cond = cols.map(c => col(s"l.$c") <=> col(s"r.$c")).reduce(_ && _)
+    ca.join(cb, cond, "full_outer")
+      .filter(col("l.__na").isNull || col("r.__nb").isNull ||
+        col("l.__na") =!= col("r.__nb"))
+      .isEmpty
+  }
+
   /** q289: fs WRITE ROUND-TRIP — three append commits of lineitem slices
     * land as task-written parquet files under three manifests; the read
     * back is file-parallel (one task per data file) and must aggregate
@@ -1424,7 +1445,7 @@ object FsQueries {
         .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"),
           count(col("qty")).as("nn_qty"))
       val view = s.table("graft.fs_mv")
-      require(view.exceptAll(full).isEmpty && full.exceptAll(view).isEmpty,
+      require(sameRows(view, full),
         "incrementally maintained view must equal the full recompute")
       view.orderBy("grp")
     },
@@ -1504,7 +1525,7 @@ object FsQueries {
       // of the facts, at every visible moment — checked at the end
       val fresh = summarize(s.table("graft.fs_txq_fact"))
       val summ = s.table("graft.fs_txq_sum")
-      require(summ.exceptAll(fresh).isEmpty && fresh.exceptAll(summ).isEmpty,
+      require(sameRows(summ, fresh),
         "summary must equal the fact aggregate after atomic publishes")
       summ.orderBy("b")
     },
@@ -1614,18 +1635,21 @@ object FsQueries {
       require(s2.applied && s2.incremental && FsMatView.isFresh("fs_dv"))
       require(s.table("graft.fs_dv").filter(col("grp") === 7L).isEmpty,
         "a group deleted to zero rows must vanish from the view")
+      // checkpointed: both the pre- and post-compaction equality checks
+      // consume this recompute (24 rows — materialization is free)
       val full = s.table("graft.fsd_dvb").groupBy("grp")
         .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"),
           count(col("qty")).as("nn_qty"))
+        .localCheckpoint()
       val view = s.table("graft.fs_dv")
-      require(view.exceptAll(full).isEmpty && full.exceptAll(view).isEmpty,
+      require(sameRows(view, full),
         "delta-refreshed view must equal the full recompute")
       // the compactor: same contents, masks gone, one new version
       FsMatView.compact(s, "fs_dv")
       require(FsStore.current("fs_dv").masks.isEmpty,
         "compaction must clear accumulated masks")
       val view2 = s.table("graft.fs_dv")
-      require(view2.exceptAll(full).isEmpty && full.exceptAll(view2).isEmpty,
+      require(sameRows(view2, full),
         "compaction must not change contents")
       view2.orderBy("grp")
     },
@@ -1742,7 +1766,7 @@ object FsQueries {
         .agg(count(lit(1)).as("n_rows"), sum(col("bal")).as("sum_bal"),
           count(col("bal")).as("nn_bal"))
       val view = s.table("graft.fs_pv")
-      require(view.exceptAll(fullV).isEmpty && fullV.exceptAll(view).isEmpty,
+      require(sameRows(view, fullV),
         "a view refreshed across RESTORE must equal the recompute")
       // the restore reads as ordinary CDF: one delete + one insert wave
       val wave = s.read.option("startingVersion", vRestore.toString)
@@ -1823,7 +1847,7 @@ object FsQueries {
         .agg(count(lit(1)).as("n_rows"), sum(col("val")).as("sum_val"),
           count(col("val")).as("nn_val"))
       val view = s.table("graft.fs_nv")
-      require(view.exceptAll(full).isEmpty && full.exceptAll(view).isEmpty,
+      require(sameRows(view, full),
         "NULL-bearing view must equal the full recompute")
       view.orderBy("grp")
     },
@@ -1881,7 +1905,7 @@ object FsQueries {
           count(col("val")).as("nn_val"), min(col("val")).as("min_val"),
           max(col("val")).as("max_val"))
       val view = s.table("graft.fs_mmv")
-      require(view.exceptAll(full).isEmpty && full.exceptAll(view).isEmpty,
+      require(sameRows(view, full),
         "min/max view must equal the full recompute after delete waves")
       view.orderBy("grp")
     },
@@ -2108,7 +2132,7 @@ object FsQueries {
         .agg(count(lit(1)).as("n_rows"), sum(col("val")).as("sum_val"),
           count(col("val")).as("nn_val"), min(col("val")).as("min_val"))
       val view = s.table("graft.fs_mgv").drop("gkey")
-      require(view.exceptAll(full).isEmpty && full.exceptAll(view).isEmpty,
+      require(sameRows(view, full),
         "multi-group delta-refreshed view must equal the full recompute")
       s.table("graft.fs_mgv").select(col("g1"),
           coalesce(col("g2"), lit(-1L)).as("g2k"), col("n_rows"),
