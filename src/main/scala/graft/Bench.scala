@@ -270,7 +270,19 @@ object Bench {
     //    heap — dead the moment their query returns (every mem query
     //    rebuilds its table from DROP), but pinned until the next run's
     //    DROP, i.e. across every query string-sorted in between.
+    // diagnostics (r12): the bench's wall budget is cold + warm + the
+    // BETWEEN-query machinery; sweep_s and gc_s in BENCH.json attribute
+    // the between cost so a budget shortfall can be diagnosed from the
+    // record (GC pauses land INSIDE query timers; the sweep lands outside)
+    var sweepNanos = 0L
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    val gcStart = gcMillis
     def sweepCheckpoints(): Unit = {
+      val t0 = System.nanoTime()
       spark.sparkContext.getPersistentRDDs.values
         .filter(_.isCheckpointed)
         .foreach(_.unpersist(blocking = false))
@@ -285,6 +297,7 @@ object Bench {
       // are equally dead after the query returns — same policy
       graft.sources.FsStore.dropAll()
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      sweepNanos += System.nanoTime() - t0
     }
 
     // mid-run checkpoint cadence: cheap (one println) and frequent enough
@@ -412,7 +425,7 @@ object Bench {
       .mkString("{", ",", "}")
     val runsMin = if (runsUsed.isEmpty) runs else runsUsed.values.min
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"runs_min":$runsMin,"n_ok":$nOk,"n_failed":${results.size - nOk},"cold_total":$coldTotal,"cold_queries":$coldJson,"runs_used":$runsJson,"retimed":$retimedJson,"budget_s":$budgetS,"wall_s":${fmt(elapsedS, 1)},"errors":$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"runs_min":$runsMin,"n_ok":$nOk,"n_failed":${results.size - nOk},"cold_total":$coldTotal,"cold_queries":$coldJson,"runs_used":$runsJson,"retimed":$retimedJson,"budget_s":$budgetS,"wall_s":${fmt(elapsedS, 1)},"sweep_s":${fmt(sweepNanos / 1e9, 1)},"gc_s":${fmt((gcMillis - gcStart) / 1e3, 1)},"errors":$errJson}"""
     // dev-filtered runs write a SIDE file: BENCH.json is the committed
     // official record AND the drift-pass baseline — a 5-query spot run
     // overwriting it poisons both (exactly how the round-11 record lost

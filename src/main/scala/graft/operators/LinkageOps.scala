@@ -30,13 +30,17 @@ object LinkageOps {
 
   private val Window_W = 3 // sorted-neighborhood width
 
-  /** doc_id + lowercased 40-char title + 2-char block + per-block rank. */
+  /** doc_id + lowercased 40-char title + 2-char block + per-block rank.
+    * Checkpointed (r12): both consumers self-join it (probe + neighbor
+    * side), and each side re-derived the scan + ranking window in the
+    * physical plan — the materialization runs the window once. */
   private def ranked(s: org.apache.spark.sql.SparkSession, d: String) = {
     val t = Tables.documents(s, d)
       .select(col("doc_id"), lower(substring(col("text"), 1, 40)).as("title"))
       .withColumn("block", substring(col("title"), 1, 2))
     t.withColumn("rn",
-      row_number().over(Window.partitionBy("block").orderBy("title", "doc_id")))
+        row_number().over(Window.partitionBy("block").orderBy("title", "doc_id")))
+      .localCheckpoint()
   }
 
   /** q135: sorted-neighborhood title linkage under Jaro-Winkler ≥ 0.85.

@@ -32,16 +32,22 @@ object FsQueries {
     * so each lineage is computed once per check. Equality semantics are
     * identical: same rows with same multiplicities, NULLs matching NULLs
     * (`<=>`), which is exactly what the two-sided exceptAll tested. */
-  private def sameRows(a: org.apache.spark.sql.DataFrame,
-                       b: org.apache.spark.sql.DataFrame): Boolean = {
+  private[sources] def sameRows(a: org.apache.spark.sql.DataFrame,
+                                b: org.apache.spark.sql.DataFrame): Boolean = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val cols = a.columns.toSeq
-    val ca = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__na")).alias("l")
-    val cb = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__nb")).alias("r")
-    val cond = cols.map(c => col(s"l.$c") <=> col(s"r.$c")).reduce(_ && _)
+    val ca = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__na"))
+    // HARD-rename b's columns (fresh attributes): when a and b share
+    // lineage, alias-qualified references resolve to the same attribute
+    // id and every join predicate folds to trivially-true — the check
+    // would pass vacuously (observed via Spark's "trivially true equals
+    // predicate" warning; FsQueriesSpec pins the inequality case)
+    val cb = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__nb"))
+      .toDF(cols.map("__r_" + _) :+ "__nb": _*)
+    val cond = cols.map(c => ca(c) <=> cb("__r_" + c)).reduce(_ && _)
     ca.join(cb, cond, "full_outer")
-      .filter(col("l.__na").isNull || col("r.__nb").isNull ||
-        col("l.__na") =!= col("r.__nb"))
+      .filter(ca("__na").isNull || cb("__nb").isNull ||
+        ca("__na") =!= cb("__nb"))
       .isEmpty
   }
 

@@ -389,4 +389,23 @@ class FsMatViewSpec extends SparkSpec {
       "the naive-concat twin must be untouched")
     drop("fsd_ivj"); drop("fs_ivj")
   }
+
+  test("FsQueries.sameRows: one-job multiset equality, robust to shared lineage") {
+    import graft.TestSession.spark.implicits._
+    val a = Seq((1L, "x"), (1L, "x"), (2L, null: String)).toDF("k", "s")
+    val b = Seq((1L, "x"), (1L, "x"), (2L, null: String)).toDF("k", "s")
+    assert(FsQueries.sameRows(a, b), "equal multisets (incl. NULLs) must compare equal")
+    // multiplicity difference must be caught
+    val c = Seq((1L, "x"), (2L, null: String)).toDF("k", "s")
+    assert(!FsQueries.sameRows(a, c), "a multiplicity difference must fail")
+    // SHARED-lineage regression: alias-qualified predicates over the same
+    // attribute ids fold to trivially-true and make the check vacuous —
+    // the hard rename must keep a real difference detectable
+    val base = Seq((1L, 10L), (2L, 20L)).toDF("k", "v").localCheckpoint()
+    val shifted = base.withColumn("v", col("v") + 1).select("k", "v")
+    assert(!FsQueries.sameRows(base, shifted),
+      "a difference between frames sharing lineage must fail")
+    assert(FsQueries.sameRows(base, base.select("k", "v")),
+      "a frame must equal itself")
+  }
 }
