@@ -35,4 +35,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the uniform ~2x warm regression of the dedup family in BENCH_r04.
   // 48g keeps every shared frame resident at sf0.1 with headroom.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+) ++
+  // dev knob: extra JVM flags for forked runs (GC experiments, -Xlog:gc)
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").map(_.split("\\s+").toSeq)
+    .getOrElse(Seq.empty)

@@ -353,8 +353,14 @@ object VectorOps {
       }.reduce(_ + _)
       xxhash64(lit(b), bits)
     }
-    val banded = allv.select(col("vec_id"), col("v"),
-      explode(array(bandHashes: _*)).as("bhash"))
+    // band hashes computed ONCE per vector (64 plane cosines each) and
+    // checkpointed — both self-join sides re-derived the whole banding
+    // lineage before (r12); the materialized frame adds only 16 longs
+    // per vector on top of the vectors themselves
+    val hashed = allv.select(col("vec_id"), col("v"),
+      array(bandHashes: _*).as("bh")).localCheckpoint()
+    val banded = hashed.select(col("vec_id"), col("v"),
+      explode(col("bh")).as("bhash"))
     banded.as("x").join(banded.as("y"),
         col("x.bhash") === col("y.bhash") && col("x.vec_id") < col("y.vec_id"))
       .filter(cosine(col("x.v"), col("y.v")) >= threshold) // inline exact verify
@@ -376,7 +382,9 @@ object VectorOps {
         .select(col("vec_id"), toD(col("embedding")).as("v"))
       val planted = base.filter(col("vec_id") % 20 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"), perturb(col("v")).as("v"))
-      val allv = base.unionByName(planted).repartition(32)
+      // spread, not repartition(32): scale-adaptive parallelism for the
+      // per-vector banding compute (the 32 was a local-core constant)
+      val allv = Tables.spread(base.unionByName(planted))
       lshNearDupPairs(allv, 0.9).orderBy("d1", "d2")
     },
     Some("""WITH base AS (
