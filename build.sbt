@@ -37,5 +37,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 ) ++
   // dev knob: extra JVM flags for forked runs (GC experiments, -Xlog:gc)
-  sys.env.get("SPARK_GRAFT_JVM_OPTS").map(_.split("\\s+").toSeq)
+  sys.env.get("SPARK_GRAFT_JVM_OPTS")
+    .map(_.split("\\s+").toSeq.filter(_.nonEmpty))
     .getOrElse(Seq.empty)

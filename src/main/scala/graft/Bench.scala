@@ -278,7 +278,7 @@ object Bench {
     def gcMillis: Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(_.getCollectionTime).sum
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
     val gcStart = gcMillis
     def sweepCheckpoints(): Unit = {

@@ -222,18 +222,12 @@ object Multimodal {
     * read binary files via `spark.read.format("binaryFile")`; the
     * generated corpus exists so decode correctness is oracle-checkable
     * (q65 exact on the lossless half, q94 on every row). */
-  /** Spread codec-heavy per-row work across the cluster: the bench's
-    * single-file `documents` scan yields ONE input partition, which
-    * serializes every ImageIO encode/decode behind it onto one core
-    * (measured: q128 ran single-threaded, 13.9 s for 2,500 rows). The
-    * guide §8 shape — move the SMALL rows (id, text) once, generate the
-    * heavy payloads after — so the round-robin exchange carries bytes
-    * proportional to the text column, never the images. No-op when the
-    * scan already has enough partitions (many-file tables at scale). */
-  private def spreadSmallRows(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
-  }
+  /** Spread codec-heavy per-row work across the cluster — guide §8: move
+    * the SMALL rows (id, text) once, generate the heavy payloads after,
+    * so the round-robin exchange carries bytes proportional to the text
+    * column, never the images. [[Tables.spread]] is the shared primitive
+    * (r12 advice: this was a verbatim duplicate of it). */
+  private def spreadSmallRows(df: DataFrame): DataFrame = Tables.spread(df)
 
   def mediaFromDocuments(s: SparkSession, d: String): Dataset[MediaItem] = {
     import s.implicits._

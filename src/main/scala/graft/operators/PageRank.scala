@@ -496,6 +496,9 @@ object PageRank {
     * once and reused, and per-round checkpoints keep lineage at one
     * round's depth (the [[kcore]] pattern). */
   def hits(edges: DataFrame, iters: Int): (DataFrame, DataFrame, DataFrame) = {
+    // iters == 0 would leave hAgg null below (the all-ones initialization
+    // never aggregates), so refuse instead of NPE-ing at the output join
+    require(iters >= 1, s"hits needs at least one iteration, got $iters")
     def ckpt(df: DataFrame): DataFrame = df.localCheckpoint()
     val e = ckpt(edges.select(col("src"), col("dst")))
     val nodes = ckpt(e.select(col("src").as("id"))
@@ -514,8 +517,9 @@ object PageRank {
         .groupBy(col("src").as("id")).agg(sum(col("a")).as("hsum"))
       // the final round's hub agg feeds BOTH the authority update and the
       // h output — checkpoint severs the duplicated lineage (and bounds
-      // plan depth at one round, the old cadence)
-      if (i < iters || iters > 1) hAgg = ckpt(hAgg)
+      // plan depth at one round, the old cadence); that holds for EVERY
+      // round including iters == 1, so checkpoint unconditionally
+      hAgg = ckpt(hAgg)
       a = e.join(hAgg.select(col("id").as("src"), col("hsum")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum(col("hsum")).as("a"))
     }

@@ -101,8 +101,10 @@ class MultimodalSpec extends SparkSpec {
     // shape: move lightweight rows once, generate heavy payloads after —
     // so the assertion scopes to the plan segment above the payload map.)
     val plan = extractFeatures(media, 8).queryExecution.executedPlan.toString
-    val aboveMap = plan.substring(0, plan.indexOf("MapPartitions"))
-    assert(plan.contains("MapPartitions") && !aboveMap.contains("Exchange"),
+    val mapIdx = plan.indexOf("MapPartitions")
+    assert(mapIdx >= 0, s"expected a MapPartitions operator:\n$plan")
+    val aboveMap = plan.substring(0, mapIdx)
+    assert(!aboveMap.contains("Exchange"),
       s"payloads must not cross a shuffle:\n$plan")
   }
 
