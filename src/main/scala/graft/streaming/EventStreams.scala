@@ -281,13 +281,15 @@ object EventStreams {
     * Env-tunable (`SPARK_GRAFT_STREAM_PARTS`) because the right value is
     * scale-dependent: a production unbounded stream with large keyspaces
     * wants O(cores×executors); a bounded drain of a small backfill wants
-    * just enough partitions to spread the state. Default 4: measured over
-    * the 9-query streaming pack (2-run medians, r12) the pack summed
-    * 46.3 s at 8, 33.7 s at 2 and 29.8 s at 4 — 4 keeps some state
-    * parallelism without paying 8 partitions of per-batch commit cost at
-    * ANY core count (the cost is per state store, not per core). */
+    * just enough partitions to spread the state. Default 2: the r12
+    * ladder (9-query pack, 2-run medians, degraded box) read 8 → 46.3 s,
+    * 4 → 29.8 s, 2 → 33.7 s; re-measured r13 on a clean box over the
+    * 7-query stateful core (3-run medians) the ladder reads 4 → 28.3 s,
+    * 2 → 23.9 s, 1 → 24.5 s — the per-batch state-store commit cost
+    * dominates down to 2 partitions at ANY core count (the cost is per
+    * state store, not per core), and 1 loses the residual overlap. */
   private val StreamParts: String =
-    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "2")
 
   private case class Staged(schema: org.apache.spark.sql.types.StructType,
                             tsIsNs: Boolean, stageDir: String)
