@@ -898,9 +898,12 @@ object DedupOps {
   val q93PassJoin = QueryDef(
     "q93_passjoin",
     (s, d) => {
-      val docs = Tables.documents(s, d)
+      // spread (r13): the probe side enumerates ~4·L hashed substrings
+      // per doc — the query's CPU center — and ran as ONE task on the
+      // single-row-group scan; the gh join shuffles either way
+      val docs = Tables.spread(Tables.documents(s, d)
         .filter(col("doc_id") < OracleCap)
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("text")))
       editDistPairs(docs, 30).orderBy("d1", "d2")
     },
     q90EditDistJoin.oracle

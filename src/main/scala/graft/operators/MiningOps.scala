@@ -1144,6 +1144,9 @@ object MiningOps {
   val q186WeightedMedian = QueryDef(
     "q186_weighted_median",
     (s, d) => {
+      // (r13: a spread of the scan plus a broadcast-joined total were
+      // tried and REVERTED — measured 1.70 -> 2.28 s; the second window
+      // pass is cheaper than the extra exchange + duplicated agg lineage)
       val byVal = Tables.lineitem(s, d)
         .select(col("l_returnflag").as("flag"),
           floor(col("l_extendedprice") * 100.0 + 0.5).cast(LongType).as("cents"),

@@ -1291,7 +1291,11 @@ object Relational {
   val q285VariantShred = QueryDef(
     "q285_variant_shred",
     (s, d) =>
-      Tables.events(s, d)
+      // spread (r13): the per-row JSON parse + variant shred ran as ONE
+      // task on the single-row-group scan; only the three consumed
+      // columns cross the round-robin exchange (guide §8)
+      Tables.spread(Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("props")))
         .withColumn("kk", get_json_object(col("props"), "$.k").cast(LongType))
         .withColumn("doc", concat(
           lit("{\"u\":"), col("user_id"),

@@ -70,7 +70,11 @@ object SpatialOps {
     (s, d) => {
       def md5i(c: Column): Column =
         conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
-      val pts = Tables.events(s, d)
+      // spread (r13): the per-point md5 coordinate derivation ran as ONE
+      // task on the single-row-group events scan; the cell join's
+      // exchange exists either way, so the round-robin of the bare
+      // event_id column only buys the hash parallelism (guide §8)
+      val pts = Tables.spread(Tables.events(s, d).select(col("event_id")))
         .select(col("event_id"), md5i(concat(lit("gp#"), col("event_id").cast("string"))).as("h"))
         .select(col("event_id"),
           pmod(col("h"), lit(GridMax)).as("px"),
@@ -183,6 +187,9 @@ object SpatialOps {
     (s, d) => {
       def md5i(c: Column): Column =
         conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+      // (r13: a spread of the md5 derivation was tried and REVERTED —
+      // measured 1.73 -> 2.20 s; the extra exchange shifted the ring
+      // join's planning without buying back the hash cost here)
       val pts = Tables.events(s, d)
         .select(col("event_id"), md5i(concat(lit("gp#"), col("event_id").cast("string"))).as("h"))
         .select(col("event_id"),

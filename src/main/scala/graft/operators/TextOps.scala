@@ -435,13 +435,19 @@ object TextOps {
             when(nb > 0, idiv((nb - nbd) * 1000000L, nb)).otherwise(0L).as("dup_bigram_x1m"))
         })
       })
-      Tables.documents(s, d)
+      // spread (r13): the O(distinct·n)-per-row top-share scan is the
+      // query's whole cost and ran as ONE task on the single-row-group
+      // scan; checkpoint BEFORE the final sort so the range partitioner's
+      // sampling pass does not run the metric map a second time
+      // (profiled: 4 jobs / 4 tasks, 1.05 s exec, taskTime ≈ 2× the map)
+      Tables.spread(Tables.documents(s, d).select(col("doc_id"), col("text")))
         .select(col("doc_id"), metrics.as("m"))
         .select(col("doc_id"), col("m.n_tokens").as("n_tokens"),
           col("m.distinct_tokens").as("distinct_tokens"),
           col("m.dup_token_x1m").as("dup_token_x1m"),
           col("m.top_share_x1m").as("top_share_x1m"),
           col("m.dup_bigram_x1m").as("dup_bigram_x1m"))
+        .localCheckpoint()
         .orderBy("doc_id")
     },
     Some("""WITH base AS (
@@ -1061,7 +1067,12 @@ object TextOps {
   val q151NgramNovelty = QueryDef(
     "q151_ngram_novelty",
     (s, d) => {
-      val dg = Tables.documents(s, d)
+      // spread (r13): the gram explode (tokenize + 5-slice + concat per
+      // token position) ran as ONE task on the single-row-group scan;
+      // the distinct's exchange exists either way, so the round-robin
+      // of (doc_id, text) only buys the explode parallelism (guide §8)
+      val dg = Tables.spread(Tables.documents(s, d)
+          .select(col("doc_id"), col("text")))
         .select(col("doc_id"), explode(grams5).as("g")).distinct()
       val gdf = dg.groupBy("g").agg(count(lit(1)).as("gdf"))
       dg.join(gdf, Seq("g"))
