@@ -267,8 +267,11 @@ class PlanSpec extends SparkSpec {
       // duplication of one exchange; runtime reuses it via ReuseExchange
       case n if n.startsWith("q184") => 14
       // q194: the distinct trade-pair lineage repeats under the customer
-      // AND supplier degree aggs (one extra text-counted exchange)
-      case n if n.startsWith("q194") => 10
+      // AND supplier degree aggs; r13 session-caches tradeRel, so every
+      // reference PRINTS the cached subtree's join+distinct exchanges
+      // again (plan-text triple-count) — at runtime each is one
+      // InMemoryRelation scan (measured 1.42 -> 0.75 s)
+      case n if n.startsWith("q194") => 14
       // q85: the two-level rank adds the bucket-count agg + cumulative-
       // offset window exchanges — all over the metadata-sized bucket
       // frame (one row per (domain, bucket)), never the corpus
