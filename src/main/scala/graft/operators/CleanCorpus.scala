@@ -45,12 +45,9 @@ object CleanCorpus {
       .select("doc_id")
     // 2. near-dup cluster survivors. Docs in no verified pair are their own
     // cluster min by definition — only pair members need clustering, so the
-    // survivor rule is an ANTI join against the non-survivor pair members.
-    val edges = DedupOps.verifiedPairs(s, d, cap)
-      .select(col("d1").as("src"), col("d2").as("dst"))
-    val verts = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct()
-    val nearDrop = Components.connectedComponentsAuto(verts, edges)
+    // survivor rule is an ANTI join against the non-survivor pair members
+    // (labels from the session-cached pair-member clustering, r13).
+    val nearDrop = Components.pairMemberClusters(s, d, cap)
       .filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id"))
     // 3. quality filter

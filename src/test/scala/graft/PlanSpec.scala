@@ -219,10 +219,15 @@ class PlanSpec extends SparkSpec {
       // (r12: rawShingles' spread adds one runtime exchange that the
       // repeated cached candidate lineage multiplies in plan text —
       // 300 → 450; runtime reads the cached frames either way)
+      // (r13: the pair-member CLUSTER labels are session-cached too, so
+      // the cluster consumers now nest the whole pair lineage inside a
+      // second InMemoryRelation layer — text count roughly doubles to
+      // ~850 while runtime DROPS: each reference is one cached-relation
+      // scan, measured q71 1.18 → 0.47 s / q53 1.02 → 0.57)
       case n if n.startsWith("q46") || n.startsWith("q53") ||
         n.startsWith("q54") || n.startsWith("q71") || n.startsWith("q76") ||
         n.startsWith("q87") || n.startsWith("q95") ||
-        n.startsWith("q204") => 450
+        n.startsWith("q204") => 900
       case n if n.startsWith("q23") => 24
       // q24/q52: the verify stage references the materialized candidate
       // cache three times (candDocs union x2 + the pair join) and the
